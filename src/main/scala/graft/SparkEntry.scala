@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Analytics, Dedup, LogAnalytics, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each entry implements. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Mirrors the reference's headline query (README.md:151-154: API calls
+    * by type, ordered by count). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    LogAnalytics.logByType(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    LogAnalytics.queries ++
+      Analytics.queries ++
+      TextAnalysis.queries ++
+      Dedup.queries ++
+      Similarity.queries
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted keys (engine-specific hashes /
+    * sketches / approximate ops) get the driver's rows-only check and a
+    * ScalaTest spec instead. */
+  def oracleSql: Map[String, String] =
+    LogAnalytics.oracles ++
+      Analytics.oracles ++
+      TextAnalysis.oracles ++
+      Dedup.oracles ++
+      Similarity.oracles
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Schema'd loaders for the test corpus (TPC-H-ish star schema plus
+  * `events` / `documents` / `embeddings`).
+  *
+  * Scale note: `spark.read.parquet` gives Catalyst a relation it can
+  * push filters and projections into; every operator in this library
+  * starts from these loaders so pushdown reaches the scan.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is nanosecond-precision parquet, which Spark's vectorized
+      // reader rejects; read it as a raw nanos Long (set here, not only in
+      // our mains, so the operators also work under a caller's session).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** `events` with `ts_us` = exact microseconds-since-epoch (Long).
+    * All time arithmetic happens in this integer domain so Spark and the
+    * DuckDB oracle (which keeps ns precision) agree bit-for-bit. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "events")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+      .drop("ts")
+}
+
+/** Column helpers shared by all operators.
+  *
+  * Determinism contract with the DuckDB oracle: floating-point SUMs are
+  * order-dependent, and Spark's partial aggregation order differs from
+  * DuckDB's. So money/value columns (2-decimal doubles in the corpus)
+  * are cast to exact DECIMAL before aggregation — decimal addition is
+  * associative, so any aggregation order yields the same result — and
+  * only the final aggregate is cast back to double (exact decimal →
+  * correctly-rounded IEEE in both engines). Intermediate decimal
+  * precision is kept small enough (< 38 digits) that neither engine
+  * has to round a multiply.
+  */
+object Cols {
+  /** Exact cast for 2-decimal money/value doubles. */
+  def money(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Exact cast for 2-decimal rates in [0, 1] (discount, tax). */
+  def rate(c: Column): Column = c.cast(DecimalType(6, 4))
+
+  /** (1 - rate) as exact decimal. */
+  def oneMinus(c: Column): Column = lit(1).cast(DecimalType(5, 4)) - rate(c)
+
+  /** (1 + rate) as exact decimal. */
+  def onePlus(c: Column): Column = lit(1).cast(DecimalType(5, 4)) + rate(c)
+
+  def asDouble(c: Column): Column = c.cast("double")
+
+  /** Microseconds-since-epoch for `events.ts` (ns in parquet; Spark
+    * truncates to µs on read, DuckDB keeps ns — comparing in the µs
+    * integer domain keeps both sides identical).
+    */
+  def usec(c: Column): Column = unix_micros(c)
+}

@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.{Cols, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General analytics core over the star schema — TPC-H-shaped plans
+  * proving the engine handles the full relational surface the reference
+  * exposes through Trino (arbitrary SQL over the lake table): multi-agg
+  * group-bys, multi-way joins, selective scans, windows, rollups,
+  * semi/anti joins, distincts.
+  *
+  * Scale notes:
+  *  - dimension tables (region/nation/supplier/part/customer) are
+  *    broadcast explicitly — at 100 TB the fact tables shuffle ONLY when
+  *    two facts join (q3: orders⋈lineitem on orderkey).
+  *  - all money math is exact decimal (see [[graft.Cols]]), so partial
+  *    aggregation across 1000 executors is order-insensitive.
+  *  - every filter is a plain column predicate → pushed to parquet
+  *    row-group pruning.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** TPC-H Q1: pricing summary report. One shuffle (4 groups). */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+    val discPrice = Cols.money(col("l_extendedprice")) * Cols.oneMinus(col("l_discount"))
+    val charge = discPrice * Cols.onePlus(col("l_tax"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Cols.asDouble(sum(Cols.money(col("l_quantity")))).as("sum_qty"),
+        Cols.asDouble(sum(Cols.money(col("l_extendedprice")))).as("sum_base_price"),
+        Cols.asDouble(sum(discPrice)).as("sum_disc_price"),
+        // scale-10 decimal sums exceed 2^53 in integer representation,
+        // where DuckDB's int128→double cast loses a ulp — round the final
+        // sum to scale 6 first so both engines convert exactly.
+        Cols.asDouble(sum(charge).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .as("sum_charge"),
+        (Cols.asDouble(sum(Cols.money(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (Cols.asDouble(sum(Cols.money(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        (Cols.asDouble(sum(Cols.rate(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3: shipping priority. customer is broadcast; orders⋈lineitem
+    * is the only shuffle join (both sides hash-partitioned on orderkey). */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+    val revenue = Cols.money(col("l_extendedprice")) * Cols.oneMinus(col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(Cols.asDouble(sum(revenue)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: local-supplier revenue by nation. All dims
+    * broadcast; lineitem⋈orders is the lone fact-fact shuffle. */
+  def q5Revenue(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+    val revenue = Cols.money(col("l_extendedprice")) * Cols.oneMinus(col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Cols.asDouble(sum(revenue)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6: forecasting revenue change — selective scan, single agg,
+    * zero shuffle beyond the final 1-row reduce. */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(Cols.asDouble(
+        sum(Cols.money(col("l_extendedprice")) * Cols.rate(col("l_discount"))))
+        .as("revenue"))
+
+  /** Top-3 parts per brand by retail price (rank window; partition key
+    * p_brand keeps state bounded per group). */
+  def qWindowParts(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
+  /** GROUP BY ROLLUP hierarchy (subtotals + grand total in one pass —
+    * Spark expands grouping sets map-side, still one shuffle). */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("l_quantity")))).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** EXISTS / NOT EXISTS: customers with vs. without a big order
+    * (left-semi + left-anti joins; at scale the dim side broadcasts). */
+  def qExists(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+    val active = c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_active"))
+    val inactive = c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_inactive"))
+    active.crossJoin(inactive)
+  }
+
+  /** Exact distinct actors per event type (two-phase distinct agg). */
+  def qDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** HLL sketch distinct (approx; rows-only check — sketches are
+    * engine-specific). The 100 TB answer to COUNT(DISTINCT). */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Pricing _),
+    "q3_shipping" -> (q3Shipping _),
+    "q5_revenue" -> (q5Revenue _),
+    "q6_forecast" -> (q6Forecast _),
+    "q_window_parts" -> (qWindowParts _),
+    "q_rollup" -> (qRollup _),
+    "q_exists" -> (qExists _),
+    "q_distinct_users" -> (qDistinctUsers _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+  )
+
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(CAST(sum($discPriceSql * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+         |  CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_revenue" ->
+      s"""SELECT n_name, CAST(sum($discPriceSql) AS DOUBLE) AS revenue
+         |FROM region, nation, customer, orders, lineitem, supplier
+         |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+         |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+         |  AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         |  AND s_nationkey = c_nationkey
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    "q_window_parts" ->
+      """WITH ranked AS (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part)
+        |SELECT p_brand, p_partkey, p_retailprice, rnk FROM ranked
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_exists" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)) AS n_active,
+        |  (SELECT count(*) FROM customer WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)) AS n_inactive""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q_approx_distinct: intentionally no oracle — HLL sketches are
+    // engine-specific; driver records the rows-only check.
+  )
+}

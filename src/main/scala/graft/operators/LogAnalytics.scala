@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{Cols, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's own query surface (see /root/reference/README.md:125-168
+  * and init-setup.py:159-173): count, recent-N, per-operation counts,
+  * time-range predicates, error analysis — re-expressed over the `events`
+  * log table with Spark's DataFrame API, plus the log-analytics staples a
+  * production deployment of that pipeline runs (hourly rollups, JSON
+  * prop extraction, top-k actors, sessionization, funnels).
+  *
+  * Scale notes: every query is a declarative plan — filters and column
+  * pruning reach the parquet scan; group-bys get map-side partial
+  * aggregation; windows partition by high-cardinality keys (user_id) so
+  * no single partition explodes at 100 TB.
+  */
+object LogAnalytics {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** README.md:142 `SELECT COUNT(*) FROM api` */
+  def logCount(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).agg(count(lit(1)).as("n"))
+
+  /** README.md:145-148 recent logs: ORDER BY time DESC LIMIT 20. */
+  def logRecent(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("ts_us"))
+      .orderBy(col("ts_us").desc, col("event_id"))
+      .limit(20)
+
+  /** README.md:151-154 calls by type: GROUP BY name ORDER BY cnt DESC. */
+  def logByType(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("cnt").desc, col("event_type"))
+
+  /** README.md:157-160 time-range scan; the ts predicate is pushed to
+    * the parquet reader (row-group pruning at scale). */
+  def logTimeRange(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .filter(col("ts_us") >= 1704844800000000L && col("ts_us") < 1705708800000000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** README.md:163-167 error analysis (status>=400 grouped) → the
+    * events-table analog: error events grouped by actor. */
+  def logErrors(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(25)
+
+  /** Hourly rollup — the dashboard query over an API-log table. */
+  def logHourly(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("hour"))
+
+  /** JSON property extraction from the free-form `props` column
+    * (get_json_object is codegen'd; no UDF). */
+  def logJson(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("k_mod"))
+
+  /** Top-3 most active users per event type (rank window). */
+  def logTopkUsers(s: SparkSession, dir: String): DataFrame = {
+    val counts = ev(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("user_id"))
+    counts
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
+  /** Sessionization: a 30-minute inactivity gap starts a new session.
+    * lag + running-sum windows partitioned by user_id — the canonical
+    * distributed sessionizer (state is per-user, shuffle key is the
+    * user, so it scales linearly with users). */
+  def logSessions(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val flagged = ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("sess",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Signup→purchase conversion funnel via conditional aggregation
+    * (one shuffle on user_id; no self-join). */
+  def logFunnel(s: SparkSession, dir: String): DataFrame = {
+    val us = col("ts_us")
+    ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", us)).as("s_us"),
+        min(when(col("event_type") === "purchase", us)).as("p_us"))
+      .agg(
+        count(when(col("s_us").isNotNull, lit(1))).as("n_signup_users"),
+        count(when(col("s_us").isNotNull && col("p_us") > col("s_us"), lit(1)))
+          .as("n_converted"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "log_count" -> (logCount _),
+    "log_recent" -> (logRecent _),
+    "log_by_type" -> (logByType _),
+    "log_time_range" -> (logTimeRange _),
+    "log_errors" -> (logErrors _),
+    "log_hourly" -> (logHourly _),
+    "log_json" -> (logJson _),
+    "log_topk_users" -> (logTopkUsers _),
+    "log_sessions" -> (logSessions _),
+    "log_funnel" -> (logFunnel _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "log_count" -> "SELECT count(*) AS n FROM events",
+    "log_recent" ->
+      """SELECT event_id, event_type, user_id, epoch_us(ts) AS ts_us
+        |FROM events ORDER BY ts_us DESC, event_id LIMIT 20""".stripMargin,
+    "log_by_type" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin,
+    "log_time_range" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "log_errors" ->
+      """SELECT user_id, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 25""".stripMargin,
+    "log_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+    "log_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+    "log_topk_users" ->
+      """WITH counts AS (
+        |  SELECT event_type, user_id, count(*) AS cnt FROM events
+        |  GROUP BY event_type, user_id),
+        |ranked AS (
+        |  SELECT event_type, user_id, cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rnk
+        |  FROM counts)
+        |SELECT event_type, user_id, cnt, rnk FROM ranked
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+    "log_sessions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged),
+        |per_sess AS (
+        |  SELECT user_id, sess, count(*) AS n_events FROM sessions GROUP BY user_id, sess)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+        |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "log_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) FILTER (WHERE s_us IS NOT NULL) AS n_signup_users,
+        |  count(*) FILTER (WHERE s_us IS NOT NULL AND p_us > s_us) AS n_converted
+        |FROM per_user""".stripMargin,
+  )
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{Cols, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` corpus: language ID, quality scoring, token counting,
+  * corpus stats, document fingerprinting.
+  *
+  * All per-document features are single-pass narrow transformations
+  * (no shuffle) built from codegen'd built-ins (`split`,
+  * `regexp_extract_all`, array functions) — at 100 TB this is a pure
+  * map stage that scales with input splits.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  private def countMatches(pattern: String): Column =
+    size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+
+  /** Marker-word language ID (n-gram-free heuristic: per-language
+    * function-word hit counts, argmax with a fixed tie order). */
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    val cEn = countMatches("\\b(the|a|of|to|and)\\b")
+    val cEs = countMatches("\\b(el|la|de|que|los)\\b")
+    val cDe = countMatches("\\b(der|die|das|und|ist)\\b")
+    val cFr = countMatches("\\b(le|la|les|des|est)\\b")
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        cEn.as("c_en"), cEs.as("c_es"), cDe.as("c_de"), cFr.as("c_fr"))
+      .withColumn("predicted",
+        when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") &&
+          col("c_en") >= col("c_fr"), "en")
+          .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr"), "es")
+          .when(col("c_de") >= col("c_fr"), "de")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("predicted"),
+        when(col("predicted") === col("lang"), 1).otherwise(0).cast("int").as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality score from length / word-length / stopword signals.
+    * Only +,-,*,/ and comparisons — IEEE-deterministic across engines
+    * (no transcendentals, whose last-ulp behavior is libm-specific). */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val stopHits = countMatches("\\b(the|a|of|to|and|in|is)\\b")
+    docs(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        nWords.as("n_words"),
+        stopHits.as("stop_hits"))
+      .withColumn("avg_word_len",
+        (col("n_chars_m") - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
+      .withColumn("score",
+        col("stop_ratio") * 0.5 +
+          least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.3 +
+          least(lit(1.0), col("avg_word_len") / 8.0) * 0.2)
+      .select(col("doc_id"), col("n_words"), col("avg_word_len"),
+        col("stop_ratio"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (alpha runs, digit runs, other non-space singletons). */
+  def tokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus stats per (lang, source) — the partition-planning query a
+    * pipeline runs before sharding a 100 TB corpus. */
+  def docStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Karp-Rabin polynomial fingerprint over word tokens:
+    * h ← (h·31 + xxhash64(w) mod p) mod p with p = 1e9+7 (stays well
+    * inside Long under ANSI arithmetic). Engine-specific hash →
+    * rows-only check + ScalaTest. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val p = lit(1000000007L)
+    docs(s, dir)
+      .select(col("doc_id"),
+        aggregate(split(col("text"), " "), lit(0L),
+          (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), p), p)).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> (langid _),
+    "text_quality" -> (quality _),
+    "text_tokens" -> (tokens _),
+    "doc_stats" -> (docStats _),
+    "text_fingerprint" -> (fingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) AS c_en,
+        |    len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) AS c_es,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS c_de,
+        |    len(regexp_extract_all(text, '\b(le|la|les|des|est)\b')) AS c_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+        |       WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+        |       WHEN c_de >= c_fr THEN 'de'
+        |       ELSE 'fr' END AS predicted,
+        |  CAST(CASE WHEN (CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+        |       WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+        |       WHEN c_de >= c_fr THEN 'de'
+        |       ELSE 'fr' END) = lang THEN 1 ELSE 0 END AS INT) AS correct
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars_m,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS stop_hits
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_words,
+        |    CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+        |    CAST(stop_hits AS DOUBLE) / n_words AS stop_ratio
+        |  FROM f)
+        |SELECT doc_id, n_words, avg_word_len, stop_ratio,
+        |  stop_ratio * 0.5
+        |    + least(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.3
+        |    + least(1.0, avg_word_len / 8.0) * 0.2 AS score
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_stats" ->
+      """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // text_fingerprint: no oracle (xxhash64 is Spark-specific); rows-only.
+  )
+}
