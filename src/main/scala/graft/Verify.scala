@@ -15,10 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -37,6 +39,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full declared-query list, so the gate can flag a query that crashed
+    // (no output dir) instead of it silently vanishing from the report.
+    val allQ = SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), allQ)
     spark.stop()
+    // Exit 0 even on per-query failure: outputs for the healthy queries
+    // are still valid, and check_oracle.py fails any declared query with
+    // no output directory (via queries.json above).
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] FAILED queries: ${failed.sorted.mkString(", ")}")
   }
 }

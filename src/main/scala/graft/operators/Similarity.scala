@@ -23,7 +23,7 @@ object Similarity {
 
   /** Quantized vectors + integer self-norm. */
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings").select(
+    Tables.spread(Tables(s, dir, "embeddings")).select(
       col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1000).cast("long")).as("qv"))

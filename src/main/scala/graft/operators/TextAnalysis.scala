@@ -17,6 +17,11 @@ object TextAnalysis {
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
+  /** Regex-heavy per-row ops are CPU-bound: widen a narrow scan so
+    * they use every core (no-op at real scale — see Tables.spread). */
+  private def docsSpread(s: SparkSession, dir: String) =
+    Tables.spread(docs(s, dir))
+
   private def countMatches(pattern: String): Column =
     size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
 
@@ -27,7 +32,7 @@ object TextAnalysis {
     val cEs = countMatches("\\b(el|la|de|que|los)\\b")
     val cDe = countMatches("\\b(der|die|das|und|ist)\\b")
     val cFr = countMatches("\\b(le|la|les|des|est)\\b")
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(col("doc_id"), col("lang"),
         cEn.as("c_en"), cEs.as("c_es"), cDe.as("c_de"), cFr.as("c_fr"))
       .withColumn("predicted",
@@ -47,7 +52,7 @@ object TextAnalysis {
   def quality(s: SparkSession, dir: String): DataFrame = {
     val nWords = size(split(col("text"), " ")).cast("long")
     val stopHits = countMatches("\\b(the|a|of|to|and|in|is)\\b")
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_m"),
         nWords.as("n_words"),
@@ -67,7 +72,7 @@ object TextAnalysis {
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (alpha runs, digit runs, other non-space singletons). */
   def tokens(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         size(regexp_extract_all(col("text"),
@@ -90,7 +95,7 @@ object TextAnalysis {
     * rows-only check + ScalaTest. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     val p = lit(1000000007L)
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(col("doc_id"),
         aggregate(split(col("text"), " "), lit(0L),
           (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), p), p)).as("fp"))

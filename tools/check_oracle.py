@@ -72,6 +72,15 @@ declared = set()
 for d in glob.glob(f"{OUT}/*/"):
     n = d.rstrip("/").split("/")[-1]
     declared.add(n)
+# queries.json is the FULL declared list from SparkEntry.queries; any
+# listed query with no output directory crashed inside Verify and must
+# fail the gate (it would otherwise vanish from the report entirely).
+try:
+    all_queries = set(json.load(open(f"{OUT}/queries.json")))
+except FileNotFoundError:
+    all_queries = declared
+for name in sorted(all_queries - declared):
+    fails.append((name, "query crashed in Verify (no output directory)"))
 rows_only = sorted(declared - set(oracle))
 for name in rows_only:
     f = glob.glob(f"{OUT}/{name}/*.parquet")
