@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, LogAnalytics, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Lakehouse, LogAnalytics, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each entry implements. */
@@ -19,7 +19,8 @@ object SparkEntry {
       Analytics.queries ++
       TextAnalysis.queries ++
       Dedup.queries ++
-      Similarity.queries
+      Similarity.queries ++
+      Lakehouse.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (engine-specific hashes /
@@ -30,5 +31,6 @@ object SparkEntry {
       Analytics.oracles ++
       TextAnalysis.oracles ++
       Dedup.oracles ++
-      Similarity.oracles
+      Similarity.oracles ++
+      Lakehouse.oracles
 }
