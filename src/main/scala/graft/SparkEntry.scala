@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, Dedup, Lakehouse, LogAnalytics, Similarity, TextAnalysis}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each entry implements. */
@@ -20,7 +21,8 @@ object SparkEntry {
       TextAnalysis.queries ++
       Dedup.queries ++
       Similarity.queries ++
-      Lakehouse.queries
+      Lakehouse.queries ++
+      Streams.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (engine-specific hashes /
@@ -32,5 +34,6 @@ object SparkEntry {
       TextAnalysis.oracles ++
       Dedup.oracles ++
       Similarity.oracles ++
-      Lakehouse.oracles
+      Lakehouse.oracles ++
+      Streams.oracles
 }

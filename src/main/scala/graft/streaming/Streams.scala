@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.{Cols, Tables}
+import graft.sources.LogTable
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming re-expression of the reference's continuous
+  * ingest loop (reference README.md:200-212, run.sh `continuous`):
+  * API-log events stream in, get flushed as parquet batches, and are
+  * committed ATOMICALLY to the table — here `foreachBatch` →
+  * [[LogTable.append]], which is exactly that flush→atomic-commit
+  * cycle on Spark's micro-batch engine.
+  *
+  * Window/session semantics are defined ONCE over plain DataFrames and
+  * shared by the batch oracle queries and the streaming variants, so
+  * the spec can assert stream == batch on identical input.
+  *
+  * Scale notes: watermark + tumbling window keeps state bounded per
+  * (window, type); sessionization state is per-user (high-cardinality
+  * shuffle key), so state stores scale horizontally with executors.
+  */
+object Streams {
+
+  // ------------------------------------------------------ shared semantics
+
+  /** Tumbling-window aggregation over (event_time, event_type, value) —
+    * identical logical op for batch and stream. */
+  def tumblingAgg(df: DataFrame, dur: String): DataFrame =
+    df.groupBy(window(col("event_time"), dur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** `events` projected to the streaming-shaped columns. */
+  def eventsShaped(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      timestamp_micros(col("ts_us")).as("event_time"),
+      col("event_type"), col("value"), col("user_id"), col("ts_us"))
+
+  /** Batch tumbling window (oracle-checked; same code path the stream
+    * uses, so the stream_window spec proves shared semantics). */
+  def eventsTumbling(s: SparkSession, dir: String): DataFrame =
+    tumblingAgg(eventsShaped(s, dir), "15 minutes")
+      .orderBy(col("w_start"), col("event_type"))
+
+  // ---------------------------------------------------------- stream ops
+
+  /** Watermarked tumbling-window aggregation of a streaming frame. */
+  def streamWindow(stream: DataFrame, watermark: String = "1 hour",
+      dur: String = "15 minutes"): DataFrame =
+    tumblingAgg(stream.withWatermark("event_time", watermark), dur)
+
+  /** The reference's flush→atomic-commit loop: every micro-batch
+    * becomes ONE atomic multi-file LogTable commit. Readers of the
+    * table never see a partial batch. */
+  def streamIngest(stream: DataFrame, table: LogTable,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.append(batch); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  // ----------------------------------------------- stateful sessionization
+
+  case class SessionEvent(user_id: Long, ts_us: Long)
+  case class SessionState(lastUs: Long, cur: Long, nSessions: Long, maxEv: Long)
+  case class SessionSummary(user_id: Long, n_sessions: Long, max_session_events: Long)
+
+  /** 30-minute-gap sessionization as explicit streaming state — the
+    * stream analog of LogAnalytics.logSessions' lag-window batch query.
+    * State per user: last-seen time, current-session length, session
+    * count, max session length; each batch folds its (sorted) events
+    * into that state and emits the user's updated summary. */
+  def sessionize(events: Dataset[SessionEvent],
+      gapUs: Long = 1800L * 1000000L): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L, 0L))
+          evs.toSeq.sortBy(e => (e.ts_us, 0L)).foreach { e =>
+            st = if (st.cur == 0L || e.ts_us - st.lastUs > gapUs)
+              SessionState(e.ts_us, 1L, st.nSessions + 1L, math.max(st.maxEv, 1L))
+            else
+              SessionState(e.ts_us, st.cur + 1L, st.nSessions, math.max(st.maxEv, st.cur + 1L))
+          }
+          state.update(st)
+          Iterator(SessionSummary(uid, st.nSessions, st.maxEv))
+        })
+  }
+
+  // ------------------------------------------------------- driver wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling" -> (eventsTumbling _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Spark's window() aligns to the epoch; mirror with integer-µs floor.
+    "events_tumbling" ->
+      """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS w_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

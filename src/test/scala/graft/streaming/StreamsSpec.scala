@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.sources.LogTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Streaming specs run file-source micro-batches over the sf0.001
+  * events corpus (the public file source is also the closest analog to
+  * the reference's flush-directory ingest). */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** events parquet has ns timestamps → stream-read with an explicit
+    * schema (ts as long ns, like Tables does) and project to the
+    * shared shape. */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def shape(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", expr("ts div 1000"))
+      .select(timestamp_micros(col("ts_us")).as("event_time"),
+        col("event_type"), col("value"), col("user_id"), col("ts_us"))
+
+  /** FileStreamSource wants a DIRECTORY to watch (the reference's flush
+    * directory); stage the single events.parquet file into one. */
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("events_stream_src")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  private def eventsStream(): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    shape(spark.readStream.schema(eventsSchema).parquet(eventsDir))
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"ckpt_$name").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+  }
+
+  test("stream_window: watermarked tumbling agg equals the batch query") {
+    runToMemory(Streams.streamWindow(eventsStream()), "sw", "complete")
+    val streamed = spark.table("sw")
+      .orderBy(col("w_start"), col("event_type"))
+      .collect().toSeq
+    val batch = Streams.eventsTumbling(spark, sfDir).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("stream_ingest: each micro-batch is one atomic LogTable commit") {
+    val table = LogTable(spark,
+      Files.createTempDirectory("stream_ingest_").toString)
+    val ckpt = Files.createTempDirectory("ckpt_ingest").toString
+    val q = Streams.streamIngest(eventsStream(), table, ckpt)
+    q.awaitTermination(120000)
+
+    val expected = Tables.events(spark, sfDir).count()
+    assert(table.read().count() === expected)
+    // every commit is an append from exactly one micro-batch
+    assert(table.versions.nonEmpty)
+    assert(table.versions === (1L to table.currentVersion))
+    assert(table.snapshot().operation === "append")
+    // restart from the same checkpoint: no new input → no new commits
+    val preVersion = table.currentVersion
+    val q2 = Streams.streamIngest(eventsStream(), table, ckpt)
+    q2.awaitTermination(120000)
+    assert(table.currentVersion === preVersion)
+    assert(table.read().count() === expected)
+  }
+
+  test("stream_sessions: stateful sessionization equals batch lag-window sessions") {
+    import Streams.{SessionEvent, SessionSummary}
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us")).as[SessionEvent]
+    // run the SAME stateful logic through a memory-sink streaming query
+    val streamIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent](
+      spark, 1)
+    streamIn.addData(evs.collect().toSeq)
+    val q = Streams.sessionize(streamIn.toDS()).toDF()
+      .writeStream.format("memory").queryName("ss").outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_ss").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ss")
+      .orderBy(col("user_id")).collect().toSeq
+    val batch = graft.operators.LogAnalytics.logSessions(spark, sfDir)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ===
+      batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+}
