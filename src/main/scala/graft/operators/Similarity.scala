@@ -55,25 +55,67 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Sign-bit bucket over the first `bits` dimensions — axis-aligned
-    * random-hyperplane LSH (deterministic, engine-independent). */
-  private def signBucket(qv: Column, bits: Int): Column =
-    (0 until bits).map(i =>
-      when(element_at(qv, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  // ------------------------------------------------- random-hyperplane LSH
 
-  /** LSH-bucketed approximate top-k: queries only scan their own
-    * bucket. Recall is tunable via bits/probes; this is the 100 TB
-    * path (bucket id = partition key, local top-k per bucket). */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val all = quantized(s, dir).withColumn("bucket", signBucket(col("qv"), 4))
+  /** splitmix64 — deterministic driver-side PRNG for hyperplane signs
+    * (public-domain mixing constants; same stream on every run/JVM). */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D4A4F4BD4FC94FL
+    z ^ (z >>> 31)
+  }
+
+  /** One seeded random hyperplane = a ±1 sign per dimension. True
+    * random projections (not axis-aligned coordinate thresholds), so
+    * buckets are balanced regardless of per-dimension correlation. */
+  private def hyperplane(seed: Long, table: Int, bit: Int, dim: Int): Array[Long] =
+    Array.tabulate(dim) { d =>
+      if ((splitmix64(seed ^ (table.toLong << 40) ^ (bit.toLong << 20) ^ d) & 1L) == 0L) 1L else -1L
+    }
+
+  /** `tables` independent LSH bucket keys for a quantized vector:
+    * bucket bit i of table t = sign of the dot product with hyperplane
+    * (t, i). ±1 dots are exact in Long, computed by one codegen'd
+    * zip_with/aggregate per hyperplane — narrow, no shuffle. */
+  private[graft] def bucketKeys(qv: Column, seed: Long, tables: Int, bits: Int, dim: Int): Column =
+    array((0 until tables).map { t =>
+      val key = (0 until bits).map { i =>
+        val signs = lit(hyperplane(seed, t, i, dim))
+        val proj = aggregate(zip_with(qv, signs, (x, s) => x * s),
+          lit(0L), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), key.as("k"))
+    }: _*)
+
+  /** Embedding dimension from the schema's source of truth (first row);
+    * the corpus is fixed-width so one lookup serves the whole plan. */
+  private def embeddingDim(s: SparkSession, dir: String): Int =
+    Tables(s, dir, "embeddings").select(size(col("embedding"))).head().getInt(0)
+
+  /** LSH-bucketed approximate top-k: `tables` independent 4-bit
+    * random-hyperplane tables; a query only scans candidates that
+    * collide with it in ≥1 table. At 100 TB (table, bucket) is the
+    * shuffle key, each bucket does a local top-k, and recall/cost is
+    * tuned by (bits, tables) — more bits → smaller buckets, more
+    * tables → higher recall. Defaults give ~0.7 recall@5 on the
+    * near-uniform test corpus (see AnnRecallSpec). */
+  def annLsh(s: SparkSession, dir: String,
+      seed: Long = 42L, tables: Int = 8, bits: Int = 4): DataFrame = {
+    val dim = embeddingDim(s, dir)
+    val all = quantized(s, dir)
+      .withColumn("bk", explode(bucketKeys(col("qv"), seed, tables, bits, dim)))
     val q = all.select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-      col("nrm").as("q_nrm"), col("bucket")).filter(col("q_id") < 10)
+      col("nrm").as("q_nrm"), col("bk")).filter(col("q_id") < 10)
     val c = all.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
-      col("nrm").as("n_nrm"), col("bucket"))
+      col("nrm").as("n_nrm"), col("bk"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("key").desc, col("n_id"))
-    c.join(broadcast(q), Seq("bucket")).filter(col("n_id") =!= col("q_id"))
+    c.join(broadcast(q), Seq("bk")).filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), col("q_qv"), col("n_qv"),
+        col("q_nrm"), col("n_nrm"))
+      .dropDuplicates("q_id", "n_id") // union of per-table collisions, ranked once
       .withColumn("key", cosKey(dot(col("q_qv"), col("n_qv")),
         col("q_nrm") * col("n_nrm")))
       .withColumn("rnk", row_number().over(w))
@@ -82,15 +124,26 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Embedding-cosine near-dup: 8-bit sign-LSH blocking, exact
-    * integer-cosine key within buckets, top-50 most similar pairs. */
-  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    val all = quantized(s, dir).withColumn("bucket", signBucket(col("qv"), 8))
+  /** Embedding-cosine near-dup: multi-table random-hyperplane blocking
+    * (8 bits × 4 tables → 2⁸ buckets per table, ~n/256 per bucket),
+    * exact integer-cosine key within buckets, top-50 most similar
+    * candidate pairs. At scale, within-bucket pairing is n²/2^bits per
+    * table — bits grows with corpus size to hold bucket width
+    * constant, and genuinely near-duplicate vectors (tiny angle)
+    * collide in some table with probability → 1. */
+  def dedupEmbed(s: SparkSession, dir: String,
+      seed: Long = 7L, tables: Int = 4, bits: Int = 8): DataFrame = {
+    val dim = embeddingDim(s, dir)
+    val all = quantized(s, dir)
+      .withColumn("bk", explode(bucketKeys(col("qv"), seed, tables, bits, dim)))
     val a = all.select(col("vec_id").as("vec_a"), col("qv").as("a_qv"),
-      col("nrm").as("a_nrm"), col("bucket"))
+      col("nrm").as("a_nrm"), col("bk"))
     val b = all.select(col("vec_id").as("vec_b"), col("qv").as("b_qv"),
-      col("nrm").as("b_nrm"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      col("nrm").as("b_nrm"), col("bk"))
+    a.join(b, Seq("bk")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("a_qv"), col("b_qv"),
+        col("a_nrm"), col("b_nrm"))
+      .dropDuplicates("vec_a", "vec_b")
       .withColumn("key", cosKey(dot(col("a_qv"), col("b_qv")),
         col("a_nrm") * col("b_nrm")))
       .select(col("vec_a"), col("vec_b"), col("key"))
@@ -100,8 +153,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopk _),
-    "ann_lsh" -> (annLsh _),
-    "dedup_embed" -> (dedupEmbed _),
+    "ann_lsh" -> ((s, dir) => annLsh(s, dir)),
+    "dedup_embed" -> ((s, dir) => dedupEmbed(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -116,7 +169,7 @@ object Similarity {
         |  FROM e),
         |p AS (
         |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
-        |    CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * d.qv[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * d.qv[i])) AS BIGINT) AS dot,
         |    q.nrm * d.nrm AS pp
         |  FROM n q JOIN n d ON d.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10),

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Verification for the engine-hash dedup operators (no DuckDB oracle
+  * possible): planted near-duplicates must be flagged, unrelated
+  * documents must not outrank them. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Planted corpus: docs 0/1 share ~95% of their words (one token
+    * changed), docs 2..41 are disjoint random-vocabulary texts. */
+  private lazy val plantedDir: String = {
+    val d = Files.createTempDirectory("planted_docs_").toString
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 2000).map(i => s"w$i")
+    def randDoc(): String =
+      Seq.fill(120)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = randDoc()
+    val near = {
+      val ws = base.split(" "); ws(60) = "CHANGED"; ws.mkString(" ")
+    }
+    val rows = (Seq(0L -> base, 1L -> near) ++ (2L until 42L).map(_ -> randDoc()))
+      .map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("dedup_minhash: planted near-dup pair collides in the most bands") {
+    val top = Dedup.minhashLsh(spark, plantedDir)
+      .select("doc_a", "doc_b", "n_bands").as[(Long, Long, Long)].collect()
+    assert(top.nonEmpty, "minhash returned no candidate pairs")
+    val (a, b, bands) = top.head
+    assert((a, b) === ((0L, 1L)), s"expected planted pair first, got ($a,$b)")
+    // 95% word overlap → s⁴ ≈ 0.8 per band; expect most of 8 bands.
+    assert(bands >= 4, s"planted pair collided in only $bands bands")
+    // no unrelated pair should match it
+    assert(top.tail.forall(_._3 < bands), "an unrelated pair tied the planted pair")
+  }
+
+  test("dedup_simhash: planted near-dup pair has the smallest hamming distance") {
+    val top = Dedup.simhash(spark, plantedDir)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(top.nonEmpty, "simhash returned no candidate pairs")
+    val (a, b, ham) = top.head
+    assert((a, b) === ((0L, 1L)), s"expected planted pair first, got ($a,$b)")
+    assert(ham <= 16, s"planted pair hamming $ham too large for 1-word change")
+    assert(top.tail.forall(_._3 > ham), "an unrelated pair matched the planted hamming")
+  }
+
+  test("dedup_minhash: corpus run is deterministic across invocations") {
+    val r1 = Dedup.minhashLsh(spark, sfDir).collect().toSeq
+    val r2 = Dedup.minhashLsh(spark, sfDir).collect().toSeq
+    assert(r1.nonEmpty && r1 === r2)
+  }
+}

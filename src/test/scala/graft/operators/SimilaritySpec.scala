@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Verification the rows-only similarity operators can't get from the
+  * DuckDB oracle: LSH recall vs the exact scan, bucket balance of the
+  * random-hyperplane keys, and planted near-duplicate detection. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ann_lsh: recall vs exact ann_topk is high on the near-uniform corpus") {
+    val exact = Similarity.annTopk(spark, sfDir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annLsh(spark, sfDir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ann_lsh recall@5 = $recall%.3f (${(exact & approx).size}/${exact.size})")
+    // Neighbors here sit at ~68° (near-random data) — the hardest case
+    // for hyperplane LSH; 4 bits × 8 tables should still recover most.
+    assert(recall >= 0.5, s"recall $recall below 0.5")
+  }
+
+  test("bucketKeys: random hyperplanes give balanced buckets") {
+    val dim = 64
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("qv"))
+      .withColumn("bk", explode(Similarity.bucketKeys(col("qv"), 42L, 8, 4, dim)))
+    val sizes = all.groupBy(col("bk")).count().select("count").as[Long].collect()
+    val n = sizes.sum.toDouble
+    val mean = n / sizes.length
+    info(s"buckets=${sizes.length} mean=$mean max=${sizes.max}")
+    // 4-bit tables → 16 buckets each; axis-aligned thresholds on
+    // correlated dims would pile everything into a few buckets.
+    assert(sizes.length >= 8 * 12, "most of the 8×16 bucket space should be populated")
+    assert(sizes.max <= mean * 4, s"hot bucket ${sizes.max} vs mean $mean")
+  }
+
+  /** Planted corpus: vec 1 ≈ vec 0 (tiny perturbation), others random. */
+  private lazy val plantedDir: String = {
+    val d = Files.createTempDirectory("planted_emb_").toString
+    val rnd = new scala.util.Random(7)
+    def randVec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = randVec()
+    val near = base.map(x => x + 0.001f)
+    val rows = Seq(0L -> base, 1L -> near) ++ (2L until 40L).map(_ -> randVec())
+    rows.toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("ann_lsh: a planted near-identical vector is found as the top neighbor") {
+    val res = Similarity.annLsh(spark, plantedDir)
+      .filter(col("q_id") === 0 && col("rnk") === 1)
+      .select("n_id").as[Long].collect()
+    assert(res.sameElements(Array(1L)), s"expected planted neighbor 1, got ${res.mkString(",")}")
+  }
+
+  test("dedup_embed: the planted near-dup pair ranks first") {
+    val top = Similarity.dedupEmbed(spark, plantedDir)
+      .select("vec_a", "vec_b").as[(Long, Long)].head()
+    assert(top === ((0L, 1L)), s"expected planted pair (0,1) first, got $top")
+  }
+}

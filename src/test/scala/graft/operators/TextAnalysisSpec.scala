@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Verification for the rows-only text/sketch operators. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text_fingerprint: identical texts get identical fingerprints, different texts differ") {
+    val d = Files.createTempDirectory("fp_docs_").toString
+    val rows = Seq(
+      (0L, "alpha beta gamma delta", "en", "s", 22L),
+      (1L, "alpha beta gamma delta", "en", "s", 22L), // exact copy of 0
+      (2L, "alpha beta gamma epsilon", "en", "s", 24L),
+      (3L, "delta gamma beta alpha", "en", "s", 22L)) // order matters
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val fp = TextAnalysis.fingerprint(spark, d)
+      .select("doc_id", "fp").as[(Long, Long)].collect().toMap
+    assert(fp(0L) === fp(1L), "identical texts must fingerprint identically")
+    assert(fp(0L) !== fp(2L), "different texts must fingerprint differently")
+    assert(fp(0L) !== fp(3L), "the rolling hash must be order-sensitive")
+  }
+
+  test("text_fingerprint: stable across repeated corpus runs") {
+    val r1 = TextAnalysis.fingerprint(spark, sfDir).collect().toSeq
+    val r2 = TextAnalysis.fingerprint(spark, sfDir).collect().toSeq
+    assert(r1.nonEmpty && r1 === r2)
+  }
+
+  test("q_approx_distinct: HLL estimate within 5% of exact per event type") {
+    val exact = Analytics.qDistinctUsers(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val approx = Analytics.qApproxDistinct(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (tpe, n) =>
+      val a = approx(tpe)
+      val rel = math.abs(a - n).toDouble / n
+      info(f"$tpe: exact=$n approx=$a rel=$rel%.4f")
+      assert(rel <= 0.05, s"$tpe estimate $a off exact $n by ${rel * 100}%%")
+    }
+  }
+}
