@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Lakehouse, LogAnalytics, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Lakehouse, LogAnalytics, MultiModal, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -22,7 +22,8 @@ object SparkEntry {
       Dedup.queries ++
       Similarity.queries ++
       Lakehouse.queries ++
-      Streams.queries
+      Streams.queries ++
+      MultiModal.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (engine-specific hashes /
@@ -35,5 +36,6 @@ object SparkEntry {
       Dedup.oracles ++
       Similarity.oracles ++
       Lakehouse.oracles ++
-      Streams.oracles
+      Streams.oracles ++
+      MultiModal.oracles
 }

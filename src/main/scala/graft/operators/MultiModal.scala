@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * payloads carried as opaque `binary` columns with a typed metadata
+  * struct, plus feature extraction and frame sampling over them.
+  *
+  * CODEC STUB: this container has no media libraries, so the "decoder"
+  * is a clearly-marked deterministic fake — payload bytes are the UTF-8
+  * encoding of the document text, and frames are fixed 64-byte slices.
+  * Everything Spark-side is real and shaped exactly as the real thing
+  * would be: an opaque binary column, a typed metadata struct, a
+  * narrow (shuffle-free) per-row decode/feature stage, and a
+  * frame-explode whose output is keyed for downstream shuffles. A real
+  * deployment swaps `payload`'s producer and the per-frame kernel for
+  * an actual codec; no plan shape changes.
+  *
+  * Scale notes: encode/features are pure map stages (zero Exchange in
+  * the plan — asserted by MultiModalSpec) that scale with input
+  * splits; framesample's explode multiplies rows BEFORE any shuffle,
+  * so downstream aggregations shuffle sampled frames only (the
+  * SampleEvery stride bounds the blow-up at 1/4 of full decode).
+  */
+object MultiModal {
+
+  /** Fixed frame width of the fake codec (bytes). */
+  val FrameBytes = 64
+  /** Default sampling stride: keep every 4th frame. */
+  val SampleEvery = 4
+  /** Feature-vector width of the fake extractor. */
+  val FeatureDims = 8
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.spread(Tables(s, dir, "documents"))
+
+  private val nFrames: Column =
+    expr(s"(length(payload) + ${FrameBytes - 1}) div $FrameBytes")
+
+  /** The multimodal table: doc_id, modality, opaque binary payload,
+    * typed metadata struct. Modality + metadata are deterministic
+    * functions of (doc_id, payload size) so the flattened view is
+    * oracle-checkable. */
+  def mmTable(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("modality"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("meta", struct(
+        when(col("modality") === "image", lit(32L) + pmod(col("doc_id"), lit(8)) * 16L).as("width"),
+        when(col("modality") === "image", lit(24L) + pmod(col("doc_id"), lit(8)) * 12L).as("height"),
+        when(col("modality") === "audio", lit(8000L) + pmod(col("doc_id"), lit(4)) * 8000L).as("sample_rate"),
+        when(col("modality") === "video", lit(24L) + pmod(col("doc_id"), lit(2)) * 6L).as("fps"),
+        nFrames.as("n_frames"),
+        when(col("modality") === "image", "fake_png")
+          .when(col("modality") === "audio", "fake_pcm")
+          .otherwise("fake_h264").as("codec")))
+
+  /** Flattened, oracle-checkable view of the encoded table. */
+  def mmEncode(s: SparkSession, dir: String): DataFrame =
+    mmTable(s, dir)
+      .select(col("doc_id"), col("modality"), col("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.sample_rate").as("sample_rate"), col("meta.fps").as("fps"),
+        col("meta.n_frames").as("n_frames"), col("meta.codec").as("codec"))
+      .orderBy(col("doc_id"))
+
+  /** Fake feature extractor: FeatureDims doubles per payload, each the
+    * scaled hash of one byte stripe — stands in for an embedding model
+    * with the identical plan shape (narrow map over binary). */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val stride = greatest(expr(s"(length(payload) + ${FeatureDims - 1}) div $FeatureDims"), lit(1L))
+    val features = transform(sequence(lit(0L), lit(FeatureDims - 1L)),
+      i => pmod(xxhash64(col("payload").substr(i * stride + 1, stride)),
+        lit(1000000007L)).cast("double") / 1e9)
+    mmTable(s, dir)
+      .select(col("doc_id"), features.as("features"))
+      .withColumn("n_dims", size(col("features")).cast("long"))
+      .select(col("doc_id"), col("n_dims"), col("features"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame/chunk sampling: explode every `every`-th 64-byte frame of
+    * each payload. The per-frame kernel here (length + UTF-8 decode)
+    * is where a real pipeline would run its per-frame model. */
+  def frameSample(s: SparkSession, dir: String, every: Int = SampleEvery): DataFrame =
+    mmTable(s, dir)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L), nFrames - 1L, lit(every.toLong))).as("frame_idx"))
+      .withColumn("frame", col("payload").substr(
+        col("frame_idx") * FrameBytes + 1, lit(FrameBytes)))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        decode(col("frame"), "UTF-8").as("frame_text"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_encode" -> (mmEncode _),
+    "mm_features" -> (mmFeatures _),
+    "mm_framesample" -> ((s, dir) => frameSample(s, dir)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_encode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0 THEN 32 + (doc_id % 8) * 16 END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN 24 + (doc_id % 8) * 12 END AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 4) * 8000 END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 2 THEN 24 + (doc_id % 2) * 6 END AS fps,
+        |  (octet_length(encode(text)) + 63) // 64 AS n_frames,
+        |  CASE doc_id % 3 WHEN 0 THEN 'fake_png' WHEN 1 THEN 'fake_pcm' ELSE 'fake_h264' END AS codec
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_framesample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    (octet_length(encode(text)) + 63) // 64 AS n_frames
+        |  FROM documents),
+        |i AS (
+        |  SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS frame_idx FROM f)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS BIGINT) AS frame_len,
+        |  substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64) AS frame_text
+        |FROM i ORDER BY doc_id, frame_idx""".stripMargin,
+    // mm_features: engine-specific hash features — rows-only + spec.
+  )
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing specs: codec roundtrip, feature-vector shape,
+  * frame reassembly, and the narrow (shuffle-free) plan contract. */
+class MultiModalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mm_encode: payload roundtrips byte-exact through the stub codec") {
+    val bad = MultiModal.mmTable(spark, sfDir)
+      .join(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
+      .filter(decode(col("payload"), "UTF-8") =!= col("text"))
+      .count()
+    assert(bad === 0L, s"$bad payloads failed the decode(encode(text)) roundtrip")
+  }
+
+  test("mm_encode: metadata is typed per modality") {
+    val m = MultiModal.mmEncode(spark, sfDir)
+    val byMod = m.groupBy("modality")
+      .agg(count(lit(1)).as("n"),
+        count(col("width")).as("n_width"),
+        count(col("sample_rate")).as("n_sr"),
+        count(col("fps")).as("n_fps"))
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(byMod.keySet === Set("image", "audio", "video"))
+    assert(byMod("image")._3 === byMod("image")._2, "every image row needs width")
+    assert(byMod("image")._4 === 0L && byMod("image")._5 === 0L)
+    assert(byMod("audio")._4 === byMod("audio")._2, "every audio row needs sample_rate")
+    assert(byMod("video")._5 === byMod("video")._2, "every video row needs fps")
+  }
+
+  test("mm_features: fixed-width deterministic vectors that separate payloads") {
+    val f = MultiModal.mmFeatures(spark, sfDir)
+    val dims = f.select("n_dims").distinct().as[Long].collect()
+    assert(dims.sameElements(Array(MultiModal.FeatureDims.toLong)),
+      s"expected uniform width ${MultiModal.FeatureDims}, got ${dims.mkString(",")}")
+    val r1 = f.collect().toSeq
+    val r2 = MultiModal.mmFeatures(spark, sfDir).collect().toSeq
+    assert(r1 === r2, "feature extraction must be deterministic")
+    val distinctVecs = f.select("features").distinct().count()
+    assert(distinctVecs > f.count() / 2, "features should separate distinct payloads")
+  }
+
+  test("mm_framesample: every=1 frames reassemble the exact payload") {
+    // collect_list order is not guaranteed — sort the (idx, text) pairs.
+    val reassembled = MultiModal.frameSample(spark, sfDir, every = 1)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("frame_text")))),
+        x => x.getField("frame_text")), "").as("rebuilt"))
+    val bad = reassembled
+      .join(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
+      .filter(col("rebuilt") =!= col("text")).count()
+    assert(bad === 0L, s"$bad documents failed frame reassembly")
+  }
+
+  test("mm encode/features are narrow plans: no hash shuffle anywhere") {
+    // Tables.spread's round-robin repartition (local small-file widening,
+    // a no-op at scale) and the presentation sort's range partition are
+    // the only exchanges allowed — a hash shuffle would mean the decode/
+    // feature stage itself stopped being a pure map.
+    def hashShuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r.findAllIn(
+        df.queryExecution.executedPlan.toString).length
+    assert(hashShuffles(MultiModal.mmTable(spark, sfDir)) === 0)
+    assert(hashShuffles(MultiModal.mmFeatures(spark, sfDir)) === 0)
+    assert(hashShuffles(MultiModal.frameSample(spark, sfDir)) === 0)
+  }
+}
