@@ -69,14 +69,19 @@ object Dedup {
     // Inner join drops over-frequent grams; same gh key as the pair join
     // below, so this adds no extra shuffle of the big side.
     val kept = e.join(dfc.filter(col("gdf") <= MaxGramDf), Seq("gh"))
-    val withN = kept.withColumn("n_grams",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-    val cand = withN.filter(col("gdf") >= 2) // df=1 grams can never pair
-    val a = cand.select(col("doc_id").as("doc_a"), col("gh").as("gh_a"), col("n_grams").as("na"))
-    val b = cand.select(col("doc_id").as("doc_b"), col("gh").as("gh_b"), col("n_grams").as("nb"))
-    a.join(b, col("gh_a") === col("gh_b") && col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+    // Per-doc kept-gram counts aggregate to ONE row per doc — joined
+    // onto the (far smaller) aggregated pair list at the end instead of
+    // being window-carried through the pair explosion. Broadcast: the
+    // per-doc table is |docs| rows even at 100 TB gram volume.
+    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val cand = kept.filter(col("gdf") >= 2) // df=1 grams can never pair
+    val a = cand.select(col("doc_id").as("doc_a"), col("gh"))
+    val b = cand.select(col("doc_id").as("doc_b"), col("gh"))
+    a.join(b, Seq("gh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
+      .join(broadcast(n.select(col("doc_id").as("doc_a"), col("n_grams").as("na"))), Seq("doc_a"))
+      .join(broadcast(n.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"))), Seq("doc_b"))
       .withColumn("jacc",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jacc"))

@@ -60,10 +60,16 @@ object LogAnalytics {
       .orderBy(col("cnt").desc, col("user_id"))
       .limit(25)
 
-  /** Hourly rollup — the dashboard query over an API-log table. */
+  /** Hourly rollup — the dashboard query over an API-log table.
+    * Truncation happens in the integer microsecond domain (floor to
+    * 3600s), NOT date_trunc: date_trunc buckets depend on
+    * spark.sql.session.timeZone, and a non-whole-hour zone offset
+    * (e.g. +05:30) would silently shift every bucket under a caller's
+    * session. Integer floor is zone-independent. */
   def logHourly(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
-      .groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("hour"))
+      .groupBy(timestamp_micros(
+        expr("(ts_us div 3600000000) * 3600000000")).as("hour"))
       .agg(count(lit(1)).as("n"),
         Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
       .orderBy(col("hour"))
