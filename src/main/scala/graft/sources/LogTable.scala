@@ -11,8 +11,12 @@ import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCo
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
-/** One data file of a [[LogTable]] snapshot (manifest entry). */
-final case class DataFile(path: String, rows: Long, bytes: Long)
+/** One data file of a [[LogTable]] snapshot (manifest entry).
+  * `partitions` holds the file's hive-style partition values (empty on
+  * unpartitioned tables) so scans can prune on manifest metadata
+  * alone — Iceberg's manifest-level partition pruning. */
+final case class DataFile(path: String, rows: Long, bytes: Long,
+    partitions: Map[String, String] = Map.empty)
 
 /** One committed snapshot: the COMPLETE list of data files visible at
   * `version`, plus commit metadata. */
@@ -54,7 +58,8 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
   * never a global sort. On a real object store the atomic rename
   * becomes the catalog's compare-and-swap — isolated behind commit().
   */
-final class LogTable private (val spark: SparkSession, val root: String) {
+final class LogTable private (val spark: SparkSession, val root: String,
+    val partitionBy: Seq[String]) {
   import LogTable._
 
   private val rootPath = Paths.get(root)
@@ -83,8 +88,24 @@ final class LogTable private (val spark: SparkSession, val root: String) {
   def timeTravel(version: Long): DataFrame = {
     val snap = snapshot(version)
     if (snap.files.isEmpty) emptyLike()
-    else spark.read.parquet(snap.files.map(_.path): _*)
+    else readFiles(snap.files)
   }
+
+  /** Partition-pruned scan: keep only the files whose manifest
+    * partition values satisfy `pred` — pruning runs on manifest
+    * metadata only, no data or directory I/O (Iceberg's manifest
+    * pruning). At 100 TB this is what turns a full scan into a
+    * single-partition read. */
+  def readWhere(pred: Map[String, String] => Boolean): DataFrame = {
+    val keep = snapshot().files.filter(f => pred(f.partitions))
+    if (keep.isEmpty) emptyLike() else readFiles(keep)
+  }
+
+  /** Read a concrete file list; basePath lets Spark re-derive the
+    * hive-style partition columns from the data paths. */
+  private def readFiles(files: Seq[DataFile]): DataFrame =
+    spark.read.option("basePath", dataDir.toString)
+      .parquet(files.map(_.path): _*)
 
   /** Per-snapshot stats from manifest metadata ONLY (no data I/O). */
   def stats(version: Long = currentVersion): Snapshot = snapshot(version)
@@ -95,7 +116,7 @@ final class LogTable private (val spark: SparkSession, val root: String) {
     val any = listManifests(logDir).reverseIterator
       .map(m => readManifest(m._2)).find(_.files.nonEmpty)
     any match {
-      case Some(s) => spark.read.parquet(s.files.head.path).limit(0)
+      case Some(s) => readFiles(s.files.take(1)).limit(0)
       case None => spark.emptyDataFrame
     }
   }
@@ -126,7 +147,7 @@ final class LogTable private (val spark: SparkSession, val root: String) {
       }
     }
     val rewritten = bins.toSeq.flatMap { bin =>
-      writeDataFiles(spark.read.parquet(bin.map(_.path).toSeq: _*).coalesce(1))
+      writeDataFiles(readFiles(bin.toSeq).coalesce(1))
     }
     commit("compact") { prev =>
       // Tolerate commits that landed since we read `snap`: replace only
@@ -134,6 +155,34 @@ final class LogTable private (val spark: SparkSession, val root: String) {
       val replaced = small.map(_.path).toSet
       prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
     }
+  }
+
+  /** Copy-on-write row-level delete (Iceberg COW semantics): find the
+    * data files that contain matching rows with ONE distributed pass
+    * (`input_file_name` + distinct — the result is just file names),
+    * rewrite only those files without the matching rows, and commit a
+    * replacing snapshot. Untouched files are never read twice; prior
+    * snapshots still see the deleted rows (time travel). */
+  def delete(condition: org.apache.spark.sql.Column): Snapshot = {
+    val snap = snapshot()
+    if (snap.files.isEmpty) return snap
+    val hit = readFiles(snap.files).filter(condition)
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct()
+      .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
+    if (hit.isEmpty) return snap
+    val affected = snap.files.filter(f => hit.contains(f.path))
+    val rewritten = writeDataFiles(readFiles(affected).filter(!condition))
+    commit("delete") { prev =>
+      val replaced = affected.map(_.path).toSet
+      prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
+    }
+  }
+
+  /** Roll the table back to a prior snapshot's file list as a NEW
+    * commit — history stays intact, readers atomically flip. */
+  def rollback(version: Long): Snapshot = {
+    val target = snapshot(version)
+    commit("rollback")(_ => target.files)
   }
 
   /** Drop all but the newest `keepLast` snapshots and delete data files
@@ -156,16 +205,28 @@ final class LogTable private (val spark: SparkSession, val root: String) {
 
   /** Write `df` into the data dir under fresh UUID names; returns the
     * new files with footer-exact row counts. Data files are invisible
-    * until a manifest referencing them is committed. */
+    * until a manifest referencing them is committed. On partitioned
+    * tables the hive-style `k=v` layout is preserved under data/ and
+    * each file's partition values are captured for manifest pruning. */
   private def writeDataFiles(df: DataFrame): Seq[DataFile] = {
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
-    df.write.parquet(stage.toString)
-    val parts = Files.list(stage).iterator().asScala
+    val w = df.write
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stage.toString)
+    val parts = Files.walk(stage).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
     val moved = parts.map { p =>
-      val dest = dataDir.resolve(s"${UUID.randomUUID()}.parquet")
+      val rel = stage.relativize(p.getParent) // "" or k=v[/k2=v2...]
+      val partVals = rel.toString.split("/").toSeq.filter(_.contains("="))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      val destDir = dataDir.resolve(rel)
+      Files.createDirectories(destDir)
+      val dest = destDir.resolve(s"${UUID.randomUUID()}.parquet")
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      DataFile(dest.toString, parquetRowCount(dest), Files.size(dest))
+      DataFile(dest.toString, parquetRowCount(dest), Files.size(dest), partVals)
     }
     // best-effort cleanup of the staging dir (_SUCCESS, .crc files)
     Files.walk(stage).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
@@ -210,11 +271,14 @@ object LogTable {
   private val MaxCommitRetries = 20
   private val mapper = new ObjectMapper()
 
-  /** Open (creating directories if needed) the table rooted at `root`. */
-  def apply(spark: SparkSession, root: String): LogTable = {
+  /** Open (creating directories if needed) the table rooted at `root`.
+    * `partitionBy` makes appends lay data out hive-style and records
+    * per-file partition values in the manifest for pruned scans. */
+  def apply(spark: SparkSession, root: String,
+      partitionBy: Seq[String] = Nil): LogTable = {
     Files.createDirectories(Paths.get(root).resolve("data"))
     Files.createDirectories(Paths.get(root).resolve(ManifestDir))
-    new LogTable(spark, root)
+    new LogTable(spark, root, partitionBy)
   }
 
   private def manifestPath(logDir: Path, version: Long): Path =
@@ -243,6 +307,10 @@ object LogTable {
     s.files.foreach { f =>
       val fn = arr.addObject()
       fn.put("path", f.path); fn.put("rows", f.rows); fn.put("bytes", f.bytes)
+      if (f.partitions.nonEmpty) {
+        val pn = fn.putObject("partitions")
+        f.partitions.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+      }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
@@ -250,7 +318,11 @@ object LogTable {
   private def readManifest(p: Path): Snapshot = {
     val n: JsonNode = mapper.readTree(Files.readString(p))
     val files = n.get("files").elements().asScala.map { f =>
-      DataFile(f.get("path").asText(), f.get("rows").asLong(), f.get("bytes").asLong())
+      val parts = Option(f.get("partitions")).map { pn =>
+        pn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty[String, String])
+      DataFile(f.get("path").asText(), f.get("rows").asLong(),
+        f.get("bytes").asLong(), parts)
     }.toSeq
     Snapshot(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("operation").asText(), n.get("timestampMs").asLong(), files)

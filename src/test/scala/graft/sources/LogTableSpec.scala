@@ -85,6 +85,67 @@ class LogTableSpec extends SparkSpec {
     intercept[Exception](t.timeTravel(2L).count())
   }
 
+  test("delete rewrites only the files that contain matching rows (copy-on-write)") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    t.append(df(0 until 50))   // file(s) A: all < 50
+    t.append(df(50 until 100)) // file(s) B: all >= 50
+    val pre = t.stats()
+    val preVersion = t.currentVersion
+
+    val post = t.delete(col("id") >= 80)
+    assert(post.operation === "delete")
+    assert(t.read().count() === 80L)
+    assert(t.read().filter(col("id") >= 80).count() === 0L)
+    // COW: files with no matching rows keep their identity (not rewritten)
+    val kept = post.files.map(_.path).toSet
+    assert(pre.files.exists(f => kept.contains(f.path)),
+      "at least the batch-A files must survive unrewritten")
+    // time travel still sees the deleted rows
+    assert(t.timeTravel(preVersion).count() === 100L)
+    // deleting nothing is a no-op commit-wise
+    val v = t.currentVersion
+    t.delete(col("id") > 1000)
+    assert(t.currentVersion === v)
+  }
+
+  test("rollback restores a prior snapshot as a new commit") {
+    val t = freshTable()
+    t.append(df(0 until 10))
+    t.append(df(10 until 30))
+    assert(t.read().count() === 30L)
+    val rb = t.rollback(1L)
+    assert(rb.operation === "rollback")
+    assert(rb.version === 3L) // history preserved, new commit on top
+    assert(t.read().count() === 10L)
+    assert(t.timeTravel(2L).count() === 30L)
+  }
+
+  test("partitioned append records partition values; readWhere prunes on manifest only") {
+    import org.apache.spark.sql.functions.col
+    val t = LogTable(spark,
+      Files.createTempDirectory("logtable_part_").toString,
+      partitionBy = Seq("bucket"))
+    val data = (0 until 90).map(i => (i.toLong, s"b${i % 3}")).toDF("id", "bucket")
+    t.append(data)
+    val snap = t.stats()
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(_.partitions.keySet === Set("bucket")))
+    assert(snap.files.map(_.partitions("bucket")).toSet === Set("b0", "b1", "b2"))
+
+    // pruned scan reads only b1's files and reconstructs the partition col
+    val pruned = t.readWhere(_.get("bucket").contains("b1"))
+    assert(pruned.count() === 30L)
+    assert(pruned.select("bucket").distinct().as[String].collect().sameElements(Array("b1")))
+    // full read sees everything with the partition column intact
+    assert(t.read().count() === 90L)
+    assert(t.read().groupBy("bucket").count().count() === 3L)
+    // delete composes with partitioning (drop a whole partition)
+    t.delete(col("bucket") === "b2")
+    assert(t.read().count() === 60L)
+    assert(t.stats().files.forall(f => f.partitions("bucket") != "b2"))
+  }
+
   test("concurrent appends all land (optimistic rename-commit retry)") {
     val t = freshTable()
     val pool = Executors.newFixedThreadPool(4)
