@@ -102,9 +102,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
   }
 
   /** Read a concrete file list; basePath lets Spark re-derive the
-    * hive-style partition columns from the data paths. */
+    * hive-style partition columns from the data paths, and mergeSchema
+    * unions file schemas so appends may ADD columns over time (older
+    * files read the new columns as null — parquet-level schema
+    * evolution, as Iceberg's add-column). */
   private def readFiles(files: Seq[DataFile]): DataFrame =
-    spark.read.option("basePath", dataDir.toString)
+    spark.read
+      .option("basePath", dataDir.toString)
+      .option("mergeSchema", "true")
       .parquet(files.map(_.path): _*)
 
   /** Per-snapshot stats from manifest metadata ONLY (no data I/O). */

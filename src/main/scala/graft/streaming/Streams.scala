@@ -67,6 +67,17 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup: drop rows whose key was already seen
+    * within the watermark horizon — the ingest-time dedup stage of a
+    * training-data pipeline. State is bounded BY the watermark (keys
+    * older than it are evicted), so state size tracks the event-time
+    * window, not the stream's history — the only way dedup state
+    * survives an unbounded 100 TB/day stream. */
+  def streamDedup(stream: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   // ----------------------------------------------- stateful sessionization
 
   case class SessionEvent(user_id: Long, ts_us: Long)

@@ -146,6 +146,20 @@ class LogTableSpec extends SparkSpec {
     assert(t.stats().files.forall(f => f.partitions("bucket") != "b2"))
   }
 
+  test("schema evolution: later appends may add columns; old rows read them as null") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    t.append(df(0 until 10))
+    t.append((10 until 20).map(i => (i, s"tag$i")).toDF("id", "tag"))
+    val out = t.read()
+    assert(out.columns.toSet === Set("id", "tag"))
+    assert(out.count() === 20L)
+    assert(out.filter(col("tag").isNull).count() === 10L) // pre-evolution rows
+    assert(out.filter(col("tag").isNotNull).count() === 10L)
+    // old snapshot keeps the old schema
+    assert(t.timeTravel(1L).columns.toSet === Set("id"))
+  }
+
   test("concurrent appends all land (optimistic rename-commit retry)") {
     val t = freshTable()
     val pool = Executors.newFixedThreadPool(4)

@@ -82,6 +82,23 @@ class StreamsSpec extends SparkSpec {
     assert(table.read().count() === expected)
   }
 
+  test("stream_dedup: duplicated input collapses to the distinct event set") {
+    // stage the events file TWICE → every event arrives duplicated
+    val d = Files.createTempDirectory("events_dup_src")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("a.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("b.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dup = spark.readStream.schema(eventsSchema).parquet(d.toString)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(timestamp_micros(col("ts_us")).as("event_time"), col("event_id"))
+    runToMemory(Streams.streamDedup(dup, Seq("event_id")), "sd", "append")
+    val expected = Tables.events(spark, sfDir).count()
+    assert(spark.table("sd").count() === expected)
+    assert(spark.table("sd").select("event_id").distinct().count() === expected)
+  }
+
   test("stream_sessions: stateful sessionization equals batch lag-window sessions") {
     import Streams.{SessionEvent, SessionSummary}
     val evs = Tables.events(spark, sfDir)
