@@ -74,20 +74,35 @@ object Similarity {
       if ((splitmix64(seed ^ (table.toLong << 40) ^ (bit.toLong << 20) ^ d) & 1L) == 0L) 1L else -1L
     }
 
+  /** Attach the full hyperplane sign matrix (tables × bits rows of ±1,
+    * one inner array per hyperplane) as a broadcast ONE-ROW column.
+    * Carrying the matrix as data instead of `lit(...)` literals keeps
+    * the expression tree small: 32 inlined 64-element literals cost
+    * ~4 s of driver-side analysis/codegen per query (measured), vs
+    * milliseconds for a compact HOF over a data column. */
+  private[graft] def withSigns(df: DataFrame, seed: Long,
+      tables: Int, bits: Int, dim: Int): DataFrame = {
+    val m: Seq[Seq[Long]] = (0 until tables).flatMap(t =>
+      (0 until bits).map(b => hyperplane(seed, t, b, dim).toSeq))
+    val sess = df.sparkSession
+    import sess.implicits._
+    df.crossJoin(broadcast(Seq(Tuple1(m)).toDF("signs")))
+  }
+
   /** `tables` independent LSH bucket keys for a quantized vector:
     * bucket bit i of table t = sign of the dot product with hyperplane
-    * (t, i). ±1 dots are exact in Long, computed by one codegen'd
-    * zip_with/aggregate per hyperplane — narrow, no shuffle. */
-  private[graft] def bucketKeys(qv: Column, seed: Long, tables: Int, bits: Int, dim: Int): Column =
-    array((0 until tables).map { t =>
-      val key = (0 until bits).map { i =>
-        val signs = lit(hyperplane(seed, t, i, dim))
-        val proj = aggregate(zip_with(qv, signs, (x, s) => x * s),
-          lit(0L), (acc, x) => acc + x)
-        when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), key.as("k"))
-    }: _*)
+    * (t, i), folded big-endian into a Long key. ±1 dots are exact in
+    * Long — one narrow pass, no shuffle. */
+  private[graft] def bucketKeys(qv: Column, signs: Column,
+      tables: Int, bits: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      struct(t.as("t"),
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) => {
+          val proj = aggregate(
+            zip_with(qv, element_at(signs, t * bits + i + 1), (x, sn) => x * sn),
+            lit(0L), (a, x) => a + x)
+          acc * 2 + when(proj > 0, 1L).otherwise(0L)
+        }).as("k")))
 
   /** Embedding dimension from the schema's source of truth (first row);
     * the corpus is fixed-width so one lookup serves the whole plan. */
@@ -104,8 +119,9 @@ object Similarity {
   def annLsh(s: SparkSession, dir: String,
       seed: Long = 42L, tables: Int = 8, bits: Int = 4): DataFrame = {
     val dim = embeddingDim(s, dir)
-    val all = quantized(s, dir)
-      .withColumn("bk", explode(bucketKeys(col("qv"), seed, tables, bits, dim)))
+    val all = withSigns(quantized(s, dir), seed, tables, bits, dim)
+      .withColumn("bk", explode(bucketKeys(col("qv"), col("signs"), tables, bits)))
+      .drop("signs")
     val q = all.select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
       col("nrm").as("q_nrm"), col("bk")).filter(col("q_id") < 10)
     val c = all.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
@@ -134,8 +150,9 @@ object Similarity {
   def dedupEmbed(s: SparkSession, dir: String,
       seed: Long = 7L, tables: Int = 4, bits: Int = 8): DataFrame = {
     val dim = embeddingDim(s, dir)
-    val all = quantized(s, dir)
-      .withColumn("bk", explode(bucketKeys(col("qv"), seed, tables, bits, dim)))
+    val all = withSigns(quantized(s, dir), seed, tables, bits, dim)
+      .withColumn("bk", explode(bucketKeys(col("qv"), col("signs"), tables, bits)))
+      .drop("signs")
     val a = all.select(col("vec_id").as("vec_a"), col("qv").as("a_qv"),
       col("nrm").as("a_nrm"), col("bk"))
     val b = all.select(col("vec_id").as("vec_b"), col("qv").as("b_qv"),

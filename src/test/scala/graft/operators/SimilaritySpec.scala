@@ -25,10 +25,11 @@ class SimilaritySpec extends SparkSpec {
 
   test("bucketKeys: random hyperplanes give balanced buckets") {
     val dim = 64
-    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"),
         x => round(x.cast("double") * 1000).cast("long")).as("qv"))
-      .withColumn("bk", explode(Similarity.bucketKeys(col("qv"), 42L, 8, 4, dim)))
+    val all = Similarity.withSigns(base, 42L, 8, 4, dim)
+      .withColumn("bk", explode(Similarity.bucketKeys(col("qv"), col("signs"), 8, 4)))
     val sizes = all.groupBy(col("bk")).count().select("count").as[Long].collect()
     val n = sizes.sum.toDouble
     val mean = n / sizes.length
