@@ -136,7 +136,29 @@ object LogAnalytics {
           .as("n_converted"))
   }
 
+  /** As-of join: each purchase event paired with the same user's most
+    * recent STRICTLY-prior click (null if none). Spark lacks a native
+    * as-of join; the scale-correct composition is a single user-keyed
+    * shuffle + in-partition sort + last(ignoreNulls) carry-forward
+    * window — never an O(n²) inequality join. One shuffle at 100 TB,
+    * partitioned by the high-cardinality user key. */
+  def logAsof(s: SparkSession, dir: String): DataFrame = {
+    // RANGE frame ending at -1 µs: "strictly prior" is defined in the
+    // integer time domain, not row order, so µs ties resolve
+    // identically in any engine.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    ev(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_type"),
+        when(col("event_type") === "click", col("ts_us")).as("click_ts"))
+      .withColumn("prev_click_ts_us", max(col("click_ts")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("purchase_ts_us"), col("prev_click_ts_us"))
+      .orderBy(col("user_id"), col("purchase_ts_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "log_asof" -> (logAsof _),
     "log_count" -> (logCount _),
     "log_recent" -> (logRecent _),
     "log_by_type" -> (logByType _),
@@ -212,5 +234,18 @@ object LogAnalytics {
         |SELECT count(*) FILTER (WHERE s_us IS NOT NULL) AS n_signup_users,
         |  count(*) FILTER (WHERE s_us IS NOT NULL AND p_us > s_us) AS n_converted
         |FROM per_user""".stripMargin,
+    "log_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+        |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts_us, event_type,
+        |    max(click_ts) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts_us
+        |  FROM e)
+        |SELECT user_id, ts_us AS purchase_ts_us, prev_click_ts_us
+        |FROM m WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_ts_us""".stripMargin,
   )
 }

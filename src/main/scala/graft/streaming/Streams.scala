@@ -46,6 +46,22 @@ object Streams {
     tumblingAgg(eventsShaped(s, dir), "15 minutes")
       .orderBy(col("w_start"), col("event_type"))
 
+  /** Sliding-window aggregation: 30-minute windows sliding every
+    * 15 minutes — each event lands in exactly width/slide = 2 windows.
+    * Spark's window() generates the containing windows BEFORE the
+    * shuffle, so the cost is a 2× row multiply into the same single
+    * hash aggregation as tumbling — the scale-canonical sliding
+    * implementation (never a self-join of windows against events). */
+  def eventsSliding(s: SparkSession, dir: String): DataFrame =
+    eventsShaped(s, dir)
+      .groupBy(window(col("event_time"), "30 minutes", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
   // ---------------------------------------------------------- stream ops
 
   /** Watermarked tumbling-window aggregation of a streaming frame. */
@@ -111,6 +127,7 @@ object Streams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling" -> (eventsTumbling _),
+    "events_sliding" -> (eventsSliding _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +137,15 @@ object Streams {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Each event's 2 containing 30-min/15-min-slide windows: start_k =
+    // floor((ts - k*slide)/width)*width + k*slide for k in {0,1}.
+    "events_sliding" ->
+      """SELECT make_timestamp(
+        |    ((epoch_us(ts) - k * 900000000) // 1800000000) * 1800000000 + k * 900000000
+        |  ) AS w_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events, (SELECT unnest(range(0, 2)) AS k) s
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
