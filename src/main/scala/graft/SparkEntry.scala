@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, Dedup, Lakehouse, LogAnalytics, MultiModal, Similarity, TextAnalysis}
+import graft.sources.Formats
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -23,7 +24,8 @@ object SparkEntry {
       Similarity.queries ++
       Lakehouse.queries ++
       Streams.queries ++
-      MultiModal.queries
+      MultiModal.queries ++
+      Formats.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (engine-specific hashes /
@@ -37,5 +39,6 @@ object SparkEntry {
       Similarity.oracles ++
       Lakehouse.oracles ++
       Streams.oracles ++
-      MultiModal.oracles
+      MultiModal.oracles ++
+      Formats.oracles
 }

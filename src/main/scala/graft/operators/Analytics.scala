@@ -121,6 +121,28 @@ object Analytics {
         Cols.asDouble(sum(Cols.money(col("l_quantity")))).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** GROUP BY CUBE: all 2ⁿ grouping-set combinations in one shuffle
+    * (like rollup, grouping sets expand map-side). */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+
+  /** Set operations over distinct user sets: EXCEPT / INTERSECT
+    * (hash-distinct shuffles on the user key at scale). */
+  def qSetops(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def users(tpe: String) =
+      ev.filter(col("event_type") === tpe).select(col("user_id"))
+    val clickOnly = users("click").except(users("purchase"))
+      .agg(count(lit(1)).as("n_click_only"))
+    val both = users("click").intersect(users("purchase"))
+      .agg(count(lit(1)).as("n_both"))
+    clickOnly.crossJoin(both)
+  }
+
   /** EXISTS / NOT EXISTS: customers with vs. without a big order
     * (left-semi + left-anti joins; at scale the dim side broadcasts). */
   def qExists(s: SparkSession, dir: String): DataFrame = {
@@ -155,6 +177,8 @@ object Analytics {
     "q6_forecast" -> (q6Forecast _),
     "q_window_parts" -> (qWindowParts _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_setops" -> (qSetops _),
     "q_exists" -> (qExists _),
     "q_distinct_users" -> (qDistinctUsers _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -219,6 +243,22 @@ object Analytics {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q_setops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |     EXCEPT
+        |     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS n_click_only,
+        |  (SELECT count(*) FROM (
+        |     SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |     INTERSECT
+        |     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS n_both""".stripMargin,
     "q_exists" ->
       """SELECT
         |  (SELECT count(*) FROM customer WHERE EXISTS

@@ -157,8 +157,23 @@ object LogAnalytics {
       .orderBy(col("user_id"), col("purchase_ts_us"))
   }
 
+  /** Hour × event-type PIVOT: one row per hour, one count column per
+    * type. The type list is explicit — at scale an unpinned pivot
+    * launches an extra distinct-scan job to discover columns. */
+  def logPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    ev(s, dir)
+      .groupBy(timestamp_micros(
+        expr("(ts_us div 3600000000) * 3600000000")).as("hour"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "log_asof" -> (logAsof _),
+    "log_pivot" -> (logPivot _),
     "log_count" -> (logCount _),
     "log_recent" -> (logRecent _),
     "log_by_type" -> (logByType _),
@@ -247,5 +262,13 @@ object LogAnalytics {
         |SELECT user_id, ts_us AS purchase_ts_us, prev_click_ts_us
         |FROM m WHERE event_type = 'purchase'
         |ORDER BY user_id, purchase_ts_us""".stripMargin,
+    "log_pivot" ->
+      """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
