@@ -25,14 +25,19 @@ object Streams {
 
   // ------------------------------------------------------ shared semantics
 
-  /** Tumbling-window aggregation over (event_time, event_type, value) —
-    * identical logical op for batch and stream. */
-  def tumblingAgg(df: DataFrame, dur: String): DataFrame =
-    df.groupBy(window(col("event_time"), dur).as("w"), col("event_type"))
+  /** Windowed aggregation over (event_time, event_type, value) —
+    * identical logical op for batch and stream; slide == dur is a
+    * tumbling window. */
+  def windowAgg(df: DataFrame, dur: String, slide: String): DataFrame =
+    df.groupBy(window(col("event_time"), dur, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
       .select(col("w.start").as("w_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Tumbling-window aggregation — windowAgg with slide == dur. */
+  def tumblingAgg(df: DataFrame, dur: String): DataFrame =
+    windowAgg(df, dur, dur)
 
   /** `events` projected to the streaming-shaped columns. */
   def eventsShaped(s: SparkSession, dir: String): DataFrame =
@@ -53,21 +58,18 @@ object Streams {
     * hash aggregation as tumbling — the scale-canonical sliding
     * implementation (never a self-join of windows against events). */
   def eventsSliding(s: SparkSession, dir: String): DataFrame =
-    eventsShaped(s, dir)
-      .groupBy(window(col("event_time"), "30 minutes", "15 minutes").as("w"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
-      .select(col("w.start").as("w_start"), col("event_type"),
-        col("n"), col("total_value"))
+    windowAgg(eventsShaped(s, dir), "30 minutes", "15 minutes")
       .orderBy(col("w_start"), col("event_type"))
 
   // ---------------------------------------------------------- stream ops
 
-  /** Watermarked tumbling-window aggregation of a streaming frame. */
+  /** Watermarked windowed aggregation of a streaming frame (tumbling
+    * by default; pass `slide` for sliding windows — state grows by
+    * dur/slide open windows per key, bounded by the watermark). */
   def streamWindow(stream: DataFrame, watermark: String = "1 hour",
-      dur: String = "15 minutes"): DataFrame =
-    tumblingAgg(stream.withWatermark("event_time", watermark), dur)
+      dur: String = "15 minutes", slide: String = null): DataFrame =
+    windowAgg(stream.withWatermark("event_time", watermark), dur,
+      Option(slide).getOrElse(dur))
 
   /** The reference's flush→atomic-commit loop: every micro-batch
     * becomes ONE atomic multi-file LogTable commit. Readers of the

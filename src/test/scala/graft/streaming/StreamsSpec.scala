@@ -82,6 +82,15 @@ class StreamsSpec extends SparkSpec {
     assert(table.read().count() === expected)
   }
 
+  test("stream_window sliding: streamed 30m/15m windows equal the batch sliding query") {
+    runToMemory(Streams.streamWindow(eventsStream(),
+      dur = "30 minutes", slide = "15 minutes"), "ssl", "complete")
+    val streamed = spark.table("ssl")
+      .orderBy(col("w_start"), col("event_type")).collect().toSeq
+    val batch = Streams.eventsSliding(spark, sfDir).collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("stream_dedup: duplicated input collapses to the distinct event set") {
     // stage the events file TWICE → every event arrives duplicated
     val d = Files.createTempDirectory("events_dup_src")
