@@ -130,9 +130,10 @@ object Dedup {
 
   /** Bit-count accumulator for one 64-bit SimHash half: per distinct
     * word, hash with `seed`; for each of 64 bits accumulate ±1.
-    * Computed NARROW (per-doc lambda aggregate over the word array —
-    * no explode, no 64-buffer shuffle agg). */
-  private def simhashBitSums(seed: Int): Column = expr(
+    * Kept as the REFERENCE formulation: SimHashExprSpec asserts the
+    * codegen'd native expression (graft.functions.SimHash64, used by
+    * the operator below) is bit-identical to it. */
+  private[graft] def simhashBitSums(seed: Int): Column = expr(
     s"""aggregate(ws, array_repeat(0L, 64),
        |  (a, w) -> zip_with(a,
        |    transform(sequence(0, 63),
@@ -140,7 +141,7 @@ object Dedup {
        |    (x, y) -> x + y))""".stripMargin)
 
   /** Sign of each bit sum → packed 64-bit fingerprint. */
-  private def packSigns(bits: String): Column = expr(
+  private[graft] def packSigns(bits: String): Column = expr(
     s"""aggregate(zip_with($bits, sequence(0, 63),
        |    (b, i) -> if(b > 0L, shiftleft(1L, i), 0L)),
        |  0L, (x, y) -> x | y)""".stripMargin)
@@ -153,9 +154,10 @@ object Dedup {
     * variant would go quadratic there). Output: top-100 pairs by
     * hamming distance. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimHash64.simhash64
     val fp = docWords(s, dir)
-      .select(col("doc_id"), simhashBitSums(0).as("bits0"), simhashBitSums(1).as("bits1"))
-      .select(col("doc_id"), packSigns("bits0").as("fp0"), packSigns("bits1").as("fp1"))
+      .select(col("doc_id"),
+        simhash64(col("ws"), 0).as("fp0"), simhash64(col("ws"), 1).as("fp1"))
     // 4 bands of 32 bits: 2 from each half.
     val bandKeys = Seq(
       shiftrightunsigned(col("fp0"), 32),
