@@ -107,16 +107,22 @@ object Dedup {
     * explode+groupBy formulation). The only shuffle is the band join:
     * O(n·bands) rows keyed by 8-byte band keys — THE near-dup shape
     * for 100 TB. */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigCols = (0 until NumHashes).map(j =>
+  /** Built-in reference formulation of the signature (one array walk
+    * per hash): MinHashExprSpec asserts the native one-pass expression
+    * used by the operator below is bit-identical to it. */
+  private[graft] def minhashSigColumns: Seq[Column] =
+    (0 until NumHashes).map(j =>
       array_min(transform(col("ws"), w => xxhash64(lit(j), w))).as(s"h$j"))
-    val sig = docWords(s, dir).select((col("doc_id") +: sigCols): _*)
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = docWords(s, dir).select(col("doc_id"),
+      graft.functions.MinHashSig.minhashSig(col("ws"), NumHashes).as("sig"))
     // 8 bands of 4 hashes → band key = hash of the band's signature slice.
     val bands = sig.select(col("doc_id"),
       explode(array((0 until NumHashes / BandSize).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((b * BandSize until (b + 1) * BandSize).map(j => col(s"h$j")): _*)
-            .as("bkey"))
+          xxhash64((b * BandSize until (b + 1) * BandSize)
+            .map(j => element_at(col("sig"), j + 1)): _*).as("bkey"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))

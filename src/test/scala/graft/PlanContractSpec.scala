@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape contracts for the headline queries — the properties that
+  * make these plans survive a 100× scale-up, asserted so a refactor
+  * that silently turns a broadcast join into a sort-merge shuffle or
+  * widens a pruned scan fails CI, not the cluster. */
+class PlanContractSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def count(p: String, needle: String): Int =
+    needle.r.findAllIn(p).length
+
+  test("q3_shipping: both dimension joins broadcast; the fact table never sort-merges") {
+    val p = plan("q3_shipping")
+    assert(count(p, "BroadcastHashJoin") >= 2)
+    assert(count(p, "SortMergeJoin") === 0)
+  }
+
+  test("q5_revenue: the whole snowflake resolves to broadcast joins") {
+    val p = plan("q5_revenue")
+    assert(count(p, "BroadcastHashJoin") >= 5)
+    assert(count(p, "SortMergeJoin") === 0)
+  }
+
+  test("q6_forecast: pure scan->filter->agg, one exchange, pruned scan") {
+    val p = plan("q6_forecast")
+    assert(count(p, "Join") === 0)
+    assert(count(p, "Exchange") === 1, "only the final single-row agg may shuffle")
+    // column pruning: the lineitem scan must not read unused columns
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("l_quantity") && scan.contains("l_shipdate"))
+    assert(!scan.contains("l_orderkey") && !scan.contains("l_comment"))
+  }
+
+  test("q1_pricing: no join; partial aggregation before the single agg shuffle") {
+    val p = plan("q1_pricing")
+    assert(count(p, "Join") === 0)
+    assert(p.contains("HashAggregate"), "needs map-side partial aggregation")
+    // one exchange for the agg, one range partition for the final sort
+    assert(count(p, "Exchange") <= 2)
+  }
+
+  test("log_time_range: the time predicate is evaluated at the scan") {
+    val p = plan("log_time_range")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("DataFilters: [isnotnull(ts"),
+      "ts range filter must reach the scan's data filters")
+  }
+
+  test("text ops scan only the columns they use") {
+    val p = plan("text_tokens")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("doc_id") && scan.contains("text"))
+    assert(!scan.contains("lang") && !scan.contains("n_chars"))
+  }
+
+  /** Regression guard for the fix that replaced the doc_id window in
+    * dedup_ngram: the pair join must aggregate BEFORE the per-doc gram
+    * counts are joined on (small side broadcast). */
+  test("dedup_ngram: per-doc counts broadcast onto aggregated pairs, no window") {
+    val p = plan("dedup_ngram")
+    assert(!p.contains("Window"), "the doc_id count window must stay gone")
+    assert(count(p, "BroadcastHashJoin") >= 2, "n_grams joins must broadcast")
+  }
+}
