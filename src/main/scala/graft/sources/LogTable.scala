@@ -115,6 +115,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
   /** Per-snapshot stats from manifest metadata ONLY (no data I/O). */
   def stats(version: Long = currentVersion): Snapshot = snapshot(version)
 
+  /** Snapshot-history metadata table (Iceberg's `snapshots` analog):
+    * one row per committed version, from manifest metadata only. */
+  def history(): DataFrame = {
+    val rows = versions.map(snapshot).map(s =>
+      (s.version, s.parent, s.operation, s.timestampMs,
+        s.files.size.toLong, s.totalRows, s.totalBytes))
+    import spark.implicits._
+    rows.toDF("version", "parent", "operation", "timestamp_ms",
+      "n_files", "total_rows", "total_bytes")
+  }
+
   /** Empty DataFrame with the table's schema (from any data file, or
     * truly empty when no commit exists yet). */
   private def emptyLike(): DataFrame = {

@@ -146,6 +146,18 @@ class LogTableSpec extends SparkSpec {
     assert(t.stats().files.forall(f => f.partitions("bucket") != "b2"))
   }
 
+  test("history lists every commit with manifest-derived stats") {
+    val t = freshTable()
+    t.append(df(0 until 10))
+    t.append(df(10 until 30))
+    t.compact()
+    val h = t.history().orderBy("version").collect()
+    assert(h.map(_.getString(2)).toSeq === Seq("append", "append", "compact"))
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(h.last.getLong(5) === 30L) // total_rows of the compacted snapshot
+    assert(h.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L)) // parent chain
+  }
+
   test("schema evolution: later appends may add columns; old rows read them as null") {
     import org.apache.spark.sql.functions.col
     val t = freshTable()
