@@ -121,6 +121,20 @@ object Analytics {
         Cols.asDouble(sum(Cols.money(col("l_quantity")))).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Exact interpolated median per group. Parity-safe vs the oracle
+    * ONLY because l_quantity is integer-valued: both engines compute
+    * lower + 0.5·(upper−lower) on exact-in-double integers. A
+    * 2-decimal column would drift a ulp between interpolation
+    * formulas. At 100 TB exact percentiles need a full sort per
+    * group — the approx_percentile sketch is the scale path; this is
+    * the exactness baseline for it. */
+  def qMedian(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(l_quantity, 0.5)").as("median_qty"))
+      .orderBy(col("l_returnflag"))
+
   /** GROUP BY CUBE: all 2ⁿ grouping-set combinations in one shuffle
     * (like rollup, grouping sets expand map-side). */
   def qCube(s: SparkSession, dir: String): DataFrame =
@@ -177,6 +191,7 @@ object Analytics {
     "q6_forecast" -> (q6Forecast _),
     "q_window_parts" -> (qWindowParts _),
     "q_rollup" -> (qRollup _),
+    "q_median" -> (qMedian _),
     "q_cube" -> (qCube _),
     "q_setops" -> (qSetops _),
     "q_exists" -> (qExists _),
@@ -243,6 +258,10 @@ object Analytics {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_median" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_cube" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
