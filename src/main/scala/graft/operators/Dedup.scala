@@ -34,12 +34,11 @@ object Dedup {
       .select(col("doc_id"), col("n_copies"))
       .orderBy(col("doc_id"))
 
-  /** Distinct word 5-grams per document (shingling). Split once into a
-    * `ws` column, then build each gram with slice+array_join — measured
-    * 4-8× cheaper than per-position element_at gram assembly. Input is
-    * spread first: shingling is CPU-bound and must use every core even
-    * when the corpus scans as a single small file. */
-  private def shingled(df: DataFrame, n: Int): DataFrame =
+  /** Built-in shingling REFERENCE formulation (slice+array_join per
+    * position): ShinglesExprSpec asserts the native WordShingles
+    * expression used by ngramJaccard matches its per-doc gram-set
+    * cardinalities and pairwise shared counts. */
+  private[graft] def shingled(df: DataFrame, n: Int): DataFrame =
     Tables.spread(df)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
@@ -62,9 +61,11 @@ object Dedup {
     * strings); only docs sharing a kept 5-gram are ever paired, and the
     * document-frequency cap kills hot-bucket pair explosions. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val e = shingled(docs(s, dir), 5)
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    // Native one-pass shingle hashing (no gram-string materialization);
+    // spread first — shingling is CPU-bound even off a single file.
+    val e = Tables.spread(docs(s, dir))
+      .select(col("doc_id"), explode(graft.functions.WordShingles
+        .wordShingles(split(col("text"), " "), 5)).as("gh"))
     val dfc = e.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
     // Inner join drops over-frequent grams; same gh key as the pair join
     // below, so this adds no extra shuffle of the big side.
