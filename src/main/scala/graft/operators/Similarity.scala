@@ -168,9 +168,103 @@ object Similarity {
       .limit(50)
   }
 
+  // ------------------------------------------------------------- IVF index
+
+  /** One-row broadcast column carrying the centroid table
+    * (cid, integer sum-vector, its self-norm). */
+  private def withCentroids(df: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val rows = cents.map { case (cid, cv) =>
+      (cid, cv, cv.map(x => x * x).sum) }
+    val sess = df.sparkSession
+    import sess.implicits._
+    df.crossJoin(broadcast(Seq(Tuple1(rows)).toDF("cents")))
+  }
+
+  /** Routing key to a centroid: sign(d)·d²/(|q|²|c|²) in DOUBLE — the
+    * centroid is an un-normalized integer SUM of member vectors, and
+    * cosine is scale-invariant, so ranking against the sum equals
+    * ranking against the mean with zero float accumulation (each term
+    * is an exact-long product; only the final division is IEEE). */
+  private def routeKey(qv: Column, nrm: Column, cent: Column): Column = {
+    val d = dot(qv, cent.getField("_2"))
+    when(d < 0, -1.0).otherwise(1.0) *
+      ((d.cast("double") * d.cast("double")) /
+        (nrm.cast("double") * cent.getField("_3").cast("double")))
+  }
+
+  /** `probes` best centroid ids for a vector, best-first. */
+  private def probeIds(qv: Column, nrm: Column, probes: Int): Column =
+    slice(transform(array_sort(transform(col("cents"),
+      c => struct((-routeKey(qv, nrm, c)).as("neg"), c.getField("_1").as("cid")))),
+      s => s.getField("cid")), 1, probes)
+
+  /** Lloyd's iterations with EXACT integer centroid sums: assignment
+    * ranks cosine-to-sum (deterministic — no float accumulation, so
+    * results never depend on partition order), update re-sums member
+    * vectors per cluster. k×dim longs travel to the driver per
+    * iteration — tiny at any corpus scale. */
+  private[graft] def trainCentroids(all: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Seq[Long])] = {
+    import all.sparkSession.implicits._
+    val n = all.count()
+    val stride = math.max(n / k, 1L)
+    var cents: Seq[(Int, Seq[Long])] = all
+      .filter(pmod(col("vec_id"), lit(stride)) === 0).orderBy(col("vec_id"))
+      .limit(k).select(col("qv")).as[Seq[Long]].collect()
+      .toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+    (0 until iters).foreach { _ =>
+      val assigned = withCentroids(all, cents)
+        .select(col("vec_id"), col("qv"),
+          element_at(probeIds(col("qv"), col("nrm"), 1), 1).as("cid"))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(sum(col("v")).as("s"))
+        .as[(Int, Int, Long)].collect()
+      cents = sums.groupBy(_._1).toSeq.map { case (cid, xs) =>
+        (cid, xs.sortBy(_._2).map(_._3).toSeq)
+      }.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** IVF approximate top-k — the cluster-routed ANN scale path: a
+    * coarse integer-exact quantizer routes each query to its `probes`
+    * nearest cells and ONLY those cells' vectors are ranked. At 100 TB
+    * the index is built once (cells are the partition key, k grows
+    * with √n) and each query touches probes/k of the data. Recall
+    * tracks how clustered the corpus is — near-perfect on clustered
+    * embeddings (see the planted spec), degrading toward probes/k on
+    * uniform data, which is the honest IVF tradeoff (LSH covers the
+    * uniform case). */
+  def annIvf(s: SparkSession, dir: String,
+      k: Int = 16, probes: Int = 4, iters: Int = 2): DataFrame = {
+    val all = quantized(s, dir)
+    val cents = trainCentroids(all, k, iters)
+    val assigned = withCentroids(all, cents)
+      .select(col("vec_id"), col("qv"), col("nrm"),
+        element_at(probeIds(col("qv"), col("nrm"), 1), 1).as("cid"))
+    val q = withCentroids(all.filter(col("vec_id") < 10), cents)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"),
+        explode(probeIds(col("qv"), col("nrm"), probes)).as("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("key").desc, col("n_id"))
+    assigned.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+      col("nrm").as("n_nrm"), col("cid"))
+      .join(broadcast(q), Seq("cid")).filter(col("n_id") =!= col("q_id"))
+      .withColumn("key", cosKey(dot(col("q_qv"), col("n_qv")),
+        col("q_nrm") * col("n_nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("n_id"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> ((s, dir) => annLsh(s, dir)),
+    "ann_ivf" -> ((s, dir) => annIvf(s, dir)),
     "dedup_embed" -> ((s, dir) => dedupEmbed(s, dir)),
   )
 

@@ -52,6 +52,36 @@ class SimilaritySpec extends SparkSpec {
     d
   }
 
+  /** Clustered corpus: 8 tight clusters of 12 vectors; queries 0-9
+    * live in clusters, so true neighbors share the query's cell. */
+  private lazy val clusteredDir: String = {
+    val d = Files.createTempDirectory("clustered_emb_").toString
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat * 3f))
+    val rows = (0L until 96L).map { id =>
+      val c = centers((id % 8).toInt)
+      id -> c.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+    }
+    rows.toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("ann_ivf: near-perfect recall on clustered embeddings") {
+    val exact = Similarity.annTopk(spark, clusteredDir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(spark, clusteredDir, k = 8, probes = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"ann_ivf clustered recall@5 = $recall%.3f")
+    assert(recall >= 0.9, s"IVF recall $recall on clustered data below 0.9")
+  }
+
+  test("ann_ivf: deterministic across invocations on the corpus") {
+    val r1 = Similarity.annIvf(spark, sfDir).collect().toSeq
+    val r2 = Similarity.annIvf(spark, sfDir).collect().toSeq
+    assert(r1.nonEmpty && r1 === r2)
+  }
+
   test("ann_lsh: a planted near-identical vector is found as the top neighbor") {
     val res = Similarity.annLsh(spark, plantedDir)
       .filter(col("q_id") === 0 && col("rnk") === 1)

@@ -185,4 +185,23 @@ class LogTableSpec extends SparkSpec {
     assert(t.read().count() === 200L)
     assert(t.read().distinct().count() === 200L)
   }
+
+  test("compact racing appends loses no rows (the classic lakehouse race)") {
+    val t = freshTable()
+    (0 until 4).foreach(i => t.append(df(i * 10 until (i + 1) * 10)))
+    val pool = Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // compaction rewrites the 4 small files while two appends land
+    val fCompact = Future(t.compact())
+    val fAppends = (0 until 2).map(i =>
+      Future(t.append(df(100 + i * 10 until 100 + (i + 1) * 10))))
+    Await.result(Future.sequence(fCompact +: fAppends), 120.seconds)
+    pool.shutdown()
+    // every row present exactly once, whatever the commit interleaving
+    assert(t.read().count() === 60L)
+    assert(t.read().distinct().count() === 60L)
+    assert(t.read().agg(Map("id" -> "max")).head().getInt(0) === 119)
+    // the compact commit replaced only the files it actually rewrote
+    assert(t.snapshot().files.nonEmpty)
+  }
 }
