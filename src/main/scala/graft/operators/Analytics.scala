@@ -135,6 +135,23 @@ object Analytics {
         expr("percentile(l_quantity, 0.5)").as("median_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Correlated-subquery shape: parts priced above their brand's
+    * average, decorrelated into one window pass. Exactness trick: the
+    * float-hazardous `price > sum/count` becomes the decimal-exact
+    * `price·count > sum`, so no division ever happens and both engines
+    * compare identical exact values. */
+  def qAboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+    t(s, dir, "part")
+      .select(col("p_brand"), Cols.money(col("p_retailprice")).as("price"))
+      .withColumn("brand_sum", sum(col("price")).over(w))
+      .withColumn("brand_n", count(lit(1)).over(w))
+      .groupBy(col("p_brand"))
+      .agg(count(when(col("price") * col("brand_n") > col("brand_sum"), 1))
+        .as("n_above"), count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+  }
+
   /** GROUP BY CUBE: all 2ⁿ grouping-set combinations in one shuffle
     * (like rollup, grouping sets expand map-side). */
   def qCube(s: SparkSession, dir: String): DataFrame =
@@ -192,6 +209,7 @@ object Analytics {
     "q_window_parts" -> (qWindowParts _),
     "q_rollup" -> (qRollup _),
     "q_median" -> (qMedian _),
+    "q_above_avg" -> (qAboveAvg _),
     "q_cube" -> (qCube _),
     "q_setops" -> (qSetops _),
     "q_exists" -> (qExists _),
@@ -262,6 +280,18 @@ object Analytics {
       """SELECT l_returnflag, count(*) AS n,
         |  quantile_cont(l_quantity, 0.5) AS median_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_above_avg" ->
+      """WITH p AS (
+        |  SELECT p_brand, CAST(p_retailprice AS DECIMAL(12,2)) AS price FROM part),
+        |w AS (
+        |  SELECT p_brand, price,
+        |    sum(price) OVER (PARTITION BY p_brand) AS brand_sum,
+        |    count(*) OVER (PARTITION BY p_brand) AS brand_n
+        |  FROM p)
+        |SELECT p_brand,
+        |  count(*) FILTER (WHERE price * brand_n > brand_sum) AS n_above,
+        |  count(*) AS n_parts
+        |FROM w GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_cube" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars

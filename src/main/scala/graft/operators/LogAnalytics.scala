@@ -171,8 +171,25 @@ object LogAnalytics {
       .orderBy(col("hour"))
   }
 
+  /** Traffic-spike detection: hours whose event count exceeds 2× the
+    * all-hours average. The comparison runs in the integer domain
+    * (n·n_hours > 2·total) — no division, no float, engine-exact. */
+  def logAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(s, dir)
+      .groupBy(timestamp_micros(
+        expr("(ts_us div 3600000000) * 3600000000")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    hourly
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("n_hours", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("n") * col("n_hours") > col("total") * 2)
+      .select(col("hour"), col("n"))
+      .orderBy(col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "log_asof" -> (logAsof _),
+    "log_anomaly" -> (logAnomaly _),
     "log_pivot" -> (logPivot _),
     "log_count" -> (logCount _),
     "log_recent" -> (logRecent _),
@@ -262,6 +279,16 @@ object LogAnalytics {
         |SELECT user_id, ts_us AS purchase_ts_us, prev_click_ts_us
         |FROM m WHERE event_type = 'purchase'
         |ORDER BY user_id, purchase_ts_us""".stripMargin,
+    "log_anomaly" ->
+      """WITH h AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT hour, n, sum(n) OVER () AS total, count(*) OVER () AS n_hours FROM h)
+        |SELECT hour, n FROM g
+        |WHERE n * n_hours > total * 2
+        |ORDER BY hour""".stripMargin,
     "log_pivot" ->
       """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,
