@@ -19,9 +19,11 @@ final case class DataFile(path: String, rows: Long, bytes: Long,
     partitions: Map[String, String] = Map.empty)
 
 /** One committed snapshot: the COMPLETE list of data files visible at
-  * `version`, plus commit metadata. */
+  * `version`, plus commit metadata. `tag` is an optional idempotence
+  * key (e.g. a streaming micro-batch id): a writer that re-delivers
+  * work can check the tag before re-committing it. */
 final case class Snapshot(version: Long, parent: Long, operation: String,
-    timestampMs: Long, files: Seq[DataFile]) {
+    timestampMs: Long, files: Seq[DataFile], tag: String = "") {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
 }
@@ -140,12 +142,26 @@ final class LogTable private (val spark: SparkSession, val root: String,
   // --------------------------------------------------------------- writes
 
   /** Atomically append `df` as one multi-file commit: write the data
-    * files first (invisible to readers), then commit {old ∪ new}. */
-  def append(df: DataFrame): Snapshot = {
+    * files first (invisible to readers), then commit {old ∪ new}.
+    * A non-empty `tag` makes the append IDEMPOTENT: if any committed
+    * snapshot already carries the tag, the re-delivered work is
+    * dropped — the exactly-once contract a streaming sink needs when
+    * a crash lands between commit and checkpoint advance. */
+  def append(df: DataFrame, tag: String = ""): Snapshot = {
+    if (tag.nonEmpty && hasTag(tag)) return snapshot()
     val newFiles = writeDataFiles(df)
     if (newFiles.isEmpty) snapshot()
-    else commit("append")(prev => prev.files ++ newFiles)
+    else commit("append", tag) { prev =>
+      // re-check under the commit retry loop: a concurrent duplicate
+      // deliverer may have won the race after our first check
+      if (tag.nonEmpty && hasTag(tag)) return snapshot()
+      prev.files ++ newFiles
+    }
   }
+
+  /** True iff some committed snapshot carries `tag`. */
+  def hasTag(tag: String): Boolean =
+    versions.exists(v => snapshot(v).tag == tag)
 
   /** Bin-pack data files smaller than `smallBytes` into ~`targetBytes`
     * output files and commit the replacing snapshot. Packing runs on
@@ -253,13 +269,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * from the CURRENT one, write the manifest to a temp name, and
     * atomically rename to v{next}. Rename collision = another writer
     * won that version → re-read state and retry on top of it. */
-  private def commit(operation: String)(nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
+  private def commit(operation: String, tag: String = "")(
+      nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
       attempts += 1
       val prev = snapshot()
       val next = Snapshot(prev.version + 1, prev.version, operation,
-        System.currentTimeMillis(), nextFiles(prev))
+        System.currentTimeMillis(), nextFiles(prev), tag)
       val tmp = logDir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
       Files.writeString(tmp, renderManifest(next))
       try {
@@ -319,6 +336,7 @@ object LogTable {
     node.put("parent", s.parent)
     node.put("operation", s.operation)
     node.put("timestampMs", s.timestampMs)
+    if (s.tag.nonEmpty) node.put("tag", s.tag)
     val arr: ArrayNode = node.putArray("files")
     s.files.foreach { f =>
       val fn = arr.addObject()
@@ -341,6 +359,7 @@ object LogTable {
         f.get("bytes").asLong(), parts)
     }.toSeq
     Snapshot(n.get("version").asLong(), n.get("parent").asLong(),
-      n.get("operation").asText(), n.get("timestampMs").asLong(), files)
+      n.get("operation").asText(), n.get("timestampMs").asLong(), files,
+      Option(n.get("tag")).map(_.asText()).getOrElse(""))
   }
 }

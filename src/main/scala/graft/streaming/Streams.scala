@@ -73,14 +73,17 @@ object Streams {
 
   /** The reference's flush→atomic-commit loop: every micro-batch
     * becomes ONE atomic multi-file LogTable commit. Readers of the
-    * table never see a partial batch. */
+    * table never see a partial batch, and commits are tagged with the
+    * micro-batch id so a crash between commit and checkpoint advance
+    * cannot double-ingest the batch on restart — exactly-once, not
+    * just at-least-once. */
   def streamIngest(stream: DataFrame, table: LogTable,
       checkpoint: String): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        table.append(batch); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.append(batch, tag = s"stream-batch-$batchId"); ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -80,6 +80,15 @@ class StreamsSpec extends SparkSpec {
     q2.awaitTermination(120000)
     assert(table.currentVersion === preVersion)
     assert(table.read().count() === expected)
+    // exactly-once under re-delivery: a crash after commit but before
+    // the checkpoint advances re-runs the same batchId — the tagged
+    // append must drop it instead of double-ingesting
+    val batch = Tables.events(spark, sfDir).limit(10)
+    val dupTag = table.snapshot().tag
+    assert(dupTag.startsWith("stream-batch-"), s"commit missing batch tag: '$dupTag'")
+    table.append(batch, tag = dupTag)
+    assert(table.currentVersion === preVersion, "re-delivered batch must not commit")
+    assert(table.read().count() === expected)
   }
 
   test("stream_window sliding: streamed 30m/15m windows equal the batch sliding query") {
