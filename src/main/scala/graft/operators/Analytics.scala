@@ -201,6 +201,14 @@ object Analytics {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** KLL/GK-sketch percentile (approx; rows-only + spec vs the exact
+    * q_median). The 100 TB answer to exact per-group sorts. */
+  def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_median"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
@@ -215,6 +223,7 @@ object Analytics {
     "q_exists" -> (qExists _),
     "q_distinct_users" -> (qDistinctUsers _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_approx_percentile" -> (qApproxPercentile _),
   )
 
   private val discPriceSql =

@@ -88,6 +88,14 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-static enrichment: join each streaming event to a static
+    * dimension snapshot. The dim side broadcasts per micro-batch —
+    * no stream-side state, the canonical enrichment shape (at 100 TB
+    * the stream shuffles nothing; each executor holds the dim). */
+  def streamEnrich(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Streaming exact dedup: drop rows whose key was already seen
     * within the watermark horizon — the ingest-time dedup stage of a
     * training-data pipeline. State is bounded BY the watermark (keys

@@ -31,6 +31,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r1.nonEmpty && r1 === r2)
   }
 
+  test("q_approx_percentile: sketch median within 5% of the exact median per group") {
+    val exact = Analytics.qMedian(spark, sfDir)
+      .select("l_returnflag", "median_qty").as[(String, Double)].collect().toMap
+    val approx = Analytics.qApproxPercentile(spark, sfDir)
+      .as[(String, Double)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, m) =>
+      val a = approx(flag)
+      assert(math.abs(a - m) / m <= 0.05, s"$flag: sketch $a vs exact $m")
+    }
+  }
+
   test("q_approx_distinct: HLL estimate within 5% of exact per event type") {
     val exact = Analytics.qDistinctUsers(spark, sfDir)
       .as[(String, Long)].collect().toMap

@@ -117,6 +117,21 @@ class StreamsSpec extends SparkSpec {
     assert(spark.table("sd").select("event_id").distinct().count() === expected)
   }
 
+  test("stream_enrich: stream-static broadcast join equals the batch join") {
+    val dim = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = Streams.streamEnrich(
+      eventsStream(), dim, "user_id", "c_custkey")
+      .groupBy(col("c_mktsegment")).count()
+    runToMemory(enriched, "se", "complete")
+    val streamed = spark.table("se").orderBy(col("c_mktsegment")).collect().toSeq
+    val batch = Tables.events(spark, sfDir)
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment")).count()
+      .orderBy(col("c_mktsegment")).collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("stream_sessions: stateful sessionization equals batch lag-window sessions") {
     import Streams.{SessionEvent, SessionSummary}
     val evs = Tables.events(spark, sfDir)
