@@ -29,8 +29,11 @@ object Similarity {
         x => round(x.cast("double") * 1000).cast("long")).as("qv"))
       .withColumn("nrm", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
 
+  /** Exact integer dot — native fused loop (graft.functions.LongDot);
+    * the HOF zip_with+aggregate reference formulation lives in
+    * LongDotSpec, which asserts bit-identity. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.LongDot.longDot(a, b)
 
   /** sign(d)·d²/P — exact-integer monotone proxy for cosine. */
   private def cosKey(d: Column, pp: Column): Column =
