@@ -185,7 +185,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (bit_count(col("a0").bitwiseXOR(col("b0"))) +
           bit_count(col("a1").bitwiseXOR(col("b1")))).as("hamming"))
-      .distinct()
+      .dropDuplicates("doc_a", "doc_b") // hamming is pair-determined
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(100)
   }

@@ -211,13 +211,20 @@ object Similarity {
       iters: Int): Seq[(Int, Seq[Long])] = {
     import all.sparkSession.implicits._
     val n = all.count()
-    val stride = math.max(n / k, 1L)
-    var cents: Seq[(Int, Seq[Long])] = all
-      .filter(pmod(col("vec_id"), lit(stride)) === 0).orderBy(col("vec_id"))
+    // Train on a deterministic stride sample (the standard coarse-
+    // quantizer practice): centroid quality needs only a representative
+    // sample, and training cost stops growing with the corpus.
+    val maxTrain = math.max(k * 64L, 1024L)
+    val sampleStride = math.max(n / maxTrain, 1L)
+    val train = all.filter(pmod(col("vec_id"), lit(sampleStride)) === 0)
+    val stride = math.max(math.min(n, maxTrain) / k, 1L)
+    var cents: Seq[(Int, Seq[Long])] = train
+      .filter(pmod(col("vec_id"), lit(stride * sampleStride)) === 0)
+      .orderBy(col("vec_id"))
       .limit(k).select(col("qv")).as[Seq[Long]].collect()
       .toSeq.zipWithIndex.map { case (v, i) => (i, v) }
     (0 until iters).foreach { _ =>
-      val assigned = withCentroids(all, cents)
+      val assigned = withCentroids(train, cents)
         .select(col("vec_id"), col("qv"),
           element_at(probeIds(col("qv"), col("nrm"), 1), 1).as("cid"))
       val sums = assigned
