@@ -174,6 +174,17 @@ object Analytics {
     clickOnly.crossJoin(both)
   }
 
+  /** Sorted string aggregation per group (LISTAGG): deterministic via
+    * array_sort before the join — collect_list order is partition-
+    * dependent, so the sort is what makes this engine-exact. */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region")
+      .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+
   /** EXISTS / NOT EXISTS: customers with vs. without a big order
     * (left-semi + left-anti joins; at scale the dim side broadcasts). */
   def qExists(s: SparkSession, dir: String): DataFrame = {
@@ -218,6 +229,7 @@ object Analytics {
     "q_rollup" -> (qRollup _),
     "q_median" -> (qMedian _),
     "q_above_avg" -> (qAboveAvg _),
+    "q_string_agg" -> (qStringAgg _),
     "q_cube" -> (qCube _),
     "q_setops" -> (qSetops _),
     "q_exists" -> (qExists _),
@@ -301,6 +313,12 @@ object Analytics {
         |  count(*) FILTER (WHERE price * brand_n > brand_sum) AS n_above,
         |  count(*) AS n_parts
         |FROM w GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_string_agg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_cube" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars

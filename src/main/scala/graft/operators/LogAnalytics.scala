@@ -187,9 +187,29 @@ object LogAnalytics {
       .orderBy(col("hour"))
   }
 
+  /** Dense hourly rollup: every hour between the corpus's min and max
+    * gets a row, zero-filled where no events landed — the gap-filling
+    * a dashboard needs. The hour spine is generated with sequence()
+    * from the (2-row) min/max aggregate, so the explode is O(hours),
+    * never O(events). */
+  def logHourlyDense(s: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(s, dir)
+      .groupBy(expr("(ts_us div 3600000000) * 3600000000").as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev(s, dir)
+      .agg(min(expr("(ts_us div 3600000000) * 3600000000")).as("lo"),
+        max(expr("(ts_us div 3600000000) * 3600000000")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600000000L))).as("hour_us"))
+    spine.join(hourly, Seq("hour_us"), "left")
+      .select(timestamp_micros(col("hour_us")).as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "log_asof" -> (logAsof _),
     "log_anomaly" -> (logAnomaly _),
+    "log_hourly_dense" -> (logHourlyDense _),
     "log_pivot" -> (logPivot _),
     "log_count" -> (logCount _),
     "log_recent" -> (logRecent _),
@@ -289,6 +309,16 @@ object LogAnalytics {
         |SELECT hour, n FROM g
         |WHERE n * n_hours > total * 2
         |ORDER BY hour""".stripMargin,
+    "log_hourly_dense" ->
+      """WITH h AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM h),
+        |s AS (
+        |  SELECT unnest(range(lo, hi + 1, 3600000000)) AS hour_us FROM b)
+        |SELECT make_timestamp(s.hour_us) AS hour, coalesce(h.n, 0) AS n
+        |FROM s LEFT JOIN h USING (hour_us) ORDER BY hour""".stripMargin,
     "log_pivot" ->
       """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

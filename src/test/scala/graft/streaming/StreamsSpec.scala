@@ -117,6 +117,20 @@ class StreamsSpec extends SparkSpec {
     assert(spark.table("sd").select("event_id").distinct().count() === expected)
   }
 
+  test("stream_ingest into a partitioned table: pruned reads see only their partition") {
+    val table = LogTable(spark,
+      Files.createTempDirectory("stream_ingest_part_").toString,
+      partitionBy = Seq("event_type"))
+    val q = Streams.streamIngest(eventsStream(), table,
+      Files.createTempDirectory("ckpt_ingest_part").toString)
+    q.awaitTermination(120000)
+    val expected = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").count()
+    val pruned = table.readWhere(_.get("event_type").contains("click"))
+    assert(pruned.count() === expected)
+    assert(table.snapshot().files.forall(_.partitions.contains("event_type")))
+  }
+
   test("stream_enrich: stream-static broadcast join equals the batch join") {
     val dim = Tables(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
