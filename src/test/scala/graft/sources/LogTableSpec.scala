@@ -146,6 +146,18 @@ class LogTableSpec extends SparkSpec {
     assert(t.stats().files.forall(f => f.partitions("bucket") != "b2"))
   }
 
+  test("readers never see uncommitted files: orphans in data/ are invisible") {
+    val t = freshTable()
+    t.append(df(0 until 10))
+    // simulate a crashed writer: a data file that no manifest references
+    val orphanSrc = t.snapshot().files.head.path
+    val orphan = Paths.get(orphanSrc).getParent.resolve("orphan-crashed-writer.parquet")
+    Files.copy(Paths.get(orphanSrc), orphan)
+    // a directory-listing reader would double-count; a manifest reader won't
+    assert(t.read().count() === 10L)
+    assert(Files.exists(orphan), "orphan must still be on disk — reads just ignore it")
+  }
+
   test("history lists every commit with manifest-derived stats") {
     val t = freshTable()
     t.append(df(0 until 10))
