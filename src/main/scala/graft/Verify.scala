@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -14,6 +15,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Wipe stale outputs first: a query that crashes THIS run must not
+    // pass the gate on a previous run's surviving directory.
+    val out = Paths.get(outDir)
+    if (Files.isDirectory(out)) {
+      val walk = Files.walk(out)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>

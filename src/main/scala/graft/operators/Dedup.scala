@@ -72,8 +72,10 @@ object Dedup {
     val kept = e.join(dfc.filter(col("gdf") <= MaxGramDf), Seq("gh"))
     // Per-doc kept-gram counts aggregate to ONE row per doc — joined
     // onto the (far smaller) aggregated pair list at the end instead of
-    // being window-carried through the pair explosion. Broadcast: the
-    // per-doc table is |docs| rows even at 100 TB gram volume.
+    // being window-carried through the pair explosion. No broadcast
+    // hint: at billions of docs the count table exceeds broadcast
+    // limits, so the join strategy is left to Spark/AQE (which still
+    // broadcasts it at small scale).
     val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val cand = kept.filter(col("gdf") >= 2) // df=1 grams can never pair
     val a = cand.select(col("doc_id").as("doc_a"), col("gh"))
@@ -81,8 +83,8 @@ object Dedup {
     a.join(b, Seq("gh")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
-      .join(broadcast(n.select(col("doc_id").as("doc_a"), col("n_grams").as("na"))), Seq("doc_a"))
-      .join(broadcast(n.select(col("doc_id").as("doc_b"), col("n_grams").as("nb"))), Seq("doc_b"))
+      .join(n.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), Seq("doc_b"))
       .withColumn("jacc",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jacc"))

@@ -117,6 +117,11 @@ object MultiModal {
         |  (octet_length(encode(text)) + 63) // 64 AS n_frames,
         |  CASE doc_id % 3 WHEN 0 THEN 'fake_png' WHEN 1 THEN 'fake_pcm' ELSE 'fake_h264' END AS codec
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // PARITY PRECONDITION: the oracle slices text by CHARACTERS
+    // (DuckDB has no blob substring) while the operator slices the
+    // payload by BYTES — equivalent only while the corpus is
+    // single-byte text. MultiModalSpec's "corpus is single-byte"
+    // test fails loudly if that ever stops holding.
     "mm_framesample" ->
       """WITH f AS (
         |  SELECT doc_id, text,

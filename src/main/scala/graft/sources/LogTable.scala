@@ -159,14 +159,42 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
-  /** True iff some committed snapshot carries `tag`. */
-  def hasTag(tag: String): Boolean =
-    versions.exists(v => snapshot(v).tag == tag)
+  /** True iff some committed snapshot carries `tag`. Manifests are
+    * immutable once committed, so per-version tags are cached — the
+    * scan cost is O(new manifests), not O(all) per call. NOTE:
+    * `expire` drops old manifests and their tags with them, so the
+    * idempotence horizon equals the snapshot-retention horizon
+    * (exactly as Iceberg's snapshot-id-based dedup). */
+  def hasTag(tag: String): Boolean = {
+    val vs = versions
+    vs.filterNot(tagCache.containsKey(_)).foreach(v => tagCache.put(v, snapshot(v).tag))
+    vs.exists(v => tagCache.getOrDefault(v, "") == tag)
+  }
+
+  private val tagCache = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+
+  /** Re-runs a compact/delete whose source files were concurrently
+    * rewritten by another committer (detected inside the commit
+    * closure): the operation re-plans from the fresh snapshot. Data
+    * files staged by the failed attempt are left orphaned — invisible
+    * to readers (manifest-scoped scans) and harmless. */
+  private def withStaleRetry(op: () => Snapshot): Snapshot = {
+    var attempts = 0
+    while (attempts < MaxCommitRetries) {
+      attempts += 1
+      try return op()
+      catch { case LogTable.StaleSourceFiles => /* re-plan from fresh state */ }
+    }
+    throw new IllegalStateException(s"operation lost the source-file race $MaxCommitRetries times at $root")
+  }
 
   /** Bin-pack data files smaller than `smallBytes` into ~`targetBytes`
     * output files and commit the replacing snapshot. Packing runs on
     * manifest stats only; only small files are rewritten. */
-  def compact(smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): Snapshot = {
+  def compact(smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): Snapshot =
+    withStaleRetry { () => compactOnce(smallBytes, targetBytes) }
+
+  private def compactOnce(smallBytes: Long, targetBytes: Long): Snapshot = {
     val snap = snapshot()
     val (small, big) = snap.files.partition(_.bytes < smallBytes)
     if (small.size < 2) return snap
@@ -182,9 +210,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
       writeDataFiles(readFiles(bin.toSeq).coalesce(1))
     }
     commit("compact") { prev =>
-      // Tolerate commits that landed since we read `snap`: replace only
-      // the small files we actually rewrote, keep everything else.
+      // Appends that landed since we read `snap` are kept untouched.
+      // But if one of OUR source files is no longer in the current
+      // snapshot (a concurrent delete/compact rewrote it), our
+      // rewritten copy would resurrect its stale contents — abort and
+      // re-plan from fresh state instead.
       val replaced = small.map(_.path).toSet
+      val prevPaths = prev.files.map(_.path).toSet
+      if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
       prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
     }
   }
@@ -195,7 +228,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * rewrite only those files without the matching rows, and commit a
     * replacing snapshot. Untouched files are never read twice; prior
     * snapshots still see the deleted rows (time travel). */
-  def delete(condition: org.apache.spark.sql.Column): Snapshot = {
+  def delete(condition: org.apache.spark.sql.Column): Snapshot =
+    withStaleRetry { () => deleteOnce(condition) }
+
+  private def deleteOnce(condition: org.apache.spark.sql.Column): Snapshot = {
     val snap = snapshot()
     if (snap.files.isEmpty) return snap
     val hit = readFiles(snap.files).filter(condition)
@@ -203,9 +239,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
       .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
     if (hit.isEmpty) return snap
     val affected = snap.files.filter(f => hit.contains(f.path))
-    val rewritten = writeDataFiles(readFiles(affected).filter(!condition))
+    // SQL DELETE semantics: remove ONLY condition=TRUE rows. A bare
+    // filter(!condition) would also drop rows where the predicate is
+    // NULL (three-valued logic), silently destroying them.
+    val keepRows = readFiles(affected).filter(
+      !org.apache.spark.sql.functions.coalesce(
+        condition, org.apache.spark.sql.functions.lit(false)))
+    val rewritten = writeDataFiles(keepRows)
     commit("delete") { prev =>
       val replaced = affected.map(_.path).toSet
+      val prevPaths = prev.files.map(_.path).toSet
+      if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
       prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
     }
   }
@@ -245,8 +289,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val w = df.write
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stage.toString)
-    val parts = Files.walk(stage).iterator().asScala
+    val walk1 = Files.walk(stage)
+    val parts = try walk1.iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      finally walk1.close()
     val moved = parts.map { p =>
       val rel = stage.relativize(p.getParent) // "" or k=v[/k2=v2...]
       val partVals = rel.toString.split("/").toSeq.filter(_.contains("="))
@@ -261,7 +307,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
       DataFile(dest.toString, parquetRowCount(dest), Files.size(dest), partVals)
     }
     // best-effort cleanup of the staging dir (_SUCCESS, .crc files)
-    Files.walk(stage).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val walk2 = Files.walk(stage)
+    try walk2.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk2.close()
     moved
   }
 
@@ -302,6 +350,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
 object LogTable {
   private val ManifestDir = "_graft_log"
   private val MaxCommitRetries = 20
+
+  /** Control-flow signal: a compact/delete source file vanished from
+    * the current snapshot mid-operation (concurrent rewrite). */
+  private case object StaleSourceFiles
+    extends Exception("stale source files", null, false, false)
   private val mapper = new ObjectMapper()
 
   /** Open (creating directories if needed) the table rooted at `root`.
@@ -322,12 +375,14 @@ object LogTable {
   /** (version, path) for every committed manifest, ascending. */
   private def listManifests(logDir: Path): Seq[(Long, Path)] = {
     if (!Files.isDirectory(logDir)) return Nil
-    Files.list(logDir).iterator().asScala.flatMap { p =>
+    val stream = Files.list(logDir)
+    try stream.iterator().asScala.flatMap { p =>
       p.getFileName.toString match {
         case ManifestRe(v) => Some((v.toLong, p))
         case _ => None
       }
     }.toSeq.sortBy(_._1)
+    finally stream.close()
   }
 
   private def renderManifest(s: Snapshot): String = {

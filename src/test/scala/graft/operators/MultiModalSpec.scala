@@ -56,6 +56,17 @@ class MultiModalSpec extends SparkSpec {
     assert(bad === 0L, s"$bad documents failed frame reassembly")
   }
 
+  test("corpus is single-byte text (the mm_framesample oracle's parity precondition)") {
+    // The oracle slices characters, the operator slices bytes; they
+    // agree only while every document is single-byte. If the corpus
+    // gains multi-byte text this must fail HERE, not as a confusing
+    // oracle hash mismatch.
+    val multibyte = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(multibyte === 0L,
+      s"$multibyte documents contain multi-byte chars; byte-vs-char frame parity breaks")
+  }
+
   test("mm encode/features are narrow plans: no hash shuffle anywhere") {
     // Tables.spread's round-robin repartition (local small-file widening,
     // a no-op at scale) and the presentation sort's range partition are

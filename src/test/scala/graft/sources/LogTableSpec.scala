@@ -109,6 +109,36 @@ class LogTableSpec extends SparkSpec {
     assert(t.currentVersion === v)
   }
 
+  test("delete removes ONLY condition=TRUE rows; null-predicate rows survive") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    t.append(Seq((1L, Some(50.0)), (2L, None), (3L, Some(200.0)))
+      .toDF("id", "value"))
+    t.delete(col("value") > 100.0) // NULL for id=2 — must NOT be deleted
+    val left = t.read().select("id").as[Long].collect().sorted.toSeq
+    assert(left === Seq(1L, 2L), s"null-predicate row must survive, got $left")
+  }
+
+  test("delete racing compact never resurrects deleted rows or duplicates survivors") {
+    import org.apache.spark.sql.functions.col
+    (0 until 3).foreach { _ =>
+      val t = freshTable()
+      (0 until 4).foreach(i => t.append(df(i * 10 until (i + 1) * 10)))
+      val pool = Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val ops = Seq(
+        Future(t.compact()),
+        Future(t.delete(col("id") >= 30)))
+      Await.result(Future.sequence(ops), 120.seconds)
+      pool.shutdown()
+      // whatever the interleaving: deleted rows stay dead, others unique
+      assert(t.read().filter(col("id") >= 30).count() === 0L,
+        "compact must not resurrect concurrently deleted rows")
+      assert(t.read().count() === 30L)
+      assert(t.read().distinct().count() === 30L)
+    }
+  }
+
   test("rollback restores a prior snapshot as a new commit") {
     val t = freshTable()
     t.append(df(0 until 10))
