@@ -43,6 +43,17 @@ object Tables {
     apply(spark, dir, "events")
       .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
       .drop("ts")
+
+  /** Register every corpus table as a temp view so users can work in
+    * plain `spark.sql(...)` — the SQL surface a Trino user of the
+    * reference expects. `events` is registered with the exact `ts_us`
+    * column. Views are metadata only: queries against them get the
+    * same pushdown/pruning as the DataFrame loaders. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    all.filterNot(_ == "events")
+      .foreach(t => apply(spark, dir, t).createOrReplaceTempView(t))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
 }
 
 /** Column helpers shared by all operators.
