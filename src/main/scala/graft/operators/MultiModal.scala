@@ -85,6 +85,50 @@ object MultiModal {
       .orderBy(col("doc_id"))
   }
 
+  /** The BATCHED-inference variant of mmFeatures: mapPartitions groups
+    * rows into fixed-size batches and calls the "model" once per batch
+    * — the exact plumbing (iterator → batch → vectorized call →
+    * flatten) a real embedding model or image decoder needs on an
+    * executor, with the deterministic fake standing in for the model.
+    * Produces byte-identical features to the expression path
+    * (MultiModalSpec), so swapping in a real model changes ONE
+    * function. `mapPartitions` is last-resort per the custom-operator
+    * ladder — used here precisely because batched native inference is
+    * the one shape Catalyst expressions cannot express. */
+  def mmFeaturesBatched(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    mmTable(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // one call per BATCH: this is where model.predict(batch) goes
+          val vectors = fakeModelBatch(batch.map(_._2))
+          batch.map(_._1).zip(vectors)
+        }
+      }
+      .toDF("doc_id", "features")
+      .withColumn("n_dims", size(col("features")).cast("long"))
+      .select(col("doc_id"), col("n_dims"), col("features"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic fake "model": same math as the mmFeatures
+    * expression path (SQL substr + single-arg xxhash64 + pmod), so the
+    * two formulations are asserted byte-identical. */
+  private def fakeModelBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
+    payloads.map { bytes =>
+      val stride = math.max((bytes.length + FeatureDims - 1) / FeatureDims, 1)
+      Array.tabulate(FeatureDims) { i =>
+        val from = math.min(i.toLong * stride, bytes.length.toLong).toInt
+        val until = math.min(from + stride, bytes.length)
+        val slice = java.util.Arrays.copyOfRange(bytes, from, until)
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(slice, org.apache.spark.sql.types.BinaryType, 42L)
+        val p = 1000000007L
+        (((h % p) + p) % p).toDouble / 1e9
+      }
+    }
+
   /** Frame/chunk sampling: explode every `every`-th 64-byte frame of
     * each payload. The per-frame kernel here (length + UTF-8 decode)
     * is where a real pipeline would run its per-frame model. */

@@ -43,6 +43,13 @@ class MultiModalSpec extends SparkSpec {
     assert(distinctVecs > f.count() / 2, "features should separate distinct payloads")
   }
 
+  test("mm_features: batched mapPartitions path is byte-identical to the expression path") {
+    val expr = MultiModal.mmFeatures(spark, sfDir).collect().toSeq
+    val batched = MultiModal.mmFeaturesBatched(spark, sfDir, batchSize = 7).collect().toSeq
+    assert(batched.nonEmpty && batched === expr,
+      "swapping the fake model for a real one must be the ONLY difference")
+  }
+
   test("mm_framesample: every=1 frames reassemble the exact payload") {
     // collect_list order is not guaranteed — sort the (idx, text) pairs.
     val reassembled = MultiModal.frameSample(spark, sfDir, every = 1)
