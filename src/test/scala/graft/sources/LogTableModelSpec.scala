@@ -16,9 +16,10 @@ import scala.util.Random
 class LogTableModelSpec extends SparkSpec {
   import spark.implicits._
 
-  private def runWalk(seed: Int, steps: Int): Unit = {
+  private def runWalk(seed: Int, steps: Int, partitioned: Boolean = false): Unit = {
     val rnd = new Random(seed)
-    val t = LogTable(spark, Files.createTempDirectory(s"model_$seed").toString)
+    val t = LogTable(spark, Files.createTempDirectory(s"model_$seed").toString,
+      partitionBy = if (partitioned) Seq("bucket") else Nil)
     // model: committed versions in order, each with its visible row set
     var model = Vector[(Long, Set[Long])]((0L, Set.empty))
     var nextId = 0L
@@ -36,7 +37,9 @@ class LogTableModelSpec extends SparkSpec {
           val n = 1 + rnd.nextInt(20)
           val ids = (nextId until nextId + n)
           nextId += n
-          val s = t.append(ids.toDF("id"))
+          val s = t.append(
+            if (partitioned) ids.map(i => (i, s"b${i % 3}")).toDF("id", "bucket")
+            else ids.toDF("id"))
           record(s.version, current ++ ids)
         case 4 | 5 => // delete a random id range
           if (current.nonEmpty) {
@@ -75,7 +78,11 @@ class LogTableModelSpec extends SparkSpec {
     }
   }
 
-  test("random op walks match the in-memory model (3 seeds × 25 steps)") {
-    Seq(7, 42, 1234).foreach(runWalk(_, 25))
+  test("random op walks match the in-memory model (3 seeds × 30 steps)") {
+    Seq(7, 42, 1234).foreach(runWalk(_, 30))
+  }
+
+  test("the same walks hold on a PARTITIONED table (partitioning × delete/compact/rollback)") {
+    Seq(11, 99).foreach(runWalk(_, 30, partitioned = true))
   }
 }
