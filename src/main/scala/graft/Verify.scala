@@ -1,7 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -17,12 +16,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // Wipe stale outputs first: a query that crashes THIS run must not
     // pass the gate on a previous run's surviving directory.
-    val out = Paths.get(outDir)
-    if (Files.isDirectory(out)) {
-      val walk = Files.walk(out)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally walk.close()
-    }
+    graft.sources.LogTable.deleteRecursively(Paths.get(outDir))
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>

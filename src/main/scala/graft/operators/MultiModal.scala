@@ -96,6 +96,7 @@ object MultiModal {
     * ladder — used here precisely because batched native inference is
     * the one shape Catalyst expressions cannot express. */
   def mmFeaturesBatched(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
     import s.implicits._
     mmTable(s, dir).select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]

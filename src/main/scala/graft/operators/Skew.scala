@@ -27,6 +27,8 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs already have a _salt column; rename it before saltedJoin")
     val bigCols: Seq[Column] = big.columns.map(col).toSeq
     val b = big.withColumn("_salt", pmod(xxhash64(bigCols: _*), lit(salts.toLong)))
     val s = small.withColumn("_salt",

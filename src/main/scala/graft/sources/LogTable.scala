@@ -168,16 +168,32 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def hasTag(tag: String): Boolean = {
     val vs = versions
     vs.filterNot(tagCache.containsKey(_)).foreach(v => tagCache.put(v, snapshot(v).tag))
+    // evict expired versions so a long-lived ingest's cache stays
+    // bounded by LIVE snapshots, not total commits ever made
+    val vset = vs.toSet
+    tagCache.keySet.removeIf(v => !vset.contains(v))
     vs.exists(v => tagCache.getOrDefault(v, "") == tag)
   }
 
   private val tagCache = new java.util.concurrent.ConcurrentHashMap[Long, String]()
 
+  /** commit(), but when the closure aborts with StaleSourceFiles the
+    * already-written (never-referenced) rewrite files are deleted
+    * before the retry re-plans — no orphan growth under contention. */
+  private def commitOrCleanup(rewritten: Seq[DataFile], operation: String)(
+      nextFiles: Snapshot => Seq[DataFile]): Snapshot =
+    try commit(operation)(nextFiles)
+    catch {
+      case e @ LogTable.StaleSourceFiles =>
+        rewritten.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+        throw e
+    }
+
   /** Re-runs a compact/delete whose source files were concurrently
     * rewritten by another committer (detected inside the commit
-    * closure): the operation re-plans from the fresh snapshot. Data
-    * files staged by the failed attempt are left orphaned — invisible
-    * to readers (manifest-scoped scans) and harmless. */
+    * closure): the operation re-plans from the fresh snapshot (the
+    * failed attempt's rewrite files are already cleaned up by
+    * commitOrCleanup). */
   private def withStaleRetry(op: () => Snapshot): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
@@ -209,7 +225,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val rewritten = bins.toSeq.flatMap { bin =>
       writeDataFiles(readFiles(bin.toSeq).coalesce(1))
     }
-    commit("compact") { prev =>
+    commitOrCleanup(rewritten, "compact") { prev =>
       // Appends that landed since we read `snap` are kept untouched.
       // But if one of OUR source files is no longer in the current
       // snapshot (a concurrent delete/compact rewrote it), our
@@ -246,7 +262,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       !org.apache.spark.sql.functions.coalesce(
         condition, org.apache.spark.sql.functions.lit(false)))
     val rewritten = writeDataFiles(keepRows)
-    commit("delete") { prev =>
+    commitOrCleanup(rewritten, "delete") { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
@@ -266,13 +282,24 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def expire(keepLast: Int = 1): Snapshot = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val all = listManifests(logDir)
-    val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    val (drop, _) = all.splitAt(math.max(0, all.size - keepLast))
     if (drop.nonEmpty) {
-      val live = keep.flatMap(m => readManifest(m._2).files.map(_.path)).toSet
-      val dead = drop.flatMap(m => readManifest(m._2).files.map(_.path))
+      val dropped = drop.map(m => readManifest(m._2))
+      // Drop the manifests FIRST: a rollback targeting an expired
+      // version now fails loudly (missing manifest) instead of
+      // resurrecting files we are about to delete.
+      drop.foreach(m => Files.deleteIfExists(m._2))
+      // Re-list AFTER the drop so commits that landed concurrently
+      // (e.g. a rollback that read its source manifest in time) pin
+      // their files as live. A commit landing between this re-list
+      // and the deletes below is the residual TOCTOU a plain FS
+      // cannot close — a real catalog serializes expire-vs-commit;
+      // run expire from the maintenance role, as with Iceberg.
+      val live = listManifests(logDir)
+        .flatMap(m => readManifest(m._2).files.map(_.path)).toSet
+      val dead = dropped.flatMap(_.files.map(_.path))
         .distinct.filterNot(live.contains)
       dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
-      drop.foreach(m => Files.deleteIfExists(m._2))
     }
     snapshot()
   }
@@ -298,7 +325,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val partVals = rel.toString.split("/").toSeq.filter(_.contains("="))
         .map { seg =>
           val Array(k, v) = seg.split("=", 2)
-          k -> java.net.URLDecoder.decode(v, "UTF-8")
+          // Spark escapes partition dirs with its OWN escaping (%XX for
+          // specials, '+' left intact) — URLDecoder would turn a
+          // legitimate '+' into a space and poison manifest pruning.
+          k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
         }.toMap
       val destDir = dataDir.resolve(rel)
       Files.createDirectories(destDir)
@@ -307,9 +337,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       DataFile(dest.toString, parquetRowCount(dest), Files.size(dest), partVals)
     }
     // best-effort cleanup of the staging dir (_SUCCESS, .crc files)
-    val walk2 = Files.walk(stage)
-    try walk2.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    finally walk2.close()
+    LogTable.deleteRecursively(stage)
     moved
   }
 
@@ -350,6 +378,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
 object LogTable {
   private val ManifestDir = "_graft_log"
   private val MaxCommitRetries = 20
+
+  /** Depth-first recursive delete with the walk stream closed —
+    * shared by staging cleanup and Verify's stale-output wipe. */
+  private[graft] def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val walk = Files.walk(p)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
 
   /** Control-flow signal: a compact/delete source file vanished from
     * the current snapshot mid-operation (concurrent rewrite). */

@@ -176,6 +176,24 @@ class LogTableSpec extends SparkSpec {
     assert(t.stats().files.forall(f => f.partitions("bucket") != "b2"))
   }
 
+  test("partition values with special characters round-trip through the manifest") {
+    import org.apache.spark.sql.functions.col
+    val t = LogTable(spark,
+      Files.createTempDirectory("logtable_escape_").toString,
+      partitionBy = Seq("k"))
+    // '+' survives Spark's dir escaping verbatim; ':' and space get %XX
+    val values = Seq("a+b", "with space", "colon:sep")
+    t.append(values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "k"))
+    assert(t.stats().files.map(_.partitions("k")).toSet === values.toSet,
+      "manifest partition values must equal the written column values")
+    values.foreach { v =>
+      val hit = t.readWhere(_.get("k").contains(v))
+      assert(hit.count() === 1L, s"pruned read for '$v' found nothing")
+      assert(hit.select("k").head().getString(0) === v,
+        s"reconstructed partition column diverged for '$v'")
+    }
+  }
+
   test("readers never see uncommitted files: orphans in data/ are invisible") {
     val t = freshTable()
     t.append(df(0 until 10))
