@@ -174,6 +174,37 @@ object Analytics {
     clickOnly.crossJoin(both)
   }
 
+  /** FULL OUTER join: customers × their order stats, keeping both
+    * customers with no orders AND orders with no (null-joined)
+    * customer side visible — the reconciliation-report join shape. */
+  def qOuter(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("n_orders").isNull, 1)).as("n_orderless"),
+        sum(coalesce(col("n_orders"), lit(0L))).cast("long").as("total_orders"))
+      .orderBy(asc_nulls_first("c_mktsegment"))
+  }
+
+  /** NTILE quartiles over order totals (deterministic: total order by
+    * (price, key) breaks 2-decimal ties identically in any engine);
+    * per-quartile row counts and decimal-exact sums. */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), Cols.money(col("o_totalprice")).as("p"))
+      .withColumn("quartile", ntile(4).over(
+        Window.orderBy(col("p"), col("o_orderkey"))))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(col("p"))).as("total_price"))
+      .orderBy(col("quartile"))
+  }
+
   /** Sorted string aggregation per group (LISTAGG): deterministic via
     * array_sort before the join — collect_list order is partition-
     * dependent, so the sort is what makes this engine-exact. */
@@ -230,6 +261,8 @@ object Analytics {
     "q_median" -> (qMedian _),
     "q_above_avg" -> (qAboveAvg _),
     "q_string_agg" -> (qStringAgg _),
+    "q_outer" -> (qOuter _),
+    "q_ntile" -> (qNtile _),
     "q_cube" -> (qCube _),
     "q_setops" -> (qSetops _),
     "q_exists" -> (qExists _),
@@ -313,6 +346,22 @@ object Analytics {
         |  count(*) FILTER (WHERE price * brand_n > brand_sum) AS n_above,
         |  count(*) AS n_parts
         |FROM w GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_outer" ->
+      """WITH po AS (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT c_mktsegment, count(*) AS n_rows,
+        |  count(*) FILTER (WHERE n_orders IS NULL) AS n_orderless,
+        |  CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS total_orders
+        |FROM customer FULL OUTER JOIN po ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+    "q_ntile" ->
+      """WITH q AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+        |    ntile(4) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey) AS quartile
+        |  FROM orders)
+        |SELECT quartile, count(*) AS n,
+        |  CAST(sum(p) AS DOUBLE) AS total_price
+        |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin,
     "q_string_agg" ->
       """SELECT r_name,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations,

@@ -206,10 +206,26 @@ object LogAnalytics {
       .orderBy(col("hour"))
   }
 
+  /** 24-hour moving SUM of hourly event counts (rows-frame window).
+    * Integer-only — a moving AVERAGE would divide; the sum form keeps
+    * every cell engine-exact. The unpartitioned window runs over the
+    * HOURLY ROLLUP (≈10⁴ rows even for years of 100 TB logs), never
+    * the raw events, so the single-partition sort is trivial. */
+  def logMovingSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("hour_us")).rowsBetween(-23, Window.currentRow)
+    ev(s, dir)
+      .groupBy(expr("(ts_us div 3600000000) * 3600000000").as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_24h", sum(col("n")).over(w))
+      .select(timestamp_micros(col("hour_us")).as("hour"), col("n"), col("n_24h"))
+      .orderBy(col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "log_asof" -> (logAsof _),
     "log_anomaly" -> (logAnomaly _),
     "log_hourly_dense" -> (logHourlyDense _),
+    "log_moving_sum" -> (logMovingSum _),
     "log_pivot" -> (logPivot _),
     "log_count" -> (logCount _),
     "log_recent" -> (logRecent _),
@@ -319,6 +335,13 @@ object LogAnalytics {
         |  SELECT unnest(range(lo, hi + 1, 3600000000)) AS hour_us FROM b)
         |SELECT make_timestamp(s.hour_us) AS hour, coalesce(h.n, 0) AS n
         |FROM s LEFT JOIN h USING (hour_us) ORDER BY hour""".stripMargin,
+    "log_moving_sum" ->
+      """WITH h AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT make_timestamp(hour_us) AS hour, n,
+        |  sum(n) OVER (ORDER BY hour_us ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS n_24h
+        |FROM h ORDER BY hour""".stripMargin,
     "log_pivot" ->
       """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,
