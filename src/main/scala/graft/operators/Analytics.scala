@@ -243,6 +243,23 @@ object Analytics {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** Consistent per-group sampling via the BottomK typed Aggregator:
+    * the 5 events of each type with the smallest xxhash64(event_id) —
+    * deterministic under any partitioning, k values per group on the
+    * shuffle, no per-group sort (rows-only + BottomKSpec asserts
+    * equality with the window formulation). */
+  def qSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = t(s, dir, "events")
+      .select(col("event_type"), xxhash64(col("event_id")).as("h"), col("event_id"))
+      .as[(String, Long, Long)]
+    ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.functions.BottomK(5).toColumn.name("sample"))
+      .toDF("event_type", "sample")
+      .orderBy(col("event_type"))
+  }
+
   /** KLL/GK-sketch percentile (approx; rows-only + spec vs the exact
     * q_median). The 100 TB answer to exact per-group sorts. */
   def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
@@ -269,6 +286,7 @@ object Analytics {
     "q_distinct_users" -> (qDistinctUsers _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_approx_percentile" -> (qApproxPercentile _),
+    "q_sample" -> (qSample _),
   )
 
   private val discPriceSql =
