@@ -193,15 +193,38 @@ object Analytics {
 
   /** NTILE quartiles over order totals (deterministic: total order by
     * (price, key) breaks 2-decimal ties identically in any engine);
-    * per-quartile row counts and decimal-exact sums. */
+    * per-quartile row counts and exact sums.
+    *
+    * NOT a window: `ntile().over(orderBy(...))` with no partition key
+    * moves the whole fact table into ONE partition for the sort. This
+    * uses the scalable total-order pattern instead — a distributed
+    * range-partitioned sort, then global indices from per-partition
+    * offsets (zipWithIndex), then the ntile bucket formula applied to
+    * the index. Money is carried as exact integer cents; only the
+    * final sum is converted (one correctly-rounded step, matching the
+    * oracle's decimal→double cast). */
   def qNtile(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders")
-      .select(col("o_orderkey"), Cols.money(col("o_totalprice")).as("p"))
-      .withColumn("quartile", ntile(4).over(
-        Window.orderBy(col("p"), col("o_orderkey"))))
+    import s.implicits._
+    val base = t(s, dir, "orders")
+      .select((Cols.money(col("o_totalprice")) * 100).cast("long").as("cents"),
+        col("o_orderkey").as("key"))
+    val sorted = base.orderBy(col("cents"), col("key")).select(col("cents")).as[Long]
+    val k = 4L
+    val n = sorted.count()
+    val ceilSz = (n + k - 1) / k
+    val floorSz = n / k
+    val nBig = n % k // first n%k buckets take ceil(n/k) rows (SQL ntile)
+    sorted.rdd.zipWithIndex()
+      .map { case (cents, idx) =>
+        val q = if (idx < nBig * ceilSz) idx / ceilSz
+                else nBig + (idx - nBig * ceilSz) / floorSz
+        (q + 1, cents)
+      }
+      .toDF("quartile", "cents")
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"),
-        Cols.asDouble(sum(col("p"))).as("total_price"))
+        (sum(col("cents")).cast(org.apache.spark.sql.types.DecimalType(20, 0)) / 100)
+          .cast("double").as("total_price"))
       .orderBy(col("quartile"))
   }
 

@@ -206,13 +206,16 @@ object LogAnalytics {
       .orderBy(col("hour"))
   }
 
-  /** 24-hour moving SUM of hourly event counts (rows-frame window).
-    * Integer-only — a moving AVERAGE would divide; the sum form keeps
-    * every cell engine-exact. The unpartitioned window runs over the
-    * HOURLY ROLLUP (≈10⁴ rows even for years of 100 TB logs), never
-    * the raw events, so the single-partition sort is trivial. */
+  /** 24-hour moving SUM of hourly event counts. The frame is a time
+    * RANGE on the integer hour key, not 24 ROWS — a rows frame over
+    * the sparse rollup would silently span more than 24 wall-clock
+    * hours across idle gaps. Integer-only (a moving AVERAGE would
+    * divide). The unpartitioned window runs over the HOURLY ROLLUP
+    * (≈10⁴ rows even for years of 100 TB logs), never the raw events,
+    * so the single-partition sort is trivial. */
   def logMovingSum(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("hour_us")).rowsBetween(-23, Window.currentRow)
+    val w = Window.orderBy(col("hour_us"))
+      .rangeBetween(-23L * 3600000000L, Window.currentRow)
     ev(s, dir)
       .groupBy(expr("(ts_us div 3600000000) * 3600000000").as("hour_us"))
       .agg(count(lit(1)).as("n"))
@@ -340,7 +343,8 @@ object LogAnalytics {
         |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, count(*) AS n
         |  FROM events GROUP BY 1)
         |SELECT make_timestamp(hour_us) AS hour, n,
-        |  sum(n) OVER (ORDER BY hour_us ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS n_24h
+        |  sum(n) OVER (ORDER BY hour_us
+        |    RANGE BETWEEN 82800000000 PRECEDING AND CURRENT ROW) AS n_24h
         |FROM h ORDER BY hour""".stripMargin,
     "log_pivot" ->
       """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,
