@@ -49,9 +49,16 @@ object Formats {
     summarize(s.read.schema(eventsSchema).option("header", "true").csv(tmp))
   }
 
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_orc_").toString
+    shaped(s, dir).write.mode("overwrite").orc(tmp)
+    summarize(s.read.schema(eventsSchema).orc(tmp))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_json" -> (jsonRoundtrip _),
     "source_csv" -> (csvRoundtrip _),
+    "source_orc" -> (orcRoundtrip _),
   )
 
   private val summarySql =
@@ -63,5 +70,6 @@ object Formats {
   val oracles: Map[String, String] = Map(
     "source_json" -> summarySql,
     "source_csv" -> summarySql,
+    "source_orc" -> summarySql,
   )
 }
