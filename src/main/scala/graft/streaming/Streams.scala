@@ -79,11 +79,26 @@ object Streams {
     * just at-least-once. */
   def streamIngest(stream: DataFrame, table: LogTable,
       checkpoint: String): StreamingQuery =
+    streamIngestWithMaintenance(stream, table, checkpoint, compactEvery = 0)
+
+  /** streamIngest plus the reference's periodic-maintenance loop:
+    * every `compactEvery` batches the ingest also bin-packs the small
+    * files it has been producing (reference run.sh runs compaction on
+    * a cadence alongside continuous ingest). Maintenance inside the
+    * same foreachBatch serializes compaction with this writer's
+    * appends; concurrent writers are still safe via the stale-retry
+    * commit protocol. 0 disables maintenance. */
+  def streamIngestWithMaintenance(stream: DataFrame, table: LogTable,
+      checkpoint: String, compactEvery: Int): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        table.append(batch, tag = s"stream-batch-$batchId"); ()
+        table.append(batch, tag = s"stream-batch-$batchId")
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          table.compact()
+        }
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

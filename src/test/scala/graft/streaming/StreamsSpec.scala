@@ -117,6 +117,26 @@ class StreamsSpec extends SparkSpec {
     assert(spark.table("sd").select("event_id").distinct().count() === expected)
   }
 
+  test("stream ingest with periodic maintenance: compaction bounds files, loses nothing") {
+    // split events across several files so AvailableNow makes multiple batches
+    val src = Files.createTempDirectory("events_multi_src")
+    val parts = 4
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+      .repartition(parts).write.parquet(src.toString + "/data")
+    val stream = shape(spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString + "/data"))
+    val table = LogTable(spark, Files.createTempDirectory("ingest_maint_").toString)
+    val q = Streams.streamIngestWithMaintenance(stream, table,
+      Files.createTempDirectory("ckpt_maint").toString, compactEvery = 2)
+    q.awaitTermination(180000)
+    assert(table.read().count() === Tables.events(spark, sfDir).count())
+    assert(table.read().distinct().count() === table.read().count())
+    // maintenance actually ran: the history shows compact commits
+    val ops = table.history().select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.contains("compact"), s"expected compact commits in $ops")
+  }
+
   test("stream_ingest into a partitioned table: pruned reads see only their partition") {
     val table = LogTable(spark,
       Files.createTempDirectory("stream_ingest_part_").toString,
