@@ -248,7 +248,7 @@ object Similarity {
     * uniform data, which is the honest IVF tradeoff (LSH covers the
     * uniform case). */
   def annIvf(s: SparkSession, dir: String,
-      k: Int = 16, probes: Int = 4, iters: Int = 2): DataFrame = {
+      k: Int = 16, probes: Int = 4, iters: Int = 1): DataFrame = {
     val all = quantized(s, dir)
     val cents = trainCentroids(all, k, iters)
     val assigned = withCentroids(all, cents)
