@@ -208,13 +208,16 @@ object Analytics {
     val base = t(s, dir, "orders")
       .select((Cols.money(col("o_totalprice")) * 100).cast("long").as("cents"),
         col("o_orderkey").as("key"))
+    // persist: count, zipWithIndex's internal size job, and the final
+    // aggregation would otherwise each recompute the full sort
     val sorted = base.orderBy(col("cents"), col("key")).select(col("cents")).as[Long]
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = 4L
     val n = sorted.count()
     val ceilSz = (n + k - 1) / k
     val floorSz = n / k
     val nBig = n % k // first n%k buckets take ceil(n/k) rows (SQL ntile)
-    sorted.rdd.zipWithIndex()
+    sorted.zipWithIndex()
       .map { case (cents, idx) =>
         val q = if (idx < nBig * ceilSz) idx / ceilSz
                 else nBig + (idx - nBig * ceilSz) / floorSz

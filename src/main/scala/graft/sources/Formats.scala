@@ -37,23 +37,23 @@ object Formats {
       col("event_id"), col("user_id"), col("event_type"),
       col("value"), col("ts_us"))
 
-  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_json_").toString
-    shaped(s, dir).write.mode("overwrite").json(tmp)
-    summarize(s.read.schema(eventsSchema).json(tmp))
+  /** One round-trip for any DataSource format: write temp, read back
+    * with the explicit schema, summarize. */
+  private def roundtrip(s: SparkSession, dir: String, fmt: String,
+      opts: Map[String, String] = Map.empty): DataFrame = {
+    val tmp = Files.createTempDirectory(s"graft_$fmt" + "_").toString
+    shaped(s, dir).write.mode("overwrite").options(opts).format(fmt).save(tmp)
+    summarize(s.read.schema(eventsSchema).options(opts).format(fmt).load(tmp))
   }
 
-  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_csv_").toString
-    shaped(s, dir).write.mode("overwrite").option("header", "true").csv(tmp)
-    summarize(s.read.schema(eventsSchema).option("header", "true").csv(tmp))
-  }
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, "json")
 
-  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_orc_").toString
-    shaped(s, dir).write.mode("overwrite").orc(tmp)
-    summarize(s.read.schema(eventsSchema).orc(tmp))
-  }
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, "csv", Map("header" -> "true"))
+
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, "orc")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_json" -> (jsonRoundtrip _),

@@ -222,7 +222,12 @@ final class LogTable private (val spark: SparkSession, val root: String,
         case None => bins += scala.collection.mutable.ListBuffer(f)
       }
     }
-    val rewritten = bins.toSeq.flatMap { bin =>
+    // A bin holding one file gains nothing from a rewrite (pure write
+    // amplification) — keep such files as they are.
+    val rewriteBins = bins.toSeq.filter(_.size >= 2)
+    if (rewriteBins.isEmpty) return snap
+    val small2 = rewriteBins.flatten
+    val rewritten = rewriteBins.flatMap { bin =>
       writeDataFiles(readFiles(bin.toSeq).coalesce(1))
     }
     commitOrCleanup(rewritten, "compact") { prev =>
@@ -231,7 +236,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       // snapshot (a concurrent delete/compact rewrote it), our
       // rewritten copy would resurrect its stale contents — abort and
       // re-plan from fresh state instead.
-      val replaced = small.map(_.path).toSet
+      val replaced = small2.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
       prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten

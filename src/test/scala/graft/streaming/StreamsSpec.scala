@@ -48,7 +48,7 @@ class StreamsSpec extends SparkSpec {
         Files.createTempDirectory(s"ckpt_$name").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "query did not finish in time")
   }
 
   test("stream_window: watermarked tumbling agg equals the batch query") {
@@ -66,7 +66,7 @@ class StreamsSpec extends SparkSpec {
       Files.createTempDirectory("stream_ingest_").toString)
     val ckpt = Files.createTempDirectory("ckpt_ingest").toString
     val q = Streams.streamIngest(eventsStream(), table, ckpt)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "ingest query did not finish in time")
 
     val expected = Tables.events(spark, sfDir).count()
     assert(table.read().count() === expected)
@@ -77,7 +77,7 @@ class StreamsSpec extends SparkSpec {
     // restart from the same checkpoint: no new input → no new commits
     val preVersion = table.currentVersion
     val q2 = Streams.streamIngest(eventsStream(), table, ckpt)
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000), "restarted query did not finish in time")
     assert(table.currentVersion === preVersion)
     assert(table.read().count() === expected)
     // exactly-once under re-delivery: a crash after commit but before
@@ -129,7 +129,7 @@ class StreamsSpec extends SparkSpec {
     val table = LogTable(spark, Files.createTempDirectory("ingest_maint_").toString)
     val q = Streams.streamIngestWithMaintenance(stream, table,
       Files.createTempDirectory("ckpt_maint").toString, compactEvery = 2)
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "maintenance ingest did not finish in time")
     assert(table.read().count() === Tables.events(spark, sfDir).count())
     assert(table.read().distinct().count() === table.read().count())
     // maintenance actually ran: the history shows compact commits
@@ -143,7 +143,7 @@ class StreamsSpec extends SparkSpec {
       partitionBy = Seq("event_type"))
     val q = Streams.streamIngest(eventsStream(), table,
       Files.createTempDirectory("ckpt_ingest_part").toString)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "partitioned ingest did not finish in time")
     val expected = Tables.events(spark, sfDir)
       .filter(col("event_type") === "click").count()
     val pruned = table.readWhere(_.get("event_type").contains("click"))
@@ -179,7 +179,7 @@ class StreamsSpec extends SparkSpec {
       .option("checkpointLocation", Files.createTempDirectory("ckpt_ss").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "query did not finish in time")
 
     val streamed = spark.table("ss")
       .orderBy(col("user_id")).collect().toSeq
