@@ -72,10 +72,38 @@ object Lakehouse {
         Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
   }
 
+  /** COW MERGE roundtrip: ingest events, upsert (every 10th event gets
+    * value+1000; every 17th is re-inserted under a fresh id), and
+    * aggregate the read-back — must equal the oracle computing the
+    * same upsert with UNION ALL set algebra over the source parquet.
+    * Any lost survivor, double-applied update, or missed insert breaks
+    * the hash. */
+  def lakeMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_merge_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    (0 until 2).foreach { i =>
+      table.append(ev.filter(pmod(col("event_id"), lit(2)) === i))
+    }
+    val updates = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+      .withColumn("value", col("value") + 1000.0)
+      .unionByName(ev.filter(pmod(col("event_id"), lit(17)) === 0)
+        .withColumn("event_id", col("event_id") + 10000000L))
+    table.merge(updates, "event_id")
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_roundtrip" -> (lakeRoundtrip _),
     "lake_delete" -> (lakeDelete _),
     "lake_pruned" -> (lakePruned _),
+    "lake_merge" -> (lakeMerge _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -92,5 +120,15 @@ object Lakehouse {
       """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    "lake_merge" ->
+      """WITH merged AS (
+        |  SELECT event_type, value FROM events WHERE event_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT event_type, value + 1000.0 FROM events WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT event_type, value FROM events WHERE event_id % 17 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -275,6 +275,51 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** Copy-on-write MERGE (upsert) by key: table rows whose `key`
+    * appears in `updates` are REPLACED by the update row; update rows
+    * with unmatched keys are appended — Iceberg's MERGE INTO ... WHEN
+    * MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT, COW flavor.
+    * Only the files containing matched keys are rewritten (found with
+    * one distributed input_file_name pass, as delete); every updates
+    * row lands in the new files exactly once. */
+  def merge(updates: DataFrame, key: String): Snapshot =
+    withStaleRetry { () => mergeOnce(updates, key) }
+
+  private def mergeOnce(updates: DataFrame, key: String): Snapshot = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val snap = snapshot()
+    if (snap.files.isEmpty) return append(updates)
+    val keys = updates.select(col(key))
+    // input_file_name() must be projected directly over the scan (it
+    // rejects multi-source plans) — tag rows with their file BEFORE
+    // the semi join against the updates source.
+    val tagged = readFiles(snap.files)
+      .select(col(key), input_file_name().as("_file"))
+    val hit = tagged.join(keys, Seq(key), "left_semi")
+      .select(col("_file")).distinct()
+      .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
+    val affected = snap.files.filter(f => hit.contains(f.path))
+    // survivors of affected files (unmatched rows) + ALL update rows;
+    // re-select the original column order (a USING join moves the key
+    // column first)
+    val survivors =
+      if (affected.isEmpty) spark.emptyDataFrame
+      else {
+        val src = readFiles(affected)
+        src.join(keys, Seq(key), "left_anti")
+          .select(src.columns.map(col): _*)
+      }
+    val rewritten =
+      (if (affected.isEmpty) Seq.empty else writeDataFiles(survivors)) ++
+        writeDataFiles(updates)
+    commitOrCleanup(rewritten, "merge") { prev =>
+      val replaced = affected.map(_.path).toSet
+      val prevPaths = prev.files.map(_.path).toSet
+      if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+      prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
+    }
+  }
+
   /** Roll the table back to a prior snapshot's file list as a NEW
     * commit — history stays intact, readers atomically flip. */
   def rollback(version: Long): Snapshot = {

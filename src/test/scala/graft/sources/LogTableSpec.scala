@@ -139,6 +139,36 @@ class LogTableSpec extends SparkSpec {
     }
   }
 
+  test("merge upserts: matched rows replaced, unmatched inserted, COW file identity") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    t.append((0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"))   // file A
+    t.append((50 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")) // file B
+    val pre = t.stats()
+    val preVersion = t.currentVersion
+
+    // update ids 10..19 (all in file A), insert ids 100..104
+    val updates = ((10 until 20).map(i => (i.toLong, "UPDATED")) ++
+      (100 until 105).map(i => (i.toLong, "NEW"))).toDF("id", "v")
+    val post = t.merge(updates, "id")
+    assert(post.operation === "merge")
+    assert(t.read().count() === 105L)
+    assert(t.read().filter(col("v") === "UPDATED").count() === 10L)
+    assert(t.read().filter(col("v") === "NEW").count() === 5L)
+    assert(t.read().filter(col("id") === 15L).select("v").head().getString(0) === "UPDATED")
+    assert(t.read().filter(col("id") === 25L).select("v").head().getString(0) === "v25")
+    // COW: file B held no matched key and must survive unrewritten
+    val kept = post.files.map(_.path).toSet
+    assert(pre.files.exists(f => kept.contains(f.path)),
+      "the unmatched file must keep its identity")
+    // time travel still sees pre-merge values
+    assert(t.timeTravel(preVersion).filter(col("v") === "UPDATED").count() === 0L)
+    // merging into an empty table is a plain append
+    val t2 = freshTable()
+    t2.merge((0 until 5).map(i => (i.toLong, "x")).toDF("id", "v"), "id")
+    assert(t2.read().count() === 5L)
+  }
+
   test("rollback restores a prior snapshot as a new commit") {
     val t = freshTable()
     t.append(df(0 until 10))
