@@ -217,7 +217,7 @@ object Analytics {
     val ceilSz = (n + k - 1) / k
     val floorSz = n / k
     val nBig = n % k // first n%k buckets take ceil(n/k) rows (SQL ntile)
-    sorted.zipWithIndex()
+    val agg = sorted.zipWithIndex()
       .map { case (cents, idx) =>
         val q = if (idx < nBig * ceilSz) idx / ceilSz
                 else nBig + (idx - nBig * ceilSz) / floorSz
@@ -229,6 +229,13 @@ object Analytics {
         (sum(col("cents")).cast(org.apache.spark.sql.types.DecimalType(20, 0)) / 100)
           .cast("double").as("total_price"))
       .orderBy(col("quartile"))
+    // Materialize the k-row aggregate NOW so the persisted sort RDD can
+    // be released before returning — a lazily-returned plan would pin
+    // the MEMORY_AND_DISK RDD for the session's lifetime (one leak per
+    // q_ntile call in a long-lived server).
+    val rows = agg.collect().toIndexedSeq
+    sorted.unpersist(blocking = false)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
   }
 
   /** Sorted string aggregation per group (LISTAGG): deterministic via
@@ -273,7 +280,9 @@ object Analytics {
     * the 5 events of each type with the smallest xxhash64(event_id) —
     * deterministic under any partitioning, k values per group on the
     * shuffle, no per-group sort (rows-only + BottomKSpec asserts
-    * equality with the window formulation). */
+    * equality with the window formulation). Output is one ROW per
+    * sampled id (posexplode of the k-array) — scalar columns only, so
+    * the driver's canonicalization can sort/hash the result. */
   def qSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ds = t(s, dir, "events")
@@ -283,7 +292,8 @@ object Analytics {
       .mapValues(r => (r._2, r._3))
       .agg(new graft.functions.BottomK(5).toColumn.name("sample"))
       .toDF("event_type", "sample")
-      .orderBy(col("event_type"))
+      .select(col("event_type"), posexplode(col("sample")).as(Seq("pos", "sample_id")))
+      .orderBy(col("event_type"), col("pos"))
   }
 
   /** KLL/GK-sketch percentile (approx; rows-only + spec vs the exact

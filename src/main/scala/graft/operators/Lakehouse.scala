@@ -99,11 +99,44 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** Conditional-MERGE roundtrip (Iceberg MERGE INTO ... WHEN MATCHED
+    * AND <cond> THEN UPDATE/DELETE parity): every 5th event is a
+    * source row with value+1000; matched 'error' rows are DELETED,
+    * matched 'click' rows take the update, other matched rows are left
+    * untouched, and re-keyed rows (every 17th, fresh ids) are
+    * inserted. The oracle recomputes the same clause algebra with
+    * UNION ALL set arithmetic over the source parquet — a wrong clause
+    * order, a double-applied update, or an inserted-though-matched row
+    * breaks the hash. */
+  def lakeMerge2(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_merge2_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    (0 until 2).foreach { i =>
+      table.append(ev.filter(pmod(col("event_id"), lit(2)) === i))
+    }
+    val updates = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+      .withColumn("value", col("value") + 1000.0)
+      .unionByName(ev.filter(pmod(col("event_id"), lit(17)) === 0)
+        .withColumn("event_id", col("event_id") + 10000000L))
+    table.merge(updates, "event_id",
+      matchedUpdateWhen = Some(col("event_type") === "click"),
+      matchedDeleteWhen = Some(col("event_type") === "error"))
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_roundtrip" -> (lakeRoundtrip _),
     "lake_delete" -> (lakeDelete _),
     "lake_pruned" -> (lakePruned _),
     "lake_merge" -> (lakeMerge _),
+    "lake_merge2" -> (lakeMerge2 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,6 +153,20 @@ object Lakehouse {
       """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    "lake_merge2" ->
+      """WITH merged AS (
+        |  SELECT event_type, value FROM events WHERE event_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 5 = 0 AND event_type NOT IN ('click', 'error')
+        |  UNION ALL
+        |  SELECT event_type, value + 1000.0 FROM events
+        |  WHERE event_id % 5 = 0 AND event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_type, value FROM events WHERE event_id % 17 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_merge" ->
       """WITH merged AS (
         |  SELECT event_type, value FROM events WHERE event_id % 10 <> 0

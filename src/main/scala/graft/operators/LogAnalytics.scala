@@ -343,8 +343,8 @@ object LogAnalytics {
         |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, count(*) AS n
         |  FROM events GROUP BY 1)
         |SELECT make_timestamp(hour_us) AS hour, n,
-        |  sum(n) OVER (ORDER BY hour_us
-        |    RANGE BETWEEN 82800000000 PRECEDING AND CURRENT ROW) AS n_24h
+        |  CAST(sum(n) OVER (ORDER BY hour_us
+        |    RANGE BETWEEN 82800000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_24h
         |FROM h ORDER BY hour""".stripMargin,
     "log_pivot" ->
       """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,

@@ -85,6 +85,34 @@ object MultiModal {
       .orderBy(col("doc_id"))
   }
 
+  /** Driver-facing mm_features: scalar columns only. The DOUBLE[]
+    * `features` column is flattened to a CSV string (fixed 9-decimal
+    * format — deterministic, locale-free) because the driver's pandas
+    * canonicalization cannot sort/hash array cells. Specs keep using
+    * the array-valued [[mmFeatures]]. */
+  def mmFeaturesFlat(s: SparkSession, dir: String): DataFrame =
+    mmFeatures(s, dir)
+      .select(col("doc_id"), col("n_dims"),
+        array_join(transform(col("features"),
+          f => format_number(f, 9)), ",").as("features_csv"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle-checkable projection of the feature extraction: the stripe
+    * geometry (n_dims, stride, last-stripe width) is a pure function of
+    * payload length, so DuckDB can recompute it from octet_length —
+    * hash-green evidence that the extractor walks the bytes the way it
+    * claims, even though the hash values themselves are engine-specific. */
+  def mmFeatureStats(s: SparkSession, dir: String): DataFrame = {
+    val stride = greatest(expr(s"(length(payload) + ${FeatureDims - 1}) div $FeatureDims"), lit(1L))
+    mmTable(s, dir)
+      .select(col("doc_id"), col("n_bytes"), stride.as("stride"),
+        lit(FeatureDims.toLong).as("n_dims"),
+        // bytes actually covered by the last stripe (payload may not
+        // fill stride*FeatureDims exactly)
+        greatest(col("n_bytes") - stride * (FeatureDims - 1), lit(0L)).as("last_stripe_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The BATCHED-inference variant of mmFeatures: mapPartitions groups
     * rows into fixed-size batches and calls the "model" once per batch
     * — the exact plumbing (iterator → batch → vectorized call →
@@ -146,7 +174,8 @@ object MultiModal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_encode" -> (mmEncode _),
-    "mm_features" -> (mmFeatures _),
+    "mm_features" -> (mmFeaturesFlat _),
+    "mm_feature_stats" -> (mmFeatureStats _),
     "mm_framesample" -> ((s, dir) => frameSample(s, dir)),
   )
 
@@ -179,5 +208,17 @@ object MultiModal {
         |  substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64) AS frame_text
         |FROM i ORDER BY doc_id, frame_idx""".stripMargin,
     // mm_features: engine-specific hash features — rows-only + spec.
+    // mm_feature_stats: stripe geometry IS DuckDB-computable.
+    "mm_feature_stats" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, n_bytes,
+         |    greatest((n_bytes + ${FeatureDims - 1}) // $FeatureDims, 1) AS stride
+         |  FROM b)
+         |SELECT doc_id, n_bytes, stride, CAST($FeatureDims AS BIGINT) AS n_dims,
+         |  greatest(n_bytes - stride * ${FeatureDims - 1}, 0) AS last_stripe_bytes
+         |FROM g ORDER BY doc_id""".stripMargin,
   )
 }

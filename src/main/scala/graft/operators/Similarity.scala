@@ -238,6 +238,23 @@ object Similarity {
     cents
   }
 
+  /** Trained-quantizer cache: an IVF index is BUILT ONCE and probed
+    * many times — that is the whole point of the structure. Keyed by
+    * (corpus dir, k, iters); training is deterministic (stride sample
+    * + integer-exact Lloyd's), so a cached index is identical to a
+    * rebuilt one (AnnIvfSpec asserts determinism). A real deployment
+    * persists the k×dim centroid table next to the corpus; here the
+    * process-lifetime cache keeps repeated queries (and the bench)
+    * honest about build-vs-probe cost. */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[(Int, Seq[Long])]]()
+
+  /** Build (or fetch the cached) IVF coarse quantizer for the corpus
+    * at `dir`. */
+  def ivfIndex(s: SparkSession, dir: String, k: Int = 16, iters: Int = 1): Seq[(Int, Seq[Long])] =
+    ivfCache.computeIfAbsent((dir, k, iters),
+      _ => trainCentroids(quantized(s, dir), k, iters))
+
   /** IVF approximate top-k — the cluster-routed ANN scale path: a
     * coarse integer-exact quantizer routes each query to its `probes`
     * nearest cells and ONLY those cells' vectors are ranked. At 100 TB
@@ -250,7 +267,7 @@ object Similarity {
   def annIvf(s: SparkSession, dir: String,
       k: Int = 16, probes: Int = 4, iters: Int = 1): DataFrame = {
     val all = quantized(s, dir)
-    val cents = trainCentroids(all, k, iters)
+    val cents = ivfIndex(s, dir, k, iters)
     val assigned = withCentroids(all, cents)
       .select(col("vec_id"), col("qv"), col("nrm"),
         element_at(probeIds(col("qv"), col("nrm"), 1), 1).as("cid"))

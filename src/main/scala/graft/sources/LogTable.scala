@@ -77,11 +77,18 @@ final class LogTable private (val spark: SparkSession, val root: String,
   /** Latest committed version (0 = empty table, no commits yet). */
   def currentVersion: Long = versions.lastOption.getOrElse(0L)
 
-  /** Load one snapshot's manifest. */
+  /** Load one snapshot's manifest. Committed manifests are immutable
+    * (commit() never replaces an existing version file), so parsed
+    * snapshots are cached per version — history() and the commit retry
+    * loop read each manifest once, not O(versions) times per call.
+    * expire() evicts dropped versions. */
   def snapshot(version: Long = currentVersion): Snapshot = {
     if (version == 0L) Snapshot(0L, 0L, "empty", 0L, Nil)
-    else readManifest(manifestPath(logDir, version))
+    else snapCache.computeIfAbsent(version,
+      v => readManifest(manifestPath(logDir, v)))
   }
+
+  private val snapCache = new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
 
   /** Manifest-scoped scan of the CURRENT snapshot. */
   def read(): DataFrame = timeTravel(currentVersion)
@@ -275,18 +282,41 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
-  /** Copy-on-write MERGE (upsert) by key: table rows whose `key`
-    * appears in `updates` are REPLACED by the update row; update rows
-    * with unmatched keys are appended — Iceberg's MERGE INTO ... WHEN
-    * MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT, COW flavor.
-    * Only the files containing matched keys are rewritten (found with
-    * one distributed input_file_name pass, as delete); every updates
-    * row lands in the new files exactly once. */
-  def merge(updates: DataFrame, key: String): Snapshot =
-    withStaleRetry { () => mergeOnce(updates, key) }
+  /** Copy-on-write MERGE by key — Iceberg's
+    * `MERGE INTO t USING s ON t.key = s.key
+    *    WHEN MATCHED AND <deleteWhen> THEN DELETE
+    *    WHEN MATCHED AND <updateWhen> THEN UPDATE SET *
+    *    WHEN NOT MATCHED THEN INSERT *`
+    * (reference README.md:125-140 — the "arbitrary SQL" surface a
+    * Trino/Iceberg user of the reference's table reaches for).
+    *
+    * Clause semantics, evaluated per matched (target, source) pair in
+    * Iceberg's clause order:
+    *   1. `matchedDeleteWhen` true  → target row removed;
+    *   2. else `matchedUpdateWhen` true (None = always) → target row
+    *      REPLACED by the source row;
+    *   3. else → target row kept unchanged.
+    * Source rows whose key matches nothing are inserted; matched source
+    * rows are never inserted (they act via clause 2 only). NULL
+    * conditions are false (SQL three-valued logic).
+    *
+    * Conditions may reference BOTH sides: target columns by name,
+    * source columns as `src_<name>` (e.g.
+    * `col("value") < col("src_value")`). Keys must be unique in
+    * `updates` — multiple source matches per target row are ambiguous
+    * (Iceberg raises; here the join would duplicate target rows).
+    *
+    * COW: only files containing matched keys are rewritten (one
+    * distributed input_file_name pass finds them, as delete). */
+  def merge(updates: DataFrame, key: String,
+      matchedUpdateWhen: Option[org.apache.spark.sql.Column] = None,
+      matchedDeleteWhen: Option[org.apache.spark.sql.Column] = None): Snapshot =
+    withStaleRetry { () => mergeOnce(updates, key, matchedUpdateWhen, matchedDeleteWhen) }
 
-  private def mergeOnce(updates: DataFrame, key: String): Snapshot = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+  private def mergeOnce(updates: DataFrame, key: String,
+      matchedUpdateWhen: Option[org.apache.spark.sql.Column],
+      matchedDeleteWhen: Option[org.apache.spark.sql.Column]): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
     val snap = snapshot()
     if (snap.files.isEmpty) return append(updates)
     val keys = updates.select(col(key))
@@ -299,19 +329,36 @@ final class LogTable private (val spark: SparkSession, val root: String,
       .select(col("_file")).distinct()
       .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
     val affected = snap.files.filter(f => hit.contains(f.path))
-    // survivors of affected files (unmatched rows) + ALL update rows;
-    // re-select the original column order (a USING join moves the key
-    // column first)
+    // Matched keys live only in affected files — the anti-join source
+    // for WHEN NOT MATCHED THEN INSERT scans just those.
+    val inserts =
+      if (affected.isEmpty) updates
+      else updates.join(readFiles(affected).select(col(key)), Seq(key), "left_anti")
     val survivors =
       if (affected.isEmpty) spark.emptyDataFrame
       else {
         val src = readFiles(affected)
-        src.join(keys, Seq(key), "left_anti")
-          .select(src.columns.map(col): _*)
+        val cols = src.columns.toSeq
+        // source columns renamed src_<name> (key stays for the join);
+        // _matched marks pairs (left join → null on unmatched targets)
+        val renamed = updates.columns.foldLeft(updates) { (d, c) =>
+          if (c == key) d else d.withColumnRenamed(c, s"src_$c")
+        }.withColumn("_matched", lit(true))
+        val joined = src.join(renamed, Seq(key), "left")
+        val matched = col("_matched").isNotNull
+        val doDelete = matched &&
+          coalesce(matchedDeleteWhen.getOrElse(lit(false)), lit(false))
+        val doUpdate = matched && !doDelete &&
+          coalesce(matchedUpdateWhen.getOrElse(lit(true)), lit(false))
+        val kept = joined.filter(!doDelete && !doUpdate)
+          .select(cols.map(col): _*)
+        val updated = joined.filter(doUpdate)
+          .select(cols.map(c => (if (c == key) col(c) else col(s"src_$c")).as(c)): _*)
+        kept.unionByName(updated)
       }
     val rewritten =
       (if (affected.isEmpty) Seq.empty else writeDataFiles(survivors)) ++
-        writeDataFiles(updates)
+        writeDataFiles(inserts)
     commitOrCleanup(rewritten, "merge") { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
@@ -331,8 +378,32 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * referenced ONLY by the dropped ones. */
   def expire(keepLast: Int = 1): Snapshot = {
     require(keepLast >= 1, "keepLast must be >= 1")
+    expireManifests { all => all.dropRight(keepLast) }
+  }
+
+  /** Age-based snapshot expiry — Iceberg's
+    * `expire_snapshots(older_than => ts, retain_last => n)`: drop
+    * snapshots whose commit timestamp is before `olderThanMs`, always
+    * retaining at least the newest `keepLast` regardless of age. This
+    * is the knob a continuous-ingest deployment schedules (reference
+    * README.md:104-107: a commit every ~3 min → ~480 snapshots/day —
+    * count-based expiry would need constant re-tuning; age-based is
+    * "keep 7 days" forever). */
+  def expireOlderThan(olderThanMs: Long, keepLast: Int = 1): Snapshot = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    expireManifests { all =>
+      all.dropRight(keepLast)
+        .filter { case (v, _) => snapshot(v).timestampMs < olderThanMs }
+    }
+  }
+
+  /** Shared expiry machinery: `pick` chooses which manifests to drop
+    * from the ascending (version, path) list; data files referenced
+    * only by dropped snapshots are deleted. */
+  private def expireManifests(
+      pick: Seq[(Long, Path)] => Seq[(Long, Path)]): Snapshot = {
     val all = listManifests(logDir)
-    val (drop, _) = all.splitAt(math.max(0, all.size - keepLast))
+    val drop = pick(all)
     if (drop.nonEmpty) {
       val dropped = drop.map(m => readManifest(m._2))
       // Drop the manifests FIRST: a rollback targeting an expired
@@ -350,6 +421,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val dead = dropped.flatMap(_.files.map(_.path))
         .distinct.filterNot(live.contains)
       dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      // evict dropped versions from the parsed-snapshot cache so a
+      // later timeTravel to an expired version fails loudly here too
+      drop.foreach { case (v, _) => snapCache.remove(v) }
     }
     snapshot()
   }

@@ -10,18 +10,18 @@ import org.apache.spark.sql.functions._
 class BottomKSpec extends SparkSpec {
   import spark.implicits._
 
-  test("q_sample equals the window+sort formulation") {
+  test("q_sample equals the window+sort formulation, positions included") {
     val viaAgg = Analytics.qSample(spark, sfDir)
-      .select(col("event_type"), explode(col("sample")).as("event_id"))
-      .as[(String, Long)].collect().toSet
+      .select(col("event_type"), col("pos"), col("sample_id"))
+      .as[(String, Int, Long)].collect().toSet
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("h"), col("event_id"))
     val viaWindow = graft.Tables.events(spark, sfDir)
       .select(col("event_type"), xxhash64(col("event_id")).as("h"), col("event_id"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
-      .select(col("event_type"), col("event_id"))
-      .as[(String, Long)].collect().toSet
+      .select(col("event_type"), (col("rnk") - 1).cast("int").as("pos"), col("event_id"))
+      .as[(String, Int, Long)].collect().toSet
     assert(viaAgg.nonEmpty && viaAgg === viaWindow)
   }
 

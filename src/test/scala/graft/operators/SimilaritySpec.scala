@@ -82,6 +82,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.nonEmpty && r1 === r2)
   }
 
+  test("ivfIndex: cached quantizer is identical to a fresh retrain") {
+    // annIvf reuses the process-lifetime index cache (build once,
+    // probe many) — this asserts the cache can't go stale: training is
+    // deterministic, so a from-scratch rebuild must reproduce the
+    // cached centroids exactly.
+    val cached = Similarity.ivfIndex(spark, sfDir)
+    val fresh = Similarity.trainCentroids(
+      graft.Tables.spread(graft.Tables(spark, sfDir, "embeddings")).select(
+        col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("qv"))
+        .withColumn("nrm", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x)),
+      k = 16, iters = 1)
+    assert(cached === fresh)
+  }
+
   test("ann_lsh: a planted near-identical vector is found as the top neighbor") {
     val res = Similarity.annLsh(spark, plantedDir)
       .filter(col("q_id") === 0 && col("rnk") === 1)

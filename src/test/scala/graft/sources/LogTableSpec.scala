@@ -169,6 +169,64 @@ class LogTableSpec extends SparkSpec {
     assert(t2.read().count() === 5L)
   }
 
+  test("merge conditional clauses: WHEN MATCHED AND cond THEN UPDATE / DELETE") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    t.append((0 until 20).map(i => (i.toLong, i * 10L, s"v$i")).toDF("id", "score", "v"))
+    val preVersion = t.currentVersion
+
+    // source matches ids 0..9; ids 20..22 are unmatched inserts
+    val updates = ((0 until 10).map(i => (i.toLong, 1000L + i, "UPD")) ++
+      (20 until 23).map(i => (i.toLong, -1L, "NEW"))).toDF("id", "score", "v")
+    // delete matched rows with target score >= 80 (ids 8, 9);
+    // update only when the SOURCE score beats the target by > 960
+    // (src_score - score > 960 → 1000+i - 10i > 960 → ids 0..4)
+    t.merge(updates, "id",
+      matchedUpdateWhen = Some(col("src_score") - col("score") > 960L),
+      matchedDeleteWhen = Some(col("score") >= 80L))
+    val out = t.read().select("id", "score", "v").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+
+    // ids 8,9 deleted; 0..4 updated; 5..7 matched-but-untouched;
+    // 10..19 unmatched targets untouched; 20..22 inserted
+    assert(out.map(_._1) === ((0L until 8L) ++ (10L until 23L)))
+    (0 until 5).foreach(i => assert(out(i) === ((i.toLong, 1000L + i, "UPD"))))
+    (5 until 8).foreach(i => assert(out(i) === ((i.toLong, i * 10L, s"v$i"))))
+    assert(out.filter(_._3 == "NEW").map(_._1) === Seq(20L, 21L, 22L))
+    // matched source rows whose clause did not fire are NOT inserted
+    assert(out.count(r => r._1 < 10 && r._3 == "UPD") === 5)
+    // time travel still sees the pre-merge table
+    assert(t.timeTravel(preVersion).count() === 20L)
+  }
+
+  test("expireOlderThan combines age and retain-last") {
+    val t = freshTable()
+    t.append(df(0 until 5))  // v1
+    t.append(df(5 until 10)) // v2
+    t.append(df(10 until 15)) // v3
+    val tsV2 = t.snapshot(2L).timestampMs
+
+    // cutoff after v2's commit: v1 and v2 are age-eligible, but
+    // keepLast=2 pins v2 (and v3) — only v1 goes
+    t.expireOlderThan(olderThanMs = tsV2 + 1, keepLast = 2)
+    assert(t.versions === Seq(2L, 3L))
+
+    // a cutoff in the past expires nothing regardless of count
+    t.expireOlderThan(olderThanMs = 0L, keepLast = 1)
+    assert(t.versions === Seq(2L, 3L))
+
+    // future cutoff + keepLast=1 → only the newest survives, and the
+    // dropped snapshots' exclusive files are reclaimed
+    val v2Files = t.snapshot(2L).files.map(_.path)
+    t.expireOlderThan(olderThanMs = Long.MaxValue, keepLast = 1)
+    assert(t.versions === Seq(3L))
+    assert(t.read().count() === 15L)
+    intercept[Exception](t.timeTravel(2L).count())
+    // v2's files are all still referenced by v3 (append keeps old
+    // files), so they must NOT have been deleted
+    assert(v2Files.forall(p => Files.exists(Paths.get(p))))
+  }
+
   test("rollback restores a prior snapshot as a new commit") {
     val t = freshTable()
     t.append(df(0 until 10))
