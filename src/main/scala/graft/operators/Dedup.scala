@@ -192,11 +192,42 @@ object Dedup {
       .limit(100)
   }
 
+  /** Benchmark-contamination check — the pre-training gate that asks
+    * "which training documents contain n-grams from the eval set?"
+    * (the decontamination pass every LLM data pipeline runs before
+    * training). Eval set here = every 10th document; for each other
+    * document, count its distinct 5-grams that appear anywhere in the
+    * eval set, report the top-50 most contaminated by overlap ratio.
+    *
+    * Scale shape: the eval side (benchmarks) is tiny and FIXED no
+    * matter how big the training corpus grows, so its distinct-gram
+    * set is broadcast — the 100 TB training side streams through a
+    * broadcast-hash semi-join with ZERO shuffle of the big side
+    * before the per-doc count. Grams travel as 8-byte xxhash64 keys
+    * (native one-pass WordShingles), never strings. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.spread(docs(s, dir))
+      .select(col("doc_id"), explode(graft.functions.WordShingles
+        .wordShingles(split(col("text"), " "), 5)).as("gh"))
+    val evalGrams = grams.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("gh")).distinct()
+    val train = grams.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val n = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    train.join(broadcast(evalGrams), Seq("gh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      .join(n, Seq("doc_id"))
+      .withColumn("ratio", col("n_hit").cast("double") / col("n_grams"))
+      .select(col("doc_id"), col("n_hit"), col("n_grams"), col("ratio"))
+      .orderBy(col("ratio").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_ngram" -> (ngramJaccard _),
     "dedup_minhash" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
+    "contamination" -> (contamination _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,6 +262,30 @@ object Dedup {
         |JOIN n na ON na.doc_id = p.doc_a
         |JOIN n nb ON nb.doc_id = p.doc_b
         |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    // Gram identity is by 8-byte hash on the Spark side and by string
+    // on the DuckDB side — equivalent counts absent a 64-bit collision
+    // (the same equivalence dedup_ngram's green hash already rests on).
+    "contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 3),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS grams
+        |  FROM w WHERE len(ws) >= 5),
+        |e AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g),
+        |ev AS (
+        |  SELECT DISTINCT gram FROM e WHERE doc_id % 10 = 0),
+        |tr AS (
+        |  SELECT * FROM e WHERE doc_id % 10 <> 0),
+        |n AS (
+        |  SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+        |h AS (
+        |  SELECT tr.doc_id, count(*) AS n_hit FROM tr JOIN ev USING (gram) GROUP BY 1)
+        |SELECT h.doc_id AS doc_id, n_hit, n_grams,
+        |  CAST(n_hit AS DOUBLE) / n_grams AS ratio
+        |FROM h JOIN n ON n.doc_id = h.doc_id
+        |ORDER BY ratio DESC, h.doc_id LIMIT 50""".stripMargin,
     // dedup_minhash / dedup_simhash: no oracle (xxhash64 is
     // Spark-specific); rows-only + ScalaTest.
   )

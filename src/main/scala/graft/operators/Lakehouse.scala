@@ -131,7 +131,53 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** Column-stats file-skipping roundtrip: ingest events range-
+    * partitioned on the time axis (so committed files carry disjoint
+    * ts_us [min, max] ranges in the manifest), then answer a 10-day
+    * window query through readRange — the scan opens only the files
+    * whose footer-derived range overlaps the window (LogTableSpec
+    * asserts the skip actually happens), and the residual row filter
+    * makes it exact, hash-matched against DuckDB's WHERE over the
+    * source parquet. This is the reference deployment's bread-and-
+    * butter query (README.md:157-160 time-range scans) made
+    * I/O-proportional at 100 TB. */
+  def lakeSkipped(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_skip_").toString
+    val table = LogTable(s, tmp)
+    // time-ordered ingest (the natural log shape): 8 disjoint time slabs
+    table.append(Tables.events(s, dir).repartitionByRange(8, col("ts_us")))
+    val lo = 1704844800000000L            // 2024-01-10 00:00:00 UTC, µs
+    val hi = 1705708800000000L - 1        // < 2024-01-20 00:00:00 UTC
+    table.readRange("ts_us", lo, hi)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Incremental-read roundtrip: 3 appends, then consume the changelog
+    * BETWEEN the first and third commits via readChanges — exactly the
+    * rows of appends 2 and 3, hash-matched against the oracle's
+    * equivalent filter over the source parquet. This is the downstream-
+    * consumer pattern for the reference's continuous ingest (process
+    * only what the last N commits added, never rescan the table). */
+  def lakeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_incr_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir)
+    (0 until 3).foreach { i =>
+      table.append(ev.filter(pmod(col("event_id"), lit(3)) === i))
+    }
+    table.readChanges(fromVersion = 1L, toVersion = 3L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_skipped" -> (lakeSkipped _),
+    "lake_incremental" -> (lakeIncremental _),
     "lake_roundtrip" -> (lakeRoundtrip _),
     "lake_delete" -> (lakeDelete _),
     "lake_pruned" -> (lakePruned _),
@@ -140,6 +186,17 @@ object Lakehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_skipped" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_incremental" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id % 3 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

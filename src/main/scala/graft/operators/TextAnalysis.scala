@@ -102,12 +102,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary census: the corpus-wide top-50 words by frequency —
+    * the pass a tokenizer-training / vocab-building pipeline runs
+    * first. One explode + one hash agg: map-side partial aggregation
+    * collapses each partition to its distinct words before the
+    * shuffle, so the exchanged rows are O(vocabulary), not O(tokens)
+    * — at 100 TB the shuffle carries megabytes. */
+  def vocab(s: SparkSession, dir: String): DataFrame =
+    docsSpread(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+
+  /** Per-document repetition stats — the degenerate-text filter (a doc
+    * that is one phrase repeated 500 times is training poison): total
+    * words, distinct words, the hottest word's count, and the
+    * repetition ratio 1 − distinct/total. Two aggs keyed by doc_id,
+    * both with map-side combine; no windows, no sorts. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    docsSpread(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_word_n"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_words"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (langid _),
     "text_quality" -> (quality _),
     "text_tokens" -> (tokens _),
     "doc_stats" -> (docStats _),
     "text_fingerprint" -> (fingerprint _),
+    "text_vocab" -> (vocab _),
+    "text_repetition" -> (repetition _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -156,5 +188,21 @@ object TextAnalysis {
         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     // text_fingerprint: no oracle (xxhash64 is Spark-specific); rows-only.
+    "text_vocab" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    "text_repetition" ->
+      """WITH pw AS (
+        |  SELECT doc_id, word, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY doc_id, word),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_word_n
+        |  FROM pw GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_distinct, top_word_n,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_words AS rep_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin,
   )
 }

@@ -227,6 +227,46 @@ class LogTableSpec extends SparkSpec {
     assert(v2Files.forall(p => Files.exists(Paths.get(p))))
   }
 
+  test("readRange skips files by manifest column stats, result stays exact") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // three single-file appends with disjoint id ranges → three files
+    // with footer-derived [min, max] in the manifest
+    t.append(df(0 until 100).coalesce(1))
+    t.append(df(100 until 200).coalesce(1))
+    t.append(df(200 until 300).coalesce(1))
+    assert(t.snapshot().files.size === 3)
+    assert(t.snapshot().files.forall(_.ranges.contains("id")),
+      "INT64 column stats must be lifted from the parquet footers")
+
+    // window [120, 180] lives entirely in the middle file
+    assert(t.filesInRange("id", 120L, 180L).size === 1)
+    assert(t.readRange("id", 120L, 180L).count() === 61L)
+    // boundary-straddling window prunes to two of three files
+    assert(t.filesInRange("id", 90L, 110L).size === 2)
+    assert(t.readRange("id", 90L, 110L).as[Long].collect().sorted
+      === (90L to 110L).toArray)
+    // residual row filter: a window inside one file returns only its rows
+    assert(t.readRange("id", 150L, 150L).as[Long].collect() === Array(150L))
+    // empty window → no files, empty (but well-formed) result
+    assert(t.readRange("id", 1000L, 2000L).count() === 0L)
+    // a column with no recorded stats scans everything (conservative)
+    assert(t.filesInRange("nope", 0L, 1L).size === 3)
+  }
+
+  test("readChanges returns exactly the rows added between two versions") {
+    val t = freshTable()
+    t.append(df(0 until 10))   // v1
+    t.append(df(10 until 30))  // v2
+    t.append(df(30 until 35))  // v3
+    assert(t.readChanges(1L, 3L).as[Long].collect().sorted === (10L until 35L).toArray)
+    assert(t.readChanges(2L, 3L).as[Long].collect().sorted === (30L until 35L).toArray)
+    assert(t.readChanges(0L, 1L).as[Long].collect().sorted === (0L until 10L).toArray)
+    // same-version diff is empty
+    assert(t.readChanges(2L, 2L).count() === 0L)
+    intercept[IllegalArgumentException](t.readChanges(3L, 1L))
+  }
+
   test("rollback restores a prior snapshot as a new commit") {
     val t = freshTable()
     t.append(df(0 until 10))
