@@ -60,7 +60,15 @@ object Dedup {
     * Blocking key = xxhash64 of the shingle (8-byte shuffle keys, not
     * strings); only docs sharing a kept 5-gram are ever paired, and the
     * document-frequency cap kills hot-bucket pair explosions. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramPairs(s, dir)
+      .orderBy(col("jacc").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  /** All blocked candidate pairs with their Jaccard — the shared
+    * kernel of ngramJaccard (top-N view) and dedupClusters
+    * (thresholded component input). */
+  private[graft] def ngramPairs(s: SparkSession, dir: String): DataFrame = {
     // Native one-pass shingle hashing (no gram-string materialization);
     // spread first — shingling is CPU-bound even off a single file.
     val e = Tables.spread(docs(s, dir))
@@ -88,8 +96,62 @@ object Dedup {
       .withColumn("jacc",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jacc"))
-      .orderBy(col("jacc").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
+  }
+
+  /** Jaccard threshold above which a pair is a true near-duplicate.
+    * The corpus separates cleanly (planted near-dups sit at ~0.98,
+    * background pairs below 0.02), so 0.5 is robust at every SF; the
+    * oracle applies the identical cut. */
+  private val ClusterMinJacc = 0.5
+
+  /** Duplicate-CLUSTER resolution — the step after pair generation
+    * that every dedup pipeline actually ships: near-dup pairs chain
+    * (A~B, B~C) into connected components, and the pipeline keeps one
+    * canonical doc per component. Components are computed by
+    * min-label propagation (each doc repeatedly adopts the smallest
+    * doc_id reachable over pair edges) — converges in O(component
+    * diameter) rounds, and near-dup components are shallow by
+    * construction, so this is 2-4 bounded shuffle rounds at any
+    * corpus size, never a global transitive closure. The driver loop
+    * only ever collects a convergence COUNT; labels stay distributed
+    * (localCheckpoint per round truncates the growing lineage).
+    *
+    * Output: (doc_id, cluster_id, keep) for every doc in ≥1 pair,
+    * cluster_id = min doc_id of the component, keep = 1 iff the doc
+    * IS the canonical representative. Oracle: DuckDB recursive-CTE
+    * transitive closure over the identical thresholded pair set. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramPairs(s, dir).filter(col("jacc") >= ClusterMinJacc)
+      .select(col("doc_a"), col("doc_b"))
+    // undirected: propagate labels both ways. Materialized ONCE —
+    // every propagation round joins against edges, and leaving them
+    // lazy would re-run the whole shingle/pair pipeline per round.
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v")
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      rounds += 1
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("lbl").as("v_lbl")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min(col("v_lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+    }
+    labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        when(col("id") === col("lbl"), 1).otherwise(0).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
   }
 
   private val NumHashes = 32
@@ -227,6 +289,7 @@ object Dedup {
     "dedup_ngram" -> (ngramJaccard _),
     "dedup_minhash" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
+    "dedup_clusters" -> (dedupClusters _),
     "contamination" -> (contamination _),
   )
 
@@ -262,6 +325,45 @@ object Dedup {
         |JOIN n na ON na.doc_id = p.doc_a
         |JOIN n nb ON nb.doc_id = p.doc_b
         |ORDER BY jacc DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    // Transitive closure by recursive CTE (the UNION dedups rows, so
+    // it terminates); cluster_id = min reachable doc (incl. self).
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 3),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS grams
+        |  FROM w WHERE len(ws) >= 5),
+        |e AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g),
+        |dfc AS (
+        |  SELECT gram, count(*) AS gdf FROM e GROUP BY 1),
+        |kept AS (
+        |  SELECT e.doc_id, e.gram, dfc.gdf FROM e JOIN dfc USING (gram)
+        |  WHERE dfc.gdf <= 100),
+        |n AS (
+        |  SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY 1),
+        |cand AS (
+        |  SELECT * FROM kept WHERE gdf >= 2),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM cand a JOIN cand b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN n na ON na.doc_id = p.doc_a
+        |  JOIN n nb ON nb.doc_id = p.doc_b
+        |  WHERE CAST(shared AS DOUBLE) / (na.n_grams + nb.n_grams - shared) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
+        |SELECT u AS doc_id, min(v) AS cluster_id,
+        |  CAST(CASE WHEN u = min(v) THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     // Gram identity is by 8-byte hash on the Spark side and by string
     // on the DuckDB side — equivalent counts absent a 64-bit collision
     // (the same equivalence dedup_ngram's green hash already rests on).

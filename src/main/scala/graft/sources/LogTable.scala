@@ -418,6 +418,61 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** Re-cluster the table on `column` (Iceberg's rewrite_data_files
+    * with a sort order): rewrite ALL current data into `nFiles`
+    * range-partitioned, internally-sorted files and commit the
+    * replacing snapshot. After re-clustering, each file covers a
+    * disjoint slice of the column's domain, so the manifest [min, max]
+    * ranges turn readRange into a near-perfect file pruner — the
+    * sort+skip maintenance step that keeps time-range scans
+    * I/O-proportional on a log table whose appends arrived out of
+    * order. The rewrite is one range-partitioned shuffle (sampling
+    * picks balanced split points), never a global single-node sort. */
+  def recluster(column: String, nFiles: Int): Snapshot = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    withStaleRetry { () =>
+      val snap = snapshot()
+      if (snap.files.isEmpty) snap
+      else {
+        import org.apache.spark.sql.functions.col
+        val rewritten = writeDataFiles(
+          readFiles(snap.files)
+            .repartitionByRange(nFiles, col(column))
+            .sortWithinPartitions(column))
+        commitOrCleanup(rewritten, "recluster") { prev =>
+          val replaced = snap.files.map(_.path).toSet
+          val prevPaths = prev.files.map(_.path).toSet
+          if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+          prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
+        }
+      }
+    }
+  }
+
+  /** Remove files a crashed writer left behind (Iceberg's
+    * remove_orphan_files(older_than)): delete every file under data/
+    * referenced by NO live manifest, plus stray stage-* directories —
+    * but only those last modified before `olderThanMs`, because a
+    * healthy in-flight writer moves data files into place BEFORE its
+    * manifest commits, and vacuuming its fresh files would break the
+    * commit. Returns the deleted data-file paths. */
+  def removeOrphans(olderThanMs: Long = System.currentTimeMillis() - 3600000L): Seq[String] = {
+    val live = versions.flatMap(v => snapshot(v).files.map(_.path)).toSet
+    val walk = Files.walk(dataDir)
+    val candidates = try walk.iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq finally walk.close()
+    val dead = candidates.filter(p => !live.contains(p.toString) &&
+      Files.getLastModifiedTime(p).toMillis < olderThanMs)
+    dead.foreach(Files.deleteIfExists(_))
+    val ls = Files.list(rootPath)
+    val stages = try ls.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("stage-")).toSeq
+      finally ls.close()
+    stages.filter(p => Files.getLastModifiedTime(p).toMillis < olderThanMs)
+      .foreach(LogTable.deleteRecursively)
+    dead.map(_.toString)
+  }
+
   /** Roll the table back to a prior snapshot's file list as a NEW
     * commit — history stays intact, readers atomically flip. */
   def rollback(version: Long): Snapshot = {

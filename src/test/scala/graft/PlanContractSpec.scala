@@ -58,6 +58,29 @@ class PlanContractSpec extends SparkSpec {
     assert(!scan.contains("lang") && !scan.contains("n_chars"))
   }
 
+  test("contamination: the eval-gram set joins broadcast; the training side never sort-merges") {
+    val p = plan("contamination")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      "the (fixed-size) eval gram set must broadcast against the training stream")
+    assert(count(p, "SortMergeJoin") === 0)
+  }
+
+  test("text_vocab: one hash agg with map-side partial aggregation, no window/sort before the shuffle") {
+    val p = plan("text_vocab")
+    assert(count(p, "Join") === 0)
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Window"))
+  }
+
+  test("text_repetition: two hash aggs, no windows, pruned scan") {
+    val p = plan("text_repetition")
+    assert(count(p, "Join") === 0)
+    assert(!p.contains("Window"))
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("doc_id") && scan.contains("text"))
+    assert(!scan.contains("lang") && !scan.contains("n_chars"))
+  }
+
   /** Regression guard for the fix that replaced the doc_id window in
     * dedup_ngram: the pair join must aggregate BEFORE the per-doc gram
     * counts are joined on. Join strategy is AQE's call (no hint — the

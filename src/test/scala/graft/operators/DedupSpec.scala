@@ -57,4 +57,41 @@ class DedupSpec extends SparkSpec {
     val r2 = Dedup.minhashLsh(spark, sfDir).collect().toSeq
     assert(r1.nonEmpty && r1 === r2)
   }
+
+  /** Chained corpus: 0~1~2 share ~95% pairwise (transitively one
+    * cluster), 3~4 a separate near-dup pair, 5..24 unrelated. */
+  private lazy val chainedDir: String = {
+    val d = Files.createTempDirectory("chained_docs_").toString
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 2000).map(i => s"w$i")
+    def randDoc(): String =
+      Seq.fill(120)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    def mutate(doc: String, at: Int, tok: String): String = {
+      val ws = doc.split(" "); ws(at) = tok; ws.mkString(" ")
+    }
+    val base = randDoc()
+    val d2 = randDoc()
+    val rows = (Seq(
+      0L -> base,
+      1L -> mutate(base, 30, "X1"),
+      2L -> mutate(base, 90, "X2"), // chains to 0 via 1's untouched half too
+      3L -> d2,
+      4L -> mutate(d2, 60, "Y1")) ++
+      (5L until 25L).map(_ -> randDoc()))
+      .map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("dedup_clusters: chained near-dups resolve to components with one keeper each") {
+    val out = Dedup.dedupClusters(spark, chainedDir)
+      .select("doc_id", "cluster_id", "keep").as[(Long, Long, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) === Seq(0L, 1L, 2L, 3L, 4L),
+      s"expected exactly the 5 planted docs in pairs, got ${out.map(_._1)}")
+    assert(out.filter(_._1 <= 2).forall(_._2 == 0L), "chain 0-1-2 must share cluster 0")
+    assert(out.filter(_._1 >= 3).forall(_._2 == 3L), "pair 3-4 must share cluster 3")
+    assert(out.filter(_._3 == 1).map(_._1) === Seq(0L, 3L), "one keeper per cluster")
+  }
 }

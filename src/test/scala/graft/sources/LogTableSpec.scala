@@ -254,6 +254,48 @@ class LogTableSpec extends SparkSpec {
     assert(t.filesInRange("nope", 0L, 1L).size === 3)
   }
 
+  test("recluster tightens file ranges so readRange prunes out-of-order appends") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // interleaved appends: every file spans nearly the whole id domain
+    (0 until 4).foreach(i => t.append(df(i until 300 by 4).coalesce(1)))
+    assert(t.filesInRange("id", 40L, 60L).size === 4, "pre-recluster: nothing prunable")
+
+    val post = t.recluster("id", 3)
+    assert(post.operation === "recluster")
+    assert(post.files.size === 3)
+    // disjoint slabs: a narrow window now opens exactly one file
+    assert(t.filesInRange("id", 40L, 60L).size === 1)
+    // data unchanged, exactly
+    assert(t.readRange("id", 40L, 60L).as[Long].collect().sorted === (40L to 60L).toArray)
+    assert(t.read().count() === 300L)
+    assert(t.read().distinct().count() === 300L)
+  }
+
+  test("removeOrphans deletes only old unreferenced files") {
+    val t = freshTable()
+    t.append(df(0 until 20))
+    val live = t.snapshot().files.map(_.path)
+    // plant an orphan data file and a stale stage dir
+    val root = Paths.get(t.root)
+    val orphan = root.resolve("data").resolve("orphan.parquet")
+    Files.writeString(orphan, "junk")
+    val staleStage = root.resolve("stage-deadbeef")
+    Files.createDirectories(staleStage)
+    Files.writeString(staleStage.resolve("part.parquet"), "junk")
+
+    // cutoff in the past → nothing removed (protects in-flight writers)
+    assert(t.removeOrphans(olderThanMs = 0L).isEmpty)
+    assert(Files.exists(orphan))
+
+    // future cutoff → orphan + stage dir reclaimed, live files untouched
+    val removed = t.removeOrphans(olderThanMs = System.currentTimeMillis() + 60000L)
+    assert(removed === Seq(orphan.toString))
+    assert(!Files.exists(orphan) && !Files.exists(staleStage))
+    assert(live.forall(p => Files.exists(Paths.get(p))))
+    assert(t.read().count() === 20L)
+  }
+
   test("readChanges returns exactly the rows added between two versions") {
     val t = freshTable()
     t.append(df(0 until 10))   // v1
