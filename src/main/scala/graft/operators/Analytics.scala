@@ -296,6 +296,20 @@ object Analytics {
       .orderBy(col("event_type"), col("pos"))
   }
 
+  /** PERCENT_RANK window: the top price decile of parts within each
+    * brand. The per-brand ORDER BY includes the unique p_partkey, so
+    * ranks are tie-free and (rank-1)/(n-1) is the same single IEEE
+    * division in any engine. */
+  def qPercentRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    t(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.9)
+      .orderBy(col("p_brand"), col("pr"), col("p_partkey"))
+  }
+
   /** KLL/GK-sketch percentile (approx; rows-only + spec vs the exact
     * q_median). The 100 TB answer to exact per-group sorts. */
   def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
@@ -320,6 +334,7 @@ object Analytics {
     "q_setops" -> (qSetops _),
     "q_exists" -> (qExists _),
     "q_distinct_users" -> (qDistinctUsers _),
+    "q_percent_rank" -> (qPercentRank _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_sample" -> (qSample _),
@@ -447,6 +462,14 @@ object Analytics {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_percent_rank" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    percent_rank() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice, p_partkey) AS pr
+        |  FROM part)
+        |SELECT p_brand, p_partkey, p_retailprice, pr FROM r
+        |WHERE pr >= 0.9 ORDER BY p_brand, pr, p_partkey""".stripMargin,
     // q_approx_distinct: intentionally no oracle — HLL sketches are
     // engine-specific; driver records the rows-only check.
   )

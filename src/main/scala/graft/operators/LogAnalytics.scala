@@ -224,7 +224,26 @@ object LogAnalytics {
       .orderBy(col("hour"))
   }
 
+  /** Sketch-based top talkers: the 10 most active users via the
+    * Misra-Gries HeavyHitters aggregator with a 64-counter state —
+    * the query a 100 TB log table answers WITHOUT a counter per
+    * distinct user (contrast log_topk_users, the exact window
+    * formulation this is spec'd against). Bounded state rides the
+    * map-side partial agg; the shuffle carries at most 64 counters
+    * per partition. Approximate by contract → rows-only +
+    * HeavyHittersSpec (retention, error bound, sub-capacity
+    * exactness). */
+  def logHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir).select(col("user_id").cast("string")).as[String]
+      .select(new graft.functions.HeavyHitters(10, 64).toColumn.name("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).as("rank"),
+        col("col._1").as("user_id"), col("col._2").as("est_count"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "log_heavy_hitters" -> (logHeavyHitters _),
     "log_asof" -> (logAsof _),
     "log_anomaly" -> (logAnomaly _),
     "log_hourly_dense" -> (logHourlyDense _),

@@ -4,6 +4,8 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Similarity search over the `embeddings` table (Array[Float] column).
   *
   * Determinism: cosine ranking is done in an EXACT integer domain so the
@@ -254,6 +256,30 @@ object Similarity {
   def ivfIndex(s: SparkSession, dir: String, k: Int = 16, iters: Int = 1): Seq[(Int, Seq[Long])] =
     ivfCache.computeIfAbsent((dir, k, iters),
       _ => trainCentroids(quantized(s, dir), k, iters))
+
+  /** Persist a trained quantizer (one `cid:v1,v2,...` line per
+    * centroid — k×dim longs, bytes even at production k). A real
+    * deployment trains once, saves next to the corpus, and every
+    * query session loads instead of retraining. */
+  def ivfSave(index: Seq[(Int, Seq[Long])], path: String): Unit = {
+    val body = index.map { case (cid, v) => s"$cid:${v.mkString(",")}" }
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+  }
+
+  /** Load a persisted quantizer (inverse of [[ivfSave]]). */
+  def ivfLoad(path: String): Seq[(Int, Seq[Long])] =
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .asScala.filter(_.nonEmpty).map { line =>
+        val Array(cid, vs) = line.split(":", 2)
+        (cid.toInt, vs.split(",").toSeq.map(_.toLong))
+      }.toSeq
+
+  /** Seed the process cache with a loaded index: subsequent
+    * annIvf(dir, k, iters) calls probe it instead of training. */
+  def ivfWarm(dir: String, index: Seq[(Int, Seq[Long])],
+      k: Int = 16, iters: Int = 1): Unit =
+    ivfCache.put((dir, k, iters), index)
 
   /** IVF approximate top-k — the cluster-routed ANN scale path: a
     * coarse integer-exact quantizer routes each query to its `probes`

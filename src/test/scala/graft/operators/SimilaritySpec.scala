@@ -82,6 +82,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.nonEmpty && r1 === r2)
   }
 
+  test("ivfSave/ivfLoad: a persisted quantizer round-trips exactly and probes identically") {
+    val idx = Similarity.ivfIndex(spark, sfDir)
+    val p = Files.createTempDirectory("ivf_idx_").resolve("index.txt").toString
+    Similarity.ivfSave(idx, p)
+    val loaded = Similarity.ivfLoad(p)
+    assert(loaded === idx)
+    // warming a fresh corpus key with the loaded index makes annIvf
+    // probe it (no retrain) and reproduce the same neighbors
+    val before = Similarity.annIvf(spark, sfDir).collect().toSeq
+    Similarity.ivfWarm(sfDir, loaded)
+    val after = Similarity.annIvf(spark, sfDir).collect().toSeq
+    assert(before === after)
+  }
+
   test("ivfIndex: cached quantizer is identical to a fresh retrain") {
     // annIvf reuses the process-lifetime index cache (build once,
     // probe many) — this asserts the cache can't go stale: training is
