@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Lakehouse, LogAnalytics, MultiModal, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Lakehouse, LogAnalytics, MultiModal, Similarity, Skew, TextAnalysis}
 import graft.sources.Formats
 import graft.streaming.Streams
 
@@ -25,6 +25,7 @@ object SparkEntry {
       Lakehouse.queries ++
       Streams.queries ++
       MultiModal.queries ++
+      Skew.queries ++
       Formats.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
       Lakehouse.oracles ++
       Streams.oracles ++
       MultiModal.oracles ++
+      Skew.oracles ++
       Formats.oracles
 }

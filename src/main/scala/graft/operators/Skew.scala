@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for joins whose key distribution is pathological
@@ -35,4 +36,35 @@ object Skew {
       explode(sequence(lit(0L), lit(salts - 1L))))
     b.join(s, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** End-to-end salted-join query, hash-checked against the oracle's
+    * PLAIN join: the events fact table salted-joined 8 ways to a
+    * per-user dimension, then aggregated. Whatever the salt does to
+    * the physical shuffle, the logical result must equal an unsalted
+    * join — the oracle computes exactly that in DuckDB. */
+  def qSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val dim = ev.groupBy(col("user_id")).agg(min(col("event_id")).as("first_event"))
+    saltedJoin(ev, dim, "user_id", salts = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_id") === col("first_event"), 1).otherwise(0))
+          .cast("long").as("n_first"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted" -> (qSalted _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_salted" ->
+      """WITH dim AS (
+        |  SELECT user_id, min(event_id) AS first_event FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN event_id = first_event THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+        |FROM events JOIN dim USING (user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
 }

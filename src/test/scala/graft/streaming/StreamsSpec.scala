@@ -91,6 +91,28 @@ class StreamsSpec extends SparkSpec {
     assert(table.read().count() === expected)
   }
 
+  test("stream ingest composes with incremental reads: a consumer sees only new commits") {
+    val table = LogTable(spark,
+      Files.createTempDirectory("stream_incr_").toString)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // initial commit: even-user events, batch-shaped identically to
+    // what the stream will append
+    val batchShaped = shape(spark.read.schema(eventsSchema).parquet(eventsDir))
+    table.append(batchShaped.filter(col("user_id") % 2 === 0))
+    val consumerCursor = table.currentVersion
+    // continuous ingest lands the odd-user events after the cursor
+    val q = Streams.streamIngest(
+      eventsStream().filter(col("user_id") % 2 === 1),
+      table, Files.createTempDirectory("ckpt_incr").toString)
+    assert(q.awaitTermination(120000), "ingest did not finish in time")
+    // the incremental consumer reads EXACTLY what streamed in after
+    // its cursor — never the initial batch
+    val delta = table.readChanges(consumerCursor)
+    assert(delta.count() === batchShaped.filter(col("user_id") % 2 === 1).count())
+    assert(delta.filter(col("user_id") % 2 === 0).count() === 0L)
+    assert(table.read().count() === batchShaped.count())
+  }
+
   test("stream_window sliding: streamed 30m/15m windows equal the batch sliding query") {
     runToMemory(Streams.streamWindow(eventsStream(),
       dur = "30 minutes", slide = "15 minutes"), "ssl", "complete")
