@@ -186,6 +186,33 @@ final class LogTable private (val spark: SparkSession, val root: String,
       "n_files", "total_rows", "total_bytes")
   }
 
+  /** Per-file metadata table for a snapshot (Iceberg's `files`
+    * analog): path, row/byte counts, partition values, column ranges —
+    * manifest metadata only, no data I/O. The operational query
+    * surface for "is compaction due?", "how skewed are my file
+    * sizes?", "what does the manifest know about column X?". */
+  def filesTable(version: Long = currentVersion): DataFrame = {
+    val rows = snapshot(version).files.map { f =>
+      (f.path, f.rows, f.bytes,
+        f.partitions.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
+        f.ranges.toSeq.sortBy(_._1).map { case (k, (mn, mx)) => s"$k:[$mn,$mx]" }
+          .mkString(";"))
+    }
+    import spark.implicits._
+    rows.toDF("path", "rows", "bytes", "partition", "ranges")
+  }
+
+  /** Register this table's data and metadata as SQL views:
+    * `<name>` (current snapshot), `<name>_history`, `<name>_files` —
+    * the spark.sql surface an Iceberg user reaches with
+    * `table$history` / `table$files`. Views capture the snapshot at
+    * registration; re-register to observe newer commits. */
+  def registerViews(name: String): Unit = {
+    read().createOrReplaceTempView(name)
+    history().createOrReplaceTempView(s"${name}_history")
+    filesTable().createOrReplaceTempView(s"${name}_files")
+  }
+
   /** Empty DataFrame with the table's schema (from any data file, or
     * truly empty when no commit exists yet). */
   private def emptyLike(): DataFrame = {
@@ -449,6 +476,42 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** Two-dimensional Z-ORDER recluster (Delta OPTIMIZE ZORDER BY /
+    * Iceberg sort-order z-order): rewrite the table ordered along the
+    * Morton curve of (c1, c2) so each file covers a compact RECTANGLE of
+    * the 2-D key space — after which readRange prunes usefully on
+    * EITHER column, which no single-column sort can give. Both
+    * columns are min/max-normalized to 32-bit fixed point and their
+    * bits interleaved into one 64-bit z-value; normalization precision
+    * only shapes the layout, never the data (the z column is dropped
+    * before write). One range-partitioned shuffle, like recluster. */
+  def reclusterZ(c1: String, c2: String, nFiles: Int): Snapshot = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    withStaleRetry { () =>
+      val snap = snapshot()
+      if (snap.files.isEmpty) snap
+      else {
+        import org.apache.spark.sql.functions.{col, max, min}
+        val df = readFiles(snap.files)
+        val b = df.agg(min(col(c1)), max(col(c1)), min(col(c2)), max(col(c2))).head()
+        val z = LogTable.morton(
+          LogTable.norm32(col(c1), b.getLong(0), b.getLong(1)),
+          LogTable.norm32(col(c2), b.getLong(2), b.getLong(3)))
+        val rewritten = writeDataFiles(
+          df.withColumn("_z", z)
+            .repartitionByRange(nFiles, col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z"))
+        commitOrCleanup(rewritten, "recluster") { prev =>
+          val replaced = snap.files.map(_.path).toSet
+          val prevPaths = prev.files.map(_.path).toSet
+          if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+          prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
+        }
+      }
+    }
+  }
+
   /** Remove files a crashed writer left behind (Iceberg's
     * remove_orphan_files(older_than)): delete every file under data/
     * referenced by NO live manifest, plus stray stage-* directories —
@@ -645,6 +708,32 @@ object LogTable {
     val walk = Files.walk(p)
     try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     finally walk.close()
+  }
+
+  /** Min/max-normalize a numeric column to unsigned 32-bit fixed
+    * point (clustering precision only — the data itself is never
+    * transformed). */
+  private[sources] def norm32(c: org.apache.spark.sql.Column,
+      lo: Long, hi: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    if (hi == lo) lit(0L)
+    else ((c.cast("double") - lit(lo.toDouble)) / lit((hi - lo).toDouble) *
+      lit(4294967295.0)).cast("long")
+  }
+
+  /** 64-bit Morton interleave of two 32-bit values — plain shift/mask
+    * arithmetic, fully codegen'd (no UDF). */
+  private[sources] def morton(a32: org.apache.spark.sql.Column,
+      b32: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    def spread(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val s1 = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      val s4 = s3.bitwiseOR(shiftleft(s3, 2)).bitwiseAND(lit(0x3333333333333333L))
+      s4.bitwiseOR(shiftleft(s4, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a32).bitwiseOR(shiftleft(spread(b32), 1))
   }
 
   /** Control-flow signal: a compact/delete source file vanished from

@@ -29,6 +29,27 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT min(ts_us) FROM events").head().get(0).isInstanceOf[Long])
   }
 
+  test("registerViews exposes data + history + files metadata tables to SQL") {
+    import spark.implicits._
+    val t = LogTable(spark, Files.createTempDirectory("sql_meta_").toString)
+    t.append((0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    t.append((40 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    t.compact()
+    t.registerViews("lt")
+
+    assert(spark.sql("SELECT count(*) FROM lt").head().getLong(0) === 50L)
+    // history: 3 commits in order, operations visible to SQL
+    val ops = spark.sql("SELECT operation FROM lt_history ORDER BY version")
+      .as[String].collect().toSeq
+    assert(ops === Seq("append", "append", "compact"))
+    // files: manifest stats queryable — row counts must reconcile
+    val fileRows = spark.sql("SELECT sum(rows) FROM lt_files").head().getLong(0)
+    assert(fileRows === 50L)
+    // column ranges surfaced for skipping diagnostics
+    val ranges = spark.sql("SELECT ranges FROM lt_files").as[String].collect()
+    assert(ranges.forall(_.contains("id:[")), s"missing id range in ${ranges.toSeq}")
+  }
+
   test("a LogTable registers as a view and answers SQL across commits") {
     import spark.implicits._
     val t = LogTable(spark, Files.createTempDirectory("sql_table_").toString)

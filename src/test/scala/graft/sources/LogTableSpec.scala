@@ -272,6 +272,32 @@ class LogTableSpec extends SparkSpec {
     assert(t.read().distinct().count() === 300L)
   }
 
+  test("reclusterZ gives file-skipping on BOTH dimensions") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    // 30×30 grid scattered across 4 interleaved appends: every file
+    // spans the full range of both x and y
+    val grid = (0 until 900).map(i => (i.toLong % 30, i.toLong / 30))
+    (0 until 4).foreach { s =>
+      t.append(grid.zipWithIndex.collect { case ((x, y), i) if i % 4 == s => (x, y) }
+        .toDF("x", "y").coalesce(1))
+    }
+    assert(t.filesInRange("x", 0L, 3L).size === 4)
+    assert(t.filesInRange("y", 0L, 3L).size === 4)
+
+    val post = t.reclusterZ("x", "y", 4)
+    assert(post.operation === "recluster")
+    assert(post.files.size === 4)
+    // z-order files cover rectangles: a narrow window on EITHER
+    // column now skips files — impossible with a single-column sort
+    assert(t.filesInRange("x", 0L, 3L).size <= 2)
+    assert(t.filesInRange("y", 0L, 3L).size <= 2)
+    // data unchanged, and range reads stay exact
+    assert(t.read().count() === 900L)
+    assert(t.readRange("x", 5L, 5L).count() === 30L)
+    assert(t.readRange("y", 7L, 7L).count() === 30L)
+  }
+
   test("removeOrphans deletes only old unreferenced files") {
     val t = freshTable()
     t.append(df(0 until 20))
