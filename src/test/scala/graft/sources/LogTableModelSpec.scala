@@ -7,7 +7,8 @@ import java.nio.file.Files
 import scala.util.Random
 
 /** Model-based random walk over the lakehouse core: a seeded op
-  * sequence (append / delete / merge / compact / rollback / expire)
+  * sequence (append / delete / merge / compact / rollback / expire /
+  * recluster / age-expire, with readRange spot-checks)
   * runs against both the real LogTable and an in-memory model of
   * version → (id → value); after every op the table's visible rows
   * must equal the model's. This is what catches op INTERACTIONS
@@ -35,7 +36,7 @@ class LogTableModelSpec extends SparkSpec {
       else d.select("id", "v").as[(Long, String)].collect().toMap
 
     (0 until steps).foreach { step =>
-      rnd.nextInt(12) match {
+      rnd.nextInt(15) match {
         case 0 | 1 | 2 | 3 => // append a fresh batch
           val n = 1 + rnd.nextInt(20)
           val rows = (nextId until nextId + n).map(i => (i, s"a$step"))
@@ -80,6 +81,23 @@ class LogTableModelSpec extends SparkSpec {
             val got = rowsOf(t.timeTravel(v))
             assert(got == rows, s"step $step: timeTravel($v) diverged")
           }
+        case 12 => // recluster rewrites layout, never content
+          val pre = t.currentVersion
+          val s = t.recluster("id", 1 + rnd.nextInt(3))
+          if (s.version != pre) record(s.version, current)
+        case 13 => // stats-pruned range read must equal the model's filter
+          if (current.nonEmpty) {
+            val ids = current.keys.toSeq.sorted
+            val lo = ids(rnd.nextInt(ids.size))
+            val hi = lo + rnd.nextInt(40)
+            val got = rowsOf(t.readRange("id", lo, hi))
+            val want = current.filter { case (id, _) => id >= lo && id <= hi }
+            assert(got == want, s"step $step: readRange($lo,$hi) diverged")
+          }
+        case 14 => // age-based expiry: future cutoff == count-based expire
+          val keep = 1 + rnd.nextInt(3)
+          t.expireOlderThan(System.currentTimeMillis() + 60000L, keepLast = keep)
+          model = model.takeRight(keep)
       }
       val visible = rowsOf(t.read())
       assert(visible == current,
