@@ -122,6 +122,26 @@ object Streams {
     stream.withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming heavy hitters: the same bounded-state Misra-Gries
+    * aggregator the batch log_heavy_hitters query uses, folded over a
+    * stream — the "top talkers right now" dashboard feed. The sketch
+    * state (≤ capacity counters) IS the streaming state, merged
+    * per-batch by the same associative merge the batch shuffle uses,
+    * so stream and batch agree exactly whenever the key cardinality
+    * stays under capacity (StreamsSpec) and within the n/(c+1) bound
+    * otherwise. */
+  def streamHeavyHitters(stream: DataFrame, k: Int, capacity: Int): DataFrame = {
+    val sess = stream.sparkSession
+    import sess.implicits._
+    stream.select(col("user_id").cast("string")).as[String]
+      .groupByKey(_ => 0)
+      .agg(new graft.functions.HeavyHitters(k, capacity).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).as("rank"),
+        col("col._1").as("user_id"), col("col._2").as("est_count"))
+  }
+
   // ----------------------------------------------- stateful sessionization
 
   case class SessionEvent(user_id: Long, ts_us: Long)

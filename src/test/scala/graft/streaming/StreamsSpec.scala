@@ -188,6 +188,25 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("stream heavy hitters equals the exact batch top-k under capacity") {
+    runToMemory(
+      Streams.streamHeavyHitters(eventsStream(), k = 10, capacity = 4096),
+      "shh", "update")
+    // update-mode memory sink keeps one row set per micro-batch; the
+    // final estimate per user is the max (counts grow monotonically)
+    val streamed = spark.table("shh")
+      .groupBy(col("user_id")).agg(max(col("est_count")).as("est_count"))
+      .select("user_id", "est_count").as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(10)
+      .select(col("user_id").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+    // capacity 4096 >> distinct users at sf0.001 → sketch is exact:
+    // identical keys AND identical counts
+    assert(streamed === exact)
+  }
+
   test("stream_sessions: stateful sessionization equals batch lag-window sessions") {
     import Streams.{SessionEvent, SessionSummary}
     val evs = Tables.events(spark, sfDir)
