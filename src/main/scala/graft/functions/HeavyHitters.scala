@@ -43,11 +43,17 @@ final class HeavyHitters(k: Int, capacity: Int)
     })
 
   /** Decrement-all eviction: subtract the (capacity+1)-th largest
-    * count from every counter and drop the non-positive. */
+    * count from every counter and drop the non-positive. In reduce()
+    * the map only ever exceeds capacity by ONE, so the decrement is
+    * simply the minimum — O(capacity), no sort, keeping the per-row
+    * map-side hot path cheap; the sort only runs in merge(), where
+    * two full sketches combine. */
   private def compress(m: Map[String, Long]): Map[String, Long] =
     if (m.size <= capacity) m
     else {
-      val d = m.values.toIndexedSeq.sorted(Ordering[Long].reverse).apply(capacity)
+      val d =
+        if (m.size == capacity + 1) m.values.min
+        else m.values.toIndexedSeq.sorted(Ordering[Long].reverse).apply(capacity)
       m.collect { case (key, c) if c - d > 0 => key -> (c - d) }
     }
 
@@ -59,4 +65,17 @@ final class HeavyHitters(k: Int, capacity: Int)
     ExpressionEncoder[Map[String, Long]]()
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
     ExpressionEncoder[Seq[(String, Long)]]()
+}
+
+object HeavyHitters {
+  /** Unpack a sketch result column named `top` into one
+    * (rank, user_id, est_count) row per entry — shared by the batch
+    * query and the streaming variant so their output shapes can never
+    * drift apart (the stream==batch spec rests on that). */
+  def topToRows(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    df.select(posexplode(col("top")))
+      .select((col("pos") + 1).as("rank"),
+        col("col._1").as("user_id"), col("col._2").as("est_count"))
+  }
 }

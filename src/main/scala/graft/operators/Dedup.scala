@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   *  - SimHash: 64-bit fingerprints, banded into 16-bit chunks for
   *    hamming-neighbor blocking.
   *
-  * The corpus has no planted duplicates, so near-dup operators return
-  * the TOP-N most similar candidate pairs (always non-empty,
-  * deterministic order) rather than a thresholded set.
+  * The corpus plants true near-duplicates (top pairs sit at
+  * Jaccard ≈ 0.98-1.0, cleanly separated from the ≤0.02 background),
+  * so thresholded operators (dedupClusters at jacc ≥ 0.5) get a real
+  * positive set at every SF; the pair operators still return TOP-N
+  * most similar candidates (always non-empty, deterministic order) so
+  * their output is stable even where the threshold would be empty.
   */
 object Dedup {
 
@@ -135,8 +138,15 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 50
+    while (!converged) {
       rounds += 1
+      // propagation moves the min label one hop per round, so rounds
+      // track the largest component's diameter. A pathological chain
+      // longer than the cap must fail LOUDLY — returning the
+      // partially-propagated labels would silently split components.
+      if (rounds > maxRounds) throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxRounds rounds — component diameter exceeds the cap")
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("lbl").as("v_lbl")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("v_lbl")).as("nbr_lbl"))

@@ -235,11 +235,12 @@ object LogAnalytics {
     * exactness). */
   def logHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    ev(s, dir).select(col("user_id").cast("string")).as[String]
-      .select(new graft.functions.HeavyHitters(10, 64).toColumn.name("top"))
-      .select(posexplode(col("top")))
-      .select((col("pos") + 1).as("rank"),
-        col("col._1").as("user_id"), col("col._2").as("est_count"))
+    // bound to a val so the TYPED Dataset.select overload resolves —
+    // as a direct argument the expected DataFrame type makes scalac
+    // pick the untyped select, which rejects TypedColumns at runtime
+    val top = ev(s, dir).select(col("user_id").cast("string")).as[String]
+      .select(new graft.functions.HeavyHitters(10, 64).toColumn)
+    graft.functions.HeavyHitters.topToRows(top.toDF("top"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -125,14 +125,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * time-ordered log table at 100 TB this is what turns "last hour"
     * into a handful-of-files scan with zero data I/O spent planning. */
   def readRange(column: String, lo: Long, hi: Long): DataFrame = {
-    val keep = snapshot().files.filter(f =>
-      f.ranges.get(column) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true // no stats → cannot prune
-      })
+    val keep = filesInRange(column, lo, hi)
     import org.apache.spark.sql.functions.col
-    if (keep.isEmpty) emptyLike().filter(col(column) >= lo && col(column) <= hi)
-    else readFiles(keep).filter(col(column) >= lo && col(column) <= hi)
+    val base = if (keep.isEmpty) emptyLike() else readFiles(keep)
+    // a never-committed table has no schema to resolve the residual
+    // filter against — its empty frame is already the right answer;
+    // on a table WITH a schema a bad column name still fails loudly
+    if (base.columns.isEmpty) base
+    else base.filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** Files pruned-in by a [lo, hi] window on `column` — exposed so
@@ -417,6 +417,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
       else {
         val src = readFiles(affected)
         val cols = src.columns.toSeq
+        require(!cols.contains("_matched") && !cols.exists(_.startsWith("src_")),
+          "merge cannot target tables with a _matched or src_-prefixed column " +
+            "(they collide with the clause-evaluation markers)")
+        val updCols = updates.columns.toSet
         // source columns renamed src_<name> (key stays for the join);
         // _matched marks pairs (left join → null on unmatched targets)
         val renamed = updates.columns.foldLeft(updates) { (d, c) =>
@@ -430,8 +434,16 @@ final class LogTable private (val spark: SparkSession, val root: String,
           coalesce(matchedUpdateWhen.getOrElse(lit(true)), lit(false))
         val kept = joined.filter(!doDelete && !doUpdate)
           .select(cols.map(col): _*)
+        // updates may be NARROWER than the table (same contract as the
+        // pre-clause merge, where mergeSchema read absent columns as
+        // null on replaced rows): target columns missing from the
+        // source become typed nulls in the updated row.
         val updated = joined.filter(doUpdate)
-          .select(cols.map(c => (if (c == key) col(c) else col(s"src_$c")).as(c)): _*)
+          .select(cols.map { c =>
+            if (c == key) col(c)
+            else if (updCols.contains(c)) col(s"src_$c").as(c)
+            else lit(null).cast(src.schema(c).dataType).as(c)
+          }: _*)
         kept.unionByName(updated)
       }
     val rewritten =
@@ -710,19 +722,24 @@ object LogTable {
     finally walk.close()
   }
 
-  /** Min/max-normalize a numeric column to unsigned 32-bit fixed
-    * point (clustering precision only — the data itself is never
-    * transformed). */
+  /** Min/max-normalize a numeric column to 31-bit fixed point
+    * (clustering precision only — the data itself is never
+    * transformed). 31 bits, not 32: the interleaved z-value must stay
+    * NON-NEGATIVE in a signed long, or range partitioning would order
+    * the upper half of the domain before the lower and one output
+    * file would straddle the sign wrap, covering the extremes of both
+    * columns and defeating pruning. */
   private[sources] def norm32(c: org.apache.spark.sql.Column,
       lo: Long, hi: Long): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.lit
     if (hi == lo) lit(0L)
     else ((c.cast("double") - lit(lo.toDouble)) / lit((hi - lo).toDouble) *
-      lit(4294967295.0)).cast("long")
+      lit(2147483647.0)).cast("long")
   }
 
-  /** 64-bit Morton interleave of two 32-bit values — plain shift/mask
-    * arithmetic, fully codegen'd (no UDF). */
+  /** Morton interleave of two 31-bit values into a non-negative
+    * 62-bit z — plain shift/mask arithmetic, fully codegen'd (no
+    * UDF). */
   private[sources] def morton(a32: org.apache.spark.sql.Column,
       b32: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{lit, shiftleft}

@@ -133,13 +133,11 @@ object Streams {
   def streamHeavyHitters(stream: DataFrame, k: Int, capacity: Int): DataFrame = {
     val sess = stream.sparkSession
     import sess.implicits._
-    stream.select(col("user_id").cast("string")).as[String]
-      .groupByKey(_ => 0)
-      .agg(new graft.functions.HeavyHitters(k, capacity).toColumn.name("top"))
-      .toDF("g", "top")
-      .select(posexplode(col("top")))
-      .select((col("pos") + 1).as("rank"),
-        col("col._1").as("user_id"), col("col._2").as("est_count"))
+    graft.functions.HeavyHitters.topToRows(
+      stream.select(col("user_id").cast("string")).as[String]
+        .groupByKey(_ => 0)
+        .agg(new graft.functions.HeavyHitters(k, capacity).toColumn.name("top"))
+        .toDF("g", "top"))
   }
 
   // ----------------------------------------------- stateful sessionization

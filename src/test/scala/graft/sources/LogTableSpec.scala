@@ -169,6 +169,19 @@ class LogTableSpec extends SparkSpec {
     assert(t2.read().count() === 5L)
   }
 
+  test("merge accepts updates NARROWER than the table (missing columns become null)") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    t.append((0 until 10).map(i => (i.toLong, i * 2L, s"v$i")).toDF("id", "score", "v"))
+    // updates carry only (id, score) — no v column
+    t.merge((0 until 3).map(i => (i.toLong, 100L + i)).toDF("id", "score"), "id")
+    val rows = t.read().select("id", "score", "v")
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(rows.size === 10)
+    (0 until 3).foreach(i => assert(rows(i) === ((i.toLong, 100L + i, None))))
+    (3 until 10).foreach(i => assert(rows(i) === ((i.toLong, i * 2L, Some(s"v$i")))))
+  }
+
   test("merge conditional clauses: WHEN MATCHED AND cond THEN UPDATE / DELETE") {
     import org.apache.spark.sql.functions.col
     val t = freshTable()
@@ -252,6 +265,9 @@ class LogTableSpec extends SparkSpec {
     assert(t.readRange("id", 1000L, 2000L).count() === 0L)
     // a column with no recorded stats scans everything (conservative)
     assert(t.filesInRange("nope", 0L, 1L).size === 3)
+    // a never-committed table answers readRange with an empty frame
+    // instead of failing to resolve the column
+    assert(freshTable().readRange("id", 0L, 10L).count() === 0L)
   }
 
   test("recluster tightens file ranges so readRange prunes out-of-order appends") {
