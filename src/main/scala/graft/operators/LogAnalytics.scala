@@ -137,23 +137,22 @@ object LogAnalytics {
   }
 
   /** As-of join: each purchase event paired with the same user's most
-    * recent STRICTLY-prior click (null if none). Spark lacks a native
-    * as-of join; the scale-correct composition is a single user-keyed
-    * shuffle + in-partition sort + last(ignoreNulls) carry-forward
-    * window — never an O(n²) inequality join. One shuffle at 100 TB,
-    * partitioned by the high-cardinality user key. */
+    * recent STRICTLY-prior click (null if none) — built on the generic
+    * [[AsOf.asofJoin]] operator (single user-keyed shuffle +
+    * carry-forward window, never an O(n²) inequality join), so this
+    * DuckDB-hash-checked query doubles as the oracle gate for the
+    * general operator. "Strictly prior" is defined in the integer µs
+    * domain (RANGE frame to -1), so ties resolve identically in any
+    * engine. */
   def logAsof(s: SparkSession, dir: String): DataFrame = {
-    // RANGE frame ending at -1 µs: "strictly prior" is defined in the
-    // integer time domain, not row order, so µs ties resolve
-    // identically in any engine.
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    ev(s, dir)
-      .select(col("user_id"), col("ts_us"), col("event_type"),
-        when(col("event_type") === "click", col("ts_us")).as("click_ts"))
-      .withColumn("prev_click_ts_us", max(col("click_ts")).over(w))
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_us").as("purchase_ts_us"), col("prev_click_ts_us"))
+    val e = ev(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"))
+    AsOf.asofJoin(purchases, clicks, "user_id", "ts_us", "ts_us", strict = true)
+      .select(col("user_id"), col("ts_us").as("purchase_ts_us"),
+        col("r_ts_us").as("prev_click_ts_us"))
       .orderBy(col("user_id"), col("purchase_ts_us"))
   }
 
