@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Lakehouse, LogAnalytics, MultiModal, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Lakehouse, LogAnalytics, MultiModal, RangeJoin, Similarity, Skew, TextAnalysis}
 import graft.sources.Formats
 import graft.streaming.Streams
 
@@ -26,6 +26,7 @@ object SparkEntry {
       Streams.queries ++
       MultiModal.queries ++
       Skew.queries ++
+      RangeJoin.queries ++
       Formats.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
       Streams.oracles ++
       MultiModal.oracles ++
       Skew.oracles ++
+      RangeJoin.oracles ++
       Formats.oracles
 }

@@ -98,28 +98,21 @@ object LogAnalytics {
       .orderBy(col("event_type"), col("rnk"))
   }
 
-  /** Sessionization: a 30-minute inactivity gap starts a new session.
-    * lag + running-sum windows partitioned by user_id — the canonical
-    * distributed sessionizer (state is per-user, shuffle key is the
-    * user, so it scales linearly with users). */
-  def logSessions(s: SparkSession, dir: String): DataFrame = {
-    val gapUs = 1800L * 1000000L
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val flagged = ev(s, dir)
-      .select(col("user_id"), col("event_id"), col("ts_us"))
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1)
-          .otherwise(0))
-      .withColumn("sess",
-        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    flagged
-      .groupBy(col("user_id"), col("sess"))
+  /** Sessionization: a 30-minute inactivity gap starts a new session
+    * — built on the generic [[Sessionize.assign]] operator (per-user
+    * lag + running-sum windows, shuffle keyed by the user, linear in
+    * users), so this DuckDB-hash-checked query doubles as the oracle
+    * gate for the general operator. */
+  def logSessions(s: SparkSession, dir: String): DataFrame =
+    Sessionize.assign(
+        ev(s, dir).select(col("user_id"), col("event_id"), col("ts_us")),
+        "user_id", "ts_us", gapUs = 1800L * 1000000L,
+        tieBreak = Seq("event_id"))
+      .groupBy(col("user_id"), col("session"))
       .agg(count(lit(1)).as("n_events"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
       .orderBy(col("user_id"))
-  }
 
   /** Signup→purchase conversion funnel via conditional aggregation
     * (one shuffle on user_id; no self-join). */
