@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Lakehouse, LogAnalytics, MultiModal, RangeJoin, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Lakehouse, LogAnalytics, MultiModal, Pipeline, RangeJoin, Similarity, Skew, TextAnalysis}
 import graft.sources.Formats
 import graft.streaming.Streams
 
@@ -27,6 +27,7 @@ object SparkEntry {
       MultiModal.queries ++
       Skew.queries ++
       RangeJoin.queries ++
+      Pipeline.queries ++
       Formats.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +45,6 @@ object SparkEntry {
       MultiModal.oracles ++
       Skew.oracles ++
       RangeJoin.oracles ++
+      Pipeline.oracles ++
       Formats.oracles
 }

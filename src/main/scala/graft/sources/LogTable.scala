@@ -105,6 +105,20 @@ final class LogTable private (val spark: SparkSession, val root: String,
     else readFiles(snap.files)
   }
 
+  /** Timestamp time travel (Iceberg `FOR SYSTEM_TIME AS OF ts` / the
+    * reference's "query the table as of 10 minutes ago"): read the
+    * latest snapshot committed at or before `tsMs`. Throws if the
+    * table has no snapshot that old (same contract as Iceberg — the
+    * history before the first commit, or expired history, cannot be
+    * reconstructed). */
+  def timeTravelAsOf(tsMs: Long): DataFrame = {
+    val v = versions.filter(v => snapshot(v).timestampMs <= tsMs)
+    require(v.nonEmpty,
+      s"no snapshot committed at or before $tsMs (oldest retained: " +
+        s"${versions.headOption.map(snapshot(_).timestampMs).getOrElse("none")})")
+    timeTravel(v.max)
+  }
+
   /** Partition-pruned scan: keep only the files whose manifest
     * partition values satisfy `pred` — pruning runs on manifest
     * metadata only, no data or directory I/O (Iceberg's manifest

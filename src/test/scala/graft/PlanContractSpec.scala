@@ -58,6 +58,20 @@ class PlanContractSpec extends SparkSpec {
     assert(!scan.contains("lang") && !scan.contains("n_chars"))
   }
 
+  test("log_asof: the as-of composition is one window pass — NO join of any kind") {
+    val p = plan("log_asof")
+    assert(count(p, "Join") === 0,
+      "as-of must be union+window, never an inequality join")
+    assert(p.contains("Window"))
+  }
+
+  test("q_interval: the range join is a hash equi-join on bins, never a nested loop") {
+    val p = plan("q_interval")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0,
+      "interval containment must not plan as a nested-loop theta join")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
   test("contamination: the eval-gram set joins broadcast; the training side never sort-merges") {
     val p = plan("contamination")
     assert(count(p, "BroadcastHashJoin") >= 1,

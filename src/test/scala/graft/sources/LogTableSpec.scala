@@ -42,6 +42,22 @@ class LogTableSpec extends SparkSpec {
     assert(t.read().count() === t.timeTravel(t.currentVersion).count())
   }
 
+  test("timeTravelAsOf reads the latest snapshot at or before a timestamp") {
+    val t = freshTable()
+    t.append(df(0 until 5))
+    val ts1 = t.snapshot(1L).timestampMs
+    t.append(df(5 until 9))
+    val ts2 = t.snapshot(2L).timestampMs
+
+    assert(t.timeTravelAsOf(ts1).count() === 5L)
+    // between the two commits (when distinguishable) → still snapshot 1
+    if (ts2 > ts1) assert(t.timeTravelAsOf(ts2 - 1).count() === 5L)
+    assert(t.timeTravelAsOf(ts2).count() === 9L)
+    assert(t.timeTravelAsOf(System.currentTimeMillis() + 60000L).count() === 9L)
+    // before the first commit: history cannot be reconstructed
+    intercept[IllegalArgumentException](t.timeTravelAsOf(ts1 - 1))
+  }
+
   test("compact preserves data, reduces files, keeps old snapshots readable") {
     val t = freshTable()
     (0 until 4).foreach(i => t.append(df(i * 10 until (i + 1) * 10).repartition(2)))
