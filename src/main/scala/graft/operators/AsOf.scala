@@ -26,7 +26,13 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** Left rows + `r_<col>` columns of the as-of matched right row
-    * (null when no prior right row exists for the key). */
+    * (null when no prior right row exists for the key).
+    *
+    * DETERMINISM PRECONDITION: right rows must be unique per
+    * (key, rightTime) — when two right rows tie on the same instant,
+    * which one is carried depends on physical row order and can flip
+    * between runs. Dedup the right side (or fold ties into one row)
+    * before joining, exactly as with any engine's ASOF JOIN. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, strict: Boolean = false,
       rightPrefix: String = "r_"): DataFrame = {
@@ -34,6 +40,9 @@ object AsOf {
     val rightPayload = right.columns.toSeq.filterNot(_ == key)
     require(!leftCols.exists(c => rightPayload.map(rightPrefix + _).contains(c)),
       s"left already has a ${rightPrefix}-prefixed output column; pass a different rightPrefix")
+    val markers = Set("_t", "_is_l", "_lrow", "_rpay", "_asof")
+    require(!(leftCols ++ right.columns).exists(markers.contains) && !markers.contains(key),
+      "inputs use a reserved asofJoin marker column (_t, _is_l, _lrow, _rpay, _asof); rename it first")
 
     // one interleaved stream: left rows carry their payload, right rows
     // carry theirs; `_is_l` breaks time ties so a same-instant right row

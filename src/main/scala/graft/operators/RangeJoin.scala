@@ -31,13 +31,20 @@ object RangeJoin {
     require(bin >= 1, "bin must be >= 1")
     require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
       "inputs already have a _bin column; rename it before pointInInterval")
-    // empty intervals ([s, s)) cover no bins: sequence(a, b) needs
-    // a <= b, so floor((end-1)/bin) < floor(start/bin) must be guarded
+    // backtick-quoted identifiers: a column named `a-b` or `evt.ts`
+    // spliced raw into expr() would parse as arithmetic/field access
+    // and silently mis-bin
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
+    // integer `div` (exact — a double `/` + cast could mis-bin near
+    // integer boundaries at µs magnitudes); trunc-division is monotone,
+    // which is all binning needs
     val iv = intervals
+      // empty intervals ([s, s)) cover no bins: sequence(a, b) needs
+      // a <= b, so floor((end-1)/bin) < floor(start/bin) must be guarded
       .filter(col(endCol) > col(startCol))
       .withColumn("_bin", explode(sequence(
-        expr(s"$startCol div $bin"), expr(s"($endCol - 1) div $bin"))))
-    val pt = points.withColumn("_bin", expr(s"$ptCol div $bin"))
+        expr(s"${q(startCol)} div $bin"), expr(s"(${q(endCol)} - 1) div $bin"))))
+    val pt = points.withColumn("_bin", expr(s"${q(ptCol)} div $bin"))
     pt.join(iv, Seq("_bin"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("_bin")
@@ -52,18 +59,15 @@ object RangeJoin {
     * exactly 1-2 bins. */
   def qInterval(s: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600000000L
-    val e = Tables.events(s, dir)
-    val hourly = e
-      .groupBy(expr(s"(ts_us div $hourUs) * $hourUs").as("hour_us"))
-      .agg(count(lit(1)).as("n"))
-    val spikes = hourly
-      .withColumn("total", sum(col("n")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .withColumn("n_hours", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .filter(col("n") * col("n_hours") > col("total") * 2)
-      .select(col("hour_us").as("start_us"), (col("hour_us") + hourUs).as("end_us"))
-    val purchases = e.filter(col("event_type") === "purchase")
+    // ONE spike definition: the intervals are derived from
+    // LogAnalytics.logAnomaly (its own oracle row gates the rule), so
+    // the anomaly threshold can never silently fork between the two
+    // queries.
+    val spikes = LogAnalytics.logAnomaly(s, dir)
+      .select(unix_micros(col("hour")).as("start_us"),
+        (unix_micros(col("hour")) + hourUs).as("end_us"))
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
       .select(col("ts_us"), col("value"))
     pointInInterval(purchases, "ts_us", spikes, "start_us", "end_us", bin = hourUs)
       .groupBy(timestamp_micros(col("start_us")).as("spike_hour"))

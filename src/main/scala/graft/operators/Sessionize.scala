@@ -21,6 +21,8 @@ object Sessionize {
     require(gapUs >= 0, "gapUs must be >= 0")
     require(!df.columns.contains("_new_sess"),
       "input already has a _new_sess column; rename it before assign")
+    require(!df.columns.contains("session"),
+      "input already has a session column — assign would silently clobber it; rename it first")
     val order = (timeCol +: tieBreak).map(col)
     val w = Window.partitionBy(col(key)).orderBy(order: _*)
     df.withColumn("_new_sess",

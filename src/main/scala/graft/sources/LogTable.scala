@@ -434,7 +434,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
         require(!cols.contains("_matched") && !cols.exists(_.startsWith("src_")),
           "merge cannot target tables with a _matched or src_-prefixed column " +
             "(they collide with the clause-evaluation markers)")
-        val updCols = updates.columns.toSet
+        require(!updates.columns.contains("_matched") &&
+            !updates.columns.exists(_.startsWith("src_")),
+          "merge updates cannot carry a _matched or src_-prefixed column " +
+            "(the rename to src_<name> would collide)")
+        // case-INSENSITIVE membership, matching Spark's default column
+        // resolution — a target `Score` must find updates column `score`
+        // or the matched row would be silently nulled instead of updated
+        val updCols = updates.columns.map(_.toLowerCase).toSet
         // source columns renamed src_<name> (key stays for the join);
         // _matched marks pairs (left join → null on unmatched targets)
         val renamed = updates.columns.foldLeft(updates) { (d, c) =>
@@ -455,7 +462,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         val updated = joined.filter(doUpdate)
           .select(cols.map { c =>
             if (c == key) col(c)
-            else if (updCols.contains(c)) col(s"src_$c").as(c)
+            else if (updCols.contains(c.toLowerCase)) col(s"src_$c").as(c)
             else lit(null).cast(src.schema(c).dataType).as(c)
           }: _*)
         kept.unionByName(updated)
