@@ -43,7 +43,7 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
   * Design (SURVEY.md §3): the table's visible state is defined ONLY by
   * a versioned manifest `_graft_log/v{NNNNN}.manifest.json` listing
   * every data file of that snapshot. A commit writes the new manifest
-  * to a temp name and atomically renames it into place; readers load
+  * to a temp name and atomically hard-links it into place; readers load
   * `spark.read.parquet(files: _*)` from one manifest and NEVER list
   * the data directory. This yields, exactly as Iceberg's
   * snapshot+manifest design does:
@@ -51,9 +51,10 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
   *  - atomic multi-file appends (readers see all files of a commit or
   *    none — no dir-listing races with in-flight writers);
   *  - snapshot isolation + time travel (old manifests stay readable);
-  *  - optimistic concurrency (rename collision → reload state, retry
+  *  - optimistic concurrency (version collision → reload state, retry
   *    with the next version number — the loser never clobbers the
-  *    winner because rename-without-replace is atomic on the FS);
+  *    winner because link(2) is atomic create-or-fail; rename(2) would
+  *    silently REPLACE and lose the winner's commit);
   *  - safe compaction (a replacing commit; concurrent readers of the
   *    old snapshot keep their file list until `expire` reclaims it).
   *
@@ -62,7 +63,7 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
   * a concrete file list, so partition pruning / pushdown behave as any
   * parquet scan; appends are O(new files); compaction is first-fit
   * bin-packing over manifest metadata and rewrites ONLY small files,
-  * never a global sort. On a real object store the atomic rename
+  * never a global sort. On a real object store the atomic publish
   * becomes the catalog's compare-and-swap — isolated behind commit().
   */
 final class LogTable private (val spark: SparkSession, val root: String,
@@ -104,6 +105,55 @@ final class LogTable private (val spark: SparkSession, val root: String,
     if (snap.files.isEmpty) emptyLike()
     else readFiles(snap.files)
   }
+
+  /** Pin a NAMED REF to a snapshot version (Iceberg tags: `prod`,
+    * `audit-2024Q1`, ...) — the handle an operational deployment hands
+    * to consumers instead of raw version numbers. Refs are immutable
+    * once created (atomic create-or-fail, like commits); re-pointing a
+    * name means deleting and re-creating it. The referenced snapshot
+    * is NOT protected from expire — drop refs before expiring their
+    * versions, as with Iceberg. */
+  def createRef(name: String, version: Long = currentVersion): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid ref name '$name'")
+    require(versions.contains(version), s"cannot tag unknown version $version")
+    val tmp = logDir.resolve(s"tmp-ref-${UUID.randomUUID()}")
+    Files.writeString(tmp, version.toString)
+    // hard-link publish: atomic create-or-fail (rename would silently
+    // replace an existing ref — see commit())
+    try {
+      Files.createLink(logDir.resolve(s"ref-$name"), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(s"ref '$name' already exists (refs are immutable; dropRef first)")
+    }
+  }
+
+  /** Resolve a named ref to its pinned version (error if absent). */
+  def refVersion(name: String): Long = {
+    val p = logDir.resolve(s"ref-$name")
+    require(Files.exists(p), s"no such ref '$name'")
+    Files.readString(p).trim.toLong
+  }
+
+  /** All named refs, (name, version), sorted by name. */
+  def refs: Seq[(String, Long)] = {
+    if (!Files.isDirectory(logDir)) return Nil
+    val ls = Files.list(logDir)
+    try ls.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("ref-")).map { p =>
+        p.getFileName.toString.stripPrefix("ref-") -> Files.readString(p).trim.toLong
+      }.toSeq.sortBy(_._1)
+    finally ls.close()
+  }
+
+  /** Read the snapshot a named ref pins. */
+  def readRef(name: String): DataFrame = timeTravel(refVersion(name))
+
+  /** Remove a named ref (the snapshot itself is untouched). */
+  def dropRef(name: String): Unit =
+    Files.deleteIfExists(logDir.resolve(s"ref-$name"))
 
   /** Timestamp time travel (Iceberg `FOR SYSTEM_TIME AS OF ts` / the
     * reference's "query the table as of 10 minutes ago"): read the
@@ -670,8 +720,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
 
   /** Optimistic-concurrency commit: build the next snapshot's file list
     * from the CURRENT one, write the manifest to a temp name, and
-    * atomically rename to v{next}. Rename collision = another writer
-    * won that version → re-read state and retry on top of it. */
+    * atomically hard-link it to v{next}. Link collision = another
+    * writer won that version → re-read state and retry on top of it. */
   private def commit(operation: String, tag: String = "")(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
@@ -683,9 +733,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val tmp = logDir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
       Files.writeString(tmp, renderManifest(next))
       try {
-        // ATOMIC_MOVE without REPLACE_EXISTING: fails (atomically) if a
-        // concurrent committer already claimed this version number.
-        Files.move(tmp, manifestPath(logDir, next.version), StandardCopyOption.ATOMIC_MOVE)
+        // Publish via HARD LINK, not rename: on Linux, Files.move with
+        // ATOMIC_MOVE maps to rename(2), which silently REPLACES an
+        // existing target — a concurrent committer's already-published
+        // manifest would be clobbered and its commit lost. link(2) is
+        // the atomic create-or-fail primitive: the full content is
+        // visible the instant the name exists, and a version collision
+        // throws instead of overwriting the winner.
+        Files.createLink(manifestPath(logDir, next.version), tmp)
+        Files.deleteIfExists(tmp)
         return next
       } catch {
         case _: FileAlreadyExistsException => Files.deleteIfExists(tmp) // lost the race; retry

@@ -61,6 +61,28 @@ class LogTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.timeTravelAsOf(ts1 - 1))
   }
 
+  test("named refs pin snapshots: immutable, resolvable, droppable") {
+    val t = freshTable()
+    t.append(df(0 until 5))
+    t.createRef("prod") // defaults to current version (1)
+    t.append(df(5 until 9))
+    t.createRef("staging", 2L)
+
+    assert(t.refs === Seq("prod" -> 1L, "staging" -> 2L))
+    assert(t.readRef("prod").count() === 5L)
+    assert(t.readRef("staging").count() === 9L)
+    // refs are immutable — re-pointing requires drop + create
+    intercept[IllegalStateException](t.createRef("prod", 2L))
+    t.dropRef("prod")
+    t.createRef("prod", 2L)
+    assert(t.readRef("prod").count() === 9L)
+    // unknown version / unknown ref fail loudly
+    intercept[IllegalArgumentException](t.createRef("bad", 99L))
+    intercept[IllegalArgumentException](t.refVersion("nope"))
+    // a manifest-pattern collision is impossible: refs live as ref-*
+    assert(t.versions === Seq(1L, 2L))
+  }
+
   test("compact preserves data, reduces files, keeps old snapshots readable") {
     val t = freshTable()
     (0 until 4).foreach(i => t.append(df(i * 10 until (i + 1) * 10).repartition(2)))
@@ -463,18 +485,24 @@ class LogTableSpec extends SparkSpec {
     assert(t.timeTravel(1L).columns.toSet === Set("id"))
   }
 
-  test("concurrent appends all land (optimistic rename-commit retry)") {
+  test("concurrent appends all land (optimistic link-commit retry)") {
+    // the publish primitive must be CREATE-or-fail: on Linux a rename
+    // (Files.move ATOMIC_MOVE → rename(2)) silently REPLACES an
+    // existing manifest, so a version collision would LOSE the
+    // winner's commit without any error — 8 racing writers make that
+    // loss observable as missing rows/versions
     val t = freshTable()
-    val pool = Executors.newFixedThreadPool(4)
+    val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val futures = (0 until 4).map { i =>
+    val futures = (0 until 8).map { i =>
       Future(t.append(df(i * 100 until i * 100 + 50)))
     }
     Await.result(Future.sequence(futures), 120.seconds)
     pool.shutdown()
-    assert(t.currentVersion === 4L)
-    assert(t.read().count() === 200L)
-    assert(t.read().distinct().count() === 200L)
+    assert(t.currentVersion === 8L)
+    assert(t.versions === (1L to 8L))
+    assert(t.read().count() === 400L)
+    assert(t.read().distinct().count() === 400L)
   }
 
   test("compact racing appends loses no rows (the classic lakehouse race)") {
