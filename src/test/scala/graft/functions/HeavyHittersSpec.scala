@@ -51,6 +51,35 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("property: never overcounts, bounded undercount, heavy keys retained (20 seeds)") {
+    (1 to 20).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val cap = 8 + rnd.nextInt(57) // 8..64
+      val agg = mg(cap, cap)
+      val nHot = 1 + rnd.nextInt(3)
+      val hotReps = 200 + rnd.nextInt(400)
+      val noise = (0 until 300 + rnd.nextInt(700)).map(i => s"n${rnd.nextInt(200)}")
+      val stream = rnd.shuffle(
+        (0 until nHot).flatMap(h => Seq.fill(hotReps)(s"hot$h")) ++ noise)
+      val n = stream.size
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // random split-and-merge tree exercises the merge path too
+      val (l, r) = stream.splitAt(rnd.nextInt(n + 1))
+      val st = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      val bound = n.toLong / (cap + 1)
+      st.foreach { case (k, est) =>
+        assert(est <= truth(k), s"seed=$seed overcount: $k est=$est true=${truth(k)}")
+        assert(est >= truth(k) - bound,
+          s"seed=$seed undercount beyond bound: $k est=$est true=${truth(k)} bound=$bound")
+      }
+      truth.filter(_._2 > bound).keys.foreach { k =>
+        assert(st.contains(k), s"seed=$seed heavy key $k (true=${truth(k)} > $bound) evicted")
+      }
+    }
+  }
+
   test("log_heavy_hitters: distributed sketch agrees with the exact corpus top users") {
     val sketch = graft.operators.LogAnalytics.logHeavyHitters(spark, sfDir)
       .select("user_id").as[String].collect().toSeq

@@ -355,6 +355,20 @@ class LogTableSpec extends SparkSpec {
     assert(t.readRange("y", 7L, 7L).count() === 30L)
   }
 
+  test("morton z-values are injective and non-negative over random 31-bit pairs") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(3)
+    val pairs = Seq.fill(5000)(
+      (rnd.nextInt(Int.MaxValue).toLong, rnd.nextInt(Int.MaxValue).toLong)).distinct
+    val rows = pairs.toDF("a", "b")
+      .select(LogTable.morton(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    // non-negative: the sign-bit wrap regression (31-bit normalization)
+    assert(rows.forall(_ >= 0L), "a z-value landed in the sign bit")
+    // injective: distinct pairs → distinct z (bit interleave loses nothing)
+    assert(rows.distinct.length === pairs.length)
+  }
+
   test("removeOrphans deletes only old unreferenced files") {
     val t = freshTable()
     t.append(df(0 until 20))
