@@ -111,6 +111,37 @@ object Streams {
       streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** Watermarked STREAM-STREAM inner join — the attribution shape
+    * (each purchase joined to the same user's clicks in the preceding
+    * `within` window) over two live streams. Both sides carry a
+    * watermark and the join condition carries an explicit event-time
+    * bound, which is exactly what lets Spark EVICT state: a buffered
+    * click older than watermark+within can never match a future
+    * purchase and is dropped, so state is bounded by the time window ×
+    * arrival rate, never by stream history — the only state story that
+    * survives a continuous 100 TB/day feed. Without the time bound the
+    * join would be rejected (unbounded state), and that rejection is
+    * the right default at scale.
+    *
+    * Inputs are any frames shaped (event_time, user_id[, value]);
+    * StreamsSpec proves stream == batch inequality join on identical
+    * input. */
+  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame,
+      within: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("event_time").as("purchase_time"), col("value"))
+      .withWatermark("purchase_time", watermark)
+    c.join(p, expr(
+        s"""c_user = p_user AND
+           |purchase_time >= click_time AND
+           |purchase_time <= click_time + interval $within""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_time"),
+        col("purchase_time"), col("value"))
+  }
+
   /** Streaming exact dedup: drop rows whose key was already seen
     * within the watermark horizon — the ingest-time dedup stage of a
     * training-data pipeline. State is bounded BY the watermark (keys

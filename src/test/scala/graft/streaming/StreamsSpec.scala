@@ -188,6 +188,27 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("stream_join: watermarked stream-stream join equals the batch interval join") {
+    val clicks = eventsStream().filter(col("event_type") === "click")
+    val purchases = eventsStream().filter(col("event_type") === "purchase")
+    runToMemory(Streams.streamStreamJoin(clicks, purchases), "ssj", "append")
+    val key = Seq("user_id", "click_time", "purchase_time", "value")
+    val streamed = spark.table("ssj").orderBy(key.head, key.tail: _*)
+      .collect().toSeq
+    val ev = Streams.eventsShaped(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("event_time").as("ct"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_time").as("pt"), col("value"))
+    val batch = c.join(p, col("u") === col("pu") &&
+        col("pt") >= col("ct") &&
+        col("pt") <= col("ct") + expr("interval 30 minutes"))
+      .select(col("u").as("user_id"), col("ct").as("click_time"),
+        col("pt").as("purchase_time"), col("value"))
+      .orderBy(key.head, key.tail: _*).collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("stream heavy hitters equals the exact batch top-k under capacity") {
     runToMemory(
       Streams.streamHeavyHitters(eventsStream(), k = 10, capacity = 4096),
