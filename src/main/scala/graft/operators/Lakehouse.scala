@@ -131,6 +131,38 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** Full-clause-surface MERGE roundtrip, adding WHEN NOT MATCHED BY
+    * SOURCE THEN DELETE (ANSI/Delta parity — the sync shape "rows that
+    * vanished from the source feed age out"): matched 'error' rows are
+    * deleted, matched 'click' rows take the update, other matched rows
+    * stay, re-keyed rows insert, and UNMATCHED 'view' rows are swept
+    * out by the not-matched-by-source clause. Oracle = the same clause
+    * algebra in UNION ALL set arithmetic; a clause bleeding into the
+    * wrong row population breaks the hash. */
+  def lakeMerge3(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_merge3_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    (0 until 2).foreach { i =>
+      table.append(ev.filter(pmod(col("event_id"), lit(2)) === i))
+    }
+    val updates = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+      .withColumn("value", col("value") + 1000.0)
+      .unionByName(ev.filter(pmod(col("event_id"), lit(17)) === 0)
+        .withColumn("event_id", col("event_id") + 10000000L))
+    table.merge(updates, "event_id",
+      matchedUpdateWhen = Some(col("event_type") === "click"),
+      matchedDeleteWhen = Some(col("event_type") === "error"),
+      notMatchedBySourceDelete = Some(col("event_type") === "view"))
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Column-stats file-skipping roundtrip: ingest events range-
     * partitioned on the time axis (so committed files carry disjoint
     * ts_us [min, max] ranges in the manifest), then answer a 10-day
@@ -183,6 +215,7 @@ object Lakehouse {
     "lake_pruned" -> (lakePruned _),
     "lake_merge" -> (lakeMerge _),
     "lake_merge2" -> (lakeMerge2 _),
+    "lake_merge3" -> (lakeMerge3 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -213,6 +246,21 @@ object Lakehouse {
     "lake_merge2" ->
       """WITH merged AS (
         |  SELECT event_type, value FROM events WHERE event_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 5 = 0 AND event_type NOT IN ('click', 'error')
+        |  UNION ALL
+        |  SELECT event_type, value + 1000.0 FROM events
+        |  WHERE event_id % 5 = 0 AND event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_type, value FROM events WHERE event_id % 17 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_merge3" ->
+      """WITH merged AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 5 <> 0 AND event_type <> 'view'
         |  UNION ALL
         |  SELECT event_type, value FROM events
         |  WHERE event_id % 5 = 0 AND event_type NOT IN ('click', 'error')

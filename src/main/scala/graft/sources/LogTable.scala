@@ -67,12 +67,14 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
   * becomes the catalog's compare-and-swap — isolated behind commit().
   */
 final class LogTable private (val spark: SparkSession, val root: String,
-    val partitionBy: Seq[String]) {
+    val partitionBy: Seq[String], logSubdir: String) {
   import LogTable._
 
   private val rootPath = Paths.get(root)
   private val dataDir = rootPath.resolve("data")
-  private val logDir = rootPath.resolve(ManifestDir)
+  private val mainLogDir = rootPath.resolve(ManifestDir)
+  private val logDir = rootPath.resolve(logSubdir)
+  private def isBranchHandle: Boolean = logSubdir != ManifestDir
 
   // ---------------------------------------------------------------- reads
 
@@ -154,6 +156,96 @@ final class LogTable private (val spark: SparkSession, val root: String,
   /** Remove a named ref (the snapshot itself is untouched). */
   def dropRef(name: String): Unit =
     Files.deleteIfExists(logDir.resolve(s"ref-$name"))
+
+  // ------------------------------------------------- branches (WAP)
+
+  /** Create a WRITABLE BRANCH at the current snapshot (Iceberg
+    * branches / the write-audit-publish pattern): the branch starts
+    * with main's current file list and then evolves its OWN manifest
+    * lineage under `_graft_log/branch-<name>/`. Writers append /
+    * delete / merge / compact on the branch handle with the full
+    * commit machinery while main's readers see NOTHING — then an
+    * audit reads the branch, and [[fastForward]] publishes it to main
+    * atomically. Data files are shared (branch commits write into the
+    * same data/ pool), so branching is O(1) metadata, as in Iceberg.
+    * Branch creation is atomic create-or-fail, like commits. */
+  def createBranch(name: String): LogTable = {
+    require(!isBranchHandle, "cannot branch from a branch (single-level, as Iceberg)")
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name '$name'")
+    val bdir = logDir.resolve(s"branch-$name")
+    Files.createDirectories(bdir)
+    // base manifest v1 = main's current files; tag records the main
+    // version the branch forked from (the fast-forward precondition).
+    val base = Snapshot(1L, 0L, "branch", System.currentTimeMillis(),
+      snapshot().files, s"base-v$currentVersion")
+    val tmp = bdir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
+    Files.writeString(tmp, renderManifest(base))
+    try {
+      Files.createLink(manifestPath(bdir, 1L), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(s"branch '$name' already exists")
+    }
+    branch(name)
+  }
+
+  /** Handle to an existing branch: a full LogTable over the branch's
+    * manifest lineage — every read/write/maintenance operation works,
+    * isolated from main. */
+  def branch(name: String): LogTable = {
+    require(!isBranchHandle, "cannot open a branch from a branch")
+    require(Files.exists(logDir.resolve(s"branch-$name").resolve(
+      f"v${1L}%05d.manifest.json")), s"no such branch '$name'")
+    new LogTable(spark, root, partitionBy, s"$ManifestDir/branch-$name")
+  }
+
+  /** All branch names, sorted. */
+  def branches: Seq[String] = {
+    if (!Files.isDirectory(mainLogDir)) return Nil
+    val ls = Files.list(mainLogDir)
+    try ls.iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).filter(_.startsWith("branch-"))
+      .map(_.stripPrefix("branch-")).toSeq.sorted
+    finally ls.close()
+  }
+
+  /** PUBLISH a branch to main (Iceberg fast-forward — the "P" of
+    * write-audit-publish): main atomically adopts the branch head's
+    * file list as one new commit. Precondition, checked INSIDE the
+    * commit retry loop so it is race-free: main must not have advanced
+    * past the branch's fork point — if it has, the branch's view no
+    * longer contains main's newer commits and fast-forwarding would
+    * silently drop them; the caller must re-branch and replay (same
+    * contract as Iceberg's fast_forward). The branch stays intact;
+    * drop it when done. */
+  def fastForward(name: String): Snapshot = {
+    require(!isBranchHandle, "fast-forward publishes TO main; call on the main handle")
+    val b = branch(name)
+    val baseVersion = {
+      val t = b.snapshot(1L).tag
+      require(t.startsWith("base-v"), s"branch '$name' has no fork-point record")
+      t.stripPrefix("base-v").toLong
+    }
+    val head = b.snapshot()
+    commit("publish") { prev =>
+      if (prev.version != baseVersion)
+        throw new IllegalStateException(
+          s"main advanced to v${prev.version} since branch '$name' forked at " +
+            s"v$baseVersion — re-branch and replay instead of dropping main's commits")
+      head.files
+    }
+  }
+
+  /** Delete a branch's manifest lineage. Data files referenced only by
+    * the branch become orphans, reclaimed by the age-guarded
+    * [[removeOrphans]] — never immediately, so in-flight branch readers
+    * finish their scans. */
+  def dropBranch(name: String): Unit = {
+    require(!isBranchHandle, "drop branches from the main handle")
+    LogTable.deleteRecursively(logDir.resolve(s"branch-$name"))
+  }
 
   /** Timestamp time travel (Iceberg `FOR SYSTEM_TIME AS OF ts` / the
     * reference's "query the table as of 10 minutes ago"): read the
@@ -424,40 +516,53 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
-  /** Copy-on-write MERGE by key — Iceberg's
+  /** Copy-on-write MERGE by key — the full ANSI/Delta/Spark-3.4+
+    * clause surface over the reference's table
+    * (reference README.md:125-140 — the "arbitrary SQL" surface a
+    * Trino/Iceberg user of the reference's table reaches for):
     * `MERGE INTO t USING s ON t.key = s.key
     *    WHEN MATCHED AND <deleteWhen> THEN DELETE
     *    WHEN MATCHED AND <updateWhen> THEN UPDATE SET *
-    *    WHEN NOT MATCHED THEN INSERT *`
-    * (reference README.md:125-140 — the "arbitrary SQL" surface a
-    * Trino/Iceberg user of the reference's table reaches for).
+    *    WHEN NOT MATCHED THEN INSERT *
+    *    WHEN NOT MATCHED BY SOURCE AND <cond> THEN DELETE`
     *
     * Clause semantics, evaluated per matched (target, source) pair in
-    * Iceberg's clause order:
+    * clause order:
     *   1. `matchedDeleteWhen` true  → target row removed;
     *   2. else `matchedUpdateWhen` true (None = always) → target row
     *      REPLACED by the source row;
     *   3. else → target row kept unchanged.
     * Source rows whose key matches nothing are inserted; matched source
-    * rows are never inserted (they act via clause 2 only). NULL
-    * conditions are false (SQL three-valued logic).
+    * rows are never inserted (they act via clause 2 only). Target rows
+    * with NO source match are deleted when `notMatchedBySourceDelete`
+    * is true for them (the retention/sync shape: "rows that vanished
+    * from the source feed age out of the table"). NULL conditions are
+    * false (SQL three-valued logic).
     *
-    * Conditions may reference BOTH sides: target columns by name,
-    * source columns as `src_<name>` (e.g.
-    * `col("value") < col("src_value")`). Keys must be unique in
-    * `updates` — multiple source matches per target row are ambiguous
-    * (Iceberg raises; here the join would duplicate target rows).
+    * Matched-clause conditions may reference BOTH sides: target
+    * columns by name, source columns as `src_<name>` (e.g.
+    * `col("value") < col("src_value")`); the not-matched-by-source
+    * condition sees target columns only (there is no source row).
+    * Keys must be unique in `updates` — multiple source matches per
+    * target row are ambiguous (Iceberg raises; here the join would
+    * duplicate target rows).
     *
-    * COW: only files containing matched keys are rewritten (one
-    * distributed input_file_name pass finds them, as delete). */
+    * COW: only files containing matched keys — plus, when the
+    * not-matched-by-source clause is present, files containing rows it
+    * deletes — are rewritten (distributed input_file_name passes find
+    * both sets, as delete). */
   def merge(updates: DataFrame, key: String,
       matchedUpdateWhen: Option[org.apache.spark.sql.Column] = None,
-      matchedDeleteWhen: Option[org.apache.spark.sql.Column] = None): Snapshot =
-    withStaleRetry { () => mergeOnce(updates, key, matchedUpdateWhen, matchedDeleteWhen) }
+      matchedDeleteWhen: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None): Snapshot =
+    withStaleRetry { () =>
+      mergeOnce(updates, key, matchedUpdateWhen, matchedDeleteWhen,
+        notMatchedBySourceDelete) }
 
   private def mergeOnce(updates: DataFrame, key: String,
       matchedUpdateWhen: Option[org.apache.spark.sql.Column],
-      matchedDeleteWhen: Option[org.apache.spark.sql.Column]): Snapshot = {
+      matchedDeleteWhen: Option[org.apache.spark.sql.Column],
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column]): Snapshot = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
     val snap = snapshot()
     if (snap.files.isEmpty) return append(updates)
@@ -470,7 +575,21 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val hit = tagged.join(keys, Seq(key), "left_semi")
       .select(col("_file")).distinct()
       .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
-    val affected = snap.files.filter(f => hit.contains(f.path))
+    // the not-matched-by-source clause widens the rewrite set to files
+    // holding unmatched rows it deletes (still planned distributed, on
+    // file names only — never a data collect)
+    val nmbsHit = notMatchedBySourceDelete match {
+      case None => Set.empty[String]
+      case Some(cond) =>
+        readFiles(snap.files)
+          .withColumn("_file", input_file_name())
+          .join(keys, Seq(key), "left_anti")
+          .filter(coalesce(cond, lit(false)))
+          .select(col("_file")).distinct()
+          .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
+    }
+    val affected = snap.files.filter(f =>
+      hit.contains(f.path) || nmbsHit.contains(f.path))
     // Matched keys live only in affected files — the anti-join source
     // for WHEN NOT MATCHED THEN INSERT scans just those.
     val inserts =
@@ -503,7 +622,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
           coalesce(matchedDeleteWhen.getOrElse(lit(false)), lit(false))
         val doUpdate = matched && !doDelete &&
           coalesce(matchedUpdateWhen.getOrElse(lit(true)), lit(false))
-        val kept = joined.filter(!doDelete && !doUpdate)
+        val doNmbsDelete = !matched &&
+          coalesce(notMatchedBySourceDelete.getOrElse(lit(false)), lit(false))
+        val kept = joined.filter(!doDelete && !doUpdate && !doNmbsDelete)
           .select(cols.map(col): _*)
         // updates may be NARROWER than the table (same contract as the
         // pre-clause merge, where mergeSchema read absent columns as
@@ -603,7 +724,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * manifest commits, and vacuuming its fresh files would break the
     * commit. Returns the deleted data-file paths. */
   def removeOrphans(olderThanMs: Long = System.currentTimeMillis() - 3600000L): Seq[String] = {
-    val live = versions.flatMap(v => snapshot(v).files.map(_.path)).toSet
+    val live = allLiveFiles()
     val walk = Files.walk(dataDir)
     val candidates = try walk.iterator().asScala
       .filter(Files.isRegularFile(_)).toSeq finally walk.close()
@@ -664,12 +785,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
       drop.foreach(m => Files.deleteIfExists(m._2))
       // Re-list AFTER the drop so commits that landed concurrently
       // (e.g. a rollback that read its source manifest in time) pin
-      // their files as live. A commit landing between this re-list
+      // their files as live. The live set spans main AND every branch —
+      // a branch still referencing an expired main snapshot's files
+      // keeps them on disk. A commit landing between this re-list
       // and the deletes below is the residual TOCTOU a plain FS
       // cannot close — a real catalog serializes expire-vs-commit;
       // run expire from the maintenance role, as with Iceberg.
-      val live = listManifests(logDir)
-        .flatMap(m => readManifest(m._2).files.map(_.path)).toSet
+      val live = allLiveFiles()
       val dead = dropped.flatMap(_.files.map(_.path))
         .distinct.filterNot(live.contains)
       dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
@@ -678,6 +800,23 @@ final class LogTable private (val spark: SparkSession, val root: String,
       drop.foreach { case (v, _) => snapCache.remove(v) }
     }
     snapshot()
+  }
+
+  /** Paths referenced by ANY live manifest of the whole table — the
+    * main lineage and every branch. The reclamation floor for expire
+    * and removeOrphans: a file a branch still references stays live
+    * even when main's lineage no longer lists it (and vice versa). */
+  private def allLiveFiles(): Set[String] = {
+    val branchDirs =
+      if (!Files.isDirectory(mainLogDir)) Nil
+      else {
+        val ls = Files.list(mainLogDir)
+        try ls.iterator().asScala.filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("branch-")).toSeq
+        finally ls.close()
+      }
+    (mainLogDir +: branchDirs).flatMap(d =>
+      listManifests(d).flatMap(m => readManifest(m._2).files.map(_.path))).toSet
   }
 
   // ------------------------------------------------------------ internals
@@ -843,7 +982,7 @@ object LogTable {
       partitionBy: Seq[String] = Nil): LogTable = {
     Files.createDirectories(Paths.get(root).resolve("data"))
     Files.createDirectories(Paths.get(root).resolve(ManifestDir))
-    new LogTable(spark, root, partitionBy)
+    new LogTable(spark, root, partitionBy, ManifestDir)
   }
 
   private def manifestPath(logDir: Path, version: Long): Path =

@@ -253,6 +253,91 @@ class LogTableSpec extends SparkSpec {
     assert(t.timeTravel(preVersion).count() === 20L)
   }
 
+  test("merge NOT MATCHED BY SOURCE deletes unmatched rows, COW scope widens only to hit files") {
+    val t = freshTable()
+    t.append(df(0 until 10).coalesce(1))    // file A: matched keys live here
+    t.append(df(100 until 110).coalesce(1)) // file B: no matched keys, NMBS rows
+    t.append(df(200 until 210).coalesce(1)) // file C: untouched by either clause
+    val untouched = t.snapshot().files.map(_.path).toSet
+    t.merge(df(5 until 7), "id",
+      notMatchedBySourceDelete = Some($"id" >= 105 && $"id" < 110))
+    val got = t.read().as[Int].collect().toSet
+    val want = (0 until 10).toSet ++ (100 until 105).toSet ++ (200 until 210).toSet
+    assert(got === want)
+    // file C contained no matched key and no NMBS-deleted row → kept by
+    // identity; files A and B were rewritten
+    val after = t.snapshot().files.map(_.path).toSet
+    val surviving = untouched.intersect(after)
+    assert(surviving.size === 1, s"exactly file C should survive, got $surviving")
+    assert(t.timeTravel(3L).count() === 30L, "prior snapshot keeps deleted rows")
+    // NULL condition rows are NOT deleted (three-valued logic)
+    val t2 = freshTable()
+    t2.append(Seq((1, Some(1)), (2, None: Option[Int])).toDF("id", "v"))
+    t2.merge(Seq((3, 3)).toDF("id", "v"), "id",
+      notMatchedBySourceDelete = Some($"v" > 0))
+    // (1,1) matches v>0 → deleted; (2,NULL) has a NULL predicate → kept
+    assert(t2.read().select("id").as[Int].collect().toSet === Set(2, 3),
+      "null-predicate unmatched row must survive; true-predicate row must not")
+  }
+
+  test("branch write-audit-publish: isolated writes, atomic fast-forward") {
+    val t = freshTable()
+    t.append(df(0 until 10))
+    val b = t.createBranch("audit")
+    assert(t.branches === Seq("audit"))
+    // write: lands on the branch only
+    b.append(df(10 until 25))
+    assert(b.read().count() === 25L)
+    assert(t.read().count() === 10L, "main must not see branch writes")
+    // branch supports the full op surface, still invisible to main
+    b.delete($"id" === 10)
+    assert(b.read().count() === 24L)
+    assert(t.read().count() === 10L)
+    // audit passed → publish: main adopts the branch head atomically
+    val pub = t.fastForward("audit")
+    assert(pub.operation === "publish")
+    assert(t.read().count() === 24L)
+    assert(t.read().as[Long].collect().toSet === ((0 until 25).toSet - 10).map(_.toLong))
+    // time travel still sees pre-publish main
+    assert(t.timeTravel(1L).count() === 10L)
+    t.dropBranch("audit")
+    assert(t.branches.isEmpty)
+  }
+
+  test("fast-forward refuses to drop main commits that landed after the fork") {
+    val t = freshTable()
+    t.append(df(0 until 5))
+    val b = t.createBranch("wap")
+    b.append(df(100 until 110))
+    t.append(df(5 until 8)) // main advances past the fork point
+    val e = intercept[IllegalStateException] { t.fastForward("wap") }
+    assert(e.getMessage.contains("advanced"))
+    assert(t.read().count() === 8L, "failed publish must not change main")
+    // branches are immutable-by-name: re-branching needs a fresh name
+    intercept[IllegalStateException] { t.createBranch("wap") }
+  }
+
+  test("branch files survive main expire and vacuum until the branch drops") {
+    val t = freshTable()
+    t.append(df(0 until 10))
+    val b = t.createBranch("keep")
+    b.append(df(10 until 20))
+    // main rewrites everything away from the fork-point files...
+    t.delete($"id" >= 0)
+    t.expire(keepLast = 1)
+    // ...and vacuums with no age guard: branch-referenced files must live
+    t.removeOrphans(olderThanMs = System.currentTimeMillis() + 60000L)
+    assert(b.read().count() === 20L,
+      "branch must still read after main expire + vacuum")
+    assert(t.read().count() === 0L)
+    // dropping the branch orphans its files; vacuum then reclaims them
+    val branchPaths = b.snapshot().files.map(_.path)
+    t.dropBranch("keep")
+    val removed = t.removeOrphans(olderThanMs = System.currentTimeMillis() + 60000L)
+    assert(branchPaths.forall(removed.contains),
+      s"dropped-branch files should be vacuumed: $branchPaths vs $removed")
+  }
+
   test("expireOlderThan combines age and retain-last") {
     val t = freshTable()
     t.append(df(0 until 5))  // v1
