@@ -294,8 +294,33 @@ object Dedup {
       .limit(50)
   }
 
+  /** Substring-dedup census (the window pass of "Deduplicating
+    * Training Data Makes Language Models Better"-style pipelines):
+    * every 10-word sliding window of every doc, counted across the
+    * corpus; windows repeated in ≥2 DISTINCT docs are boilerplate /
+    * near-dup evidence. Output = top-20 hottest windows. One explode +
+    * one hash agg, the wordcount shape: map-side partial aggregation
+    * collapses each partition to its distinct windows before the
+    * shuffle, so the exchange is O(distinct windows) per partition —
+    * at 100 TB the heavy hitters (the rows this query exists to find)
+    * combine hardest. Docs shorter than the window contribute their
+    * whole text as one window (clamped slice, matching the oracle). */
+  def windowCensus(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(docs(s, dir))
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(1, size(ws) - 9)), " +
+          "i -> array_join(slice(ws, i, 10), ' '))")).as("win"))
+      .groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_total"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_total").desc, col("win"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
+    "dedup_windows" -> (windowCensus _),
     "dedup_ngram" -> (ngramJaccard _),
     "dedup_minhash" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -307,6 +332,19 @@ object Dedup {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // range(1, n) is EXCLUSIVE of n ↔ Spark sequence(1, n-1) inclusive;
+    // list_slice clamps at the list end exactly as Spark's slice.
+    "dedup_windows" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), i, i + 9), ' ') AS win
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(1,
+        |      greatest(2, len(string_split(text, ' ')) - 8))) AS i)
+        |)
+        |SELECT win, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
+        |FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_total DESC, win LIMIT 20""".stripMargin,
     "dedup_ngram" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -187,6 +187,25 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** String-stats point-lookup roundtrip: ingest events, recluster on
+    * the event_type column (each rewritten file then covers a compact
+    * lexical slab and the manifest records its string [min, max]), and
+    * answer `event_type = 'purchase'` through readRangeStr — the scan
+    * opens only the files whose bounds contain 'purchase'
+    * (LogTableSpec asserts the skip), the residual filter keeps it
+    * exact, and the aggregate hash-matches DuckDB's WHERE. The
+    * dictionary-column analog of lake_skipped's time-axis pruning. */
+  def lakePoint(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_point_").toString
+    val table = LogTable(s, tmp)
+    table.append(Tables.events(s, dir))
+    table.recluster("event_type", 5)
+    table.readRangeStr("event_type", "purchase", "purchase")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+  }
+
   /** Incremental-read roundtrip: 3 appends, then consume the changelog
     * BETWEEN the first and third commits via readChanges — exactly the
     * rows of appends 2 and 3, hash-matched against the oracle's
@@ -216,6 +235,7 @@ object Lakehouse {
     "lake_merge" -> (lakeMerge _),
     "lake_merge2" -> (lakeMerge2 _),
     "lake_merge3" -> (lakeMerge3 _),
+    "lake_point" -> (lakePoint _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -257,6 +277,10 @@ object Lakehouse {
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_point" ->
+      """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "lake_merge3" ->
       """WITH merged AS (
         |  SELECT event_type, value FROM events

@@ -132,6 +132,36 @@ object TextAnalysis {
         lit(1.0) - col("n_distinct").cast("double") / col("n_words"))
       .orderBy(col("doc_id"))
 
+  /** Per-document top keyword by TF-IDF — the keyword-extraction /
+    * quality-weighting pass of a curation pipeline. The score is an
+    * INTEGER-DOMAIN surrogate, tf × ⌊1e6·N/df⌋ (per-doc length
+    * normalization drops out of an argmax within a document), so the
+    * ranking is engine-exact — no ln() whose last-ulp behavior would
+    * differ between libm implementations and break the oracle hash.
+    * Shape at 100 TB: tf is a map-side-combined (doc, term) count; df
+    * is an O(vocabulary) census that BROADCASTS to the tf side (the
+    * vocab is MBs when terms are real words); the only wide exchange
+    * is the per-doc window for the argmax. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docsSpread(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = words.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = words.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr("(1000000 * n) div df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (langid _),
     "text_quality" -> (quality _),
@@ -140,6 +170,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _),
     "text_vocab" -> (vocab _),
     "text_repetition" -> (repetition _),
+    "text_tfidf" -> (tfidf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -192,6 +223,20 @@ object TextAnalysis {
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    "text_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, term, tf, df, tf * ((1000000 * n) // df) AS score
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(score AS BIGINT) AS score
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH pw AS (
         |  SELECT doc_id, word, count(*) AS c

@@ -18,10 +18,16 @@ import scala.jdk.CollectionConverters._
   * per-column [min, max] for the file's INT64 columns, lifted from the
   * parquet footer at commit time (zero extra data passes) — Iceberg's
   * column-stats file skipping: a time-range scan drops whole files
-  * whose [min, max] misses the predicate window. */
+  * whose [min, max] misses the predicate window. `strRanges` is the
+  * same for STRING columns (recorded only when the file's bounds are
+  * pure-ASCII and ≤64 bytes, where parquet's unsigned-byte order and
+  * Java's string order agree — longer/non-ASCII bounds are simply not
+  * recorded, which degrades to "scan the file", never to a wrong
+  * skip). */
 final case class DataFile(path: String, rows: Long, bytes: Long,
     partitions: Map[String, String] = Map.empty,
-    ranges: Map[String, (Long, Long)] = Map.empty)
+    ranges: Map[String, (Long, Long)] = Map.empty,
+    strRanges: Map[String, (String, String)] = Map.empty)
 
 /** One committed snapshot: the COMPLETE list of data files visible at
   * `version`, plus commit metadata. `tag` is an optional idempotence
@@ -300,6 +306,30 @@ final class LogTable private (val spark: SparkSession, val root: String,
         case None => true
       })
 
+  /** [[readRange]] for STRING columns: rows with `column` in the
+    * CLOSED lexical interval [lo, hi], opening only files whose
+    * manifest string bounds overlap it. A dictionary-ish log column
+    * (op name, event type, language, ...) clustered by recluster()
+    * prunes to the few files holding the wanted values; files without
+    * recorded bounds are conservatively scanned and the residual
+    * filter keeps the result exact either way. Point lookups are
+    * `readRangeStr(c, v, v)`. */
+  def readRangeStr(column: String, lo: String, hi: String): DataFrame = {
+    val keep = filesInRangeStr(column, lo, hi)
+    import org.apache.spark.sql.functions.col
+    val base = if (keep.isEmpty) emptyLike() else readFiles(keep)
+    if (base.columns.isEmpty) base
+    else base.filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Files pruned-in by a lexical [lo, hi] window on string `column`. */
+  def filesInRangeStr(column: String, lo: String, hi: String): Seq[DataFile] =
+    snapshot().files.filter(f =>
+      f.strRanges.get(column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      })
+
   /** Incremental read (Iceberg's incremental append scan): the rows
     * ADDED between `fromVersion` (exclusive) and `toVersion`
     * (inclusive) — i.e. the data files present in `toVersion` but not
@@ -351,7 +381,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val rows = snapshot(version).files.map { f =>
       (f.path, f.rows, f.bytes,
         f.partitions.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
-        f.ranges.toSeq.sortBy(_._1).map { case (k, (mn, mx)) => s"$k:[$mn,$mx]" }
+        (f.ranges.toSeq.sortBy(_._1).map { case (k, (mn, mx)) => s"$k:[$mn,$mx]" } ++
+          f.strRanges.toSeq.sortBy(_._1).map { case (k, (mn, mx)) => s"$k:[$mn,$mx]" })
           .mkString(";"))
     }
     import spark.implicits._
@@ -849,8 +880,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       Files.createDirectories(destDir)
       val dest = destDir.resolve(s"${UUID.randomUUID()}.parquet")
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      val (rows, ranges) = parquetFooterMeta(dest)
-      DataFile(dest.toString, rows, Files.size(dest), partVals, ranges)
+      val (rows, ranges, strRanges) = parquetFooterMeta(dest)
+      DataFile(dest.toString, rows, Files.size(dest), partVals, ranges, strRanges)
     }
     // best-effort cleanup of the staging dir (_SUCCESS, .crc files)
     LogTable.deleteRecursively(stage)
@@ -891,16 +922,20 @@ final class LogTable private (val spark: SparkSession, val root: String,
 
   /** One footer read per committed file: exact row count plus
     * per-column [min, max] for INT64 columns (the time/id axes a log
-    * table prunes on). A column's range is recorded only when every
-    * row group has non-null statistics for it — a missing range means
-    * "cannot prune", never "no rows match". */
-  private def parquetFooterMeta(p: Path): (Long, Map[String, (Long, Long)]) = {
+    * table prunes on) and for STRING columns (the dictionary-ish axes:
+    * op name, event type, language). A column's range is recorded only
+    * when every row group has non-null statistics for it — a missing
+    * range means "cannot prune", never "no rows match". String bounds
+    * are kept only when pure-ASCII and ≤64 bytes, where parquet's
+    * unsigned-byte comparator and Java's string order provably agree. */
+  private def parquetFooterMeta(p: Path):
+      (Long, Map[String, (Long, Long)], Map[String, (String, String)]) = {
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT32, INT64}
       val perBlock: Seq[Map[String, (Long, Long)]] = blocks.map { b =>
         b.getColumns.asScala.flatMap { c =>
           val tpe = c.getPrimitiveType.getPrimitiveTypeName
@@ -913,14 +948,34 @@ final class LogTable private (val spark: SparkSession, val root: String,
           else None
         }.toMap
       }
+      def asciiBounded(s: String): Boolean =
+        s.length <= 64 && s.forall(_ < 128)
+      val perBlockStr: Seq[Map[String, (String, String)]] = blocks.map { b =>
+        b.getColumns.asScala.flatMap { c =>
+          val isString = c.getPrimitiveType.getPrimitiveTypeName == BINARY &&
+            c.getPrimitiveType.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          val st = c.getStatistics
+          if (isString && st != null && st.hasNonNullValue && c.getPath.size() == 1) {
+            val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8
+            val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8
+            if (asciiBounded(mn) && asciiBounded(mx))
+              Some(c.getPath.toDotString -> (mn, mx))
+            else None
+          } else None
+        }.toMap
+      }
       // intersect: keep columns with stats in EVERY block, fold ranges
-      val ranges =
-        if (perBlock.isEmpty) Map.empty[String, (Long, Long)]
-        else perBlock.map(_.keySet).reduce(_ & _).map { k =>
-          val rs = perBlock.map(_(k))
+      def fold[T](per: Seq[Map[String, (T, T)]])(implicit ord: Ordering[T]):
+          Map[String, (T, T)] =
+        if (per.isEmpty) Map.empty
+        else per.map(_.keySet).reduce(_ & _).map { k =>
+          val rs = per.map(_(k))
           k -> (rs.map(_._1).min, rs.map(_._2).max)
         }.toMap
-      (reader.getRecordCount, ranges)
+      (reader.getRecordCount, fold(perBlock), fold(perBlockStr))
     } finally reader.close()
   }
 }
@@ -1024,6 +1079,12 @@ object LogTable {
           val a = rn.putArray(k); a.add(mn); a.add(mx)
         }
       }
+      if (f.strRanges.nonEmpty) {
+        val rn = fn.putObject("strRanges")
+        f.strRanges.toSeq.sortBy(_._1).foreach { case (k, (mn, mx)) =>
+          val a = rn.putArray(k); a.add(mn); a.add(mx)
+        }
+      }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
@@ -1039,8 +1100,13 @@ object LogTable {
           e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
         }.toMap
       }.getOrElse(Map.empty[String, (Long, Long)])
+      val strRanges = Option(f.get("strRanges")).map { rn =>
+        rn.fields().asScala.map { e =>
+          e.getKey -> (e.getValue.get(0).asText(), e.getValue.get(1).asText())
+        }.toMap
+      }.getOrElse(Map.empty[String, (String, String)])
       DataFile(f.get("path").asText(), f.get("rows").asLong(),
-        f.get("bytes").asLong(), parts, ranges)
+        f.get("bytes").asLong(), parts, ranges, strRanges)
     }.toSeq
     Snapshot(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("operation").asText(), n.get("timestampMs").asLong(), files,

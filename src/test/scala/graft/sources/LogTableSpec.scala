@@ -396,6 +396,34 @@ class LogTableSpec extends SparkSpec {
     assert(freshTable().readRange("id", 0L, 10L).count() === 0L)
   }
 
+  test("readRangeStr skips files by manifest STRING stats, result stays exact") {
+    val t = freshTable()
+    // three appends with disjoint string domains → disjoint bounds
+    Seq("alpha" -> 10, "mike" -> 20, "zulu" -> 30).foreach { case (p, n) =>
+      t.append((0 until n).map(i => (s"$p-$i", i)).toDF("name", "v").coalesce(1))
+    }
+    assert(t.snapshot().files.forall(_.strRanges.contains("name")),
+      "string bounds should be recorded for the name column")
+    // point-ish lookup in the middle slab opens ONLY that file
+    val hit = t.filesInRangeStr("name", "mike", "mike~")
+    assert(hit.size === 1, s"expected 1 file pruned in, got ${hit.size}")
+    val got = t.readRangeStr("name", "mike", "mike~").count()
+    assert(got === 20L)
+    // miss window between slabs opens nothing
+    assert(t.filesInRangeStr("name", "beta", "lima").isEmpty)
+    assert(t.readRangeStr("name", "beta", "lima").count() === 0L)
+    // full window equals a plain filter
+    assert(t.readRangeStr("name", "a", "zz").count() === t.read().count())
+    // non-ASCII values: file gets NO bounds for the column → it is
+    // conservatively scanned, never wrongly skipped
+    val before = t.snapshot().files.map(_.path).toSet
+    t.append(Seq(("émile", 1), ("ümlaut", 2)).toDF("name", "v").coalesce(1))
+    val last = t.snapshot().files.filterNot(f => before.contains(f.path)).head
+    assert(!last.strRanges.contains("name"),
+      "non-ASCII bounds must not be recorded")
+    assert(t.readRangeStr("name", "é", "ü~").count() === 2L)
+  }
+
   test("recluster tightens file ranges so readRange prunes out-of-order appends") {
     import org.apache.spark.sql.functions.col
     val t = freshTable()
