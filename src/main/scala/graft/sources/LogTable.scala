@@ -389,15 +389,34 @@ final class LogTable private (val spark: SparkSession, val root: String,
     rows.toDF("path", "rows", "bytes", "partition", "ranges")
   }
 
+  /** Per-partition metadata rollup (Iceberg's `partitions` metadata
+    * table): file/row/byte totals per partition tuple, from manifest
+    * metadata only — the "which partitions are bloated / skewed /
+    * compaction-due?" operational query, O(#files) driver work and
+    * zero data I/O. One row with an empty partition string on
+    * unpartitioned tables. */
+  def partitionsTable(version: Long = currentVersion): DataFrame = {
+    val rows = snapshot(version).files
+      .groupBy(_.partitions).toSeq
+      .map { case (p, fs) =>
+        (p.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
+          fs.size.toLong, fs.map(_.rows).sum, fs.map(_.bytes).sum)
+      }.sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("partition", "n_files", "total_rows", "total_bytes")
+  }
+
   /** Register this table's data and metadata as SQL views:
-    * `<name>` (current snapshot), `<name>_history`, `<name>_files` —
-    * the spark.sql surface an Iceberg user reaches with
-    * `table$history` / `table$files`. Views capture the snapshot at
-    * registration; re-register to observe newer commits. */
+    * `<name>` (current snapshot), `<name>_history`, `<name>_files`,
+    * `<name>_partitions` — the spark.sql surface an Iceberg user
+    * reaches with `table$history` / `table$files` / `table$partitions`.
+    * Views capture the snapshot at registration; re-register to
+    * observe newer commits. */
   def registerViews(name: String): Unit = {
     read().createOrReplaceTempView(name)
     history().createOrReplaceTempView(s"${name}_history")
     filesTable().createOrReplaceTempView(s"${name}_files")
+    partitionsTable().createOrReplaceTempView(s"${name}_partitions")
   }
 
   /** Empty DataFrame with the table's schema (from any data file, or
@@ -540,6 +559,51 @@ final class LogTable private (val spark: SparkSession, val root: String,
         condition, org.apache.spark.sql.functions.lit(false)))
     val rewritten = writeDataFiles(keepRows)
     commitOrCleanup(rewritten, "delete") { prev =>
+      val replaced = affected.map(_.path).toSet
+      val prevPaths = prev.files.map(_.path).toSet
+      if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+      prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
+    }
+  }
+
+  /** Copy-on-write row-level UPDATE (Iceberg/Delta
+    * `UPDATE t SET c = expr, ... WHERE cond`): one distributed pass
+    * finds the files containing condition-true rows (file names only),
+    * ONLY those files are rewritten with `sets` applied to their
+    * matching rows, and a replacing snapshot commits. Set expressions
+    * may reference any of the row's columns and are cast to the
+    * column's existing type (no silent schema drift); NULL conditions
+    * leave the row unchanged (SQL three-valued logic). Prior snapshots
+    * still read the pre-update rows. */
+  def update(condition: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column]): Snapshot =
+    withStaleRetry { () => updateOnce(condition, sets) }
+
+  private def updateOnce(condition: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column]): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    require(sets.nonEmpty, "update needs at least one SET column")
+    val snap = snapshot()
+    if (snap.files.isEmpty) return snap
+    val hit = readFiles(snap.files).filter(condition)
+      .select(input_file_name()).distinct()
+      .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
+    if (hit.isEmpty) return snap
+    val affected = snap.files.filter(f => hit.contains(f.path))
+    val src = readFiles(affected)
+    val cols = src.columns.toSeq
+    sets.keys.foreach(k => require(cols.contains(k),
+      s"unknown SET column '$k' (table has ${cols.mkString(", ")})"))
+    val cond = coalesce(condition, lit(false))
+    val rewrittenRows = src.select(cols.map { c =>
+      sets.get(c) match {
+        case Some(e) =>
+          when(cond, e.cast(src.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val rewritten = writeDataFiles(rewrittenRows)
+    commitOrCleanup(rewritten, "update") { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles

@@ -95,6 +95,28 @@ class PlanContractSpec extends SparkSpec {
     assert(!scan.contains("lang") && !scan.contains("n_chars"))
   }
 
+  test("text_tfidf: the df census broadcasts; only the per-doc argmax windows") {
+    val p = plan("text_tfidf")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      "the O(vocabulary) document-frequency table must broadcast")
+    assert(count(p, "SortMergeJoin") === 0)
+    assert(count(p, "Window \\[") === 1, "exactly the per-doc top-1 window")
+    // Spark 4 pushes the rk=1 filter down as WindowGroupLimit: each
+    // partition forwards only its per-doc best row to the window sort —
+    // the argmax shuffle carries O(docs), not O(doc×term). Keep it.
+    assert(p.contains("WindowGroupLimit"),
+      "the top-1 rank filter must push down as a group limit")
+  }
+
+  test("dedup_windows: the census is one hash agg, no window, pruned scan") {
+    val p = plan("dedup_windows")
+    assert(count(p, "Join") === 0)
+    assert(p.contains("HashAggregate"), "needs map-side partial aggregation")
+    assert(!p.contains("Window"))
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scan.contains("lang") && !scan.contains("n_chars"))
+  }
+
   /** Regression guard for the fix that replaced the doc_id window in
     * dedup_ngram: the pair join must aggregate BEFORE the per-doc gram
     * counts are joined on. Join strategy is AQE's call (no hint — the

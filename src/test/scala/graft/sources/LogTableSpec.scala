@@ -253,6 +253,48 @@ class LogTableSpec extends SparkSpec {
     assert(t.timeTravel(preVersion).count() === 20L)
   }
 
+  test("update rewrites only hit files, applies SET to matching rows, keeps types") {
+    val t = freshTable()
+    t.append(df(0 until 10).coalesce(1))   // file A: contains hits
+    t.append(df(100 until 110).coalesce(1)) // file B: no hits
+    val before = t.snapshot().files.map(_.path).toSet
+    t.update($"id" < 5, Map("id" -> ($"id" + 1000)))
+    assert(t.read().as[Int].collect().toSet ===
+      ((1000 until 1005).toSet ++ (5 until 10).toSet ++ (100 until 110).toSet))
+    // file B untouched by identity; file A rewritten
+    val after = t.snapshot().files.map(_.path).toSet
+    assert(before.intersect(after).size === 1)
+    assert(t.snapshot().operation === "update")
+    // prior snapshot unchanged; schema type preserved (cast back to int)
+    assert(t.timeTravel(2L).as[Int].collect().toSet ===
+      ((0 until 10).toSet ++ (100 until 110).toSet))
+    assert(t.read().schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // NULL condition leaves the row unchanged
+    val t2 = freshTable()
+    t2.append(Seq((1, Some(5)), (2, None: Option[Int])).toDF("id", "v"))
+    t2.update($"v" > 0, Map("id" -> ($"id" * 10)))
+    assert(t2.read().select("id").as[Int].collect().toSet === Set(10, 2))
+    // no-hit update is a no-op commit-wise
+    val v = t2.currentVersion
+    t2.update($"v" > 999, Map("id" -> ($"id" + 1)))
+    assert(t2.currentVersion === v)
+  }
+
+  test("partitionsTable rolls up manifest metadata per partition") {
+    val t = LogTable(spark,
+      Files.createTempDirectory("logtable_parts_").toString,
+      partitionBy = Seq("k"))
+    t.append(Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "k"))
+    val parts = t.partitionsTable().collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(parts === Map("k=a" -> 2L, "k=b" -> 1L))
+    // registered SQL surface
+    t.registerViews("pt")
+    assert(spark.sql("SELECT sum(total_rows) FROM pt_partitions")
+      .head().getLong(0) === 3L)
+  }
+
   test("merge NOT MATCHED BY SOURCE deletes unmatched rows, COW scope widens only to hit files") {
     val t = freshTable()
     t.append(df(0 until 10).coalesce(1))    // file A: matched keys live here
