@@ -314,10 +314,141 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  // -------------------------------------------- product quantization (ADC)
+
+  /** Per-subspace codebooks for product quantization: the vector is cut
+    * into `m` subspaces and each gets a `ksub`-codeword integer Lloyd's
+    * codebook, trained driver-side on the same deterministic stride
+    * sample the IVF quantizer uses (codebook quality needs only a
+    * representative sample — FAISS trains PQ exactly this way). All
+    * arithmetic is exact-integer with deterministic tie-breaks, so a
+    * rebuilt codebook is identical to a cached one. Returned shape:
+    * books(mm)(kk) = codeword kk of subspace mm (sub-dim longs). */
+  private[graft] def trainBooks(all: DataFrame, m: Int, ksub: Int,
+      iters: Int = 3): Seq[Seq[Seq[Long]]] = {
+    import all.sparkSession.implicits._
+    val n = all.count()
+    val maxTrain = math.max(ksub * 64L, 1024L)
+    val strideS = math.max(n / maxTrain, 1L)
+    val sample = all.filter(pmod(col("vec_id"), lit(strideS)) === 0)
+      .orderBy(col("vec_id")).limit(maxTrain.toInt)
+      .select(col("qv")).as[Seq[Long]].collect()
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { mm =>
+      val subs = sample.map(v => v.slice(mm * sub, (mm + 1) * sub).toArray)
+      val st = math.max(subs.length / ksub, 1)
+      var cur: Seq[Array[Long]] =
+        (0 until ksub).map(i => subs(math.min(i * st, subs.length - 1)).clone)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ksub)(new Array[Long](sub))
+        val counts = new Array[Long](ksub)
+        subs.foreach { v =>
+          var best = 0; var bestD = Long.MaxValue; var c = 0
+          while (c < ksub) {
+            var d = 0L; var i = 0
+            while (i < sub) { val t = v(i) - cur(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c } // strict < → lowest index wins ties
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0; while (i < sub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cur = (0 until ksub).map { c =>
+          if (counts(c) == 0) cur(c) // empty cell keeps its codeword
+          else Array.tabulate(sub)(i => Math.round(sums(c)(i).toDouble / counts(c)))
+        }
+      }
+      cur.map(_.toSeq)
+    }
+  }
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[Seq[Seq[Long]]]]()
+
+  /** Build (or fetch the cached) PQ codebooks for the corpus at `dir`. */
+  def pqBooks(s: SparkSession, dir: String, m: Int = 8, ksub: Int = 16): Seq[Seq[Seq[Long]]] =
+    pqCache.computeIfAbsent((dir, m, ksub),
+      _ => trainBooks(quantized(s, dir), m, ksub))
+
+  /** Attach the codebooks as a broadcast ONE-ROW data column (same
+    * rationale as withSigns: literals would bloat codegen). */
+  private def withBooks(df: DataFrame, books: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    df.crossJoin(broadcast(Seq(Tuple1(books)).toDF("books")))
+  }
+
+  /** PQ-encode: per subspace, the L2-nearest codeword's index. The
+    * struct array_min carries (distance, index), so ties break to the
+    * lowest index — deterministic. 0-based array subscripts. */
+  private def pqCodes(m: Int, sub: Int, ksub: Int): Column = expr(
+    s"""transform(sequence(0, ${m - 1}), mm ->
+       |  array_min(transform(sequence(0, ${ksub - 1}), kk ->
+       |    struct(aggregate(sequence(0, ${sub - 1}), CAST(0 AS BIGINT),
+       |      (a, i) -> a + (qv[mm * $sub + i] - books[mm][kk][i])
+       |                  * (qv[mm * $sub + i] - books[mm][kk][i])) AS d,
+       |      kk AS c))).c)""".stripMargin)
+
+  /** IVF-PQ approximate top-k (FAISS's IVF-ADC shape) — the
+    * MEMORY-bound ANN scale path: the coarse quantizer routes queries
+    * to cells as annIvf, but ranking inside a cell reads only each
+    * candidate's `m`-byte PQ code, never its vector — at 100 TB the
+    * scan side shrinks from dim longs to m small ints per vector
+    * (64× here), which is what lets a cell's index stay RAM-resident.
+    * Asymmetric distance: the EXACT query subvectors dot the
+    * candidates' reconstructed codewords (est_dot), normalized by the
+    * code-reconstructed self-norm computed once at encode time
+    * (enc_nrm) — both exact-integer folds, ranked by the same
+    * IEEE-deterministic cosine key as every other ANN operator here.
+    * Recall tracks quantization fidelity (measured ~0.7@5 on the
+    * clustered spec corpus): members of a tight cluster share codes,
+    * so ADC cannot order WITHIN the cluster — the honest PQ tradeoff
+    * (FAISS mitigates with residual encoding; here PQ is the coarse
+    * shortlist stage and annTopk/annIvf the exact refiner). */
+  def annPq(s: SparkSession, dir: String, k: Int = 16, probes: Int = 4,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val all = quantized(s, dir)
+    val cents = ivfIndex(s, dir, k, 1)
+    val books = pqBooks(s, dir, m, ksub)
+    val dim = embeddingDim(s, dir)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    // index build: ONE narrow pass → (vec_id, cell, m-byte code, enc_nrm)
+    val encoded = withBooks(withCentroids(all, cents), books)
+      .withColumn("codes", pqCodes(m, sub, ksub))
+      .withColumn("enc_nrm", expr(
+        s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (a, mm) ->
+           |  a + aggregate(sequence(0, ${sub - 1}), CAST(0 AS BIGINT),
+           |    (b, i) -> b + books[mm][codes[mm]][i] * books[mm][codes[mm]][i]))""".stripMargin))
+      .select(col("vec_id").as("n_id"),
+        element_at(probeIds(col("qv"), col("nrm"), 1), 1).as("cid"),
+        col("codes"), col("enc_nrm"))
+    val q = withCentroids(all.filter(col("vec_id") < 10), cents)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"),
+        explode(probeIds(col("qv"), col("nrm"), probes)).as("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("key").desc, col("n_id"))
+    withBooks(encoded.join(broadcast(q), Seq("cid"))
+        .filter(col("n_id") =!= col("q_id")), books)
+      .withColumn("est_dot", expr(
+        s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (a, mm) ->
+           |  a + aggregate(sequence(0, ${sub - 1}), CAST(0 AS BIGINT),
+           |    (b, i) -> b + q_qv[mm * $sub + i] * books[mm][codes[mm]][i]))""".stripMargin))
+      .withColumn("key", cosKey(col("est_dot"), col("q_nrm") * col("enc_nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("n_id"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> ((s, dir) => annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => annIvf(s, dir)),
+    "ann_pq" -> ((s, dir) => annPq(s, dir)),
     "dedup_embed" -> ((s, dir) => dedupEmbed(s, dir)),
   )
 

@@ -112,6 +112,44 @@ class SimilaritySpec extends SparkSpec {
     assert(cached === fresh)
   }
 
+  test("ann_pq: high recall on clustered embeddings despite 64x compression") {
+    val exact = Similarity.annTopk(spark, clusteredDir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.annPq(spark, clusteredDir, k = 8, probes = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"ann_pq clustered recall@5 = $recall%.3f")
+    // ADC ranks candidates by their RECONSTRUCTED codewords — within a
+    // tight cluster the residuals are small, so recall should stay
+    // high; it is honestly below IVF's exact-vector refinement.
+    assert(recall >= 0.6, s"PQ recall $recall on clustered data below 0.6")
+  }
+
+  test("ann_pq: deterministic across invocations, codes are m small ints") {
+    val r1 = Similarity.annPq(spark, sfDir).collect().toSeq
+    val r2 = Similarity.annPq(spark, sfDir).collect().toSeq
+    assert(r1.nonEmpty && r1 === r2)
+    // the codebooks cache rebuilds identically
+    val cached = Similarity.pqBooks(spark, sfDir)
+    val fresh = Similarity.trainBooks(
+      graft.Tables.spread(graft.Tables(spark, sfDir, "embeddings")).select(
+        col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("qv")),
+      m = 8, ksub = 16)
+    assert(cached === fresh)
+    // shape: 8 subspaces × 16 codewords × 8 dims each
+    assert(cached.length === 8 &&
+      cached.forall(b => b.length === 16 && b.forall(_.length === 8)))
+  }
+
+  test("ann_pq: a planted near-identical vector is found as the top neighbor") {
+    val res = Similarity.annPq(spark, plantedDir, k = 4, probes = 2)
+      .filter(col("q_id") === 0 && col("rnk") === 1)
+      .select("n_id").as[Long].collect()
+    assert(res.sameElements(Array(1L)), s"expected planted neighbor 1, got ${res.mkString(",")}")
+  }
+
   test("ann_lsh: a planted near-identical vector is found as the top neighbor") {
     val res = Similarity.annLsh(spark, plantedDir)
       .filter(col("q_id") === 0 && col("rnk") === 1)
