@@ -121,6 +121,19 @@ object Analytics {
         Cols.asDouble(sum(Cols.money(col("l_quantity")))).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Arbitrary GROUPING SETS — the two independent marginals
+    * ((returnflag), (linestatus)) in ONE pass: neither rollup nor cube
+    * expresses this set list, and computing it as two group-bys would
+    * scan twice. Spark expands grouping sets map-side like rollup, so
+    * it is still a single shuffle. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("l_quantity")))).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** Exact interpolated median per group. Parity-safe vs the oracle
     * ONLY because l_quantity is integer-valued: both engines compute
     * lower + 0.5·(upper−lower) on exact-in-double integers. A
@@ -329,6 +342,7 @@ object Analytics {
     "q6_forecast" -> (q6Forecast _),
     "q_window_parts" -> (qWindowParts _),
     "q_rollup" -> (qRollup _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_median" -> (qMedian _),
     "q_above_avg" -> (qAboveAvg _),
     "q_string_agg" -> (qStringAgg _),
@@ -397,6 +411,12 @@ object Analytics {
         |  FROM part)
         |SELECT p_brand, p_partkey, p_retailprice, rnk FROM ranked
         |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty

@@ -132,6 +132,33 @@ object TextAnalysis {
         lit(1.0) - col("n_distinct").cast("double") / col("n_words"))
       .orderBy(col("doc_id"))
 
+  /** Built-in PII shapes for [[redact]]. Order is the application
+    * order; sequential replacement means a later pattern never
+    * re-matches text an earlier label already masked. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "SSN" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "PHONE" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+    "IP" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** PII scrubbing — the redaction stage every training-data pipeline
+    * runs before anything ships to a tokenizer: each (label, regex)
+    * match in `textCol` is replaced by `<LABEL>`, and `n_redacted`
+    * counts the replacements per row. A pure narrow map over
+    * codegen'd regexp built-ins (no UDF, no shuffle) — at 100 TB this
+    * runs at scan speed alongside the other per-doc features. The
+    * test corpus contains no PII by construction, so the operator is
+    * spec-verified on planted documents (TextAnalysisSpec) rather
+    * than oracle-checked. */
+  def redact(df: DataFrame, textCol: String = "text",
+      patterns: Seq[(String, String)] = PiiPatterns): DataFrame =
+    patterns.foldLeft(df.withColumn("n_redacted", lit(0L))) {
+      case (d, (label, pat)) =>
+        d.withColumn("n_redacted", col("n_redacted") +
+            size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+          .withColumn(textCol, regexp_replace(col(textCol), pat, s"<$label>"))
+    }
+
   /** Per-document top keyword by TF-IDF — the keyword-extraction /
     * quality-weighting pass of a curation pipeline. The score is an
     * INTEGER-DOMAIN surrogate, tf × ⌊1e6·N/df⌋ (per-doc length

@@ -43,6 +43,30 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("redact masks planted PII, counts replacements, leaves clean text alone") {
+    val docs = Seq(
+      (1L, "mail me at alice.smith+x@example.co.uk or bob@test.org today"),
+      (2L, "call 555-123-4567 and ssn 123-45-6789 from 10.0.255.1"),
+      (3L, "clean text with no personal data at all"),
+      (4L, "dotted phone 555.123.4567 stays a phone")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_redacted")
+      .as[(Long, String, Long)].collect()
+    assert(out(0)._2 === "mail me at <EMAIL> or <EMAIL> today")
+    assert(out(0)._3 === 2L)
+    assert(out(1)._2 === "call <PHONE> and ssn <SSN> from <IP>")
+    assert(out(1)._3 === 3L)
+    assert(out(2)._2 === "clean text with no personal data at all")
+    assert(out(2)._3 === 0L)
+    assert(out(3)._2 === "dotted phone <PHONE> stays a phone")
+    // nothing PII-shaped survives anywhere
+    val leaked = TextAnalysis.redact(docs)
+      .filter(col("text").rlike("@|\\d{3}[-.]\\d{2,4}"))
+    assert(leaked.count() === 0L)
+  }
+
   test("q_approx_distinct: HLL estimate within 5% of exact per event type") {
     val exact = Analytics.qDistinctUsers(spark, sfDir)
       .as[(String, Long)].collect().toMap

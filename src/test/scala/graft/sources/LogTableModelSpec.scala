@@ -1,14 +1,16 @@
 package graft.sources
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 import java.nio.file.Files
 import scala.util.Random
 
 /** Model-based random walk over the lakehouse core: a seeded op
-  * sequence (append / delete / merge / compact / rollback / expire /
-  * recluster / age-expire, with readRange spot-checks)
+  * sequence (append / delete / merge — plain, conditional and
+  * not-matched-by-source — / update / compact / rollback / expire /
+  * recluster / age-expire / branch-write-publish, with readRange
+  * spot-checks)
   * runs against both the real LogTable and an in-memory model of
   * version → (id → value); after every op the table's visible rows
   * must equal the model's. This is what catches op INTERACTIONS
@@ -36,7 +38,7 @@ class LogTableModelSpec extends SparkSpec {
       else d.select("id", "v").as[(Long, String)].collect().toMap
 
     (0 until steps).foreach { step =>
-      rnd.nextInt(15) match {
+      rnd.nextInt(18) match {
         case 0 | 1 | 2 | 3 => // append a fresh batch
           val n = 1 + rnd.nextInt(20)
           val rows = (nextId until nextId + n).map(i => (i, s"a$step"))
@@ -98,6 +100,42 @@ class LogTableModelSpec extends SparkSpec {
           val keep = 1 + rnd.nextInt(3)
           t.expireOlderThan(System.currentTimeMillis() + 60000L, keepLast = keep)
           model = model.takeRight(keep)
+        case 15 => // COW update of a modulus class
+          if (current.nonEmpty) {
+            val m = 2 + rnd.nextInt(4)
+            val pre = t.currentVersion
+            val s = t.update(col("id") % m === 0,
+              Map("v" -> concat(col("v"), lit(s"u$step"))))
+            val upd = current.map { case (id, v) =>
+              (id, if (id % m == 0) v + s"u$step" else v) }
+            if (s.version != pre) record(s.version, upd)
+            else assert(upd == current, s"step $step: no-op update changed rows")
+          }
+        case 16 => // merge with a NOT MATCHED BY SOURCE sweep
+          val m = 2 + rnd.nextInt(4)
+          val matched = current.keys.filter(_ % m == 0).toSeq.sorted
+            .map(i => (i, s"n$step"))
+          val fresh = (nextId until nextId + 1 + rnd.nextInt(3))
+            .map(i => (i, s"n$step"))
+          nextId += fresh.size
+          val matchedIds = matched.map(_._1).toSet
+          val s = t.merge(df(matched ++ fresh), "id",
+            notMatchedBySourceDelete = Some(col("id") % 7 === 3))
+          val kept = current.filter { case (id, _) =>
+            matchedIds.contains(id) || id % 7 != 3 }
+          record(s.version, kept ++ matched ++ fresh)
+        case 17 => // branch write-audit-publish roundtrip
+          val bn = s"wap$step"
+          val b = t.createBranch(bn)
+          val rows = (nextId until nextId + 1 + rnd.nextInt(5))
+            .map(i => (i, s"w$step"))
+          nextId += rows.size
+          b.append(df(rows))
+          assert(rowsOf(t.read()) == current,
+            s"step $step: branch write leaked to main before publish")
+          val s = t.fastForward(bn)
+          t.dropBranch(bn)
+          record(s.version, current ++ rows)
       }
       val visible = rowsOf(t.read())
       assert(visible == current,
