@@ -333,6 +333,7 @@ object Similarity {
     val sample = all.filter(pmod(col("vec_id"), lit(strideS)) === 0)
       .orderBy(col("vec_id")).limit(maxTrain.toInt)
       .select(col("qv")).as[Seq[Long]].collect()
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m

@@ -182,8 +182,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
     Files.createDirectories(bdir)
     // base manifest v1 = main's current files; tag records the main
     // version the branch forked from (the fast-forward precondition).
+    // ONE snapshot read for both: reading files and version separately
+    // would let a commit land in between, recording a fork point one
+    // ahead of the captured file list — and fastForward's guard would
+    // then silently drop that commit.
+    val fork = snapshot()
     val base = Snapshot(1L, 0L, "branch", System.currentTimeMillis(),
-      snapshot().files, s"base-v$currentVersion")
+      fork.files, s"base-v${fork.version}")
     val tmp = bdir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
     Files.writeString(tmp, renderManifest(base))
     try {
@@ -202,6 +207,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * isolated from main. */
   def branch(name: String): LogTable = {
     require(!isBranchHandle, "cannot open a branch from a branch")
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name '$name'")
     require(Files.exists(logDir.resolve(s"branch-$name").resolve(
       f"v${1L}%05d.manifest.json")), s"no such branch '$name'")
     new LogTable(spark, root, partitionBy, s"$ManifestDir/branch-$name")
@@ -250,6 +256,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * finish their scans. */
   def dropBranch(name: String): Unit = {
     require(!isBranchHandle, "drop branches from the main handle")
+    // same validation as createBranch — a path-segment name would
+    // resolve outside the branch tree and recursively delete it
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name '$name'")
     LogTable.deleteRecursively(logDir.resolve(s"branch-$name"))
   }
 
@@ -585,6 +594,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
     require(sets.nonEmpty, "update needs at least one SET column")
     val snap = snapshot()
     if (snap.files.isEmpty) return snap
+    // validate SET names against the schema BEFORE any scan: a typo'd
+    // column must fail loudly even when no row matches the condition
+    val allCols = readFiles(snap.files).columns.toSeq
+    sets.keys.foreach(k => require(allCols.contains(k),
+      s"unknown SET column '$k' (table has ${allCols.mkString(", ")})"))
     val hit = readFiles(snap.files).filter(condition)
       .select(input_file_name()).distinct()
       .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
@@ -592,8 +606,6 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val affected = snap.files.filter(f => hit.contains(f.path))
     val src = readFiles(affected)
     val cols = src.columns.toSeq
-    sets.keys.foreach(k => require(cols.contains(k),
-      s"unknown SET column '$k' (table has ${cols.mkString(", ")})"))
     val cond = coalesce(condition, lit(false))
     val rewrittenRows = src.select(cols.map { c =>
       sets.get(c) match {
@@ -667,24 +679,25 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // the semi join against the updates source.
     val tagged = readFiles(snap.files)
       .select(col(key), input_file_name().as("_file"))
-    val hit = tagged.join(keys, Seq(key), "left_semi")
-      .select(col("_file")).distinct()
-      .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
     // the not-matched-by-source clause widens the rewrite set to files
-    // holding unmatched rows it deletes (still planned distributed, on
-    // file names only — never a data collect)
-    val nmbsHit = notMatchedBySourceDelete match {
-      case None => Set.empty[String]
+    // holding unmatched rows it deletes. ONE discovery pass either way
+    // (file names only — never a data collect): with the clause, a
+    // left join marks matched rows and the same scan evaluates the
+    // NMBS condition on the unmatched ones.
+    val hit = notMatchedBySourceDelete match {
+      case None =>
+        tagged.join(keys, Seq(key), "left_semi")
+          .select(col("_file")).distinct()
+          .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
       case Some(cond) =>
         readFiles(snap.files)
           .withColumn("_file", input_file_name())
-          .join(keys, Seq(key), "left_anti")
-          .filter(coalesce(cond, lit(false)))
+          .join(keys.withColumn("_matched", lit(true)), Seq(key), "left")
+          .filter(col("_matched").isNotNull || coalesce(cond, lit(false)))
           .select(col("_file")).distinct()
           .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
     }
-    val affected = snap.files.filter(f =>
-      hit.contains(f.path) || nmbsHit.contains(f.path))
+    val affected = snap.files.filter(f => hit.contains(f.path))
     // Matched keys live only in affected files — the anti-join source
     // for WHEN NOT MATCHED THEN INSERT scans just those.
     val inserts =
@@ -902,6 +915,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * and removeOrphans: a file a branch still references stays live
     * even when main's lineage no longer lists it (and vice versa). */
   private def allLiveFiles(): Set[String] = {
+    // THIS handle's lineage goes through the per-version snapshot
+    // cache (manifests are immutable) — a maintenance loop calling
+    // expire/removeOrphans repeatedly must not re-parse all JSON every
+    // time. Other lineages (main when called from a branch; every
+    // branch) are parsed raw: their manifests can appear/vanish under
+    // other writers, so they take the uncached path.
+    val mine = versions.flatMap(v => snapshot(v).files.map(_.path)).toSet
     val branchDirs =
       if (!Files.isDirectory(mainLogDir)) Nil
       else {
@@ -910,8 +930,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
           p.getFileName.toString.startsWith("branch-")).toSeq
         finally ls.close()
       }
-    (mainLogDir +: branchDirs).flatMap(d =>
-      listManifests(d).flatMap(m => readManifest(m._2).files.map(_.path))).toSet
+    val others = (mainLogDir +: branchDirs)
+      .filterNot(_.toString == logDir.toString)
+    mine ++ others.flatMap(d =>
+      listManifests(d).flatMap(m => readManifest(m._2).files.map(_.path)))
   }
 
   // ------------------------------------------------------------ internals

@@ -123,7 +123,8 @@ object Streams {
     * join would be rejected (unbounded state), and that rejection is
     * the right default at scale.
     *
-    * Inputs are any frames shaped (event_time, user_id[, value]);
+    * Inputs are any frames shaped (event_time, user_id) on the click
+    * side and (event_time, user_id, value) on the purchase side;
     * StreamsSpec proves stream == batch inequality join on identical
     * input. */
   def streamStreamJoin(clicks: DataFrame, purchases: DataFrame,

@@ -279,6 +279,10 @@ class LogTableSpec extends SparkSpec {
     val v = t2.currentVersion
     t2.update($"v" > 999, Map("id" -> ($"id" + 1)))
     assert(t2.currentVersion === v)
+    // a typo'd SET column fails loudly even when nothing matches
+    intercept[IllegalArgumentException] {
+      t2.update($"v" > 999, Map("nope" -> ($"id" + 1)))
+    }
   }
 
   test("partitionsTable rolls up manifest metadata per partition") {
@@ -357,6 +361,10 @@ class LogTableSpec extends SparkSpec {
     assert(t.read().count() === 8L, "failed publish must not change main")
     // branches are immutable-by-name: re-branching needs a fresh name
     intercept[IllegalStateException] { t.createBranch("wap") }
+    // path-segment names are rejected everywhere, not just at create —
+    // dropBranch("../..") would otherwise delete outside the branch tree
+    intercept[IllegalArgumentException] { t.dropBranch("a/../../data") }
+    intercept[IllegalArgumentException] { t.branch("a/b") }
   }
 
   test("branch files survive main expire and vacuum until the branch drops") {
