@@ -115,6 +115,23 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word"))
       .limit(50)
 
+  /** Adjacent-pair census: the corpus-wide top-20 word bigrams — the
+    * merge-candidate scan at the heart of BPE tokenizer training
+    * (count all adjacent pairs, merge the hottest, repeat). Same
+    * wordcount shape as text_vocab: one explode + one hash agg,
+    * map-side combine collapses to distinct pairs per partition before
+    * the shuffle. */
+  def bigrams(s: SparkSession, dir: String): DataFrame =
+    docsSpread(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
   /** Per-document repetition stats — the degenerate-text filter (a doc
     * that is one phrase repeated 500 times is training poison): total
     * words, distinct words, the hottest word's count, and the
@@ -198,6 +215,7 @@ object TextAnalysis {
     "text_vocab" -> (vocab _),
     "text_repetition" -> (repetition _),
     "text_tfidf" -> (tfidf _),
+    "text_bigrams" -> (bigrams _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -250,6 +268,13 @@ object TextAnalysis {
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    "text_bigrams" ->
+      """SELECT pair, count(*) AS n FROM (
+        |  SELECT ws[i] || ' ' || ws[i+1] AS pair
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents) d,
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |  WHERE len(ws) >= 2)
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "text_tfidf" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -117,6 +117,14 @@ class PlanContractSpec extends SparkSpec {
     assert(!scan.contains("lang") && !scan.contains("n_chars"))
   }
 
+  test("ann_pq: queries broadcast to the encoded index; never a cartesian scan") {
+    val p = plan("ann_pq")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      "the probe side must broadcast against the PQ-encoded corpus")
+    assert(count(p, "SortMergeJoin") === 0)
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
   /** Regression guard for the fix that replaced the doc_id window in
     * dedup_ngram: the pair join must aggregate BEFORE the per-doc gram
     * counts are joined on. Join strategy is AQE's call (no hint — the
