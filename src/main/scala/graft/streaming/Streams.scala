@@ -143,6 +143,33 @@ object Streams {
         col("purchase_time"), col("value"))
   }
 
+  /** LEFT OUTER stream-stream join — the attribution-COMPLETENESS
+    * shape: every purchase emits, with its matching prior click or,
+    * once the watermark proves no click can still arrive for it, with
+    * NULLs. The outer side is exactly why the time bound + watermarks
+    * are mandatory: a purchase can only be declared unmatched when
+    * event time has provably moved past its match window, and the
+    * same proof lets the buffered state be evicted. Emission of
+    * unmatched rows therefore trails the watermark by design — batch
+    * parity holds once the watermark passes the data (StreamsSpec
+    * drives it with a sentinel batch). */
+  def streamStreamJoinOuter(clicks: DataFrame, purchases: DataFrame,
+      within: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("event_time").as("purchase_time"), col("value"))
+      .withWatermark("purchase_time", watermark)
+    p.join(c, expr(
+        s"""c_user = p_user AND
+           |purchase_time >= click_time AND
+           |purchase_time <= click_time + interval $within""".stripMargin),
+        "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_time"),
+        col("click_time"), col("value"))
+  }
+
   /** Streaming exact dedup: drop rows whose key was already seen
     * within the watermark horizon — the ingest-time dedup stage of a
     * training-data pipeline. State is bounded BY the watermark (keys

@@ -209,6 +209,46 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("stream_join outer: unmatched purchases emit with nulls once the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val clicksIn = MemoryStream[(Long, Long)](spark, 1)
+    val purchasesIn = MemoryStream[(Long, Long, Double)](spark, 1)
+    val clicks = clicksIn.toDF().toDF("t_s", "user_id")
+      .select(timestamp_seconds(col("t_s")).as("event_time"), col("user_id"))
+    val purchases = purchasesIn.toDF().toDF("t_s", "user_id", "value")
+      .select(timestamp_seconds(col("t_s")).as("event_time"),
+        col("user_id"), col("value"))
+    val q = Streams.streamStreamJoinOuter(clicks, purchases)
+      .writeStream.format("memory").queryName("ssjo").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_ssjo").toString)
+      .start()
+    try {
+      // hour 0: user 1 purchase 500s after their click (matched);
+      // user 2 purchase with no click at all (unmatched)
+      clicksIn.addData((1000L, 1L))
+      purchasesIn.addData((1500L, 1L, 10.0), (2000L, 2L, 20.0))
+      q.processAllAvailable()
+      // matched row emits immediately; the unmatched one must WAIT —
+      // a click for user 2 could still arrive within the watermark
+      val early = spark.table("ssjo").collect()
+      assert(early.length === 1 && early.head.getLong(0) === 1L,
+        s"only the matched purchase may emit before the watermark moves")
+      // sentinel pair far in the future pushes the watermark on BOTH
+      // streams past user 2's match window
+      clicksIn.addData((100000L, 99L))
+      purchasesIn.addData((100000L, 99L, 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // no-data batch applies the new watermark
+      val rows = spark.table("ssjo").filter(col("user_id") < 10)
+        .orderBy(col("user_id"))
+        .select(col("user_id"), col("click_time").isNull.as("no_click"),
+          col("value")).collect()
+      assert(rows.map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2))).toSeq ===
+        Seq((1L, false, 10.0), (2L, true, 20.0)))
+    } finally q.stop()
+  }
+
   test("stream heavy hitters equals the exact batch top-k under capacity") {
     runToMemory(
       Streams.streamHeavyHitters(eventsStream(), k = 10, capacity = 4096),
