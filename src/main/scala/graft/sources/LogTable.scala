@@ -32,9 +32,16 @@ final case class DataFile(path: String, rows: Long, bytes: Long,
 /** One committed snapshot: the COMPLETE list of data files visible at
   * `version`, plus commit metadata. `tag` is an optional idempotence
   * key (e.g. a streaming micro-batch id): a writer that re-delivers
-  * work can check the tag before re-committing it. */
+  * work can check the tag before re-committing it. `schemaJson` is
+  * the snapshot's authoritative table schema (Iceberg keeps schema in
+  * table metadata for the same reasons): appends validate against it
+  * in O(1) instead of re-deriving it from O(files) parquet footers,
+  * and reads hand it to the scan so no mergeSchema footer job ever
+  * runs. Empty on legacy manifests → readers fall back to footer
+  * merging. */
 final case class Snapshot(version: Long, parent: Long, operation: String,
-    timestampMs: Long, files: Seq[DataFile], tag: String = "") {
+    timestampMs: Long, files: Seq[DataFile], tag: String = "",
+    schemaJson: String = "") {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
 }
@@ -111,7 +118,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def timeTravel(version: Long): DataFrame = {
     val snap = snapshot(version)
     if (snap.files.isEmpty) emptyLike()
-    else readFiles(snap.files)
+    else readFiles(snap.files, snap.schemaJson)
   }
 
   /** Pin a NAMED REF to a snapshot version (Iceberg tags: `prod`,
@@ -188,7 +195,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // then silently drop that commit.
     val fork = snapshot()
     val base = Snapshot(1L, 0L, "branch", System.currentTimeMillis(),
-      fork.files, s"base-v${fork.version}")
+      fork.files, s"base-v${fork.version}", fork.schemaJson)
     val tmp = bdir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
     Files.writeString(tmp, renderManifest(base))
     try {
@@ -241,7 +248,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       t.stripPrefix("base-v").toLong
     }
     val head = b.snapshot()
-    commit("publish") { prev =>
+    commit("publish", nextSchema = _ => head.schemaJson) { prev =>
       if (prev.version != baseVersion)
         throw new IllegalStateException(
           s"main advanced to v${prev.version} since branch '$name' forked at " +
@@ -282,8 +289,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * pruning). At 100 TB this is what turns a full scan into a
     * single-partition read. */
   def readWhere(pred: Map[String, String] => Boolean): DataFrame = {
-    val keep = snapshot().files.filter(f => pred(f.partitions))
-    if (keep.isEmpty) emptyLike() else readFiles(keep)
+    val snap = snapshot()
+    val keep = snap.files.filter(f => pred(f.partitions))
+    if (keep.isEmpty) emptyLike() else readFiles(keep, snap.schemaJson)
   }
 
   /** Column-stats file skipping (Iceberg's min/max pruning): rows with
@@ -298,7 +306,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def readRange(column: String, lo: Long, hi: Long): DataFrame = {
     val keep = filesInRange(column, lo, hi)
     import org.apache.spark.sql.functions.col
-    val base = if (keep.isEmpty) emptyLike() else readFiles(keep)
+    val base = if (keep.isEmpty) emptyLike()
+      else readFiles(keep, snapshot().schemaJson)
     // a never-committed table has no schema to resolve the residual
     // filter against — its empty frame is already the right answer;
     // on a table WITH a schema a bad column name still fails loudly
@@ -326,7 +335,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def readRangeStr(column: String, lo: String, hi: String): DataFrame = {
     val keep = filesInRangeStr(column, lo, hi)
     import org.apache.spark.sql.functions.col
-    val base = if (keep.isEmpty) emptyLike() else readFiles(keep)
+    val base = if (keep.isEmpty) emptyLike()
+      else readFiles(keep, snapshot().schemaJson)
     if (base.columns.isEmpty) base
     else base.filter(col(column) >= lo && col(column) <= hi)
   }
@@ -352,20 +362,26 @@ final class LogTable private (val spark: SparkSession, val root: String,
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
     val before = snapshot(fromVersion).files.map(_.path).toSet
-    val added = snapshot(toVersion).files.filterNot(f => before.contains(f.path))
-    if (added.isEmpty) emptyLike() else readFiles(added)
+    val to = snapshot(toVersion)
+    val added = to.files.filterNot(f => before.contains(f.path))
+    if (added.isEmpty) emptyLike() else readFiles(added, to.schemaJson)
   }
 
   /** Read a concrete file list; basePath lets Spark re-derive the
-    * hive-style partition columns from the data paths, and mergeSchema
-    * unions file schemas so appends may ADD columns over time (older
-    * files read the new columns as null — parquet-level schema
-    * evolution, as Iceberg's add-column). */
-  private def readFiles(files: Seq[DataFile]): DataFrame =
-    spark.read
-      .option("basePath", dataDir.toString)
-      .option("mergeSchema", "true")
+    * hive-style partition columns from the data paths. When the
+    * snapshot carries its schema (`schemaJson`), the scan gets it
+    * EXPLICITLY — no footer-merge job, files missing newer columns
+    * read them as null (add-column evolution), and planning cost stops
+    * growing with file count. Legacy snapshots without a recorded
+    * schema fall back to mergeSchema footer unioning. */
+  private def readFiles(files: Seq[DataFile], schemaJson: String = ""): DataFrame = {
+    val r = spark.read.option("basePath", dataDir.toString)
+    (if (schemaJson.nonEmpty)
+      r.schema(org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else r.option("mergeSchema", "true"))
       .parquet(files.map(_.path): _*)
+  }
 
   /** Per-snapshot stats from manifest metadata ONLY (no data I/O). */
   def stats(version: Long = currentVersion): Snapshot = snapshot(version)
@@ -434,7 +450,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val any = listManifests(logDir).reverseIterator
       .map(m => readManifest(m._2)).find(_.files.nonEmpty)
     any match {
-      case Some(s) => readFiles(s.files.take(1)).limit(0)
+      case Some(s) => readFiles(s.files.take(1), s.schemaJson).limit(0)
       case None => spark.emptyDataFrame
     }
   }
@@ -449,14 +465,39 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * a crash lands between commit and checkpoint advance. */
   def append(df: DataFrame, tag: String = ""): Snapshot = {
     if (tag.nonEmpty && hasTag(tag)) return snapshot()
+    // write-time validation against the manifest schema — O(1), no
+    // footer I/O; fails loudly HERE instead of at some later read
+    mergedSchemaWith(snapshot(), df.schema)
     val newFiles = writeDataFiles(df)
     if (newFiles.isEmpty) snapshot()
-    else commit("append", tag) { prev =>
+    else commit("append", tag,
+        nextSchema = prev => mergedSchemaWith(prev, df.schema).json) { prev =>
       // re-check under the commit retry loop: a concurrent duplicate
       // deliverer may have won the race after our first check
       if (tag.nonEmpty && hasTag(tag)) return snapshot()
       prev.files ++ newFiles
     }
+  }
+
+  /** The snapshot's authoritative schema merged with an incoming
+    * write's (validating no column is retyped). Legacy snapshots
+    * without a recorded schema contribute nothing — the incoming
+    * schema stands alone and readers keep their footer-merge
+    * fallback. */
+  private def mergedSchemaWith(snap: Snapshot,
+      add: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    if (snap.schemaJson.isEmpty) add
+    else mergeStructs(
+      org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType], add)
+
+  /** The table's authoritative current schema from manifest metadata
+    * (empty struct before the first commit records one). */
+  def schema: org.apache.spark.sql.types.StructType = {
+    val s = snapshot()
+    if (s.schemaJson.isEmpty) new org.apache.spark.sql.types.StructType()
+    else org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
   }
 
   /** True iff some committed snapshot carries `tag`. Manifests are
@@ -480,9 +521,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
   /** commit(), but when the closure aborts with StaleSourceFiles the
     * already-written (never-referenced) rewrite files are deleted
     * before the retry re-plans — no orphan growth under contention. */
-  private def commitOrCleanup(rewritten: Seq[DataFile], operation: String)(
+  private def commitOrCleanup(rewritten: Seq[DataFile], operation: String,
+      nextSchema: Snapshot => String = _.schemaJson)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot =
-    try commit(operation)(nextFiles)
+    try commit(operation, nextSchema = nextSchema)(nextFiles)
     catch {
       case e @ LogTable.StaleSourceFiles =>
         rewritten.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
@@ -528,7 +570,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     if (rewriteBins.isEmpty) return snap
     val small2 = rewriteBins.flatten
     val rewritten = rewriteBins.flatMap { bin =>
-      writeDataFiles(readFiles(bin.toSeq).coalesce(1))
+      writeDataFiles(readFiles(bin.toSeq, snap.schemaJson).coalesce(1))
     }
     commitOrCleanup(rewritten, "compact") { prev =>
       // Appends that landed since we read `snap` are kept untouched.
@@ -555,7 +597,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
   private def deleteOnce(condition: org.apache.spark.sql.Column): Snapshot = {
     val snap = snapshot()
     if (snap.files.isEmpty) return snap
-    val hit = readFiles(snap.files).filter(condition)
+    val hit = readFiles(snap.files, snap.schemaJson).filter(condition)
       .select(org.apache.spark.sql.functions.input_file_name()).distinct()
       .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
     if (hit.isEmpty) return snap
@@ -563,7 +605,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // SQL DELETE semantics: remove ONLY condition=TRUE rows. A bare
     // filter(!condition) would also drop rows where the predicate is
     // NULL (three-valued logic), silently destroying them.
-    val keepRows = readFiles(affected).filter(
+    val keepRows = readFiles(affected, snap.schemaJson).filter(
       !org.apache.spark.sql.functions.coalesce(
         condition, org.apache.spark.sql.functions.lit(false)))
     val rewritten = writeDataFiles(keepRows)
@@ -596,15 +638,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
     if (snap.files.isEmpty) return snap
     // validate SET names against the schema BEFORE any scan: a typo'd
     // column must fail loudly even when no row matches the condition
-    val allCols = readFiles(snap.files).columns.toSeq
+    val allCols = readFiles(snap.files, snap.schemaJson).columns.toSeq
     sets.keys.foreach(k => require(allCols.contains(k),
       s"unknown SET column '$k' (table has ${allCols.mkString(", ")})"))
-    val hit = readFiles(snap.files).filter(condition)
+    val hit = readFiles(snap.files, snap.schemaJson).filter(condition)
       .select(input_file_name()).distinct()
       .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
     if (hit.isEmpty) return snap
     val affected = snap.files.filter(f => hit.contains(f.path))
-    val src = readFiles(affected)
+    val src = readFiles(affected, snap.schemaJson)
     val cols = src.columns.toSeq
     val cond = coalesce(condition, lit(false))
     val rewrittenRows = src.select(cols.map { c =>
@@ -677,7 +719,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // input_file_name() must be projected directly over the scan (it
     // rejects multi-source plans) — tag rows with their file BEFORE
     // the semi join against the updates source.
-    val tagged = readFiles(snap.files)
+    val tagged = readFiles(snap.files, snap.schemaJson)
       .select(col(key), input_file_name().as("_file"))
     // the not-matched-by-source clause widens the rewrite set to files
     // holding unmatched rows it deletes. ONE discovery pass either way
@@ -690,7 +732,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
           .select(col("_file")).distinct()
           .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
       case Some(cond) =>
-        readFiles(snap.files)
+        readFiles(snap.files, snap.schemaJson)
           .withColumn("_file", input_file_name())
           .join(keys.withColumn("_matched", lit(true)), Seq(key), "left")
           .filter(col("_matched").isNotNull || coalesce(cond, lit(false)))
@@ -702,11 +744,12 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // for WHEN NOT MATCHED THEN INSERT scans just those.
     val inserts =
       if (affected.isEmpty) updates
-      else updates.join(readFiles(affected).select(col(key)), Seq(key), "left_anti")
+      else updates.join(readFiles(affected, snap.schemaJson).select(col(key)),
+        Seq(key), "left_anti")
     val survivors =
       if (affected.isEmpty) spark.emptyDataFrame
       else {
-        val src = readFiles(affected)
+        val src = readFiles(affected, snap.schemaJson)
         val cols = src.columns.toSeq
         require(!cols.contains("_matched") && !cols.exists(_.startsWith("src_")),
           "merge cannot target tables with a _matched or src_-prefixed column " +
@@ -749,7 +792,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val rewritten =
       (if (affected.isEmpty) Seq.empty else writeDataFiles(survivors)) ++
         writeDataFiles(inserts)
-    commitOrCleanup(rewritten, "merge") { prev =>
+    // inserts carry the updates frame as-is, so a WIDER source grows
+    // the table schema (validated: shared columns must keep types)
+    commitOrCleanup(rewritten, "merge",
+        nextSchema = prev => mergedSchemaWith(prev, updates.schema).json) { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
@@ -775,7 +821,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       else {
         import org.apache.spark.sql.functions.col
         val rewritten = writeDataFiles(
-          readFiles(snap.files)
+          readFiles(snap.files, snap.schemaJson)
             .repartitionByRange(nFiles, col(column))
             .sortWithinPartitions(column))
         commitOrCleanup(rewritten, "recluster") { prev =>
@@ -804,7 +850,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       if (snap.files.isEmpty) snap
       else {
         import org.apache.spark.sql.functions.{col, max, min}
-        val df = readFiles(snap.files)
+        val df = readFiles(snap.files, snap.schemaJson)
         val b = df.agg(min(col(c1)), max(col(c1)), min(col(c2)), max(col(c2))).head()
         val z = LogTable.morton(
           LogTable.norm32(col(c1), b.getLong(0), b.getLong(1)),
@@ -852,7 +898,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * commit — history stays intact, readers atomically flip. */
   def rollback(version: Long): Snapshot = {
     val target = snapshot(version)
-    commit("rollback")(_ => target.files)
+    commit("rollback", nextSchema = _ => target.schemaJson)(_ => target.files)
   }
 
   /** Drop all but the newest `keepLast` snapshots and delete data files
@@ -978,14 +1024,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * from the CURRENT one, write the manifest to a temp name, and
     * atomically hard-link it to v{next}. Link collision = another
     * writer won that version → re-read state and retry on top of it. */
-  private def commit(operation: String, tag: String = "")(
+  private def commit(operation: String, tag: String = "",
+      nextSchema: Snapshot => String = _.schemaJson)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
       attempts += 1
       val prev = snapshot()
       val next = Snapshot(prev.version + 1, prev.version, operation,
-        System.currentTimeMillis(), nextFiles(prev), tag)
+        System.currentTimeMillis(), nextFiles(prev), tag, nextSchema(prev))
       val tmp = logDir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
       Files.writeString(tmp, renderManifest(next))
       try {
@@ -1151,6 +1198,7 @@ object LogTable {
     node.put("operation", s.operation)
     node.put("timestampMs", s.timestampMs)
     if (s.tag.nonEmpty) node.put("tag", s.tag)
+    if (s.schemaJson.nonEmpty) node.put("schema", s.schemaJson)
     val arr: ArrayNode = node.putArray("files")
     s.files.foreach { f =>
       val fn = arr.addObject()
@@ -1196,6 +1244,26 @@ object LogTable {
     }.toSeq
     Snapshot(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("operation").asText(), n.get("timestampMs").asLong(), files,
-      Option(n.get("tag")).map(_.asText()).getOrElse(""))
+      Option(n.get("tag")).map(_.asText()).getOrElse(""),
+      Option(n.get("schema")).map(_.asText()).getOrElse(""))
+  }
+
+  /** Merge an incoming write's schema into the table's: NEW columns
+    * append (add-column evolution), columns sharing a name must keep
+    * their exact type — the write-time validation Iceberg does, so a
+    * retype fails at the WRITER instead of poisoning every subsequent
+    * reader. Case-insensitive matching, like Spark's resolution. */
+  private[sources] def mergeStructs(prev: org.apache.spark.sql.types.StructType,
+      add: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val byName = prev.map(f => f.name.toLowerCase -> f).toMap
+    add.foreach { f =>
+      byName.get(f.name.toLowerCase).foreach { ex =>
+        require(ex.dataType == f.dataType,
+          s"write would change column '${f.name}' from ${ex.dataType} to " +
+            s"${f.dataType}; schema evolution may ADD columns, never retype them")
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      prev ++ add.filterNot(f => byName.contains(f.name.toLowerCase)))
   }
 }

@@ -648,6 +648,34 @@ class LogTableSpec extends SparkSpec {
     assert(h.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L)) // parent chain
   }
 
+  test("schema lives in the manifest: write-time retype rejection, O(1) schema API") {
+    val t = freshTable()
+    t.append(Seq((1, "x")).toDF("id", "v"))
+    // authoritative schema from metadata, no data I/O
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v"))
+    // a retype fails AT THE WRITER, loudly, before any file lands
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((2, 3.5)).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("retype"))
+    assert(t.read().count() === 1L, "rejected append must not land rows")
+    // case-insensitive: V vs v is the same column
+    intercept[IllegalArgumentException] {
+      t.append(Seq((2, 3.5)).toDF("id", "V"))
+    }
+    // add-column evolution still works and the manifest schema grows
+    t.append(Seq((2, "y", 7L)).toDF("id", "v", "extra"))
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v", "extra"))
+    assert(t.read().filter($"extra".isNull).count() === 1L)
+    // a wider MERGE source also grows the schema through the commit
+    t.merge(Seq((1, "z", 9L, "w")).toDF("id", "v", "extra", "wide"), "id")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v", "extra", "wide"))
+    // rollback restores the older snapshot's schema with its files
+    val target = 1L
+    t.rollback(target)
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v"))
+  }
+
   test("schema evolution: later appends may add columns; old rows read them as null") {
     import org.apache.spark.sql.functions.col
     val t = freshTable()
