@@ -41,7 +41,7 @@ final case class DataFile(path: String, rows: Long, bytes: Long,
   * merging. */
 final case class Snapshot(version: Long, parent: Long, operation: String,
     timestampMs: Long, files: Seq[DataFile], tag: String = "",
-    schemaJson: String = "") {
+    schemaJson: String = "", checks: Map[String, String] = Map.empty) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
 }
@@ -195,7 +195,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // then silently drop that commit.
     val fork = snapshot()
     val base = Snapshot(1L, 0L, "branch", System.currentTimeMillis(),
-      fork.files, s"base-v${fork.version}", fork.schemaJson)
+      fork.files, s"base-v${fork.version}", fork.schemaJson, fork.checks)
     val tmp = bdir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
     Files.writeString(tmp, renderManifest(base))
     try {
@@ -248,7 +248,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       t.stripPrefix("base-v").toLong
     }
     val head = b.snapshot()
-    commit("publish", nextSchema = _ => head.schemaJson) { prev =>
+    commit("publish", nextSchema = _ => head.schemaJson,
+        nextChecks = _ => head.checks) { prev =>
       if (prev.version != baseVersion)
         throw new IllegalStateException(
           s"main advanced to v${prev.version} since branch '$name' forked at " +
@@ -467,7 +468,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
     if (tag.nonEmpty && hasTag(tag)) return snapshot()
     // write-time validation against the manifest schema — O(1), no
     // footer I/O; fails loudly HERE instead of at some later read
-    mergedSchemaWith(snapshot(), df.schema)
+    val snapNow = snapshot()
+    mergedSchemaWith(snapNow, df.schema)
+    enforceChecks(df, snapNow.checks, "the appended batch")
     val newFiles = writeDataFiles(df)
     if (newFiles.isEmpty) snapshot()
     else commit("append", tag,
@@ -490,6 +493,46 @@ final class LogTable private (val spark: SparkSession, val root: String,
     else mergeStructs(
       org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType], add)
+
+  /** Add a named CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT`
+    * parity): `predicateSql` must hold for every row — existing data
+    * is validated first (one scan), then the constraint commits as a
+    * metadata-only snapshot and every subsequent append / merge /
+    * update enforces it AT THE WRITER, rejecting violating batches
+    * before any file lands. SQL CHECK semantics: a NULL predicate is
+    * not a violation. */
+  def addCheck(name: String, predicateSql: String): Snapshot = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid check name '$name'")
+    enforceChecks(read(), Map(name -> predicateSql), "existing table data")
+    commit("set-check", nextChecks = prev => prev.checks + (name -> predicateSql))(
+      prev => prev.files)
+  }
+
+  /** Remove a CHECK constraint (metadata-only commit). */
+  def dropCheck(name: String): Snapshot =
+    commit("set-check", nextChecks = prev => prev.checks - name)(prev => prev.files)
+
+  /** Current constraints, name → SQL predicate. */
+  def checks: Map[String, String] = snapshot().checks
+
+  /** Reject `df` if any check is violated (or cannot even be
+    * evaluated — a narrow merge source missing a checked column must
+    * fail loudly, not skip the check). limit(1): the scan stops at
+    * the first violation. */
+  private def enforceChecks(df: DataFrame, checks: Map[String, String],
+      what: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    checks.foreach { case (name, pred) =>
+      val violations =
+        try df.filter(not(coalesce(expr(pred), lit(true)))).limit(1).count()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"check '$name' ($pred) cannot be evaluated against $what: ${e.getMessage}")
+        }
+      require(violations == 0L, s"check '$name' ($pred) violated by $what")
+    }
+  }
 
   /** The table's authoritative current schema from manifest metadata
     * (empty struct before the first commit records one). */
@@ -656,6 +699,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         case None => col(c)
       }
     }: _*)
+    enforceChecks(rewrittenRows, snap.checks, "the updated rows")
     val rewritten = writeDataFiles(rewrittenRows)
     commitOrCleanup(rewritten, "update") { prev =>
       val replaced = affected.map(_.path).toSet
@@ -789,6 +833,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
           }: _*)
         kept.unionByName(updated)
       }
+    // enforce constraints on everything this merge introduces: the
+    // inserted source rows and (via survivors, whose kept rows conform
+    // by induction) the clause-updated rows
+    enforceChecks(inserts, snap.checks, "the merge-inserted rows")
+    if (affected.nonEmpty) enforceChecks(survivors, snap.checks, "the merged rows")
     val rewritten =
       (if (affected.isEmpty) Seq.empty else writeDataFiles(survivors)) ++
         writeDataFiles(inserts)
@@ -898,7 +947,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * commit — history stays intact, readers atomically flip. */
   def rollback(version: Long): Snapshot = {
     val target = snapshot(version)
-    commit("rollback", nextSchema = _ => target.schemaJson)(_ => target.files)
+    commit("rollback", nextSchema = _ => target.schemaJson,
+      nextChecks = _ => target.checks)(_ => target.files)
   }
 
   /** Drop all but the newest `keepLast` snapshots and delete data files
@@ -1025,14 +1075,16 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * atomically hard-link it to v{next}. Link collision = another
     * writer won that version → re-read state and retry on top of it. */
   private def commit(operation: String, tag: String = "",
-      nextSchema: Snapshot => String = _.schemaJson)(
+      nextSchema: Snapshot => String = _.schemaJson,
+      nextChecks: Snapshot => Map[String, String] = _.checks)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
       attempts += 1
       val prev = snapshot()
       val next = Snapshot(prev.version + 1, prev.version, operation,
-        System.currentTimeMillis(), nextFiles(prev), tag, nextSchema(prev))
+        System.currentTimeMillis(), nextFiles(prev), tag, nextSchema(prev),
+        nextChecks(prev))
       val tmp = logDir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
       Files.writeString(tmp, renderManifest(next))
       try {
@@ -1199,6 +1251,10 @@ object LogTable {
     node.put("timestampMs", s.timestampMs)
     if (s.tag.nonEmpty) node.put("tag", s.tag)
     if (s.schemaJson.nonEmpty) node.put("schema", s.schemaJson)
+    if (s.checks.nonEmpty) {
+      val cn = node.putObject("checks")
+      s.checks.toSeq.sortBy(_._1).foreach { case (k, v) => cn.put(k, v) }
+    }
     val arr: ArrayNode = node.putArray("files")
     s.files.foreach { f =>
       val fn = arr.addObject()
@@ -1245,7 +1301,10 @@ object LogTable {
     Snapshot(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("operation").asText(), n.get("timestampMs").asLong(), files,
       Option(n.get("tag")).map(_.asText()).getOrElse(""),
-      Option(n.get("schema")).map(_.asText()).getOrElse(""))
+      Option(n.get("schema")).map(_.asText()).getOrElse(""),
+      Option(n.get("checks")).map { cn =>
+        cn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty))
   }
 
   /** Merge an incoming write's schema into the table's: NEW columns

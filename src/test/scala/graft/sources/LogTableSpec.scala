@@ -648,6 +648,33 @@ class LogTableSpec extends SparkSpec {
     assert(h.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L)) // parent chain
   }
 
+  test("CHECK constraints: manifest-stored, writer-enforced across append/merge/update") {
+    val t = freshTable()
+    t.append(Seq((1, 5)).toDF("id", "v"))
+    t.addCheck("v_nonneg", "v >= 0")
+    assert(t.checks === Map("v_nonneg" -> "v >= 0"))
+    // a violating append is rejected before any file lands
+    val pre = t.currentVersion
+    intercept[IllegalArgumentException] { t.append(Seq((2, -1)).toDF("id", "v")) }
+    assert(t.currentVersion === pre)
+    assert(t.read().count() === 1L)
+    // conforming rows land; a NULL predicate is NOT a violation (SQL CHECK)
+    t.append(Seq((3, Some(7)), (4, None: Option[Int])).toDF("id", "v"))
+    assert(t.read().count() === 3L)
+    // merge-inserted and clause-updated rows are enforced too
+    intercept[IllegalArgumentException] { t.merge(Seq((9, -5)).toDF("id", "v"), "id") }
+    intercept[IllegalArgumentException] { t.update($"id" === 1, Map("v" -> ($"v" - 100))) }
+    // a narrow merge source that cannot evaluate the check fails loudly
+    intercept[IllegalArgumentException] { t.merge(Seq(Tuple1(9L)).toDF("id"), "id") }
+    // addCheck validates EXISTING data first
+    intercept[IllegalArgumentException] { t.addCheck("v_big", "v >= 100") }
+    // constraints survive the manifest roundtrip and drop cleanly
+    assert(t.snapshot().operation === "set-check" || t.checks.nonEmpty)
+    t.dropCheck("v_nonneg")
+    t.append(Seq((5, -1)).toDF("id", "v"))
+    assert(t.read().count() === 4L)
+  }
+
   test("schema lives in the manifest: write-time retype rejection, O(1) schema API") {
     val t = freshTable()
     t.append(Seq((1, "x")).toDF("id", "v"))
