@@ -305,10 +305,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * time-ordered log table at 100 TB this is what turns "last hour"
     * into a handful-of-files scan with zero data I/O spent planning. */
   def readRange(column: String, lo: Long, hi: Long): DataFrame = {
-    val keep = filesInRange(column, lo, hi)
+    val snap = snapshot() // ONE read: file list and schema must pair up
+    val keep = prunedByRange(snap, column, lo, hi)
     import org.apache.spark.sql.functions.col
     val base = if (keep.isEmpty) emptyLike()
-      else readFiles(keep, snapshot().schemaJson)
+      else readFiles(keep, snap.schemaJson)
     // a never-committed table has no schema to resolve the residual
     // filter against — its empty frame is already the right answer;
     // on a table WITH a schema a bad column name still fails loudly
@@ -319,7 +320,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
   /** Files pruned-in by a [lo, hi] window on `column` — exposed so
     * tests (and operators) can assert skipping actually happened. */
   def filesInRange(column: String, lo: Long, hi: Long): Seq[DataFile] =
-    snapshot().files.filter(f =>
+    prunedByRange(snapshot(), column, lo, hi)
+
+  private def prunedByRange(snap: Snapshot, column: String,
+      lo: Long, hi: Long): Seq[DataFile] =
+    snap.files.filter(f =>
       f.ranges.get(column) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
@@ -334,17 +339,22 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * filter keeps the result exact either way. Point lookups are
     * `readRangeStr(c, v, v)`. */
   def readRangeStr(column: String, lo: String, hi: String): DataFrame = {
-    val keep = filesInRangeStr(column, lo, hi)
+    val snap = snapshot()
+    val keep = prunedByRangeStr(snap, column, lo, hi)
     import org.apache.spark.sql.functions.col
     val base = if (keep.isEmpty) emptyLike()
-      else readFiles(keep, snapshot().schemaJson)
+      else readFiles(keep, snap.schemaJson)
     if (base.columns.isEmpty) base
     else base.filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** Files pruned-in by a lexical [lo, hi] window on string `column`. */
   def filesInRangeStr(column: String, lo: String, hi: String): Seq[DataFile] =
-    snapshot().files.filter(f =>
+    prunedByRangeStr(snapshot(), column, lo, hi)
+
+  private def prunedByRangeStr(snap: Snapshot, column: String,
+      lo: String, hi: String): Seq[DataFile] =
+    snap.files.filter(f =>
       f.strRanges.get(column) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
@@ -377,9 +387,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * schema fall back to mergeSchema footer unioning. */
   private def readFiles(files: Seq[DataFile], schemaJson: String = ""): DataFrame = {
     val r = spark.read.option("basePath", dataDir.toString)
-    (if (schemaJson.nonEmpty)
-      r.schema(org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    (if (schemaJson.nonEmpty) r.schema(LogTable.parseSchema(schemaJson))
     else r.option("mergeSchema", "true"))
       .parquet(files.map(_.path): _*)
   }
@@ -448,6 +456,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
   /** Empty DataFrame with the table's schema (from any data file, or
     * truly empty when no commit exists yet). */
   private def emptyLike(): DataFrame = {
+    // the manifest IS the schema authority: an empty result needs zero
+    // file I/O when the current snapshot records its schema
+    val cur = snapshot()
+    if (cur.schemaJson.nonEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        LogTable.parseSchema(cur.schemaJson))
+    // legacy fallback: newest snapshot with files lends its schema
     val any = listManifests(logDir).reverseIterator
       .map(m => readManifest(m._2)).find(_.files.nonEmpty)
     any match {
@@ -466,33 +482,49 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * a crash lands between commit and checkpoint advance. */
   def append(df: DataFrame, tag: String = ""): Snapshot = {
     if (tag.nonEmpty && hasTag(tag)) return snapshot()
-    // write-time validation against the manifest schema — O(1), no
+    // write-time schema validation against the manifest — O(1), no
     // footer I/O; fails loudly HERE instead of at some later read
     val snapNow = snapshot()
-    mergedSchemaWith(snapNow, df.schema)
-    enforceChecks(df, snapNow.checks, "the appended batch")
+    val mergedNow = mergedSchemaWith(snapNow, df.schema)
     val newFiles = writeDataFiles(df)
+    // checks validate the rows as WRITTEN (delete-on-violation) —
+    // the files are still invisible to every reader
+    enforceChecksOnWritten(newFiles, snapNow.checks, "the appended batch",
+      mergedNow.json)
+    var validatedChecks = snapNow.checks.keySet
     if (newFiles.isEmpty) snapshot()
     else commit("append", tag,
         nextSchema = prev => mergedSchemaWith(prev, df.schema).json) { prev =>
       // re-check under the commit retry loop: a concurrent duplicate
       // deliverer may have won the race after our first check
       if (tag.nonEmpty && hasTag(tag)) return snapshot()
+      // a check that LANDED CONCURRENTLY (after our validation) must
+      // hold for this batch too, or the committed manifest would
+      // record a constraint its own rows violate
+      val fresh = prev.checks -- validatedChecks
+      if (fresh.nonEmpty) {
+        enforceChecksOnWritten(newFiles, fresh,
+          "the appended batch (late check)", mergedNow.json)
+        validatedChecks ++= fresh.keySet
+      }
       prev.files ++ newFiles
     }
   }
 
   /** The snapshot's authoritative schema merged with an incoming
-    * write's (validating no column is retyped). Legacy snapshots
-    * without a recorded schema contribute nothing — the incoming
-    * schema stands alone and readers keep their footer-merge
-    * fallback. */
+    * write's (validating no column is retyped). A LEGACY snapshot
+    * (files but no recorded schema) derives its schema from a one-time
+    * footer-merge read first, so the first post-upgrade write ADOPTS
+    * the legacy columns into the manifest instead of silently
+    * shadowing them with the incoming batch's schema — and legacy
+    * retypes are validated like any other. */
   private def mergedSchemaWith(snap: Snapshot,
       add: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
-    if (snap.schemaJson.isEmpty) add
-    else mergeStructs(
-      org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType], add)
+    if (snap.schemaJson.nonEmpty)
+      mergeStructs(LogTable.parseSchema(snap.schemaJson), add)
+    else if (snap.files.nonEmpty)
+      mergeStructs(readFiles(snap.files).schema, add)
+    else add
 
   /** Add a named CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT`
     * parity): `predicateSql` must hold for every row — existing data
@@ -504,8 +536,19 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def addCheck(name: String, predicateSql: String): Snapshot = {
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid check name '$name'")
     enforceChecks(read(), Map(name -> predicateSql), "existing table data")
-    commit("set-check", nextChecks = prev => prev.checks + (name -> predicateSql))(
-      prev => prev.files)
+    var validatedVersion = currentVersion
+    commit("set-check",
+        nextChecks = prev => prev.checks + (name -> predicateSql)) { prev =>
+      // rows that landed between our validation read and this commit
+      // must also satisfy the new constraint (same closure-level
+      // re-validation the writers do for late checks)
+      if (prev.version != validatedVersion && prev.files.nonEmpty) {
+        enforceChecks(readFiles(prev.files, prev.schemaJson),
+          Map(name -> predicateSql), "concurrently committed rows")
+        validatedVersion = prev.version
+      }
+      prev.files
+    }
   }
 
   /** Remove a CHECK constraint (metadata-only commit). */
@@ -515,32 +558,61 @@ final class LogTable private (val spark: SparkSession, val root: String,
   /** Current constraints, name → SQL predicate. */
   def checks: Map[String, String] = snapshot().checks
 
-  /** Reject `df` if any check is violated (or cannot even be
-    * evaluated — a narrow merge source missing a checked column must
-    * fail loudly, not skip the check). limit(1): the scan stops at
-    * the first violation. */
+  /** Reject `df` if any check is violated (or cannot be evaluated at
+    * all — a predicate referencing a column the frame lacks fails
+    * loudly, never silently skips). ONE aggregation job validates ALL
+    * checks: a per-check count would re-execute the frame's plan once
+    * per constraint. */
   private def enforceChecks(df: DataFrame, checks: Map[String, String],
       what: String): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    checks.foreach { case (name, pred) =>
-      val violations =
-        try df.filter(not(coalesce(expr(pred), lit(true)))).limit(1).count()
-        catch {
-          case e: org.apache.spark.sql.AnalysisException =>
-            throw new IllegalArgumentException(
-              s"check '$name' ($pred) cannot be evaluated against $what: ${e.getMessage}")
-        }
-      require(violations == 0L, s"check '$name' ($pred) violated by $what")
+    if (checks.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, max, not, when}
+    val ordered = checks.toSeq.sortBy(_._1)
+    val flags = ordered.map { case (name, pred) =>
+      coalesce(max(when(not(coalesce(expr(pred), lit(true))), 1).otherwise(0)),
+        lit(0)).as(s"c_${name.replace('.', '_')}")
     }
+    val row =
+      try df.agg(flags.head, flags.tail: _*).head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"checks ${ordered.map(_._1).mkString(", ")} cannot be evaluated " +
+              s"against $what: ${e.getMessage}")
+      }
+    val violated = ordered.zipWithIndex.collect {
+      case ((n, p), i) if row.getInt(i) == 1 => s"'$n' ($p)" }
+    require(violated.isEmpty, s"check ${violated.mkString(", ")} violated by $what")
   }
+
+  /** Enforce checks on rows as WRITTEN (not on the logical frame that
+    * produced them): the written parquet is read back once, so the
+    * expensive producing plan (a merge's joins, an update's rewrite)
+    * is never re-executed per validation, and a nondeterministic
+    * source cannot pass validation yet write different, violating
+    * rows. On violation the invisible files are deleted before the
+    * error propagates — nothing leaks, nothing was ever readable. */
+  private def enforceChecksOnWritten(written: Seq[DataFile],
+      checks: Map[String, String], what: String,
+      schemaJson: String = ""): Unit =
+    if (checks.nonEmpty && written.nonEmpty) {
+      // the post-write TABLE schema, not the files' own: a narrow
+      // insert file materializes its missing checked columns as NULL,
+      // exactly as every later table read will see them
+      try enforceChecks(readFiles(written, schemaJson), checks, what)
+      catch {
+        case e: Throwable =>
+          written.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+          throw e
+      }
+    }
 
   /** The table's authoritative current schema from manifest metadata
     * (empty struct before the first commit records one). */
   def schema: org.apache.spark.sql.types.StructType = {
     val s = snapshot()
     if (s.schemaJson.isEmpty) new org.apache.spark.sql.types.StructType()
-    else org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    else LogTable.parseSchema(s.schemaJson)
   }
 
   /** True iff some committed snapshot carries `tag`. Manifests are
@@ -699,8 +771,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
         case None => col(c)
       }
     }: _*)
-    enforceChecks(rewrittenRows, snap.checks, "the updated rows")
     val rewritten = writeDataFiles(rewrittenRows)
+    enforceChecksOnWritten(rewritten, snap.checks, "the updated rows",
+      snap.schemaJson)
     commitOrCleanup(rewritten, "update") { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
@@ -759,6 +832,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
     val snap = snapshot()
     if (snap.files.isEmpty) return append(updates)
+    // schema pre-validation, symmetric with append: a retyping source
+    // must fail BEFORE discovery scans and file writes, not inside the
+    // commit after every rewrite file has landed
+    mergedSchemaWith(snap, updates.schema)
     val keys = updates.select(col(key))
     // input_file_name() must be projected directly over the scan (it
     // rejects multi-source plans) — tag rows with their file BEFORE
@@ -833,14 +910,16 @@ final class LogTable private (val spark: SparkSession, val root: String,
           }: _*)
         kept.unionByName(updated)
       }
-    // enforce constraints on everything this merge introduces: the
-    // inserted source rows and (via survivors, whose kept rows conform
-    // by induction) the clause-updated rows
-    enforceChecks(inserts, snap.checks, "the merge-inserted rows")
-    if (affected.nonEmpty) enforceChecks(survivors, snap.checks, "the merged rows")
     val rewritten =
       (if (affected.isEmpty) Seq.empty else writeDataFiles(survivors)) ++
         writeDataFiles(inserts)
+    // constraints validate everything this merge WROTE (survivor files
+    // conform by induction but re-checking them costs one read of the
+    // just-written local files, not a re-execution of the join). A
+    // narrow insert lands its missing checked columns as NULL, and a
+    // NULL predicate passes — SQL CHECK semantics, same as any engine.
+    enforceChecksOnWritten(rewritten, snap.checks, "the merged rows",
+      mergedSchemaWith(snap, updates.schema).json)
     // inserts carry the updates frame as-is, so a WIDER source grows
     // the table schema (validated: shared columns must keep types)
     commitOrCleanup(rewritten, "merge",
@@ -1169,6 +1248,12 @@ object LogTable {
   private val ManifestDir = "_graft_log"
   private val MaxCommitRetries = 20
 
+  /** Parse a manifest's recorded schema JSON (one place to fail on a
+    * malformed string). */
+  private[sources] def parseSchema(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
   /** Depth-first recursive delete with the walk stream closed —
     * shared by staging cleanup and Verify's stale-output wipe. */
   private[graft] def deleteRecursively(p: Path): Unit = {
@@ -1317,7 +1402,10 @@ object LogTable {
     val byName = prev.map(f => f.name.toLowerCase -> f).toMap
     add.foreach { f =>
       byName.get(f.name.toLowerCase).foreach { ex =>
-        require(ex.dataType == f.dataType,
+        // nullability-insensitive: containsNull/struct-field nullability
+        // legitimately varies between writes of the same logical type
+        require(org.apache.spark.sql.GraftBridge.sameTypeIgnoreNullability(
+            ex.dataType, f.dataType),
           s"write would change column '${f.name}' from ${ex.dataType} to " +
             s"${f.dataType}; schema evolution may ADD columns, never retype them")
       }

@@ -128,20 +128,8 @@ object Streams {
     * StreamsSpec proves stream == batch inequality join on identical
     * input. */
   def streamStreamJoin(clicks: DataFrame, purchases: DataFrame,
-      within: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
-    val c = clicks.select(col("user_id").as("c_user"),
-        col("event_time").as("click_time"))
-      .withWatermark("click_time", watermark)
-    val p = purchases.select(col("user_id").as("p_user"),
-        col("event_time").as("purchase_time"), col("value"))
-      .withWatermark("purchase_time", watermark)
-    c.join(p, expr(
-        s"""c_user = p_user AND
-           |purchase_time >= click_time AND
-           |purchase_time <= click_time + interval $within""".stripMargin))
-      .select(col("c_user").as("user_id"), col("click_time"),
-        col("purchase_time"), col("value"))
-  }
+      within: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    attributionJoin(clicks, purchases, within, watermark, "inner")
 
   /** LEFT OUTER stream-stream join — the attribution-COMPLETENESS
     * shape: every purchase emits, with its matching prior click or,
@@ -154,20 +142,33 @@ object Streams {
     * parity holds once the watermark passes the data (StreamsSpec
     * drives it with a sentinel batch). */
   def streamStreamJoinOuter(clicks: DataFrame, purchases: DataFrame,
-      within: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+      within: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    attributionJoin(clicks, purchases, within, watermark, "left_outer")
+
+  /** Shared body of the two attribution joins — ONE place owns the
+    * watermark prep, the time-bound condition, and the output shape
+    * (user_id, click_time, purchase_time, value), so the inner and
+    * outer variants can never drift apart. For the outer variant the
+    * PURCHASE side drives (joinType names its orientation): unmatched
+    * purchases surface with a null click_time. */
+  private def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      within: String, watermark: String, joinType: String): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user"),
         col("event_time").as("click_time"))
       .withWatermark("click_time", watermark)
     val p = purchases.select(col("user_id").as("p_user"),
         col("event_time").as("purchase_time"), col("value"))
       .withWatermark("purchase_time", watermark)
-    p.join(c, expr(
-        s"""c_user = p_user AND
-           |purchase_time >= click_time AND
-           |purchase_time <= click_time + interval $within""".stripMargin),
-        "left_outer")
-      .select(col("p_user").as("user_id"), col("purchase_time"),
-        col("click_time"), col("value"))
+    val cond = expr(
+      s"""c_user = p_user AND
+         |purchase_time >= click_time AND
+         |purchase_time <= click_time + interval $within""".stripMargin)
+    val joined =
+      if (joinType == "inner") c.join(p, cond)
+      else p.join(c, cond, joinType)
+    joined.select(
+      coalesce(col("c_user"), col("p_user")).as("user_id"),
+      col("click_time"), col("purchase_time"), col("value"))
   }
 
   /** Streaming exact dedup: drop rows whose key was already seen

@@ -10,4 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Nullability-insensitive type equality (DataType.asNullable is
+    * private[spark]): containsNull / nested-field nullability
+    * legitimately varies between writes of the same logical type. */
+  def sameTypeIgnoreNullability(a: types.DataType, b: types.DataType): Boolean =
+    a.asNullable == b.asNullable
 }

@@ -664,15 +664,19 @@ class LogTableSpec extends SparkSpec {
     // merge-inserted and clause-updated rows are enforced too
     intercept[IllegalArgumentException] { t.merge(Seq((9, -5)).toDF("id", "v"), "id") }
     intercept[IllegalArgumentException] { t.update($"id" === 1, Map("v" -> ($"v" - 100))) }
-    // a narrow merge source that cannot evaluate the check fails loudly
-    intercept[IllegalArgumentException] { t.merge(Seq(Tuple1(9L)).toDF("id"), "id") }
+    assert(t.read().count() === 3L, "rejected writes must leave no rows behind")
+    // a narrow merge source inserts NULL for the checked column, and a
+    // NULL predicate passes — SQL CHECK semantics
+    t.merge(Seq(Tuple1(9)).toDF("id"), "id")
+    assert(t.read().count() === 4L)
     // addCheck validates EXISTING data first
     intercept[IllegalArgumentException] { t.addCheck("v_big", "v >= 100") }
-    // constraints survive the manifest roundtrip and drop cleanly
-    assert(t.snapshot().operation === "set-check" || t.checks.nonEmpty)
+    // constraints survive the manifest roundtrip: a fresh handle reads
+    // them back from disk
+    assert(LogTable(spark, t.root).checks === Map("v_nonneg" -> "v >= 0"))
     t.dropCheck("v_nonneg")
     t.append(Seq((5, -1)).toDF("id", "v"))
-    assert(t.read().count() === 4L)
+    assert(t.read().count() === 5L)
   }
 
   test("schema lives in the manifest: write-time retype rejection, O(1) schema API") {
