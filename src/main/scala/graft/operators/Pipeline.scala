@@ -39,8 +39,63 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Deterministic train/val/test assignment by content-independent
+    * hash — the split every training run needs to be REPRODUCIBLE
+    * across reruns, engines, and data re-orders. The assignment key is
+    * the first 8 hex digits of md5(doc_id) read as an integer in
+    * [0, 2^32): doc placement depends only on doc_id, so adding or
+    * removing other documents never moves a doc between splits (the
+    * property a random()-based split lacks). Thresholds are exact
+    * integer literals (floor(0.8·2^32), floor(0.9·2^32)) so both
+    * engines compare identical values — no float boundary.
+    * Pure narrow map → one tiny agg; scales to any corpus. */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val h = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+    docs
+      .withColumn("split",
+        when(h < lit(3435973836L), "train")
+          .when(h < lit(3865470566L), "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("split"))
+  }
+
+  /** Training-shard packing: assign each document a (bucket, shard)
+    * so that consecutive documents within a bucket fill ~64 KiB
+    * shards — the "pack the corpus into fixed-size training files"
+    * step that precedes tokenization. Documents are bucketed by
+    * doc_id so the packing parallelizes (each bucket's running sum is
+    * an independent partitioned window — NO global-order window, which
+    * would serialize at 100 TB; with B buckets the sort runs B-way
+    * parallel and B scales with the cluster). Within a bucket the
+    * shard id is the 64 KiB slab the document's START offset falls
+    * in, under the deterministic doc_id order — integer math only,
+    * reproducible everywhere. */
+  def shardPack(s: SparkSession, dir: String,
+      buckets: Int = 8, shardChars: Long = 65536L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), pmod(col("doc_id"), lit(buckets)).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("start_off", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .withColumn("shard", expr(s"start_off div ${shardChars}L"))
+      .groupBy(col("bucket"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("bucket"), col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_corpus" -> ((s, dir) => corpusFilter(s, dir)),
+    "pipeline_split" -> ((s, dir) => splitAssign(s, dir)),
+    "pipeline_shard" -> ((s, dir) => shardPack(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -72,5 +127,29 @@ object Pipeline {
         |FROM g JOIN keepers USING (doc_id)
         |WHERE lang = 'en' AND predicted = lang AND score >= 0.22
         |GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_split" ->
+      """WITH a AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3435973836
+        |           THEN 'train'
+        |         WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3865470566
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
+    "pipeline_shard" ->
+      """WITH a AS (
+        |  SELECT doc_id, n_chars, doc_id % 8 AS bucket,
+        |    CAST(coalesce(sum(n_chars) OVER (
+        |      PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM documents)
+        |SELECT bucket, start_off // 65536 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS first_doc
+        |FROM a GROUP BY 1, 2 ORDER BY bucket, shard""".stripMargin,
   )
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Properties of the training-pipeline assignment operators that the
+  * DuckDB oracle (which only checks one fixed corpus) cannot see:
+  * split assignments must be STABLE under corpus changes, and shard
+  * packing must actually pack to the budget. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val splitOf = expr(
+    """case when cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) < 3435973836
+      |       then 'train'
+      |     when cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) < 3865470566
+      |       then 'val'
+      |     else 'test' end""".stripMargin)
+
+  test("pipeline_split: a document's split never moves when other docs come or go") {
+    val all = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), splitOf.as("split"))
+    val half = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), splitOf.as("split").as("split_half"))
+    val moved = all.join(half, "doc_id")
+      .filter(col("split") =!= col("split_half"))
+    assert(moved.count() === 0L)
+  }
+
+  test("pipeline_split: proportions land near 80/10/10 and all docs are assigned") {
+    val counts = Tables(spark, sfDir, "documents")
+      .select(splitOf.as("split"))
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = counts.values.sum
+    assert(n === Tables(spark, sfDir, "documents").count())
+    // md5 is uniform; at n=100 allow a wide but bug-catching band
+    assert(counts("train").toDouble / n > 0.6 && counts("train").toDouble / n < 0.95,
+      s"train fraction off: $counts")
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0)
+  }
+
+  test("pipeline_shard: every doc packed exactly once, shards contiguous from 0, budget respected") {
+    val budget = 4096L
+    val packed = Pipeline.shardPack(spark, sfDir, buckets = 4, shardChars = budget)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val nDocs = packed.map(_._3).sum
+    assert(nDocs === Tables(spark, sfDir, "documents").count())
+    packed.groupBy(_._1).foreach { case (bucket, shards) =>
+      val ids = shards.map(_._2).sorted
+      assert(ids.head === 0L, s"bucket $bucket shards don't start at 0")
+      assert(ids === (0L until ids.length).toArray.toSeq.toArray,
+        s"bucket $bucket shard ids not contiguous: ${ids.mkString(",")}")
+      // a shard's chars can exceed the budget only via its LAST doc
+      // straddling the boundary; it can never exceed budget + one doc.
+      val maxDoc = Tables(spark, sfDir, "documents")
+        .agg(max(col("n_chars"))).as[Long].head()
+      shards.foreach { case (_, shard, _, chars, _) =>
+        assert(chars <= budget + maxDoc,
+          s"bucket $bucket shard $shard holds $chars chars > budget+maxDoc")
+      }
+    }
+  }
+}
