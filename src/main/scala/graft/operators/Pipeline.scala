@@ -92,10 +92,38 @@ object Pipeline {
       .orderBy(col("bucket"), col("shard"))
   }
 
+  /** Deterministic mixture sampling — the "upweight curated sources,
+    * downweight crawl" step of corpus curation. Each source gets a
+    * keep-rate from {1.0, 0.75, 0.5, 0.25} (here derived from the
+    * source id; in production the rates arrive as a tiny broadcast
+    * config dim) and each doc keeps or drops by comparing an md5-hash
+    * integer against floor(rate·2^32) — exact integer thresholds, so
+    * the sample is reproducible across engines and reruns, and a doc's
+    * fate never depends on other docs. The hash key is salted with
+    * ':mix' so mixture decisions are INDEPENDENT of pipeline_split's
+    * (the same doc_id hashes differently for each decision).
+    * Pure narrow map → one small agg; scales to any corpus. */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+    val mixHash = expr(
+      "cast(conv(substring(md5(concat(cast(doc_id as string), ':mix')), 1, 8), 16, 10) as bigint)")
+    val keepBelow = expr(
+      """case cast(substring(source, 4, 10) as int) % 4
+        |  when 0 then 4294967296L when 1 then 3221225472L
+        |  when 2 then 2147483648L else 1073741824L end""".stripMargin)
+    docs
+      .filter(mixHash < keepBelow)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_corpus" -> ((s, dir) => corpusFilter(s, dir)),
     "pipeline_split" -> ((s, dir) => splitAssign(s, dir)),
     "pipeline_shard" -> ((s, dir) => shardPack(s, dir)),
+    "pipeline_mix" -> ((s, dir) => mixtureSample(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,5 +179,17 @@ object Pipeline {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(doc_id) AS first_doc
         |FROM a GROUP BY 1, 2 ORDER BY bucket, shard""".stripMargin,
+    "pipeline_mix" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT AS h,
+        |    CASE CAST(substring(source, 4, 10) AS INTEGER) % 4
+        |      WHEN 0 THEN 4294967296 WHEN 1 THEN 3221225472
+        |      WHEN 2 THEN 2147483648 ELSE 1073741824 END AS keep_below
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM a WHERE h < keep_below
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -41,6 +41,35 @@ class PipelineSpec extends SparkSpec {
     assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0)
   }
 
+  test("pipeline_mix: rate-1.0 sources keep every doc; rate-0.25 sources actually drop") {
+    val docs = Tables(spark, sfDir, "documents")
+    val srcTotals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val kept = Pipeline.mixtureSample(spark, sfDir)
+      .select("source", "n_docs").as[(String, Long)].collect().toMap
+    def rank(src: String) = src.drop(3).toInt % 4
+    srcTotals.foreach { case (src, total) =>
+      if (rank(src) == 0)
+        assert(kept.getOrElse(src, 0L) === total, s"$src is rate-1.0 but lost docs")
+    }
+    val rate25 = srcTotals.keys.filter(rank(_) == 3)
+    assert(rate25.exists(src => kept.getOrElse(src, 0L) < srcTotals(src)),
+      "no rate-0.25 source dropped anything — thresholding is inert")
+  }
+
+  test("pipeline_mix: mixture decisions are independent of split decisions (different salt)") {
+    // If the same hash drove both, every kept doc in a 0.25-rate source
+    // would land in 'train' (hash < 0.25·2^32 < 0.8·2^32). The ':mix'
+    // salt must decorrelate them: kept docs span more than one split.
+    val mixHash = expr(
+      "cast(conv(substring(md5(concat(cast(doc_id as string), ':mix')), 1, 8), 16, 10) as bigint)")
+    val splits = Tables(spark, sfDir, "documents")
+      .filter(expr("cast(substring(source, 4, 10) as int) % 4") === 3)
+      .filter(mixHash < lit(1073741824L))
+      .select(splitOf.as("split")).distinct().as[String].collect()
+    assert(splits.length > 1,
+      s"kept docs all landed in ${splits.mkString(",")} — mix hash correlated with split hash")
+  }
+
   test("pipeline_shard: every doc packed exactly once, shards contiguous from 0, budget respected") {
     val budget = 4096L
     val packed = Pipeline.shardPack(spark, sfDir, buckets = 4, shardChars = budget)
