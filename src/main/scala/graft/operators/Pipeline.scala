@@ -39,24 +39,40 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** First 8 hex digits of md5(key) read as an integer in [0, 2^32) —
+    * the ONE hashing scheme behind every deterministic assignment
+    * operator here (split, mixture). DuckDB computes the identical
+    * value as `('0x' || substring(md5(key), 1, 8))::BIGINT`, which is
+    * what makes these operators oracle-checkable. */
+  private[graft] def hash32(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** floor(0.8·2^32) / floor(0.9·2^32) — exact integer split
+    * boundaries, no float compare. */
+  private[graft] val TrainBelow = 3435973836L
+  private[graft] val ValBelow = 3865470566L
+
+  /** Per-document split assignment — the expression splitAssign
+    * aggregates over, exposed so specs (and users wanting the per-doc
+    * column) exercise the operator's OWN expression, not a copy. */
+  private[graft] def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(hash32(docId) < lit(TrainBelow), "train")
+      .when(hash32(docId) < lit(ValBelow), "val")
+      .otherwise("test")
+
   /** Deterministic train/val/test assignment by content-independent
     * hash — the split every training run needs to be REPRODUCIBLE
     * across reruns, engines, and data re-orders. The assignment key is
-    * the first 8 hex digits of md5(doc_id) read as an integer in
-    * [0, 2^32): doc placement depends only on doc_id, so adding or
-    * removing other documents never moves a doc between splits (the
-    * property a random()-based split lacks). Thresholds are exact
-    * integer literals (floor(0.8·2^32), floor(0.9·2^32)) so both
-    * engines compare identical values — no float boundary.
+    * [[hash32]] of doc_id: doc placement depends only on doc_id, so
+    * adding or removing other documents never moves a doc between
+    * splits (the property a random()-based split lacks — PipelineSpec
+    * proves it on [[splitCol]] directly). Thresholds are exact integer
+    * literals so both engines compare identical values.
     * Pure narrow map → one tiny agg; scales to any corpus. */
   def splitAssign(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-    val h = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
     docs
-      .withColumn("split",
-        when(h < lit(3435973836L), "train")
-          .when(h < lit(3865470566L), "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"),
@@ -105,10 +121,12 @@ object Pipeline {
     * Pure narrow map → one small agg; scales to any corpus. */
   def mixtureSample(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
-    val mixHash = expr(
-      "cast(conv(substring(md5(concat(cast(doc_id as string), ':mix')), 1, 8), 16, 10) as bigint)")
+    val mixHash = hash32(concat(col("doc_id").cast("string"), lit(":mix")))
+    // try_cast on BOTH engines: a source name that isn't 'srcN' falls
+    // to the default 0.25 rate instead of Spark returning NULL while
+    // the DuckDB oracle's plain CAST errors — divergence by accident.
     val keepBelow = expr(
-      """case cast(substring(source, 4, 10) as int) % 4
+      """case try_cast(substring(source, 4, 10) as int) % 4
         |  when 0 then 4294967296L when 1 then 3221225472L
         |  when 2 then 2147483648L else 1073741824L end""".stripMargin)
     docs
@@ -183,7 +201,7 @@ object Pipeline {
       """WITH a AS (
         |  SELECT doc_id, source, n_chars,
         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT AS h,
-        |    CASE CAST(substring(source, 4, 10) AS INTEGER) % 4
+        |    CASE TRY_CAST(substring(source, 4, 10) AS INTEGER) % 4
         |      WHEN 0 THEN 4294967296 WHEN 1 THEN 3221225472
         |      WHEN 2 THEN 2147483648 ELSE 1073741824 END AS keep_below
         |  FROM documents)

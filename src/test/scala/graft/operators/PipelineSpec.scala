@@ -5,32 +5,38 @@ import org.apache.spark.sql.functions._
 
 /** Properties of the training-pipeline assignment operators that the
   * DuckDB oracle (which only checks one fixed corpus) cannot see:
-  * split assignments must be STABLE under corpus changes, and shard
-  * packing must actually pack to the budget. */
+  * split assignments must be STABLE under corpus changes, mixture
+  * decisions must be independent of split decisions, and shard
+  * packing must actually pack to the budget. The split/hash tests use
+  * Pipeline.splitCol / Pipeline.hash32 — the operator's OWN
+  * expressions — so a regression in the operator (e.g. switching to a
+  * rand()-based split) fails here, not just at the fixed-corpus
+  * oracle. */
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
-  private val splitOf = expr(
-    """case when cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) < 3435973836
-      |       then 'train'
-      |     when cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) < 3865470566
-      |       then 'val'
-      |     else 'test' end""".stripMargin)
-
   test("pipeline_split: a document's split never moves when other docs come or go") {
     val all = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), splitOf.as("split"))
+      .select(col("doc_id"), Pipeline.splitCol(col("doc_id")).as("split"))
     val half = Tables(spark, sfDir, "documents")
       .filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id"), splitOf.as("split").as("split_half"))
+      .select(col("doc_id"), Pipeline.splitCol(col("doc_id")).as("split_half"))
     val moved = all.join(half, "doc_id")
       .filter(col("split") =!= col("split_half"))
     assert(moved.count() === 0L)
   }
 
+  test("pipeline_split: assignment is a pure function of doc_id, not of row order") {
+    val docs = Tables(spark, sfDir, "documents")
+    val forward = docs.select(col("doc_id"), Pipeline.splitCol(col("doc_id")).as("s"))
+    val shuffled = docs.orderBy(col("n_chars"), col("doc_id"))
+      .select(col("doc_id"), Pipeline.splitCol(col("doc_id")).as("s2"))
+    assert(forward.join(shuffled, "doc_id").filter(col("s") =!= col("s2")).count() === 0L)
+  }
+
   test("pipeline_split: proportions land near 80/10/10 and all docs are assigned") {
     val counts = Tables(spark, sfDir, "documents")
-      .select(splitOf.as("split"))
+      .select(Pipeline.splitCol(col("doc_id")).as("split"))
       .groupBy("split").count()
       .as[(String, Long)].collect().toMap
     val n = counts.values.sum
@@ -60,18 +66,23 @@ class PipelineSpec extends SparkSpec {
     // If the same hash drove both, every kept doc in a 0.25-rate source
     // would land in 'train' (hash < 0.25·2^32 < 0.8·2^32). The ':mix'
     // salt must decorrelate them: kept docs span more than one split.
-    val mixHash = expr(
-      "cast(conv(substring(md5(concat(cast(doc_id as string), ':mix')), 1, 8), 16, 10) as bigint)")
+    val mixHash = Pipeline.hash32(concat(col("doc_id").cast("string"), lit(":mix")))
     val splits = Tables(spark, sfDir, "documents")
-      .filter(expr("cast(substring(source, 4, 10) as int) % 4") === 3)
+      .filter(expr("try_cast(substring(source, 4, 10) as int) % 4") === 3)
       .filter(mixHash < lit(1073741824L))
-      .select(splitOf.as("split")).distinct().as[String].collect()
+      .select(Pipeline.splitCol(col("doc_id")).as("split")).distinct().as[String].collect()
     assert(splits.length > 1,
       s"kept docs all landed in ${splits.mkString(",")} — mix hash correlated with split hash")
   }
 
   test("pipeline_shard: every doc packed exactly once, shards contiguous from 0, budget respected") {
     val budget = 4096L
+    val maxDoc = Tables(spark, sfDir, "documents")
+      .agg(max(col("n_chars"))).as[Long].head()
+    // Contiguity holds only while no single doc spans a whole slab —
+    // true of this corpus; if regeneration breaks it, cancel (don't
+    // blame the operator for a data property).
+    assume(maxDoc < budget, s"corpus now has a $maxDoc-char doc >= $budget-char slabs")
     val packed = Pipeline.shardPack(spark, sfDir, buckets = 4, shardChars = budget)
       .as[(Long, Long, Long, Long, Long)].collect()
     val nDocs = packed.map(_._3).sum
@@ -83,8 +94,6 @@ class PipelineSpec extends SparkSpec {
         s"bucket $bucket shard ids not contiguous: ${ids.mkString(",")}")
       // a shard's chars can exceed the budget only via its LAST doc
       // straddling the boundary; it can never exceed budget + one doc.
-      val maxDoc = Tables(spark, sfDir, "documents")
-        .agg(max(col("n_chars"))).as[Long].head()
       shards.foreach { case (_, shard, _, chars, _) =>
         assert(chars <= budget + maxDoc,
           s"bucket $bucket shard $shard holds $chars chars > budget+maxDoc")
