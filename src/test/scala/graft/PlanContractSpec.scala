@@ -138,4 +138,25 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Window"), "the doc_id count window must stay gone")
     assert(count(p, "BroadcastHashJoin") >= 2, "AQE should broadcast the count table at this scale")
   }
+
+  test("pipeline_split / pipeline_mix: pure narrow map into one agg — no join, no window") {
+    for (q <- Seq("pipeline_split", "pipeline_mix")) {
+      val p = plan(q)
+      assert(count(p, "Join") === 0, s"$q must not join")
+      assert(!p.contains("Window"), s"$q must not window")
+      assert(p.contains("HashAggregate"), s"$q needs map-side partial aggregation")
+    }
+  }
+
+  test("pipeline_shard: the running sum is a PARTITIONED window — never a single global sort") {
+    val p = plan("pipeline_shard")
+    assert(p.contains("Window"), "shard packing is a window pass")
+    // An unpartitioned window plans 'Window [...] ORDER BY ...' over a
+    // SinglePartition exchange; partitioned windows hash-partition on
+    // the bucket key. The contract: no single-partition exchange feeds
+    // the window (that shape serializes the whole corpus at 100 TB).
+    assert(!p.contains("SinglePartition"),
+      "the packing window must stay partitioned by bucket")
+    assert(count(p, "Join") === 0)
+  }
 }
