@@ -52,13 +52,21 @@ object Pipeline {
   private[graft] val TrainBelow = 3435973836L
   private[graft] val ValBelow = 3865470566L
 
+  /** Split label from an ALREADY-COMPUTED hash column — kept separate
+    * from the hashing so callers can materialize the hash once behind a
+    * projection boundary and compare it against both thresholds, instead
+    * of paying md5+conv twice per row (Catalyst does not reliably CSE
+    * across when-branches). */
+  private[graft] def splitFromHash(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(h < lit(TrainBelow), "train")
+      .when(h < lit(ValBelow), "val")
+      .otherwise("test")
+
   /** Per-document split assignment — the expression splitAssign
     * aggregates over, exposed so specs (and users wanting the per-doc
     * column) exercise the operator's OWN expression, not a copy. */
   private[graft] def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(hash32(docId) < lit(TrainBelow), "train")
-      .when(hash32(docId) < lit(ValBelow), "val")
-      .otherwise("test")
+    splitFromHash(hash32(docId))
 
   /** Deterministic train/val/test assignment by content-independent
     * hash — the split every training run needs to be REPRODUCIBLE
@@ -72,7 +80,12 @@ object Pipeline {
   def splitAssign(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
     docs
-      .withColumn("split", splitCol(col("doc_id")))
+      // hash materialized ONCE into its own attribute; splitFromHash
+      // compares that attribute against both thresholds. CollapseProject
+      // keeps the boundary (it refuses to inline a non-cheap alias used
+      // more than once), so each row pays md5 exactly once.
+      .withColumn("_h32", hash32(col("doc_id")))
+      .withColumn("split", splitFromHash(col("_h32")))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"),

@@ -774,10 +774,21 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val rewritten = writeDataFiles(rewrittenRows)
     enforceChecksOnWritten(rewritten, snap.checks, "the updated rows",
       snap.schemaJson)
+    var validatedChecks = snap.checks.keySet
     commitOrCleanup(rewritten, "update") { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+      // a check that landed concurrently (addCheck won a commit between
+      // our validation and this one) must hold for the rewritten rows
+      // too — same late-check closure append() runs, so addCheck's
+      // "every writer enforces" contract has no update-shaped hole
+      val fresh = prev.checks -- validatedChecks
+      if (fresh.nonEmpty) {
+        enforceChecksOnWritten(rewritten, fresh,
+          "the updated rows (late check)", snap.schemaJson)
+        validatedChecks ++= fresh.keySet
+      }
       prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
     }
   }
@@ -861,6 +872,19 @@ final class LogTable private (val spark: SparkSession, val root: String,
           .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
     }
     val affected = snap.files.filter(f => hit.contains(f.path))
+    // The documented "keys unique in updates" contract is ENFORCED, not
+    // trusted: a duplicate source key would fan the left join out and
+    // silently duplicate target rows (Iceberg raises for the same
+    // condition — "multiple matching rows"). One limit-1 aggregation
+    // job over the source; only needed when matches exist.
+    if (affected.nonEmpty) {
+      val dup = updates.groupBy(col(key))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"merge source has duplicate keys (e.g. $key=${dup.headOption.map(_.get(0)).orNull}); " +
+          "keys must be unique in updates — aggregate the source first")
+    }
     // Matched keys live only in affected files — the anti-join source
     // for WHEN NOT MATCHED THEN INSERT scans just those.
     val inserts =
@@ -918,8 +942,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // just-written local files, not a re-execution of the join). A
     // narrow insert lands its missing checked columns as NULL, and a
     // NULL predicate passes — SQL CHECK semantics, same as any engine.
-    enforceChecksOnWritten(rewritten, snap.checks, "the merged rows",
-      mergedSchemaWith(snap, updates.schema).json)
+    val mergedJson = mergedSchemaWith(snap, updates.schema).json
+    enforceChecksOnWritten(rewritten, snap.checks, "the merged rows", mergedJson)
+    var validatedChecks = snap.checks.keySet
     // inserts carry the updates frame as-is, so a WIDER source grows
     // the table schema (validated: shared columns must keep types)
     commitOrCleanup(rewritten, "merge",
@@ -927,6 +952,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+      // late-check closure, as append()/update(): a constraint that
+      // committed after our validation must hold for every written row
+      val fresh = prev.checks -- validatedChecks
+      if (fresh.nonEmpty) {
+        enforceChecksOnWritten(rewritten, fresh,
+          "the merged rows (late check)", mergedJson)
+        validatedChecks ++= fresh.keySet
+      }
       prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
     }
   }
@@ -1048,8 +1081,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def expireOlderThan(olderThanMs: Long, keepLast: Int = 1): Snapshot = {
     require(keepLast >= 1, "keepLast must be >= 1")
     expireManifests { all =>
+      // takeWhile, not filter: commit timestamps come from wall clocks,
+      // and a clock that stepped backwards between commits could
+      // otherwise age out a MID-history manifest while retaining older
+      // ones — leaving a hole that breaks history()/timeTravel across
+      // the gap. Expiry always removes a contiguous oldest prefix.
       all.dropRight(keepLast)
-        .filter { case (v, _) => snapshot(v).timestampMs < olderThanMs }
+        .takeWhile { case (v, _) => snapshot(v).timestampMs < olderThanMs }
     }
   }
 

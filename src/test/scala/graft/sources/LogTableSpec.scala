@@ -210,6 +210,20 @@ class LogTableSpec extends SparkSpec {
     assert(t2.read().count() === 5L)
   }
 
+  test("merge rejects duplicate source keys loudly (no silent target-row fan-out)") {
+    val t = freshTable()
+    t.append((0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val preVersion = t.currentVersion
+    // id=3 appears twice in the source — the left join would duplicate
+    // the matched target row; the guard must fail instead
+    val dupSource = Seq((3L, "A"), (3L, "B"), (50L, "NEW")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] { t.merge(dupSource, "id") }
+    assert(e.getMessage.contains("duplicate keys"))
+    // nothing committed, nothing duplicated
+    assert(t.currentVersion === preVersion)
+    assert(t.read().count() === 10L)
+  }
+
   test("merge accepts updates NARROWER than the table (missing columns become null)") {
     import org.apache.spark.sql.functions.col
     val t = freshTable()
