@@ -250,7 +250,71 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** The ENTIRE lifecycle through the SQL statement surface
+    * ([[graft.sources.GraftSql]]) — ingest (INSERT INTO), COW UPDATE,
+    * COW DELETE, conditional MERGE, and the final aggregate all issued
+    * as SQL text, the way the reference's users drive their table
+    * (its whole query catalog is Trino SQL, reference
+    * README.md:125-168). The oracle recomputes the same statement
+    * algebra over the source parquet: a misparsed clause, a stale
+    * registered view, or a drifted condition translation breaks the
+    * hash. */
+  def lakeSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GraftSql
+    val tmp = Files.createTempDirectory("graft_lake_sql_").toString
+    GraftSql.register("lake_sql_t", LogTable(s, tmp))
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us")).createOrReplaceTempView("lake_sql_src")
+    GraftSql.exec(s,
+      "INSERT INTO lake_sql_t SELECT * FROM lake_sql_src WHERE event_id % 2 = 0")
+    GraftSql.exec(s,
+      "INSERT INTO lake_sql_t SELECT * FROM lake_sql_src WHERE event_id % 2 = 1")
+    GraftSql.exec(s,
+      """UPDATE lake_sql_t SET value = value + 1000.0, event_type = 'error_handled'
+        |WHERE event_type = 'error'""".stripMargin)
+    GraftSql.exec(s, "DELETE FROM lake_sql_t WHERE event_type = 'view'")
+    // matched clicks take the +500 source row; deleted 'view' rows that
+    // reappear in the source are re-inserted; everything else stays
+    GraftSql.exec(s,
+      """MERGE INTO lake_sql_t t
+        |USING (SELECT event_id, user_id, event_type, value + 500.0 AS value, ts_us
+        |       FROM lake_sql_src WHERE event_id % 7 = 0) s
+        |ON t.event_id = s.event_id
+        |WHEN MATCHED AND t.event_type = 'click' THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    GraftSql.exec(s,
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM lake_sql_t GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** SQL time travel joined against the current snapshot: ingest, COW
+    * DELETE all non-click rows, then ask — in ONE SQL statement — for
+    * the deleted rows by anti-joining the v1 snapshot (`table@v1`)
+    * against the current table. Oracle = the deletion predicate over
+    * the source parquet; a time-travel view bound to the wrong
+    * snapshot breaks the hash. */
+  def lakeSqlTt(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GraftSql
+    val tmp = Files.createTempDirectory("graft_lake_tt_").toString
+    GraftSql.register("lake_tt_t", LogTable(s, tmp))
+    Tables.events(s, dir).select(
+      col("event_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("lake_tt_src")
+    GraftSql.exec(s, "INSERT INTO lake_tt_t SELECT * FROM lake_tt_src")
+    GraftSql.exec(s, "DELETE FROM lake_tt_t WHERE event_type <> 'click'")
+    GraftSql.exec(s,
+      """SELECT old.event_type AS event_type, count(*) AS n_deleted,
+        |  CAST(sum(CAST(old.value AS DECIMAL(12,2))) AS DOUBLE) AS total_deleted
+        |FROM lake_tt_t@v1 old
+        |LEFT ANTI JOIN lake_tt_t cur ON old.event_id = cur.event_id
+        |GROUP BY old.event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_sql" -> (lakeSql _),
+    "lake_sql_tt" -> (lakeSqlTt _),
     "lake_skipped" -> (lakeSkipped _),
     "lake_incremental" -> (lakeIncremental _),
     "lake_roundtrip" -> (lakeRoundtrip _),
@@ -264,6 +328,32 @@ object Lakehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_sql" ->
+      """WITH upd AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'error' THEN 'error_handled' ELSE event_type END AS event_type,
+        |    CASE WHEN event_type = 'error' THEN value + 1000.0 ELSE value END AS value
+        |  FROM events),
+        |del AS (SELECT * FROM upd WHERE event_type <> 'view'),
+        |merged AS (
+        |  SELECT event_type, value FROM del WHERE event_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT event_type, value FROM del
+        |  WHERE event_id % 7 = 0 AND event_type <> 'click'
+        |  UNION ALL
+        |  SELECT event_type, value + 500.0 FROM events
+        |  WHERE event_id % 7 = 0 AND event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_type, value + 500.0 FROM events
+        |  WHERE event_id % 7 = 0 AND event_type = 'view')
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_sql_tt" ->
+      """SELECT event_type, count(*) AS n_deleted,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_deleted
+        |FROM events WHERE event_type <> 'click'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_skipped" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

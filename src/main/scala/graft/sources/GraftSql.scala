@@ -1,0 +1,427 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit}
+
+/** SQL statement surface over [[LogTable]] — the interface the
+  * reference's users actually hold: its ENTIRE query catalog is Trino
+  * SQL against the Iceberg table (reference README.md:125-168), and
+  * Iceberg there means `MERGE INTO` / `UPDATE` / `DELETE` /
+  * `FOR VERSION AS OF` reach the same snapshot machinery the writers
+  * use. graft's mutations were Scala-API-only; this object closes the
+  * gap with a deliberately small statement router:
+  *
+  *   - `INSERT INTO t <query>`                     → [[LogTable.append]]
+  *   - `UPDATE t SET c = e, ... [WHERE p]`         → [[LogTable.update]]
+  *   - `DELETE FROM t [WHERE p]`                   → [[LogTable.delete]]
+  *   - `MERGE INTO t [a] USING <src> [b] ON a.k = b.k
+  *        WHEN MATCHED [AND c] THEN DELETE
+  *        WHEN MATCHED [AND c] THEN UPDATE SET *
+  *        WHEN NOT MATCHED THEN INSERT *
+  *        WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE`
+  *                                                 → [[LogTable.merge]]
+  *   - `CALL compact(t) | expire(t, n) | expire_older_than(t, ms, n)
+  *        | rollback(t, v) | remove_orphans(t) | recluster(t, c, n)
+  *        | create_ref(t, name [, v]) | create_branch(t, name)
+  *        | fast_forward(t, name)`                 → maintenance API
+  *   - anything else → `spark.sql` after time-travel rewriting:
+  *     `t@v3` (version), `t@<ref>` (tag), `t@<branch>` (branch head),
+  *     `t VERSION AS OF 3`, `t TIMESTAMP AS OF <epoch-ms |
+  *     'yyyy-MM-dd HH:mm:ss' UTC>` all become snapshot-scoped temp
+  *     views, so time travel composes with arbitrary SELECT syntax.
+  *
+  * Everything routes to the EXISTING copy-on-write machinery — the
+  * parser only extracts (table, condition, clause) and hands Catalyst
+  * the condition text via `expr`, so SQL-issued mutations are
+  * byte-equal to the API calls (SqlSurfaceSpec proves it).
+  *
+  * Restrictions (documented, loud): MERGE clause conditions reference
+  * target columns via the target alias and source columns via the
+  * source alias (rewritten to the merge API's `src_` convention);
+  * matched DELETE is evaluated before matched UPDATE (the clause
+  * precedence of [[LogTable.merge]]); `UPDATE SET *` / `INSERT *` are
+  * the only matched-update/insert forms (the merge replaces whole
+  * rows). Unsupported shapes throw IllegalArgumentException — never a
+  * silent misparse into a different statement.
+  */
+object GraftSql {
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, LogTable]()
+
+  /** Register `table` under a SQL name: the current snapshot becomes
+    * view `<name>` plus `<name>_history` / `<name>_files` /
+    * `<name>_partitions` metadata views, and the name becomes a valid
+    * DML target for [[exec]]. */
+  def register(name: String, table: LogTable): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid table name '$name'")
+    registry.put(name, table)
+    table.registerViews(name)
+  }
+
+  /** Forget a registered name (views stay until the session drops them). */
+  def unregister(name: String): Unit = registry.remove(name)
+
+  /** The LogTable behind a registered name (error if absent). */
+  def table(name: String): LogTable = {
+    val t = registry.get(name)
+    require(t != null, s"no registered LogTable '$name' (register(name, table) first)")
+    t
+  }
+
+  /** Execute one statement. DML / CALL return a one-row summary frame
+    * (version, operation, n_files, total_rows); queries return their
+    * result. Statements are routed by their first keyword; only
+    * registered tables are valid mutation targets. */
+  def exec(spark: SparkSession, sql: String): DataFrame = {
+    val stmt = sql.trim.stripSuffix(";").trim
+    val head = stmt.takeWhile(!_.isWhitespace).toUpperCase
+    head match {
+      case "INSERT" => execInsert(spark, stmt)
+      case "UPDATE" => execUpdate(spark, stmt)
+      case "DELETE" => execDelete(spark, stmt)
+      case "MERGE" => execMerge(spark, stmt)
+      case "CALL" => execCall(spark, stmt)
+      case _ =>
+        // query path: refresh each registered table's data view to the
+        // CURRENT snapshot (registration-time views would hide commits
+        // that happened since), then rewrite time-travel references
+        refreshViews()
+        spark.sql(rewriteTimeTravel(spark, stmt))
+    }
+  }
+
+  /** Point every registered table's data view at its current snapshot. */
+  private def refreshViews(): Unit =
+    registry.forEach((name, t) => t.read().createOrReplaceTempView(name))
+
+  // ------------------------------------------------------------- statements
+
+  private val InsertRe =
+    """(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*(.+)$""".r
+
+  private def execInsert(spark: SparkSession, stmt: String): DataFrame =
+    stmt match {
+      case InsertRe(name, colList, query) =>
+        val t = table(name)
+        // the query may read another registered table — see its
+        // current snapshot, not the registration-time view
+        refreshViews()
+        val df = spark.sql(query.trim)
+        val renamed = Option(colList) match {
+          case Some(cl) if cl.trim.nonEmpty =>
+            val names = cl.split(",").map(_.trim)
+            require(names.length == df.columns.length,
+              s"INSERT column list has ${names.length} names but the query " +
+                s"produces ${df.columns.length} columns")
+            df.toDF(names.toIndexedSeq: _*)
+          case _ => df
+        }
+        summarize(spark, name, t.append(renamed))
+      case _ => throw new IllegalArgumentException(
+        s"unsupported INSERT shape: $stmt (expected INSERT INTO <table> [(cols)] <query>)")
+    }
+
+  private val UpdateRe =
+    """(?is)^UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
+
+  private def execUpdate(spark: SparkSession, stmt: String): DataFrame =
+    stmt match {
+      case UpdateRe(name, setPart, wherePart) =>
+        val t = table(name)
+        val sets = splitTopLevel(setPart, ',').map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"malformed SET assignment '$a'")
+          val k = a.substring(0, i).trim
+          require(k.matches("[A-Za-z_][A-Za-z0-9_]*"), s"malformed SET column '$k'")
+          k -> expr(a.substring(i + 1).trim)
+        }.toMap
+        val cond = Option(wherePart).map(w => expr(w.trim)).getOrElse(lit(true))
+        summarize(spark, name, t.update(cond, sets))
+      case _ => throw new IllegalArgumentException(
+        s"unsupported UPDATE shape: $stmt (expected UPDATE <table> SET c = e, ... [WHERE p])")
+    }
+
+  private val DeleteRe =
+    """(?is)^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+))?$""".r
+
+  private def execDelete(spark: SparkSession, stmt: String): DataFrame =
+    stmt match {
+      case DeleteRe(name, wherePart) =>
+        val t = table(name)
+        val cond = Option(wherePart).map(w => expr(w.trim)).getOrElse(lit(true))
+        summarize(spark, name, t.delete(cond))
+      case _ => throw new IllegalArgumentException(
+        s"unsupported DELETE shape: $stmt (expected DELETE FROM <table> [WHERE p])")
+    }
+
+  // ------------------------------------------------------------------ MERGE
+
+  private def execMerge(spark: SparkSession, stmt: String): DataFrame = {
+    val p = new MergeParser(stmt)
+    val name = p.target
+    val t = table(name)
+    refreshViews() // the USING source may read a registered table
+    val sourceDf = spark.sql(p.sourceQuery)
+
+    // clause conditions arrive alias-qualified; the merge API wants
+    // target columns bare and source columns src_-prefixed
+    def xlate(cond: String): Column = expr(
+      cond.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(p.sourceAlias)}\\.(\\w+)", "src_$1")
+        .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(p.targetAlias)}\\.(\\w+)", "$1"))
+    // NMBS conditions see only the target row — no src_ rewrite to do,
+    // but a source-alias reference there is a user error; fail loudly
+    def xlateTargetOnly(cond: String): Column = {
+      require(!cond.matches(s"(?is).*\\b${java.util.regex.Pattern.quote(p.sourceAlias)}\\..*"),
+        s"NOT MATCHED BY SOURCE condition cannot reference the source ($cond)")
+      expr(cond.replaceAll(
+        s"(?i)\\b${java.util.regex.Pattern.quote(p.targetAlias)}\\.(\\w+)", "$1"))
+    }
+
+    val matchedUpdateWhen: Option[Column] = p.updateWhen match {
+      case None if p.hasUpdate => None                // unconditional SET *
+      case None => Some(lit(false))                   // no update clause at all
+      case Some(c) => Some(xlate(c))
+    }
+    val matchedDeleteWhen: Option[Column] =
+      if (!p.hasDelete) None
+      else Some(p.deleteWhen.map(xlate).getOrElse(lit(true)))
+    val nmbsDelete: Option[Column] =
+      if (!p.hasNmbsDelete) None
+      else Some(p.nmbsWhen.map(xlateTargetOnly).getOrElse(lit(true)))
+
+    // Without WHEN NOT MATCHED THEN INSERT, unmatched source rows must
+    // NOT be inserted — the merge API always inserts, so pre-filter the
+    // source to keys that exist in the target (left_semi, one pass).
+    val source =
+      if (p.hasInsert) sourceDf
+      else sourceDf.join(t.read().select(col(p.key)), Seq(p.key), "left_semi")
+
+    summarize(spark, name, t.merge(source, p.key,
+      matchedUpdateWhen = matchedUpdateWhen,
+      matchedDeleteWhen = matchedDeleteWhen,
+      notMatchedBySourceDelete = nmbsDelete))
+  }
+
+  /** Hand-rolled MERGE tokenizer: regexes cannot balance the source
+    * subquery's parentheses, so the statement is walked once —
+    * target [alias], USING source [alias], ON key equality, then the
+    * WHEN-clause list. Every unsupported shape throws with the
+    * offending fragment. */
+  private final class MergeParser(stmt: String) {
+    // NOTE: Scala initializes fields in declaration order — _target /
+    // _targetAlias must be declared BEFORE the `rest` initializer that
+    // assigns them, or their `= _` default would null them back out.
+    private var _target: String = _
+    private var _targetAlias: String = _
+    private var rest = {
+      val m = """(?is)^MERGE\s+INTO\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+""".r
+        .findFirstMatchIn(stmt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unsupported MERGE shape: $stmt (expected MERGE INTO <table> [alias] USING ...)"))
+      _target = m.group(1)
+      _targetAlias = Option(m.group(2)).getOrElse(m.group(1))
+      stmt.substring(m.end)
+    }
+    def target: String = _target
+    def targetAlias: String = _targetAlias
+
+    // --- source: (subquery) | view-name, then required alias
+    val sourceQuery: String = {
+      val s = rest.trim
+      if (s.startsWith("(")) {
+        var depth = 0; var i = 0; var end = -1
+        while (i < s.length && end < 0) {
+          s.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(end > 0, s"unbalanced parentheses in MERGE source: $s")
+        val q = s.substring(1, end).trim
+        rest = s.substring(end + 1)
+        q
+      } else {
+        val m = """(?s)^(\w+)""".r.findFirstMatchIn(s).getOrElse(
+          throw new IllegalArgumentException(s"cannot parse MERGE source from: $s"))
+        rest = s.substring(m.end)
+        s"SELECT * FROM ${m.group(1)}"
+      }
+    }
+    val sourceAlias: String = {
+      val m = """(?is)^\s*(?:AS\s+)?(\w+)\s+ON\s+""".r.findFirstMatchIn(rest)
+        .getOrElse(throw new IllegalArgumentException(
+          "MERGE needs a source alias and an ON clause: USING <src> <alias> ON ..."))
+      require(!m.group(1).equalsIgnoreCase("ON"),
+        "MERGE source needs an explicit alias (USING <src> <alias> ON ...)")
+      rest = rest.substring(m.end)
+      m.group(1)
+    }
+
+    // --- ON <a>.<k> = <b>.<k>: single-key equality, both sides the same
+    // column name (the key-based contract of LogTable.merge)
+    val key: String = {
+      val upTo = rest.toUpperCase.indexOf("WHEN ")
+      require(upTo > 0, "MERGE needs at least one WHEN clause")
+      val on = rest.substring(0, upTo).trim
+      rest = rest.substring(upTo)
+      val OnRe = """(?is)^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$""".r
+      on match {
+        case OnRe(a1, c1, a2, c2) =>
+          require(c1.equalsIgnoreCase(c2),
+            s"MERGE ON must equate the SAME key column on both sides (got $c1 / $c2)")
+          val aliases = Set(a1.toLowerCase, a2.toLowerCase)
+          require(aliases == Set(_targetAlias.toLowerCase, sourceAlias.toLowerCase),
+            s"MERGE ON must reference the target and source aliases (got $on)")
+          c1
+        case _ => throw new IllegalArgumentException(
+          s"unsupported MERGE ON condition: '$on' (expected <t>.<key> = <s>.<key>)")
+      }
+    }
+
+    // --- WHEN clauses
+    var hasUpdate = false; var updateWhen: Option[String] = None
+    var hasDelete = false; var deleteWhen: Option[String] = None
+    var hasInsert = false
+    var hasNmbsDelete = false; var nmbsWhen: Option[String] = None
+    locally {
+      // split on each WHEN keyword (clause bodies cannot contain WHEN —
+      // conditions with a nested CASE WHEN are out of scope, loudly)
+      val clauses = """(?i)\bWHEN\b""".r.split(rest).map(_.trim).filter(_.nonEmpty)
+      val MatchedUp = """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+\*$""".r
+      val MatchedDel = """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE$""".r
+      val NotMatched = """(?is)^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$""".r
+      val Nmbs = """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE$""".r
+      clauses.foreach {
+        case MatchedUp(c) =>
+          require(!hasUpdate, "at most one WHEN MATCHED ... UPDATE clause")
+          hasUpdate = true; updateWhen = Option(c).map(_.trim)
+        case MatchedDel(c) =>
+          require(!hasDelete, "at most one WHEN MATCHED ... DELETE clause")
+          hasDelete = true; deleteWhen = Option(c).map(_.trim)
+        case NotMatched() =>
+          hasInsert = true
+        case Nmbs(c) =>
+          require(!hasNmbsDelete, "at most one NOT MATCHED BY SOURCE clause")
+          hasNmbsDelete = true; nmbsWhen = Option(c).map(_.trim)
+        case other => throw new IllegalArgumentException(
+          s"unsupported MERGE clause: WHEN $other (supported: MATCHED [AND c] THEN " +
+            "UPDATE SET * | DELETE; NOT MATCHED THEN INSERT *; " +
+            "NOT MATCHED BY SOURCE [AND c] THEN DELETE)")
+      }
+      require(hasUpdate || hasDelete || hasInsert || hasNmbsDelete,
+        "MERGE needs at least one WHEN clause")
+    }
+  }
+
+  // ------------------------------------------------------------------- CALL
+
+  private val CallRe = """(?is)^CALL\s+(\w+)\s*\((.*)\)$""".r
+
+  private def execCall(spark: SparkSession, stmt: String): DataFrame =
+    stmt match {
+      case CallRe(proc, argStr) =>
+        val args = splitTopLevel(argStr, ',').map(_.trim).filter(_.nonEmpty)
+          .map(a => if ((a.startsWith("'") && a.endsWith("'")) ||
+            (a.startsWith("\"") && a.endsWith("\""))) a.substring(1, a.length - 1) else a)
+        def t = table(args.head)
+        val snap = proc.toLowerCase match {
+          case "compact" => t.compact()
+          case "expire" => t.expire(keepLast = args(1).toInt)
+          case "expire_older_than" =>
+            t.expireOlderThan(args(1).toLong,
+              keepLast = if (args.length > 2) args(2).toInt else 1)
+          case "rollback" => t.rollback(args(1).toLong)
+          case "remove_orphans" => { t.removeOrphans(); t.snapshot() }
+          case "recluster" => t.recluster(args(1), args(2).toInt)
+          case "create_ref" =>
+            t.createRef(args(1),
+              if (args.length > 2) args(2).toLong else t.currentVersion)
+            t.snapshot()
+          case "create_branch" => { t.createBranch(args(1)); t.snapshot() }
+          case "fast_forward" => t.fastForward(args(1))
+          case other => throw new IllegalArgumentException(
+            s"unknown procedure '$other' (supported: compact, expire, " +
+              "expire_older_than, rollback, remove_orphans, recluster, " +
+              "create_ref, create_branch, fast_forward)")
+        }
+        summarize(spark, args.head, snap)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported CALL shape: $stmt (expected CALL <proc>(<table>, ...))")
+    }
+
+  // ------------------------------------------------------------ time travel
+
+  /** Rewrite time-travel references into snapshot-scoped temp views:
+    * `t@v3` / `t@<ref-or-branch>` / `t VERSION AS OF 3` /
+    * `t TIMESTAMP AS OF <epoch-ms | 'yyyy-MM-dd HH:mm:ss'>` (UTC).
+    * Only registered table names rewrite; anything else passes through
+    * untouched (an `@` inside a string literal on a non-table name is
+    * left alone). */
+  private def rewriteTimeTravel(spark: SparkSession, stmt: String): String = {
+    var out = stmt
+    def bind(token: String, name: String, df: => DataFrame): Unit =
+      if (registry.containsKey(name)) {
+        val view = s"${name}__at_" +
+          java.lang.Integer.toHexString(token.hashCode).replace('-', 'n')
+        df.createOrReplaceTempView(view)
+        out = out.replace(token, view)
+      }
+    // t@v3 | t@name  (version / ref / branch)
+    for (m <- """(\w+)@(v(\d+)|[A-Za-z0-9._-]+)""".r.findAllMatchIn(stmt)) {
+      val (name, suffix) = (m.group(1), m.group(2))
+      bind(m.matched, name, {
+        val t = table(name)
+        if (suffix.matches("v\\d+")) t.timeTravel(suffix.substring(1).toLong)
+        else if (t.refs.exists(_._1 == suffix)) t.readRef(suffix)
+        else if (t.branches.contains(suffix)) t.branch(suffix).read()
+        else throw new IllegalArgumentException(
+          s"'$suffix' is neither vN, a ref, nor a branch of '$name'")
+      })
+    }
+    // t VERSION AS OF 3
+    for (m <- """(?i)(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r.findAllMatchIn(stmt))
+      bind(m.matched, m.group(1), table(m.group(1)).timeTravel(m.group(2).toLong))
+    // t TIMESTAMP AS OF 1704067200000 | 'yyyy-MM-dd HH:mm:ss' (UTC)
+    for (m <- """(?i)(\w+)\s+TIMESTAMP\s+AS\s+OF\s+(\d+|'[^']+')""".r.findAllMatchIn(stmt)) {
+      val ts = m.group(2) match {
+        case q if q.startsWith("'") =>
+          java.time.LocalDateTime.parse(q.substring(1, q.length - 1).replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        case n => n.toLong
+      }
+      bind(m.matched, m.group(1), table(m.group(1)).timeTravelAsOf(ts))
+    }
+    out
+  }
+
+  // -------------------------------------------------------------- utilities
+
+  /** One-row result frame for DML/CALL, and the moment the registered
+    * views flip to the new snapshot (a SQL user's next SELECT sees the
+    * mutation, like any database). */
+  private def summarize(spark: SparkSession, name: String, snap: Snapshot): DataFrame = {
+    registry.get(name).registerViews(name)
+    import spark.implicits._
+    Seq((snap.version, snap.operation, snap.files.size.toLong, snap.totalRows))
+      .toDF("version", "operation", "n_files", "total_rows")
+  }
+
+  /** Split on `sep` at paren/quote depth 0 (SET lists, CALL args). */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val parts = scala.collection.mutable.ListBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case '(' if !inStr => depth += 1; cur += '('
+      case ')' if !inStr => depth -= 1; cur += ')'
+      case c if c == sep && depth == 0 && !inStr => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim)
+  }
+}

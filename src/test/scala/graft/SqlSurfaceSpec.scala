@@ -50,6 +50,149 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(ranges.forall(_.contains("id:[")), s"missing id range in ${ranges.toSeq}")
   }
 
+  private def collectSorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("GraftSql INSERT/UPDATE/DELETE are byte-equal to the API calls") {
+    import spark.implicits._
+    import graft.sources.GraftSql
+    // two tables, same lifecycle: one driven through SQL, one through API
+    val sqlT = LogTable(spark, Files.createTempDirectory("gsql_dml_").toString)
+    val apiT = LogTable(spark, Files.createTempDirectory("gsql_dml_api_").toString)
+    GraftSql.register("gsql_t", sqlT)
+    (0 until 100).map(i => (i.toLong, s"u${i % 7}", i * 1.5))
+      .toDF("id", "user", "score").createOrReplaceTempView("gsql_src")
+
+    GraftSql.exec(spark, "INSERT INTO gsql_t SELECT * FROM gsql_src WHERE id % 2 = 0")
+    GraftSql.exec(spark, "INSERT INTO gsql_t SELECT * FROM gsql_src WHERE id % 2 = 1;")
+    apiT.append(spark.table("gsql_src").filter(col("id") % 2 === 0))
+    apiT.append(spark.table("gsql_src").filter(col("id") % 2 === 1))
+
+    GraftSql.exec(spark,
+      "UPDATE gsql_t SET score = score + 100.0, user = 'bumped' WHERE id % 10 = 3")
+    apiT.update(col("id") % 10 === 3,
+      Map("score" -> (col("score") + 100.0), "user" -> lit("bumped")))
+
+    GraftSql.exec(spark, "DELETE FROM gsql_t WHERE user = 'u5'")
+    apiT.delete(col("user") === "u5")
+
+    assert(collectSorted(sqlT.read()) === collectSorted(apiT.read()))
+    assert(sqlT.read().count() > 0)
+    // the registered view tracks the mutations without re-registering
+    assert(spark.sql("SELECT count(*) FROM gsql_t").head().getLong(0) ===
+      apiT.read().count())
+    // DML returns a snapshot summary row
+    val s = GraftSql.exec(spark, "DELETE FROM gsql_t WHERE id = 0")
+    assert(s.columns.toSeq === Seq("version", "operation", "n_files", "total_rows"))
+    assert(s.head().getString(1) === "delete")
+  }
+
+  test("GraftSql MERGE with full clause surface is byte-equal to the API merge") {
+    import spark.implicits._
+    import graft.sources.GraftSql
+    val sqlT = LogTable(spark, Files.createTempDirectory("gsql_merge_").toString)
+    val apiT = LogTable(spark, Files.createTempDirectory("gsql_merge_api_").toString)
+    GraftSql.register("gsql_m", sqlT)
+    val base = (0 until 60).map(i => (i.toLong, s"t${i % 5}", i * 2.0)).toDF("id", "kind", "v")
+    sqlT.append(base); apiT.append(base)
+    // source: ids 0..19 matched (updates), 100..104 unmatched (inserts)
+    ((0 until 20).map(i => (i.toLong, s"t${i % 5}", 1000.0 + i)) ++
+      (100 until 105).map(i => (i.toLong, "fresh", i.toDouble)))
+      .toDF("id", "kind", "v").createOrReplaceTempView("gsql_upd")
+
+    GraftSql.exec(spark,
+      """MERGE INTO gsql_m t USING gsql_upd s ON t.id = s.id
+        |WHEN MATCHED AND t.kind = 't1' THEN DELETE
+        |WHEN MATCHED AND s.v > 1005.0 THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.kind = 't4' THEN DELETE""".stripMargin)
+    apiT.merge(spark.table("gsql_upd"), "id",
+      matchedUpdateWhen = Some(col("src_v") > 1005.0),
+      matchedDeleteWhen = Some(col("kind") === "t1"),
+      notMatchedBySourceDelete = Some(col("kind") === "t4"))
+    assert(collectSorted(sqlT.read()) === collectSorted(apiT.read()))
+
+    // MERGE without an INSERT clause must NOT insert unmatched source rows
+    val pre = sqlT.read().count()
+    GraftSql.exec(spark,
+      """MERGE INTO gsql_m t USING (SELECT CAST(9999 AS BIGINT) AS id, 'x' AS kind, CAST(1.0 AS DOUBLE) AS v) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(sqlT.read().count() === pre)
+    assert(sqlT.read().filter(col("id") === 9999L).count() === 0L)
+  }
+
+  test("GraftSql time travel: @vN, @ref, @branch, VERSION AS OF, TIMESTAMP AS OF") {
+    import spark.implicits._
+    import graft.sources.GraftSql
+    val t = LogTable(spark, Files.createTempDirectory("gsql_tt_").toString)
+    GraftSql.register("gsql_tt", t)
+    t.append((0 until 10).map(i => (i.toLong, "a")).toDF("id", "tag"))   // v1
+    val afterV1 = System.currentTimeMillis()
+    t.append((10 until 30).map(i => (i.toLong, "b")).toDF("id", "tag"))  // v2
+    t.createRef("rc1", 1L)
+    val b = t.createBranch("audit")
+    b.append(Seq((99L, "branch-only")).toDF("id", "tag"))
+
+    assert(GraftSql.exec(spark, "SELECT count(*) FROM gsql_tt").head().getLong(0) === 30L)
+    assert(GraftSql.exec(spark, "SELECT count(*) FROM gsql_tt@v1").head().getLong(0) === 10L)
+    assert(GraftSql.exec(spark, "SELECT count(*) FROM gsql_tt@rc1").head().getLong(0) === 10L)
+    assert(GraftSql.exec(spark, "SELECT count(*) FROM gsql_tt@audit").head().getLong(0) === 31L)
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) FROM gsql_tt VERSION AS OF 1").head().getLong(0) === 10L)
+    assert(GraftSql.exec(spark,
+      s"SELECT count(*) FROM gsql_tt TIMESTAMP AS OF $afterV1").head().getLong(0) === 10L)
+    // time travel composes inside a bigger query (join current vs @v1)
+    val grown = GraftSql.exec(spark,
+      """SELECT count(*) FROM gsql_tt cur
+        |LEFT ANTI JOIN gsql_tt@v1 old ON cur.id = old.id""".stripMargin)
+      .head().getLong(0)
+    assert(grown === 20L)
+  }
+
+  test("GraftSql CALL procedures route to the maintenance API") {
+    import spark.implicits._
+    import graft.sources.GraftSql
+    val t = LogTable(spark, Files.createTempDirectory("gsql_call_").toString)
+    GraftSql.register("gsql_c", t)
+    (0 until 3).foreach { i =>
+      t.append((i * 10 until (i + 1) * 10).map(j => (j.toLong, s"v$j")).toDF("id", "v").coalesce(1))
+    }
+    GraftSql.exec(spark, "CALL compact(gsql_c)")
+    assert(t.snapshot().operation === "compact")
+    assert(t.snapshot().files.size === 1)
+    assert(spark.sql("SELECT count(*) FROM gsql_c").head().getLong(0) === 30L)
+    GraftSql.exec(spark, "CALL rollback(gsql_c, 2)")
+    assert(GraftSql.exec(spark, "SELECT count(*) FROM gsql_c").head().getLong(0) === 20L)
+    GraftSql.exec(spark, "CALL create_ref(gsql_c, 'keeper')")
+    assert(t.refVersion("keeper") === t.currentVersion)
+  }
+
+  test("GraftSql rejects unsupported statement shapes loudly") {
+    import spark.implicits._
+    import graft.sources.GraftSql
+    val t = LogTable(spark, Files.createTempDirectory("gsql_rej_").toString)
+    GraftSql.register("gsql_r", t)
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    // unregistered DML target
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "DELETE FROM not_registered WHERE id = 1") }
+    // MERGE without a source alias
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "MERGE INTO gsql_r USING x ON gsql_r.id = x.id WHEN MATCHED THEN DELETE") }
+    // MERGE ON with different columns
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        "MERGE INTO gsql_r t USING gsql_r s ON t.id = s.other WHEN MATCHED THEN DELETE") }
+    // explicit column UPDATE SET list in MERGE (only SET * supported)
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        "MERGE INTO gsql_r t USING gsql_r s ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = 1") }
+    // unknown CALL
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "CALL vacuum_everything(gsql_r)") }
+  }
+
   test("a LogTable registers as a view and answers SQL across commits") {
     import spark.implicits._
     val t = LogTable(spark, Files.createTempDirectory("sql_table_").toString)
