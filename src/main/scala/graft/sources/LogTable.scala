@@ -239,7 +239,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * silently drop them; the caller must re-branch and replay (same
     * contract as Iceberg's fast_forward). The branch stays intact;
     * drop it when done. */
-  def fastForward(name: String): Snapshot = {
+  def fastForward(name: String, tag: String = ""): Snapshot = {
     require(!isBranchHandle, "fast-forward publishes TO main; call on the main handle")
     val b = branch(name)
     val baseVersion = {
@@ -248,8 +248,12 @@ final class LogTable private (val spark: SparkSession, val root: String,
       t.stripPrefix("base-v").toLong
     }
     val head = b.snapshot()
-    commit("publish", nextSchema = _ => head.schemaJson,
+    // `tag` makes the publish idempotent, like append's: a WAP loop
+    // that crashes between publish and checkpoint advance re-delivers
+    // the batch, and the tag check inside the closure drops it
+    commit("publish", tag, nextSchema = _ => head.schemaJson,
         nextChecks = _ => head.checks) { prev =>
+      if (tag.nonEmpty && hasTag(tag)) return snapshot()
       if (prev.version != baseVersion)
         throw new IllegalStateException(
           s"main advanced to v${prev.version} since branch '$name' forked at " +
@@ -375,6 +379,38 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val before = snapshot(fromVersion).files.map(_.path).toSet
     val to = snapshot(toVersion)
     val added = to.files.filterNot(f => before.contains(f.path))
+    if (added.isEmpty) emptyLike() else readFiles(added, to.schemaJson)
+  }
+
+  /** Incremental APPEND scan with maintenance tolerance — the tailing
+    * consumer's read primitive (Iceberg's incremental append scan has
+    * the same contract): the rows appended strictly after
+    * `fromVersion`, up to and including `toVersion`, computed by
+    * walking each commit's own added files. Row-PRESERVING rewrites
+    * (compact, recluster) contribute nothing — their rewritten files
+    * carry only rows already delivered — so a tail safely spans the
+    * reference's in-loop compaction cadence, where plain
+    * [[readChanges]] would re-surface compacted rows as new.
+    * Row-CHANGING operations (delete/update/merge/rollback/publish)
+    * cannot be represented as appends and throw: a changelog consumer
+    * must handle those at maintenance boundaries, exactly as with
+    * Iceberg. */
+  def readAppends(fromVersion: Long, toVersion: Long = currentVersion): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val to = snapshot(toVersion)
+    val added = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val snap = snapshot(v)
+      snap.operation match {
+        case "append" =>
+          val parentPaths = snapshot(snap.parent).files.map(_.path).toSet
+          snap.files.filterNot(f => parentPaths.contains(f.path))
+        case "compact" | "recluster" | "set-check" => Nil
+        case other => throw new IllegalStateException(
+          s"cannot read v$v as appends: operation '$other' changes rows; " +
+            "consume the changelog up to the maintenance boundary first")
+      }
+    }
     if (added.isEmpty) emptyLike() else readFiles(added, to.schemaJson)
   }
 

@@ -103,6 +103,48 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Write-audit-publish ingest — the reference's leader-commit loop
+    * upgraded to WAP (Iceberg's branch-based audit pattern): each
+    * micro-batch commits to a THROWAWAY AUDIT BRANCH, the `audit`
+    * callback examines exactly the rows that landed (throw = veto),
+    * and only a passing batch fast-forwards to main. Main's lineage
+    * therefore contains ONLY `publish` commits — a reader of main can
+    * never observe unaudited rows, not even mid-batch (branch commits
+    * are invisible to main by construction). A vetoed batch drops its
+    * branch and fails the query loudly: data flow stops rather than
+    * publishing bad rows — the contract an audit gate exists for.
+    * Restart-safe: the publish carries the batch tag, so a crash
+    * between publish and checkpoint advance cannot double-ingest.
+    * Single publisher per table, as with the reference's leader. */
+  def streamIngestWAP(stream: DataFrame, table: LogTable, checkpoint: String,
+      audit: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"wap-batch-$batchId"
+        if (!table.hasTag(tag)) {
+          val bname = s"wap-$batchId"
+          // a crashed attempt's branch may linger; its rows never
+          // published (no tag on main), so rebuild it from scratch
+          if (table.branches.contains(bname)) table.dropBranch(bname)
+          val b = table.createBranch(bname)
+          val committed = b.append(batch)
+          try audit(b.readAppends(1L, committed.version))
+          catch {
+            case e: Throwable =>
+              table.dropBranch(bname)
+              throw new IllegalStateException(
+                s"audit vetoed batch $batchId; nothing published", e)
+          }
+          table.fastForward(bname, tag)
+          table.dropBranch(bname)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-static enrichment: join each streaming event to a static
     * dimension snapshot. The dim side broadcasts per micro-batch —
     * no stream-side state, the canonical enrichment shape (at 100 TB
@@ -195,10 +237,111 @@ object Streams {
     import sess.implicits._
     graft.functions.HeavyHitters.topToRows(
       stream.select(col("user_id").cast("string")).as[String]
+        // single-key funnel BY DESIGN, not a scale bug: the typed
+        // Aggregator runs partial aggregation per input partition, so
+        // what reaches the one reducer is ≤ capacity counters PER
+        // PARTITION (the merged sketch state), never raw rows — the
+        // same O(partitions × capacity) a batch sketch merge ships.
         .groupByKey(_ => 0)
         .agg(new graft.functions.HeavyHitters(k, capacity).toColumn.name("top"))
         .toDF("g", "top"))
   }
+
+  // ------------------------------------------------------- table tailing
+
+  /** The READ half of the reference's continuous pipeline (reference
+    * README.md:191-212: a commit lands every ~3 min and the table is
+    * queried continuously): tail a [[LogTable]] as a stream of
+    * append-batches, exactly-once across consumer restarts.
+    *
+    * Mechanics — the same write-ahead contract Spark's micro-batch
+    * engine keeps in its offset log, re-expressed over the manifest
+    * version axis (the table's commit version IS the stream offset):
+    *
+    *  1. poll() pins the batch range: it writes an INTENT record
+    *     (from, to] to the checkpoint dir before calling the handler,
+    *     so a crashed batch is retried with the IDENTICAL range even
+    *     if the table advanced meanwhile — re-delivery is byte-equal,
+    *     which is what lets an idempotent sink dedup it;
+    *  2. the handler processes [[LogTable.readAppends]](from, to) —
+    *     maintenance-tolerant: in-loop compaction contributes no rows;
+    *  3. only after the handler returns does the cursor advance and
+    *     the intent clear (atomic rename; single consumer per
+    *     checkpoint dir, as with Spark checkpoints).
+    *
+    * A handler that appends to a LogTable with the batch tag (what
+    * [[Streams.tailInto]] wires up) is exactly-once end-to-end: a
+    * crash between sink-commit and cursor-advance replays the same
+    * (from, to] whose tag the sink already holds, and the re-delivery
+    * drops. */
+  final class TableTail private[streaming] (val table: LogTable,
+      checkpointDir: String) {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    private val dir = Paths.get(checkpointDir)
+    Files.createDirectories(dir)
+    private val cursorFile = dir.resolve("cursor")
+    private val intentFile = dir.resolve("intent")
+
+    /** Last fully-consumed table version (0 = nothing consumed). */
+    def cursor: Long =
+      if (Files.exists(cursorFile)) Files.readString(cursorFile).trim.toLong else 0L
+
+    private def writeAtomic(p: java.nio.file.Path, s: String): Unit = {
+      val tmp = dir.resolve(p.getFileName.toString + ".tmp")
+      Files.writeString(tmp, s)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    /** Consume at most one batch: false if no new commits. The handler
+      * receives (appendedRows, fromVersion, toVersion); `tag` is the
+      * idempotence key an exactly-once sink should commit under. */
+    def poll()(f: (DataFrame, Long, Long) => Unit): Boolean = {
+      val from = cursor
+      // a pinned intent from a crashed batch replays FIRST, verbatim
+      val (pf, pt) =
+        if (Files.exists(intentFile)) {
+          val Array(a, b) = Files.readString(intentFile).trim.split(":")
+          (a.toLong, b.toLong)
+        } else {
+          val to = table.currentVersion
+          if (to <= from) return false
+          writeAtomic(intentFile, s"$from:$to")
+          (from, to)
+        }
+      f(table.readAppends(pf, pt), pf, pt)
+      writeAtomic(cursorFile, pt.toString)
+      Files.deleteIfExists(intentFile)
+      true
+    }
+
+    /** The idempotence tag for a batch range — stable across replays
+      * because the range itself is pinned by the intent record. */
+    def tag(from: Long, to: Long): String = s"tail-$from-$to"
+
+    /** Drain everything currently committed (poll until false). */
+    def catchUp()(f: (DataFrame, Long, Long) => Unit): Int = {
+      var n = 0
+      while (poll()(f)) n += 1
+      n
+    }
+  }
+
+  /** Open (or resume) a tail of `table` checkpointed at
+    * `checkpointDir`. */
+  def tableTail(table: LogTable, checkpointDir: String): TableTail =
+    new TableTail(table, checkpointDir)
+
+  /** Continuous table-to-table pipe: drain `source`'s new appends into
+    * `sink` as atomic tagged commits — exactly-once end-to-end under
+    * crash/restart (tag dedup absorbs the replay of a pinned batch).
+    * Returns the number of batches committed this call; run it on the
+    * consumer's cadence. */
+  def tailInto(tail: TableTail, sink: LogTable): Int =
+    tail.catchUp() { (df, from, to) =>
+      sink.append(df, tag = tail.tag(from, to))
+      ()
+    }
 
   // ----------------------------------------------- stateful sessionization
 

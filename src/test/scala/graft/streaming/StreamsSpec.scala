@@ -113,6 +113,69 @@ class StreamsSpec extends SparkSpec {
     assert(table.read().count() === batchShaped.count())
   }
 
+  test("table tail: continuous ingest + concurrent tail delivers every row exactly once, across compaction") {
+    val src = LogTable(spark, Files.createTempDirectory("tail_src_").toString)
+    val sink = LogTable(spark, Files.createTempDirectory("tail_sink_").toString)
+    val tail = Streams.tableTail(src,
+      Files.createTempDirectory("tail_ckpt_").toString)
+
+    src.append((0 until 40).map(i => (i.toLong, s"a$i")).toDF("id", "v").coalesce(1))
+    src.append((40 until 70).map(i => (i.toLong, s"b$i")).toDF("id", "v").coalesce(1))
+    assert(Streams.tailInto(tail, sink) === 1) // one catch-up batch spans both commits
+    assert(sink.read().count() === 70L)
+
+    // in-loop maintenance between polls: compaction rewrites delivered
+    // rows but the tail must NOT re-deliver them
+    src.compact()
+    src.append((70 until 100).map(i => (i.toLong, s"c$i")).toDF("id", "v"))
+    Streams.tailInto(tail, sink)
+    assert(sink.read().count() === 100L)
+    assert(sink.read().select("id").distinct().count() === 100L)
+    // nothing new → no-op poll
+    assert(Streams.tailInto(tail, sink) === 0)
+    assert(tail.cursor === src.currentVersion)
+  }
+
+  test("table tail: a crashed batch replays PINNED and the tagged sink dedups — exactly-once across restart") {
+    val src = LogTable(spark, Files.createTempDirectory("tailr_src_").toString)
+    val sink = LogTable(spark, Files.createTempDirectory("tailr_sink_").toString)
+    val ckpt = Files.createTempDirectory("tailr_ckpt_").toString
+    src.append((0 until 30).map(i => (i.toLong, "x")).toDF("id", "v"))
+
+    // crash AFTER the sink committed but BEFORE the cursor advanced —
+    // the window where at-least-once systems double-deliver
+    val tail = Streams.tableTail(src, ckpt)
+    intercept[RuntimeException] {
+      tail.poll() { (df, from, to) =>
+        sink.append(df, tag = tail.tag(from, to))
+        throw new RuntimeException("consumer crashed before checkpoint")
+      }
+    }
+    assert(tail.cursor === 0L) // cursor never advanced
+    // the table moves on while the consumer is down
+    src.append((30 until 50).map(i => (i.toLong, "y")).toDF("id", "v"))
+
+    // restart: the pinned intent replays the IDENTICAL range first, so
+    // the sink's batch tag matches and the re-delivery drops
+    val tail2 = Streams.tableTail(src, ckpt)
+    Streams.tailInto(tail2, sink)
+    assert(sink.read().count() === 50L)
+    assert(sink.read().select("id").distinct().count() === 50L)
+    assert(tail2.cursor === src.currentVersion)
+  }
+
+  test("table tail fails loudly when the range contains a row-changing operation") {
+    val src = LogTable(spark, Files.createTempDirectory("tailx_src_").toString)
+    val tail = Streams.tableTail(src,
+      Files.createTempDirectory("tailx_ckpt_").toString)
+    src.append((0 until 10).map(i => (i.toLong, "x")).toDF("id", "v"))
+    src.delete(col("id") < 3L)
+    val e = intercept[IllegalStateException] {
+      tail.poll() { (df, _, _) => df.count(); () }
+    }
+    assert(e.getMessage.contains("changes rows"))
+  }
+
   test("stream_window sliding: streamed 30m/15m windows equal the batch sliding query") {
     runToMemory(Streams.streamWindow(eventsStream(),
       dur = "30 minutes", slide = "15 minutes"), "ssl", "complete")
@@ -266,6 +329,75 @@ class StreamsSpec extends SparkSpec {
     // capacity 4096 >> distinct users at sf0.001 → sketch is exact:
     // identical keys AND identical counts
     assert(streamed === exact)
+  }
+
+  test("stream WAP: audited batches publish atomically; main's lineage is publish-only") {
+    val table = LogTable(spark, Files.createTempDirectory("wap_").toString)
+    val ckpt = Files.createTempDirectory("ckpt_wap").toString
+    var audited = 0L
+    val q = Streams.streamIngestWAP(eventsStream(), table, ckpt,
+      audit = batch => {
+        val n = batch.count()
+        assert(n > 0, "audit saw an empty batch")
+        audited += n
+      })
+    assert(q.awaitTermination(120000), "WAP ingest did not finish in time")
+
+    val expected = Tables.events(spark, sfDir).count()
+    assert(table.read().count() === expected)
+    assert(audited === expected) // the audit saw exactly what published
+    // main's history holds ONLY publish commits — no append ever
+    // touched it, so no reader could have seen unaudited rows
+    assert(table.versions.map(v => table.snapshot(v).operation).toSet === Set("publish"))
+    assert(table.branches.isEmpty) // throwaway branches cleaned up
+    // restart from the same checkpoint: tag dedup → no new commits
+    val pre = table.currentVersion
+    val q2 = Streams.streamIngestWAP(eventsStream(), table, ckpt, _ => ())
+    assert(q2.awaitTermination(120000))
+    assert(table.currentVersion === pre)
+  }
+
+  test("stream WAP: a vetoed batch publishes NOTHING and fails the query loudly") {
+    val table = LogTable(spark, Files.createTempDirectory("wap_veto_").toString)
+    val q = Streams.streamIngestWAP(eventsStream(), table,
+      Files.createTempDirectory("ckpt_wapv").toString,
+      audit = _ => throw new RuntimeException("synthetic audit failure"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    assert(e.getMessage.contains("audit vetoed") ||
+      Option(e.getCause).exists(_.getMessage.contains("audit vetoed")))
+    assert(table.currentVersion === 0L) // main never moved
+    assert(table.read().count() === 0L)
+    assert(table.branches.isEmpty) // the vetoed branch was dropped
+  }
+
+  test("stream heavy hitters under capacity pressure: keys >> capacity still pin the planted talker") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[Long](spark, 4)
+    val hh = Streams.streamHeavyHitters(in.toDS().toDF("user_id"), k = 10, capacity = 16)
+    val q = hh.writeStream.format("memory").queryName("shhp")
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_shhp").toString)
+      .start()
+    try {
+      // two micro-batches, 150 distinct background keys each + a
+      // planted key appearing 200× per batch — 301 keys through a
+      // 16-counter sketch, so batch 2 merges into already-evicting state
+      in.addData((1000L until 1150L) ++ Seq.fill(200)(7L))
+      q.processAllAvailable()
+      in.addData((2000L until 2150L) ++ Seq.fill(200)(7L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val est = spark.table("shhp")
+      .groupBy(col("user_id")).agg(max(col("est_count")).as("est"))
+      .filter(col("user_id") === "7")
+      .as[(String, Long)].collect()
+    // n = 700, capacity 16 → undercount bound n/(c+1) = 41: the planted
+    // talker survives eviction with est in [true - bound, true]
+    assert(est.nonEmpty, "planted heavy hitter evicted from the sketch")
+    assert(est.head._2 <= 400L && est.head._2 >= 400L - 41L,
+      s"estimate ${est.head._2} outside the Misra-Gries bound [359, 400]")
   }
 
   test("stream_sessions: stateful sessionization equals batch lag-window sessions") {
