@@ -312,7 +312,61 @@ object Lakehouse {
         |GROUP BY old.event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** MERGE-driven schema evolution roundtrip (Delta
+    * autoMerge parity): the source carries a column the table has
+    * never seen (`priority`); the merge widens the table schema,
+    * matched rows take the new column's VALUES, and every untouched
+    * row reads it as NULL. The aggregate counts non-null priorities
+    * per type, so a merge that drops the new column on replaced rows,
+    * or resurrects values onto kept rows, breaks the hash. */
+  def lakeMerge4(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_merge4_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    (0 until 2).foreach { i =>
+      table.append(ev.filter(pmod(col("event_id"), lit(2)) === i))
+    }
+    val updates = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("priority", pmod(col("event_id"), lit(3)))
+    table.merge(updates, "event_id")
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"),
+        sum(col("priority")).cast("long").as("total_priority"),
+        count(col("priority")).as("n_priority"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Hidden-partitioning roundtrip (Iceberg partition transforms —
+    * the reference log table's natural layout, README.md:156-160):
+    * ingest events into a `day(ts_us)`-hidden-partitioned table in
+    * arrival order (NO pre-sorting — the transform clusters them),
+    * then answer a 10-day window through readRange, which prunes to
+    * the overlapping day directories via manifest metadata alone (the
+    * spec asserts the skip; at 100 TB the scan is I/O-proportional to
+    * the window). The derived day never exists as a column; the
+    * oracle is a plain WHERE over the source parquet. */
+  def lakeHidden(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{LogTable => LT, Transform}
+    val tmp = Files.createTempDirectory("graft_lake_hidden_").toString
+    val table = LT(s, tmp, hiddenBy = Seq(Transform.day("ts_us")))
+    table.append(Tables.events(s, dir))
+    val lo = 1704844800000000L            // 2024-01-10 00:00:00 UTC, µs
+    val hi = 1705708800000000L - 1        // < 2024-01-20 00:00:00 UTC
+    table.readRange("ts_us", lo, hi)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_merge4" -> (lakeMerge4 _),
+    "lake_hidden" -> (lakeHidden _),
     "lake_sql" -> (lakeSql _),
     "lake_sql_tt" -> (lakeSqlTt _),
     "lake_skipped" -> (lakeSkipped _),
@@ -328,6 +382,24 @@ object Lakehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_merge4" ->
+      """WITH merged AS (
+        |  SELECT event_type, value, CAST(NULL AS BIGINT) AS priority
+        |  FROM events WHERE event_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT event_type, value + 1000.0, event_id % 3
+        |  FROM events WHERE event_id % 5 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  CAST(sum(priority) AS BIGINT) AS total_priority,
+        |  count(priority) AS n_priority
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_hidden" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_sql" ->
       """WITH upd AS (
         |  SELECT event_id,

@@ -81,6 +81,7 @@ object GraftSql {
       case "UPDATE" => execUpdate(spark, stmt)
       case "DELETE" => execDelete(spark, stmt)
       case "MERGE" => execMerge(spark, stmt)
+      case "ALTER" => execAlter(spark, stmt)
       case "CALL" => execCall(spark, stmt)
       case _ =>
         // query path: refresh each registered table's data view to the
@@ -315,6 +316,24 @@ object GraftSql {
         "MERGE needs at least one WHEN clause")
     }
   }
+
+  // ------------------------------------------------------------------ ALTER
+
+  private val AlterRenameRe =
+    """(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$""".r
+  private val AlterDropRe =
+    """(?is)^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)$""".r
+
+  private def execAlter(spark: SparkSession, stmt: String): DataFrame =
+    stmt match {
+      case AlterRenameRe(name, from, to) =>
+        summarize(spark, name, table(name).renameColumn(from, to))
+      case AlterDropRe(name, colName) =>
+        summarize(spark, name, table(name).dropColumn(colName))
+      case _ => throw new IllegalArgumentException(
+        s"unsupported ALTER shape: $stmt (expected ALTER TABLE <t> RENAME COLUMN " +
+          "<a> TO <b> | DROP COLUMN <a>)")
+    }
 
   // ------------------------------------------------------------------- CALL
 

@@ -29,6 +29,67 @@ final case class DataFile(path: String, rows: Long, bytes: Long,
     ranges: Map[String, (Long, Long)] = Map.empty,
     strRanges: Map[String, (String, String)] = Map.empty)
 
+/** A HIDDEN-PARTITIONING transform (Iceberg's partition transforms —
+  * the defining difference from hive layout): data files are laid out
+  * by a value DERIVED from a source column (`hour(ts_us)`,
+  * `bucket(16, user_id)`), the derived value never becomes a table
+  * column, and scans filtering on the SOURCE column prune through the
+  * transform. This is the reference log table's natural layout
+  * (reference README.md:156-160: time-range queries over an
+  * hour-organized log) without the user ever managing an hour column.
+  *
+  * `monotonic` transforms (hour/day/truncate) prune RANGES on the
+  * source column; bucket prunes point lookups only (it scrambles
+  * order by construction). Writers re-derive the value from row data,
+  * so every rewrite path (compact/recluster/COW) lands files in the
+  * correct layout automatically. */
+final case class Transform(source: String, kind: String, n: Long) {
+  /** The synthetic directory-key column name (never a data column). */
+  def colName: String = s"_p_${source}_$kind"
+  def monotonic: Boolean = kind != "bucket"
+  /** Derived value as a Column over the source column — INTEGRAL
+    * arithmetic only (`div`, `pmod`): float division would drift from
+    * [[derive]] at µs magnitudes and silently mis-prune. Sources must
+    * be LongType (the µs/id domain this library standardizes on;
+    * validated at the writer). */
+  def column: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.expr
+    kind match {
+      case "hour" => expr(s"$source div 3600000000L")
+      case "day" => expr(s"$source div 86400000000L")
+      case "truncate" => expr(s"($source div ${n}L) * ${n}L")
+      case "bucket" => expr(s"pmod(xxhash64($source), ${n}L)")
+    }
+  }
+  /** Derived value for a literal (what the reader prunes with) — the
+    * same integer arithmetic as [[column]], or pruning would be WRONG.
+    * `div` truncates toward zero, as Java `/` does; truncation is
+    * monotone over integers, so range pruning stays sound even for
+    * negative domains. */
+  def derive(v: Long): Long = kind match {
+    case "hour" => v / 3600000000L
+    case "day" => v / 86400000000L
+    case "truncate" => v / n * n
+    case "bucket" =>
+      // Spark's xxhash64 with its default seed 42 over a LongType value
+      ((org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        v, org.apache.spark.sql.types.LongType, 42L) % n) + n) % n
+  }
+}
+
+object Transform {
+  /** Hour partitioning over a µs-epoch Long column. */
+  def hour(source: String): Transform = Transform(source, "hour", 0L)
+  /** Day partitioning over a µs-epoch Long column. */
+  def day(source: String): Transform = Transform(source, "day", 0L)
+  /** Fixed-width value truncation (numeric range buckets). */
+  def truncate(width: Long, source: String): Transform =
+    Transform(source, "truncate", width)
+  /** Hash bucketing into `n` buckets (point-lookup pruning). */
+  def bucket(n: Int, source: String): Transform =
+    Transform(source, "bucket", n.toLong)
+}
+
 /** One committed snapshot: the COMPLETE list of data files visible at
   * `version`, plus commit metadata. `tag` is an optional idempotence
   * key (e.g. a streaming micro-batch id): a writer that re-delivers
@@ -38,10 +99,15 @@ final case class DataFile(path: String, rows: Long, bytes: Long,
   * in O(1) instead of re-deriving it from O(files) parquet footers,
   * and reads hand it to the scan so no mergeSchema footer job ever
   * runs. Empty on legacy manifests → readers fall back to footer
-  * merging. */
+  * merging. Each field carries a stable FIELD ID and its historical
+  * physical names in the StructField metadata (see
+  * [[LogTable.renameColumn]]); `retired` lists physical names of
+  * DROPPED fields, blocked from re-use so old files' data can never
+  * silently resurrect under a re-added name. */
 final case class Snapshot(version: Long, parent: Long, operation: String,
     timestampMs: Long, files: Seq[DataFile], tag: String = "",
-    schemaJson: String = "", checks: Map[String, String] = Map.empty) {
+    schemaJson: String = "", checks: Map[String, String] = Map.empty,
+    retired: Seq[String] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
 }
@@ -80,7 +146,8 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
   * becomes the catalog's compare-and-swap — isolated behind commit().
   */
 final class LogTable private (val spark: SparkSession, val root: String,
-    val partitionBy: Seq[String], logSubdir: String) {
+    val partitionBy: Seq[String], logSubdir: String,
+    val hiddenBy: Seq[Transform] = Nil) {
   import LogTable._
 
   private val rootPath = Paths.get(root)
@@ -195,7 +262,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // then silently drop that commit.
     val fork = snapshot()
     val base = Snapshot(1L, 0L, "branch", System.currentTimeMillis(),
-      fork.files, s"base-v${fork.version}", fork.schemaJson, fork.checks)
+      fork.files, s"base-v${fork.version}", fork.schemaJson, fork.checks,
+      fork.retired)
     val tmp = bdir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
     Files.writeString(tmp, renderManifest(base))
     try {
@@ -217,7 +285,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name '$name'")
     require(Files.exists(logDir.resolve(s"branch-$name").resolve(
       f"v${1L}%05d.manifest.json")), s"no such branch '$name'")
-    new LogTable(spark, root, partitionBy, s"$ManifestDir/branch-$name")
+    new LogTable(spark, root, partitionBy, s"$ManifestDir/branch-$name", hiddenBy)
   }
 
   /** All branch names, sorted. */
@@ -252,7 +320,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // that crashes between publish and checkpoint advance re-delivers
     // the batch, and the tag check inside the closure drops it
     commit("publish", tag, nextSchema = _ => head.schemaJson,
-        nextChecks = _ => head.checks) { prev =>
+        nextChecks = _ => head.checks,
+        nextRetired = _ => head.retired) { prev =>
       if (tag.nonEmpty && hasTag(tag)) return snapshot()
       if (prev.version != baseVersion)
         throw new IllegalStateException(
@@ -327,12 +396,60 @@ final class LogTable private (val spark: SparkSession, val root: String,
     prunedByRange(snapshot(), column, lo, hi)
 
   private def prunedByRange(snap: Snapshot, column: String,
-      lo: Long, hi: Long): Seq[DataFile] =
-    snap.files.filter(f =>
-      f.ranges.get(column) match {
+      lo: Long, hi: Long): Seq[DataFile] = {
+    // two independent pruning axes, both from manifest metadata only:
+    // per-file column stats, and — on hidden-partitioned tables — the
+    // MONOTONIC transforms' derived directory keys (hour/day/truncate
+    // ranges map [lo, hi] to [derive(lo), derive(hi)]). A file missing
+    // either signal is conservatively scanned, never wrongly skipped.
+    val monos = hiddenBy.filter(t => t.monotonic && t.source == column)
+    snap.files.filter { f =>
+      val statsHit = f.ranges.get(column) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
-      })
+      }
+      statsHit && monos.forall { t =>
+        f.partitions.get(t.colName) match {
+          case Some(v) => v.toLong >= t.derive(lo) && v.toLong <= t.derive(hi)
+          case None => true
+        }
+      }
+    }
+  }
+
+  /** Point lookup pruned through EVERY manifest signal — column
+    * stats, monotonic hidden transforms, and hash-BUCKET transforms
+    * (the one pruning a bucket layout exists for: only the key's
+    * bucket directory is opened, 1/n of the table regardless of value
+    * order). Residual filter keeps the result exact. On a
+    * `bucket(n, user_id)`-laid 100 TB table this is the "all activity
+    * of user X" query at 1/n of the I/O with zero planning scans. */
+  def readPoint(column: String, value: Long): DataFrame = {
+    val snap = snapshot()
+    val keep = prunedForPoint(snap, column, value)
+    import org.apache.spark.sql.functions.col
+    val base = if (keep.isEmpty) emptyLike()
+      else readFiles(keep, snap.schemaJson)
+    if (base.columns.isEmpty) base else base.filter(col(column) === value)
+  }
+
+  /** Files a point lookup must open — exposed so specs can assert the
+    * bucket pruning actually happened. */
+  def filesForPoint(column: String, value: Long): Seq[DataFile] =
+    prunedForPoint(snapshot(), column, value)
+
+  private def prunedForPoint(snap: Snapshot, column: String,
+      value: Long): Seq[DataFile] = {
+    val buckets = hiddenBy.filter(t => !t.monotonic && t.source == column)
+    prunedByRange(snap, column, value, value).filter { f =>
+      buckets.forall { t =>
+        f.partitions.get(t.colName) match {
+          case Some(v) => v.toLong == t.derive(value)
+          case None => true
+        }
+      }
+    }
+  }
 
   /** [[readRange]] for STRING columns: rows with `column` in the
     * CLOSED lexical interval [lo, hi], opening only files whose
@@ -423,9 +540,40 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * schema fall back to mergeSchema footer unioning. */
   private def readFiles(files: Seq[DataFile], schemaJson: String = ""): DataFrame = {
     val r = spark.read.option("basePath", dataDir.toString)
-    (if (schemaJson.nonEmpty) r.schema(LogTable.parseSchema(schemaJson))
-    else r.option("mergeSchema", "true"))
-      .parquet(files.map(_.path): _*)
+    if (schemaJson.isEmpty) {
+      // legacy footer-merge path: partition DISCOVERY would surface the
+      // hidden `_p_*` directory keys as columns — project them out
+      val raw = r.option("mergeSchema", "true").parquet(files.map(_.path): _*)
+      val hidden = raw.columns.filter(_.startsWith("_p_"))
+      return if (hidden.isEmpty) raw else raw.drop(hidden.toIndexedSeq: _*)
+    }
+    val schema = LogTable.parseSchema(schemaJson)
+    if (schema.forall(f => LogTable.prevNames(f).isEmpty)) {
+      val fast = r.schema(schema).parquet(files.map(_.path): _*)
+      // defensive: if partition discovery surfaces hidden keys anyway,
+      // project them out — they are layout, not data
+      val hidden = fast.columns.filter(_.startsWith("_p_"))
+      return if (hidden.isEmpty) fast else fast.drop(hidden.toIndexedSeq: _*)
+    }
+    // RENAME-AWARE scan: a renamed field's values live under its OLD
+    // name in files written before the rename and under the new name
+    // after — no file was rewritten (rename is metadata-only, as
+    // Iceberg). Scan the physical-name union (each file supplies at
+    // most one of a field's names; the others read as null) and
+    // coalesce per field back to the logical schema. Only tables with
+    // rename history pay this projection; everyone else stays on the
+    // fast path above.
+    import org.apache.spark.sql.functions.{coalesce, col}
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val phys = StructType(schema.flatMap { f =>
+      f +: LogTable.prevNames(f).map(p => StructField(p, f.dataType, nullable = true))
+    })
+    r.schema(phys).parquet(files.map(_.path): _*)
+      .select(schema.map { f =>
+        val names = f.name +: LogTable.prevNames(f)
+        if (names.size == 1) col(f.name)
+        else coalesce(names.map(col): _*).as(f.name, f.metadata)
+      }: _*)
   }
 
   /** Per-snapshot stats from manifest metadata ONLY (no data I/O). */
@@ -547,20 +695,28 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** The snapshot's current logical schema: manifest-recorded, or (on
+    * legacy snapshots) derived once from a footer-merge read. */
+  private def schemaOf(snap: Snapshot): org.apache.spark.sql.types.StructType =
+    if (snap.schemaJson.nonEmpty) LogTable.parseSchema(snap.schemaJson)
+    else if (snap.files.nonEmpty) readFiles(snap.files).schema
+    else new org.apache.spark.sql.types.StructType()
+
   /** The snapshot's authoritative schema merged with an incoming
-    * write's (validating no column is retyped). A LEGACY snapshot
-    * (files but no recorded schema) derives its schema from a one-time
-    * footer-merge read first, so the first post-upgrade write ADOPTS
-    * the legacy columns into the manifest instead of silently
-    * shadowing them with the incoming batch's schema — and legacy
-    * retypes are validated like any other. */
+    * write's (validating no column is retyped, and no new column takes
+    * a retired or formerly-used name). A LEGACY snapshot (files but no
+    * recorded schema) derives its schema from a one-time footer-merge
+    * read first, so the first post-upgrade write ADOPTS the legacy
+    * columns into the manifest instead of silently shadowing them with
+    * the incoming batch's schema — and legacy retypes are validated
+    * like any other. */
   private def mergedSchemaWith(snap: Snapshot,
-      add: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
-    if (snap.schemaJson.nonEmpty)
-      mergeStructs(LogTable.parseSchema(snap.schemaJson), add)
-    else if (snap.files.nonEmpty)
-      mergeStructs(readFiles(snap.files).schema, add)
-    else add
+      add: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val base = schemaOf(snap)
+    val blocked = snap.retired.map(_.toLowerCase).toSet ++
+      (LogTable.liveNames(base) -- base.map(_.name.toLowerCase))
+    LogTable.mergeStructs(base, add, blocked)
+  }
 
   /** Add a named CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT`
     * parity): `predicateSql` must hold for every row — existing data
@@ -590,6 +746,78 @@ final class LogTable private (val spark: SparkSession, val root: String,
   /** Remove a CHECK constraint (metadata-only commit). */
   def dropCheck(name: String): Snapshot =
     commit("set-check", nextChecks = prev => prev.checks - name)(prev => prev.files)
+
+  /** METADATA-ONLY column rename (Iceberg `ALTER TABLE ... RENAME
+    * COLUMN`): no data file is touched — the field keeps its stable
+    * field id and records its old name in the manifest schema's name
+    * history, and every read (current AND of rewritten future files)
+    * coalesces the field's historical physical names back to the new
+    * one. Old snapshots still read under the old name (their manifest
+    * schema is theirs). The vacated name stays reserved: adding a new
+    * column with it would read this field's values out of pre-rename
+    * files, so mergeStructs blocks it. Partition columns cannot be
+    * renamed (their name IS the directory layout). */
+  def renameColumn(oldName: String, newName: String): Snapshot = {
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid column name '$newName'")
+    require(!partitionBy.exists(_.equalsIgnoreCase(oldName)),
+      s"cannot rename partition column '$oldName' (its name is the data layout)")
+    commit("evolve-schema", nextSchema = prev => {
+      val schema = LogTable.assignFieldIds(schemaOf(prev))
+      val idx = schema.indexWhere(_.name.equalsIgnoreCase(oldName))
+      require(idx >= 0, s"no such column '$oldName'")
+      val taken = LogTable.liveNames(schema) ++ prev.retired.map(_.toLowerCase)
+      require(!taken.contains(newName.toLowerCase),
+        s"cannot rename to '$newName': the name is live, historical, or dropped")
+      checkNotInChecks(prev, oldName, "rename")
+      val f = schema(idx)
+      val renamed = LogTable.withFieldMeta(f.copy(name = newName),
+        LogTable.fieldId(f).get, f.name +: LogTable.prevNames(f))
+      org.apache.spark.sql.types.StructType(schema.updated(idx, renamed)).json
+    })(prev => prev.files)
+  }
+
+  /** METADATA-ONLY column drop (Iceberg `ALTER TABLE ... DROP
+    * COLUMN`): no data file is rewritten — current reads simply
+    * project the field out (the manifest schema no longer lists it),
+    * old snapshots still see it, and ALL the field's historical
+    * physical names go on the retired list so a later add can never
+    * silently resurrect the orphaned values still sitting in old
+    * files. */
+  def dropColumn(name: String): Snapshot = {
+    require(!partitionBy.exists(_.equalsIgnoreCase(name)),
+      s"cannot drop partition column '$name'")
+    def fieldOf(prev: Snapshot): org.apache.spark.sql.types.StructField = {
+      val schema = schemaOf(prev)
+      val idx = schema.indexWhere(_.name.equalsIgnoreCase(name))
+      require(idx >= 0, s"no such column '$name'")
+      require(schema.length > 1, "cannot drop the table's last column")
+      schema(idx)
+    }
+    commit("evolve-schema",
+      nextSchema = prev => {
+        checkNotInChecks(prev, name, "drop")
+        val schema = LogTable.assignFieldIds(schemaOf(prev))
+        org.apache.spark.sql.types.StructType(
+          schema.filterNot(_.name.equalsIgnoreCase(name))).json
+      },
+      nextRetired = prev => {
+        val f = fieldOf(prev)
+        (prev.retired ++ (f.name +: LogTable.prevNames(f)).map(_.toLowerCase)).distinct
+      })(prev => prev.files)
+  }
+
+  /** A column referenced by a CHECK constraint cannot be renamed or
+    * dropped — the constraint would become unevaluable and brick every
+    * writer. Word-boundary text match: conservative (may flag a
+    * same-named identifier in a string literal), never silently
+    * permissive. */
+  private def checkNotInChecks(snap: Snapshot, column: String, what: String): Unit =
+    snap.checks.foreach { case (cname, sql) =>
+      require(!s"(?i).*\\b${java.util.regex.Pattern.quote(column)}\\b.*".r
+          .matches(sql),
+        s"cannot $what column '$column': CHECK constraint '$cname' ($sql) references it; " +
+          "drop the constraint first")
+    }
 
   /** Current constraints, name → SQL predicate. */
   def checks: Map[String, String] = snapshot().checks
@@ -956,8 +1184,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
           coalesce(matchedUpdateWhen.getOrElse(lit(true)), lit(false))
         val doNmbsDelete = !matched &&
           coalesce(notMatchedBySourceDelete.getOrElse(lit(false)), lit(false))
+        // MERGE SCHEMA EVOLUTION (Delta parity): a WIDER source does
+        // not only grow the schema through the inserts — matched rows
+        // taking the update receive the new columns' VALUES, and kept
+        // rows materialize them as typed nulls, exactly what a later
+        // read of unrewritten files will show for their rows.
+        val targetLower = cols.map(_.toLowerCase).toSet
+        val newCols = updates.schema.fields.toSeq
+          .filter(f => f.name != key && !targetLower.contains(f.name.toLowerCase))
         val kept = joined.filter(!doDelete && !doUpdate && !doNmbsDelete)
-          .select(cols.map(col): _*)
+          .select(cols.map(col) ++ newCols.map(f =>
+            lit(null).cast(f.dataType).as(f.name)): _*)
         // updates may be NARROWER than the table (same contract as the
         // pre-clause merge, where mergeSchema read absent columns as
         // null on replaced rows): target columns missing from the
@@ -967,7 +1204,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
             if (c == key) col(c)
             else if (updCols.contains(c.toLowerCase)) col(s"src_$c").as(c)
             else lit(null).cast(src.schema(c).dataType).as(c)
-          }: _*)
+          } ++ newCols.map(f => col(s"src_${f.name}").as(f.name)): _*)
         kept.unionByName(updated)
       }
     val rewritten =
@@ -1096,7 +1333,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def rollback(version: Long): Snapshot = {
     val target = snapshot(version)
     commit("rollback", nextSchema = _ => target.schemaJson,
-      nextChecks = _ => target.checks)(_ => target.files)
+      nextChecks = _ => target.checks,
+      nextRetired = _ => target.retired)(_ => target.files)
   }
 
   /** Drop all but the newest `keepLast` snapshots and delete data files
@@ -1194,8 +1432,25 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * each file's partition values are captured for manifest pruning. */
   private def writeDataFiles(df: DataFrame): Seq[DataFile] = {
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
-    val w = df.write
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    // hidden transforms: derive the layout keys from row data — every
+    // write path (append, compact, recluster, COW rewrites) re-derives
+    // them, so rewritten rows always land in the correct partition.
+    // The derived column is pulled into the directory key by
+    // partitionBy and never enters the parquet data.
+    hiddenBy.foreach { t =>
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(t.source))
+      f.foreach(fld => require(
+        fld.dataType == org.apache.spark.sql.types.LongType,
+        s"hidden transform ${t.kind}(${t.source}) needs a LongType source, " +
+          s"got ${fld.dataType} (hash/derive arithmetic is Long-domain)"))
+    }
+    val laid = hiddenBy.filter(t =>
+        df.columns.exists(_.equalsIgnoreCase(t.source)))
+      .foldLeft(df)((d, t) => d.withColumn(t.colName, t.column))
+    val partCols = partitionBy ++
+      hiddenBy.filter(t => laid.columns.contains(t.colName)).map(_.colName)
+    val w = laid.write
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(stage.toString)
     val walk1 = Files.walk(stage)
     val parts = try walk1.iterator().asScala
@@ -1229,7 +1484,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * writer won that version → re-read state and retry on top of it. */
   private def commit(operation: String, tag: String = "",
       nextSchema: Snapshot => String = _.schemaJson,
-      nextChecks: Snapshot => Map[String, String] = _.checks)(
+      nextChecks: Snapshot => Map[String, String] = _.checks,
+      nextRetired: Snapshot => Seq[String] = _.retired)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
@@ -1237,7 +1493,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val prev = snapshot()
       val next = Snapshot(prev.version + 1, prev.version, operation,
         System.currentTimeMillis(), nextFiles(prev), tag, nextSchema(prev),
-        nextChecks(prev))
+        nextChecks(prev), nextRetired(prev))
       val tmp = logDir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
       Files.writeString(tmp, renderManifest(next))
       try {
@@ -1376,12 +1632,19 @@ object LogTable {
 
   /** Open (creating directories if needed) the table rooted at `root`.
     * `partitionBy` makes appends lay data out hive-style and records
-    * per-file partition values in the manifest for pruned scans. */
+    * per-file partition values in the manifest for pruned scans.
+    * `hiddenBy` declares HIDDEN partition transforms ([[Transform]]):
+    * files are additionally laid out by derived values (`hour(ts_us)`,
+    * `bucket(16, id)`) that never become table columns, and
+    * readRange/readPoint prune through them. Like `partitionBy`, the
+    * spec is writer-declared per handle; files written under a
+    * different spec are conservatively scanned, never mis-pruned. */
   def apply(spark: SparkSession, root: String,
-      partitionBy: Seq[String] = Nil): LogTable = {
+      partitionBy: Seq[String] = Nil,
+      hiddenBy: Seq[Transform] = Nil): LogTable = {
     Files.createDirectories(Paths.get(root).resolve("data"))
     Files.createDirectories(Paths.get(root).resolve(ManifestDir))
-    new LogTable(spark, root, partitionBy, ManifestDir)
+    new LogTable(spark, root, partitionBy, ManifestDir, hiddenBy)
   }
 
   private def manifestPath(logDir: Path, version: Long): Path =
@@ -1410,6 +1673,10 @@ object LogTable {
     node.put("timestampMs", s.timestampMs)
     if (s.tag.nonEmpty) node.put("tag", s.tag)
     if (s.schemaJson.nonEmpty) node.put("schema", s.schemaJson)
+    if (s.retired.nonEmpty) {
+      val rn = node.putArray("retired")
+      s.retired.foreach(rn.add)
+    }
     if (s.checks.nonEmpty) {
       val cn = node.putObject("checks")
       s.checks.toSeq.sortBy(_._1).foreach { case (k, v) => cn.put(k, v) }
@@ -1463,28 +1730,94 @@ object LogTable {
       Option(n.get("schema")).map(_.asText()).getOrElse(""),
       Option(n.get("checks")).map { cn =>
         cn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      Option(n.get("retired")).map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Nil))
+  }
+
+  // ------------------------------------------- field ids & name history
+
+  /** StructField metadata keys: a STABLE FIELD ID assigned when the
+    * column first joins the table (Iceberg's defining schema-evolution
+    * mechanism — identity survives renames), and the field's historical
+    * physical names (the names under which older data files store its
+    * values). Both travel inside the manifest's schema JSON, so they
+    * version with the snapshot like everything else. */
+  private[sources] val FieldIdKey = "graft.field-id"
+  private[sources] val PrevNamesKey = "graft.prev-names"
+
+  /** The field's stable id (None on legacy fields not yet assigned). */
+  def fieldId(f: org.apache.spark.sql.types.StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey)) else None
+
+  /** Physical names this field had BEFORE its current one, newest
+    * first — the names older data files store its values under. */
+  def prevNames(f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(PrevNamesKey))
+      f.metadata.getStringArray(PrevNamesKey).toSeq
+    else Nil
+
+  private[sources] def withFieldMeta(f: org.apache.spark.sql.types.StructField,
+      id: Long, prevs: Seq[String]): org.apache.spark.sql.types.StructField = {
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id)
+    if (prevs.nonEmpty) b.putStringArray(PrevNamesKey, prevs.toArray)
+    f.copy(metadata = b.build())
+  }
+
+  /** Every physical name a schema's live fields answer to, lowercased —
+    * current names plus rename history. New columns must not collide
+    * with ANY of them: a new field named like some field's old name
+    * would read that field's values out of pre-rename files. */
+  private[sources] def liveNames(
+      s: org.apache.spark.sql.types.StructType): Set[String] =
+    s.flatMap(f => (f.name +: prevNames(f)).map(_.toLowerCase)).toSet
+
+  /** Assign fresh field ids to fields that lack one (new columns,
+    * legacy schemas) — max existing id + position, deterministic. */
+  private[sources] def assignFieldIds(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    if (s.forall(f => fieldId(f).isDefined)) return s
+    var next = s.flatMap(fieldId).foldLeft(0L)(math.max) + 1
+    org.apache.spark.sql.types.StructType(s.map { f =>
+      fieldId(f) match {
+        case Some(_) => f
+        case None =>
+          val g = withFieldMeta(f, next, prevNames(f)); next += 1; g
+      }
+    })
   }
 
   /** Merge an incoming write's schema into the table's: NEW columns
-    * append (add-column evolution), columns sharing a name must keep
-    * their exact type — the write-time validation Iceberg does, so a
-    * retype fails at the WRITER instead of poisoning every subsequent
-    * reader. Case-insensitive matching, like Spark's resolution. */
+    * append (add-column evolution) and get fresh field ids, columns
+    * sharing a name must keep their exact type — the write-time
+    * validation Iceberg does, so a retype fails at the WRITER instead
+    * of poisoning every subsequent reader. Case-insensitive matching,
+    * like Spark's resolution. Existing fields keep their manifest
+    * metadata (id, name history) — the incoming batch's bare fields
+    * never overwrite it. `blocked` carries names a new column may NOT
+    * take: retired (dropped) names and live fields' former names. */
   private[sources] def mergeStructs(prev: org.apache.spark.sql.types.StructType,
-      add: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+      add: org.apache.spark.sql.types.StructType,
+      blocked: Set[String] = Set.empty): org.apache.spark.sql.types.StructType = {
     val byName = prev.map(f => f.name.toLowerCase -> f).toMap
     add.foreach { f =>
-      byName.get(f.name.toLowerCase).foreach { ex =>
-        // nullability-insensitive: containsNull/struct-field nullability
-        // legitimately varies between writes of the same logical type
-        require(org.apache.spark.sql.GraftBridge.sameTypeIgnoreNullability(
-            ex.dataType, f.dataType),
-          s"write would change column '${f.name}' from ${ex.dataType} to " +
-            s"${f.dataType}; schema evolution may ADD columns, never retype them")
+      byName.get(f.name.toLowerCase) match {
+        case Some(ex) =>
+          // nullability-insensitive: containsNull/struct-field nullability
+          // legitimately varies between writes of the same logical type
+          require(org.apache.spark.sql.GraftBridge.sameTypeIgnoreNullability(
+              ex.dataType, f.dataType),
+            s"write would change column '${f.name}' from ${ex.dataType} to " +
+              s"${f.dataType}; schema evolution may ADD columns, never retype them")
+        case None =>
+          require(!blocked.contains(f.name.toLowerCase),
+            s"cannot add column '${f.name}': the name belonged to a dropped or " +
+              "renamed field and old data files still store values under it — " +
+              "re-using it would resurrect them (pick a different name)")
       }
     }
-    org.apache.spark.sql.types.StructType(
-      prev ++ add.filterNot(f => byName.contains(f.name.toLowerCase)))
+    assignFieldIds(org.apache.spark.sql.types.StructType(
+      prev ++ add.filterNot(f => byName.contains(f.name.toLowerCase))))
   }
 }

@@ -168,6 +168,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(t.refVersion("keeper") === t.currentVersion)
   }
 
+  test("GraftSql ALTER TABLE renames and drops columns through the manifest") {
+    import spark.implicits._
+    import graft.sources.GraftSql
+    val t = LogTable(spark, Files.createTempDirectory("gsql_alter_").toString)
+    GraftSql.register("gsql_a", t)
+    t.append((0 until 5).map(i => (i.toLong, i * 10L, s"x$i")).toDF("id", "score", "note"))
+    GraftSql.exec(spark, "ALTER TABLE gsql_a RENAME COLUMN score TO points")
+    // the registered view flips to the evolved schema immediately
+    assert(GraftSql.exec(spark, "SELECT sum(points) FROM gsql_a").head().getLong(0) === 100L)
+    GraftSql.exec(spark, "ALTER TABLE gsql_a DROP COLUMN note")
+    assert(spark.table("gsql_a").columns.toSeq === Seq("id", "points"))
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "ALTER TABLE gsql_a ADD COLUMN hm INT")
+    }
+  }
+
   test("GraftSql rejects unsupported statement shapes loudly") {
     import spark.implicits._
     import graft.sources.GraftSql

@@ -735,6 +735,184 @@ class LogTableSpec extends SparkSpec {
     assert(t.timeTravel(1L).columns.toSet === Set("id"))
   }
 
+  test("merge schema evolution: matched rows take the new column's values, kept rows read null") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    t.append((0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    // source carries a brand-new column; ids 0..4 matched, 100 inserted
+    val src = ((0 until 5).map(i => (i.toLong, s"V$i", i * 10L)) :+
+      ((100L, "NEW", 999L))).toDF("id", "v", "rank")
+    t.merge(src, "id")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v", "rank"))
+    val rows = t.read().select("id", "rank").as[(Long, Option[Long])]
+      .collect().toMap
+    // updated rows carry the VALUES (Delta autoMerge parity) ...
+    (0 until 5).foreach(i => assert(rows(i.toLong) === Some(i * 10L)))
+    assert(rows(100L) === Some(999L))
+    // ... kept rows in rewritten files AND untouched files read null
+    (5 until 20).foreach(i => assert(rows(i.toLong) === None))
+    assert(t.read().count() === 21L)
+  }
+
+  test("renameColumn is metadata-only: all file generations read under the new name, old snapshots keep theirs") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    t.append((0 until 10).map(i => (i.toLong, i * 2L)).toDF("id", "score")) // files store 'score'
+    val preRename = t.currentVersion
+    val nFilesBefore = t.snapshot().files.map(_.path).toSet
+
+    t.renameColumn("score", "points")
+    // metadata-only: not one data file was touched
+    assert(t.snapshot().files.map(_.path).toSet === nFilesBefore)
+    // the field kept its identity (stable field id across the rename)
+    val fBefore = t.timeTravel(preRename).schema.find(_.name == "score")
+      .map(graft.sources.LogTable.fieldId).flatten
+    val fAfter = t.schema.find(_.name == "points")
+      .map(graft.sources.LogTable.fieldId).flatten
+    assert(fBefore.isDefined && fBefore === fAfter)
+
+    // pre-rename files answer under the NEW name with their old values
+    assert(t.read().columns.toSeq === Seq("id", "points"))
+    assert(t.read().filter(col("points") === col("id") * 2).count() === 10L)
+    // new appends write under the new name; both generations coexist
+    t.append((10 until 20).map(i => (i.toLong, i * 2L)).toDF("id", "points"))
+    assert(t.read().count() === 20L)
+    assert(t.read().filter(col("points") === col("id") * 2).count() === 20L)
+    // the old snapshot still reads its own schema
+    assert(t.timeTravel(preRename).columns.toSeq === Seq("id", "score"))
+    // writing under the VACATED name fails loudly (it would alias the
+    // renamed field's old files)
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((99L, 1L, 5L)).toDF("id", "points", "score"))
+    }
+    assert(e.getMessage.contains("renamed"))
+    // COW ops on pre-rename files keep values through the rewrite
+    t.update(col("id") === 0L, Map("points" -> lit(777L)))
+    assert(t.read().filter(col("id") === 0L).select("points").head().getLong(0) === 777L)
+    assert(t.read().filter(col("points") === col("id") * 2).count() === 19L)
+  }
+
+  test("rename chains read every file generation; SQL filters on renamed columns stay exact") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    t.append(Seq((1L, "alpha")).toDF("id", "a"))
+    t.renameColumn("a", "b")
+    t.append(Seq((2L, "beta")).toDF("id", "b"))
+    t.renameColumn("b", "c")
+    t.append(Seq((3L, "gamma")).toDF("id", "c"))
+    val rows = t.read().select("id", "c").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    assert(t.read().filter(col("c") === "beta").count() === 1L)
+    // neither historical name is addressable in the current schema
+    assert(!t.read().columns.contains("a") && !t.read().columns.contains("b"))
+  }
+
+  test("dropColumn projects the field out everywhere; the name is tombstoned against resurrection") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    t.append((0 until 10).map(i => (i.toLong, s"secret$i", i * 1.0)).toDF("id", "pii", "score"))
+    val preDrop = t.currentVersion
+    t.dropColumn("pii")
+    // current reads no longer see it; no file was rewritten
+    assert(t.read().columns.toSeq === Seq("id", "score"))
+    assert(t.schema.fieldNames.toSeq === Seq("id", "score"))
+    // time travel still reads the dropped column (its files are intact)
+    assert(t.timeTravel(preDrop).columns.contains("pii"))
+    // appends keep working, and the dropped name cannot come back —
+    // old files still hold values under it and a re-add would
+    // resurrect them into the new column
+    t.append((10 until 15).map(i => (i.toLong, i * 1.0)).toDF("id", "score"))
+    assert(t.read().count() === 15L)
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((99L, 0.0, "ghost")).toDF("id", "score", "pii"))
+    }
+    assert(e.getMessage.contains("dropped"))
+    // a RENAMED-then-dropped field tombstones its whole name history
+    t.renameColumn("score", "rating")
+    t.dropColumn("rating")
+    intercept[IllegalArgumentException] {
+      t.append(Seq((100L, 1.0)).toDF("id", "score"))
+    }
+  }
+
+  test("schema evolution guards: partition columns and checked columns are immovable") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("lt_evo_guard_").toString
+    val t = LogTable(spark, dir, partitionBy = Seq("part"))
+    t.append((0 until 6).map(i => (i.toLong, s"p${i % 2}", i * 1.0)).toDF("id", "part", "v"))
+    intercept[IllegalArgumentException] { t.renameColumn("part", "bucket") }
+    intercept[IllegalArgumentException] { t.dropColumn("part") }
+    t.addCheck("v_nonneg", "v >= 0")
+    val e = intercept[IllegalArgumentException] { t.dropColumn("v") }
+    assert(e.getMessage.contains("v_nonneg"))
+    intercept[IllegalArgumentException] { t.renameColumn("v", "w") }
+    // dropping the constraint unblocks the evolution
+    t.dropCheck("v_nonneg")
+    t.renameColumn("v", "w")
+    assert(t.read().filter(col("w") >= 0).count() === 6L)
+  }
+
+  test("hidden partitioning: hour(ts_us) lays files out by hour and range scans open only overlapping hours") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("lt_hidden_hour_").toString
+    val t = LogTable(spark, dir, hiddenBy = Seq(graft.sources.Transform.hour("ts_us")))
+    val hourUs = 3600000000L
+    // 6 hours of data in ONE append, arriving unsorted — hidden
+    // partitioning clusters them by hour anyway
+    val rows = (0 until 600).map { i =>
+      (i.toLong, (i % 6).toLong * hourUs + (i / 6).toLong * 1000L, s"e$i")
+    }
+    t.append(rows.toDF("id", "ts_us", "v").repartition(4))
+    // the derived key never became a table column
+    assert(t.read().columns.toSeq === Seq("id", "ts_us", "v"))
+    assert(t.read().count() === 600L)
+    // every committed file belongs to exactly one hour directory
+    assert(t.snapshot().files.forall(_.partitions.contains("_p_ts_us_hour")))
+    val totalFiles = t.snapshot().files.size
+    // a 2-hour window opens ONLY those hours' files
+    val kept = t.filesInRange("ts_us", 2L * hourUs, 4L * hourUs - 1L)
+    assert(kept.nonEmpty && kept.size < totalFiles)
+    assert(kept.forall(f =>
+      Set("2", "3").contains(f.partitions("_p_ts_us_hour"))))
+    // and the result is exact
+    val got = t.readRange("ts_us", 2L * hourUs, 4L * hourUs - 1L)
+    assert(got.count() === 200L)
+    assert(got.filter(col("ts_us") < 2L * hourUs).count() === 0L)
+    // COW rewrites re-derive the layout: delete hour-0 rows, survivors
+    // stay correctly clustered and pruning still works
+    t.delete(col("ts_us") < hourUs)
+    assert(t.read().count() === 500L)
+    assert(t.snapshot().files.forall(_.partitions.contains("_p_ts_us_hour")))
+    assert(t.filesInRange("ts_us", 0L, hourUs - 1L)
+      .forall(_.partitions("_p_ts_us_hour") === "0") === true)
+  }
+
+  test("hidden partitioning: bucket(n, id) prunes point lookups to one bucket") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("lt_hidden_bucket_").toString
+    val t = LogTable(spark, dir,
+      hiddenBy = Seq(graft.sources.Transform.bucket(8, "user_id")))
+    t.append((0 until 400).map(i => (i.toLong, (i % 40).toLong, i * 1.0))
+      .toDF("id", "user_id", "v").repartition(4))
+    val total = t.snapshot().files.size
+    assert(total >= 8, s"expected >= 8 bucket files, got $total")
+    // the lookup opens only the key's bucket
+    val wanted = graft.sources.Transform.bucket(8, "user_id").derive(17L)
+    val kept = t.filesForPoint("user_id", 17L)
+    assert(kept.nonEmpty && kept.size < total)
+    assert(kept.forall(_.partitions("_p_user_id_bucket") === wanted.toString))
+    // and the result is exact
+    assert(t.readPoint("user_id", 17L).count() === 10L)
+    assert(t.readPoint("user_id", 17L).filter(col("user_id") =!= 17L).count() === 0L)
+    // a non-Long source fails loudly at the writer (hash domain drift)
+    val t2 = LogTable(spark, Files.createTempDirectory("lt_hidden_bad_").toString,
+      hiddenBy = Seq(graft.sources.Transform.bucket(4, "name")))
+    val e = intercept[IllegalArgumentException] {
+      t2.append(Seq((1L, "x")).toDF("id", "name"))
+    }
+    assert(e.getMessage.contains("LongType"))
+  }
+
   test("concurrent appends all land (optimistic link-commit retry)") {
     // the publish primitive must be CREATE-or-fail: on Linux a rename
     // (Files.move ATOMIC_MOVE → rename(2)) silently REPLACES an
