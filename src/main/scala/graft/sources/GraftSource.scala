@@ -1,0 +1,261 @@
+package graft.sources
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Coalesce, Expression, Literal, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource-v2 provider for [[LogTable]] — `format("graft")`.
+  *
+  * The READ half of the reference's continuous pipeline as a
+  * FIRST-CLASS Spark source (reference README.md:191-212: commits land
+  * every flush interval and the table is consumed continuously):
+  *
+  *   - `spark.readStream.format("graft").load(root)` — a
+  *     [[MicroBatchStream]] whose OFFSET IS THE MANIFEST VERSION. Each
+  *     micro-batch is exactly the rows appended in `(start, end]`
+  *     versions, planned straight off manifest metadata (one
+  *     InputPartition per appended data file, zero data I/O to plan).
+  *     Offsets live in Spark's own offset log, so checkpoint restart,
+  *     triggers (incl. AvailableNow), watermarks, and downstream
+  *     stateful ops all compose. Same maintenance contract as
+  *     [[LogTable.readAppends]]: row-preserving rewrites (compact /
+  *     recluster) contribute nothing, row-changing operations
+  *     (delete / update / merge) fail the stream loudly at the
+  *     maintenance boundary.
+  *   - `spark.read.format("graft").load(root)` — a batch scan of the
+  *     current snapshot; `option("versionAsOf", v)` /
+  *     `option("timestampAsOf", epochMs)` time travel.
+  *
+  * The executor-side reader is Spark's OWN vectorized parquet reader
+  * (`ParquetFileFormat.buildReaderWithPartitionValues`, built once on
+  * the driver), so scan performance is identical to a native parquet
+  * scan; a per-file [[UnsafeProjection]] layers the LogTable schema
+  * semantics on top: hive-partition values materialize from manifest
+  * metadata (they are directory layout, not file data) and renamed
+  * fields coalesce their historical physical names — byte-for-byte the
+  * DataFrame path's behavior.
+  *
+  * Streaming options: `startingVersion` = `<n>` (default 0 = the whole
+  * table as the first batch) or `latest` (only commits after stream
+  * start). */
+final class GraftTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft source needs the table root: .load(<path>)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val snap = GraftSourceUtil.snapshotFor(
+      LogTable(SparkSession.active, rootOf(options)), options)
+    require(snap.schemaJson.nonEmpty,
+      s"LogTable at ${rootOf(options)} has no manifest-recorded schema " +
+        "(commit data first; pre-schema legacy tables are not streamable)")
+    LogTable.parseSchema(snap.schemaJson)
+  }
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftTable(properties.get("path"), schema)
+}
+
+private[sources] object GraftSourceUtil {
+  /** Resolve the batch-read snapshot: versionAsOf > timestampAsOf >
+    * current. */
+  def snapshotFor(t: LogTable, options: CaseInsensitiveStringMap): Snapshot = {
+    val v = options.get("versionAsOf")
+    val ts = options.get("timestampAsOf")
+    if (v != null) t.snapshot(v.toLong)
+    else if (ts != null) {
+      val vs = t.versions.filter(x => t.snapshot(x).timestampMs <= ts.toLong)
+      require(vs.nonEmpty, s"no snapshot committed at or before $ts")
+      t.snapshot(vs.max)
+    } else t.snapshot()
+  }
+
+  /** Physical scan schema: every logical field plus nullable twins
+    * under its historical names (a pre-rename file stores the field's
+    * values under an old name; each file supplies at most one). */
+  def physicalSchema(logical: StructType): StructType =
+    GraftBridge.asNullable(StructType(logical.flatMap { f =>
+      f +: LogTable.prevNames(f).map(p =>
+        StructField(p, f.dataType, nullable = true))
+    }))
+
+  /** Spark's own parquet reader for the physical schema — built ON THE
+    * DRIVER (it broadcasts the Hadoop conf) and shipped to executors
+    * inside the reader factory. */
+  def buildReadFunc(spark: SparkSession,
+      phys: StructType): PartitionedFile => Iterator[InternalRow] =
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      GraftBridge.classicSession(spark),
+      dataSchema = phys,
+      partitionSchema = new StructType(),
+      requiredSchema = phys,
+      filters = Nil,
+      // rows, not ColumnarBatch: the PartitionReader contract here is
+      // row-at-a-time (the vectorized reader still runs underneath and
+      // hands rows off its column batches)
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = GraftBridge.hadoopConf(spark))
+}
+
+private[sources] final class GraftTable(root: String, schema0: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.`$root`"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftScan(root, schema0, options)
+}
+
+private[sources] final class GraftScan(root: String, schema: StructType,
+    options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = new GraftBatch(root, schema, options)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(root, schema, options)
+}
+
+/** One appended data file = one InputPartition: split planning is
+  * manifest metadata only. `parts` carries the file's hive-partition
+  * values (directory layout, not file data). */
+private[sources] final case class GraftInputPartition(path: String,
+    bytes: Long, parts: Map[String, String]) extends InputPartition
+
+/** Stream offset = manifest version. */
+private[sources] final case class GraftOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[sources] final class GraftMicroBatchStream(root: String,
+    logical: StructType, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private val spark = SparkSession.active
+  private val table = LogTable(spark, root)
+  private val phys = GraftSourceUtil.physicalSchema(logical)
+  // one reader build (and conf broadcast) per stream, not per batch
+  private lazy val readFunc = GraftSourceUtil.buildReadFunc(spark, phys)
+  // AvailableNow pins the end offset at trigger start (native support —
+  // no engine-side wrapper, no "uncommitted batch" caveat)
+  @volatile private var availableNowCap: Long = -1L
+  private val maxVersions: Long =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(0L)
+
+  override def initialOffset(): Offset = {
+    val sv = Option(options.get("startingVersion")).getOrElse("0")
+    GraftOffset(
+      if (sv.equalsIgnoreCase("latest")) table.currentVersion else sv.toLong)
+  }
+  override def latestOffset(): Offset = GraftOffset(table.currentVersion)
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = table.currentVersion
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = GraftOffset(table.currentVersion)
+  /** Admission control: cap at the AvailableNow pin (if armed) and at
+    * `maxVersionsPerTrigger` manifest versions past `start` (if set) —
+    * a continuous tail can bound per-batch work instead of swallowing
+    * an arbitrarily long backlog in one micro-batch. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftOffset].version
+    var to = table.currentVersion
+    if (availableNowCap >= 0L) to = math.min(to, availableNowCap)
+    if (maxVersions > 0L) to = math.min(to, from + maxVersions)
+    GraftOffset(to)
+  }
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    table.appendedFilesBetween(
+        start.asInstanceOf[GraftOffset].version,
+        end.asInstanceOf[GraftOffset].version)
+      .map(f => GraftInputPartition(f.path, f.bytes, f.partitions): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(readFunc, phys, logical)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] final class GraftBatch(root: String, logical: StructType,
+    options: CaseInsensitiveStringMap) extends Batch {
+  private val spark = SparkSession.active
+  private val phys = GraftSourceUtil.physicalSchema(logical)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftSourceUtil.snapshotFor(LogTable(spark, root), options).files
+      .map(f => GraftInputPartition(f.path, f.bytes, f.partitions): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(GraftSourceUtil.buildReadFunc(spark, phys),
+      phys, logical)
+}
+
+/** Executor-side reader: Spark's parquet reader over the physical
+  * schema, then one projection to the logical row — hive-partition
+  * fields become per-file literals (their values are directory
+  * metadata, carried in the manifest), renamed fields coalesce their
+  * historical names, everything else is a bound reference. */
+private[sources] final class GraftReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    phys: StructType, logical: StructType) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftInputPartition]
+    val physIdx = phys.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
+    val exprs: Seq[Expression] = logical.map { f =>
+      gp.parts.find(_._1.equalsIgnoreCase(f.name)).map(_._2) match {
+        case Some(v) =>
+          // Spark's null-partition sentinel directory name
+          if (v == "__HIVE_DEFAULT_PARTITION__") Literal(null, f.dataType)
+          else Literal.create(
+            Cast(Literal(v), f.dataType, Some("UTC")).eval(null), f.dataType)
+        case None =>
+          val names = f.name +: LogTable.prevNames(f)
+          val refs = names.map(n =>
+            BoundReference(physIdx(n.toLowerCase), f.dataType, nullable = true))
+          if (refs.size == 1) refs.head else Coalesce(refs)
+      }
+    }
+    val proj = UnsafeProjection.create(exprs)
+    val pf = PartitionedFile(InternalRow.empty,
+      SparkPath.fromPathString(gp.path), 0L, gp.bytes, Array.empty, 0L, gp.bytes)
+    // the reader yields ColumnarBatch elements when the vectorized path
+    // engaged (Spark's scan exec does the same duck-typed unwrap)
+    val rows: Iterator[InternalRow] =
+      readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case r: InternalRow => Iterator(r)
+      }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = proj(rows.next()); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

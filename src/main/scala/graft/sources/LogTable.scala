@@ -513,22 +513,34 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * must handle those at maintenance boundaries, exactly as with
     * Iceberg. */
   def readAppends(fromVersion: Long, toVersion: Long = currentVersion): DataFrame = {
+    val added = appendedFilesBetween(fromVersion, toVersion)
+    if (added.isEmpty) emptyLike()
+    else readFiles(added, snapshot(toVersion).schemaJson)
+  }
+
+  /** The data files APPENDED in (fromVersion, toVersion] — the manifest
+    * walk behind [[readAppends]], exposed so the DSv2 streaming source
+    * ([[GraftTableProvider]]) can plan one InputPartition per appended
+    * file with the identical maintenance-tolerant contract:
+    * row-preserving rewrites contribute nothing, row-changing
+    * operations throw. */
+  def appendedFilesBetween(fromVersion: Long, toVersion: Long): Seq[DataFile] = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
-    val to = snapshot(toVersion)
-    val added = ((fromVersion + 1) to toVersion).flatMap { v =>
+    ((fromVersion + 1) to toVersion).flatMap { v =>
       val snap = snapshot(v)
       snap.operation match {
         case "append" =>
           val parentPaths = snapshot(snap.parent).files.map(_.path).toSet
           snap.files.filterNot(f => parentPaths.contains(f.path))
-        case "compact" | "recluster" | "set-check" => Nil
+        // row-preserving commits: rewrites carry only already-delivered
+        // rows; schema evolution and checks are metadata-only
+        case "compact" | "recluster" | "set-check" | "evolve-schema" => Nil
         case other => throw new IllegalStateException(
           s"cannot read v$v as appends: operation '$other' changes rows; " +
             "consume the changelog up to the maintenance boundary first")
       }
     }
-    if (added.isEmpty) emptyLike() else readFiles(added, to.schemaJson)
   }
 
   /** Read a concrete file list; basePath lets Spark re-derive the

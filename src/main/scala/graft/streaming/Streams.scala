@@ -372,11 +372,52 @@ object Streams {
         })
   }
 
+  // -------------------------------------------- DSv2 end-to-end roundtrip
+
+  /** The reference's whole continuous pipeline on first-class Spark
+    * streaming — write half AND read half (reference README.md:191-212):
+    * `events` lands in a LogTable as three atomic commits plus an
+    * in-loop compaction, then `spark.readStream.format("graft")`
+    * (offset = manifest version, [[graft.sources.GraftTableProvider]])
+    * tails it into an exactly-once sink table. The aggregate over the
+    * SINK must equal the batch aggregate over the source parquet (the
+    * DuckDB oracle) — any lost, duplicated, or compaction-resurfaced
+    * row breaks the hash match. */
+  def streamTail(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_tail_src_").toString
+    val src = LogTable(s, root)
+    val sink = LogTable(s, Files.createTempDirectory("graft_tail_sink_").toString)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("event_type"), col("value"))
+    (0 until 3).foreach { i =>
+      src.append(ev.filter(pmod(col("event_id"), lit(3)) === i))
+    }
+    src.compact() // row-preserving maintenance mid-stream: contributes nothing
+    val q = s.readStream.format("graft").load(root)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_tail_cp_").toString)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.append(b, tag = s"tail-$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sink.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------- driver wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling" -> (eventsTumbling _),
     "events_sliding" -> (eventsSliding _),
+    "stream_tail" -> (streamTail _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -396,5 +437,10 @@ object Streams {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events, (SELECT unnest(range(0, 2)) AS k) s
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exactly-once tail: the sink aggregate equals the batch aggregate
+    "stream_tail" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

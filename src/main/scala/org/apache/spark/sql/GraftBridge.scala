@@ -16,4 +16,22 @@ object GraftBridge {
     * legitimately varies between writes of the same logical type. */
   def sameTypeIgnoreNullability(a: types.DataType, b: types.DataType): Boolean =
     a.asNullable == b.asNullable
+
+  /** All-nullable copy of a schema (StructType.asNullable is
+    * private[spark]) — file scans must request nullable fields or the
+    * vectorized parquet reader rejects files missing a column instead
+    * of reading it as null, exactly as Spark's own file-source path
+    * forces. */
+  def asNullable(s: types.StructType): types.StructType = s.asNullable
+
+  /** The session's Hadoop configuration (sessionState is private[sql]
+    * on the classic session) — the DSv2 source hands it to Spark's own
+    * parquet reader builder. */
+  def hadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
+
+  /** The classic (execution-capable) session behind an api-level
+    * handle — what FileFormat.buildReaderWithPartitionValues needs. */
+  def classicSession(spark: SparkSession): classic.SparkSession =
+    spark.asInstanceOf[classic.SparkSession]
 }

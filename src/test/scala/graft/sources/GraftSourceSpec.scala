@@ -1,0 +1,162 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** The DSv2 source ([[GraftTableProvider]]): batch + streaming reads
+  * of a LogTable through `format("graft")`, offset = manifest version. */
+class GraftSourceSpec extends SparkSpec {
+  import org.apache.spark.sql.SparkSession
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Run one AvailableNow pass of the stream into an exactly-once
+    * LogTable sink (append tagged with the micro-batch id — Spark's
+    * offset log pins the batch range, the tag absorbs replays). */
+  private def drain(root: String, cp: String, sink: LogTable,
+      extraOptions: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format("graft").options(extraOptions)
+    val q = reader.load(root)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.append(b, tag = s"batch-$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("batch read: format(graft) == API read; versionAsOf time-travels") {
+    import spark.implicits._
+    val root = tmp("gsrc-batch")
+    val t = LogTable(spark, root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    val got = spark.read.format("graft").load(root)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got === t.read().orderBy("id").collect().map(_.toSeq).toSeq)
+    assert(spark.read.format("graft").option("versionAsOf", "1")
+      .load(root).count() === 2)
+  }
+
+  test("streaming: exactly-once across checkpoint restarts, concurrent ingest, in-loop compaction") {
+    import spark.implicits._
+    val root = tmp("gsrc-stream")
+    val t = LogTable(spark, root)
+    val sink = LogTable(spark, tmp("gsrc-sink"))
+    val cp = tmp("gsrc-cp")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    drain(root, cp, sink)
+    assert(sink.read().count() === 3)
+    // a concurrent writer lands more commits; the maintenance loop
+    // compacts everything small (a real rewrite, not a no-op)
+    t.append(Seq((4L, "d")).toDF("id", "s"))
+    t.append(Seq((5L, "e")).toDF("id", "s"))
+    val before = t.snapshot().files.map(_.path).toSet
+    t.compact(smallBytes = 1L << 20)
+    assert(t.snapshot().files.map(_.path).toSet != before, "compact must rewrite")
+    drain(root, cp, sink) // restart from the offset log
+    assert(sink.read().orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // third restart with nothing new: no duplicates, no phantom rows
+    drain(root, cp, sink)
+    assert(sink.read().count() === 5)
+  }
+
+  test("streaming: hive-partition values materialize from manifest metadata") {
+    import spark.implicits._
+    val root = tmp("gsrc-part")
+    val t = LogTable(spark, root, partitionBy = Seq("event_type"))
+    t.append(Seq((1L, "click"), (2L, "view"), (3L, "click"))
+      .toDF("id", "event_type"))
+    val sink = LogTable(spark, tmp("gsrc-psink"))
+    drain(root, tmp("gsrc-pcp"), sink)
+    val got = sink.read().select("id", "event_type")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got === Seq(Seq(1L, "click"), Seq(2L, "view"), Seq(3L, "click")))
+  }
+
+  test("streaming: renamed column coalesces its historical name from pre-rename files") {
+    import spark.implicits._
+    val root = tmp("gsrc-ren")
+    val t = LogTable(spark, root)
+    t.append(Seq((1L, 10L)).toDF("id", "v"))
+    t.renameColumn("v", "val") // metadata-only commit mid-history
+    t.append(Seq((2L, 20L)).toDF("id", "val"))
+    val sink = LogTable(spark, tmp("gsrc-rsink"))
+    drain(root, tmp("gsrc-rcp"), sink)
+    assert(sink.read().orderBy("id").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("streaming: array columns round-trip (row-based parquet path)") {
+    import spark.implicits._
+    val root = tmp("gsrc-arr")
+    val t = LogTable(spark, root)
+    t.append(Seq((1L, Seq(0.5f, 1.5f)), (2L, Seq(2.5f))).toDF("id", "emb"))
+    val sink = LogTable(spark, tmp("gsrc-asink"))
+    drain(root, tmp("gsrc-acp"), sink)
+    assert(sink.read().orderBy("id").as[(Long, Seq[Float])].collect().toSeq ===
+      Seq((1L, Seq(0.5f, 1.5f)), (2L, Seq(2.5f))))
+  }
+
+  test("streaming: a row-changing commit fails the stream loudly at the boundary") {
+    import spark.implicits._
+    val root = tmp("gsrc-del")
+    val t = LogTable(spark, root)
+    val sink = LogTable(spark, tmp("gsrc-dsink"))
+    val cp = tmp("gsrc-dcp")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    drain(root, cp, sink)
+    t.delete(col("id") === 1L)
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    val e = intercept[StreamingQueryException] { drain(root, cp, sink) }
+    assert(e.getMessage.contains("changes rows"))
+  }
+
+  test("streaming: maxVersionsPerTrigger bounds each micro-batch, AvailableNow still drains all") {
+    import spark.implicits._
+    val root = tmp("gsrc-rate")
+    val t = LogTable(spark, root)
+    (1 to 3).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s")))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream
+      .option("checkpointLocation", tmp("gsrc-ratecp"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        b.select("id").collect().foreach(r => rows.add(r.getLong(0)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.get() === 3, "one manifest version per micro-batch")
+    assert(rows.asScala.toSeq.sorted === Seq(1L, 2L, 3L))
+  }
+
+  test("streaming: startingVersion=latest skips history, sees only new commits") {
+    import spark.implicits._
+    val root = tmp("gsrc-lat")
+    val t = LogTable(spark, root)
+    val sink = LogTable(spark, tmp("gsrc-lsink"))
+    val cp = tmp("gsrc-lcp")
+    t.append(Seq((1L, "old")).toDF("id", "s"))
+    drain(root, cp, sink, Map("startingVersion" -> "latest"))
+    assert(sink.read().count() === 0)
+    t.append(Seq((2L, "new")).toDF("id", "s"))
+    drain(root, cp, sink, Map("startingVersion" -> "latest"))
+    assert(sink.read().as[(Long, String)].collect().toSeq === Seq((2L, "new")))
+  }
+}
