@@ -251,18 +251,24 @@ object Lakehouse {
   }
 
   /** The ENTIRE lifecycle through the SQL statement surface
-    * ([[graft.sources.GraftSql]]) — ingest (INSERT INTO), COW UPDATE,
-    * COW DELETE, conditional MERGE, and the final aggregate all issued
-    * as SQL text, the way the reference's users drive their table
-    * (its whole query catalog is Trino SQL, reference
-    * README.md:125-168). The oracle recomputes the same statement
-    * algebra over the source parquet: a misparsed clause, a stale
-    * registered view, or a drifted condition translation breaks the
-    * hash. */
+    * ([[graft.sources.GraftSql]]) — CREATE TABLE (declared schema,
+    * zero Scala-side setup, like the reference's init-setup.py DDL),
+    * ingest (INSERT INTO), COW UPDATE, COW DELETE, conditional MERGE
+    * with a COLUMN-LEVEL `UPDATE SET value = s.value` clause, and the
+    * final aggregate all issued as SQL text, the way the reference's
+    * users drive their table (its whole query catalog is Trino SQL,
+    * reference README.md:125-168). The oracle recomputes the same
+    * statement algebra over the source parquet: a misparsed clause, a
+    * stale registered view, or a drifted condition translation breaks
+    * the hash. */
   def lakeSql(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.GraftSql
     val tmp = Files.createTempDirectory("graft_lake_sql_").toString
-    GraftSql.register("lake_sql_t", LogTable(s, tmp))
+    GraftSql.setWarehouse(tmp)
+    GraftSql.exec(s, "DROP TABLE IF EXISTS lake_sql_t")
+    GraftSql.exec(s,
+      """CREATE TABLE lake_sql_t (event_id BIGINT, user_id BIGINT,
+        |  event_type STRING, value DOUBLE, ts_us BIGINT)""".stripMargin)
     Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
       col("value"), col("ts_us")).createOrReplaceTempView("lake_sql_src")
@@ -274,14 +280,17 @@ object Lakehouse {
       """UPDATE lake_sql_t SET value = value + 1000.0, event_type = 'error_handled'
         |WHERE event_type = 'error'""".stripMargin)
     GraftSql.exec(s, "DELETE FROM lake_sql_t WHERE event_type = 'view'")
-    // matched clicks take the +500 source row; deleted 'view' rows that
+    // matched clicks take the +500 source VALUE via a column-level SET
+    // (source and target agree on every other column, so the result
+    // algebra equals the old whole-row replace — but the engine path is
+    // the per-column expression application); deleted 'view' rows that
     // reappear in the source are re-inserted; everything else stays
     GraftSql.exec(s,
       """MERGE INTO lake_sql_t t
         |USING (SELECT event_id, user_id, event_type, value + 500.0 AS value, ts_us
         |       FROM lake_sql_src WHERE event_id % 7 = 0) s
         |ON t.event_id = s.event_id
-        |WHEN MATCHED AND t.event_type = 'click' THEN UPDATE SET *
+        |WHEN MATCHED AND t.event_type = 'click' THEN UPDATE SET value = s.value
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     GraftSql.exec(s,
       """SELECT event_type, count(*) AS n,
@@ -364,7 +373,57 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** MERGE-ON-READ delete roundtrip (Iceberg v2 position deletes —
+    * [[graft.sources.LogTable.deleteMor]]): ingest events, mark the
+    * 'error' rows and every 13th event as deleted in POSITION-DELETE
+    * FILES (no data file rewritten — at 100 TB a small delete costs
+    * O(matched rows), not O(touched file bytes)), and aggregate the
+    * read-back, which anti-joins the marks away. The second delete
+    * overlaps the first (13 | some error ids) — the delete-aware
+    * marking scan must keep positions disjoint or rows double-delete
+    * and the hash breaks. Oracle = the same predicates as a WHERE over
+    * the source parquet. */
+  def lakeMor(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_mor_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir)
+    (0 until 2).foreach { i =>
+      table.append(ev.filter(pmod(col("event_id"), lit(2)) === i))
+    }
+    table.deleteMor(col("event_type") === "error")
+    table.deleteMor(pmod(col("event_id"), lit(13)) === 0)
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Metadata-only aggregates ([[graft.sources.LogTable.countMeta]] /
+    * minMaxMeta): `count(*)` and column min/max answered from MANIFEST
+    * ARITHMETIC alone — zero data files opened, zero Spark jobs (the
+    * reference catalog's first query, `SELECT COUNT(*) FROM api`,
+    * reference README.md:128, should be O(manifest) at 100 TB). The
+    * row carries the pre-delete count and exact id bounds, plus the
+    * count AFTER a merge-on-read delete — whose arithmetic
+    * (footer-exact file rows minus live delete marks) must match the
+    * oracle's WHERE count bit-for-bit. */
+  def lakeCountMeta(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_cnt_").toString
+    val table = LogTable(s, tmp)
+    table.append(Tables.events(s, dir))
+    val nTotal = table.countMeta()
+    val (idMin, idMax) = table.minMaxMeta("event_id").get
+    table.deleteMor(col("event_type") === "error")
+    val nLive = table.countMeta()
+    import s.implicits._
+    Seq((nTotal, nLive, idMin, idMax))
+      .toDF("n_total", "n_live", "id_min", "id_max")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_mor" -> (lakeMor _),
+    "lake_count_meta" -> (lakeCountMeta _),
     "lake_merge4" -> (lakeMerge4 _),
     "lake_hidden" -> (lakeHidden _),
     "lake_sql" -> (lakeSql _),
@@ -382,6 +441,16 @@ object Lakehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_mor" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type <> 'error' AND event_id % 13 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_count_meta" ->
+      """SELECT count(*) AS n_total,
+        |  (SELECT count(*) FROM events WHERE event_type <> 'error') AS n_live,
+        |  min(event_id) AS id_min, max(event_id) AS id_max
+        |FROM events""".stripMargin,
     "lake_merge4" ->
       """WITH merged AS (
         |  SELECT event_type, value, CAST(NULL AS BIGINT) AS priority

@@ -204,10 +204,19 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
   private val spark = SparkSession.active
   private val phys = GraftSourceUtil.physicalSchema(logical)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftSourceUtil.snapshotFor(LogTable(spark, root), options).files
+  override def planInputPartitions(): Array[InputPartition] = {
+    val snap = GraftSourceUtil.snapshotFor(LogTable(spark, root), options)
+    // the per-file reader has no anti-join stage, so it cannot apply
+    // merge-on-read position deletes — serving the raw files would
+    // silently resurrect deleted rows. Fail loudly with the remedy.
+    require(snap.deletes.isEmpty,
+      s"snapshot v${snap.version} carries merge-on-read position deletes; " +
+        "the graft batch source cannot apply them — read via LogTable.read() " +
+        "or fold them first (LogTable.compact / CALL compact)")
+    snap.files
       .map(f => GraftInputPartition(f.path, f.bytes, f.partitions): InputPartition)
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(GraftSourceUtil.buildReadFunc(spark, phys),

@@ -29,6 +29,21 @@ final case class DataFile(path: String, rows: Long, bytes: Long,
     ranges: Map[String, (Long, Long)] = Map.empty,
     strRanges: Map[String, (String, String)] = Map.empty)
 
+/** One POSITION-DELETE file of a snapshot (Iceberg v2's merge-on-read
+  * delete files): a parquet file of `(file_path, pos)` rows marking
+  * individual rows of data files as deleted WITHOUT rewriting them.
+  * Reads anti-join the marked positions away; [[LogTable.compact]]
+  * folds them into rewritten data files. `counts` records how many
+  * positions reference each data file (keyed by the data file's
+  * manifest path), so (a) a replacing commit can garbage-collect
+  * delete files whose referenced data files all left the snapshot and
+  * (b) `count(*)` stays answerable from manifest arithmetic alone. */
+final case class DeleteFile(path: String, bytes: Long,
+    counts: Map[String, Long]) {
+  def rows: Long = counts.values.sum
+  def refPaths: Set[String] = counts.keySet
+}
+
 /** A HIDDEN-PARTITIONING transform (Iceberg's partition transforms —
   * the defining difference from hive layout): data files are laid out
   * by a value DERIVED from a source column (`hour(ts_us)`,
@@ -107,9 +122,18 @@ object Transform {
 final case class Snapshot(version: Long, parent: Long, operation: String,
     timestampMs: Long, files: Seq[DataFile], tag: String = "",
     schemaJson: String = "", checks: Map[String, String] = Map.empty,
-    retired: Seq[String] = Nil) {
+    retired: Seq[String] = Nil, deletes: Seq[DeleteFile] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
+  /** Rows visible to a reader of this snapshot: data-file rows minus
+    * live position-delete entries — exact, because delete writers
+    * scan delete-aware (never double-marking a position) and commits
+    * GC delete files as their referenced data files leave. */
+  def liveRows: Long = {
+    val live = files.map(_.path).toSet
+    totalRows - deletes.flatMap(_.counts).collect {
+      case (p, n) if live.contains(p) => n }.sum
+  }
 }
 
 /** A manifest-versioned parquet table — the Spark-native re-expression
@@ -185,7 +209,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def timeTravel(version: Long): DataFrame = {
     val snap = snapshot(version)
     if (snap.files.isEmpty) emptyLike()
-    else readFiles(snap.files, snap.schemaJson)
+    else readLive(snap, snap.files)
   }
 
   /** Pin a NAMED REF to a snapshot version (Iceberg tags: `prod`,
@@ -263,7 +287,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val fork = snapshot()
     val base = Snapshot(1L, 0L, "branch", System.currentTimeMillis(),
       fork.files, s"base-v${fork.version}", fork.schemaJson, fork.checks,
-      fork.retired)
+      fork.retired, fork.deletes)
     val tmp = bdir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
     Files.writeString(tmp, renderManifest(base))
     try {
@@ -321,7 +345,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // the batch, and the tag check inside the closure drops it
     commit("publish", tag, nextSchema = _ => head.schemaJson,
         nextChecks = _ => head.checks,
-        nextRetired = _ => head.retired) { prev =>
+        nextRetired = _ => head.retired,
+        nextDeletes = _ => head.deletes) { prev =>
       if (tag.nonEmpty && hasTag(tag)) return snapshot()
       if (prev.version != baseVersion)
         throw new IllegalStateException(
@@ -365,7 +390,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def readWhere(pred: Map[String, String] => Boolean): DataFrame = {
     val snap = snapshot()
     val keep = snap.files.filter(f => pred(f.partitions))
-    if (keep.isEmpty) emptyLike() else readFiles(keep, snap.schemaJson)
+    if (keep.isEmpty) emptyLike() else readLive(snap, keep)
   }
 
   /** Column-stats file skipping (Iceberg's min/max pruning): rows with
@@ -382,7 +407,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val keep = prunedByRange(snap, column, lo, hi)
     import org.apache.spark.sql.functions.col
     val base = if (keep.isEmpty) emptyLike()
-      else readFiles(keep, snap.schemaJson)
+      else readLive(snap, keep)
     // a never-committed table has no schema to resolve the residual
     // filter against — its empty frame is already the right answer;
     // on a table WITH a schema a bad column name still fails loudly
@@ -429,7 +454,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val keep = prunedForPoint(snap, column, value)
     import org.apache.spark.sql.functions.col
     val base = if (keep.isEmpty) emptyLike()
-      else readFiles(keep, snap.schemaJson)
+      else readLive(snap, keep)
     if (base.columns.isEmpty) base else base.filter(col(column) === value)
   }
 
@@ -464,7 +489,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val keep = prunedByRangeStr(snap, column, lo, hi)
     import org.apache.spark.sql.functions.col
     val base = if (keep.isEmpty) emptyLike()
-      else readFiles(keep, snap.schemaJson)
+      else readLive(snap, keep)
     if (base.columns.isEmpty) base
     else base.filter(col(column) >= lo && col(column) <= hi)
   }
@@ -496,7 +521,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val before = snapshot(fromVersion).files.map(_.path).toSet
     val to = snapshot(toVersion)
     val added = to.files.filterNot(f => before.contains(f.path))
-    if (added.isEmpty) emptyLike() else readFiles(added, to.schemaJson)
+    if (added.isEmpty) emptyLike() else readLive(to, added)
   }
 
   /** Incremental APPEND scan with maintenance tolerance — the tailing
@@ -549,23 +574,33 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * EXPLICITLY — no footer-merge job, files missing newer columns
     * read them as null (add-column evolution), and planning cost stops
     * growing with file count. Legacy snapshots without a recorded
-    * schema fall back to mergeSchema footer unioning. */
-  private def readFiles(files: Seq[DataFile], schemaJson: String = ""): DataFrame = {
+    * schema fall back to mergeSchema footer unioning. With `withPos`,
+    * the frame additionally carries [[LogTable.FileCol]] /
+    * [[LogTable.PosCol]] — each row's source file and row index,
+    * straight from the scan's `_metadata` column (the join axes of
+    * position deletes, and the file-discovery tag of the COW paths). */
+  private def readFiles(files: Seq[DataFile], schemaJson: String = "",
+      withPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    def posCols: Seq[org.apache.spark.sql.Column] =
+      if (!withPos) Nil
+      else Seq(col("_metadata.file_path").as(LogTable.FileCol),
+        col("_metadata.row_index").as(LogTable.PosCol))
     val r = spark.read.option("basePath", dataDir.toString)
     if (schemaJson.isEmpty) {
       // legacy footer-merge path: partition DISCOVERY would surface the
       // hidden `_p_*` directory keys as columns — project them out
       val raw = r.option("mergeSchema", "true").parquet(files.map(_.path): _*)
-      val hidden = raw.columns.filter(_.startsWith("_p_"))
-      return if (hidden.isEmpty) raw else raw.drop(hidden.toIndexedSeq: _*)
+      val keep = raw.columns.filterNot(_.startsWith("_p_"))
+      return raw.select(keep.toIndexedSeq.map(col) ++ posCols: _*)
     }
     val schema = LogTable.parseSchema(schemaJson)
     if (schema.forall(f => LogTable.prevNames(f).isEmpty)) {
       val fast = r.schema(schema).parquet(files.map(_.path): _*)
       // defensive: if partition discovery surfaces hidden keys anyway,
       // project them out — they are layout, not data
-      val hidden = fast.columns.filter(_.startsWith("_p_"))
-      return if (hidden.isEmpty) fast else fast.drop(hidden.toIndexedSeq: _*)
+      val keep = fast.columns.filterNot(_.startsWith("_p_"))
+      return fast.select(keep.toIndexedSeq.map(col) ++ posCols: _*)
     }
     // RENAME-AWARE scan: a renamed field's values live under its OLD
     // name in files written before the rename and under the new name
@@ -575,7 +610,6 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // coalesce per field back to the logical schema. Only tables with
     // rename history pay this projection; everyone else stays on the
     // fast path above.
-    import org.apache.spark.sql.functions.{coalesce, col}
     import org.apache.spark.sql.types.{StructField, StructType}
     val phys = StructType(schema.flatMap { f =>
       f +: LogTable.prevNames(f).map(p => StructField(p, f.dataType, nullable = true))
@@ -585,11 +619,99 @@ final class LogTable private (val spark: SparkSession, val root: String,
         val names = f.name +: LogTable.prevNames(f)
         if (names.size == 1) col(f.name)
         else coalesce(names.map(col): _*).as(f.name, f.metadata)
-      }: _*)
+      } ++ posCols: _*)
+  }
+
+  /** Snapshot-scoped DELETE-AWARE read of `files` (any subset of
+    * `snap.files`): rows marked in the snapshot's position-delete
+    * files are anti-joined away. Tables without merge-on-read deletes
+    * (and file subsets no delete file touches) stay on the plain
+    * multi-file parquet scan — zero overhead. The anti-join build side
+    * is the delete files, explicitly broadcast while small (the
+    * steady state between compactions); past the broadcast budget the
+    * planner's shuffled anti-join takes over, which still scales —
+    * the join key (file, pos) is perfectly distributable. */
+  private def readLive(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
+    val refd = files.map(_.path).toSet & snap.deletes.flatMap(_.refPaths).toSet
+    if (refd.isEmpty) return readFiles(files, snap.schemaJson)
+    val (dirty, clean) = files.partition(f => refd.contains(f.path))
+    val cleaned = antiJoinDeletes(snap,
+        readFiles(dirty, snap.schemaJson, withPos = true), refd)
+      .drop(LogTable.FileCol, LogTable.PosCol)
+    if (clean.isEmpty) cleaned
+    else cleaned.unionByName(readFiles(clean, snap.schemaJson))
+  }
+
+  /** Delete-aware read that KEEPS the FileCol/PosCol metadata columns
+    * (each live row's source file and row index) — the core the COW
+    * discovery paths and the MoR delete writer share: both must see
+    * post-delete rows (or they would resurrect MoR-deleted rows), and
+    * both need to know where every surviving row lives. */
+  private def readLivePos(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
+    val refd = files.map(_.path).toSet & snap.deletes.flatMap(_.refPaths).toSet
+    val (dirty, clean) = files.partition(f => refd.contains(f.path))
+    val parts = Seq(
+      if (dirty.isEmpty) None
+      else Some(antiJoinDeletes(snap,
+        readFiles(dirty, snap.schemaJson, withPos = true), refd)),
+      if (clean.isEmpty) None
+      else Some(readFiles(clean, snap.schemaJson, withPos = true))).flatten
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Delete-aware read tagged with a `_file` column (the row's source
+    * data file) — the COW rewrite paths' discovery primitive. */
+  private def readLiveTagged(snap: Snapshot, files: Seq[DataFile]): DataFrame =
+    readLivePos(snap, files).drop(LogTable.PosCol)
+      .withColumnRenamed(LogTable.FileCol, "_file")
+
+  /** Anti-join `df` (carrying FileCol/PosCol) against the snapshot's
+    * delete files that reference any path in `refd`. */
+  private def antiJoinDeletes(snap: Snapshot, df: DataFrame,
+      refd: Set[String]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val rel = snap.deletes.filter(_.refPaths.exists(refd.contains))
+    val dels = spark.read.schema(LogTable.DeleteSchema)
+      .parquet(rel.map(_.path): _*)
+      .withColumnRenamed("file_path", LogTable.FileCol)
+      .withColumnRenamed("pos", LogTable.PosCol)
+    // broadcast while small; a delete backlog past the budget falls
+    // back to the planner's choice (shuffled anti-join) rather than
+    // OOMing executors on a forced broadcast
+    val build = if (rel.map(_.bytes).sum <= (64L << 20)) broadcast(dels) else dels
+    df.join(build, Seq(LogTable.FileCol, LogTable.PosCol), "left_anti")
   }
 
   /** Per-snapshot stats from manifest metadata ONLY (no data I/O). */
   def stats(version: Long = currentVersion): Snapshot = snapshot(version)
+
+  /** `count(*)` answered from MANIFEST ARITHMETIC ALONE — zero data
+    * files opened, zero Spark jobs. At 100 TB the catalog's first
+    * query (`SELECT COUNT(*) FROM api`, reference README.md:128)
+    * should cost O(manifest), not a table scan: the manifest carries
+    * footer-exact per-file row counts, and outstanding position
+    * deletes subtract exactly ([[Snapshot.liveRows]] — delete writers
+    * scan delete-aware, so positions are never double-marked). */
+  def countMeta(version: Long = currentVersion): Long =
+    snapshot(version).liveRows
+
+  /** min/max of an INT64 column from manifest column stats alone —
+    * `Some((min, max))` ONLY when the answer is provably exact: every
+    * data file with rows carries footer stats for the column and no
+    * position delete is outstanding (a marked row could be the
+    * extremum, which file-level stats cannot see). `None` means "run
+    * the query" — never a silently wrong answer. Nulls are no
+    * obstacle: parquet stats bound the non-null values, which is what
+    * SQL min/max aggregate. */
+  def minMaxMeta(column: String,
+      version: Long = currentVersion): Option[(Long, Long)] = {
+    val s = snapshot(version)
+    val withRows = s.files.filter(_.rows > 0)
+    if (s.deletes.nonEmpty || withRows.isEmpty ||
+        !withRows.forall(_.ranges.contains(column))) None
+    else Some((withRows.map(_.ranges(column)._1).min,
+      withRows.map(_.ranges(column)._2).max))
+  }
 
   /** Snapshot-history metadata table (Iceberg's `snapshots` analog):
     * one row per committed version, from manifest metadata only. */
@@ -636,17 +758,31 @@ final class LogTable private (val spark: SparkSession, val root: String,
     rows.toDF("partition", "n_files", "total_rows", "total_bytes")
   }
 
+  /** Position-delete-file metadata table (Iceberg's `delete_files`
+    * analog — the MERGE-ON-READ DEBT GAUGE an operator checks to
+    * decide "is a fold-compaction due?"): one row per live delete
+    * file — path, marked positions, bytes, referenced data files.
+    * Manifest metadata only, no data I/O. */
+  def deletesTable(version: Long = currentVersion): DataFrame = {
+    val rows = snapshot(version).deletes.map(d =>
+      (d.path, d.rows, d.bytes, d.refPaths.size.toLong))
+    import spark.implicits._
+    rows.toDF("path", "marks", "bytes", "n_ref_files")
+  }
+
   /** Register this table's data and metadata as SQL views:
     * `<name>` (current snapshot), `<name>_history`, `<name>_files`,
-    * `<name>_partitions` — the spark.sql surface an Iceberg user
-    * reaches with `table$history` / `table$files` / `table$partitions`.
-    * Views capture the snapshot at registration; re-register to
-    * observe newer commits. */
+    * `<name>_partitions`, `<name>_deletes` — the spark.sql surface an
+    * Iceberg user reaches with `table$history` / `table$files` /
+    * `table$partitions` / `table$delete_files`. Views capture the
+    * snapshot at registration; re-register to observe newer
+    * commits. */
   def registerViews(name: String): Unit = {
     read().createOrReplaceTempView(name)
     history().createOrReplaceTempView(s"${name}_history")
     filesTable().createOrReplaceTempView(s"${name}_files")
     partitionsTable().createOrReplaceTempView(s"${name}_partitions")
+    deletesTable().createOrReplaceTempView(s"${name}_deletes")
   }
 
   /** Empty DataFrame with the table's schema (from any data file, or
@@ -682,7 +818,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // footer I/O; fails loudly HERE instead of at some later read
     val snapNow = snapshot()
     val mergedNow = mergedSchemaWith(snapNow, df.schema)
-    val newFiles = writeDataFiles(df)
+    val newFiles = writeDataFiles(conformTypes(df, mergedNow))
     // checks validate the rows as WRITTEN (delete-on-violation) —
     // the files are still invisible to every reader
     enforceChecksOnWritten(newFiles, snapNow.checks, "the appended batch",
@@ -728,6 +864,78 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val blocked = snap.retired.map(_.toLowerCase).toSet ++
       (LogTable.liveNames(base) -- base.map(_.name.toLowerCase))
     LogTable.mergeStructs(base, add, blocked)
+  }
+
+  /** Declare an EMPTY table's schema as a metadata-only commit — the
+    * CREATE TABLE primitive behind [[GraftSql]] DDL: field ids are
+    * assigned, subsequent appends validate against the declared
+    * schema, and the DSv2 source / SQL views resolve it before any
+    * data lands (the reference creates its table via SQL DDL too,
+    * reference init-setup.py:159-173). Only valid before the first
+    * commit — live tables evolve via renameColumn / dropColumn /
+    * widenColumn / add-column appends instead. */
+  def declareSchema(schema: org.apache.spark.sql.types.StructType): Snapshot = {
+    require(schema.nonEmpty, "declared schema needs at least one column")
+    partitionBy.foreach(p => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(p)),
+      s"partition column '$p' is not in the declared schema"))
+    hiddenBy.foreach(t => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(t.source)),
+      s"hidden-transform source column '${t.source}' is not in the declared schema"))
+    commit("evolve-schema", nextSchema = prev => {
+      require(prev.version == 0L,
+        s"declareSchema needs an empty table (current version ${prev.version})")
+      LogTable.assignFieldIds(schema).json
+    })(prev => prev.files)
+  }
+
+  /** TYPE-WIDENING schema evolution (Iceberg `ALTER COLUMN ... TYPE`
+    * type promotion): int→long / float→double, METADATA-ONLY — no
+    * data file is rewritten. Old narrow files keep their physical
+    * type; reads resolve them through the parquet reader's widening
+    * conversion under the manifest schema, and writers upcast
+    * narrow incoming batches at the writer (so files converge on the
+    * wide type going forward). The field keeps its stable id and name
+    * history. Any non-widening retype stays rejected — narrowing
+    * loses data, and only provably-safe promotions belong in
+    * metadata-only evolution. */
+  def widenColumn(name: String,
+      to: org.apache.spark.sql.types.DataType): Snapshot = {
+    require(!partitionBy.exists(_.equalsIgnoreCase(name)) &&
+        !hiddenBy.exists(_.source.equalsIgnoreCase(name)),
+      s"cannot retype partition/transform-source column '$name' " +
+        "(its values are the data layout)")
+    commit("evolve-schema", nextSchema = prev => {
+      val schema = LogTable.assignFieldIds(schemaOf(prev))
+      val idx = schema.indexWhere(_.name.equalsIgnoreCase(name))
+      require(idx >= 0, s"no such column '$name'")
+      val f = schema(idx)
+      require(LogTable.widens(f.dataType, to),
+        s"cannot change column '$name' from ${f.dataType} to $to: only " +
+          "widening promotions (int->long, float->double) are safe " +
+          "metadata-only")
+      org.apache.spark.sql.types.StructType(
+        schema.updated(idx, f.copy(dataType = to))).json
+    })(prev => prev.files)
+  }
+
+  /** Cast incoming columns whose type safely WIDENS to the table's
+    * recorded type (int→long, float→double) so written files converge
+    * on the wide type; everything else passes through untouched
+    * (schema validation already rejected unsafe retypes). No-op — not
+    * even a projection — for conforming batches. */
+  private def conformTypes(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val byName = target.map(f => f.name.toLowerCase -> f).toMap
+    def widening(f: org.apache.spark.sql.types.StructField) =
+      byName.get(f.name.toLowerCase).exists(t =>
+        LogTable.widens(f.dataType, t.dataType))
+    if (!df.schema.exists(widening)) df
+    else df.select(df.schema.map { f =>
+      val c = org.apache.spark.sql.functions.col(f.name)
+      if (widening(f)) c.cast(byName(f.name.toLowerCase).dataType).as(f.name)
+      else c
+    }: _*)
   }
 
   /** Add a named CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT`
@@ -909,6 +1117,19 @@ final class LogTable private (val spark: SparkSession, val root: String,
 
   private val tagCache = new java.util.concurrent.ConcurrentHashMap[Long, String]()
 
+  /** Inside a replacing commit's closure: a position-delete file that
+    * landed AFTER our planning snapshot and references any file we are
+    * replacing invalidates the rewrite — it marks rows of the original
+    * file, and our rewrite (planned without it) would resurrect them.
+    * Replacing commits abort to a re-plan instead. */
+  private def assertNoLateDeletesOn(planned: Snapshot, prev: Snapshot,
+      replaced: Set[String]): Unit = {
+    val known = planned.deletes.map(_.path).toSet
+    if (prev.deletes.exists(d => !known.contains(d.path) &&
+        d.refPaths.exists(replaced.contains)))
+      throw LogTable.StaleSourceFiles
+  }
+
   /** commit(), but when the closure aborts with StaleSourceFiles the
     * already-written (never-referenced) rewrite files are deleted
     * before the retry re-plans — no orphan growth under contention. */
@@ -945,23 +1166,32 @@ final class LogTable private (val spark: SparkSession, val root: String,
 
   private def compactOnce(smallBytes: Long, targetBytes: Long): Snapshot = {
     val snap = snapshot()
-    val (small, big) = snap.files.partition(_.bytes < smallBytes)
-    if (small.size < 2) return snap
+    // files carrying outstanding position deletes are rewritten
+    // REGARDLESS of size — folding the merge-on-read debt into clean
+    // data files is compaction's second job (Iceberg's
+    // rewrite_data_files does the same); their delete files then GC
+    // out of the manifest at commit
+    val refd = snap.deletes.flatMap(_.refPaths).toSet
+    val (dirty, rest) = snap.files.partition(f => refd.contains(f.path))
+    val (small, big) = rest.partition(_.bytes < smallBytes)
+    if (small.size < 2 && dirty.isEmpty) return snap
     // First-fit bin-packing over manifest byte counts.
     val bins = scala.collection.mutable.ListBuffer[scala.collection.mutable.ListBuffer[DataFile]]()
-    small.sortBy(-_.bytes).foreach { f =>
+    (dirty ++ small).sortBy(-_.bytes).foreach { f =>
       bins.find(b => b.map(_.bytes).sum + f.bytes <= targetBytes) match {
         case Some(b) => b += f
         case None => bins += scala.collection.mutable.ListBuffer(f)
       }
     }
-    // A bin holding one file gains nothing from a rewrite (pure write
-    // amplification) — keep such files as they are.
-    val rewriteBins = bins.toSeq.filter(_.size >= 2)
+    // A bin holding one CLEAN file gains nothing from a rewrite (pure
+    // write amplification) — keep such files as they are. A dirty file
+    // must rewrite even alone: the fold is the point.
+    val rewriteBins = bins.toSeq.filter(b =>
+      b.size >= 2 || b.exists(f => refd.contains(f.path)))
     if (rewriteBins.isEmpty) return snap
     val small2 = rewriteBins.flatten
     val rewritten = rewriteBins.flatMap { bin =>
-      writeDataFiles(readFiles(bin.toSeq, snap.schemaJson).coalesce(1))
+      writeDataFiles(readLive(snap, bin.toSeq).coalesce(1))
     }
     commitOrCleanup(rewritten, "compact") { prev =>
       // Appends that landed since we read `snap` are kept untouched.
@@ -972,6 +1202,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val replaced = small2.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+      assertNoLateDeletesOn(snap, prev, replaced)
       prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
     }
   }
@@ -988,15 +1219,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
   private def deleteOnce(condition: org.apache.spark.sql.Column): Snapshot = {
     val snap = snapshot()
     if (snap.files.isEmpty) return snap
-    val hit = readFiles(snap.files, snap.schemaJson).filter(condition)
-      .select(org.apache.spark.sql.functions.input_file_name()).distinct()
-      .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
+    val hit = readLiveTagged(snap, snap.files).filter(condition)
+      .select(org.apache.spark.sql.functions.col("_file")).distinct()
+      .collect().map(r => LogTable.localPath(r.getString(0))).toSet
     if (hit.isEmpty) return snap
     val affected = snap.files.filter(f => hit.contains(f.path))
     // SQL DELETE semantics: remove ONLY condition=TRUE rows. A bare
     // filter(!condition) would also drop rows where the predicate is
-    // NULL (three-valued logic), silently destroying them.
-    val keepRows = readFiles(affected, snap.schemaJson).filter(
+    // NULL (three-valued logic), silently destroying them. The source
+    // read is delete-aware: rewriting an affected file FOLDS any of
+    // its outstanding position deletes in (never resurrects them).
+    val keepRows = readLive(snap, affected).filter(
       !org.apache.spark.sql.functions.coalesce(
         condition, org.apache.spark.sql.functions.lit(false)))
     val rewritten = writeDataFiles(keepRows)
@@ -1004,8 +1237,89 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+      assertNoLateDeletesOn(snap, prev, replaced)
       prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
     }
+  }
+
+  /** MERGE-ON-READ row-level delete (Iceberg v2 position deletes):
+    * instead of rewriting every data file that contains a matching row
+    * (COW [[delete]] — write amplification proportional to file size,
+    * not match count), ONE delete-aware scan records the matching
+    * rows' `(file, position)` pairs into a small position-delete file
+    * and commits it as metadata. Reads anti-join the marked positions
+    * away; [[compact]] folds outstanding deletes into rewritten data
+    * files. At 100 TB this is the difference between a small delete
+    * costing O(matched rows) and costing O(every touched file's
+    * bytes) — COW stays the right default for bulk deletes (it leaves
+    * no read-side debt), MoR is for frequent small ones, exactly the
+    * Iceberg v2 trade-off.
+    *
+    * The marking scan is DELETE-AWARE: an already-marked position can
+    * never match again, so positions across delete files stay
+    * disjoint and [[Snapshot.liveRows]]'s arithmetic stays exact.
+    * SQL DELETE semantics: only condition=TRUE rows are marked (NULL
+    * predicates keep their row). Prior snapshots still see the rows;
+    * [[readAppends]] (and the streaming source) throw at a mor-delete
+    * boundary exactly as for COW row-changers. */
+  def deleteMor(condition: org.apache.spark.sql.Column): Snapshot =
+    withStaleRetry { () => deleteMorOnce(condition) }
+
+  private def deleteMorOnce(condition: org.apache.spark.sql.Column): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val snap = snapshot()
+    if (snap.files.isEmpty) return snap
+    val cols = schemaOf(snap).fieldNames.map(_.toLowerCase).toSet
+    require(!cols.contains(LogTable.FileCol) && !cols.contains(LogTable.PosCol),
+      s"deleteMor cannot target tables with a ${LogTable.FileCol}/" +
+        s"${LogTable.PosCol} column (they collide with the position plumbing)")
+    val marked = readLivePos(snap, snap.files)
+      .filter(coalesce(condition, lit(false)))
+      .select(col(LogTable.FileCol).as("file_path"), col(LogTable.PosCol).as("pos"))
+    val written = writeDeleteFile(marked)
+    if (written.isEmpty) return snap
+    val del = written.get
+    commit("mor-delete", nextDeletes = prev => prev.deletes :+ del) { prev =>
+      // positions are only meaningful against the exact snapshot that
+      // was scanned: a concurrent rewrite of a referenced file, or any
+      // concurrent delete-file change (another MoR delete could have
+      // marked overlapping positions), invalidates them → re-plan
+      val prevPaths = prev.files.map(_.path).toSet
+      if (!del.refPaths.forall(prevPaths.contains) ||
+          prev.deletes.map(_.path) != snap.deletes.map(_.path)) {
+        Files.deleteIfExists(Paths.get(del.path))
+        throw LogTable.StaleSourceFiles
+      }
+      prev.files
+    }
+  }
+
+  /** Write `(file_path, pos)` marks as ONE position-delete parquet
+    * file under `deletes/`; None when no row matched. The written file
+    * is read back once (it is small — positions, not data) for exact
+    * per-data-file mark counts, keyed by manifest path. */
+  private def writeDeleteFile(marked: DataFrame): Option[DeleteFile] = {
+    val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
+    // one output file: a delete file is positions only — orders of
+    // magnitude smaller than the data it marks; a production variant
+    // would shard per partition tuple as Iceberg does
+    marked.coalesce(1).write.parquet(stage.toString)
+    val walk = Files.walk(stage)
+    val part = try walk.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+      finally walk.close()
+    val delDir = rootPath.resolve("deletes")
+    Files.createDirectories(delDir)
+    val dest = delDir.resolve(s"${UUID.randomUUID()}.parquet")
+    Files.move(part.head, dest, StandardCopyOption.ATOMIC_MOVE)
+    LogTable.deleteRecursively(stage)
+    val counts = spark.read.schema(LogTable.DeleteSchema)
+      .parquet(dest.toString)
+      .groupBy(org.apache.spark.sql.functions.col("file_path")).count()
+      .collect()
+      .map(r => LogTable.localPath(r.getString(0)) -> r.getLong(1)).toMap
+    if (counts.isEmpty) { Files.deleteIfExists(dest); None }
+    else Some(DeleteFile(dest.toString, Files.size(dest), counts))
   }
 
   /** Copy-on-write row-level UPDATE (Iceberg/Delta
@@ -1029,15 +1343,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
     if (snap.files.isEmpty) return snap
     // validate SET names against the schema BEFORE any scan: a typo'd
     // column must fail loudly even when no row matches the condition
-    val allCols = readFiles(snap.files, snap.schemaJson).columns.toSeq
+    val allCols = schemaOf(snap).fieldNames.toSeq
     sets.keys.foreach(k => require(allCols.contains(k),
       s"unknown SET column '$k' (table has ${allCols.mkString(", ")})"))
-    val hit = readFiles(snap.files, snap.schemaJson).filter(condition)
-      .select(input_file_name()).distinct()
-      .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
+    val hit = readLiveTagged(snap, snap.files).filter(condition)
+      .select(col("_file")).distinct()
+      .collect().map(r => LogTable.localPath(r.getString(0))).toSet
     if (hit.isEmpty) return snap
     val affected = snap.files.filter(f => hit.contains(f.path))
-    val src = readFiles(affected, snap.schemaJson)
+    // delete-aware: rewriting an affected file folds its outstanding
+    // position deletes in instead of resurrecting the marked rows
+    val src = readLive(snap, affected)
     val cols = src.columns.toSeq
     val cond = coalesce(condition, lit(false))
     val rewrittenRows = src.select(cols.map { c =>
@@ -1055,6 +1371,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+      assertNoLateDeletesOn(snap, prev, replaced)
       // a check that landed concurrently (addCheck won a commit between
       // our validation and this one) must hold for the rewritten rows
       // too — same late-check closure append() runs, so addCheck's
@@ -1100,35 +1417,75 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * target row are ambiguous (Iceberg raises; here the join would
     * duplicate target rows).
     *
+    * COLUMN-LEVEL clauses (Trino/Delta `UPDATE SET c = expr, ...` and
+    * `INSERT (cols) VALUES (exprs)`): `matchedSet` replaces the
+    * whole-row update with per-column expressions evaluated over the
+    * matched pair (target columns bare, source columns `src_<name>`),
+    * cast to the column's existing type; unlisted columns keep their
+    * target values; the merge key cannot be SET. `insertValues` builds
+    * inserted rows from per-column expressions over the SOURCE row
+    * (bare source column names); unlisted target columns become typed
+    * nulls. When BOTH are column-level, the source frame's own schema
+    * never touches the table schema (no merge schema evolution — extra
+    * source columns exist only as expression inputs), matching SQL
+    * expectations; a whole-row side keeps the evolution semantics.
+    *
     * COW: only files containing matched keys — plus, when the
     * not-matched-by-source clause is present, files containing rows it
-    * deletes — are rewritten (distributed input_file_name passes find
-    * both sets, as delete). */
+    * deletes — are rewritten (distributed discovery passes find both
+    * sets, as delete). */
   def merge(updates: DataFrame, key: String,
       matchedUpdateWhen: Option[org.apache.spark.sql.Column] = None,
       matchedDeleteWhen: Option[org.apache.spark.sql.Column] = None,
-      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None): Snapshot =
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
+      matchedSet: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      insertValues: Option[Map[String, org.apache.spark.sql.Column]] = None): Snapshot =
     withStaleRetry { () =>
       mergeOnce(updates, key, matchedUpdateWhen, matchedDeleteWhen,
-        notMatchedBySourceDelete) }
+        notMatchedBySourceDelete, matchedSet, insertValues) }
 
-  private def mergeOnce(updates: DataFrame, key: String,
+  private def mergeOnce(updates0: DataFrame, key: String,
       matchedUpdateWhen: Option[org.apache.spark.sql.Column],
       matchedDeleteWhen: Option[org.apache.spark.sql.Column],
-      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column]): Snapshot = {
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column],
+      matchedSet: Option[Map[String, org.apache.spark.sql.Column]],
+      insertValues: Option[Map[String, org.apache.spark.sql.Column]]): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val snap = snapshot()
-    if (snap.files.isEmpty) return append(updates)
+    if (snap.files.isEmpty) return append(updates0)
+    // a narrow source (int batch into a widened long column) upcasts
+    // once here, so every downstream path sees the table's types
+    val updates = conformTypes(updates0, schemaOf(snap))
+    // whole-row sides (SET * replace / INSERT *) carry the source
+    // frame's schema into the table → merge schema evolution; with
+    // both sides column-level the table schema is untouched and extra
+    // source columns are expression inputs only
+    val wholeRow = matchedSet.isEmpty || insertValues.isEmpty
     // schema pre-validation, symmetric with append: a retyping source
     // must fail BEFORE discovery scans and file writes, not inside the
     // commit after every rewrite file has landed
-    mergedSchemaWith(snap, updates.schema)
+    if (wholeRow) mergedSchemaWith(snap, updates.schema)
+    // column-level specs validate against the target schema up front:
+    // a typo'd column fails loudly before any scan, and the merge key
+    // cannot be rewritten out from under the join
+    locally {
+      val tgtNames = schemaOf(snap).fieldNames.map(_.toLowerCase).toSet
+      matchedSet.foreach { m =>
+        m.keys.foreach(k => require(tgtNames.contains(k.toLowerCase),
+          s"unknown SET column '$k' in merge"))
+        require(!m.keys.exists(_.equalsIgnoreCase(key)),
+          s"merge cannot SET the merge key '$key'")
+      }
+      insertValues.foreach(m =>
+        m.keys.foreach(k => require(tgtNames.contains(k.toLowerCase),
+          s"unknown INSERT column '$k' in merge (column lists name existing " +
+            "target columns; use whole-row INSERT * to widen the schema)")))
+    }
     val keys = updates.select(col(key))
-    // input_file_name() must be projected directly over the scan (it
-    // rejects multi-source plans) — tag rows with their file BEFORE
-    // the semi join against the updates source.
-    val tagged = readFiles(snap.files, snap.schemaJson)
-      .select(col(key), input_file_name().as("_file"))
+    // rows are tagged with their source file by the delete-aware scan
+    // (`_metadata`-derived) BEFORE the semi join against the updates
+    // source; MoR-deleted rows never match (they are gone).
+    val tagged = readLiveTagged(snap, snap.files).select(col(key), col("_file"))
     // the not-matched-by-source clause widens the rewrite set to files
     // holding unmatched rows it deletes. ONE discovery pass either way
     // (file names only — never a data collect): with the clause, a
@@ -1138,14 +1495,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
       case None =>
         tagged.join(keys, Seq(key), "left_semi")
           .select(col("_file")).distinct()
-          .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
+          .collect().map(r => LogTable.localPath(r.getString(0))).toSet
       case Some(cond) =>
-        readFiles(snap.files, snap.schemaJson)
-          .withColumn("_file", input_file_name())
+        readLiveTagged(snap, snap.files)
           .join(keys.withColumn("_matched", lit(true)), Seq(key), "left")
           .filter(col("_matched").isNotNull || coalesce(cond, lit(false)))
           .select(col("_file")).distinct()
-          .collect().map(r => java.net.URI.create(r.getString(0)).getPath).toSet
+          .collect().map(r => LogTable.localPath(r.getString(0))).toSet
     }
     val affected = snap.files.filter(f => hit.contains(f.path))
     // The documented "keys unique in updates" contract is ENFORCED, not
@@ -1165,12 +1521,12 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // for WHEN NOT MATCHED THEN INSERT scans just those.
     val inserts =
       if (affected.isEmpty) updates
-      else updates.join(readFiles(affected, snap.schemaJson).select(col(key)),
+      else updates.join(readLive(snap, affected).select(col(key)),
         Seq(key), "left_anti")
     val survivors =
       if (affected.isEmpty) spark.emptyDataFrame
       else {
-        val src = readFiles(affected, snap.schemaJson)
+        val src = readLive(snap, affected)
         val cols = src.columns.toSeq
         require(!cols.contains("_matched") && !cols.exists(_.startsWith("src_")),
           "merge cannot target tables with a _matched or src_-prefixed column " +
@@ -1200,43 +1556,91 @@ final class LogTable private (val spark: SparkSession, val root: String,
         // not only grow the schema through the inserts — matched rows
         // taking the update receive the new columns' VALUES, and kept
         // rows materialize them as typed nulls, exactly what a later
-        // read of unrewritten files will show for their rows.
+        // read of unrewritten files will show for their rows. With
+        // both clauses column-level there is no evolution: the source
+        // frame's own columns never touch the table schema.
         val targetLower = cols.map(_.toLowerCase).toSet
-        val newCols = updates.schema.fields.toSeq
-          .filter(f => f.name != key && !targetLower.contains(f.name.toLowerCase))
+        val newCols =
+          if (!wholeRow) Nil
+          else updates.schema.fields.toSeq
+            .filter(f => f.name != key && !targetLower.contains(f.name.toLowerCase))
         val kept = joined.filter(!doDelete && !doUpdate && !doNmbsDelete)
           .select(cols.map(col) ++ newCols.map(f =>
             lit(null).cast(f.dataType).as(f.name)): _*)
-        // updates may be NARROWER than the table (same contract as the
-        // pre-clause merge, where mergeSchema read absent columns as
-        // null on replaced rows): target columns missing from the
-        // source become typed nulls in the updated row.
-        val updated = joined.filter(doUpdate)
-          .select(cols.map { c =>
-            if (c == key) col(c)
-            else if (updCols.contains(c.toLowerCase)) col(s"src_$c").as(c)
-            else lit(null).cast(src.schema(c).dataType).as(c)
-          } ++ newCols.map(f => col(s"src_${f.name}").as(f.name)): _*)
+        val updated = matchedSet match {
+          case Some(setsRaw) =>
+            // column-level UPDATE SET: listed columns take their
+            // expression (evaluated over the matched pair — target
+            // bare, source as src_<name>), cast to the column's
+            // existing type; unlisted columns keep the target value
+            val sets = setsRaw.map { case (k, v) => k.toLowerCase -> v }
+            joined.filter(doUpdate)
+              .select(cols.map { c =>
+                sets.get(c.toLowerCase) match {
+                  case Some(e) => e.cast(src.schema(c).dataType).as(c)
+                  case None => col(c)
+                }
+              } ++ newCols.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+          case None =>
+            // whole-row replace. updates may be NARROWER than the
+            // table (same contract as the pre-clause merge, where
+            // mergeSchema read absent columns as null on replaced
+            // rows): target columns missing from the source become
+            // typed nulls in the updated row.
+            joined.filter(doUpdate)
+              .select(cols.map { c =>
+                if (c == key) col(c)
+                else if (updCols.contains(c.toLowerCase)) col(s"src_$c").as(c)
+                else lit(null).cast(src.schema(c).dataType).as(c)
+              } ++ newCols.map(f => col(s"src_${f.name}").as(f.name)): _*)
+        }
         kept.unionByName(updated)
       }
+    // column-level INSERT (cols) VALUES: inserted rows are built from
+    // per-column expressions over the SOURCE row; unlisted target
+    // columns land as typed nulls (including the key, if unlisted —
+    // list it, as any SQL INSERT would)
+    val insertRows = insertValues match {
+      case Some(ivRaw) =>
+        val iv = ivRaw.map { case (k, v) => k.toLowerCase -> v }
+        val tgt = schemaOf(snap)
+        val tLower = tgt.fieldNames.map(_.toLowerCase).toSet
+        val newIns =
+          if (!wholeRow) Nil
+          else updates.schema.fields.toSeq
+            .filter(f => f.name != key && !tLower.contains(f.name.toLowerCase))
+        inserts.select(tgt.map { f =>
+          iv.get(f.name.toLowerCase) match {
+            case Some(e) => e.cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        } ++ newIns.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      case None => inserts
+    }
     val rewritten =
       (if (affected.isEmpty) Seq.empty else writeDataFiles(survivors)) ++
-        writeDataFiles(inserts)
+        writeDataFiles(insertRows)
     // constraints validate everything this merge WROTE (survivor files
     // conform by induction but re-checking them costs one read of the
     // just-written local files, not a re-execution of the join). A
     // narrow insert lands its missing checked columns as NULL, and a
     // NULL predicate passes — SQL CHECK semantics, same as any engine.
-    val mergedJson = mergedSchemaWith(snap, updates.schema).json
+    val mergedJson =
+      if (wholeRow) mergedSchemaWith(snap, updates.schema).json
+      else snap.schemaJson
     enforceChecksOnWritten(rewritten, snap.checks, "the merged rows", mergedJson)
     var validatedChecks = snap.checks.keySet
     // inserts carry the updates frame as-is, so a WIDER source grows
-    // the table schema (validated: shared columns must keep types)
+    // the table schema (validated: shared columns must keep types);
+    // fully column-level merges leave the schema untouched
     commitOrCleanup(rewritten, "merge",
-        nextSchema = prev => mergedSchemaWith(prev, updates.schema).json) { prev =>
+        nextSchema = prev =>
+          if (wholeRow) mergedSchemaWith(prev, updates.schema).json
+          else prev.schemaJson) { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+      assertNoLateDeletesOn(snap, prev, replaced)
       // late-check closure, as append()/update(): a constraint that
       // committed after our validation must hold for every written row
       val fresh = prev.checks -- validatedChecks
@@ -1267,13 +1671,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
       else {
         import org.apache.spark.sql.functions.col
         val rewritten = writeDataFiles(
-          readFiles(snap.files, snap.schemaJson)
+          readLive(snap, snap.files)
             .repartitionByRange(nFiles, col(column))
             .sortWithinPartitions(column))
         commitOrCleanup(rewritten, "recluster") { prev =>
           val replaced = snap.files.map(_.path).toSet
           val prevPaths = prev.files.map(_.path).toSet
           if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+          assertNoLateDeletesOn(snap, prev, replaced)
           prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
         }
       }
@@ -1296,7 +1701,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       if (snap.files.isEmpty) snap
       else {
         import org.apache.spark.sql.functions.{col, max, min}
-        val df = readFiles(snap.files, snap.schemaJson)
+        val df = readLive(snap, snap.files)
         val b = df.agg(min(col(c1)), max(col(c1)), min(col(c2)), max(col(c2))).head()
         val z = LogTable.morton(
           LogTable.norm32(col(c1), b.getLong(0), b.getLong(1)),
@@ -1310,6 +1715,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
           val replaced = snap.files.map(_.path).toSet
           val prevPaths = prev.files.map(_.path).toSet
           if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+          assertNoLateDeletesOn(snap, prev, replaced)
           prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
         }
       }
@@ -1325,9 +1731,16 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * commit. Returns the deleted data-file paths. */
   def removeOrphans(olderThanMs: Long = System.currentTimeMillis() - 3600000L): Seq[String] = {
     val live = allLiveFiles()
-    val walk = Files.walk(dataDir)
-    val candidates = try walk.iterator().asScala
-      .filter(Files.isRegularFile(_)).toSeq finally walk.close()
+    // orphan candidates span the data pool AND the position-delete
+    // pool — a crashed deleteMor leaves its delete file unreferenced
+    // exactly as a crashed append leaves data files
+    val delDir = rootPath.resolve("deletes")
+    val candidates = Seq(dataDir, delDir).filter(Files.isDirectory(_))
+      .flatMap { d =>
+        val walk = Files.walk(d)
+        try walk.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+        finally walk.close()
+      }
     val dead = candidates.filter(p => !live.contains(p.toString) &&
       Files.getLastModifiedTime(p).toMillis < olderThanMs)
     dead.foreach(Files.deleteIfExists(_))
@@ -1346,7 +1759,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val target = snapshot(version)
     commit("rollback", nextSchema = _ => target.schemaJson,
       nextChecks = _ => target.checks,
-      nextRetired = _ => target.retired)(_ => target.files)
+      nextRetired = _ => target.retired,
+      nextDeletes = _ => target.deletes)(_ => target.files)
   }
 
   /** Drop all but the newest `keepLast` snapshots and delete data files
@@ -1399,7 +1813,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       // cannot close — a real catalog serializes expire-vs-commit;
       // run expire from the maintenance role, as with Iceberg.
       val live = allLiveFiles()
-      val dead = dropped.flatMap(_.files.map(_.path))
+      val dead = dropped.flatMap(s =>
+          s.files.map(_.path) ++ s.deletes.map(_.path))
         .distinct.filterNot(live.contains)
       dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
       // evict dropped versions from the parsed-snapshot cache so a
@@ -1420,7 +1835,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // time. Other lineages (main when called from a branch; every
     // branch) are parsed raw: their manifests can appear/vanish under
     // other writers, so they take the uncached path.
-    val mine = versions.flatMap(v => snapshot(v).files.map(_.path)).toSet
+    val mine = versions.flatMap { v =>
+      val s = snapshot(v)
+      s.files.map(_.path) ++ s.deletes.map(_.path)
+    }.toSet
     val branchDirs =
       if (!Files.isDirectory(mainLogDir)) Nil
       else {
@@ -1432,7 +1850,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val others = (mainLogDir +: branchDirs)
       .filterNot(_.toString == logDir.toString)
     mine ++ others.flatMap(d =>
-      listManifests(d).flatMap(m => readManifest(m._2).files.map(_.path)))
+      listManifests(d).flatMap { m =>
+        val s = readManifest(m._2)
+        s.files.map(_.path) ++ s.deletes.map(_.path)
+      })
   }
 
   // ------------------------------------------------------------ internals
@@ -1497,15 +1918,24 @@ final class LogTable private (val spark: SparkSession, val root: String,
   private def commit(operation: String, tag: String = "",
       nextSchema: Snapshot => String = _.schemaJson,
       nextChecks: Snapshot => Map[String, String] = _.checks,
-      nextRetired: Snapshot => Seq[String] = _.retired)(
+      nextRetired: Snapshot => Seq[String] = _.retired,
+      nextDeletes: Snapshot => Seq[DeleteFile] = _.deletes)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
       attempts += 1
       val prev = snapshot()
+      val files = nextFiles(prev)
+      // delete-file GC: a position-delete file whose referenced data
+      // files ALL left the snapshot (compacted / COW-rewritten /
+      // rolled away) marks nothing any reader can see — drop it from
+      // the manifest (the physical file is reclaimed by expire /
+      // removeOrphans, as with data files)
+      val livePaths = files.map(_.path).toSet
+      val dels = nextDeletes(prev).filter(_.refPaths.exists(livePaths.contains))
       val next = Snapshot(prev.version + 1, prev.version, operation,
-        System.currentTimeMillis(), nextFiles(prev), tag, nextSchema(prev),
-        nextChecks(prev), nextRetired(prev))
+        System.currentTimeMillis(), files, tag, nextSchema(prev),
+        nextChecks(prev), nextRetired(prev), dels)
       val tmp = logDir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
       Files.writeString(tmp, renderManifest(next))
       try {
@@ -1589,6 +2019,37 @@ final class LogTable private (val spark: SparkSession, val root: String,
 object LogTable {
   private val ManifestDir = "_graft_log"
   private val MaxCommitRetries = 20
+  /** Internal column names for position-delete plumbing ("_del_"
+    * prefix keeps them out of any user schema's way; writers reject
+    * colliding user columns loudly). */
+  private[sources] val FileCol = "_del_file"
+  private[sources] val PosCol = "_del_pos"
+  /** Schema of a position-delete parquet file: the row's source data
+    * file (as the scan's `_metadata.file_path` renders it) and its
+    * 0-based row index within that file. */
+  private[sources] val DeleteSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Safe widening type promotions (Iceberg's allowed schema
+    * promotions): every value of `from` is exactly representable in
+    * `to`, and the parquet reader can widen at scan time. */
+  private[sources] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+    case (org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType) => true
+    case (org.apache.spark.sql.types.FloatType,
+      org.apache.spark.sql.types.DoubleType) => true
+    case _ => false
+  }
+
+  /** A scan-rendered file reference (`_metadata.file_path` /
+    * `input_file_name` URI form) as the local filesystem path the
+    * manifest records. */
+  private[sources] def localPath(uri: String): String =
+    java.net.URI.create(uri).getPath
 
   /** Parse a manifest's recorded schema JSON (one place to fail on a
     * malformed string). */
@@ -1714,6 +2175,15 @@ object LogTable {
         }
       }
     }
+    if (s.deletes.nonEmpty) {
+      val dn = node.putArray("deletes")
+      s.deletes.foreach { d =>
+        val e = dn.addObject()
+        e.put("path", d.path); e.put("bytes", d.bytes)
+        val cn = e.putObject("counts")
+        d.counts.toSeq.sortBy(_._1).foreach { case (k, v) => cn.put(k, v) }
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
 
@@ -1744,7 +2214,12 @@ object LogTable {
         cn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       }.getOrElse(Map.empty),
       Option(n.get("retired")).map(_.elements().asScala.map(_.asText()).toSeq)
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      Option(n.get("deletes")).map(_.elements().asScala.map { d =>
+        DeleteFile(d.get("path").asText(), d.get("bytes").asLong(),
+          Option(d.get("counts")).map(_.fields().asScala.map(e =>
+            e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty))
+      }.toSeq).getOrElse(Nil))
   }
 
   // ------------------------------------------- field ids & name history
@@ -1817,11 +2292,15 @@ object LogTable {
       byName.get(f.name.toLowerCase) match {
         case Some(ex) =>
           // nullability-insensitive: containsNull/struct-field nullability
-          // legitimately varies between writes of the same logical type
+          // legitimately varies between writes of the same logical type.
+          // An incoming type that safely WIDENS to the table's (int
+          // batch into a long column) is fine — the writer upcasts it
+          // (conformTypes); the table's wide type always wins.
           require(org.apache.spark.sql.GraftBridge.sameTypeIgnoreNullability(
-              ex.dataType, f.dataType),
+              ex.dataType, f.dataType) || widens(f.dataType, ex.dataType),
             s"write would change column '${f.name}' from ${ex.dataType} to " +
-              s"${f.dataType}; schema evolution may ADD columns, never retype them")
+              s"${f.dataType}; schema evolution may ADD columns or take a " +
+              "widening promotion via widenColumn, never retype otherwise")
         case None =>
           require(!blocked.contains(f.name.toLowerCase),
             s"cannot add column '${f.name}': the name belonged to a dropped or " +

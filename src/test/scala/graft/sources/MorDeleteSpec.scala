@@ -1,0 +1,206 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Merge-on-read position deletes (Iceberg v2 parity): deleteMor marks
+  * rows in small delete files instead of rewriting data files; reads
+  * anti-join the marks away; compact folds the debt into clean files;
+  * every COW path stays delete-aware (never resurrects a marked row);
+  * and the manifest arithmetic (countMeta) stays exact throughout. */
+class MorDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): LogTable =
+    LogTable(spark, Files.createTempDirectory("mor_spec_").toString)
+
+  private def df(ids: Range): DataFrame = ids.toDF("id")
+
+  test("deleteMor marks rows without rewriting any data file; reads and time travel stay exact") {
+    val t = freshTable()
+    t.append(df(0 until 100).repartition(4))
+    val preFiles = t.snapshot().files.map(_.path).toSet
+
+    val s = t.deleteMor(col("id") < 10)
+    assert(s.operation === "mor-delete")
+    // merge-on-read: the data files are untouched — only a delete file landed
+    assert(s.files.map(_.path).toSet === preFiles)
+    assert(s.deletes.size === 1)
+    assert(s.deletes.head.rows === 10L)
+    assert(Files.exists(Paths.get(s.deletes.head.path)))
+
+    assert(t.read().count() === 90L)
+    assert(t.read().filter(col("id") < 10).count() === 0L)
+    assert(t.read().distinct().count() === 90L)
+    // the pre-delete snapshot still sees every row (its manifest has no deletes)
+    assert(t.timeTravel(1L).count() === 100L)
+    // manifest arithmetic stays exact with zero data I/O
+    assert(t.countMeta() === 90L)
+  }
+
+  test("deleteMor is delete-aware: repeated and overlapping deletes never double-mark") {
+    val t = freshTable()
+    t.append(df(0 until 50))
+    t.deleteMor(col("id") < 20)
+    // overlaps the first delete's range — already-marked positions must not re-mark
+    t.deleteMor(col("id") < 30)
+    assert(t.read().count() === 20L)
+    assert(t.countMeta() === 20L)
+    assert(t.snapshot().deletes.map(_.rows).sum === 30L)
+    // a delete matching nothing commits nothing
+    val v = t.currentVersion
+    t.deleteMor(col("id") < 30)
+    assert(t.currentVersion === v)
+    // NULL predicates keep their row (SQL three-valued logic)
+    val t2 = freshTable()
+    t2.append(Seq((1L, Some("a")), (2L, None: Option[String]), (3L, Some("x")))
+      .toDF("id", "s"))
+    t2.deleteMor(col("s") === "a")
+    assert(t2.read().count() === 2L) // the null-predicate row survived
+    assert(t2.countMeta() === 2L)
+  }
+
+  test("compact folds outstanding deletes into clean files and GCs the delete files") {
+    val t = freshTable()
+    (0 until 3).foreach(i => t.append(df(i * 10 until (i + 1) * 10)))
+    t.deleteMor(col("id") % 2 === 0)
+    assert(t.countMeta() === 15L)
+    val preVersion = t.currentVersion
+
+    val post = t.compact()
+    assert(post.operation === "compact")
+    assert(post.deletes.isEmpty) // debt folded, manifest GC'd the delete files
+    assert(t.read().count() === 15L)
+    assert(t.read().filter(col("id") % 2 === 0).count() === 0L)
+    assert(t.countMeta() === 15L)
+    // delete→read→compact→read identical
+    assert(t.timeTravel(preVersion).select("id").as[Long].collect().sorted
+      === t.read().select("id").as[Long].collect().sorted)
+    // time travel ACROSS the fold still applies the old snapshot's deletes
+    assert(t.timeTravel(preVersion).count() === 15L)
+  }
+
+  test("COW delete/update on a table with outstanding MoR deletes never resurrects marked rows") {
+    val t = freshTable()
+    t.append(df(0 until 40).coalesce(1)) // one data file
+    t.deleteMor(col("id") < 10) // rows 0-9 marked
+    // COW update rewrites the (single) affected file — the rewrite must fold the marks
+    t.update(col("id") >= 30, Map("id" -> (col("id") + 100L)))
+    assert(t.read().count() === 30L)
+    assert(t.read().filter(col("id") < 10).count() === 0L)
+    assert(t.read().filter(col("id") >= 130).count() === 10L)
+    // the rewrite replaced every referenced file → delete files GC'd
+    assert(t.snapshot().deletes.isEmpty)
+    assert(t.countMeta() === 30L)
+
+    val t2 = freshTable()
+    t2.append(df(0 until 40).coalesce(1))
+    t2.deleteMor(col("id") < 10)
+    t2.delete(col("id") >= 35) // COW delete on top of MoR marks
+    assert(t2.read().select("id").as[Int].collect().sorted === (10 until 35).toArray)
+    assert(t2.countMeta() === 25L)
+  }
+
+  test("pruned reads (readRange/readPoint) and merge stay delete-aware") {
+    val root = Files.createTempDirectory("mor_spec_").toString
+    val t = LogTable(spark, root, hiddenBy = Seq(Transform.bucket(4, "id")))
+    t.append((0 until 100).map(_.toLong).toDF("id"))
+    t.deleteMor(col("id") === 7)
+    assert(t.readRange("id", 0L, 10L).count() === 10L)
+    assert(t.readPoint("id", 7L).count() === 0L)
+    assert(t.readPoint("id", 8L).count() === 1L)
+
+    // merge: a source row keyed on a MoR-deleted id must INSERT (the
+    // target row is dead), not update a ghost
+    val t2 = freshTable()
+    t2.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t2.deleteMor(col("id") === 2)
+    t2.merge(Seq((2L, "B2"), (3L, "C2")).toDF("id", "v"), "id")
+    val got = t2.read().as[(Long, String)].collect().sortBy(_._1)
+    assert(got === Array((1L, "a"), (2L, "B2"), (3L, "C2")))
+  }
+
+  test("countMeta needs zero data I/O; minMaxMeta is exact or None, never wrong") {
+    val t = freshTable()
+    t.append(df(0 until 77))
+    assert(t.countMeta() === 77L)
+    assert(t.minMaxMeta("id") === Some((0L, 76L)))
+    assert(t.minMaxMeta("nope") === None)
+
+    // move the data pool away — the manifest alone must still answer
+    val data = Paths.get(t.root).resolve("data")
+    val hidden = Paths.get(t.root).resolve("data_hidden")
+    Files.move(data, hidden, StandardCopyOption.ATOMIC_MOVE)
+    try assert(t.countMeta() === 77L)
+    finally Files.move(hidden, data, StandardCopyOption.ATOMIC_MOVE)
+
+    // under outstanding deletes: count stays exact (arithmetic), but
+    // min/max could have lost its extremum → metadata refuses
+    t.deleteMor(col("id") === 0)
+    assert(t.countMeta() === 76L)
+    assert(t.minMaxMeta("id") === None)
+    // folding the debt restores metadata answers
+    t.compact()
+    assert(t.minMaxMeta("id") === Some((1L, 76L)))
+  }
+
+  test("readAppends and the streaming/batch sources fail loudly at a mor-delete boundary") {
+    val t = freshTable()
+    t.append(df(0 until 10))
+    t.deleteMor(col("id") < 3)
+    val e = intercept[IllegalStateException](t.readAppends(1L))
+    assert(e.getMessage.contains("mor-delete"))
+    // DSv2 batch scan cannot apply position deletes — loud, with remedy
+    val b = intercept[Exception] {
+      spark.read.format("graft").load(t.root).count()
+    }
+    assert(b.getMessage.contains("position deletes"))
+    // after compaction folds the debt, the batch source works again
+    t.compact()
+    assert(spark.read.format("graft").load(t.root).count() === 7L)
+  }
+
+  test("the MoR read plan anti-joins via broadcast — no shuffle or sort on the data side") {
+    val t = freshTable()
+    t.append(df(0 until 1000).repartition(4))
+    t.deleteMor(col("id") % 10 === 0)
+    val p = t.read().queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+    assert(t.read().count() === 900L)
+  }
+
+  test("CALL delete_mor and the <t>_deletes debt-gauge view drive MoR from SQL") {
+    val t = freshTable()
+    GraftSql.register("mor_sql", t)
+    t.append(df(0 until 50))
+    GraftSql.exec(spark, "CALL delete_mor(mor_sql, 'id < 5')")
+    assert(GraftSql.exec(spark, "SELECT count(*) FROM mor_sql").head().getLong(0) === 45L)
+    // the debt gauge: one delete file, 5 marks, manifest metadata only
+    val gauge = spark.sql("SELECT marks, n_ref_files FROM mor_sql_deletes").collect()
+    assert(gauge.map(_.getLong(0)).sum === 5L)
+    // compaction folds the debt; the gauge reads empty
+    GraftSql.exec(spark, "CALL compact(mor_sql)")
+    assert(spark.sql("SELECT count(*) FROM mor_sql_deletes").head().getLong(0) === 0L)
+    assert(GraftSql.exec(spark, "SELECT count(*) FROM mor_sql").head().getLong(0) === 45L)
+  }
+
+  test("expire reclaims delete files of dropped snapshots; live ones survive removeOrphans") {
+    val t = freshTable()
+    t.append(df(0 until 30))
+    t.deleteMor(col("id") < 5)
+    val delPath = t.snapshot().deletes.head.path
+    // vacuum with the delete file still referenced: must survive
+    t.removeOrphans(olderThanMs = System.currentTimeMillis() + 60000L)
+    assert(Files.exists(Paths.get(delPath)))
+    assert(t.read().count() === 25L)
+    // fold + expire: the old snapshots (and their delete file) age out
+    t.compact()
+    t.expire(keepLast = 1)
+    assert(!Files.exists(Paths.get(delPath)))
+    assert(t.read().count() === 25L)
+  }
+}
