@@ -11,13 +11,23 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   * use. graft's mutations were Scala-API-only; this object closes the
   * gap with a deliberately small statement router:
   *
+  *   - `CREATE TABLE [IF NOT EXISTS] t (col TYPE, ...)
+  *        [PARTITIONED BY (day(c) | hour(c) | truncate(n, c) |
+  *         bucket(n, c) | c, ...)]`  → [[LogTable.declareSchema]] under
+  *     the configured [[setWarehouse]] root (hidden-partition
+  *     transforms exactly as Iceberg DDL)
+  *   - `DROP TABLE [IF EXISTS] t` — unregisters AND deletes the
+  *     table's directory (DROP ... PURGE semantics; there is no
+  *     shared catalog holding a tombstone)
   *   - `INSERT INTO t <query>`                     → [[LogTable.append]]
   *   - `UPDATE t SET c = e, ... [WHERE p]`         → [[LogTable.update]]
   *   - `DELETE FROM t [WHERE p]`                   → [[LogTable.delete]]
+  *   - `ALTER TABLE t RENAME COLUMN a TO b | DROP COLUMN a
+  *        | ALTER COLUMN c TYPE <t>`               → schema evolution
   *   - `MERGE INTO t [a] USING <src> [b] ON a.k = b.k
   *        WHEN MATCHED [AND c] THEN DELETE
-  *        WHEN MATCHED [AND c] THEN UPDATE SET *
-  *        WHEN NOT MATCHED THEN INSERT *
+  *        WHEN MATCHED [AND c] THEN UPDATE SET * | SET c = e, ...
+  *        WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (...)
   *        WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE`
   *                                                 → [[LogTable.merge]]
   *   - `CALL compact(t) | expire(t, n) | expire_older_than(t, ms, n)
@@ -49,6 +59,16 @@ object GraftSql {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, LogTable]()
 
+  @volatile private var warehousePath: Option[String] = None
+
+  /** Root directory under which `CREATE TABLE <name>` places tables
+    * (warehouse/name) — the catalog-location knob of a real
+    * deployment. */
+  def setWarehouse(path: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    warehousePath = Some(path)
+  }
+
   /** Register `table` under a SQL name: the current snapshot becomes
     * view `<name>` plus `<name>_history` / `<name>_files` /
     * `<name>_partitions` metadata views, and the name becomes a valid
@@ -77,6 +97,8 @@ object GraftSql {
     val stmt = sql.trim.stripSuffix(";").trim
     val head = stmt.takeWhile(!_.isWhitespace).toUpperCase
     head match {
+      case "CREATE" => execCreate(spark, stmt)
+      case "DROP" => execDrop(spark, stmt)
       case "INSERT" => execInsert(spark, stmt)
       case "UPDATE" => execUpdate(spark, stmt)
       case "DELETE" => execDelete(spark, stmt)
@@ -84,17 +106,149 @@ object GraftSql {
       case "ALTER" => execAlter(spark, stmt)
       case "CALL" => execCall(spark, stmt)
       case _ =>
-        // query path: refresh each registered table's data view to the
-        // CURRENT snapshot (registration-time views would hide commits
-        // that happened since), then rewrite time-travel references
-        refreshViews()
-        spark.sql(rewriteTimeTravel(spark, stmt))
+        // the catalog's first query (`SELECT COUNT(*) FROM api`,
+        // reference README.md:128) answers from MANIFEST ARITHMETIC —
+        // zero data files opened, zero Spark jobs; at 100 TB this is
+        // O(manifest) vs a full scan
+        metaCount(spark, stmt) match {
+          case Some(df) => df
+          case None =>
+            // query path: refresh each registered table's data view to
+            // the CURRENT snapshot (registration-time views would hide
+            // commits that happened since), then rewrite time travel
+            refreshViews()
+            spark.sql(rewriteTimeTravel(spark, stmt))
+        }
     }
   }
+
+  private val CountRe =
+    """(?is)^SELECT\s+COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?\s+FROM\s+(\w+)$""".r
+
+  /** Metadata fast path for the exact `SELECT COUNT(*) FROM <t>`
+    * shape over a registered table ([[LogTable.countMeta]]); the
+    * result is column-named exactly as spark.sql would name it
+    * (`count(1)`, or the alias), so callers cannot tell the fast path
+    * from the scan — except by its speed. Any other query shape (or
+    * an unregistered name) falls through to the real scan. */
+  private def metaCount(spark: SparkSession, stmt: String): Option[DataFrame] =
+    stmt match {
+      case CountRe(alias, name) if registry.containsKey(name) =>
+        import spark.implicits._
+        val colName = Option(alias).getOrElse("count(1)")
+        Some(Seq(table(name).countMeta()).toDF(colName))
+      case _ => None
+    }
 
   /** Point every registered table's data view at its current snapshot. */
   private def refreshViews(): Unit =
     registry.forEach((name, t) => t.read().createOrReplaceTempView(name))
+
+  // ------------------------------------------------------------------- DDL
+
+  /** `CREATE TABLE [IF NOT EXISTS] <name> (col TYPE, ...)
+    * [PARTITIONED BY (specs)]` — the whole lifecycle starts in SQL,
+    * like the reference's init-setup.py:159-173: the declared schema
+    * commits as table metadata (appends validate against it from the
+    * first row), partition specs accept Iceberg-style hidden
+    * transforms, and the new table registers for DML immediately. */
+  private def execCreate(spark: SparkSession, stmt: String): DataFrame = {
+    val head = """(?is)^CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*\(""".r
+      .findFirstMatchIn(stmt).getOrElse(throw new IllegalArgumentException(
+        s"unsupported CREATE shape: $stmt (expected CREATE TABLE [IF NOT " +
+          "EXISTS] <name> (col TYPE, ...) [PARTITIONED BY (...)])"))
+    val ifNotExists = head.group(1) != null
+    val name = head.group(2)
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid table name '$name'")
+    // balanced-paren scan: column types themselves carry parens
+    // (DECIMAL(12,2)), so a regex cannot find the list's close
+    val open = head.end - 1
+    var depth = 0; var i = open; var close = -1
+    while (i < stmt.length && close < 0) {
+      stmt.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(close > open, s"unbalanced column list in: $stmt")
+    val colsDdl = stmt.substring(open + 1, close).trim
+    val rest = stmt.substring(close + 1).trim
+    val (partCols, transforms) =
+      if (rest.isEmpty) (Seq.empty[String], Seq.empty[Transform])
+      else {
+        val pm = """(?is)^PARTITIONED\s+BY\s*\((.+)\)$""".r.findFirstMatchIn(rest)
+          .getOrElse(throw new IllegalArgumentException(
+            s"unsupported CREATE TABLE tail: '$rest'"))
+        parsePartitionSpecs(pm.group(1))
+      }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+    val wh = warehousePath.getOrElse(throw new IllegalStateException(
+      "no warehouse configured: GraftSql.setWarehouse(path) before CREATE TABLE"))
+    val root = java.nio.file.Paths.get(wh).resolve(name).toString
+    val exists = registry.containsKey(name) ||
+      java.nio.file.Files.exists(java.nio.file.Paths.get(root))
+    if (exists) {
+      require(ifNotExists, s"table '$name' already exists (at $root)")
+      if (!registry.containsKey(name)) register(name, LogTable(spark, root))
+      return summarize(spark, name, table(name).snapshot())
+    }
+    val t = LogTable(spark, root, partitionBy = partCols, hiddenBy = transforms)
+    val snap = t.declareSchema(schema)
+    register(name, t)
+    summarize(spark, name, snap)
+  }
+
+  /** Partition specs: Iceberg transform DDL (`day(c)`, `hour(c)`,
+    * `truncate(n, c)`, `bucket(n, c)`) become hidden transforms; bare
+    * names become hive-style identity partition columns. */
+  private def parsePartitionSpecs(specs: String): (Seq[String], Seq[Transform]) = {
+    val plain = scala.collection.mutable.ListBuffer[String]()
+    val trans = scala.collection.mutable.ListBuffer[Transform]()
+    val OneArg = """(?i)^(day|hour)\s*\(\s*(\w+)\s*\)$""".r
+    val TwoArg = """(?i)^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$""".r
+    splitTopLevel(specs, ',').map(_.trim).filter(_.nonEmpty).foreach {
+      case OneArg(kind, c) =>
+        trans += (if (kind.equalsIgnoreCase("day")) Transform.day(c)
+          else Transform.hour(c))
+      case TwoArg(kind, n, c) =>
+        trans += (if (kind.equalsIgnoreCase("bucket")) Transform.bucket(n.toInt, c)
+          else Transform.truncate(n.toLong, c))
+      case c if c.matches("\\w+") => plain += c
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition spec '$other' (supported: day(c), hour(c), " +
+          "truncate(n, c), bucket(n, c), or a bare column name)")
+    }
+    (plain.toSeq, trans.toSeq)
+  }
+
+  private val DropRe =
+    """(?is)^DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?(\w+)$""".r
+
+  /** `DROP TABLE [IF EXISTS] t`: unregister, drop the SQL views, and
+    * DELETE the table directory — PURGE semantics (with no shared
+    * catalog there is nowhere to keep a tombstone; time travel dies
+    * with the manifests, exactly like Iceberg's DROP TABLE PURGE). */
+  private def execDrop(spark: SparkSession, stmt: String): DataFrame =
+    stmt match {
+      case DropRe(ifExists, name) =>
+        val t = registry.get(name)
+        val root = Option(t).map(_.root).orElse(
+          warehousePath.map(w => java.nio.file.Paths.get(w).resolve(name).toString)
+            .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+        require(root.nonEmpty || ifExists != null,
+          s"no such table '$name' (neither registered nor under the warehouse)")
+        unregister(name)
+        Seq("", "_history", "_files", "_partitions", "_deletes")
+          .foreach(s => spark.catalog.dropTempView(s"$name$s"))
+        root.foreach(r => LogTable.deleteRecursively(java.nio.file.Paths.get(r)))
+        import spark.implicits._
+        Seq((0L, "drop-table", 0L, 0L))
+          .toDF("version", "operation", "n_files", "total_rows")
+      case _ => throw new IllegalArgumentException(
+        s"unsupported DROP shape: $stmt (expected DROP TABLE [IF EXISTS] <name>)")
+    }
 
   // ------------------------------------------------------------- statements
 
@@ -191,6 +345,22 @@ object GraftSql {
       if (!p.hasNmbsDelete) None
       else Some(p.nmbsWhen.map(xlateTargetOnly).getOrElse(lit(true)))
 
+    // column-level SET assignments evaluate over the matched pair —
+    // same alias translation as clause conditions (target bare,
+    // source as src_<name>)
+    val matchedSet: Option[Map[String, Column]] =
+      p.updateSets.map(_.map { case (k, e) => k -> xlate(e) }.toMap)
+    // INSERT VALUES expressions see only the SOURCE row: source-alias
+    // refs become bare source columns; a target ref is a user error
+    def xlateSourceOnly(e: String): Column = {
+      require(!e.matches(s"(?is).*\\b${java.util.regex.Pattern.quote(p.targetAlias)}\\..*"),
+        s"INSERT VALUES expressions see only the source row ($e)")
+      expr(e.replaceAll(
+        s"(?i)\\b${java.util.regex.Pattern.quote(p.sourceAlias)}\\.(\\w+)", "$1"))
+    }
+    val insertValues: Option[Map[String, Column]] =
+      p.insertSpec.map(_.map { case (c, e) => c -> xlateSourceOnly(e) }.toMap)
+
     // Without WHEN NOT MATCHED THEN INSERT, unmatched source rows must
     // NOT be inserted — the merge API always inserts, so pre-filter the
     // source to keys that exist in the target (left_semi, one pass).
@@ -201,7 +371,9 @@ object GraftSql {
     summarize(spark, name, t.merge(source, p.key,
       matchedUpdateWhen = matchedUpdateWhen,
       matchedDeleteWhen = matchedDeleteWhen,
-      notMatchedBySourceDelete = nmbsDelete))
+      notMatchedBySourceDelete = nmbsDelete,
+      matchedSet = matchedSet,
+      insertValues = insertValues))
   }
 
   /** Hand-rolled MERGE tokenizer: regexes cannot balance the source
@@ -284,33 +456,68 @@ object GraftSql {
 
     // --- WHEN clauses
     var hasUpdate = false; var updateWhen: Option[String] = None
+    /** Column-level `UPDATE SET c = e, ...` assignments (None = `SET *`
+      * whole-row replace). */
+    var updateSets: Option[Seq[(String, String)]] = None
     var hasDelete = false; var deleteWhen: Option[String] = None
     var hasInsert = false
+    /** Column-level `INSERT (cols) VALUES (exprs)` (None = `INSERT *`). */
+    var insertSpec: Option[Seq[(String, String)]] = None
     var hasNmbsDelete = false; var nmbsWhen: Option[String] = None
     locally {
       // split on each WHEN keyword (clause bodies cannot contain WHEN —
       // conditions with a nested CASE WHEN are out of scope, loudly)
       val clauses = """(?i)\bWHEN\b""".r.split(rest).map(_.trim).filter(_.nonEmpty)
-      val MatchedUp = """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+\*$""".r
+      val MatchedUp = """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+)$""".r
       val MatchedDel = """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE$""".r
-      val NotMatched = """(?is)^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$""".r
+      val NotMatched = """(?is)^NOT\s+MATCHED\s+THEN\s+INSERT\s+(.+)$""".r
       val Nmbs = """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE$""".r
+      val InsCols = """(?is)^\(\s*([^)]*?)\s*\)\s*VALUES\s*\((.*)\)$""".r
       clauses.foreach {
-        case MatchedUp(c) =>
+        case MatchedUp(c, sets) =>
           require(!hasUpdate, "at most one WHEN MATCHED ... UPDATE clause")
           hasUpdate = true; updateWhen = Option(c).map(_.trim)
+          val s = sets.trim
+          if (s != "*") {
+            updateSets = Some(splitTopLevel(s, ',').map { a =>
+              val i = a.indexOf('=')
+              require(i > 0, s"malformed MERGE SET assignment '$a'")
+              val k = a.substring(0, i).trim
+              // alias-qualified LHS (t.col) binds to the target column
+              val bare = k.split("\\.").last
+              require(bare.matches("[A-Za-z_][A-Za-z0-9_]*"),
+                s"malformed MERGE SET column '$k'")
+              bare -> a.substring(i + 1).trim
+            })
+          }
         case MatchedDel(c) =>
           require(!hasDelete, "at most one WHEN MATCHED ... DELETE clause")
           hasDelete = true; deleteWhen = Option(c).map(_.trim)
-        case NotMatched() =>
+        case NotMatched(ins) =>
+          require(!hasInsert, "at most one WHEN NOT MATCHED ... INSERT clause")
           hasInsert = true
+          val s = ins.trim
+          if (s != "*") s match {
+            case InsCols(colList, valList) =>
+              val cs = colList.split(",").map(_.trim).filter(_.nonEmpty)
+                .map(_.split("\\.").last).toSeq
+              val vs = splitTopLevel(valList, ',').map(_.trim)
+              require(cs.nonEmpty && cs.size == vs.size,
+                s"INSERT column list has ${cs.size} names but ${vs.size} values")
+              require(cs.map(_.toLowerCase).distinct.size == cs.size,
+                s"duplicate column in INSERT list: ${cs.mkString(", ")}")
+              insertSpec = Some(cs.zip(vs))
+            case other => throw new IllegalArgumentException(
+              s"unsupported MERGE INSERT shape: INSERT $other (supported: " +
+                "INSERT * | INSERT (cols) VALUES (exprs))")
+          }
         case Nmbs(c) =>
           require(!hasNmbsDelete, "at most one NOT MATCHED BY SOURCE clause")
           hasNmbsDelete = true; nmbsWhen = Option(c).map(_.trim)
         case other => throw new IllegalArgumentException(
           s"unsupported MERGE clause: WHEN $other (supported: MATCHED [AND c] THEN " +
-            "UPDATE SET * | DELETE; NOT MATCHED THEN INSERT *; " +
-            "NOT MATCHED BY SOURCE [AND c] THEN DELETE)")
+            "UPDATE SET * | SET c = e, ... | DELETE; NOT MATCHED THEN INSERT * | " +
+            "INSERT (cols) VALUES (...); NOT MATCHED BY SOURCE [AND c] THEN DELETE)")
       }
       require(hasUpdate || hasDelete || hasInsert || hasNmbsDelete,
         "MERGE needs at least one WHEN clause")
@@ -323,6 +530,8 @@ object GraftSql {
     """(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$""".r
   private val AlterDropRe =
     """(?is)^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)$""".r
+  private val AlterTypeRe =
+    """(?is)^ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)$""".r
 
   private def execAlter(spark: SparkSession, stmt: String): DataFrame =
     stmt match {
@@ -330,9 +539,13 @@ object GraftSql {
         summarize(spark, name, table(name).renameColumn(from, to))
       case AlterDropRe(name, colName) =>
         summarize(spark, name, table(name).dropColumn(colName))
+      case AlterTypeRe(name, colName, tpe) =>
+        val dt = org.apache.spark.sql.types.StructType
+          .fromDDL(s"x $tpe").head.dataType
+        summarize(spark, name, table(name).widenColumn(colName, dt))
       case _ => throw new IllegalArgumentException(
         s"unsupported ALTER shape: $stmt (expected ALTER TABLE <t> RENAME COLUMN " +
-          "<a> TO <b> | DROP COLUMN <a>)")
+          "<a> TO <b> | DROP COLUMN <a> | ALTER COLUMN <c> TYPE <t>)")
     }
 
   // ------------------------------------------------------------------- CALL
@@ -354,6 +567,11 @@ object GraftSql {
               keepLast = if (args.length > 2) args(2).toInt else 1)
           case "rollback" => t.rollback(args(1).toLong)
           case "remove_orphans" => { t.removeOrphans(); t.snapshot() }
+          // merge-on-read delete: CALL delete_mor(t, '<predicate>') —
+          // the SQL route to position deletes (plain DELETE stays COW,
+          // the bulk-delete default; this is the frequent-small-delete
+          // path, folded later by CALL compact)
+          case "delete_mor" => t.deleteMor(expr(args(1)))
           case "recluster" => t.recluster(args(1), args(2).toInt)
           case "create_ref" =>
             t.createRef(args(1),
@@ -363,8 +581,8 @@ object GraftSql {
           case "fast_forward" => t.fastForward(args(1))
           case other => throw new IllegalArgumentException(
             s"unknown procedure '$other' (supported: compact, expire, " +
-              "expire_older_than, rollback, remove_orphans, recluster, " +
-              "create_ref, create_branch, fast_forward)")
+              "expire_older_than, rollback, remove_orphans, delete_mor, " +
+              "recluster, create_ref, create_branch, fast_forward)")
         }
         summarize(spark, args.head, snap)
       case _ => throw new IllegalArgumentException(
@@ -377,21 +595,27 @@ object GraftSql {
     * `t@v3` / `t@<ref-or-branch>` / `t VERSION AS OF 3` /
     * `t TIMESTAMP AS OF <epoch-ms | 'yyyy-MM-dd HH:mm:ss'>` (UTC).
     * Only registered table names rewrite; anything else passes through
-    * untouched (an `@` inside a string literal on a non-table name is
-    * left alone). */
+    * untouched. Replacement is by MATCH SPAN, and a match STARTING
+    * inside a single-quoted string literal is data, never a table
+    * reference — `WHERE note = 'see t@v1'` survives byte-identical
+    * (a `TIMESTAMP AS OF '...'` match starts outside its literal and
+    * legitimately spans into it). */
   private def rewriteTimeTravel(spark: SparkSession, stmt: String): String = {
-    var out = stmt
-    def bind(token: String, name: String, df: => DataFrame): Unit =
-      if (registry.containsKey(name)) {
+    val lits = literalSpans(stmt)
+    def inLiteral(i: Int): Boolean = lits.exists(r => i >= r._1 && i < r._2)
+    val repls = scala.collection.mutable.ListBuffer[(Int, Int, String)]()
+    def bind(start: Int, end: Int, token: String, name: String,
+        df: => DataFrame): Unit =
+      if (!inLiteral(start) && registry.containsKey(name)) {
         val view = s"${name}__at_" +
           java.lang.Integer.toHexString(token.hashCode).replace('-', 'n')
         df.createOrReplaceTempView(view)
-        out = out.replace(token, view)
+        repls += ((start, end, view))
       }
     // t@v3 | t@name  (version / ref / branch)
     for (m <- """(\w+)@(v(\d+)|[A-Za-z0-9._-]+)""".r.findAllMatchIn(stmt)) {
       val (name, suffix) = (m.group(1), m.group(2))
-      bind(m.matched, name, {
+      bind(m.start, m.end, m.matched, name, {
         val t = table(name)
         if (suffix.matches("v\\d+")) t.timeTravel(suffix.substring(1).toLong)
         else if (t.refs.exists(_._1 == suffix)) t.readRef(suffix)
@@ -402,7 +626,8 @@ object GraftSql {
     }
     // t VERSION AS OF 3
     for (m <- """(?i)(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r.findAllMatchIn(stmt))
-      bind(m.matched, m.group(1), table(m.group(1)).timeTravel(m.group(2).toLong))
+      bind(m.start, m.end, m.matched, m.group(1),
+        table(m.group(1)).timeTravel(m.group(2).toLong))
     // t TIMESTAMP AS OF 1704067200000 | 'yyyy-MM-dd HH:mm:ss' (UTC)
     for (m <- """(?i)(\w+)\s+TIMESTAMP\s+AS\s+OF\s+(\d+|'[^']+')""".r.findAllMatchIn(stmt)) {
       val ts = m.group(2) match {
@@ -411,9 +636,36 @@ object GraftSql {
             .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
         case n => n.toLong
       }
-      bind(m.matched, m.group(1), table(m.group(1)).timeTravelAsOf(ts))
+      bind(m.start, m.end, m.matched, m.group(1),
+        table(m.group(1)).timeTravelAsOf(ts))
     }
-    out
+    // apply right-to-left so earlier spans stay valid
+    val sb = new StringBuilder(stmt)
+    repls.sortBy(-_._1).foreach { case (s0, e0, v) => sb.replace(s0, e0, v) }
+    sb.toString
+  }
+
+  /** [start, end) spans of single-quoted string literals (`''` is the
+    * in-literal escape, as ANSI SQL). An unterminated literal extends
+    * to end-of-statement — conservatively treated as literal. */
+  private def literalSpans(s: String): Seq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ListBuffer[(Int, Int)]()
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        val st = i
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        spans += ((st, i))
+      } else i += 1
+    }
+    spans.toSeq
   }
 
   // -------------------------------------------------------------- utilities

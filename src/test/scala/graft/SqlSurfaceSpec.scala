@@ -200,13 +200,147 @@ class SqlSurfaceSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       GraftSql.exec(spark,
         "MERGE INTO gsql_r t USING gsql_r s ON t.id = s.other WHEN MATCHED THEN DELETE") }
-    // explicit column UPDATE SET list in MERGE (only SET * supported)
+    // INSERT with a SELECT body in MERGE (only * / (cols) VALUES supported)
     intercept[IllegalArgumentException] {
       GraftSql.exec(spark,
-        "MERGE INTO gsql_r t USING gsql_r s ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = 1") }
+        "MERGE INTO gsql_r t USING gsql_r s ON t.id = s.id WHEN NOT MATCHED THEN INSERT SELECT 1") }
+    // MERGE SET of an unknown column fails before any scan
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        "MERGE INTO gsql_r t USING gsql_r s ON t.id = s.id WHEN MATCHED THEN UPDATE SET nope = 1") }
+    // MERGE cannot SET the merge key
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        "MERGE INTO gsql_r t USING gsql_r s ON t.id = s.id WHEN MATCHED THEN UPDATE SET id = 1") }
     // unknown CALL
     intercept[IllegalArgumentException] {
       GraftSql.exec(spark, "CALL vacuum_everything(gsql_r)") }
+  }
+
+  test("GraftSql CREATE/DROP TABLE: the whole lifecycle in SQL with zero Scala setup") {
+    import graft.sources.GraftSql
+    GraftSql.setWarehouse(Files.createTempDirectory("gsql_wh_").toString)
+    GraftSql.exec(spark,
+      """CREATE TABLE gsql_ddl (id INT, kind STRING, v DOUBLE, ts_us BIGINT)
+        |PARTITIONED BY (day(ts_us))""".stripMargin)
+    // declared schema is visible BEFORE any data lands
+    assert(spark.table("gsql_ddl").columns.toSeq === Seq("id", "kind", "v", "ts_us"))
+    assert(spark.sql("SELECT count(*) FROM gsql_ddl").head().getLong(0) === 0L)
+
+    GraftSql.exec(spark,
+      """INSERT INTO gsql_ddl SELECT * FROM VALUES
+        |  (1, 'a', 1.5D, 86400000000), (2, 'b', 2.5D, 172800000000),
+        |  (3, 'a', 3.5D, 172800000001) AS t(id, kind, v, ts_us)""".stripMargin)
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) FROM gsql_ddl WHERE kind = 'a'").head().getLong(0) === 2L)
+    // hidden day(ts_us) partitioning took effect on the DDL path
+    val t = GraftSql.table("gsql_ddl")
+    assert(t.snapshot().files.forall(_.partitions.keys.exists(_.contains("ts_us"))))
+    assert(t.snapshot().files.map(_.partitions.values.toSeq).distinct.size === 2)
+
+    // ALTER COLUMN TYPE widens through SQL; pre-widen int files still read
+    GraftSql.exec(spark, "ALTER TABLE gsql_ddl ALTER COLUMN id TYPE BIGINT")
+    assert(GraftSql.exec(spark, "SELECT sum(id) FROM gsql_ddl").head().getLong(0) === 6L)
+
+    // CREATE IF NOT EXISTS over a live table is a no-op; bare CREATE throws
+    GraftSql.exec(spark, "CREATE TABLE IF NOT EXISTS gsql_ddl (x INT)")
+    assert(GraftSql.exec(spark, "SELECT count(*) FROM gsql_ddl").head().getLong(0) === 3L)
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "CREATE TABLE gsql_ddl (x INT)") }
+
+    // DROP TABLE purges: root gone, name free, IF EXISTS tolerant
+    val root = t.root
+    GraftSql.exec(spark, "DROP TABLE gsql_ddl")
+    assert(!Files.exists(java.nio.file.Paths.get(root)))
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "INSERT INTO gsql_ddl SELECT 1") }
+    GraftSql.exec(spark, "DROP TABLE IF EXISTS gsql_ddl") // no-op, no throw
+  }
+
+  test("GraftSql MERGE column-level SET / INSERT lists are byte-equal to the API") {
+    import spark.implicits._
+    import graft.sources.GraftSql
+    val sqlT = LogTable(spark, Files.createTempDirectory("gsql_mcol_").toString)
+    val apiT = LogTable(spark, Files.createTempDirectory("gsql_mcol_api_").toString)
+    GraftSql.register("gsql_mc", sqlT)
+    val base = (0 until 30).map(i => (i.toLong, s"k${i % 3}", i * 2.0)).toDF("id", "kind", "v")
+    sqlT.append(base); apiT.append(base)
+    // source carries an EXTRA column: with both clauses column-level it
+    // must stay an expression input only (no schema evolution)
+    ((0 until 10).map(i => (i.toLong, s"k${i % 3}", 100.0 + i, i * 10.0)) ++
+      (50 until 55).map(i => (i.toLong, "new", i.toDouble, 1.0)))
+      .toDF("id", "kind", "v", "extra").createOrReplaceTempView("gsql_mc_src")
+
+    GraftSql.exec(spark,
+      """MERGE INTO gsql_mc t USING gsql_mc_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v + s.extra, kind = concat(t.kind, '+')
+        |WHEN NOT MATCHED THEN INSERT (id, kind) VALUES (s.id, concat('new-', s.kind))""".stripMargin)
+    apiT.merge(spark.table("gsql_mc_src"), "id",
+      matchedSet = Some(Map(
+        "v" -> (col("src_v") + col("src_extra")),
+        "kind" -> concat(col("kind"), lit("+")))),
+      insertValues = Some(Map(
+        "id" -> col("id"),
+        "kind" -> concat(lit("new-"), col("kind")))))
+
+    assert(collectSorted(sqlT.read()) === collectSorted(apiT.read()))
+    // no schema evolution: 'extra' never became a table column, and the
+    // unlisted insert column 'v' landed as a typed null
+    assert(sqlT.read().columns.toSeq === Seq("id", "kind", "v"))
+    assert(sqlT.read().filter(col("id") === 50L).select("v").head().isNullAt(0))
+    assert(sqlT.read().filter(col("id") === 0L).select("v").head().getDouble(0) === 100.0)
+    assert(sqlT.read().filter(col("kind") === "k0+").count() > 0)
+  }
+
+  test("time-travel tokens inside string literals are data, not table references") {
+    import spark.implicits._
+    import graft.sources.GraftSql
+    val t = LogTable(spark, Files.createTempDirectory("gsql_lit_").toString)
+    GraftSql.register("gsql_lit", t)
+    t.append(Seq((1L, "gsql_lit@v1"), (2L, "plain")).toDF("id", "note")) // v1
+    t.append(Seq((3L, "gsql_lit@v1")).toDF("id", "note"))                // v2
+
+    // the literal must survive byte-identical or the filter matches nothing
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) FROM gsql_lit WHERE note = 'gsql_lit@v1'")
+      .head().getLong(0) === 2L)
+    // a real table token and a literal twin in the SAME statement:
+    // the reference rewrites, the literal does not
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) FROM gsql_lit@v1 WHERE note = 'gsql_lit@v1'")
+      .head().getLong(0) === 1L)
+    // SQL '' escaping inside literals does not confuse the scanner
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) FROM gsql_lit WHERE note = 'it''s gsql_lit@v1'")
+      .head().getLong(0) === 0L)
+  }
+
+  test("SELECT COUNT(*) answers from manifest arithmetic — zero data I/O") {
+    import spark.implicits._
+    import graft.sources.GraftSql
+    val t = LogTable(spark, Files.createTempDirectory("gsql_cnt_").toString)
+    GraftSql.register("gsql_cnt", t)
+    t.append((0 until 123).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+
+    // fast path matches the scan answer, plain and aliased
+    assert(GraftSql.exec(spark, "SELECT COUNT(*) FROM gsql_cnt").head().getLong(0) === 123L)
+    val aliased = GraftSql.exec(spark, "SELECT count(*) AS n FROM gsql_cnt")
+    assert(aliased.columns.toSeq === Seq("n") && aliased.head().getLong(0) === 123L)
+
+    // the proof it never opens a data file: move the data pool away
+    val data = java.nio.file.Paths.get(t.root).resolve("data")
+    val hidden = java.nio.file.Paths.get(t.root).resolve("data_x")
+    Files.move(data, hidden)
+    try assert(GraftSql.exec(spark, "SELECT COUNT(*) FROM gsql_cnt")
+      .head().getLong(0) === 123L)
+    finally Files.move(hidden, data)
+
+    // exact under merge-on-read deletes (manifest arithmetic subtracts)
+    t.deleteMor(col("id") < 23)
+    assert(GraftSql.exec(spark, "SELECT COUNT(*) FROM gsql_cnt").head().getLong(0) === 100L)
+    // any other shape falls through to the real scan (ids 50..122 live)
+    assert(GraftSql.exec(spark,
+      "SELECT COUNT(*) FROM gsql_cnt WHERE id >= 50").head().getLong(0) === 73L)
   }
 
   test("a LogTable registers as a view and answers SQL across commits") {
