@@ -122,7 +122,8 @@ object Transform {
 final case class Snapshot(version: Long, parent: Long, operation: String,
     timestampMs: Long, files: Seq[DataFile], tag: String = "",
     schemaJson: String = "", checks: Map[String, String] = Map.empty,
-    retired: Seq[String] = Nil, deletes: Seq[DeleteFile] = Nil) {
+    retired: Seq[String] = Nil, deletes: Seq[DeleteFile] = Nil,
+    partCols: Seq[String] = Nil, transforms: Seq[Transform] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
   /** Rows visible to a reader of this snapshot: data-file rows minus
@@ -1933,9 +1934,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
       // removeOrphans, as with data files)
       val livePaths = files.map(_.path).toSet
       val dels = nextDeletes(prev).filter(_.refPaths.exists(livePaths.contains))
+      // partition-spec persistence: a handle that declares a spec records
+      // it in the manifest; a spec-less handle (readers, maintenance jobs
+      // opened via LogTable(spark, root)) carries the recorded one
+      // forward, so the spec survives handle/session boundaries and a
+      // later writer reconstructs the declared layout (apply() adopts it)
+      val (pc, tf) =
+        if (partitionBy.nonEmpty || hiddenBy.nonEmpty) (partitionBy, hiddenBy)
+        else (prev.partCols, prev.transforms)
       val next = Snapshot(prev.version + 1, prev.version, operation,
         System.currentTimeMillis(), files, tag, nextSchema(prev),
-        nextChecks(prev), nextRetired(prev), dels)
+        nextChecks(prev), nextRetired(prev), dels, pc, tf)
       val tmp = logDir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
       Files.writeString(tmp, renderManifest(next))
       try {
@@ -2117,7 +2126,29 @@ object LogTable {
       hiddenBy: Seq[Transform] = Nil): LogTable = {
     Files.createDirectories(Paths.get(root).resolve("data"))
     Files.createDirectories(Paths.get(root).resolve(ManifestDir))
-    new LogTable(spark, root, partitionBy, ManifestDir, hiddenBy)
+    // the partition spec is TABLE metadata, not handle state: commits
+    // record it in the manifest, and a spec-less open of an existing
+    // table adopts the recorded spec — so every handle (a fresh
+    // session, the SQL surface, the catalog) writes the declared
+    // layout instead of silently mixing layouts. A caller-declared
+    // spec must agree with the recorded one (changing the layout of an
+    // existing table is a rewrite, not an open-time flag).
+    val t0 = new LogTable(spark, root, partitionBy, ManifestDir, hiddenBy)
+    val snap = t0.snapshot()
+    if (partitionBy.isEmpty && hiddenBy.isEmpty &&
+        (snap.partCols.nonEmpty || snap.transforms.nonEmpty))
+      new LogTable(spark, root, snap.partCols, ManifestDir, snap.transforms)
+    else {
+      if ((snap.partCols.nonEmpty || snap.transforms.nonEmpty) &&
+          (partitionBy.nonEmpty || hiddenBy.nonEmpty))
+        require(partitionBy == snap.partCols && hiddenBy == snap.transforms,
+          s"table at $root records partition spec (partitionBy=" +
+            s"${snap.partCols.mkString(",")}; hiddenBy=${snap.transforms
+              .mkString(",")}) but the handle declares (${partitionBy
+              .mkString(",")}; ${hiddenBy.mkString(",")}) — open without " +
+            "a spec to adopt the recorded one")
+      t0
+    }
   }
 
   private def manifestPath(logDir: Path, version: Long): Path =
@@ -2153,6 +2184,17 @@ object LogTable {
     if (s.checks.nonEmpty) {
       val cn = node.putObject("checks")
       s.checks.toSeq.sortBy(_._1).foreach { case (k, v) => cn.put(k, v) }
+    }
+    if (s.partCols.nonEmpty) {
+      val pn = node.putArray("partitionBy")
+      s.partCols.foreach(pn.add)
+    }
+    if (s.transforms.nonEmpty) {
+      val tn = node.putArray("hiddenBy")
+      s.transforms.foreach { t =>
+        val e = tn.addObject()
+        e.put("source", t.source); e.put("kind", t.kind); e.put("n", t.n)
+      }
     }
     val arr: ArrayNode = node.putArray("files")
     s.files.foreach { f =>
@@ -2219,7 +2261,12 @@ object LogTable {
         DeleteFile(d.get("path").asText(), d.get("bytes").asLong(),
           Option(d.get("counts")).map(_.fields().asScala.map(e =>
             e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty))
-      }.toSeq).getOrElse(Nil))
+      }.toSeq).getOrElse(Nil),
+      Option(n.get("partitionBy")).map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Nil),
+      Option(n.get("hiddenBy")).map(_.elements().asScala.map(t =>
+        Transform(t.get("source").asText(), t.get("kind").asText(),
+          t.get("n").asLong())).toSeq).getOrElse(Nil))
   }
 
   // ------------------------------------------- field ids & name history

@@ -951,4 +951,30 @@ class LogTableSpec extends SparkSpec {
     // the compact commit replaced only the files it actually rewrote
     assert(t.snapshot().files.nonEmpty)
   }
+
+  test("partition spec persists in the manifest: spec-less reopen writes the declared layout") {
+    val root = Files.createTempDirectory("logtable_spec_").toString
+    val declared = LogTable(spark, root,
+      partitionBy = Seq("kind"), hiddenBy = Seq(Transform.bucket(4, "id")))
+    declared.append((0 until 40).map(i => (i.toLong, s"k${i % 2}")).toDF("id", "kind"))
+
+    // a FRESH spec-less handle (new session / catalog / SQL surface)
+    // adopts the recorded spec and lays new files out identically
+    val reopened = LogTable(spark, root)
+    assert(reopened.partitionBy === Seq("kind"))
+    assert(reopened.hiddenBy === Seq(Transform.bucket(4, "id")))
+    reopened.append((40 until 80).map(i => (i.toLong, s"k${i % 2}")).toDF("id", "kind"))
+    val snap = reopened.snapshot()
+    assert(snap.files.forall(f =>
+      f.partitions.contains("kind") && f.partitions.contains("_p_id_bucket")))
+    // point prune through the hidden bucket still holds across both writers
+    assert(reopened.filesForPoint("id", 57L).size < snap.files.size)
+    assert(reopened.readPoint("id", 57L).where($"id" === 57L).count() === 1L)
+
+    // a CONFLICTING declared spec is rejected loudly, not silently mixed
+    val e = intercept[IllegalArgumentException] {
+      LogTable(spark, root, partitionBy = Seq("id"))
+    }
+    assert(e.getMessage.contains("partition spec"))
+  }
 }
