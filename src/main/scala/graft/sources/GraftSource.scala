@@ -5,11 +5,11 @@ import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Coalesce, Expression, Literal, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -101,15 +101,18 @@ private[sources] object GraftSourceUtil {
 
   /** Spark's own parquet reader for the physical schema — built ON THE
     * DRIVER (it broadcasts the Hadoop conf) and shipped to executors
-    * inside the reader factory. */
-  def buildReadFunc(spark: SparkSession,
-      phys: StructType): PartitionedFile => Iterator[InternalRow] =
+    * inside the reader factory. `filters` reach parquet's row-group
+    * statistics pruning (a column missing from a given file — a hive
+    * partition column or a pre-rename physical name — simply drops out
+    * of that file's predicate, never mis-filters). */
+  def buildReadFunc(spark: SparkSession, phys: StructType,
+      filters: Seq[Filter] = Nil): PartitionedFile => Iterator[InternalRow] =
     new ParquetFileFormat().buildReaderWithPartitionValues(
       GraftBridge.classicSession(spark),
       dataSchema = phys,
       partitionSchema = new StructType(),
       requiredSchema = phys,
-      filters = Nil,
+      filters = filters,
       // rows, not ColumnarBatch: the PartitionReader contract here is
       // row-at-a-time (the vectorized reader still runs underneath and
       // hands rows off its column batches)
@@ -125,15 +128,168 @@ private[sources] final class GraftTable(root: String, schema0: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftScan(root, schema0, options)
+    new GraftScanBuilder(root, schema0, options)
+}
+
+/** Column pruning + filter pushdown for the graft scan.
+  *
+  * `pruneColumns` narrows BOTH the logical output row and the physical
+  * parquet read schema (a 2-column projection over a 40-column table
+  * reads 2 columns, not 40 — at 100 TB this is the difference between
+  * a column scan and a table scan). `pushFilters` keeps every filter
+  * as a residual (file/row-group skipping is never exact), but uses
+  * the conjunction for MANIFEST-LEVEL file skipping ([[GraftPrune]]:
+  * column min/max stats, hive partition values, hidden-transform
+  * derivation — the same arithmetic as LogTable.readRange/readPoint)
+  * and hands it to Spark's parquet reader for row-group pruning. */
+private[sources] final class GraftScanBuilder(root: String,
+    fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  // map required names back to the table's own StructFields: the field
+  // id / prev-name metadata MUST survive pruning or renamed columns
+  // would lose their historical physical names in the scan
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val byName = fullSchema.fields.map(f => f.name.toLowerCase -> f).toMap
+    required = StructType(
+      requiredSchema.fields.flatMap(f => byName.get(f.name.toLowerCase)))
+  }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GraftPrune.usable)
+    filters // never exact: Spark re-applies everything post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new GraftScan(root, required, options, pushed)
 }
 
 private[sources] final class GraftScan(root: String, schema: StructType,
-    options: CaseInsensitiveStringMap) extends Scan {
+    options: CaseInsensitiveStringMap, pushed: Array[Filter]) extends Scan {
   override def readSchema(): StructType = schema
-  override def toBatch: Batch = new GraftBatch(root, schema, options)
+  override def description(): String =
+    s"graft $root, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${schema.catalogString}"
+  override def toBatch: Batch = new GraftBatch(root, schema, options, pushed)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(root, schema, options)
+    new GraftMicroBatchStream(root, schema, options, pushed)
+}
+
+/** Conservative manifest-metadata file skipping: a file is dropped
+  * ONLY when a pushed filter PROVES no row in it can match — via the
+  * manifest's per-file long ranges, ASCII string ranges, hive
+  * partition values, or a hidden transform's derived directory key
+  * (bucket prunes equality; monotonic transforms prune ranges, the
+  * same truncation-monotonicity argument as [[Transform.derive]]).
+  * Anything unrecognized keeps the file — degrade to "scan", never to
+  * a wrong skip. */
+private[sources] object GraftPrune {
+  private val NullDir = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Filters the pruner can get leverage from (what we report pushed). */
+  def usable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In => true
+    case And(l, r) => usable(l) || usable(r)
+    case Or(l, r) => usable(l) && usable(r)
+    case _ => false
+  }
+
+  def filesFor(files: Seq[DataFile], transforms: Seq[Transform],
+      filters: Seq[Filter]): Seq[DataFile] =
+    files.filter(f => filters.forall(mayMatch(f, transforms, _)))
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case x: Long => Some(x)
+    case x: Int => Some(x.toLong)
+    case x: Short => Some(x.toLong)
+    case x: Byte => Some(x.toLong)
+    case _ => None
+  }
+
+  /** All rows of `f` share its per-file partition values, so a
+    * partition/transform directory key refutes a predicate for the
+    * whole file; column ranges refute by [min, max] emptiness. */
+  private def mayMatch(f: DataFile, ts: Seq[Transform], flt: Filter): Boolean =
+    flt match {
+      case And(l, r) => mayMatch(f, ts, l) && mayMatch(f, ts, r)
+      case Or(l, r) => mayMatch(f, ts, l) || mayMatch(f, ts, r)
+      case In(c, vs) => vs.exists(v => mayMatch(f, ts, EqualTo(c, v)))
+      case EqualTo(c, v) => cmpSurvives(f, ts, c, v, 0)
+      case GreaterThan(c, v) => cmpSurvives(f, ts, c, v, 1)
+      case GreaterThanOrEqual(c, v) => cmpSurvives(f, ts, c, v, 2)
+      case LessThan(c, v) => cmpSurvives(f, ts, c, v, -1)
+      case LessThanOrEqual(c, v) => cmpSurvives(f, ts, c, v, -2)
+      case _ => true
+    }
+
+  /** op: 0 = `= v`, 1 = `> v`, 2 = `>= v`, -1 = `< v`, -2 = `<= v`. */
+  private def cmpSurvives(f: DataFile, ts: Seq[Transform], col: String,
+      v: Any, op: Int): Boolean = {
+    val lv = asLong(v)
+    // 1. hive partition value: the column has ONE value for the file
+    f.partitions.find(_._1.equalsIgnoreCase(col)).forall { case (_, pv) =>
+      if (pv == NullDir) false // all-null column: no comparison matches
+      else (lv, v) match {
+        case (Some(n), _) => pv.toLongOption.forall(p => opHolds(p, n, op))
+        case (None, s: String) => opHoldsStr(pv, s, op)
+        case _ => true
+      }
+    } &&
+    // 2. long column stats [min, max]
+    lv.forall(n => f.ranges.find(_._1.equalsIgnoreCase(col)).forall {
+      case (_, (mn, mx)) => op match {
+        case 0 => n >= mn && n <= mx
+        case 1 => mx > n
+        case 2 => mx >= n
+        case -1 => mn < n
+        case -2 => mn <= n
+      }
+    }) &&
+    // 3. ASCII string stats (recorded only where byte and char order agree)
+    (v match {
+      case s: String => f.strRanges.find(_._1.equalsIgnoreCase(col)).forall {
+        case (_, (mn, mx)) => op match {
+          case 0 => s >= mn && s <= mx
+          case 1 => mx > s
+          case 2 => mx >= s
+          case -1 => mn < s
+          case -2 => mn <= s
+        }
+      }
+      case _ => true
+    }) &&
+    // 4. hidden transforms over this source column
+    lv.forall(n => ts.filter(_.source.equalsIgnoreCase(col)).forall { t =>
+      f.partitions.get(t.colName) match {
+        case Some(NullDir) => false // all-null source column
+        case Some(dv) => dv.toLongOption.forall { d =>
+          if (op == 0) d == t.derive(n)
+          // range ops prune through MONOTONIC transforms only; a
+          // bucket's hash scrambles order by construction
+          else if (t.monotonic) opHolds(d, t.derive(n), if (op > 0) 2 else -2)
+          else true
+        }
+        case None => true // file written under another spec: scan it
+      }
+    })
+  }
+
+  private def opHolds(x: Long, v: Long, op: Int): Boolean = op match {
+    case 0 => x == v
+    case 1 => x > v
+    case 2 => x >= v
+    case -1 => x < v
+    case -2 => x <= v
+  }
+  private def opHoldsStr(x: String, v: String, op: Int): Boolean = op match {
+    case 0 => x == v
+    case 1 => x > v
+    case 2 => x >= v
+    case -1 => x < v
+    case -2 => x <= v
+  }
 }
 
 /** One appended data file = one InputPartition: split planning is
@@ -148,13 +304,15 @@ private[sources] final case class GraftOffset(version: Long) extends Offset {
 }
 
 private[sources] final class GraftMicroBatchStream(root: String,
-    logical: StructType, options: CaseInsensitiveStringMap)
+    logical: StructType, options: CaseInsensitiveStringMap,
+    pushed: Array[Filter] = Array.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val spark = SparkSession.active
   private val table = LogTable(spark, root)
   private val phys = GraftSourceUtil.physicalSchema(logical)
   // one reader build (and conf broadcast) per stream, not per batch
-  private lazy val readFunc = GraftSourceUtil.buildReadFunc(spark, phys)
+  private lazy val readFunc =
+    GraftSourceUtil.buildReadFunc(spark, phys, pushed.toSeq)
   // AvailableNow pins the end offset at trigger start (native support —
   // no engine-side wrapper, no "uncommitted batch" caveat)
   @volatile private var availableNowCap: Long = -1L
@@ -186,9 +344,11 @@ private[sources] final class GraftMicroBatchStream(root: String,
     GraftOffset(json.trim.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    table.appendedFilesBetween(
-        start.asInstanceOf[GraftOffset].version,
-        end.asInstanceOf[GraftOffset].version)
+    GraftPrune.filesFor(
+        table.appendedFilesBetween(
+          start.asInstanceOf[GraftOffset].version,
+          end.asInstanceOf[GraftOffset].version),
+        table.snapshot().transforms, pushed.toSeq)
       .map(f => GraftInputPartition(f.path, f.bytes, f.partitions): InputPartition)
       .toArray
 
@@ -200,7 +360,8 @@ private[sources] final class GraftMicroBatchStream(root: String,
 }
 
 private[sources] final class GraftBatch(root: String, logical: StructType,
-    options: CaseInsensitiveStringMap) extends Batch {
+    options: CaseInsensitiveStringMap,
+    pushed: Array[Filter] = Array.empty) extends Batch {
   private val spark = SparkSession.active
   private val phys = GraftSourceUtil.physicalSchema(logical)
 
@@ -213,14 +374,14 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
       s"snapshot v${snap.version} carries merge-on-read position deletes; " +
         "the graft batch source cannot apply them — read via LogTable.read() " +
         "or fold them first (LogTable.compact / CALL compact)")
-    snap.files
+    GraftPrune.filesFor(snap.files, snap.transforms, pushed.toSeq)
       .map(f => GraftInputPartition(f.path, f.bytes, f.partitions): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(GraftSourceUtil.buildReadFunc(spark, phys),
-      phys, logical)
+    new GraftReaderFactory(
+      GraftSourceUtil.buildReadFunc(spark, phys, pushed.toSeq), phys, logical)
 }
 
 /** Executor-side reader: Spark's parquet reader over the physical

@@ -146,6 +146,87 @@ class GraftSourceSpec extends SparkSpec {
     assert(rows.asScala.toSeq.sorted === Seq(1L, 2L, 3L))
   }
 
+  /** The scan's planned file set and read schema, straight off the
+    * physical plan's BatchScanExec. */
+  private def scanOf(df: DataFrame): (Int, Seq[String]) = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size === 1, "expected exactly one graft scan")
+    (scans.head.inputPartitions.size, scans.head.scan.readSchema().fieldNames.toSeq)
+  }
+
+  test("pushdown: filters skip files via manifest stats, partitions, and hidden transforms") {
+    import spark.implicits._
+    val root = tmp("gsrc-push")
+    val t = LogTable(spark, root,
+      partitionBy = Seq("kind"), hiddenBy = Seq(Transform.day("ts_us")))
+    // 4 appends × 2 kind partitions, each append one distinct day
+    (0 until 4).foreach { d =>
+      t.append((0 until 20).map { i =>
+        (d * 86400000000L + i.toLong, if (i % 2 == 0) "a" else "b", i.toLong)
+      }.toDF("ts_us", "kind", "v"))
+    }
+    val all = spark.read.format("graft").load(root)
+    val (totalFiles, _) = scanOf(all)
+
+    // long-range filter prunes through BOTH footer stats and day()
+    val dayScan = all.where($"ts_us" >= 2 * 86400000000L)
+    val (dayFiles, _) = scanOf(dayScan)
+    assert(dayFiles < totalFiles, s"expected < $totalFiles files, got $dayFiles")
+    assert(dayScan.count() === 40L)
+
+    // hive-partition equality prunes to one directory per append
+    val (kindFiles, _) = scanOf(all.where($"kind" === "a"))
+    assert(kindFiles * 2 === totalFiles)
+    assert(all.where($"kind" === "a").count() === 40L)
+
+    // conjunction composes; result stays exact vs the API read
+    val both = all.where($"kind" === "a" && $"ts_us" >= 2 * 86400000000L)
+    val (bothFiles, _) = scanOf(both)
+    assert(bothFiles <= totalFiles / 4 + 1)
+    assert(both.select($"v").as[Long].collect().sorted.toSeq ===
+      t.read().where($"kind" === "a" && $"ts_us" >= 2 * 86400000000L)
+        .select($"v").as[Long].collect().sorted.toSeq)
+  }
+
+  test("pushdown: bucket transform prunes equality, column pruning narrows the read schema") {
+    import spark.implicits._
+    val root = tmp("gsrc-buck")
+    val t = LogTable(spark, root, hiddenBy = Seq(Transform.bucket(8, "id")))
+    t.append((0L until 200L).map(i => (i, s"s$i", i * 2)).toDF("id", "s", "v"))
+    val df = spark.read.format("graft").load(root)
+    val (totalFiles, fullSchema) = scanOf(df)
+    assert(fullSchema === Seq("id", "s", "v"))
+
+    val point = df.where($"id" === 57L)
+    val (pointFiles, _) = scanOf(point)
+    assert(pointFiles < totalFiles, "bucket prune must skip sibling buckets")
+    assert(point.select($"s").as[String].head() === "s57")
+
+    // a 1-column projection reads 1 column, not 3
+    val (_, pruned) = scanOf(df.select($"v"))
+    assert(pruned === Seq("v"))
+    // projection over a filter keeps the filter column out of the output
+    val (_, prunedF) = scanOf(df.where($"id" > 100L).select($"s"))
+    assert(prunedF.toSet === Set("id", "s"))
+  }
+
+  test("pushdown: pruned scans stay exact after a spec-less maintenance rewrite") {
+    import spark.implicits._
+    val root = tmp("gsrc-maint")
+    val t = LogTable(spark, root, hiddenBy = Seq(Transform.day("ts_us")))
+    (0 until 3).foreach(d => t.append(
+      (0 until 10).map(i => (d * 86400000000L + i.toLong, i.toLong))
+        .toDF("ts_us", "v")))
+    // maintenance through a spec-less handle (adopts the recorded spec)
+    LogTable(spark, root).compact(smallBytes = 1L << 20)
+    val df = spark.read.format("graft").load(root)
+      .where($"ts_us" >= 86400000000L && $"ts_us" < 2 * 86400000000L)
+    assert(df.count() === 10L)
+    assert(df.agg(max($"v")).head().getLong(0) === 9L)
+  }
+
   test("streaming: startingVersion=latest skips history, sees only new commits") {
     import spark.implicits._
     val root = tmp("gsrc-lat")
