@@ -373,6 +373,37 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** DataFrame-writer → DSv2-scan roundtrip, entirely through
+    * `format("graft")` ([[graft.sources.GraftTableProvider]]): two
+    * writer-API ingests (the second via SaveMode.Append) into a
+    * hive+hidden-partitioned layout declared ONLY through writer
+    * options, then a filtered read back through the DSv2 batch scan —
+    * whose predicate prunes files via manifest stats, partition
+    * values, and the day() transform before Spark re-applies it
+    * row-level. The oracle is the same WHERE over the source parquet:
+    * a wrong skip (pruning arithmetic drift between writer and
+    * scanner) or a lost/duplicated writer batch breaks the hash. */
+  def lakeDsv2(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_dsv2_").toString
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .write.format("graft").partitionBy("event_type")
+      .option("hiddenBy", "day(ts_us)").save(tmp)
+    ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .write.format("graft").mode("append").save(tmp)
+    val lo = 1704844800000000L            // 2024-01-10 00:00:00 UTC, µs
+    val hi = 1705708800000000L            // 2024-01-20 00:00:00 UTC, µs
+    s.read.format("graft").load(tmp)
+      .where(col("event_type") =!= "error" &&
+        col("ts_us") >= lo && col("ts_us") < hi)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** MERGE-ON-READ delete roundtrip (Iceberg v2 position deletes —
     * [[graft.sources.LogTable.deleteMor]]): ingest events, mark the
     * 'error' rows and every 13th event as deleted in POSITION-DELETE
@@ -426,6 +457,7 @@ object Lakehouse {
     "lake_count_meta" -> (lakeCountMeta _),
     "lake_merge4" -> (lakeMerge4 _),
     "lake_hidden" -> (lakeHidden _),
+    "lake_dsv2" -> (lakeDsv2 _),
     "lake_sql" -> (lakeSql _),
     "lake_sql_tt" -> (lakeSqlTt _),
     "lake_skipped" -> (lakeSkipped _),
@@ -468,6 +500,13 @@ object Lakehouse {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_dsv2" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE event_type <> 'error'
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_sql" ->
       """WITH upd AS (

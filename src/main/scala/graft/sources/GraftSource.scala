@@ -4,6 +4,7 @@ import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Coalesce, Expression, Literal, UnsafeProjection}
+import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
@@ -50,8 +51,31 @@ import scala.jdk.CollectionConverters._
   *
   * Streaming options: `startingVersion` = `<n>` (default 0 = the whole
   * table as the first batch) or `latest` (only commits after stream
-  * start). */
-final class GraftTableProvider extends TableProvider with DataSourceRegister {
+  * start).
+  *
+  * The WRITE half is symmetric:
+  *
+  *   - `df.write.format("graft").mode(...).save(root)` — all four
+  *     SaveModes; Overwrite is an atomic metadata-only file-list swap
+  *     ([[LogTable.overwrite]]), never a COW scan. A fresh table takes
+  *     its layout from `.partitionBy(...)` (identity hive columns)
+  *     and/or `option("hiddenBy", "day(ts_us), bucket(16, id)")`
+  *     (hidden transforms, GraftSql's partition-spec grammar); an
+  *     existing table's manifest-recorded spec drives layout and a
+  *     conflicting declared spec fails loudly.
+  *   - `ds.writeStream.format("graft").start(root)` — an EXACTLY-ONCE
+  *     streaming sink: each micro-batch appends under the tag
+  *     `graft-sink-<batchId>`, so a replayed epoch (crash between
+  *     sink commit and offset-log advance) is absorbed by the tag
+  *     check instead of duplicating rows. OutputMode Append appends;
+  *     Complete atomically overwrites with the batch's full result.
+  *
+  * Both halves route through LogTable's own commit machinery, so CHECK
+  * constraints, schema validation/evolution, hidden layout derivation
+  * and manifest stats hold for DataFrame-API writers too. */
+final class GraftTableProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
 
   private def rootOf(options: CaseInsensitiveStringMap): String = {
@@ -64,16 +88,84 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val snap = GraftSourceUtil.snapshotFor(
       LogTable(SparkSession.active, rootOf(options)), options)
-    require(snap.schemaJson.nonEmpty,
-      s"LogTable at ${rootOf(options)} has no manifest-recorded schema " +
-        "(commit data first; pre-schema legacy tables are not streamable)")
-    LogTable.parseSchema(snap.schemaJson)
+    // empty = no commits yet: write paths (fresh-table creation) need
+    // the provider to resolve; READS of a schema-less table fail
+    // loudly at scan creation (GraftTable.newScanBuilder)
+    if (snap.schemaJson.isEmpty) new StructType()
+    else LogTable.parseSchema(snap.schemaJson)
   }
 
   override def getTable(schema: StructType,
       partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: util.Map[String, String]): Table =
     new GraftTable(properties.get("path"), schema)
+
+  /** Open the write-target table: explicit layout options (+
+    * `.partitionBy`) for fresh tables, the manifest-recorded spec
+    * otherwise (LogTable.apply adopts it and rejects conflicts). */
+  private def tableFor(spark: SparkSession, root: String,
+      parameters: Map[String, String], partCols: Seq[String]): LogTable = {
+    val params = CaseInsensitiveMap(parameters)
+    val (optCols, optTrans) = params.get("hiddenBy")
+      .orElse(params.get("partitioning"))
+      .map(GraftSql.parsePartitionSpecs)
+      .getOrElse((Nil, Nil))
+    LogTable(spark, root,
+      partitionBy = (partCols ++ optCols).distinct, hiddenBy = optTrans)
+  }
+
+  override def createRelation(sqlCtx: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft write needs the table root: .save(<path>)"))
+    val t = tableFor(sqlCtx.sparkSession, root, parameters,
+      GraftBridge.partitioningColumns(parameters))
+    val exists = t.currentVersion > 0L
+    mode match {
+      case ErrorIfExists if exists => throw new IllegalStateException(
+        s"graft table at $root already exists (SaveMode.ErrorIfExists)")
+      case Ignore if exists => ()
+      case Overwrite => t.overwrite(data.toDF())
+      case _ => t.append(data.toDF())
+    }
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = sqlCtx
+      override def schema: StructType = data.schema
+    }
+  }
+
+  override def createSink(sqlCtx: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft sink needs the table root: .start(<path>)"))
+    val complete =
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    require(complete ||
+        outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft sink supports Append and Complete output modes, got $outputMode")
+    val spark = sqlCtx.sparkSession
+    val table = tableFor(spark, root, parameters, partitionColumns)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def name(): String = s"graft.`$root`"
+      override def addBatch(batchId: Long,
+          data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+        // pin the micro-batch on its own planned RDD (ForeachBatchSink's
+        // trick) so the append below is a plain batch write
+        val batch = GraftBridge.materializeBatch(data)
+        val tag = s"graft-sink-$batchId"
+        if (complete) table.overwrite(batch, tag = tag)
+        else table.append(batch, tag = tag)
+        ()
+      }
+    }
+  }
 }
 
 private[sources] object GraftSourceUtil {
@@ -127,8 +219,12 @@ private[sources] final class GraftTable(root: String, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(schema0.nonEmpty,
+      s"LogTable at $root has no manifest-recorded schema — nothing has " +
+        "been committed there yet (wrong path? pre-schema legacy table?)")
     new GraftScanBuilder(root, schema0, options)
+  }
 }
 
 /** Column pruning + filter pushdown for the graft scan.

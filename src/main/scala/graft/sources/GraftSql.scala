@@ -203,7 +203,7 @@ object GraftSql {
   /** Partition specs: Iceberg transform DDL (`day(c)`, `hour(c)`,
     * `truncate(n, c)`, `bucket(n, c)`) become hidden transforms; bare
     * names become hive-style identity partition columns. */
-  private def parsePartitionSpecs(specs: String): (Seq[String], Seq[Transform]) = {
+  private[sources] def parsePartitionSpecs(specs: String): (Seq[String], Seq[Transform]) = {
     val plain = scala.collection.mutable.ListBuffer[String]()
     val trans = scala.collection.mutable.ListBuffer[Transform]()
     val OneArg = """(?i)^(day|hour)\s*\(\s*(\w+)\s*\)$""".r

@@ -844,6 +844,34 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** Replace the table's ENTIRE contents atomically (INSERT OVERWRITE /
+    * SaveMode.Overwrite semantics): write the incoming rows, then one
+    * replacing commit swaps the full file list — a metadata-only swap,
+    * never a COW scan of the existing data. Old snapshots stay
+    * time-travelable until expire; position-delete files vanish with
+    * the data files they referenced (commit GC). Schema/checks
+    * validate exactly as append does. */
+  def overwrite(df: DataFrame, tag: String = ""): Snapshot = {
+    if (tag.nonEmpty && hasTag(tag)) return snapshot()
+    val snapNow = snapshot()
+    val mergedNow = mergedSchemaWith(snapNow, df.schema)
+    val newFiles = writeDataFiles(conformTypes(df, mergedNow))
+    enforceChecksOnWritten(newFiles, snapNow.checks, "the overwrite batch",
+      mergedNow.json)
+    var validatedChecks = snapNow.checks.keySet
+    commit("overwrite", tag,
+        nextSchema = prev => mergedSchemaWith(prev, df.schema).json) { prev =>
+      if (tag.nonEmpty && hasTag(tag)) return snapshot()
+      val fresh = prev.checks -- validatedChecks
+      if (fresh.nonEmpty) {
+        enforceChecksOnWritten(newFiles, fresh,
+          "the overwrite batch (late check)", mergedNow.json)
+        validatedChecks ++= fresh.keySet
+      }
+      newFiles
+    }
+  }
+
   /** The snapshot's current logical schema: manifest-recorded, or (on
     * legacy snapshots) derived once from a footer-merge read. */
   private def schemaOf(snap: Snapshot): org.apache.spark.sql.types.StructType =

@@ -34,4 +34,25 @@ object GraftBridge {
     * handle — what FileFormat.buildReaderWithPartitionValues needs. */
   def classicSession(spark: SparkSession): classic.SparkSession =
     spark.asInstanceOf[classic.SparkSession]
+
+  /** Re-root a v1 streaming Sink's micro-batch DataFrame on its OWN
+    * already-planned RDD (LogicalRDD.fromDataset — exactly what
+    * Spark's ForeachBatchSink does before handing the user a batch
+    * frame): the incremental execution's plan is pinned, so writing
+    * the frame through normal batch APIs neither re-triggers the
+    * stream nor recomputes the batch. */
+  def materializeBatch(df: Dataset[Row]): Dataset[Row] = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(cdf.sparkSession,
+      execution.LogicalRDD.fromDataset(
+        cdf.queryExecution.toRdd, cdf, isStreaming = false))
+  }
+
+  /** Decode the `.partitionBy(...)` columns DataFrameWriter smuggles
+    * to v1 CreatableRelationProviders via options (the same channel
+    * Delta reads). */
+  def partitioningColumns(parameters: Map[String, String]): Seq[String] =
+    parameters.get(execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+      .map(execution.datasources.DataSourceUtils.decodePartitioningColumns)
+      .getOrElse(Nil)
 }

@@ -227,6 +227,86 @@ class GraftSourceSpec extends SparkSpec {
     assert(df.agg(max($"v")).head().getLong(0) === 9L)
   }
 
+  test("write: df.write.format(graft) — SaveModes, partitionBy layout, atomic overwrite") {
+    import spark.implicits._
+    val root = tmp("gsrc-write")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "kind")
+      .write.format("graft").partitionBy("kind")
+      .option("hiddenBy", "bucket(4, id)").save(root)
+    val t = LogTable(spark, root)
+    assert(t.partitionBy === Seq("kind"))
+    assert(t.hiddenBy === Seq(Transform.bucket(4, "id")))
+    assert(t.snapshot().files.forall(_.partitions.contains("kind")))
+
+    // default mode on an existing table fails; Ignore is a no-op
+    intercept[IllegalStateException] {
+      Seq((9L, "z")).toDF("id", "kind").write.format("graft").save(root)
+    }
+    Seq((9L, "z")).toDF("id", "kind")
+      .write.format("graft").mode("ignore").save(root)
+    assert(t.read().count() === 2L)
+
+    Seq((3L, "c")).toDF("id", "kind")
+      .write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() === 3L)
+
+    // overwrite = metadata-only swap; the old snapshot stays readable
+    val vBefore = t.currentVersion
+    Seq((7L, "q")).toDF("id", "kind")
+      .write.format("graft").mode("overwrite").save(root)
+    assert(t.read().select("id").as[Long].collect().toSeq === Seq(7L))
+    assert(t.snapshot().operation === "overwrite")
+    assert(t.timeTravel(vBefore).count() === 3L)
+  }
+
+  test("write: streaming sink format(graft) is exactly-once across checkpoint replays") {
+    import spark.implicits._
+    val src = tmp("gsnk-src")
+    val dst = tmp("gsnk-dst")
+    val cp = tmp("gsnk-cp")
+    val t = LogTable(spark, src)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+
+    def drainToSink(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    drainToSink()
+    val sink = LogTable(spark, dst)
+    assert(sink.read().count() === 2L)
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    drainToSink() // restart from the offset log: only the new commit lands
+    assert(sink.read().orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    drainToSink() // nothing new: no duplicates
+    assert(sink.read().count() === 3L)
+    // the sink's appends carry their epoch tags (the replay absorber)
+    assert(sink.hasTag("graft-sink-0") && sink.hasTag("graft-sink-1"))
+  }
+
+  test("write: Complete-mode sink atomically overwrites with each batch's full result") {
+    import spark.implicits._
+    val src = tmp("gsnk2-src")
+    val dst = tmp("gsnk2-dst")
+    val cp = tmp("gsnk2-cp")
+    val t = LogTable(spark, src)
+    t.append(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "kind"))
+    val q = spark.readStream.format("graft").load(src)
+      .groupBy($"kind").agg(count("*").as("n"))
+      .writeStream.format("graft").outputMode("complete")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    val got = LogTable(spark, dst).read()
+      .orderBy("kind").as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("streaming: startingVersion=latest skips history, sees only new commits") {
     import spark.implicits._
     val root = tmp("gsrc-lat")
