@@ -404,6 +404,56 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** The catalog-plugin lifecycle ([[graft.sources.GraftCatalog]]) —
+    * CREATE NAMESPACE, CREATE TABLE with partition transforms
+    * (`days(ts_us)`, identity event_type), two INSERT INTO batches and
+    * a filtered aggregate, every statement through SPARK'S OWN parser
+    * against `spark.sql.catalog.*` config (the reference's users
+    * address their table as catalog.namespace.table through a
+    * registered catalog the same way, reference init-setup.py:84-130).
+    * The SELECT prunes through both partition axes before Spark
+    * re-applies the predicate; the oracle is the same WHERE over the
+    * source parquet. */
+  def lakeCatalog(s: SparkSession, dir: String): DataFrame = {
+    // catalog instances are cached per session by name — initialize
+    // once per JVM, make the statements idempotent per call
+    CatalogFixture.ensure(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    s.sql("DROP TABLE IF EXISTS graft_cat.lake.events_cat")
+    s.sql(
+      """CREATE TABLE graft_cat.lake.events_cat (
+        |  event_id BIGINT, user_id BIGINT, event_type STRING,
+        |  value DOUBLE, ts_us BIGINT)
+        |PARTITIONED BY (days(ts_us), event_type)""".stripMargin)
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us")).createOrReplaceTempView("events_cat_src")
+    s.sql("""INSERT INTO graft_cat.lake.events_cat
+            |SELECT * FROM events_cat_src WHERE event_id % 2 = 0""".stripMargin)
+    s.sql("""INSERT INTO graft_cat.lake.events_cat
+            |SELECT * FROM events_cat_src WHERE event_id % 2 = 1""".stripMargin)
+    s.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         |FROM graft_cat.lake.events_cat
+         |WHERE event_type <> 'view'
+         |  AND ts_us >= ${1704412800000000L}L AND ts_us < ${1705276800000000L}L
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  private object CatalogFixture {
+    @volatile private var done = false
+    def ensure(s: SparkSession): Unit = synchronized {
+      if (!done) {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+          Files.createTempDirectory("graft_cat_wh_").toString)
+        done = true
+      }
+    }
+  }
+
   /** MERGE-ON-READ delete roundtrip (Iceberg v2 position deletes —
     * [[graft.sources.LogTable.deleteMor]]): ingest events, mark the
     * 'error' rows and every 13th event as deleted in POSITION-DELETE
@@ -458,6 +508,7 @@ object Lakehouse {
     "lake_merge4" -> (lakeMerge4 _),
     "lake_hidden" -> (lakeHidden _),
     "lake_dsv2" -> (lakeDsv2 _),
+    "lake_catalog" -> (lakeCatalog _),
     "lake_sql" -> (lakeSql _),
     "lake_sql_tt" -> (lakeSqlTt _),
     "lake_skipped" -> (lakeSkipped _),
@@ -507,6 +558,13 @@ object Lakehouse {
         |FROM events
         |WHERE event_type <> 'error'
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_catalog" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE event_type <> 'view'
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_sql" ->
       """WITH upd AS (

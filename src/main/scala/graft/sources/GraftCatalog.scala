@@ -1,0 +1,248 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform => STransform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** A Spark [[TableCatalog]] over a warehouse directory of LogTables —
+  * the catalog half of the reference's deployment (reference
+  * init-setup.py:84-130 registers its Iceberg REST catalog so users
+  * address tables as `catalog.namespace.table`), re-expressed as a
+  * first-class Spark catalog plugin:
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *
+  * CREATE TABLE graft.logs.api (ts_us BIGINT, op STRING)
+  *   PARTITIONED BY (days(ts_us), bucket(16, op))
+  * INSERT INTO graft.logs.api SELECT ...
+  * SELECT op, count(*) FROM graft.logs.api WHERE ts_us > ... GROUP BY op
+  * }}}
+  *
+  * — CREATE/CTAS/INSERT/INSERT OVERWRITE/SELECT/ALTER/DROP all run
+  * through SPARK'S OWN parser, analyzer and permission seams; no
+  * bespoke SQL dialect in the path (GraftSql stays as the embedded
+  * statement surface for hosts without catalog config). Namespaces
+  * are warehouse subdirectories; a table is any directory with a
+  * `_graft_log` manifest dir; the partition spec rides in the
+  * manifest (persisted spec), so `loadTable` reconstructs the exact
+  * layout every session.
+  *
+  * Reads come back through [[GraftTable]]'s pushdown scan (manifest
+  * file skipping + parquet row-group pruning); writes route through
+  * [[LogTable]]'s commit machinery via the V1Write bridge, so CHECK
+  * constraints, schema evolution, hidden layout derivation and
+  * optimistic concurrency hold for SQL writers too. */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val wh = options.get("warehouse")
+    require(wh != null && wh.nonEmpty,
+      s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse=<dir>")
+    warehouse = Paths.get(wh)
+    Files.createDirectories(warehouse)
+    ()
+  }
+  override def name(): String = catName
+
+  private def spark: SparkSession = SparkSession.active
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)(_.resolve(_))
+  private def tableDir(ident: Identifier): Path =
+    nsDir(ident.namespace).resolve(ident.name)
+  private def isTable(p: Path): Boolean =
+    Files.isDirectory(p.resolve("_graft_log"))
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
+      (catName +: namespace).toSeq)
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(isTable)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally stream.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = tableDir(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val t = LogTable(spark, root.toString) // adopts the persisted spec
+    val snap = t.snapshot()
+    val schema =
+      if (snap.schemaJson.nonEmpty) LogTable.parseSchema(snap.schemaJson)
+      else new StructType()
+    new GraftTable(root.toString, schema, writable = true)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[STransform],
+      properties: util.Map[String, String]): Table = {
+    val root = tableDir(ident)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    val (partCols, hidden) = parseTransforms(partitions)
+    Files.createDirectories(root.getParent)
+    val t = LogTable(spark, root.toString,
+      partitionBy = partCols, hiddenBy = hidden)
+    t.declareSchema(schema)
+    loadTable(ident)
+  }
+
+  /** Spark partition transforms → LogTable's spec: identity columns
+    * become hive layout; days/hours/bucket/truncate become hidden
+    * transforms (pruned through by the scan). Spark's parser emits
+    * both the canonical forms (`days(c)`) and generic applies
+    * (`day(c)`), so match by name over the argument list. */
+  private def parseTransforms(ts: Array[STransform]): (Seq[String], Seq[Transform]) = {
+    def col(t: STransform): String = t.arguments.collectFirst {
+      case r: NamedReference => r.fieldNames.mkString(".")
+    }.getOrElse(throw new IllegalArgumentException(
+      s"partition transform $t needs a column reference"))
+    def num(t: STransform): Long = t.arguments.collectFirst {
+      case l: Literal[_] if l.value().isInstanceOf[Number] =>
+        l.value().asInstanceOf[Number].longValue()
+    }.getOrElse(throw new IllegalArgumentException(
+      s"partition transform $t needs a numeric argument"))
+    val partCols = scala.collection.mutable.ListBuffer[String]()
+    val hidden = scala.collection.mutable.ListBuffer[Transform]()
+    ts.foreach { t =>
+      t.name.toLowerCase match {
+        case "identity" => partCols += col(t)
+        case "days" | "day" => hidden += Transform.day(col(t))
+        case "hours" | "hour" => hidden += Transform.hour(col(t))
+        case "bucket" => hidden += Transform.bucket(num(t).toInt, col(t))
+        case "truncate" => hidden += Transform.truncate(num(t), col(t))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform '$other' (supported: identity " +
+            "columns, days, hours, bucket, truncate)")
+      }
+    }
+    (partCols.toSeq, hidden.toSeq)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = tableDir(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val t = LogTable(spark, root.toString)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested renames unsupported")
+        t.renameColumn(r.fieldNames()(0), r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested drops unsupported")
+        t.dropColumn(d.fieldNames()(0))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1, "nested retypes unsupported")
+        t.widenColumn(u.fieldNames()(0), u.newDataType())
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $other (supported: RENAME " +
+          "COLUMN, DROP COLUMN, widening ALTER COLUMN TYPE; new columns " +
+          "join by appending data that carries them)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = tableDir(ident)
+    if (!isTable(root)) false
+    else { LogTable.deleteRecursively(root); true }
+  }
+
+  /** Manifests pin ABSOLUTE file paths (readers never list
+    * directories), so a rename moves the directory and then re-roots
+    * every manifest's path strings — an offline metadata rewrite, the
+    * one operation that touches committed manifests (a table being
+    * renamed has no live concurrent writers by contract, as with every
+    * catalog's rename). The replacement is anchored on `"<oldRoot>/`
+    * (quote + trailing slash), which can only match path fields. */
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = tableDir(from)
+    val dst = tableDir(to)
+    if (!isTable(src)) throw new NoSuchTableException(from)
+    if (isTable(dst)) throw new TableAlreadyExistsException(to)
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst)
+    val walk = Files.walk(dst)
+    try walk.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".manifest.json"))
+      .foreach { m =>
+        val txt = Files.readString(m)
+        Files.writeString(m,
+          txt.replace("\"" + src.toString + "/", "\"" + dst.toString + "/"))
+      }
+    finally walk.close()
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val stream = Files.list(warehouse)
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+    finally stream.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
+      (catName +: namespace).toSeq)
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+    finally stream.close()
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (namespace.nonEmpty && !Files.isDirectory(nsDir(namespace)))
+      throw new NoSuchNamespaceException((catName +: namespace).toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    Files.createDirectories(nsDir(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are directories; there is no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) false
+    else {
+      if (!cascade) {
+        val stream = Files.list(dir)
+        val empty = try !stream.iterator().hasNext finally stream.close()
+        require(empty, s"namespace ${namespace.mkString(".")} is not empty " +
+          "(use CASCADE)")
+      }
+      LogTable.deleteRecursively(dir)
+      true
+    }
+  }
+}

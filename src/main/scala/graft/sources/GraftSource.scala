@@ -213,12 +213,32 @@ private[sources] object GraftSourceUtil {
       hadoopConf = GraftBridge.hadoopConf(spark))
 }
 
-private[sources] final class GraftTable(root: String, schema0: StructType)
-    extends Table with SupportsRead {
+/** `writable = true` (catalog-loaded tables, whose schema is always
+  * manifest-known) additionally advertises batch-write capabilities,
+  * so SQL `INSERT INTO` / `INSERT OVERWRITE` / CTAS plan through
+  * Spark's own write operators and land in [[LogTable]]'s commit
+  * machinery via the V1Write bridge. Path-based tables stay
+  * read-only here — their writes route through the provider's
+  * CreatableRelationProvider, which also handles fresh-table creation
+  * and all four SaveModes. */
+private[sources] final class GraftTable(root: String, schema0: StructType,
+    writable: Boolean = false)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    if (writable)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
+    else
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(root)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(schema0.nonEmpty,
       s"LogTable at $root has no manifest-recorded schema — nothing has " +
@@ -386,6 +406,33 @@ private[sources] object GraftPrune {
     case -1 => x < v
     case -2 => x <= v
   }
+}
+
+/** The batch-write half of a writable [[GraftTable]]: a [[V1Write]]
+  * whose InsertableRelation appends (INSERT INTO) or atomically
+  * overwrites (INSERT OVERWRITE / truncate) through [[LogTable]] — the
+  * driver-side bridge keeps every table invariant (checks, schema
+  * evolution, hidden layout, commit retries) in ONE code path instead
+  * of duplicating the writer in executor-side DataWriters. */
+private[sources] final class GraftWriteBuilder(root: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var replace = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    replace = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+              overwrite: Boolean): Unit = {
+            val t = LogTable(SparkSession.active, root)
+            if (replace || overwrite) t.overwrite(data) else t.append(data)
+            ()
+          }
+        }
+    }
 }
 
 /** One appended data file = one InputPartition: split planning is

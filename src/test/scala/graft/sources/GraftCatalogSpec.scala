@@ -1,0 +1,122 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+import java.nio.file.Files
+
+/** The catalog plugin ([[GraftCatalog]]): the full SQL lifecycle —
+  * CREATE (with partition transforms) / CTAS / INSERT / INSERT
+  * OVERWRITE / SELECT (with pushdown) / ALTER / RENAME / DROP —
+  * through Spark's OWN parser and planner, no bespoke dialect. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val wh = Files.createTempDirectory("graft_cat_wh_").toString
+    spark.conf.set("spark.sql.catalog.gtest", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtest.warehouse", wh)
+    wh
+  }
+
+  private def scanPartitions(df: DataFrame): Int = {
+    // reach through AQE's wrapper: aggregates plan adaptively
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+      }.flatten
+    scans(df.queryExecution.executedPlan).head.inputPartitions.size
+  }
+
+  test("CREATE TABLE with transforms + INSERT INTO + pruned SELECT, all via Spark SQL") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.logs")
+    spark.sql(
+      """CREATE TABLE gtest.logs.api (ts_us BIGINT, op STRING, dur_ms BIGINT)
+        |PARTITIONED BY (days(ts_us), op)""".stripMargin)
+    // the declared layout landed in the manifest (persisted spec)
+    val t = LogTable(spark, s"$warehouse/logs/api")
+    assert(t.partitionBy === Seq("op"))
+    assert(t.hiddenBy === Seq(Transform.day("ts_us")))
+
+    (0 until 3).foreach { d =>
+      (0 until 20).map(i =>
+          (d * 86400000000L + i, if (i % 2 == 0) "get" else "put", i.toLong))
+        .toDF("ts_us", "op", "dur_ms")
+        .createOrReplaceTempView("api_batch")
+      spark.sql("INSERT INTO gtest.logs.api SELECT * FROM api_batch")
+    }
+    assert(spark.sql("SELECT count(*) FROM gtest.logs.api").as[Long].head() === 60L)
+
+    // the catalog SELECT prunes through day() + the op partition
+    val full = spark.sql("SELECT * FROM gtest.logs.api")
+    val pruned = spark.sql(
+      s"""SELECT sum(dur_ms) AS s FROM gtest.logs.api
+         |WHERE op = 'get' AND ts_us >= ${2 * 86400000000L}""".stripMargin)
+    assert(scanPartitions(pruned) < scanPartitions(full))
+    assert(pruned.as[Long].head() ===
+      (0 until 20).filter(_ % 2 == 0).map(_.toLong).sum)
+  }
+
+  test("INSERT OVERWRITE is an atomic swap; the old snapshot stays time-travelable") {
+    warehouse
+    spark.sql("CREATE TABLE gtest.ow (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gtest.ow VALUES (1, 'a'), (2, 'b')")
+    val t = LogTable(spark, s"$warehouse/ow")
+    val v = t.currentVersion
+    spark.sql("INSERT OVERWRITE gtest.ow VALUES (9, 'z')")
+    assert(spark.sql("SELECT id FROM gtest.ow").as[Long].collect().toSeq === Seq(9L))
+    assert(t.snapshot().operation === "overwrite")
+    assert(t.timeTravel(v).count() === 2L)
+  }
+
+  test("CTAS creates, declares the query schema, and loads the rows") {
+    warehouse
+    spark.sql(
+      "CREATE TABLE gtest.ctas AS SELECT id, id * 2 AS twice FROM range(10)")
+    assert(spark.sql("SELECT sum(twice) FROM gtest.ctas").as[Long].head() === 90L)
+    assert(LogTable(spark, s"$warehouse/ctas").schema.fieldNames.toSeq ===
+      Seq("id", "twice"))
+  }
+
+  test("ALTER TABLE: rename column (old files coalesce), widening retype, drop") {
+    warehouse
+    spark.sql("CREATE TABLE gtest.alt (id BIGINT, v INT, junk STRING)")
+    spark.sql("INSERT INTO gtest.alt VALUES (1, 10, 'x')")
+    spark.sql("ALTER TABLE gtest.alt RENAME COLUMN v TO val")
+    spark.sql("ALTER TABLE gtest.alt ALTER COLUMN val TYPE BIGINT")
+    spark.sql("ALTER TABLE gtest.alt DROP COLUMN junk")
+    spark.sql("INSERT INTO gtest.alt VALUES (2, 20)")
+    val got = spark.sql("SELECT id, val FROM gtest.alt ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("RENAME TABLE, DROP TABLE, SHOW TABLES") {
+    warehouse
+    spark.sql("CREATE TABLE gtest.t1 (id BIGINT)")
+    spark.sql("INSERT INTO gtest.t1 VALUES (5)")
+    spark.sql("ALTER TABLE gtest.t1 RENAME TO t2")
+    assert(spark.sql("SELECT id FROM gtest.t2").as[Long].head() === 5L)
+    val names = spark.sql("SHOW TABLES IN gtest").select("tableName")
+      .as[String].collect().toSet
+    assert(names.contains("t2") && !names.contains("t1"))
+    spark.sql("DROP TABLE gtest.t2")
+    assert(!spark.catalog.tableExists("gtest.t2"))
+  }
+
+  test("catalog writes honor CHECK constraints and reject duplicate creates") {
+    warehouse
+    spark.sql("CREATE TABLE gtest.chk (id BIGINT)")
+    LogTable(spark, s"$warehouse/chk").addCheck("pos", "id > 0")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gtest.chk VALUES (-3)")
+    }
+    assert(spark.sql("SELECT count(*) FROM gtest.chk").as[Long].head() === 0L)
+    intercept[Exception] { spark.sql("CREATE TABLE gtest.chk (id BIGINT)") }
+  }
+}
