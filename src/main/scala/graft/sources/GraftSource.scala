@@ -38,7 +38,10 @@ import scala.jdk.CollectionConverters._
   *     maintenance boundary.
   *   - `spark.read.format("graft").load(root)` — a batch scan of the
   *     current snapshot; `option("versionAsOf", v)` /
-  *     `option("timestampAsOf", epochMs)` time travel.
+  *     `option("timestampAsOf", epochMs)` time travel. MERGE-ON-READ
+  *     snapshots read correctly: each partition carries its
+  *     referencing position-delete files (manifest metadata) and the
+  *     executor skips the marked row indexes ([[GraftMorReaders]]).
   *
   * The executor-side reader is Spark's OWN vectorized parquet reader
   * (`ParquetFileFormat.buildReaderWithPartitionValues`, built once on
@@ -437,9 +440,25 @@ private[sources] final class GraftWriteBuilder(root: String)
 
 /** One appended data file = one InputPartition: split planning is
   * manifest metadata only. `parts` carries the file's hive-partition
-  * values (directory layout, not file data). */
+  * values (directory layout, not file data); `deletes` the snapshot's
+  * position-delete files referencing this data file as (path, bytes)
+  * — also pure manifest metadata ([[DeleteFile.counts]] keys say which
+  * data files a delete file touches without opening it). */
 private[sources] final case class GraftInputPartition(path: String,
-    bytes: Long, parts: Map[String, String]) extends InputPartition
+    bytes: Long, parts: Map[String, String],
+    deletes: Seq[(String, Long)] = Nil) extends InputPartition
+
+/** Executor-side readers for MERGE-ON-READ snapshots, built only when
+  * the planned snapshot carries position deletes: `raw` reads a data
+  * file UNFILTERED — position semantics are "row index within the
+  * file", so parquet row-group pruning under a pushed filter would
+  * silently shift positions and delete the WRONG rows; dirty files
+  * trade row-group skipping for correctness (Spark re-applies every
+  * filter post-scan, and deletes are transient — compact folds them).
+  * `del` reads the (file_path, pos) delete files themselves. */
+private[sources] final case class GraftMorReaders(
+    raw: PartitionedFile => Iterator[InternalRow],
+    del: PartitionedFile => Iterator[InternalRow])
 
 /** Stream offset = manifest version. */
 private[sources] final case class GraftOffset(version: Long) extends Offset {
@@ -507,34 +526,60 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
     pushed: Array[Filter] = Array.empty) extends Batch {
   private val spark = SparkSession.active
   private val phys = GraftSourceUtil.physicalSchema(logical)
+  // resolved ONCE: planInputPartitions and createReaderFactory must see
+  // the SAME snapshot, or a commit racing between the two calls could
+  // plan delete-carrying partitions without their MoR readers
+  private lazy val snap =
+    GraftSourceUtil.snapshotFor(LogTable(spark, root), options)
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val snap = GraftSourceUtil.snapshotFor(LogTable(spark, root), options)
-    // the per-file reader has no anti-join stage, so it cannot apply
-    // merge-on-read position deletes — serving the raw files would
-    // silently resurrect deleted rows. Fail loudly with the remedy.
-    require(snap.deletes.isEmpty,
-      s"snapshot v${snap.version} carries merge-on-read position deletes; " +
-        "the graft batch source cannot apply them — read via LogTable.read() " +
-        "or fold them first (LogTable.compact / CALL compact)")
+  override def planInputPartitions(): Array[InputPartition] =
     GraftPrune.filesFor(snap.files, snap.transforms, pushed.toSeq)
-      .map(f => GraftInputPartition(f.path, f.bytes, f.partitions): InputPartition)
+      .map { f =>
+        // a merge-on-read snapshot ships each file's referencing delete
+        // files with its partition (manifest metadata only): the
+        // executor anti-sets the marked positions away at read time
+        val dels = snap.deletes.filter(_.counts.contains(f.path))
+          .map(d => (d.path, d.bytes))
+        GraftInputPartition(f.path, f.bytes, f.partitions, dels): InputPartition
+      }
       .toArray
-  }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val mor =
+      if (snap.deletes.isEmpty) None
+      else Some(GraftMorReaders(
+        GraftSourceUtil.buildReadFunc(spark, phys),
+        GraftSourceUtil.buildReadFunc(spark, LogTable.DeleteSchema)))
     new GraftReaderFactory(
-      GraftSourceUtil.buildReadFunc(spark, phys, pushed.toSeq), phys, logical)
+      GraftSourceUtil.buildReadFunc(spark, phys, pushed.toSeq), phys, logical,
+      mor)
+  }
 }
 
 /** Executor-side reader: Spark's parquet reader over the physical
   * schema, then one projection to the logical row — hive-partition
   * fields become per-file literals (their values are directory
   * metadata, carried in the manifest), renamed fields coalesce their
-  * historical names, everything else is a bound reference. */
+  * historical names, everything else is a bound reference. Partitions
+  * carrying position-delete references read their delete files first
+  * (small — positions, not data), build the file's deleted-position
+  * set, and skip those row indexes while scanning. */
 private[sources] final class GraftReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
-    phys: StructType, logical: StructType) extends PartitionReaderFactory {
+    phys: StructType, logical: StructType,
+    mor: Option[GraftMorReaders] = None) extends PartitionReaderFactory {
+
+  private def wholeFile(path: String, bytes: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty,
+      SparkPath.fromPathString(path), 0L, bytes, Array.empty, 0L, bytes)
+
+  /** The reader yields ColumnarBatch elements when the vectorized path
+    * engaged (Spark's scan exec does the same duck-typed unwrap). */
+  private def unwrap(it: Iterator[InternalRow]): Iterator[InternalRow] =
+    it.asInstanceOf[Iterator[Any]].flatMap {
+      case b: ColumnarBatch => b.rowIterator().asScala
+      case r: InternalRow => Iterator(r)
+    }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftInputPartition]
@@ -554,14 +599,28 @@ private[sources] final class GraftReaderFactory(
       }
     }
     val proj = UnsafeProjection.create(exprs)
-    val pf = PartitionedFile(InternalRow.empty,
-      SparkPath.fromPathString(gp.path), 0L, gp.bytes, Array.empty, 0L, gp.bytes)
-    // the reader yields ColumnarBatch elements when the vectorized path
-    // engaged (Spark's scan exec does the same duck-typed unwrap)
     val rows: Iterator[InternalRow] =
-      readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
-        case b: ColumnarBatch => b.rowIterator().asScala
-        case r: InternalRow => Iterator(r)
+      if (gp.deletes.isEmpty)
+        unwrap(readFunc(wholeFile(gp.path, gp.bytes)))
+      else {
+        val mr = mor.getOrElse(throw new IllegalStateException(
+          s"partition for ${gp.path} carries position deletes but the " +
+            "factory has no MoR readers — planner/factory snapshot drift"))
+        // the deleted-position set for THIS file, from every delete
+        // file referencing it (a delete file may mark many data files;
+        // rows for other files filter out here)
+        val deleted = new java.util.HashSet[java.lang.Long]()
+        gp.deletes.foreach { case (dp, dbytes) =>
+          unwrap(mr.del(wholeFile(dp, dbytes))).foreach { r =>
+            if (LogTable.localPath(r.getUTF8String(0).toString) == gp.path)
+              deleted.add(r.getLong(1))
+          }
+        }
+        // raw (unfiltered) read: positions are row indexes within the
+        // file, so row-group pruning would shift them
+        var pos = -1L
+        unwrap(mr.raw(wholeFile(gp.path, gp.bytes)))
+          .filter { _ => pos += 1; !deleted.contains(pos) }
       }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
