@@ -250,7 +250,8 @@ private[sources] final class GraftTable(root: String, schema0: StructType,
   }
 }
 
-/** Column pruning + filter pushdown for the graft scan.
+/** Column pruning + filter pushdown + metadata-aggregate pushdown for
+  * the graft scan.
   *
   * `pruneColumns` narrows BOTH the logical output row and the physical
   * parquet read schema (a 2-column projection over a 40-column table
@@ -260,16 +261,30 @@ private[sources] final class GraftTable(root: String, schema0: StructType,
   * the conjunction for MANIFEST-LEVEL file skipping ([[GraftPrune]]:
   * column min/max stats, hive partition values, hidden-transform
   * derivation — the same arithmetic as LogTable.readRange/readPoint)
-  * and hands it to Spark's parquet reader for row-group pruning. */
+  * and hands it to Spark's parquet reader for row-group pruning.
+  *
+  * `pushAggregation` answers whole-table `COUNT(*)` / `MIN` / `MAX`
+  * from MANIFEST ARITHMETIC alone ([[LogTable.countMeta]] semantics
+  * through Spark's own pushdown seam): `SELECT COUNT(*) FROM t` — the
+  * reference catalog's first query (reference README.md:128) — plans
+  * as a one-row metadata scan, zero data files opened, at any scale.
+  * Pushdown is all-or-nothing and EXACT-OR-REFUSE: count subtracts
+  * live MoR delete marks; min/max answer only when every data file
+  * carries footer stats for the column and no position delete is
+  * outstanding ([[LogTable.minMaxMeta]]'s contract). Anything else —
+  * filters, GROUP BY, other aggregates, non-INT64 columns — degrades
+  * to the normal scan, never to a wrong answer. */
 private[sources] final class GraftScanBuilder(root: String,
     fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   // map required names back to the table's own StructFields: the field
   // id / prev-name metadata MUST survive pruning or renamed columns
   // would lose their historical physical names in the scan
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var metaAgg: Option[(StructType, Array[Long])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val byName = fullSchema.fields.map(f => f.name.toLowerCase -> f).toMap
@@ -281,7 +296,91 @@ private[sources] final class GraftScanBuilder(root: String,
     filters // never exact: Spark re-applies everything post-scan
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new GraftScan(root, required, options, pushed)
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = tryMetaAgg(agg)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = tryMetaAgg(agg)
+
+  private def tryMetaAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference}
+    import org.apache.spark.sql.types.LongType
+    if (metaAgg.nonEmpty) return true // complete + push both ask; resolve once
+    // residual filters would re-filter the already-aggregated row;
+    // group-by needs per-group metadata the manifest doesn't keep
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    val t = LogTable(SparkSession.active, root)
+    val snap = GraftSourceUtil.snapshotFor(t, options)
+    // a LONG column of the table, in the schema's own spelling (the
+    // manifest's stats keys) — stats exist for INT64 columns only
+    def longCol(e: V2Expr): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        fullSchema.fields.find(f => f.name.equalsIgnoreCase(r.fieldNames()(0))
+          && f.dataType == LongType).map(_.name)
+      case _ => None
+    }
+    val resolved = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          snap.liveRows))
+      case m: Min => longCol(m.column).flatMap(c =>
+        t.minMaxMeta(c, snap.version).map { case (mn, _) =>
+          (StructField(s"min_$c", LongType, nullable = true), mn) })
+      case m: Max => longCol(m.column).flatMap(c =>
+        t.minMaxMeta(c, snap.version).map { case (_, mx) =>
+          (StructField(s"max_$c", LongType, nullable = true), mx) })
+      case _ => None
+    }
+    // all-or-nothing: one unanswerable aggregate degrades the WHOLE
+    // query to the normal scan (a half-pushed row would be wrong)
+    if (resolved.exists(_.isEmpty) || resolved.isEmpty) return false
+    val (fields, values) = resolved.flatten.unzip
+    metaAgg = Some((StructType(fields), values.toArray))
+    true
+  }
+
+  override def build(): Scan = metaAgg match {
+    case Some((schema, values)) => new GraftMetaAggScan(root, schema, values)
+    case None => new GraftScan(root, required, options, pushed)
+  }
+}
+
+/** A pushed metadata aggregate as a one-row scan: the values were
+  * already resolved from manifest arithmetic on the driver — the
+  * "scan" ships them as a single InternalRow. Zero data I/O. */
+private[sources] final class GraftMetaAggScan(root: String,
+    schema: StructType, values: Array[Long]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"graft $root metadata-aggregate [${schema.fieldNames.mkString(", ")}]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftMetaAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftMetaAggReaderFactory
+}
+
+private[sources] final case class GraftMetaAggPartition(values: Array[Long])
+    extends InputPartition
+
+private[sources] final class GraftMetaAggReaderFactory
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val vs = p.asInstanceOf[GraftMetaAggPartition].values
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          vs.map(v => v: Any))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] final class GraftScan(root: String, schema: StructType,

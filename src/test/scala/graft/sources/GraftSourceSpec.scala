@@ -307,6 +307,54 @@ class GraftSourceSpec extends SparkSpec {
     assert(got === Seq(("a", 2L), ("b", 1L)))
   }
 
+  /** The single graft scan of a plan — read off the OPTIMIZED logical
+    * plan (pushdown happens there; AQE hides BatchScanExec from a
+    * physical collect on aggregate queries). */
+  private def graftScanOf(df: DataFrame): org.apache.spark.sql.connector.read.Scan = {
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }
+    assert(scans.size === 1, "expected exactly one graft scan")
+    scans.head
+  }
+
+  test("pushdown: COUNT(*)/MIN/MAX answer from manifest metadata — zero data files opened") {
+    import spark.implicits._
+    val root = tmp("gsrc-agg")
+    val t = LogTable(spark, root)
+    t.append((1L to 100L).map(i => (i, s"s$i")).toDF("id", "s"))
+    t.append((101L to 200L).map(i => (i, s"s$i")).toDF("id", "s"))
+    val df = spark.read.format("graft").load(root)
+      .agg(count(lit(1)).as("n"), min($"id").as("lo"), max($"id").as("hi"))
+    assert(graftScanOf(df).description().contains("metadata-aggregate"),
+      "whole-table count/min/max must plan as the metadata scan")
+    assert(df.head().toSeq === Seq(200L, 1L, 200L))
+
+    // a residual filter degrades to the normal scan and stays correct
+    val filtered = spark.read.format("graft").load(root)
+      .where($"id" > 150L).agg(count(lit(1)).as("n"))
+    assert(!graftScanOf(filtered).description().contains("metadata-aggregate"))
+    assert(filtered.head().getLong(0) === 50L)
+
+    // min/max of a non-stats column (string) refuses — normal scan
+    val str = spark.read.format("graft").load(root).agg(max($"s").as("m"))
+    assert(!graftScanOf(str).description().contains("metadata-aggregate"))
+    assert(str.head().getString(0) === "s99")
+
+    // MoR delete: count stays pushable (manifest arithmetic subtracts
+    // live marks exactly); min/max refuse (a marked row could be the
+    // extremum) and fall back to the delete-aware scan
+    t.deleteMor($"id" === 1L)
+    val post = spark.read.format("graft").load(root)
+    val cnt = post.agg(count(lit(1)).as("n"))
+    assert(graftScanOf(cnt).description().contains("metadata-aggregate"))
+    assert(cnt.head().getLong(0) === 199L)
+    val mm = post.agg(min($"id").as("lo"))
+    assert(!graftScanOf(mm).description().contains("metadata-aggregate"))
+    assert(mm.head().getLong(0) === 2L)
+  }
+
   test("batch read: merge-on-read position deletes are applied, filters stay exact") {
     import spark.implicits._
     val root = tmp("gsrc-mor")
