@@ -92,6 +92,45 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(root.toString, schema, writable = true)
   }
 
+  /** SQL time travel, through Spark's own `FOR VERSION AS OF` /
+    * `FOR TIMESTAMP AS OF` clauses: the returned handle is pinned to
+    * ONE snapshot (batch-read only, writes refused) and carries that
+    * snapshot's OWN schema — a pre-evolution version reads with its
+    * historical columns. `version` accepts a snapshot number or a
+    * named ref (Iceberg tag): `VERSION AS OF 'prod'`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = tableDir(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val t = LogTable(spark, root.toString)
+    val v = version.toLongOption.getOrElse(t.refVersion(version))
+    require(t.versions.contains(v),
+      s"table ${ident.name} has no snapshot v$v (versions: ${t.versions.mkString(", ")})")
+    pinned(root.toString, t, v)
+  }
+
+  /** `timestamp` arrives in MICROseconds (Spark's contract for this
+    * overload); resolves to the latest snapshot committed at or before
+    * it — [[LogTable.timeTravelAsOf]] semantics. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = tableDir(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val t = LogTable(spark, root.toString)
+    val tsMs = timestamp / 1000L
+    val vs = t.versions.filter(v => v > 0L && t.snapshot(v).timestampMs <= tsMs)
+    require(vs.nonEmpty,
+      s"table ${ident.name} has no snapshot committed at or before " +
+        s"epoch-ms $tsMs")
+    pinned(root.toString, t, vs.max)
+  }
+
+  private def pinned(root: String, t: LogTable, v: Long): Table = {
+    val snap = t.snapshot(v)
+    val schema =
+      if (snap.schemaJson.nonEmpty) LogTable.parseSchema(snap.schemaJson)
+      else new StructType()
+    new GraftTable(root, schema, writable = false, pinnedVersion = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[STransform],
       properties: util.Map[String, String]): Table = {

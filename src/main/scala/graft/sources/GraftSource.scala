@@ -223,15 +223,27 @@ private[sources] object GraftSourceUtil {
   * machinery via the V1Write bridge. Path-based tables stay
   * read-only here — their writes route through the provider's
   * CreatableRelationProvider, which also handles fresh-table creation
-  * and all four SaveModes. */
+  * and all four SaveModes.
+  *
+  * `pinnedVersion` (catalog time travel — `VERSION AS OF` /
+  * `TIMESTAMP AS OF` resolve to it) pins every scan of this handle to
+  * one snapshot: batch-read only, writes refused (writing "into the
+  * past" is Iceberg's rollback, a different operation), and the
+  * handle's schema is the SNAPSHOT's schema — a query over a
+  * pre-evolution version sees that version's columns. */
 private[sources] final class GraftTable(root: String, schema0: StructType,
-    writable: Boolean = false)
+    writable: Boolean = false, pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = s"graft.`$root`"
+  override def name(): String = pinnedVersion match {
+    case Some(v) => s"graft.`$root`@v$v"
+    case None => s"graft.`$root`"
+  }
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    if (writable)
+    if (pinnedVersion.nonEmpty)
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    else if (writable)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
         TableCapability.TRUNCATE)
@@ -240,13 +252,24 @@ private[sources] final class GraftTable(root: String, schema0: StructType,
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot write to $name — it is a time-travel handle pinned to a " +
+        "snapshot (to restore an old snapshot, CALL rollback)")
     new GraftWriteBuilder(root)
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(schema0.nonEmpty,
       s"LogTable at $root has no manifest-recorded schema — nothing has " +
         "been committed there yet (wrong path? pre-schema legacy table?)")
-    new GraftScanBuilder(root, schema0, options)
+    val opts = pinnedVersion match {
+      case Some(v) =>
+        val m = new util.HashMap[String, String](options)
+        m.put("versionAsOf", v.toString)
+        new CaseInsensitiveStringMap(m)
+      case None => options
+    }
+    new GraftScanBuilder(root, schema0, opts)
   }
 }
 

@@ -109,6 +109,36 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("gtest.t2"))
   }
 
+  test("VERSION AS OF (number + named ref) and TIMESTAMP AS OF travel through catalog SQL") {
+    warehouse
+    spark.sql("CREATE TABLE gtest.tt (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gtest.tt VALUES (1, 'a'), (2, 'b')")
+    val t = LogTable(spark, s"$warehouse/tt")
+    val v = t.currentVersion
+    t.createRef("first", v)
+    Thread.sleep(10) // commit timestamps are ms — keep v and v+1 distinct
+    spark.sql("INSERT INTO gtest.tt VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM gtest.tt").as[Long].head() === 3L)
+    assert(spark.sql(s"SELECT count(*) FROM gtest.tt VERSION AS OF $v")
+      .as[Long].head() === 2L)
+    // a named ref (Iceberg tag) resolves as a version string
+    assert(spark.sql("SELECT count(*) FROM gtest.tt VERSION AS OF 'first'")
+      .as[Long].head() === 2L)
+    // timestamp travel: latest snapshot at or before the instant
+    val tsMs = t.snapshot(v).timestampMs
+    assert(spark.sql(
+        s"SELECT count(*) FROM gtest.tt TIMESTAMP AS OF timestamp_millis($tsMs)")
+      .as[Long].head() === 2L)
+    // the pinned handle carries the SNAPSHOT's schema: after a rename,
+    // the old version still reads under its historical column name
+    spark.sql("ALTER TABLE gtest.tt RENAME COLUMN s TO label")
+    assert(spark.sql("SELECT label FROM gtest.tt").count() === 3L)
+    assert(spark.sql(s"SELECT s FROM gtest.tt VERSION AS OF $v").count() === 2L)
+    intercept[Exception] {
+      spark.sql(s"SELECT label FROM gtest.tt VERSION AS OF $v").collect()
+    }
+  }
+
   test("catalog writes honor CHECK constraints and reject duplicate creates") {
     warehouse
     spark.sql("CREATE TABLE gtest.chk (id BIGINT)")
