@@ -579,10 +579,24 @@ object GraftSql {
             t.snapshot()
           case "create_branch" => { t.createBranch(args(1)); t.snapshot() }
           case "fast_forward" => t.fastForward(args(1))
+          // partition-spec evolution: CALL evolve_spec(t, 'day(ts_us),
+          // kind') — same spec grammar as CREATE TABLE PARTITIONED BY;
+          // empty spec un-partitions. Old files keep their layout
+          // (conservatively scanned); the registry takes the fresh
+          // handle so later statements write the NEW layout.
+          case "evolve_spec" =>
+            val (pc, tf) =
+              if (args.length > 1 && args(1).trim.nonEmpty)
+                parsePartitionSpecs(args(1))
+              else (Nil, Nil)
+            val evolved = t.evolveSpec(pc, tf)
+            register(args.head, evolved)
+            evolved.snapshot()
           case other => throw new IllegalArgumentException(
             s"unknown procedure '$other' (supported: compact, expire, " +
               "expire_older_than, rollback, remove_orphans, delete_mor, " +
-              "recluster, create_ref, create_branch, fast_forward)")
+              "recluster, create_ref, create_branch, fast_forward, " +
+              "evolve_spec)")
         }
         summarize(spark, args.head, snap)
       case _ => throw new IllegalArgumentException(

@@ -390,6 +390,18 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * single-partition read. */
   def readWhere(pred: Map[String, String] => Boolean): DataFrame = {
     val snap = snapshot()
+    // spec evolution makes file-level partition selection unsound for
+    // files that predate the current spec: their partition map lacks
+    // the current keys, so the caller's pred can neither select nor
+    // exclude them correctly. Fail loudly with the remedies instead of
+    // silently dropping pre-evolution rows.
+    val stale = snap.partCols.filter(c =>
+      snap.files.exists(f => !f.partitions.contains(c)))
+    require(stale.isEmpty,
+      s"readWhere: data file(s) predate the current partition spec and " +
+        s"carry no value for [${stale.mkString(", ")}] — use " +
+        "read().filter / readRange (row-exact), or migrate the layout " +
+        "with compact(smallBytes = Long.MaxValue)")
     val keep = snap.files.filter(f => pred(f.partitions))
     if (keep.isEmpty) emptyLike() else readLive(snap, keep)
   }
@@ -560,8 +572,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
           val parentPaths = snapshot(snap.parent).files.map(_.path).toSet
           snap.files.filterNot(f => parentPaths.contains(f.path))
         // row-preserving commits: rewrites carry only already-delivered
-        // rows; schema evolution and checks are metadata-only
-        case "compact" | "recluster" | "set-check" | "evolve-schema" => Nil
+        // rows; schema/spec evolution and checks are metadata-only
+        case "compact" | "recluster" | "set-check" | "evolve-schema" |
+             "evolve-spec" => Nil
         case other => throw new IllegalStateException(
           s"cannot read v$v as appends: operation '$other' changes rows; " +
             "consume the changelog up to the maintenance boundary first")
@@ -582,6 +595,25 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * position deletes, and the file-discovery tag of the COW paths). */
   private def readFiles(files: Seq[DataFile], schemaJson: String = "",
       withPos: Boolean = false): DataFrame = {
+    // PARTITION-SPEC EVOLUTION: files written under different specs
+    // have different directory shapes (a file from before `evolveSpec`
+    // may sit at data/ while newer ones sit under k=v/ dirs) — Spark's
+    // partition discovery rejects mixed depths ("conflicting directory
+    // structures"). Scan each layout group separately (groups share a
+    // directory shape by construction) and union; single-spec tables
+    // take zero extra work (one group = the plain path below).
+    val layouts = files.groupBy(_.partitions.keySet)
+    if (layouts.size > 1)
+      return layouts.values.toSeq.sortBy(_.head.path)
+        .map(g => readFilesUniform(g, schemaJson, withPos))
+        // schema'd groups project identical columns; the legacy
+        // footer-merge path may not — null-fill rather than fail
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    readFilesUniform(files, schemaJson, withPos)
+  }
+
+  private def readFilesUniform(files: Seq[DataFile], schemaJson: String,
+      withPos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col}
     def posCols: Seq[org.apache.spark.sql.Column] =
       if (!withPos) Nil
@@ -946,6 +978,48 @@ final class LogTable private (val spark: SparkSession, val root: String,
       org.apache.spark.sql.types.StructType(
         schema.updated(idx, f.copy(dataType = to))).json
     })(prev => prev.files)
+  }
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's signature table-layout
+    * feature): change how FUTURE files are laid out — identity hive
+    * columns and/or hidden transforms — without rewriting a single
+    * existing file. METADATA-ONLY commit; data files keep the
+    * directory keys they were written under, and every pruning path
+    * treats a file missing the current spec's keys conservatively
+    * (scan, never mis-skip). Rewrite paths (compact / recluster / COW)
+    * re-derive layout from the CURRENT spec, so maintenance gradually
+    * migrates old files into the new layout; `compact(smallBytes =
+    * Long.MaxValue)` force-migrates everything.
+    *
+    * Returns a FRESH handle carrying the new spec — the receiving
+    * handle still writes the old layout and its next commit fails
+    * loudly against the evolved manifest (stale-spec guard in
+    * commit()). Evolving to an EMPTY spec un-partitions the table;
+    * note that a stale spec-ful handle cannot be distinguished from a
+    * legitimate first spec declaration afterwards, so prefer keeping
+    * at least one axis. */
+  def evolveSpec(partitionBy: Seq[String] = Nil,
+      hiddenBy: Seq[Transform] = Nil): LogTable = {
+    val snap = snapshot()
+    val schema = if (snap.schemaJson.nonEmpty) Some(schemaOf(snap)) else None
+    schema.foreach { s =>
+      partitionBy.foreach(p => require(s.fieldNames.exists(_.equalsIgnoreCase(p)),
+        s"partition column '$p' is not a table column"))
+      hiddenBy.foreach { t =>
+        val f = s.fields.find(_.name.equalsIgnoreCase(t.source))
+        require(f.nonEmpty,
+          s"hidden-transform source column '${t.source}' is not a table column")
+        require(f.get.dataType == org.apache.spark.sql.types.LongType,
+          s"hidden transform ${t.kind}(${t.source}) needs a LongType source, " +
+            s"got ${f.get.dataType}")
+      }
+    }
+    require(partitionBy.distinct == partitionBy &&
+        hiddenBy.map(_.colName).distinct == hiddenBy.map(_.colName),
+      "duplicate partition column / transform in the new spec")
+    commit("evolve-spec",
+      nextSpec = Some((partitionBy, hiddenBy)))(prev => prev.files)
+    new LogTable(spark, root, partitionBy, logSubdir, hiddenBy)
   }
 
   /** Cast incoming columns whose type safely WIDENS to the table's
@@ -1948,7 +2022,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       nextSchema: Snapshot => String = _.schemaJson,
       nextChecks: Snapshot => Map[String, String] = _.checks,
       nextRetired: Snapshot => Seq[String] = _.retired,
-      nextDeletes: Snapshot => Seq[DeleteFile] = _.deletes)(
+      nextDeletes: Snapshot => Seq[DeleteFile] = _.deletes,
+      nextSpec: Option[(Seq[String], Seq[Transform])] = None)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
@@ -1966,10 +2041,23 @@ final class LogTable private (val spark: SparkSession, val root: String,
       // it in the manifest; a spec-less handle (readers, maintenance jobs
       // opened via LogTable(spark, root)) carries the recorded one
       // forward, so the spec survives handle/session boundaries and a
-      // later writer reconstructs the declared layout (apply() adopts it)
-      val (pc, tf) =
-        if (partitionBy.nonEmpty || hiddenBy.nonEmpty) (partitionBy, hiddenBy)
-        else (prev.partCols, prev.transforms)
+      // later writer reconstructs the declared layout (apply() adopts it).
+      // A handle that declares a spec DIFFERENT from the recorded one is
+      // stale — the spec evolved since it opened ([[evolveSpec]]); its
+      // files are laid out under the old spec, so committing them would
+      // silently revert the evolution AND mislabel the layout. Loud.
+      val (pc, tf) = nextSpec.getOrElse {
+        if (partitionBy.nonEmpty || hiddenBy.nonEmpty) {
+          require((prev.partCols.isEmpty && prev.transforms.isEmpty) ||
+              (prev.partCols == partitionBy && prev.transforms == hiddenBy),
+            s"this handle's partition spec (partitionBy=${partitionBy
+              .mkString(",")}; hiddenBy=${hiddenBy.mkString(",")}) no longer " +
+              s"matches the table's recorded spec (partitionBy=${prev.partCols
+                .mkString(",")}; hiddenBy=${prev.transforms.mkString(",")}) — " +
+              "the spec evolved since this handle opened; reopen the table")
+          (partitionBy, hiddenBy)
+        } else (prev.partCols, prev.transforms)
+      }
       val next = Snapshot(prev.version + 1, prev.version, operation,
         System.currentTimeMillis(), files, tag, nextSchema(prev),
         nextChecks(prev), nextRetired(prev), dels, pc, tf)

@@ -168,6 +168,32 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(t.refVersion("keeper") === t.currentVersion)
   }
 
+  test("GraftSql CALL evolve_spec changes the layout for future writes only") {
+    import spark.implicits._
+    import graft.sources.{GraftSql, LogTable => LT, Transform}
+    val t = LT(spark, Files.createTempDirectory("gsql_evo_").toString)
+    GraftSql.register("gsql_e", t)
+    GraftSql.exec(spark,
+      "INSERT INTO gsql_e (ts_us, op) VALUES (1704067200000000, 'get'), (1704067200000001, 'put')")
+    GraftSql.exec(spark, "CALL evolve_spec(gsql_e, 'day(ts_us), op')")
+    // later statements go through the evolved handle: new files carry
+    // the new layout keys, old files stay as written
+    GraftSql.exec(spark,
+      "INSERT INTO gsql_e (ts_us, op) VALUES (1704153600000000, 'get')")
+    val re = LT(spark, t.root)
+    assert(re.partitionBy === Seq("op"))
+    assert(re.hiddenBy === Seq(Transform.day("ts_us")))
+    val (old, fresh) = re.snapshot().files.partition(_.partitions.isEmpty)
+    assert(old.nonEmpty && fresh.nonEmpty)
+    assert(fresh.forall(_.partitions.contains("op")))
+    assert(spark.sql("SELECT count(*) FROM gsql_e").head().getLong(0) === 3L)
+    // the INSERT was written under a schema where ts_us/op were plain
+    // columns — the mixed read still answers exactly
+    assert(GraftSql.exec(spark,
+        "SELECT op, count(*) AS n FROM gsql_e GROUP BY op ORDER BY op")
+      .as[(String, Long)].collect().toSeq === Seq(("get", 2L), ("put", 1L)))
+  }
+
   test("GraftSql ALTER TABLE renames and drops columns through the manifest") {
     import spark.implicits._
     import graft.sources.GraftSql

@@ -147,18 +147,20 @@ class MorDeleteSpec extends SparkSpec {
     assert(t.minMaxMeta("id") === Some((1L, 76L)))
   }
 
-  test("readAppends and the streaming/batch sources fail loudly at a mor-delete boundary") {
+  test("readAppends fails loudly at a mor-delete boundary; the batch source applies the marks") {
     val t = freshTable()
     t.append(df(0 until 10))
     t.deleteMor(col("id") < 3)
+    // the append changelog cannot represent a row-changing commit
     val e = intercept[IllegalStateException](t.readAppends(1L))
     assert(e.getMessage.contains("mor-delete"))
-    // DSv2 batch scan cannot apply position deletes — loud, with remedy
-    val b = intercept[Exception] {
-      spark.read.format("graft").load(t.root).count()
-    }
-    assert(b.getMessage.contains("position deletes"))
-    // after compaction folds the debt, the batch source works again
+    // the DSv2 batch scan applies position deletes executor-side —
+    // same rows as the delete-aware API read, before any compaction
+    assert(spark.read.format("graft").load(t.root)
+      .orderBy("id").collect().map(_.toSeq).toSeq ===
+      t.read().orderBy("id").collect().map(_.toSeq).toSeq)
+    assert(spark.read.format("graft").load(t.root).count() === 7L)
+    // after compaction folds the debt the answer is unchanged
     t.compact()
     assert(spark.read.format("graft").load(t.root).count() === 7L)
   }
