@@ -406,15 +406,43 @@ private[sources] final class GraftMetaAggReaderFactory
   }
 }
 
+/** RUNTIME FILTERING (Spark's dynamic partition pruning, v2 seam):
+  * the scan reports which columns manifest pruning gets leverage from
+  * — identity partition columns, hidden-transform sources, columns
+  * with recorded file stats — and Spark injects the build side of a
+  * broadcast join as an IN filter at execution time. `filter()`
+  * re-prunes the file list with it, so a star join `fact ⋈ dim WHERE
+  * dim.selective` scans only the fact files whose manifest metadata
+  * can match the dim keys that survived — at 100 TB this is the
+  * difference between scanning one partition and scanning the table,
+  * decided at runtime with zero user hints. */
 private[sources] final class GraftScan(root: String, schema: StructType,
-    options: CaseInsensitiveStringMap, pushed: Array[Filter]) extends Scan {
+    options: CaseInsensitiveStringMap, pushed: Array[Filter]) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  @volatile private var runtime: Array[Filter] = Array.empty
+
   override def readSchema(): StructType = schema
   override def description(): String =
     s"graft $root, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${schema.catalogString}"
-  override def toBatch: Batch = new GraftBatch(root, schema, options, pushed)
+  override def toBatch: Batch =
+    new GraftBatch(root, schema, options, pushed ++ runtime)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(root, schema, options, pushed)
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val snap = GraftSourceUtil.snapshotFor(
+      LogTable(SparkSession.active, root), options)
+    val leveraged = (snap.partCols ++ snap.transforms.map(_.source) ++
+      snap.files.flatMap(f => f.ranges.keys ++ f.strRanges.keys)).distinct
+    leveraged
+      .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(GraftPrune.usable)
 }
 
 /** Conservative manifest-metadata file skipping: a file is dropped

@@ -355,6 +355,50 @@ class GraftSourceSpec extends SparkSpec {
     assert(mm.head().getLong(0) === 2L)
   }
 
+  test("runtime filtering: a broadcast join's build side prunes fact files at execution") {
+    import spark.implicits._
+    val root = tmp("gsrc-dpp")
+    val t = LogTable(spark, root, partitionBy = Seq("kind"))
+    (0 until 2).foreach { b =>
+      t.append(Seq("a", "b", "c", "d")
+        .flatMap(k => (0 until 10).map(i => (b * 1000L + i, k)))
+        .toDF("id", "kind").coalesce(1))
+    }
+    val totalFiles = t.snapshot().files.size
+    assert(totalFiles === 8) // 4 kind dirs × 2 appends
+
+    val fact = spark.read.format("graft").load(root)
+    // DPP wants a SELECTIVE predicate on the build side — the classic
+    // star-join shape: a STORED dim (a local Seq constant-folds to a
+    // LocalRelation and the rule sees no filter), filtered at query time
+    val dimPath = tmp("gsrc-dpp-dim")
+    Seq(("a", "keep"), ("b", "drop"), ("c", "drop"), ("d", "drop"))
+      .toDF("kind", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where($"tag" === "keep")
+    val joined = fact.join(broadcast(dim), "kind")
+    // execute THIS dataset's own plan (count() would build a separate
+    // query execution, leaving this one's DPP subquery resultless)
+    assert(joined.collect().length === 20)
+
+    // the executed plan carries a runtime (dynamic-pruning) filter on
+    // the graft scan, and the scan ran over a PRUNED file subset
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+      }.flatten
+    val done = joined.queryExecution.executedPlan
+    val scan = scans(done).head
+    assert(scan.runtimeFilters.nonEmpty, "expected a dynamic pruning filter")
+    assert(scan.inputRDD.getNumPartitions < totalFiles,
+      s"expected runtime-pruned scan, got ${scan.inputRDD.getNumPartitions} partitions")
+  }
+
   test("batch read: merge-on-read position deletes are applied, filters stay exact") {
     import spark.implicits._
     val root = tmp("gsrc-mor")
