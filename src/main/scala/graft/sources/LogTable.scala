@@ -851,7 +851,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // footer I/O; fails loudly HERE instead of at some later read
     val snapNow = snapshot()
     val mergedNow = mergedSchemaWith(snapNow, df.schema)
-    val newFiles = writeDataFiles(conformTypes(df, mergedNow))
+    val newFiles = writeDataFiles(conformTypes(df, mergedNow),
+      distribute = true)
     // checks validate the rows as WRITTEN (delete-on-violation) —
     // the files are still invisible to every reader
     enforceChecksOnWritten(newFiles, snapNow.checks, "the appended batch",
@@ -887,7 +888,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     if (tag.nonEmpty && hasTag(tag)) return snapshot()
     val snapNow = snapshot()
     val mergedNow = mergedSchemaWith(snapNow, df.schema)
-    val newFiles = writeDataFiles(conformTypes(df, mergedNow))
+    val newFiles = writeDataFiles(conformTypes(df, mergedNow),
+      distribute = true)
     enforceChecksOnWritten(newFiles, snapNow.checks, "the overwrite batch",
       mergedNow.json)
     var validatedChecks = snapNow.checks.keySet
@@ -1966,7 +1968,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * until a manifest referencing them is committed. On partitioned
     * tables the hive-style `k=v` layout is preserved under data/ and
     * each file's partition values are captured for manifest pruning. */
-  private def writeDataFiles(df: DataFrame): Seq[DataFile] = {
+  private def writeDataFiles(df: DataFrame,
+      distribute: Boolean = false): Seq[DataFile] = {
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
     // hidden transforms: derive the layout keys from row data — every
     // write path (append, compact, recluster, COW rewrites) re-derives
@@ -1985,14 +1988,26 @@ final class LogTable private (val spark: SparkSession, val root: String,
       .foldLeft(df)((d, t) => d.withColumn(t.colName, t.column))
     val partCols = partitionBy ++
       hiddenBy.filter(t => laid.columns.contains(t.colName)).map(_.colName)
-    val w = laid.write
+    // CLUSTERED INGEST (Iceberg's hash write-distribution mode), opted
+    // into by append/overwrite: without it, EVERY input task opens a
+    // writer for EVERY partition tuple it holds — tasks × tuples tiny
+    // files, and a single-task source writes hundreds of directories
+    // sequentially. One hash shuffle on the layout key bounds it at
+    // one file per tuple, written in parallel across the cluster.
+    // Rewrite paths keep their own deliberate arrangements (compact's
+    // bin coalesce, recluster's range+sort).
+    val arranged =
+      if (distribute && partCols.nonEmpty)
+        laid.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      else laid
+    val w = arranged.write
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(stage.toString)
     val walk1 = Files.walk(stage)
     val parts = try walk1.iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
       finally walk1.close()
-    val moved = parts.map { p =>
+    val placed = parts.map { p =>
       val rel = stage.relativize(p.getParent) // "" or k=v[/k2=v2...]
       val partVals = rel.toString.split("/").toSeq.filter(_.contains("="))
         .map { seg =>
@@ -2006,8 +2021,22 @@ final class LogTable private (val spark: SparkSession, val root: String,
       Files.createDirectories(destDir)
       val dest = destDir.resolve(s"${UUID.randomUUID()}.parquet")
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      val (rows, ranges, strRanges) = parquetFooterMeta(dest)
-      DataFile(dest.toString, rows, Files.size(dest), partVals, ranges, strRanges)
+      (dest, partVals)
+    }
+    // footer stats in parallel: each is an independent ~KB footer read,
+    // and a partitioned append lands O(partition tuples) files — read
+    // sequentially this is the commit's dominant driver-side cost
+    val moved = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.traverse(placed) { case (dest, partVals) =>
+        Future {
+          val (rows, ranges, strRanges) = parquetFooterMeta(dest)
+          DataFile(dest.toString, rows, Files.size(dest), partVals,
+            ranges, strRanges)
+        }
+      }, Duration.Inf)
     }
     // best-effort cleanup of the staging dir (_SUCCESS, .crc files)
     LogTable.deleteRecursively(stage)
