@@ -240,6 +240,23 @@ private[sources] final class GraftTable(root: String, schema0: StructType,
     case None => s"graft.`$root`"
   }
   override def schema(): StructType = schema0
+  /** The recorded partition spec, surfaced through Spark's own
+    * metadata commands (`DESCRIBE TABLE` shows the layout a user's
+    * filters should target). */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val t = LogTable(SparkSession.active, root)
+    (t.partitionBy.map(Expressions.identity) ++ t.hiddenBy.map { tr =>
+      tr.kind match {
+        case "day" => Expressions.days(tr.source)
+        case "hour" => Expressions.hours(tr.source)
+        case "bucket" => Expressions.bucket(tr.n.toInt, tr.source)
+        case "truncate" => Expressions.apply("truncate",
+          Expressions.literal(tr.n), Expressions.column(tr.source))
+      }
+    }).toArray
+  }
   override def capabilities(): util.Set[TableCapability] =
     if (pinnedVersion.nonEmpty)
       util.EnumSet.of(TableCapability.BATCH_READ)
@@ -418,13 +435,34 @@ private[sources] final class GraftMetaAggReaderFactory
   * decided at runtime with zero user hints. */
 private[sources] final class GraftScan(root: String, schema: StructType,
     options: CaseInsensitiveStringMap, pushed: Array[Filter]) extends Scan
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   @volatile private var runtime: Array[Filter] = Array.empty
 
   override def readSchema(): StructType = schema
   override def description(): String =
     s"graft $root, PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${schema.catalogString}"
+
+  /** Manifest-accurate scan statistics, AFTER file pruning with the
+    * pushed filters: Spark's planner sees the bytes/rows the scan will
+    * actually read, so a filtered fact slice broadcasts when it truly
+    * fits — at 100 TB the difference between a broadcast and a
+    * sort-merge join is decided by THESE numbers, and a manifest
+    * answers them without opening a file. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val snap = GraftSourceUtil.snapshotFor(
+      LogTable(SparkSession.active, root), options)
+    val kept = GraftPrune.filesFor(snap.files, snap.transforms,
+      (pushed ++ runtime).toSeq)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(kept.map(_.bytes).sum)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(kept.map(_.rows).sum)
+    }
+  }
   override def toBatch: Batch =
     new GraftBatch(root, schema, options, pushed ++ runtime)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

@@ -572,6 +572,13 @@ object GraftSql {
           // the bulk-delete default; this is the frequent-small-delete
           // path, folded later by CALL compact)
           case "delete_mor" => t.deleteMor(expr(args(1)))
+          // merge-on-read upsert: CALL merge_mor(t, <key>, '<source
+          // query>') — position-marks matched rows + appends the batch
+          // (plain MERGE stays COW; this is the frequent-small-upsert
+          // path, folded later by CALL compact)
+          case "merge_mor" =>
+            refreshViews()
+            t.mergeMor(spark.sql(args(2)), args(1))
           case "recluster" => t.recluster(args(1), args(2).toInt)
           case "create_ref" =>
             t.createRef(args(1),
@@ -595,8 +602,8 @@ object GraftSql {
           case other => throw new IllegalArgumentException(
             s"unknown procedure '$other' (supported: compact, expire, " +
               "expire_older_than, rollback, remove_orphans, delete_mor, " +
-              "recluster, create_ref, create_branch, fast_forward, " +
-              "evolve_spec)")
+              "merge_mor, recluster, create_ref, create_branch, " +
+              "fast_forward, evolve_spec)")
         }
         summarize(spark, args.head, snap)
       case _ => throw new IllegalArgumentException(

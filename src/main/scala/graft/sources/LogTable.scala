@@ -1399,6 +1399,82 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** MERGE-ON-READ upsert (Iceberg v2's merge-on-read MERGE mode):
+    * matched target rows are marked in a POSITION-DELETE file and the
+    * whole source batch is appended — no data file is rewritten. Cost
+    * is O(matched rows + source rows) instead of COW's O(bytes of
+    * every file holding a match): the right shape for frequent small
+    * upserts into large files; [[compact]] folds the accumulated
+    * marks. Conditional clause surfaces stay on the COW [[merge]];
+    * mergeMor is the hot-path whole-row upsert. Source keys must be
+    * unique (enforced, as in merge). Marks + new files land in ONE
+    * atomic snapshot (op `mor-merge` — a row-changing boundary for
+    * readAppends, like every merge). Schema evolution matches append:
+    * a wider source widens the table. */
+  def mergeMor(updates: DataFrame, key: String): Snapshot =
+    withStaleRetry { () => mergeMorOnce(updates, key) }
+
+  private def mergeMorOnce(updates: DataFrame, key: String): Snapshot = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val snap = snapshot()
+    if (snap.files.isEmpty) return append(updates)
+    require(updates.columns.exists(_.equalsIgnoreCase(key)),
+      s"merge key '$key' missing from the source")
+    val cols = schemaOf(snap).fieldNames.map(_.toLowerCase).toSet
+    require(cols.contains(key.toLowerCase),
+      s"merge key '$key' is not a table column")
+    require(!cols.contains(LogTable.FileCol) && !cols.contains(LogTable.PosCol),
+      s"mergeMor cannot target tables with a ${LogTable.FileCol}/" +
+        s"${LogTable.PosCol} column (they collide with the position plumbing)")
+    // duplicate source keys would resurrect as duplicate table rows —
+    // same enforced contract as merge (one limit-1 aggregation)
+    val dup = updates.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge source has duplicate keys (e.g. $key=${dup.headOption.map(_.get(0)).orNull}); " +
+        "keys must be unique in updates — aggregate the source first")
+    val mergedNow = mergedSchemaWith(snap, updates.schema)
+    // positions of matched target rows, delete-aware (a row already
+    // marked by an earlier MoR delete is never double-marked)
+    val marked = readLivePos(snap, snap.files)
+      .join(updates.select(col(key)).distinct(), Seq(key), "left_semi")
+      .select(col(LogTable.FileCol).as("file_path"),
+        col(LogTable.PosCol).as("pos"))
+    val del = writeDeleteFile(marked)
+    val newFiles = writeDataFiles(conformTypes(updates, mergedNow),
+      distribute = true)
+    var validatedChecks = snap.checks.keySet
+    try {
+      enforceChecksOnWritten(newFiles, snap.checks, "the merged batch",
+        mergedNow.json)
+      commit("mor-merge",
+          nextSchema = prev => mergedSchemaWith(prev, updates.schema).json,
+          nextDeletes = prev => prev.deletes ++ del.toSeq) { prev =>
+        // positions are only meaningful against the exact snapshot that
+        // was scanned (cf. deleteMorOnce): a rewrite of a referenced
+        // file or any concurrent delete-file change invalidates them
+        val prevPaths = prev.files.map(_.path).toSet
+        if (del.exists(d => !d.refPaths.forall(prevPaths.contains)) ||
+            prev.deletes.map(_.path) != snap.deletes.map(_.path))
+          throw LogTable.StaleSourceFiles
+        val fresh = prev.checks -- validatedChecks
+        if (fresh.nonEmpty) {
+          enforceChecksOnWritten(newFiles, fresh,
+            "the merged batch (late check)", mergedNow.json)
+          validatedChecks ++= fresh.keySet
+        }
+        prev.files ++ newFiles
+      }
+    } catch {
+      case e: Throwable =>
+        // the written batch and delete file are invisible (never
+        // committed) — reclaim them before propagating/retrying
+        newFiles.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+        del.foreach(d => Files.deleteIfExists(Paths.get(d.path)))
+        throw e
+    }
+  }
+
   /** Write `(file_path, pos)` marks as ONE position-delete parquet
     * file under `deletes/`; None when no row matched. The written file
     * is read back once (it is small — positions, not data) for exact

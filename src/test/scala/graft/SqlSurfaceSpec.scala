@@ -166,6 +166,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(GraftSql.exec(spark, "SELECT count(*) FROM gsql_c").head().getLong(0) === 20L)
     GraftSql.exec(spark, "CALL create_ref(gsql_c, 'keeper')")
     assert(t.refVersion("keeper") === t.currentVersion)
+
+    // merge-on-read upsert through SQL: one matched key replaced, one
+    // new key inserted — no data file rewritten
+    Seq((5L, "UP5"), (25L, "NEW25")).toDF("id", "v")
+      .createOrReplaceTempView("gsql_c_src")
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    GraftSql.exec(spark, "CALL merge_mor(gsql_c, id, 'SELECT * FROM gsql_c_src')")
+    assert(t.snapshot().operation === "mor-merge")
+    assert(filesBefore.subsetOf(t.snapshot().files.map(_.path).toSet))
+    assert(spark.sql("SELECT count(*) FROM gsql_c").head().getLong(0) === 21L)
+    assert(GraftSql.exec(spark, "SELECT v FROM gsql_c WHERE id = 5")
+      .head().getString(0) === "UP5")
   }
 
   test("GraftSql CALL evolve_spec changes the layout for future writes only") {

@@ -60,6 +60,11 @@ class GraftCatalogSpec extends SparkSpec {
     assert(scanPartitions(pruned) < scanPartitions(full))
     assert(pruned.as[Long].head() ===
       (0 until 20).filter(_ % 2 == 0).map(_.toLong).sum)
+
+    // DESCRIBE surfaces the recorded layout through Spark's own command
+    val desc = spark.sql("DESCRIBE TABLE gtest.logs.api")
+      .collect().map(_.toSeq.mkString(" ")).mkString("\n")
+    assert(desc.contains("days(ts_us)") && desc.contains("op"))
   }
 
   test("INSERT OVERWRITE is an atomic swap; the old snapshot stays time-travelable") {

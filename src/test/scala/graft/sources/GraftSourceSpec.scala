@@ -355,6 +355,28 @@ class GraftSourceSpec extends SparkSpec {
     assert(mm.head().getLong(0) === 2L)
   }
 
+  test("the scan reports manifest-accurate statistics, post-pruning") {
+    import spark.implicits._
+    val root = tmp("gsrc-stats")
+    val t = LogTable(spark, root, partitionBy = Seq("kind"))
+    t.append((0 until 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "kind"))
+    val snap = t.snapshot()
+
+    def rel(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    val full = rel(spark.read.format("graft").load(root))
+    assert(full.stats.sizeInBytes === BigInt(snap.totalBytes))
+    assert(full.stats.rowCount === Some(BigInt(snap.totalRows)))
+
+    // a pushed partition filter shrinks the REPORTED stats to the
+    // pruned file subset — what broadcast decisions should see
+    val half = rel(spark.read.format("graft").load(root).where($"kind" === "a"))
+    assert(half.stats.sizeInBytes > 0)
+    assert(half.stats.sizeInBytes < BigInt(snap.totalBytes))
+  }
+
   test("runtime filtering: a broadcast join's build side prunes fact files at execution") {
     import spark.implicits._
     val root = tmp("gsrc-dpp")

@@ -165,6 +165,49 @@ class MorDeleteSpec extends SparkSpec {
     assert(spark.read.format("graft").load(t.root).count() === 7L)
   }
 
+  test("mergeMor: upsert as position marks + appended batch — no data file rewritten") {
+    val t = freshTable()
+    t.append((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .repartition(4))
+    val before = t.snapshot().files.map(_.path).toSet
+
+    // 50 matched (replaced), 50 unmatched (inserted)
+    val src = (50 until 150).map(i => (i.toLong, s"NEW$i")).toDF("id", "s")
+    val s1 = t.mergeMor(src, "id")
+    assert(s1.operation === "mor-merge")
+    assert(before.subsetOf(s1.files.map(_.path).toSet), "no file rewritten")
+    assert(s1.deletes.size === 1 && s1.deletes.head.rows === 50L)
+
+    // result equals the COW merge on a parallel table
+    val cow = freshTable()
+    cow.append((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    cow.merge(src, "id")
+    assert(t.read().orderBy("id").collect().map(_.toSeq).toSeq ===
+      cow.read().orderBy("id").collect().map(_.toSeq).toSeq)
+
+    // manifest arithmetic stays exact; keys stay unique
+    assert(t.countMeta() === 150L)
+    assert(t.read().select("id").distinct().count() === 150L)
+
+    // a second overlapping upsert marks disjoint positions
+    t.mergeMor((100 until 160).map(i => (i.toLong, s"X$i")).toDF("id", "s"), "id")
+    assert(t.countMeta() === 160L)
+    assert(t.read().filter(col("id") === 120L).select("s").head().getString(0) === "X120")
+
+    // duplicate source keys are refused loudly
+    val e = intercept[IllegalArgumentException] {
+      t.mergeMor(src.union(src), "id")
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+
+    // the changelog cannot represent the upsert; compact folds the debt
+    intercept[IllegalStateException](t.readAppends(1L))
+    t.compact()
+    assert(t.snapshot().deletes.isEmpty)
+    assert(t.countMeta() === 160L)
+    assert(t.read().filter(col("id") === 120L).select("s").head().getString(0) === "X120")
+  }
+
   test("the MoR read plan anti-joins via broadcast — no shuffle or sort on the data side") {
     val t = freshTable()
     t.append(df(0 until 1000).repartition(4))
