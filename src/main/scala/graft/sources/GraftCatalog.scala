@@ -41,7 +41,8 @@ import scala.jdk.CollectionConverters._
   * [[LogTable]]'s commit machinery via the V1Write bridge, so CHECK
   * constraints, schema evolution, hidden layout derivation and
   * optimistic concurrency hold for SQL writers too. */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = _
   private var warehouse: Path = _
 
@@ -228,6 +229,104 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     finally walk.close()
   }
+
+  // --------------------------------------------------------- procedures
+
+  /** Maintenance procedures through SPARK'S OWN `CALL` statement
+    * (`CALL <catalog>.system.compact('ns.table')`) — the planner
+    * parses, binds parameter types, and evaluates arguments; this
+    * catalog only resolves names and runs the table API (the same
+    * calls GraftSql's embedded CALL surface routes to, reference
+    * init-setup.py:159-173 drives its maintenance through catalog SQL
+    * the same way). */
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+  private def resolve(name: String): LogTable = {
+    val parts = name.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    if (!isTable(tableDir(ident))) throw new NoSuchTableException(ident)
+    LogTable(spark, tableDir(ident).toString)
+  }
+
+  private def proc(name0: String, params: (String, DataType)*)(
+      run: InternalRow => Unit): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = name0
+    override def description(): String = s"graft maintenance procedure $name0"
+    override def bind(inputType: org.apache.spark.sql.types.StructType)
+        : BoundProcedure = new BoundProcedure {
+      override def name(): String = name0
+      override def description(): String = s"graft maintenance procedure $name0"
+      override def parameters(): Array[ProcedureParameter] =
+        params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow)
+          : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+        run(input)
+        java.util.Collections.emptyIterator()
+      }
+    }
+  }
+
+  private def procedures: Map[String, UnboundProcedure] = Seq(
+    proc("compact", "table" -> StringType) { in =>
+      resolve(in.getUTF8String(0).toString).compact(); ()
+    },
+    proc("expire", "table" -> StringType, "keep_last" -> LongType) { in =>
+      resolve(in.getUTF8String(0).toString)
+        .expire(keepLast = in.getLong(1).toInt); ()
+    },
+    proc("expire_older_than", "table" -> StringType,
+        "older_than_ms" -> LongType, "keep_last" -> LongType) { in =>
+      resolve(in.getUTF8String(0).toString)
+        .expireOlderThan(in.getLong(1), keepLast = in.getLong(2).toInt); ()
+    },
+    proc("rollback", "table" -> StringType, "version" -> LongType) { in =>
+      resolve(in.getUTF8String(0).toString).rollback(in.getLong(1)); ()
+    },
+    proc("remove_orphans", "table" -> StringType) { in =>
+      resolve(in.getUTF8String(0).toString).removeOrphans(); ()
+    },
+    proc("recluster", "table" -> StringType, "column" -> StringType,
+        "n_files" -> LongType) { in =>
+      resolve(in.getUTF8String(0).toString)
+        .recluster(in.getUTF8String(1).toString, in.getLong(2).toInt); ()
+    },
+    proc("create_ref", "table" -> StringType, "name" -> StringType) { in =>
+      resolve(in.getUTF8String(0).toString)
+        .createRef(in.getUTF8String(1).toString)
+    },
+    proc("create_branch", "table" -> StringType, "name" -> StringType) { in =>
+      resolve(in.getUTF8String(0).toString)
+        .createBranch(in.getUTF8String(1).toString); ()
+    },
+    proc("fast_forward", "table" -> StringType, "name" -> StringType) { in =>
+      resolve(in.getUTF8String(0).toString)
+        .fastForward(in.getUTF8String(1).toString); ()
+    },
+    proc("delete_mor", "table" -> StringType, "predicate" -> StringType) { in =>
+      resolve(in.getUTF8String(0).toString)
+        .deleteMor(org.apache.spark.sql.functions.expr(
+          in.getUTF8String(1).toString)); ()
+    },
+    proc("evolve_spec", "table" -> StringType, "spec" -> StringType) { in =>
+      val spec = in.getUTF8String(1).toString
+      val (pc, tf) =
+        if (spec.trim.nonEmpty) GraftSql.parsePartitionSpecs(spec)
+        else (Nil, Nil)
+      resolve(in.getUTF8String(0).toString).evolveSpec(pc, tf); ()
+    }
+  ).map(p => p.name() -> p).toMap
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    procedures.keys.toArray.sorted.map(n => Identifier.of(Array("system"), n))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    procedures.getOrElse(ident.name.toLowerCase,
+      throw new UnsupportedOperationException(
+        s"unknown procedure '${ident.name}' (supported: " +
+          s"${procedures.keys.toSeq.sorted.mkString(", ")})"))
 
   // --------------------------------------------------------- namespaces
 

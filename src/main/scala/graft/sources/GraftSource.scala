@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -234,7 +234,33 @@ private[sources] object GraftSourceUtil {
 private[sources] final class GraftTable(root: String, schema0: StructType,
     writable: Boolean = false, pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM t WHERE cond` through Spark's own planner: the
+    * translated condition routes into [[LogTable.delete]]'s COW
+    * machinery (only files holding matching rows rewritten, delete-
+    * aware, CHECK-preserving). Conditions the v1 Filter algebra can't
+    * express refuse here — Spark reports the unsupported delete
+    * instead of this table guessing (complex predicates go through
+    * LogTable.delete / GraftSql, which take arbitrary Columns). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedVersion.isEmpty && GraftFilters.conjunction(filters.toSeq).nonEmpty
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = GraftFilters.conjunction(filters.toSeq).getOrElse(
+      throw new UnsupportedOperationException(
+        s"cannot translate delete condition ${filters.mkString(" AND ")}"))
+    LogTable(SparkSession.active, root).delete(cond)
+    ()
+  }
+  /** SQL `TRUNCATE TABLE`: a COW delete-everything — the old snapshot
+    * stays time-travelable, exactly as INSERT OVERWRITE's swap does. */
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty, s"cannot truncate time-travel handle $name")
+    LogTable(SparkSession.active, root)
+      .delete(org.apache.spark.sql.functions.lit(true))
+    true
+  }
   override def name(): String = pinnedVersion match {
     case Some(v) => s"graft.`$root`@v$v"
     case None => s"graft.`$root`"
@@ -481,6 +507,45 @@ private[sources] final class GraftScan(root: String, schema: StructType,
   }
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(GraftPrune.usable)
+}
+
+/** v1 `Filter` → `Column` translation for the SQL row-level seams
+  * (`DELETE FROM` / `TRUNCATE` through the catalog): the translated
+  * predicate routes into [[LogTable]]'s COW machinery. Exact-or-None —
+  * an untranslatable filter refuses the SQL path loudly instead of
+  * guessing. */
+private[sources] object GraftFilters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case _: org.apache.spark.sql.sources.AlwaysTrue => Some(lit(true))
+    case _: org.apache.spark.sql.sources.AlwaysFalse => Some(lit(false))
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isInCollection(vs.toSeq.map(lit(_))))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+    case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+    case StringContains(c, v) => Some(col(c).contains(v))
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(x) => toColumn(x).map(!_)
+    case _ => None
+  }
+
+  /** The conjunction, or None if ANY member is untranslatable. */
+  def conjunction(fs: Seq[Filter]): Option[Column] =
+    if (fs.isEmpty) Some(lit(true))
+    else {
+      val cs = fs.map(toColumn)
+      if (cs.exists(_.isEmpty)) None else Some(cs.flatten.reduce(_ && _))
+    }
 }
 
 /** Conservative manifest-metadata file skipping: a file is dropped

@@ -144,6 +144,51 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("DELETE FROM and TRUNCATE route through the COW machinery via Spark's planner") {
+    warehouse
+    spark.sql("CREATE TABLE gtest.del (id BIGINT, kind STRING)")
+    spark.sql("INSERT INTO gtest.del VALUES (1,'a'),(2,'b'),(3,'a'),(4,'c'),(5,'a')")
+    spark.sql("DELETE FROM gtest.del WHERE kind = 'a' AND id >= 3")
+    assert(spark.sql("SELECT id FROM gtest.del ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 4L))
+    val t = LogTable(spark, s"$warehouse/del")
+    assert(t.snapshot().operation === "delete")
+    // the pre-delete snapshot stays time-travelable
+    assert(spark.sql(
+        s"SELECT count(*) FROM gtest.del VERSION AS OF ${t.currentVersion - 1}")
+      .as[Long].head() === 5L)
+    spark.sql("TRUNCATE TABLE gtest.del")
+    assert(spark.sql("SELECT count(*) FROM gtest.del").as[Long].head() === 0L)
+  }
+
+  test("CALL catalog.system.<proc> drives maintenance through Spark's own parser") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.m")
+    spark.sql("CREATE TABLE gtest.m.t (id BIGINT)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO gtest.m.t VALUES ($i)"))
+    val t = LogTable(spark, s"$warehouse/m/t")
+    assert(t.snapshot().files.size === 3)
+
+    spark.sql("CALL gtest.system.compact('m.t')")
+    assert(t.snapshot().operation === "compact")
+    assert(t.snapshot().files.size === 1)
+
+    spark.sql("CALL gtest.system.create_ref('m.t', 'prod')")
+    assert(t.refVersion("prod") === t.currentVersion)
+
+    spark.sql(s"CALL gtest.system.rollback('m.t', ${t.currentVersion - 1})")
+    assert(spark.sql("SELECT count(*) FROM gtest.m.t").as[Long].head() === 3L)
+
+    spark.sql("CALL gtest.system.delete_mor('m.t', 'id = 2')")
+    assert(t.snapshot().operation === "mor-delete")
+    assert(spark.sql("SELECT count(*) FROM gtest.m.t").as[Long].head() === 2L)
+
+    spark.sql("CALL gtest.system.evolve_spec('m.t', 'bucket(4, id)')")
+    assert(LogTable(spark, t.root).hiddenBy === Seq(Transform.bucket(4, "id")))
+
+    intercept[Exception] { spark.sql("CALL gtest.system.nope('m.t')") }
+  }
+
   test("catalog writes honor CHECK constraints and reject duplicate creates") {
     warehouse
     spark.sql("CREATE TABLE gtest.chk (id BIGINT)")
