@@ -214,6 +214,60 @@ private[sources] object GraftSourceUtil {
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = GraftBridge.hadoopConf(spark))
+
+  /** The COLUMNAR plan for a snapshot's scan, or None when the row
+    * path is required. Columnar hands Spark's vectorized parquet
+    * batches through UNTOUCHED (partition values materialize as the
+    * reader's own constant column vectors; the per-file "projection"
+    * is an O(columns) vector reorder, not per-row work) — native
+    * parquet scan speed through `format("graft")`. Requirements, each
+    * checked here driver-side:
+    *   - no outstanding position deletes (row-index filtering is
+    *     per-row by nature);
+    *   - no rename history on the selected fields (coalescing
+    *     historical names is a per-row expression);
+    *   - a UNIFORM layout: every file carries partition values for
+    *     the same subset of the selected fields (mixed pre-/post-
+    *     evolution layouts fall back to rows);
+    *   - the parquet vectorized reader supports the schema
+    *     (ParquetFileFormat.supportBatch).
+    * Returns (dataSchema, partitionSchema, reorder map to the logical
+    * column order, batch-returning read function). */
+  def columnarPlan(spark: SparkSession, logical: StructType,
+      snap: Snapshot, filters: Seq[Filter])
+      : Option[(StructType, StructType, Array[Int],
+        PartitionedFile => Iterator[InternalRow])] = {
+    if (snap.deletes.nonEmpty) return None
+    if (logical.exists(f => LogTable.prevNames(f).nonEmpty)) return None
+    val layouts = snap.files.map(f =>
+      logical.fieldNames.filter(n =>
+        f.partitions.keys.exists(_.equalsIgnoreCase(n))).toSet).distinct
+    if (layouts.size > 1) return None
+    val partNames = layouts.headOption.getOrElse(Set.empty)
+    val (partF, dataF) =
+      logical.fields.partition(f => partNames.contains(f.name))
+    val dataS = StructType(dataF)
+    val partS = StructType(partF)
+    val classic = GraftBridge.classicSession(spark)
+    val fmt = new ParquetFileFormat()
+    if (!fmt.supportBatch(classic, StructType(dataF ++ partF))) return None
+    // batch columns arrive as dataSchema ++ partitionSchema; map each
+    // LOGICAL position to its vector index once, on the driver
+    val reorder = logical.fields.map { f =>
+      val di = dataS.fieldNames.indexOf(f.name)
+      if (di >= 0) di else dataS.length + partS.fieldNames.indexOf(f.name)
+    }
+    val readFunc = fmt.buildReaderWithPartitionValues(
+      classic,
+      dataSchema = dataS,
+      partitionSchema = partS,
+      requiredSchema = dataS,
+      filters = filters,
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "true"),
+      hadoopConf = GraftBridge.hadoopConf(spark))
+    Some((dataS, partS, reorder, readFunc))
+  }
 }
 
 /** `writable = true` (catalog-loaded tables, whose schema is always
@@ -768,7 +822,9 @@ private[sources] final class GraftMicroBatchStream(root: String,
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(readFunc, phys, logical)
+    new GraftReaderFactory(readFunc, phys, logical,
+      columnar = GraftSourceUtil.columnarPlan(
+        spark, logical, table.snapshot(), pushed.toSeq))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -805,7 +861,8 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
         GraftSourceUtil.buildReadFunc(spark, LogTable.DeleteSchema)))
     new GraftReaderFactory(
       GraftSourceUtil.buildReadFunc(spark, phys, pushed.toSeq), phys, logical,
-      mor)
+      mor,
+      GraftSourceUtil.columnarPlan(spark, logical, snap, pushed.toSeq))
   }
 }
 
@@ -820,11 +877,64 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
 private[sources] final class GraftReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     phys: StructType, logical: StructType,
-    mor: Option[GraftMorReaders] = None) extends PartitionReaderFactory {
+    mor: Option[GraftMorReaders] = None,
+    columnar: Option[(StructType, StructType, Array[Int],
+      PartitionedFile => Iterator[InternalRow])] = None)
+    extends PartitionReaderFactory {
 
   private def wholeFile(path: String, bytes: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty,
       SparkPath.fromPathString(path), 0L, bytes, Array.empty, 0L, bytes)
+
+  /** Columnar when the driver planned it ([[GraftSourceUtil
+    * .columnarPlan]]'s uniformity checks) and this partition's layout
+    * agrees — Spark's vectorized batches pass through with an
+    * O(columns) vector reorder, no per-row work. A partition whose
+    * layout drifted from the plan (a mid-stream spec evolution)
+    * reports false, which Spark's all-or-nothing columnar check turns
+    * into a LOUD plan error rather than a silent null column. */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar.exists { case (_, partS, _, _) =>
+      val gp = p.asInstanceOf[GraftInputPartition]
+      gp.deletes.isEmpty &&
+        logical.fieldNames.filter(n =>
+          gp.parts.keys.exists(_.equalsIgnoreCase(n))).toSet ==
+          partS.fieldNames.toSet
+    }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val (_, partS, reorder, colRead) = columnar.getOrElse(
+      throw new IllegalStateException("columnar read without a columnar plan"))
+    val gp = p.asInstanceOf[GraftInputPartition]
+    // partition values for THIS file, in partitionSchema order — the
+    // reader turns them into constant column vectors
+    val vals: Array[Any] = partS.fields.map { f =>
+      gp.parts.find(_._1.equalsIgnoreCase(f.name)).map(_._2) match {
+        case None | Some("__HIVE_DEFAULT_PARTITION__") => null
+        case Some(v) => Cast(Literal(v), f.dataType, Some("UTC")).eval(null)
+      }
+    }
+    val pf = PartitionedFile(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals),
+      SparkPath.fromPathString(gp.path), 0L, gp.bytes, Array.empty, 0L, gp.bytes)
+    val it = colRead(pf).asInstanceOf[Iterator[Any]]
+    new PartitionReader[ColumnarBatch] {
+      private var cur: ColumnarBatch = _
+      override def next(): Boolean =
+        if (!it.hasNext) false
+        else it.next() match {
+          case b: ColumnarBatch =>
+            cur = new ColumnarBatch(reorder.map(b.column), b.numRows())
+            true
+          case other => throw new IllegalStateException(
+            s"expected a ColumnarBatch from the vectorized reader, got " +
+              s"${other.getClass.getName}")
+        }
+      override def get(): ColumnarBatch = cur
+      override def close(): Unit = ()
+    }
+  }
 
   /** The reader yields ColumnarBatch elements when the vectorized path
     * engaged (Spark's scan exec does the same duck-typed unwrap). */

@@ -355,6 +355,39 @@ class GraftSourceSpec extends SparkSpec {
     assert(mm.head().getLong(0) === 2L)
   }
 
+  test("clean snapshots read COLUMNAR: vectorized batches pass through the scan") {
+    import spark.implicits._
+    val root = tmp("gsrc-col")
+    val t = LogTable(spark, root, partitionBy = Seq("kind"))
+    t.append((0 until 50).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 1.5))
+      .toDF("id", "kind", "v"))
+
+    def scanExec(df: DataFrame) = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+
+    val df = spark.read.format("graft").load(root)
+    assert(scanExec(df).supportsColumnar,
+      "clean partitioned snapshot must take the vectorized path")
+    // identical rows to the API read — partition values come back as
+    // constant vectors, reordered into the logical column order (the
+    // API read surfaces discovered partition columns LAST, so compare
+    // name-aligned, as the driver's oracle does)
+    assert(df.select("id", "kind", "v").orderBy("id")
+      .collect().map(_.toSeq).toSeq ===
+      t.read().select("id", "kind", "v").orderBy("id")
+        .collect().map(_.toSeq).toSeq)
+    // pruning composes with the columnar path
+    assert(df.where($"kind" === "a").count() === 25L)
+
+    // outstanding MoR deletes flip to the row path (position filtering
+    // is per-row) — still exact
+    t.deleteMor($"id" < 10L)
+    val df2 = spark.read.format("graft").load(root)
+    assert(!scanExec(df2).supportsColumnar)
+    assert(df2.count() === 40L)
+  }
+
   test("the scan reports manifest-accurate statistics, post-pruning") {
     import spark.implicits._
     val root = tmp("gsrc-stats")
