@@ -502,7 +502,67 @@ object Lakehouse {
       .toDF("n_total", "n_live", "id_min", "id_max")
   }
 
+  /** PARTITION-SPEC EVOLUTION roundtrip ([[graft.sources.LogTable
+    * .evolveSpec]]): half the events land in an UNPARTITIONED table,
+    * the spec evolves to (event_type, day(ts_us)) — a metadata-only
+    * commit, no file rewritten — and the other half lands under the
+    * evolved layout. The filtered aggregate then reads across the
+    * MIXED layouts: old files are conservatively scanned (their
+    * event_type lives in file data), new files prune by directory key
+    * and materialize event_type from the manifest. A wrong union
+    * shape, a lost column, or an unsound prune breaks the hash. */
+  def lakeEvolve(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_evolve_").toString
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    val t0 = LogTable(s, tmp)
+    t0.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    val t1 = t0.evolveSpec(partitionBy = Seq("event_type"),
+      hiddenBy = Seq(graft.sources.Transform.day("ts_us")))
+    t1.append(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    val lo = 1704844800000000L            // 2024-01-10 00:00:00 UTC, µs
+    val hi = 1705708800000000L            // 2024-01-20 00:00:00 UTC, µs
+    t1.read()
+      .where(col("event_type") =!= "error" &&
+        col("ts_us") >= lo && col("ts_us") < hi)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** MERGE-ON-READ upsert roundtrip ([[graft.sources.LogTable
+    * .mergeMor]]): the same merge shape as lake_merge — updated values
+    * for every 10th event, re-keyed inserts for every 17th — but
+    * executed as position marks + an appended batch instead of COW
+    * file rewrites. The oracle is lake_merge's UNION-ALL clause
+    * algebra: a double-applied mark, a resurrected matched row, or a
+    * lost insert breaks the hash. */
+  def lakeMor2(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_mor2_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    (0 until 2).foreach { i =>
+      table.append(ev.filter(pmod(col("event_id"), lit(2)) === i))
+    }
+    val updates = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+      .withColumn("value", col("value") + 1000.0)
+      .unionByName(ev.filter(pmod(col("event_id"), lit(17)) === 0)
+        .withColumn("event_id", col("event_id") + 10000000L))
+    table.mergeMor(updates, "event_id")
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_evolve" -> (lakeEvolve _),
+    "lake_mor2" -> (lakeMor2 _),
     "lake_mor" -> (lakeMor _),
     "lake_count_meta" -> (lakeCountMeta _),
     "lake_merge4" -> (lakeMerge4 _),
@@ -524,6 +584,23 @@ object Lakehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_evolve" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE event_type <> 'error'
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_mor2" ->
+      """WITH merged AS (
+        |  SELECT event_type, value FROM events WHERE event_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT event_type, value + 1000.0 FROM events WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT event_type, value FROM events WHERE event_id % 17 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_mor" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
