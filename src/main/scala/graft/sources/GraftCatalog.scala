@@ -310,6 +310,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         .deleteMor(org.apache.spark.sql.functions.expr(
           in.getUTF8String(1).toString)); ()
     },
+    proc("delete_eq", "table" -> StringType, "keys_query" -> StringType) { in =>
+      resolve(in.getUTF8String(0).toString)
+        .deleteEq(spark.sql(in.getUTF8String(1).toString)); ()
+    },
+    proc("upsert_eq", "table" -> StringType, "key" -> StringType,
+        "source_query" -> StringType) { in =>
+      resolve(in.getUTF8String(0).toString)
+        .upsertEq(spark.sql(in.getUTF8String(2).toString),
+          in.getUTF8String(1).toString); ()
+    },
     proc("evolve_spec", "table" -> StringType, "spec" -> StringType) { in =>
       val spec = in.getUTF8String(1).toString
       val (pc, tf) =

@@ -237,7 +237,7 @@ private[sources] object GraftSourceUtil {
       snap: Snapshot, filters: Seq[Filter])
       : Option[(StructType, StructType, Array[Int],
         PartitionedFile => Iterator[InternalRow])] = {
-    if (snap.deletes.nonEmpty) return None
+    if (snap.deletes.nonEmpty || snap.eqDeletes.nonEmpty) return None
     if (logical.exists(f => LogTable.prevNames(f).nonEmpty)) return None
     val layouts = snap.files.map(f =>
       logical.fieldNames.filter(n =>
@@ -436,6 +436,8 @@ private[sources] final class GraftScanBuilder(root: String,
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
     val t = LogTable(SparkSession.active, root)
     val snap = GraftSourceUtil.snapshotFor(t, options)
+    // equality deletes tombstone by key — unanswerable from metadata
+    if (snap.eqDeletes.nonEmpty) return false
     // a LONG column of the table, in the schema's own spelling (the
     // manifest's stats keys) — stats exist for INT64 columns only
     def longCol(e: V2Expr): Option[String] = e match {
@@ -753,7 +755,11 @@ private[sources] final class GraftWriteBuilder(root: String)
   * data files a delete file touches without opening it). */
 private[sources] final case class GraftInputPartition(path: String,
     bytes: Long, parts: Map[String, String],
-    deletes: Seq[(String, Long)] = Nil) extends InputPartition
+    deletes: Seq[(String, Long)] = Nil,
+    /** EQUALITY-delete files NEWER than this data file (seq guard
+      * applied at planning) as (path, bytes, key columns): the
+      * executor loads their key tuples and filters matching rows. */
+    eqDels: Seq[(String, Long, Seq[String])] = Nil) extends InputPartition
 
 /** Executor-side readers for MERGE-ON-READ snapshots, built only when
   * the planned snapshot carries position deletes: `raw` reads a data
@@ -841,6 +847,20 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
   private lazy val snap =
     GraftSourceUtil.snapshotFor(LogTable(spark, root), options)
 
+  // equality-delete key columns must be READABLE even when the query
+  // pruned them away (they only drive filtering, never output)
+  private lazy val physAll: StructType = {
+    val extra = snap.eqDeletes.flatMap(_.cols).distinct
+      .filterNot(c => phys.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (extra.isEmpty || snap.schemaJson.isEmpty) phys
+    else {
+      val full = LogTable.parseSchema(snap.schemaJson)
+      StructType(phys.fields ++ extra.flatMap(c =>
+        full.fields.find(_.name.equalsIgnoreCase(c))
+          .map(f => StructField(f.name, f.dataType, nullable = true))))
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
     GraftPrune.filesFor(snap.files, snap.transforms, pushed.toSeq)
       .map { f =>
@@ -849,7 +869,13 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
         // executor anti-sets the marked positions away at read time
         val dels = snap.deletes.filter(_.counts.contains(f.path))
           .map(d => (d.path, d.bytes))
-        GraftInputPartition(f.path, f.bytes, f.partitions, dels): InputPartition
+        // equality deletes apply under the DATA-SEQUENCE guard: only
+        // tombstones NEWER than the file can mark its rows — the guard
+        // is resolved here, at planning, from manifest metadata
+        val eqs = snap.eqDeletes.filter(_.seq > f.seq)
+          .map(d => (d.path, d.bytes, d.cols))
+        GraftInputPartition(f.path, f.bytes, f.partitions, dels, eqs)
+          : InputPartition
       }
       .toArray
 
@@ -857,12 +883,26 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
     val mor =
       if (snap.deletes.isEmpty) None
       else Some(GraftMorReaders(
-        GraftSourceUtil.buildReadFunc(spark, phys),
+        GraftSourceUtil.buildReadFunc(spark, physAll),
         GraftSourceUtil.buildReadFunc(spark, LogTable.DeleteSchema)))
+    val eq =
+      if (snap.eqDeletes.isEmpty) None
+      else {
+        val full = LogTable.parseSchema(snap.schemaJson)
+        val types = snap.eqDeletes.flatMap(_.cols).distinct.flatMap(c =>
+          full.fields.find(_.name.equalsIgnoreCase(c))
+            .map(f => c.toLowerCase -> f.dataType)).toMap
+        val readers = snap.eqDeletes.map(_.cols).distinct.map { cols =>
+          cols -> GraftSourceUtil.buildReadFunc(spark, StructType(cols.map(c =>
+            StructField(c, types(c.toLowerCase), nullable = true))))
+        }.toMap
+        Some((types, readers))
+      }
     new GraftReaderFactory(
-      GraftSourceUtil.buildReadFunc(spark, phys, pushed.toSeq), phys, logical,
-      mor,
-      GraftSourceUtil.columnarPlan(spark, logical, snap, pushed.toSeq))
+      GraftSourceUtil.buildReadFunc(spark, physAll, pushed.toSeq), physAll,
+      logical, mor,
+      GraftSourceUtil.columnarPlan(spark, logical, snap, pushed.toSeq),
+      eq)
   }
 }
 
@@ -879,7 +919,9 @@ private[sources] final class GraftReaderFactory(
     phys: StructType, logical: StructType,
     mor: Option[GraftMorReaders] = None,
     columnar: Option[(StructType, StructType, Array[Int],
-      PartitionedFile => Iterator[InternalRow])] = None)
+      PartitionedFile => Iterator[InternalRow])] = None,
+    eq: Option[(Map[String, org.apache.spark.sql.types.DataType],
+      Map[Seq[String], PartitionedFile => Iterator[InternalRow]])] = None)
     extends PartitionReaderFactory {
 
   private def wholeFile(path: String, bytes: Long): PartitionedFile =
@@ -962,7 +1004,7 @@ private[sources] final class GraftReaderFactory(
       }
     }
     val proj = UnsafeProjection.create(exprs)
-    val rows: Iterator[InternalRow] =
+    val rows0: Iterator[InternalRow] =
       if (gp.deletes.isEmpty)
         unwrap(readFunc(wholeFile(gp.path, gp.bytes)))
       else {
@@ -984,6 +1026,40 @@ private[sources] final class GraftReaderFactory(
         var pos = -1L
         unwrap(mr.raw(wholeFile(gp.path, gp.bytes)))
           .filter { _ => pos += 1; !deleted.contains(pos) }
+      }
+    // EQUALITY tombstones newer than this file (seq guard applied at
+    // planning): build one key set per key-column group and drop
+    // matching rows. Tombstones containing a NULL key never match
+    // (SQL equality semantics — a byte-wise UnsafeRow compare would
+    // equate null with null).
+    val rows: Iterator[InternalRow] =
+      if (gp.eqDels.isEmpty) rows0
+      else {
+        val (types, readers) = eq.getOrElse(throw new IllegalStateException(
+          s"partition for ${gp.path} carries equality deletes but the " +
+            "factory has no eq readers — planner/factory snapshot drift"))
+        val groups = gp.eqDels.groupBy(_._3).toSeq.map { case (cols, dels) =>
+          val ts = cols.map(c => types(c.toLowerCase))
+          val delProj = UnsafeProjection.create(ts.zipWithIndex.map {
+            case (t, i) => BoundReference(i, t, nullable = true) })
+          val set = new java.util.HashSet[InternalRow]()
+          dels.foreach { case (dp, dbytes, _) =>
+            unwrap(readers(cols)(wholeFile(dp, dbytes))).foreach { r =>
+              if (ts.indices.forall(i => !r.isNullAt(i)))
+                set.add(delProj(r).copy())
+            }
+          }
+          val keyProj = UnsafeProjection.create(cols.zip(ts).map {
+            case (c, t) => BoundReference(physIdx(c.toLowerCase), t,
+              nullable = true) })
+          (set, keyProj, ts.size)
+        }
+        rows0.filter { r =>
+          !groups.exists { case (set, keyProj, n) =>
+            val k = keyProj(r)
+            (0 until n).forall(i => !k.isNullAt(i)) && set.contains(k)
+          }
+        }
       }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _

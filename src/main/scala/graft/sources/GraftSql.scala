@@ -133,7 +133,10 @@ object GraftSql {
     * an unregistered name) falls through to the real scan. */
   private def metaCount(spark: SparkSession, stmt: String): Option[DataFrame] =
     stmt match {
-      case CountRe(alias, name) if registry.containsKey(name) =>
+      case CountRe(alias, name) if registry.containsKey(name) &&
+          table(name).snapshot().eqDeletes.isEmpty =>
+        // (outstanding equality deletes make the manifest count
+        // unknowable — fall through to the real scan)
         import spark.implicits._
         val colName = Option(alias).getOrElse("count(1)")
         Some(Seq(table(name).countMeta()).toDF(colName))
@@ -579,6 +582,17 @@ object GraftSql {
           case "merge_mor" =>
             refreshViews()
             t.mergeMor(spark.sql(args(2)), args(1))
+          // equality delete: CALL delete_eq(t, '<keys query>') — key
+          // tombstones with ZERO table I/O (the CDC shape; deleteMor
+          // scans to find positions, this does not)
+          case "delete_eq" =>
+            refreshViews()
+            t.deleteEq(spark.sql(args(1)))
+          // equality upsert: CALL upsert_eq(t, <key>, '<source query>')
+          // — tombstone + append in one commit, O(source)
+          case "upsert_eq" =>
+            refreshViews()
+            t.upsertEq(spark.sql(args(2)), args(1))
           case "recluster" => t.recluster(args(1), args(2).toInt)
           case "create_ref" =>
             t.createRef(args(1),
@@ -602,8 +616,8 @@ object GraftSql {
           case other => throw new IllegalArgumentException(
             s"unknown procedure '$other' (supported: compact, expire, " +
               "expire_older_than, rollback, remove_orphans, delete_mor, " +
-              "merge_mor, recluster, create_ref, create_branch, " +
-              "fast_forward, evolve_spec)")
+              "merge_mor, delete_eq, upsert_eq, recluster, create_ref, " +
+              "create_branch, fast_forward, evolve_spec)")
         }
         summarize(spark, args.head, snap)
       case _ => throw new IllegalArgumentException(

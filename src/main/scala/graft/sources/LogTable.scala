@@ -27,7 +27,25 @@ import scala.jdk.CollectionConverters._
 final case class DataFile(path: String, rows: Long, bytes: Long,
     partitions: Map[String, String] = Map.empty,
     ranges: Map[String, (Long, Long)] = Map.empty,
-    strRanges: Map[String, (String, String)] = Map.empty)
+    strRanges: Map[String, (String, String)] = Map.empty,
+    /** DATA SEQUENCE NUMBER (Iceberg v2): the snapshot version at
+      * which this file joined the table, stamped at commit. Equality
+      * deletes apply only to files with a SMALLER sequence — rows
+      * appended after a delete are never affected by it. 0 = unknown
+      * (legacy manifest entry): treated as older than every delete,
+      * which can only over-apply deletes that predate the feature. */
+    seq: Long = 0L)
+
+/** One EQUALITY-DELETE file of a snapshot (Iceberg v2's second delete
+  * form): a parquet file of KEY TUPLES over `cols`, marking every row
+  * of OLDER data files (DataFile.seq < this.seq) whose key columns
+  * equal a tuple — written WITHOUT scanning the table (O(keys), the
+  * CDC/streaming-upsert shape position deletes can't give). Reads
+  * anti-join on the key columns with the sequence guard;
+  * [[LogTable.compact]] folds the marks; a replacing commit drops an
+  * equality delete once no live file is older than it. */
+final case class EqDeleteFile(path: String, bytes: Long,
+    cols: Seq[String], rows: Long, seq: Long)
 
 /** One POSITION-DELETE file of a snapshot (Iceberg v2's merge-on-read
   * delete files): a parquet file of `(file_path, pos)` rows marking
@@ -123,7 +141,8 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
     timestampMs: Long, files: Seq[DataFile], tag: String = "",
     schemaJson: String = "", checks: Map[String, String] = Map.empty,
     retired: Seq[String] = Nil, deletes: Seq[DeleteFile] = Nil,
-    partCols: Seq[String] = Nil, transforms: Seq[Transform] = Nil) {
+    partCols: Seq[String] = Nil, transforms: Seq[Transform] = Nil,
+    eqDeletes: Seq[EqDeleteFile] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
   /** Rows visible to a reader of this snapshot: data-file rows minus
@@ -288,7 +307,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val fork = snapshot()
     val base = Snapshot(1L, 0L, "branch", System.currentTimeMillis(),
       fork.files, s"base-v${fork.version}", fork.schemaJson, fork.checks,
-      fork.retired, fork.deletes)
+      fork.retired, fork.deletes, eqDeletes = fork.eqDeletes)
     val tmp = bdir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
     Files.writeString(tmp, renderManifest(base))
     try {
@@ -347,7 +366,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     commit("publish", tag, nextSchema = _ => head.schemaJson,
         nextChecks = _ => head.checks,
         nextRetired = _ => head.retired,
-        nextDeletes = _ => head.deletes) { prev =>
+        nextDeletes = _ => head.deletes,
+        nextEqDeletes = _ => head.eqDeletes) { prev =>
       if (tag.nonEmpty && hasTag(tag)) return snapshot()
       if (prev.version != baseVersion)
         throw new IllegalStateException(
@@ -665,6 +685,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * planner's shuffled anti-join takes over, which still scales —
     * the join key (file, pos) is perfectly distributable. */
   private def readLive(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
+    // outstanding EQUALITY deletes need per-row file identity for the
+    // sequence guard — route through the pos-carrying read
+    if (snap.eqDeletes.nonEmpty)
+      return readLivePos(snap, files).drop(LogTable.FileCol, LogTable.PosCol)
     val refd = files.map(_.path).toSet & snap.deletes.flatMap(_.refPaths).toSet
     if (refd.isEmpty) return readFiles(files, snap.schemaJson)
     val (dirty, clean) = files.partition(f => refd.contains(f.path))
@@ -689,7 +713,45 @@ final class LogTable private (val spark: SparkSession, val root: String,
         readFiles(dirty, snap.schemaJson, withPos = true), refd)),
       if (clean.isEmpty) None
       else Some(readFiles(clean, snap.schemaJson, withPos = true))).flatten
-    parts.reduce(_ unionByName _)
+    applyEqDeletes(snap, parts.reduce(_ unionByName _), files)
+  }
+
+  /** Anti-join `df` (carrying FileCol) against the snapshot's
+    * EQUALITY-delete files, under the data-sequence guard: a delete
+    * marks only rows of files OLDER than it (DataFile.seq <
+    * EqDeleteFile.seq) — rows appended after the delete survive. The
+    * per-row sequence comes from a tiny broadcast (path → seq) map;
+    * key sets build-side broadcast under the same budget as position
+    * deletes. */
+  private def applyEqDeletes(snap: Snapshot, df: DataFrame,
+      files: Seq[DataFile]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+    if (snap.eqDeletes.isEmpty) return df
+    import spark.implicits._
+    val seqMap = broadcast(
+      files.map(f => (f.path, f.seq)).toDF("_graft_path", "_graft_seq"))
+    // FileCol carries the scan's URI rendering ("file:///abs/...");
+    // the manifest records plain paths — strip the scheme prefix
+    val withSeq = df.withColumn("_graft_path",
+        regexp_replace(col(LogTable.FileCol),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      .join(seqMap, Seq("_graft_path"), "left")
+    val cleaned = snap.eqDeletes.groupBy(_.cols.map(_.toLowerCase))
+      .values.foldLeft(withSeq) { case (acc, dels) =>
+        val keys = dels.map(d => spark.read.parquet(d.path)
+            .withColumn("_graft_dseq", lit(d.seq)))
+          .reduce(_ unionByName _)
+        val names = dels.head.cols
+        val renamed = names.foldLeft(keys)((k, c) =>
+          k.withColumnRenamed(c, s"_gq_$c"))
+        val cond = names.map(c => acc(c) === renamed(s"_gq_$c"))
+          .reduce(_ && _) && acc("_graft_seq") < renamed("_graft_dseq")
+        val build =
+          if (dels.map(_.bytes).sum <= (64L << 20)) broadcast(renamed)
+          else renamed
+        acc.join(build, cond, "left_anti")
+      }
+    cleaned.drop("_graft_path", "_graft_seq")
   }
 
   /** Delete-aware read tagged with a `_file` column (the row's source
@@ -725,8 +787,16 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * footer-exact per-file row counts, and outstanding position
     * deletes subtract exactly ([[Snapshot.liveRows]] — delete writers
     * scan delete-aware, so positions are never double-marked). */
-  def countMeta(version: Long = currentVersion): Long =
-    snapshot(version).liveRows
+  def countMeta(version: Long = currentVersion): Long = {
+    val s = snapshot(version)
+    // equality deletes tombstone by KEY — how many rows they hit is
+    // unknowable without a scan; refuse rather than under/over-count
+    if (s.eqDeletes.nonEmpty) throw new IllegalStateException(
+      "count(*) is not answerable from the manifest while equality " +
+        "deletes are outstanding — read().count(), or fold them first " +
+        "(compact / CALL compact)")
+    s.liveRows
+  }
 
   /** min/max of an INT64 column from manifest column stats alone —
     * `Some((min, max))` ONLY when the answer is provably exact: every
@@ -740,7 +810,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       version: Long = currentVersion): Option[(Long, Long)] = {
     val s = snapshot(version)
     val withRows = s.files.filter(_.rows > 0)
-    if (s.deletes.nonEmpty || withRows.isEmpty ||
+    if (s.deletes.nonEmpty || s.eqDeletes.nonEmpty || withRows.isEmpty ||
         !withRows.forall(_.ranges.contains(column))) None
     else Some((withRows.map(_.ranges(column)._1).min,
       withRows.map(_.ranges(column)._2).max))
@@ -1475,6 +1545,107 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** EQUALITY DELETE (Iceberg v2's second delete form): mark every row
+    * whose key columns equal a tuple in `keys` as deleted — WITHOUT
+    * scanning a single data file. Cost is O(keys): the keys land in an
+    * equality-delete file and one metadata commit records it; reads
+    * anti-join on the key columns under the DATA-SEQUENCE guard (rows
+    * appended after the delete are untouched), and [[compact]] folds
+    * the marks into clean files. This is the CDC shape — a stream of
+    * tombstone keys applies at ingest rate, where deleteMor's
+    * position-marking scan and delete()'s COW rewrite both cost table
+    * reads. Trade-off: while marks are outstanding, metadata-only
+    * count/min-max refuse (match counts are unknown without a scan) —
+    * compact restores them. */
+  def deleteEq(keys: DataFrame): Snapshot = {
+    val snap = snapshot()
+    if (snap.files.isEmpty) return snap
+    val cols = keys.columns.toSeq
+    require(cols.nonEmpty, "deleteEq needs at least one key column")
+    val schema = schemaOf(snap)
+    cols.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"equality-delete column '$c' is not a table column"))
+    writeEqFile(keys.dropDuplicates()) match {
+      case None => snap
+      case Some(d) =>
+        try commit("eq-delete",
+            nextEqDeletes = prev => prev.eqDeletes :+ d)(prev => prev.files)
+        catch {
+          case e: Throwable =>
+            Files.deleteIfExists(Paths.get(d.path)); throw e
+        }
+    }
+  }
+
+  /** STREAMING UPSERT (equality-delete + append in ONE atomic commit):
+    * the source's keys tombstone every OLDER row with the same key and
+    * the whole source batch lands as new data files — total cost
+    * O(source), never a table scan, never a file rewrite. The
+    * merge-on-read ladder, fastest to most general: upsertEq (CDC
+    * ingest rate) → [[mergeMor]] (position marks, needs one marking
+    * scan) → [[merge]] (COW, full clause surface). Source keys must be
+    * unique (enforced); schema evolution as append. */
+  def upsertEq(updates: DataFrame, key: String): Snapshot = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val snap = snapshot()
+    if (snap.files.isEmpty) return append(updates)
+    require(updates.columns.exists(_.equalsIgnoreCase(key)),
+      s"upsert key '$key' missing from the source")
+    require(schemaOf(snap).fieldNames.exists(_.equalsIgnoreCase(key)),
+      s"upsert key '$key' is not a table column")
+    val dup = updates.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert source has duplicate keys (e.g. $key=${dup.headOption.map(_.get(0)).orNull}); " +
+        "keys must be unique in updates — aggregate the source first")
+    val mergedNow = mergedSchemaWith(snap, updates.schema)
+    val eq = writeEqFile(updates.select(col(key)))
+    val newFiles = writeDataFiles(conformTypes(updates, mergedNow),
+      distribute = true)
+    var validatedChecks = snap.checks.keySet
+    try {
+      enforceChecksOnWritten(newFiles, snap.checks, "the upserted batch",
+        mergedNow.json)
+      commit("eq-upsert",
+          nextSchema = prev => mergedSchemaWith(prev, updates.schema).json,
+          nextEqDeletes = prev => prev.eqDeletes ++ eq.toSeq) { prev =>
+        val fresh = prev.checks -- validatedChecks
+        if (fresh.nonEmpty) {
+          enforceChecksOnWritten(newFiles, fresh,
+            "the upserted batch (late check)", mergedNow.json)
+          validatedChecks ++= fresh.keySet
+        }
+        prev.files ++ newFiles
+      }
+    } catch {
+      case e: Throwable =>
+        newFiles.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+        eq.foreach(d => Files.deleteIfExists(Paths.get(d.path)))
+        throw e
+    }
+  }
+
+  /** Write a deduplicated key frame as ONE equality-delete parquet
+    * file under `deletes/`; None when the frame is empty. The sequence
+    * number is stamped at commit (the version is not known yet). */
+  private def writeEqFile(keys: DataFrame): Option[EqDeleteFile] = {
+    val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
+    keys.coalesce(1).write.parquet(stage.toString)
+    val walk = Files.walk(stage)
+    val part = try walk.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+      finally walk.close()
+    val delDir = rootPath.resolve("deletes")
+    Files.createDirectories(delDir)
+    val dest = delDir.resolve(s"${UUID.randomUUID()}.parquet")
+    Files.move(part.head, dest, StandardCopyOption.ATOMIC_MOVE)
+    LogTable.deleteRecursively(stage)
+    val (rows, _, _) = parquetFooterMeta(dest)
+    if (rows == 0L) { Files.deleteIfExists(dest); None }
+    else Some(EqDeleteFile(dest.toString, Files.size(dest),
+      keys.columns.toSeq, rows, 0L))
+  }
+
   /** Write `(file_path, pos)` marks as ONE position-delete parquet
     * file under `deletes/`; None when no row matched. The written file
     * is read back once (it is small — positions, not data) for exact
@@ -1941,7 +2112,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     commit("rollback", nextSchema = _ => target.schemaJson,
       nextChecks = _ => target.checks,
       nextRetired = _ => target.retired,
-      nextDeletes = _ => target.deletes)(_ => target.files)
+      nextDeletes = _ => target.deletes,
+      nextEqDeletes = _ => target.eqDeletes)(_ => target.files)
   }
 
   /** Drop all but the newest `keepLast` snapshots and delete data files
@@ -1995,7 +2167,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       // run expire from the maintenance role, as with Iceberg.
       val live = allLiveFiles()
       val dead = dropped.flatMap(s =>
-          s.files.map(_.path) ++ s.deletes.map(_.path))
+          s.files.map(_.path) ++ s.deletes.map(_.path) ++
+            s.eqDeletes.map(_.path))
         .distinct.filterNot(live.contains)
       dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
       // evict dropped versions from the parsed-snapshot cache so a
@@ -2018,7 +2191,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // other writers, so they take the uncached path.
     val mine = versions.flatMap { v =>
       val s = snapshot(v)
-      s.files.map(_.path) ++ s.deletes.map(_.path)
+      s.files.map(_.path) ++ s.deletes.map(_.path) ++ s.eqDeletes.map(_.path)
     }.toSet
     val branchDirs =
       if (!Files.isDirectory(mainLogDir)) Nil
@@ -2033,7 +2206,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     mine ++ others.flatMap(d =>
       listManifests(d).flatMap { m =>
         val s = readManifest(m._2)
-        s.files.map(_.path) ++ s.deletes.map(_.path)
+        s.files.map(_.path) ++ s.deletes.map(_.path) ++ s.eqDeletes.map(_.path)
       })
   }
 
@@ -2128,20 +2301,33 @@ final class LogTable private (val spark: SparkSession, val root: String,
       nextChecks: Snapshot => Map[String, String] = _.checks,
       nextRetired: Snapshot => Seq[String] = _.retired,
       nextDeletes: Snapshot => Seq[DeleteFile] = _.deletes,
-      nextSpec: Option[(Seq[String], Seq[Transform])] = None)(
+      nextSpec: Option[(Seq[String], Seq[Transform])] = None,
+      nextEqDeletes: Snapshot => Seq[EqDeleteFile] = _.eqDeletes)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
       attempts += 1
       val prev = snapshot()
-      val files = nextFiles(prev)
+      val ver = prev.version + 1
+      // DATA SEQUENCE stamping: files joining the table in THIS commit
+      // (seq not yet assigned) record the commit version — the
+      // ordering axis equality deletes apply along. Files carried
+      // forward (or restored by rollback) keep their original seq.
+      val files = nextFiles(prev).map(f =>
+        if (f.seq == 0L) f.copy(seq = ver) else f)
       // delete-file GC: a position-delete file whose referenced data
       // files ALL left the snapshot (compacted / COW-rewritten /
       // rolled away) marks nothing any reader can see — drop it from
       // the manifest (the physical file is reclaimed by expire /
-      // removeOrphans, as with data files)
+      // removeOrphans, as with data files). An EQUALITY delete dies
+      // when no live file is OLDER than it (every old row either left
+      // or was rewritten under a newer sequence with the delete
+      // already folded in).
       val livePaths = files.map(_.path).toSet
       val dels = nextDeletes(prev).filter(_.refPaths.exists(livePaths.contains))
+      val eqDels = nextEqDeletes(prev)
+        .map(d => if (d.seq == 0L) d.copy(seq = ver) else d)
+        .filter(d => files.exists(_.seq < d.seq))
       // partition-spec persistence: a handle that declares a spec records
       // it in the manifest; a spec-less handle (readers, maintenance jobs
       // opened via LogTable(spark, root)) carries the recorded one
@@ -2163,9 +2349,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
           (partitionBy, hiddenBy)
         } else (prev.partCols, prev.transforms)
       }
-      val next = Snapshot(prev.version + 1, prev.version, operation,
+      val next = Snapshot(ver, prev.version, operation,
         System.currentTimeMillis(), files, tag, nextSchema(prev),
-        nextChecks(prev), nextRetired(prev), dels, pc, tf)
+        nextChecks(prev), nextRetired(prev), dels, pc, tf, eqDels)
       val tmp = logDir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
       Files.writeString(tmp, renderManifest(next))
       try {
@@ -2421,6 +2607,7 @@ object LogTable {
     s.files.foreach { f =>
       val fn = arr.addObject()
       fn.put("path", f.path); fn.put("rows", f.rows); fn.put("bytes", f.bytes)
+      if (f.seq != 0L) fn.put("seq", f.seq)
       if (f.partitions.nonEmpty) {
         val pn = fn.putObject("partitions")
         f.partitions.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
@@ -2447,6 +2634,16 @@ object LogTable {
         d.counts.toSeq.sortBy(_._1).foreach { case (k, v) => cn.put(k, v) }
       }
     }
+    if (s.eqDeletes.nonEmpty) {
+      val dn = node.putArray("eqDeletes")
+      s.eqDeletes.foreach { d =>
+        val e = dn.addObject()
+        e.put("path", d.path); e.put("bytes", d.bytes)
+        e.put("rows", d.rows); e.put("seq", d.seq)
+        val cn = e.putArray("cols")
+        d.cols.foreach(cn.add)
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
 
@@ -2467,7 +2664,8 @@ object LogTable {
         }.toMap
       }.getOrElse(Map.empty[String, (String, String)])
       DataFile(f.get("path").asText(), f.get("rows").asLong(),
-        f.get("bytes").asLong(), parts, ranges, strRanges)
+        f.get("bytes").asLong(), parts, ranges, strRanges,
+        Option(f.get("seq")).map(_.asLong()).getOrElse(0L))
     }.toSeq
     Snapshot(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("operation").asText(), n.get("timestampMs").asLong(), files,
@@ -2487,7 +2685,12 @@ object LogTable {
         .getOrElse(Nil),
       Option(n.get("hiddenBy")).map(_.elements().asScala.map(t =>
         Transform(t.get("source").asText(), t.get("kind").asText(),
-          t.get("n").asLong())).toSeq).getOrElse(Nil))
+          t.get("n").asLong())).toSeq).getOrElse(Nil),
+      Option(n.get("eqDeletes")).map(_.elements().asScala.map { d =>
+        EqDeleteFile(d.get("path").asText(), d.get("bytes").asLong(),
+          d.get("cols").elements().asScala.map(_.asText()).toSeq,
+          d.get("rows").asLong(), d.get("seq").asLong())
+      }.toSeq).getOrElse(Nil))
   }
 
   // ------------------------------------------- field ids & name history
