@@ -560,9 +560,39 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** EQUALITY-UPSERT roundtrip ([[graft.sources.LogTable.upsertEq]] —
+    * Iceberg v2 equality deletes): the lake_merge shape again, but
+    * executed as key tombstones + an appended batch — O(source), no
+    * table scan, no file rewrite, the CDC ingest path. The read-back
+    * anti-joins the tombstones under the data-sequence guard; the
+    * oracle is the same UNION-ALL clause algebra, so an over-applied
+    * tombstone (sequence guard broken) or a surviving stale row
+    * breaks the hash. */
+  def lakeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_upsert_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    (0 until 2).foreach { i =>
+      table.append(ev.filter(pmod(col("event_id"), lit(2)) === i))
+    }
+    val updates = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+      .withColumn("value", col("value") + 1000.0)
+      .unionByName(ev.filter(pmod(col("event_id"), lit(17)) === 0)
+        .withColumn("event_id", col("event_id") + 10000000L))
+    table.upsertEq(updates, "event_id")
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_evolve" -> (lakeEvolve _),
     "lake_mor2" -> (lakeMor2 _),
+    "lake_upsert" -> (lakeUpsert _),
     "lake_mor" -> (lakeMor _),
     "lake_count_meta" -> (lakeCountMeta _),
     "lake_merge4" -> (lakeMerge4 _),
@@ -591,6 +621,16 @@ object Lakehouse {
         |WHERE event_type <> 'error'
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_upsert" ->
+      """WITH merged AS (
+        |  SELECT event_type, value FROM events WHERE event_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT event_type, value + 1000.0 FROM events WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT event_type, value FROM events WHERE event_id % 17 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_mor2" ->
       """WITH merged AS (
         |  SELECT event_type, value FROM events WHERE event_id % 10 <> 0

@@ -153,6 +153,15 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
     require(complete ||
         outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft sink supports Append and Complete output modes, got $outputMode")
+    // CDC mode: `option("upsertKey", <col>)` turns each micro-batch
+    // into an EQUALITY UPSERT (tombstone + append, O(batch)) instead
+    // of a plain append — a keyed changelog stream maintains the
+    // latest-row-per-key table at ingest rate, exactly-once under the
+    // same batch-id tags
+    val upsertKey = CaseInsensitiveMap(parameters).get("upsertKey")
+    require(upsertKey.isEmpty || !complete,
+      "upsertKey composes with Append mode (Complete already replaces " +
+        "the whole table per batch)")
     val spark = sqlCtx.sparkSession
     val table = tableFor(spark, root, parameters, partitionColumns)
     new org.apache.spark.sql.execution.streaming.Sink {
@@ -164,7 +173,10 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
         val batch = GraftBridge.materializeBatch(data)
         val tag = s"graft-sink-$batchId"
         if (complete) table.overwrite(batch, tag = tag)
-        else table.append(batch, tag = tag)
+        else upsertKey match {
+          case Some(k) => table.upsertEq(batch, k, tag = tag)
+          case None => table.append(batch, tag = tag)
+        }
         ()
       }
     }

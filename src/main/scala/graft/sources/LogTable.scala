@@ -1585,10 +1585,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * ingest rate) → [[mergeMor]] (position marks, needs one marking
     * scan) → [[merge]] (COW, full clause surface). Source keys must be
     * unique (enforced); schema evolution as append. */
-  def upsertEq(updates: DataFrame, key: String): Snapshot = {
+  def upsertEq(updates: DataFrame, key: String, tag: String = ""): Snapshot = {
     import org.apache.spark.sql.functions.{col, count, lit}
+    if (tag.nonEmpty && hasTag(tag)) return snapshot()
     val snap = snapshot()
-    if (snap.files.isEmpty) return append(updates)
+    if (snap.files.isEmpty) return append(updates, tag)
     require(updates.columns.exists(_.equalsIgnoreCase(key)),
       s"upsert key '$key' missing from the source")
     require(schemaOf(snap).fieldNames.exists(_.equalsIgnoreCase(key)),
@@ -1606,9 +1607,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
     try {
       enforceChecksOnWritten(newFiles, snap.checks, "the upserted batch",
         mergedNow.json)
-      commit("eq-upsert",
+      commit("eq-upsert", tag,
           nextSchema = prev => mergedSchemaWith(prev, updates.schema).json,
           nextEqDeletes = prev => prev.eqDeletes ++ eq.toSeq) { prev =>
+        // replay absorber, re-checked under the commit retry (cf. append)
+        if (tag.nonEmpty && hasTag(tag)) return snapshot()
         val fresh = prev.checks -- validatedChecks
         if (fresh.nonEmpty) {
           enforceChecksOnWritten(newFiles, fresh,
