@@ -84,7 +84,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val root = tableDir(ident)
-    if (!isTable(root)) throw new NoSuchTableException(ident)
+    if (!isTable(root)) {
+      // METADATA tables (Iceberg's `db.table.history` convention):
+      // `cat.ns.t.history|files|partitions|deletes` resolve when the
+      // identifier's namespace tail is a table — rows come straight
+      // from manifest metadata, planned as a LocalRelation
+      if (ident.namespace.nonEmpty) {
+        val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+        val proot = tableDir(parent)
+        if (isTable(proot)) {
+          val t = LogTable(spark, proot.toString)
+          val df = ident.name.toLowerCase match {
+            case "history" => Some(t.history())
+            case "files" => Some(t.filesTable())
+            case "partitions" => Some(t.partitionsTable())
+            case "deletes" => Some(t.deletesTable())
+            case _ => None
+          }
+          df.foreach(d => return new GraftLocalTable(
+            s"${parent.name}.${ident.name.toLowerCase}", d))
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     val t = LogTable(spark, root.toString) // adopts the persisted spec
     val snap = t.snapshot()
     val schema =

@@ -410,13 +410,23 @@ private[sources] final class GraftScanBuilder(root: String,
     fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   // map required names back to the table's own StructFields: the field
   // id / prev-name metadata MUST survive pruning or renamed columns
   // would lose their historical physical names in the scan
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var metaAgg: Option[(StructType, Array[Long])] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown, at FILE granularity: `SELECT ... LIMIT n` on a
+    * 100 TB table should plan a handful of files, not the table — the
+    * manifest's per-file row counts say when n rows are covered.
+    * Partially pushed (Spark keeps its own Limit on top), and applied
+    * only when no residual filter could thin the planned rows below
+    * n ([[GraftBatch.planInputPartitions]] re-checks). */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val byName = fullSchema.fields.map(f => f.name.toLowerCase -> f).toMap
@@ -480,7 +490,7 @@ private[sources] final class GraftScanBuilder(root: String,
 
   override def build(): Scan = metaAgg match {
     case Some((schema, values)) => new GraftMetaAggScan(root, schema, values)
-    case None => new GraftScan(root, required, options, pushed)
+    case None => new GraftScan(root, required, options, pushed, limit)
   }
 }
 
@@ -528,7 +538,8 @@ private[sources] final class GraftMetaAggReaderFactory
   * difference between scanning one partition and scanning the table,
   * decided at runtime with zero user hints. */
 private[sources] final class GraftScan(root: String, schema: StructType,
-    options: CaseInsensitiveStringMap, pushed: Array[Filter]) extends Scan
+    options: CaseInsensitiveStringMap, pushed: Array[Filter],
+    limit: Option[Int] = None) extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   @volatile private var runtime: Array[Filter] = Array.empty
@@ -536,6 +547,7 @@ private[sources] final class GraftScan(root: String, schema: StructType,
   override def readSchema(): StructType = schema
   override def description(): String =
     s"graft $root, PushedFilters: [${pushed.mkString(", ")}], " +
+      limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
       s"ReadSchema: ${schema.catalogString}"
 
   /** Manifest-accurate scan statistics, AFTER file pruning with the
@@ -558,7 +570,7 @@ private[sources] final class GraftScan(root: String, schema: StructType,
     }
   }
   override def toBatch: Batch =
-    new GraftBatch(root, schema, options, pushed ++ runtime)
+    new GraftBatch(root, schema, options, pushed ++ runtime, limit)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(root, schema, options, pushed)
 
@@ -613,6 +625,30 @@ private[sources] object GraftFilters {
     else {
       val cs = fs.map(toColumn)
       if (cs.exists(_.isEmpty)) None else Some(cs.flatten.reduce(_ && _))
+    }
+}
+
+/** A small driver-resolved table (catalog METADATA tables —
+  * `cat.ns.t.history` and friends): the rows are computed from
+  * manifest metadata at load time and served through Spark's
+  * [[org.apache.spark.sql.connector.read.LocalScan]], which plans
+  * them as a LocalRelation — no executors touched. */
+private[sources] final class GraftLocalTable(name0: String,
+    df: org.apache.spark.sql.DataFrame) extends Table with SupportsRead {
+  private val schema1 = df.schema
+  private val data = GraftBridge.collectRows(df)
+  override def name(): String = name0
+  override def schema(): StructType = schema1
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[InternalRow] = data
+          override def readSchema(): StructType = schema1
+          override def description(): String = s"graft metadata $name0"
+        }
     }
 }
 
@@ -850,7 +886,8 @@ private[sources] final class GraftMicroBatchStream(root: String,
 
 private[sources] final class GraftBatch(root: String, logical: StructType,
     options: CaseInsensitiveStringMap,
-    pushed: Array[Filter] = Array.empty) extends Batch {
+    pushed: Array[Filter] = Array.empty,
+    limit: Option[Int] = None) extends Batch {
   private val spark = SparkSession.active
   private val phys = GraftSourceUtil.physicalSchema(logical)
   // resolved ONCE: planInputPartitions and createReaderFactory must see
@@ -873,8 +910,29 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftPrune.filesFor(snap.files, snap.transforms, pushed.toSeq)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept = GraftPrune.filesFor(snap.files, snap.transforms, pushed.toSeq)
+    // file-level LIMIT: stop planning once the manifest guarantees
+    // enough LIVE rows. Sound only when nothing downstream of the
+    // file boundary can thin rows below the limit: no residual
+    // filters, no equality deletes (match counts unknown); position
+    // deletes subtract exactly via their per-file mark counts.
+    val planned = limit match {
+      case Some(n) if pushed.isEmpty && snap.eqDeletes.isEmpty =>
+        val marks = snap.deletes.flatMap(_.counts)
+          .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).sum }
+        var acc = 0L
+        val out = Seq.newBuilder[DataFile]
+        val it = kept.iterator
+        while (acc < n && it.hasNext) {
+          val f = it.next()
+          out += f
+          acc += f.rows - marks.getOrElse(f.path, 0L)
+        }
+        out.result()
+      case _ => kept
+    }
+    planned
       .map { f =>
         // a merge-on-read snapshot ships each file's referencing delete
         // files with its partition (manifest metadata only): the
@@ -890,6 +948,7 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
           : InputPartition
       }
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val mor =

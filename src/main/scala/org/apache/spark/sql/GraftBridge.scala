@@ -48,6 +48,14 @@ object GraftBridge {
         cdf.queryExecution.toRdd, cdf, isStreaming = false))
   }
 
+  /** Collect a small frame as InternalRows (executeCollect — already
+    * copied, safe to hold) — the catalog metadata tables serve these
+    * through a LocalScan. */
+  def collectRows(df: Dataset[Row])
+      : Array[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]]
+      .queryExecution.executedPlan.executeCollect()
+
   /** Decode the `.partitionBy(...)` columns DataFrameWriter smuggles
     * to v1 CreatableRelationProviders via options (the same channel
     * Delta reads). */

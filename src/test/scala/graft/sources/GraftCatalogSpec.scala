@@ -189,6 +189,25 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("CALL gtest.system.nope('m.t')") }
   }
 
+  test("metadata tables answer as cat.ns.t.history / .files / .partitions in pure SQL") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.md")
+    spark.sql("CREATE TABLE gtest.md.t (id BIGINT, kind STRING) PARTITIONED BY (kind)")
+    spark.sql("INSERT INTO gtest.md.t VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT INTO gtest.md.t VALUES (3,'a')")
+
+    val hist = spark.sql(
+      "SELECT version, operation FROM gtest.md.t.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist.map(_._2) === Seq("evolve-schema", "append", "append"))
+
+    assert(spark.sql("SELECT count(*) FROM gtest.md.t.files").as[Long].head() >= 2L)
+    val parts = spark.sql(
+      "SELECT * FROM gtest.md.t.partitions").columns
+    assert(parts.nonEmpty)
+    intercept[Exception] { spark.sql("SELECT * FROM gtest.md.t.nope").collect() }
+  }
+
   test("catalog writes honor CHECK constraints and reject duplicate creates") {
     warehouse
     spark.sql("CREATE TABLE gtest.chk (id BIGINT)")

@@ -388,6 +388,36 @@ class GraftSourceSpec extends SparkSpec {
     assert(df2.count() === 40L)
   }
 
+  test("LIMIT pushdown plans a file-bounded scan; filters disable the truncation") {
+    import spark.implicits._
+    val root = tmp("gsrc-lim")
+    val t = LogTable(spark, root)
+    (0 until 5).foreach(i =>
+      t.append((i * 10 until (i + 1) * 10).map(x => (x.toLong, s"s$x"))
+        .toDF("id", "s").coalesce(1)))
+    val totalFiles = t.snapshot().files.size
+    assert(totalFiles === 5)
+
+    val limited = spark.read.format("graft").load(root).limit(12)
+    assert(graftScanOf(limited).description().contains("PushedLimit: 12"))
+    val scans = limited.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.head.inputPartitions.size === 2,
+      "12 rows over 10-row files must plan exactly 2 files")
+    assert(limited.collect().length === 12)
+
+    // a filter makes file truncation unsound — every candidate file scans
+    val filtered = spark.read.format("graft").load(root)
+      .where($"id" >= 45L).limit(3)
+    assert(filtered.collect().length === 3)
+
+    // position deletes subtract exactly: marks shrink a file's live rows
+    t.deleteMor($"id" < 10L) // first file fully dead
+    val afterDel = spark.read.format("graft").load(root).limit(10)
+    assert(afterDel.collect().length === 10)
+  }
+
   test("the scan reports manifest-accurate statistics, post-pruning") {
     import spark.implicits._
     val root = tmp("gsrc-stats")
