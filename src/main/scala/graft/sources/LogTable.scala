@@ -142,7 +142,7 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
     schemaJson: String = "", checks: Map[String, String] = Map.empty,
     retired: Seq[String] = Nil, deletes: Seq[DeleteFile] = Nil,
     partCols: Seq[String] = Nil, transforms: Seq[Transform] = Nil,
-    eqDeletes: Seq[EqDeleteFile] = Nil) {
+    eqDeletes: Seq[EqDeleteFile] = Nil, bloomCols: Seq[String] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
   /** Rows visible to a reader of this snapshot: data-file rows minus
@@ -593,8 +593,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
           snap.files.filterNot(f => parentPaths.contains(f.path))
         // row-preserving commits: rewrites carry only already-delivered
         // rows; schema/spec evolution and checks are metadata-only
-        case "compact" | "recluster" | "set-check" | "evolve-schema" |
-             "evolve-spec" => Nil
+        case "compact" | "recluster" | "set-check" | "set-bloom" |
+             "evolve-schema" | "evolve-spec" => Nil
         case other => throw new IllegalStateException(
           s"cannot read v$v as appends: operation '$other' changes rows; " +
             "consume the changelog up to the maintenance boundary first")
@@ -1120,6 +1120,36 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * update enforces it AT THE WRITER, rejecting violating batches
     * before any file lands. SQL CHECK semantics: a NULL predicate is
     * not a violation. */
+  /** Enable PARQUET BLOOM FILTERS for `column` on future writes
+    * (Iceberg `write.parquet.bloom-filter-enabled.column.*` parity):
+    * every file written after this metadata commit carries a native
+    * parquet bloom filter for the column, and Spark's pushed
+    * equality/IN filters consult it for ROW-GROUP skipping at read —
+    * the point-lookup complement to the manifest's [min,max] file
+    * skipping, for high-cardinality columns the layout is NOT
+    * clustered on (a UUID or request-id probe into a time-clustered
+    * 100 TB log touches every file's range but misses almost every
+    * bloom). Existing files are unaffected (rewrite via compact /
+    * recluster to retrofit them). `expectedDistinct` sizes the filter
+    * (~1.2 bytes/value at 1% fpp) — without it parquet allocates its
+    * 1 MB maximum per column chunk, real bytes on small files. */
+  def addBloom(column: String, expectedDistinct: Long = 100000L): Snapshot = {
+    require(expectedDistinct > 0, "expectedDistinct must be positive")
+    val snap = snapshot()
+    if (snap.schemaJson.nonEmpty)
+      require(schemaOf(snap).fieldNames.exists(_.equalsIgnoreCase(column)),
+        s"bloom column '$column' is not a table column")
+    commit("set-bloom", nextBlooms = prev =>
+      prev.bloomCols.filterNot(_.split(":")(0).equalsIgnoreCase(column)) :+
+        s"$column:$expectedDistinct")(_.files)
+  }
+
+  /** Stop writing bloom filters for `column` (existing files keep
+    * theirs until rewritten). */
+  def dropBloom(column: String): Snapshot =
+    commit("set-bloom", nextBlooms = prev =>
+      prev.bloomCols.filterNot(_.split(":")(0).equalsIgnoreCase(column)))(_.files)
+
   def addCheck(name: String, predicateSql: String): Snapshot = {
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid check name '$name'")
     enforceChecks(read(), Map(name -> predicateSql), "existing table data")
@@ -2252,7 +2282,19 @@ final class LogTable private (val spark: SparkSession, val root: String,
       if (distribute && partCols.nonEmpty)
         laid.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
       else laid
-    val w = arranged.write
+    var w = arranged.write
+    // manifest-declared bloom columns ride into the write job's hadoop
+    // conf (parquet-mr writes the filters; pushed equality/IN filters
+    // consult them at read) — every write path inherits the property,
+    // so compact/recluster retrofit older files automatically
+    snapshot().bloomCols.foreach { entry =>
+      val parts = entry.split(":")
+      val (c, ndv) =
+        if (parts.length > 1) (parts(0), parts(1)) else (parts(0), "100000")
+      if (arranged.columns.exists(_.equalsIgnoreCase(c)))
+        w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", ndv)
+    }
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(stage.toString)
     val walk1 = Files.walk(stage)
@@ -2305,7 +2347,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       nextRetired: Snapshot => Seq[String] = _.retired,
       nextDeletes: Snapshot => Seq[DeleteFile] = _.deletes,
       nextSpec: Option[(Seq[String], Seq[Transform])] = None,
-      nextEqDeletes: Snapshot => Seq[EqDeleteFile] = _.eqDeletes)(
+      nextEqDeletes: Snapshot => Seq[EqDeleteFile] = _.eqDeletes,
+      nextBlooms: Snapshot => Seq[String] = _.bloomCols)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
@@ -2354,7 +2397,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       }
       val next = Snapshot(ver, prev.version, operation,
         System.currentTimeMillis(), files, tag, nextSchema(prev),
-        nextChecks(prev), nextRetired(prev), dels, pc, tf, eqDels)
+        nextChecks(prev), nextRetired(prev), dels, pc, tf, eqDels,
+        nextBlooms(prev))
       val tmp = logDir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
       Files.writeString(tmp, renderManifest(next))
       try {
@@ -2637,6 +2681,10 @@ object LogTable {
         d.counts.toSeq.sortBy(_._1).foreach { case (k, v) => cn.put(k, v) }
       }
     }
+    if (s.bloomCols.nonEmpty) {
+      val bn = node.putArray("bloomCols")
+      s.bloomCols.foreach(bn.add)
+    }
     if (s.eqDeletes.nonEmpty) {
       val dn = node.putArray("eqDeletes")
       s.eqDeletes.foreach { d =>
@@ -2693,7 +2741,9 @@ object LogTable {
         EqDeleteFile(d.get("path").asText(), d.get("bytes").asLong(),
           d.get("cols").elements().asScala.map(_.asText()).toSeq,
           d.get("rows").asLong(), d.get("seq").asLong())
-      }.toSeq).getOrElse(Nil))
+      }.toSeq).getOrElse(Nil),
+      Option(n.get("bloomCols")).map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Nil))
   }
 
   // ------------------------------------------- field ids & name history

@@ -159,4 +159,37 @@ class PlanContractSpec extends SparkSpec {
       "the packing window must stay partitioned by bucket")
     assert(count(p, "Join") === 0)
   }
+
+  /** The DSv2 `format("graft")` scale contracts: a refactor that
+    * silently drops the vectorized path, turns the metadata count
+    * back into a table scan, or un-bounds LIMIT planning fails here,
+    * not at 100 TB. */
+  test("DSv2 scan: clean snapshots are COLUMNAR; count(*) is a metadata scan; LIMIT is file-bounded") {
+    import org.apache.spark.sql.functions.{count => cnt, lit}
+    val root = java.nio.file.Files.createTempDirectory("contract_dsv2_").toString
+    val t = graft.sources.LogTable(spark, root)
+    (0 until 4).foreach(i => t.append(
+      spark.range(i * 100, (i + 1) * 100).selectExpr("id", "id * 2 AS v")
+        .coalesce(1)))
+
+    val scan = spark.read.format("graft").load(root)
+    val b = scan.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    assert(b.supportsColumnar, "clean snapshots must take the vectorized path")
+
+    val metaDesc = scan.agg(cnt(lit(1))).queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.head
+    assert(metaDesc.contains("metadata-aggregate"),
+      "whole-table count must never scan data files")
+
+    val lim = spark.read.format("graft").load(root).limit(150)
+    val lb = lim.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    assert(lb.inputPartitions.size === 2,
+      "LIMIT 150 over 100-row files must plan exactly 2 files")
+  }
 }
