@@ -411,7 +411,8 @@ private[sources] final class GraftScanBuilder(root: String,
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   // map required names back to the table's own StructFields: the field
   // id / prev-name metadata MUST survive pruning or renamed columns
   // would lose their historical physical names in the scan
@@ -427,6 +428,44 @@ private[sources] final class GraftScanBuilder(root: String,
     * only when no residual filter could thin the planned rows below
     * n ([[GraftBatch.planInputPartitions]] re-checks). */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  // both limit and top-n are FILE-level prunes — Spark's own operator
+  // still applies the exact row bound (the diamond override is
+  // required because both parent traits default this)
+  override def isPartiallyPushed(): Boolean = true
+
+  private var topN: Option[(String, Boolean, Boolean, Int)] = None
+
+  /** TOP-N pushdown — the reference's HEADLINE query shape ("recent-N
+    * by time desc", reference README.md:141-148) — again at FILE
+    * granularity: `ORDER BY c [DESC] LIMIT n` keeps only the files
+    * whose [min,max] range can reach the provable n-th value.
+    * Accepted for a single LONG sort column; soundness around NULLs
+    * comes from the manifest's per-file null counts (a file's
+    * guaranteed supply of comparable values is rows - nulls) —
+    * [[GraftBatch.planInputPartitions]] refuses when counts are
+    * missing or nulls sort toward the head. Partially pushed: Spark's
+    * own TakeOrdered still runs on the surviving files. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (orders.length != 1) return false
+    val o = orders(0)
+    val col = o.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        fullSchema.fields.find(f => f.name.equalsIgnoreCase(r.fieldNames()(0))
+          && f.dataType == org.apache.spark.sql.types.LongType).map(_.name)
+      case _ => None
+    }
+    col match {
+      case Some(c) =>
+        val desc = o.direction() == SortDirection.DESCENDING
+        val nullsFirst = o.nullOrdering() == NullOrdering.NULLS_FIRST
+        topN = Some((c, desc, nullsFirst, l))
+        true
+      case None => false
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val byName = fullSchema.fields.map(f => f.name.toLowerCase -> f).toMap
@@ -490,7 +529,7 @@ private[sources] final class GraftScanBuilder(root: String,
 
   override def build(): Scan = metaAgg match {
     case Some((schema, values)) => new GraftMetaAggScan(root, schema, values)
-    case None => new GraftScan(root, required, options, pushed, limit)
+    case None => new GraftScan(root, required, options, pushed, limit, topN)
   }
 }
 
@@ -539,7 +578,8 @@ private[sources] final class GraftMetaAggReaderFactory
   * decided at runtime with zero user hints. */
 private[sources] final class GraftScan(root: String, schema: StructType,
     options: CaseInsensitiveStringMap, pushed: Array[Filter],
-    limit: Option[Int] = None) extends Scan
+    limit: Option[Int] = None,
+    topN: Option[(String, Boolean, Boolean, Int)] = None) extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   @volatile private var runtime: Array[Filter] = Array.empty
@@ -548,6 +588,8 @@ private[sources] final class GraftScan(root: String, schema: StructType,
   override def description(): String =
     s"graft $root, PushedFilters: [${pushed.mkString(", ")}], " +
       limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
+      topN.map { case (c, d, _, n) =>
+        s"PushedTopN: $n BY $c${if (d) " DESC" else ""}, " }.getOrElse("") +
       s"ReadSchema: ${schema.catalogString}"
 
   /** Manifest-accurate scan statistics, AFTER file pruning with the
@@ -570,7 +612,7 @@ private[sources] final class GraftScan(root: String, schema: StructType,
     }
   }
   override def toBatch: Batch =
-    new GraftBatch(root, schema, options, pushed ++ runtime, limit)
+    new GraftBatch(root, schema, options, pushed ++ runtime, limit, topN)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(root, schema, options, pushed)
 
@@ -887,7 +929,8 @@ private[sources] final class GraftMicroBatchStream(root: String,
 private[sources] final class GraftBatch(root: String, logical: StructType,
     options: CaseInsensitiveStringMap,
     pushed: Array[Filter] = Array.empty,
-    limit: Option[Int] = None) extends Batch {
+    limit: Option[Int] = None,
+    topN: Option[(String, Boolean, Boolean, Int)] = None) extends Batch {
   private val spark = SparkSession.active
   private val phys = GraftSourceUtil.physicalSchema(logical)
   // resolved ONCE: planInputPartitions and createReaderFactory must see
@@ -911,7 +954,50 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val kept = GraftPrune.filesFor(snap.files, snap.transforms, pushed.toSeq)
+    val kept0 = GraftPrune.filesFor(snap.files, snap.transforms, pushed.toSeq)
+    // file-level TOP-N (`ORDER BY c [DESC] LIMIT n` — the reference's
+    // recent-N headline shape): rank files by the best value they can
+    // offer, accumulate each file's GUARANTEED comparable supply
+    // (rows - nulls, all >= its min for DESC) until n is covered, and
+    // drop every file whose range cannot reach the resulting
+    // threshold. Sound only on a clean snapshot with no residual
+    // filters, null counts known, and nulls sorting toward the tail
+    // (otherwise unknown files' nulls could place in the top n).
+    val kept = topN match {
+      case Some((c, desc, nullsFirst, n))
+          if pushed.isEmpty && snap.deletes.isEmpty &&
+            snap.eqDeletes.isEmpty =>
+        val withRows = kept0.filter(_.rows > 0)
+        val known = withRows.forall(f =>
+          f.ranges.contains(c) && f.nulls.contains(c))
+        val anyNulls = withRows.exists(f => f.nulls.getOrElse(c, 0L) > 0L)
+        if (!known || (anyNulls && nullsFirst)) kept0
+        else {
+          val ordered =
+            if (desc) withRows.sortBy(f => -f.ranges(c)._2)
+            else withRows.sortBy(f => f.ranges(c)._1)
+          var acc = 0L
+          val taken = Seq.newBuilder[DataFile]
+          val it = ordered.iterator
+          while (acc < n && it.hasNext) {
+            val f = it.next()
+            taken += f
+            acc += f.rows - f.nulls(c)
+          }
+          if (acc < n) kept0 // cannot prove n comparable rows — scan all
+          else {
+            val t = taken.result()
+            val thr =
+              if (desc) t.map(_.ranges(c)._1).min
+              else t.map(_.ranges(c)._2).max
+            withRows.filter { f =>
+              val (mn, mx) = f.ranges(c)
+              if (desc) mx >= thr else mn <= thr
+            }
+          }
+        }
+      case _ => kept0
+    }
     // file-level LIMIT: stop planning once the manifest guarantees
     // enough LIVE rows. Sound only when nothing downstream of the
     // file boundary can thin rows below the limit: no residual

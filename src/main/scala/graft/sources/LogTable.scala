@@ -34,7 +34,11 @@ final case class DataFile(path: String, rows: Long, bytes: Long,
       * appended after a delete are never affected by it. 0 = unknown
       * (legacy manifest entry): treated as older than every delete,
       * which can only over-apply deletes that predate the feature. */
-    seq: Long = 0L)
+    seq: Long = 0L,
+    /** Per-column NULL counts for the columns in `ranges` (absent =
+      * unknown): what turns footer [min,max] into a sound TOP-N file
+      * pruner — "this file supplies rows - nulls values >= min". */
+    nulls: Map[String, Long] = Map.empty)
 
 /** One EQUALITY-DELETE file of a snapshot (Iceberg v2's second delete
   * form): a parquet file of KEY TUPLES over `cols`, marking every row
@@ -1673,7 +1677,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val dest = delDir.resolve(s"${UUID.randomUUID()}.parquet")
     Files.move(part.head, dest, StandardCopyOption.ATOMIC_MOVE)
     LogTable.deleteRecursively(stage)
-    val (rows, _, _) = parquetFooterMeta(dest)
+    val (rows, _, _, _) = parquetFooterMeta(dest)
     if (rows == 0L) { Files.deleteIfExists(dest); None }
     else Some(EqDeleteFile(dest.toString, Files.size(dest),
       keys.columns.toSeq, rows, 0L))
@@ -2326,9 +2330,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
       implicit val ec: ExecutionContext = ExecutionContext.global
       Await.result(Future.traverse(placed) { case (dest, partVals) =>
         Future {
-          val (rows, ranges, strRanges) = parquetFooterMeta(dest)
+          val (rows, ranges, strRanges, nulls) = parquetFooterMeta(dest)
           DataFile(dest.toString, rows, Files.size(dest), partVals,
-            ranges, strRanges)
+            ranges, strRanges, nulls = nulls)
         }
       }, Duration.Inf)
     }
@@ -2428,7 +2432,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * are kept only when pure-ASCII and ≤64 bytes, where parquet's
     * unsigned-byte comparator and Java's string order provably agree. */
   private def parquetFooterMeta(p: Path):
-      (Long, Map[String, (Long, Long)], Map[String, (String, String)]) = {
+      (Long, Map[String, (Long, Long)], Map[String, (String, String)],
+        Map[String, Long]) = {
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
     val reader = ParquetFileReader.open(in)
@@ -2474,7 +2479,23 @@ final class LogTable private (val spark: SparkSession, val root: String,
           val rs = per.map(_(k))
           k -> (rs.map(_._1).min, rs.map(_._2).max)
         }.toMap
-      (reader.getRecordCount, fold(perBlock), fold(perBlockStr))
+      // per-column null counts for the range-carrying columns, summed
+      // across blocks — recorded only when EVERY block reports them
+      val perBlockNulls: Seq[Map[String, Long]] = blocks.map { b =>
+        b.getColumns.asScala.flatMap { c =>
+          val tpe = c.getPrimitiveType.getPrimitiveTypeName
+          val st = c.getStatistics
+          if ((tpe == INT64 || tpe == INT32) && st != null &&
+              st.isNumNullsSet && c.getPath.size() == 1)
+            Some(c.getPath.toDotString -> st.getNumNulls)
+          else None
+        }.toMap
+      }
+      val nulls =
+        if (perBlockNulls.isEmpty) Map.empty[String, Long]
+        else perBlockNulls.map(_.keySet).reduce(_ & _)
+          .map(k => k -> perBlockNulls.map(_(k)).sum).toMap
+      (reader.getRecordCount, fold(perBlock), fold(perBlockStr), nulls)
     } finally reader.close()
   }
 }
@@ -2655,6 +2676,10 @@ object LogTable {
       val fn = arr.addObject()
       fn.put("path", f.path); fn.put("rows", f.rows); fn.put("bytes", f.bytes)
       if (f.seq != 0L) fn.put("seq", f.seq)
+      if (f.nulls.nonEmpty) {
+        val nn = fn.putObject("nulls")
+        f.nulls.toSeq.sortBy(_._1).foreach { case (k, v) => nn.put(k, v) }
+      }
       if (f.partitions.nonEmpty) {
         val pn = fn.putObject("partitions")
         f.partitions.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
@@ -2716,7 +2741,9 @@ object LogTable {
       }.getOrElse(Map.empty[String, (String, String)])
       DataFile(f.get("path").asText(), f.get("rows").asLong(),
         f.get("bytes").asLong(), parts, ranges, strRanges,
-        Option(f.get("seq")).map(_.asLong()).getOrElse(0L))
+        Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
+        Option(f.get("nulls")).map(_.fields().asScala.map(e =>
+          e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty))
     }.toSeq
     Snapshot(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("operation").asText(), n.get("timestampMs").asLong(), files,

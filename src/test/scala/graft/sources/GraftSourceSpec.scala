@@ -418,6 +418,44 @@ class GraftSourceSpec extends SparkSpec {
     assert(afterDel.collect().length === 10)
   }
 
+  test("TopN pushdown: ORDER BY ts DESC LIMIT n plans only range-reachable files") {
+    import spark.implicits._
+    val root = tmp("gsrc-topn")
+    val t = LogTable(spark, root)
+    // 5 time-disjoint slabs of 10 rows — a clustered log's shape
+    (0 until 5).foreach(d =>
+      t.append((0 until 10).map(i => (d * 1000L + i, s"v$d-$i"))
+        .toDF("ts", "s").coalesce(1)))
+
+    val recent = spark.read.format("graft").load(root)
+      .orderBy($"ts".desc).limit(12)
+    assert(graftScanOf(recent).description().contains("PushedTopN: 12 BY ts DESC"))
+    val scans = recent.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.head.inputPartitions.size === 2,
+      "the 12 most recent rows live provably in the 2 newest slabs")
+    assert(recent.select("ts").as[Long].collect().toSeq ===
+      (4000L to 4009L).reverse ++ Seq(3009L, 3008L))
+
+    // ascending works symmetrically
+    val oldest = spark.read.format("graft").load(root)
+      .orderBy($"ts".asc).limit(10)
+    val ascScans = oldest.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(ascScans.head.inputPartitions.size === 1)
+    assert(oldest.select("ts").as[Long].collect().toSeq === (0L until 10L))
+
+    // NULLs in the sort column: counts are in the manifest, nulls sort
+    // last under DESC — pruning stays exact
+    t.append(Seq((Option.empty[Long], "null-row")).toDF("ts", "s"))
+    val withNull = spark.read.format("graft").load(root)
+      .orderBy($"ts".desc).limit(3)
+    assert(withNull.select("ts").as[Option[Long]].collect().toSeq ===
+      Seq(Some(4009L), Some(4008L), Some(4007L)))
+  }
+
   test("the scan reports manifest-accurate statistics, post-pruning") {
     import spark.implicits._
     val root = tmp("gsrc-stats")
