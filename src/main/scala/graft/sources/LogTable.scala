@@ -871,10 +871,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * file — path, marked positions, bytes, referenced data files.
     * Manifest metadata only, no data I/O. */
   def deletesTable(version: Long = currentVersion): DataFrame = {
-    val rows = snapshot(version).deletes.map(d =>
-      (d.path, d.rows, d.bytes, d.refPaths.size.toLong))
+    val s = snapshot(version)
+    // position deletes reference files explicitly; an equality delete
+    // applies to every file OLDER than it (its n_ref_files is that
+    // census — how much of the table the tombstones still burden)
+    val rows = s.deletes.map(d =>
+      ("position", d.path, d.rows, d.bytes, d.refPaths.size.toLong)) ++
+      s.eqDeletes.map(d =>
+        ("equality", d.path, d.rows, d.bytes,
+          s.files.count(_.seq < d.seq).toLong))
     import spark.implicits._
-    rows.toDF("path", "marks", "bytes", "n_ref_files")
+    rows.toDF("kind", "path", "marks", "bytes", "n_ref_files")
   }
 
   /** Register this table's data and metadata as SQL views:

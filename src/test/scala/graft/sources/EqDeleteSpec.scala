@@ -147,6 +147,11 @@ class EqDeleteSpec extends SparkSpec {
     assert(t.snapshot().operation === "eq-upsert")
     assert(GraftSql.exec(spark, "SELECT s FROM eq_sql_t WHERE id = 5")
       .head().getString(0) === "UP5")
+    // the debt gauge shows the equality tombstones and their burden
+    val gauge = GraftSql.exec(spark,
+      "SELECT kind, marks, n_ref_files FROM eq_sql_t_deletes WHERE kind = 'equality'")
+      .collect()
+    assert(gauge.nonEmpty && gauge.forall(_.getLong(2) > 0L))
     // after compact everything folds; the metadata fast path returns
     t.compact()
     assert(t.snapshot().eqDeletes.isEmpty)
