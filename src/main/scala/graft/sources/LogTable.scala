@@ -1492,18 +1492,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val marked = readLivePos(snap, snap.files)
       .filter(coalesce(condition, lit(false)))
       .select(col(LogTable.FileCol).as("file_path"), col(LogTable.PosCol).as("pos"))
-    val written = writeDeleteFile(marked)
+    val written = writeDeleteFiles(marked, snap.files.size)
     if (written.isEmpty) return snap
-    val del = written.get
-    commit("mor-delete", nextDeletes = prev => prev.deletes :+ del) { prev =>
+    commit("mor-delete", nextDeletes = prev => prev.deletes ++ written) { prev =>
       // positions are only meaningful against the exact snapshot that
       // was scanned: a concurrent rewrite of a referenced file, or any
       // concurrent delete-file change (another MoR delete could have
       // marked overlapping positions), invalidates them → re-plan
       val prevPaths = prev.files.map(_.path).toSet
-      if (!del.refPaths.forall(prevPaths.contains) ||
+      if (written.exists(d => !d.refPaths.forall(prevPaths.contains)) ||
           prev.deletes.map(_.path) != snap.deletes.map(_.path)) {
-        Files.deleteIfExists(Paths.get(del.path))
+        written.foreach(d => Files.deleteIfExists(Paths.get(d.path)))
         throw LogTable.StaleSourceFiles
       }
       prev.files
@@ -1551,7 +1550,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       .join(updates.select(col(key)).distinct(), Seq(key), "left_semi")
       .select(col(LogTable.FileCol).as("file_path"),
         col(LogTable.PosCol).as("pos"))
-    val del = writeDeleteFile(marked)
+    val del = writeDeleteFiles(marked, snap.files.size)
     val newFiles = writeDataFiles(conformTypes(updates, mergedNow),
       distribute = true)
     var validatedChecks = snap.checks.keySet
@@ -1560,7 +1559,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         mergedNow.json)
       commit("mor-merge",
           nextSchema = prev => mergedSchemaWith(prev, updates.schema).json,
-          nextDeletes = prev => prev.deletes ++ del.toSeq) { prev =>
+          nextDeletes = prev => prev.deletes ++ del) { prev =>
         // positions are only meaningful against the exact snapshot that
         // was scanned (cf. deleteMorOnce): a rewrite of a referenced
         // file or any concurrent delete-file change invalidates them
@@ -1690,32 +1689,54 @@ final class LogTable private (val spark: SparkSession, val root: String,
       keys.columns.toSeq, rows, 0L))
   }
 
-  /** Write `(file_path, pos)` marks as ONE position-delete parquet
-    * file under `deletes/`; None when no row matched. The written file
-    * is read back once (it is small — positions, not data) for exact
-    * per-data-file mark counts, keyed by manifest path. */
-  private def writeDeleteFile(marked: DataFrame): Option[DeleteFile] = {
+  /** Write `(file_path, pos)` marks as SHARDED position-delete parquet
+    * files under `deletes/`; Nil when no row matched. Marks hash-shard
+    * by `file_path` — one delete file per ~[[LogTable.DeleteShardSpan]]
+    * referenced data files — so a large deleteMor/mergeMor marking
+    * pass writes in parallel instead of funnelling every position
+    * through one task (Iceberg likewise splits delete files along the
+    * data-file axis), and each data file's marks land WHOLLY in one
+    * delete file, keeping per-file read amplification at one delete
+    * read. At CDC batch sizes `candidateFiles` is small → one shard,
+    * the old shape. The staged shards are read back once (positions,
+    * not data) for exact per-data-file mark counts, keyed by manifest
+    * path. */
+  private def writeDeleteFiles(marked: DataFrame,
+      candidateFiles: Int): Seq[DeleteFile] = {
+    import org.apache.spark.sql.functions.col
+    val shards = math.max(1, math.min(
+      (candidateFiles + LogTable.DeleteShardSpan - 1) / LogTable.DeleteShardSpan,
+      256))
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
-    // one output file: a delete file is positions only — orders of
-    // magnitude smaller than the data it marks; a production variant
-    // would shard per partition tuple as Iceberg does
-    marked.coalesce(1).write.parquet(stage.toString)
+    marked.repartition(shards, col("file_path")).write.parquet(stage.toString)
     val walk = Files.walk(stage)
-    val part = try walk.iterator().asScala
+    val parts = try walk.iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
       finally walk.close()
+    if (parts.isEmpty) { LogTable.deleteRecursively(stage); return Nil }
+    // ONE read-back job over all shards: per-(shard, data file) counts
+    val byShard = spark.read.schema(LogTable.DeleteSchema)
+      .parquet(stage.toString)
+      .groupBy(org.apache.spark.sql.functions
+        .input_file_name().as("_shard"), col("file_path")).count()
+      .collect()
+      .groupBy(r => LogTable.localPath(r.getString(0)))
+      .map { case (shard, rows) =>
+        shard -> rows.map(r => LogTable.localPath(r.getString(1)) -> r.getLong(2)).toMap
+      }
     val delDir = rootPath.resolve("deletes")
     Files.createDirectories(delDir)
-    val dest = delDir.resolve(s"${UUID.randomUUID()}.parquet")
-    Files.move(part.head, dest, StandardCopyOption.ATOMIC_MOVE)
+    val out = parts.flatMap { part =>
+      val counts = byShard.getOrElse(part.toString, Map.empty[String, Long])
+      if (counts.isEmpty) None // empty shard — no marked row landed here
+      else {
+        val dest = delDir.resolve(s"${UUID.randomUUID()}.parquet")
+        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+        Some(DeleteFile(dest.toString, Files.size(dest), counts))
+      }
+    }
     LogTable.deleteRecursively(stage)
-    val counts = spark.read.schema(LogTable.DeleteSchema)
-      .parquet(dest.toString)
-      .groupBy(org.apache.spark.sql.functions.col("file_path")).count()
-      .collect()
-      .map(r => LogTable.localPath(r.getString(0)) -> r.getLong(1)).toMap
-    if (counts.isEmpty) { Files.deleteIfExists(dest); None }
-    else Some(DeleteFile(dest.toString, Files.size(dest), counts))
+    out
   }
 
   /** Copy-on-write row-level UPDATE (Iceberg/Delta
@@ -2367,11 +2388,23 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val prev = snapshot()
       val ver = prev.version + 1
       // DATA SEQUENCE stamping: files joining the table in THIS commit
-      // (seq not yet assigned) record the commit version — the
-      // ordering axis equality deletes apply along. Files carried
-      // forward (or restored by rollback) keep their original seq.
+      // (seq not yet assigned) take a TABLE-GLOBAL monotonic sequence —
+      // the ordering axis equality deletes apply along. The counter is
+      // max(live file seq, live eq-delete seq, lineage version) + 1,
+      // NOT the lineage-local version: a branch re-bases its manifest
+      // lineage at v1 while carrying main-stamped (high) seqs, so
+      // version-stamping would give branch appends seqs BELOW carried
+      // equality tombstones — silently deleting the new rows — and
+      // would let a branch-issued deleteEq be GC'd as "older than every
+      // file". Iceberg's sequence numbers are likewise table-global and
+      // monotonic across refs. On an unbranched lineage the counter
+      // degenerates to exactly the old `prev.version + 1`. Files
+      // carried forward (or restored by rollback) keep their original
+      // seq.
+      val seqStamp = (prev.files.map(_.seq) ++
+        prev.eqDeletes.map(_.seq) :+ prev.version).max + 1
       val files = nextFiles(prev).map(f =>
-        if (f.seq == 0L) f.copy(seq = ver) else f)
+        if (f.seq == 0L) f.copy(seq = seqStamp) else f)
       // delete-file GC: a position-delete file whose referenced data
       // files ALL left the snapshot (compacted / COW-rewritten /
       // rolled away) marks nothing any reader can see — drop it from
@@ -2383,7 +2416,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val livePaths = files.map(_.path).toSet
       val dels = nextDeletes(prev).filter(_.refPaths.exists(livePaths.contains))
       val eqDels = nextEqDeletes(prev)
-        .map(d => if (d.seq == 0L) d.copy(seq = ver) else d)
+        .map(d => if (d.seq == 0L) d.copy(seq = seqStamp) else d)
         .filter(d => files.exists(_.seq < d.seq))
       // partition-spec persistence: a handle that declares a spec records
       // it in the manifest; a spec-less handle (readers, maintenance jobs
@@ -2515,6 +2548,11 @@ object LogTable {
     * colliding user columns loudly). */
   private[sources] val FileCol = "_del_file"
   private[sources] val PosCol = "_del_pos"
+  /** Position-delete sharding: one delete file per up to this many
+    * referenced data files (capped at 256 shards). Keeps a large
+    * marking pass parallel on the write side without exploding tiny
+    * delete files on the read side. */
+  private[sources] val DeleteShardSpan = 8
   /** Schema of a position-delete parquet file: the row's source data
     * file (as the scan's `_metadata.file_path` renders it) and its
     * 0-based row index within that file. */

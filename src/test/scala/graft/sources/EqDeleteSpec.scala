@@ -158,6 +158,45 @@ class EqDeleteSpec extends SparkSpec {
     assert(spark.read.format("graft").load(t.root).count() === 10L)
   }
 
+  test("sequence numbers are table-global across branch lineages") {
+    // A branch re-bases its manifest lineage at v1 while carrying
+    // main-stamped files and tombstones. Version-local stamping would
+    // (a) give branch appends seqs BELOW a carried tombstone — the
+    // tombstone silently eats the new rows — and (b) stamp a
+    // branch-issued deleteEq below most carried files, so it applies
+    // to almost nothing. Global monotonic stamping fixes both.
+    val t = freshTable()
+    t.append(df(0 until 4))                  // seq 1
+    t.append(Seq((10L, "b")).toDF("id", "s")) // seq 2
+    t.append(Seq((20L, "c")).toDF("id", "s")) // seq 3
+    t.deleteEq(Seq(10L).toDF("id"))          // tombstone at seq 4
+
+    // (a) append on the branch: rows with the tombstoned key must
+    // SURVIVE — they are newer than the carried tombstone
+    val b = t.createBranch("wap")
+    b.append(Seq((10L, "reborn")).toDF("id", "s"))
+    assert(b.read().filter(col("id") === 10L).count() === 1L,
+      "branch-appended row eaten by a carried main tombstone")
+    assert(b.read().count() === 6L) // ids 0..3, reborn 10, 20
+
+    // (b) deleteEq issued ON the branch must outrank EVERY carried
+    // file, including the newest (seq 3) one
+    val s = b.deleteEq(Seq(20L).toDF("id"))
+    assert(s.eqDeletes.exists(_.seq > 4L), "branch tombstone GC'd or under-stamped")
+    assert(b.read().filter(col("id") === 20L).count() === 0L,
+      "branch tombstone skipped a carried data file")
+
+    // publish: main adopts the branch seqs and stays monotonic
+    t.fastForward("wap")
+    assert(t.read().filter(col("id") === 10L).head().getString(1) === "reborn")
+    assert(t.read().filter(col("id") === 20L).count() === 0L)
+    t.append(Seq((30L, "d")).toDF("id", "s"))
+    assert(t.read().filter(col("id") === 30L).count() === 1L,
+      "post-publish append under-stamped vs published tombstones")
+    // main on an unbranched lineage still equals the old version stamp
+    assert(t.snapshot().files.map(_.seq).max > s.eqDeletes.map(_.seq).max)
+  }
+
   test("expire reclaims equality-delete files of dropped snapshots") {
     val t = freshTable()
     t.append(df(0 until 5).coalesce(1))

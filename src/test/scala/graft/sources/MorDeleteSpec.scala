@@ -83,6 +83,27 @@ class MorDeleteSpec extends SparkSpec {
     assert(t.timeTravel(preVersion).count() === 15L)
   }
 
+  test("a large marking pass shards its delete files along the data-file axis") {
+    val t = freshTable()
+    // 24 data files → ceil(24/8) = 3 shards; every file holds marks
+    t.append(df(0 until 240).repartition(24))
+    assert(t.snapshot().files.size === 24)
+    val s = t.deleteMor(col("id") % 10 === 0) // 24 marked rows, all files
+    assert(s.deletes.size === 3,
+      s"marking pass should shard, got ${s.deletes.size} delete file(s)")
+    // every data file's marks land WHOLLY in one delete file (read
+    // amplification: one delete read per data file)
+    val owners = s.deletes.flatMap(d => d.counts.keys.map(_ -> d.path))
+    assert(owners.map(_._1).distinct.size === owners.size,
+      "a data file's marks straddle delete files")
+    assert(s.deletes.map(_.counts.values.sum).sum === 24L)
+    assert(t.read().count() === 216L)
+    assert(t.countMeta() === 216L) // mark counts stay exact per file
+    // compact folds all shards; the debt gauge returns to zero
+    t.compact()
+    assert(t.snapshot().deletes.isEmpty && t.read().count() === 216L)
+  }
+
   test("COW delete/update on a table with outstanding MoR deletes never resurrects marked rows") {
     val t = freshTable()
     t.append(df(0 until 40).coalesce(1)) // one data file
