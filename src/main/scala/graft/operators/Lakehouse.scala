@@ -441,6 +441,49 @@ object Lakehouse {
          |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** Catalog SQL ROW-LEVEL DML — `UPDATE`, `MERGE INTO` (full clause
+    * surface) and an arbitrary-predicate `DELETE`, each through
+    * SPARK'S OWN row-level planner ([[graft.sources.GraftTable]]'s
+    * `SupportsRowLevelOperations` → group-based ReplaceData with
+    * runtime group filtering): the rewrite touches only the files
+    * holding matching rows — at 100 TB, a keyed MERGE rewrites a
+    * bounded file set, never the table. This is the SQL surface the
+    * reference's Trino users run verbatim (reference
+    * README.md:125-168). Oracle = the same DML folded into CTEs over
+    * the source parquet. */
+  def lakeCatalogDml(s: SparkSession, dir: String): DataFrame = {
+    CatalogFixture.ensure(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    s.sql("DROP TABLE IF EXISTS graft_cat.lake.ev_dml")
+    s.sql(
+      """CREATE TABLE graft_cat.lake.ev_dml (
+        |  event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+        |""".stripMargin)
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("ev_dml_src")
+    s.sql("""INSERT INTO graft_cat.lake.ev_dml
+            |SELECT * FROM ev_dml_src WHERE event_id % 4 = 0""".stripMargin)
+    s.sql("""INSERT INTO graft_cat.lake.ev_dml
+            |SELECT * FROM ev_dml_src WHERE event_id % 4 = 2""".stripMargin)
+    s.sql("""UPDATE graft_cat.lake.ev_dml
+            |SET value = value + 10.0 WHERE event_type = 'click'""".stripMargin)
+    s.sql(
+      """MERGE INTO graft_cat.lake.ev_dml t
+        |USING (SELECT * FROM ev_dml_src WHERE event_id % 5 = 1) m
+        |ON t.event_id = m.event_id
+        |WHEN MATCHED AND m.value < 50 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET value = m.value
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // not expressible in the v1 filter algebra → group-based rewrite
+    s.sql("DELETE FROM graft_cat.lake.ev_dml WHERE event_id % 3 = 0")
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM graft_cat.lake.ev_dml
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   private object CatalogFixture {
     @volatile private var done = false
     def ensure(s: SparkSession): Unit = synchronized {
@@ -599,6 +642,7 @@ object Lakehouse {
     "lake_hidden" -> (lakeHidden _),
     "lake_dsv2" -> (lakeDsv2 _),
     "lake_catalog" -> (lakeCatalog _),
+    "lake_catalog_dml" -> (lakeCatalogDml _),
     "lake_sql" -> (lakeSql _),
     "lake_sql_tt" -> (lakeSqlTt _),
     "lake_skipped" -> (lakeSkipped _),
@@ -683,6 +727,26 @@ object Lakehouse {
         |WHERE event_type <> 'view'
         |  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_catalog_dml" ->
+      """WITH src AS (SELECT event_id, user_id, event_type, value FROM events),
+        |base AS (SELECT * FROM src WHERE event_id % 2 = 0),
+        |upd AS (SELECT event_id, user_id, event_type,
+        |  CASE WHEN event_type = 'click' THEN value + 10.0 ELSE value END AS value
+        |  FROM base),
+        |m AS (SELECT * FROM src WHERE event_id % 5 = 1),
+        |afterm AS (
+        |  SELECT u.event_id, u.user_id, u.event_type,
+        |    CASE WHEN m.event_id IS NOT NULL THEN m.value ELSE u.value END AS value
+        |  FROM upd u LEFT JOIN m ON u.event_id = m.event_id
+        |  WHERE m.event_id IS NULL OR m.value >= 50 OR m.value IS NULL
+        |  UNION ALL
+        |  SELECT m.event_id, m.user_id, m.event_type, m.value
+        |  FROM m LEFT JOIN upd u ON m.event_id = u.event_id
+        |  WHERE u.event_id IS NULL),
+        |fin AS (SELECT * FROM afterm WHERE event_id % 3 <> 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_sql" ->
       """WITH upd AS (
         |  SELECT event_id,

@@ -184,6 +184,16 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
 }
 
 private[sources] object GraftSourceUtil {
+  /** The `_file` METADATA COLUMN (Iceberg's name for the same thing):
+    * the manifest path of the row's data file. Resolvable in any
+    * query (`SELECT _file, * FROM t`) and the GROUP IDENTITY of the
+    * row-level-operation seam — runtime group filtering narrows a
+    * catalog UPDATE/MERGE/DELETE to the files that actually hold
+    * matching rows by IN-filtering on it. A real data column of the
+    * same name shadows it (Spark hides the metadata column; the
+    * reader prefers the physical field). */
+  val FileColName = "_file"
+
   /** Resolve the batch-read snapshot: versionAsOf > timestampAsOf >
     * current. */
   def snapshotFor(t: LogTable, options: CaseInsensitiveStringMap): Snapshot = {
@@ -301,7 +311,38 @@ private[sources] final class GraftTable(root: String, schema0: StructType,
     writable: Boolean = false, pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** `_file` — resolvable in queries and the group identity of the
+    * row-level seam below. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = GraftSourceUtil.FileColName
+      override def dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment: String = "manifest path of the row's data file"
+    })
+
+  /** Catalog SQL `UPDATE` / `MERGE INTO` / arbitrary-predicate
+    * `DELETE` through Spark's OWN row-level planner (the last SQL seam
+    * where this catalog previously diverged from Iceberg's Spark
+    * integration): Spark rewrites the command into a group-based
+    * ReplaceData over this table — scan the affected groups (with
+    * static manifest pruning from the command condition, then runtime
+    * group filtering down to files holding ACTUAL matches), apply the
+    * command to their rows, and [[GraftRowLevelOperation]]'s write
+    * commits the group swap through LogTable's machinery. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot modify $name — it is a time-travel handle pinned to a snapshot")
+    () => new GraftRowLevelOperation(root, schema0, info.command)
+  }
 
   /** SQL `DELETE FROM t WHERE cond` through Spark's own planner: the
     * translated condition routes into [[LogTable.delete]]'s COW
@@ -407,7 +448,8 @@ private[sources] final class GraftTable(root: String, schema0: StructType,
   * filters, GROUP BY, other aggregates, non-INT64 columns — degrades
   * to the normal scan, never to a wrong answer. */
 private[sources] final class GraftScanBuilder(root: String,
-    fullSchema: StructType, options: CaseInsensitiveStringMap)
+    fullSchema: StructType, options: CaseInsensitiveStringMap,
+    rowLevel: Option[GraftRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -470,7 +512,16 @@ private[sources] final class GraftScanBuilder(root: String,
   override def pruneColumns(requiredSchema: StructType): Unit = {
     val byName = fullSchema.fields.map(f => f.name.toLowerCase -> f).toMap
     required = StructType(
-      requiredSchema.fields.flatMap(f => byName.get(f.name.toLowerCase)))
+      requiredSchema.fields.flatMap { f =>
+        byName.get(f.name.toLowerCase).orElse {
+          // the `_file` METADATA column (no physical twin — the reader
+          // materializes it from the partition's own path)
+          if (f.name.equalsIgnoreCase(GraftSourceUtil.FileColName))
+            Some(StructField(GraftSourceUtil.FileColName,
+              org.apache.spark.sql.types.StringType, nullable = false))
+          else None
+        }
+      })
   }
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftPrune.usable)
@@ -528,8 +579,11 @@ private[sources] final class GraftScanBuilder(root: String,
   }
 
   override def build(): Scan = metaAgg match {
-    case Some((schema, values)) => new GraftMetaAggScan(root, schema, values)
-    case None => new GraftScan(root, required, options, pushed, limit, topN)
+    case Some((schema, values)) if rowLevel.isEmpty =>
+      new GraftMetaAggScan(root, schema, values)
+    case _ => new GraftScan(root, required, options, pushed,
+      if (rowLevel.isEmpty) limit else None,
+      if (rowLevel.isEmpty) topN else None, rowLevel)
   }
 }
 
@@ -579,10 +633,15 @@ private[sources] final class GraftMetaAggReaderFactory
 private[sources] final class GraftScan(root: String, schema: StructType,
     options: CaseInsensitiveStringMap, pushed: Array[Filter],
     limit: Option[Int] = None,
-    topN: Option[(String, Boolean, Boolean, Int)] = None) extends Scan
+    topN: Option[(String, Boolean, Boolean, Int)] = None,
+    rowLevel: Option[GraftRowLevelOperation] = None) extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   @volatile private var runtime: Array[Filter] = Array.empty
+  /** Runtime GROUP filter (row-level operations): the exact data files
+    * holding rows the command matches, delivered as `_file IN (...)`
+    * by Spark's RowLevelOperationRuntimeGroupFiltering subquery. */
+  @volatile private var fileSet: Option[Set[String]] = None
 
   override def readSchema(): StructType = schema
   override def description(): String =
@@ -612,12 +671,20 @@ private[sources] final class GraftScan(root: String, schema: StructType,
     }
   }
   override def toBatch: Batch =
-    new GraftBatch(root, schema, options, pushed ++ runtime, limit, topN)
+    new GraftBatch(root, schema, options, pushed ++ runtime, limit, topN,
+      fileSet, rowLevel)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(root, schema, options, pushed)
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // a ROW-LEVEL scan filters on GROUP IDENTITY alone: Spark's
+    // runtime group filter builds ONE IN-filter over exactly these
+    // attributes, so advertising anything beyond `_file` would turn it
+    // into an untranslatable struct-IN and kill the narrowing
+    if (rowLevel.nonEmpty)
+      return Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftSourceUtil.FileColName))
     val snap = GraftSourceUtil.snapshotFor(
       LogTable(SparkSession.active, root), options)
     val leveraged = (snap.partCols ++ snap.transforms.map(_.source) ++
@@ -627,8 +694,20 @@ private[sources] final class GraftScan(root: String, schema: StructType,
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
   }
-  override def filter(filters: Array[Filter]): Unit =
-    runtime = filters.filter(GraftPrune.usable)
+  override def filter(filters: Array[Filter]): Unit = {
+    val (fileFs, rest) = filters.partition {
+      case In(c, _) => c.equalsIgnoreCase(GraftSourceUtil.FileColName)
+      case _ => false
+    }
+    runtime = rest.filter(GraftPrune.usable)
+    if (fileFs.nonEmpty) {
+      // conjunction of IN-lists → set intersection; values normalize
+      // scheme-prefixed URIs back to manifest (plain-path) spelling
+      val sets = fileFs.map { case In(_, vs) =>
+        vs.flatMap(Option(_)).map(v => LogTable.localPath(v.toString)).toSet }
+      fileSet = Some(sets.reduce(_ intersect _))
+    }
+  }
 }
 
 /** v1 `Filter` → `Column` translation for the SQL row-level seams
@@ -930,9 +1009,15 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
     options: CaseInsensitiveStringMap,
     pushed: Array[Filter] = Array.empty,
     limit: Option[Int] = None,
-    topN: Option[(String, Boolean, Boolean, Int)] = None) extends Batch {
+    topN: Option[(String, Boolean, Boolean, Int)] = None,
+    fileSet: Option[Set[String]] = None,
+    rowLevel: Option[GraftRowLevelOperation] = None) extends Batch {
   private val spark = SparkSession.active
-  private val phys = GraftSourceUtil.physicalSchema(logical)
+  // `_file` is metadata — the reader materializes it from the
+  // partition's own path; it has no physical twin to read
+  private val physLogical = StructType(logical.fields.filterNot(
+    _.name.equalsIgnoreCase(GraftSourceUtil.FileColName)))
+  private val phys = GraftSourceUtil.physicalSchema(physLogical)
   // resolved ONCE: planInputPartitions and createReaderFactory must see
   // the SAME snapshot, or a commit racing between the two calls could
   // plan delete-carrying partitions without their MoR readers
@@ -940,7 +1025,13 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
     GraftSourceUtil.snapshotFor(LogTable(spark, root), options)
 
   // equality-delete key columns must be READABLE even when the query
-  // pruned them away (they only drive filtering, never output)
+  // pruned them away (they only drive filtering, never output). The
+  // appended twins keep their field METADATA (historical names) and
+  // expand like physicalSchema does — a pre-rename file stores the
+  // key under an old physical name, and the key projection coalesces
+  // exactly as the logical projection would; dropping the metadata
+  // here let rows in pre-rename files project NULL keys and silently
+  // escape their tombstones.
   private lazy val physAll: StructType = {
     val extra = snap.eqDeletes.flatMap(_.cols).distinct
       .filterNot(c => phys.fieldNames.exists(_.equalsIgnoreCase(c)))
@@ -948,8 +1039,10 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
     else {
       val full = LogTable.parseSchema(snap.schemaJson)
       StructType(phys.fields ++ extra.flatMap(c =>
-        full.fields.find(_.name.equalsIgnoreCase(c))
-          .map(f => StructField(f.name, f.dataType, nullable = true))))
+        full.fields.find(_.name.equalsIgnoreCase(c)).toSeq.flatMap(f =>
+          StructField(f.name, f.dataType, nullable = true, f.metadata) +:
+            LogTable.prevNames(f).map(p =>
+              StructField(p, f.dataType, nullable = true)))))
     }
   }
 
@@ -1003,7 +1096,7 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
     // file boundary can thin rows below the limit: no residual
     // filters, no equality deletes (match counts unknown); position
     // deletes subtract exactly via their per-file mark counts.
-    val planned = limit match {
+    val planned0 = limit match {
       case Some(n) if pushed.isEmpty && snap.eqDeletes.isEmpty =>
         val marks = snap.deletes.flatMap(_.counts)
           .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).sum }
@@ -1018,6 +1111,15 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
         out.result()
       case _ => kept
     }
+    // runtime GROUP filter (row-level operations): exactly the files
+    // holding rows the command matched — the rewrite's blast radius
+    val planned = fileSet match {
+      case Some(s) => planned0.filter(f => s.contains(f.path))
+      case None => planned0
+    }
+    // the row-level write replaces EXACTLY the groups this scan plans:
+    // record them (and the snapshot they came from) for its commit
+    rowLevel.foreach(_.recordScan(snap, planned.map(_.path)))
     planned
       .map { f =>
         // a merge-on-read snapshot ships each file's referencing delete
@@ -1037,6 +1139,11 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // a ROW-LEVEL read feeds a group REWRITE: every surviving row of a
+    // planned file must come back, so parquet row-group/page skipping
+    // from the command condition would silently drop the non-matching
+    // rows of a matched file — no data filters, no columnar shortcut
+    val dataFilters = if (rowLevel.isEmpty) pushed.toSeq else Nil
     val mor =
       if (snap.deletes.isEmpty) None
       else Some(GraftMorReaders(
@@ -1056,9 +1163,12 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
         Some((types, readers))
       }
     new GraftReaderFactory(
-      GraftSourceUtil.buildReadFunc(spark, physAll, pushed.toSeq), physAll,
+      GraftSourceUtil.buildReadFunc(spark, physAll, dataFilters), physAll,
       logical, mor,
-      GraftSourceUtil.columnarPlan(spark, logical, snap, pushed.toSeq),
+      if (rowLevel.nonEmpty ||
+          logical.fieldNames.exists(_.equalsIgnoreCase(GraftSourceUtil.FileColName)))
+        None
+      else GraftSourceUtil.columnarPlan(spark, logical, snap, pushed.toSeq),
       eq)
   }
 }
@@ -1147,7 +1257,13 @@ private[sources] final class GraftReaderFactory(
     val gp = p.asInstanceOf[GraftInputPartition]
     val physIdx = phys.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
     val exprs: Seq[Expression] = logical.map { f =>
-      gp.parts.find(_._1.equalsIgnoreCase(f.name)).map(_._2) match {
+      // the `_file` metadata column: this partition's own manifest
+      // path as a per-file constant (a real data column shadows it)
+      if (f.name.equalsIgnoreCase(GraftSourceUtil.FileColName) &&
+          !physIdx.contains(f.name.toLowerCase))
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(gp.path),
+          org.apache.spark.sql.types.StringType)
+      else gp.parts.find(_._1.equalsIgnoreCase(f.name)).map(_._2) match {
         case Some(v) =>
           // Spark's null-partition sentinel directory name
           if (v == "__HIVE_DEFAULT_PARTITION__") Literal(null, f.dataType)
@@ -1206,9 +1322,23 @@ private[sources] final class GraftReaderFactory(
                 set.add(delProj(r).copy())
             }
           }
+          // key columns coalesce their HISTORICAL physical names, as
+          // the logical projection does — a pre-rename file stores the
+          // key under an old name, and binding only the current name
+          // would project null keys there (rows silently escaping
+          // their tombstones)
           val keyProj = UnsafeProjection.create(cols.zip(ts).map {
-            case (c, t) => BoundReference(physIdx(c.toLowerCase), t,
-              nullable = true) })
+            case (c, t) =>
+              val names = c +: phys.fields
+                .find(_.name.equalsIgnoreCase(c)).toSeq
+                .flatMap(LogTable.prevNames)
+              val refs = names.flatMap(n => physIdx.get(n.toLowerCase))
+                .map(i => BoundReference(i, t, nullable = true))
+              require(refs.nonEmpty, s"equality-delete key column '$c' " +
+                "resolves to no physical column")
+              if (refs.size == 1) refs.head
+              else (Coalesce(refs): Expression)
+          })
           (set, keyProj, ts.size)
         }
         rows0.filter { r =>

@@ -1198,6 +1198,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
     require(!partitionBy.exists(_.equalsIgnoreCase(oldName)),
       s"cannot rename partition column '$oldName' (its name is the data layout)")
     commit("evolve-schema", nextSchema = prev => {
+      // an outstanding equality tombstone names its key columns; its
+      // parquet key file stores them under the CURRENT name — renaming
+      // would leave the tombstone unresolvable (or worse, silently
+      // unmatched). Fold the marks first, then rename. Checked inside
+      // the commit closure so a concurrently-landing deleteEq cannot
+      // slip past the guard.
+      require(!prev.eqDeletes.exists(_.cols.exists(_.equalsIgnoreCase(oldName))),
+        s"cannot rename '$oldName': outstanding equality deletes key on it — " +
+          "compact first (CALL compact) to fold the tombstones")
       val schema = LogTable.assignFieldIds(schemaOf(prev))
       val idx = schema.indexWhere(_.name.equalsIgnoreCase(oldName))
       require(idx >= 0, s"no such column '$oldName'")
@@ -1372,6 +1381,72 @@ final class LogTable private (val spark: SparkSession, val root: String,
       catch { case LogTable.StaleSourceFiles => /* re-plan from fresh state */ }
     }
     throw new IllegalStateException(s"operation lost the source-file race $MaxCommitRetries times at $root")
+  }
+
+  /** Commit a ROW-LEVEL-OPERATION group rewrite (the Spark
+    * `SupportsRowLevelOperations` seam — catalog SQL UPDATE / MERGE /
+    * complex DELETE): the scanned groups (`removed`, post runtime
+    * group filtering) leave the snapshot and `rewritten` — their
+    * surviving rows with the command applied, written by Spark's own
+    * ReplaceData job — take their place. Unlike the Scala COW paths
+    * this CANNOT retry on a concurrency race: the replacement rows
+    * came from an already-executed Spark query against `scanned`, so
+    * any commit that landed since (file rewrite, new delete file, new
+    * equality tombstone touching the groups) makes them stale — fail
+    * loudly and let the user re-run the statement. */
+  private[sources] def commitReplaceGroups(removed: Set[String],
+      rewritten: Seq[DataFile], operation: String,
+      scanned: Snapshot): Snapshot = {
+    enforceChecksOnWritten(rewritten, scanned.checks, "the rewritten rows",
+      scanned.schemaJson)
+    var validatedChecks = scanned.checks.keySet
+    try commitOrCleanup(rewritten, operation) { prev =>
+      val prevPaths = prev.files.map(_.path).toSet
+      if (!removed.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+      assertNoLateDeletesOn(scanned, prev, removed)
+      // an equality tombstone that landed after the scan would be
+      // silently outranked by the rewritten files' fresh sequence
+      if (prev.eqDeletes.map(_.path) != scanned.eqDeletes.map(_.path))
+        throw LogTable.StaleSourceFiles
+      val fresh = prev.checks -- validatedChecks
+      if (fresh.nonEmpty) {
+        enforceChecksOnWritten(rewritten, fresh,
+          "the rewritten rows (late check)", scanned.schemaJson)
+        validatedChecks ++= fresh.keySet
+      }
+      prev.files.filterNot(f => removed.contains(f.path)) ++ rewritten
+    } catch {
+      case LogTable.StaleSourceFiles => throw new IllegalStateException(
+        s"a concurrent commit raced this $operation between its scan " +
+          s"(v${scanned.version}) and its write — re-run the statement")
+    }
+  }
+
+  /** Adopt already-written UNPARTITIONED parquet files (a row-level
+    * write's staged task outputs) as table data files: same-filesystem
+    * move into the data pool + one parallel footer-stats pass — the
+    * tail of [[writeDataFiles]] without the second Spark write.
+    * Partitioned tables cannot adopt (staged files carry no layout);
+    * their caller restages through writeDataFiles. */
+  private[sources] def adoptStagedFiles(staged: Seq[Path]): Seq[DataFile] = {
+    require(partitionBy.isEmpty && hiddenBy.isEmpty,
+      "adoptStagedFiles is for unpartitioned tables only")
+    Files.createDirectories(dataDir)
+    val placed = staged.map { p =>
+      val dest = dataDir.resolve(s"${UUID.randomUUID()}.parquet")
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      dest
+    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(placed) { dest =>
+      Future {
+        val (rows, ranges, strRanges, nulls) = parquetFooterMeta(dest)
+        DataFile(dest.toString, rows, Files.size(dest), Map.empty,
+          ranges, strRanges, nulls = nulls)
+      }
+    }, Duration.Inf).filter(_.rows > 0L)
   }
 
   /** Bin-pack data files smaller than `smallBytes` into ~`targetBytes`
@@ -2282,6 +2357,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * until a manifest referencing them is committed. On partitioned
     * tables the hive-style `k=v` layout is preserved under data/ and
     * each file's partition values are captured for manifest pruning. */
+  /** [[writeDataFiles]] for the row-level-operation seam (staged task
+    * output re-laid into the table's partition layout, clustered). */
+  private[sources] def restageFiles(df: DataFrame): Seq[DataFile] =
+    writeDataFiles(df, distribute = true)
+
   private def writeDataFiles(df: DataFrame,
       distribute: Boolean = false): Seq[DataFile] = {
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")

@@ -161,6 +161,97 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gtest.del").as[Long].head() === 0L)
   }
 
+  test("catalog UPDATE plans group-based; runtime group filtering bounds the rewrite") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.rlo")
+    spark.sql("CREATE TABLE gtest.rlo.kv (id BIGINT, v STRING)")
+    // three files with OVERLAPPING string ranges: static manifest
+    // pruning cannot separate them — only the runtime group filter
+    // (matching rows → their `_file`s) can narrow the rewrite
+    spark.sql("INSERT INTO gtest.rlo.kv VALUES (1,'a'),(2,'z')")
+    spark.sql("INSERT INTO gtest.rlo.kv VALUES (10,'a'),(11,'x'),(12,'z')")
+    spark.sql("INSERT INTO gtest.rlo.kv VALUES (20,'b'),(21,'y')")
+    val t = LogTable(spark, s"$warehouse/rlo/kv")
+    val pre = t.snapshot().files.map(_.path).toSet
+    assert(pre.size >= 3) // VALUES inserts may split across tasks
+
+    spark.sql("UPDATE gtest.rlo.kv SET v = concat(v, '!') WHERE v = 'x'")
+
+    assert(t.snapshot().operation === "rlo-update")
+    assert(spark.sql("SELECT v FROM gtest.rlo.kv WHERE id = 11")
+      .as[String].head() === "x!")
+    assert(spark.sql("SELECT count(*) FROM gtest.rlo.kv").as[Long].head() === 7L)
+    // ONLY the file holding the matching row was replaced
+    val post = t.snapshot().files.map(_.path).toSet
+    assert((pre -- post).size === 1, s"expected 1 replaced file, " +
+      s"got removed=${(pre -- post).size} added=${(post -- pre).size}")
+    // the untouched files are the SAME physical files
+    assert((pre & post).size === pre.size - 1)
+    // time travel still sees the pre-update value
+    assert(spark.sql(
+        s"SELECT v FROM gtest.rlo.kv VERSION AS OF ${t.currentVersion - 1} " +
+          "WHERE id = 11").as[String].head() === "x")
+  }
+
+  test("catalog MERGE INTO with full clause surface, on a partitioned table") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.rlo")
+    spark.sql(
+      """CREATE TABLE gtest.rlo.pt (id BIGINT, grp STRING, v BIGINT)
+        |PARTITIONED BY (grp)""".stripMargin)
+    spark.sql(
+      "INSERT INTO gtest.rlo.pt VALUES (1,'a',10),(2,'a',20),(3,'b',30),(4,'b',40)")
+    Seq((2L, "a", 200L), (4L, "b", -1L), (5L, "c", 50L))
+      .toDF("id", "grp", "v").createOrReplaceTempView("rlo_src")
+
+    spark.sql(
+      """MERGE INTO gtest.rlo.pt t USING rlo_src s ON t.id = s.id
+        |WHEN MATCHED AND s.v < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    assert(spark.sql("SELECT id, grp, v FROM gtest.rlo.pt ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "a", 10L), (2L, "a", 200L), (3L, "b", 30L), (5L, "c", 50L)))
+    val t = LogTable(spark, s"$warehouse/rlo/pt")
+    assert(t.snapshot().operation === "rlo-merge")
+    // the restaged rewrite landed in the hive layout (manifest-pruned
+    // partition reads still work)
+    assert(t.snapshot().files.forall(_.partitions.contains("grp")))
+    assert(spark.sql("SELECT count(*) FROM gtest.rlo.pt WHERE grp = 'c'")
+      .as[Long].head() === 1L)
+  }
+
+  test("complex DELETE predicates route group-based; simple ones stay metadata COW") {
+    warehouse
+    spark.sql("CREATE TABLE gtest.rlo_del (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtest.rlo_del SELECT id, concat('v', id) FROM range(0, 30)")
+    // untranslatable to the v1 Filter algebra → Spark's group-based
+    // rewrite (previously: refused loudly)
+    spark.sql("DELETE FROM gtest.rlo_del WHERE id % 3 = 0")
+    val t = LogTable(spark, s"$warehouse/rlo_del")
+    assert(t.snapshot().operation === "rlo-delete")
+    assert(spark.sql("SELECT count(*) FROM gtest.rlo_del").as[Long].head() === 20L)
+    assert(spark.sql("SELECT count(*) FROM gtest.rlo_del WHERE id % 3 = 0")
+      .as[Long].head() === 0L)
+    // a translatable predicate still takes the metadata/COW fast path
+    spark.sql("DELETE FROM gtest.rlo_del WHERE id < 10")
+    assert(t.snapshot().operation === "delete")
+    // ids 1,2,4,5,7,8 go (the multiples of 3 were already deleted)
+    assert(spark.sql("SELECT count(*) FROM gtest.rlo_del").as[Long].head() === 14L)
+  }
+
+  test("the _file metadata column resolves in plain catalog SELECTs") {
+    warehouse
+    spark.sql("CREATE TABLE gtest.rlo_meta (id BIGINT)")
+    spark.sql("INSERT INTO gtest.rlo_meta VALUES (1),(2)")
+    spark.sql("INSERT INTO gtest.rlo_meta VALUES (3)")
+    val t = LogTable(spark, s"$warehouse/rlo_meta")
+    val got = spark.sql("SELECT DISTINCT _file FROM gtest.rlo_meta")
+      .as[String].collect().toSet
+    assert(got === t.snapshot().files.map(_.path).toSet)
+  }
+
   test("CALL catalog.system.<proc> drives maintenance through Spark's own parser") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.m")
