@@ -663,11 +663,21 @@ private[sources] final class GraftScan(root: String, schema: StructType,
       LogTable(SparkSession.active, root), options)
     val kept = GraftPrune.filesFor(snap.files, snap.transforms,
       (pushed ++ runtime).toSeq)
+    // position-delete marks subtract exactly per kept file (the same
+    // arithmetic as Snapshot.liveRows): these numbers decide
+    // broadcast-vs-sort-merge, so an overstated MoR table could push a
+    // genuinely broadcastable side over the threshold. Equality
+    // tombstones have unknowable match counts — left in (conservative
+    // overestimate, never an understatement that could mis-broadcast).
+    val marks = snap.deletes.flatMap(_.counts)
+      .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).sum }
+    val liveRows = kept.map(f =>
+      math.max(0L, f.rows - marks.getOrElse(f.path, 0L))).sum
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(kept.map(_.bytes).sum)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(kept.map(_.rows).sum)
+        java.util.OptionalLong.of(liveRows)
     }
   }
   override def toBatch: Batch =
@@ -1058,8 +1068,15 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
     // (otherwise unknown files' nulls could place in the top n).
     val kept = topN match {
       case Some((c, desc, nullsFirst, n))
-          if pushed.isEmpty && snap.deletes.isEmpty &&
-            snap.eqDeletes.isEmpty =>
+          if pushed.isEmpty && snap.eqDeletes.isEmpty =>
+        // POSITION deletes subtract exactly from each file's provable
+        // supply via their per-file mark counts (a marked row might
+        // have been a comparable value — assume every mark was);
+        // ranges stay sound bounds (deletes only shrink a file's value
+        // set). EQUALITY deletes stay a refusal: match counts are
+        // unknowable from metadata.
+        val marks = snap.deletes.flatMap(_.counts)
+          .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).sum }
         val withRows = kept0.filter(_.rows > 0)
         val known = withRows.forall(f =>
           f.ranges.contains(c) && f.nulls.contains(c))
@@ -1075,7 +1092,8 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
           while (acc < n && it.hasNext) {
             val f = it.next()
             taken += f
-            acc += f.rows - f.nulls(c)
+            acc += math.max(0L,
+              f.rows - f.nulls(c) - marks.getOrElse(f.path, 0L))
           }
           if (acc < n) kept0 // cannot prove n comparable rows — scan all
           else {

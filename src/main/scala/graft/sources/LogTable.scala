@@ -141,12 +141,18 @@ object Transform {
   * [[LogTable.renameColumn]]); `retired` lists physical names of
   * DROPPED fields, blocked from re-use so old files' data can never
   * silently resurrect under a re-added name. */
+/** A declared parquet-bloom-filter column: every future write carries
+  * a native bloom filter for `col`, sized for `ndv` expected distinct
+  * values (a structured manifest field — an encoded "col:ndv" string
+  * would corrupt on a column name containing ':'). */
+final case class BloomCol(col: String, ndv: Long)
+
 final case class Snapshot(version: Long, parent: Long, operation: String,
     timestampMs: Long, files: Seq[DataFile], tag: String = "",
     schemaJson: String = "", checks: Map[String, String] = Map.empty,
     retired: Seq[String] = Nil, deletes: Seq[DeleteFile] = Nil,
     partCols: Seq[String] = Nil, transforms: Seq[Transform] = Nil,
-    eqDeletes: Seq[EqDeleteFile] = Nil, bloomCols: Seq[String] = Nil) {
+    eqDeletes: Seq[EqDeleteFile] = Nil, bloomCols: Seq[BloomCol] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
   /** Rows visible to a reader of this snapshot: data-file rows minus
@@ -933,7 +939,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val snapNow = snapshot()
     val mergedNow = mergedSchemaWith(snapNow, df.schema)
     val newFiles = writeDataFiles(conformTypes(df, mergedNow),
-      distribute = true)
+      distribute = true, blooms = Some(snapNow.bloomCols))
     // checks validate the rows as WRITTEN (delete-on-violation) —
     // the files are still invisible to every reader
     enforceChecksOnWritten(newFiles, snapNow.checks, "the appended batch",
@@ -970,7 +976,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val snapNow = snapshot()
     val mergedNow = mergedSchemaWith(snapNow, df.schema)
     val newFiles = writeDataFiles(conformTypes(df, mergedNow),
-      distribute = true)
+      distribute = true, blooms = Some(snapNow.bloomCols))
     enforceChecksOnWritten(newFiles, snapNow.checks, "the overwrite batch",
       mergedNow.json)
     var validatedChecks = snapNow.checks.keySet
@@ -1151,15 +1157,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
       require(schemaOf(snap).fieldNames.exists(_.equalsIgnoreCase(column)),
         s"bloom column '$column' is not a table column")
     commit("set-bloom", nextBlooms = prev =>
-      prev.bloomCols.filterNot(_.split(":")(0).equalsIgnoreCase(column)) :+
-        s"$column:$expectedDistinct")(_.files)
+      prev.bloomCols.filterNot(_.col.equalsIgnoreCase(column)) :+
+        BloomCol(column, expectedDistinct))(_.files)
   }
 
   /** Stop writing bloom filters for `column` (existing files keep
     * theirs until rewritten). */
   def dropBloom(column: String): Snapshot =
     commit("set-bloom", nextBlooms = prev =>
-      prev.bloomCols.filterNot(_.split(":")(0).equalsIgnoreCase(column)))(_.files)
+      prev.bloomCols.filterNot(_.col.equalsIgnoreCase(column)))(_.files)
 
   def addCheck(name: String, predicateSql: String): Snapshot = {
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid check name '$name'")
@@ -1482,7 +1488,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     if (rewriteBins.isEmpty) return snap
     val small2 = rewriteBins.flatten
     val rewritten = rewriteBins.flatMap { bin =>
-      writeDataFiles(readLive(snap, bin.toSeq).coalesce(1))
+      writeDataFiles(readLive(snap, bin.toSeq).coalesce(1),
+        blooms = Some(snap.bloomCols))
     }
     commitOrCleanup(rewritten, "compact") { prev =>
       // Appends that landed since we read `snap` are kept untouched.
@@ -1523,7 +1530,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val keepRows = readLive(snap, affected).filter(
       !org.apache.spark.sql.functions.coalesce(
         condition, org.apache.spark.sql.functions.lit(false)))
-    val rewritten = writeDataFiles(keepRows)
+    val rewritten = writeDataFiles(keepRows, blooms = Some(snap.bloomCols))
     commitOrCleanup(rewritten, "delete") { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
@@ -1627,7 +1634,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         col(LogTable.PosCol).as("pos"))
     val del = writeDeleteFiles(marked, snap.files.size)
     val newFiles = writeDataFiles(conformTypes(updates, mergedNow),
-      distribute = true)
+      distribute = true, blooms = Some(snap.bloomCols))
     var validatedChecks = snap.checks.keySet
     try {
       enforceChecksOnWritten(newFiles, snap.checks, "the merged batch",
@@ -1717,7 +1724,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val mergedNow = mergedSchemaWith(snap, updates.schema)
     val eq = writeEqFile(updates.select(col(key)))
     val newFiles = writeDataFiles(conformTypes(updates, mergedNow),
-      distribute = true)
+      distribute = true, blooms = Some(snap.bloomCols))
     var validatedChecks = snap.checks.keySet
     try {
       enforceChecksOnWritten(newFiles, snap.checks, "the upserted batch",
@@ -1855,7 +1862,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
         case None => col(c)
       }
     }: _*)
-    val rewritten = writeDataFiles(rewrittenRows)
+    val rewritten = writeDataFiles(rewrittenRows,
+      blooms = Some(snap.bloomCols))
     enforceChecksOnWritten(rewritten, snap.checks, "the updated rows",
       snap.schemaJson)
     var validatedChecks = snap.checks.keySet
@@ -2110,8 +2118,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
       case None => inserts
     }
     val rewritten =
-      (if (affected.isEmpty) Seq.empty else writeDataFiles(survivors)) ++
-        writeDataFiles(insertRows)
+      (if (affected.isEmpty) Seq.empty
+       else writeDataFiles(survivors, blooms = Some(snap.bloomCols))) ++
+        writeDataFiles(insertRows, blooms = Some(snap.bloomCols))
     // constraints validate everything this merge WROTE (survivor files
     // conform by induction but re-checking them costs one read of the
     // just-written local files, not a re-execution of the join). A
@@ -2165,7 +2174,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         val rewritten = writeDataFiles(
           readLive(snap, snap.files)
             .repartitionByRange(nFiles, col(column))
-            .sortWithinPartitions(column))
+            .sortWithinPartitions(column), blooms = Some(snap.bloomCols))
         commitOrCleanup(rewritten, "recluster") { prev =>
           val replaced = snap.files.map(_.path).toSet
           val prevPaths = prev.files.map(_.path).toSet
@@ -2202,7 +2211,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
           df.withColumn("_z", z)
             .repartitionByRange(nFiles, col("_z"))
             .sortWithinPartitions("_z")
-            .drop("_z"))
+            .drop("_z"), blooms = Some(snap.bloomCols))
         commitOrCleanup(rewritten, "recluster") { prev =>
           val replaced = snap.files.map(_.path).toSet
           val prevPaths = prev.files.map(_.path).toSet
@@ -2363,7 +2372,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     writeDataFiles(df, distribute = true)
 
   private def writeDataFiles(df: DataFrame,
-      distribute: Boolean = false): Seq[DataFile] = {
+      distribute: Boolean = false,
+      blooms: Option[Seq[BloomCol]] = None): Seq[DataFile] = {
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
     // hidden transforms: derive the layout keys from row data — every
     // write path (append, compact, recluster, COW rewrites) re-derives
@@ -2398,14 +2408,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // manifest-declared bloom columns ride into the write job's hadoop
     // conf (parquet-mr writes the filters; pushed equality/IN filters
     // consult them at read) — every write path inherits the property,
-    // so compact/recluster retrofit older files automatically
-    snapshot().bloomCols.foreach { entry =>
-      val parts = entry.split(":")
-      val (c, ndv) =
-        if (parts.length > 1) (parts(0), parts(1)) else (parts(0), "100000")
-      if (arranged.columns.exists(_.equalsIgnoreCase(c)))
-        w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
-          .option(s"parquet.bloom.filter.expected.ndv#$c", ndv)
+    // so compact/recluster retrofit older files automatically. The
+    // caller threads its own snapshot when it has one (one manifest
+    // read saved per write, and no race with a concurrent set-bloom).
+    blooms.getOrElse(snapshot().bloomCols).foreach { b =>
+      if (arranged.columns.exists(_.equalsIgnoreCase(b.col)))
+        w = w.option(s"parquet.bloom.filter.enabled#${b.col}", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#${b.col}", b.ndv.toString)
     }
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(stage.toString)
@@ -2460,7 +2469,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       nextDeletes: Snapshot => Seq[DeleteFile] = _.deletes,
       nextSpec: Option[(Seq[String], Seq[Transform])] = None,
       nextEqDeletes: Snapshot => Seq[EqDeleteFile] = _.eqDeletes,
-      nextBlooms: Snapshot => Seq[String] = _.bloomCols)(
+      nextBlooms: Snapshot => Seq[BloomCol] = _.bloomCols)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
@@ -2833,7 +2842,9 @@ object LogTable {
     }
     if (s.bloomCols.nonEmpty) {
       val bn = node.putArray("bloomCols")
-      s.bloomCols.foreach(bn.add)
+      s.bloomCols.foreach { b =>
+        val e = bn.addObject(); e.put("col", b.col); e.put("ndv", b.ndv)
+      }
     }
     if (s.eqDeletes.nonEmpty) {
       val dn = node.putArray("eqDeletes")
@@ -2894,8 +2905,14 @@ object LogTable {
           d.get("cols").elements().asScala.map(_.asText()).toSeq,
           d.get("rows").asLong(), d.get("seq").asLong())
       }.toSeq).getOrElse(Nil),
-      Option(n.get("bloomCols")).map(_.elements().asScala.map(_.asText()).toSeq)
-        .getOrElse(Nil))
+      Option(n.get("bloomCols")).map(_.elements().asScala.map { b =>
+        if (b.isObject) BloomCol(b.get("col").asText(), b.get("ndv").asLong())
+        else { // legacy "col:ndv" string entries (pre-structured manifests)
+          val raw = b.asText(); val cut = raw.lastIndexOf(':')
+          if (cut < 0) BloomCol(raw, 100000L)
+          else BloomCol(raw.substring(0, cut), raw.substring(cut + 1).toLong)
+        }
+      }.toSeq).getOrElse(Nil))
   }
 
   // ------------------------------------------- field ids & name history

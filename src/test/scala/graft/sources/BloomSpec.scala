@@ -35,7 +35,7 @@ class BloomSpec extends SparkSpec {
     assert(!hasBloom(preFile, "rid"), "pre-property files have no filter")
 
     val s = t.addBloom("rid", expectedDistinct = 1000L)
-    assert(s.operation === "set-bloom" && s.bloomCols === Seq("rid:1000"))
+    assert(s.operation === "set-bloom" && s.bloomCols === Seq(BloomCol("rid", 1000L)))
     intercept[IllegalArgumentException](t.addBloom("nope"))
 
     t.append((100 until 200).map(i => (i.toLong, s"req-$i")).toDF("id", "rid")
@@ -49,7 +49,7 @@ class BloomSpec extends SparkSpec {
     assert(t.read().filter(col("rid") === "req-3").count() === 1L)
 
     // a property reload survives sessions (manifest-recorded)
-    assert(LogTable(spark, t.root).snapshot().bloomCols === Seq("rid:1000"))
+    assert(LogTable(spark, t.root).snapshot().bloomCols === Seq(BloomCol("rid", 1000L)))
 
     // compact rewrites old files UNDER the property — retrofit
     t.compact(smallBytes = 1L << 20)

@@ -456,6 +456,42 @@ class GraftSourceSpec extends SparkSpec {
       Seq(Some(4009L), Some(4008L), Some(4007L)))
   }
 
+  test("TopN pushdown survives position deletes: mark counts adjust supply") {
+    import spark.implicits._
+    val root = tmp("gsrc-topn-mor")
+    val t = LogTable(spark, root)
+    (0 until 5).foreach(d =>
+      t.append((0 until 10).map(i => (d * 1000L + i, s"v$d-$i"))
+        .toDF("ts", "s").coalesce(1)))
+    // kill 8 of the 10 newest rows: the newest slab now supplies only
+    // 2 provable values, so top-12 must reach into THREE slabs
+    t.deleteMor($"ts" >= 4002L)
+
+    val recent = spark.read.format("graft").load(root)
+      .orderBy($"ts".desc).limit(12)
+    val rows = recent.select("ts").as[Long].collect().toSeq
+    assert(rows === Seq(4001L, 4000L) ++ (3000L to 3009L).reverse,
+      "MoR top-N result must match the delete-folded order")
+    val scans = recent.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    // bounded file set: slab 4 provably supplies 10−8 = 2 live values,
+    // slab 3 adds 10 → 12 covered by TWO files; slabs 0..2 never plan
+    assert(scans.head.inputPartitions.size === 2,
+      s"expected 2 planned files, got ${scans.head.inputPartitions.size}")
+
+    // equality deletes still refuse (match counts unknown): all files
+    t.deleteEq(Seq(2500L).toDF("ts")) // matches nothing, still unknowable
+    val eqRecent = spark.read.format("graft").load(root)
+      .orderBy($"ts".desc).limit(3)
+    val eqScans = eqRecent.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(eqScans.head.inputPartitions.size === 5)
+    assert(eqRecent.select("ts").as[Long].collect().toSeq ===
+      Seq(4001L, 4000L, 3009L))
+  }
+
   test("the scan reports manifest-accurate statistics, post-pruning") {
     import spark.implicits._
     val root = tmp("gsrc-stats")
@@ -476,6 +512,12 @@ class GraftSourceSpec extends SparkSpec {
     val half = rel(spark.read.format("graft").load(root).where($"kind" === "a"))
     assert(half.stats.sizeInBytes > 0)
     assert(half.stats.sizeInBytes < BigInt(snap.totalBytes))
+
+    // position-delete marks subtract from the reported row count
+    // (broadcast decisions must see LIVE rows, not pre-delete rows)
+    t.deleteMor($"id" < 30L)
+    val mor = rel(spark.read.format("graft").load(root))
+    assert(mor.stats.rowCount === Some(BigInt(70)))
   }
 
   test("runtime filtering: a broadcast join's build side prunes fact files at execution") {
