@@ -94,6 +94,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         val proot = tableDir(parent)
         if (isTable(proot)) {
           val t = LogTable(spark, proot.toString)
+          // BRANCH handles (Iceberg's `db.table.branch_<name>`
+          // convention): `cat.ns.t.branch_audit` reads the branch head
+          // and takes INSERT INTO — with CALL create_branch /
+          // fast_forward this is write-audit-publish in pure catalog
+          // SQL (a stream lands on the branch, an audit query reads
+          // it, main adopts it atomically; main's readers see nothing
+          // in between)
+          if (ident.name.toLowerCase.startsWith("branch_")) {
+            val bname = ident.name.substring("branch_".length)
+            if (t.branches.contains(bname)) {
+              val head = t.branch(bname).snapshot()
+              val schema =
+                if (head.schemaJson.nonEmpty) LogTable.parseSchema(head.schemaJson)
+                else new StructType()
+              return new GraftTable(proot.toString, schema,
+                writable = true, branchName = Some(bname))
+            }
+          }
           val df = ident.name.toLowerCase match {
             case "history" => Some(t.history())
             case "files" => Some(t.filesTable())
@@ -125,6 +143,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = tableDir(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
     val t = LogTable(spark, root.toString)
+    // a BRANCH name resolves to the branch's CURRENT HEAD (a live
+    // read-only view of the branch lineage, not a pinned snapshot —
+    // Iceberg's `VERSION AS OF 'branch'` semantics); tags stay pinned
+    version.toLongOption match {
+      case None if t.branches.contains(version) =>
+        val head = t.branch(version).snapshot()
+        val schema =
+          if (head.schemaJson.nonEmpty) LogTable.parseSchema(head.schemaJson)
+          else new StructType()
+        return new GraftTable(root.toString, schema,
+          writable = false, branchName = Some(version))
+      case _ => ()
+    }
     val v = version.toLongOption.getOrElse(t.refVersion(version))
     require(t.versions.contains(v),
       s"table ${ident.name} has no snapshot v$v (versions: ${t.versions.mkString(", ")})")

@@ -194,9 +194,16 @@ private[sources] object GraftSourceUtil {
     * reader prefers the physical field). */
   val FileColName = "_file"
 
-  /** Resolve the batch-read snapshot: versionAsOf > timestampAsOf >
-    * current. */
-  def snapshotFor(t: LogTable, options: CaseInsensitiveStringMap): Snapshot = {
+  /** The lineage a scan reads: the branch's (option "branch" — set by
+    * branch handles) or main's. */
+  def tableFor(t: LogTable, options: CaseInsensitiveStringMap): LogTable =
+    if (t.isBranchHandle) t
+    else Option(options.get("branch")).map(t.branch).getOrElse(t)
+
+  /** Resolve the batch-read snapshot: branch > versionAsOf >
+    * timestampAsOf > current. */
+  def snapshotFor(t0: LogTable, options: CaseInsensitiveStringMap): Snapshot = {
+    val t = tableFor(t0, options)
     val v = options.get("versionAsOf")
     val ts = options.get("timestampAsOf")
     if (v != null) t.snapshot(v.toLong)
@@ -308,7 +315,8 @@ private[sources] object GraftSourceUtil {
   * handle's schema is the SNAPSHOT's schema — a query over a
   * pre-evolution version sees that version's columns. */
 private[sources] final class GraftTable(root: String, schema0: StructType,
-    writable: Boolean = false, pinnedVersion: Option[Long] = None)
+    writable: Boolean = false, pinnedVersion: Option[Long] = None,
+    branchName: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -341,6 +349,9 @@ private[sources] final class GraftTable(root: String, schema0: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot modify $name — it is a time-travel handle pinned to a snapshot")
+    require(branchName.isEmpty,
+      s"row-level DML on branch handle $name is not supported — publish " +
+        "the branch (CALL fast_forward) or use the Scala branch API")
     () => new GraftRowLevelOperation(root, schema0, info.command)
   }
 
@@ -352,7 +363,8 @@ private[sources] final class GraftTable(root: String, schema0: StructType,
     * instead of this table guessing (complex predicates go through
     * LogTable.delete / GraftSql, which take arbitrary Columns). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinnedVersion.isEmpty && GraftFilters.conjunction(filters.toSeq).nonEmpty
+    pinnedVersion.isEmpty && branchName.isEmpty &&
+      GraftFilters.conjunction(filters.toSeq).nonEmpty
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val cond = GraftFilters.conjunction(filters.toSeq).getOrElse(
       throw new UnsupportedOperationException(
@@ -364,13 +376,16 @@ private[sources] final class GraftTable(root: String, schema0: StructType,
     * stays time-travelable, exactly as INSERT OVERWRITE's swap does. */
   override def truncateTable(): Boolean = {
     require(pinnedVersion.isEmpty, s"cannot truncate time-travel handle $name")
+    require(branchName.isEmpty,
+      s"cannot truncate branch handle $name — drop the branch instead")
     LogTable(SparkSession.active, root)
       .delete(org.apache.spark.sql.functions.lit(true))
     true
   }
-  override def name(): String = pinnedVersion match {
-    case Some(v) => s"graft.`$root`@v$v"
-    case None => s"graft.`$root`"
+  override def name(): String = (pinnedVersion, branchName) match {
+    case (Some(v), _) => s"graft.`$root`@v$v"
+    case (_, Some(b)) => s"graft.`$root`@branch-$b"
+    case _ => s"graft.`$root`"
   }
   override def schema(): StructType = schema0
   /** The recorded partition spec, surfaced through Spark's own
@@ -393,6 +408,12 @@ private[sources] final class GraftTable(root: String, schema0: StructType,
   override def capabilities(): util.Set[TableCapability] =
     if (pinnedVersion.nonEmpty)
       util.EnumSet.of(TableCapability.BATCH_READ)
+    else if (branchName.nonEmpty)
+      // a branch handle reads its head and takes INSERT INTO (the
+      // WAP write surface); maintenance/DML stay on main or the
+      // Scala branch API
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
     else if (writable)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
@@ -406,18 +427,22 @@ private[sources] final class GraftTable(root: String, schema0: StructType,
     require(pinnedVersion.isEmpty,
       s"cannot write to $name — it is a time-travel handle pinned to a " +
         "snapshot (to restore an old snapshot, CALL rollback)")
-    new GraftWriteBuilder(root)
+    new GraftWriteBuilder(root, branchName)
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(schema0.nonEmpty,
       s"LogTable at $root has no manifest-recorded schema — nothing has " +
         "been committed there yet (wrong path? pre-schema legacy table?)")
-    val opts = pinnedVersion match {
-      case Some(v) =>
+    val opts = (pinnedVersion, branchName) match {
+      case (Some(v), _) =>
         val m = new util.HashMap[String, String](options)
         m.put("versionAsOf", v.toString)
         new CaseInsensitiveStringMap(m)
-      case None => options
+      case (None, Some(b)) =>
+        val m = new util.HashMap[String, String](options)
+        m.put("branch", b)
+        new CaseInsensitiveStringMap(m)
+      case _ => options
     }
     new GraftScanBuilder(root, schema0, opts)
   }
@@ -546,7 +571,8 @@ private[sources] final class GraftScanBuilder(root: String,
     // residual filters would re-filter the already-aggregated row;
     // group-by needs per-group metadata the manifest doesn't keep
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
-    val t = LogTable(SparkSession.active, root)
+    val t = GraftSourceUtil.tableFor(
+      LogTable(SparkSession.active, root), options)
     val snap = GraftSourceUtil.snapshotFor(t, options)
     // equality deletes tombstone by key — unanswerable from metadata
     if (snap.eqDeletes.nonEmpty) return false
@@ -905,7 +931,8 @@ private[sources] object GraftPrune {
   * driver-side bridge keeps every table invariant (checks, schema
   * evolution, hidden layout, commit retries) in ONE code path instead
   * of duplicating the writer in executor-side DataWriters. */
-private[sources] final class GraftWriteBuilder(root: String)
+private[sources] final class GraftWriteBuilder(root: String,
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var replace = false
@@ -918,7 +945,10 @@ private[sources] final class GraftWriteBuilder(root: String)
         new org.apache.spark.sql.sources.InsertableRelation {
           override def insert(data: org.apache.spark.sql.DataFrame,
               overwrite: Boolean): Unit = {
-            val t = LogTable(SparkSession.active, root)
+            val t0 = LogTable(SparkSession.active, root)
+            // a branch handle commits to the BRANCH lineage — main's
+            // readers see nothing until CALL fast_forward publishes
+            val t = branch.map(t0.branch).getOrElse(t0)
             if (replace || overwrite) t.overwrite(data) else t.append(data)
             ()
           }

@@ -208,7 +208,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
   private val dataDir = rootPath.resolve("data")
   private val mainLogDir = rootPath.resolve(ManifestDir)
   private val logDir = rootPath.resolve(logSubdir)
-  private def isBranchHandle: Boolean = logSubdir != ManifestDir
+  private[sources] def isBranchHandle: Boolean = logSubdir != ManifestDir
 
   // ---------------------------------------------------------------- reads
 

@@ -241,6 +241,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gtest.rlo_del").as[Long].head() === 14L)
   }
 
+  test("write-audit-publish entirely via catalog SQL: branch handles + CALL procs") {
+    warehouse
+    spark.sql("CREATE TABLE gtest.wap (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gtest.wap VALUES (1,'live'),(2,'live')")
+
+    // WRITE: land a batch on a branch — main's readers see nothing
+    spark.sql("CALL gtest.system.create_branch('wap', 'audit')")
+    spark.sql("INSERT INTO gtest.wap.branch_audit VALUES (3,'staged'),(4,'staged')")
+    assert(spark.sql("SELECT count(*) FROM gtest.wap").as[Long].head() === 2L)
+
+    // AUDIT: the branch handle and VERSION AS OF '<branch>' both read
+    // the branch HEAD (base rows + staged batch)
+    assert(spark.sql("SELECT count(*) FROM gtest.wap.branch_audit")
+      .as[Long].head() === 4L)
+    assert(spark.sql("SELECT count(*) FROM gtest.wap VERSION AS OF 'audit'")
+      .as[Long].head() === 4L)
+    assert(spark.sql(
+        "SELECT id FROM gtest.wap.branch_audit WHERE v = 'staged' ORDER BY id")
+      .as[Long].collect().toSeq === Seq(3L, 4L))
+
+    // PUBLISH: main atomically adopts the branch head
+    spark.sql("CALL gtest.system.fast_forward('wap', 'audit')")
+    assert(spark.sql("SELECT count(*) FROM gtest.wap").as[Long].head() === 4L)
+    val t = LogTable(spark, s"$warehouse/wap")
+    assert(t.snapshot().operation === "publish")
+
+    // branch DML stays loud (publish or use the Scala API)
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM gtest.wap.branch_audit WHERE id = 3"))
+    assert(e.getMessage.contains("branch"))
+  }
+
   test("the _file metadata column resolves in plain catalog SELECTs") {
     warehouse
     spark.sql("CREATE TABLE gtest.rlo_meta (id BIGINT)")
