@@ -201,7 +201,8 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
   */
 final class LogTable private (val spark: SparkSession, val root: String,
     val partitionBy: Seq[String], logSubdir: String,
-    val hiddenBy: Seq[Transform] = Nil) {
+    val hiddenBy: Seq[Transform] = Nil,
+    private[sources] val io: GraftFileIO = GraftFileIO.Local) {
   import LogTable._
 
   private val rootPath = Paths.get(root)
@@ -209,6 +210,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
   private val mainLogDir = rootPath.resolve(ManifestDir)
   private val logDir = rootPath.resolve(logSubdir)
   private[sources] def isBranchHandle: Boolean = logSubdir != ManifestDir
+
+  /** (version, path) for every committed manifest in `dir`, ascending
+    * — through the storage seam (the manifest layer never touches the
+    * filesystem directly). */
+  private def listManifests(dir: Path): Seq[(Long, Path)] =
+    io.list(dir).flatMap {
+      case n @ ManifestRe(v) => Some((v.toLong, dir.resolve(n)))
+      case _ => None
+    }.sortBy(_._1)
 
   // ---------------------------------------------------------------- reads
 
@@ -227,7 +237,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def snapshot(version: Long = currentVersion): Snapshot = {
     if (version == 0L) Snapshot(0L, 0L, "empty", 0L, Nil)
     else snapCache.computeIfAbsent(version,
-      v => readManifest(manifestPath(logDir, v)))
+      v => parseManifest(io.readString(manifestPath(logDir, v))))
   }
 
   private val snapCache = new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
@@ -252,36 +262,25 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def createRef(name: String, version: Long = currentVersion): Unit = {
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid ref name '$name'")
     require(versions.contains(version), s"cannot tag unknown version $version")
-    val tmp = logDir.resolve(s"tmp-ref-${UUID.randomUUID()}")
-    Files.writeString(tmp, version.toString)
-    // hard-link publish: atomic create-or-fail (rename would silently
-    // replace an existing ref — see commit())
-    try {
-      Files.createLink(logDir.resolve(s"ref-$name"), tmp)
-      Files.deleteIfExists(tmp)
-    } catch {
-      case _: FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new IllegalStateException(s"ref '$name' already exists (refs are immutable; dropRef first)")
-    }
+    // atomic create-or-fail publish (an overwriting write would
+    // silently re-point a concurrently-created ref — see commit())
+    if (!io.publishAtomic(logDir.resolve(s"ref-$name"), version.toString))
+      throw new IllegalStateException(
+        s"ref '$name' already exists (refs are immutable; dropRef first)")
   }
 
   /** Resolve a named ref to its pinned version (error if absent). */
   def refVersion(name: String): Long = {
     val p = logDir.resolve(s"ref-$name")
-    require(Files.exists(p), s"no such ref '$name'")
-    Files.readString(p).trim.toLong
+    require(io.exists(p), s"no such ref '$name'")
+    io.readString(p).trim.toLong
   }
 
   /** All named refs, (name, version), sorted by name. */
   def refs: Seq[(String, Long)] = {
-    if (!Files.isDirectory(logDir)) return Nil
-    val ls = Files.list(logDir)
-    try ls.iterator().asScala
-      .filter(_.getFileName.toString.startsWith("ref-")).map { p =>
-        p.getFileName.toString.stripPrefix("ref-") -> Files.readString(p).trim.toLong
-      }.toSeq.sortBy(_._1)
-    finally ls.close()
+    io.list(logDir).filter(_.startsWith("ref-")).map { n =>
+      n.stripPrefix("ref-") -> io.readString(logDir.resolve(n)).trim.toLong
+    }.sortBy(_._1)
   }
 
   /** Read the snapshot a named ref pins. */
@@ -289,7 +288,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
 
   /** Remove a named ref (the snapshot itself is untouched). */
   def dropRef(name: String): Unit =
-    Files.deleteIfExists(logDir.resolve(s"ref-$name"))
+    io.delete(logDir.resolve(s"ref-$name"))
 
   // ------------------------------------------------- branches (WAP)
 
@@ -307,7 +306,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     require(!isBranchHandle, "cannot branch from a branch (single-level, as Iceberg)")
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name '$name'")
     val bdir = logDir.resolve(s"branch-$name")
-    Files.createDirectories(bdir)
+    io.mkdirs(bdir)
     // base manifest v1 = main's current files; tag records the main
     // version the branch forked from (the fast-forward precondition).
     // ONE snapshot read for both: reading files and version separately
@@ -318,16 +317,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val base = Snapshot(1L, 0L, "branch", System.currentTimeMillis(),
       fork.files, s"base-v${fork.version}", fork.schemaJson, fork.checks,
       fork.retired, fork.deletes, eqDeletes = fork.eqDeletes)
-    val tmp = bdir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
-    Files.writeString(tmp, renderManifest(base))
-    try {
-      Files.createLink(manifestPath(bdir, 1L), tmp)
-      Files.deleteIfExists(tmp)
-    } catch {
-      case _: FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new IllegalStateException(s"branch '$name' already exists")
-    }
+    if (!io.publishAtomic(manifestPath(bdir, 1L), renderManifest(base)))
+      throw new IllegalStateException(s"branch '$name' already exists")
     branch(name)
   }
 
@@ -337,20 +328,16 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def branch(name: String): LogTable = {
     require(!isBranchHandle, "cannot open a branch from a branch")
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name '$name'")
-    require(Files.exists(logDir.resolve(s"branch-$name").resolve(
+    require(io.exists(logDir.resolve(s"branch-$name").resolve(
       f"v${1L}%05d.manifest.json")), s"no such branch '$name'")
-    new LogTable(spark, root, partitionBy, s"$ManifestDir/branch-$name", hiddenBy)
+    new LogTable(spark, root, partitionBy, s"$ManifestDir/branch-$name",
+      hiddenBy, io)
   }
 
   /** All branch names, sorted. */
-  def branches: Seq[String] = {
-    if (!Files.isDirectory(mainLogDir)) return Nil
-    val ls = Files.list(mainLogDir)
-    try ls.iterator().asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).filter(_.startsWith("branch-"))
-      .map(_.stripPrefix("branch-")).toSeq.sorted
-    finally ls.close()
-  }
+  def branches: Seq[String] =
+    io.listDirs(mainLogDir).filter(_.startsWith("branch-"))
+      .map(_.stripPrefix("branch-")).sorted
 
   /** PUBLISH a branch to main (Iceberg fast-forward — the "P" of
     * write-audit-publish): main atomically adopts the branch head's
@@ -396,7 +383,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // same validation as createBranch — a path-segment name would
     // resolve outside the branch tree and recursively delete it
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name '$name'")
-    LogTable.deleteRecursively(logDir.resolve(s"branch-$name"))
+    io.deleteTree(logDir.resolve(s"branch-$name"))
   }
 
   /** Timestamp time travel (Iceberg `FOR SYSTEM_TIME AS OF ts` / the
@@ -917,7 +904,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         LogTable.parseSchema(cur.schemaJson))
     // legacy fallback: newest snapshot with files lends its schema
     val any = listManifests(logDir).reverseIterator
-      .map(m => readManifest(m._2)).find(_.files.nonEmpty)
+      .map(m => parseManifest(io.readString(m._2))).find(_.files.nonEmpty)
     any match {
       case Some(s) => readFiles(s.files.take(1), s.schemaJson).limit(0)
       case None => spark.emptyDataFrame
@@ -1108,7 +1095,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       "duplicate partition column / transform in the new spec")
     commit("evolve-spec",
       nextSpec = Some((partitionBy, hiddenBy)))(prev => prev.files)
-    new LogTable(spark, root, partitionBy, logSubdir, hiddenBy)
+    new LogTable(spark, root, partitionBy, logSubdir, hiddenBy, io)
   }
 
   /** Cast incoming columns whose type safely WIDENS to the table's
@@ -2301,11 +2288,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val all = listManifests(logDir)
     val drop = pick(all)
     if (drop.nonEmpty) {
-      val dropped = drop.map(m => readManifest(m._2))
+      val dropped = drop.map(m => parseManifest(io.readString(m._2)))
       // Drop the manifests FIRST: a rollback targeting an expired
       // version now fails loudly (missing manifest) instead of
       // resurrecting files we are about to delete.
-      drop.foreach(m => Files.deleteIfExists(m._2))
+      drop.foreach(m => io.delete(m._2))
       // Re-list AFTER the drop so commits that landed concurrently
       // (e.g. a rollback that read its source manifest in time) pin
       // their files as live. The live set spans main AND every branch —
@@ -2342,19 +2329,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val s = snapshot(v)
       s.files.map(_.path) ++ s.deletes.map(_.path) ++ s.eqDeletes.map(_.path)
     }.toSet
-    val branchDirs =
-      if (!Files.isDirectory(mainLogDir)) Nil
-      else {
-        val ls = Files.list(mainLogDir)
-        try ls.iterator().asScala.filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("branch-")).toSeq
-        finally ls.close()
-      }
+    val branchDirs = io.listDirs(mainLogDir)
+      .filter(_.startsWith("branch-")).map(mainLogDir.resolve)
     val others = (mainLogDir +: branchDirs)
       .filterNot(_.toString == logDir.toString)
     mine ++ others.flatMap(d =>
       listManifests(d).flatMap { m =>
-        val s = readManifest(m._2)
+        val s = parseManifest(io.readString(m._2))
         s.files.map(_.path) ++ s.deletes.map(_.path) ++ s.eqDeletes.map(_.path)
       })
   }
@@ -2532,22 +2513,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
         System.currentTimeMillis(), files, tag, nextSchema(prev),
         nextChecks(prev), nextRetired(prev), dels, pc, tf, eqDels,
         nextBlooms(prev))
-      val tmp = logDir.resolve(s"tmp-${UUID.randomUUID()}.manifest.json")
-      Files.writeString(tmp, renderManifest(next))
-      try {
-        // Publish via HARD LINK, not rename: on Linux, Files.move with
-        // ATOMIC_MOVE maps to rename(2), which silently REPLACES an
-        // existing target — a concurrent committer's already-published
-        // manifest would be clobbered and its commit lost. link(2) is
-        // the atomic create-or-fail primitive: the full content is
-        // visible the instant the name exists, and a version collision
-        // throws instead of overwriting the winner.
-        Files.createLink(manifestPath(logDir, next.version), tmp)
-        Files.deleteIfExists(tmp)
+      // ATOMIC CREATE-OR-FAIL publish through the storage seam: the
+      // full manifest is visible the instant the name exists, and a
+      // version collision reports failure instead of overwriting the
+      // winner. Locally that is write-temp + link(2) (rename(2) would
+      // silently REPLACE a concurrent winner's manifest); on an object
+      // store it is a conditional PUT / catalog compare-and-swap —
+      // the ONE primitive the whole commit protocol needs.
+      if (io.publishAtomic(manifestPath(logDir, next.version),
+          renderManifest(next)))
         return next
-      } catch {
-        case _: FileAlreadyExistsException => Files.deleteIfExists(tmp) // lost the race; retry
-      }
+      // lost the race; re-read state and retry
     }
     throw new IllegalStateException(s"commit failed after $MaxCommitRetries retries at $root")
   }
@@ -2732,9 +2708,10 @@ object LogTable {
     * different spec are conservatively scanned, never mis-pruned. */
   def apply(spark: SparkSession, root: String,
       partitionBy: Seq[String] = Nil,
-      hiddenBy: Seq[Transform] = Nil): LogTable = {
+      hiddenBy: Seq[Transform] = Nil,
+      io: GraftFileIO = GraftFileIO.Local): LogTable = {
     Files.createDirectories(Paths.get(root).resolve("data"))
-    Files.createDirectories(Paths.get(root).resolve(ManifestDir))
+    io.mkdirs(Paths.get(root).resolve(ManifestDir))
     // the partition spec is TABLE metadata, not handle state: commits
     // record it in the manifest, and a spec-less open of an existing
     // table adopts the recorded spec — so every handle (a fresh
@@ -2742,11 +2719,11 @@ object LogTable {
     // layout instead of silently mixing layouts. A caller-declared
     // spec must agree with the recorded one (changing the layout of an
     // existing table is a rewrite, not an open-time flag).
-    val t0 = new LogTable(spark, root, partitionBy, ManifestDir, hiddenBy)
+    val t0 = new LogTable(spark, root, partitionBy, ManifestDir, hiddenBy, io)
     val snap = t0.snapshot()
     if (partitionBy.isEmpty && hiddenBy.isEmpty &&
         (snap.partCols.nonEmpty || snap.transforms.nonEmpty))
-      new LogTable(spark, root, snap.partCols, ManifestDir, snap.transforms)
+      new LogTable(spark, root, snap.partCols, ManifestDir, snap.transforms, io)
     else {
       if ((snap.partCols.nonEmpty || snap.transforms.nonEmpty) &&
           (partitionBy.nonEmpty || hiddenBy.nonEmpty))
@@ -2764,19 +2741,6 @@ object LogTable {
     logDir.resolve(f"v$version%05d.manifest.json")
 
   private val ManifestRe = """v(\d+)\.manifest\.json""".r
-
-  /** (version, path) for every committed manifest, ascending. */
-  private def listManifests(logDir: Path): Seq[(Long, Path)] = {
-    if (!Files.isDirectory(logDir)) return Nil
-    val stream = Files.list(logDir)
-    try stream.iterator().asScala.flatMap { p =>
-      p.getFileName.toString match {
-        case ManifestRe(v) => Some((v.toLong, p))
-        case _ => None
-      }
-    }.toSeq.sortBy(_._1)
-    finally stream.close()
-  }
 
   private def renderManifest(s: Snapshot): String = {
     val node: ObjectNode = mapper.createObjectNode()
@@ -2859,8 +2823,8 @@ object LogTable {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
 
-  private def readManifest(p: Path): Snapshot = {
-    val n: JsonNode = mapper.readTree(Files.readString(p))
+  private def parseManifest(json: String): Snapshot = {
+    val n: JsonNode = mapper.readTree(json)
     val files = n.get("files").elements().asScala.map { f =>
       val parts = Option(f.get("partitions")).map { pn =>
         pn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
