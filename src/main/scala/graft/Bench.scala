@@ -75,14 +75,29 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = times.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    val total = times.values.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":${q(sfDir)}}"""
+    // 3-decimal (ms) precision: sub-ms digits are noise, and the
+    // shorter line survives harness tail-truncation windows that cut
+    // full-precision output mid-JSON (BENCH "parsed": null in r4/r5)
+    def rnd(v: Double, dec: Int): String =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v) // '.' any locale
+    def render(dec: Int): String = {
+      val qs = times.map { case (k, v) => s"${q(k)}:${rnd(v, dec)}" }
+        .mkString("{", ",", "}")
+      val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${rnd(times.values.sum, dec)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${times.size},"n_err":${errors.size},"sf":${q(sfDir)}}"""
+    }
+    // files carry ms precision; stdout drops to 2 decimals — ~95
+    // queries at 10 ms precision stay under a 2000-char harness tail
+    // window, so the line parses instead of truncating mid-JSON
+    // (BENCH "parsed": null in r4/r5 was exactly this)
+    val json = render(3)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
-    println(json)
+    // a COMMITTED copy at the repo root: the full per-query record
+    // survives in git even when a harness attaches only a stdout tail
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+    println(render(2))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -235,7 +235,38 @@ object LogAnalytics {
     graft.functions.HeavyHitters.topToRows(top.toDF("top"))
   }
 
+  /** DURATION-STRING analytics (reference-schema parity: the api-log
+    * table's `requestTime` / `timeToFirstByte` are Go duration strings
+    * — reference README.md:183-184): build deterministic duration
+    * strings over the corpus ("412ms", "7.5s", "3m22s", "88us" — every
+    * unit class and the compound form), parse them back to exact
+    * microseconds with the codegen'd [[graft.functions.ParseDuration]]
+    * expression, and aggregate latency stats per event type. The
+    * oracle computes the same microsecond values arithmetically — so a
+    * hash match proves the PARSER, digit for digit. */
+  def logDurations(s: SparkSession, dir: String): DataFrame = {
+    val k = (pmod(col("event_id"), lit(900)) + 1).cast("string")
+    val sec = pmod(col("event_id"), lit(60)).cast("string")
+    val m4 = pmod(col("event_id"), lit(4))
+    val dur = when(m4 === 0, concat(k, lit("us")))
+      .when(m4 === 1, concat(k, lit("ms")))
+      .when(m4 === 2, concat(k, lit(".5s")))
+      .otherwise(concat(k, lit("m"), sec, lit("s")))
+    ev(s, dir)
+      .select(col("event_type"),
+        graft.functions.ParseDuration.parseDuration(dur).as("us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("us")).as("total_us"),
+        min(col("us")).as("min_us"),
+        max(col("us")).as("max_us"),
+        expr("CAST(ROUND(percentile(us, 0.5D), 0) AS BIGINT)").as("p50_us"),
+        expr("CAST(ROUND(percentile(us, 0.95D), 0) AS BIGINT)").as("p95_us"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "log_durations" -> (logDurations _),
     "log_heavy_hitters" -> (logHeavyHitters _),
     "log_asof" -> (logAsof _),
     "log_anomaly" -> (logAnomaly _),
@@ -255,6 +286,22 @@ object LogAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "log_durations" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CASE event_id % 4
+        |      WHEN 0 THEN (event_id % 900 + 1)
+        |      WHEN 1 THEN (event_id % 900 + 1) * 1000
+        |      WHEN 2 THEN (event_id % 900 + 1) * 1000000 + 500000
+        |      ELSE (event_id % 900 + 1) * 60000000 + (event_id % 60) * 1000000
+        |    END AS us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(us) AS BIGINT) AS total_us,
+        |  min(us) AS min_us, max(us) AS max_us,
+        |  CAST(ROUND(quantile_cont(us, 0.5), 0) AS BIGINT) AS p50_us,
+        |  CAST(ROUND(quantile_cont(us, 0.95), 0) AS BIGINT) AS p95_us
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "log_count" -> "SELECT count(*) AS n FROM events",
     "log_recent" ->
       """SELECT event_id, event_type, user_id, epoch_us(ts) AS ts_us

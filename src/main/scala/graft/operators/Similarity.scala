@@ -119,10 +119,10 @@ object Similarity {
     * collide with it in ≥1 table. At 100 TB (table, bucket) is the
     * shuffle key, each bucket does a local top-k, and recall/cost is
     * tuned by (bits, tables) — more bits → smaller buckets, more
-    * tables → higher recall. Defaults give ~0.7 recall@5 on the
+    * tables → higher recall. Defaults give ~0.94 recall@5 on the
     * near-uniform test corpus (see AnnRecallSpec). */
   def annLsh(s: SparkSession, dir: String,
-      seed: Long = 42L, tables: Int = 8, bits: Int = 4): DataFrame = {
+      seed: Long = 42L, tables: Int = 16, bits: Int = 4): DataFrame = {
     val dim = embeddingDim(s, dir)
     val all = withSigns(quantized(s, dir), seed, tables, bits, dim)
       .withColumn("bk", explode(bucketKeys(col("qv"), col("signs"), tables, bits)))

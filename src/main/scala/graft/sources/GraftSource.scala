@@ -880,6 +880,16 @@ private[sources] object GraftPrune {
         case -2 => mn <= n
       }
     }) &&
+    // 3a. COMPLETE dictionary value sets (equality only): set-miss ⇒
+    // provably no row matches — the file is skipped WITHOUT being
+    // opened, one level earlier than its bloom filter could act.
+    // Sound because dictionaries exclude nulls and `c = v` is
+    // null-false; range ops stay with the [min,max] clauses.
+    (v match {
+      case s: String if op == 0 =>
+        f.valueSets.find(_._1.equalsIgnoreCase(col)).forall(_._2.contains(s))
+      case _ => true
+    }) &&
     // 3. ASCII string stats (recorded only where byte and char order agree)
     (v match {
       case s: String => f.strRanges.find(_._1.equalsIgnoreCase(col)).forall {

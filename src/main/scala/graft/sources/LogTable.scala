@@ -38,7 +38,18 @@ final case class DataFile(path: String, rows: Long, bytes: Long,
     /** Per-column NULL counts for the columns in `ranges` (absent =
       * unknown): what turns footer [min,max] into a sound TOP-N file
       * pruner — "this file supplies rows - nulls values >= min". */
-    nulls: Map[String, Long] = Map.empty)
+    nulls: Map[String, Long] = Map.empty,
+    /** Per-column COMPLETE value sets for low-NDV string columns
+      * (absent = unknown), harvested from parquet DICTIONARY pages at
+      * commit when every page of every row group is dictionary-encoded
+      * (EncodingStats-proven) and the dictionary holds ≤32 ASCII
+      * values. Lets a point lookup on a column the layout is NOT
+      * clustered on skip the file WITHOUT OPENING IT — one level
+      * earlier than bloom filters (which prune row groups after the
+      * file is already open). Equality-only: dictionaries exclude
+      * nulls, and `c = v` is null-false, so set-miss ⇒ no row
+      * matches. */
+    valueSets: Map[String, Seq[String]] = Map.empty)
 
 /** One EQUALITY-DELETE file of a snapshot (Iceberg v2's second delete
   * form): a parquet file of KEY TUPLES over `cols`, marking every row
@@ -1435,9 +1446,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
     implicit val ec: ExecutionContext = ExecutionContext.global
     Await.result(Future.traverse(placed) { dest =>
       Future {
-        val (rows, ranges, strRanges, nulls) = parquetFooterMeta(dest)
+        val (rows, ranges, strRanges, nulls, vsets) = parquetFooterMeta(dest)
         DataFile(dest.toString, rows, Files.size(dest), Map.empty,
-          ranges, strRanges, nulls = nulls)
+          ranges, strRanges, nulls = nulls, valueSets = vsets)
       }
     }, Duration.Inf).filter(_.rows > 0L)
   }
@@ -1752,7 +1763,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val dest = delDir.resolve(s"${UUID.randomUUID()}.parquet")
     Files.move(part.head, dest, StandardCopyOption.ATOMIC_MOVE)
     LogTable.deleteRecursively(stage)
-    val (rows, _, _, _) = parquetFooterMeta(dest)
+    val (rows, _, _, _, _) = parquetFooterMeta(dest)
     if (rows == 0L) { Files.deleteIfExists(dest); None }
     else Some(EqDeleteFile(dest.toString, Files.size(dest),
       keys.columns.toSeq, rows, 0L))
@@ -2428,9 +2439,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
       implicit val ec: ExecutionContext = ExecutionContext.global
       Await.result(Future.traverse(placed) { case (dest, partVals) =>
         Future {
-          val (rows, ranges, strRanges, nulls) = parquetFooterMeta(dest)
+          val (rows, ranges, strRanges, nulls, vsets) = parquetFooterMeta(dest)
           DataFile(dest.toString, rows, Files.size(dest), partVals,
-            ranges, strRanges, nulls = nulls)
+            ranges, strRanges, nulls = nulls, valueSets = vsets)
         }
       }, Duration.Inf)
     }
@@ -2538,7 +2549,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * unsigned-byte comparator and Java's string order provably agree. */
   private def parquetFooterMeta(p: Path):
       (Long, Map[String, (Long, Long)], Map[String, (String, String)],
-        Map[String, Long]) = {
+        Map[String, Long], Map[String, Seq[String]]) = {
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
     val reader = ParquetFileReader.open(in)
@@ -2600,7 +2611,47 @@ final class LogTable private (val spark: SparkSession, val root: String,
         if (perBlockNulls.isEmpty) Map.empty[String, Long]
         else perBlockNulls.map(_.keySet).reduce(_ & _)
           .map(k => k -> perBlockNulls.map(_(k)).sum).toMap
-      (reader.getRecordCount, fold(perBlock), fold(perBlockStr), nulls)
+      // COMPLETE value sets from dictionary pages: sound only when the
+      // EncodingStats PROVE no page fell back to a non-dictionary
+      // encoding (a plain-encoded tail could hold values outside the
+      // dictionary — a wrong skip). Capped at 32 values per column.
+      val dictCap = 32
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val perBlockSets: Seq[Map[String, Set[String]]] = blocks.map { b =>
+        // widen to the public interface: the concrete reader class is
+        // package-private in parquet-mr
+        val dicts: org.apache.parquet.column.page.DictionaryPageReadStore =
+          reader.getDictionaryReader(b)
+        b.getColumns.asScala.flatMap { c =>
+          val isString = c.getPrimitiveType.getPrimitiveTypeName == BINARY &&
+            c.getPrimitiveType.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          val es = c.getEncodingStats
+          if (isString && c.getPath.size() == 1 && es != null &&
+              es.hasDictionaryPages && !es.hasNonDictionaryEncodedPages) {
+            val cd = schema.getColumnDescription(c.getPath.toArray)
+            Option(dicts.readDictionaryPage(cd)).flatMap { dp =>
+              val dict = dp.getEncoding.initDictionary(cd, dp)
+              if (dict.getMaxId + 1 > dictCap) None
+              else {
+                val vals = (0 to dict.getMaxId)
+                  .map(i => dict.decodeToBinary(i).toStringUsingUTF8).toSet
+                if (vals.forall(asciiBounded))
+                  Some(c.getPath.toDotString -> vals)
+                else None
+              }
+            }
+          } else None
+        }.toMap
+      }
+      val valueSets =
+        if (perBlockSets.isEmpty) Map.empty[String, Seq[String]]
+        else perBlockSets.map(_.keySet).reduce(_ & _)
+          .map(k => k -> perBlockSets.flatMap(_(k)).distinct)
+          .filter(_._2.size <= dictCap)
+          .map { case (k, v) => k -> v.sorted }.toMap
+      (reader.getRecordCount, fold(perBlock), fold(perBlockStr), nulls,
+        valueSets)
     } finally reader.close()
   }
 }
@@ -2794,6 +2845,12 @@ object LogTable {
           val a = rn.putArray(k); a.add(mn); a.add(mx)
         }
       }
+      if (f.valueSets.nonEmpty) {
+        val vn = fn.putObject("valueSets")
+        f.valueSets.toSeq.sortBy(_._1).foreach { case (k, vs) =>
+          val a = vn.putArray(k); vs.foreach(a.add)
+        }
+      }
     }
     if (s.deletes.nonEmpty) {
       val dn = node.putArray("deletes")
@@ -2843,7 +2900,10 @@ object LogTable {
         f.get("bytes").asLong(), parts, ranges, strRanges,
         Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
         Option(f.get("nulls")).map(_.fields().asScala.map(e =>
-          e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty))
+          e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty),
+        Option(f.get("valueSets")).map(_.fields().asScala.map(e =>
+          e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq)
+          .toMap).getOrElse(Map.empty))
     }.toSeq
     Snapshot(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("operation").asText(), n.get("timestampMs").asLong(), files,

@@ -19,8 +19,12 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     info(f"ann_lsh recall@5 = $recall%.3f (${(exact & approx).size}/${exact.size})")
     // Neighbors here sit at ~68° (near-random data) — the hardest case
-    // for hyperplane LSH; 4 bits × 8 tables should still recover most.
-    assert(recall >= 0.5, s"recall $recall below 0.5")
+    // for hyperplane LSH. CALIBRATED bound: 4 bits × 16 tables measures
+    // 0.94 recall@5 on this corpus with the fixed seed; 0.8 leaves
+    // margin for corpus regeneration, and a real regression (a seed or
+    // banding bug collapses recall toward the ~0.15 single-table
+    // floor) lands far below it.
+    assert(recall >= 0.8, s"recall $recall below the calibrated 0.8 bound")
   }
 
   test("bucketKeys: random hyperplanes give balanced buckets") {
@@ -122,7 +126,10 @@ class SimilaritySpec extends SparkSpec {
     // ADC ranks candidates by their RECONSTRUCTED codewords — within a
     // tight cluster the residuals are small, so recall should stay
     // high; it is honestly below IVF's exact-vector refinement.
-    assert(recall >= 0.6, s"PQ recall $recall on clustered data below 0.6")
+    // CALIBRATED: measures 0.68 on this corpus with fixed seeds; 0.64
+    // leaves regeneration margin while catching a codebook/ADC
+    // regression (which collapses toward random ≈ k/n).
+    assert(recall >= 0.64, s"PQ recall $recall below the calibrated 0.64 bound")
   }
 
   test("ann_pq: deterministic across invocations, codes are m small ints") {

@@ -492,6 +492,42 @@ class GraftSourceSpec extends SparkSpec {
       Seq(4001L, 4000L, 3009L))
   }
 
+  test("manifest value sets skip files on point lookups off the cluster axis") {
+    import spark.implicits._
+    val root = tmp("gsrc-vset")
+    val t = LogTable(spark, root)
+    // three files whose STRING RANGES all contain 'del' — [min,max]
+    // cannot separate them; only the dictionary value sets can. Values
+    // repeat (a real low-NDV column's shape) so the parquet writer
+    // dictionary-encodes; single-digit-row files fall back to PLAIN.
+    def slab(ops: Seq[String], base: Long) =
+      (0 until 200).map(i => (ops(i % ops.size), base + i)).toDF("op", "v")
+    t.append(slab(Seq("aa", "zz"), 0L).coalesce(1))
+    t.append(slab(Seq("ab", "zy"), 1000L).coalesce(1))
+    t.append(slab(Seq("ab", "del", "zy"), 2000L).coalesce(1))
+    assert(t.snapshot().files.forall(_.valueSets.contains("op")),
+      "commit should harvest complete dictionaries for a low-NDV string column")
+
+    def planned(df: DataFrame): Int = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.inputPartitions.size
+
+    val hit = spark.read.format("graft").load(root).where($"op" === "del")
+    assert(planned(hit) === 1,
+      "only the file whose dictionary contains 'del' may plan")
+    assert(hit.count() === (0 until 200).count(_ % 3 == 1).toLong)
+
+    // inside every range, in no dictionary → NO file opens
+    val miss = spark.read.format("graft").load(root).where($"op" === "mm")
+    assert(planned(miss) === 0)
+    assert(miss.count() === 0L)
+
+    // IN-lists prune per member
+    val in2 = spark.read.format("graft").load(root)
+      .where($"op".isin("del", "mm"))
+    assert(planned(in2) === 1)
+  }
+
   test("the scan reports manifest-accurate statistics, post-pruning") {
     import spark.implicits._
     val root = tmp("gsrc-stats")
