@@ -33,7 +33,14 @@ object Tables {
     * is a no-op (no shuffle added on the big-data path). */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // gauge scan width from the FILE LIST (public API, metadata only)
+    // instead of df.rdd.getNumPartitions: the RDD conversion
+    // materializes the whole plan lineage on the driver per call just
+    // to read one number. Files under-count splits for huge files,
+    // which only errs toward keeping the widening shuffle on small
+    // inputs — at scale the file count alone already exceeds the
+    // cluster's parallelism and this is a no-op, same as before.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   /** `events` with `ts_us` = exact microseconds-since-epoch (Long).
@@ -53,6 +60,9 @@ object Tables {
     all.filterNot(_ == "events")
       .foreach(t => apply(spark, dir, t).createOrReplaceTempView(t))
     events(spark, dir).createOrReplaceTempView("events")
+    // the native expressions come along as SQL functions — the full
+    // Trino-style surface (tables AND functions) in plain spark.sql
+    GraftExtensions.register(spark)
   }
 }
 

@@ -2627,8 +2627,26 @@ final class LogTable private (val spark: SparkSession, val root: String,
             c.getPrimitiveType.getLogicalTypeAnnotation.isInstanceOf[
               org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
           val es = c.getEncodingStats
+          // cost gates BEFORE any page read: the column's [min,max]
+          // must already be ASCII-bounded (a JSON/props column fails
+          // here), and the dictionary page itself must be tiny on
+          // disk (32 values × ≤64 ASCII chars ≈ 2 KB; a high-NDV
+          // dictionary can be megabytes — reading it just to discard
+          // by the cap would tax every commit)
+          lazy val smallDict = c.getDictionaryPageOffset >= 0 &&
+            c.getFirstDataPageOffset > c.getDictionaryPageOffset &&
+            c.getFirstDataPageOffset - c.getDictionaryPageOffset <= 4096L
+          lazy val boundedStats = {
+            val st = c.getStatistics
+            st != null && st.hasNonNullValue &&
+              asciiBounded(st.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8) &&
+              asciiBounded(st.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+          }
           if (isString && c.getPath.size() == 1 && es != null &&
-              es.hasDictionaryPages && !es.hasNonDictionaryEncodedPages) {
+              es.hasDictionaryPages && !es.hasNonDictionaryEncodedPages &&
+              smallDict && boundedStats) {
             val cd = schema.getColumnDescription(c.getPath.toArray)
             Option(dicts.readDictionaryPage(cd)).flatMap { dp =>
               val dict = dp.getEncoding.initDictionary(cd, dp)

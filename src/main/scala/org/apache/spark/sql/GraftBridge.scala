@@ -63,4 +63,15 @@ object GraftBridge {
     parameters.get(execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY)
       .map(execution.datasources.DataSourceUtils.decodePartitioningColumns)
       .getOrElse(Nil)
+
+  /** Register a SQL function on an EXISTING session (the session
+    * FunctionRegistry is behind private[sql] sessionState) — the
+    * same-session complement of injecting through
+    * SparkSessionExtensions at build time. */
+  def registerFunction(spark: SparkSession, name: String,
+      info: catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(
+        catalyst.FunctionIdentifier(name), info, builder)
 }

@@ -394,4 +394,34 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM log_table").head().getLong(0) === 25L)
     assert(spark.sql("SELECT max(id) FROM log_table").head().getLong(0) === 24L)
   }
+
+  test("native expressions resolve as SQL functions (GraftExtensions)") {
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT parse_duration('1m30.5s') AS us")
+      .head().getLong(0) === 90500000L)
+    assert(spark.sql("SELECT parse_duration('junk') AS us").head().isNullAt(0))
+    assert(spark.sql("SELECT long_dot(array(3L, -4L), array(3L, -4L)) AS d")
+      .head().getLong(0) === 25L)
+    // SQL calls build the SAME expressions as the Column API — results
+    // are bit-identical by construction
+    val sql = spark.sql(
+      "SELECT simhash64(array('a','b','c'), 0) AS h, " +
+        "minhash_sig(array('a','b','c'), 8) AS m, " +
+        "word_shingles(array('a','b','c'), 2) AS s").head()
+    import org.apache.spark.sql.functions.{array, lit}
+    val api = spark.range(1).select(
+      graft.functions.SimHash64.simhash64(array(lit("a"), lit("b"), lit("c")), 0).as("h"),
+      graft.functions.MinHashSig.minhashSig(array(lit("a"), lit("b"), lit("c")), 8).as("m"),
+      graft.functions.WordShingles.wordShingles(array(lit("a"), lit("b"), lit("c")), 2).as("s"))
+      .head()
+    assert(sql.getLong(0) === api.getLong(0))
+    assert(sql.getSeq[Long](1) === api.getSeq[Long](1))
+    assert(sql.getSeq[Long](2) === api.getSeq[Long](2))
+    // a non-literal seed refuses loudly instead of mis-binding
+    intercept[Exception] {
+      spark.sql("SELECT simhash64(array('a'), CAST(rand()*10 AS INT))").collect()
+    }
+    // the build-time extensions class wires the same set without error
+    new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
 }
