@@ -632,7 +632,51 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** STORAGE-PARTITIONED JOIN through the catalog: facts (events) and
+    * dims (customers) both laid out `bucket(8, key)` of the join key,
+    * then joined WITHOUT either exchange — the DSv2 scan reports
+    * `KeyGroupedPartitioning`, the catalog's `FunctionCatalog`
+    * resolves the bucket transform, and Spark aligns the two sides
+    * bucket-by-bucket (broadcast disabled so the co-partitioned plan,
+    * not a broadcast, is what runs; [[graft.sources.GraftSpjSpec]]
+    * pins the zero-shuffle plan shape). At 100 TB a fact⋈fact join IS
+    * its two shuffles; this is the layout-driven path that deletes
+    * them. Oracle = the same join over the source parquet. */
+  def lakeSpj(s: SparkSession, dir: String): DataFrame = {
+    CatalogFixture.ensure(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    s.sql("DROP TABLE IF EXISTS graft_cat.lake.spj_facts")
+    s.sql("DROP TABLE IF EXISTS graft_cat.lake.spj_dims")
+    s.sql(
+      """CREATE TABLE graft_cat.lake.spj_facts (
+        |  event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+        |PARTITIONED BY (bucket(8, user_id))""".stripMargin)
+    s.sql(
+      """CREATE TABLE graft_cat.lake.spj_dims (
+        |  c_custkey BIGINT, c_acctbal DOUBLE)
+        |PARTITIONED BY (bucket(8, c_custkey))""".stripMargin)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("spj_facts_src")
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .createOrReplaceTempView("spj_dims_src")
+    s.sql("INSERT INTO graft_cat.lake.spj_facts SELECT * FROM spj_facts_src")
+    s.sql("INSERT INTO graft_cat.lake.spj_dims SELECT * FROM spj_dims_src")
+    // the MERGE hint pins sort-merge join per-query (a broadcast would
+    // trivially have no shuffle and prove nothing); co-partitioning
+    // then elides BOTH exchanges — no session conf touched
+    s.sql(
+      """SELECT /*+ MERGE(d) */ f.event_type, count(*) AS n,
+        |  CAST(sum(CAST(f.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  CAST(sum(CAST(d.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM graft_cat.lake.spj_facts f
+        |JOIN graft_cat.lake.spj_dims d ON f.user_id = d.c_custkey
+        |GROUP BY f.event_type ORDER BY f.event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_spj" -> (lakeSpj _),
     "lake_evolve" -> (lakeEvolve _),
     "lake_mor2" -> (lakeMor2 _),
     "lake_upsert" -> (lakeUpsert _),
@@ -658,6 +702,12 @@ object Lakehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_spj" ->
+      """SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "lake_evolve" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

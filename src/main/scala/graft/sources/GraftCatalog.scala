@@ -42,9 +42,31 @@ import scala.jdk.CollectionConverters._
   * constraints, schema evolution, hidden layout derivation and
   * optimistic concurrency hold for SQL writers too. */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catName: String = _
   private var warehouse: Path = _
+
+  // ---------------------------------------------------------- functions
+  // The partition-transform V2 functions (bucket/hours/days/truncate).
+  // Spark's V2ScanPartitioning rule resolves a scan's reported
+  // KeyGroupedPartitioning transforms through the TABLE'S catalog as a
+  // FunctionCatalog — without this seam every reported bucket/hours
+  // key silently degrades to "unknown partitioning" and
+  // storage-partitioned joins never engage.
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] = {
+    if (namespace.nonEmpty && !Files.isDirectory(nsDir(namespace)))
+      throw new NoSuchNamespaceException((catName +: namespace).toSeq)
+    GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name

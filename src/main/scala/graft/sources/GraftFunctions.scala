@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64Function}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions}
+import org.apache.spark.sql.types._
+
+/** The partition-transform functions as Spark V2 catalog functions —
+  * the seam behind STORAGE-PARTITIONED JOINS (the reference's Iceberg
+  * tables get the same from Iceberg's SparkFunctions): when two graft
+  * tables are laid out by the same transform of the join key, Spark's
+  * `KeyGroupedPartitioning` machinery joins them partition-by-partition
+  * with ZERO shuffle — at 100 TB the dominant cost of a fact⋈fact join
+  * is the two exchanges, and this deletes both.
+  *
+  * Each function is the EXACT arithmetic of [[Transform.column]] /
+  * [[Transform.derive]] (integral `div`/`pmod`, xxhash64 seed 42) —
+  * Spark may evaluate it (`spark.sql.sources.v2.bucketing.shuffle
+  * .enabled` hashes the un-bucketed side with it), so a drifted
+  * definition would silently co-locate WRONG rows. One definition,
+  * three consumers: writer layout, manifest pruning, join planning. */
+private[sources] object GraftFunctions {
+
+  /** Connector-side names (Spark's `Expressions.bucket/hours/days`
+    * vocabulary) for each manifest transform kind. */
+  def v2Name(kind: String): String = kind match {
+    case "hour" => "hours"
+    case "day" => "days"
+    case other => other // bucket, truncate
+  }
+
+  val names: Seq[String] = Seq("bucket", "hours", "days", "truncate")
+
+  def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
+    case "bucket" => Some(BucketUnbound)
+    case "hours" => Some(HoursUnbound)
+    case "days" => Some(DaysUnbound)
+    case "truncate" => Some(TruncateUnbound)
+    case _ => None
+  }
+
+  private def requireTypes(fn: String, in: StructType, want: Seq[DataType]): Unit =
+    require(in.fields.map(_.dataType).toSeq == want,
+      s"graft.$fn expects (${want.mkString(", ")}), got " +
+        s"(${in.fields.map(_.dataType).mkString(", ")}) — graft transform " +
+        "sources are LongType by construction")
+
+  /** bucket(n, col): `pmod(xxhash64(col), n)` — [[Transform.derive]]. */
+  private object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col) - graft hash bucket: pmod(xxhash64(col), n)"
+    override def bind(inputType: StructType): BoundFunction = {
+      requireTypes("bucket", inputType, Seq(IntegerType, LongType))
+      BucketBound
+    }
+  }
+  private object BucketBound extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = LongType
+    override def produceResult(row: InternalRow): java.lang.Long =
+      if (row.isNullAt(1)) null
+      else {
+        val n = row.getInt(0).toLong
+        ((XxHash64Function.hash(row.getLong(1), LongType, 42L) % n) + n) % n
+      }
+  }
+
+  private abstract class UnaryLongUnbound(fn: String, desc: String,
+      bound: BoundFunction) extends UnboundFunction {
+    override def name(): String = fn
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundFunction = {
+      requireTypes(fn, inputType, Seq(LongType))
+      bound
+    }
+  }
+  private abstract class UnaryLongBound(fn: String, div: Long)
+      extends ScalarFunction[java.lang.Long] {
+    override def name(): String = fn
+    override def canonicalName(): String = s"graft.$fn"
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def produceResult(row: InternalRow): java.lang.Long =
+      if (row.isNullAt(0)) null else row.getLong(0) / div
+  }
+  private object HoursBound extends UnaryLongBound("hours", 3600000000L)
+  private object DaysBound extends UnaryLongBound("days", 86400000000L)
+  private object HoursUnbound extends UnaryLongUnbound("hours",
+    "hours(us) - graft hour number of a microsecond-epoch long", HoursBound)
+  private object DaysUnbound extends UnaryLongUnbound("days",
+    "days(us) - graft day number of a microsecond-epoch long", DaysBound)
+
+  /** truncate(w, col): `(col div w) * w` — [[Transform.derive]]. */
+  private object TruncateUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(w, col) - graft fixed-width truncation: (col div w) * w"
+    override def bind(inputType: StructType): BoundFunction = {
+      requireTypes("truncate", inputType, Seq(LongType, LongType))
+      TruncateBound
+    }
+  }
+  private object TruncateBound extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate"
+    override def inputTypes(): Array[DataType] = Array(LongType, LongType)
+    override def resultType(): DataType = LongType
+    override def produceResult(row: InternalRow): java.lang.Long =
+      if (row.isNullAt(1)) null
+      else row.getLong(1) / row.getLong(0) * row.getLong(0)
+  }
+}
+
+/** The partition-key layout a scan reports for storage-partitioned
+  * joins: `cols` names each key's manifest spelling (hive column or
+  * transform directory key) with the catalyst type its values parse
+  * to; `keys` is the same layout in Spark's connector-expression
+  * vocabulary, in the SAME order — [[GraftBatch]] builds each file's
+  * `partitionKey()` row from `cols`, so reported keys and delivered
+  * rows can never disagree on order or type. */
+private[sources] final case class SpjLayout(cols: Seq[(String, DataType)],
+    keys: Array[VExpression], numPartitions: Int) {
+
+  private val NullDir = "__HIVE_DEFAULT_PARTITION__"
+
+  /** The partition-key row for one planned file (driver-side, manifest
+    * metadata only). A file missing a layout value means the layout
+    * CHANGED between partitioning report and split planning (a racing
+    * evolveSpec) — refuse loudly, a silent null key would join rows
+    * into the wrong co-partition. */
+  def keyRowOf(f: DataFile): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      cols.map { case (name, dt) =>
+        f.partitions.get(name) match {
+          case None => throw new IllegalStateException(
+            s"graft storage-partitioned scan: file ${f.path} lacks layout " +
+              s"key '$name' — partition spec changed during planning; re-run")
+          case Some(NullDir) => null
+          case Some(v) => Cast(Literal(v), dt, Some("UTC")).eval(null)
+        }
+      }.toArray[Any])
+}
+
+private[sources] object SpjLayout {
+  /** The reportable layout of a snapshot, or None when any gate fails:
+    * no layout, a pre-evolution file missing a derived value, or an
+    * identity partition column of a type hive-string round-tripping
+    * can't carry exactly. Degrade to "no report" (Spark plans the
+    * usual exchanges), never to a wrong co-partition claim. */
+  def of(snap: Snapshot): Option[SpjLayout] = {
+    if (snap.partCols.isEmpty && snap.transforms.isEmpty) return None
+    if (snap.schemaJson.isEmpty) return None
+    val schema = LogTable.parseSchema(snap.schemaJson)
+    val identity: Seq[Option[(String, DataType, VExpression)]] =
+      snap.partCols.map { c =>
+        schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(f =>
+          f.dataType match {
+            case LongType | IntegerType | ShortType | ByteType | StringType =>
+              Some((c, f.dataType, Expressions.identity(c): VExpression))
+            case _ => None
+          })
+      }
+    if (identity.exists(_.isEmpty)) return None
+    val hidden: Seq[(String, DataType, VExpression)] = snap.transforms.map { t =>
+      val expr: VExpression = t.kind match {
+        case "bucket" => Expressions.bucket(t.n.toInt, t.source)
+        case "hour" => Expressions.hours(t.source)
+        case "day" => Expressions.days(t.source)
+        case "truncate" => Expressions.apply("truncate",
+          Expressions.literal(t.n), Expressions.column(t.source))
+      }
+      (t.colName, LongType, expr)
+    }
+    val all = identity.flatten ++ hidden
+    // every live file must carry every layout value (spec evolution
+    // leaves pre-evolution files without the new keys — those
+    // snapshots simply don't report)
+    val names = all.map(_._1)
+    if (!snap.files.forall(f => names.forall(f.partitions.contains)))
+      return None
+    val n = snap.files.map(f => names.map(f.partitions(_))).distinct.size
+    Some(SpjLayout(all.map(t => (t._1, t._2)), all.map(_._3).toArray,
+      math.max(n, 1)))
+  }
+}

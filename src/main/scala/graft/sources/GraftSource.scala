@@ -662,7 +662,8 @@ private[sources] final class GraftScan(root: String, schema: StructType,
     topN: Option[(String, Boolean, Boolean, Int)] = None,
     rowLevel: Option[GraftRowLevelOperation] = None) extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   @volatile private var runtime: Array[Filter] = Array.empty
   /** Runtime GROUP filter (row-level operations): the exact data files
     * holding rows the command matches, delivered as `_file IN (...)`
@@ -706,9 +707,34 @@ private[sources] final class GraftScan(root: String, schema: StructType,
         java.util.OptionalLong.of(liveRows)
     }
   }
+  /** STORAGE-PARTITIONED JOINS: report the table's layout as
+    * `KeyGroupedPartitioning` so Spark joins two graft tables with the
+    * same layout of the join key partition-by-partition — no exchange
+    * on either side. Resolved once; [[toBatch]] hands the SAME layout
+    * to split planning, so the reported keys and the per-partition
+    * `partitionKey()` rows can never disagree (a racing evolveSpec
+    * between the two calls fails loudly at key-row build instead).
+    * Row-level scans skip the report: their one consumer is a group
+    * rewrite, and a stale claim there rewrites wrong groups. */
+  private lazy val spjLayout: Option[SpjLayout] =
+    if (rowLevel.nonEmpty) None
+    else SpjLayout.of(GraftSourceUtil.snapshotFor(
+      LogTable(SparkSession.active, root), options))
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjLayout match {
+      case Some(l) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(l.keys, l.numPartitions)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   override def toBatch: Batch =
     new GraftBatch(root, schema, options, pushed ++ runtime, limit, topN,
-      fileSet, rowLevel)
+      fileSet, rowLevel, spjLayout)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(root, schema, options, pushed)
 
@@ -978,7 +1004,15 @@ private[sources] final case class GraftInputPartition(path: String,
     /** EQUALITY-delete files NEWER than this data file (seq guard
       * applied at planning) as (path, bytes, key columns): the
       * executor loads their key tuples and filters matching rows. */
-    eqDels: Seq[(String, Long, Seq[String])] = Nil) extends InputPartition
+    eqDels: Seq[(String, Long, Seq[String])] = Nil,
+    /** This file's partition-key row for storage-partitioned joins —
+      * set only when the scan reported `KeyGroupedPartitioning`
+      * (Spark groups same-key partitions and aligns the join sides by
+      * these rows); null on every other path, which never reads it. */
+    pkey: InternalRow = null) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = pkey
+}
 
 /** Executor-side readers for MERGE-ON-READ snapshots, built only when
   * the planned snapshot carries position deletes: `raw` reads a data
@@ -1061,7 +1095,8 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
     limit: Option[Int] = None,
     topN: Option[(String, Boolean, Boolean, Int)] = None,
     fileSet: Option[Set[String]] = None,
-    rowLevel: Option[GraftRowLevelOperation] = None) extends Batch {
+    rowLevel: Option[GraftRowLevelOperation] = None,
+    spj: Option[SpjLayout] = None) extends Batch {
   private val spark = SparkSession.active
   // `_file` is metadata — the reader materializes it from the
   // partition's own path; it has no physical twin to read
@@ -1190,8 +1225,8 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
         // is resolved here, at planning, from manifest metadata
         val eqs = snap.eqDeletes.filter(_.seq > f.seq)
           .map(d => (d.path, d.bytes, d.cols))
-        GraftInputPartition(f.path, f.bytes, f.partitions, dels, eqs)
-          : InputPartition
+        GraftInputPartition(f.path, f.bytes, f.partitions, dels, eqs,
+          spj.map(_.keyRowOf(f)).orNull): InputPartition
       }
       .toArray
   }
