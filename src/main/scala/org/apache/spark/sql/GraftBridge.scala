@@ -64,17 +64,6 @@ object GraftBridge {
       .map(execution.datasources.DataSourceUtils.decodePartitioningColumns)
       .getOrElse(Nil)
 
-  /** Row→vector appender (RowToColumnConverter is private[sql]) — the
-    * MoR columnar read path uses it to rebuild the SURVIVING rows of a
-    * position-deleted batch as fresh column vectors, the same
-    * converter Spark's own RowToColumnarExec runs. */
-  def rowToColumnConverter(schema: types.StructType)
-      : (catalyst.InternalRow,
-         Array[execution.vectorized.WritableColumnVector]) => Unit = {
-    val conv = new execution.RowToColumnConverter(schema)
-    (row, vecs) => conv.convert(row, vecs)
-  }
-
   /** Register a SQL function on an EXISTING session (the session
     * FunctionRegistry is behind private[sql] sessionState) — the
     * same-session complement of injecting through
