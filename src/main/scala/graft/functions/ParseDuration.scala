@@ -62,6 +62,8 @@ object ParseDuration {
   /** Total microseconds, truncated toward zero; null = malformed.
     * Accumulates in double nanoseconds (exact to 2^53 ns ≈ 104 days —
     * far past any request duration). */
+  private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
   def parse(s0: String): java.lang.Long = {
     if (s0 == null) return null
     val s = s0.trim
@@ -80,21 +82,24 @@ object ParseDuration {
     while (i < s.length) {
       var digits = 0
       var intPart = 0.0
-      while (i < s.length && s.charAt(i).isDigit) {
+      // ASCII digits only: Character.isDigit admits Unicode digits,
+      // whose c - '0' value is garbage — those must fall to NULL, not
+      // a silently wrong duration
+      while (i < s.length && isAsciiDigit(s.charAt(i))) {
         intPart = intPart * 10 + (s.charAt(i) - '0'); i += 1; digits += 1
       }
       var frac = 0.0
       var scale = 1.0
       if (i < s.length && s.charAt(i) == '.') {
         i += 1
-        while (i < s.length && s.charAt(i).isDigit) {
+        while (i < s.length && isAsciiDigit(s.charAt(i))) {
           frac = frac * 10 + (s.charAt(i) - '0'); scale *= 10; i += 1
           digits += 1
         }
       }
       if (digits == 0) return null
       val uStart = i
-      while (i < s.length && !s.charAt(i).isDigit && s.charAt(i) != '.') i += 1
+      while (i < s.length && !isAsciiDigit(s.charAt(i)) && s.charAt(i) != '.') i += 1
       val ns = unitNs(s.substring(uStart, i))
       if (ns < 0) return null
       totalNs += (intPart + frac / scale) * ns

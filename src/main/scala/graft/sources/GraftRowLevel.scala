@@ -52,12 +52,18 @@ private[sources] final class GraftRowLevelOperation(root: String,
     fullSchema: StructType, cmd: Command) extends RowLevelOperation {
 
   /** Set by the scan's `planInputPartitions` (after runtime group
-    * filtering): the snapshot it planned against and the exact file
-    * set it planned — the groups the write's commit replaces. */
-  @volatile private var scanned: Option[(Snapshot, Seq[String])] = None
-  private[sources] def recordScan(snap: Snapshot, paths: Seq[String]): Unit =
-    scanned = Some((snap, paths))
-  private[sources] def scanState: Option[(Snapshot, Seq[String])] = scanned
+    * filtering): the snapshot it planned against, the exact file set
+    * it planned — the groups the write's commit replaces — and the
+    * command condition's pushed filters (the commit validates no
+    * CONCURRENTLY APPENDED file could match them — serializable
+    * conflict detection, as Iceberg's Spark MERGE defaults to). */
+  @volatile private var scanned: Option[(Snapshot, Seq[String],
+    Seq[org.apache.spark.sql.sources.Filter])] = None
+  private[sources] def recordScan(snap: Snapshot, paths: Seq[String],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Unit =
+    scanned = Some((snap, paths, filters))
+  private[sources] def scanState: Option[(Snapshot, Seq[String],
+    Seq[org.apache.spark.sql.sources.Filter])] = scanned
 
   override def command(): Command = cmd
   override def description(): String = s"graft row-level $cmd on $root"
@@ -119,7 +125,7 @@ private[sources] final class GraftRowLevelWrite(root: String,
           // the scan never planned (statement matched nothing at all)
           require(staged.isEmpty,
             "row-level write staged rows without a recorded scan")
-        case Some((scanSnap, removedSeq)) =>
+        case Some((scanSnap, removedSeq, scanFilters)) =>
           val t = LogTable(spark, root)
           val removed = removedSeq.toSet
           val newFiles =
@@ -131,7 +137,7 @@ private[sources] final class GraftRowLevelWrite(root: String,
               .parquet(staged: _*))
           if (removed.nonEmpty || newFiles.nonEmpty) {
             t.commitReplaceGroups(removed, newFiles,
-              s"rlo-${cmdStr}", scanSnap)
+              s"rlo-${cmdStr}", scanSnap, scanFilters)
           }
       }
     } finally LogTable.deleteRecursively(stageDir)

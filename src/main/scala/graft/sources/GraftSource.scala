@@ -251,8 +251,11 @@ private[sources] object GraftSourceUtil {
     * is an O(columns) vector reorder, not per-row work) — native
     * parquet scan speed through `format("graft")`. Requirements, each
     * checked here driver-side:
-    *   - no outstanding position deletes (row-index filtering is
-    *     per-row by nature);
+    *   - no outstanding EQUALITY deletes (key-tuple matching is a
+    *     per-row expression over coalesced historical names). Files
+    *     under POSITION deletes stay columnar: their batches filter
+    *     through the file's mark bitmap, untouched batches pass
+    *     through zero-copy ([[GraftReaderFactory.createColumnarReader]]);
     *   - no rename history on the selected fields (coalescing
     *     historical names is a per-row expression);
     *   - a UNIFORM layout: every file carries partition values for
@@ -260,13 +263,13 @@ private[sources] object GraftSourceUtil {
     *     evolution layouts fall back to rows);
     *   - the parquet vectorized reader supports the schema
     *     (ParquetFileFormat.supportBatch).
-    * Returns (dataSchema, partitionSchema, reorder map to the logical
-    * column order, batch-returning read function). */
+    * `readRaw` is the UNFILTERED twin of `read` for delete-carrying
+    * files — position semantics are "row index within the file", so
+    * row-group pruning under a pushed filter would shift positions
+    * and delete the WRONG rows. */
   def columnarPlan(spark: SparkSession, logical: StructType,
-      snap: Snapshot, filters: Seq[Filter])
-      : Option[(StructType, StructType, Array[Int],
-        PartitionedFile => Iterator[InternalRow])] = {
-    if (snap.deletes.nonEmpty || snap.eqDeletes.nonEmpty) return None
+      snap: Snapshot, filters: Seq[Filter]): Option[ColumnarPlan] = {
+    if (snap.eqDeletes.nonEmpty) return None
     if (logical.exists(f => LogTable.prevNames(f).nonEmpty)) return None
     val layouts = snap.files.map(f =>
       logical.fieldNames.filter(n =>
@@ -286,18 +289,29 @@ private[sources] object GraftSourceUtil {
       val di = dataS.fieldNames.indexOf(f.name)
       if (di >= 0) di else dataS.length + partS.fieldNames.indexOf(f.name)
     }
-    val readFunc = fmt.buildReaderWithPartitionValues(
+    def build(fs: Seq[Filter]) = fmt.buildReaderWithPartitionValues(
       classic,
       dataSchema = dataS,
       partitionSchema = partS,
       requiredSchema = dataS,
-      filters = filters,
+      filters = fs,
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "true"),
       hadoopConf = GraftBridge.hadoopConf(spark))
-    Some((dataS, partS, reorder, readFunc))
+    Some(ColumnarPlan(partS, reorder, build(filters),
+      readRaw = if (snap.deletes.isEmpty) null else build(Nil)))
   }
 }
+
+/** Driver-planned columnar scan recipe ([[GraftSourceUtil
+  * .columnarPlan]]): partition-column schema (for per-file constant
+  * vectors), the vector reorder to logical column order, the
+  * filtered batch reader for clean files, and the unfiltered twin
+  * for position-deleted files (null when the snapshot has none). */
+private[sources] final case class ColumnarPlan(partS: StructType,
+    reorder: Array[Int],
+    read: PartitionedFile => Iterator[InternalRow],
+    readRaw: PartitionedFile => Iterator[InternalRow])
 
 /** `writable = true` (catalog-loaded tables, whose schema is always
   * manifest-known) additionally advertises batch-write capabilities,
@@ -1212,7 +1226,7 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
     }
     // the row-level write replaces EXACTLY the groups this scan plans:
     // record them (and the snapshot they came from) for its commit
-    rowLevel.foreach(_.recordScan(snap, planned.map(_.path)))
+    rowLevel.foreach(_.recordScan(snap, planned.map(_.path), pushed.toSeq))
     planned
       .map { f =>
         // a merge-on-read snapshot ships each file's referencing delete
@@ -1278,8 +1292,7 @@ private[sources] final class GraftReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     phys: StructType, logical: StructType,
     mor: Option[GraftMorReaders] = None,
-    columnar: Option[(StructType, StructType, Array[Int],
-      PartitionedFile => Iterator[InternalRow])] = None,
+    columnar: Option[ColumnarPlan] = None,
     eq: Option[(Map[String, org.apache.spark.sql.types.DataType],
       Map[Seq[String], PartitionedFile => Iterator[InternalRow]])] = None)
     extends PartitionReaderFactory {
@@ -1288,30 +1301,50 @@ private[sources] final class GraftReaderFactory(
     PartitionedFile(InternalRow.empty,
       SparkPath.fromPathString(path), 0L, bytes, Array.empty, 0L, bytes)
 
+  /** The deleted-position set for one data file, from every delete
+    * file referencing it (a delete file may mark many data files;
+    * rows for other files filter out here). */
+  private def deletedPositions(gp: GraftInputPartition)
+      : java.util.HashSet[java.lang.Long] = {
+    val mr = mor.getOrElse(throw new IllegalStateException(
+      s"partition for ${gp.path} carries position deletes but the " +
+        "factory has no MoR readers — planner/factory snapshot drift"))
+    val deleted = new java.util.HashSet[java.lang.Long]()
+    gp.deletes.foreach { case (dp, dbytes) =>
+      unwrap(mr.del(wholeFile(dp, dbytes))).foreach { r =>
+        if (LogTable.localPath(r.getUTF8String(0).toString) == gp.path)
+          deleted.add(r.getLong(1))
+      }
+    }
+    deleted
+  }
+
   /** Columnar when the driver planned it ([[GraftSourceUtil
     * .columnarPlan]]'s uniformity checks) and this partition's layout
     * agrees — Spark's vectorized batches pass through with an
-    * O(columns) vector reorder, no per-row work. A partition whose
+    * O(columns) vector reorder, no per-row work; position-deleted
+    * files filter their batches through the mark bitmap (only batches
+    * actually holding marks pay a rebuild). A partition whose
     * layout drifted from the plan (a mid-stream spec evolution)
     * reports false, which Spark's all-or-nothing columnar check turns
     * into a LOUD plan error rather than a silent null column. */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    columnar.exists { case (_, partS, _, _) =>
+    columnar.exists { plan =>
       val gp = p.asInstanceOf[GraftInputPartition]
-      gp.deletes.isEmpty &&
+      gp.eqDels.isEmpty &&
         logical.fieldNames.filter(n =>
           gp.parts.keys.exists(_.equalsIgnoreCase(n))).toSet ==
-          partS.fieldNames.toSet
+          plan.partS.fieldNames.toSet
     }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] = {
-    val (_, partS, reorder, colRead) = columnar.getOrElse(
+    val plan = columnar.getOrElse(
       throw new IllegalStateException("columnar read without a columnar plan"))
     val gp = p.asInstanceOf[GraftInputPartition]
     // partition values for THIS file, in partitionSchema order — the
     // reader turns them into constant column vectors
-    val vals: Array[Any] = partS.fields.map { f =>
+    val vals: Array[Any] = plan.partS.fields.map { f =>
       gp.parts.find(_._1.equalsIgnoreCase(f.name)).map(_._2) match {
         case None | Some("__HIVE_DEFAULT_PARTITION__") => null
         case Some(v) => Cast(Literal(v), f.dataType, Some("UTC")).eval(null)
@@ -1320,21 +1353,78 @@ private[sources] final class GraftReaderFactory(
     val pf = PartitionedFile(
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals),
       SparkPath.fromPathString(gp.path), 0L, gp.bytes, Array.empty, 0L, gp.bytes)
-    val it = colRead(pf).asInstanceOf[Iterator[Any]]
+    // marked files read UNFILTERED (row-group pruning would shift
+    // positions) and filter through the mark bitmap; clean files keep
+    // the pushed-filter reader
+    val deleted =
+      if (gp.deletes.isEmpty) null else deletedPositions(gp)
+    val it = (if (deleted == null) plan.read else plan.readRaw)(pf)
+      .asInstanceOf[Iterator[Any]]
+    val reorder = plan.reorder
     new PartitionReader[ColumnarBatch] {
       private var cur: ColumnarBatch = _
-      override def next(): Boolean =
-        if (!it.hasNext) false
-        else it.next() match {
+      // rebuilt-survivor vectors this reader owns (the reader's own
+      // batch vectors are owned and recycled by the parquet reader)
+      private var owned: Array[_ <: org.apache.spark.sql.vectorized.ColumnVector] = _
+      // converter binds lazily: only delete-carrying files pay for it
+      private lazy val conv =
+        org.apache.spark.sql.execution.GraftExecBridge
+          .rowToColumnConverter(logical)
+      private var base = 0L // row index of the next batch's first row
+      private def closeOwned(): Unit =
+        if (owned != null) { owned.foreach(_.close()); owned = null }
+
+      override def next(): Boolean = {
+        cur = null
+        while (cur == null && it.hasNext) it.next() match {
           case b: ColumnarBatch =>
-            cur = new ColumnarBatch(reorder.map(b.column), b.numRows())
-            true
+            val n = b.numRows()
+            val first = base
+            base += n
+            if (deleted == null)
+              cur = new ColumnarBatch(reorder.map(b.column), n)
+            else {
+              var marks = 0
+              var i = 0
+              while (i < n) {
+                if (deleted.contains(first + i)) marks += 1
+                i += 1
+              }
+              if (marks == 0)
+                cur = new ColumnarBatch(reorder.map(b.column), n)
+              else if (marks < n) {
+                // rebuild the SURVIVORS as fresh column vectors — the
+                // same row→vector converter Spark's RowToColumnarExec
+                // runs; O(survivors), only on batches holding marks
+                closeOwned()
+                val vecs: Array[org.apache.spark.sql.execution.vectorized
+                  .WritableColumnVector] = org.apache.spark.sql.execution
+                  .vectorized.OnHeapColumnVector
+                  .allocateColumns(n - marks, logical)
+                  .asInstanceOf[Array[org.apache.spark.sql.execution
+                    .vectorized.WritableColumnVector]]
+                val reordered = new ColumnarBatch(reorder.map(b.column), n)
+                val rit = reordered.rowIterator()
+                var idx = 0
+                while (rit.hasNext) {
+                  val row = rit.next()
+                  if (!deleted.contains(first + idx)) conv(row, vecs)
+                  idx += 1
+                }
+                owned = vecs
+                cur = new ColumnarBatch(
+                  vecs.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]],
+                  n - marks)
+              } // marks == n: fully-deleted batch — advance
+            }
           case other => throw new IllegalStateException(
             s"expected a ColumnarBatch from the vectorized reader, got " +
               s"${other.getClass.getName}")
         }
+        cur != null
+      }
       override def get(): ColumnarBatch = cur
-      override def close(): Unit = ()
+      override def close(): Unit = closeOwned()
     }
   }
 
@@ -1377,16 +1467,7 @@ private[sources] final class GraftReaderFactory(
         val mr = mor.getOrElse(throw new IllegalStateException(
           s"partition for ${gp.path} carries position deletes but the " +
             "factory has no MoR readers — planner/factory snapshot drift"))
-        // the deleted-position set for THIS file, from every delete
-        // file referencing it (a delete file may mark many data files;
-        // rows for other files filter out here)
-        val deleted = new java.util.HashSet[java.lang.Long]()
-        gp.deletes.foreach { case (dp, dbytes) =>
-          unwrap(mr.del(wholeFile(dp, dbytes))).foreach { r =>
-            if (LogTable.localPath(r.getUTF8String(0).toString) == gp.path)
-              deleted.add(r.getLong(1))
-          }
-        }
+        val deleted = deletedPositions(gp)
         // raw (unfiltered) read: positions are row indexes within the
         // file, so row-group pruning would shift them
         var pos = -1L

@@ -1400,7 +1400,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * loudly and let the user re-run the statement. */
   private[sources] def commitReplaceGroups(removed: Set[String],
       rewritten: Seq[DataFile], operation: String,
-      scanned: Snapshot): Snapshot = {
+      scanned: Snapshot,
+      scanFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Snapshot = {
     enforceChecksOnWritten(rewritten, scanned.checks, "the rewritten rows",
       scanned.schemaJson)
     var validatedChecks = scanned.checks.keySet
@@ -1411,6 +1412,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
       // an equality tombstone that landed after the scan would be
       // silently outranked by the rewritten files' fresh sequence
       if (prev.eqDeletes.map(_.path) != scanned.eqDeletes.map(_.path))
+        throw LogTable.StaleSourceFiles
+      // SERIALIZABLE conflict detection (Iceberg's
+      // validateNoConflictingData, the Spark MERGE default): a file
+      // appended since the scan that could hold rows MATCHING the
+      // command condition would have joined the statement had it run
+      // now — e.g. a concurrent insert of a key a MERGE is inserting
+      // too, yielding duplicate keys under snapshot isolation. Pruned
+      // on manifest stats: only provably-non-matching appends pass.
+      val scannedPaths = scanned.files.map(_.path).toSet
+      val appended = prev.files.filterNot(f => scannedPaths.contains(f.path))
+      if (GraftPrune.filesFor(appended, prev.transforms, scanFilters).nonEmpty)
         throw LogTable.StaleSourceFiles
       val fresh = prev.checks -- validatedChecks
       if (fresh.nonEmpty) {
@@ -1685,14 +1697,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val schema = schemaOf(snap)
     cols.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"equality-delete column '$c' is not a table column"))
-    writeEqFile(keys.dropDuplicates()) match {
-      case None => snap
-      case Some(d) =>
+    writeEqFiles(keys.dropDuplicates()) match {
+      case Nil => snap
+      case ds =>
         try commit("eq-delete",
-            nextEqDeletes = prev => prev.eqDeletes :+ d)(prev => prev.files)
+            nextEqDeletes = prev => prev.eqDeletes ++ ds)(prev => prev.files)
         catch {
           case e: Throwable =>
-            Files.deleteIfExists(Paths.get(d.path)); throw e
+            ds.foreach(d => Files.deleteIfExists(Paths.get(d.path))); throw e
         }
     }
   }
@@ -1720,7 +1732,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       s"upsert source has duplicate keys (e.g. $key=${dup.headOption.map(_.get(0)).orNull}); " +
         "keys must be unique in updates — aggregate the source first")
     val mergedNow = mergedSchemaWith(snap, updates.schema)
-    val eq = writeEqFile(updates.select(col(key)))
+    val eq = writeEqFiles(updates.select(col(key)))
     val newFiles = writeDataFiles(conformTypes(updates, mergedNow),
       distribute = true, blooms = Some(snap.bloomCols))
     var validatedChecks = snap.checks.keySet
@@ -1729,7 +1741,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         mergedNow.json)
       commit("eq-upsert", tag,
           nextSchema = prev => mergedSchemaWith(prev, updates.schema).json,
-          nextEqDeletes = prev => prev.eqDeletes ++ eq.toSeq) { prev =>
+          nextEqDeletes = prev => prev.eqDeletes ++ eq) { prev =>
         // replay absorber, re-checked under the commit retry (cf. append)
         if (tag.nonEmpty && hasTag(tag)) return snapshot()
         val fresh = prev.checks -- validatedChecks
@@ -1748,25 +1760,40 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
-  /** Write a deduplicated key frame as ONE equality-delete parquet
-    * file under `deletes/`; None when the frame is empty. The sequence
-    * number is stamped at commit (the version is not known yet). */
-  private def writeEqFile(keys: DataFrame): Option[EqDeleteFile] = {
+  /** Write a deduplicated key frame as HASH-SHARDED equality-delete
+    * parquet files under `deletes/`; Nil when the frame is empty. The
+    * sequence number is stamped at commit (the version is not known
+    * yet). Shards split every ~`graft.eq.shard.keys` keys (cap 64) —
+    * a CDC-sized batch stays one file (readers load every eq file
+    * covering their seq range, so file count is read amplification),
+    * while a bulk deleteEq of millions of keys writes in parallel
+    * instead of funnelling through one task, mirroring the
+    * position-delete shard scheme ([[writeDeleteFiles]]). */
+  private def writeEqFiles(keys: DataFrame): Seq[EqDeleteFile] = {
+    import org.apache.spark.sql.functions.col
+    val cols = keys.columns.toSeq
+    val perShard = spark.conf.getOption("graft.eq.shard.keys")
+      .map(_.toLong).getOrElse(1000000L)
+    val n = keys.count()
+    if (n == 0L) return Nil
+    val shards = math.min((n + perShard - 1) / perShard, 64L).toInt
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
-    keys.coalesce(1).write.parquet(stage.toString)
+    keys.repartition(shards, cols.map(col): _*).write.parquet(stage.toString)
     val walk = Files.walk(stage)
-    val part = try walk.iterator().asScala
+    val parts = try walk.iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
       finally walk.close()
     val delDir = rootPath.resolve("deletes")
     Files.createDirectories(delDir)
-    val dest = delDir.resolve(s"${UUID.randomUUID()}.parquet")
-    Files.move(part.head, dest, StandardCopyOption.ATOMIC_MOVE)
+    val out = parts.flatMap { part =>
+      val dest = delDir.resolve(s"${UUID.randomUUID()}.parquet")
+      Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+      val (rows, _, _, _, _) = parquetFooterMeta(dest)
+      if (rows == 0L) { Files.deleteIfExists(dest); None }
+      else Some(EqDeleteFile(dest.toString, Files.size(dest), cols, rows, 0L))
+    }
     LogTable.deleteRecursively(stage)
-    val (rows, _, _, _, _) = parquetFooterMeta(dest)
-    if (rows == 0L) { Files.deleteIfExists(dest); None }
-    else Some(EqDeleteFile(dest.toString, Files.size(dest),
-      keys.columns.toSeq, rows, 0L))
+    out
   }
 
   /** Write `(file_path, pos)` marks as SHARDED position-delete parquet
@@ -2952,7 +2979,10 @@ object LogTable {
         else { // legacy "col:ndv" string entries (pre-structured manifests)
           val raw = b.asText(); val cut = raw.lastIndexOf(':')
           if (cut < 0) BloomCol(raw, 100000L)
-          else BloomCol(raw.substring(0, cut), raw.substring(cut + 1).toLong)
+          else BloomCol(raw.substring(0, cut),
+            // malformed tails ("col:", "col:x") degrade to the default
+            // instead of failing the whole manifest read
+            raw.substring(cut + 1).toLongOption.getOrElse(100000L))
         }
       }.toSeq).getOrElse(Nil))
   }

@@ -191,5 +191,17 @@ class PlanContractSpec extends SparkSpec {
     }.head
     assert(lb.inputPartitions.size === 2,
       "LIMIT 150 over 100-row files must plan exactly 2 files")
+
+    // outstanding POSITION deletes must not demote the scan to rows —
+    // at 100 TB with CDC churn, most snapshots carry marks most of the
+    // time (batches filter through the mark bitmap instead)
+    t.deleteMor(org.apache.spark.sql.functions.col("id") < 50L)
+    val md = spark.read.format("graft").load(root)
+    val bm = md.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    assert(bm.supportsColumnar,
+      "position-deleted snapshots must stay on the vectorized path")
+    assert(md.count() === 350L)
   }
 }

@@ -210,4 +210,25 @@ class EqDeleteSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(delPath)), "expire reclaims the key file")
     assert(t.read().count() === 9L)
   }
+
+  test("a bulk deleteEq shards its tombstone files; CDC-sized batches stay one file") {
+    val t = freshTable()
+    t.append(df(0 until 2000))
+    // bulk: with the shard span lowered, 1200 keys must split across
+    // multiple tombstone files written in parallel (no coalesce(1)
+    // funnel), and the delete stays exact across every shard
+    spark.conf.set("graft.eq.shard.keys", "500")
+    try {
+      val s = t.deleteEq((0 until 1200).map(_.toLong).toDF("id"))
+      val eqs = s.eqDeletes
+      assert(eqs.size > 1, s"expected sharded tombstones, got ${eqs.size}")
+      assert(eqs.map(_.rows).sum === 1200L, "every key lands in exactly one shard")
+      assert(eqs.map(_.seq).distinct.size === 1 && eqs.head.seq > 0L,
+        "all shards share one commit's seq stamp")
+      assert(t.read().count() === 800L)
+      // a later append with recycled keys survives (seq guard per shard)
+      t.append(df(0 until 10))
+      assert(t.read().count() === 810L)
+    } finally spark.conf.unset("graft.eq.shard.keys")
+  }
 }

@@ -341,4 +341,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gtest.chk").as[Long].head() === 0L)
     intercept[Exception] { spark.sql("CREATE TABLE gtest.chk (id BIGINT)") }
   }
+
+  test("row-level commit refuses a concurrent append that could match the command (serializable)") {
+    val root = Files.createTempDirectory("rlo_conflict_").toString
+    val t = LogTable(spark, root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1))
+    val scanned = t.snapshot()
+    val target = scanned.files.head.path
+    // a concurrent append lands a row the command condition (id >= 2)
+    // COULD match — under snapshot isolation a MERGE would emit
+    // duplicate keys; the commit must refuse instead
+    t.append(Seq((5L, "e")).toDF("id", "s").coalesce(1))
+    val ex = intercept[IllegalStateException] {
+      t.commitReplaceGroups(Set(target), Nil, "rlo-merge", scanned,
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 2L)))
+    }
+    assert(ex.getMessage.contains("re-run"))
+    // an append PROVABLY outside the condition (manifest ranges) does
+    // not conflict — concurrent ingest to disjoint keys stays live
+    val scanned2 = t.snapshot()
+    val target2 = scanned2.files.head.path
+    t.append(Seq((100L, "z")).toDF("id", "s").coalesce(1))
+    val s = t.commitReplaceGroups(Set(target2), Nil, "rlo-delete", scanned2,
+      Seq(org.apache.spark.sql.sources.LessThanOrEqual("id", 10L)))
+    assert(!s.files.map(_.path).contains(target2))
+  }
 }

@@ -380,12 +380,50 @@ class GraftSourceSpec extends SparkSpec {
     // pruning composes with the columnar path
     assert(df.where($"kind" === "a").count() === 25L)
 
-    // outstanding MoR deletes flip to the row path (position filtering
-    // is per-row) — still exact
+    // outstanding MoR position deletes KEEP the vectorized path —
+    // marked batches filter through the position bitmap
     t.deleteMor($"id" < 10L)
     val df2 = spark.read.format("graft").load(root)
-    assert(!scanExec(df2).supportsColumnar)
+    assert(scanExec(df2).supportsColumnar,
+      "position-deleted snapshot must stay columnar")
     assert(df2.count() === 40L)
+    assert(df2.select("id", "kind", "v").orderBy("id")
+      .collect().map(_.toSeq).toSeq ===
+      t.read().select("id", "kind", "v").orderBy("id")
+        .collect().map(_.toSeq).toSeq)
+    // EQUALITY deletes stay a row-path refusal (per-row key matching)
+    t.deleteEq(spark.range(10, 12).selectExpr("id"))
+    val df3 = spark.read.format("graft").load(root)
+    assert(!scanExec(df3).supportsColumnar)
+    assert(df3.count() === 38L)
+  }
+
+  test("MoR columnar read stays exact across batch boundaries, full-batch deletes, and pushed filters") {
+    import spark.implicits._
+    val root = tmp("gsrc-col-mor")
+    val t = LogTable(spark, root)
+    // one file, > 2 vectorized batches (default batch = 4096 rows)
+    t.append((0 until 10000).map(i => (i.toLong, i % 7))
+      .toDF("id", "m").coalesce(1))
+    // spans: survivors in batch 0, ALL of batch 1 (4096-8192 ⊂ span),
+    // survivors again in batch 2 — exercises passthrough, rebuild,
+    // and the fully-deleted-batch advance in one scan
+    t.deleteMor($"id" >= 2000L && $"id" < 9000L)
+
+    def scanExec(df: DataFrame) = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    val df = spark.read.format("graft").load(root)
+    assert(scanExec(df).supportsColumnar)
+    assert(df.count() === 3000L)
+    assert(df.select("id").orderBy("id").as[Long].collect().toSeq ===
+      ((0L until 2000L) ++ (9000L until 10000L)))
+    // a pushed filter must NOT row-group-skip the marked file (that
+    // would shift positions): results stay exact under filters
+    val f = spark.read.format("graft").load(root)
+      .where($"id" >= 1000L && $"id" < 9500L)
+    assert(f.count() === 1500L) // [1000,2000) ∪ [9000,9500)
+    assert(f.agg(min($"id"), max($"id")).head().toSeq === Seq(1000L, 9499L))
   }
 
   test("LIMIT pushdown plans a file-bounded scan; filters disable the truncation") {
