@@ -1726,13 +1726,22 @@ final class LogTable private (val spark: SparkSession, val root: String,
       s"upsert key '$key' missing from the source")
     require(schemaOf(snap).fieldNames.exists(_.equalsIgnoreCase(key)),
       s"upsert key '$key' is not a table column")
-    val dup = updates.groupBy(col(key)).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"upsert source has duplicate keys (e.g. $key=${dup.headOption.map(_.get(0)).orNull}); " +
+    // ONE aggregation answers the dup-key guard AND the key count the
+    // sharded tombstone write sizes by — no separate count job
+    val gstat = {
+      import org.apache.spark.sql.functions.{first, sum, when}
+      updates.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+        .agg(sum(when(col("_n") > 1, 1L).otherwise(0L)).as("_dups"),
+          first(when(col("_n") > 1, col(key)), ignoreNulls = true).as("_ex"),
+          count(lit(1)).as("_nkeys"))
+        .head()
+    }
+    require(gstat.isNullAt(0) || gstat.getLong(0) == 0L,
+      s"upsert source has duplicate keys (e.g. $key=${gstat.get(1)}); " +
         "keys must be unique in updates — aggregate the source first")
     val mergedNow = mergedSchemaWith(snap, updates.schema)
-    val eq = writeEqFiles(updates.select(col(key)))
+    val eq = writeEqFiles(updates.select(col(key)),
+      knownCount = Some(gstat.getLong(2)))
     val newFiles = writeDataFiles(conformTypes(updates, mergedNow),
       distribute = true, blooms = Some(snap.bloomCols))
     var validatedChecks = snap.checks.keySet
@@ -1769,12 +1778,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * while a bulk deleteEq of millions of keys writes in parallel
     * instead of funnelling through one task, mirroring the
     * position-delete shard scheme ([[writeDeleteFiles]]). */
-  private def writeEqFiles(keys: DataFrame): Seq[EqDeleteFile] = {
+  private def writeEqFiles(keys: DataFrame,
+      knownCount: Option[Long] = None): Seq[EqDeleteFile] = {
     import org.apache.spark.sql.functions.col
     val cols = keys.columns.toSeq
     val perShard = spark.conf.getOption("graft.eq.shard.keys")
       .map(_.toLong).getOrElse(1000000L)
-    val n = keys.count()
+    val n = knownCount.getOrElse(keys.count())
     if (n == 0L) return Nil
     val shards = math.min((n + perShard - 1) / perShard, 64L).toInt
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
@@ -1805,9 +1815,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * data-file axis), and each data file's marks land WHOLLY in one
     * delete file, keeping per-file read amplification at one delete
     * read. At CDC batch sizes `candidateFiles` is small → one shard,
-    * the old shape. The staged shards are read back once (positions,
-    * not data) for exact per-data-file mark counts, keyed by manifest
-    * path. */
+    * the old shape. Each shard task writes its own parquet (the same
+    * executor-side [[GraftStageDataWriter]] the row-level seam stages
+    * through) AND returns its per-data-file mark counts — ONE Spark
+    * job total, no staged read-back pass (the r6 read-back job cost
+    * every deleteMor/mergeMor a second full scan of its marks). */
   private def writeDeleteFiles(marked: DataFrame,
       candidateFiles: Int): Seq[DeleteFile] = {
     import org.apache.spark.sql.functions.col
@@ -1815,32 +1827,46 @@ final class LogTable private (val spark: SparkSession, val root: String,
       (candidateFiles + LogTable.DeleteShardSpan - 1) / LogTable.DeleteShardSpan,
       256))
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
-    marked.repartition(shards, col("file_path")).write.parquet(stage.toString)
-    val walk = Files.walk(stage)
-    val parts = try walk.iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
-      finally walk.close()
-    if (parts.isEmpty) { LogTable.deleteRecursively(stage); return Nil }
-    // ONE read-back job over all shards: per-(shard, data file) counts
-    val byShard = spark.read.schema(LogTable.DeleteSchema)
-      .parquet(stage.toString)
-      .groupBy(org.apache.spark.sql.functions
-        .input_file_name().as("_shard"), col("file_path")).count()
-      .collect()
-      .groupBy(r => LogTable.localPath(r.getString(0)))
-      .map { case (shard, rows) =>
-        shard -> rows.map(r => LogTable.localPath(r.getString(1)) -> r.getLong(2)).toMap
-      }
+    Files.createDirectories(stage)
+    // locals only — the task closure must not capture the table handle
+    val stageStr = stage.toString
+    val schema = LogTable.DeleteSchema
+    val sql = org.apache.spark.sql.internal.SQLConf.get
+    import org.apache.spark.sql.internal.SQLConf._
+    val pairs = Seq(PARQUET_WRITE_LEGACY_FORMAT, PARQUET_OUTPUT_TIMESTAMP_TYPE,
+        PARQUET_FIELD_ID_WRITE_ENABLED, PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE)
+      .map(e => e.key -> String.valueOf(sql.getConf(e))).toMap
+    val codec = sql.getConf(PARQUET_COMPRESSION)
+    val perShard: Array[(String, Map[String, Long])] = marked
+      .repartition(shards, col("file_path"))
+      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val w = new GraftStageDataWriter(stageStr, schema, pairs, codec,
+            pid, 0L)
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          var ok = false
+          try {
+            it.foreach { r =>
+              val key = r.getUTF8String(0).toString
+              counts.update(key, counts.getOrElse(key, 0L) + 1L)
+              w.write(r)
+            }
+            ok = true
+          } finally if (!ok) w.abort()
+          w.commit() match {
+            case GraftStagedFiles(Seq(p)) => Iterator((p, counts.toMap))
+            case _ => Iterator.empty
+          }
+        }
+      }.collect()
     val delDir = rootPath.resolve("deletes")
     Files.createDirectories(delDir)
-    val out = parts.flatMap { part =>
-      val counts = byShard.getOrElse(part.toString, Map.empty[String, Long])
-      if (counts.isEmpty) None // empty shard — no marked row landed here
-      else {
-        val dest = delDir.resolve(s"${UUID.randomUUID()}.parquet")
-        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-        Some(DeleteFile(dest.toString, Files.size(dest), counts))
-      }
+    val out = perShard.toSeq.map { case (part, rawCounts) =>
+      val counts = rawCounts.map { case (p, n) => LogTable.localPath(p) -> n }
+      val dest = delDir.resolve(s"${UUID.randomUUID()}.parquet")
+      Files.move(Paths.get(part), dest, StandardCopyOption.ATOMIC_MOVE)
+      DeleteFile(dest.toString, Files.size(dest), counts)
     }
     LogTable.deleteRecursively(stage)
     out
