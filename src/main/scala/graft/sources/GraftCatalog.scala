@@ -266,10 +266,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames.length == 1, "nested retypes unsupported")
         t.widenColumn(u.fieldNames()(0), u.newDataType())
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested adds unsupported")
+        t.addColumn(a.fieldNames()(0), a.dataType())
       case other => throw new UnsupportedOperationException(
-        s"unsupported ALTER TABLE change $other (supported: RENAME " +
-          "COLUMN, DROP COLUMN, widening ALTER COLUMN TYPE; new columns " +
-          "join by appending data that carries them)")
+        s"unsupported ALTER TABLE change $other (supported: ADD COLUMN, " +
+          "RENAME COLUMN, DROP COLUMN, widening ALTER COLUMN TYPE)")
     }
     loadTable(ident)
   }
@@ -367,6 +369,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         "n_files" -> LongType) { in =>
       resolve(in.getUTF8String(0).toString)
         .recluster(in.getUTF8String(1).toString, in.getLong(2).toInt); ()
+    },
+    proc("analyze", "table" -> StringType) { in =>
+      resolve(in.getUTF8String(0).toString).analyze(); ()
+    },
+    proc("recluster_z", "table" -> StringType, "columns" -> StringType,
+        "n_files" -> LongType) { in =>
+      resolve(in.getUTF8String(0).toString).reclusterZ(
+        in.getUTF8String(1).toString.split(",").map(_.trim).toSeq
+          .filter(_.nonEmpty),
+        in.getLong(2).toInt); ()
     },
     proc("create_ref", "table" -> StringType, "name" -> StringType) { in =>
       resolve(in.getUTF8String(0).toString)

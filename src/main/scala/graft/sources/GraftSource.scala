@@ -714,11 +714,45 @@ private[sources] final class GraftScan(root: String, schema: StructType,
       .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).sum }
     val liveRows = kept.map(f =>
       math.max(0L, f.rows - marks.getOrElse(f.path, 0L))).sum
+    // PER-COLUMN stats for the CBO: distinct counts from the manifest's
+    // analyze-computed NDVs (capped at the scan's own row estimate —
+    // pruning can only shrink cardinality) and null counts summed from
+    // per-file footer stats when EVERY kept file reports the column.
+    // With these, a 3-way join plans by key cardinality instead of
+    // running blind (Iceberg surfaces puffin NDVs the same way).
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    schema.fields.foreach { f =>
+      val ndv = snap.ndvs.get(f.name.toLowerCase)
+        .map(n => math.min(n, liveRows))
+      val nulls =
+        if (kept.nonEmpty && kept.forall(_.nulls.exists(
+            _._1.equalsIgnoreCase(f.name))))
+          Some(kept.map(k => k.nulls.find(
+            _._1.equalsIgnoreCase(f.name)).get._2).sum)
+        else None
+      if (ndv.nonEmpty || nulls.nonEmpty)
+        colStats.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              ndv.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def nullCount(): java.util.OptionalLong =
+              nulls.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+          })
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(kept.map(_.bytes).sum)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(liveRows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
   /** STORAGE-PARTITIONED JOINS: report the table's layout as

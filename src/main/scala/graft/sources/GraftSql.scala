@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *   - `INSERT INTO t <query>`                     → [[LogTable.append]]
   *   - `UPDATE t SET c = e, ... [WHERE p]`         → [[LogTable.update]]
   *   - `DELETE FROM t [WHERE p]`                   → [[LogTable.delete]]
-  *   - `ALTER TABLE t RENAME COLUMN a TO b | DROP COLUMN a
-  *        | ALTER COLUMN c TYPE <t>`               → schema evolution
+  *   - `ALTER TABLE t ADD COLUMN c <t> | RENAME COLUMN a TO b
+  *        | DROP COLUMN a | ALTER COLUMN c TYPE <t>` → schema evolution
   *   - `MERGE INTO t [a] USING <src> [b] ON a.k = b.k
   *        WHEN MATCHED [AND c] THEN DELETE
   *        WHEN MATCHED [AND c] THEN UPDATE SET * | SET c = e, ...
@@ -535,6 +535,8 @@ object GraftSql {
     """(?is)^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)$""".r
   private val AlterTypeRe =
     """(?is)^ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)$""".r
+  private val AlterAddRe =
+    """(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()\s,]+?)$""".r
 
   private def execAlter(spark: SparkSession, stmt: String): DataFrame =
     stmt match {
@@ -546,9 +548,14 @@ object GraftSql {
         val dt = org.apache.spark.sql.types.StructType
           .fromDDL(s"x $tpe").head.dataType
         summarize(spark, name, table(name).widenColumn(colName, dt))
+      case AlterAddRe(name, colName, tpe) =>
+        val dt = org.apache.spark.sql.types.StructType
+          .fromDDL(s"x $tpe").head.dataType
+        summarize(spark, name, table(name).addColumn(colName, dt))
       case _ => throw new IllegalArgumentException(
-        s"unsupported ALTER shape: $stmt (expected ALTER TABLE <t> RENAME COLUMN " +
-          "<a> TO <b> | DROP COLUMN <a> | ALTER COLUMN <c> TYPE <t>)")
+        s"unsupported ALTER shape: $stmt (expected ALTER TABLE <t> ADD COLUMN " +
+          "<c> <type> | RENAME COLUMN <a> TO <b> | DROP COLUMN <a> | " +
+          "ALTER COLUMN <c> TYPE <t>)")
     }
 
   // ------------------------------------------------------------------- CALL
@@ -594,6 +601,15 @@ object GraftSql {
             refreshViews()
             t.upsertEq(spark.sql(args(2)), args(1))
           case "recluster" => t.recluster(args(1), args(2).toInt)
+          // CALL analyze(t [, 'c1,c2...']) — NDV stats for the CBO
+          case "analyze" => t.analyze(
+            if (args.length > 1)
+              args(1).split(",").map(_.trim).toSeq.filter(_.nonEmpty)
+            else Nil)
+          // CALL recluster_z(t, 'c1,c2[,c3...]', n)
+          case "recluster_z" => t.reclusterZ(
+            args(1).split(",").map(_.trim).toSeq.filter(_.nonEmpty),
+            args(2).toInt)
           case "create_ref" =>
             t.createRef(args(1),
               if (args.length > 2) args(2).toLong else t.currentVersion)

@@ -163,7 +163,13 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
     schemaJson: String = "", checks: Map[String, String] = Map.empty,
     retired: Seq[String] = Nil, deletes: Seq[DeleteFile] = Nil,
     partCols: Seq[String] = Nil, transforms: Seq[Transform] = Nil,
-    eqDeletes: Seq[EqDeleteFile] = Nil, bloomCols: Seq[BloomCol] = Nil) {
+    eqDeletes: Seq[EqDeleteFile] = Nil, bloomCols: Seq[BloomCol] = Nil,
+    /** Table-level approximate distinct counts per column (lowercased
+      * name), computed by [[LogTable.analyze]] (Iceberg's puffin-NDV
+      * flow) and carried forward by subsequent commits until
+      * recomputed — an estimate for the optimizer, never a
+      * correctness input. */
+    ndvs: Map[String, Long] = Map.empty) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
   /** Rows visible to a reader of this snapshot: data-file rows minus
@@ -1165,6 +1171,41 @@ final class LogTable private (val spark: SparkSession, val root: String,
     commit("set-bloom", nextBlooms = prev =>
       prev.bloomCols.filterNot(_.col.equalsIgnoreCase(column)))(_.files)
 
+  /** Compute table-level approximate DISTINCT COUNTS (NDV) per column
+    * and record them in the manifest — Iceberg's
+    * `compute_table_stats` puffin flow: an OPT-IN maintenance job (one
+    * HLL aggregation pass over the live table, never on the write hot
+    * path) whose numbers feed the scan's `columnStats()` so Spark's
+    * CBO can order joins by key cardinality instead of running blind.
+    * Stats persist across subsequent commits until recomputed (they
+    * are optimizer estimates, not correctness inputs). Defaults to
+    * every top-level atomic column. */
+  def analyze(cols: Seq[String] = Nil): Snapshot = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col}
+    val snap = snapshot()
+    if (snap.files.isEmpty) return snap
+    val schema = schemaOf(snap)
+    val atomic = schema.fields.filterNot(f => f.dataType.isInstanceOf[
+        org.apache.spark.sql.types.StructType] ||
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(_.name).toSeq
+    val targets =
+      if (cols.isEmpty) atomic
+      else {
+        cols.foreach(c => require(
+          atomic.exists(_.equalsIgnoreCase(c)),
+          s"cannot analyze '$c': not a top-level atomic table column"))
+        cols
+      }
+    if (targets.isEmpty) return snap
+    val aggs = targets.map(c => approx_count_distinct(col(c)).as(c))
+    val row = readLive(snap, snap.files).agg(aggs.head, aggs.tail: _*).head()
+    val computed = targets.zipWithIndex
+      .map { case (c, i) => c.toLowerCase -> row.getLong(i) }.toMap
+    commit("analyze", nextNdvs = prev => prev.ndvs ++ computed)(_.files)
+  }
+
   def addCheck(name: String, predicateSql: String): Snapshot = {
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid check name '$name'")
     enforceChecks(read(), Map(name -> predicateSql), "existing table data")
@@ -1253,6 +1294,35 @@ final class LogTable private (val spark: SparkSession, val root: String,
         val f = fieldOf(prev)
         (prev.retired ++ (f.name +: LogTable.prevNames(f)).map(_.toLowerCase)).distinct
       })(prev => prev.files)
+  }
+
+  /** METADATA-ONLY column add (Iceberg `ALTER TABLE ... ADD COLUMN`):
+    * no data file is touched — the new field joins the manifest schema
+    * under a FRESH stable field id, files written before the add lack
+    * the physical column and read it as NULL (scans request nullable
+    * fields, exactly as Spark's own file sources do), and subsequent
+    * appends may carry it (schema-merge matches it back by name to
+    * this field's id). The name must not collide with any live,
+    * historical, or retired name — values sitting in old files under
+    * a same-named renamed/dropped column would silently resurrect.
+    * The DDL complement of append-driven add-column evolution, for
+    * declaring the column BEFORE any data carries it. */
+  def addColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType): Snapshot = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid column name '$name'")
+    commit("evolve-schema", nextSchema = prev => {
+      require(prev.schemaJson.nonEmpty,
+        "addColumn needs a declared schema (CREATE TABLE / declareSchema, " +
+          "or a first append)")
+      val schema = LogTable.assignFieldIds(schemaOf(prev))
+      val taken = LogTable.liveNames(schema) ++ prev.retired.map(_.toLowerCase)
+      require(!taken.contains(name.toLowerCase),
+        s"cannot add '$name': the name is live, historical, or dropped")
+      val next = schema.flatMap(LogTable.fieldId).foldLeft(0L)(math.max) + 1
+      org.apache.spark.sql.types.StructType(schema.fields :+
+        LogTable.withFieldMeta(org.apache.spark.sql.types.StructField(
+          name, dataType, nullable = true), next, Nil)).json
+    })(prev => prev.files)
   }
 
   /** A column referenced by a CHECK constraint cannot be renamed or
@@ -2246,18 +2316,50 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * bits interleaved into one 64-bit z-value; normalization precision
     * only shapes the layout, never the data (the z column is dropped
     * before write). One range-partitioned shuffle, like recluster. */
-  def reclusterZ(c1: String, c2: String, nFiles: Int): Snapshot = {
+  def reclusterZ(c1: String, c2: String, nFiles: Int): Snapshot =
+    reclusterZ(Seq(c1, c2), nFiles)
+
+  /** N-DIMENSIONAL Z-order rewrite (Iceberg/Delta `ZORDER BY (a, b,
+    * ...)` accept arbitrary column lists): one range+sort rewrite on
+    * the interleaved Morton value of ALL the listed columns, each
+    * normalized to its live [min, max] over ⌊62/k⌋ bits — the z stays
+    * non-negative in a signed long, so range partitioning never
+    * straddles the sign wrap. Two columns keep the masked-spread fast
+    * kernel; higher dimensions interleave bit-by-bit (still plain
+    * shift/mask arithmetic, fully codegen'd — it only runs in the
+    * rewrite job). Manifest [min, max] ranges on every listed column
+    * tighten together, so point/range reads prune on ALL axes. */
+  def reclusterZ(cols: Seq[String], nFiles: Int): Snapshot = {
     require(nFiles >= 1, "nFiles must be >= 1")
+    require(cols.size >= 2, "z-ordering needs at least two columns")
+    require(cols.map(_.toLowerCase).distinct.size == cols.size,
+      s"duplicate z-order column in ${cols.mkString(", ")}")
     withStaleRetry { () =>
       val snap = snapshot()
       if (snap.files.isEmpty) snap
       else {
         import org.apache.spark.sql.functions.{col, max, min}
         val df = readLive(snap, snap.files)
-        val b = df.agg(min(col(c1)), max(col(c1)), min(col(c2)), max(col(c2))).head()
-        val z = LogTable.morton(
-          LogTable.norm32(col(c1), b.getLong(0), b.getLong(1)),
-          LogTable.norm32(col(c2), b.getLong(2), b.getLong(3)))
+        cols.foreach { c =>
+          val f = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+          require(f.nonEmpty, s"no such column '$c'")
+          val integral = {
+            import org.apache.spark.sql.types._
+            Seq(ByteType, ShortType, IntegerType, LongType)
+              .contains(f.get.dataType)
+          }
+          require(integral,
+            s"z-order column '$c' must be integral (got ${f.get.dataType}); " +
+              "derive an integral proxy column for other types")
+        }
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+        val b = df.agg(aggs.head, aggs.tail: _*).head()
+        val bits = 62 / cols.size
+        val z = LogTable.mortonN(cols.zipWithIndex.map { case (c, i) =>
+          LogTable.normBits(col(c), b.getLong(2 * i), b.getLong(2 * i + 1),
+            bits)
+        })
         val rewritten = writeDataFiles(
           df.withColumn("_z", z)
             .repartitionByRange(nFiles, col("_z"))
@@ -2313,7 +2415,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       nextChecks = _ => target.checks,
       nextRetired = _ => target.retired,
       nextDeletes = _ => target.deletes,
-      nextEqDeletes = _ => target.eqDeletes)(_ => target.files)
+      nextEqDeletes = _ => target.eqDeletes,
+      nextNdvs = _ => target.ndvs)(_ => target.files)
   }
 
   /** Drop all but the newest `keepLast` snapshots and delete data files
@@ -2514,7 +2617,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       nextDeletes: Snapshot => Seq[DeleteFile] = _.deletes,
       nextSpec: Option[(Seq[String], Seq[Transform])] = None,
       nextEqDeletes: Snapshot => Seq[EqDeleteFile] = _.eqDeletes,
-      nextBlooms: Snapshot => Seq[BloomCol] = _.bloomCols)(
+      nextBlooms: Snapshot => Seq[BloomCol] = _.bloomCols,
+      nextNdvs: Snapshot => Map[String, Long] = _.ndvs)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
@@ -2576,7 +2680,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val next = Snapshot(ver, prev.version, operation,
         System.currentTimeMillis(), files, tag, nextSchema(prev),
         nextChecks(prev), nextRetired(prev), dels, pc, tf, eqDels,
-        nextBlooms(prev))
+        nextBlooms(prev), nextNdvs(prev))
       // ATOMIC CREATE-OR-FAIL publish through the storage seam: the
       // full manifest is visible the instant the name exists, and a
       // version collision reports failure instead of overwriting the
@@ -2790,11 +2894,32 @@ object LogTable {
     * file would straddle the sign wrap, covering the extremes of both
     * columns and defeating pruning. */
   private[sources] def norm32(c: org.apache.spark.sql.Column,
-      lo: Long, hi: Long): org.apache.spark.sql.Column = {
+      lo: Long, hi: Long): org.apache.spark.sql.Column = normBits(c, lo, hi, 31)
+
+  /** Normalize to [0, 2^bits - 1] over the live [lo, hi] range. */
+  private[sources] def normBits(c: org.apache.spark.sql.Column,
+      lo: Long, hi: Long, bits: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.lit
     if (hi == lo) lit(0L)
     else ((c.cast("double") - lit(lo.toDouble)) / lit((hi - lo).toDouble) *
-      lit(2147483647.0)).cast("long")
+      lit(((1L << bits) - 1).toDouble)).cast("long")
+  }
+
+  /** Morton interleave of k equally-wide values (each ⌊62/k⌋ bits) —
+    * the masked-spread kernel for k = 2, a bit-by-bit interleave for
+    * higher k. Plain shift/mask arithmetic either way: codegen'd,
+    * no UDF. */
+  private[sources] def mortonN(cs: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val k = cs.size
+    if (k == 2) morton(cs(0), cs(1))
+    else {
+      val bits = 62 / k
+      (for { d <- cs.indices; i <- 0 until bits } yield
+        shiftleft(shiftright(cs(d), i).bitwiseAND(lit(1L)), i * k + d))
+        .reduce(_ bitwiseOR _)
+    }
   }
 
   /** Morton interleave of two 31-bit values into a non-negative
@@ -2948,6 +3073,10 @@ object LogTable {
         d.cols.foreach(cn.add)
       }
     }
+    if (s.ndvs.nonEmpty) {
+      val nn = node.putObject("ndvs")
+      s.ndvs.toSeq.sortBy(_._1).foreach { case (k, v) => nn.put(k, v) }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
 
@@ -3010,7 +3139,9 @@ object LogTable {
             // instead of failing the whole manifest read
             raw.substring(cut + 1).toLongOption.getOrElse(100000L))
         }
-      }.toSeq).getOrElse(Nil))
+      }.toSeq).getOrElse(Nil),
+      Option(n.get("ndvs")).map(_.fields().asScala.map(e =>
+        e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty))
   }
 
   // ------------------------------------------- field ids & name history

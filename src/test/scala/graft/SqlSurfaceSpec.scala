@@ -178,6 +178,20 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gsql_c").head().getLong(0) === 21L)
     assert(GraftSql.exec(spark, "SELECT v FROM gsql_c WHERE id = 5")
       .head().getString(0) === "UP5")
+
+    // n-D z-order through SQL (column list as one quoted argument)
+    val tz = LogTable(spark, Files.createTempDirectory("gsql_z_").toString)
+    GraftSql.register("gsql_z", tz)
+    tz.append((0 until 100).map(i => (i.toLong % 10, i.toLong / 10, i.toLong))
+      .toDF("x", "y", "id"))
+    GraftSql.exec(spark, "CALL recluster_z(gsql_z, 'x, y', 2)")
+    assert(tz.snapshot().operation === "recluster")
+    assert(spark.sql("SELECT count(*) FROM gsql_z").head().getLong(0) === 100L)
+
+    // NDV stats maintenance through SQL
+    GraftSql.exec(spark, "CALL analyze(gsql_z)")
+    assert(tz.snapshot().operation === "analyze")
+    assert(tz.snapshot().ndvs("id") > 90L)
   }
 
   test("GraftSql CALL evolve_spec changes the layout for future writes only") {
@@ -217,8 +231,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(GraftSql.exec(spark, "SELECT sum(points) FROM gsql_a").head().getLong(0) === 100L)
     GraftSql.exec(spark, "ALTER TABLE gsql_a DROP COLUMN note")
     assert(spark.table("gsql_a").columns.toSeq === Seq("id", "points"))
-    intercept[IllegalArgumentException] {
-      GraftSql.exec(spark, "ALTER TABLE gsql_a ADD COLUMN hm INT")
+    // ADD COLUMN: metadata-only; old rows read NULL, new appends carry it
+    GraftSql.exec(spark, "ALTER TABLE gsql_a ADD COLUMN hm INT")
+    assert(spark.table("gsql_a").columns.toSeq === Seq("id", "points", "hm"))
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) FROM gsql_a WHERE hm IS NULL").head().getLong(0) === 5L)
+    t.append(Seq((100L, 1000L, 7)).toDF("id", "points", "hm"))
+    assert(GraftSql.exec(spark,
+      "SELECT sum(hm) FROM gsql_a").head().getLong(0) === 7L)
+    // a dropped name cannot come back (old files still hold its values)
+    intercept[Exception] {
+      GraftSql.exec(spark, "ALTER TABLE gsql_a ADD COLUMN note STRING")
     }
   }
 

@@ -99,6 +99,20 @@ class GraftCatalogSpec extends SparkSpec {
     val got = spark.sql("SELECT id, val FROM gtest.alt ORDER BY id")
       .as[(Long, Long)].collect().toSeq
     assert(got === Seq((1L, 10L), (2L, 20L)))
+    // ADD COLUMN: metadata-only commit under a fresh field id — rows
+    // from pre-add files read NULL, later inserts carry the column,
+    // and a time-travel read of the pre-add snapshot never sees it
+    val preAdd = graft.sources.LogTable(spark,
+      s"$warehouse/alt").currentVersion
+    spark.sql("ALTER TABLE gtest.alt ADD COLUMN tag STRING")
+    spark.sql("INSERT INTO gtest.alt VALUES (3, 30, 'new')")
+    val got2 = spark.sql(
+      "SELECT id, val, tag FROM gtest.alt ORDER BY id")
+      .as[(Long, Long, Option[String])].collect().toSeq
+    assert(got2 === Seq((1L, 10L, None), (2L, 20L, None),
+      (3L, 30L, Some("new"))))
+    assert(!spark.sql(s"SELECT * FROM gtest.alt VERSION AS OF $preAdd")
+      .columns.contains("tag"), "pre-add snapshots keep their own schema")
   }
 
   test("RENAME TABLE, DROP TABLE, SHOW TABLES") {
@@ -308,6 +322,10 @@ class GraftCatalogSpec extends SparkSpec {
 
     spark.sql("CALL gtest.system.evolve_spec('m.t', 'bucket(4, id)')")
     assert(LogTable(spark, t.root).hiddenBy === Seq(Transform.bucket(4, "id")))
+
+    spark.sql("CALL gtest.system.analyze('m.t')")
+    assert(t.snapshot().operation === "analyze")
+    assert(t.snapshot().ndvs.contains("id"))
 
     intercept[Exception] { spark.sql("CALL gtest.system.nope('m.t')") }
   }

@@ -594,6 +594,77 @@ class GraftSourceSpec extends SparkSpec {
     assert(mor.stats.rowCount === Some(BigInt(70)))
   }
 
+  test("analyze records NDVs; the scan surfaces per-column stats and CBO reorders a 3-way join") {
+    import spark.implicits._
+    val factR = tmp("gsrc-cbo-f")
+    val dimAR = tmp("gsrc-cbo-a")
+    val dimBR = tmp("gsrc-cbo-b")
+    // fact: k1 joins a 2000-row dim on a high-NDV key, k2 joins a
+    // 2-row dim on a 50-NDV key — joining dimB FIRST is ~10× cheaper
+    // (5000·2/50 = 200 rows vs 5000·2000/5000 = 2000), but only the
+    // NDVs can tell the optimizer so
+    val tf = LogTable(spark, factR)
+    tf.append((0 until 5000).map(i => (i.toLong, i.toLong % 50, i.toLong))
+      .toDF("k1", "k2", "v"))
+    val ta = LogTable(spark, dimAR)
+    ta.append((0 until 2000).map(i => (i.toLong, s"a$i")).toDF("k1", "da"))
+    val tb = LogTable(spark, dimBR)
+    tb.append(Seq((0L, "x"), (1L, "y")).toDF("k2", "db"))
+
+    val s = tf.analyze()
+    assert(s.operation === "analyze")
+    // HLL estimates land within a few % — exact values are not the
+    // contract, usable cardinalities are
+    assert(s.ndvs("k1") > 4500L && s.ndvs("k2") >= 45L && s.ndvs("k2") <= 55L)
+    ta.analyze(); tb.analyze()
+
+    // baseline (CBO off): the join order stays exactly as written —
+    // dimA innermost
+    val offLeaves = spark.read.format("graft").load(factR)
+      .join(spark.read.format("graft").load(dimAR), "k1")
+      .join(spark.read.format("graft").load(dimBR), "k2")
+      .select($"v", $"da", $"db")
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.right.output.map(_.name).toSet
+      }
+    assert(offLeaves.last.contains("da"),
+      s"without CBO the written order must hold, join rights: $offLeaves")
+
+    // per-column stats reach Catalyst: distinctCount on the scan's
+    // attribute stats (Spark maps V2 columnStats via transformV2Stats)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      val fact = spark.read.format("graft").load(factR)
+      val attrStats = fact.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.attributeStats
+      }.head
+      val k1Stat = attrStats.find(_._1.name == "k1").map(_._2)
+      assert(k1Stat.exists(_.distinctCount.exists(_ > 4500)),
+        s"k1 distinctCount missing from attribute stats: $attrStats")
+
+      // the 3-way join WRITTEN dimA-first replans dimB-first with NDVs
+      val dimA = spark.read.format("graft").load(dimAR)
+      val dimB = spark.read.format("graft").load(dimBR)
+      val joined = fact.join(dimA, "k1").join(dimB, "k2")
+        .select($"v", $"da", $"db")
+      val innerLeaves = joined.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.right.output.map(_.name).toSet
+      }
+      // innermost Join is LAST in collect order; with the reorder, the
+      // cheap dimB join must sit innermost (its output joins first)
+      assert(innerLeaves.nonEmpty)
+      assert(innerLeaves.last.contains("db"),
+        s"expected dimB joined first under CBO, join rights: $innerLeaves")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+    }
+  }
+
   test("runtime filtering: a broadcast join's build side prunes fact files at execution") {
     import spark.implicits._
     val root = tmp("gsrc-dpp")

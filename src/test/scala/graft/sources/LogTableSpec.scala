@@ -532,6 +532,46 @@ class LogTableSpec extends SparkSpec {
     assert(t.readRange("y", 7L, 7L).count() === 30L)
   }
 
+  test("reclusterZ over THREE columns skips files on every axis") {
+    val t = freshTable()
+    // 12×12×12 cube scattered across 4 interleaved appends: every
+    // file spans the full range of all three axes
+    val cube = new scala.util.Random(11).shuffle(
+      (0 until 1728).map(i =>
+        (i.toLong % 12, (i.toLong / 12) % 12, i.toLong / 144)))
+    cube.grouped(432).foreach(g =>
+      t.append(g.toDF("x", "y", "z").coalesce(1)))
+    Seq("x", "y", "z").foreach(c =>
+      assert(t.filesInRange(c, 0L, 2L).size === 4))
+
+    val post = t.reclusterZ(Seq("x", "y", "z"), 8)
+    assert(post.operation === "recluster")
+    assert(post.files.size === 8)
+    // z-order files cover boxes: a narrow window on ANY of the three
+    // axes now skips files
+    Seq("x", "y", "z").foreach(c =>
+      assert(t.filesInRange(c, 0L, 2L).size <= 4,
+        s"no skipping on axis $c"))
+    assert(t.read().count() === 1728L)
+    assert(t.readRange("x", 5L, 5L).count() === 144L)
+    assert(t.readRange("y", 7L, 7L).count() === 144L)
+    assert(t.readRange("z", 3L, 3L).count() === 144L)
+  }
+
+  test("3-D morton interleave is injective and non-negative") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val max20 = 1 << 20
+    val triples = Seq.fill(5000)((rnd.nextInt(max20).toLong,
+      rnd.nextInt(max20).toLong, rnd.nextInt(max20).toLong)).distinct
+    val rows = triples.toDF("a", "b", "c")
+      .select(LogTable.mortonN(
+        Seq(col("a"), col("b"), col("c"))).as("z"))
+      .as[Long].collect()
+    assert(rows.forall(_ >= 0L), "a z-value landed in the sign bit")
+    assert(rows.distinct.length === triples.length)
+  }
+
   test("morton z-values are injective and non-negative over random 31-bit pairs") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(3)
