@@ -251,26 +251,42 @@ private[sources] object GraftSourceUtil {
     * is an O(columns) vector reorder, not per-row work) — native
     * parquet scan speed through `format("graft")`. Requirements, each
     * checked here driver-side:
-    *   - no outstanding EQUALITY deletes (key-tuple matching is a
-    *     per-row expression over coalesced historical names). Files
-    *     under POSITION deletes stay columnar: their batches filter
-    *     through the file's mark bitmap, untouched batches pass
-    *     through zero-copy ([[GraftReaderFactory.createColumnarReader]]);
-    *   - no rename history on the selected fields (coalescing
-    *     historical names is a per-row expression);
+    *   - no rename history on the selected fields OR on any
+    *     equality-delete key column (coalescing historical names is a
+    *     per-row expression);
+    *   - every equality-delete key column resolves in the manifest
+    *     schema (pruned-away keys join the read schema as EXTRA
+    *     vectors — read for matching, never output);
     *   - a UNIFORM layout: every file carries partition values for
     *     the same subset of the selected fields (mixed pre-/post-
     *     evolution layouts fall back to rows);
     *   - the parquet vectorized reader supports the schema
     *     (ParquetFileFormat.supportBatch).
-    * `readRaw` is the UNFILTERED twin of `read` for delete-carrying
-    * files — position semantics are "row index within the file", so
-    * row-group pruning under a pushed filter would shift positions
-    * and delete the WRONG rows. */
+    * Files under POSITION or EQUALITY deletes stay columnar: their
+    * batches filter through the file's mark set — untouched batches
+    * pass through zero-copy, marked batches rebuild survivors
+    * ([[GraftReaderFactory.createColumnarReader]]). `readRaw` is the
+    * UNFILTERED twin of `read` for position-deleted files — position
+    * semantics are "row index within the file", so row-group pruning
+    * under a pushed filter would shift positions and delete the
+    * WRONG rows (equality matching is position-free and keeps the
+    * filtered reader). */
   def columnarPlan(spark: SparkSession, logical: StructType,
       snap: Snapshot, filters: Seq[Filter]): Option[ColumnarPlan] = {
-    if (snap.eqDeletes.nonEmpty) return None
     if (logical.exists(f => LogTable.prevNames(f).nonEmpty)) return None
+    // equality-delete key columns must be readable and rename-free
+    val eqCols = snap.eqDeletes.flatMap(_.cols).distinct
+    val eqFields =
+      if (eqCols.isEmpty) Nil
+      else {
+        if (snap.schemaJson.isEmpty) return None
+        val full = LogTable.parseSchema(snap.schemaJson)
+        val fs = eqCols.map(c =>
+          full.fields.find(_.name.equalsIgnoreCase(c)))
+        if (fs.exists(_.isEmpty)) return None
+        if (fs.flatten.exists(f => LogTable.prevNames(f).nonEmpty)) return None
+        fs.flatten
+      }
     val layouts = snap.files.map(f =>
       logical.fieldNames.filter(n =>
         f.partitions.keys.exists(_.equalsIgnoreCase(n))).toSet).distinct
@@ -278,11 +294,20 @@ private[sources] object GraftSourceUtil {
     val partNames = layouts.headOption.getOrElse(Set.empty)
     val (partF, dataF) =
       logical.fields.partition(f => partNames.contains(f.name))
-    val dataS = StructType(dataF)
+    // pruned-away key columns join the data read schema as extra
+    // vectors (a key that is a partition column of the layout binds
+    // from the partition value instead — never read from the file,
+    // which does not store it)
+    val extra = eqFields
+      .filterNot(f => logical.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      .filterNot(f => snap.files.forall(_.partitions.keys.exists(
+        _.equalsIgnoreCase(f.name))))
+      .map(f => StructField(f.name, f.dataType, nullable = true))
+    val dataS = StructType(dataF ++ extra)
     val partS = StructType(partF)
     val classic = GraftBridge.classicSession(spark)
     val fmt = new ParquetFileFormat()
-    if (!fmt.supportBatch(classic, StructType(dataF ++ partF))) return None
+    if (!fmt.supportBatch(classic, StructType(dataS.fields ++ partF))) return None
     // batch columns arrive as dataSchema ++ partitionSchema; map each
     // LOGICAL position to its vector index once, on the driver
     val reorder = logical.fields.map { f =>
@@ -298,17 +323,21 @@ private[sources] object GraftSourceUtil {
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "true"),
       hadoopConf = GraftBridge.hadoopConf(spark))
-    Some(ColumnarPlan(partS, reorder, build(filters),
+    Some(ColumnarPlan(partS, StructType(dataS.fields ++ partS.fields),
+      reorder, build(filters),
       readRaw = if (snap.deletes.isEmpty) null else build(Nil)))
   }
 }
 
 /** Driver-planned columnar scan recipe ([[GraftSourceUtil
   * .columnarPlan]]): partition-column schema (for per-file constant
-  * vectors), the vector reorder to logical column order, the
-  * filtered batch reader for clean files, and the unfiltered twin
-  * for position-deleted files (null when the snapshot has none). */
+  * vectors), the FULL batch-row schema (data ++ extra eq-key ++
+  * partition vectors — what delete-mark projections bind against),
+  * the vector reorder to logical column order, the filtered batch
+  * reader for clean files, and the unfiltered twin for
+  * position-deleted files (null when the snapshot has none). */
 private[sources] final case class ColumnarPlan(partS: StructType,
+    batchS: StructType,
     reorder: Array[Int],
     read: PartitionedFile => Iterator[InternalRow],
     readRaw: PartitionedFile => Iterator[InternalRow])
@@ -1353,6 +1382,71 @@ private[sources] final class GraftReaderFactory(
     deleted
   }
 
+  /** EQUALITY-tombstone key groups for one partition (seq guard
+    * applied at planning): one (key set, key projection, width) per
+    * key-column group. Tombstones containing a NULL key never match
+    * (SQL equality semantics — a byte-wise UnsafeRow compare would
+    * equate null with null). Key columns coalesce their HISTORICAL
+    * physical names, as the logical projection does — a pre-rename
+    * file stores the key under an old name, and binding only the
+    * current name would project null keys there (rows silently
+    * escaping their tombstones). A key that is a PARTITION column of
+    * this file binds the file's partition value as a literal:
+    * hive-layout files do not store partition columns, so the
+    * physical reference would project null keys and every row of the
+    * partition would escape its tombstone. `fields`/`fieldIdx`
+    * describe the rows the projection will evaluate (the physical row
+    * on the row path, the full batch row on the columnar path). */
+  private def eqGroups(gp: GraftInputPartition,
+      fields: Array[org.apache.spark.sql.types.StructField],
+      fieldIdx: Map[String, Int])
+      : Seq[(java.util.HashSet[InternalRow], UnsafeProjection, Int)] = {
+    val (types, readers) = eq.getOrElse(throw new IllegalStateException(
+      s"partition for ${gp.path} carries equality deletes but the " +
+        "factory has no eq readers — planner/factory snapshot drift"))
+    gp.eqDels.groupBy(_._3).toSeq.map { case (cols, dels) =>
+      val ts = cols.map(c => types(c.toLowerCase))
+      val delProj = UnsafeProjection.create(ts.zipWithIndex.map {
+        case (t, i) => BoundReference(i, t, nullable = true) })
+      val set = new java.util.HashSet[InternalRow]()
+      dels.foreach { case (dp, dbytes, _) =>
+        unwrap(readers(cols)(wholeFile(dp, dbytes))).foreach { r =>
+          if (ts.indices.forall(i => !r.isNullAt(i)))
+            set.add(delProj(r).copy())
+        }
+      }
+      val keyProj = UnsafeProjection.create(cols.zip(ts).map {
+        case (c, t) =>
+          gp.parts.find(_._1.equalsIgnoreCase(c)).map(_._2) match {
+            case Some("__HIVE_DEFAULT_PARTITION__") =>
+              Literal(null, t): Expression
+            case Some(v) =>
+              Literal.create(
+                Cast(Literal(v), t, Some("UTC")).eval(null), t)
+            case None =>
+              val names = c +: fields
+                .find(_.name.equalsIgnoreCase(c)).toSeq
+                .flatMap(LogTable.prevNames)
+              val refs = names.flatMap(n => fieldIdx.get(n.toLowerCase))
+                .map(i => BoundReference(i, t, nullable = true))
+              require(refs.nonEmpty, s"equality-delete key column '$c' " +
+                "resolves to no physical column")
+              if (refs.size == 1) refs.head
+              else (Coalesce(refs): Expression)
+          }
+      })
+      (set, keyProj, ts.size)
+    }
+  }
+
+  private def eqMarked(
+      groups: Seq[(java.util.HashSet[InternalRow], UnsafeProjection, Int)],
+      r: InternalRow): Boolean =
+    groups.exists { case (set, keyProj, n) =>
+      val k = keyProj(r)
+      (0 until n).forall(i => !k.isNullAt(i)) && set.contains(k)
+    }
+
   /** Columnar when the driver planned it ([[GraftSourceUtil
     * .columnarPlan]]'s uniformity checks) and this partition's layout
     * agrees — Spark's vectorized batches pass through with an
@@ -1365,10 +1459,9 @@ private[sources] final class GraftReaderFactory(
   override def supportColumnarReads(p: InputPartition): Boolean =
     columnar.exists { plan =>
       val gp = p.asInstanceOf[GraftInputPartition]
-      gp.eqDels.isEmpty &&
-        logical.fieldNames.filter(n =>
-          gp.parts.keys.exists(_.equalsIgnoreCase(n))).toSet ==
-          plan.partS.fieldNames.toSet
+      logical.fieldNames.filter(n =>
+        gp.parts.keys.exists(_.equalsIgnoreCase(n))).toSet ==
+        plan.partS.fieldNames.toSet
     }
 
   override def createColumnarReader(p: InputPartition)
@@ -1387,11 +1480,17 @@ private[sources] final class GraftReaderFactory(
     val pf = PartitionedFile(
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals),
       SparkPath.fromPathString(gp.path), 0L, gp.bytes, Array.empty, 0L, gp.bytes)
-    // marked files read UNFILTERED (row-group pruning would shift
-    // positions) and filter through the mark bitmap; clean files keep
-    // the pushed-filter reader
+    // position-marked files read UNFILTERED (row-group pruning would
+    // shift positions); equality matching is position-free, so
+    // eq-only and clean files keep the pushed-filter reader
     val deleted =
       if (gp.deletes.isEmpty) null else deletedPositions(gp)
+    // equality-key projections bind against the FULL batch row
+    // (data ++ extra key ++ partition vectors)
+    val groups =
+      if (gp.eqDels.isEmpty) Nil
+      else eqGroups(gp, plan.batchS.fields,
+        plan.batchS.fieldNames.map(_.toLowerCase).zipWithIndex.toMap)
     val it = (if (deleted == null) plan.read else plan.readRaw)(pf)
       .asInstanceOf[Iterator[Any]]
     val reorder = plan.reorder
@@ -1415,13 +1514,22 @@ private[sources] final class GraftReaderFactory(
             val n = b.numRows()
             val first = base
             base += n
-            if (deleted == null)
+            if (deleted == null && groups.isEmpty)
               cur = new ColumnarBatch(reorder.map(b.column), n)
             else {
+              // mark pass over the full batch row: position bitmap +
+              // equality-key set probes (exactly the row path's
+              // semantics); untouched batches pass through zero-copy
+              val marked = new java.util.BitSet(n)
               var marks = 0
+              val mit = b.rowIterator()
               var i = 0
-              while (i < n) {
-                if (deleted.contains(first + i)) marks += 1
+              while (mit.hasNext) {
+                val row = mit.next()
+                if ((deleted != null && deleted.contains(first + i)) ||
+                    (groups.nonEmpty && eqMarked(groups, row))) {
+                  marked.set(i); marks += 1
+                }
                 i += 1
               }
               if (marks == 0)
@@ -1442,7 +1550,7 @@ private[sources] final class GraftReaderFactory(
                 var idx = 0
                 while (rit.hasNext) {
                   val row = rit.next()
-                  if (!deleted.contains(first + idx)) conv(row, vecs)
+                  if (!marked.get(idx)) conv(row, vecs)
                   idx += 1
                 }
                 owned = vecs
@@ -1508,53 +1616,11 @@ private[sources] final class GraftReaderFactory(
         unwrap(mr.raw(wholeFile(gp.path, gp.bytes)))
           .filter { _ => pos += 1; !deleted.contains(pos) }
       }
-    // EQUALITY tombstones newer than this file (seq guard applied at
-    // planning): build one key set per key-column group and drop
-    // matching rows. Tombstones containing a NULL key never match
-    // (SQL equality semantics — a byte-wise UnsafeRow compare would
-    // equate null with null).
     val rows: Iterator[InternalRow] =
       if (gp.eqDels.isEmpty) rows0
       else {
-        val (types, readers) = eq.getOrElse(throw new IllegalStateException(
-          s"partition for ${gp.path} carries equality deletes but the " +
-            "factory has no eq readers — planner/factory snapshot drift"))
-        val groups = gp.eqDels.groupBy(_._3).toSeq.map { case (cols, dels) =>
-          val ts = cols.map(c => types(c.toLowerCase))
-          val delProj = UnsafeProjection.create(ts.zipWithIndex.map {
-            case (t, i) => BoundReference(i, t, nullable = true) })
-          val set = new java.util.HashSet[InternalRow]()
-          dels.foreach { case (dp, dbytes, _) =>
-            unwrap(readers(cols)(wholeFile(dp, dbytes))).foreach { r =>
-              if (ts.indices.forall(i => !r.isNullAt(i)))
-                set.add(delProj(r).copy())
-            }
-          }
-          // key columns coalesce their HISTORICAL physical names, as
-          // the logical projection does — a pre-rename file stores the
-          // key under an old name, and binding only the current name
-          // would project null keys there (rows silently escaping
-          // their tombstones)
-          val keyProj = UnsafeProjection.create(cols.zip(ts).map {
-            case (c, t) =>
-              val names = c +: phys.fields
-                .find(_.name.equalsIgnoreCase(c)).toSeq
-                .flatMap(LogTable.prevNames)
-              val refs = names.flatMap(n => physIdx.get(n.toLowerCase))
-                .map(i => BoundReference(i, t, nullable = true))
-              require(refs.nonEmpty, s"equality-delete key column '$c' " +
-                "resolves to no physical column")
-              if (refs.size == 1) refs.head
-              else (Coalesce(refs): Expression)
-          })
-          (set, keyProj, ts.size)
-        }
-        rows0.filter { r =>
-          !groups.exists { case (set, keyProj, n) =>
-            val k = keyProj(r)
-            (0 until n).forall(i => !k.isNullAt(i)) && set.contains(k)
-          }
-        }
+        val groups = eqGroups(gp, phys.fields, physIdx)
+        rows0.filter(r => !eqMarked(groups, r))
       }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _

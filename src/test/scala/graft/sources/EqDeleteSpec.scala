@@ -211,6 +211,26 @@ class EqDeleteSpec extends SparkSpec {
     assert(t.read().count() === 9L)
   }
 
+  test("equality deletes keyed on a PARTITION column apply in the DSv2 path") {
+    // hive-layout files do not store partition columns — the key
+    // projection must bind the file's partition VALUE, or every row
+    // of the partition silently escapes its tombstone (regression:
+    // the DSv2 reader read null keys here while the API read, which
+    // projects partition literals before the anti-join, was correct)
+    val root = Files.createTempDirectory("eq_part_").toString
+    val t = LogTable(spark, root, partitionBy = Seq("kind"))
+    t.append((0 until 10).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "kind"))
+    t.deleteEq(Seq("a").toDF("kind"))
+    assert(t.read().count() === 5L)
+    val dsv2 = spark.read.format("graft").load(root)
+    assert(dsv2.count() === 5L)
+    assert(dsv2.select("kind").distinct().collect().map(_.getString(0)).toSeq === Seq("b"))
+    // mixed keys: one partition-column key + one data-column key
+    t.deleteEq(Seq((1L, "b")).toDF("id", "kind"))
+    assert(spark.read.format("graft").load(root).count() === 4L)
+  }
+
   test("a bulk deleteEq shards its tombstone files; CDC-sized batches stay one file") {
     val t = freshTable()
     t.append(df(0 until 2000))

@@ -391,11 +391,17 @@ class GraftSourceSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq ===
       t.read().select("id", "kind", "v").orderBy("id")
         .collect().map(_.toSeq).toSeq)
-    // EQUALITY deletes stay a row-path refusal (per-row key matching)
+    // EQUALITY deletes keep the vectorized path too: key-set probes
+    // run over the batch rows, untouched batches pass through
     t.deleteEq(spark.range(10, 12).selectExpr("id"))
     val df3 = spark.read.format("graft").load(root)
-    assert(!scanExec(df3).supportsColumnar)
+    assert(scanExec(df3).supportsColumnar,
+      "equality-deleted snapshot must stay columnar")
     assert(df3.count() === 38L)
+    assert(df3.select("id", "kind", "v").orderBy("id")
+      .collect().map(_.toSeq).toSeq ===
+      t.read().select("id", "kind", "v").orderBy("id")
+        .collect().map(_.toSeq).toSeq)
   }
 
   test("MoR columnar read stays exact across batch boundaries, full-batch deletes, and pushed filters") {
@@ -424,6 +430,19 @@ class GraftSourceSpec extends SparkSpec {
       .where($"id" >= 1000L && $"id" < 9500L)
     assert(f.count() === 1500L) // [1000,2000) ∪ [9000,9500)
     assert(f.agg(min($"id"), max($"id")).head().toSeq === Seq(1000L, 9499L))
+
+    // EQUALITY deletes compose on the same columnar scan — including
+    // with the key column pruned away (it rides as an extra vector)
+    t.deleteEq((0 until 1000).map(_.toLong * 10).toDF("id"))
+    val g = spark.read.format("graft").load(root)
+    assert(g.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.supportsColumnar, "position+equality marks must stay columnar")
+    // live = [0,2000) ∪ [9000,10000) minus multiples of 10 in them:
+    // 200 multiples in [0,2000), 100 in [9000,10000)
+    assert(g.count() === 2700L)
+    assert(g.select("m").where($"m" === 0).count() ===
+      t.read().where($"m" === 0).count(), "pruned-key projection stays exact")
   }
 
   test("LIMIT pushdown plans a file-bounded scan; filters disable the truncation") {
