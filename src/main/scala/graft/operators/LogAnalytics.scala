@@ -171,9 +171,15 @@ object LogAnalytics {
       .groupBy(timestamp_micros(
         expr("(ts_us div 3600000000) * 3600000000")).as("hour"))
       .agg(count(lit(1)).as("n"))
-    hourly
-      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
-      .withColumn("n_hours", count(lit(1)).over(Window.partitionBy()))
+    // the corpus-wide total/hour-count are GLOBAL AGGREGATES, not
+    // window functions: one map-side-combined reduce to a single row,
+    // broadcast back as a 1-row nested-loop attach (O(rows × 1) —
+    // harmless; the banned shape is O(n × m)) — never an
+    // empty-partition window that drags the whole rollup onto one
+    // task
+    val stats = hourly.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_hours"))
+    hourly.crossJoin(broadcast(stats))
       .filter(col("n") * col("n_hours") > col("total") * 2)
       .select(col("hour"), col("n"))
       .orderBy(col("hour"))
@@ -206,12 +212,32 @@ object LogAnalytics {
     * (≈10⁴ rows even for years of 100 TB logs), never the raw events,
     * so the single-partition sort is trivial. */
   def logMovingSum(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("hour_us"))
-      .rangeBetween(-23L * 3600000000L, Window.currentRow)
-    ev(s, dir)
+    // PARTITIONED moving window (the scale shape): week groups carry
+    // the window's 23-hour lookback across their boundary as
+    // DUPLICATED tail rows assigned to the next group — each group
+    // computes its range window locally (a week ≥ the 24h window, so
+    // the lookback never spans two boundaries), carry rows drop after.
+    // A bare Window.orderBy would serialize the whole rollup through
+    // one task; a year of hours is bounded, a 100 TB table's axis may
+    // not be.
+    val hourUs = 3600000000L
+    val span = 7L * 24L * hourUs
+    val look = 23L * hourUs
+    val hourly = ev(s, dir)
       .groupBy(expr("(ts_us div 3600000000) * 3600000000").as("hour_us"))
       .agg(count(lit(1)).as("n"))
+    val own = hourly.select(col("hour_us"), col("n"),
+      expr(s"hour_us div $span").as("grp"), lit(false).as("carry"))
+    val carried = hourly
+      .filter(col("hour_us") % span >= span - look)
+      .select(col("hour_us"), col("n"),
+        expr(s"(hour_us div $span) + 1").as("grp"),
+        lit(true).as("carry"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("hour_us"))
+      .rangeBetween(-look, Window.currentRow)
+    own.unionAll(carried)
       .withColumn("n_24h", sum(col("n")).over(w))
+      .filter(!col("carry"))
       .select(timestamp_micros(col("hour_us")).as("hour"), col("n"), col("n_24h"))
       .orderBy(col("hour"))
   }

