@@ -171,15 +171,18 @@ object LogAnalytics {
       .groupBy(timestamp_micros(
         expr("(ts_us div 3600000000) * 3600000000")).as("hour"))
       .agg(count(lit(1)).as("n"))
-    // the corpus-wide total/hour-count are GLOBAL AGGREGATES, not
-    // window functions: one map-side-combined reduce to a single row,
-    // broadcast back as a 1-row nested-loop attach (O(rows × 1) —
-    // harmless; the banned shape is O(n × m)) — never an
-    // empty-partition window that drags the whole rollup onto one
-    // task
-    val stats = hourly.agg(sum(col("n")).as("total"),
-      count(lit(1)).as("n_hours"))
-    hourly.crossJoin(broadcast(stats))
+    // corpus-wide total/hour-count attach through ONE empty-partition
+    // window over the HOURLY ROLLUP — a deliberate choice: the window
+    // input is the already-reduced rollup (O(hours): a year ≈ 8.8k
+    // rows on one task, bounded at any data scale), and the window
+    // exec materializes its child ONCE. The "cleaner" broadcast-
+    // aggregate attach re-derives the rollup in a second branch, i.e.
+    // a SECOND full events scan — at 100 TB the scan dominates and
+    // that shape loses. Bounded-input single-partition windows are
+    // the exception that proves the rule; unbounded ones stay banned.
+    hourly
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("n_hours", count(lit(1)).over(Window.partitionBy()))
       .filter(col("n") * col("n_hours") > col("total") * 2)
       .select(col("hour"), col("n"))
       .orderBy(col("hour"))
@@ -226,16 +229,22 @@ object LogAnalytics {
     val hourly = ev(s, dir)
       .groupBy(expr("(ts_us div 3600000000) * 3600000000").as("hour_us"))
       .agg(count(lit(1)).as("n"))
-    val own = hourly.select(col("hour_us"), col("n"),
-      expr(s"hour_us div $span").as("grp"), lit(false).as("carry"))
-    val carried = hourly
-      .filter(col("hour_us") % span >= span - look)
-      .select(col("hour_us"), col("n"),
-        expr(s"(hour_us div $span) + 1").as("grp"),
-        lit(true).as("carry"))
+    // ONE pass generates own + carry assignments (a union of two
+    // branches would re-derive the rollup — a second full events
+    // scan): each row explodes to its own group, plus a carry copy
+    // into the next group when it sits in that group's lookback
+    val assigned = hourly.select(col("hour_us"), col("n"), explode(when(
+        col("hour_us") % span >= span - look,
+        array(struct(expr(s"hour_us div $span").as("grp"),
+            lit(false).as("carry")),
+          struct(expr(s"(hour_us div $span) + 1").as("grp"),
+            lit(true).as("carry"))))
+      .otherwise(array(struct(expr(s"hour_us div $span").as("grp"),
+        lit(false).as("carry"))))).as("g"))
+      .select(col("hour_us"), col("n"), col("g.grp"), col("g.carry"))
     val w = Window.partitionBy(col("grp")).orderBy(col("hour_us"))
       .rangeBetween(-look, Window.currentRow)
-    own.unionAll(carried)
+    assigned
       .withColumn("n_24h", sum(col("n")).over(w))
       .filter(!col("carry"))
       .select(timestamp_micros(col("hour_us")).as("hour"), col("n"), col("n_24h"))

@@ -70,9 +70,8 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin [_bin"),
       "interval containment must join on bin ids as a hash equi-join")
     assert(count(p, "CartesianProduct") === 0)
-    // the one nested-loop allowed is logAnomaly's 1-row stats attach
-    // (O(rows × 1)); the interval join itself must never be one
-    assert(count(p, "BroadcastNestedLoopJoin") <= 1)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0,
+      "interval containment must not plan as a nested-loop theta join")
   }
 
   test("contamination: the eval-gram set joins broadcast; the training side never sort-merges") {
@@ -151,20 +150,23 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
-  test("log_moving_sum: the moving window is PARTITIONED (week groups + carry rows)") {
+  test("log_moving_sum: the moving window is PARTITIONED, from ONE events scan") {
     val p = plan("log_moving_sum")
     assert(p.contains("Window"), "the 24h sum is a range window")
     assert(!p.contains("SinglePartition"),
       "the moving window must never drag the rollup onto one task")
+    assert(count(p, "FileScan parquet") === 1,
+      "carry rows must come from the same rollup, not a second scan")
   }
 
-  test("log_anomaly: corpus-wide stats are a broadcast aggregate, not a global window") {
+  test("log_anomaly: ONE events scan; the stats window input is the bounded rollup") {
     val p = plan("log_anomaly")
-    assert(!p.contains("Window"), "total/n_hours are plain aggregates")
-    // the 1-row stats frame reduces through a normal agg exchange and
-    // broadcasts back; the HOURLY rollup itself must never serialize
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      "the 1-row stats frame broadcasts back")
+    // the empty-partition window here is deliberate: its input is the
+    // hourly ROLLUP (O(hours), bounded), and the window materializes
+    // the child once — the broadcast-aggregate alternative re-derives
+    // the rollup, i.e. a second full events scan, which loses at scale
+    assert(count(p, "FileScan parquet") === 1,
+      "stats must attach without re-scanning events")
   }
 
   test("pipeline_shard: the running sum is a PARTITIONED window — never a single global sort") {
