@@ -1858,16 +1858,32 @@ final class LogTable private (val spark: SparkSession, val root: String,
     if (n == 0L) return Nil
     val shards = math.min((n + perShard - 1) / perShard, 64L).toInt
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
-    keys.repartition(shards, cols.map(col): _*).write.parquet(stage.toString)
-    val walk = Files.walk(stage)
-    val parts = try walk.iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
-      finally walk.close()
     val delDir = rootPath.resolve("deletes")
     Files.createDirectories(delDir)
-    val out = parts.flatMap { part =>
-      val dest = delDir.resolve(s"${UUID.randomUUID()}.parquet")
-      Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+    // zero-rename commit into deletes/ (cf. writeDataFiles)
+    DirectCommitProtocol.install(spark)
+    keys.repartition(shards, cols.map(col): _*).write
+      .option(DirectCommitProtocol.TargetKey, delDir.toAbsolutePath.toString)
+      .parquet(stage.toString)
+    val sidecar = stage.resolve(DirectCommitProtocol.Sidecar)
+    val parts =
+      if (Files.exists(sidecar))
+        Files.readAllLines(sidecar).asScala.toSeq.filter(_.nonEmpty)
+          .map(line => Paths.get(line.substring(line.indexOf('\t') + 1)))
+          .sortBy(_.toString)
+      else {
+        val walk = Files.walk(stage)
+        val staged = try walk.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+          finally walk.close()
+        staged.map { part =>
+          val dest = delDir.resolve(s"${UUID.randomUUID()}.parquet")
+          Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+          dest
+        }
+      }
+    val out = parts.flatMap { dest =>
+      Files.deleteIfExists(dest.resolveSibling(s".${dest.getFileName}.crc"))
       val (rows, _, _, _, _) = parquetFooterMeta(dest)
       if (rows == 0L) { Files.deleteIfExists(dest); None }
       else Some(EqDeleteFile(dest.toString, Files.size(dest), cols, rows, 0L))
@@ -2552,7 +2568,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
       if (distribute && partCols.nonEmpty)
         laid.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
       else laid
+    // zero-rename commit: tasks write final UUID names under data/
+    // directly and job commit leaves a sidecar file list in the stage
+    // dir — no per-file task-commit rename, no driver-side move. On an
+    // object store that deletes the only O(data) copy in the commit.
+    DirectCommitProtocol.install(df.sparkSession)
     var w = arranged.write
+      .option(DirectCommitProtocol.TargetKey, dataDir.toAbsolutePath.toString)
     // manifest-declared bloom columns ride into the write job's hadoop
     // conf (parquet-mr writes the filters; pushed equality/IN filters
     // consult them at read) — every write path inherits the property,
@@ -2566,26 +2588,43 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(stage.toString)
-    val walk1 = Files.walk(stage)
-    val parts = try walk1.iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-      finally walk1.close()
-    val placed = parts.map { p =>
-      val rel = stage.relativize(p.getParent) // "" or k=v[/k2=v2...]
-      val partVals = rel.toString.split("/").toSeq.filter(_.contains("="))
-        .map { seg =>
-          val Array(k, v) = seg.split("=", 2)
-          // Spark escapes partition dirs with its OWN escaping (%XX for
-          // specials, '+' left intact) — URLDecoder would turn a
-          // legitimate '+' into a space and poison manifest pruning.
-          k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
-        }.toMap
-      val destDir = dataDir.resolve(rel)
-      Files.createDirectories(destDir)
-      val dest = destDir.resolve(s"${UUID.randomUUID()}.parquet")
-      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      (dest, partVals)
-    }
+    // "" or k=v[/k2=v2...] → manifest partition values. Spark escapes
+    // partition dirs with its OWN escaping (%XX for specials, '+' left
+    // intact) — URLDecoder would turn a legitimate '+' into a space
+    // and poison manifest pruning.
+    def partValsOf(rel: String): Map[String, String] =
+      rel.split("/").toSeq.filter(_.contains("=")).map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+      }.toMap
+    val sidecar = stage.resolve(DirectCommitProtocol.Sidecar)
+    val placed =
+      if (Files.exists(sidecar)) {
+        // direct commit engaged: data files are already at their final
+        // names; the sidecar is the committed list (empty write → no
+        // lines). Sorted for deterministic manifest order.
+        Files.readAllLines(sidecar).asScala.toSeq.filter(_.nonEmpty)
+          .map { line =>
+            val cut = line.indexOf('\t')
+            (java.nio.file.Paths.get(line.substring(cut + 1)),
+              partValsOf(line.substring(0, cut)))
+          }.sortBy(_._1.toString)
+      } else {
+        // fallback (another protocol active on the session): walk the
+        // stage job output and move each file into place
+        val walk1 = Files.walk(stage)
+        val parts = try walk1.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+          finally walk1.close()
+        parts.map { p =>
+          val rel = stage.relativize(p.getParent)
+          val destDir = dataDir.resolve(rel)
+          Files.createDirectories(destDir)
+          val dest = destDir.resolve(s"${UUID.randomUUID()}.parquet")
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+          (dest, partValsOf(rel.toString))
+        }
+      }
     // footer stats in parallel: each is an independent ~KB footer read,
     // and a partitioned append lands O(partition tuples) files — read
     // sequentially this is the commit's dominant driver-side cost
@@ -2595,6 +2634,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
       implicit val ec: ExecutionContext = ExecutionContext.global
       Await.result(Future.traverse(placed) { case (dest, partVals) =>
         Future {
+          // local-FS writers (ChecksumFileSystem) drop a `.f.crc`
+          // sibling next to direct-written files; the manifest is the
+          // integrity layer here (footer-exact stats), so clear it
+          Files.deleteIfExists(
+            dest.resolveSibling(s".${dest.getFileName}.crc"))
           val (rows, ranges, strRanges, nulls, vsets) = parquetFooterMeta(dest)
           DataFile(dest.toString, rows, Files.size(dest), partVals,
             ranges, strRanges, nulls = nulls, valueSets = vsets)
