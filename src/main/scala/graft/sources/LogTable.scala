@@ -51,6 +51,20 @@ final case class DataFile(path: String, rows: Long, bytes: Long,
       * matches. */
     valueSets: Map[String, Seq[String]] = Map.empty)
 
+/** One immutable MANIFEST SEGMENT of a snapshot's file list (the
+  * two-level manifest shape — Iceberg's manifest-list + manifest-file
+  * split): `name` is a `seg-<uuid>.json` file in the table's shared
+  * `_graft_log/` pool holding an array of [[DataFile]] entries, and
+  * `paths` those entries' data-file paths in segment order. Segments
+  * are write-once; snapshots reference them BY NAME, so a commit that
+  * leaves a segment's files untouched re-lists the name instead of
+  * re-serializing the entries — the manifest write is O(changed
+  * files + segment count), never O(table files). At 1M files (100 TB
+  * at 128 MB/file) an inline manifest is a ~200 MB JSON rewritten by
+  * EVERY commit; with segments a steady-state append writes one
+  * ~100 KB segment plus a pointer file. */
+final case class Segment(name: String, paths: Seq[String])
+
 /** One EQUALITY-DELETE file of a snapshot (Iceberg v2's second delete
   * form): a parquet file of KEY TUPLES over `cols`, marking every row
   * of OLDER data files (DataFile.seq < this.seq) whose key columns
@@ -169,7 +183,13 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
       * flow) and carried forward by subsequent commits until
       * recomputed — an estimate for the optimizer, never a
       * correctness input. */
-    ndvs: Map[String, Long] = Map.empty) {
+    ndvs: Map[String, Long] = Map.empty,
+    /** Segment composition of `files` (empty = all entries inline in
+      * the manifest JSON): every file in a listed segment appears in
+      * `files`, and `files` minus all segment paths is what the
+      * manifest stores inline. Maintained by commit for structural
+      * sharing; see [[Segment]]. */
+    segs: Seq[Segment] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
   /** Rows visible to a reader of this snapshot: data-file rows minus
@@ -192,8 +212,11 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
   *
   * Design (SURVEY.md §3): the table's visible state is defined ONLY by
   * a versioned manifest `_graft_log/v{NNNNN}.manifest.json` listing
-  * every data file of that snapshot. A commit writes the new manifest
-  * to a temp name and atomically hard-links it into place; readers load
+  * every data file of that snapshot (directly, or — above the
+  * [[Segment]] cap — by re-listing immutable shared segment files, so
+  * commit metadata writes stay O(changed files), never O(table)). A
+  * commit writes the new manifest to a temp name and atomically
+  * hard-links it into place; readers load
   * `spark.read.parquet(files: _*)` from one manifest and NEVER list
   * the data directory. This yields, exactly as Iceberg's
   * snapshot+manifest design does:
@@ -331,9 +354,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // ahead of the captured file list — and fastForward's guard would
     // then silently drop that commit.
     val fork = snapshot()
+    // fork.segs carried: the branch's base manifest re-lists main's
+    // segment names from the shared pool — branch creation stays O(1)
+    // metadata even on a million-file table
     val base = Snapshot(1L, 0L, "branch", System.currentTimeMillis(),
       fork.files, s"base-v${fork.version}", fork.schemaJson, fork.checks,
-      fork.retired, fork.deletes, eqDeletes = fork.eqDeletes)
+      fork.retired, fork.deletes, eqDeletes = fork.eqDeletes,
+      segs = fork.segs)
     if (!io.publishAtomic(manifestPath(bdir, 1L), renderManifest(base)))
       throw new IllegalStateException(s"branch '$name' already exists")
     branch(name)
@@ -381,7 +408,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
         nextChecks = _ => head.checks,
         nextRetired = _ => head.retired,
         nextDeletes = _ => head.deletes,
-        nextEqDeletes = _ => head.eqDeletes) { prev =>
+        nextEqDeletes = _ => head.eqDeletes,
+        segHints = head.segs) { prev =>
       if (tag.nonEmpty && hasTag(tag)) return snapshot()
       if (prev.version != baseVersion)
         throw new IllegalStateException(
@@ -926,6 +954,109 @@ final class LogTable private (val spark: SparkSession, val root: String,
       case Some(s) => readFiles(s.files.take(1), s.schemaJson).limit(0)
       case None => spark.emptyDataFrame
     }
+  }
+
+  /** Load one segment's file entries through the JVM-wide cache:
+    * segments are write-once and UUID-named, so a cache hit can never
+    * serve stale data; handles are recreated per query, so the cache
+    * must outlive the instance for re-planning a big table to be
+    * O(changed segments). */
+  private def loadSegment(name: String): Seq[DataFile] =
+    LogTable.segCache.get(mainLogDir.resolve(name).toString, _ =>
+      parseFilesArray(
+        mapper.readTree(io.readString(mainLogDir.resolve(name)))
+          .get("files")))
+
+  private def parseManifest(json: String): Snapshot = {
+    val n: JsonNode = mapper.readTree(json)
+    val segs = Option(n.get("segments")).map(_.elements().asScala.map { e =>
+      val name = e.asText()
+      Segment(name, loadSegment(name).map(_.path))
+    }.toSeq).getOrElse(Nil)
+    val files = segs.flatMap(s => loadSegment(s.name)) ++
+      parseFilesArray(n.get("files"))
+    Snapshot(n.get("version").asLong(), n.get("parent").asLong(),
+      n.get("operation").asText(), n.get("timestampMs").asLong(), files,
+      Option(n.get("tag")).map(_.asText()).getOrElse(""),
+      Option(n.get("schema")).map(_.asText()).getOrElse(""),
+      Option(n.get("checks")).map { cn =>
+        cn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty),
+      Option(n.get("retired")).map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Nil),
+      Option(n.get("deletes")).map(_.elements().asScala.map { d =>
+        DeleteFile(d.get("path").asText(), d.get("bytes").asLong(),
+          Option(d.get("counts")).map(_.fields().asScala.map(e =>
+            e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty))
+      }.toSeq).getOrElse(Nil),
+      Option(n.get("partitionBy")).map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Nil),
+      Option(n.get("hiddenBy")).map(_.elements().asScala.map(t =>
+        Transform(t.get("source").asText(), t.get("kind").asText(),
+          t.get("n").asLong())).toSeq).getOrElse(Nil),
+      Option(n.get("eqDeletes")).map(_.elements().asScala.map { d =>
+        EqDeleteFile(d.get("path").asText(), d.get("bytes").asLong(),
+          d.get("cols").elements().asScala.map(_.asText()).toSeq,
+          d.get("rows").asLong(), d.get("seq").asLong())
+      }.toSeq).getOrElse(Nil),
+      Option(n.get("bloomCols")).map(_.elements().asScala.map { b =>
+        if (b.isObject) BloomCol(b.get("col").asText(), b.get("ndv").asLong())
+        else { // legacy "col:ndv" string entries (pre-structured manifests)
+          val raw = b.asText(); val cut = raw.lastIndexOf(':')
+          if (cut < 0) BloomCol(raw, 100000L)
+          else BloomCol(raw.substring(0, cut),
+            // malformed tails ("col:", "col:x") degrade to the default
+            // instead of failing the whole manifest read
+            raw.substring(cut + 1).toLongOption.getOrElse(100000L))
+        }
+      }.toSeq).getOrElse(Nil),
+      Option(n.get("ndvs")).map(_.fields().asScala.map(e =>
+        e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty),
+      segs)
+  }
+
+  /** Pack `files` into manifest segments, reusing every previous (or
+    * hinted) segment whose entries survive VALUE-IDENTICAL — the
+    * structural-sharing step of commit. Tables at or under the cap
+    * stay inline (segs = Nil). Segments smaller than cap/8 dissolve
+    * into the repack pool so steady small appends coalesce instead of
+    * accumulating a micro-segment per commit. New segment files are
+    * written through the storage seam BEFORE the snapshot that
+    * references them (invisible until then, like data files); the
+    * returned `created` names must be reclaimed by the caller if the
+    * commit loses its race. */
+  private def packSegments(candidates: Seq[Segment],
+      files: Seq[DataFile]): (Seq[Segment], Seq[String]) = {
+    val cap = spark.conf.getOption("graft.manifest.segment.files")
+      .map(_.toInt).getOrElse(LogTable.DefaultSegmentFiles)
+    if (files.size <= cap) return (Nil, Nil)
+    val byPath = files.iterator.map(f => f.path -> f).toMap
+    val minKeep = math.max(2, cap / 8)
+    val covered = scala.collection.mutable.HashSet.empty[String]
+    val reused = Seq.newBuilder[Segment]
+    candidates.distinctBy(_.name).foreach { s =>
+      if (s.paths.size >= minKeep && s.paths.forall(p => !covered.contains(p)) &&
+          loadSegment(s.name).forall(f => byPath.get(f.path).contains(f))) {
+        reused += s
+        covered ++= s.paths
+      }
+    }
+    val pool = files.filterNot(f => covered.contains(f.path))
+    val created = Seq.newBuilder[String]
+    val fresh = pool.grouped(cap).map { chunk =>
+      val name = s"seg-${UUID.randomUUID()}.json"
+      val node = mapper.createObjectNode()
+      renderFilesInto(node.putArray("files"), chunk)
+      val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+      if (!io.publishAtomic(mainLogDir.resolve(name), json))
+        throw new IllegalStateException(s"segment name collision at $name")
+      // prime the cache so the snapshot parse that follows never
+      // re-reads what this JVM just wrote
+      LogTable.segCache.get(mainLogDir.resolve(name).toString, _ => chunk)
+      created += name
+      Segment(name, chunk.map(_.path))
+    }.toSeq
+    (reused.result() ++ fresh, created.result())
   }
 
   // --------------------------------------------------------------- writes
@@ -2420,6 +2551,23 @@ final class LogTable private (val spark: SparkSession, val root: String,
       finally ls.close()
     stages.filter(p => Files.getLastModifiedTime(p).toMillis < olderThanMs)
       .foreach(LogTable.deleteRecursively)
+    // stray manifest segments: a commit that crashed between writing
+    // its segments and publishing its snapshot leaves pool files no
+    // manifest references — same age guard as data files (a healthy
+    // in-flight commit writes segments moments before its manifest).
+    // mtime is a local-FS probe; non-local seg entries are skipped
+    // (their stores reclaim via expire's referenced-by-dropped rule).
+    val liveSegs = allLiveSegNames()
+    io.list(mainLogDir).filter(_.startsWith("seg-"))
+      .filterNot(liveSegs.contains).foreach { n =>
+        val p = mainLogDir.resolve(n)
+        if (scala.util.Try(
+            Files.getLastModifiedTime(p).toMillis < olderThanMs)
+            .getOrElse(false)) {
+          io.delete(p)
+          LogTable.segCache.evict(p.toString)
+        }
+      }
     dead.map(_.toString)
   }
 
@@ -2432,7 +2580,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       nextRetired = _ => target.retired,
       nextDeletes = _ => target.deletes,
       nextEqDeletes = _ => target.eqDeletes,
-      nextNdvs = _ => target.ndvs)(_ => target.files)
+      nextNdvs = _ => target.ndvs,
+      segHints = target.segs)(_ => target.files)
   }
 
   /** Drop all but the newest `keepLast` snapshots and delete data files
@@ -2490,6 +2639,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
             s.eqDeletes.map(_.path))
         .distinct.filterNot(live.contains)
       dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
+      // segment GC, same rule as data files: a segment referenced
+      // only by dropped snapshots (no kept version of ANY lineage
+      // re-lists its name) leaves the pool with them
+      val liveSegs = allLiveSegNames()
+      dropped.flatMap(_.segs.map(_.name)).distinct
+        .filterNot(liveSegs.contains).foreach { n =>
+          io.delete(mainLogDir.resolve(n))
+          LogTable.segCache.evict(mainLogDir.resolve(n).toString)
+        }
       // evict dropped versions from the parsed-snapshot cache so a
       // later timeTravel to an expired version fails loudly here too
       drop.foreach { case (v, _) => snapCache.remove(v) }
@@ -2521,6 +2679,18 @@ final class LogTable private (val spark: SparkSession, val root: String,
         val s = parseManifest(io.readString(m._2))
         s.files.map(_.path) ++ s.deletes.map(_.path) ++ s.eqDeletes.map(_.path)
       })
+  }
+
+  /** Segment names referenced by ANY live manifest of the whole table
+    * (cf. [[allLiveFiles]]) — the reclamation floor for segment GC. */
+  private def allLiveSegNames(): Set[String] = {
+    val mine = versions.flatMap(v => snapshot(v).segs.map(_.name)).toSet
+    val branchDirs = io.listDirs(mainLogDir)
+      .filter(_.startsWith("branch-")).map(mainLogDir.resolve)
+    val others = (mainLogDir +: branchDirs)
+      .filterNot(_.toString == logDir.toString)
+    mine ++ others.flatMap(d => listManifests(d).flatMap(m =>
+      parseManifest(io.readString(m._2)).segs.map(_.name)))
   }
 
   // ------------------------------------------------------------ internals
@@ -2662,7 +2832,12 @@ final class LogTable private (val spark: SparkSession, val root: String,
       nextSpec: Option[(Seq[String], Seq[Transform])] = None,
       nextEqDeletes: Snapshot => Seq[EqDeleteFile] = _.eqDeletes,
       nextBlooms: Snapshot => Seq[BloomCol] = _.bloomCols,
-      nextNdvs: Snapshot => Map[String, Long] = _.ndvs)(
+      nextNdvs: Snapshot => Map[String, Long] = _.ndvs,
+      /** Extra reusable-segment candidates beyond the previous
+        * snapshot's own (fastForward offers the branch head's, so a
+        * publish re-lists branch-written segments instead of
+        * re-serializing their entries). */
+      segHints: Seq[Segment] = Nil)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
@@ -2721,10 +2896,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
           (partitionBy, hiddenBy)
         } else (prev.partCols, prev.transforms)
       }
+      val (segs, createdSegs) = packSegments(prev.segs ++ segHints, files)
       val next = Snapshot(ver, prev.version, operation,
         System.currentTimeMillis(), files, tag, nextSchema(prev),
         nextChecks(prev), nextRetired(prev), dels, pc, tf, eqDels,
-        nextBlooms(prev), nextNdvs(prev))
+        nextBlooms(prev), nextNdvs(prev), segs)
       // ATOMIC CREATE-OR-FAIL publish through the storage seam: the
       // full manifest is visible the instant the name exists, and a
       // version collision reports failure instead of overwriting the
@@ -2735,7 +2911,12 @@ final class LogTable private (val spark: SparkSession, val root: String,
       if (io.publishAtomic(manifestPath(logDir, next.version),
           renderManifest(next)))
         return next
-      // lost the race; re-read state and retry
+      // lost the race; reclaim segments THIS attempt wrote (reused
+      // ones belong to the winner's history), re-read state and retry
+      createdSegs.foreach { n =>
+        io.delete(mainLogDir.resolve(n))
+        LogTable.segCache.evict(mainLogDir.resolve(n).toString)
+      }
     }
     throw new IllegalStateException(s"commit failed after $MaxCommitRetries retries at $root")
   }
@@ -2888,6 +3069,36 @@ object LogTable {
     * marking pass parallel on the write side without exploding tiny
     * delete files on the read side. */
   private[sources] val DeleteShardSpan = 8
+  /** Manifest segmentation (see [[Segment]]): tables with more data
+    * files than `graft.manifest.segment.files` (default) store their
+    * file list as immutable shared segments of up to that many
+    * entries; smaller tables stay inline (one file per commit, the
+    * simplest shape). Segments under cap/8 entries dissolve back into
+    * the packing pool each commit so steady small appends coalesce
+    * (LSM-style) instead of accumulating one micro-segment per
+    * commit; the rewrite cost is O(unfrozen tail), bounded by cap. */
+  private[sources] val DefaultSegmentFiles = 512
+
+  /** JVM-wide bounded LRU for parsed segments, keyed by absolute
+    * path: segments are immutable and UUID-named, so entries can
+    * never go stale; the bound caps memory at ~cap·entries·~200 B. */
+  private[sources] object segCache {
+    private val MaxEntries = 256
+    private val m = new java.util.LinkedHashMap[String, Seq[DataFile]](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[DataFile]]): Boolean =
+        size() > MaxEntries
+    }
+    def get(key: String, load: String => Seq[DataFile]): Seq[DataFile] =
+      m.synchronized {
+        val hit = m.get(key)
+        if (hit != null) hit
+        else { val v = load(key); m.put(key, v); v }
+      }
+    private[sources] def evict(key: String): Unit =
+      m.synchronized { m.remove(key); () }
+  }
   /** Schema of a position-delete parquet file: the row's source data
     * file (as the scan's `_metadata.file_path` renders it) and its
     * 0-based row index within that file. */
@@ -3060,38 +3271,16 @@ object LogTable {
         e.put("source", t.source); e.put("kind", t.kind); e.put("n", t.n)
       }
     }
-    val arr: ArrayNode = node.putArray("files")
-    s.files.foreach { f =>
-      val fn = arr.addObject()
-      fn.put("path", f.path); fn.put("rows", f.rows); fn.put("bytes", f.bytes)
-      if (f.seq != 0L) fn.put("seq", f.seq)
-      if (f.nulls.nonEmpty) {
-        val nn = fn.putObject("nulls")
-        f.nulls.toSeq.sortBy(_._1).foreach { case (k, v) => nn.put(k, v) }
-      }
-      if (f.partitions.nonEmpty) {
-        val pn = fn.putObject("partitions")
-        f.partitions.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
-      }
-      if (f.ranges.nonEmpty) {
-        val rn = fn.putObject("ranges")
-        f.ranges.toSeq.sortBy(_._1).foreach { case (k, (mn, mx)) =>
-          val a = rn.putArray(k); a.add(mn); a.add(mx)
-        }
-      }
-      if (f.strRanges.nonEmpty) {
-        val rn = fn.putObject("strRanges")
-        f.strRanges.toSeq.sortBy(_._1).foreach { case (k, (mn, mx)) =>
-          val a = rn.putArray(k); a.add(mn); a.add(mx)
-        }
-      }
-      if (f.valueSets.nonEmpty) {
-        val vn = fn.putObject("valueSets")
-        f.valueSets.toSeq.sortBy(_._1).foreach { case (k, vs) =>
-          val a = vn.putArray(k); vs.foreach(a.add)
-        }
-      }
+    // files held by segments travel BY NAME; only the remainder
+    // serializes inline — the structural-sharing half of the
+    // two-level manifest (see [[Segment]])
+    if (s.segs.nonEmpty) {
+      val sn = node.putArray("segments")
+      s.segs.foreach(seg => sn.add(seg.name))
     }
+    val segPaths = s.segs.iterator.flatMap(_.paths).toSet
+    val arr: ArrayNode = node.putArray("files")
+    renderFilesInto(arr, s.files.filterNot(f => segPaths.contains(f.path)))
     if (s.deletes.nonEmpty) {
       val dn = node.putArray("deletes")
       s.deletes.foreach { d =>
@@ -3124,9 +3313,42 @@ object LogTable {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
 
-  private def parseManifest(json: String): Snapshot = {
-    val n: JsonNode = mapper.readTree(json)
-    val files = n.get("files").elements().asScala.map { f =>
+  private def renderFilesInto(arr: ArrayNode, files: Seq[DataFile]): Unit =
+    files.foreach { f =>
+      val fn = arr.addObject()
+      fn.put("path", f.path); fn.put("rows", f.rows); fn.put("bytes", f.bytes)
+      if (f.seq != 0L) fn.put("seq", f.seq)
+      if (f.nulls.nonEmpty) {
+        val nn = fn.putObject("nulls")
+        f.nulls.toSeq.sortBy(_._1).foreach { case (k, v) => nn.put(k, v) }
+      }
+      if (f.partitions.nonEmpty) {
+        val pn = fn.putObject("partitions")
+        f.partitions.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+      }
+      if (f.ranges.nonEmpty) {
+        val rn = fn.putObject("ranges")
+        f.ranges.toSeq.sortBy(_._1).foreach { case (k, (mn, mx)) =>
+          val a = rn.putArray(k); a.add(mn); a.add(mx)
+        }
+      }
+      if (f.strRanges.nonEmpty) {
+        val rn = fn.putObject("strRanges")
+        f.strRanges.toSeq.sortBy(_._1).foreach { case (k, (mn, mx)) =>
+          val a = rn.putArray(k); a.add(mn); a.add(mx)
+        }
+      }
+      if (f.valueSets.nonEmpty) {
+        val vn = fn.putObject("valueSets")
+        f.valueSets.toSeq.sortBy(_._1).foreach { case (k, vs) =>
+          val a = vn.putArray(k); vs.foreach(a.add)
+        }
+      }
+    }
+
+
+  private def parseFilesArray(node: JsonNode): Seq[DataFile] =
+    node.elements().asScala.map { f =>
       val parts = Option(f.get("partitions")).map { pn =>
         pn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       }.getOrElse(Map.empty[String, String])
@@ -3149,44 +3371,8 @@ object LogTable {
           e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq)
           .toMap).getOrElse(Map.empty))
     }.toSeq
-    Snapshot(n.get("version").asLong(), n.get("parent").asLong(),
-      n.get("operation").asText(), n.get("timestampMs").asLong(), files,
-      Option(n.get("tag")).map(_.asText()).getOrElse(""),
-      Option(n.get("schema")).map(_.asText()).getOrElse(""),
-      Option(n.get("checks")).map { cn =>
-        cn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-      }.getOrElse(Map.empty),
-      Option(n.get("retired")).map(_.elements().asScala.map(_.asText()).toSeq)
-        .getOrElse(Nil),
-      Option(n.get("deletes")).map(_.elements().asScala.map { d =>
-        DeleteFile(d.get("path").asText(), d.get("bytes").asLong(),
-          Option(d.get("counts")).map(_.fields().asScala.map(e =>
-            e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty))
-      }.toSeq).getOrElse(Nil),
-      Option(n.get("partitionBy")).map(_.elements().asScala.map(_.asText()).toSeq)
-        .getOrElse(Nil),
-      Option(n.get("hiddenBy")).map(_.elements().asScala.map(t =>
-        Transform(t.get("source").asText(), t.get("kind").asText(),
-          t.get("n").asLong())).toSeq).getOrElse(Nil),
-      Option(n.get("eqDeletes")).map(_.elements().asScala.map { d =>
-        EqDeleteFile(d.get("path").asText(), d.get("bytes").asLong(),
-          d.get("cols").elements().asScala.map(_.asText()).toSeq,
-          d.get("rows").asLong(), d.get("seq").asLong())
-      }.toSeq).getOrElse(Nil),
-      Option(n.get("bloomCols")).map(_.elements().asScala.map { b =>
-        if (b.isObject) BloomCol(b.get("col").asText(), b.get("ndv").asLong())
-        else { // legacy "col:ndv" string entries (pre-structured manifests)
-          val raw = b.asText(); val cut = raw.lastIndexOf(':')
-          if (cut < 0) BloomCol(raw, 100000L)
-          else BloomCol(raw.substring(0, cut),
-            // malformed tails ("col:", "col:x") degrade to the default
-            // instead of failing the whole manifest read
-            raw.substring(cut + 1).toLongOption.getOrElse(100000L))
-        }
-      }.toSeq).getOrElse(Nil),
-      Option(n.get("ndvs")).map(_.fields().asScala.map(e =>
-        e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty))
-  }
+
+
 
   // ------------------------------------------- field ids & name history
 
