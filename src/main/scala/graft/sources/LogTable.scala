@@ -969,12 +969,25 @@ final class LogTable private (val spark: SparkSession, val root: String,
 
   private def parseManifest(json: String): Snapshot = {
     val n: JsonNode = mapper.readTree(json)
-    val segs = Option(n.get("segments")).map(_.elements().asScala.map { e =>
-      val name = e.asText()
-      Segment(name, loadSegment(name).map(_.path))
-    }.toSeq).getOrElse(Nil)
-    val files = segs.flatMap(s => loadSegment(s.name)) ++
-      parseFilesArray(n.get("files"))
+    val segNames = Option(n.get("segments"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    // parallel segment loads: each is an independent small read, and a
+    // million-file snapshot resolves ~2k of them — sequential reads
+    // would be the planning critical path (cf. the footer-stat pass)
+    val segFilesList: Seq[Seq[DataFile]] =
+      if (segNames.sizeIs <= 1) segNames.map(loadSegment)
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(
+          Future.traverse(segNames)(nm => Future(loadSegment(nm))),
+          Duration.Inf)
+      }
+    val segs = segNames.zip(segFilesList).map { case (nm, fs) =>
+      Segment(nm, fs.map(_.path))
+    }
+    val files = segFilesList.flatten ++ parseFilesArray(n.get("files"))
     Snapshot(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("operation").asText(), n.get("timestampMs").asLong(), files,
       Option(n.get("tag")).map(_.asText()).getOrElse(""),
@@ -3090,12 +3103,18 @@ object LogTable {
           e: java.util.Map.Entry[String, Seq[DataFile]]): Boolean =
         size() > MaxEntries
     }
-    def get(key: String, load: String => Seq[DataFile]): Seq[DataFile] =
-      m.synchronized {
-        val hit = m.get(key)
-        if (hit != null) hit
-        else { val v = load(key); m.put(key, v); v }
+    def get(key: String, load: String => Seq[DataFile]): Seq[DataFile] = {
+      val hit = m.synchronized(m.get(key))
+      if (hit != null) hit
+      else {
+        // load OUTSIDE the lock so parallel planning over many
+        // segments actually parallelizes; a racing duplicate load of
+        // the same immutable segment is benign (last put wins)
+        val v = load(key)
+        m.synchronized(m.put(key, v))
+        v
       }
+    }
     private[sources] def evict(key: String): Unit =
       m.synchronized { m.remove(key); () }
   }

@@ -188,6 +188,27 @@ class SegmentedManifestSpec extends SparkSpec {
     }
   }
 
+  test("commit metadata is O(changed), not O(table): the pointer stays small vs the pool") {
+    withCap(8) {
+      val (root, t) = freshTable()
+      for (b <- 0 until 8)
+        t.append((1 to 8).map(i => ((b * 8 + i).toLong, s"v$i"))
+          .toDF("id", "v").repartition(8))
+      val (segs, inline) = manifestShape(root, t.currentVersion)
+      assert(inline === 0 && segs.size >= 8)
+      val logDir = root.resolve("_graft_log")
+      val pointer = Files.size(
+        logDir.resolve(f"v${t.currentVersion}%05d.manifest.json"))
+      val pool = segs.map(n => Files.size(logDir.resolve(n))).sum
+      // the manifest re-lists segments by name: its size must be a
+      // small fraction of the entries it references (an inline render
+      // would be ≈ the pool size, rewritten EVERY commit)
+      assert(pointer < pool / 4,
+        s"pointer $pointer B should be << pool $pool B")
+      assert(t.read().count() === 64L)
+    }
+  }
+
   test("rollback to a segmented snapshot reuses its segments verbatim") {
     withCap(4) {
       val (root, t) = freshTable()
