@@ -54,16 +54,78 @@ final case class DataFile(path: String, rows: Long, bytes: Long,
 /** One immutable MANIFEST SEGMENT of a snapshot's file list (the
   * two-level manifest shape — Iceberg's manifest-list + manifest-file
   * split): `name` is a `seg-<uuid>.json` file in the table's shared
-  * `_graft_log/` pool holding an array of [[DataFile]] entries, and
-  * `paths` those entries' data-file paths in segment order. Segments
-  * are write-once; snapshots reference them BY NAME, so a commit that
-  * leaves a segment's files untouched re-lists the name instead of
-  * re-serializing the entries — the manifest write is O(changed
-  * files + segment count), never O(table files). At 1M files (100 TB
-  * at 128 MB/file) an inline manifest is a ~200 MB JSON rewritten by
-  * EVERY commit; with segments a steady-state append writes one
-  * ~100 KB segment plus a pointer file. */
-final case class Segment(name: String, paths: Seq[String])
+  * `_graft_log/` pool holding an array of [[DataFile]] entries.
+  * Segments are write-once; snapshots reference them BY NAME, so a
+  * commit that leaves a segment's files untouched re-lists the name
+  * instead of re-serializing the entries — the manifest write is
+  * O(changed files + segment count), never O(table files). At 1M
+  * files (100 TB at 128 MB/file) an inline manifest is a ~200 MB JSON
+  * rewritten by EVERY commit; with segments a steady-state append
+  * writes one ~100 KB segment plus a pointer file.
+  *
+  * `partVals` is the segment's PARTITION-VALUE SUMMARY, carried in the
+  * snapshot pointer itself (Iceberg's manifest-list partition
+  * summaries): for each partition/transform directory key that EVERY
+  * entry of the segment carries, the complete set of distinct values —
+  * recorded only while ≤[[LogTable.MaxSegSummaryVals]] values (an
+  * over-wide key simply isn't summarized; absence never prunes).
+  * Planning consults the summary BEFORE loading the segment, so a
+  * selective scan of a million-file table reads the handful of
+  * segments that can match instead of all ~2k ([[Snapshot.prunedFiles]]).
+  *
+  * `files` materializes lazily through the JVM-wide segment cache;
+  * equality is by (name, partVals) — names are UUIDs and segments are
+  * write-once, so a name identifies its contents forever. */
+final case class Segment(name: String,
+    partVals: Map[String, Seq[String]] = Map.empty)(
+    filesThunk: () => Seq[DataFile]) {
+  lazy val files: Seq[DataFile] = filesThunk()
+  def paths: Seq[String] = files.map(_.path)
+}
+
+/** Lazily materialized two-level file list of a segmented snapshot:
+  * consumers that genuinely need the COMPLETE list (commits, metadata
+  * counts, compaction planning) iterate it and pay the segment loads
+  * (parallel, cached); planning paths that hold pushed filters call
+  * [[Snapshot.prunedFiles]] instead and never load provably excluded
+  * segments. Element order matches the eager layout that preceded it:
+  * segment entries in listed order, then the inline remainder. */
+private[sources] final class SegmentedFiles(val inline: Seq[DataFile],
+    val segs: Seq[Segment]) extends scala.collection.immutable.Seq[DataFile] {
+  lazy val all: Seq[DataFile] = SegmentedFiles.loadAll(segs) ++ inline
+  override def iterator: Iterator[DataFile] = all.iterator
+  override def apply(i: Int): DataFile = all(i)
+  override def length: Int = all.length
+}
+
+private[sources] object SegmentedFiles {
+  /** Materialize `segs` in parallel: each is an independent small
+    * read through the JVM-wide cache, and a million-file snapshot
+    * resolves ~2k of them — sequential reads would be the planning
+    * critical path (cf. the parallel footer-stat pass). */
+  def loadAll(segs: Seq[Segment]): Seq[DataFile] =
+    if (segs.sizeIs <= 1) segs.flatMap(_.files)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.traverse(segs)(s => Future(s.files)), Duration.Inf).flatten
+    }
+}
+
+/** Pointer-resident READ METADATA a scan needs before it knows which
+  * files it will read — recorded by every commit so the planning
+  * surfaces that ask table-shaped questions (storage-partitioned-join
+  * layout reporting, runtime-filter attribute advertising) answer from
+  * the snapshot pointer alone instead of materializing the full
+  * segmented file list. `layoutComplete` = every live file carries
+  * every layout key (the SPJ report gate); `layoutParts` = distinct
+  * partition tuples across live files (the reported partition count);
+  * `statsCols` = union of columns with recorded file ranges (what
+  * runtime filtering gets leverage from). */
+final case class ReadMeta(layoutComplete: Boolean, layoutParts: Int,
+    statsCols: Seq[String])
 
 /** One EQUALITY-DELETE file of a snapshot (Iceberg v2's second delete
   * form): a parquet file of KEY TUPLES over `cols`, marking every row
@@ -189,9 +251,30 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
       * `files`, and `files` minus all segment paths is what the
       * manifest stores inline. Maintained by commit for structural
       * sharing; see [[Segment]]. */
-    segs: Seq[Segment] = Nil) {
+    segs: Seq[Segment] = Nil,
+    /** Pointer-resident planning metadata (see [[ReadMeta]]); None on
+      * legacy manifests → consumers fall back to the full file list. */
+    readMeta: Option[ReadMeta] = None) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
+
+  /** The files a scan with `filters` pushed must read — IDENTICAL to
+    * `GraftPrune.filesFor(files, transforms, filters)` by
+    * construction, but on a segmented snapshot it consults each
+    * segment's pointer-resident partition summary FIRST and never
+    * loads a segment every one of whose files is provably refuted
+    * (see [[GraftPrune.segMayMatch]] for the soundness argument). At
+    * 1M files a point lookup on the layout key plans from the
+    * handful of overlapping segments instead of ~2k pool reads. */
+  def prunedFiles(filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[DataFile] = files match {
+    case sf: SegmentedFiles if filters.nonEmpty =>
+      val live = sf.segs.filter(s =>
+        GraftPrune.segMayMatch(s.partVals, transforms, filters))
+      GraftPrune.filesFor(SegmentedFiles.loadAll(live) ++ sf.inline,
+        transforms, filters)
+    case fs => GraftPrune.filesFor(fs, transforms, filters)
+  }
   /** Rows visible to a reader of this snapshot: data-file rows minus
     * live position-delete entries — exact, because delete writers
     * scan delete-aware (never double-marking a position) and commits
@@ -969,25 +1052,26 @@ final class LogTable private (val spark: SparkSession, val root: String,
 
   private def parseManifest(json: String): Snapshot = {
     val n: JsonNode = mapper.readTree(json)
-    val segNames = Option(n.get("segments"))
-      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-    // parallel segment loads: each is an independent small read, and a
-    // million-file snapshot resolves ~2k of them — sequential reads
-    // would be the planning critical path (cf. the footer-stat pass)
-    val segFilesList: Seq[Seq[DataFile]] =
-      if (segNames.sizeIs <= 1) segNames.map(loadSegment)
-      else {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        Await.result(
-          Future.traverse(segNames)(nm => Future(loadSegment(nm))),
-          Duration.Inf)
-      }
-    val segs = segNames.zip(segFilesList).map { case (nm, fs) =>
-      Segment(nm, fs.map(_.path))
-    }
-    val files = segFilesList.flatten ++ parseFilesArray(n.get("files"))
+    // segment entries parse WITHOUT loading: names + partition
+    // summaries live in the pointer; file entries materialize lazily
+    // (and in parallel) only when a consumer iterates `files` or a
+    // planning path keeps the segment (Snapshot.prunedFiles). Legacy
+    // pointers list bare name strings — no summary, never pruned.
+    val segs = Option(n.get("segments"))
+      .map(_.elements().asScala.map { e =>
+        val (nm, pv) =
+          if (e.isObject)
+            (e.get("name").asText(),
+              Option(e.get("parts")).map(_.fields().asScala.map { f =>
+                f.getKey ->
+                  f.getValue.elements().asScala.map(_.asText()).toSeq
+              }.toMap).getOrElse(Map.empty[String, Seq[String]]))
+          else (e.asText(), Map.empty[String, Seq[String]])
+        Segment(nm, pv)(() => loadSegment(nm))
+      }.toSeq).getOrElse(Nil)
+    val inline = parseFilesArray(n.get("files"))
+    val files: Seq[DataFile] =
+      if (segs.isEmpty) inline else new SegmentedFiles(inline, segs)
     Snapshot(n.get("version").asLong(), n.get("parent").asLong(),
       n.get("operation").asText(), n.get("timestampMs").asLong(), files,
       Option(n.get("tag")).map(_.asText()).getOrElse(""),
@@ -1025,7 +1109,12 @@ final class LogTable private (val spark: SparkSession, val root: String,
       }.toSeq).getOrElse(Nil),
       Option(n.get("ndvs")).map(_.fields().asScala.map(e =>
         e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty),
-      segs)
+      segs,
+      Option(n.get("readMeta")).map(r => ReadMeta(
+        r.get("layoutComplete").asBoolean(),
+        r.get("layoutParts").asInt(),
+        Option(r.get("statsCols")).map(
+          _.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))))
   }
 
   /** Pack `files` into manifest segments, reusing every previous (or
@@ -1048,10 +1137,16 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val covered = scala.collection.mutable.HashSet.empty[String]
     val reused = Seq.newBuilder[Segment]
     candidates.distinctBy(_.name).foreach { s =>
-      if (s.paths.size >= minKeep && s.paths.forall(p => !covered.contains(p)) &&
-          loadSegment(s.name).forall(f => byPath.get(f.path).contains(f))) {
-        reused += s
-        covered ++= s.paths
+      val entries = s.files
+      if (entries.size >= minKeep &&
+          entries.forall(f => !covered.contains(f.path)) &&
+          entries.forall(f => byPath.get(f.path).contains(f))) {
+        // legacy (pre-summary) segments upgrade in place: the entries
+        // are already loaded for the reuse validation, so the pointer
+        // this commit writes carries their summary from here on
+        reused += (if (s.partVals.nonEmpty) s
+          else Segment(s.name, LogTable.segSummary(entries))(() => entries))
+        covered ++= entries.map(_.path)
       }
     }
     val pool = files.filterNot(f => covered.contains(f.path))
@@ -1067,7 +1162,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       // re-reads what this JVM just wrote
       LogTable.segCache.get(mainLogDir.resolve(name).toString, _ => chunk)
       created += name
-      Segment(name, chunk.map(_.path))
+      Segment(name, LogTable.segSummary(chunk))(() => chunk)
     }.toSeq
     (reused.result() ++ fresh, created.result())
   }
@@ -3091,6 +3186,29 @@ object LogTable {
     * (LSM-style) instead of accumulating one micro-segment per
     * commit; the rewrite cost is O(unfrozen tail), bounded by cap. */
   private[sources] val DefaultSegmentFiles = 512
+
+  /** Widest partition-value set a segment summary records per key
+    * (see [[Segment.partVals]]): beyond this the key is simply not
+    * summarized — absence never prunes, so the cap trades summary
+    * bytes in the pointer against pruning reach, never correctness. */
+  private[sources] val MaxSegSummaryVals = 64
+
+  /** The partition-value summary of a segment's entries: for each
+    * directory key EVERY entry carries, the complete distinct value
+    * set — only while it stays within [[MaxSegSummaryVals]]. A key
+    * some file lacks is omitted (its rows could hide anywhere), so
+    * every recorded key satisfies: every file's value ∈ the set —
+    * the invariant [[GraftPrune.segMayMatch]]'s refutation rests on. */
+  private[sources] def segSummary(
+      entries: Seq[DataFile]): Map[String, Seq[String]] = {
+    if (entries.isEmpty) return Map.empty
+    val keys = entries.head.partitions.keysIterator.filter(k =>
+      entries.forall(_.partitions.contains(k))).toSeq
+    keys.flatMap { k =>
+      val vs = entries.iterator.map(_.partitions(k)).toSeq.distinct
+      if (vs.size <= MaxSegSummaryVals) Some(k -> vs.sorted) else None
+    }.toMap
+  }
 
   /** JVM-wide bounded LRU for parsed segments, keyed by absolute
     * path: segments are immutable and UUID-named, so entries can
