@@ -178,11 +178,20 @@ private[sources] object SpjLayout {
     val all = identity.flatten ++ hidden
     // every live file must carry every layout value (spec evolution
     // leaves pre-evolution files without the new keys — those
-    // snapshots simply don't report)
+    // snapshots simply don't report). The commit-recorded ReadMeta
+    // answers both the completeness gate and the partition count from
+    // the snapshot pointer; legacy manifests fall back to the file
+    // list. Sound because commit computes layoutComplete over exactly
+    // partCols ++ transforms' directory keys — the same `names`.
     val names = all.map(_._1)
-    if (!snap.files.forall(f => names.forall(f.partitions.contains)))
-      return None
-    val n = snap.files.map(f => names.map(f.partitions(_))).distinct.size
+    val (complete, n) = snap.readMeta match {
+      case Some(rm) => (rm.layoutComplete, rm.layoutParts)
+      case None =>
+        val c = snap.files.forall(f => names.forall(f.partitions.contains))
+        (c, if (c) snap.files.map(f => names.map(f.partitions(_))).distinct.size
+            else 0)
+    }
+    if (!complete) return None
     Some(SpjLayout(all.map(t => (t._1, t._2)), all.map(_._3).toArray,
       math.max(n, 1)))
   }

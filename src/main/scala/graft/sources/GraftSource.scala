@@ -731,8 +731,9 @@ private[sources] final class GraftScan(root: String, schema: StructType,
       : org.apache.spark.sql.connector.read.Statistics = {
     val snap = GraftSourceUtil.snapshotFor(
       LogTable(SparkSession.active, root), options)
-    val kept = GraftPrune.filesFor(snap.files, snap.transforms,
-      (pushed ++ runtime).toSeq)
+    // prunedFiles: on a segmented snapshot, pointer-resident partition
+    // summaries refute whole segments before their entries ever load
+    val kept = snap.prunedFiles((pushed ++ runtime).toSeq)
     // position-delete marks subtract exactly per kept file (the same
     // arithmetic as Snapshot.liveRows): these numbers decide
     // broadcast-vs-sort-merge, so an overstated MoR table could push a
@@ -826,8 +827,13 @@ private[sources] final class GraftScan(root: String, schema: StructType,
         .column(GraftSourceUtil.FileColName))
     val snap = GraftSourceUtil.snapshotFor(
       LogTable(SparkSession.active, root), options)
-    val leveraged = (snap.partCols ++ snap.transforms.map(_.source) ++
-      snap.files.flatMap(f => f.ranges.keys ++ f.strRanges.keys)).distinct
+    // the union of range-stats columns answers from the pointer's
+    // ReadMeta when present — advertising runtime-filter leverage must
+    // not force a million-file segmented list to materialize
+    val statCols = snap.readMeta.map(_.statsCols).getOrElse(
+      snap.files.flatMap(f => f.ranges.keys ++ f.strRanges.keys))
+    val leveraged =
+      (snap.partCols ++ snap.transforms.map(_.source) ++ statCols).distinct
     leveraged
       .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
@@ -935,6 +941,71 @@ private[sources] object GraftPrune {
   def filesFor(files: Seq[DataFile], transforms: Seq[Transform],
       filters: Seq[Filter]): Seq[DataFile] =
     files.filter(f => filters.forall(mayMatch(f, transforms, _)))
+
+  /** Per-SEGMENT conservative refutation over a pointer-resident
+    * partition-value summary (see [[LogTable.segSummary]]). Soundness:
+    * a recorded key lists the COMPLETE distinct value set of a
+    * directory key EVERY file of the segment carries, so if EVERY
+    * value in the set refutes the predicate under [[mayMatch]]'s
+    * partition-value clause, every file of the segment is individually
+    * refuted — the segment is skipped WITHOUT loading its entries.
+    * One surviving value keeps the segment (its files then prune
+    * individually). Unrecorded keys, unrecognized filters, and
+    * non-summarized segments (legacy bare-name pointers) always keep —
+    * absence never prunes, the same degrade-to-scan contract as the
+    * per-file pruner. */
+  def segMayMatch(partVals: Map[String, Seq[String]], ts: Seq[Transform],
+      filters: Seq[Filter]): Boolean =
+    partVals.isEmpty || filters.forall(segFilterMayMatch(partVals, ts, _))
+
+  private def segFilterMayMatch(pv: Map[String, Seq[String]],
+      ts: Seq[Transform], flt: Filter): Boolean = flt match {
+    case And(l, r) => segFilterMayMatch(pv, ts, l) && segFilterMayMatch(pv, ts, r)
+    case Or(l, r) => segFilterMayMatch(pv, ts, l) || segFilterMayMatch(pv, ts, r)
+    case In(c, vs) => vs.exists(v => segFilterMayMatch(pv, ts, EqualTo(c, v)))
+    case EqualTo(c, v) => segCmpSurvives(pv, ts, c, v, 0)
+    case GreaterThan(c, v) => segCmpSurvives(pv, ts, c, v, 1)
+    case GreaterThanOrEqual(c, v) => segCmpSurvives(pv, ts, c, v, 2)
+    case LessThan(c, v) => segCmpSurvives(pv, ts, c, v, -1)
+    case LessThanOrEqual(c, v) => segCmpSurvives(pv, ts, c, v, -2)
+    case _ => true
+  }
+
+  /** One comparison against one summary — the set-lifted mirror of
+    * [[cmpSurvives]]'s partition-value and transform clauses (column
+    * ranges have no segment-level analogue: they stay per-file). The
+    * segment survives iff SOME recorded value could keep SOME file. */
+  private def segCmpSurvives(pv: Map[String, Seq[String]],
+      ts: Seq[Transform], col: String, v: Any, op: Int): Boolean = {
+    val lv = asLong(v)
+    // 1. direct directory key (hive partition column)
+    pv.find(_._1.equalsIgnoreCase(col)).forall { case (_, vals) =>
+      vals.exists { x =>
+        if (x == NullDir) false // a null value never survives a comparison
+        else (lv, v) match {
+          case (Some(n), _) => x.toLongOption.forall(p => opHolds(p, n, op))
+          case (None, s: String) => opHoldsStr(x, s, op)
+          case _ => true
+        }
+      }
+    } &&
+    // 2. hidden transforms over this source column whose derived
+    // directory key is summarized — the same derive() arithmetic and
+    // monotonicity rules as the per-file clause
+    lv.forall(n => ts.filter(_.source.equalsIgnoreCase(col)).forall { t =>
+      pv.get(t.colName) match {
+        case Some(vals) => vals.exists { x =>
+          if (x == NullDir) false
+          else x.toLongOption.forall { d =>
+            if (op == 0) d == t.derive(n)
+            else if (t.monotonic) opHolds(d, t.derive(n), if (op > 0) 2 else -2)
+            else true // bucket scrambles order: equality only
+          }
+        }
+        case None => true // key not summarized for this segment: keep
+      }
+    })
+  }
 
   private def asLong(v: Any): Option[Long] = v match {
     case x: Long => Some(x)
@@ -1209,7 +1280,7 @@ private[sources] final class GraftBatch(root: String, logical: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val kept0 = GraftPrune.filesFor(snap.files, snap.transforms, pushed.toSeq)
+    val kept0 = snap.prunedFiles(pushed.toSeq)
     // file-level TOP-N (`ORDER BY c [DESC] LIMIT n` — the reference's
     // recent-N headline shape): rank files by the best value they can
     // offer, accumulate each file's GUARANTEED comparable supply

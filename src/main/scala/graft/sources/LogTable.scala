@@ -443,7 +443,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val base = Snapshot(1L, 0L, "branch", System.currentTimeMillis(),
       fork.files, s"base-v${fork.version}", fork.schemaJson, fork.checks,
       fork.retired, fork.deletes, eqDeletes = fork.eqDeletes,
-      segs = fork.segs)
+      segs = fork.segs, readMeta = fork.readMeta)
     if (!io.publishAtomic(manifestPath(bdir, 1L), renderManifest(base)))
       throw new IllegalStateException(s"branch '$name' already exists")
     branch(name)
@@ -3005,10 +3005,24 @@ final class LogTable private (val spark: SparkSession, val root: String,
         } else (prev.partCols, prev.transforms)
       }
       val (segs, createdSegs) = packSegments(prev.segs ++ segHints, files)
+      // pointer-resident planning metadata: computed here, where the
+      // full file list is already in memory, so READ-side planning
+      // surfaces (SPJ layout report, runtime-filter attributes) answer
+      // from the pointer without materializing a segmented file list
+      val layoutKeys = pc ++ tf.map(_.colName)
+      val layoutComplete = layoutKeys.nonEmpty &&
+        files.forall(f => layoutKeys.forall(f.partitions.contains))
+      val meta = ReadMeta(layoutComplete,
+        if (layoutComplete)
+          files.map(f => layoutKeys.map(f.partitions(_))).distinct.size
+        else 0,
+        files.iterator.flatMap(f =>
+          f.ranges.keysIterator ++ f.strRanges.keysIterator)
+          .toSeq.distinct.sorted)
       val next = Snapshot(ver, prev.version, operation,
         System.currentTimeMillis(), files, tag, nextSchema(prev),
         nextChecks(prev), nextRetired(prev), dels, pc, tf, eqDels,
-        nextBlooms(prev), nextNdvs(prev), segs)
+        nextBlooms(prev), nextNdvs(prev), segs, Some(meta))
       // ATOMIC CREATE-OR-FAIL publish through the storage seam: the
       // full manifest is visible the instant the name exists, and a
       // version collision reports failure instead of overwriting the
@@ -3413,7 +3427,24 @@ object LogTable {
     // two-level manifest (see [[Segment]])
     if (s.segs.nonEmpty) {
       val sn = node.putArray("segments")
-      s.segs.foreach(seg => sn.add(seg.name))
+      s.segs.foreach { seg =>
+        if (seg.partVals.isEmpty) sn.add(seg.name) // unsummarized: bare name
+        else {
+          val e = sn.addObject()
+          e.put("name", seg.name)
+          val pn = e.putObject("parts")
+          seg.partVals.toSeq.sortBy(_._1).foreach { case (k, vs) =>
+            val a = pn.putArray(k); vs.foreach(a.add)
+          }
+        }
+      }
+    }
+    s.readMeta.foreach { rm =>
+      val r = node.putObject("readMeta")
+      r.put("layoutComplete", rm.layoutComplete)
+      r.put("layoutParts", rm.layoutParts)
+      val sc = r.putArray("statsCols")
+      rm.statsCols.foreach(sc.add)
     }
     val segPaths = s.segs.iterator.flatMap(_.paths).toSet
     val arr: ArrayNode = node.putArray("files")

@@ -34,7 +34,9 @@ class SegmentedManifestSpec extends SparkSpec {
     val p = root.resolve("_graft_log").resolve(f"v$version%05d.manifest.json")
     val n = mapper.readTree(Files.readString(p))
     val segs = Option(n.get("segments"))
-      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+      .map(_.elements().asScala.map(e =>
+        if (e.isObject) e.get("name").asText() else e.asText()).toSeq)
+      .getOrElse(Nil)
     (segs, n.get("files").size())
   }
 
