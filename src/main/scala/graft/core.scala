@@ -17,10 +17,16 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is nanosecond-precision parquet, which Spark's vectorized
-      // reader rejects; read it as a raw nanos Long (set here, not only in
-      // our mains, so the operators also work under a caller's session).
+      // Corpus generations differ in events.ts physical type: int64
+      // nanoseconds (older) vs timestamp[us] (newer). Nanos must land
+      // as a raw Long (Spark's vectorized reader rejects ns); µs
+      // timestamps must land as TimestampType with NTZ inference OFF,
+      // so the stored micros become the epoch-µs internal value
+      // verbatim, independent of session timezone. Set on the session,
+      // not only in our mains, so operators work under a caller's
+      // session too.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     }
     spark.read.parquet(s"$dir/$name.parquet")
   }
@@ -43,13 +49,21 @@ object Tables {
     if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
+  /** `ts` → exact µs-since-epoch Long, adaptive to the corpus's
+    * physical type (see `apply`): a nanos Long divides down; a µs
+    * timestamp reads back its stored micros via unix_micros. */
+  def tsToUs(dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+    case _ => unix_micros(col("ts"))
+  }
+
   /** `events` with `ts_us` = exact microseconds-since-epoch (Long).
     * All time arithmetic happens in this integer domain so Spark and the
-    * DuckDB oracle (which keeps ns precision) agree bit-for-bit. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
-      .drop("ts")
+    * DuckDB oracle (which computes epoch_us(ts)) agree bit-for-bit. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = apply(spark, dir, "events")
+    raw.withColumn("ts_us", tsToUs(raw.schema("ts").dataType)).drop("ts")
+  }
 
   /** Register every corpus table as a temp view so users can work in
     * plain `spark.sql(...)` — the SQL surface a Trino user of the

@@ -14,16 +14,20 @@ import java.nio.file.Files
 class StreamsSpec extends SparkSpec {
   import spark.implicits._
 
-  /** events parquet has ns timestamps → stream-read with an explicit
-    * schema (ts as long ns, like Tables does) and project to the
-    * shared shape. */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** FileStreamSource needs an explicit schema; take it from the real
+    * file (corpus generations differ: int64-ns Long vs timestamp[us]),
+    * with the same reader confs the batch loader sets, and project to
+    * the shared shape via the same adaptive ts_us conversion. */
+  private lazy val eventsSchema: StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.read.parquet(s"$sfDir/events.parquet").schema
+  }
+
+  private def tsUs = Tables.tsToUs(eventsSchema("ts").dataType)
 
   private def shape(df: DataFrame): DataFrame =
-    df.withColumn("ts_us", expr("ts div 1000"))
+    df.withColumn("ts_us", tsUs)
       .select(timestamp_micros(col("ts_us")).as("event_time"),
         col("event_type"), col("value"), col("user_id"), col("ts_us"))
 
@@ -194,7 +198,7 @@ class StreamsSpec extends SparkSpec {
       d.resolve("b.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dup = spark.readStream.schema(eventsSchema).parquet(d.toString)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", tsUs)
       .select(timestamp_micros(col("ts_us")).as("event_time"), col("event_id"))
     runToMemory(Streams.streamDedup(dup, Seq("event_id")), "sd", "append")
     val expected = Tables.events(spark, sfDir).count()
