@@ -359,6 +359,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       resolve(in.getUTF8String(0).toString)
         .expireOlderThan(in.getLong(1), keepLast = in.getLong(2).toInt); ()
     },
+    proc("expire_branch", "table" -> StringType, "branch" -> StringType,
+        "keep_last" -> LongType) { in =>
+      resolve(in.getUTF8String(0).toString)
+        .branch(in.getUTF8String(1).toString)
+        .expire(keepLast = in.getLong(2).toInt); ()
+    },
     proc("rollback", "table" -> StringType, "version" -> LongType) { in =>
       resolve(in.getUTF8String(0).toString).rollback(in.getLong(1)); ()
     },

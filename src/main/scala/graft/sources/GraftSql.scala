@@ -572,6 +572,12 @@ object GraftSql {
         val snap = proc.toLowerCase match {
           case "compact" => t.compact()
           case "expire" => t.expire(keepLast = args(1).toInt)
+          // branch-scoped retention: CALL expire_branch(t, '<branch>',
+          // <keep_last>) — a busy WAP branch accumulates a snapshot
+          // per audited batch; this drops its old intermediates while
+          // the fork-point base (and main's lineage) stay intact
+          case "expire_branch" =>
+            t.branch(args(1)).expire(keepLast = args(2).toInt)
           case "expire_older_than" =>
             t.expireOlderThan(args(1).toLong,
               keepLast = if (args.length > 2) args(2).toInt else 1)
@@ -631,9 +637,9 @@ object GraftSql {
             evolved.snapshot()
           case other => throw new IllegalArgumentException(
             s"unknown procedure '$other' (supported: compact, expire, " +
-              "expire_older_than, rollback, remove_orphans, delete_mor, " +
-              "merge_mor, delete_eq, upsert_eq, recluster, create_ref, " +
-              "create_branch, fast_forward, evolve_spec)")
+              "expire_branch, expire_older_than, rollback, remove_orphans, " +
+              "delete_mor, merge_mor, delete_eq, upsert_eq, recluster, " +
+              "create_ref, create_branch, fast_forward, evolve_spec)")
         }
         summarize(spark, args.head, snap)
       case _ => throw new IllegalArgumentException(

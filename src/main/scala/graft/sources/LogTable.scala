@@ -254,7 +254,13 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
     segs: Seq[Segment] = Nil,
     /** Pointer-resident planning metadata (see [[ReadMeta]]); None on
       * legacy manifests → consumers fall back to the full file list. */
-    readMeta: Option[ReadMeta] = None) {
+    readMeta: Option[ReadMeta] = None,
+    /** AUDIT PROPERTIES (Iceberg's snapshot summary): who wrote the
+      * commit (`app-id`) and what it did in numbers (added/removed
+      * file and row counts, totals) — the first thing an operator
+      * greps after a bad commit. Free-form string map: writers may add
+      * keys, and parse/render round-trip keys they don't know. */
+    summary: Map[String, String] = Map.empty) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
 
@@ -440,9 +446,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // fork.segs carried: the branch's base manifest re-lists main's
     // segment names from the shared pool — branch creation stays O(1)
     // metadata even on a million-file table
+    // partCols/transforms ride along with readMeta: the pointer's
+    // layoutComplete/layoutParts describe fork's layout, so the branch
+    // base must declare that same spec or the metadata would describe
+    // a spec the snapshot doesn't have (SpjLayout.of only stays safe
+    // today because it bails on an empty spec — don't rely on it)
     val base = Snapshot(1L, 0L, "branch", System.currentTimeMillis(),
       fork.files, s"base-v${fork.version}", fork.schemaJson, fork.checks,
-      fork.retired, fork.deletes, eqDeletes = fork.eqDeletes,
+      fork.retired, fork.deletes, partCols = fork.partCols,
+      transforms = fork.transforms, eqDeletes = fork.eqDeletes,
       segs = fork.segs, readMeta = fork.readMeta)
     if (!io.publishAtomic(manifestPath(bdir, 1L), renderManifest(base)))
       throw new IllegalStateException(s"branch '$name' already exists")
@@ -946,10 +958,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def history(): DataFrame = {
     val rows = versions.map(snapshot).map(s =>
       (s.version, s.parent, s.operation, s.timestampMs,
-        s.files.size.toLong, s.totalRows, s.totalBytes))
+        s.files.size.toLong, s.totalRows, s.totalBytes, s.summary))
     import spark.implicits._
     rows.toDF("version", "parent", "operation", "timestamp_ms",
-      "n_files", "total_rows", "total_bytes")
+      "n_files", "total_rows", "total_bytes", "summary")
   }
 
   /** Per-file metadata table for a snapshot (Iceberg's `files`
@@ -1114,7 +1126,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
         r.get("layoutComplete").asBoolean(),
         r.get("layoutParts").asInt(),
         Option(r.get("statsCols")).map(
-          _.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))))
+          _.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))),
+      // free-form audit map: EVERY key round-trips, known or not
+      Option(n.get("summary")).map(_.fields().asScala.map(e =>
+        e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
   }
 
   /** Pack `files` into manifest segments, reusing every previous (or
@@ -1294,6 +1309,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * metadata-only evolution. */
   def widenColumn(name: String,
       to: org.apache.spark.sql.types.DataType): Snapshot = {
+    requireTopLevel(name, "retype")
     require(!partitionBy.exists(_.equalsIgnoreCase(name)) &&
         !hiddenBy.exists(_.source.equalsIgnoreCase(name)),
       s"cannot retype partition/transform-source column '$name' " +
@@ -1349,6 +1365,23 @@ final class LogTable private (val spark: SparkSession, val root: String,
     require(partitionBy.distinct == partitionBy &&
         hiddenBy.map(_.colName).distinct == hiddenBy.map(_.colName),
       "duplicate partition column / transform in the new spec")
+    // Exact-or-refuse re-parameterization guard: the directory key name
+    // omits `n` (`_p_<src>_<kind>`), so a live file laid out under
+    // bucket(8, c) is indistinguishable in metadata from bucket(16, c) —
+    // and both pruners would compare its stored mod-8 value against
+    // mod-16 arithmetic, wrongly REFUTING files that do contain the
+    // probed key (silently dropped rows). A transform whose key already
+    // exists on a live file is allowed only when IDENTICAL (source,
+    // kind, and n) to the recorded one; otherwise refuse loudly —
+    // rewrite the old layout away first (evolve the axis out, then
+    // compact(smallBytes = Long.MaxValue) force-migrates every file).
+    hiddenBy.filterNot(snap.transforms.contains).foreach { t =>
+      require(!snap.files.exists(_.partitions.contains(t.colName)),
+        s"cannot evolve to ${t.kind}(${t.source}, n=${t.n}): live files " +
+          s"carry directory key '${t.colName}' derived under a different " +
+          "parameter, which would mis-prune; rewrite them first (evolve " +
+          "the axis out, compact(smallBytes = Long.MaxValue)), then re-evolve")
+    }
     commit("evolve-spec",
       nextSpec = Some((partitionBy, hiddenBy)))(prev => prev.files)
     new LogTable(spark, root, partitionBy, logSubdir, hiddenBy, io)
@@ -1477,7 +1510,19 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * column with it would read this field's values out of pre-rename
     * files, so mergeStructs blocks it. Partition columns cannot be
     * renamed (their name IS the directory layout). */
+  /** Schema evolution operates on TOP-LEVEL columns only: a nested
+    * (struct-field) ALTER would need field-id plumbing through every
+    * struct level of the rename-aware scan, and a half-supported
+    * version silently corrupts reads — refuse loudly instead
+    * (restructure structs via an explicit rewrite). */
+  private def requireTopLevel(name: String, op: String): Unit =
+    require(!name.contains("."),
+      s"cannot $op nested field '$name': schema evolution supports " +
+        "top-level columns only; restructure the struct via a rewrite " +
+        "(read, transform, overwrite)")
+
   def renameColumn(oldName: String, newName: String): Snapshot = {
+    requireTopLevel(oldName, "rename")
     require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid column name '$newName'")
     require(!partitionBy.exists(_.equalsIgnoreCase(oldName)),
       s"cannot rename partition column '$oldName' (its name is the data layout)")
@@ -1513,6 +1558,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * silently resurrect the orphaned values still sitting in old
     * files. */
   def dropColumn(name: String): Snapshot = {
+    requireTopLevel(name, "drop")
     require(!partitionBy.exists(_.equalsIgnoreCase(name)),
       s"cannot drop partition column '$name'")
     def fieldOf(prev: Snapshot): org.apache.spark.sql.types.StructField = {
@@ -1805,17 +1851,72 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val rewriteBins = bins.toSeq.filter(b =>
       b.size >= 2 || b.exists(f => refd.contains(f.path)))
     if (rewriteBins.isEmpty) return snap
-    val small2 = rewriteBins.flatten
-    val rewritten = rewriteBins.flatMap { bin =>
-      writeDataFiles(readLive(snap, bin.toSeq).coalesce(1),
-        blooms = Some(snap.bloomCols))
+    val small2: Seq[DataFile] = rewriteBins.flatten
+    // ONE job for MANY bins: a per-bin write loop is O(bins)
+    // SEQUENTIAL Spark jobs — on a 100 TB table a small-file sweep
+    // serializes thousands of single-task rounds through the driver.
+    // Instead: one delete-aware scan of all source files, each row
+    // routed to its bin through a broadcast (path → bin) map (the
+    // same scan-URI normalization applyEqDeletes joins through), then
+    // pre-arranged so ONE task holds one (layout tuple, bin) and
+    // writes exactly one file — the per-bin `coalesce(1)` shape, in
+    // parallel. Hash collisions between pairs only merge two bins of
+    // the same tuple into one file (≤ 2× target, still a compaction).
+    // The route costs a full row SHUFFLE that the per-bin
+    // `coalesce(1)` shape avoids, so tiny sweeps (the steady-state
+    // post-ingest fold, 1-2 bins) keep the cheap serial shape — the
+    // shuffle buys driver-round-trip parallelism only when there are
+    // enough bins for rounds to dominate.
+    val rewritten =
+      if (rewriteBins.size <= 2)
+        rewriteBins.flatMap { bin =>
+          writeDataFiles(readLive(snap, bin.toSeq).coalesce(1),
+            blooms = Some(snap.bloomCols))
+        }
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+        import spark.implicits._
+        val binMap = broadcast(rewriteBins.zipWithIndex.flatMap { case (b, i) =>
+          b.map(f => (f.path, i))
+        }.toDF("_graft_path", "_graft_bin"))
+        val routed = readLivePos(snap, small2).drop(LogTable.PosCol)
+          .withColumn("_graft_path", regexp_replace(col(LogTable.FileCol),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+          .join(binMap, Seq("_graft_path"))
+          .drop("_graft_path", LogTable.FileCol)
+        val arrangeKeys = partitionBy.map(col) ++
+          hiddenBy.filter(t =>
+            routed.columns.exists(_.equalsIgnoreCase(t.source)))
+            .map(_.column) ++ Seq(col("_graft_bin"))
+        val slots = math.max(rewriteBins.size,
+          spark.sparkContext.defaultParallelism)
+        val arranged = routed.repartition(slots, arrangeKeys: _*)
+          .drop("_graft_bin")
+        writeDataFiles(arranged, blooms = Some(snap.bloomCols))
+      }
+    // Row-conservation tripwire from manifest arithmetic (exact when
+    // no equality deletes are outstanding): any routing slip — a
+    // path the normalization failed to match — would silently drop
+    // rows; abort the commit instead. Equality-delete folds remove
+    // an unknown number of rows, so the check stands down there.
+    if (snap.eqDeletes.isEmpty) {
+      val replaced = small2.map(_.path).toSet
+      val expected = small2.map(_.rows).sum - snap.deletes.flatMap(_.counts)
+        .collect { case (p, n) if replaced.contains(p) => n }.sum
+      val got = rewritten.map(_.rows).sum
+      if (got != expected) {
+        rewritten.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+        throw new IllegalStateException(
+          s"compaction row-count mismatch: rewrote $got rows, manifest " +
+            s"arithmetic expects $expected — aborting before commit")
+      }
     }
     commitOrCleanup(rewritten, "compact") { prev =>
       // Appends that landed since we read `snap` are kept untouched.
       // But if one of OUR source files is no longer in the current
       // snapshot (a concurrent delete/compact rewrote it), our
-      // rewritten copy would resurrect its stale contents — abort and
-      // re-plan from fresh state instead.
+      // rewritten copy would resurrect its stale contents — abort
+      // and re-plan from fresh state instead.
       val replaced = small2.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
@@ -2696,8 +2797,18 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * referenced ONLY by the dropped ones. */
   def expire(keepLast: Int = 1): Snapshot = {
     require(keepLast >= 1, "keepLast must be >= 1")
-    expireManifests { all => all.dropRight(keepLast) }
+    expireManifests { all => protectBranchBase(all.dropRight(keepLast)) }
   }
+
+  /** A branch's v1 base manifest is its FORK-POINT RECORD (`base-vN`
+    * tag): [[branch]] opens through it and [[fastForward]]'s guard
+    * reads it — so branch-scoped retention (`t.branch(n).expire(...)`,
+    * the busy-WAP-branch shape) may drop any intermediate snapshot but
+    * never the base. Main lineages are unaffected (expiry stays a
+    * contiguous oldest prefix there). */
+  private def protectBranchBase(
+      drop: Seq[(Long, Path)]): Seq[(Long, Path)] =
+    if (isBranchHandle) drop.filterNot(_._1 == 1L) else drop
 
   /** Age-based snapshot expiry — Iceberg's
     * `expire_snapshots(older_than => ts, retain_last => n)`: drop
@@ -2715,8 +2826,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       // otherwise age out a MID-history manifest while retaining older
       // ones — leaving a hole that breaks history()/timeTravel across
       // the gap. Expiry always removes a contiguous oldest prefix.
-      all.dropRight(keepLast)
-        .takeWhile { case (v, _) => snapshot(v).timestampMs < olderThanMs }
+      protectBranchBase(all.dropRight(keepLast)
+        .takeWhile { case (v, _) => snapshot(v).timestampMs < olderThanMs })
     }
   }
 
@@ -2925,7 +3036,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
     // best-effort cleanup of the staging dir (_SUCCESS, .crc files)
     LogTable.deleteRecursively(stage)
-    moved
+    // FileFormatWriter always opens task 0's writer so an all-empty
+    // result still records a schema — that leaves a zero-row file
+    // when task 0 holds no rows (e.g. a repartition that hashed every
+    // row elsewhere). The manifest never needs it: drop it from disk
+    // and from the returned list.
+    val (live, empty) = moved.partition(_.rows > 0L)
+    empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+    live
   }
 
   /** Optimistic-concurrency commit: build the next snapshot's file list
@@ -3010,19 +3128,40 @@ final class LogTable private (val spark: SparkSession, val root: String,
       // surfaces (SPJ layout report, runtime-filter attributes) answer
       // from the pointer without materializing a segmented file list
       val layoutKeys = pc ++ tf.map(_.colName)
-      val layoutComplete = layoutKeys.nonEmpty &&
-        files.forall(f => layoutKeys.forall(f.partitions.contains))
-      val meta = ReadMeta(layoutComplete,
-        if (layoutComplete)
-          files.map(f => layoutKeys.map(f.partitions(_))).distinct.size
-        else 0,
-        files.iterator.flatMap(f =>
-          f.ranges.keysIterator ++ f.strRanges.keysIterator)
-          .toSeq.distinct.sorted)
+      val meta =
+        if (segs.isEmpty) LogTable.readMetaOf(layoutKeys, files)
+        else {
+          // segmented: packSegments covers EVERY file with a segment,
+          // so the fold is per-SEGMENT through a JVM-wide memo keyed
+          // by (immutable segment name, layout keys) — a steady-state
+          // append rescans only repacked segments and the fresh tail,
+          // keeping this pointer metadata O(changed + segments) per
+          // commit instead of an O(table-files) sweep
+          val parts = segs.map(s => LogTable.segReadMeta(s, layoutKeys))
+          val complete = layoutKeys.nonEmpty && parts.forall(_.complete)
+          ReadMeta(complete,
+            if (complete) parts.iterator.flatMap(_.tuples).toSet.size else 0,
+            parts.iterator.flatMap(_.statsCols).toSeq.distinct.sorted)
+        }
+      // audit summary (Iceberg snapshot-summary parity): writer
+      // identity + what the commit changed, in counts. Path-set
+      // arithmetic only — the same O(files) hash work the seq-stamp
+      // sweep above already pays.
+      val prevPathSet = prev.files.map(_.path).toSet
+      val addedF = files.filterNot(f => prevPathSet.contains(f.path))
+      val removedF = prev.files.filterNot(f => livePaths.contains(f.path))
+      val summary = Map(
+        "app-id" -> spark.sparkContext.applicationId,
+        "added-data-files" -> addedF.size.toString,
+        "added-rows" -> addedF.map(_.rows).sum.toString,
+        "removed-data-files" -> removedF.size.toString,
+        "removed-rows" -> removedF.map(_.rows).sum.toString,
+        "total-data-files" -> files.size.toString,
+        "total-rows" -> files.map(_.rows).sum.toString)
       val next = Snapshot(ver, prev.version, operation,
         System.currentTimeMillis(), files, tag, nextSchema(prev),
         nextChecks(prev), nextRetired(prev), dels, pc, tf, eqDels,
-        nextBlooms(prev), nextNdvs(prev), segs, Some(meta))
+        nextBlooms(prev), nextNdvs(prev), segs, Some(meta), summary)
       // ATOMIC CREATE-OR-FAIL publish through the storage seam: the
       // full manifest is visible the instant the name exists, and a
       // version collision reports failure instead of overwriting the
@@ -3224,17 +3363,88 @@ object LogTable {
     }.toMap
   }
 
-  /** JVM-wide bounded LRU for parsed segments, keyed by absolute
-    * path: segments are immutable and UUID-named, so entries can
-    * never go stale; the bound caps memory at ~cap·entries·~200 B. */
-  private[sources] object segCache {
-    private val MaxEntries = 256
-    private val m = new java.util.LinkedHashMap[String, Seq[DataFile]](
-        64, 0.75f, true) {
+  /** One full-list ReadMeta fold (inline manifests, or the fallback
+    * when nothing is segmented): completeness of the layout keys over
+    * every file, the distinct layout-tuple count, and the union of
+    * columns with recorded stats. */
+  private[sources] def readMetaOf(layoutKeys: Seq[String],
+      files: Seq[DataFile]): ReadMeta = {
+    val complete = layoutKeys.nonEmpty &&
+      files.forall(f => layoutKeys.forall(f.partitions.contains))
+    ReadMeta(complete,
+      if (complete) files.map(f => layoutKeys.map(f.partitions(_))).distinct.size
+      else 0,
+      files.iterator.flatMap(f =>
+        f.ranges.keysIterator ++ f.strRanges.keysIterator)
+        .toSeq.distinct.sorted)
+  }
+
+  /** A segment's ReadMeta contribution: layout-key completeness, the
+    * distinct layout tuples (for the cross-segment distinct count),
+    * and the stats-column union. */
+  private[sources] final case class SegReadMeta(complete: Boolean,
+      tuples: Set[Seq[String]], statsCols: Seq[String])
+
+  /** Memoized per-segment fold — segments are write-once and
+    * UUID-named, so an entry keyed by (name, layout keys) can never go
+    * stale; the layout keys join the key because spec evolution
+    * changes what "complete" means. */
+  private[sources] def segReadMeta(s: Segment,
+      keys: Seq[String]): SegReadMeta =
+    segMetaCache.get((s.name, keys), () => {
+      val entries = s.files
+      val complete = keys.nonEmpty &&
+        entries.forall(f => keys.forall(f.partitions.contains))
+      SegReadMeta(complete,
+        if (complete)
+          entries.iterator.map(f => keys.map(f.partitions(_))).toSet
+        else Set.empty,
+        entries.iterator.flatMap(f =>
+          f.ranges.keysIterator ++ f.strRanges.keysIterator)
+          .toSeq.distinct.sorted)
+    })
+
+  private[sources] object segMetaCache {
+    private val MaxEntries = 4096
+    private val m = new java.util.LinkedHashMap[(String, Seq[String]),
+        SegReadMeta](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Seq[DataFile]]): Boolean =
+          e: java.util.Map.Entry[(String, Seq[String]), SegReadMeta]): Boolean =
         size() > MaxEntries
     }
+    def get(key: (String, Seq[String]),
+        load: () => SegReadMeta): SegReadMeta = {
+      val hit = m.synchronized(m.get(key))
+      if (hit != null) hit
+      else {
+        val v = load()
+        m.synchronized(m.put(key, v))
+        v
+      }
+    }
+  }
+
+  /** JVM-wide LRU for parsed segments, keyed by absolute path:
+    * segments are immutable and UUID-named, so entries can never go
+    * stale. Bounded by ESTIMATED BYTES, not entry count — a 1M-file
+    * table resolves ~2k segments per planning pass, so a fixed
+    * name-count bound either thrashes (too small) or is unbounded in
+    * bytes (segments vary 1–1000s of entries). 64 MB holds ~200k
+    * parsed entries — an entire 100 TB table's metadata working
+    * set — while still bounding a many-table JVM. */
+  private[sources] object segCache {
+    private[sources] val MaxBytes = 64L << 20
+    /** Estimated retained bytes of one parsed entry: object headers +
+      * path chars + ~64 B per stats-map entry (boxed longs, tuple,
+      * hash table slot). An estimate only — guards the JVM, never
+      * correctness. */
+    private def costOf(v: Seq[DataFile]): Long =
+      64L + v.iterator.map(f => 128L + 2L * f.path.length +
+        64L * (f.partitions.size + f.ranges.size + f.strRanges.size +
+          f.nulls.size + f.valueSets.valuesIterator.map(_.size).sum)).sum
+    private var bytes = 0L
+    private val m = new java.util.LinkedHashMap[String, Seq[DataFile]](
+      64, 0.75f, true)
     def get(key: String, load: String => Seq[DataFile]): Seq[DataFile] = {
       val hit = m.synchronized(m.get(key))
       if (hit != null) hit
@@ -3243,12 +3453,30 @@ object LogTable {
         // segments actually parallelizes; a racing duplicate load of
         // the same immutable segment is benign (last put wins)
         val v = load(key)
-        m.synchronized(m.put(key, v))
+        val cost = costOf(v)
+        m.synchronized {
+          val prev = m.put(key, v)
+          if (prev != null) bytes -= costOf(prev)
+          bytes += cost
+          // evict eldest-by-access until under budget; never the entry
+          // just inserted (it is being returned — keeping it cached
+          // costs nothing extra and preserves the hot-path invariant)
+          val it = m.entrySet().iterator()
+          while (bytes > MaxBytes && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != key) { bytes -= costOf(e.getValue); it.remove() }
+          }
+        }
         v
       }
     }
+    private[sources] def estimatedBytes: Long = m.synchronized(bytes)
     private[sources] def evict(key: String): Unit =
-      m.synchronized { m.remove(key); () }
+      m.synchronized {
+        val prev = m.remove(key)
+        if (prev != null) bytes -= costOf(prev)
+        ()
+      }
   }
   /** Schema of a position-delete parquet file: the row's source data
     * file (as the scan's `_metadata.file_path` renders it) and its
@@ -3445,6 +3673,10 @@ object LogTable {
       r.put("layoutParts", rm.layoutParts)
       val sc = r.putArray("statsCols")
       rm.statsCols.foreach(sc.add)
+    }
+    if (s.summary.nonEmpty) {
+      val sn = node.putObject("summary")
+      s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sn.put(k, v) }
     }
     val segPaths = s.segs.iterator.flatMap(_.paths).toSet
     val arr: ArrayNode = node.putArray("files")

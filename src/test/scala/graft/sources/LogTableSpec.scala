@@ -100,6 +100,40 @@ class LogTableSpec extends SparkSpec {
     assert(t.timeTravel(preVersion).count() === 40L)
   }
 
+  test("multi-bin compaction is ONE write job, not a job per bin, and loses nothing") {
+    val t = freshTable()
+    (0 until 8).foreach(i => t.append(df(i * 10 until (i + 1) * 10).coalesce(1)))
+    val sizes = t.snapshot().files.map(_.bytes)
+    assert(sizes.size === 8)
+    val target = sizes.max * 5 / 2 // a bin fits two files, never three
+    val before = t.read().collect().map(_.toSeq).toSet
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val post = try {
+      val p = t.compact(smallBytes = Long.MaxValue, targetBytes = target)
+      Thread.sleep(2000) // listener bus drains asynchronously
+      p
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // 4 two-file bins planned; hash collisions may merge some pairs
+    // into one task's file, but the sweep must neither no-op nor
+    // degenerate to one giant file
+    assert(post.files.size >= 2 && post.files.size <= 4,
+      s"expected 2-4 compacted files, got ${post.files.size}")
+    assert(t.read().collect().map(_.toSeq).toSet === before)
+    assert(post.totalRows === 80L)
+    // the old shape was one (or more, under AQE) jobs PER BIN; the
+    // single-pass rewrite plus AQE's bounded planning overhead must
+    // stay under one job per bin
+    assert(jobs.get() <= 3,
+      s"compaction ran ${jobs.get()} jobs for a 4-bin sweep")
+  }
+
   test("stats come from manifest metadata and match the data") {
     val t = freshTable()
     t.append(df(0 until 100))
@@ -1016,5 +1050,87 @@ class LogTableSpec extends SparkSpec {
       LogTable(spark, root, partitionBy = Seq("id"))
     }
     assert(e.getMessage.contains("partition spec"))
+  }
+
+  test("branch-scoped retention: a busy branch expires its intermediates, keeps base + head") {
+    val t = freshTable()
+    t.append(df(0 until 10))
+    val b = t.createBranch("wap")
+    // a WAP loop lands a snapshot per audited batch
+    (0 until 4).foreach(i => b.append(df(100 + i * 10 until 100 + (i + 1) * 10)))
+    assert(b.versions === (1L to 5L))
+    val midFiles = b.snapshot(3L).files.map(_.path)
+
+    b.expire(keepLast = 1)
+    // the fork-point base (v1) is the branch's identity — never expired
+    assert(b.versions === Seq(1L, 5L))
+    assert(b.snapshot(1L).tag === "base-v1")
+    assert(b.read().count() === 50L) // head unaffected
+    // files still referenced by the head (or by main) survive;
+    // branch-only intermediates that the head still lists survive too
+    assert(b.snapshot().files.map(_.path).forall(p => Files.exists(Paths.get(p))))
+    assert(midFiles.forall(p => Files.exists(Paths.get(p))))
+    assert(t.read().count() === 10L) // main untouched
+    // the fork-point record still drives fastForward after expiry
+    t.fastForward("wap")
+    assert(t.read().count() === 50L)
+    // the SQL surface exposes the same maintenance knob
+    val root2 = Files.createTempDirectory("expire_branch_sql_").toString
+    val t2 = LogTable(spark, root2)
+    t2.append(df(0 until 5))
+    GraftSql.register("tb_exp", t2)
+    t2.createBranch("audit")
+    (0 until 3).foreach(i => t2.branch("audit").append(df(i * 5 until (i + 1) * 5)))
+    GraftSql.exec(spark, "CALL expire_branch(tb_exp, 'audit', 1)")
+    assert(t2.branch("audit").versions === Seq(1L, 4L))
+  }
+
+  test("snapshot summary: audit properties round-trip and surface in history()") {
+    val t = freshTable()
+    t.append(df(0 until 10))
+    t.append(df(10 until 30))
+    import org.apache.spark.sql.functions.col
+    t.delete(col("id") < 5L)
+    // a FRESH handle parses the summaries from disk — full round-trip
+    val re = LogTable(spark, t.root)
+    val s2 = re.snapshot(2L)
+    assert(s2.summary("added-data-files").toLong >= 1L)
+    assert(s2.summary("added-rows") === "20")
+    assert(s2.summary("removed-data-files") === "0")
+    assert(s2.summary("total-rows") === "30")
+    assert(s2.summary("app-id").nonEmpty)
+    val s3 = re.snapshot(3L)
+    assert(s3.summary("removed-rows").toLong >= 5L) // rewritten files out
+    assert(s3.summary("added-rows").toLong === s3.summary("removed-rows").toLong - 5L)
+    // history() exposes the map as a queryable column
+    val h = re.history().where(col("version") === 3L)
+      .selectExpr("summary['removed-rows']").as[String].head()
+    assert(h.toLong >= 5L)
+    // unknown keys survive render/parse: hand-craft a manifest edit
+    val mf = Paths.get(t.root, "_graft_log", f"v${3L}%05d.manifest.json")
+    val edited = Files.readString(mf).replaceFirst(
+      "\"summary\"\\s*:\\s*\\{", "\"summary\": {\"x-custom-key\": \"kept\",")
+    Files.writeString(mf, edited)
+    val re2 = LogTable(spark, t.root)
+    assert(re2.snapshot(3L).summary("x-custom-key") === "kept")
+  }
+
+  test("nested (struct-field) ALTERs are refused loudly, never half-applied") {
+    val t = LogTable(spark, Files.createTempDirectory("nested_alter_").toString)
+    t.append(Seq((1L, ("a", 2L))).toDF("id", "s"))
+    val before = t.snapshot().schemaJson
+    Seq(
+      intercept[IllegalArgumentException](t.renameColumn("s.inner", "x")),
+      intercept[IllegalArgumentException](t.dropColumn("s.inner")),
+      intercept[IllegalArgumentException](t.widenColumn("s.inner",
+        org.apache.spark.sql.types.LongType)),
+    ).foreach(e => assert(e.getMessage.contains("top-level")))
+    // addColumn's identifier validation refuses the dotted path too
+    intercept[IllegalArgumentException](t.addColumn("s.inner",
+      org.apache.spark.sql.types.LongType))
+    assert(t.snapshot().schemaJson === before, "no partial schema commit")
+    // whole-struct operations at the top level still work
+    t.renameColumn("s", "payload")
+    assert(t.read().columns.toSeq === Seq("id", "payload"))
   }
 }

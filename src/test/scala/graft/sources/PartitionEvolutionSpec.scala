@@ -138,4 +138,50 @@ class PartitionEvolutionSpec extends SparkSpec {
       t.evolveSpec(hiddenBy = Seq(Transform.day("kind"))) // string source
     }
   }
+
+  test("re-parameterizing a live transform is refused: bucket(8) → bucket(16) would mis-prune") {
+    val root = tmp("pevo-rebucket")
+    val t = LogTable(spark, root, hiddenBy = Seq(Transform.bucket(8, "v")))
+    t.append(rows(0, Seq("a", "b", "c", "d")))
+    // the directory key `_p_v_bucket` does not record n; files derived
+    // mod 8 would be pruned with mod-16 arithmetic → loud refusal
+    val e = intercept[IllegalArgumentException] {
+      t.evolveSpec(hiddenBy = Seq(Transform.bucket(16, "v")))
+    }
+    assert(e.getMessage.contains("_p_v_bucket"))
+    // same (source, kind) with a different truncate width: also refused
+    val t2 = LogTable(spark, tmp("pevo-retrunc"),
+      hiddenBy = Seq(Transform.truncate(10L, "v")))
+    t2.append(rows(0, Seq("a", "b")))
+    intercept[IllegalArgumentException] {
+      t2.evolveSpec(hiddenBy = Seq(Transform.truncate(100L, "v")))
+    }
+    // the IDENTICAL transform is not a re-parameterization: adding an
+    // axis while keeping bucket(8) verbatim is allowed
+    val kept = t.evolveSpec(partitionBy = Seq("kind"),
+      hiddenBy = Seq(Transform.bucket(8, "v")))
+    assert(kept.hiddenBy === Seq(Transform.bucket(8, "v")))
+    assert(kept.read().count() === 4L)
+  }
+
+  test("rebucketing after a force-migrate rewrite is allowed and prunes correctly") {
+    val root = tmp("pevo-migrate")
+    val t = LogTable(spark, root, hiddenBy = Seq(Transform.bucket(8, "v")))
+    t.append(rows(0, Seq("a", "b", "c", "d")))
+    // step 1: evolve the axis OUT (metadata-only; old keys remain on files)
+    val t1 = t.evolveSpec()
+    intercept[IllegalArgumentException] { // keys still live → still refused
+      t1.evolveSpec(hiddenBy = Seq(Transform.bucket(16, "v")))
+    }
+    // step 2: force-migrate rewrites every file under the (empty) spec
+    t1.compact(smallBytes = Long.MaxValue)
+    assert(t1.snapshot().files.forall(!_.partitions.contains("_p_v_bucket")))
+    // step 3: re-evolve to the new bucket count — now sound
+    val t2 = t1.evolveSpec(hiddenBy = Seq(Transform.bucket(16, "v")))
+    t2.append(rows(1, Seq("e", "f")))
+    assert(t2.read().count() === 6L)
+    // point lookup over the mixed layout stays exact: pre-migration
+    // rows (now unkeyed) scan, post-evolution rows prune mod 16
+    assert(t2.read().where(col("v") === 0L).count() === 2L)
+  }
 }

@@ -122,9 +122,12 @@ class SegmentedManifestSpec extends SparkSpec {
       // a branch append writes ITS segments into the shared pool and
       // fast-forward re-lists them on main without re-serializing —
       // a 2-file batch, so the new segment is at minKeep and freezes
-      // (a single-file tail would rightly dissolve at publish)
-      b.append((9 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
-        .repartition(2))
+      // (a single-file tail would rightly dissolve at publish).
+      // parallelize(…, 2) pins one row per task — repartition(2)'s
+      // round-robin can land both rows in one task, and the writer
+      // drops empty outputs, which would leave a dissolving 1-file tail
+      b.append(spark.sparkContext
+        .parallelize((9 to 10).map(i => (i.toLong, s"v$i")), 2).toDF("id", "v"))
       val branchHead = segFiles(root) -- poolBefore
       t.fastForward("wap")
       assert(t.read().count() === 10L)
@@ -223,6 +226,247 @@ class SegmentedManifestSpec extends SparkSpec {
       val (now, _) = manifestShape(root, t.currentVersion)
       assert(now.toSet === target.toSet, "rollback re-lists, never re-packs")
       assert(t.read().count() === 8L)
+    }
+  }
+
+  // ------------------------------------------------ segment-summary pruning
+
+  import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan,
+    GreaterThanOrEqual, In, LessThan, Not, Or, StringStartsWith}
+
+  private val NullDir = "__HIVE_DEFAULT_PARTITION__"
+
+  /** GraftFileIO wrapper that records every control-plane read — the
+    * instrument for "a selective scan loads ONLY matching segments". */
+  private class CountingIO extends GraftFileIO {
+    val reads = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def segReads: Seq[String] =
+      reads.iterator().asScala.toSeq.filter(_.startsWith("seg-"))
+    private val d = GraftFileIO.Local
+    override def readString(p: Path): String = {
+      reads.add(p.getFileName.toString); d.readString(p)
+    }
+    override def publishAtomic(p: Path, c: String): Boolean = d.publishAtomic(p, c)
+    override def exists(p: Path): Boolean = d.exists(p)
+    override def list(dir: Path): Seq[String] = d.list(dir)
+    override def listDirs(dir: Path): Seq[String] = d.listDirs(dir)
+    override def delete(p: Path): Unit = d.delete(p)
+    override def deleteTree(dir: Path): Unit = d.deleteTree(dir)
+    override def mkdirs(dir: Path): Unit = d.mkdirs(dir)
+  }
+
+  /** A segmented, partitioned table whose segments are homogeneous per
+    * (k, day, bucket) — k=a on day 0, b on day 1, null-k on day 2 —
+    * so each pointer summary pins one value per layout key. */
+  private def segmentedPartitioned(): (Path, LogTable) = {
+    val root = Files.createTempDirectory("graft-segp-").resolve("t")
+    val t = LogTable(spark, root.toString, partitionBy = Seq("k"),
+      hiddenBy = Seq(Transform.day("ts_us"), Transform.bucket(4, "v")))
+    def df(k: String, day: Int, v: Long) =
+      Seq((k, day * 86400000000L, v)).toDF("k", "ts_us", "v")
+    // two single-file appends per key → with cap=2, segments align
+    // with the append order and stay homogeneous in every layout key
+    Seq(("a", 0), ("b", 1), (null: String, 2)).foreach { case (k, day) =>
+      t.append(df(k, day, 7L)); t.append(df(k, day, 7L))
+    }
+    (root, t)
+  }
+
+  test("selective scans load ONLY the segments whose pointer summary survives") {
+    withCap(2) {
+      val (root, t0) = segmentedPartitioned()
+      val cio = new CountingIO
+      val segNames = manifestShape(root, t0.currentVersion)._1
+      assert(segNames.size === 3, s"expected 3 homogeneous segments: $segNames")
+      val logDir = root.resolve("_graft_log")
+      // Segment.files memoizes per instance and segCache per JVM, so
+      // each probe gets a FRESH parse with a cleared cache — the reads
+      // the CountingIO sees are exactly the probe's segment loads
+      def freshSnap(): Snapshot = {
+        segNames.foreach(n => LogTable.segCache.evict(logDir.resolve(n).toString))
+        cio.reads.clear()
+        LogTable(spark, root.toString, io = cio).snapshot()
+      }
+      // point lookup on the identity partition column: ONE segment read
+      val prunedA = freshSnap().prunedFiles(Seq(EqualTo("k", "a")))
+      assert(cio.segReads.size === 1,
+        s"k=a must load exactly one segment, read: ${cio.segReads}")
+      assert(prunedA.size === 2 && prunedA.forall(_.partitions("k") == "a"))
+      // range on the hidden day transform's SOURCE column: day-0 and
+      // day-1 segments refute, only the day-2 (null-k) segment loads
+      val prunedT = freshSnap().prunedFiles(
+        Seq(GreaterThanOrEqual("ts_us", 2 * 86400000000L)))
+      assert(cio.segReads.size === 1,
+        s"ts range must load exactly one segment, read: ${cio.segReads}")
+      assert(prunedT.size === 2)
+      // no survivor: zero segment reads, zero files
+      assert(freshSnap().prunedFiles(Seq(EqualTo("k", "zzz"))).isEmpty)
+      assert(cio.segReads.isEmpty, "a fully refuted scan must load nothing")
+      // unrecognized filter shape: absence of leverage loads EVERYTHING
+      assert(freshSnap().prunedFiles(Seq(Not(EqualTo("k", "a")))).size === 6)
+      assert(cio.segReads.size === 3, "an unusable filter must keep all segments")
+    }
+  }
+
+  test("prunedFiles equals the unsummarized per-file pruner on every filter shape") {
+    withCap(2) {
+      val (_, t) = segmentedPartitioned()
+      val snap = t.snapshot()
+      val day = 86400000000L
+      // bucket(4) of v=7 — derive the probe values from the transform
+      // itself so the test stays true to the arithmetic
+      val b7 = Transform.bucket(4, "v").derive(7L)
+      val missBucket = (0L until 4L).filterNot(_ == b7).head
+      val vMiss = (8L to 100L).find(x =>
+        Transform.bucket(4, "v").derive(x) == missBucket).get
+      val cases: Seq[(String, Seq[Filter], Int)] = Seq(
+        ("no filters", Nil, 6),
+        ("identity eq", Seq(EqualTo("k", "a")), 2),
+        // probing the null sentinel matches nothing: NullDir refutes
+        // comparisons and 'a'/'b' don't equal the sentinel string
+        ("identity eq null sentinel", Seq(EqualTo("k", NullDir)), 0),
+        ("In over identity", Seq(In("k", Array("a", "b"))), 4),
+        ("day range lower", Seq(GreaterThan("ts_us", day - 1)), 4),
+        ("day range upper", Seq(LessThan("ts_us", day)), 2),
+        ("bucket point hit", Seq(EqualTo("v", 7L)), 6),
+        ("bucket point miss", Seq(EqualTo("v", vMiss)), 0),
+        // segment level keeps (bucket scrambles order) but the files'
+        // own [min,max] stats refute v > 1000 — parity must still hold
+        ("bucket range keeps segments, file stats refute", Seq(GreaterThan("v", 1000L)), 0),
+        ("And", Seq(And(EqualTo("k", "a"), LessThan("ts_us", day))), 2),
+        ("And contradiction", Seq(And(EqualTo("k", "a"),
+          GreaterThan("ts_us", day))), 0),
+        ("Or", Seq(Or(EqualTo("k", "a"), EqualTo("k", "b"))), 4),
+        ("Not is unusable: keeps", Seq(Not(EqualTo("k", "a"))), 6),
+        ("unrecognized keeps", Seq(StringStartsWith("k", "a")), 6),
+        // non-numeric values can't compare to 5 → kept; the null
+        // segment's NullDir still refutes
+        ("numeric probe on string key keeps", Seq(EqualTo("k", 5L)), 4),
+        ("two filters", Seq(EqualTo("k", "b"), EqualTo("v", 7L)), 2))
+      cases.foreach { case (name, filters, expected) =>
+        val viaSummary = snap.prunedFiles(filters).map(_.path).toSet
+        val viaFiles = GraftPrune.filesFor(snap.files, snap.transforms, filters)
+          .map(_.path).toSet
+        assert(viaSummary === viaFiles, s"parity broke for: $name")
+        assert(viaSummary.size === expected, s"wrong selectivity for: $name")
+      }
+      // NullDir semantics on the summary itself: a comparison never
+      // matches the null directory, so the null-k segment refutes k='x'
+      // but In() with a surviving value keeps it out only via its key
+      assert(GraftPrune.segMayMatch(Map("k" -> Seq(NullDir)), Nil,
+        Seq(EqualTo("k", "x"))) === false)
+    }
+  }
+
+  test("segMayMatch absence-never-prunes algebra; segSummary caps and key coverage") {
+    val ts = Seq(Transform.day("ts_us"), Transform.bucket(4, "v"))
+    // legacy bare-name segment (no summary): always keep
+    assert(GraftPrune.segMayMatch(Map.empty, ts, Seq(EqualTo("k", "zzz"))))
+    // key not summarized: keep
+    assert(GraftPrune.segMayMatch(Map("other" -> Seq("1")), ts,
+      Seq(EqualTo("k", "zzz"))))
+    // non-numeric value under a numeric probe: keep (cannot compare)
+    assert(GraftPrune.segMayMatch(Map("k" -> Seq("abc")), Nil,
+      Seq(GreaterThan("k", 5L))))
+    // monotonic transform key summarized: range refutes / survives
+    val dayCol = Transform.day("ts_us").colName
+    assert(!GraftPrune.segMayMatch(Map(dayCol -> Seq("0", "1")), ts,
+      Seq(GreaterThan("ts_us", 2 * 86400000000L))))
+    assert(GraftPrune.segMayMatch(Map(dayCol -> Seq("0", "3")), ts,
+      Seq(GreaterThan("ts_us", 2 * 86400000000L))))
+    // bucket transform: equality refutes on set miss, ranges never
+    val bCol = Transform.bucket(4, "v").colName
+    val b7 = Transform.bucket(4, "v").derive(7L)
+    assert(GraftPrune.segMayMatch(Map(bCol -> Seq(b7.toString)), ts,
+      Seq(EqualTo("v", 7L))))
+    assert(!GraftPrune.segMayMatch(
+      Map(bCol -> Seq(((b7 + 1) % 4).toString)), ts, Seq(EqualTo("v", 7L))))
+    assert(GraftPrune.segMayMatch(Map(bCol -> Seq("0")), ts,
+      Seq(GreaterThan("v", 1000L))), "bucket scrambles order: ranges keep")
+    // NullDir under the transform clause: refuted for comparisons
+    assert(!GraftPrune.segMayMatch(Map(dayCol -> Seq(NullDir)), ts,
+      Seq(EqualTo("ts_us", 0L))))
+    // segSummary: only keys EVERY entry carries; > MaxSegSummaryVals drops
+    def df(path: String, parts: Map[String, String]) =
+      DataFile(path, 1L, 1L, parts)
+    val common = (0 until 3).map(i => df(s"f$i", Map("k" -> s"v$i", "d" -> "1")))
+    val partial = df("f3", Map("d" -> "2"))
+    val sum = LogTable.segSummary(common :+ partial)
+    assert(sum === Map("d" -> Seq("1", "2")), "keys missing on any entry drop")
+    val wide = (0 to LogTable.MaxSegSummaryVals).map(i =>
+      df(s"w$i", Map("k" -> f"v$i%03d")))
+    assert(LogTable.segSummary(wide) === Map.empty,
+      "an over-wide value set must not be summarized")
+    assert(LogTable.segSummary(wide.take(LogTable.MaxSegSummaryVals))
+      .contains("k"), "at the cap the set is recorded")
+  }
+
+  test("segment partVals and readMeta round-trip through the manifest") {
+    withCap(2) {
+      val (root, t0) = segmentedPartitioned()
+      // a FRESH handle parses the pointer from disk — nothing carried
+      // over from the committing instance
+      val t = LogTable(spark, root.toString)
+      val snap = t.snapshot()
+      val segs = snap.segs
+      assert(segs.size === 3)
+      // every parsed summary equals the summary of its loaded entries
+      segs.foreach { s =>
+        assert(s.partVals === LogTable.segSummary(s.files),
+          s"summary of ${s.name} does not match its entries")
+        assert(s.partVals.keySet === Set("k", Transform.day("ts_us").colName,
+          Transform.bucket(4, "v").colName))
+      }
+      // null directory round-trips as the hive sentinel
+      assert(segs.flatMap(_.partVals("k")).toSet === Set("a", "b", NullDir))
+      // readMeta round-trips and equals a recomputation from the files
+      val layoutKeys = snap.partCols ++ snap.transforms.map(_.colName)
+      val expectParts =
+        snap.files.map(f => layoutKeys.map(f.partitions(_))).distinct.size
+      val expectStats = snap.files.iterator.flatMap(f =>
+        f.ranges.keysIterator ++ f.strRanges.keysIterator).toSeq.distinct.sorted
+      assert(snap.readMeta === Some(ReadMeta(layoutComplete = true,
+        expectParts, expectStats)))
+    }
+  }
+
+  test("a branch base carries the fork's partition spec alongside its readMeta") {
+    withCap(2) {
+      val (_, t) = segmentedPartitioned()
+      val fork = t.snapshot()
+      val bs = t.createBranch("wap").snapshot()
+      // partCols/transforms must ride with readMeta, or the pointer
+      // would describe a layout the snapshot doesn't declare
+      assert(bs.partCols === fork.partCols)
+      assert(bs.transforms === fork.transforms)
+      assert(bs.readMeta === fork.readMeta)
+      assert(SpjLayout.of(bs).map(_.cols) === SpjLayout.of(fork).map(_.cols))
+    }
+  }
+
+  test("SpjLayout answered from the pointer equals the file-list fallback") {
+    withCap(2) {
+      val (root, _) = segmentedPartitioned()
+      val snap = LogTable(spark, root.toString).snapshot()
+      assert(snap.readMeta.isDefined)
+      val fromMeta = SpjLayout.of(snap)
+      val fromFiles = SpjLayout.of(snap.copy(readMeta = None))
+      assert(fromMeta.isDefined && fromFiles.isDefined)
+      assert(fromMeta.get.cols === fromFiles.get.cols)
+      assert(fromMeta.get.numPartitions === fromFiles.get.numPartitions)
+      assert(fromMeta.get.keys.map(_.describe()).toSeq ===
+        fromFiles.get.keys.map(_.describe()).toSeq)
+      // incomplete layout (pre-evolution files missing keys): BOTH
+      // paths refuse to report
+      val t2root = Files.createTempDirectory("graft-spj2-").resolve("t")
+      val t2 = LogTable(spark, t2root.toString)
+      t2.append(Seq((1L, "x")).toDF("v", "s"))
+      val evolved = t2.evolveSpec(hiddenBy = Seq(Transform.bucket(4, "v")))
+      evolved.append(Seq((2L, "y")).toDF("v", "s"))
+      val s2 = LogTable(spark, t2root.toString).snapshot()
+      assert(s2.readMeta.exists(!_.layoutComplete))
+      assert(SpjLayout.of(s2).isEmpty)
+      assert(SpjLayout.of(s2.copy(readMeta = None)).isEmpty)
     }
   }
 }
