@@ -172,11 +172,32 @@ object MultiModal {
         decode(col("frame"), "UTF-8").as("frame_text"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Exact BINARY dedup: duplicate payload clusters per modality by
+    * content digest — the multimodal twin of `dedup_exact` (a crawl
+    * re-fetches the same image/audio bytes under many doc ids; the
+    * digest group-by finds every copy without comparing payloads
+    * pairwise). One hash agg on (modality, md5): map-side combine
+    * collapses each partition to its distinct digests, the shuffle is
+    * O(distinct payloads), and the payload bytes themselves never
+    * shuffle — at 100 TB only 16-byte digests move. Keeper = min
+    * doc_id; reclaim = bytes of the (n-1) dropped copies. */
+  def mmDedup(s: SparkSession, dir: String): DataFrame =
+    mmTable(s, dir)
+      .groupBy(col("modality"), md5(col("payload")).as("digest"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper"),
+        (max(col("n_bytes")) * (count(lit(1)) - 1)).cast("long").as("reclaim_bytes"))
+      .filter(col("n_copies") >= 2)
+      .select(col("modality"), col("digest"), col("n_copies"),
+        col("keeper"), col("reclaim_bytes"))
+      .orderBy(col("modality"), col("digest"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_encode" -> (mmEncode _),
     "mm_features" -> (mmFeaturesFlat _),
     "mm_feature_stats" -> (mmFeatureStats _),
     "mm_framesample" -> ((s, dir) => frameSample(s, dir)),
+    "mm_dedup" -> (mmDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,6 +228,20 @@ object MultiModal {
         |  CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS BIGINT) AS frame_len,
         |  substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64) AS frame_text
         |FROM i ORDER BY doc_id, frame_idx""".stripMargin,
+    // md5 hex over the same UTF-8 bytes on both sides (payload IS
+    // encode(text, 'UTF-8'), and DuckDB's md5(VARCHAR) hashes the
+    // string's UTF-8 bytes) — digests compare cell-exact
+    "mm_dedup" ->
+      """WITH mm AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    md5(text) AS digest,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT modality, digest, count(*) AS n_copies, min(doc_id) AS keeper,
+        |  CAST(max(n_bytes) * (count(*) - 1) AS BIGINT) AS reclaim_bytes
+        |FROM mm GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY modality, digest""".stripMargin,
     // mm_features: engine-specific hash features — rows-only + spec.
     // mm_feature_stats: stripe geometry IS DuckDB-computable.
     "mm_feature_stats" ->

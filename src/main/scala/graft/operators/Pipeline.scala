@@ -150,11 +150,74 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** SEQUENCE PACKING — the step between sharding and the trainer:
+    * documents are laid end-to-end into fixed-capacity context windows
+    * (here 2048 whitespace tokens) and the pipeline needs, per window,
+    * how many docs start in it, how many tokens they carry, and how
+    * many docs SPILL across the boundary (each spill is either a
+    * truncation or a cross-doc attention leak — the quantity packing
+    * exists to manage). Same parallel skeleton as [[shardPack]]:
+    * bucket by doc_id, per-bucket running token sum (B-way parallel
+    * partitioned window, never a global sort), window id = the slab
+    * the doc's first token falls in — integer math only, reproducible
+    * on any engine, which is what makes it oracle-checkable. */
+  def packWindows(s: SparkSession, dir: String,
+      buckets: Int = 8, windowTokens: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        pmod(col("doc_id"), lit(buckets)).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("start", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("win", expr(s"start div ${windowTokens}L"))
+      .withColumn("spill",
+        (expr(s"(start + tok - 1) div ${windowTokens}L") =!= col("win")).cast("long"))
+      .groupBy(col("bucket"), col("win"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        sum(col("spill")).cast("long").as("n_spill"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("bucket"), col("win"))
+  }
+
+  /** DECONTAMINATION — the benchmark-hygiene gate every training run
+    * needs: drop from the training corpus every document sharing ANY
+    * 5-gram with the held-out eval set, then report what survives per
+    * source. Composes the library's own pieces: the eval-gram set and
+    * hit detection are [[Dedup.contamination]]'s exact machinery (the
+    * distinct 5-gram hashes broadcast — at 100 TB the eval set is
+    * tiny and the scan stays one broadcast-join pass), the survivor
+    * census is an anti-join on doc_id. Docs too short to carry a
+    * 5-gram cannot be contaminated and survive on both engines. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.spread(Tables(s, dir, "documents"))
+      .select(col("doc_id"), explode(graft.functions.WordShingles
+        .wordShingles(split(col("text"), " "), 5)).as("gh"))
+    val evalGrams = grams.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("gh")).distinct()
+    val contaminated = grams.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .join(broadcast(evalGrams), Seq("gh"))
+      .select(col("doc_id")).distinct()
+    Tables(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_corpus" -> ((s, dir) => corpusFilter(s, dir)),
     "pipeline_split" -> ((s, dir) => splitAssign(s, dir)),
     "pipeline_shard" -> ((s, dir) => shardPack(s, dir)),
     "pipeline_mix" -> ((s, dir) => mixtureSample(s, dir)),
+    "pipeline_pack" -> ((s, dir) => packWindows(s, dir)),
+    "pipeline_decontaminate" -> (decontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -210,6 +273,45 @@ object Pipeline {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(doc_id) AS first_doc
         |FROM a GROUP BY 1, 2 ORDER BY bucket, shard""".stripMargin,
+    "pipeline_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, bucket, tok,
+        |    CAST(coalesce(sum(tok) OVER (
+        |      PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM t)
+        |SELECT bucket, start // 2048 AS win, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN (start + tok - 1) // 2048 <> start // 2048
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spill,
+        |  min(doc_id) AS first_doc
+        |FROM o GROUP BY 1, 2 ORDER BY bucket, win""".stripMargin,
+    // gram generation mirrors the contamination oracle exactly; a doc
+    // survives iff NONE of its distinct 5-grams appears in the eval set
+    "pipeline_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 3),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS grams
+        |  FROM w WHERE len(ws) >= 5),
+        |e AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g),
+        |ev AS (
+        |  SELECT DISTINCT gram FROM e WHERE doc_id % 10 = 0),
+        |bad AS (
+        |  SELECT DISTINCT e.doc_id FROM e JOIN ev USING (gram)
+        |  WHERE e.doc_id % 10 <> 0)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc
+        |FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_mix" ->
       """WITH a AS (
         |  SELECT doc_id, source, n_chars,

@@ -409,7 +409,17 @@ object Similarity {
     * (FAISS mitigates with residual encoding; here PQ is the coarse
     * shortlist stage and annTopk/annIvf the exact refiner). */
   def annPq(s: SparkSession, dir: String, k: Int = 16, probes: Int = 4,
-      m: Int = 8, ksub: Int = 16): DataFrame = {
+      m: Int = 8, ksub: Int = 16): DataFrame =
+    pqCandidates(s, dir, keep = 5, k, probes, m, ksub)
+      .select(col("q_id"), col("rnk"), col("n_id"))
+      .orderBy(col("q_id"), col("rnk"))
+
+  /** ADC-ranked candidates per query, top-`keep` by the PQ estimate —
+    * the shared stage-1 of [[annPq]] (keep = final k) and
+    * [[annRefine]] (keep = the refine pool). Carries the query's exact
+    * vector/norm through for a downstream re-rank. */
+  private def pqCandidates(s: SparkSession, dir: String, keep: Int,
+      k: Int = 16, probes: Int = 4, m: Int = 8, ksub: Int = 16): DataFrame = {
     val all = quantized(s, dir)
     val cents = ivfIndex(s, dir, k, 1)
     val books = pqBooks(s, dir, m, ksub)
@@ -440,6 +450,32 @@ object Similarity {
            |    (b, i) -> b + q_qv[mm * $sub + i] * books[mm][codes[mm]][i]))""".stripMargin))
       .withColumn("key", cosKey(col("est_dot"), col("q_nrm") * col("enc_nrm")))
       .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= keep)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("q_qv"), col("q_nrm"))
+  }
+
+  /** Two-stage retrieve-then-refine — the production IVF-PQ serving
+    * shape: stage 1 ranks candidates by the code-resident ADC estimate
+    * (cheap, O(m) adds per candidate); stage 2 re-scores ONLY the top
+    * `refine` survivors with the EXACT integer dot and emits the exact
+    * top-5 among them. Recall approaches brute force while exact-dot
+    * work drops from O(corpus) to O(refine) per query. The re-rank
+    * fetches full vectors by id for the short list only — broadcast of
+    * the slim candidate set against the vector table, the "codes in
+    * RAM, vectors fetched for the shortlist" tier a 100 TB serving
+    * deployment runs (AnnRecallSpec pins refine ≥ raw-PQ recall). */
+  def annRefine(s: SparkSession, dir: String, refine: Int = 50,
+      k: Int = 16, probes: Int = 4, m: Int = 8, ksub: Int = 16): DataFrame = {
+    val cand = pqCandidates(s, dir, keep = refine, k, probes, m, ksub)
+      .select(col("q_id"), col("n_id"), col("q_qv"), col("q_nrm"))
+    val exact = quantized(s, dir).select(col("vec_id").as("n_id"),
+      col("qv").as("n_qv"), col("nrm").as("n_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("key").desc, col("n_id"))
+    exact.join(broadcast(cand), Seq("n_id"))
+      .withColumn("key", cosKey(dot(col("q_qv"), col("n_qv")),
+        col("q_nrm") * col("n_nrm")))
+      .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("n_id"))
       .orderBy(col("q_id"), col("rnk"))
@@ -450,6 +486,7 @@ object Similarity {
     "ann_lsh" -> ((s, dir) => annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => annIvf(s, dir)),
     "ann_pq" -> ((s, dir) => annPq(s, dir)),
+    "ann_refine" -> ((s, dir) => annRefine(s, dir)),
     "dedup_embed" -> ((s, dir) => dedupEmbed(s, dir)),
   )
 

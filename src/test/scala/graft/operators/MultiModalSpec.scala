@@ -86,4 +86,39 @@ class MultiModalSpec extends SparkSpec {
     assert(hashShuffles(MultiModal.mmFeatures(spark, sfDir)) === 0)
     assert(hashShuffles(MultiModal.frameSample(spark, sfDir)) === 0)
   }
+
+  test("mm_dedup: every cluster is a true byte-duplicate set; keeper is the min id") {
+    // the sf0.001 corpus may carry no duplicate texts — plant a corpus
+    // with KNOWN dup structure: docs 0/3/6 share bytes (all modality
+    // 'image' since ids ≡ 0 mod 3), docs 1/4 share bytes but NOT
+    // modality (1 → audio, 4 → audio? no: 4 % 3 = 1 → audio too), and
+    // 2 is unique — so exactly two clusters report
+    val d = java.nio.file.Files.createTempDirectory("mm_dedup_").toString
+    Seq(
+      (0L, "same bytes alpha", "en", "src0", 16L),
+      (3L, "same bytes alpha", "en", "src0", 16L),
+      (6L, "same bytes alpha", "en", "src1", 16L),
+      (1L, "same bytes beta", "en", "src0", 15L),
+      (4L, "same bytes beta", "en", "src1", 15L),
+      (2L, "unique bytes", "en", "src0", 12L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val clusters = MultiModal.mmDedup(spark, d)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(clusters.length === 2, s"expected 2 dup clusters, got ${clusters.toSeq}")
+    assert(clusters.forall(_._3 >= 2), "single-copy groups must not report")
+    val byMod = clusters.map(c => c._1 -> c).toMap
+    // image cluster: docs 0/3/6, keeper 0, reclaim 2 × 16 bytes
+    assert(byMod("image")._3 === 3L && byMod("image")._4 === 0L &&
+      byMod("image")._5 === 32L)
+    // audio cluster: docs 1/4, keeper 1, reclaim 1 × 15 bytes
+    assert(byMod("audio")._3 === 2L && byMod("audio")._4 === 1L &&
+      byMod("audio")._5 === 15L)
+    // and on the real corpus the operator agrees with an independent
+    // text-level grouping, including when both are empty
+    val expected = MultiModal.mmTable(spark, sfDir)
+      .groupBy(col("modality"), col("payload"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).count()
+    assert(MultiModal.mmDedup(spark, sfDir).count() === expected)
+  }
 }

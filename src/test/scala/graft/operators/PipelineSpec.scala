@@ -100,4 +100,51 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("pipeline_pack: token conservation, contiguous windows, spills bounded") {
+    val cap = 512L
+    val packed = Pipeline.packWindows(spark, sfDir, buckets = 4, windowTokens = cap)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // every token of every doc lands in exactly one window's census
+    val totalTok = Tables(spark, sfDir, "documents")
+      .select(size(split(col("text"), " ")).cast("long")).as[Long]
+      .collect().sum
+    assert(packed.map(_._4).sum === totalTok, "token counts must conserve")
+    assert(packed.map(_._3).sum ===
+      Tables(spark, sfDir, "documents").count(), "every doc starts somewhere")
+    packed.groupBy(_._1).foreach { case (bucket, wins) =>
+      val ids = wins.map(_._2).sorted
+      assert(ids.head === 0L && ids === (0L until ids.length).toArray.toSeq.toArray,
+        s"bucket $bucket windows not contiguous from 0: ${ids.mkString(",")}")
+      // at most ONE doc can straddle each window's end boundary
+      wins.foreach { case (_, win, _, _, spill, _) =>
+        assert(spill <= 1L, s"bucket $bucket window $win reports $spill spills")
+      }
+    }
+  }
+
+  test("pipeline_decontaminate: survivors share NO 5-gram with the eval set; eval docs excluded") {
+    import graft.functions.WordShingles
+    val surviving = Pipeline.decontaminate(spark, sfDir)
+    // census-level: survivors ⊆ train docs (ids not ≡0 mod 10)
+    val minDocs = surviving.select(col("min_doc")).as[Long].collect()
+    assert(minDocs.forall(_ % 10 != 0))
+    // row-level cross-check: recompute the survivor SET independently
+    // and verify zero gram overlap with the eval set
+    val grams = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(WordShingles.wordShingles(
+        split(col("text"), " "), 5)).as("gh"))
+    val evalSet = grams.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select("gh").as[Long].collect().toSet
+    val hitDocs = grams.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .filter(col("gh").isin(evalSet.toSeq.take(10000): _*))
+    // (guard the isin literal size; this corpus's eval set is small)
+    assume(evalSet.size <= 10000, "eval gram set too large for the cross-check")
+    val contaminatedIds = hitDocs.select("doc_id").as[Long].collect().toSet
+    val survivorCount = Tables(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .filter(!col("doc_id").isin(contaminatedIds.toSeq: _*))
+      .count()
+    assert(surviving.select(sum(col("n_docs"))).as[Long].head() === survivorCount)
+  }
 }

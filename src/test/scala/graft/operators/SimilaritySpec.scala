@@ -27,6 +27,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall below the calibrated 0.8 bound")
   }
 
+  test("ann_refine: exact re-rank recovers recall the raw PQ estimate loses") {
+    val exact = Similarity.annTopk(spark, clusteredDir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val pq = recallOf(Similarity.annPq(spark, clusteredDir, k = 8, probes = 2))
+    val refined = recallOf(
+      Similarity.annRefine(spark, clusteredDir, refine = 50, k = 8, probes = 2))
+    info(f"recall@5: pq=$pq%.3f refine=$refined%.3f")
+    // the refine pool (top-50 by ADC) almost surely contains the true
+    // top-5; the exact re-rank then orders them correctly — recall must
+    // never drop below the estimate it refines, and should approach 1
+    assert(refined >= pq, s"refine $refined lost recall vs raw PQ $pq")
+    assert(refined >= 0.9, s"refine recall $refined below the 0.9 bound")
+    // output contract: exactly 5 ranked neighbors per query, ranks 1..5
+    val rows = Similarity.annRefine(spark, clusteredDir, refine = 50, k = 8, probes = 2)
+      .groupBy("q_id").agg(count(lit(1)).as("n"),
+        min("rnk").as("lo"), max("rnk").as("hi"))
+      .as[(Long, Long, Int, Int)].collect()
+    assert(rows.forall(r => r._2 == 5L && r._3 == 1 && r._4 == 5))
+  }
+
   test("bucketKeys: random hyperplanes give balanced buckets") {
     val dim = 64
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
