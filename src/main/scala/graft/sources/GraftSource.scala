@@ -1440,14 +1440,19 @@ private[sources] final class GraftReaderFactory(
     * rows for other files filter out here). */
   private def deletedPositions(gp: GraftInputPartition)
       : java.util.HashSet[java.lang.Long] = {
-    val mr = mor.getOrElse(throw new IllegalStateException(
-      s"partition for ${gp.path} carries position deletes but the " +
-        "factory has no MoR readers — planner/factory snapshot drift"))
     val deleted = new java.util.HashSet[java.lang.Long]()
     gp.deletes.foreach { case (dp, dbytes) =>
-      unwrap(mr.del(wholeFile(dp, dbytes))).foreach { r =>
-        if (LogTable.localPath(r.getUTF8String(0).toString) == gp.path)
-          deleted.add(r.getLong(1))
+      if (DeletionVectors.isVector(dp))
+        // deletion-vector blob: read only this data file's section
+        DeletionVectors.readFor(dp, gp.path).foreach(p => deleted.add(p))
+      else {
+        val mr = mor.getOrElse(throw new IllegalStateException(
+          s"partition for ${gp.path} carries position deletes but the " +
+            "factory has no MoR readers — planner/factory snapshot drift"))
+        unwrap(mr.del(wholeFile(dp, dbytes))).foreach { r =>
+          if (LogTable.localPath(r.getUTF8String(0).toString) == gp.path)
+            deleted.add(r.getLong(1))
+        }
       }
     }
     deleted

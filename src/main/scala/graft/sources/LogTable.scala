@@ -903,15 +903,49 @@ final class LogTable private (val spark: SparkSession, val root: String,
       refd: Set[String]): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val rel = snap.deletes.filter(_.refPaths.exists(refd.contains))
-    val dels = spark.read.schema(LogTable.DeleteSchema)
-      .parquet(rel.map(_.path): _*)
-      .withColumnRenamed("file_path", LogTable.FileCol)
-      .withColumnRenamed("pos", LogTable.PosCol)
-    // broadcast while small; a delete backlog past the budget falls
-    // back to the planner's choice (shuffled anti-join) rather than
-    // OOMing executors on a forced broadcast
-    val build = if (rel.map(_.bytes).sum <= (64L << 20)) broadcast(dels) else dels
-    df.join(build, Seq(LogTable.FileCol, LogTable.PosCol), "left_anti")
+    val (dvs, pqs) = rel.partition(d => DeletionVectors.isVector(d.path))
+    // a delete backlog past the budget must not land whole on the
+    // driver/executors — both forms degrade to a distributed anti-join
+    val budget = spark.conf.getOption("graft.deletes.broadcast.bytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    // legacy parquet-encoded position deletes: broadcast anti-join
+    // while small; past the budget the planner picks the join
+    // (shuffled anti-join) rather than OOMing on a forced broadcast
+    val afterPq =
+      if (pqs.isEmpty) df
+      else {
+        val dels = spark.read.schema(LogTable.DeleteSchema)
+          .parquet(pqs.map(_.path): _*)
+          .withColumnRenamed("file_path", LogTable.FileCol)
+          .withColumnRenamed("pos", LogTable.PosCol)
+        val build =
+          if (pqs.map(_.bytes).sum <= budget) broadcast(dels) else dels
+        df.join(build, Seq(LogTable.FileCol, LogTable.PosCol), "left_anti")
+      }
+    // deletion vectors: in-plan codegen'd binary search under the same
+    // byte budget; past it, decode DISTRIBUTED into (file, pos) rows
+    // and anti-join like the parquet form
+    if (dvs.isEmpty) afterPq
+    else if (dvs.map(_.bytes).sum <= budget)
+      DeletionVectors.filterDeleted(afterPq,
+        DeletionVectors.readAll(dvs.map(_.path)))
+    else {
+      val sess = spark
+      import sess.implicits._
+      val rows = spark.sparkContext
+        .parallelize(dvs.map(_.path), math.min(dvs.size, 64))
+        .flatMap(p => DeletionVectors.read(p).iterator.flatMap {
+          case (f, ps) => ps.iterator.map(f -> _)
+        })
+        .toDF("_graft_dvf", LogTable.PosCol)
+      // blob keys are manifest plain paths; FileCol is URI-rendered
+      val keyed = afterPq.withColumn("_graft_dvf",
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.col(LogTable.FileCol),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      keyed.join(rows, Seq("_graft_dvf", LogTable.PosCol), "left_anti")
+        .drop("_graft_dvf")
+    }
   }
 
   /** Per-snapshot stats from manifest metadata ONLY (no data I/O). */
@@ -2256,41 +2290,70 @@ final class LogTable private (val spark: SparkSession, val root: String,
     Files.createDirectories(stage)
     // locals only — the task closure must not capture the table handle
     val stageStr = stage.toString
-    val schema = LogTable.DeleteSchema
-    val sql = org.apache.spark.sql.internal.SQLConf.get
-    import org.apache.spark.sql.internal.SQLConf._
-    val pairs = Seq(PARQUET_WRITE_LEGACY_FORMAT, PARQUET_OUTPUT_TIMESTAMP_TYPE,
-        PARQUET_FIELD_ID_WRITE_ENABLED, PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE)
-      .map(e => e.key -> String.valueOf(sql.getConf(e))).toMap
-    val codec = sql.getConf(PARQUET_COMPRESSION)
-    val perShard: Array[(String, Map[String, Long])] = marked
-      .repartition(shards, col("file_path"))
-      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
-        if (it.isEmpty) Iterator.empty
-        else {
-          val w = new GraftStageDataWriter(stageStr, schema, pairs, codec,
-            pid, 0L)
-          val counts = scala.collection.mutable.HashMap.empty[String, Long]
-          var ok = false
-          try {
-            it.foreach { r =>
-              val key = r.getUTF8String(0).toString
-              counts.update(key, counts.getOrElse(key, 0L) + 1L)
-              w.write(r)
+    // DELETION VECTORS by default (see [[DeletionVectors]]): each
+    // shard task accumulates its marks per data file and writes one
+    // compact sorted-positions blob — reads then filter by codegen'd
+    // binary search instead of an anti-join. `graft.deletes.vector`
+    // = false keeps the legacy parquet row encoding (readers support
+    // both forever; old snapshots' parquet deletes read unchanged).
+    val useDv = spark.conf.getOption("graft.deletes.vector")
+      .forall(_.toBoolean)
+    val perShard: Array[(String, Map[String, Long])] =
+      if (useDv)
+        marked.repartition(shards, col("file_path"))
+          .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+            if (it.isEmpty) Iterator.empty
+            else {
+              val acc = scala.collection.mutable
+                .HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+              it.foreach { r =>
+                acc.getOrElseUpdate(LogTable.localPath(
+                  r.getUTF8String(0).toString),
+                  scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+              }
+              val p = Paths.get(stageStr, s"dv-$pid.dv")
+              DeletionVectors.write(p, acc.view.mapValues(_.toArray).toMap)
+              Iterator((p.toString,
+                acc.view.mapValues(_.length.toLong).toMap))
             }
-            ok = true
-          } finally if (!ok) w.abort()
-          w.commit() match {
-            case GraftStagedFiles(Seq(p)) => Iterator((p, counts.toMap))
-            case _ => Iterator.empty
-          }
-        }
-      }.collect()
+          }.collect()
+      else {
+        val schema = LogTable.DeleteSchema
+        val sql = org.apache.spark.sql.internal.SQLConf.get
+        import org.apache.spark.sql.internal.SQLConf._
+        val pairs = Seq(PARQUET_WRITE_LEGACY_FORMAT, PARQUET_OUTPUT_TIMESTAMP_TYPE,
+            PARQUET_FIELD_ID_WRITE_ENABLED, PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE)
+          .map(e => e.key -> String.valueOf(sql.getConf(e))).toMap
+        val codec = sql.getConf(PARQUET_COMPRESSION)
+        marked.repartition(shards, col("file_path"))
+          .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+            if (it.isEmpty) Iterator.empty
+            else {
+              val w = new GraftStageDataWriter(stageStr, schema, pairs, codec,
+                pid, 0L)
+              val counts = scala.collection.mutable.HashMap.empty[String, Long]
+              var ok = false
+              try {
+                it.foreach { r =>
+                  val key = r.getUTF8String(0).toString
+                  counts.update(key, counts.getOrElse(key, 0L) + 1L)
+                  w.write(r)
+                }
+                ok = true
+              } finally if (!ok) w.abort()
+              w.commit() match {
+                case GraftStagedFiles(Seq(p)) => Iterator((p, counts.toMap))
+                case _ => Iterator.empty
+              }
+            }
+          }.collect()
+      }
     val delDir = rootPath.resolve("deletes")
     Files.createDirectories(delDir)
     val out = perShard.toSeq.map { case (part, rawCounts) =>
       val counts = rawCounts.map { case (p, n) => LogTable.localPath(p) -> n }
-      val dest = delDir.resolve(s"${UUID.randomUUID()}.parquet")
+      val dest = delDir.resolve(
+        s"${UUID.randomUUID()}.${if (useDv) "dv" else "parquet"}")
       Files.move(Paths.get(part), dest, StandardCopyOption.ATOMIC_MOVE)
       DeleteFile(dest.toString, Files.size(dest), counts)
     }

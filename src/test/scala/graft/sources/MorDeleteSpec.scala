@@ -229,14 +229,42 @@ class MorDeleteSpec extends SparkSpec {
     assert(t.read().filter(col("id") === 120L).select("s").head().getString(0) === "X120")
   }
 
-  test("the MoR read plan anti-joins via broadcast — no shuffle or sort on the data side") {
+  test("the MoR read plan is a codegen'd DV filter — no join, no shuffle, no sort") {
     val t = freshTable()
     t.append(df(0 until 1000).repartition(4))
     t.deleteMor(col("id") % 10 === 0)
     val p = t.read().queryExecution.executedPlan.toString
+    // deletion vectors kill the anti-join outright: marked positions
+    // filter via one in-plan binary search per row
+    assert(p.contains("dv_deleted"), p.take(800))
+    assert(!p.contains("Join") && !p.contains("Exchange") && !p.contains("Sort"))
+    assert(t.read().count() === 900L)
+  }
+
+  test("legacy parquet-encoded deletes still read (broadcast anti-join), and mix with DVs") {
+    val t = freshTable()
+    t.append(df(0 until 1000).repartition(4))
+    spark.conf.set("graft.deletes.vector", "false")
+    try t.deleteMor(col("id") % 10 === 0)
+    finally spark.conf.unset("graft.deletes.vector")
+    assert(t.snapshot().deletes.forall(_.path.endsWith(".parquet")))
+    val p = t.read().queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(800))
     assert(!p.contains("SortMergeJoin"))
     assert(t.read().count() === 900L)
+    // a second, DV-encoded delete lands on top: BOTH forms apply in one read
+    t.deleteMor(col("id") === 1L)
+    assert(t.snapshot().deletes.exists(_.path.endsWith(".dv")))
+    assert(t.snapshot().deletes.exists(_.path.endsWith(".parquet")))
+    val p2 = t.read().queryExecution.executedPlan.toString
+    assert(p2.contains("dv_deleted") && p2.contains("LeftAnti"))
+    assert(t.read().count() === 899L)
+    assert(t.read().where("id = 1").count() === 0L)
+    assert(t.read().where("id = 11").count() === 1L)
+    // compact folds BOTH encodings into clean files
+    t.compact()
+    assert(t.snapshot().deletes.isEmpty)
+    assert(t.read().count() === 899L)
   }
 
   test("CALL delete_mor and the <t>_deletes debt-gauge view drive MoR from SQL") {
