@@ -38,7 +38,7 @@ class LogTableModelSpec extends SparkSpec {
       else d.select("id", "v").as[(Long, String)].collect().toMap
 
     (0 until steps).foreach { step =>
-      rnd.nextInt(18) match {
+      rnd.nextInt(20) match {
         case 0 | 1 | 2 | 3 => // append a fresh batch
           val n = 1 + rnd.nextInt(20)
           val rows = (nextId until nextId + n).map(i => (i, s"a$step"))
@@ -136,6 +136,25 @@ class LogTableModelSpec extends SparkSpec {
           val s = t.fastForward(bn)
           t.dropBranch(bn)
           record(s.version, current ++ rows)
+        case 18 => // MERGE-ON-READ delete (deletion-vector marks)
+          if (current.nonEmpty) {
+            val ids = current.keys.toSeq.sorted
+            val lo = ids(rnd.nextInt(ids.size))
+            val hi = lo + rnd.nextInt(25)
+            val pre = t.currentVersion
+            val s = t.deleteMor(col("id") >= lo && col("id") <= hi)
+            val kept = current.filterNot { case (id, _) => id >= lo && id <= hi }
+            if (s.version != pre) record(s.version, kept)
+            else assert(kept == current, s"step $step: no-op deleteMor changed rows")
+          }
+        case 19 => // equality upsert: tombstone + append in one commit
+          val matched = current.keys.filter(_ % (2 + rnd.nextInt(3)) == 0)
+            .toSeq.sorted.take(10).map(i => (i, s"e$step"))
+          val fresh = (nextId until nextId + 1 + rnd.nextInt(4))
+            .map(i => (i, s"e$step"))
+          nextId += fresh.size
+          val s = t.upsertEq(df(matched ++ fresh), "id")
+          record(s.version, current ++ matched ++ fresh)
       }
       val visible = rowsOf(t.read())
       assert(visible == current,
