@@ -89,8 +89,11 @@ class MorDeleteSpec extends SparkSpec {
     t.append(df(0 until 240).repartition(24))
     assert(t.snapshot().files.size === 24)
     val s = t.deleteMor(col("id") % 10 === 0) // 24 marked rows, all files
-    assert(s.deletes.size === 3,
-      s"marking pass should shard, got ${s.deletes.size} delete file(s)")
+    // 3 shard SLOTS; occupancy hashes the (temp-path) file names, so a
+    // slot can land empty on an unlucky run — sharding must engage
+    // (>1 file) and never exceed the slot count
+    assert(s.deletes.size >= 2 && s.deletes.size <= 3,
+      s"marking pass should shard into 2-3 files, got ${s.deletes.size}")
     // every data file's marks land WHOLLY in one delete file (read
     // amplification: one delete read per data file)
     val owners = s.deletes.flatMap(d => d.counts.keys.map(_ -> d.path))
