@@ -300,7 +300,53 @@ object LogAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** COHORT RETENTION — the growth dashboard over an activity log:
+    * users grouped by first-seen day, and for each (cohort day, day
+    * offset ≤ 7) the distinct users still active. Two shuffles, both
+    * keyed on user_id so they CO-PARTITION (the cohort join reuses the
+    * distinct projection's hash layout): per-user min day, then one
+    * distinct-count over (cohort, offset). Day arithmetic stays in the
+    * integer µs domain — no timezone-dependent date_trunc. */
+  def logRetention(s: SparkSession, dir: String): DataFrame = {
+    val days = ev(s, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq("user_id"))
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** EXACT latency percentiles per event type (p50/p95/p99) by the
+    * NEAREST-RANK method: rank ⌈n·p/100⌉ in the (value, event_id)
+    * order — pure integer rank arithmetic picking a REAL value, so
+    * Spark and the oracle agree bit-for-bit (interpolating percentile
+    * implementations differ in ulps between engines and can't
+    * hash-match). The per-type sort is the price of exactness —
+    * `q_approx_percentile` is the sketch-based scale path; this is
+    * the exact complement for dashboard-grade per-key latency, where
+    * each key's partition sorts independently (parallel across
+    * types). */
+  def logLatencyPcts(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val np = Window.partitionBy(col("event_type"))
+    ev(s, dir).select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(np))
+      .withColumn("pct", explode(array(lit(50), lit(95), lit(99))))
+      .filter(col("rnk") === expr("(n * pct + 99) div 100"))
+      .select(col("event_type"), col("pct"), col("value").as("latency"))
+      .orderBy(col("event_type"), col("pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "log_retention" -> (logRetention _),
+    "log_latency_pcts" -> (logLatencyPcts _),
     "log_durations" -> (logDurations _),
     "log_heavy_hitters" -> (logHeavyHitters _),
     "log_asof" -> (logAsof _),
@@ -321,6 +367,29 @@ object LogAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "log_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(DISTINCT d.user_id) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |WHERE day - cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "log_latency_pcts" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |p AS (SELECT CAST(unnest([50, 95, 99]) AS INTEGER) AS pct)
+        |SELECT event_type, pct, value AS latency
+        |FROM r, p
+        |WHERE rnk = (n * pct + 99) // 100
+        |ORDER BY event_type, pct""".stripMargin,
     "log_durations" ->
       """WITH d AS (
         |  SELECT event_type,
