@@ -302,24 +302,26 @@ object LogAnalytics {
 
   /** COHORT RETENTION — the growth dashboard over an activity log:
     * users grouped by first-seen day, and for each (cohort day, day
-    * offset ≤ 7) the distinct users still active. Two shuffles, both
-    * keyed on user_id so they CO-PARTITION (the cohort join reuses the
-    * distinct projection's hash layout): per-user min day, then one
-    * distinct-count over (cohort, offset). Day arithmetic stays in the
-    * integer µs domain — no timezone-dependent date_trunc. */
-  def logRetention(s: SparkSession, dir: String): DataFrame = {
-    val days = ev(s, dir)
+    * offset ≤ 7) the distinct users still active. TWO shuffles total:
+    * one per-user aggregation collects each user's distinct active-day
+    * SET (map-side combined; bounded by the observation window, never
+    * by event count), the cohort is the set's min — no separate
+    * distinct pass, no cohort join, no re-shuffle. The exploded
+    * (user, day) rows are unique by construction, so the final census
+    * is a plain count. Day arithmetic stays in the integer µs domain —
+    * no timezone-dependent date_trunc. */
+  def logRetention(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
       .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
-      .distinct()
-    val cohorts = days.groupBy(col("user_id"))
-      .agg(min(col("day")).as("cohort_day"))
-    days.join(cohorts, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("day")).as("days"))
+      .select(array_min(col("days")).as("cohort_day"),
+        explode(col("days")).as("day"))
       .withColumn("day_offset", col("day") - col("cohort_day"))
       .filter(col("day_offset") <= 7)
       .groupBy(col("cohort_day"), col("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
-  }
 
   /** EXACT latency percentiles per event type (p50/p95/p99) by the
     * NEAREST-RANK method: rank ⌈n·p/100⌉ in the (value, event_id)

@@ -225,4 +225,24 @@ class PlanContractSpec extends SparkSpec {
       "position-deleted snapshots must stay on the vectorized path")
     assert(md.count() === 350L)
   }
+
+  test("log_retention: the cohort join co-partitions on user_id — no broadcast needed, no extra exchange") {
+    val p = plan("log_retention")
+    // at 100 TB the cohort side is as big as the user population —
+    // the join must stay a co-partitioned shuffle join, never a
+    // driver-sized broadcast of all users
+    assert(count(p, "Exchange hashpartitioning") <= 3,
+      s"retention should shuffle at most 3 times (distinct, cohort agg, final agg):\n$p")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scan.contains("props") && !scan.contains("value"),
+      "retention reads only (user_id, ts) — scan must prune the rest")
+  }
+
+  test("log_latency_pcts: per-type sorts partition by event_type; the scan prunes to 3 columns") {
+    val p = plan("log_latency_pcts")
+    assert(p.contains("Window"), "nearest-rank needs the ranking window")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scan.contains("props") && !scan.contains("user_id"),
+      "percentiles read only (event_type, value, event_id)")
+  }
 }
