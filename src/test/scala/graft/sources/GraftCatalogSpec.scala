@@ -285,6 +285,18 @@ class GraftCatalogSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("DELETE FROM gtest.wap.branch_audit WHERE id = 3"))
     assert(e.getMessage.contains("branch"))
+
+    // RETENTION: the WAP loop keeps landing audited batches — the
+    // branch's intermediates expire via CALL; the fork-point base and
+    // the head survive, and main is untouched
+    spark.sql("INSERT INTO gtest.wap.branch_audit VALUES (5,'s2')")
+    spark.sql("INSERT INTO gtest.wap.branch_audit VALUES (6,'s3')")
+    spark.sql("CALL gtest.system.expire_branch('wap', 'audit', 1)")
+    val b = t.branch("audit")
+    assert(b.versions.head === 1L && b.versions.size === 2,
+      s"expire_branch must keep base + head, got ${b.versions}")
+    assert(b.read().count() === 6L)
+    assert(spark.sql("SELECT count(*) FROM gtest.wap").as[Long].head() === 4L)
   }
 
   test("the _file metadata column resolves in plain catalog SELECTs") {
