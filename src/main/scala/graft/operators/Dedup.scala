@@ -318,7 +318,51 @@ object Dedup {
       .orderBy(col("n_docs").desc, col("n_total").desc, col("win"))
       .limit(20)
 
+  /** Minimum line length (chars) to participate in line dedup: short
+    * lines ("", "1.", "Introduction") repeat across unrelated docs by
+    * nature and carry no boilerplate signal — dedup'ing them would
+    * mangle text. The C4/RefinedWeb pipelines apply the same guard.
+    * Also the SKEW bound: the window below partitions by the line
+    * string, and only ≥30-char lines enter it, so the hottest
+    * partition is the most-repeated boilerplate sentence — bounded by
+    * the corpus's duplication, not by structurally-empty lines. */
+  private val MinDedupLineLen = 30
+
+  /** LINE-level exact dedup across the corpus (C4's duplicated-span
+    * removal, line granularity): a line ≥30 chars is kept only at its
+    * FIRST global occurrence (lowest (doc_id, position)); shorter
+    * lines always survive. Output = per-doc retention stats.
+    *
+    * Shape at 100 TB: explode is a narrow map; first-occurrence
+    * marking is ONE window shuffle keyed by the line text over
+    * candidate lines only (min is map-side combined); the per-doc
+    * rollup co-partitions with nothing and is the second, O(docs)
+    * shuffle. No join back against the corpus, no all-pairs
+    * anything. */
+  def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = Tables.spread(docs(s, dir))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+      // global occurrence order: docs hold < 10^6 lines, so
+      // doc_id·10^6 + (1-based pos) is collision-free and total
+      .withColumn("gord", col("doc_id") * lit(1000000L) + col("pos") + lit(1L))
+    val cand = lines.filter(length(col("line")) >= MinDedupLineLen)
+      .withColumn("keep",
+        col("gord") === min(col("gord")).over(Window.partitionBy(col("line"))))
+    val short = lines.filter(length(col("line")) < MinDedupLineLen)
+      .withColumn("keep", lit(true))
+    cand.unionByName(short)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when(col("keep"), length(col("line"))).otherwise(0L))
+          .cast("long").as("kept_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lines" -> (dedupLines _),
     "dedup_exact" -> (exact _),
     "dedup_windows" -> (windowCensus _),
     "dedup_ngram" -> (ngramJaccard _),
@@ -332,6 +376,26 @@ object Dedup {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // Parallel unnests zip in DuckDB, giving (line, 1-based ord)
+    // pairs; the min-gord window mirrors Spark's first-occurrence
+    // mark over ≥30-char lines exactly.
+    "dedup_lines" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ord
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, line,
+        |    CASE WHEN length(line) >= 30 THEN
+        |      doc_id * 1000000 + ord =
+        |        min(doc_id * 1000000 + ord) OVER (PARTITION BY line)
+        |    ELSE TRUE END AS keep
+        |  FROM l)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN length(line) ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // range(1, n) is EXCLUSIVE of n ↔ Spark sequence(1, n-1) inclusive;
     // list_slice clamps at the list end exactly as Spark's slice.
     "dedup_windows" ->

@@ -250,6 +250,35 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** Incrementally-maintained MATERIALIZED VIEW lifecycle
+    * ([[graft.sources.MaterializedView]]): events land in three
+    * appends; after each, `refresh()` folds ONLY the appended rows
+    * into the stored per-event_type rollup (O(delta), never a base
+    * re-scan). A base compaction runs mid-sequence (refresh must see
+    * through row-preserving maintenance) and a final extra refresh
+    * must no-op on the watermark. The view's contents must equal the
+    * oracle's full aggregate over the source parquet — any
+    * double-fold, missed delta, or watermark drift breaks the hash. */
+  def lakeMv(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{MaterializedView, MvAgg}
+    val tmpB = Files.createTempDirectory("graft_lake_mv_base_").toString
+    val tmpV = Files.createTempDirectory("graft_lake_mv_view_").toString
+    val baseT = LogTable(s, tmpB)
+    val mv = MaterializedView(s, baseT, tmpV, Seq("event_type"),
+      Seq(MvAgg.Count("n"), MvAgg.Sum("total_value", Cols.money(col("value")))))
+    val ev = Tables.events(s, dir)
+    (0 until 3).foreach { i =>
+      baseT.append(ev.filter(pmod(col("event_id"), lit(3)) === i))
+      if (i == 1) baseT.compact() // row-preserving: must fold NOTHING
+      mv.refresh()
+    }
+    mv.refresh() // watermark no-op: nothing new to fold
+    mv.read()
+      .select(col("event_type"), col("n"),
+        Cols.asDouble(col("total_value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** The ENTIRE lifecycle through the SQL statement surface
     * ([[graft.sources.GraftSql]]) — CREATE TABLE (declared schema,
     * zero Scala-side setup, like the reference's init-setup.py DDL),
@@ -691,6 +720,7 @@ object Lakehouse {
     "lake_sql_tt" -> (lakeSqlTt _),
     "lake_skipped" -> (lakeSkipped _),
     "lake_incremental" -> (lakeIncremental _),
+    "lake_mv" -> (lakeMv _),
     "lake_roundtrip" -> (lakeRoundtrip _),
     "lake_delete" -> (lakeDelete _),
     "lake_pruned" -> (lakePruned _),
@@ -834,6 +864,10 @@ object Lakehouse {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events WHERE event_id % 3 <> 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_mv" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

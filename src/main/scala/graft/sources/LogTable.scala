@@ -1752,9 +1752,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * already-written (never-referenced) rewrite files are deleted
     * before the retry re-plans — no orphan growth under contention. */
   private def commitOrCleanup(rewritten: Seq[DataFile], operation: String,
-      nextSchema: Snapshot => String = _.schemaJson)(
+      nextSchema: Snapshot => String = _.schemaJson,
+      tag: String = "")(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot =
-    try commit(operation, nextSchema = nextSchema)(nextFiles)
+    try commit(operation, tag = tag, nextSchema = nextSchema)(nextFiles)
     catch {
       case e @ LogTable.StaleSourceFiles =>
         rewritten.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
@@ -2479,20 +2480,22 @@ final class LogTable private (val spark: SparkSession, val root: String,
       matchedDeleteWhen: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
       matchedSet: Option[Map[String, org.apache.spark.sql.Column]] = None,
-      insertValues: Option[Map[String, org.apache.spark.sql.Column]] = None): Snapshot =
+      insertValues: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      tag: String = ""): Snapshot =
     withStaleRetry { () =>
       mergeOnce(updates, key, matchedUpdateWhen, matchedDeleteWhen,
-        notMatchedBySourceDelete, matchedSet, insertValues) }
+        notMatchedBySourceDelete, matchedSet, insertValues, tag) }
 
   private def mergeOnce(updates0: DataFrame, key: String,
       matchedUpdateWhen: Option[org.apache.spark.sql.Column],
       matchedDeleteWhen: Option[org.apache.spark.sql.Column],
       notMatchedBySourceDelete: Option[org.apache.spark.sql.Column],
       matchedSet: Option[Map[String, org.apache.spark.sql.Column]],
-      insertValues: Option[Map[String, org.apache.spark.sql.Column]]): Snapshot = {
+      insertValues: Option[Map[String, org.apache.spark.sql.Column]],
+      tag: String = ""): Snapshot = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val snap = snapshot()
-    if (snap.files.isEmpty) return append(updates0)
+    if (snap.files.isEmpty) return append(updates0, tag)
     // a narrow source (int batch into a widened long column) upcasts
     // once here, so every downstream path sees the table's types
     val updates = conformTypes(updates0, schemaOf(snap))
@@ -2677,7 +2680,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     commitOrCleanup(rewritten, "merge",
         nextSchema = prev =>
           if (wholeRow) mergedSchemaWith(prev, updates.schema).json
-          else prev.schemaJson) { prev =>
+          else prev.schemaJson,
+        tag = tag) { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles

@@ -1,0 +1,211 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A mergeable aggregate column of a [[MaterializedView]]: the view
+  * stores PARTIAL aggregate state per group, and an incremental
+  * refresh combines stored state with the delta's partials instead of
+  * re-scanning the base table. Only aggregates with an associative,
+  * commutative merge qualify (the classic self-maintainable set for
+  * append-only bases): COUNT and SUM merge by addition, MIN/MAX by
+  * least/greatest. AVG is intentionally absent — store `Sum` + `Count`
+  * and divide at read time; storing a ratio would not merge.
+  */
+sealed trait MvAgg {
+  /** Result column name in the view. */
+  def name: String
+  /** Partial aggregate over a delta (or full) scan of the base. */
+  private[sources] def partial: Column
+  /** Merge of stored state with an incoming partial. NULL means "no
+    * values seen" on either side and must act as the identity, so a
+    * delta whose group saw only SQL NULLs cannot wipe stored state. */
+  private[sources] def merge(stored: Column, incoming: Column): Column
+}
+
+object MvAgg {
+  /** `count(*)` per group. */
+  final case class Count(name: String) extends MvAgg {
+    private[sources] def partial: Column = count(lit(1)).cast("long").as(name)
+    private[sources] def merge(s: Column, i: Column): Column =
+      coalesce(s + i, s, i)
+  }
+  /** `sum(expr)` per group (expr in base-table columns). */
+  final case class Sum(name: String, expr: Column) extends MvAgg {
+    private[sources] def partial: Column = sum(expr).as(name)
+    private[sources] def merge(s: Column, i: Column): Column =
+      coalesce(s + i, s, i)
+  }
+  /** `min(expr)` per group — monotone under appends only (a base
+    * DELETE can raise the true min; use [[MaterializedView.fullRefresh]]
+    * after row-changing base operations, as with every aggregate here). */
+  final case class Min(name: String, expr: Column) extends MvAgg {
+    private[sources] def partial: Column = min(expr).as(name)
+    private[sources] def merge(s: Column, i: Column): Column = least(s, i)
+  }
+  /** `max(expr)` per group. */
+  final case class Max(name: String, expr: Column) extends MvAgg {
+    private[sources] def partial: Column = max(expr).as(name)
+    private[sources] def merge(s: Column, i: Column): Column = greatest(s, i)
+  }
+}
+
+/** An incrementally-maintained aggregate MATERIALIZED VIEW over a
+  * [[LogTable]] — the rollup-maintenance shape every log pipeline
+  * runs (the reference's dashboards re-aggregate the api table per
+  * refresh, reference README.md:128-154; at 100 TB that re-scan is the
+  * first thing an operator replaces with an incrementally maintained
+  * rollup, which is what Databricks/Snowflake ship as "incremental MV
+  * refresh").
+  *
+  * The view's state is itself a LogTable (so it inherits time travel,
+  * atomic commits, compaction, the SQL/catalog read surface) holding
+  * one row per group: the group-by keys, one column of mergeable
+  * partial state per [[MvAgg]], and a derived merge key. [[refresh]]
+  * reads ONLY the base rows appended since the last refresh
+  * ([[LogTable.readAppends]] — maintenance-tolerant: base compaction
+  * contributes nothing), partially aggregates that delta (one shuffle
+  * over the DELTA, never the base), and MERGEs the partials into the
+  * stored groups. Refresh cost is O(delta + affected groups),
+  * independent of base size — the whole point at scale.
+  *
+  * EXACTLY-ONCE: the refreshed-through base version rides in the SAME
+  * atomic commit as the merged state (the snapshot tag), so a crashed
+  * refresh either never advanced the watermark (recompute is safe —
+  * nothing was applied) or fully applied. Re-running refresh when
+  * there is nothing new is a no-op by watermark compare. Double-apply
+  * is impossible; this is the Structured-Streaming commit-log idea
+  * expressed through the table's own snapshot lineage.
+  *
+  * Row-CHANGING base operations (delete/update/merge/rollback) cannot
+  * be expressed as appended rows; [[refresh]] inherits readAppends'
+  * loud failure there, and [[fullRefresh]] — one atomic full-source
+  * merge that updates matched groups, inserts new ones, and deletes
+  * vanished ones — resynchronizes the view. [[refreshOrFull]] picks
+  * automatically.
+  */
+final class MaterializedView private (
+    val base: LogTable,
+    /** The view's state table — read-only from callers' perspective
+      * except via refresh; maintenance (compact/expire) is fine. */
+    val table: LogTable,
+    val keyCols: Seq[String],
+    val aggs: Seq[MvAgg]) {
+
+  import MaterializedView._
+
+  /** The base-table version this view reflects (0 = never refreshed).
+    * Walks the view's snapshot lineage newest-first for the last
+    * refresh commit's tag — maintenance commits in between carry
+    * other tags and are skipped. */
+  def refreshedVersion: Long =
+    table.versions.sortBy(-_).iterator
+      .map(v => table.snapshot(v).tag)
+      .collectFirst { case t if t.startsWith(TagPrefix) =>
+        t.stripPrefix(TagPrefix).toLong }
+      .getOrElse(0L)
+
+  /** The view's contents: one row per group, keys + aggregate columns
+    * (the internal merge key dropped). */
+  def read(): DataFrame = table.read().drop(KeyCol)
+
+  /** Incremental refresh: fold base rows appended in
+    * (refreshedVersion, base.currentVersion] into the stored groups.
+    * Returns the new refreshed-through version (unchanged if there was
+    * nothing to fold). O(delta) scan + a merge that rewrites only
+    * files holding affected groups. */
+  def refresh(): Long = {
+    val from = refreshedVersion
+    val to = base.currentVersion
+    if (to <= from) return from
+    upsert(partials(base.readAppends(from, to)), to, full = false)
+    to
+  }
+
+  /** Full resynchronization in ONE atomic commit: re-aggregate the
+    * base, replace matched groups' state, insert new groups, delete
+    * groups no longer present (merge's not-matched-by-source clause).
+    * The recovery path after row-changing base operations — and the
+    * proof obligation for refresh(): both must converge to the same
+    * contents. */
+  def fullRefresh(): Long = {
+    val to = base.currentVersion
+    upsert(partials(base.read()), to, full = true)
+    to
+  }
+
+  /** refresh(), falling back to fullRefresh() when the appended-rows
+    * walk refuses (a row-changing base operation in the range). */
+  def refreshOrFull(): Long =
+    try refresh()
+    catch { case _: IllegalArgumentException | _: IllegalStateException =>
+      fullRefresh() }
+
+  /** Group-by keys + one partial-state column per aggregate + the
+    * null-safe derived merge key. */
+  private def partials(input: DataFrame): DataFrame = {
+    val first +: rest = aggs.map(_.partial): @unchecked
+    input.groupBy(keyCols.map(col): _*)
+      .agg(first, rest: _*)
+      .withColumn(KeyCol, keyExpr(keyCols))
+  }
+
+  private def upsert(delta: DataFrame, toVersion: Long, full: Boolean): Unit = {
+    val insertAll = (keyCols ++ aggs.map(_.name) :+ KeyCol)
+      .map(n => n -> col(n)).toMap
+    val set =
+      if (full) aggs.map(a => a.name -> col(s"src_${a.name}")).toMap
+      else aggs.map(a => a.name -> a.merge(col(a.name), col(s"src_${a.name}"))).toMap
+    table.merge(delta, KeyCol,
+      matchedSet = Some(set),
+      insertValues = Some(insertAll),
+      notMatchedBySourceDelete = if (full) Some(lit(true)) else None,
+      tag = s"$TagPrefix$toVersion")
+    ()
+  }
+}
+
+object MaterializedView {
+  /** Internal single-column merge key (merge joins on one column):
+    * md5 of the keys rendered as JSON WITH null fields kept, so
+    * (`a`, NULL) and (NULL, `a`) cannot collide the way a separator
+    * join would. Collision probability at 128 bits is below any
+    * hardware error rate. */
+  private[sources] val KeyCol = "mv_key"
+  private[sources] def keyExpr(keyCols: Seq[String]): Column =
+    md5(to_json(struct(keyCols.map(col): _*),
+      Map("ignoreNullFields" -> "false")))
+
+  /** Refresh-commit tag: `mv-base-v<version>` — the watermark channel
+    * that makes refresh exactly-once (see class doc). */
+  private[sources] val TagPrefix = "mv-base-v"
+
+  /** Create (or re-open) the view whose state lives at `dir`. The
+    * definition is the caller's; on re-open of a non-empty state table
+    * the recorded schema must carry exactly the definition's columns —
+    * a drifted definition fails loudly instead of merging nonsense
+    * into existing state. */
+  def apply(spark: SparkSession, base: LogTable, dir: String,
+      keyCols: Seq[String], aggs: Seq[MvAgg]): MaterializedView = {
+    require(keyCols.nonEmpty, "materialized view needs at least one group key")
+    require(aggs.nonEmpty, "materialized view needs at least one aggregate")
+    val names = keyCols ++ aggs.map(_.name)
+    require(names.map(_.toLowerCase).distinct.size == names.size,
+      s"duplicate column names in view definition: ${names.mkString(", ")}")
+    require(!names.exists(_.equalsIgnoreCase(KeyCol)),
+      s"'$KeyCol' is reserved for the view's merge key")
+    val table = LogTable(spark, dir)
+    val snap = table.snapshot()
+    if (snap.files.nonEmpty || snap.schemaJson.nonEmpty) {
+      val recorded = org.apache.spark.sql.types.DataType
+        .fromJson(snap.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.map(_.toLowerCase).toSet
+      val expected = (names :+ KeyCol).map(_.toLowerCase).toSet
+      require(recorded == expected,
+        s"view state at $dir records columns ${recorded.toSeq.sorted.mkString(", ")} " +
+          s"but the definition declares ${expected.toSeq.sorted.mkString(", ")} — " +
+          "the definition changed; rebuild the view in a new directory")
+    }
+    new MaterializedView(base, table, keyCols, aggs)
+  }
+}

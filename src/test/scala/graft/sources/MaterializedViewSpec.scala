@@ -1,0 +1,214 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Incrementally-maintained aggregate materialized views
+  * ([[MaterializedView]]): refresh folds ONLY appended rows into
+  * stored per-group state through one atomic merge commit that also
+  * carries the refreshed-through base version (exactly-once); full
+  * refresh resynchronizes after row-changing base operations in one
+  * commit; both converge to the same contents as re-aggregating the
+  * base from scratch. */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def rows(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, if (i % 3 == 0) "a" else "b", i.toDouble))
+      .toDF("id", "k", "v")
+
+  private def fresh(): (LogTable, MaterializedView) = {
+    val base = LogTable(spark, tmp("mv_base_"))
+    val mv = MaterializedView(spark, base, tmp("mv_view_"), Seq("k"),
+      Seq(MvAgg.Count("n"), MvAgg.Sum("total", col("v")),
+        MvAgg.Min("lo", col("v")), MvAgg.Max("hi", col("v"))))
+    (base, mv)
+  }
+
+  private def contents(mv: MaterializedView): Map[String, (Long, Double, Double, Double)] =
+    mv.read().collect().map { r =>
+      r.getAs[String]("k") -> (r.getAs[Long]("n"), r.getAs[Double]("total"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+    }.toMap
+
+  private def expected(base: LogTable): Map[String, (Long, Double, Double, Double)] =
+    base.read().groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("total"),
+        min($"v").as("lo"), max($"v").as("hi"))
+      .collect().map { r =>
+        r.getAs[String]("k") -> (r.getAs[Long]("n"), r.getAs[Double]("total"),
+          r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      }.toMap
+
+  test("incremental refresh over three appends equals the from-scratch aggregate") {
+    val (base, mv) = fresh()
+    assert(mv.refreshedVersion === 0L)
+    base.append(rows(0 until 40))
+    assert(mv.refresh() === 1L)
+    base.append(rows(40 until 70))
+    base.append(rows(70 until 100))
+    // one refresh spanning TWO base commits folds both deltas once
+    assert(mv.refresh() === 3L)
+    assert(mv.refreshedVersion === 3L)
+    assert(contents(mv) === expected(base))
+  }
+
+  test("refresh is a watermark no-op when nothing new landed, and exactly-once on re-run") {
+    val (base, mv) = fresh()
+    base.append(rows(0 until 50))
+    mv.refresh()
+    val v = mv.table.currentVersion
+    val before = contents(mv)
+    // nothing new: no commit on the view, contents unchanged
+    assert(mv.refresh() === 1L)
+    assert(mv.table.currentVersion === v)
+    assert(contents(mv) === before)
+  }
+
+  test("base compaction between refreshes folds nothing (row-preserving maintenance)") {
+    val (base, mv) = fresh()
+    base.append(rows(0 until 30).repartition(3))
+    mv.refresh()
+    base.append(rows(30 until 60).repartition(3))
+    base.compact()
+    mv.refresh()
+    assert(contents(mv) === expected(base))
+  }
+
+  test("a delta with new groups inserts them; existing groups merge in place") {
+    val base = LogTable(spark, tmp("mv_base_"))
+    val mv = MaterializedView(spark, base, tmp("mv_view_"), Seq("k"),
+      Seq(MvAgg.Count("n"), MvAgg.Sum("total", col("v"))))
+    base.append(Seq(("a", 1.0), ("a", 2.0)).toDF("k", "v"))
+    mv.refresh()
+    base.append(Seq(("a", 4.0), ("c", 8.0)).toDF("k", "v"))
+    mv.refresh()
+    val got = mv.read().orderBy($"k").collect().toSeq
+    assert(got === Seq(Row("a", 3L, 7.0), Row("c", 1L, 8.0)))
+  }
+
+  test("NULL group keys and NULL values fold correctly (null-keyed group is its own group; null values are the merge identity)") {
+    val base = LogTable(spark, tmp("mv_base_"))
+    val mv = MaterializedView(spark, base, tmp("mv_view_"), Seq("k"),
+      Seq(MvAgg.Count("n"), MvAgg.Sum("total", col("v"))))
+    base.append(Seq((Some("a"), Option.empty[Double]), (None, Some(5.0)))
+      .toDF("k", "v"))
+    mv.refresh()
+    // group "a" saw only NULL values: stored total is NULL, not 0
+    base.append(Seq((Some("a"), Some(2.0)), (None, Option.empty[Double]))
+      .toDF("k", "v"))
+    mv.refresh()
+    val got = mv.read().collect()
+      .map(r => Option(r.getAs[String]("k")) ->
+        (r.getAs[Long]("n"), Option(r.get(r.fieldIndex("total"))))).toMap
+    assert(got === Map(Some("a") -> (2L, Some(2.0)), None -> (2L, Some(5.0))))
+  }
+
+  test("multi-column group keys cannot collide across null/value splits") {
+    val base = LogTable(spark, tmp("mv_base_"))
+    val mv = MaterializedView(spark, base, tmp("mv_view_"), Seq("k1", "k2"),
+      Seq(MvAgg.Count("n")))
+    base.append(Seq((Some("a"), Option.empty[String]),
+      (Option.empty[String], Some("a"))).toDF("k1", "k2"))
+    mv.refresh()
+    // ("a", NULL) and (NULL, "a") are DISTINCT groups — a separator
+    // join key would have collapsed them
+    assert(mv.read().count() === 2L)
+    assert(mv.read().agg(sum($"n")).collect().head.getLong(0) === 2L)
+  }
+
+  test("fullRefresh resynchronizes after a row-changing base delete, in one commit") {
+    val (base, mv) = fresh()
+    base.append(rows(0 until 60))
+    mv.refresh()
+    base.delete($"v" < 20.0)
+    // the appended-rows walk refuses across a delete; incremental refresh throws
+    intercept[Exception] { mv.refresh() }
+    val viewV = mv.table.currentVersion
+    mv.fullRefresh()
+    assert(mv.table.currentVersion === viewV + 1)
+    assert(contents(mv) === expected(base))
+    // and incremental refresh resumes from the new watermark
+    base.append(rows(100 until 120))
+    mv.refresh()
+    assert(contents(mv) === expected(base))
+  }
+
+  test("fullRefresh deletes groups that vanished from the base") {
+    val base = LogTable(spark, tmp("mv_base_"))
+    val mv = MaterializedView(spark, base, tmp("mv_view_"), Seq("k"),
+      Seq(MvAgg.Count("n")))
+    base.append(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"))
+    mv.refresh()
+    base.delete($"k" === "b")
+    mv.fullRefresh()
+    assert(mv.read().select($"k").as[String].collect().toSeq === Seq("a"))
+  }
+
+  test("refreshOrFull picks incremental when possible, full when the walk refuses") {
+    val (base, mv) = fresh()
+    base.append(rows(0 until 30))
+    mv.refreshOrFull()
+    assert(contents(mv) === expected(base))
+    base.delete($"v" < 10.0)
+    mv.refreshOrFull()
+    assert(contents(mv) === expected(base))
+  }
+
+  test("view state survives reopen; a drifted definition is refused loudly") {
+    val base = LogTable(spark, tmp("mv_base_"))
+    val dir = tmp("mv_view_")
+    val mv = MaterializedView(spark, base, dir, Seq("k"),
+      Seq(MvAgg.Count("n"), MvAgg.Sum("total", col("v"))))
+    base.append(Seq(("a", 1.0)).toDF("k", "v"))
+    mv.refresh()
+    // reopen with the same definition: watermark and contents carry over
+    val mv2 = MaterializedView(spark, base, dir, Seq("k"),
+      Seq(MvAgg.Count("n"), MvAgg.Sum("total", col("v"))))
+    assert(mv2.refreshedVersion === 1L)
+    assert(mv2.read().collect().toSeq === Seq(Row("a", 1L, 1.0)))
+    // a different definition against recorded state must refuse
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView(spark, base, dir, Seq("k"), Seq(MvAgg.Count("cnt")))
+    }
+    assert(e.getMessage.contains("definition"))
+  }
+
+  test("view maintenance (compact) between refreshes neither disturbs contents nor the watermark") {
+    val (base, mv) = fresh()
+    base.append(rows(0 until 20))
+    mv.refresh()
+    base.append(rows(20 until 40))
+    mv.refresh()
+    mv.table.compact()
+    assert(mv.refreshedVersion === 2L) // tag walk skips the compact commit
+    base.append(rows(40 until 60))
+    mv.refresh()
+    assert(contents(mv) === expected(base))
+  }
+
+  test("definition validation refuses duplicate names, reserved names, empty keys") {
+    val base = LogTable(spark, tmp("mv_base_"))
+    intercept[IllegalArgumentException] {
+      MaterializedView(spark, base, tmp("mv_view_"), Nil, Seq(MvAgg.Count("n")))
+    }
+    intercept[IllegalArgumentException] {
+      MaterializedView(spark, base, tmp("mv_view_"), Seq("k"), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      MaterializedView(spark, base, tmp("mv_view_"), Seq("k"),
+        Seq(MvAgg.Count("k")))
+    }
+    intercept[IllegalArgumentException] {
+      MaterializedView(spark, base, tmp("mv_view_"), Seq("k"),
+        Seq(MvAgg.Count("mv_key")))
+    }
+  }
+}
