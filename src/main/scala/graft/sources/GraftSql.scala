@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *        WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (...)
   *        WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE`
   *                                                 → [[LogTable.merge]]
+  *   - `CREATE MATERIALIZED VIEW [IF NOT EXISTS] v AS SELECT <keys,
+  *        count(*)/sum/min/max AS alias> FROM t GROUP BY <keys>` —
+  *     an incrementally-maintained rollup ([[MaterializedView]]) whose
+  *     state lands under the warehouse; `CALL refresh_mv(v)` folds only
+  *     base rows appended since the last refresh (falling back to a
+  *     full rebuild across row-changing base ops;
+  *     `CALL refresh_mv_full(v)` forces one); `DROP MATERIALIZED VIEW`
   *   - `CALL compact(t) | expire(t, n) | expire_older_than(t, ms, n)
   *        | rollback(t, v) | remove_orphans(t) | recluster(t, c, n)
   *        | create_ref(t, name [, v]) | create_branch(t, name)
@@ -58,6 +65,19 @@ object GraftSql {
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, LogTable]()
+
+  /** Materialized views by SQL name (Trino's CREATE MATERIALIZED VIEW
+    * surface — the reference's users run Trino, reference
+    * README.md:125-168): each holds its own state LogTable under the
+    * warehouse and refreshes incrementally via CALL refresh_mv. */
+  private val mvRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, MaterializedView]()
+
+  private def mview(name: String): MaterializedView = {
+    val v = mvRegistry.get(name)
+    require(v != null, s"no materialized view '$name' (CREATE MATERIALIZED VIEW first)")
+    v
+  }
 
   @volatile private var warehousePath: Option[String] = None
 
@@ -144,8 +164,10 @@ object GraftSql {
     }
 
   /** Point every registered table's data view at its current snapshot. */
-  private def refreshViews(): Unit =
+  private def refreshViews(): Unit = {
     registry.forEach((name, t) => t.read().createOrReplaceTempView(name))
+    mvRegistry.forEach((name, v) => v.read().createOrReplaceTempView(name))
+  }
 
   // ------------------------------------------------------------------- DDL
 
@@ -156,10 +178,16 @@ object GraftSql {
     * first row), partition specs accept Iceberg-style hidden
     * transforms, and the new table registers for DML immediately. */
   private def execCreate(spark: SparkSession, stmt: String): DataFrame = {
+    CreateMvRe.findFirstMatchIn(stmt) match {
+      case Some(m) => return execCreateMv(spark, m)
+      case None =>
+    }
     val head = """(?is)^CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*\(""".r
       .findFirstMatchIn(stmt).getOrElse(throw new IllegalArgumentException(
         s"unsupported CREATE shape: $stmt (expected CREATE TABLE [IF NOT " +
-          "EXISTS] <name> (col TYPE, ...) [PARTITIONED BY (...)])"))
+          "EXISTS] <name> (col TYPE, ...) [PARTITIONED BY (...)], or " +
+          "CREATE MATERIALIZED VIEW [IF NOT EXISTS] <name> AS SELECT ... " +
+          "FROM <table> GROUP BY ...)"))
     val ifNotExists = head.group(1) != null
     val name = head.group(2)
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid table name '$name'")
@@ -203,6 +231,75 @@ object GraftSql {
     summarize(spark, name, snap)
   }
 
+  private val CreateMvRe =
+    ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
+      """\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+(.+)$""").r
+
+  /** `CREATE MATERIALIZED VIEW [IF NOT EXISTS] <name> AS SELECT <keys
+    * and aggregates> FROM <registered table> GROUP BY <keys>` — the
+    * Trino MV surface over [[MaterializedView]]. The select list is
+    * restricted to what incremental maintenance can actually sustain:
+    * bare group-key columns plus `count(*) | sum(e) | min(e) | max(e)
+    * AS alias` (mergeable partial state; AVG is deliberately refused —
+    * materialize sum+count and divide in the reading query). The
+    * view's state table lands under the warehouse at `<wh>/<name>`,
+    * readable as SQL view `<name>` and refreshed by
+    * `CALL refresh_mv(<name>)`. */
+  private def execCreateMv(spark: SparkSession,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    val ifNotExists = m.group(1) != null
+    val name = m.group(2)
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid view name '$name'")
+    val baseT = table(m.group(4))
+    val keys = scala.collection.mutable.ListBuffer[String]()
+    val aggs = scala.collection.mutable.ListBuffer[MvAgg]()
+    val AggItem = """(?is)^(count|sum|min|max)\s*\(\s*(.+?)\s*\)\s+AS\s+(\w+)$""".r
+    splitTopLevel(m.group(3), ',').map(_.trim).filter(_.nonEmpty).foreach {
+      case AggItem(fn, arg, alias) => fn.toLowerCase match {
+        case "count" =>
+          require(arg.trim == "*" || arg.trim == "1",
+            s"only count(*) is incrementally mergeable; got count($arg)")
+          aggs += MvAgg.Count(alias)
+        case "sum" => aggs += MvAgg.Sum(alias, org.apache.spark.sql.functions.expr(arg))
+        case "min" => aggs += MvAgg.Min(alias, org.apache.spark.sql.functions.expr(arg))
+        case "max" => aggs += MvAgg.Max(alias, org.apache.spark.sql.functions.expr(arg))
+      }
+      case c if c.matches("\\w+") => keys += c
+      case other => throw new IllegalArgumentException(
+        s"unsupported select item '$other' in CREATE MATERIALIZED VIEW " +
+          "(supported: group-key columns, and count(*)/sum(e)/min(e)/max(e) " +
+          "AS alias — avg is not mergeable: materialize sum and count, " +
+          "divide when reading)")
+    }
+    val gkeys = splitTopLevel(m.group(5), ',').map(_.trim).filter(_.nonEmpty)
+    require(gkeys.forall(_.matches("\\w+")),
+      s"GROUP BY must list bare column names; got '${m.group(5).trim}'")
+    require(gkeys.map(_.toLowerCase).toSet == keys.map(_.toLowerCase).toSet,
+      s"GROUP BY keys (${gkeys.mkString(", ")}) must match the select " +
+        s"list's bare columns (${keys.mkString(", ")})")
+    val wh = warehousePath.getOrElse(throw new IllegalStateException(
+      "no warehouse configured: GraftSql.setWarehouse(path) before CREATE"))
+    val root = java.nio.file.Paths.get(wh).resolve(name).toString
+    val exists = mvRegistry.containsKey(name) ||
+      java.nio.file.Files.exists(java.nio.file.Paths.get(root))
+    if (exists) require(ifNotExists, s"materialized view '$name' already exists (at $root)")
+    // create, or re-open existing state (the definition is validated
+    // against the recorded schema inside MaterializedView.apply)
+    val mv = MaterializedView(spark, baseT, root, keys.toSeq, aggs.toSeq)
+    mvRegistry.put(name, mv)
+    mv.read().createOrReplaceTempView(name)
+    summarizeMv(spark, name)
+  }
+
+  private def summarizeMv(spark: SparkSession, name: String): DataFrame = {
+    val mv = mview(name)
+    mv.read().createOrReplaceTempView(name)
+    val snap = mv.table.snapshot()
+    import spark.implicits._
+    Seq((snap.version, snap.operation, snap.files.size.toLong, snap.totalRows))
+      .toDF("version", "operation", "n_files", "total_rows")
+  }
+
   /** Partition specs: Iceberg transform DDL (`day(c)`, `hour(c)`,
     * `truncate(n, c)`, `bucket(n, c)`) become hidden transforms; bare
     * names become hive-style identity partition columns. */
@@ -229,12 +326,33 @@ object GraftSql {
   private val DropRe =
     """(?is)^DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?(\w+)$""".r
 
+  private val DropMvRe =
+    """(?is)^DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?(\w+)$""".r
+
+  /** `DROP MATERIALIZED VIEW [IF EXISTS] v`: unregister, drop the SQL
+    * view, delete the state directory (PURGE, as DROP TABLE). */
+  private def execDropMv(spark: SparkSession, ifExists: String,
+      name: String): DataFrame = {
+    val v = mvRegistry.remove(name)
+    val root = Option(v).map(_.table.root).orElse(
+      warehousePath.map(w => java.nio.file.Paths.get(w).resolve(name).toString)
+        .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    require(root.nonEmpty || ifExists != null,
+      s"no such materialized view '$name'")
+    spark.catalog.dropTempView(name)
+    root.foreach(r => LogTable.deleteRecursively(java.nio.file.Paths.get(r)))
+    import spark.implicits._
+    Seq((0L, "drop-materialized-view", 0L, 0L))
+      .toDF("version", "operation", "n_files", "total_rows")
+  }
+
   /** `DROP TABLE [IF EXISTS] t`: unregister, drop the SQL views, and
     * DELETE the table directory — PURGE semantics (with no shared
     * catalog there is nowhere to keep a tombstone; time travel dies
     * with the manifests, exactly like Iceberg's DROP TABLE PURGE). */
   private def execDrop(spark: SparkSession, stmt: String): DataFrame =
     stmt match {
+      case DropMvRe(ifExists, name) => execDropMv(spark, ifExists, name)
       case DropRe(ifExists, name) =>
         val t = registry.get(name)
         val root = Option(t).map(_.root).orElse(
@@ -569,6 +687,17 @@ object GraftSql {
           .map(a => if ((a.startsWith("'") && a.endsWith("'")) ||
             (a.startsWith("\"") && a.endsWith("\""))) a.substring(1, a.length - 1) else a)
         def t = table(args.head)
+        // materialized-view procedures target the MV registry, not a
+        // table; summarized over the view's own state snapshot
+        proc.toLowerCase match {
+          case "refresh_mv" =>
+            mview(args.head).refreshOrFull()
+            return summarizeMv(spark, args.head)
+          case "refresh_mv_full" =>
+            mview(args.head).fullRefresh()
+            return summarizeMv(spark, args.head)
+          case _ =>
+        }
         val snap = proc.toLowerCase match {
           case "compact" => t.compact()
           case "expire" => t.expire(keepLast = args(1).toInt)
@@ -639,7 +768,8 @@ object GraftSql {
             s"unknown procedure '$other' (supported: compact, expire, " +
               "expire_branch, expire_older_than, rollback, remove_orphans, " +
               "delete_mor, merge_mor, delete_eq, upsert_eq, recluster, " +
-              "create_ref, create_branch, fast_forward, evolve_spec)")
+              "create_ref, create_branch, fast_forward, evolve_spec, " +
+              "refresh_mv, refresh_mv_full)")
         }
         summarize(spark, args.head, snap)
       case _ => throw new IllegalArgumentException(

@@ -103,6 +103,32 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Continuous ROLLUP maintenance: each micro-batch lands in the
+    * view's base table as one atomic tagged append, then the attached
+    * [[graft.sources.MaterializedView]] folds exactly the newly
+    * committed rows into its stored per-group state — the reference's
+    * dashboard rollups (reference README.md:128-154 re-aggregate per
+    * refresh) kept continuously current at O(batch) cost per trigger.
+    * Exactly-once BOTH ways on restart: a replayed batch is skipped by
+    * its commit tag (the append never re-lands), and refresh() is
+    * idempotent by its own watermark (a crash between append and
+    * refresh re-folds from the watermark, not from zero; a crash after
+    * refresh no-ops). Readers join the view against base time travel
+    * freely — both are plain LogTables. */
+  def streamRollup(stream: DataFrame, mv: graft.sources.MaterializedView,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"stream-batch-$batchId"
+        if (!mv.base.hasTag(tag)) mv.base.append(batch, tag)
+        mv.refresh()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Write-audit-publish ingest — the reference's leader-commit loop
     * upgraded to WAP (Iceberg's branch-based audit pattern): each
     * micro-batch commits to a THROWAWAY AUDIT BRANCH, the `audit`

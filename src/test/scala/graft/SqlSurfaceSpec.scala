@@ -318,6 +318,59 @@ class SqlSurfaceSpec extends SparkSpec {
     GraftSql.exec(spark, "DROP TABLE IF EXISTS gsql_ddl") // no-op, no throw
   }
 
+  test("GraftSql CREATE MATERIALIZED VIEW: incremental rollup lifecycle in SQL") {
+    import graft.sources.GraftSql
+    val wh = Files.createTempDirectory("gsql_mv_wh_").toString
+    GraftSql.setWarehouse(wh)
+    GraftSql.exec(spark, "DROP TABLE IF EXISTS gsql_mv_base")
+    GraftSql.exec(spark,
+      "CREATE TABLE gsql_mv_base (id BIGINT, kind STRING, v DOUBLE)")
+    GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW gsql_mv AS
+        |SELECT kind, count(*) AS n, sum(v) AS total, max(v) AS hi
+        |FROM gsql_mv_base GROUP BY kind""".stripMargin)
+
+    GraftSql.exec(spark,
+      """INSERT INTO gsql_mv_base SELECT * FROM VALUES
+        |  (1, 'a', 1.5D), (2, 'b', 2.5D), (3, 'a', 3.5D) AS t(id, kind, v)""".stripMargin)
+    GraftSql.exec(spark, "CALL refresh_mv(gsql_mv)")
+    assert(GraftSql.exec(spark,
+      "SELECT n, total, hi FROM gsql_mv WHERE kind = 'a'")
+      .head().toSeq === Seq(2L, 5.0, 3.5))
+
+    // second batch folds incrementally; the view joins like any table
+    GraftSql.exec(spark,
+      "INSERT INTO gsql_mv_base SELECT * FROM VALUES (4, 'a', 4.0D) AS t(id, kind, v)")
+    GraftSql.exec(spark, "CALL refresh_mv(gsql_mv)")
+    assert(GraftSql.exec(spark,
+      "SELECT n, total, hi FROM gsql_mv WHERE kind = 'a'")
+      .head().toSeq === Seq(3L, 9.0, 4.0))
+
+    // row-changing base op: refresh_mv falls back to a full rebuild
+    GraftSql.exec(spark, "DELETE FROM gsql_mv_base WHERE kind = 'b'")
+    GraftSql.exec(spark, "CALL refresh_mv(gsql_mv)")
+    assert(GraftSql.exec(spark, "SELECT count(*) FROM gsql_mv")
+      .head().getLong(0) === 1L)
+
+    // restricted surface is refused loudly, with the workaround named
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.exec(spark,
+        """CREATE MATERIALIZED VIEW gsql_mv2 AS
+          |SELECT kind, avg(v) AS m FROM gsql_mv_base GROUP BY kind""".stripMargin)
+    }
+    assert(e.getMessage.contains("avg"))
+
+    // DROP MATERIALIZED VIEW purges state; IF EXISTS tolerant
+    val mvRoot = java.nio.file.Paths.get(wh).resolve("gsql_mv")
+    assert(Files.exists(mvRoot))
+    GraftSql.exec(spark, "DROP MATERIALIZED VIEW gsql_mv")
+    assert(!Files.exists(mvRoot))
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "CALL refresh_mv(gsql_mv)") }
+    GraftSql.exec(spark, "DROP MATERIALIZED VIEW IF EXISTS gsql_mv")
+    GraftSql.exec(spark, "DROP TABLE gsql_mv_base")
+  }
+
   test("GraftSql MERGE column-level SET / INSERT lists are byte-equal to the API") {
     import spark.implicits._
     import graft.sources.GraftSql

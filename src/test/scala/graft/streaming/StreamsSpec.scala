@@ -95,6 +95,40 @@ class StreamsSpec extends SparkSpec {
     assert(table.read().count() === expected)
   }
 
+  test("stream rollup: batches land and fold into the materialized view; restart changes nothing") {
+    import graft.sources.{MaterializedView, MvAgg}
+    val base = LogTable(spark,
+      Files.createTempDirectory("stream_mv_base_").toString)
+    val mv = MaterializedView(spark, base,
+      Files.createTempDirectory("stream_mv_view_").toString,
+      Seq("event_type"),
+      Seq(MvAgg.Count("n"), MvAgg.Sum("total", graft.Cols.money(col("value")))))
+    val ckpt = Files.createTempDirectory("ckpt_mv").toString
+    val q = Streams.streamRollup(eventsStream(), mv, ckpt)
+    assert(q.awaitTermination(120000), "rollup query did not finish in time")
+
+    // view contents equal the from-scratch aggregate (decimal sums:
+    // exact under any fold order)
+    val batchShaped = shape(spark.read.schema(eventsSchema).parquet(eventsDir))
+    val expected = batchShaped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(graft.Cols.money(col("value"))).as("total"))
+      .orderBy(col("event_type")).collect().toSeq
+    def viewRows() = mv.read()
+      .select(col("event_type"), col("n"), col("total"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(viewRows() === expected)
+    assert(mv.refreshedVersion === base.currentVersion)
+
+    // restart from the same checkpoint: no new input → no base commit,
+    // no view commit, identical contents
+    val (baseV, viewV) = (base.currentVersion, mv.table.currentVersion)
+    val q2 = Streams.streamRollup(eventsStream(), mv, ckpt)
+    assert(q2.awaitTermination(120000), "restarted query did not finish in time")
+    assert(base.currentVersion === baseV)
+    assert(mv.table.currentVersion === viewV)
+    assert(viewRows() === expected)
+  }
+
   test("stream ingest composes with incremental reads: a consumer sees only new commits") {
     val table = LogTable(spark,
       Files.createTempDirectory("stream_incr_").toString)
