@@ -736,6 +736,12 @@ object GraftSql {
             refreshViews()
             t.upsertEq(spark.sql(args(2)), args(1))
           case "recluster" => t.recluster(args(1), args(2).toInt)
+          // CALL set_sort_order(t, 'c1,c2') — declared write sort
+          // order; '' clears
+          case "set_sort_order" => t.setSortOrder(
+            if (args.length > 1)
+              args(1).split(",").map(_.trim).toSeq.filter(_.nonEmpty)
+            else Nil)
           // CALL analyze(t [, 'c1,c2...']) — NDV stats for the CBO
           case "analyze" => t.analyze(
             if (args.length > 1)

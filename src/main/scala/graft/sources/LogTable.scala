@@ -260,7 +260,14 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
       * file and row counts, totals) — the first thing an operator
       * greps after a bad commit. Free-form string map: writers may add
       * keys, and parse/render round-trip keys they don't know. */
-    summary: Map[String, String] = Map.empty) {
+    summary: Map[String, String] = Map.empty,
+    /** Declared WRITE SORT ORDER (Iceberg's write.sort-order): data
+      * writes locally sort their tasks' rows by these columns, so
+      * every data file is internally ordered — tight parquet
+      * row-group stats (intra-file pruning) and better run
+      * compression. Advisory for writers; never a read-correctness
+      * input. Empty = unordered writes. */
+    sortCols: Seq[String] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
 
@@ -731,7 +738,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         // row-preserving commits: rewrites carry only already-delivered
         // rows; schema/spec evolution and checks are metadata-only
         case "compact" | "recluster" | "set-check" | "set-bloom" |
-             "evolve-schema" | "evolve-spec" => Nil
+             "set-sort" | "evolve-schema" | "evolve-spec" => Nil
         case other => throw new IllegalStateException(
           s"cannot read v$v as appends: operation '$other' changes rows; " +
             "consume the changelog up to the maintenance boundary first")
@@ -1163,7 +1170,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
           _.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))),
       // free-form audit map: EVERY key round-trips, known or not
       Option(n.get("summary")).map(_.fields().asScala.map(e =>
-        e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
+        e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+      Option(n.get("sortOrder")).map(
+        _.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
   }
 
   /** Pack `files` into manifest segments, reusing every previous (or
@@ -1231,7 +1240,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val snapNow = snapshot()
     val mergedNow = mergedSchemaWith(snapNow, df.schema)
     val newFiles = writeDataFiles(conformTypes(df, mergedNow),
-      distribute = true, blooms = Some(snapNow.bloomCols))
+      distribute = true, blooms = Some(snapNow.bloomCols),
+      sort = Some(snapNow.sortCols))
     // checks validate the rows as WRITTEN (delete-on-violation) —
     // the files are still invisible to every reader
     enforceChecksOnWritten(newFiles, snapNow.checks, "the appended batch",
@@ -1268,7 +1278,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val snapNow = snapshot()
     val mergedNow = mergedSchemaWith(snapNow, df.schema)
     val newFiles = writeDataFiles(conformTypes(df, mergedNow),
-      distribute = true, blooms = Some(snapNow.bloomCols))
+      distribute = true, blooms = Some(snapNow.bloomCols),
+      sort = Some(snapNow.sortCols))
     enforceChecksOnWritten(newFiles, snapNow.checks, "the overwrite batch",
       mergedNow.json)
     var validatedChecks = snapNow.checks.keySet
@@ -1476,6 +1487,27 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def dropBloom(column: String): Snapshot =
     commit("set-bloom", nextBlooms = prev =>
       prev.bloomCols.filterNot(_.col.equalsIgnoreCase(column)))(_.files)
+
+  /** Declare the table's WRITE SORT ORDER (Iceberg's write.sort-order
+    * table property): every subsequent data-file write — append,
+    * overwrite, COW rewrites, compact — locally sorts its tasks' rows
+    * by `columns` before writing, so each data file is internally
+    * ordered. Why it matters at 100 TB: parquet row-group min/max
+    * stats become tight, so a selective pushed filter skips row groups
+    * INSIDE files (the intra-file analog of manifest range pruning),
+    * and sorted runs compress markedly better. Metadata-only commit;
+    * existing files keep their layout until rewritten (a later
+    * [[compact]] retrofits them). Empty clears the order. Explicit
+    * rewrites with their own arrangement ([[recluster]] /
+    * [[reclusterZ]]) keep their stronger, range-partitioned order. */
+  def setSortOrder(columns: Seq[String]): Snapshot = {
+    val snap = snapshot()
+    if (snap.schemaJson.nonEmpty)
+      columns.foreach(c =>
+        require(schemaOf(snap).fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"sort column '$c' is not a table column"))
+    commit("set-sort", nextSortCols = _ => columns)(_.files)
+  }
 
   /** Compute table-level approximate DISTINCT COUNTS (NDV) per column
     * and record them in the manifest — Iceberg's
@@ -1906,7 +1938,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       if (rewriteBins.size <= 2)
         rewriteBins.flatMap { bin =>
           writeDataFiles(readLive(snap, bin.toSeq).coalesce(1),
-            blooms = Some(snap.bloomCols))
+            blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
         }
       else {
         import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
@@ -1927,7 +1959,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
           spark.sparkContext.defaultParallelism)
         val arranged = routed.repartition(slots, arrangeKeys: _*)
           .drop("_graft_bin")
-        writeDataFiles(arranged, blooms = Some(snap.bloomCols))
+        writeDataFiles(arranged, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
       }
     // Row-conservation tripwire from manifest arithmetic (exact when
     // no equality deletes are outstanding): any routing slip — a
@@ -1985,7 +2017,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val keepRows = readLive(snap, affected).filter(
       !org.apache.spark.sql.functions.coalesce(
         condition, org.apache.spark.sql.functions.lit(false)))
-    val rewritten = writeDataFiles(keepRows, blooms = Some(snap.bloomCols))
+    val rewritten = writeDataFiles(keepRows, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
     commitOrCleanup(rewritten, "delete") { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
@@ -2089,7 +2121,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         col(LogTable.PosCol).as("pos"))
     val del = writeDeleteFiles(marked, snap.files.size)
     val newFiles = writeDataFiles(conformTypes(updates, mergedNow),
-      distribute = true, blooms = Some(snap.bloomCols))
+      distribute = true, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
     var validatedChecks = snap.checks.keySet
     try {
       enforceChecksOnWritten(newFiles, snap.checks, "the merged batch",
@@ -2188,7 +2220,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val eq = writeEqFiles(updates.select(col(key)),
       knownCount = Some(gstat.getLong(2)))
     val newFiles = writeDataFiles(conformTypes(updates, mergedNow),
-      distribute = true, blooms = Some(snap.bloomCols))
+      distribute = true, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
     var validatedChecks = snap.checks.keySet
     try {
       enforceChecksOnWritten(newFiles, snap.checks, "the upserted batch",
@@ -2404,7 +2436,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       }
     }: _*)
     val rewritten = writeDataFiles(rewrittenRows,
-      blooms = Some(snap.bloomCols))
+      blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
     enforceChecksOnWritten(rewritten, snap.checks, "the updated rows",
       snap.schemaJson)
     var validatedChecks = snap.checks.keySet
@@ -2662,8 +2694,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
     val rewritten =
       (if (affected.isEmpty) Seq.empty
-       else writeDataFiles(survivors, blooms = Some(snap.bloomCols))) ++
-        writeDataFiles(insertRows, blooms = Some(snap.bloomCols))
+       else writeDataFiles(survivors, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))) ++
+        writeDataFiles(insertRows, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
     // constraints validate everything this merge WROTE (survivor files
     // conform by induction but re-checking them costs one read of the
     // just-written local files, not a re-execution of the join). A
@@ -2718,7 +2750,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
         val rewritten = writeDataFiles(
           readLive(snap, snap.files)
             .repartitionByRange(nFiles, col(column))
-            .sortWithinPartitions(column), blooms = Some(snap.bloomCols))
+            .sortWithinPartitions(column),
+          blooms = Some(snap.bloomCols), sort = Some(Nil))
         commitOrCleanup(rewritten, "recluster") { prev =>
           val replaced = snap.files.map(_.path).toSet
           val prevPaths = prev.files.map(_.path).toSet
@@ -2787,7 +2820,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
           df.withColumn("_z", z)
             .repartitionByRange(nFiles, col("_z"))
             .sortWithinPartitions("_z")
-            .drop("_z"), blooms = Some(snap.bloomCols))
+            .drop("_z"),
+          blooms = Some(snap.bloomCols), sort = Some(Nil))
         commitOrCleanup(rewritten, "recluster") { prev =>
           val replaced = snap.files.map(_.path).toSet
           val prevPaths = prev.files.map(_.path).toSet
@@ -2993,7 +3027,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
 
   private def writeDataFiles(df: DataFrame,
       distribute: Boolean = false,
-      blooms: Option[Seq[BloomCol]] = None): Seq[DataFile] = {
+      blooms: Option[Seq[BloomCol]] = None,
+      sort: Option[Seq[String]] = None): Seq[DataFile] = {
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
     // hidden transforms: derive the layout keys from row data — every
     // write path (append, compact, recluster, COW rewrites) re-derives
@@ -3020,10 +3055,27 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // one file per tuple, written in parallel across the cluster.
     // Rewrite paths keep their own deliberate arrangements (compact's
     // bin coalesce, recluster's range+sort).
-    val arranged =
+    val distributed =
       if (distribute && partCols.nonEmpty)
         laid.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
       else laid
+    // DECLARED SORT ORDER (see setSortOrder): a task-local sort just
+    // before the write — no extra shuffle — leaves every data file
+    // internally ordered. Columns absent from this frame (a narrow
+    // COW rewrite) are skipped rather than failed: the order is a
+    // write-side optimization, never a correctness gate. Callers with
+    // a deliberate arrangement (recluster) pass Some(Nil) to keep it.
+    // On a partitioned table the sort is PREFIXED by the layout
+    // columns (Iceberg prefixes the partition spec the same way):
+    // FileFormatWriter requires task rows ordered by the partition
+    // columns and would otherwise insert its OWN sort — by them
+    // alone, not order-preserving — right after ours.
+    val declaredSort = sort.getOrElse(snapshot().sortCols)
+      .filter(c => distributed.columns.exists(_.equalsIgnoreCase(c)))
+    val arranged =
+      if (declaredSort.isEmpty) distributed
+      else distributed.sortWithinPartitions(
+        (partCols ++ declaredSort).map(org.apache.spark.sql.functions.col): _*)
     // zero-rename commit: tasks write final UUID names under data/
     // directly and job commit leaves a sidecar file list in the stage
     // dir — no per-file task-commit rename, no driver-side move. On an
@@ -3126,6 +3178,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       nextEqDeletes: Snapshot => Seq[EqDeleteFile] = _.eqDeletes,
       nextBlooms: Snapshot => Seq[BloomCol] = _.bloomCols,
       nextNdvs: Snapshot => Map[String, Long] = _.ndvs,
+      nextSortCols: Snapshot => Seq[String] = _.sortCols,
       /** Extra reusable-segment candidates beyond the previous
         * snapshot's own (fastForward offers the branch head's, so a
         * publish re-lists branch-written segments instead of
@@ -3228,7 +3281,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val next = Snapshot(ver, prev.version, operation,
         System.currentTimeMillis(), files, tag, nextSchema(prev),
         nextChecks(prev), nextRetired(prev), dels, pc, tf, eqDels,
-        nextBlooms(prev), nextNdvs(prev), segs, Some(meta), summary)
+        nextBlooms(prev), nextNdvs(prev), segs, Some(meta), summary,
+        nextSortCols(prev))
       // ATOMIC CREATE-OR-FAIL publish through the storage seam: the
       // full manifest is visible the instant the name exists, and a
       // version collision reports failure instead of overwriting the
@@ -3744,6 +3798,10 @@ object LogTable {
     if (s.summary.nonEmpty) {
       val sn = node.putObject("summary")
       s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sn.put(k, v) }
+    }
+    if (s.sortCols.nonEmpty) {
+      val so = node.putArray("sortOrder")
+      s.sortCols.foreach(so.add)
     }
     val segPaths = s.segs.iterator.flatMap(_.paths).toSet
     val arr: ArrayNode = node.putArray("files")
