@@ -279,6 +279,31 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** CDC changelog roundtrip ([[graft.sources.LogTable.readCdc]]):
+    * ingest in three appends, COW-delete the errors, MoR-mark the
+    * small values, COW-update the clicks, then read the FULL
+    * changelog and aggregate it by (event_type, change type). The
+    * oracle recomputes each commit's exact delta from the source
+    * parquet with plain SQL set algebra — a changelog that misses a
+    * row, double-reports a rewrite's carried rows, or mis-types a
+    * change breaks the hash. */
+  def lakeCdc(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_cdc_").toString
+    val t = LogTable(s, tmp)
+    val ev = Tables.events(s, dir)
+    (0 until 3).foreach { i =>
+      t.append(ev.filter(pmod(col("event_id"), lit(3)) === i))
+    }
+    t.delete(col("event_type") === "error")
+    t.deleteMor(col("value") < 10)
+    t.update(col("event_type") === "click",
+      Map("value" -> (col("value") + lit(1000.0))))
+    t.readCdc(0L)
+      .groupBy(col("event_type"), col("_change_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("_change_type"))
+  }
+
   /** The ENTIRE lifecycle through the SQL statement surface
     * ([[graft.sources.GraftSql]]) — CREATE TABLE (declared schema,
     * zero Scala-side setup, like the reference's init-setup.py DDL),
@@ -721,6 +746,7 @@ object Lakehouse {
     "lake_skipped" -> (lakeSkipped _),
     "lake_incremental" -> (lakeIncremental _),
     "lake_mv" -> (lakeMv _),
+    "lake_cdc" -> (lakeCdc _),
     "lake_roundtrip" -> (lakeRoundtrip _),
     "lake_delete" -> (lakeDelete _),
     "lake_pruned" -> (lakePruned _),
@@ -868,6 +894,25 @@ object Lakehouse {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // each commit's exact row-level delta, recomputed as set algebra
+    // over the source: 3 appends = every row inserted; COW delete =
+    // errors deleted; MoR marks = small values among survivors;
+    // update = surviving clicks deleted at the old value and
+    // re-inserted at the new one
+    "lake_cdc" ->
+      """WITH c AS (
+        |  SELECT event_type, 'insert' AS _change_type FROM events
+        |  UNION ALL SELECT event_type, 'delete' FROM events
+        |    WHERE event_type = 'error'
+        |  UNION ALL SELECT event_type, 'delete' FROM events
+        |    WHERE event_type <> 'error' AND value < 10
+        |  UNION ALL SELECT event_type, 'delete' FROM events
+        |    WHERE event_type = 'click' AND value >= 10
+        |  UNION ALL SELECT event_type, 'insert' FROM events
+        |    WHERE event_type = 'click' AND value >= 10)
+        |SELECT event_type, _change_type, count(*) AS n
+        |FROM c GROUP BY event_type, _change_type
+        |ORDER BY event_type, _change_type""".stripMargin,
     "lake_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

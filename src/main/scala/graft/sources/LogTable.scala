@@ -746,6 +746,91 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** CHANGE-DATA-CAPTURE read (Delta's change data feed / Iceberg's
+    * changelog scan): every row-level change committed in
+    * (`fromVersion`, `toVersion`], as the table's columns (conformed
+    * to `toVersion`'s schema) plus `_change_type` ('insert' |
+    * 'delete') and `_commit_version`. An UPDATE surfaces as its old
+    * row deleted plus its new row inserted in the same commit — net
+    * changes, exactly Iceberg's changelog contract. Row-preserving
+    * maintenance (compact/recluster) and metadata commits contribute
+    * nothing.
+    *
+    * HOW (and the scale story): appends emit their added files' live
+    * rows directly — O(delta). Every other commit diffs live rows
+    * across the boundary, restricted to the files that could have
+    * changed visibility: the snapshot file-list symmetric difference,
+    * plus kept files whose position-delete marks differ, plus (only
+    * when the equality-tombstone set changed — tombstones apply
+    * table-wide by sequence) all kept files. Within that bounded set
+    * the diff is two multiset EXCEPT ALLs — one shuffle each over
+    * changed files' rows, never a whole-table scan for COW/MoR
+    * row-level operations. Rows must be comparable (no map-typed
+    * columns), the SQL set-op restriction.
+    *
+    * Both boundary snapshots must still be live (readable through
+    * time travel) — expire() removes the history CDC reads. */
+  def readCdc(fromVersion: Long, toVersion: Long = currentVersion): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val target = schemaOf(snapshot(toVersion))
+    require(target.nonEmpty, "cannot CDC-read a table with no schema yet")
+    def conform(df: DataFrame): DataFrame =
+      df.select(target.map { f =>
+        if (df.columns.exists(_.equalsIgnoreCase(f.name)))
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    def stamp(df: DataFrame, change: String, v: Long): DataFrame =
+      df.withColumn(LogTable.ChangeTypeCol, lit(change))
+        .withColumn(LogTable.CommitVersionCol, lit(v))
+    val empty = stamp(conform(emptyLike()), "insert", 0L).limit(0)
+    val frames = ((fromVersion + 1) to toVersion).map { v =>
+      val cur = snapshot(v)
+      val par = snapshot(cur.parent)
+      cur.operation match {
+        case "append" =>
+          val parPaths = par.files.map(_.path).toSet
+          val added = cur.files.filterNot(f => parPaths.contains(f.path))
+          if (added.isEmpty) empty
+          else stamp(conform(readLive(cur, added)), "insert", v)
+        case "compact" | "recluster" | "analyze" | "set-check" |
+             "set-bloom" | "set-sort" | "evolve-schema" | "evolve-spec" =>
+          empty
+        case _ =>
+          val parPaths = par.files.map(_.path).toSet
+          val curPaths = cur.files.map(_.path).toSet
+          val added = cur.files.filterNot(f => parPaths.contains(f.path))
+          val removed = par.files.filterNot(f => curPaths.contains(f.path))
+          // kept files whose VISIBILITY marks changed across the
+          // boundary: position-delete diff names its files exactly;
+          // an equality-tombstone change is table-wide (sequence
+          // scoped), so every kept file is conservatively in scope
+          val parDel = par.deletes.toSet
+          val curDel = cur.deletes.toSet
+          val delDiff = ((parDel diff curDel) ++ (curDel diff parDel))
+            .flatMap(_.counts.keySet)
+          val eqChanged = par.eqDeletes.toSet != cur.eqDeletes.toSet
+          def affectedKept(files: Seq[DataFile], other: Set[String]) =
+            files.filter(f => other.contains(f.path) &&
+              (eqChanged || delDiff.contains(f.path)))
+          val beforeFiles = removed ++ affectedKept(par.files, curPaths)
+          val afterFiles = added ++ affectedKept(cur.files, parPaths)
+          if (beforeFiles.isEmpty && afterFiles.isEmpty) empty
+          else {
+            val before = conform(
+              if (beforeFiles.isEmpty) emptyLike() else readLive(par, beforeFiles))
+            val after = conform(
+              if (afterFiles.isEmpty) emptyLike() else readLive(cur, afterFiles))
+            stamp(after.exceptAll(before), "insert", v)
+              .unionByName(stamp(before.exceptAll(after), "delete", v))
+          }
+      }
+    }
+    frames.reduceOption(_ unionByName _).getOrElse(empty)
+  }
+
   /** Read a concrete file list; basePath lets Spark re-derive the
     * hive-style partition columns from the data paths. When the
     * snapshot carries its schema (`schemaJson`), the scan gets it
@@ -3446,6 +3531,9 @@ object LogTable {
     * colliding user columns loudly). */
   private[sources] val FileCol = "_del_file"
   private[sources] val PosCol = "_del_pos"
+  /** CDC output columns (Delta CDF naming; see [[LogTable.readCdc]]). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
   /** Position-delete sharding: one delete file per up to this many
     * referenced data files (capped at 256 shards). Keeps a large
     * marking pass parallel on the write side without exploding tiny

@@ -1,0 +1,123 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** CDC changelog reads ([[LogTable.readCdc]], Delta CDF / Iceberg
+  * changelog parity): appends surface as inserts, COW and MoR
+  * row-level operations as exact delete/insert pairs diffed over only
+  * the files whose visibility changed, maintenance contributes
+  * nothing, and the changelog replays to the table's live state. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): LogTable =
+    LogTable(spark, Files.createTempDirectory("cdc_spec_").toString)
+
+  private def rows(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i.toLong)).toDF("id", "k", "v")
+
+  private def changes(df: DataFrame): Map[(String, Long), Set[Long]] =
+    df.collect().map(r => (r.getAs[String]("_change_type"),
+      r.getAs[Long]("_commit_version")) -> r.getAs[Long]("id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("appends emit their rows as inserts, stamped with their commit version") {
+    val t = fresh()
+    t.append(rows(0 until 10))
+    t.append(rows(10 until 15))
+    val got = changes(t.readCdc(0L))
+    assert(got === Map(
+      ("insert", 1L) -> (0L until 10L).toSet,
+      ("insert", 2L) -> (10L until 15L).toSet))
+    // a narrower window sees only its commits
+    assert(changes(t.readCdc(1L)) === Map(("insert", 2L) -> (10L until 15L).toSet))
+    assert(t.readCdc(2L).count() === 0L)
+  }
+
+  test("COW delete and update emit exact delete / delete+insert pairs") {
+    val t = fresh()
+    t.append(rows(0 until 20).repartition(2))
+    t.delete($"id" < 5)
+    val afterDelete = changes(t.readCdc(1L, 2L))
+    assert(afterDelete === Map(("delete", 2L) -> (0L until 5L).toSet))
+
+    t.update($"k" === "a", Map("v" -> ($"v" + 100L)))
+    val upd = t.readCdc(2L, 3L)
+    val updIns = upd.filter($"_change_type" === "insert")
+    val updDel = upd.filter($"_change_type" === "delete")
+    // surviving 'a' rows: ids 6,8,...,18
+    val aIds = (6L until 20L by 2).toSet
+    assert(updDel.select($"id").as[Long].collect().toSet === aIds)
+    assert(updIns.select($"id").as[Long].collect().toSet === aIds)
+    // old rows carry the old value, new rows the updated one
+    assert(updDel.select($"v").as[Long].collect().toSet === aIds)
+    assert(updIns.select($"v").as[Long].collect().toSet === aIds.map(_ + 100L))
+  }
+
+  test("MoR position deletes and their compaction fold are net-neutral after the marks") {
+    val t = fresh()
+    t.append(rows(0 until 30).repartition(3))
+    t.deleteMor($"id" >= 25)
+    assert(changes(t.readCdc(1L, 2L)) ===
+      Map(("delete", 2L) -> (25L until 30L).toSet))
+    // folding the marks into clean files changes NO row's visibility
+    t.compact()
+    assert(t.readCdc(2L, 3L).count() === 0L)
+  }
+
+  test("equality tombstones and upserts diff correctly (table-wide scope)") {
+    val t = fresh()
+    t.append(rows(0 until 10))
+    t.deleteEq(Seq(1L, 3L).toDF("id"))
+    assert(changes(t.readCdc(1L, 2L)) === Map(("delete", 2L) -> Set(1L, 3L)))
+    // upsertEq: matched key's old row deleted, new rows inserted
+    t.upsertEq(Seq((2L, "z", 999L), (50L, "z", 500L)).toDF("id", "k", "v"), "id")
+    val up = changes(t.readCdc(2L, 3L))
+    assert(up(("delete", 3L)) === Set(2L))
+    assert(up(("insert", 3L)) === Set(2L, 50L))
+  }
+
+  test("merge emits net changes; maintenance and metadata commits emit nothing") {
+    val t = fresh()
+    t.append(rows(0 until 10).repartition(2))
+    t.setSortOrder(Seq("id"))                       // metadata: silent
+    t.merge(Seq((0L, "m", 0L), (100L, "m", 1L)).toDF("id", "k", "v"), "id")
+    t.compact()                                     // row-preserving: silent
+    val got = changes(t.readCdc(1L))
+    assert(got(("delete", 3L)) === Set(0L))         // old row 0 replaced
+    assert(got(("insert", 3L)) === Set(0L, 100L))   // new row 0 + insert 100
+    assert(got.keys.map(_._2).toSet === Set(3L))    // v2 and v4 contributed nothing
+  }
+
+  test("the changelog replays to the live table (inserts minus deletes = current rows)") {
+    val t = fresh()
+    t.append(rows(0 until 40).repartition(2))
+    t.delete($"id" % 7 === 0L)
+    t.deleteMor($"id" % 11 === 1L)
+    t.update($"k" === "b", Map("v" -> ($"v" * 2L)))
+    t.append(rows(100 until 110))
+    val cdc = t.readCdc(0L)
+    val replayed = cdc.filter($"_change_type" === "insert")
+      .select($"id", $"k", $"v")
+      .exceptAll(cdc.filter($"_change_type" === "delete").select($"id", $"k", $"v"))
+    val live = t.read().select($"id", $"k", $"v")
+    assert(replayed.exceptAll(live).count() === 0L)
+    assert(live.exceptAll(replayed).count() === 0L)
+  }
+
+  test("schema evolution conforms old commits to the target schema") {
+    val t = fresh()
+    t.append(Seq((1L, "a")).toDF("id", "k"))
+    t.append(Seq((2L, "b", 5L)).toDF("id", "k", "extra")) // widens schema
+    val cdc = t.readCdc(0L).orderBy($"_commit_version")
+    assert(cdc.columns.toSeq ===
+      Seq("id", "k", "extra", "_change_type", "_commit_version"))
+    val r = cdc.collect()
+    assert(r(0).isNullAt(r(0).fieldIndex("extra"))) // v1 row: typed null
+    assert(r(1).getAs[Long]("extra") === 5L)
+  }
+}
