@@ -42,6 +42,8 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *        | create_ref(t, name [, v]) | create_branch(t, name)
   *        | fast_forward(t, name)`                 → maintenance API
   *   - anything else → `spark.sql` after time-travel rewriting:
+  *     `table_changes(t, from [, to])` (the CDC changelog as a table
+  *     function, Delta/Iceberg style),
   *     `t@v3` (version), `t@<ref>` (tag), `t@<branch>` (branch head),
   *     `t VERSION AS OF 3`, `t TIMESTAMP AS OF <epoch-ms |
   *     'yyyy-MM-dd HH:mm:ss' UTC>` all become snapshot-scoped temp
@@ -821,6 +823,18 @@ object GraftSql {
     for (m <- """(?i)(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r.findAllMatchIn(stmt))
       bind(m.start, m.end, m.matched, m.group(1),
         table(m.group(1)).timeTravel(m.group(2).toLong))
+    // table_changes(t, from [, to]) — the CDC changelog as a table
+    // function (Delta's table_changes / Iceberg's changelog view):
+    // rows + _change_type + _commit_version over (from, to]
+    for (m <- """(?i)table_changes\s*\(\s*(\w+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)"""
+        .r.findAllMatchIn(stmt)) {
+      val name = m.group(1)
+      bind(m.start, m.end, m.matched, name, {
+        val t = table(name)
+        t.readCdc(m.group(2).toLong,
+          Option(m.group(3)).map(_.toLong).getOrElse(t.currentVersion))
+      })
+    }
     // t TIMESTAMP AS OF 1704067200000 | 'yyyy-MM-dd HH:mm:ss' (UTC)
     for (m <- """(?i)(\w+)\s+TIMESTAMP\s+AS\s+OF\s+(\d+|'[^']+')""".r.findAllMatchIn(stmt)) {
       val ts = m.group(2) match {

@@ -103,6 +103,41 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** CDC REPLICATION: apply the source table's changelog in
+    * (`fromVersion`, `toVersion`] to a downstream keyed table — the
+    * standard lakehouse ETL hop (Delta's CDF apply / Debezium-style
+    * sink), which unlike [[tailInto]] propagates DELETES and UPDATES,
+    * not just appends. The changelog is first NETTED per key (latest
+    * commit wins; within one commit the inserted new row beats the
+    * deleted old row), so one call spanning many source commits
+    * applies each key's FINAL state once: surviving keys upsert
+    * (equality-upsert, O(batch)), vanished keys tombstone
+    * (equality-delete, zero table I/O). Netting also makes replay
+    * IDEMPOTENT — re-running any range converges to the same
+    * destination state, so a crashed hop is resumed by re-running it.
+    * Requires `key`-unique rows in the source (the same contract every
+    * keyed CDC consumer assumes). Returns the applied toVersion. */
+  def cdcApply(src: LogTable, dst: LogTable, key: String,
+      fromVersion: Long, toVersion: Long): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val cdc = src.readCdc(fromVersion, toVersion)
+    val w = Window.partitionBy(col(key)).orderBy(
+      col(LogTable.CommitVersionCol).desc,
+      when(col(LogTable.ChangeTypeCol) === "insert", 1).otherwise(0).desc)
+    val net = cdc.withColumn("_cdc_rn", row_number().over(w))
+      .filter(col("_cdc_rn") === 1).drop("_cdc_rn")
+      .cache()
+    try {
+      val ins = net.filter(col(LogTable.ChangeTypeCol) === "insert")
+        .drop(LogTable.ChangeTypeCol, LogTable.CommitVersionCol)
+      val del = net.filter(col(LogTable.ChangeTypeCol) === "delete")
+        .select(col(key))
+      if (!ins.isEmpty) dst.upsertEq(ins, key, tag = s"cdc-$fromVersion-$toVersion")
+      if (!del.isEmpty) dst.deleteEq(del)
+      toVersion
+    } finally { net.unpersist(); () }
+  }
+
   /** Continuous ROLLUP maintenance: each micro-batch lands in the
     * view's base table as one atomic tagged append, then the attached
     * [[graft.sources.MaterializedView]] folds exactly the newly
