@@ -132,6 +132,31 @@ object Pipeline {
     * ':mix' so mixture decisions are INDEPENDENT of pipeline_split's
     * (the same doc_id hashes differently for each decision).
     * Pure narrow map → one small agg; scales to any corpus. */
+  /** SEEDED GLOBAL SHUFFLE + SHARD — the training-order step: every
+    * epoch the corpus is read in a pseudo-random order, and that order
+    * must be REPRODUCIBLE (resume mid-epoch, re-run a job, compare two
+    * runs). Derive a 32-bit hash from (seed, doc_id), shard by hash
+    * modulus, and rank WITHIN each shard by hash — a two-level order
+    * (random shard, random order inside it), which is how real
+    * pipelines shuffle at scale: the within-shard rank is a B-way
+    * parallel PARTITIONED window; a single global row_number would
+    * collapse 100 TB onto one task. Changing the seed permutes
+    * everything; the same seed replays bit-identically on any engine
+    * (integer-exact md5 arithmetic — the oracle recomputes it). */
+  def shuffleShard(s: SparkSession, dir: String,
+      nShards: Int = 8, seed: String = "epoch1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hash32(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   def mixtureSample(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
     val mixHash = hash32(concat(col("doc_id").cast("string"), lit(":mix")))
@@ -218,6 +243,7 @@ object Pipeline {
     "pipeline_mix" -> ((s, dir) => mixtureSample(s, dir)),
     "pipeline_pack" -> ((s, dir) => packWindows(s, dir)),
     "pipeline_decontaminate" -> (decontaminate _),
+    "pipeline_shuffle" -> ((s, dir) => shuffleShard(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,5 +350,13 @@ object Pipeline {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM a WHERE h < keep_below
         |GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5('epoch1' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
   )
 }

@@ -226,6 +226,30 @@ class PlanContractSpec extends SparkSpec {
     assert(md.count() === 350L)
   }
 
+  test("dedup_lines: first-occurrence marking is a PARTITIONED window keyed by line — no join back against the corpus") {
+    val p = plan("dedup_lines")
+    assert(count(p, "Join") === 0,
+      "keep-marks must ride the window, not a join back to the exploded corpus")
+    assert(p.contains("Window"), "first-occurrence min is a window over line")
+    assert(!p.contains("SinglePartition"),
+      "the line window must partition by line text, never collapse to one task")
+    // the scan reads only what the operator needs
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("doc_id") && scan.contains("text"))
+    assert(!scan.contains("lang") && !scan.contains("source"))
+  }
+
+  test("pipeline_shuffle: the within-shard rank is a PARTITIONED window — never a global row_number") {
+    val p = plan("pipeline_shuffle")
+    assert(count(p, "Join") === 0)
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"),
+      "training-order ranking must shard-partition, not collapse to one task")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("doc_id") && !scan.contains("text"),
+      "the shuffle plan must never read document text")
+  }
+
   test("log_retention: the cohort join co-partitions on user_id — no broadcast needed, no extra exchange") {
     val p = plan("log_retention")
     // at 100 TB the cohort side is as big as the user population —
