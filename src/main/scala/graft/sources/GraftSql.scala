@@ -658,8 +658,33 @@ object GraftSql {
   private val AlterAddRe =
     """(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()\s,]+?)$""".r
 
+  private val AlterSetPropsRe =
+    """(?is)^ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)$""".r
+  private val AlterUnsetPropsRe =
+    """(?is)^ALTER\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)$""".r
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if ((t.startsWith("'") && t.endsWith("'")) ||
+        (t.startsWith("\"") && t.endsWith("\"")))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
   private def execAlter(spark: SparkSession, stmt: String): DataFrame =
     stmt match {
+      case AlterSetPropsRe(name, kvList) =>
+        val kvs = splitTopLevel(kvList, ',').map(_.trim).filter(_.nonEmpty)
+          .map { kv =>
+            val cut = kv.indexOf('=')
+            require(cut > 0, s"expected 'key' = 'value' in TBLPROPERTIES, got '$kv'")
+            unquote(kv.substring(0, cut)) -> unquote(kv.substring(cut + 1))
+          }.toMap
+        summarize(spark, name, table(name).setProperties(kvs))
+      case AlterUnsetPropsRe(name, keyList) =>
+        val keys = splitTopLevel(keyList, ',').map(_.trim).filter(_.nonEmpty)
+          .map(unquote)
+        summarize(spark, name, table(name).unsetProperties(keys))
       case AlterRenameRe(name, from, to) =>
         summarize(spark, name, table(name).renameColumn(from, to))
       case AlterDropRe(name, colName) =>
@@ -675,7 +700,8 @@ object GraftSql {
       case _ => throw new IllegalArgumentException(
         s"unsupported ALTER shape: $stmt (expected ALTER TABLE <t> ADD COLUMN " +
           "<c> <type> | RENAME COLUMN <a> TO <b> | DROP COLUMN <a> | " +
-          "ALTER COLUMN <c> TYPE <t>)")
+          "ALTER COLUMN <c> TYPE <t> | SET TBLPROPERTIES ('k'='v', ...) | " +
+          "UNSET TBLPROPERTIES ('k', ...))")
     }
 
   // ------------------------------------------------------------------- CALL

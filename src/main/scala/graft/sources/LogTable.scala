@@ -267,7 +267,14 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
       * row-group stats (intra-file pruning) and better run
       * compression. Advisory for writers; never a read-correctness
       * input. Empty = unordered writes. */
-    sortCols: Seq[String] = Nil) {
+    sortCols: Seq[String] = Nil,
+    /** TABLE PROPERTIES (Iceberg TBLPROPERTIES): free-form config
+      * carried in the manifest; unknown keys round-trip untouched.
+      * Keys this library honors: `write.max-records-per-file` (data
+      * writes roll to a new file past this row count — the
+      * target-file-size knob that keeps a wide ingest from writing
+      * unsplittable multi-GB files). */
+    props: Map[String, String] = Map.empty) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
 
@@ -738,7 +745,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         // row-preserving commits: rewrites carry only already-delivered
         // rows; schema/spec evolution and checks are metadata-only
         case "compact" | "recluster" | "set-check" | "set-bloom" |
-             "set-sort" | "evolve-schema" | "evolve-spec" => Nil
+             "set-sort" | "set-props" | "evolve-schema" | "evolve-spec" => Nil
         case other => throw new IllegalStateException(
           s"cannot read v$v as appends: operation '$other' changes rows; " +
             "consume the changelog up to the maintenance boundary first")
@@ -796,7 +803,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
           if (added.isEmpty) empty
           else stamp(conform(readLive(cur, added)), "insert", v)
         case "compact" | "recluster" | "analyze" | "set-check" |
-             "set-bloom" | "set-sort" | "evolve-schema" | "evolve-spec" =>
+             "set-bloom" | "set-sort" | "set-props" | "evolve-schema" |
+             "evolve-spec" =>
           empty
         case _ =>
           val parPaths = par.files.map(_.path).toSet
@@ -1257,7 +1265,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
       Option(n.get("summary")).map(_.fields().asScala.map(e =>
         e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
       Option(n.get("sortOrder")).map(
-        _.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
+        _.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+      Option(n.get("props")).map(_.fields().asScala.map(e =>
+        e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
   }
 
   /** Pack `files` into manifest segments, reusing every previous (or
@@ -1326,7 +1336,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val mergedNow = mergedSchemaWith(snapNow, df.schema)
     val newFiles = writeDataFiles(conformTypes(df, mergedNow),
       distribute = true, blooms = Some(snapNow.bloomCols),
-      sort = Some(snapNow.sortCols))
+      sort = Some(snapNow.sortCols), props = Some(snapNow.props))
     // checks validate the rows as WRITTEN (delete-on-violation) —
     // the files are still invisible to every reader
     enforceChecksOnWritten(newFiles, snapNow.checks, "the appended batch",
@@ -1364,7 +1374,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val mergedNow = mergedSchemaWith(snapNow, df.schema)
     val newFiles = writeDataFiles(conformTypes(df, mergedNow),
       distribute = true, blooms = Some(snapNow.bloomCols),
-      sort = Some(snapNow.sortCols))
+      sort = Some(snapNow.sortCols), props = Some(snapNow.props))
     enforceChecksOnWritten(newFiles, snapNow.checks, "the overwrite batch",
       mergedNow.json)
     var validatedChecks = snapNow.checks.keySet
@@ -1572,6 +1582,25 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def dropBloom(column: String): Snapshot =
     commit("set-bloom", nextBlooms = prev =>
       prev.bloomCols.filterNot(_.col.equalsIgnoreCase(column)))(_.files)
+
+  /** Set (merge) TABLE PROPERTIES — Iceberg's ALTER TABLE SET
+    * TBLPROPERTIES. Unknown keys are carried verbatim (operational
+    * annotations, pipeline config); keys the library HONORS validate
+    * here so a typo'd value fails at set time, not mid-ingest:
+    * `write.max-records-per-file` must be a positive integer. */
+  def setProperties(kvs: Map[String, String]): Snapshot = {
+    kvs.get(LogTable.MaxRecordsProp).foreach(v =>
+      require(v.toLongOption.exists(_ > 0),
+        s"${LogTable.MaxRecordsProp} must be a positive integer, got '$v'"))
+    commit("set-props", nextProps = prev => prev.props ++ kvs)(_.files)
+  }
+
+  /** Remove table properties (absent keys are a no-op, as SQL UNSET). */
+  def unsetProperties(keys: Seq[String]): Snapshot =
+    commit("set-props", nextProps = prev => prev.props -- keys)(_.files)
+
+  /** Current table properties (manifest-recorded). */
+  def properties: Map[String, String] = snapshot().props
 
   /** Declare the table's WRITE SORT ORDER (Iceberg's write.sort-order
     * table property): every subsequent data-file write — append,
@@ -2023,7 +2052,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       if (rewriteBins.size <= 2)
         rewriteBins.flatMap { bin =>
           writeDataFiles(readLive(snap, bin.toSeq).coalesce(1),
-            blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
+            blooms = Some(snap.bloomCols), sort = Some(snap.sortCols), props = Some(snap.props))
         }
       else {
         import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
@@ -2044,7 +2073,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
           spark.sparkContext.defaultParallelism)
         val arranged = routed.repartition(slots, arrangeKeys: _*)
           .drop("_graft_bin")
-        writeDataFiles(arranged, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
+        writeDataFiles(arranged, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols), props = Some(snap.props))
       }
     // Row-conservation tripwire from manifest arithmetic (exact when
     // no equality deletes are outstanding): any routing slip — a
@@ -2102,7 +2131,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val keepRows = readLive(snap, affected).filter(
       !org.apache.spark.sql.functions.coalesce(
         condition, org.apache.spark.sql.functions.lit(false)))
-    val rewritten = writeDataFiles(keepRows, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
+    val rewritten = writeDataFiles(keepRows, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols), props = Some(snap.props))
     commitOrCleanup(rewritten, "delete") { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
@@ -2206,7 +2235,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         col(LogTable.PosCol).as("pos"))
     val del = writeDeleteFiles(marked, snap.files.size)
     val newFiles = writeDataFiles(conformTypes(updates, mergedNow),
-      distribute = true, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
+      distribute = true, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols), props = Some(snap.props))
     var validatedChecks = snap.checks.keySet
     try {
       enforceChecksOnWritten(newFiles, snap.checks, "the merged batch",
@@ -2305,7 +2334,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val eq = writeEqFiles(updates.select(col(key)),
       knownCount = Some(gstat.getLong(2)))
     val newFiles = writeDataFiles(conformTypes(updates, mergedNow),
-      distribute = true, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
+      distribute = true, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols), props = Some(snap.props))
     var validatedChecks = snap.checks.keySet
     try {
       enforceChecksOnWritten(newFiles, snap.checks, "the upserted batch",
@@ -2521,7 +2550,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       }
     }: _*)
     val rewritten = writeDataFiles(rewrittenRows,
-      blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
+      blooms = Some(snap.bloomCols), sort = Some(snap.sortCols), props = Some(snap.props))
     enforceChecksOnWritten(rewritten, snap.checks, "the updated rows",
       snap.schemaJson)
     var validatedChecks = snap.checks.keySet
@@ -2779,8 +2808,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
     val rewritten =
       (if (affected.isEmpty) Seq.empty
-       else writeDataFiles(survivors, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))) ++
-        writeDataFiles(insertRows, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols))
+       else writeDataFiles(survivors, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols), props = Some(snap.props))) ++
+        writeDataFiles(insertRows, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols), props = Some(snap.props))
     // constraints validate everything this merge WROTE (survivor files
     // conform by induction but re-checking them costs one read of the
     // just-written local files, not a re-execution of the join). A
@@ -2836,7 +2865,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
           readLive(snap, snap.files)
             .repartitionByRange(nFiles, col(column))
             .sortWithinPartitions(column),
-          blooms = Some(snap.bloomCols), sort = Some(Nil))
+          blooms = Some(snap.bloomCols), sort = Some(Nil),
+          props = Some(snap.props))
         commitOrCleanup(rewritten, "recluster") { prev =>
           val replaced = snap.files.map(_.path).toSet
           val prevPaths = prev.files.map(_.path).toSet
@@ -2906,7 +2936,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
             .repartitionByRange(nFiles, col("_z"))
             .sortWithinPartitions("_z")
             .drop("_z"),
-          blooms = Some(snap.bloomCols), sort = Some(Nil))
+          blooms = Some(snap.bloomCols), sort = Some(Nil),
+          props = Some(snap.props))
         commitOrCleanup(rewritten, "recluster") { prev =>
           val replaced = snap.files.map(_.path).toSet
           val prevPaths = prev.files.map(_.path).toSet
@@ -3113,7 +3144,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
   private def writeDataFiles(df: DataFrame,
       distribute: Boolean = false,
       blooms: Option[Seq[BloomCol]] = None,
-      sort: Option[Seq[String]] = None): Seq[DataFile] = {
+      sort: Option[Seq[String]] = None,
+      props: Option[Map[String, String]] = None): Seq[DataFile] = {
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
     // hidden transforms: derive the layout keys from row data — every
     // write path (append, compact, recluster, COW rewrites) re-derives
@@ -3168,6 +3200,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
     DirectCommitProtocol.install(df.sparkSession)
     var w = arranged.write
       .option(DirectCommitProtocol.TargetKey, dataDir.toAbsolutePath.toString)
+    // honored table property: roll to a new file past N rows — the
+    // target-file-size knob. A wide ingest task otherwise writes ONE
+    // file however large its slice is; unsplittable multi-GB parquet
+    // is the classic self-inflicted scan-skew at 100 TB. Spark's own
+    // writer does the rolling; the sidecar lists every rolled file.
+    props.getOrElse(snapshot().props).get(LogTable.MaxRecordsProp)
+      .flatMap(_.toLongOption).foreach(n =>
+        w = w.option("maxRecordsPerFile", n.toString))
     // manifest-declared bloom columns ride into the write job's hadoop
     // conf (parquet-mr writes the filters; pushed equality/IN filters
     // consult them at read) — every write path inherits the property,
@@ -3264,6 +3304,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       nextBlooms: Snapshot => Seq[BloomCol] = _.bloomCols,
       nextNdvs: Snapshot => Map[String, Long] = _.ndvs,
       nextSortCols: Snapshot => Seq[String] = _.sortCols,
+      nextProps: Snapshot => Map[String, String] = _.props,
       /** Extra reusable-segment candidates beyond the previous
         * snapshot's own (fastForward offers the branch head's, so a
         * publish re-lists branch-written segments instead of
@@ -3367,7 +3408,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         System.currentTimeMillis(), files, tag, nextSchema(prev),
         nextChecks(prev), nextRetired(prev), dels, pc, tf, eqDels,
         nextBlooms(prev), nextNdvs(prev), segs, Some(meta), summary,
-        nextSortCols(prev))
+        nextSortCols(prev), nextProps(prev))
       // ATOMIC CREATE-OR-FAIL publish through the storage seam: the
       // full manifest is visible the instant the name exists, and a
       // version collision reports failure instead of overwriting the
@@ -3534,6 +3575,8 @@ object LogTable {
   /** CDC output columns (Delta CDF naming; see [[LogTable.readCdc]]). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+  /** Honored table property: roll data files past this row count. */
+  val MaxRecordsProp = "write.max-records-per-file"
   /** Position-delete sharding: one delete file per up to this many
     * referenced data files (capped at 256 shards). Keeps a large
     * marking pass parallel on the write side without exploding tiny
@@ -3890,6 +3933,10 @@ object LogTable {
     if (s.sortCols.nonEmpty) {
       val so = node.putArray("sortOrder")
       s.sortCols.foreach(so.add)
+    }
+    if (s.props.nonEmpty) {
+      val pn = node.putObject("props")
+      s.props.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
     }
     val segPaths = s.segs.iterator.flatMap(_.paths).toSet
     val arr: ArrayNode = node.putArray("files")
