@@ -269,9 +269,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested adds unsupported")
         t.addColumn(a.fieldNames()(0), a.dataType())
+      // ALTER TABLE SET/UNSET TBLPROPERTIES through Spark's own DDL —
+      // the same manifest-carried property map as the Scala API
+      case p: TableChange.SetProperty =>
+        t.setProperties(Map(p.property -> p.value))
+      case p: TableChange.RemoveProperty =>
+        t.unsetProperties(Seq(p.property))
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $other (supported: ADD COLUMN, " +
-          "RENAME COLUMN, DROP COLUMN, widening ALTER COLUMN TYPE)")
+          "RENAME COLUMN, DROP COLUMN, widening ALTER COLUMN TYPE, " +
+          "SET/UNSET TBLPROPERTIES)")
     }
     loadTable(ident)
   }

@@ -366,6 +366,16 @@ private[sources] final class GraftTable(root: String, schema0: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
+  /** Manifest TBLPROPERTIES surfaced through the DSv2 Table seam —
+    * `SHOW TBLPROPERTIES cat.ns.t` and DESCRIBE EXTENDED read the
+    * same map the Scala API and ALTER TABLE SET TBLPROPERTIES write. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    LogTable(org.apache.spark.sql.SparkSession.active, root)
+      .properties.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   /** `_file` — resolvable in queries and the group identity of the
     * row-level seam below. */
   override def metadataColumns()

@@ -115,6 +115,26 @@ class GraftCatalogSpec extends SparkSpec {
       .columns.contains("tag"), "pre-add snapshots keep their own schema")
   }
 
+  test("SET/UNSET TBLPROPERTIES route through Spark DDL; SHOW TBLPROPERTIES reads them back") {
+    val wh = warehouse
+    spark.sql("DROP TABLE IF EXISTS gtest.props_t")
+    spark.sql("CREATE TABLE gtest.props_t (id BIGINT)")
+    spark.sql("ALTER TABLE gtest.props_t SET TBLPROPERTIES (" +
+      "'write.max-records-per-file' = '50', 'pipeline' = 'catalog-user')")
+    val shown = spark.sql("SHOW TBLPROPERTIES gtest.props_t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("write.max-records-per-file") === Some("50"))
+    assert(shown.get("pipeline") === Some("catalog-user"))
+    // the honored cap applies to catalog INSERTs too
+    spark.sql("INSERT INTO gtest.props_t SELECT id FROM RANGE(200)")
+    val t = LogTable(spark, s"$wh/props_t")
+    assert(t.snapshot().files.forall(_.rows <= 50L))
+    assert(spark.sql("SELECT count(*) FROM gtest.props_t").head().getLong(0) === 200L)
+    spark.sql("ALTER TABLE gtest.props_t UNSET TBLPROPERTIES ('pipeline')")
+    assert(t.properties === Map("write.max-records-per-file" -> "50"))
+    spark.sql("DROP TABLE gtest.props_t")
+  }
+
   test("RENAME TABLE, DROP TABLE, SHOW TABLES") {
     warehouse
     spark.sql("CREATE TABLE gtest.t1 (id BIGINT)")
