@@ -175,6 +175,38 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** TEMPERATURE-RESAMPLED MIXTURE (the multinomial-temperature
+    * reweighting of multilingual/multi-source training, α = 0.5): each
+    * source's keep-rate is sqrt(n_src / n_max) — low-resource sources
+    * keep everything, the dominant source is downsampled toward
+    * balance. Rates DERIVE FROM THE DATA (one tiny count aggregate
+    * broadcast back over the corpus), unlike [[mixtureSample]]'s fixed
+    * config rates. Per-doc keep/drop compares a salted [[hash32]]
+    * against floor(rate·2^32): sqrt, divide, multiply and floor are
+    * all IEEE-exact (correctly rounded) double ops, so the integer
+    * threshold — and therefore every doc's fate — is bit-identical on
+    * any engine, rerun, or data order. Plan shape: tiny agg →
+    * broadcast join → narrow filter → small agg; the corpus is
+    * touched twice with no wide shuffle, so it scales to 100 TB. */
+  def temperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(max(col("n_src")).as("n_max"))))
+      .select(col("source"), floor(sqrt(col("n_src").cast("double") /
+        col("n_max").cast("double")) * lit(4294967296.0))
+        .cast("long").as("keep_below"))
+    val h = hash32(concat(col("doc_id").cast("string"), lit(":temp")))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(h < col("keep_below"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("source"))
+  }
+
   /** SEQUENCE PACKING — the step between sharding and the trainer:
     * documents are laid end-to-end into fixed-capacity context windows
     * (here 2048 whitespace tokens) and the pipeline needs, per window,
@@ -241,6 +273,7 @@ object Pipeline {
     "pipeline_split" -> ((s, dir) => splitAssign(s, dir)),
     "pipeline_shard" -> ((s, dir) => shardPack(s, dir)),
     "pipeline_mix" -> ((s, dir) => mixtureSample(s, dir)),
+    "pipeline_temper" -> ((s, dir) => temperatureSample(s, dir)),
     "pipeline_pack" -> ((s, dir) => packWindows(s, dir)),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_shuffle" -> ((s, dir) => shuffleShard(s, dir)),
@@ -350,6 +383,20 @@ object Pipeline {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM a WHERE h < keep_below
         |GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_temper" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        |mx AS (SELECT max(n_src) AS n_max FROM counts),
+        |rates AS (
+        |  SELECT source, CAST(floor(sqrt(CAST(n_src AS DOUBLE) /
+        |    CAST(n_max AS DOUBLE)) * 4294967296.0) AS BIGINT) AS keep_below
+        |  FROM counts, mx)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8))::BIGINT
+        |  < r.keep_below
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "pipeline_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -540,6 +540,47 @@ final class LogTable private (val spark: SparkSession, val root: String,
     io.deleteTree(logDir.resolve(s"branch-$name"))
   }
 
+  /** MULTI-STATEMENT ATOMIC TRANSACTION (Iceberg `Table.newTransaction`;
+    * the reference's Trino surface batches DML the same way): every
+    * operation `body` performs on the handle it receives — append,
+    * delete, merge, compact, schema DDL — stages against a private
+    * lineage, and the combined result publishes to main as ONE atomic
+    * commit. Until then main's readers see NOTHING; inside the
+    * transaction reads see all prior staged statements
+    * (read-your-writes). If `body` throws, main is untouched and the
+    * staged lineage is dropped — all-or-nothing.
+    *
+    * Built from the branch machinery, so every guarantee is inherited
+    * rather than re-implemented: staging = an ephemeral branch (O(1)
+    * metadata, shared data pool — cheap at any table size), publish =
+    * [[fastForward]] (atomic create-or-fail pointer swap), conflict
+    * detection = the fork-point guard (a commit that lands on main
+    * mid-transaction makes the publish REFUSE loudly — serializable,
+    * never silently dropping the concurrent commit; re-run the
+    * transaction). Data files staged by an aborted transaction become
+    * orphans reclaimed by the age-guarded [[removeOrphans]].
+    *
+    * A read-only `body` (no staged commits) publishes nothing — main's
+    * history gains no commit. */
+  def transaction[T](body: LogTable => T): Snapshot = {
+    require(!isBranchHandle, "transactions run on the main handle")
+    val name = s"txn-${java.util.UUID.randomUUID().toString.take(13)}"
+    createBranch(name)
+    try {
+      body(branch(name))
+      val staged = branch(name).snapshot()
+      val result =
+        if (staged.version == 1L) snapshot() // read-only: nothing to publish
+        else fastForward(name, tag = s"txn:$name")
+      dropBranch(name)
+      result
+    } catch {
+      case e: Throwable =>
+        try dropBranch(name) catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
   /** Timestamp time travel (Iceberg `FOR SYSTEM_TIME AS OF ts` / the
     * reference's "query the table as of 10 minutes ago"): read the
     * latest snapshot committed at or before `tsMs`. Throws if the
@@ -2138,6 +2179,82 @@ final class LogTable private (val spark: SparkSession, val root: String,
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
       assertNoLateDeletesOn(snap, prev, replaced)
       prev.files.filterNot(f => replaced.contains(f.path)) ++ rewritten
+    }
+  }
+
+  /** ICEBERG METADATA DELETE — apply a DELETE as a pure manifest
+    * operation when file metadata can prove it exact: a file whose
+    * every row provably matches the condition is dropped from the
+    * snapshot without being read, and the whole statement succeeds
+    * only if NO live file needs a row-level rewrite (every file's
+    * [[GraftPrune.strictMatch]] verdict is decided). Returns false
+    * otherwise — the caller falls back to COW [[delete]]. This is THE
+    * retention operation at 100 TB: `DELETE WHERE day = '2026-01-01'`
+    * on a day-partitioned table drops a whole partition with zero
+    * data I/O instead of rewriting (or even reading) a terabyte.
+    * Verdicts are re-derived INSIDE the commit retry loop, so a
+    * concurrent append of a boundary file flips the statement to the
+    * COW path instead of silently surviving the delete. */
+  def deleteMetadataOnly(
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    require(filters.nonEmpty, "deleteMetadataOnly needs a condition — " +
+      "an unconditional delete is truncate()")
+    def verdict(f: DataFile, ts: Seq[Transform]): Option[Boolean] = {
+      val vs = filters.map(GraftPrune.strictMatch(f, ts, _))
+      if (vs.exists(_.contains(false))) Some(false)
+      else if (vs.forall(_.contains(true))) Some(true)
+      else None
+    }
+    def plan(files: Seq[DataFile], ts: Seq[Transform]): Option[Seq[String]] = {
+      val vs = files.map(f => verdict(f, ts))
+      if (vs.exists(_.isEmpty)) None
+      else Some(files.zip(vs).collect { case (f, Some(true)) => f.path })
+    }
+    val first = snapshot()
+    plan(first.files, first.transforms) match {
+      case None => false
+      case Some(drop) if drop.isEmpty => true // provably zero matching rows
+      case Some(_) =>
+        try {
+          commit("delete") { prev =>
+            plan(prev.files, prev.transforms) match {
+              case Some(d2) if d2.nonEmpty =>
+                val dropPaths = d2.toSet
+                prev.files.filterNot(f => dropPaths.contains(f.path))
+              case Some(_) => throw LogTable.NoopMetadataDelete
+              case None => throw LogTable.StaleSourceFiles
+            }
+          }
+          true
+        } catch {
+          case LogTable.NoopMetadataDelete => true // raced to a no-op
+          case LogTable.StaleSourceFiles => false  // boundary file appeared
+        }
+    }
+  }
+
+  /** Metadata-only PARTITION DROP — the Scala mirror of
+    * [[deleteMetadataOnly]] with [[readWhere]]'s interface: drop every
+    * file whose partition values satisfy `pred`, as one manifest
+    * commit with zero data I/O. Exact by construction (all rows of a
+    * file share its partition tuple) — and therefore refused loudly,
+    * exactly as readWhere is, when any live file predates the current
+    * partition spec (its partition map lacks the current keys, so
+    * `pred` can neither select nor exclude it). Old snapshots still
+    * time-travel to the dropped rows; expire() reclaims the files. */
+  def dropPartitions(pred: Map[String, String] => Boolean): Snapshot = {
+    def guard(files: Seq[DataFile], partCols: Seq[String]): Unit = {
+      val stale = partCols.filter(c => files.exists(f => !f.partitions.contains(c)))
+      require(stale.isEmpty,
+        s"dropPartitions: data file(s) predate the current partition spec " +
+          s"and carry no value for [${stale.mkString(", ")}] — use " +
+          "delete() (row-exact), or migrate the layout with " +
+          "compact(smallBytes = Long.MaxValue)")
+    }
+    guard(snapshot().files, snapshot().partCols) // fast loud fail
+    commit("delete") { prev =>
+      guard(prev.files, prev.partCols) // race-free re-check
+      prev.files.filterNot(f => pred(f.partitions))
     }
   }
 
@@ -3828,6 +3945,12 @@ object LogTable {
     * the current snapshot mid-operation (concurrent rewrite). */
   private case object StaleSourceFiles
     extends Exception("stale source files", null, false, false)
+
+  /** Control-flow signal: a metadata delete re-planned to zero files
+    * inside the commit loop (concurrent commit removed them all) —
+    * succeed without publishing a no-op snapshot. */
+  private case object NoopMetadataDelete
+    extends Exception("noop metadata delete", null, false, false)
   private val mapper = new ObjectMapper()
 
   /** Open (creating directories if needed) the table rooted at `root`.

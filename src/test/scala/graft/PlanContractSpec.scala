@@ -150,6 +150,15 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_temper: the derived rates broadcast back — no sort-merge, no window") {
+    val p = plan("pipeline_temper")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      "per-source keep-rates must join back as a broadcast")
+    assert(count(p, "SortMergeJoin") === 0,
+      "a tiny rates dim must never shuffle the corpus")
+    assert(!p.contains("Window"), "rates come from an agg, not a global window")
+  }
+
   test("log_moving_sum: the moving window is PARTITIONED, from ONE events scan") {
     val p = plan("log_moving_sum")
     assert(p.contains("Window"), "the 24h sum is a range window")

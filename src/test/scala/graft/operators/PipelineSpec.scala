@@ -62,6 +62,27 @@ class PipelineSpec extends SparkSpec {
       "no rate-0.25 source dropped anything — thresholding is inert")
   }
 
+  test("pipeline_temper: dominant source keeps all; others thin toward sqrt(n/n_max)") {
+    val docs = Tables(spark, sfDir, "documents")
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val nMax = totals.values.max
+    val kept = Pipeline.temperatureSample(spark, sfDir)
+      .select("source", "n_docs").as[(String, Long)].collect().toMap
+    // the biggest source has rate sqrt(n_max/n_max) = 1.0: keeps everything
+    val (top, topN) = totals.maxBy(_._2)
+    assert(kept(top) === topN, s"dominant source $top lost docs under rate 1.0")
+    // every source's kept count is within a binomial-plausible band of
+    // rate·n (wide: the corpus is ~100 docs) and never exceeds n
+    totals.foreach { case (src, n) =>
+      val rate = math.sqrt(n.toDouble / nMax)
+      val k = kept.getOrElse(src, 0L)
+      assert(k <= n, s"$src kept more docs than it has")
+      val sd = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(k - rate * n) <= 4 * sd + 1,
+        s"$src kept $k of $n, expected ~${rate * n} (rate $rate)")
+    }
+  }
+
   test("pipeline_mix: mixture decisions are independent of split decisions (different salt)") {
     // If the same hash drove both, every kept doc in a 0.25-rate source
     // would land in 'train' (hash < 0.25·2^32 < 0.8·2^32). The ':mix'
