@@ -258,17 +258,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val t = LogTable(spark, root.toString)
     changes.foreach {
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1, "nested renames unsupported")
+        require(r.fieldNames.length == 1,
+          "nested renames unsupported (a struct-field rename cannot " +
+            "coalesce historical names without rewriting rows)")
         t.renameColumn(r.fieldNames()(0), r.newName)
+      // nested paths route to the struct-field evolution DDL — SQL
+      // `ALTER TABLE t ADD COLUMN s.x DOUBLE` etc. work via Spark's
+      // own multi-part field-name parsing
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1, "nested drops unsupported")
-        t.dropColumn(d.fieldNames()(0))
+        t.dropField(d.fieldNames.mkString("."))
       case u: TableChange.UpdateColumnType =>
-        require(u.fieldNames.length == 1, "nested retypes unsupported")
-        t.widenColumn(u.fieldNames()(0), u.newDataType())
+        t.widenField(u.fieldNames.mkString("."), u.newDataType())
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1, "nested adds unsupported")
-        t.addColumn(a.fieldNames()(0), a.dataType())
+        t.addField(a.fieldNames.mkString("."), a.dataType())
       // ALTER TABLE SET/UNSET TBLPROPERTIES through Spark's own DDL —
       // the same manifest-carried property map as the Scala API
       case p: TableChange.SetProperty =>

@@ -1509,6 +1509,92 @@ final class LogTable private (val spark: SparkSession, val root: String,
     })(prev => prev.files)
   }
 
+  /** NESTED (struct-field) SCHEMA EVOLUTION — add a field INSIDE a
+    * struct column by dotted path (`"s.x"`, any depth), metadata-only:
+    * no file is rewritten, files written before the add lack the
+    * physical field and read it as NULL (Spark's parquet readers
+    * resolve nested fields by name, missing ones null-fill — the same
+    * mechanism as top-level adds). A single-segment path delegates to
+    * [[addColumn]]. Re-using a dropped path is refused — old files
+    * still store values under it and would silently resurrect.
+    * Nested RENAME stays refused ([[renameColumn]]'s guard): a
+    * top-level rename coalesces historical names with a per-field
+    * projection, but inside a struct that coalesce would have to
+    * rebuild every row of every scan — a rewrite in disguise, not
+    * metadata-only evolution. */
+  def addField(path: String,
+      dataType: org.apache.spark.sql.types.DataType): Snapshot = {
+    val parts = LogTable.splitPath(path)
+    if (parts.length == 1) return addColumn(path, dataType)
+    require(parts.last.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid field name '${parts.last}'")
+    commit("evolve-schema", nextSchema = prev => {
+      require(prev.schemaJson.nonEmpty,
+        "addField needs a declared schema (CREATE TABLE / declareSchema, " +
+          "or a first append)")
+      require(!prev.retired.contains(path.toLowerCase),
+        s"cannot add '$path': the path belonged to a dropped field and " +
+          "old data files still store values under it — re-using it " +
+          "would resurrect them (pick a different name)")
+      LogTable.rebuildAt(LogTable.assignFieldIds(schemaOf(prev)), parts.init) { s =>
+        require(!s.fieldNames.exists(_.equalsIgnoreCase(parts.last)),
+          s"cannot add '$path': the field already exists")
+        org.apache.spark.sql.types.StructType(s.fields :+
+          org.apache.spark.sql.types.StructField(parts.last, dataType,
+            nullable = true))
+      }.json
+    })(prev => prev.files)
+  }
+
+  /** Drop a struct field by dotted path, metadata-only: current reads
+    * stop requesting it (parquet projects it out), old snapshots still
+    * see it, and the dotted path goes on the retired list so a later
+    * [[addField]] can never silently resurrect the orphaned values.
+    * A single-segment path delegates to [[dropColumn]]. */
+  def dropField(path: String): Snapshot = {
+    val parts = LogTable.splitPath(path)
+    if (parts.length == 1) return dropColumn(path)
+    commit("evolve-schema",
+      nextSchema = prev => {
+        checkNotInChecks(prev, path, "drop")
+        LogTable.rebuildAt(LogTable.assignFieldIds(schemaOf(prev)), parts.init) { s =>
+          val idx = s.indexWhere(_.name.equalsIgnoreCase(parts.last))
+          require(idx >= 0, s"no such field '$path'")
+          require(s.length > 1,
+            s"cannot drop the last field of struct '${parts.init.mkString(".")}'")
+          org.apache.spark.sql.types.StructType(
+            s.filterNot(_.name.equalsIgnoreCase(parts.last)))
+        }.json
+      },
+      nextRetired = prev => (prev.retired :+ path.toLowerCase).distinct
+    )(prev => prev.files)
+  }
+
+  /** Widen a struct field by dotted path (int→long / float→double),
+    * metadata-only: old narrow files resolve through the parquet
+    * reader's widening conversion, exactly as [[widenColumn]] — which
+    * a single-segment path delegates to. Narrow incoming struct
+    * batches are upcast at the writer (struct [[LogTable.widens]] +
+    * cast recursion in conformTypes). */
+  def widenField(path: String,
+      to: org.apache.spark.sql.types.DataType): Snapshot = {
+    val parts = LogTable.splitPath(path)
+    if (parts.length == 1) return widenColumn(path, to)
+    commit("evolve-schema", nextSchema = prev => {
+      LogTable.rebuildAt(LogTable.assignFieldIds(schemaOf(prev)), parts.init) { s =>
+        val idx = s.indexWhere(_.name.equalsIgnoreCase(parts.last))
+        require(idx >= 0, s"no such field '$path'")
+        val f = s(idx)
+        require(LogTable.widens(f.dataType, to),
+          s"cannot change field '$path' from ${f.dataType} to $to: only " +
+            "widening promotions (int->long, float->double) are safe " +
+            "metadata-only")
+        org.apache.spark.sql.types.StructType(
+          s.updated(idx, f.copy(dataType = to)))
+      }.json
+    })(prev => prev.files)
+  }
+
   /** PARTITION-SPEC EVOLUTION (Iceberg's signature table-layout
     * feature): change how FUTURE files are laid out — identity hive
     * columns and/or hidden transforms — without rewriting a single
@@ -1738,9 +1824,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * (restructure structs via an explicit rewrite). */
   private def requireTopLevel(name: String, op: String): Unit =
     require(!name.contains("."),
-      s"cannot $op nested field '$name': schema evolution supports " +
-        "top-level columns only; restructure the struct via a rewrite " +
-        "(read, transform, overwrite)")
+      if (op == "rename")
+        s"cannot rename nested field '$name': a top-level rename " +
+          "coalesces historical names with a per-field projection, but " +
+          "inside a struct that would rebuild every row of every scan — " +
+          "restructure via a rewrite (read, transform, overwrite)"
+      else
+        s"cannot $op nested field '$name' with the top-level DDL — use " +
+          s"the dotted-path struct evolution (addField / dropField / " +
+          "widenField)")
 
   def renameColumn(oldName: String, newName: String): Snapshot = {
     requireTopLevel(oldName, "rename")
@@ -3865,8 +3957,48 @@ object LogTable {
       org.apache.spark.sql.types.LongType) => true
     case (org.apache.spark.sql.types.FloatType,
       org.apache.spark.sql.types.DoubleType) => true
+    // a struct widens when its shape is identical and every field is
+    // same-typed or widens — what lets a narrow incoming batch append
+    // into a [[LogTable!.widenField]]-evolved struct column (the
+    // writer's struct cast upcasts recursively)
+    case (f: org.apache.spark.sql.types.StructType,
+        t: org.apache.spark.sql.types.StructType) =>
+      f.length == t.length && f.fields.zip(t.fields).forall { case (a, b) =>
+        a.name.equalsIgnoreCase(b.name) &&
+          (org.apache.spark.sql.GraftBridge.sameTypeIgnoreNullability(
+            a.dataType, b.dataType) || widens(a.dataType, b.dataType))
+      }
     case _ => false
   }
+
+  /** Split a dotted field path, refusing empties (`"a..b"`). */
+  private[sources] def splitPath(path: String): Seq[String] = {
+    val parts = path.split("\\.", -1).toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"invalid field path '$path'")
+    parts
+  }
+
+  /** Rebuild `schema` with `op` applied to the struct at `parents`
+    * (empty = the root) — the shared navigation of the nested
+    * evolution DDL. Fails loudly on a missing segment or a
+    * non-struct parent. */
+  private[sources] def rebuildAt(schema: org.apache.spark.sql.types.StructType,
+      parents: Seq[String])(
+      op: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (parents.isEmpty) op(schema)
+    else {
+      val idx = schema.indexWhere(_.name.equalsIgnoreCase(parents.head))
+      require(idx >= 0, s"no such column '${parents.head}'")
+      schema(idx).dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          org.apache.spark.sql.types.StructType(schema.updated(idx,
+            schema(idx).copy(dataType = rebuildAt(s, parents.tail)(op))))
+        case dt => throw new IllegalArgumentException(
+          s"'${parents.head}' is $dt, not a struct")
+      }
+    }
 
   /** A scan-rendered file reference (`_metadata.file_path` /
     * `input_file_name` URI form) as the local filesystem path the

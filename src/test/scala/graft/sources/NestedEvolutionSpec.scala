@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, struct}
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Nested (struct-field) schema evolution: ADD / DROP / WIDEN by
+  * dotted path, all metadata-only — no file rewritten, old snapshots
+  * intact, dropped paths blocked from resurrection. Rename stays a
+  * loud refusal (it cannot be metadata-only inside a struct). */
+class NestedEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): LogTable = {
+    val t = LogTable(spark, Files.createTempDirectory("nested_evo_").toString)
+    t.append(Seq((1L, ("x", 10)), (2L, ("y", 20)))
+      .toDF("id", "s")
+      .select(col("id"), struct(col("s._1").as("a"), col("s._2").as("b")).as("s")))
+    t
+  }
+
+  test("addField: old files read NULL, new appends carry the field, no rewrite") {
+    val t = fresh()
+    val filesBefore = t.snapshot().files.map(_.path)
+    t.addField("s.c", DoubleType)
+    assert(t.snapshot().files.map(_.path) === filesBefore, "metadata-only")
+
+    val out1 = t.read().select("id", "s.a", "s.b", "s.c").orderBy("id").collect()
+    assert(out1.forall(_.isNullAt(3)), "pre-add rows must read the field as NULL")
+
+    t.append(Seq((3L, ("z", 30, 1.5))).toDF("id", "s")
+      .select(col("id"), struct(col("s._1").as("a"), col("s._2").as("b"),
+        col("s._3").as("c")).as("s")))
+    val out2 = t.read().filter(col("id") === 3L).select("s.c").as[Double].head()
+    assert(out2 === 1.5)
+  }
+
+  test("dropField: projected out now, visible in old snapshots, path blocked forever") {
+    val t = fresh()
+    val v1 = t.currentVersion
+    t.dropField("s.b")
+    assert(t.read().schema("s").dataType.asInstanceOf[StructType].fieldNames
+      === Array("a"))
+    // time travel still sees it
+    assert(t.timeTravel(v1).select("s.b").as[Int].collect().sorted === Array(10, 20))
+    // resurrection blocked: old files still store s.b values
+    val e = intercept[IllegalArgumentException](t.addField("s.b", IntegerType))
+    assert(e.getMessage.contains("dropped field"))
+    // a DIFFERENT name is fine
+    t.addField("s.b2", IntegerType)
+    assert(t.read().select("s.b2").collect().forall(_.isNullAt(0)))
+  }
+
+  test("widenField: old int files read as long; narrow struct batches upcast at the writer") {
+    val t = fresh()
+    t.widenField("s.b", LongType)
+    assert(t.read().select("s.b").as[Long].collect().sorted === Array(10L, 20L))
+    // a writer still producing the narrow shape upcasts instead of failing
+    t.append(Seq((3L, ("z", 30))).toDF("id", "s")
+      .select(col("id"), struct(col("s._1").as("a"), col("s._2").as("b")).as("s")))
+    assert(t.read().select("s.b").as[Long].collect().sorted === Array(10L, 20L, 30L))
+    // narrowing refused
+    val e = intercept[IllegalArgumentException](t.widenField("s.b", IntegerType))
+    assert(e.getMessage.contains("widening"))
+  }
+
+  test("deep paths navigate; bad paths and non-structs fail loudly") {
+    val root = Files.createTempDirectory("nested_deep_").toString
+    val t = LogTable(spark, root)
+    t.append(Seq((1L, (("p", 5), "q"))).toDF("id", "o")
+      .select(col("id"), struct(
+        struct(col("o._1._1").as("m"), col("o._1._2").as("n")).as("inner"),
+        col("o._2").as("tag")).as("o")))
+    t.addField("o.inner.extra", LongType)
+    t.widenField("o.inner.n", LongType)
+    assert(t.read().select("o.inner.n").as[Long].head() === 5L)
+    intercept[IllegalArgumentException](t.addField("o.missing.x", LongType))
+    intercept[IllegalArgumentException](t.addField("id.x", LongType)) // not a struct
+    intercept[IllegalArgumentException](t.dropField("o..tag"))
+  }
+
+  test("nested rename stays refused; catalog SQL drives add/widen/drop by dotted path") {
+    val wh = Files.createTempDirectory("nested_cat_").toString
+    spark.conf.set("spark.sql.catalog.gnev", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gnev.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnev.ns")
+    spark.sql("CREATE TABLE gnev.ns.t (id BIGINT, s STRUCT<a: STRING, b: INT>)")
+    spark.sql("INSERT INTO gnev.ns.t SELECT 1L, named_struct('a', 'x', 'b', 7)")
+
+    spark.sql("ALTER TABLE gnev.ns.t ADD COLUMN s.c DOUBLE")
+    spark.sql("ALTER TABLE gnev.ns.t ALTER COLUMN s.b TYPE BIGINT")
+    val row = spark.sql("SELECT s.a, s.b, s.c FROM gnev.ns.t").collect().head
+    assert(row.getString(0) === "x" && row.getLong(1) === 7L && row.isNullAt(2))
+
+    spark.sql("ALTER TABLE gnev.ns.t DROP COLUMN s.a")
+    assert(spark.table("gnev.ns.t").schema("s").dataType
+      .asInstanceOf[StructType].fieldNames === Array("b", "c"))
+
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gnev.ns.t RENAME COLUMN s.b TO z"))
+    assert(e.getMessage.toLowerCase.contains("rename"))
+  }
+}
