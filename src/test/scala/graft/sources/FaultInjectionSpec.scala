@@ -1,0 +1,134 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Crash-safety of the commit protocol under an UNRELIABLE store,
+  * injected through the [[GraftFileIO]] seam: spurious CAS rejections
+  * must be retried through, a store outage mid-commit must leave the
+  * table state byte-identical (orphaned staging reclaimed by the
+  * age-guarded sweep, never by the failing writer), and a transaction
+  * that dies at publish must leave main untouched. These are the
+  * object-store failure modes the protocol was designed around — a
+  * wrong answer here corrupts a table, so they get their own suite. */
+class FaultInjectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Seam wrapper with injectable faults (single-threaded tests). */
+  private final class FlakyIO(inner: GraftFileIO) extends GraftFileIO {
+    @volatile var rejectPublishes = 0 // CAS says "you lost" spuriously
+    @volatile var failPublishes = 0   // store outage: publish throws
+    @volatile var failReads = 0       // transient read outage
+    override def readString(path: Path): String = {
+      if (failReads > 0) { failReads -= 1
+        throw new java.io.IOException("injected read outage") }
+      inner.readString(path)
+    }
+    override def publishAtomic(path: Path, content: String): Boolean = {
+      if (rejectPublishes > 0) { rejectPublishes -= 1; false }
+      else if (failPublishes > 0) { failPublishes -= 1
+        throw new java.io.IOException("injected store outage") }
+      else inner.publishAtomic(path, content)
+    }
+    override def exists(path: Path): Boolean = inner.exists(path)
+    override def list(dir: Path): Seq[String] = inner.list(dir)
+    override def listDirs(dir: Path): Seq[String] = inner.listDirs(dir)
+    override def delete(path: Path): Unit = inner.delete(path)
+    override def deleteTree(dir: Path): Unit = inner.deleteTree(dir)
+    override def mkdirs(dir: Path): Unit = inner.mkdirs(dir)
+  }
+
+  private def dataFiles(root: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(root).resolve("data")
+    if (!Files.isDirectory(d)) return Set.empty
+    val w = Files.walk(d)
+    try w.iterator().asScala.filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).map(_.toString).toSet
+    finally w.close()
+  }
+
+  test("spurious CAS rejections: the commit loop retries through and lands exactly once") {
+    val io = new FlakyIO(GraftFileIO.Local)
+    val root = Files.createTempDirectory("fault_cas_").toString
+    val t = LogTable(spark, root, io = io)
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+
+    io.rejectPublishes = 3
+    val s = t.append(Seq((2L, "b")).toDF("id", "s"))
+    assert(io.rejectPublishes === 0, "the loop must have eaten every rejection")
+    assert(s.version === 2L)
+    assert(t.currentVersion === 2L, "exactly one commit landed")
+    assert(t.read().select("id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("store outage at publish: loud failure, state byte-identical, orphans age-reclaimed") {
+    val io = new FlakyIO(GraftFileIO.Local)
+    val root = Files.createTempDirectory("fault_outage_").toString
+    val t = LogTable(spark, root, io = io)
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    val manifestBefore = io.readString(
+      Paths.get(root).resolve("_graft_log").resolve("v00001.manifest.json"))
+    val filesBefore = dataFiles(root)
+
+    io.failPublishes = 1
+    intercept[java.io.IOException](t.append(Seq((2L, "b")).toDF("id", "s")))
+
+    // table state: untouched, still serving the old snapshot
+    assert(t.currentVersion === 1L)
+    assert(t.read().select("id").as[Long].collect() === Array(1L))
+    assert(io.readString(Paths.get(root).resolve("_graft_log")
+      .resolve("v00001.manifest.json")) === manifestBefore)
+    // the crashed writer's parquet is orphaned on disk (it must NOT be
+    // deleted by the failing writer — a racing reader of a concurrent
+    // winner could be mid-scan) and the age-guarded sweep reclaims it
+    assert(dataFiles(root) !== filesBefore, "the outage stranded staged parquet")
+    val reclaimed = t.removeOrphans(olderThanMs = System.currentTimeMillis() + 1000L)
+    assert(reclaimed.nonEmpty)
+    assert(dataFiles(root) === filesBefore)
+
+    // the table keeps working, exactly
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    assert(t.read().select("id").as[Long].collect().sorted === Array(1L, 3L))
+  }
+
+  test("a transaction dying at publish leaves main untouched and staging dropped") {
+    val io = new FlakyIO(GraftFileIO.Local)
+    val root = Files.createTempDirectory("fault_txn_").toString
+    val t = LogTable(spark, root, io = io)
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+
+    intercept[java.io.IOException] {
+      t.transaction { tx =>
+        tx.append(Seq((2L, "b")).toDF("id", "s"))
+        tx.delete(col("id") === 1L)
+        io.failPublishes = 1 // the outage hits the PUBLISH commit
+      }
+    }
+    assert(t.currentVersion === 1L)
+    assert(t.read().select("id").as[Long].collect() === Array(1L))
+    assert(t.branches.isEmpty, "the staging branch must not survive the crash")
+    // and a clean re-run of the same transaction succeeds
+    t.transaction { tx =>
+      tx.append(Seq((2L, "b")).toDF("id", "s"))
+      tx.delete(col("id") === 1L)
+    }
+    assert(t.read().select("id").as[Long].collect() === Array(2L))
+  }
+
+  test("a transient read outage fails the operation loudly, never corrupts") {
+    val io = new FlakyIO(GraftFileIO.Local)
+    val root = Files.createTempDirectory("fault_read_").toString
+    val t = LogTable(spark, root, io = io)
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+
+    io.failReads = 1
+    intercept[java.io.IOException](t.append(Seq((2L, "b")).toDF("id", "s")))
+    io.failReads = 0
+    assert(t.currentVersion === 1L)
+    t.append(Seq((2L, "b")).toDF("id", "s"))
+    assert(t.read().count() === 2L)
+  }
+}
