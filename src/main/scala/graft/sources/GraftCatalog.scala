@@ -139,6 +139,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             case "files" => Some(t.filesTable())
             case "partitions" => Some(t.partitionsTable())
             case "deletes" => Some(t.deletesTable())
+            case "refs" => Some(t.refsTable())
             case _ => None
           }
           df.foreach(d => return new GraftLocalTable(
@@ -358,6 +359,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def procedures: Map[String, UnboundProcedure] = Seq(
     proc("compact", "table" -> StringType) { in =>
       resolve(in.getUTF8String(0).toString).compact(); ()
+    },
+    // Delta's OPTIMIZE ... WHERE: compaction bounded to the files of
+    // one partition value
+    proc("compact_where", "table" -> StringType, "part_col" -> StringType,
+        "value" -> StringType) { in =>
+      val (c, v) = (in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+      resolve(in.getUTF8String(0).toString)
+        .compact(where = Some(p => p.get(c).contains(v))); ()
     },
     proc("expire", "table" -> StringType, "keep_last" -> LongType) { in =>
       resolve(in.getUTF8String(0).toString)

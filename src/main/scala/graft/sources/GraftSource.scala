@@ -1335,6 +1335,8 @@ private[sources] final class GraftMicroBatchStream(root: String,
   @volatile private var availableNowCap: Long = -1L
   private val maxVersions: Long =
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(0L)
+  private val maxBytes: Long =
+    Option(options.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(0L)
 
   override def initialOffset(): Offset = {
     val sv = Option(options.get("startingVersion")).getOrElse("0")
@@ -1355,6 +1357,21 @@ private[sources] final class GraftMicroBatchStream(root: String,
     var to = table.currentVersion
     if (availableNowCap >= 0L) to = math.min(to, availableNowCap)
     if (maxVersions > 0L) to = math.min(to, from + maxVersions)
+    // byte-based admission (Delta's maxBytesPerTrigger): admit whole
+    // manifest versions until their appended bytes reach the cap —
+    // always at least one version, or a single oversized commit would
+    // stall the stream forever. Manifest arithmetic only (the byte
+    // counts are snapshot metadata); row-changing commits throw here
+    // exactly as planInputPartitions would — same tail contract.
+    if (maxBytes > 0L && to > from) {
+      var v = from
+      var acc = 0L
+      while (v < to && acc < maxBytes) {
+        acc += table.appendedFilesBetween(v, v + 1).map(_.bytes).sum
+        v += 1
+      }
+      to = v
+    }
     GraftOffset(to)
   }
   override def deserializeOffset(json: String): Offset =

@@ -727,7 +727,13 @@ object GraftSql {
           case _ =>
         }
         val snap = proc.toLowerCase match {
-          case "compact" => t.compact()
+          // CALL compact(t [, '<part-col>', '<value>']) — the scoped
+          // form is Delta's OPTIMIZE ... WHERE: maintenance bounded to
+          // one partition's files
+          case "compact" =>
+            if (args.length >= 3)
+              t.compact(where = Some(p => p.get(args(1)).contains(args(2))))
+            else t.compact()
           case "expire" => t.expire(keepLast = args(1).toInt)
           // branch-scoped retention: CALL expire_branch(t, '<branch>',
           // <keep_last>) — a busy WAP branch accumulates a snapshot

@@ -1192,19 +1192,31 @@ final class LogTable private (val spark: SparkSession, val root: String,
     rows.toDF("kind", "path", "marks", "bytes", "n_ref_files")
   }
 
+  /** Named-reference metadata table (Iceberg's `refs`): every tag
+    * (immutable pin) and branch (writable lineage) with the version it
+    * resolves to — the "what points where?" operational query before a
+    * rollback or an expire. Manifest metadata only. */
+  def refsTable(): DataFrame = {
+    val rows = refs.map { case (n, v) => (n, "tag", v) } ++
+      branches.map(n => (n, "branch", branch(n).currentVersion))
+    import spark.implicits._
+    rows.sortBy(r => (r._2, r._1)).toDF("name", "type", "version")
+  }
+
   /** Register this table's data and metadata as SQL views:
     * `<name>` (current snapshot), `<name>_history`, `<name>_files`,
-    * `<name>_partitions`, `<name>_deletes` — the spark.sql surface an
-    * Iceberg user reaches with `table$history` / `table$files` /
-    * `table$partitions` / `table$delete_files`. Views capture the
-    * snapshot at registration; re-register to observe newer
-    * commits. */
+    * `<name>_partitions`, `<name>_deletes`, `<name>_refs` — the
+    * spark.sql surface an Iceberg user reaches with `table$history` /
+    * `table$files` / `table$partitions` / `table$delete_files` /
+    * `table$refs`. Views capture the snapshot at registration;
+    * re-register to observe newer commits. */
   def registerViews(name: String): Unit = {
     read().createOrReplaceTempView(name)
     history().createOrReplaceTempView(s"${name}_history")
     filesTable().createOrReplaceTempView(s"${name}_files")
     partitionsTable().createOrReplaceTempView(s"${name}_partitions")
     deletesTable().createOrReplaceTempView(s"${name}_deletes")
+    refsTable().createOrReplaceTempView(s"${name}_refs")
   }
 
   /** Empty DataFrame with the table's schema (from any data file, or
@@ -2137,18 +2149,30 @@ final class LogTable private (val spark: SparkSession, val root: String,
   /** Bin-pack data files smaller than `smallBytes` into ~`targetBytes`
     * output files and commit the replacing snapshot. Packing runs on
     * manifest stats only; only small files are rewritten. */
-  def compact(smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): Snapshot =
-    withStaleRetry { () => compactOnce(smallBytes, targetBytes) }
+  def compact(smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20,
+      where: Option[Map[String, String] => Boolean] = None): Snapshot =
+    withStaleRetry { () => compactOnce(smallBytes, targetBytes, where) }
 
-  private def compactOnce(smallBytes: Long, targetBytes: Long): Snapshot = {
+  private def compactOnce(smallBytes: Long, targetBytes: Long,
+      where: Option[Map[String, String] => Boolean]): Snapshot = {
     val snap = snapshot()
+    // SCOPED compaction (Delta's `OPTIMIZE ... WHERE` / Iceberg's
+    // rewrite_data_files(where)): only files whose partition values
+    // satisfy `where` are candidates — on a 100 TB table, maintenance
+    // runs against yesterday's partition, not the whole pool. Purely
+    // a work bound, never a correctness question: a file out of scope
+    // (or missing the consulted keys) just stays as it is.
+    val scoped = where match {
+      case Some(p) => snap.files.filter(f => p(f.partitions))
+      case None => snap.files
+    }
     // files carrying outstanding position deletes are rewritten
     // REGARDLESS of size — folding the merge-on-read debt into clean
     // data files is compaction's second job (Iceberg's
     // rewrite_data_files does the same); their delete files then GC
     // out of the manifest at commit
     val refd = snap.deletes.flatMap(_.refPaths).toSet
-    val (dirty, rest) = snap.files.partition(f => refd.contains(f.path))
+    val (dirty, rest) = scoped.partition(f => refd.contains(f.path))
     val (small, big) = rest.partition(_.bytes < smallBytes)
     if (small.size < 2 && dirty.isEmpty) return snap
     // First-fit bin-packing over manifest byte counts.
@@ -2248,7 +2272,34 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def delete(condition: org.apache.spark.sql.Column): Snapshot =
     withStaleRetry { () => deleteOnce(condition) }
 
+  /** The DELETE LADDER's first rung, shared by every delete surface
+    * (Scala [[delete]]/[[deleteMor]], GraftSql, catalog SQL): when the
+    * condition translates to the v1 Filter algebra (translation is
+    * exact-or-None) and every live file gets a strict verdict, the
+    * delete applies as a manifest-only commit — see
+    * [[deleteMetadataOnly]]. */
+  private def metadataFirst(condition: org.apache.spark.sql.Column): Boolean = {
+    val snap0 = snapshot()
+    if (snap0.schemaJson.isEmpty) return false
+    // a Column is a lazy tree; only ANALYSIS against the table schema
+    // yields the catalyst predicate the translator understands. Zero
+    // data touched — an empty frame carries the schema. Conditions
+    // that don't resolve here (e.g. referencing `_file`) simply take
+    // the row-level path, which resolves them against its own scan.
+    val resolved =
+      try spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schemaOf(snap0))
+        .filter(condition)
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    resolved.flatMap(org.apache.spark.sql.GraftBridge.translateFilter)
+      .exists(f => deleteMetadataOnly(Seq(f)))
+  }
+
   private def deleteOnce(condition: org.apache.spark.sql.Column): Snapshot = {
+    if (metadataFirst(condition)) return snapshot()
     val snap = snapshot()
     if (snap.files.isEmpty) return snap
     val hit = readLiveTagged(snap, snap.files).filter(condition)
@@ -2375,6 +2426,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
 
   private def deleteMorOnce(condition: org.apache.spark.sql.Column): Snapshot = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // dropping a strictly-matched file beats marking every row in it —
+    // same ladder as COW (Iceberg applies metadata deletes to both)
+    if (metadataFirst(condition)) return snapshot()
     val snap = snapshot()
     if (snap.files.isEmpty) return snap
     val cols = schemaOf(snap).fieldNames.map(_.toLowerCase).toSet

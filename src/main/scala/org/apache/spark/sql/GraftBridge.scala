@@ -24,6 +24,23 @@ object GraftBridge {
     * forces. */
   def asNullable(s: types.StructType): types.StructType = s.asNullable
 
+  /** Best-effort v1 `Filter` translation of a predicate expression
+    * (Spark's own pushdown translator; exact when Some — the returned
+    * Filter is equivalent to the expression, never an approximation).
+    * None for anything the v1 Filter algebra can't express. Nested
+    * attribute pushdown stays off: dotted names would be ambiguous
+    * against the manifest's flat partition/stats keys. */
+  def translateFilter(e: Expression): Option[sources.Filter] =
+    execution.datasources.DataSourceStrategy.translateFilter(
+      e, supportNestedPredicatePushdown = false)
+
+  /** Flush the event bus so a test's SparkListener has seen every
+    * already-posted event (listenerBus is private[spark]) — what lets
+    * a spec assert "this operation ran ZERO jobs" without racing the
+    * async delivery. */
+  def waitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** The session's Hadoop configuration (sessionState is private[sql]
     * on the classic session) — the DSv2 source hands it to Spark's own
     * parquet reader builder. */

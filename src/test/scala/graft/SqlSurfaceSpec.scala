@@ -48,6 +48,14 @@ class SqlSurfaceSpec extends SparkSpec {
     // column ranges surfaced for skipping diagnostics
     val ranges = spark.sql("SELECT ranges FROM lt_files").as[String].collect()
     assert(ranges.forall(_.contains("id:[")), s"missing id range in ${ranges.toSeq}")
+    // refs: tags and branches with resolved versions
+    t.createRef("prod")
+    t.createBranch("wip")
+    t.registerViews("lt")
+    val refs = spark.sql("SELECT name, type, version FROM lt_refs ORDER BY type, name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs === Seq(("wip", "branch", 1L), ("prod", "tag", 3L)))
+    t.dropBranch("wip")
   }
 
   private def collectSorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
@@ -161,6 +169,18 @@ class SqlSurfaceSpec extends SparkSpec {
     GraftSql.exec(spark, "CALL compact(gsql_c)")
     assert(t.snapshot().operation === "compact")
     assert(t.snapshot().files.size === 1)
+    // scoped compaction: CALL compact(t, '<part-col>', '<value>')
+    val ts = LogTable(spark, Files.createTempDirectory("gsql_cw_").toString,
+      partitionBy = Seq("kind"))
+    GraftSql.register("gsql_cw", ts)
+    (0 until 3).foreach(i =>
+      ts.append(Seq((i.toLong, "a"), (i + 10L, "b")).toDF("id", "kind")))
+    val beforeB = ts.snapshot().files
+      .filter(_.partitions.get("kind").contains("b")).map(_.path).toSet
+    GraftSql.exec(spark, "CALL compact(gsql_cw, 'kind', 'a')")
+    assert(ts.snapshot().files.count(_.partitions.get("kind").contains("a")) === 1)
+    assert(ts.snapshot().files.filter(_.partitions.get("kind").contains("b"))
+      .map(_.path).toSet === beforeB)
     assert(spark.sql("SELECT count(*) FROM gsql_c").head().getLong(0) === 30L)
     GraftSql.exec(spark, "CALL rollback(gsql_c, 2)")
     assert(GraftSql.exec(spark, "SELECT count(*) FROM gsql_c").head().getLong(0) === 20L)

@@ -378,7 +378,33 @@ class GraftCatalogSpec extends SparkSpec {
     val parts = spark.sql(
       "SELECT * FROM gtest.md.t.partitions").columns
     assert(parts.nonEmpty)
+
+    // refs metadata table: tags and branches with their versions
+    val lt = LogTable(spark, s"$warehouse/md/t")
+    lt.createRef("pinned")
+    lt.createBranch("wip")
+    val refs = spark.sql(
+      "SELECT name, type, version FROM gtest.md.t.refs ORDER BY type, name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs === Seq(("wip", "branch", 1L), ("pinned", "tag", 3L)))
+    lt.dropBranch("wip")
+
     intercept[Exception] { spark.sql("SELECT * FROM gtest.md.t.nope").collect() }
+  }
+
+  test("CALL compact_where bounds maintenance to one partition's files") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.cw")
+    spark.sql("CREATE TABLE gtest.cw.t (id BIGINT, kind STRING) PARTITIONED BY (kind)")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO gtest.cw.t VALUES ($i,'a'),(${i + 10},'b')"))
+    val before = LogTable(spark, s"$warehouse/cw/t").snapshot().files
+    spark.sql("CALL gtest.system.compact_where('cw.t', 'kind', 'a')")
+    val after = LogTable(spark, s"$warehouse/cw/t").snapshot().files
+    assert(after.count(_.partitions.get("kind").contains("a")) === 1)
+    assert(after.filter(_.partitions.get("kind").contains("b")).map(_.path).toSet
+      === before.filter(_.partitions.get("kind").contains("b")).map(_.path).toSet)
+    assert(spark.sql("SELECT count(*) FROM gtest.cw.t").as[Long].head() === 6L)
   }
 
   test("catalog writes honor CHECK constraints and reject duplicate creates") {

@@ -146,6 +146,33 @@ class GraftSourceSpec extends SparkSpec {
     assert(rows.asScala.toSeq.sorted === Seq(1L, 2L, 3L))
   }
 
+  test("streaming: maxBytesPerTrigger admits whole versions up to the cap, at least one each") {
+    import spark.implicits._
+    val root = tmp("gsrc-bytes")
+    val t = LogTable(spark, root)
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s")))
+    val perCommit = t.snapshot().files.map(_.bytes).max
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft")
+      // cap sized to one commit's bytes: each micro-batch takes the
+      // first version (admitted unconditionally) and stops at the cap
+      .option("maxBytesPerTrigger", perCommit.toString).load(root)
+      .writeStream
+      .option("checkpointLocation", tmp("gsrc-bytescp"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        b.select("id").collect().foreach(r => rows.add(r.getLong(0)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.get() >= 2, "the byte cap must split the backlog")
+    assert(rows.asScala.toSeq.sorted === Seq(1L, 2L, 3L, 4L),
+      "admission control must never drop or duplicate rows")
+  }
+
   /** The scan's planned file set and read schema, straight off the
     * physical plan's BatchScanExec. */
   private def scanOf(df: DataFrame): (Int, Seq[String]) = {

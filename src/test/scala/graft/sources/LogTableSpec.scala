@@ -100,6 +100,30 @@ class LogTableSpec extends SparkSpec {
     assert(t.timeTravel(preVersion).count() === 40L)
   }
 
+  test("scoped compaction (OPTIMIZE WHERE): only the targeted partition's files rewrite") {
+    import spark.implicits._
+    val t = LogTable(spark,
+      Files.createTempDirectory("scoped_compact_").toString,
+      partitionBy = Seq("kind"))
+    // 3 small files per partition
+    (0 until 3).foreach { i =>
+      t.append(Seq((i.toLong, "a"), (i + 10L, "b")).toDF("id", "kind"))
+    }
+    val before = t.snapshot().files
+    assert(before.count(_.partitions.get("kind").contains("a")) === 3)
+
+    val post = t.compact(where = Some(p => p.get("kind").contains("a")))
+    val after = post.files
+    // partition a: bin-packed; partition b: byte-identical file set
+    assert(after.count(_.partitions.get("kind").contains("a")) === 1)
+    assert(after.filter(_.partitions.get("kind").contains("b")).map(_.path).toSet
+      === before.filter(_.partitions.get("kind").contains("b")).map(_.path).toSet,
+      "out-of-scope files must not be touched")
+    assert(t.read().count() === 6L)
+    assert(t.read().filter(org.apache.spark.sql.functions.col("kind") === "a")
+      .select("id").as[Long].collect().sorted === Array(0L, 1L, 2L))
+  }
+
   test("multi-bin compaction is ONE write job, not a job per bin, and loses nothing") {
     val t = freshTable()
     (0 until 8).foreach(i => t.append(df(i * 10 until (i + 1) * 10).coalesce(1)))

@@ -117,6 +117,52 @@ class MetadataDeleteSpec extends SparkSpec {
     assert(t.read().select("op").distinct().as[String].collect() === Array("d1"))
   }
 
+  test("the ladder is automatic: Scala delete(), deleteMor() and GraftSql all go metadata-first") {
+    // count Spark JOBS per operation — a metadata delete plans and
+    // commits without a single job; any row-level path must scan
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def jobsDuring(body: => Unit): Int = {
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark)
+      jobs.set(0)
+      body
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark)
+      jobs.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (t, root) = freshPartitioned()
+      val nOnDisk = dataFilesOnDisk(root)
+      assert(jobsDuring(t.delete(col("kind") === "a")) === 0,
+        "delete() on a partition predicate must run zero jobs")
+      assert(t.read().count() === 3L)
+      assert(dataFilesOnDisk(root) === nOnDisk)
+      assert(t.snapshot().summary("added-data-files") === "0")
+
+      // deleteMor on a whole partition: file drop beats marking — no
+      // delete file written, no marking scan run
+      assert(jobsDuring(t.deleteMor(col("kind") === "b")) === 0,
+        "deleteMor() on a partition predicate must run zero jobs")
+      assert(t.read().select("kind").distinct().as[String].collect() === Array("c"))
+      assert(t.snapshot().deletes.isEmpty, "no position-delete file for a strict drop")
+
+      // a row-level predicate really does scan — the counter works
+      assert(jobsDuring(t.delete(col("id") === 5L)) > 0)
+
+      // GraftSql DELETE (the non-catalog SQL surface) rides the same rung
+      val (t2, root2) = freshPartitioned()
+      GraftSql.register("md_sql_t", t2)
+      assert(jobsDuring(GraftSql.exec(spark, "DELETE FROM md_sql_t WHERE kind = 'a'")) === 0,
+        "GraftSql DELETE must ladder to metadata")
+      assert(t2.read().count() === 3L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("catalog SQL DELETE takes the metadata path for partition predicates") {
     val wh = Files.createTempDirectory("md_del_cat_").toString
     spark.conf.set("spark.sql.catalog.gmd", classOf[GraftCatalog].getName)
