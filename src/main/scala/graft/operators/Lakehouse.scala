@@ -413,6 +413,85 @@ object Lakehouse {
     * spec asserts the skip; at 100 TB the scan is I/O-proportional to
     * the window). The derived day never exists as a column; the
     * oracle is a plain WHERE over the source parquet. */
+  /** MULTI-STATEMENT TRANSACTION roundtrip: the remaining two thirds
+    * of the corpus ingest and the 'error' cleanup land as ONE atomic
+    * commit ([[graft.sources.LogTable.transaction]] — staged on an
+    * ephemeral branch, published by fast-forward). The oracle computes
+    * the end state directly; a transaction that half-applied, double-
+    * published, or leaked its staging would break the hash. */
+  def lakeTxn(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_txn_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    table.append(ev.filter(pmod(col("event_id"), lit(3)) === 0))
+    table.transaction { tx =>
+      tx.append(ev.filter(pmod(col("event_id"), lit(3)) === 1))
+      tx.append(ev.filter(pmod(col("event_id"), lit(3)) === 2))
+      tx.delete(col("event_type") === "error")
+    }
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** METADATA-DELETE retention roundtrip: events land day-partitioned
+    * (hidden transform), then the standard retention statement —
+    * `DELETE WHERE ts_us < <day boundary>` — applies as a manifest-only
+    * commit (strict transform intervals decide every file; zero data
+    * I/O — the 100 TB retention shape). The oracle filters the source
+    * directly; a wrongly-dropped boundary file or a surviving expired
+    * row breaks the hash. */
+  def lakeRetention(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{LogTable => LT, Transform}
+    val tmp = Files.createTempDirectory("graft_lake_ret_").toString
+    val table = LT(s, tmp, hiddenBy = Seq(Transform.day("ts_us")))
+    table.append(Tables.events(s, dir))
+    val cut = 1704844800000000L // 2024-01-10 00:00:00 UTC, µs (day boundary)
+    table.delete(col("ts_us") < cut)
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** NESTED-EVOLUTION roundtrip: half the corpus ingests under a
+    * payload struct (event_type, uid:int, tag), the struct then
+    * evolves IN PLACE — uid widens to long, `score` is added, `tag`
+    * is dropped — and the second half ingests under the new shape.
+    * The read-back aggregate must equal the oracle's UNION ALL over
+    * the source: a mis-null-filled add, a mis-widened read, or a
+    * resurrected dropped field breaks the hash. */
+  def lakeNested(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_nested_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir)
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("event_id"), struct(
+        col("event_type"),
+        pmod(col("user_id"), lit(1000L)).cast("int").as("uid"),
+        lit("legacy").as("tag")).as("payload")))
+    table.widenField("payload.uid", org.apache.spark.sql.types.LongType)
+    table.addField("payload.score", org.apache.spark.sql.types.DoubleType)
+    table.dropField("payload.tag")
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .select(col("event_id"), struct(
+        col("event_type"),
+        pmod(col("user_id"), lit(1000L)).as("uid"),
+        col("value").as("score")).as("payload")))
+    table.read()
+      .groupBy(col("payload.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("payload.uid")).cast("long").as("uid_sum"),
+        Cols.asDouble(sum(Cols.money(coalesce(col("payload.score"), lit(0.0)))))
+          .as("score_sum"))
+      .orderBy(col("event_type"))
+  }
+
   def lakeHidden(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{LogTable => LT, Transform}
     val tmp = Files.createTempDirectory("graft_lake_hidden_").toString
@@ -747,6 +826,9 @@ object Lakehouse {
     "lake_incremental" -> (lakeIncremental _),
     "lake_mv" -> (lakeMv _),
     "lake_cdc" -> (lakeCdc _),
+    "lake_txn" -> (lakeTxn _),
+    "lake_retention" -> (lakeRetention _),
+    "lake_nested" -> (lakeNested _),
     "lake_roundtrip" -> (lakeRoundtrip _),
     "lake_delete" -> (lakeDelete _),
     "lake_pruned" -> (lakePruned _),
@@ -917,6 +999,26 @@ object Lakehouse {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_txn" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_retention" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_nested" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id % 1000 AS uid, CAST(NULL AS DOUBLE) AS score
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_type, user_id % 1000 AS uid, value AS score
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT event_type, count(*) AS n, CAST(sum(uid) AS BIGINT) AS uid_sum,
+        |  CAST(sum(CAST(coalesce(score, 0) AS DECIMAL(12,2))) AS DOUBLE) AS score_sum
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_delete" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
