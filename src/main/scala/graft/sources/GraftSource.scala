@@ -95,7 +95,13 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister
     // the provider to resolve; READS of a schema-less table fail
     // loudly at scan creation (GraftTable.newScanBuilder)
     if (snap.schemaJson.isEmpty) new StructType()
-    else LogTable.parseSchema(snap.schemaJson)
+    else {
+      val base = LogTable.parseSchema(snap.schemaJson)
+      // CDC reads surface the change tags as real columns
+      if (options.getBoolean("readChanges", false))
+        GraftCdcUtil.schemaWith(base)
+      else base
+    }
   }
 
   override def getTable(schema: StructType,
@@ -827,11 +833,17 @@ private[sources] final class GraftScan(root: String, schema: StructType,
           .UnknownPartitioning(0)
     }
 
-  override def toBatch: Batch =
+  override def toBatch: Batch = {
+    require(!options.getBoolean("readChanges", false),
+      "readChanges is a STREAMING option (spark.readStream) — for batch " +
+        "CDC use LogTable.readCdc(from, to)")
     new GraftBatch(root, schema, options, pushed ++ runtime, limit, topN,
       fileSet, rowLevel, spjLayout)
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(root, schema, options, pushed)
+    if (options.getBoolean("readChanges", false))
+      new GraftCdcMicroBatchStream(root, schema, options, pushed)
+    else new GraftMicroBatchStream(root, schema, options, pushed)
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
@@ -1318,6 +1330,141 @@ private[sources] final case class GraftMorReaders(
 /** Stream offset = manifest version. */
 private[sources] final case class GraftOffset(version: Long) extends Offset {
   override def json(): String = version.toString
+}
+
+/** STREAMING CHANGE-DATA-CAPTURE planning (Delta CDF's streaming
+  * read, for the shapes a log table actually commits): each manifest
+  * version in (from, to] maps to per-FILE partitions tagged
+  * `_change_type` / `_commit_version` —
+  *
+  *   - appends → the added files' rows as 'insert' (clean by
+  *     construction: nothing can reference a file newer than every
+  *     delete);
+  *   - row-preserving maintenance (compact / recluster / metadata
+  *     commits) → nothing;
+  *   - pure file-drop deletes (the METADATA-DELETE retention shape,
+  *     and COW deletes whose affected files had zero survivors) → the
+  *     dropped files' LIVE rows as 'delete', read under the PARENT
+  *     snapshot's position-delete context (already-marked rows were
+  *     never visible, so they must not surface as deletes now).
+  *
+  * Everything else — COW rewrites with survivors, MoR marking, merge,
+  * rollback, publish — has no per-file representation without
+  * write-time sidecars and REFUSES loudly, pointing at the batch
+  * [[LogTable.readCdc]] catch-up path (exact-or-refuse, as
+  * everywhere). Equality-tombstone context on a dropped file refuses
+  * too: eq-key sets vary per commit, and a stream builds its reader
+  * factory once. The tags ride the partition-value channel, so the
+  * executor projects them as per-file constants — zero per-row work. */
+private[sources] object GraftCdcUtil {
+  val TypeCol = "_change_type"
+  val VerCol = "_commit_version"
+
+  def schemaWith(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      StructField(TypeCol, org.apache.spark.sql.types.StringType, nullable = false),
+      StructField(VerCol, org.apache.spark.sql.types.LongType, nullable = false)))
+
+  private val RowPreserving = Set("compact", "recluster", "set-check",
+    "set-bloom", "set-sort", "set-props", "evolve-schema", "evolve-spec")
+
+  def partitions(table: LogTable, from: Long, to: Long,
+      pushed: Seq[Filter]): Seq[InputPartition] =
+    ((from + 1) to to).flatMap { v =>
+      val snap = table.snapshot(v)
+      lazy val prev = table.snapshot(snap.parent)
+      lazy val prevPaths = prev.files.map(_.path).toSet
+      lazy val curPaths = snap.files.map(_.path).toSet
+      def tag(f: DataFile, t: String) =
+        f.partitions + (TypeCol -> t) + (VerCol -> v.toString)
+      snap.operation match {
+        case op if RowPreserving.contains(op) => Nil
+        case "append" =>
+          GraftPrune.filesFor(
+              snap.files.filterNot(f => prevPaths.contains(f.path)),
+              snap.transforms, pushed)
+            .map(f => GraftInputPartition(f.path, f.bytes,
+              tag(f, "insert")): InputPartition)
+        case "delete"
+            if snap.files.forall(f => prevPaths.contains(f.path)) =>
+          val removed = prev.files.filterNot(f => curPaths.contains(f.path))
+          GraftPrune.filesFor(removed, prev.transforms, pushed).map { f =>
+            require(!prev.eqDeletes.exists(_.seq > f.seq),
+              s"streaming CDC cannot replay v$v: dropped file ${f.path} " +
+                "carries equality-tombstone context — consume " +
+                s"LogTable.readCdc(${v - 1}, ...) and restart the stream " +
+                "past it with startingVersion")
+            val dels = prev.deletes.filter(_.counts.contains(f.path))
+              .map(d => (d.path, d.bytes))
+            GraftInputPartition(f.path, f.bytes, tag(f, "delete"),
+              dels): InputPartition
+          }
+        case other => throw new IllegalStateException(
+          s"streaming CDC cannot represent v$v: operation '$other' rewrites " +
+            "rows with no per-file change representation — consume " +
+            s"LogTable.readCdc(${v - 1}, ...) for the boundary and restart " +
+            "the stream past it with startingVersion")
+      }
+    }
+}
+
+/** The CDC twin of [[GraftMicroBatchStream]]: offsets ARE manifest
+  * versions, batches plan through [[GraftCdcUtil.partitions]]. */
+private[sources] final class GraftCdcMicroBatchStream(root: String,
+    logical: StructType, options: CaseInsensitiveStringMap,
+    pushed: Array[Filter] = Array.empty)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private val spark = SparkSession.active
+  private val table = LogTable(spark, root)
+  // the CDC tags have no physical twin — keep them (and `_file`) out
+  // of the parquet read schema; the reader projects them from the
+  // partition-value channel
+  private val physLogical = StructType(logical.fields.filterNot(f =>
+    f.name.equalsIgnoreCase(GraftCdcUtil.TypeCol) ||
+      f.name.equalsIgnoreCase(GraftCdcUtil.VerCol) ||
+      f.name.equalsIgnoreCase(GraftSourceUtil.FileColName)))
+  private val phys = GraftSourceUtil.physicalSchema(physLogical)
+  private lazy val readFunc = GraftSourceUtil.buildReadFunc(spark, phys)
+  @volatile private var availableNowCap: Long = -1L
+  private val maxVersions: Long =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(0L)
+
+  override def initialOffset(): Offset = {
+    val sv = Option(options.get("startingVersion")).getOrElse("0")
+    GraftOffset(
+      if (sv.equalsIgnoreCase("latest")) table.currentVersion else sv.toLong)
+  }
+  override def latestOffset(): Offset = GraftOffset(table.currentVersion)
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = table.currentVersion
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = GraftOffset(table.currentVersion)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftOffset].version
+    var to = table.currentVersion
+    if (availableNowCap >= 0L) to = math.min(to, availableNowCap)
+    if (maxVersions > 0L) to = math.min(to, from + maxVersions)
+    GraftOffset(to)
+  }
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftCdcUtil.partitions(table,
+      start.asInstanceOf[GraftOffset].version,
+      end.asInstanceOf[GraftOffset].version, pushed.toSeq).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(readFunc, phys, logical,
+      // delete-context partitions (dropped files with MoR marks) read
+      // their delete files through these; built unconditionally — the
+      // schemas are fixed, and a stream factory is built once
+      mor = Some(GraftMorReaders(
+        GraftSourceUtil.buildReadFunc(spark, phys),
+        GraftSourceUtil.buildReadFunc(spark, LogTable.DeleteSchema))))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] final class GraftMicroBatchStream(root: String,

@@ -820,6 +820,84 @@ class GraftSourceSpec extends SparkSpec {
     assert(sink.read().count() === 3L)
   }
 
+  test("streaming CDC: readChanges tails inserts AND metadata-delete retention") {
+    import spark.implicits._
+    val root = tmp("gcdcr")
+    val t = LogTable(spark, root, partitionBy = Seq("kind"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "kind"))
+    t.append(Seq((3L, "a"), (4L, "c")).toDF("id", "kind"))
+    t.compact(smallBytes = 1L << 20) // row-preserving: must contribute NOTHING
+    t.delete(col("kind") === "a") // metadata delete (whole-partition drop)
+
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+    val q = spark.readStream.format("graft")
+      .option("readChanges", "true").load(root)
+      .writeStream
+      .option("checkpointLocation", tmp("gcdcr-cp"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("id", "kind", "_change_type", "_commit_version")
+          .as[(Long, String, String, Long)].collect().foreach(rows.add)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = rows.asScala.toSeq.sorted
+    assert(got === Seq(
+      (1L, "a", "delete", 4L), (1L, "a", "insert", 1L),
+      (2L, "b", "insert", 1L),
+      (3L, "a", "delete", 4L), (3L, "a", "insert", 2L),
+      (4L, "c", "insert", 2L)),
+      s"wrong change feed: $got")
+  }
+
+  test("streaming CDC: dropped files apply their PRIOR MoR marks; COW rewrites refuse") {
+    import spark.implicits._
+    val root = tmp("gcdcm")
+    val t = LogTable(spark, root, partitionBy = Seq("kind"))
+    t.append(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "kind"))
+    t.deleteMor(col("id") === 2L) // marks one row of partition a (v2)
+    t.delete(col("kind") === "a") // drops the partition (v3, metadata)
+
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graft")
+      // start past the un-replayable mor-delete commit
+      .option("readChanges", "true").option("startingVersion", "2").load(root)
+      .writeStream
+      .option("checkpointLocation", tmp("gcdcm-cp"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("id", "_change_type", "_commit_version")
+          .as[(Long, String, Long)].collect().foreach(rows.add)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // id=2 was already invisible at v2 (MoR mark): its deletion must
+    // NOT be announced again by the file drop
+    assert(rows.asScala.toSeq.sorted === Seq((1L, "delete", 3L)))
+
+    // a COW rewrite with survivors has no per-file representation
+    val t2root = tmp("gcdcm2")
+    val t2 = LogTable(spark, t2root)
+    // ONE file, so the delete leaves a survivor to rewrite (a
+    // zero-survivor file would legitimately take the file-drop path)
+    t2.append(Seq((1L, "x"), (2L, "y")).toDF("id", "s").coalesce(1))
+    t2.delete(col("id") === 1L) // COW: survivor rewritten
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = spark.readStream.format("graft")
+        .option("readChanges", "true").load(t2root)
+        .writeStream
+        .option("checkpointLocation", tmp("gcdcm2-cp"))
+        .foreachBatch { (b: DataFrame, _: Long) => b.collect(); () }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    assert(e.getMessage.contains("readCdc"))
+  }
+
   test("streaming: startingVersion=latest skips history, sees only new commits") {
     import spark.implicits._
     val root = tmp("gsrc-lat")
