@@ -473,12 +473,56 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  /** STREAMING CDC end-to-end: events ingest day-partitioned in three
+    * batches, retention drops everything before the cut as a
+    * manifest-only delete, and a `readChanges` stream replays the
+    * WHOLE history — inserts and the retention deletes — into a sink
+    * whose NET aggregate (+row for insert, −row for delete; exact
+    * decimal arithmetic) must equal the oracle's plain filter over
+    * the source. Exactly-once across micro-batches; each retention
+    * delete announced exactly once; already-invisible rows never
+    * re-announced. */
+  def streamCdc(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.sources.Transform
+    val root = Files.createTempDirectory("graft_cdcq_src_").toString
+    val src = LogTable(s, root, hiddenBy = Seq(Transform.day("ts_us")))
+    val sink = LogTable(s, Files.createTempDirectory("graft_cdcq_sink_").toString)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("event_type"), col("value"), col("ts_us"))
+    (0 until 3).foreach { i =>
+      src.append(ev.filter(pmod(col("event_id"), lit(3)) === i))
+    }
+    val cut = 1704844800000000L // 2024-01-10 00:00:00 UTC (day boundary)
+    src.delete(col("ts_us") < cut) // metadata-only retention
+    val q = s.readStream.format("graft").option("readChanges", "true").load(root)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cdcq_cp_").toString)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.append(b, tag = s"cdc-$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    sink.read()
+      .groupBy(col("event_type"))
+      .agg(sum(sign).cast("long").as("n"),
+        Cols.asDouble(sum(when(col("_change_type") === "insert",
+            Cols.money(col("value"))).otherwise(-Cols.money(col("value")))))
+          .as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------- driver wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling" -> (eventsTumbling _),
     "events_sliding" -> (eventsSliding _),
     "stream_tail" -> (streamTail _),
+    "stream_cdc" -> (streamCdc _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -503,5 +547,11 @@ object Streams {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the replayed change feed's net state == the retained rows
+    "stream_cdc" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
