@@ -1310,7 +1310,12 @@ private[sources] final case class GraftInputPartition(path: String,
       * set only when the scan reported `KeyGroupedPartitioning`
       * (Spark groups same-key partitions and aligns the join sides by
       * these rows); null on every other path, which never reads it. */
-    pkey: InternalRow = null) extends InputPartition
+    pkey: InternalRow = null,
+    /** INVERTED position semantics (the CDC replay of a MoR marking
+      * commit): emit ONLY the rows at `deletes`' marked positions —
+      * the rows that commit made invisible — instead of everything
+      * else. Row path only; batch scans never set it. */
+    selectDeleted: Boolean = false) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = pkey
 }
@@ -1399,6 +1404,29 @@ private[sources] object GraftCdcUtil {
             GraftInputPartition(f.path, f.bytes, tag(f, "delete"),
               dels): InputPartition
           }
+        // MoR MARKING commits replay exactly: the NEW delete files'
+        // marked positions are the rows this commit made invisible
+        // (disjoint from every prior mark — the marking scan is
+        // delete-aware), read back as 'delete' rows with inverted
+        // position semantics; a mor-merge's appended post-image files
+        // are its 'insert' half (an update = delete + insert, the
+        // standard net-change encoding)
+        case "mor-delete" | "mor-merge" =>
+          val prevDelPaths = prev.deletes.map(_.path).toSet
+          val newDels = snap.deletes.filterNot(d => prevDelPaths.contains(d.path))
+          val marked = snap.files.filter(f =>
+            newDels.exists(_.counts.contains(f.path)))
+          val deletes = GraftPrune.filesFor(marked, prev.transforms, pushed)
+            .map(f => GraftInputPartition(f.path, f.bytes, tag(f, "delete"),
+              newDels.filter(_.counts.contains(f.path))
+                .map(d => (d.path, d.bytes)),
+              selectDeleted = true): InputPartition)
+          val inserts = GraftPrune.filesFor(
+              snap.files.filterNot(f => prevPaths.contains(f.path)),
+              snap.transforms, pushed)
+            .map(f => GraftInputPartition(f.path, f.bytes,
+              tag(f, "insert")): InputPartition)
+          deletes ++ inserts
         case other => throw new IllegalStateException(
           s"streaming CDC cannot represent v$v: operation '$other' rewrites " +
             "rows with no per-file change representation — consume " +
@@ -1840,8 +1868,9 @@ private[sources] final class GraftReaderFactory(
   override def supportColumnarReads(p: InputPartition): Boolean =
     columnar.exists { plan =>
       val gp = p.asInstanceOf[GraftInputPartition]
-      logical.fieldNames.filter(n =>
-        gp.parts.keys.exists(_.equalsIgnoreCase(n))).toSet ==
+      !gp.selectDeleted &&
+        logical.fieldNames.filter(n =>
+          gp.parts.keys.exists(_.equalsIgnoreCase(n))).toSet ==
         plan.partS.fieldNames.toSet
     }
 
@@ -1995,7 +2024,9 @@ private[sources] final class GraftReaderFactory(
         // file, so row-group pruning would shift them
         var pos = -1L
         unwrap(mr.raw(wholeFile(gp.path, gp.bytes)))
-          .filter { _ => pos += 1; !deleted.contains(pos) }
+          .filter { _ => pos += 1
+            if (gp.selectDeleted) deleted.contains(pos)
+            else !deleted.contains(pos) }
       }
     val rows: Iterator[InternalRow] =
       if (gp.eqDels.isEmpty) rows0

@@ -852,31 +852,37 @@ class GraftSourceSpec extends SparkSpec {
       s"wrong change feed: $got")
   }
 
-  test("streaming CDC: dropped files apply their PRIOR MoR marks; COW rewrites refuse") {
+  test("streaming CDC: MoR marking commits replay; dropped files apply PRIOR marks; COW rewrites refuse") {
     import spark.implicits._
     val root = tmp("gcdcm")
     val t = LogTable(spark, root, partitionBy = Seq("kind"))
     t.append(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "kind"))
     t.deleteMor(col("id") === 2L) // marks one row of partition a (v2)
     t.delete(col("kind") === "a") // drops the partition (v3, metadata)
+    t.mergeMor(Seq((3L, "b2"), (4L, "c")).toDF("id", "kind"), "id") // v4: update 3, insert 4
 
-    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
     val q = spark.readStream.format("graft")
-      // start past the un-replayable mor-delete commit
-      .option("readChanges", "true").option("startingVersion", "2").load(root)
+      .option("readChanges", "true").load(root)
       .writeStream
       .option("checkpointLocation", tmp("gcdcm-cp"))
       .foreachBatch { (b: DataFrame, _: Long) =>
-        b.select("id", "_change_type", "_commit_version")
-          .as[(Long, String, Long)].collect().foreach(rows.add)
+        b.select("id", "kind", "_change_type", "_commit_version")
+          .as[(Long, String, String, Long)].collect().foreach(rows.add)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // id=2 was already invisible at v2 (MoR mark): its deletion must
-    // NOT be announced again by the file drop
-    assert(rows.asScala.toSeq.sorted === Seq((1L, "delete", 3L)))
+    // v2's MoR mark replays as a delete; v3's file drop announces ONLY
+    // id=1 (id=2 was already invisible — never re-announced); v4's
+    // mor-merge is delete(pre-image of 3) + inserts (3's post-image, 4)
+    assert(rows.asScala.toSeq.sorted === Seq(
+      (1L, "a", "delete", 3L), (1L, "a", "insert", 1L),
+      (2L, "a", "delete", 2L), (2L, "a", "insert", 1L),
+      (3L, "b", "delete", 4L), (3L, "b", "insert", 1L),
+      (3L, "b2", "insert", 4L),
+      (4L, "c", "insert", 4L)))
 
     // a COW rewrite with survivors has no per-file representation
     val t2root = tmp("gcdcm2")
