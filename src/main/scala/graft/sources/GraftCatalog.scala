@@ -134,6 +134,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
                 writable = true, branchName = Some(bname))
             }
           }
+          // the changelog handle is a REAL partitioned relation (the
+          // per-commit CDC planner), not a driver-collected LocalScan
+          if (ident.name.equalsIgnoreCase("changes")) {
+            val head = t.snapshot()
+            if (head.schemaJson.nonEmpty)
+              return new GraftChangesTable(proot.toString,
+                GraftCdcUtil.schemaWith(LogTable.parseSchema(head.schemaJson)))
+          }
           val df = ident.name.toLowerCase match {
             case "history" => Some(t.history())
             case "files" => Some(t.filesTable())

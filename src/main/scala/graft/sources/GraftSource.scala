@@ -833,13 +833,12 @@ private[sources] final class GraftScan(root: String, schema: StructType,
           .UnknownPartitioning(0)
     }
 
-  override def toBatch: Batch = {
-    require(!options.getBoolean("readChanges", false),
-      "readChanges is a STREAMING option (spark.readStream) — for batch " +
-        "CDC use LogTable.readCdc(from, to)")
-    new GraftBatch(root, schema, options, pushed ++ runtime, limit, topN,
-      fileSet, rowLevel, spjLayout)
-  }
+  override def toBatch: Batch =
+    if (options.getBoolean("readChanges", false))
+      new GraftCdcBatch(root, schema, options, pushed ++ runtime)
+    else
+      new GraftBatch(root, schema, options, pushed ++ runtime, limit, topN,
+        fileSet, rowLevel, spjLayout)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     if (options.getBoolean("readChanges", false))
       new GraftCdcMicroBatchStream(root, schema, options, pushed)
@@ -1434,6 +1433,57 @@ private[sources] object GraftCdcUtil {
             "the stream past it with startingVersion")
       }
     }
+}
+
+/** BATCH change-data-capture scan (Iceberg's changelog scan through
+  * the DSv2 seam): `spark.read.format("graft")
+  * .option("readChanges", true).option("startingVersion", a)
+  * [.option("endingVersion", b)].load(root)` reads the net changes in
+  * (a, b] — the same per-commit planner and reader as the streaming
+  * tail, so the two surfaces can never drift. Defaults: the full
+  * retained history (0, currentVersion]. */
+private[sources] final class GraftCdcBatch(root: String,
+    logical: StructType, options: CaseInsensitiveStringMap,
+    pushed: Array[Filter]) extends Batch {
+  private val spark = SparkSession.active
+  private val table = LogTable(spark, root)
+  private val physLogical = StructType(logical.fields.filterNot(f =>
+    f.name.equalsIgnoreCase(GraftCdcUtil.TypeCol) ||
+      f.name.equalsIgnoreCase(GraftCdcUtil.VerCol) ||
+      f.name.equalsIgnoreCase(GraftSourceUtil.FileColName)))
+  private val phys = GraftSourceUtil.physicalSchema(physLogical)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val from = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    val to = Option(options.get("endingVersion")).map(_.toLong)
+      .getOrElse(table.currentVersion)
+    GraftCdcUtil.partitions(table, from, to, pushed.toSeq).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(GraftSourceUtil.buildReadFunc(spark, phys),
+      phys, logical,
+      mor = Some(GraftMorReaders(
+        GraftSourceUtil.buildReadFunc(spark, phys),
+        GraftSourceUtil.buildReadFunc(spark, LogTable.DeleteSchema))))
+}
+
+/** The `cat.ns.t.changes` handle (Iceberg's changelog-table
+  * convention): the table's full retained change history as a plain
+  * batch relation — every SELECT pushes through [[GraftCdcBatch]].
+  * Version windows stay on the options surface of `format("graft")`;
+  * SQL slices with `WHERE _commit_version > x`. */
+private[sources] final class GraftChangesTable(root: String,
+    schema0: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft changes $root"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = new util.HashMap[String, String](options)
+    m.put("readChanges", "true")
+    new GraftScanBuilder(root, schema0, new CaseInsensitiveStringMap(m))
+  }
 }
 
 /** The CDC twin of [[GraftMicroBatchStream]]: offsets ARE manifest

@@ -390,6 +390,17 @@ class GraftCatalogSpec extends SparkSpec {
     lt.dropBranch("wip")
 
     intercept[Exception] { spark.sql("SELECT * FROM gtest.md.t.nope").collect() }
+
+    // the changelog handle: full retained change history in pure SQL
+    spark.sql("DELETE FROM gtest.md.t WHERE kind = 'b'") // metadata drop
+    val changes = spark.sql(
+      """SELECT id, _change_type, _commit_version FROM gtest.md.t.changes
+        |ORDER BY id, _change_type""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(changes === Seq(
+      (1L, "insert", 2L),
+      (2L, "delete", 4L), (2L, "insert", 2L),
+      (3L, "insert", 3L)))
   }
 
   test("CALL compact_where bounds maintenance to one partition's files") {

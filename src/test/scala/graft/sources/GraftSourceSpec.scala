@@ -904,6 +904,29 @@ class GraftSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("readCdc"))
   }
 
+  test("batch CDC: readChanges with version window equals readCdc; full history by default") {
+    import spark.implicits._
+    val root = tmp("gcdcb")
+    val t = LogTable(spark, root, partitionBy = Seq("kind"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "kind"))
+    t.append(Seq((3L, "a")).toDF("id", "kind"))
+    t.delete(col("kind") === "a") // metadata drop, v3
+
+    val all = spark.read.format("graft").option("readChanges", "true").load(root)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(all === Seq(
+      (1L, "delete", 3L), (1L, "insert", 1L),
+      (2L, "insert", 1L),
+      (3L, "delete", 3L), (3L, "insert", 2L)))
+
+    // a version window slices the same feed
+    val win = spark.read.format("graft").option("readChanges", "true")
+      .option("startingVersion", "1").option("endingVersion", "2").load(root)
+      .select("id", "_change_type").as[(Long, String)].collect().toSeq
+    assert(win === Seq((3L, "insert")))
+  }
+
   test("streaming: startingVersion=latest skips history, sees only new commits") {
     import spark.implicits._
     val root = tmp("gsrc-lat")
