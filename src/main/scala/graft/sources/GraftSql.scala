@@ -649,14 +649,18 @@ object GraftSql {
 
   // ------------------------------------------------------------------ ALTER
 
+  // column groups take DOTTED paths: add/drop/retype route to the
+  // struct-field evolution DDL (top-level names delegate back); a
+  // dotted RENAME parses too, so it reaches renameColumn's precise
+  // nested-rename refusal instead of a generic parse error
   private val AlterRenameRe =
-    """(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$""".r
+    """(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+([\w.]+)\s+TO\s+(\w+)$""".r
   private val AlterDropRe =
-    """(?is)^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)$""".r
+    """(?is)^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+([\w.]+)$""".r
   private val AlterTypeRe =
-    """(?is)^ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)$""".r
+    """(?is)^ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+([\w.]+)\s+TYPE\s+(\w+)$""".r
   private val AlterAddRe =
-    """(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()\s,]+?)$""".r
+    """(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+([\w.]+)\s+([\w()\s,]+?)$""".r
 
   private val AlterSetPropsRe =
     """(?is)^ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)$""".r
@@ -688,15 +692,15 @@ object GraftSql {
       case AlterRenameRe(name, from, to) =>
         summarize(spark, name, table(name).renameColumn(from, to))
       case AlterDropRe(name, colName) =>
-        summarize(spark, name, table(name).dropColumn(colName))
+        summarize(spark, name, table(name).dropField(colName))
       case AlterTypeRe(name, colName, tpe) =>
         val dt = org.apache.spark.sql.types.StructType
           .fromDDL(s"x $tpe").head.dataType
-        summarize(spark, name, table(name).widenColumn(colName, dt))
+        summarize(spark, name, table(name).widenField(colName, dt))
       case AlterAddRe(name, colName, tpe) =>
         val dt = org.apache.spark.sql.types.StructType
           .fromDDL(s"x $tpe").head.dataType
-        summarize(spark, name, table(name).addColumn(colName, dt))
+        summarize(spark, name, table(name).addField(colName, dt))
       case _ => throw new IllegalArgumentException(
         s"unsupported ALTER shape: $stmt (expected ALTER TABLE <t> ADD COLUMN " +
           "<c> <type> | RENAME COLUMN <a> TO <b> | DROP COLUMN <a> | " +

@@ -38,7 +38,7 @@ class LogTableModelSpec extends SparkSpec {
       else d.select("id", "v").as[(Long, String)].collect().toMap
 
     (0 until steps).foreach { step =>
-      rnd.nextInt(20) match {
+      rnd.nextInt(22) match {
         case 0 | 1 | 2 | 3 => // append a fresh batch
           val n = 1 + rnd.nextInt(20)
           val rows = (nextId until nextId + n).map(i => (i, s"a$step"))
@@ -155,6 +155,30 @@ class LogTableModelSpec extends SparkSpec {
           nextId += fresh.size
           val s = t.upsertEq(df(matched ++ fresh), "id")
           record(s.version, current ++ matched ++ fresh)
+        case 20 => // multi-statement transaction: append + delete, ONE commit
+          val rows = (nextId until nextId + 1 + rnd.nextInt(5))
+            .map(i => (i, s"t$step"))
+          nextId += rows.size
+          val cut: Long =
+            if (current.nonEmpty) {
+              val ids = current.keys.toSeq.sorted
+              ids(rnd.nextInt(ids.size))
+            } else -1L
+          val pre = t.currentVersion
+          val s = t.transaction { tx =>
+            tx.append(df(rows))
+            tx.delete(col("id") === cut)
+          }
+          assert(s.version == pre + 1,
+            s"step $step: a transaction must land as exactly one commit")
+          record(s.version, (current ++ rows) - cut)
+        case 21 => // metadata-only partition drop (partitioned walks)
+          if (partitioned && current.nonEmpty) {
+            val b = rnd.nextInt(3)
+            val s = t.dropPartitions(p => p.get("bucket").contains(s"b$b"))
+            record(s.version,
+              current.filterNot { case (id, _) => id % 3 == b })
+          }
       }
       val visible = rowsOf(t.read())
       assert(visible == current,

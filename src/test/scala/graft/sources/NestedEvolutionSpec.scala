@@ -102,4 +102,21 @@ class NestedEvolutionSpec extends SparkSpec {
       spark.sql("ALTER TABLE gnev.ns.t RENAME COLUMN s.b TO z"))
     assert(e.getMessage.toLowerCase.contains("rename"))
   }
+
+  test("GraftSql ALTER routes dotted paths to struct-field evolution") {
+    val t = LogTable(spark, Files.createTempDirectory("nested_gsql_").toString)
+    t.append(Seq((1L, ("x", 7))).toDF("id", "s")
+      .select(col("id"), struct(col("s._1").as("a"), col("s._2").as("b")).as("s")))
+    GraftSql.register("gsql_nested", t)
+    GraftSql.exec(spark, "ALTER TABLE gsql_nested ADD COLUMN s.c DOUBLE")
+    GraftSql.exec(spark, "ALTER TABLE gsql_nested ALTER COLUMN s.b TYPE BIGINT")
+    val row = spark.sql("SELECT s.a, s.b, s.c FROM gsql_nested").collect().head
+    assert(row.getString(0) === "x" && row.getLong(1) === 7L && row.isNullAt(2))
+    GraftSql.exec(spark, "ALTER TABLE gsql_nested DROP COLUMN s.a")
+    assert(spark.table("gsql_nested").schema("s").dataType
+      .asInstanceOf[StructType].fieldNames === Array("b", "c"))
+    val e = intercept[IllegalArgumentException](
+      GraftSql.exec(spark, "ALTER TABLE gsql_nested RENAME COLUMN s.b TO z"))
+    assert(e.getMessage.contains("rename"))
+  }
 }
