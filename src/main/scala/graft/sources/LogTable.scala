@@ -3219,7 +3219,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * healthy in-flight writer moves data files into place BEFORE its
     * manifest commits, and vacuuming its fresh files would break the
     * commit. Returns the deleted data-file paths. */
-  def removeOrphans(olderThanMs: Long = System.currentTimeMillis() - 3600000L): Seq[String] = {
+  def removeOrphans(olderThanMs: Long = System.currentTimeMillis() - 3600000L,
+      dryRun: Boolean = false): Seq[String] = {
     val live = allLiveFiles()
     // orphan candidates span the data pool AND the position-delete
     // pool — a crashed deleteMor leaves its delete file unreferenced
@@ -3233,30 +3234,34 @@ final class LogTable private (val spark: SparkSession, val root: String,
       }
     val dead = candidates.filter(p => !live.contains(p.toString) &&
       Files.getLastModifiedTime(p).toMillis < olderThanMs)
-    dead.foreach(Files.deleteIfExists(_))
-    val ls = Files.list(rootPath)
-    val stages = try ls.iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("stage-")).toSeq
-      finally ls.close()
-    stages.filter(p => Files.getLastModifiedTime(p).toMillis < olderThanMs)
-      .foreach(LogTable.deleteRecursively)
-    // stray manifest segments: a commit that crashed between writing
-    // its segments and publishing its snapshot leaves pool files no
-    // manifest references — same age guard as data files (a healthy
-    // in-flight commit writes segments moments before its manifest).
-    // mtime is a local-FS probe; non-local seg entries are skipped
-    // (their stores reclaim via expire's referenced-by-dropped rule).
-    val liveSegs = allLiveSegNames()
-    io.list(mainLogDir).filter(_.startsWith("seg-"))
-      .filterNot(liveSegs.contains).foreach { n =>
-        val p = mainLogDir.resolve(n)
-        if (scala.util.Try(
-            Files.getLastModifiedTime(p).toMillis < olderThanMs)
-            .getOrElse(false)) {
-          io.delete(p)
-          LogTable.segCache.evict(p.toString)
+    // DRY RUN (Delta `VACUUM ... DRY RUN`): report the reclaim list,
+    // touch nothing — what an operator runs before the real sweep
+    if (!dryRun) {
+      dead.foreach(Files.deleteIfExists(_))
+      val ls = Files.list(rootPath)
+      val stages = try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("stage-")).toSeq
+        finally ls.close()
+      stages.filter(p => Files.getLastModifiedTime(p).toMillis < olderThanMs)
+        .foreach(LogTable.deleteRecursively)
+      // stray manifest segments: a commit that crashed between writing
+      // its segments and publishing its snapshot leaves pool files no
+      // manifest references — same age guard as data files (a healthy
+      // in-flight commit writes segments moments before its manifest).
+      // mtime is a local-FS probe; non-local seg entries are skipped
+      // (their stores reclaim via expire's referenced-by-dropped rule).
+      val liveSegs = allLiveSegNames()
+      io.list(mainLogDir).filter(_.startsWith("seg-"))
+        .filterNot(liveSegs.contains).foreach { n =>
+          val p = mainLogDir.resolve(n)
+          if (scala.util.Try(
+              Files.getLastModifiedTime(p).toMillis < olderThanMs)
+              .getOrElse(false)) {
+            io.delete(p)
+            LogTable.segCache.evict(p.toString)
+          }
         }
-      }
+    }
     dead.map(_.toString)
   }
 

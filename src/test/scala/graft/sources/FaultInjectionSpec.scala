@@ -85,8 +85,14 @@ class FaultInjectionSpec extends SparkSpec {
     // deleted by the failing writer — a racing reader of a concurrent
     // winner could be mid-scan) and the age-guarded sweep reclaims it
     assert(dataFiles(root) !== filesBefore, "the outage stranded staged parquet")
+    // dry run first (the operator's habit): same reclaim list, no deletion
+    val wouldReclaim = t.removeOrphans(
+      olderThanMs = System.currentTimeMillis() + 1000L, dryRun = true)
+    assert(wouldReclaim.nonEmpty)
+    assert(dataFiles(root) !== filesBefore, "dry run must not delete")
     val reclaimed = t.removeOrphans(olderThanMs = System.currentTimeMillis() + 1000L)
-    assert(reclaimed.nonEmpty)
+    assert(reclaimed.toSet === wouldReclaim.toSet,
+      "the real sweep must reclaim exactly what the dry run reported")
     assert(dataFiles(root) === filesBefore)
 
     // the table keeps working, exactly
