@@ -1389,20 +1389,6 @@ private[sources] object GraftCdcUtil {
               snap.transforms, pushed)
             .map(f => GraftInputPartition(f.path, f.bytes,
               tag(f, "insert")): InputPartition)
-        case "delete"
-            if snap.files.forall(f => prevPaths.contains(f.path)) =>
-          val removed = prev.files.filterNot(f => curPaths.contains(f.path))
-          GraftPrune.filesFor(removed, prev.transforms, pushed).map { f =>
-            require(!prev.eqDeletes.exists(_.seq > f.seq),
-              s"streaming CDC cannot replay v$v: dropped file ${f.path} " +
-                "carries equality-tombstone context — consume " +
-                s"LogTable.readCdc(${v - 1}, ...) and restart the stream " +
-                "past it with startingVersion")
-            val dels = prev.deletes.filter(_.counts.contains(f.path))
-              .map(d => (d.path, d.bytes))
-            GraftInputPartition(f.path, f.bytes, tag(f, "delete"),
-              dels): InputPartition
-          }
         // MoR MARKING commits replay exactly: the NEW delete files'
         // marked positions are the rows this commit made invisible
         // (disjoint from every prior mark — the marking scan is
@@ -1426,11 +1412,70 @@ private[sources] object GraftCdcUtil {
             .map(f => GraftInputPartition(f.path, f.bytes,
               tag(f, "insert")): InputPartition)
           deletes ++ inserts
-        case other => throw new IllegalStateException(
-          s"streaming CDC cannot represent v$v: operation '$other' rewrites " +
-            "rows with no per-file change representation — consume " +
-            s"LogTable.readCdc(${v - 1}, ...) for the boundary and restart " +
-            "the stream past it with startingVersion")
+        // ANY other commit is representable iff its file-list change
+        // is ONE-SIDED — pure adds (an append-only transaction publish,
+        // a restoring rollback) emit the added files' visible rows as
+        // 'insert'; pure drops (metadata-delete retention, zero-
+        // survivor COW, truncate, a dropping rollback) emit the
+        // removed files' prior live rows as 'delete'. A MIXED change
+        // copies surviving rows between files (COW rewrite, overwrite,
+        // cross-delete rollback) and cannot be told apart from real
+        // changes without row diffing — batch readCdc's job. Delete-
+        // context guards: marks on KEPT files must be unchanged (a
+        // restored/retired mark flips visibility with no file change),
+        // dropped mark files may only be the commit's own GC (all
+        // their references left), and equality tombstones may only DIE
+        // (GC), never appear.
+        case _ =>
+          val added = snap.files.filterNot(f => prevPaths.contains(f.path))
+          val removed = prev.files.filterNot(f => curPaths.contains(f.path))
+          val prevDelPaths = prev.deletes.map(_.path)
+          val posSame = snap.deletes.map(_.path) == prevDelPaths
+          val eqSame = snap.eqDeletes.map(_.path) == prev.eqDeletes.map(_.path)
+          val eqGcOnly = snap.eqDeletes.map(_.path)
+            .forall(p => prev.eqDeletes.exists(_.path == p)) &&
+            snap.eqDeletes.size <= prev.eqDeletes.size
+          val removedPaths = removed.map(_.path).toSet
+          // dropped position-delete files must be GC of the dropped
+          // data files; surviving ones must predate this commit
+          val posGcOnly = snap.deletes.map(_.path)
+            .forall(p => prevDelPaths.contains(p)) &&
+            prev.deletes.filterNot(d => snap.deletes.exists(_.path == d.path))
+              .forall(_.refPaths.forall(removedPaths.contains))
+          def refuse(why: String): Nothing = throw new IllegalStateException(
+            s"streaming CDC cannot represent v$v ('${snap.operation}'): $why " +
+              s"— consume LogTable.readCdc(${v - 1}, ...) for the boundary " +
+              "and restart the stream past it with startingVersion")
+          if (added.nonEmpty && removed.nonEmpty)
+            refuse("it both adds and removes files (a rewrite copies " +
+              "surviving rows between files)")
+          else if (added.nonEmpty) {
+            if (!posSame || !eqSame)
+              refuse("it changes delete context alongside added files")
+            GraftPrune.filesFor(added, snap.transforms, pushed).map { f =>
+              if (snap.eqDeletes.exists(_.seq > f.seq))
+                refuse(s"added file ${f.path} carries equality-tombstone context")
+              val dels = snap.deletes.filter(_.counts.contains(f.path))
+                .map(d => (d.path, d.bytes))
+              GraftInputPartition(f.path, f.bytes, tag(f, "insert"),
+                dels): InputPartition
+            }
+          } else if (removed.nonEmpty) {
+            if (!posGcOnly)
+              refuse("it changes position-delete context on kept files")
+            if (!eqGcOnly)
+              refuse("it adds equality tombstones")
+            GraftPrune.filesFor(removed, prev.transforms, pushed).map { f =>
+              if (prev.eqDeletes.exists(_.seq > f.seq))
+                refuse(s"dropped file ${f.path} carries equality-tombstone context")
+              val dels = prev.deletes.filter(_.counts.contains(f.path))
+                .map(d => (d.path, d.bytes))
+              GraftInputPartition(f.path, f.bytes, tag(f, "delete"),
+                dels): InputPartition
+            }
+          } else if (posSame && eqSame) Nil // metadata-only (analyze, …)
+          else refuse("it changes row visibility with no file change " +
+            "(equality/position tombstones)")
       }
     }
 }

@@ -904,6 +904,53 @@ class GraftSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("readCdc"))
   }
 
+  test("streaming CDC: one-sided commits replay — txn publish as inserts, rollback as deletes; eq refuses") {
+    import spark.implicits._
+    val root = tmp("gcdcg")
+    val t = LogTable(spark, root)
+    t.append(Seq((1L, "a")).toDF("id", "kind"))
+    t.transaction { tx => // append-only transaction → ONE publish commit
+      tx.append(Seq((2L, "b")).toDF("id", "kind"))
+      tx.append(Seq((3L, "c")).toDF("id", "kind"))
+    }
+    t.rollback(1L) // pure drop: the transaction's rows disappear
+
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graft")
+      .option("readChanges", "true").load(root)
+      .writeStream
+      .option("checkpointLocation", tmp("gcdcg-cp"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("id", "_change_type", "_commit_version")
+          .as[(Long, String, Long)].collect().foreach(rows.add)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(rows.asScala.toSeq.sorted === Seq(
+      (1L, "insert", 1L),
+      (2L, "delete", 3L), (2L, "insert", 2L),
+      (3L, "delete", 3L), (3L, "insert", 2L)))
+
+    // an equality tombstone changes visibility with NO file change
+    val root2 = tmp("gcdcg2")
+    val t2 = LogTable(spark, root2)
+    t2.append(Seq((1L, "a"), (2L, "b")).toDF("id", "kind"))
+    t2.deleteEq(Seq(Tuple1(1L)).toDF("id"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = spark.readStream.format("graft")
+        .option("readChanges", "true").load(root2)
+        .writeStream
+        .option("checkpointLocation", tmp("gcdcg2-cp"))
+        .foreachBatch { (b: DataFrame, _: Long) => b.collect(); () }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    assert(e.getMessage.contains("readCdc"))
+  }
+
   test("batch CDC: readChanges with version window equals readCdc; full history by default") {
     import spark.implicits._
     val root = tmp("gcdcb")
