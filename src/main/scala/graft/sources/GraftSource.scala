@@ -1336,30 +1336,36 @@ private[sources] final case class GraftOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-/** STREAMING CHANGE-DATA-CAPTURE planning (Delta CDF's streaming
-  * read, for the shapes a log table actually commits): each manifest
-  * version in (from, to] maps to per-FILE partitions tagged
-  * `_change_type` / `_commit_version` —
+/** CHANGE-DATA-CAPTURE planning, shared by the streaming tail and the
+  * batch window scan (Delta CDF's read, derived from each commit's
+  * SHAPE rather than its name): each manifest version in (from, to]
+  * maps to per-FILE partitions tagged `_change_type` /
+  * `_commit_version` —
   *
-  *   - appends → the added files' rows as 'insert' (clean by
-  *     construction: nothing can reference a file newer than every
-  *     delete);
   *   - row-preserving maintenance (compact / recluster / metadata
   *     commits) → nothing;
-  *   - pure file-drop deletes (the METADATA-DELETE retention shape,
-  *     and COW deletes whose affected files had zero survivors) → the
-  *     dropped files' LIVE rows as 'delete', read under the PARENT
-  *     snapshot's position-delete context (already-marked rows were
-  *     never visible, so they must not surface as deletes now).
+  *   - MoR marking commits (mor-delete / mor-merge) → the NEW delete
+  *     files' marked rows as 'delete' via inverted position reads
+  *     (disjoint from prior marks — the marking scan is delete-aware),
+  *     plus a mor-merge's appended post-images as 'insert';
+  *   - any ONE-SIDED file-list change → pure adds (appends,
+  *     append-only transaction publishes, restoring rollbacks) as
+  *     'insert' under the new snapshot's delete context; pure drops
+  *     (metadata-delete retention, zero-survivor COW, truncate,
+  *     dropping rollbacks) as 'delete' under the PARENT's context
+  *     (already-marked rows were never visible and are not
+  *     re-announced).
   *
-  * Everything else — COW rewrites with survivors, MoR marking, merge,
-  * rollback, publish — has no per-file representation without
-  * write-time sidecars and REFUSES loudly, pointing at the batch
-  * [[LogTable.readCdc]] catch-up path (exact-or-refuse, as
-  * everywhere). Equality-tombstone context on a dropped file refuses
-  * too: eq-key sets vary per commit, and a stream builds its reader
-  * factory once. The tags ride the partition-value channel, so the
-  * executor projects them as per-file constants — zero per-row work. */
+  * What refuses — loudly, pointing at the batch
+  * [[LogTable.readCdc]] catch-up path: MIXED add+remove changes (a
+  * rewrite copies surviving rows between files; per-file reads cannot
+  * separate copies from changes), delete-context changes on KEPT
+  * files, mark-file drops that are not the commit's own GC, tombstone
+  * appearances (visibility flips with no file change), and
+  * equality-tombstone context on emitted files (eq-key sets vary per
+  * commit; a stream builds its reader factory once). The tags ride
+  * the partition-value channel, so the executor projects them as
+  * per-file constants — zero per-row work. */
 private[sources] object GraftCdcUtil {
   val TypeCol = "_change_type"
   val VerCol = "_commit_version"
@@ -1551,6 +1557,8 @@ private[sources] final class GraftCdcMicroBatchStream(root: String,
   @volatile private var availableNowCap: Long = -1L
   private val maxVersions: Long =
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong).getOrElse(0L)
+  private val maxBytes: Long =
+    Option(options.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(0L)
 
   override def initialOffset(): Offset = {
     val sv = Option(options.get("startingVersion")).getOrElse("0")
@@ -1567,6 +1575,23 @@ private[sources] final class GraftCdcMicroBatchStream(root: String,
     var to = table.currentVersion
     if (availableNowCap >= 0L) to = math.min(to, availableNowCap)
     if (maxVersions > 0L) to = math.min(to, from + maxVersions)
+    // byte-based admission, CDC-aware: a version's cost is the bytes
+    // its change partitions would READ (added + dropped + marked
+    // files) — manifest arithmetic via the same planner that will
+    // plan the batch, so admission and planning can't disagree.
+    // Always at least one version, or an oversized commit stalls the
+    // tail. An unrepresentable commit throws here exactly as planning
+    // would — same contract, discovered one call earlier.
+    if (maxBytes > 0L && to > from) {
+      var v = from
+      var acc = 0L
+      while (v < to && acc < maxBytes) {
+        acc += GraftCdcUtil.partitions(table, v, v + 1, Nil)
+          .map(_.asInstanceOf[GraftInputPartition].bytes).sum
+        v += 1
+      }
+      to = v
+    }
     GraftOffset(to)
   }
   override def deserializeOffset(json: String): Offset =

@@ -951,6 +951,31 @@ class GraftSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("readCdc"))
   }
 
+  test("streaming CDC: maxBytesPerTrigger splits the replay backlog without loss") {
+    import spark.implicits._
+    val root = tmp("gcdcbt")
+    val t = LogTable(spark, root)
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "kind")))
+    val perCommit = t.snapshot().files.map(_.bytes).max
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft")
+      .option("readChanges", "true")
+      .option("maxBytesPerTrigger", perCommit.toString).load(root)
+      .writeStream
+      .option("checkpointLocation", tmp("gcdcbt-cp"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        b.select("id").as[Long].collect().foreach(rows.add)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.get() >= 2, "the byte cap must split the backlog")
+    assert(rows.asScala.toSeq.sorted === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("batch CDC: readChanges with version window equals readCdc; full history by default") {
     import spark.implicits._
     val root = tmp("gcdcb")
