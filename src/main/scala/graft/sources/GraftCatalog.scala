@@ -397,6 +397,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     proc("remove_orphans", "table" -> StringType) { in =>
       resolve(in.getUTF8String(0).toString).removeOrphans(); ()
     },
+    // VACUUM DRY RUN: report, touch nothing
+    proc("remove_orphans_dry", "table" -> StringType) { in =>
+      resolve(in.getUTF8String(0).toString)
+        .removeOrphans(dryRun = true); ()
+    },
     proc("recluster", "table" -> StringType, "column" -> StringType,
         "n_files" -> LongType) { in =>
       resolve(in.getUTF8String(0).toString)

@@ -749,7 +749,12 @@ object GraftSql {
             t.expireOlderThan(args(1).toLong,
               keepLast = if (args.length > 2) args(2).toInt else 1)
           case "rollback" => t.rollback(args(1).toLong)
-          case "remove_orphans" => { t.removeOrphans(); t.snapshot() }
+          // CALL remove_orphans(t [, 'dry_run']) — the dry-run form
+          // reports what the sweep WOULD reclaim, touching nothing
+          case "remove_orphans" =>
+            t.removeOrphans(dryRun =
+              args.length > 1 && args(1).equalsIgnoreCase("dry_run"))
+            t.snapshot()
           // merge-on-read delete: CALL delete_mor(t, '<predicate>') —
           // the SQL route to position deletes (plain DELETE stays COW,
           // the bulk-delete default; this is the frequent-small-delete

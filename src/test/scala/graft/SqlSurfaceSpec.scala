@@ -182,6 +182,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(ts.snapshot().files.filter(_.partitions.get("kind").contains("b"))
       .map(_.path).toSet === beforeB)
     assert(spark.sql("SELECT count(*) FROM gsql_c").head().getLong(0) === 30L)
+    // VACUUM dry run vs real sweep over a planted aged orphan
+    val orphan = java.nio.file.Paths.get(t.root, "data", "stray.parquet")
+    java.nio.file.Files.createFile(orphan)
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    GraftSql.exec(spark, "CALL remove_orphans(gsql_c, 'dry_run')")
+    assert(java.nio.file.Files.exists(orphan), "dry run must not delete")
+    GraftSql.exec(spark, "CALL remove_orphans(gsql_c)")
+    assert(!java.nio.file.Files.exists(orphan), "the real sweep must reclaim")
+
     GraftSql.exec(spark, "CALL rollback(gsql_c, 2)")
     assert(GraftSql.exec(spark, "SELECT count(*) FROM gsql_c").head().getLong(0) === 20L)
     GraftSql.exec(spark, "CALL create_ref(gsql_c, 'keeper')")
