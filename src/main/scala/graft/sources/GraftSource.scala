@@ -1146,7 +1146,21 @@ private[sources] object GraftPrune {
       case (Some(false), Some(false)) => Some(false)
       case _ => None
     }
-    case Not(inner) => strictMatch(f, ts, inner).map(!_)
+    case Not(inner) => strictMatch(f, ts, inner) match {
+      case Some(true) => Some(false) // every row matches inner ⇒ none matches NOT
+      // "no row matches inner" inverts to "every row matches NOT inner"
+      // only under TWO-valued logic. A NULL row fails BOTH `c = v` and
+      // `NOT (c = v)` (SQL three-valued logic), so the affirmative flip
+      // is sound only when every column `inner` references is provably
+      // null-free for this file — Iceberg's strict evaluator consults
+      // null counts for notEq/notIn the same way. An all-null partition
+      // (NullDir) must NOT strictly match `c <> v`.
+      case Some(false) =>
+        if (inner.references.forall(c =>
+              strictNullness(f, ts, c).contains(false))) Some(true)
+        else None
+      case None => None
+    }
     case In(c, vs) =>
       val verdicts = vs.toSeq.map(v => strictMatch(f, ts, EqualTo(c, v)))
       if (verdicts.contains(Some(true))) Some(true)
@@ -1252,12 +1266,21 @@ private[sources] object GraftPrune {
     case -1 => x < v
     case -2 => x <= v
   }
-  private def opHoldsStr(x: String, v: String, op: Int): Boolean = op match {
-    case 0 => x == v
-    case 1 => x > v
-    case 2 => x >= v
-    case -1 => x < v
-    case -2 => x <= v
+  /** String comparisons in Spark's collation: UTF8String compares raw
+    * UTF-8 bytes (code-POINT order), while Java's `String.compareTo`
+    * is UTF-16 code-UNIT order — the two disagree for supplementary
+    * characters vs. U+E000..U+FFFF. strictCmp AFFIRMS verdicts, so
+    * range ops must use the engine's own order, not the JVM's. */
+  private def opHoldsStr(x: String, v: String, op: Int): Boolean = {
+    lazy val c = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+    op match {
+      case 0 => x == v
+      case 1 => c > 0
+      case 2 => c >= 0
+      case -1 => c < 0
+      case -2 => c <= 0
+    }
   }
 }
 
@@ -1369,6 +1392,23 @@ private[sources] final case class GraftOffset(version: Long) extends Offset {
 private[sources] object GraftCdcUtil {
   val TypeCol = "_change_type"
   val VerCol = "_commit_version"
+
+  /** Earliest `startingVersion` the table can still replay from:
+    * replaying commit v reads manifests v AND v's parent, and
+    * [[LogTable.expire]] deletes old manifests — so after the first
+    * expire the floor is the oldest RETAINED manifest (its own parent
+    * is gone; the first replayable commit is the one after it). A
+    * never-expired table keeps manifest 1, whose parent is the
+    * synthetic empty v0, so the floor stays 0 — full history. */
+  def replayFloor(table: LogTable): Long =
+    table.versions.headOption.map(h => if (h <= 1L) 0L else h).getOrElse(0L)
+
+  def expiredError(root: String, asked: Long, floor: Long): Nothing =
+    throw new IllegalStateException(
+      s"CDC history before version $floor of $root has been expired " +
+        s"(expire() removed the manifests a replay from $asked would " +
+        s"read). Set startingVersion >= $floor, or re-read the current " +
+        "table state and resume CDC from there.")
 
   def schemaWith(base: StructType): StructType =
     StructType(base.fields ++ Seq(
@@ -1505,10 +1545,43 @@ private[sources] final class GraftCdcBatch(root: String,
   private val phys = GraftSourceUtil.physicalSchema(physLogical)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val from = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
-    val to = Option(options.get("endingVersion")).map(_.toLong)
+    val floor = GraftCdcUtil.replayFloor(table)
+    // default window = the full RETAINED history: after expire() the
+    // old (0, current] default is unplannable, so the open start
+    // clamps to the earliest retained boundary; an EXPLICIT start
+    // below it fails loudly instead of silently replaying less
+    var from = Option(options.get("startingVersion")).map(_.toLong) match {
+      case Some(s) if s < floor => GraftCdcUtil.expiredError(root, s, floor)
+      case Some(s) => s
+      case None => floor
+    }
+    var to = Option(options.get("endingVersion")).map(_.toLong)
       .getOrElse(table.currentVersion)
-    GraftCdcUtil.partitions(table, from, to, pushed.toSeq).toArray
+    // pushed `_commit_version` bounds narrow the PLANNING window —
+    // whole commits are skipped instead of read-then-filtered, and a
+    // `WHERE _commit_version > x` slice on the `.changes` handle (which
+    // has no options surface) keeps working after expire() whenever x
+    // clears the retained floor. Spark still re-applies every filter
+    // post-scan, so tightening here is purely subtractive.
+    def ver(a: Any): Option[Long] = a match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    pushed.foreach {
+      case GreaterThan(c, v) if c.equalsIgnoreCase(GraftCdcUtil.VerCol) =>
+        ver(v).foreach(n => from = math.max(from, n))
+      case GreaterThanOrEqual(c, v) if c.equalsIgnoreCase(GraftCdcUtil.VerCol) =>
+        ver(v).foreach(n => from = math.max(from, n - 1))
+      case LessThan(c, v) if c.equalsIgnoreCase(GraftCdcUtil.VerCol) =>
+        ver(v).foreach(n => to = math.min(to, n - 1))
+      case LessThanOrEqual(c, v) if c.equalsIgnoreCase(GraftCdcUtil.VerCol) =>
+        ver(v).foreach(n => to = math.min(to, n))
+      case EqualTo(c, v) if c.equalsIgnoreCase(GraftCdcUtil.VerCol) =>
+        ver(v).foreach { n => from = math.max(from, n - 1); to = math.min(to, n) }
+      case _ => ()
+    }
+    GraftCdcUtil.partitions(table, from, math.max(from, to), pushed.toSeq).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1561,9 +1634,18 @@ private[sources] final class GraftCdcMicroBatchStream(root: String,
     Option(options.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(0L)
 
   override def initialOffset(): Offset = {
-    val sv = Option(options.get("startingVersion")).getOrElse("0")
-    GraftOffset(
-      if (sv.equalsIgnoreCase("latest")) table.currentVersion else sv.toLong)
+    // a NEW stream's default start is the earliest RETAINED boundary
+    // (not 0 — expire() may have deleted older manifests); an explicit
+    // start below it fails here, at stream start, with the remedy,
+    // instead of as a raw missing-manifest read in the first batch
+    val floor = GraftCdcUtil.replayFloor(table)
+    val sv = Option(options.get("startingVersion")).getOrElse(floor.toString)
+    if (sv.equalsIgnoreCase("latest")) GraftOffset(table.currentVersion)
+    else {
+      val v = sv.toLong
+      if (v < floor) GraftCdcUtil.expiredError(root, v, floor)
+      GraftOffset(v)
+    }
   }
   override def latestOffset(): Offset = GraftOffset(table.currentVersion)
   override def prepareForTriggerAvailableNow(): Unit =

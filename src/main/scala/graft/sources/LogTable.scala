@@ -518,6 +518,12 @@ final class LogTable private (val spark: SparkSession, val root: String,
         nextRetired = _ => head.retired,
         nextDeletes = _ => head.deletes,
         nextEqDeletes = _ => head.eqDeletes,
+        // main adopts the branch head's PARTITION SPEC along with its
+        // files: an evolveSpec inside a transaction/WAP branch laid the
+        // adopted files out under the NEW spec, so publishing them
+        // while re-recording the pre-fork spec would mislabel the
+        // manifest relative to the on-disk layout
+        nextSpec = Some((head.partCols, head.transforms)),
         segHints = head.segs) { prev =>
       if (tag.nonEmpty && hasTag(tag)) return snapshot()
       if (prev.version != baseVersion)
@@ -822,6 +828,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.{col, lit}
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    // diffing (v, parent(v)] needs both manifests; expire() deletes
+    // old ones — fail with the remedy, not a raw missing-file read
+    val floor = GraftCdcUtil.replayFloor(this)
+    if (fromVersion < floor) GraftCdcUtil.expiredError(root, fromVersion, floor)
     val target = schemaOf(snapshot(toVersion))
     require(target.nonEmpty, "cannot CDC-read a table with no schema yet")
     def conform(df: DataFrame): DataFrame =

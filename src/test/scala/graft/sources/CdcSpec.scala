@@ -174,4 +174,51 @@ class CdcSpec extends SparkSpec {
     assert(r(0).isNullAt(r(0).fieldIndex("extra"))) // v1 row: typed null
     assert(r(1).getAs[Long]("extra") === 5L)
   }
+
+  test("expired history: defaults clamp to the retained floor, explicit starts fail with the remedy") {
+    val t = fresh()
+    t.append(rows(0 until 5))   // v1
+    t.append(rows(5 until 10))  // v2
+    t.append(rows(10 until 15)) // v3
+    t.expire(keepLast = 2)      // drops v1's manifest
+    assert(t.versions === Seq(2L, 3L))
+
+    // readCdc below the floor: a clear remedy, not a raw missing-file read
+    val e = intercept[IllegalStateException](t.readCdc(0L))
+    assert(e.getMessage.contains("expired"))
+    assert(e.getMessage.contains("startingVersion"))
+    // from the floor it still replays
+    assert(changes(t.readCdc(2L)) === Map(("insert", 3L) -> (10L until 15L).toSet))
+
+    // batch CDC source: the DEFAULT window is the retained history —
+    // before the clamp this threw a missing-manifest IO error
+    val df = spark.read.format("graft").option("readChanges", "true").load(t.root)
+    assert(changes(df) === Map(("insert", 3L) -> (10L until 15L).toSet))
+    // a pushed `_commit_version` bound keeps slicing post-expire
+    assert(changes(df.filter($"_commit_version" > 2L)) ===
+      Map(("insert", 3L) -> (10L until 15L).toSet))
+    assert(df.filter($"_commit_version" > 3L).count() === 0L)
+
+    // an explicit start below the floor fails loudly at planning
+    val e2 = intercept[Throwable](spark.read.format("graft")
+      .option("readChanges", "true").option("startingVersion", "0")
+      .load(t.root).collect())
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + msgs(x.getCause)
+    assert(msgs(e2).contains("expired"))
+  }
+
+  test("pushed _commit_version bounds narrow the planned window on an unexpired table") {
+    val t = fresh()
+    t.append(rows(0 until 5))   // v1
+    t.append(rows(5 until 10))  // v2
+    t.append(rows(10 until 15)) // v3
+    val df = spark.read.format("graft").option("readChanges", "true").load(t.root)
+    assert(changes(df.filter($"_commit_version" === 2L)) ===
+      Map(("insert", 2L) -> (5L until 10L).toSet))
+    assert(changes(df.filter($"_commit_version" >= 3L)) ===
+      Map(("insert", 3L) -> (10L until 15L).toSet))
+    assert(changes(df.filter($"_commit_version" < 2L)) ===
+      Map(("insert", 1L) -> (0L until 5L).toSet))
+  }
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{And, EqualTo, GreaterThanOrEqual, In, IsNull, LessThan}
+import org.apache.spark.sql.sources.{And, EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNull, LessThan, Not}
 
 import java.nio.file.{Files, Paths}
 
@@ -190,5 +190,55 @@ class MetadataDeleteSpec extends SparkSpec {
     // a row-level predicate still works — through the rewrite path
     spark.sql("DELETE FROM gmd.ns.t WHERE id = 3")
     assert(spark.sql("SELECT id FROM gmd.ns.t").as[Long].collect() === Array(4L))
+  }
+
+  test("strictMatch: NOT over a null partition is undecidable, never strict-true") {
+    val nullDir = "__HIVE_DEFAULT_PARTITION__"
+    val nullFile = DataFile("f0", 2, 10, partitions = Map("kind" -> nullDir))
+    val aFile = DataFile("f1", 2, 10, partitions = Map("kind" -> "a"))
+    val bFile = DataFile("f2", 2, 10, partitions = Map("kind" -> "b"))
+    // SQL three-valued logic: a NULL row fails BOTH `kind = 'a'` and
+    // `NOT (kind = 'a')` — the affirmative inversion must not fire
+    assert(GraftPrune.strictMatch(nullFile, Nil, Not(EqualTo("kind", "a"))) === None)
+    // null-free files still decide NOT both ways
+    assert(GraftPrune.strictMatch(bFile, Nil, Not(EqualTo("kind", "a"))) === Some(true))
+    assert(GraftPrune.strictMatch(aFile, Nil, Not(EqualTo("kind", "a"))) === Some(false))
+    // NOT IN takes the same rule through In
+    assert(GraftPrune.strictMatch(nullFile, Nil,
+      Not(In("kind", Array[Any]("a", "b")))) === None)
+    assert(GraftPrune.strictMatch(bFile, Nil,
+      Not(In("kind", Array[Any]("a", "c")))) === Some(true))
+  }
+
+  test("DELETE WHERE kind <> 'a' on a table with a null partition keeps NULL rows") {
+    val root = Files.createTempDirectory("md_del_null_").toString
+    val t = LogTable(spark, root, partitionBy = Seq("kind"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "kind"))
+    // strict refusal first: the all-null file has no two-valued verdict
+    assert(!t.deleteMetadataOnly(Seq(Not(EqualTo("kind", "a")))))
+    // the full delete surface falls back to COW — NULL <> 'a' is NULL,
+    // not TRUE, so the null row must survive
+    t.delete(col("kind") =!= "a")
+    assert(t.read().select("id").as[Long].collect().sorted === Array(1L, 3L))
+
+    // without nulls the NOT still strictly decides and rides metadata
+    val root2 = Files.createTempDirectory("md_del_null2_").toString
+    val t2 = LogTable(spark, root2, partitionBy = Seq("kind"))
+    t2.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "kind"))
+    assert(t2.deleteMetadataOnly(Seq(Not(EqualTo("kind", "a")))))
+    assert(t2.read().select("kind").as[String].collect() === Array("a"))
+  }
+
+  test("strict string ranges use UTF-8 code-point order, not UTF-16") {
+    val emoji = "\uD83D\uDE00" // U+1F600, a supplementary character
+    val f = DataFile("f", 1, 10, partitions = Map("kind" -> emoji))
+    // Java String order (UTF-16 code units) says emoji < U+FFFD; Spark
+    // compares UTF8String bytes (code points), which says the opposite —
+    // a strict verdict must side with the engine or a metadata delete
+    // affirms the wrong files
+    assert("\uD83D\uDE00" < "\uFFFD", "sanity: JVM order disagrees")
+    assert(GraftPrune.strictMatch(f, Nil, GreaterThan("kind", "\uFFFD")) === Some(true))
+    assert(GraftPrune.strictMatch(f, Nil, LessThan("kind", "\uFFFD")) === Some(false))
   }
 }

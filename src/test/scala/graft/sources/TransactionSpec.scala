@@ -115,4 +115,32 @@ class TransactionSpec extends SparkSpec {
     assert(out.count() === 7L)
     assert(out.filter(col("tag").isNotNull).count() === 2L)
   }
+
+  test("evolveSpec inside a transaction publishes the new spec to main") {
+    val t = freshTable()
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "kind"))
+
+    t.transaction { tx =>
+      val evolved = tx.evolveSpec(partitionBy = Seq("kind"))
+      evolved.append(Seq((3L, "c"), (4L, "c")).toDF("id", "kind"))
+    }
+
+    val snap = t.snapshot()
+    assert(snap.operation === "publish")
+    // the publish must carry the branch head's spec: the adopted files
+    // are laid out (and keyed) under it — re-recording the pre-fork
+    // spec would mislabel the manifest relative to the layout
+    assert(snap.partCols === Seq("kind"))
+    assert(snap.files.exists(_.partitions.contains("kind")))
+
+    // a fresh handle adopts the recorded spec and keeps appending under it
+    val t2 = LogTable(spark, t.root)
+    t2.append(Seq((5L, "d")).toDF("id", "kind"))
+    assert(t2.snapshot().partCols === Seq("kind"))
+    assert(t2.read().count() === 5L)
+    // pre-evolution files carry no `kind` dir value, so partition
+    // selection correctly refuses; row-exact reads stay right
+    intercept[IllegalArgumentException](t2.readWhere(p => p("kind") == "c"))
+    assert(t2.read().filter(col("kind") === "c").count() === 2L)
+  }
 }
