@@ -333,12 +333,16 @@ object Dedup {
     * FIRST global occurrence (lowest (doc_id, position)); shorter
     * lines always survive. Output = per-doc retention stats.
     *
-    * Shape at 100 TB: explode is a narrow map; first-occurrence
-    * marking is ONE window shuffle keyed by the line text over
-    * candidate lines only (min is map-side combined); the per-doc
-    * rollup co-partitions with nothing and is the second, O(docs)
-    * shuffle. No join back against the corpus, no all-pairs
-    * anything. */
+    * Shape at 100 TB: explode is a narrow map; hash and length are
+    * computed BEFORE the shuffle, so first-occurrence marking is ONE
+    * window shuffle keyed by `xxhash64(line)` carrying only
+    * (doc_id, gord, hash, len) — ~32 bytes/row instead of the line
+    * text (several-fold fewer shuffle bytes on prose); the per-doc
+    * rollup is the second, O(docs) shuffle. No join back against the
+    * corpus, no all-pairs anything. Equality is by 64-bit hash (the
+    * C4-style trade): a cross-line collision — ~n²/2⁶⁵ within a
+    * bucket — marks a unique line as duplicate; at corpus scales
+    * where that matters, widen to two independent hashes. */
   def dedupLines(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = Tables.spread(docs(s, dir))
@@ -347,16 +351,18 @@ object Dedup {
       // global occurrence order: docs hold < 10^6 lines, so
       // doc_id·10^6 + (1-based pos) is collision-free and total
       .withColumn("gord", col("doc_id") * lit(1000000L) + col("pos") + lit(1L))
-    val cand = lines.filter(length(col("line")) >= MinDedupLineLen)
+      .select(col("doc_id"), col("gord"), length(col("line")).as("len"),
+        xxhash64(col("line")).as("h"))
+    val cand = lines.filter(col("len") >= MinDedupLineLen)
       .withColumn("keep",
-        col("gord") === min(col("gord")).over(Window.partitionBy(col("line"))))
-    val short = lines.filter(length(col("line")) < MinDedupLineLen)
+        col("gord") === min(col("gord")).over(Window.partitionBy(col("h"))))
+    val short = lines.filter(col("len") < MinDedupLineLen)
       .withColumn("keep", lit(true))
     cand.unionByName(short)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
-        sum(when(col("keep"), length(col("line"))).otherwise(0L))
+        sum(when(col("keep"), col("len")).otherwise(0L))
           .cast("long").as("kept_chars"))
       .orderBy(col("doc_id"))
   }

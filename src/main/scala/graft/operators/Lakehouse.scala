@@ -264,8 +264,12 @@ object Lakehouse {
     val tmpB = Files.createTempDirectory("graft_lake_mv_base_").toString
     val tmpV = Files.createTempDirectory("graft_lake_mv_view_").toString
     val baseT = LogTable(s, tmpB)
+    // avg rides as FUSED sum+count state over exact integer cents:
+    // long partials merge exactly, and the read-time division is ONE
+    // IEEE double op — bit-identical to the oracle's sum/count
     val mv = MaterializedView(s, baseT, tmpV, Seq("event_type"),
-      Seq(MvAgg.Count("n"), MvAgg.Sum("total_value", Cols.money(col("value")))))
+      Seq(MvAgg.Count("n"), MvAgg.Sum("total_value", Cols.money(col("value"))),
+        MvAgg.Avg("avg_cents", (Cols.money(col("value")) * 100).cast("long"))))
     val ev = Tables.events(s, dir)
     (0 until 3).foreach { i =>
       baseT.append(ev.filter(pmod(col("event_id"), lit(3)) === i))
@@ -275,7 +279,8 @@ object Lakehouse {
     mv.refresh() // watermark no-op: nothing new to fold
     mv.read()
       .select(col("event_type"), col("n"),
-        Cols.asDouble(col("total_value")).as("total_value"))
+        Cols.asDouble(col("total_value")).as("total_value"),
+        col("avg_cents").cast("double").as("avg_cents"))
       .orderBy(col("event_type"))
   }
 
@@ -974,7 +979,9 @@ object Lakehouse {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_mv" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  CAST(CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |       AS DOUBLE) / count(*) AS DOUBLE) AS avg_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // each commit's exact row-level delta, recomputed as set algebra
     // over the source: 3 appends = every row inserted; COW delete =

@@ -324,26 +324,75 @@ object LogAnalytics {
       .orderBy(col("cohort_day"), col("day_offset"))
 
   /** EXACT latency percentiles per event type (p50/p95/p99) by the
-    * NEAREST-RANK method: rank ⌈n·p/100⌉ in the (value, event_id)
-    * order — pure integer rank arithmetic picking a REAL value, so
-    * Spark and the oracle agree bit-for-bit (interpolating percentile
+    * NEAREST-RANK method: rank ⌈n·p/100⌉ in value order — pure
+    * integer rank arithmetic picking a REAL value, so Spark and the
+    * oracle agree bit-for-bit (interpolating percentile
     * implementations differ in ulps between engines and can't
-    * hash-match). The per-type sort is the price of exactness —
-    * `q_approx_percentile` is the sketch-based scale path; this is
-    * the exact complement for dashboard-grade per-key latency, where
-    * each key's partition sorts independently (parallel across
-    * types). */
+    * hash-match). Scale-safe EXACT plan — no per-type sort task:
+    *  1. CENSUS: groupBy (type, value) count — map-side combined,
+    *     the shuffle carries distinct values, not rows;
+    *  2. range-partition the census by (type, value) into B slices
+    *     and pin slice ids (persist — range boundaries are sampled,
+    *     so downstream passes must see ONE assignment);
+    *  3. ONE tiny collect of per-(slice, type) subtotals (≤ B×types
+    *     rows, the q_ntile k-row pattern) → driver-side exclusive
+    *     prefix per type (slice offsets) and per-type totals (the
+    *     target ranks);
+    *  4. a cumulative window over (slice, type) — B-way parallel
+    *     INSIDE each type — plus the broadcast offset gives every
+    *     distinct value its global rank interval; the target rank's
+    *     value is the row whose interval covers it.
+    * The tie-break on event_id is unnecessary for the VALUE at a rank
+    * (equal values are interchangeable), which is what lets the census
+    * collapse rows. `q_approx_percentile` stays the sketch path. */
   def logLatencyPcts(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    val np = Window.partitionBy(col("event_type"))
-    ev(s, dir).select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(np))
-      .withColumn("pct", explode(array(lit(50), lit(95), lit(99))))
-      .filter(col("rnk") === expr("(n * pct + 99) div 100"))
+    val (census, res) = logLatencyPctsPlanned(s, dir)
+    // materialize the ≤ 3×types result NOW so the pinned census can be
+    // released before returning (the q_ntile lifecycle)
+    val rows = res.collect().toIndexedSeq
+    census.unpersist(blocking = false)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+  }
+
+  /** The distributed plan behind [[logLatencyPcts]], exposed
+    * un-collected so PlanContractSpec can assert its shape (the
+    * public operator returns a driver-materialized k-row frame).
+    * Returns (pinned census to unpersist, result plan). */
+  private[graft] def logLatencyPctsPlanned(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val slices = 32
+    val census = ev(s, dir)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(slices, col("event_type"), col("value"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subs = census.groupBy(col("pid"), col("event_type"))
+      .agg(sum(col("cnt")).as("sub"))
+      .collect().map(r => (r.getAs[Int]("pid"),
+        r.getAs[String]("event_type"), r.getAs[Long]("sub")))
+    val offsets = subs.sortBy(x => (x._2, x._1)).toList
+      .foldLeft((Map.empty[String, Long], List.empty[(Int, String, Long)])) {
+        case ((acc, out), (pid, et, sub)) =>
+          val off = acc.getOrElse(et, 0L)
+          (acc.updated(et, off + sub), (pid, et, off) :: out)
+      }._2.toDF("pid", "event_type", "off")
+    val targets = subs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toList
+      .flatMap { case (et, n) =>
+        Seq(50, 95, 99).map(p => (et, p, (n * p + 99) / 100)) }
+      .toDF("event_type", "pct", "rk")
+    val wCum = Window.partitionBy(col("pid"), col("event_type"))
+      .orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val res = census
+      .join(broadcast(offsets), Seq("pid", "event_type"))
+      .withColumn("cum", col("off") + sum(col("cnt")).over(wCum))
+      .join(broadcast(targets), Seq("event_type"))
+      .filter(col("rk") > col("cum") - col("cnt") && col("rk") <= col("cum"))
       .select(col("event_type"), col("pct"), col("value").as("latency"))
       .orderBy(col("event_type"), col("pct"))
+    (census, res)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -242,8 +242,9 @@ object GraftSql {
     * Trino MV surface over [[MaterializedView]]. The select list is
     * restricted to what incremental maintenance can actually sustain:
     * bare group-key columns plus `count(*) | sum(e) | min(e) | max(e)
-    * AS alias` (mergeable partial state; AVG is deliberately refused —
-    * materialize sum+count and divide in the reading query). The
+    * | avg(e) | approx_count_distinct(e) AS alias` (each stored as
+    * mergeable partial state — avg as fused sum+count, the distinct
+    * count as an HLL sketch). The
     * view's state table lands under the warehouse at `<wh>/<name>`,
     * readable as SQL view `<name>` and refreshed by
     * `CALL refresh_mv(<name>)`. */
@@ -255,7 +256,8 @@ object GraftSql {
     val baseT = table(m.group(4))
     val keys = scala.collection.mutable.ListBuffer[String]()
     val aggs = scala.collection.mutable.ListBuffer[MvAgg]()
-    val AggItem = """(?is)^(count|sum|min|max)\s*\(\s*(.+?)\s*\)\s+AS\s+(\w+)$""".r
+    val AggItem = ("""(?is)^(count|sum|min|max|avg|approx_count_distinct)""" +
+      """\s*\(\s*(.+?)\s*\)\s+AS\s+(\w+)$""").r
     splitTopLevel(m.group(3), ',').map(_.trim).filter(_.nonEmpty).foreach {
       case AggItem(fn, arg, alias) => fn.toLowerCase match {
         case "count" =>
@@ -265,13 +267,17 @@ object GraftSql {
         case "sum" => aggs += MvAgg.Sum(alias, org.apache.spark.sql.functions.expr(arg))
         case "min" => aggs += MvAgg.Min(alias, org.apache.spark.sql.functions.expr(arg))
         case "max" => aggs += MvAgg.Max(alias, org.apache.spark.sql.functions.expr(arg))
+        // avg stores fused sum+count state, approx_count_distinct an
+        // HLL sketch — both merge; readers see ratio / estimate
+        case "avg" => aggs += MvAgg.Avg(alias, org.apache.spark.sql.functions.expr(arg))
+        case "approx_count_distinct" =>
+          aggs += MvAgg.ApproxDistinct(alias, org.apache.spark.sql.functions.expr(arg))
       }
       case c if c.matches("\\w+") => keys += c
       case other => throw new IllegalArgumentException(
         s"unsupported select item '$other' in CREATE MATERIALIZED VIEW " +
-          "(supported: group-key columns, and count(*)/sum(e)/min(e)/max(e) " +
-          "AS alias — avg is not mergeable: materialize sum and count, " +
-          "divide when reading)")
+          "(supported: group-key columns, and count(*)/sum(e)/min(e)/" +
+          "max(e)/avg(e)/approx_count_distinct(e) AS alias)")
     }
     val gkeys = splitTopLevel(m.group(5), ',').map(_.trim).filter(_.nonEmpty)
     require(gkeys.forall(_.matches("\\w+")),

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * re-scanning the base table. Only aggregates with an associative,
   * commutative merge qualify (the classic self-maintainable set for
   * append-only bases): COUNT and SUM merge by addition, MIN/MAX by
-  * least/greatest. AVG is intentionally absent — store `Sum` + `Count`
-  * and divide at read time; storing a ratio would not merge.
+  * least/greatest, AVG as a fused sum+count pair divided at read
+  * time, APPROX_DISTINCT as HLL sketch state unioned at merge time —
+  * the stored form is always the mergeable one, never the result.
   */
 sealed trait MvAgg {
   /** Result column name in the view. */
@@ -21,6 +22,11 @@ sealed trait MvAgg {
     * values seen" on either side and must act as the identity, so a
     * delta whose group saw only SQL NULLs cannot wipe stored state. */
   private[sources] def merge(stored: Column, incoming: Column): Column
+  /** Reader-facing projection of the stored state: identity for the
+    * scalar aggregates; derived-state aggregates (Avg's ratio, a
+    * sketch's estimate) override. Storage keeps the MERGEABLE form,
+    * readers see the result form. */
+  private[sources] def present(c: Column): Column = c
 }
 
 object MvAgg {
@@ -47,6 +53,37 @@ object MvAgg {
   final case class Max(name: String, expr: Column) extends MvAgg {
     private[sources] def partial: Column = max(expr).as(name)
     private[sources] def merge(s: Column, i: Column): Column = greatest(s, i)
+  }
+  /** `avg(expr)` per group — the latency-dashboard aggregate. The
+    * ratio itself would not merge, so the state is the FUSED
+    * sum+count pair (one struct column), merged field-wise; readers
+    * see the division ([[present]]), NULL for a group that never saw
+    * a non-null value (SQL avg semantics — and the zero-count guard
+    * keeps ANSI mode from throwing on 0/0). */
+  final case class Avg(name: String, expr: Column) extends MvAgg {
+    private[sources] def partial: Column =
+      struct(sum(expr).as("s"), count(expr).cast("long").as("c")).as(name)
+    private[sources] def merge(s: Column, i: Column): Column = {
+      val ss = s.getField("s"); val is = i.getField("s")
+      struct(coalesce(ss + is, ss, is).as("s"),
+        (s.getField("c") + i.getField("c")).as("c"))
+    }
+    private[sources] override def present(c: Column): Column =
+      when(c.getField("c") === lit(0L), lit(null))
+        .otherwise(c.getField("s") / c.getField("c"))
+  }
+  /** `approx_count_distinct(expr)` per group — the distinct-users
+    * dashboard aggregate as MERGEABLE sketch state: an Apache
+    * DataSketches HLL binary (`hll_sketch_agg`), folded with
+    * `hll_union`; readers see the estimate. State is O(groups ×
+    * sketch bytes) and a refresh unions only the delta's sketches —
+    * the base table's distinct values are never re-scanned. */
+  final case class ApproxDistinct(name: String, expr: Column) extends MvAgg {
+    private[sources] def partial: Column = hll_sketch_agg(expr).as(name)
+    private[sources] def merge(s: Column, i: Column): Column =
+      when(s.isNull, i).when(i.isNull, s).otherwise(hll_union(s, i))
+    private[sources] override def present(c: Column): Column =
+      when(c.isNull, lit(0L)).otherwise(hll_sketch_estimate(c))
   }
 }
 
@@ -106,8 +143,18 @@ final class MaterializedView private (
       .getOrElse(0L)
 
   /** The view's contents: one row per group, keys + aggregate columns
-    * (the internal merge key dropped). */
-  def read(): DataFrame = table.read().drop(KeyCol)
+    * in result form (derived-state aggregates present their result —
+    * Avg divides, sketches estimate; the internal merge key is
+    * dropped by the projection). */
+  def read(): DataFrame = {
+    val t = table.read()
+    // a never-refreshed view has no recorded schema yet (its state
+    // table is a column-less empty relation): nothing to present
+    if (!(keyCols ++ aggs.map(_.name)).forall(n =>
+        t.columns.exists(_.equalsIgnoreCase(n)))) t.drop(KeyCol)
+    else t.select(
+      keyCols.map(col) ++ aggs.map(a => a.present(col(a.name)).as(a.name)): _*)
+  }
 
   /** Incremental refresh: fold base rows appended in
     * (refreshedVersion, base.currentVersion] into the stored groups.

@@ -235,13 +235,22 @@ class PlanContractSpec extends SparkSpec {
     assert(md.count() === 350L)
   }
 
-  test("dedup_lines: first-occurrence marking is a PARTITIONED window keyed by line — no join back against the corpus") {
+  test("dedup_lines: first-occurrence marking is a hash-keyed PARTITIONED window — line text never shuffles") {
     val p = plan("dedup_lines")
     assert(count(p, "Join") === 0,
       "keep-marks must ride the window, not a join back to the exploded corpus")
-    assert(p.contains("Window"), "first-occurrence min is a window over line")
+    assert(p.contains("Window"), "first-occurrence min is a window over the line hash")
     assert(!p.contains("SinglePartition"),
-      "the line window must partition by line text, never collapse to one task")
+      "the dedup window must partition by hash, never collapse to one task")
+    // the dedup shuffle is keyed by xxhash64(line), and its input
+    // projection carries (doc_id, gord, len, h) — the text column is
+    // dropped BEFORE the exchange, several-fold fewer shuffle bytes
+    val exch = p.linesIterator.find(l =>
+      l.contains("Exchange hashpartitioning(h#")).getOrElse(
+      fail(s"no hash-keyed dedup exchange in plan:\n$p"))
+    assert(!exch.contains("line#"), "line text must not ride the dedup shuffle")
+    assert("windowspecdefinition\\(h#".r.findFirstIn(p).nonEmpty,
+      "the window must partition on the 64-bit hash column")
     // the scan reads only what the operator needs
     val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
     assert(scan.contains("doc_id") && scan.contains("text"))
@@ -271,11 +280,38 @@ class PlanContractSpec extends SparkSpec {
       "retention reads only (user_id, ts) — scan must prune the rest")
   }
 
-  test("log_latency_pcts: per-type sorts partition by event_type; the scan prunes to 3 columns") {
-    val p = plan("log_latency_pcts")
-    assert(p.contains("Window"), "nearest-rank needs the ranking window")
-    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
-    assert(!scan.contains("props") && !scan.contains("user_id"),
-      "percentiles read only (event_type, value, event_id)")
+  test("log_latency_pcts: no window partitions solely on event_type; census prunes the scan") {
+    val (census, res) = operators.LogAnalytics.logLatencyPctsPlanned(spark, sfDir)
+    try {
+      val p = res.queryExecution.executedPlan.toString
+      assert(p.contains("Window"), "nearest-rank needs the cumulative window")
+      // the 100 TB contract: every window must include the range-slice
+      // id in its partition spec — a window keyed on event_type alone
+      // serializes each type onto one task
+      val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+      assert(specs.nonEmpty)
+      specs.foreach(spec => assert(spec.contains("pid"),
+        s"window partitions without the slice id (per-type serialization):\n$spec"))
+      val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+      assert(!scan.contains("props") && !scan.contains("user_id") &&
+        !scan.contains("event_id"),
+        "the census reads only (event_type, value)")
+      // correctness of the two-level rank: matches the one-window oracle
+      val got = res.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("value", "event_id")
+      import org.apache.spark.sql.functions._
+      val oracle = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("n", org.apache.spark.sql.functions.count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+        .withColumn("pct", explode(array(lit(50), lit(95), lit(99))))
+        .filter(col("rnk") === expr("(n * pct + 99) div 100"))
+        .select(col("event_type"), col("pct"), col("value"))
+        .orderBy(col("event_type"), col("pct"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      assert(got === oracle)
+    } finally census.unpersist(blocking = false)
   }
 }

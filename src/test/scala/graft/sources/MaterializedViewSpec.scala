@@ -211,4 +211,90 @@ class MaterializedViewSpec extends SparkSpec {
         Seq(MvAgg.Count("mv_key")))
     }
   }
+
+  test("Avg: fused sum+count state — incremental == full == from-scratch, nulls are identity") {
+    val base = LogTable(spark, tmp("mv_avg_base_"))
+    val mv = MaterializedView(spark, base, tmp("mv_avg_view_"), Seq("k"),
+      Seq(MvAgg.Count("n"), MvAgg.Avg("avg_v", col("v"))))
+    def byK(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Any)] =
+      df.collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n"), r.getAs[Any]("avg_v"))).toMap
+    // exact long values: partial sums merge exactly, so incremental
+    // and full agree bit-for-bit even through several refreshes
+    def longRows(ids: Range) =
+      ids.map(i => (i.toLong, if (i % 3 == 0) "a" else "b", i.toLong * 10))
+        .toDF("id", "k", "v")
+    base.append(longRows(0 until 40))
+    mv.refresh()
+    base.append(longRows(40 until 90))
+    mv.refresh()
+    val incremental = byK(mv.read())
+    val scratch = byK(base.read().groupBy($"k")
+      .agg(count(lit(1)).as("n"), avg($"v").as("avg_v")))
+    assert(incremental === scratch)
+    // a second identically-defined view built by ONE full refresh
+    val mv2 = MaterializedView(spark, base, tmp("mv_avg_view2_"), Seq("k"),
+      Seq(MvAgg.Count("n"), MvAgg.Avg("avg_v", col("v"))))
+    mv2.fullRefresh()
+    assert(byK(mv2.read()) === incremental)
+    // a delta whose group sees only NULL values must not disturb the
+    // stored ratio; an all-null group presents NULL (SQL avg), not 0/0
+    base.append(Seq((900L, "a", null.asInstanceOf[java.lang.Long]),
+      (901L, "z", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "k", "v"))
+    mv.refresh()
+    val after = byK(mv.read())
+    assert(after("a")._2 === scratch("a")._2, "null delta changed a stored avg")
+    assert(after("z") === ((1L, null)), "all-null group must present NULL avg")
+  }
+
+  test("ApproxDistinct: HLL sketch state — incremental == full, exact at small cardinality") {
+    val base = LogTable(spark, tmp("mv_hll_base_"))
+    val mv = MaterializedView(spark, base, tmp("mv_hll_view_"), Seq("k"),
+      Seq(MvAgg.Count("n"), MvAgg.ApproxDistinct("users", col("u"))))
+    def rows(ids: Range) = ids
+      .map(i => (i.toLong, if (i % 3 == 0) "a" else "b", (i % 37).toLong))
+      .toDF("id", "k", "u")
+    base.append(rows(0 until 50))
+    mv.refresh()
+    base.append(rows(50 until 120))
+    mv.refresh()
+    val got = mv.read().collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("users")).toMap
+    // 37 distinct values: well inside the sketch's exact (sparse) range
+    val exact = base.read().groupBy($"k").agg(countDistinct($"u").as("d"))
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("d")).toMap
+    assert(got === exact)
+    // incremental union == one-shot full rebuild (same sketch algebra)
+    val mv2 = MaterializedView(spark, base, tmp("mv_hll_view2_"), Seq("k"),
+      Seq(MvAgg.Count("n"), MvAgg.ApproxDistinct("users", col("u"))))
+    mv2.fullRefresh()
+    val full = mv2.read().collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("users")).toMap
+    assert(full === got)
+  }
+
+  test("SQL surface: CREATE MATERIALIZED VIEW with avg and approx_count_distinct") {
+    val wh = tmp("mv_sql_wh_")
+    GraftSql.setWarehouse(wh)
+    GraftSql.exec(spark, "DROP TABLE IF EXISTS mv_sql_base")
+    GraftSql.exec(spark, "CREATE TABLE mv_sql_base (id BIGINT, k STRING, v BIGINT)")
+    (0 until 60).map(i => (i.toLong, if (i % 2 == 0) "x" else "y", i.toLong))
+      .toDF("id", "k", "v").createOrReplaceTempView("mv_sql_src")
+    GraftSql.exec(spark, "INSERT INTO mv_sql_base SELECT * FROM mv_sql_src")
+    GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW mv_sql_v AS
+        |SELECT k, count(*) AS n, avg(v) AS avg_v,
+        |  approx_count_distinct(v) AS nv
+        |FROM mv_sql_base GROUP BY k""".stripMargin)
+    GraftSql.exec(spark, "CALL refresh_mv(mv_sql_v)")
+    val got = spark.sql("SELECT k, n, avg_v, nv FROM mv_sql_v ORDER BY k").collect()
+    assert(got.length === 2)
+    val x = got(0)
+    assert(x.getAs[String]("k") === "x")
+    assert(x.getAs[Long]("n") === 30L)
+    assert(x.getAs[Double]("avg_v") === 29.0) // avg of 0,2,...,58
+    assert(x.getAs[Long]("nv") === 30L)
+    GraftSql.exec(spark, "DROP MATERIALIZED VIEW mv_sql_v")
+  }
 }
