@@ -816,9 +816,12 @@ private[sources] final class GraftScan(root: String, schema: StructType,
     * `partitionKey()` rows can never disagree (a racing evolveSpec
     * between the two calls fails loudly at key-row build instead).
     * Row-level scans skip the report: their one consumer is a group
-    * rewrite, and a stale claim there rewrites wrong groups. */
+    * rewrite, and a stale claim there rewrites wrong groups. CDC
+    * scans skip it too: their partitions are change/replay reads (no
+    * per-partition key rows), so a layout claim would make Spark sort
+    * partitions by a key that is not there. */
   private lazy val spjLayout: Option[SpjLayout] =
-    if (rowLevel.nonEmpty) None
+    if (rowLevel.nonEmpty || options.getBoolean("readChanges", false)) None
     else SpjLayout.of(GraftSourceUtil.snapshotFor(
       LogTable(SparkSession.active, root), options))
 
@@ -1428,6 +1431,15 @@ private[sources] object GraftCdcUtil {
       def tag(f: DataFile, t: String) =
         f.partitions + (TypeCol -> t) + (VerCol -> v.toString)
       snap.operation match {
+        // commit-time CHANGE FILES (write.cdc.enabled): the committing
+        // COW delete/update/merge staged its exact pre/post-images, so
+        // the otherwise-unrepresentable mixed rewrite replays as plain
+        // file reads — change tags ride the constant channel, the
+        // rows come straight from the change parquet (which stores
+        // partition columns physically; no hive-dir reconstruction)
+        case _ if snap.cdc.nonEmpty =>
+          snap.cdc.map(cf => GraftInputPartition(cf.path, cf.bytes,
+            Map(TypeCol -> cf.change, VerCol -> v.toString)): InputPartition)
         case op if RowPreserving.contains(op) => Nil
         case "append" =>
           GraftPrune.filesFor(
@@ -1491,7 +1503,9 @@ private[sources] object GraftCdcUtil {
           def refuse(why: String): Nothing = throw new IllegalStateException(
             s"streaming CDC cannot represent v$v ('${snap.operation}'): $why " +
               s"— consume LogTable.readCdc(${v - 1}, ...) for the boundary " +
-              "and restart the stream past it with startingVersion")
+              "and restart the stream past it with startingVersion, or set " +
+              s"table property ${LogTable.CdcEnabledProp}=true so future COW " +
+              "commits stage replayable change files")
           if (added.nonEmpty && removed.nonEmpty)
             refuse("it both adds and removes files (a rewrite copies " +
               "surviving rows between files)")

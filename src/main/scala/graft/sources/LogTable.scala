@@ -138,6 +138,19 @@ final case class ReadMeta(layoutComplete: Boolean, layoutParts: Int,
 final case class EqDeleteFile(path: String, bytes: Long,
     cols: Seq[String], rows: Long, seq: Long)
 
+/** One per-commit CHANGE file (Delta CDF's `_change_data`): a parquet
+  * file under `changes/` holding THIS commit's pre-images
+  * (`change = "delete"`) or post-images (`change = "insert"`) in the
+  * table schema, written by COW delete/update/merge when the table
+  * property `write.cdc.enabled` is true. Unlike data/delete files,
+  * change files belong to exactly ONE snapshot (never carried
+  * forward): CDC readers — the streaming source, batch changelog
+  * scans, [[LogTable.readCdc]] — replay them instead of refusing (or
+  * row-diffing) the mixed add+remove commit a COW rewrite produces.
+  * GC'd when their snapshot expires, like any referenced file. */
+final case class CdcFile(path: String, rows: Long, bytes: Long,
+    change: String)
+
 /** One POSITION-DELETE file of a snapshot (Iceberg v2's merge-on-read
   * delete files): a parquet file of `(file_path, pos)` rows marking
   * individual rows of data files as deleted WITHOUT rewriting them.
@@ -274,7 +287,12 @@ final case class Snapshot(version: Long, parent: Long, operation: String,
       * writes roll to a new file past this row count — the
       * target-file-size knob that keeps a wide ingest from writing
       * unsplittable multi-GB files). */
-    props: Map[String, String] = Map.empty) {
+    props: Map[String, String] = Map.empty,
+    /** THIS commit's CDC change files (see [[CdcFile]]); per-commit
+      * payload — never inherited by the next snapshot. Empty unless
+      * the committing operation was a COW delete/update/merge on a
+      * table with `write.cdc.enabled`. */
+    cdc: Seq[CdcFile] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
   def totalBytes: Long = files.map(_.bytes).sum
 
@@ -848,6 +866,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val cur = snapshot(v)
       val par = snapshot(cur.parent)
       cur.operation match {
+        // commit-time CHANGE FILES (write.cdc.enabled): the committing
+        // COW operation already recorded its exact pre/post-images —
+        // read them instead of row-diffing the rewrite
+        case _ if cur.cdc.nonEmpty =>
+          cur.cdc.groupBy(_.change).toSeq.sortBy(_._1).map { case (chg, fs) =>
+            stamp(conform(spark.read.parquet(fs.map(_.path): _*)), chg, v)
+          }.reduce(_ unionByName _)
         case "append" =>
           val parPaths = par.files.map(_.path).toSet
           val added = cur.files.filterNot(f => parPaths.contains(f.path))
@@ -1330,7 +1355,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
       Option(n.get("sortOrder")).map(
         _.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
       Option(n.get("props")).map(_.fields().asScala.map(e =>
-        e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
+        e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+      Option(n.get("cdc")).map(_.elements().asScala.map { c =>
+        CdcFile(c.get("path").asText(), c.get("rows").asLong(),
+          c.get("bytes").asLong(), c.get("change").asText())
+      }.toSeq).getOrElse(Nil))
   }
 
   /** Pack `files` into manifest segments, reusing every previous (or
@@ -1741,6 +1770,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
     kvs.get(LogTable.MaxRecordsProp).foreach(v =>
       require(v.toLongOption.exists(_ > 0),
         s"${LogTable.MaxRecordsProp} must be a positive integer, got '$v'"))
+    kvs.get(LogTable.CdcEnabledProp).foreach(v =>
+      require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"${LogTable.CdcEnabledProp} must be true or false, got '$v'"))
     commit("set-props", nextProps = prev => prev.props ++ kvs)(_.files)
   }
 
@@ -2054,12 +2086,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * before the retry re-plans — no orphan growth under contention. */
   private def commitOrCleanup(rewritten: Seq[DataFile], operation: String,
       nextSchema: Snapshot => String = _.schemaJson,
-      tag: String = "")(
+      tag: String = "",
+      cdcFiles: Seq[CdcFile] = Nil)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot =
-    try commit(operation, tag = tag, nextSchema = nextSchema)(nextFiles)
+    try commit(operation, tag = tag, nextSchema = nextSchema,
+        cdcFiles = cdcFiles)(nextFiles)
     catch {
       case e @ LogTable.StaleSourceFiles =>
         rewritten.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+        cdcFiles.foreach(c => Files.deleteIfExists(Paths.get(c.path)))
         throw e
     }
 
@@ -2325,8 +2360,16 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val keepRows = readLive(snap, affected).filter(
       !org.apache.spark.sql.functions.coalesce(
         condition, org.apache.spark.sql.functions.lit(false)))
+    // CDC change files (opt-in): the deleted rows' pre-images ride the
+    // same commit, so CDC readers replay this COW rewrite exactly
+    // instead of refusing the mixed add+remove file change
+    val cdcFiles =
+      if (!cdcEnabled(snap)) Nil
+      else writeCdcFiles(readLive(snap, affected).filter(
+        org.apache.spark.sql.functions.coalesce(
+          condition, org.apache.spark.sql.functions.lit(false))), "delete")
     val rewritten = writeDataFiles(keepRows, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols), props = Some(snap.props))
-    commitOrCleanup(rewritten, "delete") { prev =>
+    commitOrCleanup(rewritten, "delete", cdcFiles = cdcFiles) { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
@@ -2686,6 +2729,54 @@ final class LogTable private (val spark: SparkSession, val root: String,
     out
   }
 
+  /** `write.cdc.enabled` gate: COW delete/update/merge additionally
+    * stage per-commit change files when true (Delta's
+    * `delta.enableChangeDataFeed`). Off by default — the extra
+    * pre/post-image pass is the documented CDF write cost. */
+  private def cdcEnabled(snap: Snapshot): Boolean =
+    snap.props.get(LogTable.CdcEnabledProp).exists(_.equalsIgnoreCase("true"))
+
+  /** Write one commit's CHANGE rows as plain parquet under `changes/`
+    * (Delta CDF's `_change_data` dir; see [[CdcFile]]) — full rows in
+    * the frame's schema, flat (partition columns are stored physically
+    * — CDC readers read change files without the hive-layout constant
+    * channel). Staged before the commit like data files: invisible
+    * until the manifest lands; a lost race deletes them
+    * ([[commitOrCleanup]]). Nil for an empty frame. */
+  private def writeCdcFiles(df: DataFrame, change: String): Seq[CdcFile] = {
+    val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
+    val chDir = rootPath.resolve("changes")
+    Files.createDirectories(chDir)
+    DirectCommitProtocol.install(spark)
+    df.write.option(DirectCommitProtocol.TargetKey, chDir.toAbsolutePath.toString)
+      .parquet(stage.toString)
+    val sidecar = stage.resolve(DirectCommitProtocol.Sidecar)
+    val parts =
+      if (Files.exists(sidecar))
+        Files.readAllLines(sidecar).asScala.toSeq.filter(_.nonEmpty)
+          .map(line => Paths.get(line.substring(line.indexOf('\t') + 1)))
+          .sortBy(_.toString)
+      else {
+        val walk = Files.walk(stage)
+        val staged = try walk.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+          finally walk.close()
+        staged.map { part =>
+          val dest = chDir.resolve(s"${UUID.randomUUID()}.parquet")
+          Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+          dest
+        }
+      }
+    val out = parts.flatMap { dest =>
+      Files.deleteIfExists(dest.resolveSibling(s".${dest.getFileName}.crc"))
+      val (rows, _, _, _, _) = parquetFooterMeta(dest)
+      if (rows == 0L) { Files.deleteIfExists(dest); None }
+      else Some(CdcFile(dest.toString, rows, Files.size(dest), change))
+    }
+    LogTable.deleteRecursively(stage)
+    out
+  }
+
   /** Write `(file_path, pos)` marks as SHARDED position-delete parquet
     * files under `deletes/`; Nil when no row matched. Marks hash-shard
     * by `file_path` — one delete file per ~[[LogTable.DeleteShardSpan]]
@@ -2822,12 +2913,27 @@ final class LogTable private (val spark: SparkSession, val root: String,
         case None => col(c)
       }
     }: _*)
+    // CDC change files (opt-in): matched rows' old values as
+    // pre-images ('delete') and their SET-applied twins as post-images
+    // ('insert') — the standard update = delete + insert encoding
+    val cdcFiles =
+      if (!cdcEnabled(snap)) Nil
+      else {
+        val hitRows = src.filter(cond)
+        writeCdcFiles(hitRows, "delete") ++
+          writeCdcFiles(hitRows.select(cols.map { c =>
+            sets.get(c) match {
+              case Some(e) => e.cast(src.schema(c).dataType).as(c)
+              case None => col(c)
+            }
+          }: _*), "insert")
+      }
     val rewritten = writeDataFiles(rewrittenRows,
       blooms = Some(snap.bloomCols), sort = Some(snap.sortCols), props = Some(snap.props))
     enforceChecksOnWritten(rewritten, snap.checks, "the updated rows",
       snap.schemaJson)
     var validatedChecks = snap.checks.keySet
-    commitOrCleanup(rewritten, "update") { prev =>
+    commitOrCleanup(rewritten, "update", cdcFiles = cdcFiles) { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
@@ -2985,8 +3091,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
       if (affected.isEmpty) updates
       else updates.join(readLive(snap, affected).select(col(key)),
         Seq(key), "left_anti")
-    val survivors =
-      if (affected.isEmpty) spark.emptyDataFrame
+    // (surviving rows to rewrite, CDC pre-images, CDC update post-images)
+    val (survivors, cdcPre, cdcPost) =
+      if (affected.isEmpty)
+        (spark.emptyDataFrame, Option.empty[DataFrame], Option.empty[DataFrame])
       else {
         val src = readLive(snap, affected)
         val cols = src.columns.toSeq
@@ -3056,7 +3164,12 @@ final class LogTable private (val spark: SparkSession, val root: String,
                 else lit(null).cast(src.schema(c).dataType).as(c)
               } ++ newCols.map(f => col(s"src_${f.name}").as(f.name)): _*)
         }
-        kept.unionByName(updated)
+        // CDC pre-images: every target row this merge removes or
+        // replaces, at its OLD values (matched deletes, updated rows'
+        // old images, not-matched-by-source deletes)
+        val pre = joined.filter(doDelete || doUpdate || doNmbsDelete)
+          .select(cols.map(col): _*)
+        (kept.unionByName(updated), Some(pre), Some(updated))
       }
     // column-level INSERT (cols) VALUES: inserted rows are built from
     // per-column expressions over the SOURCE row; unlisted target
@@ -3079,6 +3192,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
         } ++ newIns.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
       case None => inserts
     }
+    // CDC change files (opt-in): pre-images of removed/replaced rows,
+    // post-images of updates, and the inserted rows — the full
+    // merge = delete + insert net-change encoding, replayable by every
+    // CDC reader across this otherwise-opaque mixed rewrite
+    val cdcFiles =
+      if (!cdcEnabled(snap)) Nil
+      else cdcPre.toSeq.flatMap(writeCdcFiles(_, "delete")) ++
+        cdcPost.toSeq.flatMap(writeCdcFiles(_, "insert")) ++
+        writeCdcFiles(insertRows, "insert")
     val rewritten =
       (if (affected.isEmpty) Seq.empty
        else writeDataFiles(survivors, blooms = Some(snap.bloomCols), sort = Some(snap.sortCols), props = Some(snap.props))) ++
@@ -3100,7 +3222,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         nextSchema = prev =>
           if (wholeRow) mergedSchemaWith(prev, updates.schema).json
           else prev.schemaJson,
-        tag = tag) { prev =>
+        tag = tag, cdcFiles = cdcFiles) { prev =>
       val replaced = affected.map(_.path).toSet
       val prevPaths = prev.files.map(_.path).toSet
       if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
@@ -3236,7 +3358,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // pool — a crashed deleteMor leaves its delete file unreferenced
     // exactly as a crashed append leaves data files
     val delDir = rootPath.resolve("deletes")
-    val candidates = Seq(dataDir, delDir).filter(Files.isDirectory(_))
+    val chDir = rootPath.resolve("changes")
+    val candidates = Seq(dataDir, delDir, chDir).filter(Files.isDirectory(_))
       .flatMap { d =>
         val walk = Files.walk(d)
         try walk.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
@@ -3350,7 +3473,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val live = allLiveFiles()
       val dead = dropped.flatMap(s =>
           s.files.map(_.path) ++ s.deletes.map(_.path) ++
-            s.eqDeletes.map(_.path))
+            s.eqDeletes.map(_.path) ++ s.cdc.map(_.path))
         .distinct.filterNot(live.contains)
       dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
       // segment GC, same rule as data files: a segment referenced
@@ -3382,7 +3505,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // other writers, so they take the uncached path.
     val mine = versions.flatMap { v =>
       val s = snapshot(v)
-      s.files.map(_.path) ++ s.deletes.map(_.path) ++ s.eqDeletes.map(_.path)
+      s.files.map(_.path) ++ s.deletes.map(_.path) ++
+        s.eqDeletes.map(_.path) ++ s.cdc.map(_.path)
     }.toSet
     val branchDirs = io.listDirs(mainLogDir)
       .filter(_.startsWith("branch-")).map(mainLogDir.resolve)
@@ -3391,7 +3515,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     mine ++ others.flatMap(d =>
       listManifests(d).flatMap { m =>
         val s = parseManifest(io.readString(m._2))
-        s.files.map(_.path) ++ s.deletes.map(_.path) ++ s.eqDeletes.map(_.path)
+        s.files.map(_.path) ++ s.deletes.map(_.path) ++
+          s.eqDeletes.map(_.path) ++ s.cdc.map(_.path)
       })
   }
 
@@ -3587,7 +3712,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
         * snapshot's own (fastForward offers the branch head's, so a
         * publish re-lists branch-written segments instead of
         * re-serializing their entries). */
-      segHints: Seq[Segment] = Nil)(
+      segHints: Seq[Segment] = Nil,
+      /** Per-commit CDC change files ([[CdcFile]]); recorded on THIS
+        * snapshot only, never carried forward. */
+      cdcFiles: Seq[CdcFile] = Nil)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
@@ -3686,7 +3814,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         System.currentTimeMillis(), files, tag, nextSchema(prev),
         nextChecks(prev), nextRetired(prev), dels, pc, tf, eqDels,
         nextBlooms(prev), nextNdvs(prev), segs, Some(meta), summary,
-        nextSortCols(prev), nextProps(prev))
+        nextSortCols(prev), nextProps(prev), cdcFiles)
       // ATOMIC CREATE-OR-FAIL publish through the storage seam: the
       // full manifest is visible the instant the name exists, and a
       // version collision reports failure instead of overwriting the
@@ -3855,6 +3983,9 @@ object LogTable {
   val CommitVersionCol = "_commit_version"
   /** Honored table property: roll data files past this row count. */
   val MaxRecordsProp = "write.max-records-per-file"
+  /** Honored table property: COW delete/update/merge stage per-commit
+    * CDC change files (Delta's `delta.enableChangeDataFeed`). */
+  val CdcEnabledProp = "write.cdc.enabled"
   /** Position-delete sharding: one delete file per up to this many
     * referenced data files (capped at 256 shards). Keeps a large
     * marking pass parallel on the write side without exploding tiny
@@ -4261,6 +4392,14 @@ object LogTable {
     if (s.props.nonEmpty) {
       val pn = node.putObject("props")
       s.props.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+    }
+    if (s.cdc.nonEmpty) {
+      val cn = node.putArray("cdc")
+      s.cdc.foreach { c =>
+        val e = cn.addObject()
+        e.put("path", c.path); e.put("rows", c.rows)
+        e.put("bytes", c.bytes); e.put("change", c.change)
+      }
     }
     val segPaths = s.segs.iterator.flatMap(_.paths).toSet
     val arr: ArrayNode = node.putArray("files")

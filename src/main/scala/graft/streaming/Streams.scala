@@ -475,19 +475,23 @@ object Streams {
 
   /** STREAMING CDC end-to-end: events ingest day-partitioned in three
     * batches, retention drops everything before the cut as a
-    * manifest-only delete, and a `readChanges` stream replays the
-    * WHOLE history — inserts and the retention deletes — into a sink
-    * whose NET aggregate (+row for insert, −row for delete; exact
-    * decimal arithmetic) must equal the oracle's plain filter over
-    * the source. Exactly-once across micro-batches; each retention
-    * delete announced exactly once; already-invisible rows never
-    * re-announced. */
+    * manifest-only delete, a COW UPDATE rewrites the surviving error
+    * rows (replayed through commit-time CHANGE FILES —
+    * `write.cdc.enabled`, the Delta-CDF hop a plain file diff cannot
+    * represent), and a `readChanges` stream replays the WHOLE
+    * history — inserts, the retention deletes, and the update's
+    * pre/post-images — into a sink whose NET aggregate (+row for
+    * insert, −row for delete; exact decimal arithmetic) must equal
+    * the oracle's update-then-filter algebra over the source.
+    * Exactly-once across micro-batches; each change announced exactly
+    * once; already-invisible rows never re-announced. */
   def streamCdc(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     import graft.sources.Transform
     val root = Files.createTempDirectory("graft_cdcq_src_").toString
     val src = LogTable(s, root, hiddenBy = Seq(Transform.day("ts_us")))
     val sink = LogTable(s, Files.createTempDirectory("graft_cdcq_sink_").toString)
+    src.setProperties(Map(LogTable.CdcEnabledProp -> "true"))
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("event_type"), col("value"), col("ts_us"))
     (0 until 3).foreach { i =>
@@ -495,6 +499,9 @@ object Streams {
     }
     val cut = 1704844800000000L // 2024-01-10 00:00:00 UTC (day boundary)
     src.delete(col("ts_us") < cut) // metadata-only retention
+    // COW hop: surviving error rows repriced — a mixed add+remove
+    // commit, replayable ONLY through its staged change files
+    src.update(col("event_type") === "error", Map("value" -> lit(9999.25)))
     val q = s.readStream.format("graft").option("readChanges", "true").load(root)
       .writeStream
       .option("checkpointLocation",
@@ -547,10 +554,13 @@ object Streams {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    // the replayed change feed's net state == the retained rows
+    // the replayed change feed's net state == the retained rows with
+    // the COW repricing applied (errors → the constant)
     "stream_cdc" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  CAST(sum(CASE WHEN event_type = 'error'
+        |    THEN CAST(9999.25 AS DECIMAL(12,2))
+        |    ELSE CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS total_value
         |FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )

@@ -221,4 +221,55 @@ class CdcSpec extends SparkSpec {
     assert(changes(df.filter($"_commit_version" < 2L)) ===
       Map(("insert", 1L) -> (0L until 5L).toSet))
   }
+
+  test("write.cdc.enabled: change files carry partition columns physically; expire GCs them") {
+    val root = Files.createTempDirectory("cdc_cf_").toString
+    val t = LogTable(spark, root, partitionBy = Seq("k"))
+    t.append(rows(0 until 12))                                   // v1
+    t.setProperties(Map(LogTable.CdcEnabledProp -> "true"))      // v2
+    t.update($"id" === 2L, Map("v" -> lit(777L)))                // v3: COW update
+    val v3 = t.snapshot(3L)
+    assert(v3.cdc.nonEmpty, "COW update must stage change files")
+    assert(v3.cdc.map(_.change).toSet === Set("delete", "insert"))
+    assert(v3.cdc.map(_.rows).sum === 2L)
+
+    // batch DSv2 changelog: the update window replays from the change
+    // files, including the PARTITION column (stored physically there —
+    // data files get it from the hive-dir constant channel instead)
+    val win = spark.read.format("graft").option("readChanges", "true")
+      .option("startingVersion", "2").load(root)
+      .select($"id", $"k", $"v", $"_change_type")
+      .as[(Long, String, Long, String)].collect().toSeq.sorted
+    assert(win === Seq((2L, "a", 2L, "delete"), (2L, "a", 777L, "insert")))
+    // and readCdc agrees (same change files)
+    assert(t.readCdc(2L).select($"id", $"k", $"v", $"_change_type")
+      .as[(Long, String, Long, String)].collect().toSeq.sorted === win)
+
+    // expire drops v1..v3 → their change files are GC'd from disk
+    val cdcPaths = v3.cdc.map(_.path)
+    cdcPaths.foreach(p => assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p))))
+    t.append(rows(100 until 103))                                // v4
+    t.expire(keepLast = 1)
+    cdcPaths.foreach(p => assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p)), s"expired change file survived: $p"))
+  }
+
+  test("write.cdc.enabled: merge change files cover delete/update/insert and NMBS clauses") {
+    val t = fresh()
+    t.append(rows(0 until 6).repartition(2))                      // v1
+    t.setProperties(Map(LogTable.CdcEnabledProp -> "true"))       // v2
+    // update 0, delete 1, insert 100; NMBS deletes every other row
+    t.merge(Seq((0L, "z", 50L), (1L, "x", 0L), (100L, "n", 1L)).toDF("id", "k", "v"),
+      "id",
+      matchedDeleteWhen = Some($"src_k" === "x"),
+      notMatchedBySourceDelete = Some($"v" >= 4L))                // v3
+    val got = changes(t.readCdc(2L))
+    assert(got === Map(
+      ("delete", 3L) -> Set(0L, 1L, 4L, 5L),
+      ("insert", 3L) -> Set(0L, 100L)))
+    // the changelog replays to the live state
+    val live = t.read().select($"id").as[Long].collect().toSet
+    assert(live === Set(0L, 2L, 3L, 100L))
+  }
 }

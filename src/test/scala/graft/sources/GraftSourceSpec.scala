@@ -951,6 +951,59 @@ class GraftSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("readCdc"))
   }
 
+  test("streaming CDC: write.cdc.enabled replays COW delete/update/merge via change files, exactly-once across restart") {
+    import spark.implicits._
+    val root = tmp("gcdccf")
+    val t = LogTable(spark, root)
+    t.append(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "kind", "v").coalesce(1))                    // v1: one file
+    t.setProperties(Map(LogTable.CdcEnabledProp -> "true"))    // v2: row-preserving
+    t.delete(col("id") === 1L)                                 // v3: COW delete, survivors rewritten
+
+    val cp = tmp("gcdccf-cp")
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long, String, Long)]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChanges", "true").load(root)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("id", "kind", "v", "_change_type", "_commit_version")
+            .as[(Long, String, Long, String, Long)].collect().foreach(rows.add)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // phase 1: consume through the COW delete
+    assert(rows.asScala.toSeq.sorted === Seq(
+      (1L, "a", 10L, "delete", 3L),
+      (1L, "a", 10L, "insert", 1L), (2L, "b", 20L, "insert", 1L),
+      (3L, "c", 30L, "insert", 1L)),
+      s"COW delete must replay its pre-image via change files: ${rows.asScala.toSeq.sorted}")
+
+    t.update(col("kind") === "b", Map("v" -> (col("v") + 100L)))      // v4: COW update
+    t.merge(Seq((3L, "c2", 33L), (4L, "d", 40L)).toDF("id", "kind", "v"),
+      "id")                                                            // v5: update 3, insert 4
+    run() // phase 2: SAME checkpoint — only v4..v5, exactly once
+    val got = rows.asScala.toSeq.sorted
+    assert(got === Seq(
+      (1L, "a", 10L, "delete", 3L),
+      (1L, "a", 10L, "insert", 1L), (2L, "b", 20L, "insert", 1L),
+      (2L, "b", 20L, "delete", 4L), (2L, "b", 120L, "insert", 4L),
+      (3L, "c", 30L, "delete", 5L), (3L, "c2", 33L, "insert", 5L),
+      (3L, "c", 30L, "insert", 1L),
+      (4L, "d", 40L, "insert", 5L)).sorted, s"wrong change feed: $got")
+
+    // the stream and the batch changelog can never drift: same files
+    val batch = t.readCdc(0L)
+      .select(col("id"), col("kind"), col("v"),
+        col(LogTable.ChangeTypeCol), col(LogTable.CommitVersionCol))
+      .as[(Long, String, Long, String, Long)].collect().toSeq.sorted
+    assert(batch === got)
+  }
+
   test("streaming CDC: maxBytesPerTrigger splits the replay backlog without loss") {
     import spark.implicits._
     val root = tmp("gcdcbt")
