@@ -267,10 +267,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val t = LogTable(spark, root.toString)
     changes.foreach {
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1,
-          "nested renames unsupported (a struct-field rename cannot " +
-            "coalesce historical names without rewriting rows)")
-        t.renameColumn(r.fieldNames()(0), r.newName)
+        t.renameField(r.fieldNames.mkString("."), r.newName)
       // nested paths route to the struct-field evolution DDL — SQL
       // `ALTER TABLE t ADD COLUMN s.x DOUBLE` etc. work via Spark's
       // own multi-part field-name parsing

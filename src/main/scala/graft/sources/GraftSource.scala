@@ -225,9 +225,40 @@ private[sources] object GraftSourceUtil {
     * values under an old name; each file supplies at most one). */
   def physicalSchema(logical: StructType): StructType =
     GraftBridge.asNullable(StructType(logical.flatMap { f =>
-      f +: LogTable.prevNames(f).map(p =>
-        StructField(p, f.dataType, nullable = true))
+      // nested rename history widens the struct to its physical twin
+      // (historical sibling fields; see LogTable.physicalType)
+      val pdt = LogTable.physicalType(f.dataType)
+      f.copy(dataType = pdt) +: LogTable.prevNames(f).map(p =>
+        StructField(p, pdt, nullable = true))
     }))
+
+  /** Rebuild a physically-read struct value back to its LOGICAL shape
+    * after nested renames (the catalyst twin of
+    * [[LogTable.renameFixCol]]): per renamed field, coalesce the
+    * historical names from the physical twin struct; recurse; null
+    * structs stay null. Identity for types without history. */
+  def renameFixExpr(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      logical: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.catalyst.expressions.Expression = logical match {
+    case st: StructType if LogTable.hasNestedRenames(st) =>
+      import org.apache.spark.sql.catalyst.expressions.{Coalesce,
+        CreateNamedStruct, Expression, GetStructField, If, IsNull, Literal}
+      val ps = e.dataType.asInstanceOf[StructType]
+      val entries = st.fields.toSeq.flatMap { f =>
+        val names = f.name +: LogTable.prevNames(f)
+        val gets: Seq[Expression] = names.map { n =>
+          val i = ps.indexWhere(_.name.equalsIgnoreCase(n))
+          GetStructField(e, i, Some(ps(i).name))
+        }
+        val picked = if (gets.size == 1) gets.head else Coalesce(gets)
+        Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(f.name),
+            org.apache.spark.sql.types.StringType),
+          renameFixExpr(picked, f.dataType))
+      }
+      val rebuilt = CreateNamedStruct(entries)
+      If(IsNull(e), Literal.create(null, rebuilt.dataType), rebuilt)
+    case _ => e
+  }
 
   /** Spark's own parquet reader for the physical schema — built ON THE
     * DRIVER (it broadcasts the Hadoop conf) and shipped to executors
@@ -279,7 +310,8 @@ private[sources] object GraftSourceUtil {
     * filtered reader). */
   def columnarPlan(spark: SparkSession, logical: StructType,
       snap: Snapshot, filters: Seq[Filter]): Option[ColumnarPlan] = {
-    if (logical.exists(f => LogTable.prevNames(f).nonEmpty)) return None
+    if (logical.exists(f => LogTable.prevNames(f).nonEmpty ||
+        LogTable.hasNestedRenames(f.dataType))) return None
     // equality-delete key columns must be readable and rename-free
     val eqCols = snap.eqDeletes.flatMap(_.cols).distinct
     val eqFields =
@@ -2222,9 +2254,14 @@ private[sources] final class GraftReaderFactory(
             Cast(Literal(v), f.dataType, Some("UTC")).eval(null), f.dataType)
         case None =>
           val names = f.name +: LogTable.prevNames(f)
+          val physDt = LogTable.physicalType(f.dataType)
           val refs = names.map(n =>
-            BoundReference(physIdx(n.toLowerCase), f.dataType, nullable = true))
-          if (refs.size == 1) refs.head else Coalesce(refs)
+            BoundReference(physIdx(n.toLowerCase), physDt, nullable = true))
+          val base = if (refs.size == 1) refs.head else Coalesce(refs)
+          // nested rename history: rebuild the physically-read struct
+          // back to its logical shape (per-field coalesce of
+          // historical names); identity for types without history
+          GraftSourceUtil.renameFixExpr(base, f.dataType)
       }
     }
     val proj = UnsafeProjection.create(exprs)

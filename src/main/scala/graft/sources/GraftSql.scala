@@ -655,10 +655,8 @@ object GraftSql {
 
   // ------------------------------------------------------------------ ALTER
 
-  // column groups take DOTTED paths: add/drop/retype route to the
-  // struct-field evolution DDL (top-level names delegate back); a
-  // dotted RENAME parses too, so it reaches renameColumn's precise
-  // nested-rename refusal instead of a generic parse error
+  // column groups take DOTTED paths: add/drop/retype/rename route to
+  // the struct-field evolution DDL (top-level names delegate back)
   private val AlterRenameRe =
     """(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+([\w.]+)\s+TO\s+(\w+)$""".r
   private val AlterDropRe =
@@ -696,7 +694,7 @@ object GraftSql {
           .map(unquote)
         summarize(spark, name, table(name).unsetProperties(keys))
       case AlterRenameRe(name, from, to) =>
-        summarize(spark, name, table(name).renameColumn(from, to))
+        summarize(spark, name, table(name).renameField(from, to))
       case AlterDropRe(name, colName) =>
         summarize(spark, name, table(name).dropField(colName))
       case AlterTypeRe(name, colName, tpe) =>

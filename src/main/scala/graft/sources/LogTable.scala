@@ -961,7 +961,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       return raw.select(keep.toIndexedSeq.map(col) ++ posCols: _*)
     }
     val schema = LogTable.parseSchema(schemaJson)
-    if (schema.forall(f => LogTable.prevNames(f).isEmpty)) {
+    if (schema.forall(f => LogTable.prevNames(f).isEmpty &&
+        !LogTable.hasNestedRenames(f.dataType))) {
       val fast = r.schema(schema).parquet(files.map(_.path): _*)
       // defensive: if partition discovery surfaces hidden keys anyway,
       // project them out — they are layout, not data
@@ -973,18 +974,23 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // after — no file was rewritten (rename is metadata-only, as
     // Iceberg). Scan the physical-name union (each file supplies at
     // most one of a field's names; the others read as null) and
-    // coalesce per field back to the logical schema. Only tables with
-    // rename history pay this projection; everyone else stays on the
-    // fast path above.
+    // coalesce per field back to the logical schema — per top-level
+    // column, and through [[LogTable.renameFixCol]]'s struct rebuild
+    // for NESTED rename history. Only tables with rename history pay
+    // this projection; everyone else stays on the fast path above.
     import org.apache.spark.sql.types.{StructField, StructType}
     val phys = StructType(schema.flatMap { f =>
-      f +: LogTable.prevNames(f).map(p => StructField(p, f.dataType, nullable = true))
+      val pdt = LogTable.physicalType(f.dataType)
+      f.copy(dataType = pdt) +:
+        LogTable.prevNames(f).map(p => StructField(p, pdt, nullable = true))
     })
     r.schema(phys).parquet(files.map(_.path): _*)
       .select(schema.map { f =>
         val names = f.name +: LogTable.prevNames(f)
-        if (names.size == 1) col(f.name)
-        else coalesce(names.map(col): _*).as(f.name, f.metadata)
+        val base =
+          if (names.size == 1) col(f.name)
+          else coalesce(names.map(col): _*)
+        LogTable.renameFixCol(base, f.dataType).as(f.name, f.metadata)
       } ++ posCols: _*)
   }
 
@@ -1597,6 +1603,51 @@ final class LogTable private (val spark: SparkSession, val root: String,
     })(prev => prev.files)
   }
 
+  /** NESTED METADATA-ONLY RENAME (Iceberg `ALTER TABLE ... RENAME
+    * COLUMN s.a TO s.b` — field ids make it free there; here the
+    * nested field records its old physical name and every read
+    * rebuilds the struct, coalescing the historical names per field,
+    * exactly as the top-level [[renameColumn]] coalesces top-level
+    * columns). No file is rewritten; old snapshots keep the old name
+    * (their manifest schema is theirs); the vacated dotted path goes
+    * on the retired list so [[addField]] can never resurrect the old
+    * files' values into a new same-named field. Only STRUCT paths
+    * qualify: a rename under an array/map element would need a
+    * per-element rebuild of every collection — refused. A
+    * single-segment path delegates to [[renameColumn]]. */
+  def renameField(path: String, newName: String): Snapshot = {
+    val parts = LogTable.splitPath(path)
+    if (parts.length == 1) return renameColumn(path, newName)
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid field name '$newName'")
+    val vacated = path.toLowerCase
+    val target = (parts.init :+ newName).mkString(".").toLowerCase
+    commit("evolve-schema",
+      nextSchema = prev => {
+        checkNotInChecks(prev, path, "rename")
+        require(!prev.retired.contains(target),
+          s"cannot rename to '$target': the path belonged to a dropped or " +
+            "renamed field and old data files still store values under it")
+        LogTable.rebuildAt(LogTable.assignFieldIds(schemaOf(prev)), parts.init) { s =>
+          val idx = s.indexWhere(_.name.equalsIgnoreCase(parts.last))
+          require(idx >= 0, s"no such field '$path'")
+          val taken = LogTable.liveNames(s)
+          require(!taken.contains(newName.toLowerCase),
+            s"cannot rename to '$newName': the name is live or historical " +
+              s"inside struct '${parts.init.mkString(".")}'")
+          val f = s(idx)
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putStringArray(LogTable.PrevNamesKey,
+              (f.name +: LogTable.prevNames(f)).toArray)
+          org.apache.spark.sql.types.StructType(
+            s.updated(idx, f.copy(name = newName, metadata = b.build())))
+        }.json
+      },
+      nextRetired = prev => (prev.retired :+ vacated).distinct
+    )(prev => prev.files)
+  }
+
   /** Drop a struct field by dotted path, metadata-only: current reads
     * stop requesting it (parquet projects it out), old snapshots still
     * see it, and the dotted path goes on the retired list so a later
@@ -1878,15 +1929,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * (restructure structs via an explicit rewrite). */
   private def requireTopLevel(name: String, op: String): Unit =
     require(!name.contains("."),
-      if (op == "rename")
-        s"cannot rename nested field '$name': a top-level rename " +
-          "coalesces historical names with a per-field projection, but " +
-          "inside a struct that would rebuild every row of every scan — " +
-          "restructure via a rewrite (read, transform, overwrite)"
-      else
-        s"cannot $op nested field '$name' with the top-level DDL — use " +
-          s"the dotted-path struct evolution (addField / dropField / " +
-          "widenField)")
+      s"cannot $op nested field '$name' with the top-level DDL — use " +
+        s"the dotted-path struct evolution (addField / dropField / " +
+        "widenField / renameField)")
 
   def renameColumn(oldName: String, newName: String): Snapshot = {
     requireTopLevel(oldName, "rename")
@@ -4534,6 +4579,57 @@ object LogTable {
   private[sources] def liveNames(
       s: org.apache.spark.sql.types.StructType): Set[String] =
     s.flatMap(f => (f.name +: prevNames(f)).map(_.toLowerCase)).toSet
+
+  /** Does `dt` contain a RENAMED struct field at any depth? Drives the
+    * nested rename-aware read paths: only types with history pay the
+    * struct-rebuild projection. Renames under array/map elements are
+    * refused at DDL time, so descent covers structs only. */
+  private[sources] def hasNestedRenames(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case st: org.apache.spark.sql.types.StructType =>
+      st.fields.exists(f => prevNames(f).nonEmpty || hasNestedRenames(f.dataType))
+    case _ => false
+  }
+
+  /** The PHYSICAL twin of a logical type with nested rename history:
+    * every renamed struct field is joined by siblings named after its
+    * historical physical names (same twin type) — each data file
+    * stores at most one of them, the others read as null, and the
+    * read projection coalesces per field (the nested analog of the
+    * top-level physical-name union). Types without history pass
+    * through untouched. */
+  private[sources] def physicalType(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case st: org.apache.spark.sql.types.StructType if hasNestedRenames(st) =>
+        org.apache.spark.sql.types.StructType(st.fields.flatMap { f =>
+          val pdt = physicalType(f.dataType)
+          org.apache.spark.sql.types.StructField(f.name, pdt,
+              nullable = true, f.metadata) +:
+            prevNames(f).map(p => org.apache.spark.sql.types.StructField(
+              p, pdt, nullable = true))
+        })
+      case other => other
+    }
+
+  /** Rebuild a physically-read struct value back to its LOGICAL shape:
+    * per renamed field, coalesce the historical names; recurse into
+    * nested structs; null structs stay null. Identity for types
+    * without rename history. */
+  private[sources] def renameFixCol(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case st: org.apache.spark.sql.types.StructType if hasNestedRenames(st) =>
+        import org.apache.spark.sql.functions.{coalesce, lit, struct, when}
+        val rebuilt = struct(st.fields.toSeq.map { f =>
+          val names = f.name +: prevNames(f)
+          val gets = names.map(n => c.getField(n))
+          val picked = if (gets.size == 1) gets.head else coalesce(gets: _*)
+          renameFixCol(picked, f.dataType).as(f.name)
+        }: _*)
+        when(c.isNull, lit(null).cast(st)).otherwise(rebuilt)
+      case _ => c
+    }
 
   /** Assign fresh field ids to fields that lack one (new columns,
     * legacy schemas) — max existing id + position, deterministic. */

@@ -6,10 +6,11 @@ import org.apache.spark.sql.types._
 
 import java.nio.file.Files
 
-/** Nested (struct-field) schema evolution: ADD / DROP / WIDEN by
-  * dotted path, all metadata-only — no file rewritten, old snapshots
-  * intact, dropped paths blocked from resurrection. Rename stays a
-  * loud refusal (it cannot be metadata-only inside a struct). */
+/** Nested (struct-field) schema evolution: ADD / DROP / WIDEN /
+  * RENAME by dotted path, all metadata-only — no file rewritten, old
+  * snapshots intact, dropped and vacated paths blocked from
+  * resurrection; renamed fields read old files through the per-field
+  * physical-name coalesce. */
 class NestedEvolutionSpec extends SparkSpec {
   import spark.implicits._
 
@@ -98,9 +99,11 @@ class NestedEvolutionSpec extends SparkSpec {
     assert(spark.table("gnev.ns.t").schema("s").dataType
       .asInstanceOf[StructType].fieldNames === Array("b", "c"))
 
-    val e = intercept[Exception](
-      spark.sql("ALTER TABLE gnev.ns.t RENAME COLUMN s.b TO z"))
-    assert(e.getMessage.toLowerCase.contains("rename"))
+    // nested RENAME through Spark's own ALTER: metadata-only, old
+    // files read under the new name via the DSv2 struct rebuild
+    spark.sql("ALTER TABLE gnev.ns.t RENAME COLUMN s.b TO z")
+    val renamed = spark.sql("SELECT s.z, s.c FROM gnev.ns.t").collect().head
+    assert(renamed.getLong(0) === 7L && renamed.isNullAt(1))
   }
 
   test("GraftSql ALTER routes dotted paths to struct-field evolution") {
@@ -115,8 +118,51 @@ class NestedEvolutionSpec extends SparkSpec {
     GraftSql.exec(spark, "ALTER TABLE gsql_nested DROP COLUMN s.a")
     assert(spark.table("gsql_nested").schema("s").dataType
       .asInstanceOf[StructType].fieldNames === Array("b", "c"))
-    val e = intercept[IllegalArgumentException](
-      GraftSql.exec(spark, "ALTER TABLE gsql_nested RENAME COLUMN s.b TO z"))
-    assert(e.getMessage.contains("rename"))
+    GraftSql.exec(spark, "ALTER TABLE gsql_nested RENAME COLUMN s.b TO z")
+    assert(spark.sql("SELECT s.z FROM gsql_nested").collect().head.getLong(0) === 7L)
+  }
+
+  test("renameField: metadata-only — old files read, old snapshots keep the name, resurrection blocked") {
+    val t = fresh()
+    val v1 = t.currentVersion
+    val filesBefore = t.snapshot().files.map(_.path)
+    t.renameField("s.b", "qty")
+    assert(t.snapshot().files.map(_.path) === filesBefore, "metadata-only")
+    // old files answer under the NEW name
+    assert(t.read().select("s.qty").as[Int].collect().sorted === Array(10, 20))
+    // whole-struct reads rebuild to the logical shape (a, qty)
+    val structs = t.read().orderBy("id").select("s").collect()
+      .map(r => (r.getStruct(0).getString(0), r.getStruct(0).getInt(1)))
+    assert(structs === Array(("x", 10), ("y", 20)))
+    // old snapshots keep the old name — their manifest schema is theirs
+    assert(t.timeTravel(v1).select("s.b").as[Int].collect().sorted === Array(10, 20))
+    intercept[Exception](t.timeTravel(v1).select("s.qty").collect())
+
+    // new appends carry the new name; generations read together
+    t.append(Seq((3L, ("z", 30))).toDF("id", "s")
+      .select(col("id"), struct(col("s._1").as("a"), col("s._2").as("qty")).as("s")))
+    assert(t.read().select("s.qty").as[Int].collect().sorted === Array(10, 20, 30))
+    // a null struct row survives the rebuild as null
+    t.append(t.read().limit(0).select(col("id") + 100,
+      org.apache.spark.sql.functions.lit(null)
+        .cast(t.read().schema("s").dataType))
+      .toDF("id", "s").unionByName(
+        Seq(Tuple1(4L)).toDF("id").select(col("id"),
+          org.apache.spark.sql.functions.lit(null)
+            .cast(t.read().schema("s").dataType).as("s"))))
+    assert(t.read().filter(col("id") === 4L).select("s").collect().head.isNullAt(0))
+
+    // resurrection blocked: s.b is retired (old files still store it)
+    val e = intercept[IllegalArgumentException](t.addField("s.b", IntegerType))
+    assert(e.getMessage.contains("dropped"))
+    // renaming a sibling onto a historical name refused
+    val e2 = intercept[IllegalArgumentException](t.renameField("s.a", "b"))
+    assert(e2.getMessage.contains("renamed field") ||
+      e2.getMessage.contains("historical"))
+    // rename chains: history carries both prior names
+    t.renameField("s.qty", "qty2")
+    assert(t.read().filter(col("s").isNotNull)
+      .select("s.qty2").as[Int].collect().sorted === Array(10, 20, 30))
+    assert(t.read().filter(col("id") === 1L).select("s.qty2").as[Int].head() === 10)
   }
 }
