@@ -3738,6 +3738,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
     live
   }
 
+  /** TEST/BENCH SEAM — commit `newFiles` as manifest entries WITHOUT
+    * physical parquet behind them. Powers the metadata-scale evidence
+    * (SegmentedManifestSpec's 100k-file cases): the manifest/segment
+    * algebra is pure path/stats arithmetic, so its scale properties —
+    * O(changed) commit serialization, O(matching) plan loads, O(1)
+    * branch forks — can be pinned without writing 100k real files.
+    * Never called by a production path (reading such a table would
+    * fail at the parquet layer, loudly). */
+  private[sources] def commitSynthetic(newFiles: Seq[DataFile]): Snapshot =
+    commit("append")(prev => prev.files ++ newFiles)
+
   /** Optimistic-concurrency commit: build the next snapshot's file list
     * from the CURRENT one, write the manifest to a temp name, and
     * atomically hard-link it to v{next}. Link collision = another

@@ -469,4 +469,84 @@ class SegmentedManifestSpec extends SparkSpec {
       assert(SpjLayout.of(s2.copy(readMeta = None)).isEmpty)
     }
   }
+
+  /** METADATA-SCALE EVIDENCE (off-asymptote): a 100k-file segmented
+    * manifest, built from synthetic entries (the segment algebra is
+    * pure path/stats arithmetic — no parquet needed), must show the
+    * three O()-claims the design makes. Timings print as info() and
+    * feed BASELINE.md's metadata-scale appendix. */
+  test("metadata scale: 100k files — commit serializes O(segment), plan loads O(matching), branch forks O(1)") {
+    withCap(1000) {
+      val (root, t) = freshTable()
+      val logDir = root.resolve("_graft_log")
+      def df(i: Int) = DataFile(s"data/f$i.parquet", rows = 100L,
+        bytes = 1000000L, partitions = Map("k" -> s"p${i / 1000}"),
+        ranges = Map("id" -> (i * 100L, i * 100L + 99L)))
+      val n = 100000
+      val tBuild0 = System.nanoTime()
+      (0 until 10).foreach(b =>
+        t.commitSynthetic((b * 10000 until (b + 1) * 10000).map(df)))
+      val buildMs = (System.nanoTime() - tBuild0) / 1000000
+      val (segs0, inline0) = manifestShape(root, t.currentVersion)
+      assert(segs0.size === 100 && inline0 === 0,
+        s"100k files at cap=1000 must fully segment, got ${segs0.size} segs + $inline0 inline")
+
+      // 1. STEADY-STATE APPEND is O(segment): +100 files re-lists every
+      //    frozen segment by name, packs only its own tail, and the
+      //    pointer stays a fraction of the pool it references
+      val segsBefore = segFiles(root)
+      val tApp0 = System.nanoTime()
+      t.commitSynthetic((n until n + 100).map(df))
+      val appendMs = (System.nanoTime() - tApp0) / 1000000
+      val ver = t.currentVersion
+      val (segs1, _) = manifestShape(root, ver)
+      assert(segs0.forall(segs1.contains),
+        "a tail append must reuse every frozen segment by name")
+      val created = segFiles(root) -- segsBefore
+      assert(created.size <= 1, s"tail append created ${created.size} segments")
+      val pointerBytes = Files.size(
+        logDir.resolve(f"v$ver%05d.manifest.json"))
+      val poolBytes = segFiles(root).toSeq
+        .map(nm => Files.size(logDir.resolve(nm))).sum
+      assert(pointerBytes < poolBytes / 20,
+        s"pointer ($pointerBytes B) must stay O(segments), pool is $poolBytes B")
+
+      // 2. SELECTIVE PLANNING is O(matching segments): a point lookup
+      //    on the partition value loads exactly the one segment whose
+      //    pointer summary survives — 1/101st of the metadata
+      val cio = new CountingIO
+      val segNames = segs1
+      def freshSnap(): Snapshot = {
+        segNames.foreach(nm =>
+          LogTable.segCache.evict(logDir.resolve(nm).toString))
+        cio.reads.clear()
+        LogTable(spark, root.toString, io = cio).snapshot()
+      }
+      val tPlan0 = System.nanoTime()
+      val pruned = freshSnap().prunedFiles(Seq(EqualTo("k", "p5")))
+      val planMs = (System.nanoTime() - tPlan0) / 1000000
+      assert(pruned.size === 1000 && pruned.forall(_.partitions("k") == "p5"))
+      assert(cio.segReads.size === 1,
+        s"k=p5 must load exactly ONE of 101 segments, read: ${cio.segReads}")
+
+      // 3. BRANCH FORK is O(1) pool files: the base manifest re-lists
+      //    main's segments by name — zero new pool files, pointer-sized
+      val segsPreBranch = segFiles(root)
+      val tBr0 = System.nanoTime()
+      t.createBranch("audit")
+      val branchMs = (System.nanoTime() - tBr0) / 1000000
+      assert(segFiles(root) === segsPreBranch,
+        "branch fork must write zero pool files")
+      val baseBytes = Files.size(
+        logDir.resolve("branch-audit").resolve("v00001.manifest.json"))
+      assert(baseBytes < poolBytes / 20,
+        s"branch base ($baseBytes B) must be pointer-sized, pool is $poolBytes B")
+      t.dropBranch("audit")
+
+      info(s"100k-file metadata scale: build(10x10k commits)=${buildMs}ms, " +
+        s"steady append(+100)=${appendMs}ms, selective plan=${planMs}ms " +
+        s"(1 of ${segNames.size} segments), branch fork=${branchMs}ms, " +
+        s"pointer=${pointerBytes}B vs pool=${poolBytes}B")
+    }
+  }
 }
