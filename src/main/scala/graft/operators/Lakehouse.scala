@@ -497,6 +497,42 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** METADATA-ONLY RENAME lifecycle ([[graft.sources.LogTable
+    * .renameColumn]] / [[graft.sources.LogTable.renameField]]): the
+    * first generation lands under OLD names (top-level `eid`, nested
+    * `payload.etype` / `payload.cents`), three renames rewrite ZERO
+    * files, the second generation writes the NEW names, and one
+    * aggregate reads both generations through the renamed schema —
+    * the per-field historical-name coalesce (top-level and through
+    * the struct rebuild) must resolve every old file or the counts,
+    * sums and ids drift from the oracle's plain union. */
+  def lakeRename(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_rename_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir)
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("event_id").as("eid"), struct(
+        col("event_type").as("etype"),
+        (Cols.money(col("value")) * 100).cast("long").as("cents")).as("payload")))
+    val files = table.snapshot().files.map(_.path)
+    table.renameColumn("eid", "event_id")
+    table.renameField("payload.etype", "event_type")
+    table.renameField("payload.cents", "value_cents")
+    require(table.snapshot().files.map(_.path) == files,
+      "rename must be metadata-only")
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .select(col("event_id"), struct(
+        col("event_type"),
+        (Cols.money(col("value")) * 100).cast("long").as("value_cents"))
+        .as("payload")))
+    table.read()
+      .groupBy(col("payload.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("payload.value_cents")).cast("long").as("cents_sum"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
   def lakeHidden(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{LogTable => LT, Transform}
     val tmp = Files.createTempDirectory("graft_lake_hidden_").toString
@@ -834,6 +870,7 @@ object Lakehouse {
     "lake_txn" -> (lakeTxn _),
     "lake_retention" -> (lakeRetention _),
     "lake_nested" -> (lakeNested _),
+    "lake_rename" -> (lakeRename _),
     "lake_roundtrip" -> (lakeRoundtrip _),
     "lake_delete" -> (lakeDelete _),
     "lake_pruned" -> (lakePruned _),
@@ -1026,6 +1063,12 @@ object Lakehouse {
         |SELECT event_type, count(*) AS n, CAST(sum(uid) AS BIGINT) AS uid_sum,
         |  CAST(sum(CAST(coalesce(score, 0) AS DECIMAL(12,2))) AS DOUBLE) AS score_sum
         |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_rename" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_delete" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
