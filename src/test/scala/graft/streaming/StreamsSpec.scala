@@ -129,6 +129,46 @@ class StreamsSpec extends SparkSpec {
     assert(viewRows() === expected)
   }
 
+  test("stream rollup with SKETCH state: HLL distinct-users folds across micro-batches, exactly-once") {
+    import graft.sources.{MaterializedView, MvAgg}
+    val base = LogTable(spark,
+      Files.createTempDirectory("stream_hll_base_").toString)
+    val mv = MaterializedView(spark, base,
+      Files.createTempDirectory("stream_hll_view_").toString,
+      Seq("event_type"),
+      Seq(MvAgg.Count("n"),
+        // bounded user domain: HLL sparse mode stays EXACT, so the
+        // streaming-folded sketch must equal the true distinct count
+        MvAgg.ApproxDistinct("users", col("user_id") % 200L),
+        MvAgg.Avg("avg_cents",
+          (graft.Cols.money(col("value")) * 100).cast("long"))))
+    val ckpt = Files.createTempDirectory("ckpt_hll").toString
+    val q = Streams.streamRollup(eventsStream(), mv, ckpt)
+    assert(q.awaitTermination(120000), "rollup query did not finish in time")
+
+    val batchShaped = shape(spark.read.schema(eventsSchema).parquet(eventsDir))
+    val expected = batchShaped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id") % 200L).as("users"),
+        (sum((graft.Cols.money(col("value")) * 100).cast("long")).cast("double") /
+          count(lit(1))).as("avg_cents"))
+      .orderBy(col("event_type")).collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def viewRows() = mv.read()
+      .select(col("event_type"), col("n"), col("users"), col("avg_cents"))
+      .orderBy(col("event_type")).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(viewRows() === expected,
+      "per-batch sketch unions must converge to the exact distinct counts")
+
+    // restart: nothing re-folds, sketches unchanged
+    val (baseV, viewV) = (base.currentVersion, mv.table.currentVersion)
+    val q2 = Streams.streamRollup(eventsStream(), mv, ckpt)
+    assert(q2.awaitTermination(120000), "restarted query did not finish in time")
+    assert(base.currentVersion === baseV && mv.table.currentVersion === viewV)
+    assert(viewRows() === expected)
+  }
+
   test("stream ingest composes with incremental reads: a consumer sees only new commits") {
     val table = LogTable(spark,
       Files.createTempDirectory("stream_incr_").toString)
