@@ -2175,8 +2175,26 @@ final class LogTable private (val spark: SparkSession, val root: String,
       scanFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Snapshot = {
     enforceChecksOnWritten(rewritten, scanned.checks, "the rewritten rows",
       scanned.schemaJson)
+    // CDC change files (opt-in): the catalog-SQL row-level ops have no
+    // per-clause frames (Spark's ReplaceData already ran), so the
+    // change data is the NET row diff of the replaced groups — the
+    // groups' prior live rows vs their replacements (exceptAll both
+    // ways; a no-op rewrite nets to zero change rows, which is also
+    // what batch readCdc would report)
+    val cdcFiles =
+      if (!cdcEnabled(scanned)) Nil
+      else {
+        val before =
+          if (removed.isEmpty) emptyLike()
+          else readLive(scanned, scanned.files.filter(f => removed.contains(f.path)))
+        val after =
+          if (rewritten.isEmpty) emptyLike()
+          else readFiles(rewritten, scanned.schemaJson)
+        writeCdcFiles(before.exceptAll(after), "delete") ++
+          writeCdcFiles(after.exceptAll(before), "insert")
+      }
     var validatedChecks = scanned.checks.keySet
-    try commitOrCleanup(rewritten, operation) { prev =>
+    try commitOrCleanup(rewritten, operation, cdcFiles = cdcFiles) { prev =>
       val prevPaths = prev.files.map(_.path).toSet
       if (!removed.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
       assertNoLateDeletesOn(scanned, prev, removed)

@@ -383,13 +383,21 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(GraftSql.exec(spark, "SELECT count(*) FROM gsql_mv")
       .head().getLong(0) === 1L)
 
-    // restricted surface is refused loudly, with the workaround named
+    // avg rides as fused sum+count state (round 10); a truly
+    // unsupported aggregate still refuses loudly
+    GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW gsql_mv2 AS
+        |SELECT kind, avg(v) AS m FROM gsql_mv_base GROUP BY kind""".stripMargin)
+    GraftSql.exec(spark, "CALL refresh_mv(gsql_mv2)")
+    assert(GraftSql.exec(spark,
+      "SELECT m FROM gsql_mv2 WHERE kind = 'a'").head().getDouble(0) === 3.0)
+    GraftSql.exec(spark, "DROP MATERIALIZED VIEW gsql_mv2")
     val e = intercept[IllegalArgumentException] {
       GraftSql.exec(spark,
-        """CREATE MATERIALIZED VIEW gsql_mv2 AS
-          |SELECT kind, avg(v) AS m FROM gsql_mv_base GROUP BY kind""".stripMargin)
+        """CREATE MATERIALIZED VIEW gsql_mv3 AS
+          |SELECT kind, median(v) AS m FROM gsql_mv_base GROUP BY kind""".stripMargin)
     }
-    assert(e.getMessage.contains("avg"))
+    assert(e.getMessage.contains("unsupported select item"))
 
     // DROP MATERIALIZED VIEW purges state; IF EXISTS tolerant
     val mvRoot = java.nio.file.Paths.get(wh).resolve("gsql_mv")

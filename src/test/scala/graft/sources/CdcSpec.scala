@@ -5,6 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** CDC changelog reads ([[LogTable.readCdc]], Delta CDF / Iceberg
   * changelog parity): appends surface as inserts, COW and MoR
@@ -271,5 +272,50 @@ class CdcSpec extends SparkSpec {
     // the changelog replays to the live state
     val live = t.read().select($"id").as[Long].collect().toSet
     assert(live === Set(0L, 2L, 3L, 100L))
+  }
+
+  test("write.cdc.enabled: catalog SQL UPDATE/DELETE stage net change files via the row-level seam") {
+    val wh = Files.createTempDirectory("cdc_cat_").toString
+    spark.conf.set("spark.sql.catalog.gcdc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcdc.ns")
+    spark.sql("CREATE TABLE gcdc.ns.t (id BIGINT, k STRING, v BIGINT)")
+    (0 until 8).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i.toLong))
+      .toDF("id", "k", "v").createOrReplaceTempView("cdc_cat_src")
+    spark.sql("INSERT INTO gcdc.ns.t SELECT * FROM cdc_cat_src")
+    val t = LogTable(spark, s"$wh/ns/t")
+    t.setProperties(Map(LogTable.CdcEnabledProp -> "true"))
+    val v0 = t.currentVersion                                   // pre-DML
+    spark.sql("UPDATE gcdc.ns.t SET v = v + 100 WHERE id = 3")  // v0+1
+    spark.sql("DELETE FROM gcdc.ns.t WHERE id = 0 OR id = 2")   // v0+2 (row-level: id is not a partition)
+    val vu = v0 + 1; val vd = v0 + 2
+
+    val su = t.snapshot(vu)
+    assert(su.cdc.nonEmpty, s"catalog UPDATE must stage change files (op=${su.operation})")
+    assert(changes(t.readCdc(v0, vu)) === Map(
+      ("delete", vu) -> Set(3L), ("insert", vu) -> Set(3L)))
+    assert(t.readCdc(v0, vu).filter($"_change_type" === "insert")
+      .select($"v").as[Long].head() === 103L)
+    assert(changes(t.readCdc(vu, vd)) === Map(("delete", vd) -> Set(0L, 2L)))
+
+    // the streaming source replays the same change files
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graft")
+      .option("readChanges", "true").option("startingVersion", v0.toString)
+      .load(s"$wh/ns/t")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc_cat_cp_").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("id", "_change_type", "_commit_version")
+          .as[(Long, String, Long)].collect().foreach(rows.add)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(rows.asScala.toSeq.sorted === Seq(
+      (0L, "delete", vd), (2L, "delete", vd),
+      (3L, "delete", vu), (3L, "insert", vu)))
   }
 }
