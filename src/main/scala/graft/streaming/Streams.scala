@@ -499,9 +499,13 @@ object Streams {
     }
     val cut = 1704844800000000L // 2024-01-10 00:00:00 UTC (day boundary)
     src.delete(col("ts_us") < cut) // metadata-only retention
-    // COW hop: surviving error rows repriced — a mixed add+remove
-    // commit, replayable ONLY through its staged change files
-    src.update(col("event_type") === "error", Map("value" -> lit(9999.25)))
+    // COW hop: the first retained day's error rows repriced — a mixed
+    // add+remove commit, replayable ONLY through its staged change
+    // files; the day bound keeps the rewrite (and its change data)
+    // scoped to one partition's files, the realistic correction shape
+    src.update(col("event_type") === "error" &&
+        col("ts_us") < lit(cut + 86400000000L),
+      Map("value" -> lit(9999.25)))
     val q = s.readStream.format("graft").option("readChanges", "true").load(root)
       .writeStream
       .option("checkpointLocation",
@@ -559,6 +563,7 @@ object Streams {
     "stream_cdc" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CASE WHEN event_type = 'error'
+        |      AND ts < TIMESTAMP '2024-01-11 00:00:00'
         |    THEN CAST(9999.25 AS DECIMAL(12,2))
         |    ELSE CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS total_value
         |FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
