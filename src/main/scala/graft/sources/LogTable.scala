@@ -2667,14 +2667,27 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val schema = schemaOf(snap)
     cols.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"equality-delete column '$c' is not a table column"))
+    // CDC change files (opt-in): the rows this tombstone makes
+    // invisible — every currently-VISIBLE row matching a key (the new
+    // tombstone outranks all live files' sequences). One semi-join
+    // scan, only when enabled: without CDC, deleteEq's whole point is
+    // O(keys) with no table scan.
+    val cdcFiles =
+      if (!cdcEnabled(snap)) Nil
+      else writeCdcFiles(
+        read().join(keys.dropDuplicates(), cols, "left_semi"), "delete")
     writeEqFiles(keys.dropDuplicates()) match {
-      case Nil => snap
+      case Nil =>
+        cdcFiles.foreach(c => Files.deleteIfExists(Paths.get(c.path)))
+        snap
       case ds =>
-        try commit("eq-delete",
+        try commit("eq-delete", cdcFiles = cdcFiles,
             nextEqDeletes = prev => prev.eqDeletes ++ ds)(prev => prev.files)
         catch {
           case e: Throwable =>
-            ds.foreach(d => Files.deleteIfExists(Paths.get(d.path))); throw e
+            ds.foreach(d => Files.deleteIfExists(Paths.get(d.path)))
+            cdcFiles.foreach(c => Files.deleteIfExists(Paths.get(c.path)))
+            throw e
         }
     }
   }
@@ -2710,6 +2723,16 @@ final class LogTable private (val spark: SparkSession, val root: String,
       s"upsert source has duplicate keys (e.g. $key=${gstat.get(1)}); " +
         "keys must be unique in updates — aggregate the source first")
     val mergedNow = mergedSchemaWith(snap, updates.schema)
+    // CDC change files (opt-in): matched keys' visible pre-images as
+    // 'delete', the whole batch as 'insert' — the upsert's
+    // delete+insert net encoding, replayable by every CDC reader
+    // (without them an eq-upsert commit is a visibility flip streaming
+    // CDC must refuse). One semi-join scan, only when enabled.
+    val cdcFiles =
+      if (!cdcEnabled(snap)) Nil
+      else writeCdcFiles(read().join(updates.select(col(key)).dropDuplicates(),
+          Seq(key), "left_semi"), "delete") ++
+        writeCdcFiles(conformTypes(updates, mergedNow), "insert")
     val eq = writeEqFiles(updates.select(col(key)),
       knownCount = Some(gstat.getLong(2)))
     val newFiles = writeDataFiles(conformTypes(updates, mergedNow),
@@ -2718,7 +2741,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     try {
       enforceChecksOnWritten(newFiles, snap.checks, "the upserted batch",
         mergedNow.json)
-      commit("eq-upsert", tag,
+      commit("eq-upsert", tag, cdcFiles = cdcFiles,
           nextSchema = prev => mergedSchemaWith(prev, updates.schema).json,
           nextEqDeletes = prev => prev.eqDeletes ++ eq) { prev =>
         // replay absorber, re-checked under the commit retry (cf. append)
@@ -2735,6 +2758,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       case e: Throwable =>
         newFiles.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
         eq.foreach(d => Files.deleteIfExists(Paths.get(d.path)))
+        cdcFiles.foreach(c => Files.deleteIfExists(Paths.get(c.path)))
         throw e
     }
   }

@@ -318,4 +318,49 @@ class CdcSpec extends SparkSpec {
       (0L, "delete", vd), (2L, "delete", vd),
       (3L, "delete", vu), (3L, "insert", vu)))
   }
+
+  test("write.cdc.enabled: eq-delete and eq-upsert replay through change files (the last refusal class)") {
+    val t = fresh()
+    t.append(rows(0 until 10).repartition(2))                     // v1
+    t.setProperties(Map(LogTable.CdcEnabledProp -> "true"))       // v2
+    t.deleteEq(Seq(1L, 3L).toDF("id"))                            // v3
+    t.upsertEq(Seq((2L, "z", 999L), (50L, "z", 500L)).toDF("id", "k", "v"),
+      "id")                                                       // v4
+    assert(t.snapshot(3L).cdc.map(_.change).toSet === Set("delete"))
+    assert(t.snapshot(3L).cdc.map(_.rows).sum === 2L)
+    assert(t.snapshot(4L).cdc.map(_.change).toSet === Set("delete", "insert"))
+
+    // batch: identical to the diff-based answers on a CDC-less table
+    assert(changes(t.readCdc(2L, 3L)) === Map(("delete", 3L) -> Set(1L, 3L)))
+    val up = changes(t.readCdc(3L, 4L))
+    assert(up(("delete", 4L)) === Set(2L))
+    assert(up(("insert", 4L)) === Set(2L, 50L))
+    assert(t.readCdc(3L, 4L).filter($"_change_type" === "insert" && $"id" === 2L)
+      .select($"v").as[Long].head() === 999L)
+
+    // streaming: the eq commits REPLAY now instead of refusing
+    val rowsQ = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graft")
+      .option("readChanges", "true").option("startingVersion", "2")
+      .load(t.root)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc_eq_cp_").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("id", "_change_type", "_commit_version")
+          .as[(Long, String, Long)].collect().foreach(rowsQ.add)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(rowsQ.asScala.toSeq.sorted === Seq(
+      (1L, "delete", 3L), (2L, "delete", 4L), (2L, "insert", 4L),
+      (3L, "delete", 3L), (50L, "insert", 4L)))
+
+    // an already-tombstoned key never re-announces: deleting id=1 again
+    // finds no visible pre-image → empty change set
+    t.deleteEq(Seq(1L).toDF("id"))                                // v5
+    assert(t.readCdc(4L, 5L).count() === 0L)
+  }
 }
