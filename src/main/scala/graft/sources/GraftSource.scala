@@ -1502,20 +1502,59 @@ private[sources] object GraftCdcUtil {
             .map(f => GraftInputPartition(f.path, f.bytes,
               tag(f, "insert")): InputPartition)
           deletes ++ inserts
+        // A ROLLBACK never copies rows between files — its mixed
+        // file-list change is EXACTLY representable at file
+        // granularity: dropped files emit their prior live rows as
+        // 'delete' (parent's delete context), restored files their
+        // live rows as 'insert' (the rollback snapshot's context).
+        // Sound only while KEPT files' visibility is untouched: their
+        // position-mark reference sets must be identical across the
+        // boundary and the equality-tombstone set unchanged (a
+        // restored/retired mark or tombstone flips rows with no file
+        // change) — else fall through to the refusal below.
+        case "rollback" if {
+          val kept = snap.files.filter(f => prevPaths.contains(f.path))
+          def marksOn(dels: Seq[DeleteFile], p: String) =
+            dels.filter(_.counts.contains(p)).map(_.path).toSet
+          snap.eqDeletes.map(_.path) == prev.eqDeletes.map(_.path) &&
+            kept.forall(f => marksOn(snap.deletes, f.path) ==
+              marksOn(prev.deletes, f.path))
+        } =>
+          val removed = prev.files.filterNot(f => curPaths.contains(f.path))
+          val added = snap.files.filterNot(f => prevPaths.contains(f.path))
+          def eqGuard(ctx: Snapshot, f: DataFile, what: String): Unit =
+            if (ctx.eqDeletes.exists(_.seq > f.seq))
+              throw new IllegalStateException(
+                s"streaming CDC cannot represent v$v ('rollback'): $what " +
+                  s"file ${f.path} carries equality-tombstone context — " +
+                  s"consume LogTable.readCdc(${v - 1}, ...) for the boundary")
+          GraftPrune.filesFor(removed, prev.transforms, pushed).map { f =>
+            eqGuard(prev, f, "dropped")
+            val dels = prev.deletes.filter(_.counts.contains(f.path))
+              .map(d => (d.path, d.bytes))
+            GraftInputPartition(f.path, f.bytes, tag(f, "delete"),
+              dels): InputPartition
+          } ++
+          GraftPrune.filesFor(added, snap.transforms, pushed).map { f =>
+            eqGuard(snap, f, "restored")
+            val dels = snap.deletes.filter(_.counts.contains(f.path))
+              .map(d => (d.path, d.bytes))
+            GraftInputPartition(f.path, f.bytes, tag(f, "insert"),
+              dels): InputPartition
+          }
         // ANY other commit is representable iff its file-list change
-        // is ONE-SIDED — pure adds (an append-only transaction publish,
-        // a restoring rollback) emit the added files' visible rows as
-        // 'insert'; pure drops (metadata-delete retention, zero-
-        // survivor COW, truncate, a dropping rollback) emit the
-        // removed files' prior live rows as 'delete'. A MIXED change
-        // copies surviving rows between files (COW rewrite, overwrite,
-        // cross-delete rollback) and cannot be told apart from real
-        // changes without row diffing — batch readCdc's job. Delete-
-        // context guards: marks on KEPT files must be unchanged (a
-        // restored/retired mark flips visibility with no file change),
-        // dropped mark files may only be the commit's own GC (all
-        // their references left), and equality tombstones may only DIE
-        // (GC), never appear.
+        // is ONE-SIDED — pure adds (an append-only transaction publish)
+        // emit the added files' visible rows as 'insert'; pure drops
+        // (metadata-delete retention, zero-survivor COW, truncate) emit
+        // the removed files' prior live rows as 'delete'. A MIXED
+        // change copies surviving rows between files (COW rewrite,
+        // overwrite) and cannot be told apart from real changes without
+        // row diffing — batch readCdc's job (or commit-time change
+        // files, see the cdc case above). Delete-context guards: marks
+        // on KEPT files must be unchanged (a restored/retired mark
+        // flips visibility with no file change), dropped mark files may
+        // only be the commit's own GC (all their references left), and
+        // equality tombstones may only DIE (GC), never appear.
         case _ =>
           val added = snap.files.filterNot(f => prevPaths.contains(f.path))
           val removed = prev.files.filterNot(f => curPaths.contains(f.path))

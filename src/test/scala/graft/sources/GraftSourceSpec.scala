@@ -1004,6 +1004,44 @@ class GraftSourceSpec extends SparkSpec {
     assert(batch === got)
   }
 
+  test("streaming CDC: a cross-delete rollback replays at file granularity — drops as deletes, restores as inserts") {
+    import spark.implicits._
+    val root = tmp("gcdcrb")
+    val t = LogTable(spark, root, partitionBy = Seq("kind"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "kind"))   // v1
+    t.delete(col("kind") === "a")                            // v2: metadata drop
+    t.append(Seq((3L, "c")).toDF("id", "kind"))              // v3
+    // v4: rollback to v1 — RESTORES the a-file and DROPS the c-file in
+    // one commit (mixed add+remove, zero rows copied between files)
+    t.rollback(1L)
+
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+    val q = spark.readStream.format("graft")
+      .option("readChanges", "true").load(root)
+      .writeStream
+      .option("checkpointLocation", tmp("gcdcrb-cp"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("id", "kind", "_change_type", "_commit_version")
+          .as[(Long, String, String, Long)].collect().foreach(rows.add)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(rows.asScala.toSeq.sorted === Seq(
+      (1L, "a", "delete", 2L),  // retention
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (1L, "a", "insert", 4L),  // rollback restores the a-file
+      (3L, "c", "delete", 4L),  // ... and drops the c-file
+      (3L, "c", "insert", 3L)).sorted,
+      s"wrong change feed: ${rows.asScala.toSeq.sorted}")
+    // net replay equals the rolled-back table
+    val net = rows.asScala.groupBy(r => (r._1, r._2))
+      .view.mapValues(g => g.count(_._3 == "insert") - g.count(_._3 == "delete"))
+      .filter(_._2 > 0).keys.toSet
+    assert(net === Set((1L, "a"), (2L, "b")))
+  }
+
   test("streaming CDC: maxBytesPerTrigger splits the replay backlog without loss") {
     import spark.implicits._
     val root = tmp("gcdcbt")
