@@ -34,8 +34,9 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *        count(*)/sum/min/max AS alias> FROM t GROUP BY <keys>` —
   *     an incrementally-maintained rollup ([[MaterializedView]]) whose
   *     state lands under the warehouse; `CALL refresh_mv(v)` folds only
-  *     base rows appended since the last refresh (falling back to a
-  *     full rebuild across row-changing base ops;
+  *     base rows appended since the last refresh (across row-changing
+  *     base ops it retracts through the CDC changelog when every
+  *     aggregate can — else a full rebuild;
   *     `CALL refresh_mv_full(v)` forces one); `DROP MATERIALIZED VIEW`
   *   - `CALL compact(t) | expire(t, n) | expire_older_than(t, ms, n)
   *        | rollback(t, v) | remove_orphans(t) | recluster(t, c, n)

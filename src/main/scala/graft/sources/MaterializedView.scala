@@ -27,6 +27,17 @@ sealed trait MvAgg {
     * sketch's estimate) override. Storage keeps the MERGEABLE form,
     * readers see the result form. */
   private[sources] def present(c: Column): Column = c
+  /** Can this aggregate RETRACT — fold a deleted row as a negative
+    * contribution? Count/Sum/Avg can (their merge is group addition);
+    * Min/Max and sketches cannot un-see a row (a retreating min needs
+    * the group re-scanned). Drives [[MaterializedView.refreshCdc]]. */
+  private[sources] def retractable: Boolean = false
+  /** Partial over a CDC delta carrying the ±1 [[MaterializedView
+    * .SignCol]] column: the net contribution of inserts minus
+    * deletes, in the same mergeable shape as [[partial]]. Only
+    * defined when [[retractable]]. */
+  private[sources] def signedPartial: Column =
+    throw new UnsupportedOperationException(s"'$name' cannot retract")
 }
 
 object MvAgg {
@@ -35,12 +46,18 @@ object MvAgg {
     private[sources] def partial: Column = count(lit(1)).cast("long").as(name)
     private[sources] def merge(s: Column, i: Column): Column =
       coalesce(s + i, s, i)
+    private[sources] override def retractable: Boolean = true
+    private[sources] override def signedPartial: Column =
+      coalesce(sum(col(MaterializedView.SignCol)), lit(0L)).cast("long").as(name)
   }
   /** `sum(expr)` per group (expr in base-table columns). */
   final case class Sum(name: String, expr: Column) extends MvAgg {
     private[sources] def partial: Column = sum(expr).as(name)
     private[sources] def merge(s: Column, i: Column): Column =
       coalesce(s + i, s, i)
+    private[sources] override def retractable: Boolean = true
+    private[sources] override def signedPartial: Column =
+      sum(col(MaterializedView.SignCol) * expr).as(name)
   }
   /** `min(expr)` per group — monotone under appends only (a base
     * DELETE can raise the true min; use [[MaterializedView.fullRefresh]]
@@ -71,6 +88,16 @@ object MvAgg {
     private[sources] override def present(c: Column): Column =
       when(c.getField("c") === lit(0L), lit(null))
         .otherwise(c.getField("s") / c.getField("c"))
+    private[sources] override def retractable: Boolean = true
+    private[sources] override def signedPartial: Column = {
+      val sign = col(MaterializedView.SignCol)
+      struct(sum(sign * expr).as("s"),
+        // coalesce makes `c` provably non-null: the stored struct type
+        // records a NOT NULL count field and a nullable->non-null
+        // struct cast is unresolvable
+        coalesce(sum(when(expr.isNotNull, sign).otherwise(lit(0L))), lit(0L))
+          .cast("long").as("c")).as(name)
+    }
   }
   /** `approx_count_distinct(expr)` per group — the distinct-users
     * dashboard aggregate as MERGEABLE sketch state: an Apache
@@ -181,12 +208,60 @@ final class MaterializedView private (
     to
   }
 
-  /** refresh(), falling back to fullRefresh() when the appended-rows
-    * walk refuses (a row-changing base operation in the range). */
+  /** Incremental refresh THROUGH row-changing base operations —
+    * incremental view maintenance with RETRACTIONS: fold the base's
+    * CDC changelog over (refreshedVersion, current] into the stored
+    * state, inserts as +1 and deletes as -1 contributions, in one
+    * atomic merge that also deletes groups netting to zero rows.
+    * O(changed rows + affected groups), never a base re-scan — the
+    * IVM upgrade over [[fullRefresh]] for delete/update-heavy bases.
+    * Eligible when every aggregate is retractable (Count/Sum/Avg;
+    * Min/Max and sketches cannot un-see a deleted row) and the view
+    * carries a Count — the group-death detector. Exactly-once by the
+    * same watermark tag as [[refresh]]. */
+  def refreshCdc(): Long = {
+    require(aggs.forall(_.retractable),
+      s"refreshCdc needs every aggregate retractable (Count/Sum/Avg); " +
+        s"[${aggs.filterNot(_.retractable).map(_.name).mkString(", ")}] " +
+        "cannot retract — use fullRefresh() after row-changing base ops")
+    val cnt = aggs.collectFirst { case c: MvAgg.Count => c }.getOrElse(
+      throw new IllegalArgumentException(
+        "refreshCdc needs a Count aggregate (the group-death detector: " +
+          "a group netting to zero rows must leave the state)"))
+    val from = refreshedVersion
+    val to = base.currentVersion
+    if (to <= from) return from
+    val cdc = base.readCdc(from, to)
+    require(!cdc.columns.exists(_.equalsIgnoreCase(SignCol)),
+      s"base table carries reserved column '$SignCol'")
+    val signed = cdc.withColumn(SignCol,
+      when(col(LogTable.ChangeTypeCol) === "insert", lit(1L)).otherwise(lit(-1L)))
+    val first +: rest = aggs.map(_.signedPartial): @unchecked
+    val delta = signed.groupBy(keyCols.map(col): _*)
+      .agg(first, rest: _*)
+      .withColumn(KeyCol, keyExpr(keyCols))
+    val set = aggs.map(a => a.name -> a.merge(col(a.name), col(s"src_${a.name}"))).toMap
+    val insertAll = (keyCols ++ aggs.map(_.name) :+ KeyCol)
+      .map(n => n -> col(n)).toMap
+    table.merge(delta, KeyCol,
+      matchedDeleteWhen =
+        Some(col(cnt.name) + col(s"src_${cnt.name}") === lit(0L)),
+      matchedSet = Some(set),
+      insertValues = Some(insertAll),
+      tag = s"$TagPrefix$to")
+    to
+  }
+
+  /** refresh(), falling back when the appended-rows walk refuses (a
+    * row-changing base operation in the range): [[refreshCdc]] when
+    * every aggregate can retract and a Count is present (O(changed
+    * rows)), else [[fullRefresh]] (one base re-scan). */
   def refreshOrFull(): Long =
     try refresh()
     catch { case _: IllegalArgumentException | _: IllegalStateException =>
-      fullRefresh() }
+      if (aggs.forall(_.retractable) &&
+          aggs.exists(_.isInstanceOf[MvAgg.Count])) refreshCdc()
+      else fullRefresh() }
 
   /** Group-by keys + one partial-state column per aggregate + the
     * null-safe derived merge key. */
@@ -219,6 +294,9 @@ object MaterializedView {
     * join would. Collision probability at 128 bits is below any
     * hardware error rate. */
   private[sources] val KeyCol = "mv_key"
+  /** The ±1 change-sign column [[MaterializedView.refreshCdc]] adds to
+    * the base's CDC frame (insert = +1, delete = -1). */
+  private[sources] val SignCol = "mv_sign"
   private[sources] def keyExpr(keyCols: Seq[String]): Column =
     md5(to_json(struct(keyCols.map(col): _*),
       Map("ignoreNullFields" -> "false")))
@@ -241,6 +319,8 @@ object MaterializedView {
       s"duplicate column names in view definition: ${names.mkString(", ")}")
     require(!names.exists(_.equalsIgnoreCase(KeyCol)),
       s"'$KeyCol' is reserved for the view's merge key")
+    require(!names.exists(_.equalsIgnoreCase(SignCol)),
+      s"'$SignCol' is reserved for the CDC refresh's change sign")
     val table = LogTable(spark, dir)
     val snap = table.snapshot()
     if (snap.files.nonEmpty || snap.schemaJson.nonEmpty) {

@@ -297,4 +297,60 @@ class MaterializedViewSpec extends SparkSpec {
     assert(x.getAs[Long]("nv") === 30L)
     GraftSql.exec(spark, "DROP MATERIALIZED VIEW mv_sql_v")
   }
+
+  test("refreshCdc: retraction-based IVM through deletes/updates/merges, with group death") {
+    val base = LogTable(spark, tmp("mv_cdc_base_"))
+    val mv = MaterializedView(spark, base, tmp("mv_cdc_view_"), Seq("k"),
+      Seq(MvAgg.Count("n"), MvAgg.Sum("total", col("v")),
+        MvAgg.Avg("avg_v", col("v"))))
+    def longRows(ids: Range) =
+      ids.map(i => (i.toLong, s"g${i % 4}", i.toLong * 10)).toDF("id", "k", "v")
+    base.append(longRows(0 until 40).repartition(2))
+    mv.refresh()
+
+    // row-changing ops: plain refresh refuses, CDC refresh folds the
+    // changelog — deletes retract, updates net, merges do both
+    base.delete($"id" < 8)
+    base.update($"k" === "g1", Map("v" -> ($"v" + 1000L)))
+    base.merge(longRows(100 until 104), "id")
+    intercept[Exception](mv.refresh())
+    mv.refreshCdc()
+    def viewRows() = mv.read().orderBy($"k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getAs[Any](3)))
+    def scratch() = base.read().groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("total"), avg($"v").as("avg_v"))
+      .orderBy($"k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getAs[Any](3)))
+    assert(viewRows() === scratch())
+    assert(mv.refreshedVersion === base.currentVersion)
+    // exactly-once: re-run no-ops on the watermark
+    val vv = mv.table.currentVersion
+    assert(mv.refreshCdc() === base.currentVersion)
+    assert(mv.table.currentVersion === vv)
+
+    // GROUP DEATH: delete every remaining g2 row — the group must
+    // LEAVE the state, not linger as a zero row
+    base.delete($"k" === "g2")
+    mv.refreshCdc()
+    assert(viewRows() === scratch())
+    assert(!mv.read().select($"k").as[String].collect().contains("g2"))
+
+    // refreshOrFull prefers the CDC path when eligible (no full re-scan
+    // commit shape: the view commit is a merge, not a full replace)
+    base.delete($"id" === 30L)
+    mv.refreshOrFull()
+    assert(viewRows() === scratch())
+
+    // ineligible shapes refuse loudly
+    val mvMin = MaterializedView(spark, base, tmp("mv_cdc_min_"), Seq("k"),
+      Seq(MvAgg.Count("n"), MvAgg.Min("lo", col("v"))))
+    mvMin.fullRefresh()
+    base.delete($"id" === 31L)
+    val e = intercept[IllegalArgumentException](mvMin.refreshCdc())
+    assert(e.getMessage.contains("retractable"))
+    val mvNoCount = MaterializedView(spark, base, tmp("mv_cdc_nc_"), Seq("k"),
+      Seq(MvAgg.Sum("total", col("v"))))
+    val e2 = intercept[IllegalArgumentException](mvNoCount.refreshCdc())
+    assert(e2.getMessage.contains("Count"))
+  }
 }
