@@ -284,6 +284,39 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** RETRACTION-BASED IVM lifecycle ([[graft.sources.MaterializedView
+    * .refreshCdc]]): two appends fold incrementally, then a COW DELETE
+    * kills a whole group (which must LEAVE the view — group death) and
+    * a COW UPDATE reprices one, both folded by retraction through the
+    * CDC changelog — O(changed rows), never a base re-scan
+    * (refreshOrFull auto-picks the CDC path for the update). The
+    * view's contents must equal the oracle's update-then-filter
+    * aggregate; a lingering zero group, a missed retraction, or a
+    * double fold breaks the hash. */
+  def lakeMvIvm(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{MaterializedView, MvAgg}
+    val tmpB = Files.createTempDirectory("graft_lake_ivm_base_").toString
+    val tmpV = Files.createTempDirectory("graft_lake_ivm_view_").toString
+    val baseT = LogTable(s, tmpB)
+    val mv = MaterializedView(s, baseT, tmpV, Seq("event_type"),
+      Seq(MvAgg.Count("n"), MvAgg.Sum("total_value", Cols.money(col("value"))),
+        MvAgg.Avg("avg_cents", (Cols.money(col("value")) * 100).cast("long"))))
+    val ev = Tables.events(s, dir)
+    (0 until 2).foreach { i =>
+      baseT.append(ev.filter(pmod(col("event_id"), lit(2)) === i))
+      mv.refresh()
+    }
+    baseT.delete(col("event_type") === "error") // group death
+    mv.refreshCdc()
+    baseT.update(col("event_type") === "click", Map("value" -> lit(12.50)))
+    mv.refreshOrFull() // auto-picks the retraction path
+    mv.read()
+      .select(col("event_type"), col("n"),
+        Cols.asDouble(col("total_value")).as("total_value"),
+        col("avg_cents").cast("double").as("avg_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** CDC changelog roundtrip ([[graft.sources.LogTable.readCdc]]):
     * ingest in three appends, COW-delete the errors, MoR-mark the
     * small values, COW-update the clicks, then read the FULL
@@ -871,6 +904,7 @@ object Lakehouse {
     "lake_retention" -> (lakeRetention _),
     "lake_nested" -> (lakeNested _),
     "lake_rename" -> (lakeRename _),
+    "lake_mv_ivm" -> (lakeMvIvm _),
     "lake_roundtrip" -> (lakeRoundtrip _),
     "lake_delete" -> (lakeDelete _),
     "lake_pruned" -> (lakePruned _),
@@ -1062,6 +1096,17 @@ object Lakehouse {
         |  FROM events WHERE event_id % 2 = 1)
         |SELECT event_type, count(*) AS n, CAST(sum(uid) AS BIGINT) AS uid_sum,
         |  CAST(sum(CAST(coalesce(score, 0) AS DECIMAL(12,2))) AS DOUBLE) AS score_sum
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_mv_ivm" ->
+      """WITH u AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'click' THEN CAST(12.50 AS DECIMAL(12,2))
+        |         ELSE CAST(value AS DECIMAL(12,2)) END AS money
+        |  FROM events WHERE event_type <> 'error')
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(money) AS DOUBLE) AS total_value,
+        |  CAST(CAST(sum(CAST(money * 100 AS BIGINT)) AS DOUBLE) / count(*)
+        |    AS DOUBLE) AS avg_cents
         |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_rename" ->
       """SELECT event_type, count(*) AS n,
