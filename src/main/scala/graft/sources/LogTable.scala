@@ -935,24 +935,32 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // structures"). Scan each layout group separately (groups share a
     // directory shape by construction) and union; single-spec tables
     // take zero extra work (one group = the plain path below).
-    val layouts = files.groupBy(_.partitions.keySet)
+    // ... and SHALLOW CLONES borrow files under OTHER tables' roots:
+    // Spark validates that basePath is an ancestor of every scanned
+    // file, so groups additionally split by each file's own data-pool
+    // root (the borrowed files' source dataDir vs this table's own)
+    val layouts = files.groupBy(f =>
+      (f.partitions.keySet, LogTable.dataBaseOf(f.path)))
     if (layouts.size > 1)
-      return layouts.values.toSeq.sortBy(_.head.path)
-        .map(g => readFilesUniform(g, schemaJson, withPos))
+      return layouts.toSeq.sortBy(_._2.head.path)
+        .map { case ((_, base), g) =>
+          readFilesUniform(g, schemaJson, withPos, base) }
         // schema'd groups project identical columns; the legacy
         // footer-merge path may not — null-fill rather than fail
         .reduce(_.unionByName(_, allowMissingColumns = true))
-    readFilesUniform(files, schemaJson, withPos)
+    readFilesUniform(files, schemaJson, withPos,
+      layouts.keysIterator.nextOption().map(_._2)
+        .getOrElse(dataDir.toString))
   }
 
   private def readFilesUniform(files: Seq[DataFile], schemaJson: String,
-      withPos: Boolean): DataFrame = {
+      withPos: Boolean, basePath: String): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col}
     def posCols: Seq[org.apache.spark.sql.Column] =
       if (!withPos) Nil
       else Seq(col("_metadata.file_path").as(LogTable.FileCol),
         col("_metadata.row_index").as(LogTable.PosCol))
-    val r = spark.read.option("basePath", dataDir.toString)
+    val r = spark.read.option("basePath", basePath)
     if (schemaJson.isEmpty) {
       // legacy footer-merge path: partition DISCOVERY would surface the
       // hidden `_p_*` directory keys as columns — project them out
@@ -3485,6 +3493,45 @@ final class LogTable private (val spark: SparkSession, val root: String,
     dead.map(_.toString)
   }
 
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` / Iceberg
+    * snapshot-ref-as-table): create a NEW table at `destRoot` whose
+    * first snapshot references THIS table's `version` data/delete
+    * files by absolute path — zero data copied, O(metadata), the
+    * instant-sandbox shape (experiment on production data without
+    * touching it). The clone then lives its own life: its writes land
+    * under its own root, its commits never touch the source, and its
+    * retention can never reclaim borrowed source files (expire's
+    * own-root guard). CAVEAT, same as Delta's: the clone DEPENDS on
+    * the source's files — a source expire()/removeOrphans that
+    * reclaims them breaks the clone (the source cannot see the
+    * clone's references). Clone from a snapshot the source retains,
+    * or run `clone.compact(smallBytes = Long.MaxValue)` to migrate
+    * the data into files the clone owns. */
+  def cloneTo(destRoot: String, version: Long = currentVersion): LogTable = {
+    val snap = snapshot(version)
+    val dest = LogTable(spark, destRoot)
+    require(dest.currentVersion == 0L,
+      s"clone destination $destRoot already has commits")
+    // private-member access across instances of the same class: the
+    // clone's first commit carries the WHOLE snapshot state — files
+    // (original seqs kept), delete context, schema (field ids + name
+    // history), spec, sort order, properties, blooms, NDVs. Segments
+    // are NOT carried (they live under the source's log dir); the
+    // clone packs its own.
+    dest.commit("clone", tag = s"clone-of-$root@v$version",
+      nextSchema = _ => snap.schemaJson,
+      nextChecks = _ => snap.checks,
+      nextRetired = _ => snap.retired,
+      nextDeletes = _ => snap.deletes,
+      nextSpec = Some((snap.partCols, snap.transforms)),
+      nextEqDeletes = _ => snap.eqDeletes,
+      nextBlooms = _ => snap.bloomCols,
+      nextNdvs = _ => snap.ndvs,
+      nextSortCols = _ => snap.sortCols,
+      nextProps = _ => snap.props)(_ => snap.files)
+    LogTable(spark, destRoot)
+  }
+
   /** Roll the table back to a prior snapshot's file list as a NEW
     * commit — history stays intact, readers atomically flip. */
   def rollback(version: Long): Snapshot = {
@@ -3562,6 +3609,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
           s.files.map(_.path) ++ s.deletes.map(_.path) ++
             s.eqDeletes.map(_.path) ++ s.cdc.map(_.path))
         .distinct.filterNot(live.contains)
+        // SHALLOW-CLONE safety: reclaim only files THIS table owns
+        // (under its own root). A clone's manifests reference the
+        // SOURCE's files by absolute path, and the source cannot see
+        // those references — so a clone must never delete upstream
+        // data it merely borrowed (Delta's shallow-clone vacuum rule).
+        .filter(p => Paths.get(p).toAbsolutePath.startsWith(
+          rootPath.toAbsolutePath))
       dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
       // segment GC, same rule as data files: a segment referenced
       // only by dropped snapshots (no kept version of ANY lineage
@@ -4303,6 +4357,19 @@ object LogTable {
     * manifest records. */
   private[sources] def localPath(uri: String): String =
     java.net.URI.create(uri).getPath
+
+  /** The data-pool root of a manifest path: its nearest ancestor dir
+    * named `data` (every table lays files out as
+    * `<root>/data[/<hive dirs>]/<file>`). Shallow clones borrow files
+    * under OTHER roots, so scans derive each file's base from its own
+    * path instead of assuming this table's dataDir. */
+  private[sources] def dataBaseOf(p: String): String = {
+    var d = Paths.get(p).getParent
+    while (d != null && d.getFileName != null &&
+        d.getFileName.toString != "data")
+      d = d.getParent
+    if (d == null) Paths.get(p).getParent.toString else d.toString
+  }
 
   /** Parse a manifest's recorded schema JSON (one place to fail on a
     * malformed string). */
