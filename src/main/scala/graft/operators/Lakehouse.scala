@@ -317,6 +317,32 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** SHALLOW-CLONE lifecycle ([[graft.sources.LogTable.cloneTo]]):
+    * half the events land in the source, a zero-copy clone forks at
+    * that snapshot, then each side diverges — the source appends the
+    * other half, the clone COW-deletes its errors (rewriting borrowed
+    * files into its own pool, source untouched). One frame aggregates
+    * BOTH sides; wrong sharing in either direction (clone seeing the
+    * source's later append, source losing the clone's deleted rows)
+    * breaks the hash. */
+  def lakeClone(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val srcT = LogTable(s, Files.createTempDirectory("graft_lake_clone_src_").toString)
+    srcT.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    val clone = srcT.cloneTo(
+      Files.createTempDirectory("graft_lake_clone_dst_").toString + "/t")
+    srcT.append(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    clone.delete(col("event_type") === "error")
+    def agg(t: LogTable, side: String) = t.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .withColumn("side", lit(side))
+    agg(srcT, "source").unionByName(agg(clone, "clone"))
+      .select(col("side"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("side"), col("event_type"))
+  }
+
   /** CDC changelog roundtrip ([[graft.sources.LogTable.readCdc]]):
     * ingest in three appends, COW-delete the errors, MoR-mark the
     * small values, COW-update the clicks, then read the FULL
@@ -905,6 +931,7 @@ object Lakehouse {
     "lake_nested" -> (lakeNested _),
     "lake_rename" -> (lakeRename _),
     "lake_mv_ivm" -> (lakeMvIvm _),
+    "lake_clone" -> (lakeClone _),
     "lake_roundtrip" -> (lakeRoundtrip _),
     "lake_delete" -> (lakeDelete _),
     "lake_pruned" -> (lakePruned _),
@@ -1097,6 +1124,16 @@ object Lakehouse {
         |SELECT event_type, count(*) AS n, CAST(sum(uid) AS BIGINT) AS uid_sum,
         |  CAST(sum(CAST(coalesce(score, 0) AS DECIMAL(12,2))) AS DOUBLE) AS score_sum
         |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_clone" ->
+      """WITH a AS (
+        |  SELECT 'source' AS side, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT 'clone', event_type, value FROM events
+        |  WHERE event_id % 2 = 0 AND event_type <> 'error')
+        |SELECT side, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM a GROUP BY side, event_type
+        |ORDER BY side, event_type""".stripMargin,
     "lake_mv_ivm" ->
       """WITH u AS (
         |  SELECT event_type,

@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *     aggregate can — else a full rebuild;
   *     `CALL refresh_mv_full(v)` forces one); `DROP MATERIALIZED VIEW`
   *   - `CALL compact(t) | expire(t, n) | expire_older_than(t, ms, n)
-  *        | rollback(t, v) | remove_orphans(t) | recluster(t, c, n)
+  *        | rollback(t, v) | clone(t, '<path>' [, v]) | remove_orphans(t) | recluster(t, c, n)
   *        | create_ref(t, name [, v]) | create_branch(t, name)
   *        | fast_forward(t, name)`                 → maintenance API
   *   - anything else → `spark.sql` after time-travel rewriting:
@@ -754,6 +754,12 @@ object GraftSql {
             t.expireOlderThan(args(1).toLong,
               keepLast = if (args.length > 2) args(2).toInt else 1)
           case "rollback" => t.rollback(args(1).toLong)
+          // CALL clone(t, '<dest-path>' [, <version>]) — shallow clone:
+          // zero-copy snapshot table at dest (see LogTable.cloneTo)
+          case "clone" =>
+            val c = t.cloneTo(args(1),
+              if (args.length > 2) args(2).toLong else t.currentVersion)
+            c.snapshot()
           // CALL remove_orphans(t [, 'dry_run']) — the dry-run form
           // reports what the sweep WOULD reclaim, touching nothing
           case "remove_orphans" =>
@@ -823,7 +829,7 @@ object GraftSql {
               "expire_branch, expire_older_than, rollback, remove_orphans, " +
               "delete_mor, merge_mor, delete_eq, upsert_eq, recluster, " +
               "create_ref, create_branch, fast_forward, evolve_spec, " +
-              "refresh_mv, refresh_mv_full)")
+              "clone, refresh_mv, refresh_mv_full)")
         }
         summarize(spark, args.head, snap)
       case _ => throw new IllegalArgumentException(

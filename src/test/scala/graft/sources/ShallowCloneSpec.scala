@@ -80,4 +80,15 @@ class ShallowCloneSpec extends SparkSpec {
       "post-compact clone must own all its files")
     assert(clone.read().count() === 2L)
   }
+
+  test("CALL clone(t, path) on the SQL surface") {
+    val src = LogTable(spark, tmp("clone_sql_src_"))
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    GraftSql.register("clone_sql_t", src)
+    val dst = tmp("clone_sql_dst_") + "/c"
+    GraftSql.exec(spark, s"CALL clone(clone_sql_t, '$dst')")
+    val clone = LogTable(spark, dst)
+    assert(clone.read().select("id").as[Long].collect().sorted === Array(1L, 2L))
+    assert(clone.snapshot().operation === "clone")
+  }
 }
