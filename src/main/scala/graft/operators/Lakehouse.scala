@@ -298,6 +298,10 @@ object Lakehouse {
     val tmpB = Files.createTempDirectory("graft_lake_ivm_base_").toString
     val tmpV = Files.createTempDirectory("graft_lake_ivm_view_").toString
     val baseT = LogTable(s, tmpB)
+    // change files on: the COW delete/update stage exact pre/post
+    // images at write time, so each CDC fold is a plain file read
+    // instead of a row diff — the production IVM pairing
+    baseT.setProperties(Map(graft.sources.LogTable.CdcEnabledProp -> "true"))
     val mv = MaterializedView(s, baseT, tmpV, Seq("event_type"),
       Seq(MvAgg.Count("n"), MvAgg.Sum("total_value", Cols.money(col("value"))),
         MvAgg.Avg("avg_cents", (Cols.money(col("value")) * 100).cast("long"))))
