@@ -91,4 +91,30 @@ class ShallowCloneSpec extends SparkSpec {
     assert(clone.read().select("id").as[Long].collect().sorted === Array(1L, 2L))
     assert(clone.snapshot().operation === "clone")
   }
+
+  test("clone carries MoR and equality delete context; DSv2 reads the clone") {
+    val src = LogTable(spark, tmp("clone_mor_src_"))
+    src.append((0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      .repartition(2))
+    src.deleteMor(col("id") >= 8)        // position marks
+    src.deleteEq(Seq(Tuple1(0L)).toDF("id")) // equality tombstone
+
+    val clone = src.cloneTo(tmp("clone_mor_dst_"))
+    // the clone sees exactly the source's visible rows: marks and
+    // tombstones ride the clone manifest (absolute delete-file paths)
+    assert(clone.read().select("id").as[Long].collect().sorted ===
+      (1L until 8L).toArray)
+    // ... and through the DSv2 batch scan
+    assert(spark.read.format("graft").load(clone.root)
+      .select("id").as[Long].collect().sorted === (1L until 8L).toArray)
+
+    // the clone's own upsert diverges; source context untouched
+    clone.upsertEq(Seq((1L, "z")).toDF("id", "v"), "id")
+    assert(clone.read().filter(col("id") === 1L).select("v").as[String].head() === "z")
+    assert(src.read().filter(col("id") === 1L).select("v").as[String].head() === "r1")
+
+    // clone-of-clone composes
+    val c2 = clone.cloneTo(tmp("clone_mor_dst2_"))
+    assert(c2.read().count() === clone.read().count())
+  }
 }
