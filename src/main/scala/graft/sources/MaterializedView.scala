@@ -38,6 +38,13 @@ sealed trait MvAgg {
     * defined when [[retractable]]. */
   private[sources] def signedPartial: Column =
     throw new UnsupportedOperationException(s"'$name' cannot retract")
+  /** Is this signed-partial value the NEUTRAL element (no net
+    * contribution)? A delta row neutral in EVERY aggregate is a no-op
+    * for matched groups and must not insert a new one — the
+    * born-and-fully-died-within-the-window group would otherwise
+    * linger as an all-zero state row. Only defined when retractable. */
+  private[sources] def neutral(c: Column): Column =
+    throw new UnsupportedOperationException(s"'$name' cannot retract")
 }
 
 object MvAgg {
@@ -49,6 +56,7 @@ object MvAgg {
     private[sources] override def retractable: Boolean = true
     private[sources] override def signedPartial: Column =
       coalesce(sum(col(MaterializedView.SignCol)), lit(0L)).cast("long").as(name)
+    private[sources] override def neutral(c: Column): Column = c === lit(0L)
   }
   /** `sum(expr)` per group (expr in base-table columns). */
   final case class Sum(name: String, expr: Column) extends MvAgg {
@@ -58,6 +66,8 @@ object MvAgg {
     private[sources] override def retractable: Boolean = true
     private[sources] override def signedPartial: Column =
       sum(col(MaterializedView.SignCol) * expr).as(name)
+    private[sources] override def neutral(c: Column): Column =
+      c.isNull || c === lit(0)
   }
   /** `min(expr)` per group — monotone under appends only (a base
     * DELETE can raise the true min; use [[MaterializedView.fullRefresh]]
@@ -98,6 +108,9 @@ object MvAgg {
         coalesce(sum(when(expr.isNotNull, sign).otherwise(lit(0L))), lit(0L))
           .cast("long").as("c")).as(name)
     }
+    private[sources] override def neutral(c: Column): Column =
+      (c.getField("s").isNull || c.getField("s") === lit(0)) &&
+        c.getField("c") === lit(0L)
   }
   /** `approx_count_distinct(expr)` per group — the distinct-users
     * dashboard aggregate as MERGEABLE sketch state: an Apache
@@ -239,6 +252,10 @@ final class MaterializedView private (
     val first +: rest = aggs.map(_.signedPartial): @unchecked
     val delta = signed.groupBy(keyCols.map(col): _*)
       .agg(first, rest: _*)
+      // drop ALL-NEUTRAL delta rows: no-ops for matched groups, and a
+      // group born and fully died inside the window must not insert an
+      // all-zero state row (it never makes it into the view)
+      .filter(!aggs.map(a => a.neutral(col(a.name))).reduce(_ && _))
       .withColumn(KeyCol, keyExpr(keyCols))
     val set = aggs.map(a => a.name -> a.merge(col(a.name), col(s"src_${a.name}"))).toMap
     val insertAll = (keyCols ++ aggs.map(_.name) :+ KeyCol)

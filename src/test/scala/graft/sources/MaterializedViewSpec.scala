@@ -341,6 +341,15 @@ class MaterializedViewSpec extends SparkSpec {
     mv.refreshOrFull()
     assert(viewRows() === scratch())
 
+    // a group born AND fully died within one refresh window must not
+    // linger as an all-zero state row
+    base.append(Seq((900L, "ghost", 5L), (901L, "ghost", 7L)).toDF("id", "k", "v"))
+    base.delete($"k" === "ghost")
+    mv.refreshCdc()
+    assert(!mv.read().select($"k").as[String].collect().contains("ghost"),
+      "born-and-died group must never enter the view")
+    assert(viewRows() === scratch())
+
     // ineligible shapes refuse loudly
     val mvMin = MaterializedView(spark, base, tmp("mv_cdc_min_"), Seq("k"),
       Seq(MvAgg.Count("n"), MvAgg.Min("lo", col("v"))))
