@@ -339,10 +339,14 @@ object Dedup {
     * (doc_id, gord, hash, len) — ~32 bytes/row instead of the line
     * text (several-fold fewer shuffle bytes on prose); the per-doc
     * rollup is the second, O(docs) shuffle. No join back against the
-    * corpus, no all-pairs anything. Equality is by 64-bit hash (the
-    * C4-style trade): a cross-line collision — ~n²/2⁶⁵ within a
-    * bucket — marks a unique line as duplicate; at corpus scales
-    * where that matters, widen to two independent hashes. */
+    * corpus, no all-pairs anything. Line identity is TWO independent
+    * 64-bit hashes (xxhash64 with distinct prefix seeds) — an
+    * effectively 128-bit key, so at 10^10 lines (the 100 TB corpus)
+    * the expected false-merge count stays ~n²/2¹²⁹ ≈ 0, where a
+    * single 64-bit key would silently drop a few distinct lines to
+    * birthday collisions. Both hashes are computed BEFORE the
+    * shuffle; the window partitions by (h, h2), so the exchange still
+    * never carries line text. */
   def dedupLines(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = Tables.spread(docs(s, dir))
@@ -352,10 +356,12 @@ object Dedup {
       // doc_id·10^6 + (1-based pos) is collision-free and total
       .withColumn("gord", col("doc_id") * lit(1000000L) + col("pos") + lit(1L))
       .select(col("doc_id"), col("gord"), length(col("line")).as("len"),
-        xxhash64(col("line")).as("h"))
+        xxhash64(col("line")).as("h"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("line")).as("h2"))
     val cand = lines.filter(col("len") >= MinDedupLineLen)
       .withColumn("keep",
-        col("gord") === min(col("gord")).over(Window.partitionBy(col("h"))))
+        col("gord") === min(col("gord"))
+          .over(Window.partitionBy(col("h"), col("h2"))))
     val short = lines.filter(col("len") < MinDedupLineLen)
       .withColumn("keep", lit(true))
     cand.unionByName(short)

@@ -182,8 +182,27 @@ object MultiModal {
     * shuffle — at 100 TB only 16-byte digests move. Keeper = min
     * doc_id; reclaim = bytes of the (n-1) dropped copies. */
   def mmDedup(s: SparkSession, dir: String): DataFrame =
-    mmTable(s, dir)
-      .groupBy(col("modality"), md5(col("payload")).as("digest"))
+    dedupClustersOf(mmTable(s, dir))
+
+  /** The driver-gate variant of [[mmDedup]] (the `mm_dedup` queries
+    * entry). GATE NON-VACUITY: the synthetic corpus has no duplicate
+    * payloads by construction, so dedup over it alone returns zero
+    * rows and the driver's rows+schema+hash oracle check would pass
+    * even for an operator that always returned nothing. This variant
+    * unions a deterministically RE-KEYED slice (every doc_id % 7 == 0
+    * payload again under doc_id + 1e6 — a crawl re-fetch of the same
+    * bytes) so the oracle exercises real cluster resolution: keeper
+    * must be the ORIGINAL id, n_copies and reclaim must count the
+    * planted copy. The DuckDB oracle plants the identical slice. */
+  def mmDedupGate(s: SparkSession, dir: String): DataFrame = {
+    val base = mmTable(s, dir)
+    val planted = base.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    dedupClustersOf(base.unionByName(planted))
+  }
+
+  private def dedupClustersOf(mm: DataFrame): DataFrame =
+    mm.groupBy(col("modality"), md5(col("payload")).as("digest"))
       .agg(count(lit(1)).as("n_copies"),
         min(col("doc_id")).as("keeper"),
         (max(col("n_bytes")) * (count(lit(1)) - 1)).cast("long").as("reclaim_bytes"))
@@ -197,7 +216,7 @@ object MultiModal {
     "mm_features" -> (mmFeaturesFlat _),
     "mm_feature_stats" -> (mmFeatureStats _),
     "mm_framesample" -> ((s, dir) => frameSample(s, dir)),
-    "mm_dedup" -> (mmDedup _),
+    "mm_dedup" -> (mmDedupGate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -230,17 +249,25 @@ object MultiModal {
         |FROM i ORDER BY doc_id, frame_idx""".stripMargin,
     // md5 hex over the same UTF-8 bytes on both sides (payload IS
     // encode(text, 'UTF-8'), and DuckDB's md5(VARCHAR) hashes the
-    // string's UTF-8 bytes) — digests compare cell-exact
+    // string's UTF-8 bytes) — digests compare cell-exact. The planted
+    // UNION ALL mirrors the query's re-keyed doc_id % 7 slice (gate
+    // non-vacuity — see mmDedup's doc): modality/digest/n_bytes carry
+    // from the ORIGINAL row, only doc_id is re-keyed.
     "mm_dedup" ->
       """WITH mm AS (
         |  SELECT doc_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |    md5(text) AS digest,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |  FROM documents)
+        |  FROM documents),
+        |allrows AS (
+        |  SELECT * FROM mm
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, modality, digest, n_bytes
+        |  FROM mm WHERE doc_id % 7 = 0)
         |SELECT modality, digest, count(*) AS n_copies, min(doc_id) AS keeper,
         |  CAST(max(n_bytes) * (count(*) - 1) AS BIGINT) AS reclaim_bytes
-        |FROM mm GROUP BY 1, 2 HAVING count(*) >= 2
+        |FROM allrows GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY modality, digest""".stripMargin,
     // mm_features: engine-specific hash features — rows-only + spec.
     // mm_feature_stats: stripe geometry IS DuckDB-computable.

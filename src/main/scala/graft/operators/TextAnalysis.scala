@@ -90,15 +90,21 @@ object TextAnalysis {
       .orderBy(col("lang"), col("source"))
 
   /** Karp-Rabin polynomial fingerprint over word tokens:
-    * h ← (h·31 + xxhash64(w) mod p) mod p with p = 1e9+7 (stays well
-    * inside Long under ANSI arithmetic). Engine-specific hash →
-    * rows-only check + ScalaTest. */
+    * h ← (h·31 + hw) mod p with p = 1e9+7 (products stay well inside
+    * Long). The per-word hash hw is the first 60 bits of md5(word)
+    * mod p — md5 hex is bit-identical across engines (unlike
+    * xxhash64, whose seed/impl is Spark-specific), so the WHOLE
+    * fingerprint is DuckDB-expressible and the driver oracle checks
+    * it digit-for-digit. All codegen'd built-ins (md5 + conv +
+    * aggregate), no UDF. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     val p = lit(1000000007L)
+    def wordHash(w: Column): Column =
+      pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), p)
     docsSpread(s, dir)
       .select(col("doc_id"),
         aggregate(split(col("text"), " "), lit(0L),
-          (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), p), p)).as("fp"))
+          (acc, w) => pmod(acc * 31L + wordHash(w), p)).as("fp"))
       .orderBy(col("doc_id"))
   }
 
@@ -263,7 +269,19 @@ object TextAnalysis {
       """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
-    // text_fingerprint: no oracle (xxhash64 is Spark-specific); rows-only.
+    // Same md5-based Karp-Rabin arithmetic as fingerprint():
+    // hw = first 15 md5 hex digits (60 bits) mod p, folded left as
+    // h·31 + hw mod p. list_reduce has no init accumulator — it seeds
+    // with the first element, which equals Spark's (0·31 + hw1) mod p
+    // since hw < p; split(' ') yields >= 1 token for every string, so
+    // the reduce is never empty.
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(string_split(text, ' '),
+        |      w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 1000000007),
+        |    (acc, hw) -> (acc * 31 + hw) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_vocab" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -1439,7 +1439,7 @@ private[sources] object GraftCdcUtil {
     table.versions.headOption.map(h => if (h <= 1L) 0L else h).getOrElse(0L)
 
   def expiredError(root: String, asked: Long, floor: Long): Nothing =
-    throw new IllegalStateException(
+    throw new LogTable.CdcHistoryExpiredException(
       s"CDC history before version $floor of $root has been expired " +
         s"(expire() removed the manifests a replay from $asked would " +
         s"read). Set startingVersion >= $floor, or re-read the current " +
@@ -1516,7 +1516,10 @@ private[sources] object GraftCdcUtil {
           val kept = snap.files.filter(f => prevPaths.contains(f.path))
           def marksOn(dels: Seq[DeleteFile], p: String) =
             dels.filter(_.counts.contains(p)).map(_.path).toSet
-          snap.eqDeletes.map(_.path) == prev.eqDeletes.map(_.path) &&
+          // SET comparison (matching marksOn below): a set-identical
+          // but reordered tombstone manifest must not spuriously
+          // refuse a perfectly representable rollback
+          snap.eqDeletes.map(_.path).toSet == prev.eqDeletes.map(_.path).toSet &&
             kept.forall(f => marksOn(snap.deletes, f.path) ==
               marksOn(prev.deletes, f.path))
         } =>

@@ -811,7 +811,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         // rows; schema/spec evolution and checks are metadata-only
         case "compact" | "recluster" | "set-check" | "set-bloom" |
              "set-sort" | "set-props" | "evolve-schema" | "evolve-spec" => Nil
-        case other => throw new IllegalStateException(
+        case other => throw new LogTable.MaintenanceBoundaryException(
           s"cannot read v$v as appends: operation '$other' changes rows; " +
             "consume the changelog up to the maintenance boundary first")
       }
@@ -2188,7 +2188,12 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // change data is the NET row diff of the replaced groups — the
     // groups' prior live rows vs their replacements (exceptAll both
     // ways; a no-op rewrite nets to zero change rows, which is also
-    // what batch readCdc would report)
+    // what batch readCdc would report). Spark's set ops reject
+    // MAP-typed columns (no defined equality); for such schemas fall
+    // back to VERBATIM pre/post images of the replaced groups — a
+    // sound over-approximation (unchanged rows announce as delete +
+    // re-insert of the same row; every replayer converges to the same
+    // state) instead of a write-time AnalysisException.
     val cdcFiles =
       if (!cdcEnabled(scanned)) Nil
       else {
@@ -2198,8 +2203,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
         val after =
           if (rewritten.isEmpty) emptyLike()
           else readFiles(rewritten, scanned.schemaJson)
-        writeCdcFiles(before.exceptAll(after), "delete") ++
-          writeCdcFiles(after.exceptAll(before), "insert")
+        if (LogTable.setOpComparable(schemaOf(scanned)))
+          writeCdcFiles(before.exceptAll(after), "delete") ++
+            writeCdcFiles(after.exceptAll(before), "insert")
+        else
+          writeCdcFiles(before, "delete") ++ writeCdcFiles(after, "insert")
       }
     var validatedChecks = scanned.checks.keySet
     try commitOrCleanup(rewritten, operation, cdcFiles = cdcFiles) { prev =>
@@ -2667,7 +2675,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * reads. Trade-off: while marks are outstanding, metadata-only
     * count/min-max refuse (match counts are unknown without a scan) —
     * compact restores them. */
-  def deleteEq(keys: DataFrame): Snapshot = {
+  def deleteEq(keys: DataFrame): Snapshot =
+    withStaleRetry(() => deleteEqOnce(keys))
+
+  private def deleteEqOnce(keys: DataFrame): Snapshot = {
     val snap = snapshot()
     if (snap.files.isEmpty) return snap
     val cols = keys.columns.toSeq
@@ -2690,7 +2701,16 @@ final class LogTable private (val spark: SparkSession, val root: String,
         snap
       case ds =>
         try commit("eq-delete", cdcFiles = cdcFiles,
-            nextEqDeletes = prev => prev.eqDeletes ++ ds)(prev => prev.files)
+            nextEqDeletes = prev => prev.eqDeletes ++ ds) { prev =>
+          // CDC pre-images were scanned against `snap`; a commit that
+          // landed since (detected under the commit retry) may hold
+          // rows the tombstone also masks — stale change files would
+          // silently under-report deletes to every CDC reader.
+          // Restage from fresh state instead (withStaleRetry).
+          if (cdcFiles.nonEmpty && prev.version != snap.version)
+            throw LogTable.StaleSourceFiles
+          prev.files
+        }
         catch {
           case e: Throwable =>
             ds.foreach(d => Files.deleteIfExists(Paths.get(d.path)))
@@ -2708,7 +2728,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * ingest rate) → [[mergeMor]] (position marks, needs one marking
     * scan) → [[merge]] (COW, full clause surface). Source keys must be
     * unique (enforced); schema evolution as append. */
-  def upsertEq(updates: DataFrame, key: String, tag: String = ""): Snapshot = {
+  def upsertEq(updates: DataFrame, key: String, tag: String = ""): Snapshot =
+    withStaleRetry(() => upsertEqOnce(updates, key, tag))
+
+  private def upsertEqOnce(updates: DataFrame, key: String, tag: String): Snapshot = {
     import org.apache.spark.sql.functions.{col, count, lit}
     if (tag.nonEmpty && hasTag(tag)) return snapshot()
     val snap = snapshot()
@@ -2754,6 +2777,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
           nextEqDeletes = prev => prev.eqDeletes ++ eq) { prev =>
         // replay absorber, re-checked under the commit retry (cf. append)
         if (tag.nonEmpty && hasTag(tag)) return snapshot()
+        // CDC pre-images were scanned against `snap`; a concurrent
+        // commit since then may hold matched rows this upsert's
+        // tombstone masks — stale change files would omit their
+        // 'delete' images and CDC readers would silently diverge from
+        // table history. Restage from fresh state (withStaleRetry).
+        if (cdcFiles.nonEmpty && prev.version != snap.version)
+          throw LogTable.StaleSourceFiles
         val fresh = prev.checks -- validatedChecks
         if (fresh.nonEmpty) {
           enforceChecksOnWritten(newFiles, fresh,
@@ -4437,6 +4467,36 @@ object LogTable {
     }
     spread(a32).bitwiseOR(shiftleft(spread(b32), 1))
   }
+
+  /** True iff Spark's multiset set operations (exceptAll) are defined
+    * over this schema: MAP types (at any nesting depth) have no
+    * equality and are rejected by the analyzer. */
+  private[sources] def setOpComparable(schema: org.apache.spark.sql.types.StructType): Boolean = {
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => ok(f.dataType))
+      case a: ArrayType => ok(a.elementType)
+      case _ => true
+    }
+    schema.fields.forall(f => ok(f.dataType))
+  }
+
+  /** An appends-only incremental read ([[LogTable.readAppends]] /
+    * appendedFilesBetween) refused because a commit in the window
+    * CHANGES rows (delete/update/merge/rollback/publish) — the
+    * maintenance-boundary refusal consumers like
+    * [[MaterializedView.refreshOrFull]] catch to pick a stronger
+    * refresh strategy. Extends IllegalStateException so callers
+    * treating it as a generic state error keep working. */
+  final class MaintenanceBoundaryException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** A CDC replay window starts below the expired-history floor
+    * ([[LogTable.expire]] removed the manifests the replay would
+    * read). Extends IllegalStateException for compatibility. */
+  final class CdcHistoryExpiredException(msg: String)
+    extends IllegalStateException(msg)
 
   /** Control-flow signal: a compact/delete source file vanished from
     * the current snapshot mid-operation (concurrent rewrite). */

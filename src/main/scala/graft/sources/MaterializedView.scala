@@ -272,12 +272,19 @@ final class MaterializedView private (
   /** refresh(), falling back when the appended-rows walk refuses (a
     * row-changing base operation in the range): [[refreshCdc]] when
     * every aggregate can retract and a Count is present (O(changed
-    * rows)), else [[fullRefresh]] (one base re-scan). */
+    * rows)), else [[fullRefresh]] (one base re-scan). Catches ONLY
+    * the maintenance-boundary refusal — genuine user errors (reserved
+    * columns, bad state) surface instead of silently degrading into a
+    * slower refresh. If the CDC history a retraction fold would
+    * replay has been expired, falls back to the full rebuild (the
+    * documented contract: refreshOrFull always converges). */
   def refreshOrFull(): Long =
     try refresh()
-    catch { case _: IllegalArgumentException | _: IllegalStateException =>
+    catch { case _: LogTable.MaintenanceBoundaryException =>
       if (aggs.forall(_.retractable) &&
-          aggs.exists(_.isInstanceOf[MvAgg.Count])) refreshCdc()
+          aggs.exists(_.isInstanceOf[MvAgg.Count]))
+        try refreshCdc()
+        catch { case _: LogTable.CdcHistoryExpiredException => fullRefresh() }
       else fullRefresh() }
 
   /** Group-by keys + one partial-state column per aggregate + the

@@ -21,13 +21,14 @@ class FaultInjectionSpec extends SparkSpec {
     @volatile var rejectPublishes = 0 // CAS says "you lost" spuriously
     @volatile var failPublishes = 0   // store outage: publish throws
     @volatile var failReads = 0       // transient read outage
+    @volatile var onReject: () => Unit = () => () // runs at each rejection
     override def readString(path: Path): String = {
       if (failReads > 0) { failReads -= 1
         throw new java.io.IOException("injected read outage") }
       inner.readString(path)
     }
     override def publishAtomic(path: Path, content: String): Boolean = {
-      if (rejectPublishes > 0) { rejectPublishes -= 1; false }
+      if (rejectPublishes > 0) { rejectPublishes -= 1; onReject(); false }
       else if (failPublishes > 0) { failPublishes -= 1
         throw new java.io.IOException("injected store outage") }
       else inner.publishAtomic(path, content)
@@ -136,5 +137,43 @@ class FaultInjectionSpec extends SparkSpec {
     assert(t.currentVersion === 1L)
     t.append(Seq((2L, "b")).toDF("id", "s"))
     assert(t.read().count() === 2L)
+  }
+
+  test("eq-upsert CDC pre-images RESTAGE when a concurrent append races the commit (no silent CDC divergence)") {
+    val io = new FlakyIO(GraftFileIO.Local)
+    val root = Files.createTempDirectory("fault_eqcdc_").toString
+    val t = LogTable(spark, root, io = io)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))          // v1
+    t.setProperties(Map(LogTable.CdcEnabledProp -> "true"))      // v2
+    val from = t.currentVersion
+
+    // a second committer on the same root: its append lands BETWEEN
+    // this upsert's pre-image scan and its manifest publish (injected
+    // as the CAS-loss callback) — and the appended row's key is one
+    // the upsert's tombstone also masks. Stale change files would
+    // omit its 'delete' pre-image.
+    val other = LogTable(spark, root)
+    io.onReject = () => { other.append(Seq((3L, "c_old")).toDF("id", "s")); () }
+    io.rejectPublishes = 1
+    t.upsertEq(Seq((2L, "b2"), (3L, "c_new")).toDF("id", "s"), "id")
+    assert(io.rejectPublishes === 0, "the injected CAS loss must have fired")
+
+    // table state: both committers' effects, upsert wins on keys 2 & 3
+    assert(t.read().orderBy($"id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b2"), (3L, "c_new")))
+
+    // CDC: the upsert commit's change files were RESTAGED against the
+    // post-race snapshot, so the concurrently appended (3, "c_old")
+    // row appears BOTH as that append's insert AND as the upsert's
+    // delete pre-image — no silently vanished row in the changelog
+    val win = t.readCdc(from, t.currentVersion)
+    val byType = win.groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dels = win.filter($"_change_type" === "delete")
+      .select($"id", $"s").as[(Long, String)].collect().toSet
+    assert(dels === Set((2L, "b"), (3L, "c_old")),
+      s"delete pre-images must cover the raced append's masked row, got $dels")
+    assert(byType("insert") === 3L,
+      "inserts: the raced append's row + the upsert's two post-images")
   }
 }

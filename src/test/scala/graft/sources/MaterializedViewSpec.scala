@@ -362,4 +362,54 @@ class MaterializedViewSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](mvNoCount.refreshCdc())
     assert(e2.getMessage.contains("Count"))
   }
+
+  test("refreshOrFull catches ONLY the maintenance-boundary refusal; the trigger type is pinned") {
+    val (base, _) = fresh()
+    base.append(rows(0 until 20))
+    base.delete($"id" < 5)
+    // the appends walk's row-changer refusal IS the dedicated type —
+    // refreshOrFull's fallback trigger, nothing broader
+    val e = intercept[LogTable.MaintenanceBoundaryException](
+      base.readAppends(1L, base.currentVersion).count())
+    assert(e.getMessage.contains("changes rows"))
+    // a genuine user error inside the CDC fallback must SURFACE, not
+    // silently degrade: reserved mv_sign column on the base
+    val dirty = LogTable(spark, tmp("mv_dirty_base_"))
+    dirty.append(rows(0 until 10).withColumn("mv_sign", lit(1L)))
+    val mv2 = MaterializedView(spark, dirty, tmp("mv_dirty_view_"), Seq("k"),
+      Seq(MvAgg.Count("n"), MvAgg.Sum("total", col("v"))))
+    mv2.refresh()
+    dirty.delete($"id" === 3L)
+    val e2 = intercept[IllegalArgumentException](mv2.refreshOrFull())
+    assert(e2.getMessage.contains("mv_sign"),
+      s"reserved-column user error must surface, got: ${e2.getMessage}")
+  }
+
+  test("refreshOrFull falls back to a full rebuild when the CDC history a retraction fold needs is expired") {
+    val base = LogTable(spark, tmp("mv_exp_base_"))
+    val mv = MaterializedView(spark, base, tmp("mv_exp_view_"), Seq("k"),
+      Seq(MvAgg.Count("n"), MvAgg.Sum("total", col("v"))))
+    base.append(rows(0 until 30))
+    mv.refresh()
+    // a row-changing op the appends walk still SEES (its manifest is
+    // retained → the boundary refusal fires), but whose CDC replay
+    // window starts below the expired floor (v1's manifest is gone, so
+    // the (1, 2] diff cannot read its parent side)
+    base.delete($"id" < 10) // v2
+    base.append(rows(100 until 110)) // v3
+    base.append(rows(110 until 115)) // v4
+    base.expire(keepLast = 3) // drops v1's manifest; floor = 2 > refreshed 1
+    intercept[LogTable.CdcHistoryExpiredException](mv.refreshCdc())
+    // …but refreshOrFull honors its documented contract and converges
+    // via the full rebuild
+    mv.refreshOrFull()
+    val got = mv.read().orderBy($"k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("n"), r.getAs[Double]("total")))
+    val want = base.read().groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("total"))
+      .orderBy($"k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("n"), r.getAs[Double]("total")))
+    assert(got === want)
+    assert(mv.refreshedVersion === base.currentVersion)
+  }
 }
