@@ -912,7 +912,43 @@ object Lakehouse {
         |GROUP BY f.event_type ORDER BY f.event_type""".stripMargin)
   }
 
+  /** ICEBERG-INTEROP roundtrip — the reference's headline promise
+    * ("queryable by any Iceberg-compatible engine", reference
+    * README.md:26-30) as an oracle-checked lifecycle: ingest half the
+    * events into an identity(event_type) + day(ts_us) layout, RENAME
+    * value→amount metadata-only (old files keep the old physical
+    * name), ingest the other half under the new name, then
+    * [[graft.sources.IcebergExport]] writes REAL Iceberg v2 metadata
+    * (metadata JSON + manifest-list/manifest Avro + name mapping)
+    * against the existing parquet, and the INDEPENDENT spec-based
+    * [[graft.sources.IcebergRead]] — which never touches graft's
+    * manifest — reads it back for the aggregate. A wrong partition
+    * value in the manifest entry, a broken name mapping, or any
+    * lost/duplicated file in the projection breaks the hash against
+    * DuckDB's direct aggregate over the source parquet. */
+  def lakeIceberg(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergExport, IcebergRead, Transform}
+    val tmp = Files.createTempDirectory("graft_lake_ice_").toString
+    val table = LogTable(s, tmp, partitionBy = Seq("event_type"),
+      hiddenBy = Seq(Transform.day("ts_us")))
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts_us"))
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    table.renameColumn("value", "amount")
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .withColumnRenamed("value", "amount"))
+    val dest = Files.createTempDirectory("graft_ice_out_").toString
+    IcebergExport.export(table, dest)
+    IcebergRead.read(s, dest)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Cols.asDouble(sum(Cols.money(col("amount")))).as("total_amount"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_iceberg" -> (lakeIceberg _),
     "lake_spj" -> (lakeSpj _),
     "lake_evolve" -> (lakeEvolve _),
     "lake_mor2" -> (lakeMor2 _),
@@ -1107,6 +1143,13 @@ object Lakehouse {
     "lake_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // rename is metadata-only and both halves cover all events, so the
+    // Iceberg-projected read-back must equal the plain aggregate
+    "lake_iceberg" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_amount
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "lake_txn" ->
       """SELECT event_type, count(*) AS n,

@@ -1,0 +1,575 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** EXPORT a clean [[LogTable]] snapshot as REAL Apache Iceberg v2
+  * table metadata — the interop half of the reference's headline
+  * promise that its log table is "queryable by any Iceberg-compatible
+  * engine" (reference README.md:26-30; its Trino catalog at
+  * README.md:239-253 is exactly such a second engine). graft's own
+  * manifest is Iceberg-SHAPED but proprietary; this writes the real
+  * thing, per the public Iceberg table spec
+  * (https://iceberg.apache.org/spec/), against the EXISTING parquet
+  * data files — a zero-copy metadata projection:
+  *
+  *   dest/metadata/v1.metadata.json       table metadata (format v2)
+  *   dest/metadata/snap-<id>-<uuid>.avro  manifest list (Avro)
+  *   dest/metadata/<uuid>-m0.avro         manifest file (Avro)
+  *   dest/metadata/version-hint.text      HadoopTables discovery hint
+  *
+  * Scope — EXACT-OR-REFUSE, like every graft translation seam:
+  *   - only CLEAN snapshots export: outstanding position-delete marks
+  *     or equality tombstones refuse (compact() folds them first); a
+  *     v2 delete-file export would demand bit-exact foreign replay of
+  *     graft's sequence semantics, and a silent approximation could
+  *     resurrect deleted rows in a foreign engine.
+  *   - `bucket` layouts refuse: graft buckets by xxhash64, Iceberg by
+  *     murmur3_x86_32 — exporting the transform would make a foreign
+  *     engine prune with the WRONG hash and silently drop files from
+  *     point lookups. day/hour/truncate transforms export as Iceberg
+  *     `truncate[width]` over the µs-epoch long source (identical
+  *     floor arithmetic on the non-negative epoch domain), identity
+  *     partitions as `identity`.
+  *   - schema evolution exports faithfully: stable field ids ride
+  *     from the graft manifest, and RENAMED columns (whose old
+  *     parquet files still store old physical names, with no field
+  *     ids in the footers) are covered by writing Iceberg's standard
+  *     `schema.name-mapping.default` property — current + historical
+  *     names per field id, exactly how Iceberg reads id-less files.
+  *
+  * Data file paths are recorded ABSOLUTE (Iceberg allows absolute
+  * URIs), so the export references graft's files in place; identity
+  * partition values ride in each manifest entry's `partition` struct
+  * (graft's hive-layout files don't store the column physically —
+  * the Iceberg spec's identity-transform metadata rule covers
+  * exactly this).
+  *
+  * [[IcebergRead]] below is the proof harness: an INDEPENDENT reader
+  * that consumes ONLY the exported Iceberg metadata (never graft's
+  * manifest) — metadata JSON → manifest-list Avro → manifest Avro →
+  * parquet + partition struct + name mapping — so the `lake_iceberg`
+  * oracle checks the whole projection round-trip hash-exact. (The
+  * environment's DuckDB has no iceberg extension and there is zero
+  * egress to install one, so a true foreign engine can't run here;
+  * the reader is written strictly from the public spec instead.)
+  */
+object IcebergExport {
+
+  /** Write Iceberg v2 metadata for the CURRENT snapshot of `table`
+    * under `dest`. Returns the path of the metadata JSON written. */
+  def export(table: LogTable, dest: String): Path = {
+    val snap = table.snapshot()
+    require(snap.schemaJson.nonEmpty,
+      "cannot export a table with no declared schema")
+    require(snap.deletes.isEmpty,
+      "cannot export: outstanding position-delete marks (merge-on-read " +
+        "debt) — compact() folds them into clean files first")
+    require(snap.eqDeletes.isEmpty,
+      "cannot export: outstanding equality-delete tombstones — " +
+        "compact() folds them first")
+    require(!snap.transforms.exists(_.kind == "bucket"),
+      "cannot export a bucket layout: graft buckets by xxhash64, " +
+        "Iceberg by murmur3 — a foreign engine would prune with the " +
+        "wrong hash. Migrate the layout (evolveSpec + compact) first")
+
+    val schema = table.schema
+    val ids = new FieldIds(schema)
+    val metaDir = Paths.get(dest).resolve("metadata")
+    Files.createDirectories(metaDir)
+    val snapshotId = snap.version
+    val seqNum = math.max(snap.version, snap.files.map(_.seq).foldLeft(0L)(math.max))
+
+    // ---- partition spec ------------------------------------------------
+    // identity fields first (graft's partCols), then hidden transforms —
+    // field ids from 1000 up, per the spec's convention
+    case class PField(name: String, transform: String, sourceId: Int,
+        fieldId: Int, resultType: DataType, graftKey: String,
+        toIceberg: String => Any)
+    def parseLong(s: String): Any = java.lang.Long.valueOf(s.toLong)
+    var nextPid = 1000
+    val identityFields = snap.partCols.map { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalStateException(s"partition column '$c' not in schema"))
+      val conv: String => Any = f.dataType match {
+        case LongType => parseLong
+        case IntegerType => s => Integer.valueOf(s.toInt)
+        case StringType => identity[String]
+        case other => throw new IllegalArgumentException(
+          s"cannot export identity partition column '$c' of type $other " +
+            "(long/int/string export exactly; refuse-not-guess otherwise)")
+      }
+      val pf = PField(f.name, "identity", ids.of(f.name), nextPid,
+        f.dataType, f.name, conv)
+      nextPid += 1; pf
+    }
+    val transformFields = snap.transforms.map { t =>
+      val srcId = ids.of(t.source)
+      val (tr, conv): (String, String => Any) = t.kind match {
+        // graft stores the day/hour INDEX as the dir value; Iceberg
+        // truncate[W] stores index*W — same grouping, same floor
+        // arithmetic on the non-negative µs-epoch domain
+        case "day" => ("truncate[86400000000]",
+          s => java.lang.Long.valueOf(s.toLong * 86400000000L))
+        case "hour" => ("truncate[3600000000]",
+          s => java.lang.Long.valueOf(s.toLong * 3600000000L))
+        case "truncate" => (s"truncate[${t.n}]", parseLong)
+        case other => throw new IllegalArgumentException(
+          s"unsupported transform '$other' for Iceberg export")
+      }
+      val pf = PField(s"${t.source}_${t.kind}", tr, srcId, nextPid,
+        LongType, t.colName, conv)
+      nextPid += 1; pf
+    }
+    val pfields = identityFields ++ transformFields
+
+    // ---- manifest file (Avro) ------------------------------------------
+    val partAvroFields = pfields.zipWithIndex.map { case (pf, i) =>
+      val t = pf.resultType match {
+        case LongType => "\"long\""
+        case IntegerType => "\"int\""
+        case StringType => "\"string\""
+        case other => throw new IllegalArgumentException(s"unsupported partition type $other")
+      }
+      s"""{"name":"${pf.name}","type":["null",$t],"default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    val manifestSchema = new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |{"name":"content","type":"int","field-id":134},
+         |{"name":"file_path","type":"string","field-id":100},
+         |{"name":"file_format","type":"string","field-id":101},
+         |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partAvroFields]}},
+         |{"name":"record_count","type":"long","field-id":103},
+         |{"name":"file_size_in_bytes","type":"long","field-id":104}
+         |]}}]}""".stripMargin)
+    val icebergSchemaJson = schemaNode(schema, ids).toString
+    val specFieldsJson = {
+      val arr = mapper.createArrayNode()
+      pfields.foreach { pf =>
+        val n = arr.addObject()
+        n.put("name", pf.name); n.put("transform", pf.transform)
+        n.put("source-id", pf.sourceId); n.put("field-id", pf.fieldId)
+      }
+      arr.toString
+    }
+    val manifestPath = metaDir.resolve(
+      s"${java.util.UUID.randomUUID()}-m0.avro")
+    val partSchema = manifestSchema.getField("data_file").schema()
+      .getField("partition").schema()
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](manifestSchema))
+      w.setMeta("schema", icebergSchemaJson)
+      w.setMeta("partition-spec", specFieldsJson)
+      w.setMeta("partition-spec-id", "0")
+      w.setMeta("format-version", "2")
+      w.setMeta("content", "data")
+      w.create(manifestSchema, manifestPath.toFile)
+      try snap.files.foreach { f =>
+        val part = new GenericData.Record(partSchema)
+        pfields.foreach { pf =>
+          val v = f.partitions.get(pf.graftKey) match {
+            case None | Some(IcebergRead.NullDir) => null
+            case Some(s) => pf.toIceberg(s)
+          }
+          part.put(pf.name, v)
+        }
+        val df = new GenericData.Record(
+          manifestSchema.getField("data_file").schema())
+        df.put("content", 0)
+        df.put("file_path", f.path)
+        df.put("file_format", "PARQUET")
+        df.put("partition", part)
+        df.put("record_count", f.rows)
+        df.put("file_size_in_bytes", f.bytes)
+        val e = new GenericData.Record(manifestSchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", f.seq)
+        e.put("file_sequence_number", f.seq)
+        e.put("data_file", df)
+        w.append(e)
+      } finally w.close()
+    }
+
+    // ---- manifest list (Avro) ------------------------------------------
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string","field-id":500},
+        |{"name":"manifest_length","type":"long","field-id":501},
+        |{"name":"partition_spec_id","type":"int","field-id":502},
+        |{"name":"content","type":"int","field-id":517},
+        |{"name":"sequence_number","type":"long","field-id":515},
+        |{"name":"min_sequence_number","type":"long","field-id":516},
+        |{"name":"added_snapshot_id","type":"long","field-id":503},
+        |{"name":"added_files_count","type":"int","field-id":504},
+        |{"name":"existing_files_count","type":"int","field-id":505},
+        |{"name":"deleted_files_count","type":"int","field-id":506},
+        |{"name":"added_rows_count","type":"long","field-id":512},
+        |{"name":"existing_rows_count","type":"long","field-id":513},
+        |{"name":"deleted_rows_count","type":"long","field-id":514}
+        |]}""".stripMargin)
+    val listPath = metaDir.resolve(
+      s"snap-$snapshotId-${java.util.UUID.randomUUID()}.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.setMeta("format-version", "2")
+      w.setMeta("snapshot-id", snapshotId.toString)
+      w.setMeta("sequence-number", seqNum.toString)
+      w.create(listSchema, listPath.toFile)
+      try {
+        val m = new GenericData.Record(listSchema)
+        m.put("manifest_path", manifestPath.toString)
+        m.put("manifest_length", Files.size(manifestPath))
+        m.put("partition_spec_id", 0)
+        m.put("content", 0)
+        m.put("sequence_number", seqNum)
+        m.put("min_sequence_number",
+          snap.files.map(_.seq).foldLeft(seqNum)(math.min))
+        m.put("added_snapshot_id", snapshotId)
+        m.put("added_files_count", snap.files.size)
+        m.put("existing_files_count", 0)
+        m.put("deleted_files_count", 0)
+        m.put("added_rows_count", snap.files.map(_.rows).sum)
+        m.put("existing_rows_count", 0L)
+        m.put("deleted_rows_count", 0L)
+        w.append(m)
+      } finally w.close()
+    }
+
+    // ---- table metadata JSON -------------------------------------------
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", java.util.UUID.randomUUID().toString)
+    root.put("location", dest)
+    root.put("last-sequence-number", seqNum)
+    root.put("last-updated-ms", snap.timestampMs)
+    root.put("last-column-id", ids.maxId)
+    root.put("current-schema-id", 0)
+    root.set[ObjectNode]("schemas",
+      mapper.createArrayNode().add(schemaNode(schema, ids)))
+    root.put("default-spec-id", 0)
+    val spec = mapper.createObjectNode()
+    spec.put("spec-id", 0)
+    spec.set[ObjectNode]("fields", mapper.readTree(specFieldsJson))
+    root.set[ObjectNode]("partition-specs", mapper.createArrayNode().add(spec))
+    root.put("last-partition-id", if (pfields.isEmpty) 999 else nextPid - 1)
+    root.put("default-sort-order-id", 0)
+    val order = mapper.createObjectNode()
+    order.put("order-id", 0)
+    order.set[ObjectNode]("fields", mapper.createArrayNode())
+    root.set[ObjectNode]("sort-orders", mapper.createArrayNode().add(order))
+    val props = mapper.createObjectNode()
+    props.put("schema.name-mapping.default", nameMapping(schema, ids).toString)
+    root.set[ObjectNode]("properties", props)
+    root.put("current-snapshot-id", snapshotId)
+    val sn = mapper.createObjectNode()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("timestamp-ms", snap.timestampMs)
+    sn.put("sequence-number", seqNum)
+    val summ = mapper.createObjectNode()
+    summ.put("operation", "append")
+    sn.set[ObjectNode]("summary", summ)
+    sn.put("manifest-list", listPath.toString)
+    sn.put("schema-id", 0)
+    root.set[ObjectNode]("snapshots", mapper.createArrayNode().add(sn))
+    root.set[ObjectNode]("snapshot-log", mapper.createArrayNode())
+    root.set[ObjectNode]("metadata-log", mapper.createArrayNode())
+    val metaPath = metaDir.resolve("v1.metadata.json")
+    Files.write(metaPath, root.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+    metaPath
+  }
+
+  private val mapper = new ObjectMapper()
+
+  /** Deterministic Iceberg field-id assignment: graft's stable
+    * manifest field ids where present, fresh ids (max+1, DFS order)
+    * for nested/list/map members graft doesn't number. */
+  private final class FieldIds(schema: StructType) {
+    private var next: Int = schema.fields.flatMap(LogTable.fieldId)
+      .foldLeft(0L)(math.max).toInt + 1
+    private val top: Map[String, Int] = schema.fields.map { f =>
+      f.name.toLowerCase -> LogTable.fieldId(f).map(_.toInt).getOrElse {
+        val id = next; next += 1; id
+      }
+    }.toMap
+    def of(name: String): Int = top.getOrElse(name.toLowerCase,
+      throw new IllegalStateException(s"no field id for column '$name'"))
+    def alloc(): Int = { val id = next; next += 1; id }
+    def maxId: Int = next - 1
+  }
+
+  private def icebergTypeName(dt: DataType): Option[String] = dt match {
+    case LongType => Some("long")
+    case IntegerType => Some("int")
+    case StringType => Some("string")
+    case DoubleType => Some("double")
+    case FloatType => Some("float")
+    case BooleanType => Some("boolean")
+    case BinaryType => Some("binary")
+    case DateType => Some("date")
+    case TimestampType => Some("timestamptz")
+    case TimestampNTZType => Some("timestamp")
+    case d: DecimalType => Some(s"decimal(${d.precision}, ${d.scale})")
+    case _ => None
+  }
+
+  /** A type as an Iceberg schema JSON value (string for primitives,
+    * object for struct/list/map) — refusing types with no exact
+    * Iceberg equivalent (byte/short would silently widen). */
+  private def typeNode(dt: DataType, ids: FieldIds): Any = dt match {
+    case st: StructType =>
+      val n = mapper.createObjectNode()
+      n.put("type", "struct")
+      val fs = n.putArray("fields")
+      st.fields.foreach { f =>
+        val id = LogTable.fieldId(f).map(_.toInt).getOrElse(ids.alloc())
+        fs.add(fieldNode(f, id, ids))
+      }
+      n
+    case at: ArrayType =>
+      val n = mapper.createObjectNode()
+      n.put("type", "list")
+      n.put("element-id", ids.alloc())
+      setType(n, "element", typeNode(at.elementType, ids))
+      n.put("element-required", !at.containsNull)
+      n
+    case mt: MapType =>
+      val n = mapper.createObjectNode()
+      n.put("type", "map")
+      n.put("key-id", ids.alloc())
+      setType(n, "key", typeNode(mt.keyType, ids))
+      n.put("value-id", ids.alloc())
+      setType(n, "value", typeNode(mt.valueType, ids))
+      n.put("value-required", !mt.valueContainsNull)
+      n
+    case prim => icebergTypeName(prim).getOrElse(
+      throw new IllegalArgumentException(
+        s"type $prim has no exact Iceberg equivalent — refusing export"))
+  }
+
+  private def setType(n: ObjectNode, key: String, t: Any): Unit = t match {
+    case s: String => n.put(key, s); ()
+    case o: ObjectNode => n.set[ObjectNode](key, o); ()
+  }
+
+  private def fieldNode(f: StructField, id: Int, ids: FieldIds): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("id", id)
+    n.put("name", f.name)
+    n.put("required", !f.nullable)
+    setType(n, "type", typeNode(f.dataType, ids))
+    n
+  }
+
+  private def schemaNode(schema: StructType, ids: FieldIds): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", "struct")
+    n.put("schema-id", 0)
+    val fs = n.putArray("fields")
+    schema.fields.foreach(f => fs.add(fieldNode(f, ids.of(f.name), ids)))
+    n
+  }
+
+  /** Iceberg name mapping (`schema.name-mapping.default`): per field,
+    * the current name plus every historical physical name — how an
+    * Iceberg reader resolves field ids in parquet files whose footers
+    * carry none (ALL graft-written files; renamed columns still store
+    * values under their old names in pre-rename files). */
+  private def nameMapping(schema: StructType, ids: FieldIds): ArrayNode = {
+    def entries(st: StructType, idOf: StructField => Int): ArrayNode = {
+      val arr = mapper.createArrayNode()
+      st.fields.foreach { f =>
+        val e = arr.addObject()
+        e.put("field-id", idOf(f))
+        val names = e.putArray("names")
+        (f.name +: LogTable.prevNames(f)).foreach(names.add)
+        f.dataType match {
+          case nested: StructType =>
+            e.set[ObjectNode]("fields", entries(nested,
+              g => LogTable.fieldId(g).map(_.toInt).getOrElse(ids.alloc())))
+            ()
+          case _ => ()
+        }
+      }
+      arr
+    }
+    entries(schema, f => ids.of(f.name))
+  }
+}
+
+/** INDEPENDENT Iceberg v2 reader over an [[IcebergExport]]ed table:
+  * consumes ONLY the Iceberg metadata (version-hint → metadata JSON →
+  * manifest-list Avro → manifest Avro → parquet files + per-file
+  * partition structs + name mapping), never graft's manifest — the
+  * proof that the exported metadata is self-sufficient, checked
+  * hash-exact by the `lake_iceberg` oracle. Identity-partition values
+  * come from partition metadata (the files don't store the column,
+  * per the spec's identity-transform rule); renamed columns resolve
+  * through `schema.name-mapping.default` (current + historical
+  * physical names coalesced, the standard id-less-footer path).
+  *
+  * Scale note: a production reader plans identity values as per-split
+  * constant vectors (what graft's own DSv2 scan does); this harness
+  * reader unions one scan per live partition tuple, which is O(tuples)
+  * plan nodes — fine for a verification read, not the steady-state
+  * scan path. */
+object IcebergRead {
+  private[sources] val NullDir = "__HIVE_DEFAULT_PARTITION__"
+  private val mapper = new ObjectMapper()
+
+  def read(spark: SparkSession, dest: String): DataFrame = {
+    val metaDir = Paths.get(dest).resolve("metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir.resolve(s"v$hint.metadata.json")))
+    require(meta.get("format-version").asInt() == 2,
+      "reader supports Iceberg format-version 2")
+    val schemaId = meta.get("current-schema-id").asInt()
+    val schemaNode = meta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == schemaId)
+      .getOrElse(throw new IllegalStateException("current schema not found"))
+    val schema = parseStruct(schemaNode)
+    val fieldNameById: Map[Int, String] = schemaNode.get("fields").elements()
+      .asScala.map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+
+    // name mapping: field-id -> candidate physical names (current first)
+    val mapping: Map[Int, Seq[String]] = {
+      val p = meta.get("properties")
+      if (p == null || p.get("schema.name-mapping.default") == null) Map.empty
+      else mapper.readTree(p.get("schema.name-mapping.default").asText())
+        .elements().asScala.map(e =>
+          e.get("field-id").asInt() ->
+            e.get("names").elements().asScala.map(_.asText()).toSeq).toMap
+    }
+
+    // partition spec: identity fields resolve to schema columns
+    val specId = meta.get("default-spec-id").asInt()
+    val specFields = meta.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == specId).get
+      .get("fields").elements().asScala.toSeq
+    case class IdField(pname: String, column: String, dt: DataType)
+    val identity = specFields.filter(_.get("transform").asText() == "identity")
+      .map { f =>
+        val colName = fieldNameById(f.get("source-id").asInt())
+        IdField(f.get("name").asText(), colName,
+          schema.fields.find(_.name == colName).get.dataType)
+      }
+
+    // snapshot → manifest list → manifests → live data files
+    val snapId = meta.get("current-snapshot-id").asLong()
+    val listPath = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == snapId).get
+      .get("manifest-list").asText()
+    val manifests = readAvro(listPath).map(r => (
+      r.get("manifest_path").toString, r.get("content").asInstanceOf[Int]))
+    require(manifests.forall(_._2 == 0),
+      "reader supports data manifests only (no delete manifests)")
+    case class Entry(path: String, part: Map[String, Any])
+    val entries = manifests.flatMap { case (mp, _) => readAvro(mp) }
+      .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+      .map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        require(df.get("file_format").toString == "PARQUET",
+          "reader supports PARQUET data files only")
+        val part = df.get("partition").asInstanceOf[GenericRecord]
+        Entry(df.get("file_path").toString,
+          identity.map(f => f.pname -> part.get(f.pname)).toMap)
+      }
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
+
+    // columns the FILES store (identity partition cols live only in
+    // metadata); physical twin carries every mapped historical name
+    val dataFields = schema.fields.filterNot(f =>
+      identity.exists(_.column == f.name))
+    def namesOf(f: StructField): Seq[String] = {
+      val id = schemaNode.get("fields").elements().asScala
+        .find(_.get("name").asText() == f.name).get.get("id").asInt()
+      mapping.getOrElse(id, Seq(f.name)) match {
+        case Nil => Seq(f.name)
+        case ns => ns
+      }
+    }
+    val physSchema = StructType(dataFields.flatMap(f =>
+      namesOf(f).map(n => StructField(n, f.dataType, nullable = true))))
+
+    // one scan per live partition tuple, identity values attached as
+    // typed literals (null for __HIVE_DEFAULT_PARTITION__/absent)
+    val groups = entries.groupBy(_.part)
+    groups.map { case (pvals, es) =>
+      val base = spark.read.schema(physSchema).parquet(es.map(_.path): _*)
+      val cols: Seq[Column] = schema.fields.toSeq.map { f =>
+        identity.find(_.column == f.name) match {
+          case Some(idf) =>
+            (pvals.getOrElse(idf.pname, null) match {
+              case null => lit(null)
+              case v => lit(v.toString)
+            }).cast(f.dataType).as(f.name)
+          case None =>
+            val ns = namesOf(f)
+            (if (ns.size == 1) col(ns.head)
+             else coalesce(ns.map(col): _*)).as(f.name)
+        }
+      }
+      base.select(cols: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  private def readAvro(path: String): Seq[GenericRecord] = {
+    val r = DataFileReader.openReader(
+      new java.io.File(path), new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toList finally r.close()
+  }
+
+  private def parseType(n: com.fasterxml.jackson.databind.JsonNode): DataType =
+    if (n.isTextual) n.asText() match {
+      case "long" => LongType
+      case "int" => IntegerType
+      case "string" => StringType
+      case "double" => DoubleType
+      case "float" => FloatType
+      case "boolean" => BooleanType
+      case "binary" => BinaryType
+      case "date" => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp" => TimestampNTZType
+      case dec if dec.startsWith("decimal") =>
+        val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        DecimalType(p, s)
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    } else n.get("type").asText() match {
+      case "struct" => parseStruct(n)
+      case "list" => ArrayType(parseType(n.get("element")),
+        !n.get("element-required").asBoolean())
+      case "map" => MapType(parseType(n.get("key")), parseType(n.get("value")),
+        !n.get("value-required").asBoolean())
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+
+  private def parseStruct(n: com.fasterxml.jackson.databind.JsonNode): StructType =
+    StructType(n.get("fields").elements().asScala.map(f =>
+      StructField(f.get("name").asText(), parseType(f.get("type")),
+        nullable = !f.get("required").asBoolean())).toSeq)
+}

@@ -1,0 +1,143 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Iceberg v2 metadata export ([[IcebergExport]]) + the independent
+  * spec-based reader ([[IcebergRead]]): the export must be
+  * self-sufficient Iceberg metadata (metadata JSON → manifest-list
+  * Avro → manifest Avro → existing parquet), the reader consumes ONLY
+  * that metadata, and the two sides agree row-for-row across plain,
+  * partitioned, and schema-evolved snapshots. Dirty snapshots and
+  * untranslatable layouts REFUSE (exact-or-refuse, like every graft
+  * translation seam). */
+class IcebergExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("unpartitioned export round-trips exactly; metadata files are spec-shaped") {
+    val t = LogTable(spark, tmp("ice_plain_"))
+    t.append((0L until 100L).map(i => (i, s"s$i", i * 1.5)).toDF("id", "s", "v"))
+    t.append((100L until 150L).map(i => (i, s"s$i", i * 1.5)).toDF("id", "s", "v"))
+    val dest = tmp("ice_plain_out_")
+    val metaPath = IcebergExport.export(t, dest)
+
+    // spec shape: version hint, v1.metadata.json, one manifest list,
+    // one manifest, format-version 2
+    val metaDir = Paths.get(dest).resolve("metadata")
+    assert(Files.exists(metaDir.resolve("version-hint.text")))
+    assert(metaPath.getFileName.toString === "v1.metadata.json")
+    val json = new String(Files.readAllBytes(metaPath))
+    assert(json.contains("\"format-version\":2"))
+    assert(json.contains("\"current-snapshot-id\":2"))
+    import scala.jdk.CollectionConverters._
+    val names = Files.list(metaDir).iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(names.count(_.startsWith("snap-")) === 1, "one manifest list")
+    assert(names.count(_.endsWith("-m0.avro")) === 1, "one manifest")
+
+    val back = IcebergRead.read(spark, dest)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "s", "v"))
+    assert(sortedRows(back) === sortedRows(t.read()))
+  }
+
+  test("identity + hidden-day partitioned export: values ride the partition struct, nulls included") {
+    val t = LogTable(spark, tmp("ice_part_"), partitionBy = Seq("k"),
+      hiddenBy = Seq(Transform.day("ts_us")))
+    val rows = (0L until 60L).map(i =>
+      (i, if (i % 7 == 0) null else s"g${i % 3}", i * 86400000000L / 10))
+      .toDF("id", "k", "ts_us")
+    t.append(rows)
+    val dest = tmp("ice_part_out_")
+    IcebergExport.export(t, dest)
+
+    // the exported spec carries identity(k) + truncate[86400000000](ts_us)
+    val json = new String(Files.readAllBytes(
+      Paths.get(dest).resolve("metadata").resolve("v1.metadata.json")))
+    assert(json.contains("\"transform\":\"identity\""))
+    assert(json.contains("\"transform\":\"truncate[86400000000]\""))
+
+    val back = IcebergRead.read(spark, dest)
+    // identity values (incl. the null partition) come from metadata —
+    // the hive-layout files never stored the column physically.
+    // (graft's read() re-attaches partition columns LAST; the export
+    // keeps declared schema order — compare under one projection)
+    assert(sortedRows(back.select(col("id"), col("k"), col("ts_us"))) ===
+      sortedRows(t.read().select(col("id"), col("k"), col("ts_us"))))
+    assert(back.filter(col("k").isNull).count() === t.read().filter(col("k").isNull).count())
+  }
+
+  test("schema-evolved export: rename travels via name mapping, added column null-fills, widened column reads") {
+    val t = LogTable(spark, tmp("ice_evo_"))
+    t.append((0L until 30L).map(i => (i, i.toInt)).toDF("id", "n"))
+    t.renameColumn("n", "count_n")     // old files store 'n'
+    t.widenColumn("count_n", org.apache.spark.sql.types.LongType)
+    t.append((30L until 60L).map(i => (i, i * 10L, s"tag$i"))
+      .toDF("id", "count_n", "label")) // adds 'label'
+    val dest = tmp("ice_evo_out_")
+    IcebergExport.export(t, dest)
+
+    // the name mapping must cover the historical physical name
+    val json = new String(Files.readAllBytes(
+      Paths.get(dest).resolve("metadata").resolve("v1.metadata.json")))
+    assert(json.contains("schema.name-mapping.default"))
+    assert(json.contains("\\\"count_n\\\",\\\"n\\\"") || json.contains("\"count_n\",\"n\""),
+      "mapping lists current then historical name")
+
+    val back = IcebergRead.read(spark, dest)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "count_n", "label"))
+    assert(sortedRows(back) === sortedRows(t.read()))
+    // spot semantics: pre-rename generation readable under the new
+    // name, pre-add generation null-fills label
+    assert(back.filter(col("id") < 30L && col("count_n") === col("id").cast("long"))
+      .count() === 30L)
+    assert(back.filter(col("id") < 30L && col("label").isNull).count() === 30L)
+  }
+
+  test("refusal ladder: MoR marks, equality tombstones, bucket layouts, schemaless tables") {
+    val mor = LogTable(spark, tmp("ice_mor_"))
+    mor.append((0L until 20L).map(i => (i, s"x$i")).toDF("id", "s"))
+    mor.deleteMor(col("id") < 5L)
+    val e1 = intercept[IllegalArgumentException](
+      IcebergExport.export(mor, tmp("ice_mor_out_")))
+    assert(e1.getMessage.contains("position-delete"))
+    // compact folds the debt → export clean
+    mor.compact()
+    IcebergExport.export(mor, tmp("ice_mor_out2_"))
+
+    val eq = LogTable(spark, tmp("ice_eq_"))
+    eq.append((0L until 20L).map(i => (i, s"x$i")).toDF("id", "s"))
+    eq.deleteEq(Seq(1L, 2L).toDF("id"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergExport.export(eq, tmp("ice_eq_out_")))
+    assert(e2.getMessage.contains("equality-delete"))
+
+    val b = LogTable(spark, tmp("ice_bucket_"),
+      hiddenBy = Seq(Transform.bucket(8, "id")))
+    b.append((0L until 20L).map(i => (i, s"x$i")).toDF("id", "s"))
+    val e3 = intercept[IllegalArgumentException](
+      IcebergExport.export(b, tmp("ice_bucket_out_")))
+    assert(e3.getMessage.contains("bucket"))
+
+    val empty = LogTable(spark, tmp("ice_empty_"))
+    val e4 = intercept[IllegalArgumentException](
+      IcebergExport.export(empty, tmp("ice_empty_out_")))
+    assert(e4.getMessage.contains("schema"))
+  }
+
+  test("export after MoR-fold compaction equals the pre-compact live rows") {
+    val t = LogTable(spark, tmp("ice_fold_"))
+    t.append((0L until 50L).map(i => (i, i % 5)).toDF("id", "g"))
+    t.deleteMor(col("g") === 0L)
+    val live = sortedRows(t.read())
+    t.compact()
+    val dest = tmp("ice_fold_out_")
+    IcebergExport.export(t, dest)
+    assert(sortedRows(IcebergRead.read(spark, dest)) === live)
+  }
+}
