@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Lakehouse, LogAnalytics, MultiModal, Pipeline, RangeJoin, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, ApiLog, Dedup, Lakehouse, LogAnalytics, MultiModal, Pipeline, RangeJoin, Similarity, Skew, TextAnalysis}
 import graft.sources.Formats
 import graft.streaming.Streams
 
@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     LogAnalytics.queries ++
+      ApiLog.queries ++
       Analytics.queries ++
       TextAnalysis.queries ++
       Dedup.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
     * ScalaTest spec instead. */
   def oracleSql: Map[String, String] =
     LogAnalytics.oracles ++
+      ApiLog.oracles ++
       Analytics.oracles ++
       TextAnalysis.oracles ++
       Dedup.oracles ++

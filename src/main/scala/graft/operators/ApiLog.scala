@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.ParseDuration
+import graft.sources.{LogTable, Transform}
+import graft.streaming.Streams
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The reference's OWN user journey end-to-end, on its exact schema:
+  * the 14-column `aistor.logs.api` table (reference README.md:172-189
+  * — time/name/bucket/object/httpStatusCode/inputBytes/outputBytes/
+  * requestTime/timeToFirstByte/sourceHost/userAgent/accessKey/
+  * requestId/node), ingested the way the reference ingests it
+  * (README.md:191-212: per-node buffers flush parquet files on
+  * count-or-interval, a leader commits the pending files atomically
+  * to the table), then queried with the README's own query catalog
+  * (README.md:141-167: count / recent-N / by-type / time-range /
+  * error-analysis) plus a Go-duration latency rollup through the
+  * [[graft.functions.ParseDuration]] expression the schema's
+  * `requestTime`/`timeToFirstByte` columns demand (README.md:183-184).
+  *
+  * The reshape from `events` is DETERMINISTIC integer arithmetic
+  * (both engines derive bit-identical columns), `time` stays exact
+  * epoch-µs Long (the repo's §4 determinism contract — no
+  * timezone-dependent timestamp math), and every catalog query is
+  * run as literal SQL text over a registered `api` view. Event
+  * timestamps are corpus-unique, so the catalog's bare
+  * `ORDER BY time DESC LIMIT 20` is deterministic verbatim. */
+object ApiLog {
+
+  private def str(c: Column): Column = c.cast("string")
+
+  /** events → the reference's exact api-log shape. Every derived
+    * column is integer arithmetic over (event_id, user_id, ts_us) so
+    * the DuckDB oracle rebuilds the identical frame. */
+  def apiFrame(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.select(
+      col("ts_us").as("time"),
+      concat(lit("s3:"),
+        when(col("event_type") === "click", "GetObject")
+          .when(col("event_type") === "view", "HeadObject")
+          .when(col("event_type") === "purchase", "PutObject")
+          .when(col("event_type") === "signup", "CreateBucket")
+          .otherwise("DeleteObject")).as("name"),
+      concat(lit("bucket-"), str(pmod(col("user_id"), lit(8L)))).as("bucket"),
+      concat(lit("data/obj-"), str(col("event_id"))).as("object"),
+      when(col("event_type") === "error",
+        when(pmod(col("event_id"), lit(2L)) === 0L, 404).otherwise(503))
+        .otherwise(200).cast("int").as("httpStatusCode"),
+      pmod(col("event_id") * 131L, lit(1000000L)).as("inputBytes"),
+      pmod(col("event_id") * 173L, lit(1000000L)).as("outputBytes"),
+      // Go-duration strings, compound form ("XmY.Zs") — the schema's
+      // requestTime is exactly this shape (README.md:183)
+      concat(str(pmod(col("event_id"), lit(5L))), lit("m"),
+        str(pmod(col("event_id"), lit(60L))), lit("."),
+        str(pmod(col("event_id"), lit(10L))), lit("s")).as("requestTime"),
+      concat(str(pmod(col("event_id"), lit(500L))), lit("ms")).as("timeToFirstByte"),
+      concat(lit("10."), str(pmod(col("user_id"), lit(16L))), lit("."),
+        str(pmod(col("user_id"), lit(256L))), lit("."),
+        str(pmod(col("event_id"), lit(256L)))).as("sourceHost"),
+      concat(lit("aws-sdk-go/1."), str(pmod(col("user_id"), lit(3L)))).as("userAgent"),
+      concat(lit("key-"), str(pmod(col("user_id"), lit(50L)))).as("accessKey"),
+      concat(lit("req-"), str(col("event_id"))).as("requestId"),
+      concat(lit("node-"), str(pmod(col("event_id"), lit(4L)))).as("node"))
+  }
+
+  /** 2024-01-20 00:00:00 UTC in epoch µs — the catalog's time-range
+    * predicate, landing mid-corpus (events span Jan 1-30). */
+  private val RangeCutUs = 1705708800000000L
+
+  /** The whole lifecycle as ONE oracle-checked query:
+    * 1. reshape events into the api schema;
+    * 2. per-node buffer FLUSH: the frame lands as several parquet
+    *    files in a buffer directory (the count/interval flush output,
+    *    README.md:200-205);
+    * 3. ATOMIC COMMIT LOOP: Structured Streaming tails the buffer
+    *    (maxFilesPerTrigger=2 ≈ the leader picking up pending flush
+    *    markers in batches) and each micro-batch commits atomically —
+    *    batch-id-tagged, exactly-once — into a DAY-partitioned
+    *    LogTable (the log table's natural hidden layout);
+    * 4. the README query catalog runs as literal SQL over the table
+    *    and folds into one frame: (q, a, b, n, v) rows per catalog
+    *    query, totally ordered.
+    * Any lost/duplicated flush file, broken day layout, or drifted
+    * reshape breaks the hash against DuckDB's direct computation. */
+  def lifecycle(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_api_life_")
+    val buffer = tmp.resolve("buffer").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val root = tmp.resolve("table").toString
+    // per-node flush: 6 buffer parquet files (2 per "node" — count
+    // threshold reached 6 times across 3 nodes)
+    apiFrame(s, dir)
+      .repartition(6, pmod(col("time"), lit(6L)))
+      .write.parquet(buffer)
+    val table = LogTable(s, root, hiddenBy = Seq(Transform.day("time")))
+    val stream = s.readStream.schema(apiFrame(s, dir).schema)
+      .option("maxFilesPerTrigger", 2).parquet(buffer)
+    Streams.streamIngest(stream, table, ckpt).awaitTermination()
+
+    table.read().createOrReplaceTempView("api")
+    val blank = lit("")
+    // -- Count all logs (README.md:142)
+    val qCount = s.sql("SELECT COUNT(*) AS n FROM api")
+      .select(lit("count").as("q"), blank.as("a"), blank.as("b"),
+        col("n").cast("long").as("n"), lit(0L).as("v"))
+    // -- View recent logs (README.md:144-148); timestamps are unique
+    val qRecent = s.sql(
+      """SELECT time, name, bucket, object, httpStatusCode
+        |FROM api ORDER BY time DESC LIMIT 20""".stripMargin)
+      .select(lit("recent").as("q"), col("name").as("a"),
+        concat(col("bucket"), lit("/"), col("object")).as("b"),
+        col("httpStatusCode").cast("long").as("n"), col("time").as("v"))
+    // -- API calls by type (README.md:150-154)
+    val qByType = s.sql(
+      """SELECT name, COUNT(*) AS cnt FROM api
+        |GROUP BY name ORDER BY cnt DESC""".stripMargin)
+      .select(lit("by_type").as("q"), col("name").as("a"), blank.as("b"),
+        col("cnt").cast("long").as("n"), lit(0L).as("v"))
+    // -- Logs by time range (README.md:156-160); ordered for a
+    // deterministic LIMIT, then folded
+    val qRange = s.sql(
+      s"""SELECT * FROM api WHERE time > ${RangeCutUs}L
+         |ORDER BY time LIMIT 100""".stripMargin)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("httpStatusCode").cast("long")).as("v"))
+      .select(lit("time_range").as("q"), blank.as("a"), blank.as("b"),
+        col("n"), col("v"))
+    // -- Error analysis (README.md:162-167)
+    val qErrors = s.sql(
+      """SELECT name, httpStatusCode, COUNT(*) AS cnt FROM api
+        |WHERE httpStatusCode >= 400
+        |GROUP BY name, httpStatusCode ORDER BY cnt DESC""".stripMargin)
+      .select(lit("errors").as("q"), col("name").as("a"),
+        col("httpStatusCode").cast("string").as("b"),
+        col("cnt").cast("long").as("n"), lit(0L).as("v"))
+    // -- Go-duration latency rollup (the schema's requestTime column,
+    // parsed by the native codegen'd expression)
+    val qLatency = table.read()
+      .select(col("name"), ParseDuration.parseDuration(col("requestTime")).as("us"))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("us")).as("v"))
+      .select(lit("latency").as("q"), col("name").as("a"), blank.as("b"),
+        col("n"), col("v"))
+
+    qCount.unionByName(qRecent).unionByName(qByType).unionByName(qRange)
+      .unionByName(qErrors).unionByName(qLatency)
+      .orderBy(col("q"), col("a"), col("b"), col("n"), col("v"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "log_api_lifecycle" -> (lifecycle _),
+  )
+
+  /** DuckDB rebuilds the identical api frame from events with the
+    * same integer arithmetic, then folds the same catalog queries.
+    * The requestTime duration parses arithmetically:
+    * m*60e6 + s*1e6 + tenth*1e5 µs. */
+  val oracles: Map[String, String] = Map(
+    "log_api_lifecycle" ->
+      s"""WITH api AS (
+         |  SELECT epoch_us(ts) AS time,
+         |    's3:' || CASE event_type
+         |      WHEN 'click' THEN 'GetObject' WHEN 'view' THEN 'HeadObject'
+         |      WHEN 'purchase' THEN 'PutObject' WHEN 'signup' THEN 'CreateBucket'
+         |      ELSE 'DeleteObject' END AS name,
+         |    'bucket-' || CAST(user_id % 8 AS VARCHAR) AS bucket,
+         |    'data/obj-' || CAST(event_id AS VARCHAR) AS object,
+         |    CASE WHEN event_type = 'error'
+         |      THEN CASE WHEN event_id % 2 = 0 THEN 404 ELSE 503 END
+         |      ELSE 200 END AS httpStatusCode,
+         |    (event_id * 131) % 1000000 AS inputBytes,
+         |    (event_id * 173) % 1000000 AS outputBytes,
+         |    (event_id % 5) * 60000000 + (event_id % 60) * 1000000
+         |      + (event_id % 10) * 100000 AS requestUs
+         |  FROM events),
+         |recent AS (
+         |  SELECT time, name, bucket, object, httpStatusCode
+         |  FROM api ORDER BY time DESC LIMIT 20),
+         |rng AS (
+         |  SELECT * FROM api WHERE time > $RangeCutUs
+         |  ORDER BY time LIMIT 100)
+         |SELECT q, a, b, n, v FROM (
+         |  SELECT 'count' AS q, '' AS a, '' AS b,
+         |    count(*) AS n, 0 AS v FROM api
+         |  UNION ALL
+         |  SELECT 'recent', name, bucket || '/' || object,
+         |    CAST(httpStatusCode AS BIGINT), time FROM recent
+         |  UNION ALL
+         |  SELECT 'by_type', name, '', count(*), 0 FROM api GROUP BY name
+         |  UNION ALL
+         |  SELECT 'time_range', '', '', count(*),
+         |    sum(CAST(httpStatusCode AS BIGINT)) FROM rng
+         |  UNION ALL
+         |  SELECT 'errors', name, CAST(httpStatusCode AS VARCHAR),
+         |    count(*), 0 FROM api WHERE httpStatusCode >= 400
+         |  GROUP BY name, httpStatusCode
+         |  UNION ALL
+         |  SELECT 'latency', name, '', count(*), sum(requestUs)
+         |  FROM api GROUP BY name)
+         |ORDER BY q, a, b, n, v""".stripMargin,
+  )
+}
