@@ -90,6 +90,95 @@ private[sources] object GraftFileIO {
     override def mkdirs(dir: Path): Unit = { Files.createDirectories(dir); () }
   }
 
+  /** LOCAL EMULATION of an S3-SEMANTICS object store — the production
+    * half of the seam (the reference runs its whole data plane on
+    * MinIO, reference docker-compose.yaml), shaped exactly like the
+    * four S3 calls a real client would make, so a drop-in swaps only
+    * the transport:
+    *
+    *   readString    → GetObject
+    *   publishAtomic → PutObject with `If-None-Match: *`
+    *                   (HTTP 412 Precondition Failed → false — the
+    *                   conditional-PUT commit primitive S3 has served
+    *                   since 2024 and MinIO for years)
+    *   list/listDirs → ListObjectsV2 prefix scan (with and without
+    *                   the '/' delimiter)
+    *   delete(Tree)  → DeleteObject(s) by key/prefix
+    *
+    * The emulation enforces OBJECT-STORE semantics, not POSIX: the
+    * namespace is FLAT — every logical path maps to one object whose
+    * key is the full path ('/' percent-encoded into the object name),
+    * there are no directories (mkdirs is a no-op; "directories" exist
+    * only as key prefixes, exactly as S3 implies them), and listing
+    * is a prefix scan. Conditional PUT is emulated by create-or-fail
+    * hard link, which has the same atomicity contract (the request
+    * either creates the object or fails because one exists — never
+    * replaces). `bucket` is the emulated bucket's backing directory;
+    * one instance = one bucket. Bulk parquet stays on Hadoop's
+    * FileSystem seam (s3a in production), as with every store. */
+  final class ObjectStoreEmu(bucket: Path) extends GraftFileIO {
+    Files.createDirectories(bucket)
+    private def key(p: Path): String = p.toAbsolutePath.normalize.toString
+    private def enc(k: String): String =
+      java.net.URLEncoder.encode(k, "UTF-8")
+    private def dec(n: String): String =
+      java.net.URLDecoder.decode(n, "UTF-8")
+    private def obj(p: Path): Path = bucket.resolve(enc(key(p)))
+    /** Every committed object key (the bucket LIST): encoded names
+      * start with the encoding of '/', so in-flight temp files are
+      * structurally excluded. */
+    private def keys(): Seq[String] = {
+      val s = Files.list(bucket)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("%2F")).map(dec).toSeq
+      finally s.close()
+    }
+
+    override def readString(path: Path): String = {
+      val o = obj(path)
+      if (!Files.exists(o))
+        throw new java.nio.file.NoSuchFileException(path.toString)
+      Files.readString(o)
+    }
+    override def publishAtomic(path: Path, content: String): Boolean = {
+      val tmp = bucket.resolve(s"tmp-${UUID.randomUUID()}")
+      Files.writeString(tmp, content)
+      try {
+        Files.createLink(obj(path), tmp)
+        Files.deleteIfExists(tmp)
+        true
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); false
+      }
+    }
+    override def exists(path: Path): Boolean = Files.exists(obj(path))
+    override def list(dir: Path): Seq[String] = {
+      val prefix = key(dir) + "/"
+      keys().collect {
+        case k if k.startsWith(prefix) && !k.stripPrefix(prefix).contains("/") =>
+          k.stripPrefix(prefix)
+      }
+    }
+    override def listDirs(dir: Path): Seq[String] = {
+      val prefix = key(dir) + "/"
+      keys().collect {
+        case k if k.startsWith(prefix) && k.stripPrefix(prefix).contains("/") =>
+          k.stripPrefix(prefix).takeWhile(_ != '/')
+      }.distinct
+    }
+    override def delete(path: Path): Unit = {
+      Files.deleteIfExists(obj(path)); ()
+    }
+    override def deleteTree(dir: Path): Unit = {
+      val prefix = key(dir) + "/"
+      keys().filter(_.startsWith(prefix))
+        .foreach(k => Files.deleteIfExists(bucket.resolve(enc(k))))
+      Files.deleteIfExists(obj(dir)); ()
+    }
+    override def mkdirs(dir: Path): Unit = ()
+  }
+
   /** In-memory implementation — a CAS map, i.e. the conditional-put
     * model of an object store, with directories implied by key
     * prefixes (exactly as object stores imply them). One instance =

@@ -14,8 +14,18 @@ import java.nio.file.{Files, Paths}
 class FileIOSpec extends SparkSpec {
   import spark.implicits._
 
-  test("a full table lifecycle with manifests ONLY in the in-memory store") {
-    val io = new GraftFileIO.InMemory
+  /** The two OFF-DISK stores the contract suite parameterizes over:
+    * the in-memory CAS model and the S3-semantics object-store
+    * emulation (flat keys, prefix listing, conditional PUT). Local is
+    * the store every other suite exercises. */
+  private def stores: Seq[(String, () => GraftFileIO)] = Seq(
+    "in-memory" -> (() => new GraftFileIO.InMemory),
+    "object-store" -> (() => new GraftFileIO.ObjectStoreEmu(
+      Files.createTempDirectory("graft_bucket_"))))
+
+  for ((storeName, mkIo) <- stores)
+  test(s"a full table lifecycle with manifests ONLY in the $storeName store") {
+    val io = mkIo()
     val root = Files.createTempDirectory("graft_io_").toString
     val t = LogTable(spark, root, io = io)
 
@@ -69,8 +79,9 @@ class FileIOSpec extends SparkSpec {
     assert(dataFiles(root).size < preData)
   }
 
-  test("publishAtomic is compare-and-swap: racing committers all land, none clobbered") {
-    val io = new GraftFileIO.InMemory
+  for ((storeName, mkIo) <- stores)
+  test(s"publishAtomic is compare-and-swap on the $storeName store: racing committers all land, none clobbered") {
+    val io = mkIo()
     val root = Files.createTempDirectory("graft_io_race_").toString
     LogTable(spark, root, io = io)
       .append(Seq((0L, "base")).toDF("id", "s"))
@@ -85,6 +96,26 @@ class FileIOSpec extends SparkSpec {
     assert(t.read().count() === 7L)
     assert(t.read().select("s").as[String].collect().toSet ===
       (1 to 6).map(i => s"w$i").toSet + "base")
+  }
+
+  test("object-store emulation enforces S3 semantics: flat namespace, prefix listing, PUT never replaces") {
+    val io = new GraftFileIO.ObjectStoreEmu(
+      Files.createTempDirectory("graft_bucket_sem_"))
+    val base = Paths.get("/graft/t1/_log")
+    // no mkdirs ever — "directories" are key prefixes only
+    assert(io.list(base).isEmpty && io.listDirs(base).isEmpty)
+    assert(io.publishAtomic(base.resolve("v1"), "a"))
+    assert(!io.publishAtomic(base.resolve("v1"), "b"),
+      "conditional PUT must refuse to replace an existing object")
+    assert(io.readString(base.resolve("v1")) === "a",
+      "the losing PUT must not have clobbered the winner")
+    assert(io.publishAtomic(base.resolve("seg/x"), "s"))
+    assert(io.list(base) === Seq("v1"), "delimiter listing: files only")
+    assert(io.listDirs(base) === Seq("seg"), "prefixes surface as dirs")
+    io.deleteTree(base)
+    assert(io.list(base).isEmpty && io.listDirs(base).isEmpty)
+    intercept[java.nio.file.NoSuchFileException](
+      io.readString(base.resolve("v1")))
   }
 
   private def dataFiles(root: String): Seq[java.nio.file.Path] = {
