@@ -927,7 +927,7 @@ object Lakehouse {
     * lost/duplicated file in the projection breaks the hash against
     * DuckDB's direct aggregate over the source parquet. */
   def lakeIceberg(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.{IcebergExport, IcebergRead, Transform}
+    import graft.sources.{IcebergExport, IcebergImport, IcebergRead, Transform}
     val tmp = Files.createTempDirectory("graft_lake_ice_").toString
     val table = LogTable(s, tmp, partitionBy = Seq("event_type"),
       hiddenBy = Seq(Transform.day("ts_us")))
@@ -939,12 +939,23 @@ object Lakehouse {
       .withColumnRenamed("value", "amount"))
     val dest = Files.createTempDirectory("graft_ice_out_").toString
     IcebergExport.export(table, dest)
-    IcebergRead.read(s, dest)
+    // BOTH legs of the interop circle, one aggregate each: the
+    // independent spec-based reader over the exported metadata, and a
+    // zero-copy IMPORT back into a fresh graft table read through
+    // graft's own scan — either leg diverging breaks the hash
+    def agg(df: DataFrame, via: String): DataFrame = df
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"),
         Cols.asDouble(sum(Cols.money(col("amount")))).as("total_amount"))
-      .orderBy(col("event_type"))
+      .withColumn("via", lit(via))
+    val spec = agg(IcebergRead.read(s, dest), "spec_reader")
+    val imported = IcebergImport.importTable(s, dest,
+      Files.createTempDirectory("graft_ice_imp_").toString)
+    agg(imported.read(), "graft_import").unionByName(spec)
+      .select(col("via"), col("event_type"), col("n"), col("n_users"),
+        col("total_amount"))
+      .orderBy(col("via"), col("event_type"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1144,13 +1155,16 @@ object Lakehouse {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // rename is metadata-only and both halves cover all events, so the
-    // Iceberg-projected read-back must equal the plain aggregate
+    // rename is metadata-only and both halves cover all events, so
+    // BOTH interop legs (spec reader + import read-back) must equal
+    // the plain aggregate, one copy per leg
     "lake_iceberg" ->
-      """SELECT event_type, count(*) AS n,
+      """SELECT via, event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_amount
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events
+        |CROSS JOIN (SELECT unnest(['graft_import', 'spec_reader']) AS via)
+        |GROUP BY via, event_type ORDER BY via, event_type""".stripMargin,
     "lake_txn" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

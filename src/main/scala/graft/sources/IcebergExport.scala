@@ -436,14 +436,40 @@ object IcebergRead {
   private[sources] val NullDir = "__HIVE_DEFAULT_PARTITION__"
   private val mapper = new ObjectMapper()
 
-  def read(spark: SparkSession, dest: String): DataFrame = {
+  /** One parsed Iceberg v2 table: current schema (plain Spark types),
+    * the raw schema node (field ids), the name mapping, the default
+    * spec's fields, and every live data-file entry with its FULL
+    * partition record (all spec fields, raw Avro values). */
+  private[sources] final case class IceMeta(
+      schemaNode: com.fasterxml.jackson.databind.JsonNode,
+      schema: StructType,
+      mapping: Map[Int, Seq[String]],
+      specFields: Seq[com.fasterxml.jackson.databind.JsonNode],
+      fieldNameById: Map[Int, String],
+      entries: Seq[IceEntry]) {
+    def fieldId(name: String): Int = schemaNode.get("fields").elements()
+      .asScala.find(_.get("name").asText() == name).get.get("id").asInt()
+    /** Candidate physical names for a field, current first. */
+    def namesOf(name: String): Seq[String] =
+      mapping.getOrElse(fieldId(name), Seq(name)) match {
+        case Nil => Seq(name)
+        case ns => ns
+      }
+  }
+  private[sources] final case class IceEntry(path: String, rows: Long,
+      bytes: Long, part: Map[String, Any])
+
+  /** Parse an Iceberg v2 table's current snapshot from its metadata
+    * directory — the shared walk behind [[read]] and
+    * [[IcebergImport.importTable]]. */
+  private[sources] def load(dest: String): IceMeta = {
     val metaDir = Paths.get(dest).resolve("metadata")
     val hint = new String(Files.readAllBytes(
       metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
     val meta = mapper.readTree(Files.readAllBytes(
       metaDir.resolve(s"v$hint.metadata.json")))
     require(meta.get("format-version").asInt() == 2,
-      "reader supports Iceberg format-version 2")
+      "only Iceberg format-version 2 is supported")
     val schemaId = meta.get("current-schema-id").asInt()
     val schemaNode = meta.get("schemas").elements().asScala
       .find(_.get("schema-id").asInt() == schemaId)
@@ -451,8 +477,6 @@ object IcebergRead {
     val schema = parseStruct(schemaNode)
     val fieldNameById: Map[Int, String] = schemaNode.get("fields").elements()
       .asScala.map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
-
-    // name mapping: field-id -> candidate physical names (current first)
     val mapping: Map[Int, Seq[String]] = {
       val p = meta.get("properties")
       if (p == null || p.get("schema.name-mapping.default") == null) Map.empty
@@ -461,21 +485,11 @@ object IcebergRead {
           e.get("field-id").asInt() ->
             e.get("names").elements().asScala.map(_.asText()).toSeq).toMap
     }
-
-    // partition spec: identity fields resolve to schema columns
     val specId = meta.get("default-spec-id").asInt()
     val specFields = meta.get("partition-specs").elements().asScala
       .find(_.get("spec-id").asInt() == specId).get
       .get("fields").elements().asScala.toSeq
-    case class IdField(pname: String, column: String, dt: DataType)
-    val identity = specFields.filter(_.get("transform").asText() == "identity")
-      .map { f =>
-        val colName = fieldNameById(f.get("source-id").asInt())
-        IdField(f.get("name").asText(), colName,
-          schema.fields.find(_.name == colName).get.dataType)
-      }
-
-    // snapshot → manifest list → manifests → live data files
+    val pnames = specFields.map(_.get("name").asText())
     val snapId = meta.get("current-snapshot-id").asLong()
     val listPath = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapId).get
@@ -483,19 +497,34 @@ object IcebergRead {
     val manifests = readAvro(listPath).map(r => (
       r.get("manifest_path").toString, r.get("content").asInstanceOf[Int]))
     require(manifests.forall(_._2 == 0),
-      "reader supports data manifests only (no delete manifests)")
-    case class Entry(path: String, part: Map[String, Any])
+      "only data manifests are supported (no delete manifests)")
     val entries = manifests.flatMap { case (mp, _) => readAvro(mp) }
       .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
       .map { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         require(df.get("file_format").toString == "PARQUET",
-          "reader supports PARQUET data files only")
+          "only PARQUET data files are supported")
         val part = df.get("partition").asInstanceOf[GenericRecord]
-        Entry(df.get("file_path").toString,
-          identity.map(f => f.pname -> part.get(f.pname)).toMap)
+        IceEntry(df.get("file_path").toString,
+          df.get("record_count").asInstanceOf[Long],
+          df.get("file_size_in_bytes").asInstanceOf[Long],
+          pnames.map(p => p -> part.get(p)).toMap)
       }
-    if (entries.isEmpty)
+    IceMeta(schemaNode, schema, mapping, specFields, fieldNameById, entries)
+  }
+
+  def read(spark: SparkSession, dest: String): DataFrame = {
+    val m = load(dest)
+    val schema = m.schema
+    case class IdField(pname: String, column: String, dt: DataType)
+    val identity = m.specFields
+      .filter(_.get("transform").asText() == "identity")
+      .map { f =>
+        val colName = m.fieldNameById(f.get("source-id").asInt())
+        IdField(f.get("name").asText(), colName,
+          schema.fields.find(_.name == colName).get.dataType)
+      }
+    if (m.entries.isEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)
 
@@ -503,20 +532,13 @@ object IcebergRead {
     // metadata); physical twin carries every mapped historical name
     val dataFields = schema.fields.filterNot(f =>
       identity.exists(_.column == f.name))
-    def namesOf(f: StructField): Seq[String] = {
-      val id = schemaNode.get("fields").elements().asScala
-        .find(_.get("name").asText() == f.name).get.get("id").asInt()
-      mapping.getOrElse(id, Seq(f.name)) match {
-        case Nil => Seq(f.name)
-        case ns => ns
-      }
-    }
     val physSchema = StructType(dataFields.flatMap(f =>
-      namesOf(f).map(n => StructField(n, f.dataType, nullable = true))))
+      m.namesOf(f.name).map(n => StructField(n, f.dataType, nullable = true))))
 
     // one scan per live partition tuple, identity values attached as
     // typed literals (null for __HIVE_DEFAULT_PARTITION__/absent)
-    val groups = entries.groupBy(_.part)
+    val groups = m.entries.groupBy(e =>
+      identity.map(f => f.pname -> e.part.getOrElse(f.pname, null)).toMap)
     groups.map { case (pvals, es) =>
       val base = spark.read.schema(physSchema).parquet(es.map(_.path): _*)
       val cols: Seq[Column] = schema.fields.toSeq.map { f =>
@@ -527,7 +549,7 @@ object IcebergRead {
               case v => lit(v.toString)
             }).cast(f.dataType).as(f.name)
           case None =>
-            val ns = namesOf(f)
+            val ns = m.namesOf(f.name)
             (if (ns.size == 1) col(ns.head)
              else coalesce(ns.map(col): _*)).as(f.name)
         }
@@ -542,7 +564,7 @@ object IcebergRead {
     try r.iterator().asScala.toList finally r.close()
   }
 
-  private def parseType(n: com.fasterxml.jackson.databind.JsonNode): DataType =
+  private[sources] def parseType(n: com.fasterxml.jackson.databind.JsonNode): DataType =
     if (n.isTextual) n.asText() match {
       case "long" => LongType
       case "int" => IntegerType
@@ -572,4 +594,82 @@ object IcebergRead {
     StructType(n.get("fields").elements().asScala.map(f =>
       StructField(f.get("name").asText(), parseType(f.get("type")),
         nullable = !f.get("required").asBoolean())).toSeq)
+}
+
+/** IMPORT an Iceberg v2 table as a graft [[LogTable]] — the other
+  * direction of the interop seam: a table written in the Iceberg
+  * format (by [[IcebergExport]] or any spec-conformant writer whose
+  * feature set fits the supported subset) becomes a first-class graft
+  * table in ONE metadata-only commit. The data files are adopted IN
+  * PLACE by absolute path (zero copy, the [[LogTable.cloneTo]]
+  * borrow shape — graft's retention can never reclaim them, the
+  * own-root expire guard); the Iceberg schema's field ids become
+  * graft field ids, the name mapping's historical names become
+  * graft's per-field physical-name history (pre-rename files read
+  * correctly through graft's normal coalescing read path), identity
+  * spec fields become graft partition columns with per-file values
+  * from the manifest entry partition structs, and `truncate[W]`
+  * fields become graft truncate transforms (same floor arithmetic,
+  * same stored values — graft's pruning applies to the imported
+  * layout immediately). After import the table is fully graft-native:
+  * every operator, DML surface, and maintenance op applies; writes
+  * land under the NEW root.
+  *
+  * EXACT-OR-REFUSE: delete manifests, non-parquet files, non-v2
+  * format, and transforms outside {identity, truncate} (Iceberg's
+  * bucket hashes with murmur3, which graft does not reproduce; its
+  * date/timestamp-typed day/hour transforms have no µs-long source
+  * to prune on) all refuse loudly rather than import approximately. */
+object IcebergImport {
+
+  def importTable(spark: SparkSession, src: String, destRoot: String): LogTable = {
+    val m = IcebergRead.load(src)
+    // schema: Iceberg field ids + name-mapping history → graft field
+    // metadata (top-level; graft refuses nested renames at DDL time,
+    // and nested ids regenerate deterministically on first evolution)
+    val schema = StructType(m.schema.fields.map { f =>
+      val id = m.fieldId(f.name).toLong
+      val prevs = m.namesOf(f.name).drop(1)
+      LogTable.withFieldMeta(f, id, prevs)
+    })
+
+    // spec: identity → partition columns; truncate[W] → graft
+    // truncate transform (identical floor arithmetic and stored
+    // values); anything else refuses
+    val TruncRe = "truncate\\[(\\d+)\\]".r
+    case class SpecCol(pname: String, graftKey: String,
+        partCol: Option[String], transform: Option[Transform])
+    val specCols = m.specFields.map { f =>
+      val source = m.fieldNameById(f.get("source-id").asInt())
+      val pname = f.get("name").asText()
+      f.get("transform").asText() match {
+        case "identity" => SpecCol(pname, source, Some(source), None)
+        case TruncRe(w) =>
+          val t = Transform(source, "truncate", w.toLong)
+          SpecCol(pname, t.colName, None, Some(t))
+        case other => throw new IllegalArgumentException(
+          s"cannot import partition transform '$other' exactly " +
+            "(identity and truncate[W] are supported) — refusing")
+      }
+    }
+    val files = m.entries.map { e =>
+      val parts = specCols.flatMap { sc =>
+        e.part.get(sc.pname).flatMap(v => Option(v)) match {
+          case Some(v) => Some(sc.graftKey -> v.toString)
+          case None =>
+            // null identity values keep the hive null-dir encoding so
+            // graft's null-aware pruning semantics apply; null
+            // transform values stay unrecorded (absence never prunes)
+            if (sc.partCol.isDefined) Some(sc.graftKey -> IcebergRead.NullDir)
+            else None
+        }
+      }.toMap
+      DataFile(e.path, e.rows, e.bytes, partitions = parts)
+    }
+    val dest = LogTable(spark, destRoot)
+    dest.commitAdoption("import", s"iceberg-import-of-$src",
+      schema.json, specCols.flatMap(_.partCol), specCols.flatMap(_.transform),
+      files)
+    LogTable(spark, destRoot)
+  }
 }

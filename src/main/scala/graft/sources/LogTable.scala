@@ -3562,6 +3562,21 @@ final class LogTable private (val spark: SparkSession, val root: String,
     LogTable(spark, destRoot)
   }
 
+  /** ADOPT a foreign snapshot as this (empty) table's first commit —
+    * the [[IcebergImport]] seam: schema (field ids + name history),
+    * partition spec, and data files referenced IN PLACE by absolute
+    * path (zero copy, like [[cloneTo]]'s borrow). The importing
+    * handle's retention can never reclaim the foreign files (the
+    * own-root guard expire/vacuum already enforce for clones). */
+  private[sources] def commitAdoption(operation: String, tag: String,
+      schemaJson: String, partCols: Seq[String],
+      transforms: Seq[Transform], files: Seq[DataFile]): Snapshot = {
+    require(currentVersion == 0L,
+      s"adoption destination $root already has commits")
+    commit(operation, tag = tag, nextSchema = _ => schemaJson,
+      nextSpec = Some((partCols, transforms)))(_ => files)
+  }
+
   /** Roll the table back to a prior snapshot's file list as a NEW
     * commit — history stays intact, readers atomically flip. */
   def rollback(version: Long): Snapshot = {

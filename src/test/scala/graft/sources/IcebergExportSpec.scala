@@ -130,6 +130,61 @@ class IcebergExportSpec extends SparkSpec {
     assert(e4.getMessage.contains("schema"))
   }
 
+  test("import: an Iceberg table becomes a first-class graft table — zero copy, layout and rename history intact") {
+    val t = LogTable(spark, tmp("ice_imp_src_"), partitionBy = Seq("k"),
+      hiddenBy = Seq(Transform.day("ts_us")))
+    t.append((0L until 40L).map(i =>
+      (i, s"g${i % 3}", i * 86400000000L / 5, i * 2)).toDF("id", "k", "ts_us", "v"))
+    t.renameColumn("v", "val2")
+    t.append((40L until 60L).map(i =>
+      (i, s"g${i % 3}", i * 86400000000L / 5, i * 2)).toDF("id", "k", "ts_us", "val2"))
+    val ice = tmp("ice_imp_out_")
+    IcebergExport.export(t, ice)
+
+    val destRoot = tmp("ice_imp_dest_")
+    val imp = IcebergImport.importTable(spark, ice, destRoot)
+    // metadata-only adoption: schema, spec, rename history, rows
+    assert(imp.schema.fieldNames.toSeq === Seq("id", "k", "ts_us", "val2"))
+    val proj = Seq("id", "k", "ts_us", "val2").map(col)
+    assert(sortedRows(imp.read().select(proj: _*)) ===
+      sortedRows(t.read().select(proj: _*)))
+    // the imported layout prunes: a one-partition readWhere opens only
+    // that partition's files
+    assert(imp.read().filter(col("k") === "g1").count() ===
+      t.read().filter(col("k") === "g1").count())
+
+    // the table is graft-native and independently writable: new rows
+    // land under the NEW root, the source files untouched
+    val srcFiles = t.snapshot().files.map(_.path).toSet
+    imp.append(Seq((100L, "g9", 0L, 5L)).toDF("id", "k", "ts_us", "val2"))
+    assert(imp.read().count() === t.read().count() + 1)
+    assert(imp.snapshot().files.count(f => !srcFiles.contains(f.path)) >= 1)
+    assert(t.read().count() === 60L, "source table untouched by the import's writes")
+
+    // retention on the importing table can never reclaim the foreign
+    // (borrowed) files — the own-root guard
+    imp.compact()
+    imp.expire(keepLast = 1)
+    assert(srcFiles.forall(p => Files.exists(Paths.get(p))),
+      "imported-table expire must never delete foreign source files")
+    assert(t.read().count() === 60L)
+  }
+
+  test("import refusal: unsupported transforms refuse loudly instead of mis-pruning") {
+    val t = LogTable(spark, tmp("ice_impref_"),
+      hiddenBy = Seq(Transform.day("ts_us")))
+    t.append((0L until 10L).map(i => (i, i * 86400000000L)).toDF("id", "ts_us"))
+    val ice = tmp("ice_impref_out_")
+    IcebergExport.export(t, ice)
+    // a foreign writer's bucket layout: rewrite the spec in place
+    val mp = Paths.get(ice).resolve("metadata").resolve("v1.metadata.json")
+    Files.writeString(mp, Files.readString(mp)
+      .replace("truncate[86400000000]", "bucket[8]"))
+    val e = intercept[IllegalArgumentException](
+      IcebergImport.importTable(spark, ice, tmp("ice_impref_dest_")))
+    assert(e.getMessage.contains("bucket"))
+  }
+
   test("export after MoR-fold compaction equals the pre-compact live rows") {
     val t = LogTable(spark, tmp("ice_fold_"))
     t.append((0L until 50L).map(i => (i, i % 5)).toDF("id", "g"))
