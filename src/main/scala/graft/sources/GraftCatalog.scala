@@ -447,6 +447,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (spec.trim.nonEmpty) GraftSql.parsePartitionSpecs(spec)
         else (Nil, Nil)
       resolve(in.getUTF8String(0).toString).evolveSpec(pc, tf); ()
+    },
+    // CALL cat.system.export_iceberg('ns.t', '<dest>') — real Iceberg
+    // v2 metadata for the current clean snapshot (IcebergExport)
+    proc("export_iceberg", "table" -> StringType, "dest" -> StringType) { in =>
+      IcebergExport.export(resolve(in.getUTF8String(0).toString),
+        in.getUTF8String(1).toString); ()
+    },
+    // CALL cat.system.import_iceberg('ns.t', '<src>') — adopt an
+    // Iceberg v2 table as catalog table ns.t (IcebergImport; the
+    // files are borrowed in place, the table root lands under the
+    // catalog warehouse like any CREATE)
+    proc("import_iceberg", "table" -> StringType, "src" -> StringType) { in =>
+      val parts = in.getUTF8String(0).toString.split('.')
+      val ident = Identifier.of(parts.init, parts.last)
+      if (isTable(tableDir(ident)))
+        throw new IllegalArgumentException(
+          s"table ${ident} already exists — import into a fresh name")
+      IcebergImport.importTable(spark, in.getUTF8String(1).toString,
+        tableDir(ident).toString); ()
     }
   ).map(p => p.name() -> p).toMap
 

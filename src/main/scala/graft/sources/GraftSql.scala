@@ -824,12 +824,35 @@ object GraftSql {
             val evolved = t.evolveSpec(pc, tf)
             register(args.head, evolved)
             evolved.snapshot()
+          // CALL export_iceberg(t, '<dest-path>') — REAL Iceberg v2
+          // metadata for the current clean snapshot at dest
+          // ([[IcebergExport]]); dirty snapshots and bucket layouts
+          // refuse there
+          case "export_iceberg" =>
+            IcebergExport.export(t, args(1))
+            t.snapshot()
+          // CALL import_iceberg(newName, '<src-path>') — adopt an
+          // Iceberg v2 table as a graft table under the warehouse and
+          // register it ([[IcebergImport]]; zero-copy, files borrowed
+          // in place)
+          case "import_iceberg" =>
+            val wh = warehousePath.getOrElse(throw new IllegalStateException(
+              "no warehouse configured: GraftSql.setWarehouse(path) " +
+                "before import_iceberg"))
+            val root = java.nio.file.Paths.get(wh).resolve(args.head).toString
+            require(!registry.containsKey(args.head) &&
+              !java.nio.file.Files.exists(java.nio.file.Paths.get(root)),
+              s"table '${args.head}' already exists (at $root)")
+            val imp = IcebergImport.importTable(spark, args(1), root)
+            register(args.head, imp)
+            imp.snapshot()
           case other => throw new IllegalArgumentException(
             s"unknown procedure '$other' (supported: compact, expire, " +
               "expire_branch, expire_older_than, rollback, remove_orphans, " +
               "delete_mor, merge_mor, delete_eq, upsert_eq, recluster, " +
               "create_ref, create_branch, fast_forward, evolve_spec, " +
-              "clone, refresh_mv, refresh_mv_full)")
+              "clone, export_iceberg, import_iceberg, refresh_mv, " +
+              "refresh_mv_full)")
         }
         summarize(spark, args.head, snap)
       case _ => throw new IllegalArgumentException(

@@ -185,6 +185,36 @@ class IcebergExportSpec extends SparkSpec {
     assert(e.getMessage.contains("bucket"))
   }
 
+  test("SQL routes: CALL export_iceberg / import_iceberg on both surfaces") {
+    // GraftSql surface
+    GraftSql.setWarehouse(tmp("ice_sql_wh_"))
+    GraftSql.exec(spark, "CREATE TABLE ice_sql_t (id BIGINT, s STRING)")
+    GraftSql.exec(spark,
+      "INSERT INTO ice_sql_t SELECT * FROM VALUES (1L, 'a'), (2L, 'b') AS t(id, s)")
+    val dest = tmp("ice_sql_out_")
+    GraftSql.exec(spark, s"CALL export_iceberg(ice_sql_t, '$dest')")
+    assert(Files.exists(Paths.get(dest).resolve("metadata").resolve("v1.metadata.json")))
+    GraftSql.exec(spark, s"CALL import_iceberg(ice_sql_imp, '$dest')")
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) FROM ice_sql_imp").head().getLong(0) === 2L)
+    intercept[IllegalArgumentException](
+      GraftSql.exec(spark, s"CALL import_iceberg(ice_sql_imp, '$dest')"))
+
+    // catalog surface (Spark's own CALL statement)
+    val wh = tmp("ice_cat_wh_")
+    spark.conf.set("spark.sql.catalog.gice", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gice.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gice.ns")
+    spark.sql("CREATE TABLE gice.ns.src (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gice.ns.src VALUES (10L, 'x'), (11L, 'y'), (12L, 'z')")
+    val dest2 = tmp("ice_cat_out_")
+    spark.sql(s"CALL gice.system.export_iceberg('ns.src', '$dest2')")
+    spark.sql(s"CALL gice.system.import_iceberg('ns.back', '$dest2')")
+    assert(spark.sql("SELECT count(*) FROM gice.ns.back").head().getLong(0) === 3L)
+    assert(spark.sql("SELECT s FROM gice.ns.back ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("x", "y", "z"))
+  }
+
   test("export after MoR-fold compaction equals the pre-compact live rows") {
     val t = LogTable(spark, tmp("ice_fold_"))
     t.append((0L until 50L).map(i => (i, i % 5)).toDF("id", "g"))
