@@ -212,17 +212,122 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE TOKENIZER TRAINING — the first `rounds` merge rounds of
+    * byte-pair encoding (Sennrich et al. 2016, the algorithm behind
+    * GPT/Llama-family tokenizers), as real iterative Spark jobs:
+    *
+    *   1. ONE corpus-scale pass builds the word-frequency VOCAB
+    *      (map-side-combined census — the same O(vocabulary) shuffle
+    *      as text_vocab). Everything after runs on the vocab, never
+    *      the corpus — the standard Sennrich trick that makes BPE
+    *      training tractable at 100 TB.
+    *   2. Each round: adjacent-symbol-pair census weighted by word
+    *      count (a narrow explode over O(vocab) rows), argmax pair
+    *      with a fixed total tiebreak (count DESC, then left/right
+    *      lexicographic), merge that pair inside every word, repeat.
+    *      The argmax is a bounded ONE-row driver collect per round
+    *      (the q_ntile k-row pattern).
+    *
+    * Symbol sequences ride as SENTINEL-WRAPPED strings
+    * (sym per symbol) so the merge is one built-in
+    * `replace` call: plain string replace is left-to-right
+    * NON-OVERLAPPING in Spark, DuckDB and Java alike — exactly
+    * re.sub's semantics in the reference BPE implementation (a run
+    * "aaaa" merges to "aa aa", never "aa a") — and the wrappers make
+    * cross-symbol false matches impossible. The corpus is
+    * sentinel-free by construction (spec-asserted). Deterministic,
+    * engine-exact → the DuckDB oracle unrolls the same rounds as
+    * CTE stages. Output: one row per learned merge. */
+  def bpe(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    val S = "\u0001" // symbol start sentinel (corpus-free, spec-asserted)
+    val E = "\u0002" // symbol end sentinel
+    // vocab census: the ONLY corpus-scale pass
+    var vocab = docsSpread(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .withColumn("e", concat_ws("",
+        transform(split(col("word"), ""), c => concat(lit(S), c, lit(E)))))
+      .select(col("wc"), col("e"))
+      .cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    (1 to rounds).foreach { round =>
+      // adjacent-pair census over the vocab, weighted by word count
+      val syms = split(col("e").substr(lit(2), length(col("e")) - 2), E + S)
+      val best = vocab
+        .select(col("wc"), syms.as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) return mergesDf(s, merges.result())
+      val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((round, l, r, cnt))
+      // merge the winning pair inside every vocab word: ONE built-in
+      // replace call — plain string replace is left-to-right
+      // NON-OVERLAPPING in Spark, DuckDB and Java alike
+      val prev = vocab
+      vocab = vocab.withColumn("e",
+        replace(col("e"), lit(S + l + E + S + r + E), lit(S + l + r + E)))
+        .cache()
+      vocab.count() // materialize before unpersisting the parent
+      prev.unpersist()
+    }
+    mergesDf(s, merges.result())
+  }
+
+  private def mergesDf(s: SparkSession,
+      ms: Seq[(Int, String, String, Long)]): DataFrame = {
+    import s.implicits._
+    ms.toDF("round", "l", "r", "cnt")
+      .select(col("round").cast("int").as("round"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("cnt"))
+      .orderBy(col("round"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (langid _),
     "text_quality" -> (quality _),
     "text_tokens" -> (tokens _),
     "doc_stats" -> (docStats _),
     "text_fingerprint" -> (fingerprint _),
+    "text_bpe" -> ((s, d) => bpe(s, d)),
     "text_vocab" -> (vocab _),
     "text_repetition" -> (repetition _),
     "text_tfidf" -> (tfidf _),
     "text_bigrams" -> (bigrams _),
   )
+
+
+  /** The BPE oracle: DuckDB unrolls the same `rounds` merge rounds as
+    * CTE stages over the identical sentinel-wrapped representation —
+    * same census, same (cnt DESC, l, r) argmax, same non-overlapping
+    * replace. Engine-exact because every step is integer counting and
+    * plain string replacement. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w AS (
+      |  SELECT word, count(*) AS wc FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |  WHERE length(word) >= 1 GROUP BY word),
+      |v0 AS (SELECT wc, chr(1) || array_to_string(string_split(word, ''), chr(2) || chr(1)) || chr(2) AS e FROM w)""".stripMargin
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+        |p$k AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+        |  FROM (SELECT wc, string_split(substr(e, 2, length(e) - 2), chr(2) || chr(1)) AS syms FROM v${k - 1}) t,
+        |  LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+        |  GROUP BY 1, 2),
+        |b$k AS (SELECT $k AS round, l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+        |v$k AS (SELECT wc, replace(e, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2), chr(1) || b.l || b.r || chr(2)) AS e FROM v${k - 1}, b$k b)""".stripMargin
+    }
+    sb ++= "\nSELECT round, l, r, l || r AS merged, cnt FROM (" +
+      (1 to rounds).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ") +
+      ") ORDER BY round"
+    sb.toString
+  }
 
   val oracles: Map[String, String] = Map(
     "text_langid" ->
@@ -269,6 +374,7 @@ object TextAnalysis {
       """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_bpe" -> bpeOracleSql(5),
     // Same md5-based Karp-Rabin arithmetic as fingerprint():
     // hw = first 15 md5 hex digits (60 bits) mod p, folded left as
     // h·31 + hw mod p. list_reduce has no init accumulator — it seeds

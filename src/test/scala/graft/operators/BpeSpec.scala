@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE merge training ([[TextAnalysis.bpe]]): checked against an
+  * INDEPENDENT in-test reference implementation (plain Scala lists,
+  * the Sennrich formulation), including the left-to-right
+  * non-overlapping merge rule that same-symbol runs exercise. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE: vocab of (symbol-list, count); per round count
+    * adjacent pairs, take (count DESC, l ASC, r ASC) argmax, merge
+    * left-to-right non-overlapping. */
+  private def refBpe(words: Seq[String], rounds: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[List[String], Long] = words.groupBy(identity)
+      .map { case (w, ws) => w.map(_.toString).toList -> ws.size.toLong }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, wc) =>
+        syms.zip(syms.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + wc)
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), cnt) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        out += ((round, l, r, cnt))
+        def mergeLtr(syms: List[String]): List[String] = syms match {
+          case a :: b :: rest if a == l && b == r => (a + b) :: mergeLtr(rest)
+          case a :: rest => a :: mergeLtr(rest)
+          case Nil => Nil
+        }
+        vocab = vocab.groupBy { case (syms, _) => mergeLtr(syms) }
+          .map { case (m, g) => m -> g.values.sum }
+      }
+    }
+    out.result()
+  }
+
+  private def plant(words: Seq[String]): String = {
+    val d = java.nio.file.Files.createTempDirectory("bpe_").toString
+    Seq((0L, words.mkString(" "), "en", "s", words.map(_.length).sum.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("learned merges equal the independent reference implementation") {
+    val words = Seq("lower", "lower", "lowest", "newer", "newer", "newer",
+      "wider", "low", "new", "newest", "lowest", "newer")
+    val got = TextAnalysis.bpe(spark, plant(words), rounds = 4)
+      .as[(Int, String, String, String, Long)].collect()
+      .map(t => (t._1, t._2, t._3, t._5)).toSeq
+    assert(got === refBpe(words, 4))
+  }
+
+  test("same-symbol runs merge LEFT-TO-RIGHT NON-OVERLAPPING (aaaa -> aa aa, never aa a)") {
+    val words = Seq.fill(5)("aaaa") ++ Seq.fill(2)("ab")
+    val d = plant(words)
+    val got = TextAnalysis.bpe(spark, d, rounds = 2)
+      .as[(Int, String, String, String, Long)].collect()
+    // round 1: (a,a) dominates — 5 words × 3 adjacent occurrences
+    assert((got(0)._2, got(0)._3, got(0)._5) === ("a", "a", 15L))
+    // round 2: each 'aaaa' is now [aa, aa] (ONE pair per word) — had
+    // the merge overlapped ([aa, a] + stray 'a a' pairs) the counts
+    // and the winner would differ. Reference agrees end-to-end.
+    assert(got.toSeq.map(t => (t._1, t._2, t._3, t._5)) === refBpe(words, 2))
+    assert((got(1)._2, got(1)._3) === ("aa", "aa"))
+  }
+
+  test("the corpus is sentinel-free (the wrapped-symbol encoding's precondition)") {
+    val dirty = graft.Tables(spark, sfDir, "documents")
+      .filter(col("text").contains("") || col("text").contains(""))
+      .count()
+    assert(dirty === 0L,
+      "corpus text contains the BPE sentinel bytes — swap sentinels")
+  }
+}
