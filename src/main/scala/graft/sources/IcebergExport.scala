@@ -157,7 +157,12 @@ object IcebergExport {
          |{"name":"record_count","type":"long","field-id":103},
          |{"name":"file_size_in_bytes","type":"long","field-id":104}
          |]}}]}""".stripMargin)
-    val icebergSchemaJson = schemaNode(schema, ids).toString
+    // ONE schema-node build: nested field ids are allocated during
+    // this walk, so every consumer (manifest "schema" metadata, the
+    // table metadata JSON, the name mapping) must read THIS node —
+    // a second build would re-allocate different nested ids
+    val schemaJsonNode = schemaNode(schema, ids)
+    val icebergSchemaJson = schemaJsonNode.toString
     val specFieldsJson = {
       val arr = mapper.createArrayNode()
       pfields.foreach { pf =>
@@ -263,7 +268,7 @@ object IcebergExport {
     root.put("last-column-id", ids.maxId)
     root.put("current-schema-id", 0)
     root.set[ObjectNode]("schemas",
-      mapper.createArrayNode().add(schemaNode(schema, ids)))
+      mapper.createArrayNode().add(schemaJsonNode))
     root.put("default-spec-id", 0)
     val spec = mapper.createObjectNode()
     spec.put("spec-id", 0)
@@ -276,7 +281,7 @@ object IcebergExport {
     order.set[ObjectNode]("fields", mapper.createArrayNode())
     root.set[ObjectNode]("sort-orders", mapper.createArrayNode().add(order))
     val props = mapper.createObjectNode()
-    props.put("schema.name-mapping.default", nameMapping(schema, ids).toString)
+    props.put("schema.name-mapping.default", nameMapping(schemaJsonNode, schema).toString)
     root.set[ObjectNode]("properties", props)
     root.put("current-snapshot-id", snapshotId)
     val sn = mapper.createObjectNode()
@@ -393,26 +398,30 @@ object IcebergExport {
     * the current name plus every historical physical name — how an
     * Iceberg reader resolves field ids in parquet files whose footers
     * carry none (ALL graft-written files; renamed columns still store
-    * values under their old names in pre-rename files). */
-  private def nameMapping(schema: StructType, ids: FieldIds): ArrayNode = {
-    def entries(st: StructType, idOf: StructField => Int): ArrayNode = {
+    * values under their old names in pre-rename files). Field ids are
+    * READ BACK from the already-generated schema node (never
+    * re-allocated) so nested mapping ids always equal the schema's. */
+  private def nameMapping(schemaNode: ObjectNode, schema: StructType): ArrayNode = {
+    def entries(fieldsNode: com.fasterxml.jackson.databind.JsonNode,
+        st: StructType): ArrayNode = {
       val arr = mapper.createArrayNode()
-      st.fields.foreach { f =>
+      val nodes = fieldsNode.elements().asScala.toSeq
+      st.fields.zip(nodes).foreach { case (f, n) =>
         val e = arr.addObject()
-        e.put("field-id", idOf(f))
+        e.put("field-id", n.get("id").asInt())
         val names = e.putArray("names")
         (f.name +: LogTable.prevNames(f)).foreach(names.add)
-        f.dataType match {
-          case nested: StructType =>
-            e.set[ObjectNode]("fields", entries(nested,
-              g => LogTable.fieldId(g).map(_.toInt).getOrElse(ids.alloc())))
+        (f.dataType, n.get("type")) match {
+          case (nested: StructType, t) if t.isObject &&
+              t.get("type").asText() == "struct" =>
+            e.set[ObjectNode]("fields", entries(t.get("fields"), nested))
             ()
           case _ => ()
         }
       }
       arr
     }
-    entries(schema, f => ids.of(f.name))
+    entries(schemaNode.get("fields"), schema)
   }
 }
 

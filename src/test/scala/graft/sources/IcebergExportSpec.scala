@@ -215,6 +215,51 @@ class IcebergExportSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("x", "y", "z"))
   }
 
+  test("nested-struct export: name-mapping ids equal the schema's nested ids (one allocation, every consumer)") {
+    val t = LogTable(spark, tmp("ice_nested_"))
+    t.append(spark.range(5).selectExpr("id",
+      "named_struct('a', id * 2, 'b', named_struct('c', CAST(id AS STRING))) AS payload"))
+    val dest = tmp("ice_nested_out_")
+    IcebergExport.export(t, dest)
+    val mp = Paths.get(dest).resolve("metadata").resolve("v1.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(java.nio.file.Files.readAllBytes(mp))
+    // collect (path -> id) from the schema…
+    def schemaIds(fields: com.fasterxml.jackson.databind.JsonNode,
+        prefix: String): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      fields.elements().asScala.flatMap { f =>
+        val p = prefix + f.get("name").asText()
+        val self = Map(p -> f.get("id").asInt())
+        val tn = f.get("type")
+        if (tn.isObject && tn.get("type").asText() == "struct")
+          self ++ schemaIds(tn.get("fields"), p + ".")
+        else self
+      }.toMap
+    }
+    val fromSchema = schemaIds(
+      meta.get("schemas").get(0).get("fields"), "")
+    // …and from the name mapping: they must agree on every path
+    val mappingJson = mapper.readTree(meta.get("properties")
+      .get("schema.name-mapping.default").asText())
+    def mappingIds(entries: com.fasterxml.jackson.databind.JsonNode,
+        prefix: String): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      entries.elements().asScala.flatMap { e =>
+        val p = prefix + e.get("names").get(0).asText()
+        val self = Map(p -> e.get("field-id").asInt())
+        if (e.has("fields")) self ++ mappingIds(e.get("fields"), p + ".")
+        else self
+      }.toMap
+    }
+    val fromMapping = mappingIds(mappingJson, "")
+    assert(fromMapping === fromSchema,
+      "name-mapping ids must be READ from the generated schema, never re-allocated")
+    assert(fromSchema.contains("payload.b.c"))
+    // and the spec-based reader round-trips the nested rows
+    assert(sortedRows(IcebergRead.read(spark, dest)) === sortedRows(t.read()))
+  }
+
   test("export after MoR-fold compaction equals the pre-compact live rows") {
     val t = LogTable(spark, tmp("ice_fold_"))
     t.append((0L until 50L).map(i => (i, i % 5)).toDF("id", "g"))
