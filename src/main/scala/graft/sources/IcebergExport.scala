@@ -66,39 +66,74 @@ import scala.jdk.CollectionConverters._
   */
 object IcebergExport {
 
-  /** Write Iceberg v2 metadata for the CURRENT snapshot of `table`
-    * under `dest`. Returns the path of the metadata JSON written. */
-  def export(table: LogTable, dest: String): Path = {
-    val snap = table.snapshot()
-    require(snap.schemaJson.nonEmpty,
+  /** Write Iceberg v2 metadata for `table` under `dest` — the CURRENT
+    * snapshot by default, or (with `history = true`) EVERY live
+    * snapshot as its own Iceberg snapshot with a snapshot-log, so a
+    * foreign engine can TIME TRAVEL the exported table exactly as
+    * graft does. Returns the path of the metadata JSON written.
+    *
+    * History export stays exact-or-refuse: every live snapshot must
+    * be clean (COW lineages qualify; MoR marks refuse), the partition
+    * spec must be constant across the lineage (spec evolution means
+    * mixed layouts — export current-only or compact-migrate first),
+    * and schema evolution across history is supported for FLAT
+    * schemas (graft's stable per-field ids make flat ids stable
+    * across versions; nested member ids are only allocated for the
+    * current schema, so a nested+evolving lineage refuses). */
+  def export(table: LogTable, dest: String, history: Boolean = false): Path = {
+    val versions =
+      if (history) table.versions.sorted else Seq(table.currentVersion)
+    val snaps = versions.map(v => table.snapshot(v))
+    val cur = snaps.last
+    require(cur.schemaJson.nonEmpty,
       "cannot export a table with no declared schema")
-    require(snap.deletes.isEmpty,
-      "cannot export: outstanding position-delete marks (merge-on-read " +
-        "debt) — compact() folds them into clean files first")
-    require(snap.eqDeletes.isEmpty,
-      "cannot export: outstanding equality-delete tombstones — " +
-        "compact() folds them first")
-    require(!snap.transforms.exists(_.kind == "bucket"),
+    snaps.foreach { sn =>
+      require(sn.deletes.isEmpty,
+        s"cannot export: outstanding position-delete marks at v${sn.version} " +
+          "(merge-on-read debt) — compact() folds them into clean files first")
+      require(sn.eqDeletes.isEmpty,
+        s"cannot export: outstanding equality-delete tombstones at " +
+          s"v${sn.version} — compact() folds them first")
+    }
+    require(!cur.transforms.exists(_.kind == "bucket"),
       "cannot export a bucket layout: graft buckets by xxhash64, " +
         "Iceberg by murmur3 — a foreign engine would prune with the " +
         "wrong hash. Migrate the layout (evolveSpec + compact) first")
+    require(snaps.forall(sn =>
+        sn.partCols == cur.partCols && sn.transforms == cur.transforms),
+      "history export needs ONE partition spec across the lineage " +
+        "(spec evolution = mixed layouts) — export the current " +
+        "snapshot only, or compact-migrate the layout first")
 
-    val schema = table.schema
+    // distinct schemas in appearance order → Iceberg schema ids
+    val schemaJsons: Seq[String] = {
+      val seen = scala.collection.mutable.LinkedHashSet[String]()
+      snaps.foreach(sn => if (sn.schemaJson.nonEmpty) seen += sn.schemaJson)
+      seen.toSeq
+    }
+    def isFlat(st: StructType): Boolean = st.fields.forall(_.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => false
+      case _ => true
+    })
+    require(schemaJsons.size == 1 ||
+        schemaJsons.map(LogTable.parseSchema).forall(isFlat),
+      "history export across schema evolution supports flat schemas " +
+        "(nested member ids are only stable for the current schema) — " +
+        "export the current snapshot only")
+    val parsed = schemaJsons.map(LogTable.parseSchema)
+    val schemaIdOf: Map[String, Int] = schemaJsons.zipWithIndex.toMap
+    val schema = LogTable.parseSchema(cur.schemaJson)
     val ids = new FieldIds(schema)
     val metaDir = Paths.get(dest).resolve("metadata")
     Files.createDirectories(metaDir)
-    val snapshotId = snap.version
-    val seqNum = math.max(snap.version, snap.files.map(_.seq).foldLeft(0L)(math.max))
 
-    // ---- partition spec ------------------------------------------------
-    // identity fields first (graft's partCols), then hidden transforms —
-    // field ids from 1000 up, per the spec's convention
+    // ---- partition spec (from the current snapshot; constant) ----------
     case class PField(name: String, transform: String, sourceId: Int,
         fieldId: Int, resultType: DataType, graftKey: String,
         toIceberg: String => Any)
     def parseLong(s: String): Any = java.lang.Long.valueOf(s.toLong)
     var nextPid = 1000
-    val identityFields = snap.partCols.map { c =>
+    val identityFields = cur.partCols.map { c =>
       val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalStateException(s"partition column '$c' not in schema"))
       val conv: String => Any = f.dataType match {
@@ -113,7 +148,7 @@ object IcebergExport {
         f.dataType, f.name, conv)
       nextPid += 1; pf
     }
-    val transformFields = snap.transforms.map { t =>
+    val transformFields = cur.transforms.map { t =>
       val srcId = ids.of(t.source)
       val (tr, conv): (String, String => Any) = t.kind match {
         // graft stores the day/hour INDEX as the dir value; Iceberg
@@ -133,7 +168,7 @@ object IcebergExport {
     }
     val pfields = identityFields ++ transformFields
 
-    // ---- manifest file (Avro) ------------------------------------------
+    // ---- shared Avro schemas -------------------------------------------
     val partAvroFields = pfields.zipWithIndex.map { case (pf, i) =>
       val t = pf.resultType match {
         case LongType => "\"long\""
@@ -157,62 +192,6 @@ object IcebergExport {
          |{"name":"record_count","type":"long","field-id":103},
          |{"name":"file_size_in_bytes","type":"long","field-id":104}
          |]}}]}""".stripMargin)
-    // ONE schema-node build: nested field ids are allocated during
-    // this walk, so every consumer (manifest "schema" metadata, the
-    // table metadata JSON, the name mapping) must read THIS node —
-    // a second build would re-allocate different nested ids
-    val schemaJsonNode = schemaNode(schema, ids)
-    val icebergSchemaJson = schemaJsonNode.toString
-    val specFieldsJson = {
-      val arr = mapper.createArrayNode()
-      pfields.foreach { pf =>
-        val n = arr.addObject()
-        n.put("name", pf.name); n.put("transform", pf.transform)
-        n.put("source-id", pf.sourceId); n.put("field-id", pf.fieldId)
-      }
-      arr.toString
-    }
-    val manifestPath = metaDir.resolve(
-      s"${java.util.UUID.randomUUID()}-m0.avro")
-    val partSchema = manifestSchema.getField("data_file").schema()
-      .getField("partition").schema()
-    locally {
-      val w = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](manifestSchema))
-      w.setMeta("schema", icebergSchemaJson)
-      w.setMeta("partition-spec", specFieldsJson)
-      w.setMeta("partition-spec-id", "0")
-      w.setMeta("format-version", "2")
-      w.setMeta("content", "data")
-      w.create(manifestSchema, manifestPath.toFile)
-      try snap.files.foreach { f =>
-        val part = new GenericData.Record(partSchema)
-        pfields.foreach { pf =>
-          val v = f.partitions.get(pf.graftKey) match {
-            case None | Some(IcebergRead.NullDir) => null
-            case Some(s) => pf.toIceberg(s)
-          }
-          part.put(pf.name, v)
-        }
-        val df = new GenericData.Record(
-          manifestSchema.getField("data_file").schema())
-        df.put("content", 0)
-        df.put("file_path", f.path)
-        df.put("file_format", "PARQUET")
-        df.put("partition", part)
-        df.put("record_count", f.rows)
-        df.put("file_size_in_bytes", f.bytes)
-        val e = new GenericData.Record(manifestSchema)
-        e.put("status", 1) // ADDED
-        e.put("snapshot_id", snapshotId)
-        e.put("sequence_number", f.seq)
-        e.put("file_sequence_number", f.seq)
-        e.put("data_file", df)
-        w.append(e)
-      } finally w.close()
-    }
-
-    // ---- manifest list (Avro) ------------------------------------------
     val listSchema = new Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
         |{"name":"manifest_path","type":"string","field-id":500},
@@ -229,50 +208,131 @@ object IcebergExport {
         |{"name":"existing_rows_count","type":"long","field-id":513},
         |{"name":"deleted_rows_count","type":"long","field-id":514}
         |]}""".stripMargin)
-    val listPath = metaDir.resolve(
-      s"snap-$snapshotId-${java.util.UUID.randomUUID()}.avro")
-    locally {
-      val w = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](listSchema))
-      w.setMeta("format-version", "2")
-      w.setMeta("snapshot-id", snapshotId.toString)
-      w.setMeta("sequence-number", seqNum.toString)
-      w.create(listSchema, listPath.toFile)
-      try {
-        val m = new GenericData.Record(listSchema)
-        m.put("manifest_path", manifestPath.toString)
-        m.put("manifest_length", Files.size(manifestPath))
-        m.put("partition_spec_id", 0)
-        m.put("content", 0)
-        m.put("sequence_number", seqNum)
-        m.put("min_sequence_number",
-          snap.files.map(_.seq).foldLeft(seqNum)(math.min))
-        m.put("added_snapshot_id", snapshotId)
-        m.put("added_files_count", snap.files.size)
-        m.put("existing_files_count", 0)
-        m.put("deleted_files_count", 0)
-        m.put("added_rows_count", snap.files.map(_.rows).sum)
-        m.put("existing_rows_count", 0L)
-        m.put("deleted_rows_count", 0L)
-        w.append(m)
-      } finally w.close()
+
+    // ONE schema-node build per distinct schema: nested field ids are
+    // allocated during the walk, so every consumer (manifest "schema"
+    // metadata, the table metadata JSON, the name mapping) must read
+    // the SAME node — a second build would re-allocate different ids.
+    // Historical flat schemas carry graft-stable ids by construction.
+    val schemaNodes: Seq[ObjectNode] = parsed.zipWithIndex.map { case (st, i) =>
+      val n = schemaNode(st, if (st == schema) ids else new FieldIds(st))
+      n.put("schema-id", i)
+      n
+    }
+    val curSchemaNode = schemaNodes(schemaIdOf(cur.schemaJson))
+
+    val partSchema = manifestSchema.getField("data_file").schema()
+      .getField("partition").schema()
+
+    /** Write one snapshot's manifest + manifest list; returns the
+      * manifest-list path. Entries carried from the parent snapshot
+      * are EXISTING (status 0), this commit's own files ADDED (1). */
+    def writeSnapshot(sn: Snapshot, parentPaths: Set[String],
+        schemaId: Int): Path = {
+      val seqNum = math.max(sn.version,
+        sn.files.map(_.seq).foldLeft(0L)(math.max))
+      val manifestPath = metaDir.resolve(
+        s"${java.util.UUID.randomUUID()}-m0.avro")
+      locally {
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](manifestSchema))
+        w.setMeta("schema", schemaNodes(schemaId).toString)
+        w.setMeta("partition-spec", specFieldsJson(pfields.map(pf =>
+          (pf.name, pf.transform, pf.sourceId, pf.fieldId))))
+        w.setMeta("partition-spec-id", "0")
+        w.setMeta("format-version", "2")
+        w.setMeta("content", "data")
+        w.create(manifestSchema, manifestPath.toFile)
+        try sn.files.foreach { f =>
+          val part = new GenericData.Record(partSchema)
+          pfields.foreach { pf =>
+            val v = f.partitions.get(pf.graftKey) match {
+              case None | Some(IcebergRead.NullDir) => null
+              case Some(x) => pf.toIceberg(x)
+            }
+            part.put(pf.name, v)
+          }
+          val df = new GenericData.Record(
+            manifestSchema.getField("data_file").schema())
+          df.put("content", 0)
+          df.put("file_path", f.path)
+          df.put("file_format", "PARQUET")
+          df.put("partition", part)
+          df.put("record_count", f.rows)
+          df.put("file_size_in_bytes", f.bytes)
+          val e = new GenericData.Record(manifestSchema)
+          e.put("status", if (parentPaths.contains(f.path)) 0 else 1)
+          e.put("snapshot_id", sn.version)
+          e.put("sequence_number", f.seq)
+          e.put("file_sequence_number", f.seq)
+          e.put("data_file", df)
+          w.append(e)
+        } finally w.close()
+      }
+      val listPath = metaDir.resolve(
+        s"snap-${sn.version}-${java.util.UUID.randomUUID()}.avro")
+      val (added, existing) = sn.files.partition(f => !parentPaths.contains(f.path))
+      locally {
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](listSchema))
+        w.setMeta("format-version", "2")
+        w.setMeta("snapshot-id", sn.version.toString)
+        w.setMeta("sequence-number", seqNum.toString)
+        w.create(listSchema, listPath.toFile)
+        try {
+          val m = new GenericData.Record(listSchema)
+          m.put("manifest_path", manifestPath.toString)
+          m.put("manifest_length", Files.size(manifestPath))
+          m.put("partition_spec_id", 0)
+          m.put("content", 0)
+          m.put("sequence_number", seqNum)
+          m.put("min_sequence_number",
+            sn.files.map(_.seq).foldLeft(seqNum)(math.min))
+          m.put("added_snapshot_id", sn.version)
+          m.put("added_files_count", added.size)
+          m.put("existing_files_count", existing.size)
+          m.put("deleted_files_count", 0)
+          m.put("added_rows_count", added.map(_.rows).sum)
+          m.put("existing_rows_count", existing.map(_.rows).sum)
+          m.put("deleted_rows_count", 0L)
+          w.append(m)
+        } finally w.close()
+      }
+      listPath
+    }
+
+    val exportedVersions = versions.toSet
+    val lists: Seq[(Snapshot, Path, Int)] = snaps.map { sn =>
+      // parent context only when the parent is itself exported —
+      // otherwise every file reads ADDED (a fresh-history shape)
+      val parentPaths =
+        if (exportedVersions.contains(sn.parent) && sn.parent != 0L)
+          table.snapshot(sn.parent).files.map(_.path).toSet
+        else Set.empty[String]
+      val sid = schemaIdOf(
+        if (sn.schemaJson.nonEmpty) sn.schemaJson else cur.schemaJson)
+      (sn, writeSnapshot(sn, parentPaths, sid), sid)
     }
 
     // ---- table metadata JSON -------------------------------------------
+    val lastSeq = math.max(cur.version,
+      cur.files.map(_.seq).foldLeft(0L)(math.max))
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", java.util.UUID.randomUUID().toString)
     root.put("location", dest)
-    root.put("last-sequence-number", seqNum)
-    root.put("last-updated-ms", snap.timestampMs)
+    root.put("last-sequence-number", lastSeq)
+    root.put("last-updated-ms", cur.timestampMs)
     root.put("last-column-id", ids.maxId)
-    root.put("current-schema-id", 0)
-    root.set[ObjectNode]("schemas",
-      mapper.createArrayNode().add(schemaJsonNode))
+    root.put("current-schema-id", schemaIdOf(cur.schemaJson))
+    val schemasArr = mapper.createArrayNode()
+    schemaNodes.foreach(schemasArr.add)
+    root.set[ObjectNode]("schemas", schemasArr)
     root.put("default-spec-id", 0)
     val spec = mapper.createObjectNode()
     spec.put("spec-id", 0)
-    spec.set[ObjectNode]("fields", mapper.readTree(specFieldsJson))
+    spec.set[ObjectNode]("fields", mapper.readTree(specFieldsJson(
+      pfields.map(pf => (pf.name, pf.transform, pf.sourceId, pf.fieldId)))))
     root.set[ObjectNode]("partition-specs", mapper.createArrayNode().add(spec))
     root.put("last-partition-id", if (pfields.isEmpty) 999 else nextPid - 1)
     root.put("default-sort-order-id", 0)
@@ -281,26 +341,51 @@ object IcebergExport {
     order.set[ObjectNode]("fields", mapper.createArrayNode())
     root.set[ObjectNode]("sort-orders", mapper.createArrayNode().add(order))
     val props = mapper.createObjectNode()
-    props.put("schema.name-mapping.default", nameMapping(schemaJsonNode, schema).toString)
+    props.put("schema.name-mapping.default",
+      nameMapping(curSchemaNode, schema).toString)
     root.set[ObjectNode]("properties", props)
-    root.put("current-snapshot-id", snapshotId)
-    val sn = mapper.createObjectNode()
-    sn.put("snapshot-id", snapshotId)
-    sn.put("timestamp-ms", snap.timestampMs)
-    sn.put("sequence-number", seqNum)
-    val summ = mapper.createObjectNode()
-    summ.put("operation", "append")
-    sn.set[ObjectNode]("summary", summ)
-    sn.put("manifest-list", listPath.toString)
-    sn.put("schema-id", 0)
-    root.set[ObjectNode]("snapshots", mapper.createArrayNode().add(sn))
-    root.set[ObjectNode]("snapshot-log", mapper.createArrayNode())
+    root.put("current-snapshot-id", cur.version)
+    val snapsArr = mapper.createArrayNode()
+    val logArr = mapper.createArrayNode()
+    lists.foreach { case (sn, listPath, sid) =>
+      val node = snapsArr.addObject()
+      node.put("snapshot-id", sn.version)
+      if (exportedVersions.contains(sn.parent) && sn.parent != 0L)
+        node.put("parent-snapshot-id", sn.parent)
+      node.put("timestamp-ms", sn.timestampMs)
+      node.put("sequence-number", math.max(sn.version,
+        sn.files.map(_.seq).foldLeft(0L)(math.max)))
+      val summ = node.putObject("summary")
+      summ.put("operation", sn.operation match {
+        case "append" => "append"
+        case "compact" | "recluster" => "replace"
+        case _ => "overwrite"
+      })
+      node.put("manifest-list", listPath.toString)
+      node.put("schema-id", sid)
+      val le = logArr.addObject()
+      le.put("timestamp-ms", sn.timestampMs)
+      le.put("snapshot-id", sn.version)
+    }
+    root.set[ObjectNode]("snapshots", snapsArr)
+    root.set[ObjectNode]("snapshot-log", logArr)
     root.set[ObjectNode]("metadata-log", mapper.createArrayNode())
     val metaPath = metaDir.resolve("v1.metadata.json")
     Files.write(metaPath, root.toString.getBytes(StandardCharsets.UTF_8))
     Files.write(metaDir.resolve("version-hint.text"),
       "1".getBytes(StandardCharsets.UTF_8))
     metaPath
+  }
+
+  private def specFieldsJson(
+      fields: Seq[(String, String, Int, Int)]): String = {
+    val arr = mapper.createArrayNode()
+    fields.foreach { case (name, transform, sourceId, fieldId) =>
+      val n = arr.addObject()
+      n.put("name", name); n.put("transform", transform)
+      n.put("source-id", sourceId); n.put("field-id", fieldId)
+    }
+    arr.toString
   }
 
   private val mapper = new ObjectMapper()
@@ -468,10 +553,14 @@ object IcebergRead {
   private[sources] final case class IceEntry(path: String, rows: Long,
       bytes: Long, part: Map[String, Any])
 
-  /** Parse an Iceberg v2 table's current snapshot from its metadata
-    * directory — the shared walk behind [[read]] and
-    * [[IcebergImport.importTable]]. */
-  private[sources] def load(dest: String): IceMeta = {
+  /** Parse an Iceberg v2 table snapshot from its metadata directory —
+    * the shared walk behind [[read]] and
+    * [[IcebergImport.importTable]]. `snapshotId` picks a historical
+    * snapshot (foreign time travel over a history export); default is
+    * the current one. The schema is the SNAPSHOT's schema (per its
+    * schema-id), exactly Iceberg's time-travel semantics. */
+  private[sources] def load(dest: String,
+      snapshotId: Option[Long] = None): IceMeta = {
     val metaDir = Paths.get(dest).resolve("metadata")
     val hint = new String(Files.readAllBytes(
       metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
@@ -479,10 +568,17 @@ object IcebergRead {
       metaDir.resolve(s"v$hint.metadata.json")))
     require(meta.get("format-version").asInt() == 2,
       "only Iceberg format-version 2 is supported")
-    val schemaId = meta.get("current-schema-id").asInt()
+    val snapId = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
+    val snapNode = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == snapId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot $snapId in the exported table"))
+    val schemaId =
+      if (snapNode.has("schema-id")) snapNode.get("schema-id").asInt()
+      else meta.get("current-schema-id").asInt()
     val schemaNode = meta.get("schemas").elements().asScala
       .find(_.get("schema-id").asInt() == schemaId)
-      .getOrElse(throw new IllegalStateException("current schema not found"))
+      .getOrElse(throw new IllegalStateException("snapshot schema not found"))
     val schema = parseStruct(schemaNode)
     val fieldNameById: Map[Int, String] = schemaNode.get("fields").elements()
       .asScala.map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
@@ -499,10 +595,7 @@ object IcebergRead {
       .find(_.get("spec-id").asInt() == specId).get
       .get("fields").elements().asScala.toSeq
     val pnames = specFields.map(_.get("name").asText())
-    val snapId = meta.get("current-snapshot-id").asLong()
-    val listPath = meta.get("snapshots").elements().asScala
-      .find(_.get("snapshot-id").asLong() == snapId).get
-      .get("manifest-list").asText()
+    val listPath = snapNode.get("manifest-list").asText()
     val manifests = readAvro(listPath).map(r => (
       r.get("manifest_path").toString, r.get("content").asInstanceOf[Int]))
     require(manifests.forall(_._2 == 0),
@@ -522,8 +615,9 @@ object IcebergRead {
     IceMeta(schemaNode, schema, mapping, specFields, fieldNameById, entries)
   }
 
-  def read(spark: SparkSession, dest: String): DataFrame = {
-    val m = load(dest)
+  def read(spark: SparkSession, dest: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val m = load(dest, versionAsOf)
     val schema = m.schema
     case class IdField(pname: String, column: String, dt: DataType)
     val identity = m.specFields

@@ -260,6 +260,54 @@ class IcebergExportSpec extends SparkSpec {
     assert(sortedRows(IcebergRead.read(spark, dest)) === sortedRows(t.read()))
   }
 
+  test("history export: every live snapshot becomes a foreign-time-travelable Iceberg snapshot") {
+    val t = LogTable(spark, tmp("ice_hist_"))
+    t.append((0L until 20L).map(i => (i, i.toInt)).toDF("id", "n"))       // v1
+    t.renameColumn("n", "cnt")                                             // v2
+    t.append((20L until 30L).map(i => (i, i.toInt)).toDF("id", "cnt"))     // v3
+    t.delete(col("id") < 5L)                                               // v4 (COW — clean)
+    t.compact()                                                            // v5
+    val dest = tmp("ice_hist_out_")
+    IcebergExport.export(t, dest, history = true)
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readAllBytes(
+      Paths.get(dest).resolve("metadata").resolve("v1.metadata.json")))
+    import scala.jdk.CollectionConverters._
+    val snapIds = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSeq
+    assert(snapIds === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(meta.get("snapshot-log").size() === 5)
+    assert(meta.get("current-snapshot-id").asLong() === 5L)
+    // pre-rename snapshots read under THEIR schema (Iceberg's
+    // time-travel semantics), later ones under the renamed schema
+    val v1 = IcebergRead.read(spark, dest, versionAsOf = Some(1L))
+    assert(v1.schema.fieldNames.toSeq === Seq("id", "n"))
+    assert(sortedRows(v1) === sortedRows(t.timeTravel(1L)))
+    (2L to 5L).foreach { v =>
+      val got = IcebergRead.read(spark, dest, versionAsOf = Some(v))
+      assert(got.schema.fieldNames.toSeq === Seq("id", "cnt"), s"v$v schema")
+      assert(sortedRows(got) === sortedRows(t.timeTravel(v)), s"v$v rows")
+    }
+    // default read = current snapshot
+    assert(sortedRows(IcebergRead.read(spark, dest)) === sortedRows(t.read()))
+    // summary operations map: append/replace/overwrite
+    val ops = meta.get("snapshots").elements().asScala
+      .map(_.get("summary").get("operation").asText()).toSeq
+    assert(ops === Seq("append", "overwrite", "append", "overwrite", "replace"))
+
+    // refusal: a lineage with mid-history MoR marks cannot history-export
+    val dirty = LogTable(spark, tmp("ice_hist_dirty_"))
+    dirty.append((0L until 10L).map(i => (i, i)).toDF("id", "v"))
+    dirty.deleteMor(col("id") < 3L)  // v2 carries marks
+    dirty.compact()                  // v3 clean again
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.export(dirty, tmp("ice_hist_dirty_out_"), history = true))
+    assert(e.getMessage.contains("v2"))
+    // …but the current snapshot alone still exports
+    IcebergExport.export(dirty, tmp("ice_hist_dirty_cur_"))
+  }
+
   test("export after MoR-fold compaction equals the pre-compact live rows") {
     val t = LogTable(spark, tmp("ice_fold_"))
     t.append((0L until 50L).map(i => (i, i % 5)).toDF("id", "g"))
