@@ -308,6 +308,46 @@ class IcebergExportSpec extends SparkSpec {
     IcebergExport.export(dirty, tmp("ice_hist_dirty_cur_"))
   }
 
+  test("foreign-shaped adoption: identity partition column stored PHYSICALLY in flat-layout files reads and prunes") {
+    // a typical non-graft Iceberg writer stores identity partition
+    // columns IN the data files and lays files out flat — the shape
+    // IcebergImport hands to the adoption commit. graft's schema'd
+    // scan must read the column from the file (no hive dirs to
+    // discover) and manifest pruning must still bound the file set.
+    import spark.implicits._
+    val dataDir = Files.createTempDirectory("ice_foreign_data_")
+    def writeOne(k: String, ids: Range): String = {
+      val stage = Files.createTempDirectory("ice_foreign_stage_")
+      ids.map(i => (i.toLong, k)).toDF("id", "k")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val src = Files.walk(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = dataDir.resolve(s"part-$k.parquet")
+      Files.copy(src, target)
+      target.toString
+    }
+    val fa = writeOne("a", 0 until 10)
+    val fb = writeOne("b", 10 until 30)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    val root = tmp("ice_foreign_tbl_")
+    LogTable(spark, root).commitAdoption("import", "foreign-fixture",
+      schema.json, Seq("k"), Nil, Seq(
+        DataFile(fa, 10, Files.size(Paths.get(fa)), Map("k" -> "a")),
+        DataFile(fb, 20, Files.size(Paths.get(fb)), Map("k" -> "b"))))
+    val t = LogTable(spark, root)
+    assert(t.read().count() === 30L)
+    assert(t.read().filter(col("k") === "a").count() === 10L)
+    // manifest pruning bounds the scan to the matching file
+    val pruned = t.readWhere(_.get("k").contains("b"))
+    assert(pruned.count() === 20L)
+    assert(pruned.select("id").as[Long].collect().sorted === (10L until 30L).toArray)
+  }
+
   test("export after MoR-fold compaction equals the pre-compact live rows") {
     val t = LogTable(spark, tmp("ice_fold_"))
     t.append((0L until 50L).map(i => (i, i % 5)).toDF("id", "g"))
