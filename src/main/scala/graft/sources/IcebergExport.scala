@@ -88,13 +88,22 @@ object IcebergExport {
     require(cur.schemaJson.nonEmpty,
       "cannot export a table with no declared schema")
     snaps.foreach { sn =>
-      require(sn.deletes.isEmpty,
-        s"cannot export: outstanding position-delete marks at v${sn.version} " +
-          "(merge-on-read debt) — compact() folds them into clean files first")
+      require(!history || sn.deletes.isEmpty,
+        s"cannot history-export: outstanding position-delete marks at " +
+          s"v${sn.version} (merge-on-read debt) — compact() folds them first")
       require(sn.eqDeletes.isEmpty,
         s"cannot export: outstanding equality-delete tombstones at " +
           s"v${sn.version} — compact() folds them first")
     }
+    // MERGE-ON-READ state exports exactly for UNPARTITIONED layouts:
+    // the marks become one spec-conformant Iceberg position-delete
+    // parquet (sorted by file_path, pos) in a delete manifest. A
+    // partitioned table's marks span partitions, which Iceberg scopes
+    // per partition tuple — compact() first there (exact-or-refuse).
+    require(cur.deletes.isEmpty ||
+        (cur.partCols.isEmpty && cur.transforms.isEmpty),
+      "cannot export position-delete marks on a PARTITIONED layout " +
+        "(Iceberg scopes delete files per partition) — compact() first")
     require(!cur.transforms.exists(_.kind == "bucket"),
       "cannot export a bucket layout: graft buckets by xxhash64, " +
         "Iceberg by murmur3 — a foreign engine would prune with the " +
@@ -224,9 +233,34 @@ object IcebergExport {
     val partSchema = manifestSchema.getField("data_file").schema()
       .getField("partition").schema()
 
+    /** The current snapshot's outstanding position-delete marks as an
+      * Iceberg position-delete parquet under dest/data/ (None when
+      * clean): rows (file_path, pos) sorted per the spec, paths as
+      * recorded in the data manifest entries. */
+    val deleteParquet: Option[(Path, Long)] =
+      if (cur.deletes.isEmpty) None
+      else {
+        val dataDir = Paths.get(dest).resolve("data")
+        Files.createDirectories(dataDir)
+        val stage = Files.createTempDirectory("ice_del_stage_")
+        val marks = table.marksFrame(cur).orderBy(col("file_path"), col("pos"))
+        marks.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val src = Files.walk(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("delete stage empty"))
+        val target = dataDir.resolve(
+          s"delete-${java.util.UUID.randomUUID()}.parquet")
+        Files.move(src, target)
+        val n = cur.deletes.map(_.rows).sum
+        LogTable.deleteRecursively(stage)
+        Some((target, n))
+      }
+
     /** Write one snapshot's manifest + manifest list; returns the
       * manifest-list path. Entries carried from the parent snapshot
-      * are EXISTING (status 0), this commit's own files ADDED (1). */
+      * are EXISTING (status 0), this commit's own files ADDED (1).
+      * The CURRENT snapshot's manifest list additionally carries the
+      * delete manifest when merge-on-read marks are outstanding. */
     def writeSnapshot(sn: Snapshot, parentPaths: Set[String],
         schemaId: Int): Path = {
       val seqNum = math.max(sn.version,
@@ -269,6 +303,42 @@ object IcebergExport {
           w.append(e)
         } finally w.close()
       }
+      // the CURRENT snapshot's delete manifest (merge-on-read marks),
+      // sequence-stamped at the head so it covers every data file —
+      // position deletes match by exact (path, pos), so the wide
+      // scope is harmless and spec-conformant
+      val deleteManifest: Option[Path] = deleteParquet match {
+        case Some((delPath, delRows)) if sn.version == cur.version =>
+          val mp = metaDir.resolve(
+            s"${java.util.UUID.randomUUID()}-d0.avro")
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](manifestSchema))
+          w.setMeta("schema", schemaNodes(schemaId).toString)
+          w.setMeta("partition-spec", specFieldsJson(Nil))
+          w.setMeta("partition-spec-id", "0")
+          w.setMeta("format-version", "2")
+          w.setMeta("content", "deletes")
+          w.create(manifestSchema, mp.toFile)
+          try {
+            val df = new GenericData.Record(
+              manifestSchema.getField("data_file").schema())
+            df.put("content", 1) // POSITION_DELETES
+            df.put("file_path", delPath.toString)
+            df.put("file_format", "PARQUET")
+            df.put("partition", new GenericData.Record(partSchema))
+            df.put("record_count", delRows)
+            df.put("file_size_in_bytes", Files.size(delPath))
+            val e = new GenericData.Record(manifestSchema)
+            e.put("status", 1)
+            e.put("snapshot_id", sn.version)
+            e.put("sequence_number", seqNum)
+            e.put("file_sequence_number", seqNum)
+            e.put("data_file", df)
+            w.append(e)
+          } finally w.close()
+          Some(mp)
+        case _ => None
+      }
       val listPath = metaDir.resolve(
         s"snap-${sn.version}-${java.util.UUID.randomUUID()}.avro")
       val (added, existing) = sn.files.partition(f => !parentPaths.contains(f.path))
@@ -296,6 +366,23 @@ object IcebergExport {
           m.put("existing_rows_count", existing.map(_.rows).sum)
           m.put("deleted_rows_count", 0L)
           w.append(m)
+          deleteManifest.foreach { mp =>
+            val d = new GenericData.Record(listSchema)
+            d.put("manifest_path", mp.toString)
+            d.put("manifest_length", Files.size(mp))
+            d.put("partition_spec_id", 0)
+            d.put("content", 1) // DELETES
+            d.put("sequence_number", seqNum)
+            d.put("min_sequence_number", seqNum)
+            d.put("added_snapshot_id", sn.version)
+            d.put("added_files_count", 1)
+            d.put("existing_files_count", 0)
+            d.put("deleted_files_count", 0)
+            d.put("added_rows_count", deleteParquet.map(_._2).getOrElse(0L))
+            d.put("existing_rows_count", 0L)
+            d.put("deleted_rows_count", 0L)
+            w.append(d)
+          }
         } finally w.close()
       }
       listPath
@@ -540,7 +627,11 @@ object IcebergRead {
       mapping: Map[Int, Seq[String]],
       specFields: Seq[com.fasterxml.jackson.databind.JsonNode],
       fieldNameById: Map[Int, String],
-      entries: Seq[IceEntry]) {
+      entries: Seq[IceEntry],
+      /** Position-delete parquet paths ((file_path, pos) rows) from
+        * delete manifests — applied by readers, materialized by
+        * import. */
+      deleteFiles: Seq[String]) {
     def fieldId(name: String): Int = schemaNode.get("fields").elements()
       .asScala.find(_.get("name").asText() == name).get.get("id").asInt()
     /** Candidate physical names for a field, current first. */
@@ -598,10 +689,10 @@ object IcebergRead {
     val listPath = snapNode.get("manifest-list").asText()
     val manifests = readAvro(listPath).map(r => (
       r.get("manifest_path").toString, r.get("content").asInstanceOf[Int]))
-    require(manifests.forall(_._2 == 0),
-      "only data manifests are supported (no delete manifests)")
-    val entries = manifests.flatMap { case (mp, _) => readAvro(mp) }
-      .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+    val (deleteManifests, dataManifests) = manifests.partition(_._2 == 1)
+    def liveEntries(mp: String): Seq[GenericRecord] =
+      readAvro(mp).filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+    val entries = dataManifests.flatMap { case (mp, _) => liveEntries(mp) }
       .map { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         require(df.get("file_format").toString == "PARQUET",
@@ -612,7 +703,18 @@ object IcebergRead {
           df.get("file_size_in_bytes").asInstanceOf[Long],
           pnames.map(p => p -> part.get(p)).toMap)
       }
-    IceMeta(schemaNode, schema, mapping, specFields, fieldNameById, entries)
+    val deleteFiles = deleteManifests.flatMap { case (mp, _) =>
+      liveEntries(mp).map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        require(df.get("content").asInstanceOf[Int] == 1,
+          "only POSITION delete files are supported")
+        require(df.get("file_format").toString == "PARQUET",
+          "only PARQUET delete files are supported")
+        df.get("file_path").toString
+      }
+    }
+    IceMeta(schemaNode, schema, mapping, specFields, fieldNameById,
+      entries, deleteFiles)
   }
 
   def read(spark: SparkSession, dest: String,
@@ -640,10 +742,26 @@ object IcebergRead {
 
     // one scan per live partition tuple, identity values attached as
     // typed literals (null for __HIVE_DEFAULT_PARTITION__/absent)
+    // position deletes (merge-on-read exports): anti-join each scan
+    // on (normalized file path, row index) against the delete rows
+    val deletes: Option[DataFrame] =
+      if (m.deleteFiles.isEmpty) None
+      else Some(spark.read.parquet(m.deleteFiles: _*)
+        .select(col("file_path").as("_ice_f"), col("pos").as("_ice_p")))
+    def applyDeletes(df: DataFrame): DataFrame = deletes match {
+      case None => df
+      case Some(d) =>
+        df.withColumn("_ice_f", org.apache.spark.sql.functions.regexp_replace(
+            col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+          .withColumn("_ice_p", col("_metadata.row_index"))
+          .join(d, Seq("_ice_f", "_ice_p"), "left_anti")
+          .drop("_ice_f", "_ice_p")
+    }
     val groups = m.entries.groupBy(e =>
       identity.map(f => f.pname -> e.part.getOrElse(f.pname, null)).toMap)
     groups.map { case (pvals, es) =>
-      val base = spark.read.schema(physSchema).parquet(es.map(_.path): _*)
+      val base = applyDeletes(
+        spark.read.schema(physSchema).parquet(es.map(_.path): _*))
       val cols: Seq[Column] = schema.fields.toSeq.map { f =>
         identity.find(_.column == f.name) match {
           case Some(idf) =>
@@ -755,6 +873,8 @@ object IcebergImport {
             "(identity and truncate[W] are supported) — refusing")
       }
     }
+    def plain(p: String): String =
+      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
     val files = m.entries.map { e =>
       val parts = specCols.flatMap { sc =>
         e.part.get(sc.pname).flatMap(v => Option(v)) match {
@@ -767,12 +887,35 @@ object IcebergImport {
             else None
         }
       }.toMap
-      DataFile(e.path, e.rows, e.bytes, partitions = parts)
+      // paths normalize to plain form so delete-blob keys, manifest
+      // entries and scan-metadata paths all agree
+      DataFile(plain(e.path), e.rows, e.bytes, partitions = parts)
     }
+    // foreign POSITION deletes materialize as graft deletion-vector
+    // blobs under the importing root (graft's native delete form —
+    // robust to the engines' differing file-path URI renderings):
+    // O(marks) driver work, the same budget class as planning; a huge
+    // backlog should be compacted on the source first
+    val deletes: Seq[DeleteFile] =
+      if (m.deleteFiles.isEmpty) Nil
+      else {
+        val delDir = Paths.get(destRoot).resolve("deletes")
+        Files.createDirectories(delDir)
+        val marks = spark.read.parquet(m.deleteFiles: _*)
+          .select(col("file_path"), col("pos")).collect()
+          .groupBy(r => plain(r.getString(0)))
+          .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+        val blob = delDir.resolve(
+          s"import-${java.util.UUID.randomUUID()}.dv")
+        DeletionVectors.write(blob,
+          marks.view.mapValues(_.toArray).toMap)
+        Seq(DeleteFile(blob.toString, Files.size(blob),
+          marks.view.mapValues(_.length.toLong).toMap))
+      }
     val dest = LogTable(spark, destRoot)
     dest.commitAdoption("import", s"iceberg-import-of-$src",
       schema.json, specCols.flatMap(_.partCol), specCols.flatMap(_.transform),
-      files)
+      files, deletes)
     LogTable(spark, destRoot)
   }
 }

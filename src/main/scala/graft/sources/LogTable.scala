@@ -3562,6 +3562,38 @@ final class LogTable private (val spark: SparkSession, val root: String,
     LogTable(spark, destRoot)
   }
 
+  /** A snapshot's outstanding position-delete marks as one frame of
+    * (file_path: plain manifest path, pos) rows, across BOTH delete
+    * encodings (DV blobs keyed by plain paths; legacy parquet rows
+    * keyed URI-rendered — normalized here). The [[IcebergExport]]
+    * seam: exporting merge-on-read state needs the marks in
+    * engine-neutral row form. */
+  private[sources] def marksFrame(snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val (dvs, pqs) = snap.deletes.partition(d => DeletionVectors.isVector(d.path))
+    val parts = Seq(
+      if (pqs.isEmpty) None
+      else Some(spark.read.schema(LogTable.DeleteSchema)
+        .parquet(pqs.map(_.path): _*)
+        .withColumn("file_path", regexp_replace(col("file_path"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))),
+      if (dvs.isEmpty) None
+      else {
+        val sess = spark
+        import sess.implicits._
+        Some(spark.sparkContext
+          .parallelize(dvs.map(_.path), math.min(dvs.size, 64))
+          .flatMap(p => DeletionVectors.read(p).iterator.flatMap {
+            case (f, ps) => ps.iterator.map(f -> _)
+          })
+          .toDF("file_path", "pos"))
+      }).flatten
+    if (parts.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        LogTable.DeleteSchema)
+    else parts.reduce(_.unionByName(_))
+  }
+
   /** ADOPT a foreign snapshot as this (empty) table's first commit —
     * the [[IcebergImport]] seam: schema (field ids + name history),
     * partition spec, and data files referenced IN PLACE by absolute
@@ -3570,11 +3602,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * own-root guard expire/vacuum already enforce for clones). */
   private[sources] def commitAdoption(operation: String, tag: String,
       schemaJson: String, partCols: Seq[String],
-      transforms: Seq[Transform], files: Seq[DataFile]): Snapshot = {
+      transforms: Seq[Transform], files: Seq[DataFile],
+      deletes: Seq[DeleteFile] = Nil): Snapshot = {
     require(currentVersion == 0L,
       s"adoption destination $root already has commits")
     commit(operation, tag = tag, nextSchema = _ => schemaJson,
-      nextSpec = Some((partCols, transforms)))(_ => files)
+      nextSpec = Some((partCols, transforms)),
+      nextDeletes = _ => deletes)(_ => files)
   }
 
   /** Roll the table back to a prior snapshot's file list as a NEW

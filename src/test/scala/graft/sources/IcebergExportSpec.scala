@@ -99,16 +99,23 @@ class IcebergExportSpec extends SparkSpec {
     assert(back.filter(col("id") < 30L && col("label").isNull).count() === 30L)
   }
 
-  test("refusal ladder: MoR marks, equality tombstones, bucket layouts, schemaless tables") {
+  test("refusal ladder: dirty history, equality tombstones, bucket layouts, schemaless tables") {
     val mor = LogTable(spark, tmp("ice_mor_"))
     mor.append((0L until 20L).map(i => (i, s"x$i")).toDF("id", "s"))
     mor.deleteMor(col("id") < 5L)
+    // unpartitioned MoR marks now EXPORT (delete manifest — see the
+    // merge-on-read test); only the HISTORY mode refuses a dirty
+    // lineage
     val e1 = intercept[IllegalArgumentException](
-      IcebergExport.export(mor, tmp("ice_mor_out_")))
+      IcebergExport.export(mor, tmp("ice_mor_hist_out_"), history = true))
     assert(e1.getMessage.contains("position-delete"))
-    // compact folds the debt → export clean
+    // compact folds the debt; the marked snapshot stays in history
+    // (still refused) until expiry removes it
     mor.compact()
-    IcebergExport.export(mor, tmp("ice_mor_out2_"))
+    intercept[IllegalArgumentException](
+      IcebergExport.export(mor, tmp("ice_mor_hist2_out_"), history = true))
+    mor.expire(keepLast = 1)
+    IcebergExport.export(mor, tmp("ice_mor_out2_"), history = true)
 
     val eq = LogTable(spark, tmp("ice_eq_"))
     eq.append((0L until 20L).map(i => (i, s"x$i")).toDF("id", "s"))
@@ -346,6 +353,48 @@ class IcebergExportSpec extends SparkSpec {
     val pruned = t.readWhere(_.get("k").contains("b"))
     assert(pruned.count() === 20L)
     assert(pruned.select("id").as[Long].collect().sorted === (10L until 30L).toArray)
+  }
+
+  test("merge-on-read export: position deletes ride a delete manifest; reader AND import both apply them") {
+    val t = LogTable(spark, tmp("ice_mor_exp_"))
+    t.append((0L until 60L).map(i => (i, s"s$i")).toDF("id", "s"))
+    // two delete commits in BOTH encodings: a deletion-vector blob
+    // (default) and a legacy parquet delete file
+    t.deleteMor(col("id") % 7 === 0L)
+    spark.conf.set("graft.deletes.vector", "false")
+    try t.deleteMor(col("id") % 11 === 3L)
+    finally spark.conf.unset("graft.deletes.vector")
+    val live = sortedRows(t.read())
+    assert(t.snapshot().deletes.size >= 2)
+
+    val dest = tmp("ice_mor_exp_out_")
+    IcebergExport.export(t, dest)
+    // the export carries a delete manifest + one sorted delete parquet
+    import scala.jdk.CollectionConverters._
+    val names = Files.list(Paths.get(dest).resolve("metadata")).iterator()
+      .asScala.map(_.getFileName.toString).toSeq
+    assert(names.count(_.endsWith("-d0.avro")) === 1, "one delete manifest")
+    assert(Files.list(Paths.get(dest).resolve("data")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("delete-")) === 1)
+
+    // the spec reader applies the deletes
+    assert(sortedRows(IcebergRead.read(spark, dest)) === live)
+
+    // import materializes them as graft deletion vectors: reads agree,
+    // metadata count stays exact under the marks
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_mor_imp_"))
+    assert(sortedRows(imp.read()) === live)
+    assert(imp.snapshot().deletes.nonEmpty)
+    assert(imp.countMeta() === live.size.toLong)
+
+    // partitioned + dirty still refuses (Iceberg scopes deletes per
+    // partition tuple)
+    val part = LogTable(spark, tmp("ice_mor_part_"), partitionBy = Seq("k"))
+    part.append((0L until 20L).map(i => (i, s"g${i % 2}")).toDF("id", "k"))
+    part.deleteMor(col("id") < 5L)
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.export(part, tmp("ice_mor_part_out_")))
+    assert(e.getMessage.contains("PARTITIONED"))
   }
 
   test("export after MoR-fold compaction equals the pre-compact live rows") {
