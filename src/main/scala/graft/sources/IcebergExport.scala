@@ -91,17 +91,26 @@ object IcebergExport {
       require(!history || sn.deletes.isEmpty,
         s"cannot history-export: outstanding position-delete marks at " +
           s"v${sn.version} (merge-on-read debt) — compact() folds them first")
-      require(sn.eqDeletes.isEmpty,
-        s"cannot export: outstanding equality-delete tombstones at " +
-          s"v${sn.version} — compact() folds them first")
+      require(!history || sn.eqDeletes.isEmpty,
+        s"cannot history-export: outstanding equality-delete tombstones " +
+          s"at v${sn.version} — compact() folds them first")
     }
+    // EQUALITY tombstones map 1:1 onto Iceberg's: both apply a delete
+    // of sequence S to data files with sequence STRICTLY below S, so
+    // graft's eq parquet files (key tuples) export by reference —
+    // zero copy — as content=2 delete entries with equality_ids.
+    // Partitioned layouts refuse like position deletes.
+    require(cur.eqDeletes.isEmpty ||
+        (cur.partCols.isEmpty && cur.transforms.isEmpty && !history),
+      "cannot export equality tombstones on a PARTITIONED layout — " +
+        "compact() folds them first")
     // MERGE-ON-READ state exports exactly for UNPARTITIONED layouts:
     // the marks become one spec-conformant Iceberg position-delete
     // parquet (sorted by file_path, pos) in a delete manifest. A
     // partitioned table's marks span partitions, which Iceberg scopes
     // per partition tuple — compact() first there (exact-or-refuse).
     require(cur.deletes.isEmpty ||
-        (cur.partCols.isEmpty && cur.transforms.isEmpty),
+        (cur.partCols.isEmpty && cur.transforms.isEmpty && !history),
       "cannot export position-delete marks on a PARTITIONED layout " +
         "(Iceberg scopes delete files per partition) — compact() first")
     require(!cur.transforms.exists(_.kind == "bucket"),
@@ -199,7 +208,8 @@ object IcebergExport {
          |{"name":"file_format","type":"string","field-id":101},
          |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partAvroFields]}},
          |{"name":"record_count","type":"long","field-id":103},
-         |{"name":"file_size_in_bytes","type":"long","field-id":104}
+         |{"name":"file_size_in_bytes","type":"long","field-id":104},
+         |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
          |]}}]}""".stripMargin)
     val listSchema = new Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
@@ -307,8 +317,10 @@ object IcebergExport {
       // sequence-stamped at the head so it covers every data file —
       // position deletes match by exact (path, pos), so the wide
       // scope is harmless and spec-conformant
-      val deleteManifest: Option[Path] = deleteParquet match {
-        case Some((delPath, delRows)) if sn.version == cur.version =>
+      val deleteManifest: Option[Path] =
+        if (sn.version != cur.version ||
+            (deleteParquet.isEmpty && cur.eqDeletes.isEmpty)) None
+        else {
           val mp = metaDir.resolve(
             s"${java.util.UUID.randomUUID()}-d0.avro")
           val w = new DataFileWriter[GenericRecord](
@@ -320,25 +332,42 @@ object IcebergExport {
           w.setMeta("content", "deletes")
           w.create(manifestSchema, mp.toFile)
           try {
-            val df = new GenericData.Record(
-              manifestSchema.getField("data_file").schema())
-            df.put("content", 1) // POSITION_DELETES
-            df.put("file_path", delPath.toString)
-            df.put("file_format", "PARQUET")
-            df.put("partition", new GenericData.Record(partSchema))
-            df.put("record_count", delRows)
-            df.put("file_size_in_bytes", Files.size(delPath))
-            val e = new GenericData.Record(manifestSchema)
-            e.put("status", 1)
-            e.put("snapshot_id", sn.version)
-            e.put("sequence_number", seqNum)
-            e.put("file_sequence_number", seqNum)
-            e.put("data_file", df)
-            w.append(e)
+            def entry(path: String, content: Int, rows: Long, bytes: Long,
+                seq: Long, eqIds: Seq[Int]): Unit = {
+              val df = new GenericData.Record(
+                manifestSchema.getField("data_file").schema())
+              df.put("content", content)
+              df.put("file_path", path)
+              df.put("file_format", "PARQUET")
+              df.put("partition", new GenericData.Record(partSchema))
+              df.put("record_count", rows)
+              df.put("file_size_in_bytes", bytes)
+              if (eqIds.nonEmpty) {
+                val arr = new java.util.ArrayList[Integer]()
+                eqIds.foreach(i => arr.add(Integer.valueOf(i)))
+                df.put("equality_ids", arr)
+              }
+              val e = new GenericData.Record(manifestSchema)
+              e.put("status", 1)
+              e.put("snapshot_id", sn.version)
+              e.put("sequence_number", seq)
+              e.put("file_sequence_number", seq)
+              e.put("data_file", df)
+              w.append(e)
+            }
+            deleteParquet.foreach { case (delPath, delRows) =>
+              entry(delPath.toString, 1, delRows, Files.size(delPath),
+                seqNum, Nil) // POSITION_DELETES cover every data seq
+            }
+            // equality tombstones keep their OWN sequence numbers —
+            // the strictly-below rule is what scopes them
+            cur.eqDeletes.foreach { eq =>
+              entry(eq.path, 2, eq.rows, eq.bytes, eq.seq,
+                eq.cols.map(c => ids.of(c)))
+            }
           } finally w.close()
           Some(mp)
-        case _ => None
-      }
+        }
       val listPath = metaDir.resolve(
         s"snap-${sn.version}-${java.util.UUID.randomUUID()}.avro")
       val (added, existing) = sn.files.partition(f => !parentPaths.contains(f.path))
@@ -373,12 +402,15 @@ object IcebergExport {
             d.put("partition_spec_id", 0)
             d.put("content", 1) // DELETES
             d.put("sequence_number", seqNum)
-            d.put("min_sequence_number", seqNum)
+            d.put("min_sequence_number",
+              cur.eqDeletes.map(_.seq).foldLeft(seqNum)(math.min))
             d.put("added_snapshot_id", sn.version)
-            d.put("added_files_count", 1)
+            d.put("added_files_count",
+              deleteParquet.size + cur.eqDeletes.size)
             d.put("existing_files_count", 0)
             d.put("deleted_files_count", 0)
-            d.put("added_rows_count", deleteParquet.map(_._2).getOrElse(0L))
+            d.put("added_rows_count", deleteParquet.map(_._2).getOrElse(0L)
+              + cur.eqDeletes.map(_.rows).sum)
             d.put("existing_rows_count", 0L)
             d.put("deleted_rows_count", 0L)
             w.append(d)
@@ -628,10 +660,10 @@ object IcebergRead {
       specFields: Seq[com.fasterxml.jackson.databind.JsonNode],
       fieldNameById: Map[Int, String],
       entries: Seq[IceEntry],
-      /** Position-delete parquet paths ((file_path, pos) rows) from
-        * delete manifests — applied by readers, materialized by
+      /** Delete files from delete manifests (position content=1 /
+        * equality content=2) — applied by readers, materialized by
         * import. */
-      deleteFiles: Seq[String]) {
+      deleteFiles: Seq[IceDelete]) {
     def fieldId(name: String): Int = schemaNode.get("fields").elements()
       .asScala.find(_.get("name").asText() == name).get.get("id").asInt()
     /** Candidate physical names for a field, current first. */
@@ -642,7 +674,9 @@ object IcebergRead {
       }
   }
   private[sources] final case class IceEntry(path: String, rows: Long,
-      bytes: Long, part: Map[String, Any])
+      bytes: Long, part: Map[String, Any], seq: Long)
+  private[sources] final case class IceDelete(path: String, content: Int,
+      seq: Long, equalityIds: Seq[Int])
 
   /** Parse an Iceberg v2 table snapshot from its metadata directory —
     * the shared walk behind [[read]] and
@@ -701,16 +735,26 @@ object IcebergRead {
         IceEntry(df.get("file_path").toString,
           df.get("record_count").asInstanceOf[Long],
           df.get("file_size_in_bytes").asInstanceOf[Long],
-          pnames.map(p => p -> part.get(p)).toMap)
+          pnames.map(p => p -> part.get(p)).toMap,
+          Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+            .getOrElse(0L))
       }
     val deleteFiles = deleteManifests.flatMap { case (mp, _) =>
       liveEntries(mp).map { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
-        require(df.get("content").asInstanceOf[Int] == 1,
-          "only POSITION delete files are supported")
+        val content = df.get("content").asInstanceOf[Int]
+        require(content == 1 || content == 2,
+          "only POSITION/EQUALITY delete files are supported")
         require(df.get("file_format").toString == "PARQUET",
           "only PARQUET delete files are supported")
-        df.get("file_path").toString
+        val eqIds = Option(df.get("equality_ids")) match {
+          case Some(l: java.util.List[_]) =>
+            l.asScala.toSeq.map(_.asInstanceOf[Number].intValue())
+          case _ => Nil
+        }
+        IceDelete(df.get("file_path").toString, content,
+          Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+            .getOrElse(0L), eqIds)
       }
     }
     IceMeta(schemaNode, schema, mapping, specFields, fieldNameById,
@@ -744,18 +788,44 @@ object IcebergRead {
     // typed literals (null for __HIVE_DEFAULT_PARTITION__/absent)
     // position deletes (merge-on-read exports): anti-join each scan
     // on (normalized file path, row index) against the delete rows
-    val deletes: Option[DataFrame] =
-      if (m.deleteFiles.isEmpty) None
-      else Some(spark.read.parquet(m.deleteFiles: _*)
+    val posPaths = m.deleteFiles.filter(_.content == 1).map(_.path)
+    val posDeletes: Option[DataFrame] =
+      if (posPaths.isEmpty) None
+      else Some(spark.read.parquet(posPaths: _*)
         .select(col("file_path").as("_ice_f"), col("pos").as("_ice_p")))
-    def applyDeletes(df: DataFrame): DataFrame = deletes match {
-      case None => df
-      case Some(d) =>
-        df.withColumn("_ice_f", org.apache.spark.sql.functions.regexp_replace(
+    // equality deletes: keys apply to data files whose sequence is
+    // STRICTLY below the delete's (Iceberg's rule — identical to
+    // graft's), resolved per row from a broadcast path→seq map
+    val eqDeletes = m.deleteFiles.filter(_.content == 2)
+    val fileSeq: Map[String, Long] =
+      m.entries.map(e => e.path -> e.seq).toMap
+    def applyDeletes(df: DataFrame): DataFrame = {
+      val needsMeta = posDeletes.nonEmpty || eqDeletes.nonEmpty
+      if (!needsMeta) return df
+      var out = df.withColumn("_ice_f",
+          org.apache.spark.sql.functions.regexp_replace(
             col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
-          .withColumn("_ice_p", col("_metadata.row_index"))
-          .join(d, Seq("_ice_f", "_ice_p"), "left_anti")
-          .drop("_ice_f", "_ice_p")
+        .withColumn("_ice_p", col("_metadata.row_index"))
+      posDeletes.foreach { d =>
+        out = out.join(d, Seq("_ice_f", "_ice_p"), "left_anti")
+      }
+      if (eqDeletes.nonEmpty) {
+        val sess = spark
+        import sess.implicits._
+        val seqDf = org.apache.spark.sql.functions.broadcast(
+          fileSeq.toSeq.toDF("_ice_f", "_ice_seq"))
+        out = out.join(seqDf, Seq("_ice_f"), "left")
+        eqDeletes.foreach { eq =>
+          val cols = eq.equalityIds.map(m.fieldNameById)
+          val keys = spark.read.parquet(eq.path).select(cols.map(col): _*)
+          val older = out.filter(col("_ice_seq") < eq.seq)
+            .join(org.apache.spark.sql.functions.broadcast(keys),
+              cols, "left_anti")
+          out = older.unionByName(out.filter(col("_ice_seq") >= eq.seq))
+        }
+        out = out.drop("_ice_seq")
+      }
+      out.drop("_ice_f", "_ice_p")
     }
     val groups = m.entries.groupBy(e =>
       identity.map(f => f.pname -> e.part.getOrElse(f.pname, null)).toMap)
@@ -888,20 +958,24 @@ object IcebergImport {
         }
       }.toMap
       // paths normalize to plain form so delete-blob keys, manifest
-      // entries and scan-metadata paths all agree
-      DataFile(plain(e.path), e.rows, e.bytes, partitions = parts)
+      // entries and scan-metadata paths all agree; the foreign data
+      // SEQUENCE carries over — equality tombstones must keep
+      // applying only to files strictly older than themselves
+      DataFile(plain(e.path), e.rows, e.bytes, partitions = parts,
+        seq = e.seq)
     }
     // foreign POSITION deletes materialize as graft deletion-vector
     // blobs under the importing root (graft's native delete form —
     // robust to the engines' differing file-path URI renderings):
     // O(marks) driver work, the same budget class as planning; a huge
     // backlog should be compacted on the source first
+    val posPaths = m.deleteFiles.filter(_.content == 1).map(_.path)
     val deletes: Seq[DeleteFile] =
-      if (m.deleteFiles.isEmpty) Nil
+      if (posPaths.isEmpty) Nil
       else {
         val delDir = Paths.get(destRoot).resolve("deletes")
         Files.createDirectories(delDir)
-        val marks = spark.read.parquet(m.deleteFiles: _*)
+        val marks = spark.read.parquet(posPaths: _*)
           .select(col("file_path"), col("pos")).collect()
           .groupBy(r => plain(r.getString(0)))
           .view.mapValues(_.map(_.getLong(1)).sorted).toMap
@@ -912,10 +986,20 @@ object IcebergImport {
         Seq(DeleteFile(blob.toString, Files.size(blob),
           marks.view.mapValues(_.length.toLong).toMap))
       }
+    // foreign EQUALITY deletes adopt ZERO-COPY: the key-tuple parquet
+    // imports by reference, and Iceberg's strictly-below sequence rule
+    // is exactly graft's — the seq numbers carry over verbatim
+    val eqDeletes: Seq[EqDeleteFile] = m.deleteFiles.filter(_.content == 2)
+      .map { d =>
+        val cols = d.equalityIds.map(m.fieldNameById)
+        require(cols.nonEmpty, "equality delete without equality_ids")
+        EqDeleteFile(plain(d.path), Files.size(Paths.get(plain(d.path))),
+          cols, spark.read.parquet(plain(d.path)).count(), d.seq)
+      }
     val dest = LogTable(spark, destRoot)
     dest.commitAdoption("import", s"iceberg-import-of-$src",
       schema.json, specCols.flatMap(_.partCol), specCols.flatMap(_.transform),
-      files, deletes)
+      files, deletes, eqDeletes)
     LogTable(spark, destRoot)
   }
 }

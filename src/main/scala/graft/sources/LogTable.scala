@@ -3603,12 +3603,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
   private[sources] def commitAdoption(operation: String, tag: String,
       schemaJson: String, partCols: Seq[String],
       transforms: Seq[Transform], files: Seq[DataFile],
-      deletes: Seq[DeleteFile] = Nil): Snapshot = {
+      deletes: Seq[DeleteFile] = Nil,
+      eqDeletes: Seq[EqDeleteFile] = Nil): Snapshot = {
     require(currentVersion == 0L,
       s"adoption destination $root already has commits")
     commit(operation, tag = tag, nextSchema = _ => schemaJson,
       nextSpec = Some((partCols, transforms)),
-      nextDeletes = _ => deletes)(_ => files)
+      nextDeletes = _ => deletes,
+      nextEqDeletes = _ => eqDeletes)(_ => files)
   }
 
   /** Roll the table back to a prior snapshot's file list as a NEW

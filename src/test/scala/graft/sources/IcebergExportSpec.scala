@@ -117,12 +117,21 @@ class IcebergExportSpec extends SparkSpec {
     mor.expire(keepLast = 1)
     IcebergExport.export(mor, tmp("ice_mor_out2_"), history = true)
 
+    // unpartitioned equality tombstones now export (content=2 delete
+    // entries — see the equality-tombstone test); HISTORY export and
+    // PARTITIONED layouts still refuse
     val eq = LogTable(spark, tmp("ice_eq_"))
     eq.append((0L until 20L).map(i => (i, s"x$i")).toDF("id", "s"))
     eq.deleteEq(Seq(1L, 2L).toDF("id"))
     val e2 = intercept[IllegalArgumentException](
-      IcebergExport.export(eq, tmp("ice_eq_out_")))
+      IcebergExport.export(eq, tmp("ice_eq_hist_out_"), history = true))
     assert(e2.getMessage.contains("equality-delete"))
+    val eqPart = LogTable(spark, tmp("ice_eq_part_"), partitionBy = Seq("s"))
+    eqPart.append((0L until 10L).map(i => (i, s"g${i % 2}")).toDF("id", "s"))
+    eqPart.deleteEq(Seq(1L).toDF("id"))
+    val e2b = intercept[IllegalArgumentException](
+      IcebergExport.export(eqPart, tmp("ice_eq_part_out_")))
+    assert(e2b.getMessage.contains("PARTITIONED"))
 
     val b = LogTable(spark, tmp("ice_bucket_"),
       hiddenBy = Seq(Transform.bucket(8, "id")))
@@ -395,6 +404,35 @@ class IcebergExportSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       IcebergExport.export(part, tmp("ice_mor_part_out_")))
     assert(e.getMessage.contains("PARTITIONED"))
+  }
+
+  test("equality-tombstone export: zero-copy content=2 entries, sequence-exact both ways") {
+    val t = LogTable(spark, tmp("ice_eq_exp_"))
+    t.append((0L until 20L).map(i => (i, "old")).toDF("id", "tag"))     // seq 1
+    t.deleteEq(Seq(3L, 5L, 100L).toDF("id"))                            // eq seq 2
+    // a POST-tombstone append re-adds id 3: Iceberg's strictly-below
+    // rule (identical to graft's) must keep it alive everywhere
+    t.append(Seq((3L, "new"), (30L, "new")).toDF("id", "tag"))          // seq 3
+    val live = sortedRows(t.read())
+    assert(t.read().filter(col("id") === 3L).count() === 1L, "re-added key lives")
+    assert(t.read().filter(col("id") === 5L).count() === 0L)
+
+    val dest = tmp("ice_eq_exp_out_")
+    IcebergExport.export(t, dest)
+    // spec reader honors the per-file sequence guard
+    assert(sortedRows(IcebergRead.read(spark, dest)) === live)
+
+    // import adopts the tombstone parquet ZERO-COPY with its sequence;
+    // graft's own guard then applies it identically
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_eq_imp_"))
+    assert(sortedRows(imp.read()) === live)
+    assert(imp.snapshot().eqDeletes.nonEmpty)
+    // the imported table is maintainable: compact folds the debt and
+    // the table re-exports clean
+    imp.compact()
+    assert(imp.snapshot().eqDeletes.isEmpty)
+    assert(sortedRows(imp.read()) === live)
+    IcebergExport.export(imp, tmp("ice_eq_imp_reexp_"))
   }
 
   test("export after MoR-fold compaction equals the pre-compact live rows") {
