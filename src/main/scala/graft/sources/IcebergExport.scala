@@ -29,11 +29,14 @@ import scala.jdk.CollectionConverters._
   *   dest/metadata/version-hint.text      HadoopTables discovery hint
   *
   * Scope — EXACT-OR-REFUSE, like every graft translation seam:
-  *   - only CLEAN snapshots export: outstanding position-delete marks
-  *     or equality tombstones refuse (compact() folds them first); a
-  *     v2 delete-file export would demand bit-exact foreign replay of
-  *     graft's sequence semantics, and a silent approximation could
-  *     resurrect deleted rows in a foreign engine.
+  *   - MERGE-ON-READ state exports exactly on UNPARTITIONED layouts:
+  *     position marks (both encodings) become one spec-sorted
+  *     position-delete parquet, equality tombstones export zero-copy
+  *     as content=2 entries with their sequence numbers (Iceberg's
+  *     strictly-below rule is graft's own). PARTITIONED dirty
+  *     snapshots refuse — Iceberg scopes delete files per partition
+  *     tuple — and history export needs an all-clean lineage;
+  *     compact() folds the debt first in both cases.
   *   - `bucket` layouts refuse: graft buckets by xxhash64, Iceberg by
   *     murmur3_x86_32 — exporting the transform would make a foreign
   *     engine prune with the WRONG hash and silently drop files from
