@@ -29,14 +29,15 @@ import scala.jdk.CollectionConverters._
   *   dest/metadata/version-hint.text      HadoopTables discovery hint
   *
   * Scope — EXACT-OR-REFUSE, like every graft translation seam:
-  *   - MERGE-ON-READ state exports exactly on UNPARTITIONED layouts:
-  *     position marks (both encodings) become one spec-sorted
-  *     position-delete parquet, equality tombstones export zero-copy
-  *     as content=2 entries with their sequence numbers (Iceberg's
-  *     strictly-below rule is graft's own). PARTITIONED dirty
-  *     snapshots refuse — Iceberg scopes delete files per partition
-  *     tuple — and history export needs an all-clean lineage;
-  *     compact() folds the debt first in both cases.
+  *   - MERGE-ON-READ state exports exactly: position marks (both
+  *     encodings) become one spec-sorted position-delete parquet,
+  *     equality tombstones export zero-copy as content=2 entries with
+  *     their sequence numbers (Iceberg's strictly-below rule is
+  *     graft's own). On partitioned tables the delete manifest binds
+  *     to a dedicated UNPARTITIONED spec — spec-legal, since both
+  *     delete forms match exactly (path+pos / key+seq) and partition
+  *     scoping is only a pruning nicety. History export still needs
+  *     an all-clean lineage (compact() folds the debt first).
   *   - `bucket` layouts refuse: graft buckets by xxhash64, Iceberg by
   *     murmur3_x86_32 — exporting the transform would make a foreign
   *     engine prune with the WRONG hash and silently drop files from
@@ -101,21 +102,15 @@ object IcebergExport {
     // EQUALITY tombstones map 1:1 onto Iceberg's: both apply a delete
     // of sequence S to data files with sequence STRICTLY below S, so
     // graft's eq parquet files (key tuples) export by reference —
-    // zero copy — as content=2 delete entries with equality_ids.
-    // Partitioned layouts refuse like position deletes.
-    require(cur.eqDeletes.isEmpty ||
-        (cur.partCols.isEmpty && cur.transforms.isEmpty && !history),
-      "cannot export equality tombstones on a PARTITIONED layout — " +
+    // zero copy — as content=2 delete entries with equality_ids,
+    // bound to a dedicated unpartitioned spec on partitioned tables.
+    require(cur.eqDeletes.isEmpty || !history,
+      "cannot history-export outstanding equality tombstones — " +
         "compact() folds them first")
-    // MERGE-ON-READ state exports exactly for UNPARTITIONED layouts:
-    // the marks become one spec-conformant Iceberg position-delete
-    // parquet (sorted by file_path, pos) in a delete manifest. A
-    // partitioned table's marks span partitions, which Iceberg scopes
-    // per partition tuple — compact() first there (exact-or-refuse).
-    require(cur.deletes.isEmpty ||
-        (cur.partCols.isEmpty && cur.transforms.isEmpty && !history),
-      "cannot export position-delete marks on a PARTITIONED layout " +
-        "(Iceberg scopes delete files per partition) — compact() first")
+    // MERGE-ON-READ marks export as one spec-conformant Iceberg
+    // position-delete parquet (sorted by file_path, pos) in a delete
+    // manifest bound to the dedicated unpartitioned spec; only the
+    // all-clean history mode refuses them (checked above).
     require(!cur.transforms.exists(_.kind == "bucket"),
       "cannot export a bucket layout: graft buckets by xxhash64, " +
         "Iceberg by murmur3 — a foreign engine would prune with the " +
@@ -199,7 +194,7 @@ object IcebergExport {
       }
       s"""{"name":"${pf.name}","type":["null",$t],"default":null,"field-id":${1000 + i}}"""
     }.mkString(",")
-    val manifestSchema = new Schema.Parser().parse(
+    def manifestSchemaFor(partFields: String): Schema = new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
          |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -209,11 +204,21 @@ object IcebergExport {
          |{"name":"content","type":"int","field-id":134},
          |{"name":"file_path","type":"string","field-id":100},
          |{"name":"file_format","type":"string","field-id":101},
-         |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partAvroFields]}},
+         |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
          |{"name":"record_count","type":"long","field-id":103},
          |{"name":"file_size_in_bytes","type":"long","field-id":104},
          |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
          |]}}]}""".stripMargin)
+    val manifestSchema = manifestSchemaFor(partAvroFields)
+    // delete manifests bind to a dedicated UNPARTITIONED spec (added
+    // below when the table itself is partitioned): position deletes
+    // match by exact (path, pos) and equality deletes by key + seq, so
+    // partition scoping is a pruning nicety the spec does not require
+    val deleteSpecId = if (pfields.isEmpty) 0 else 1
+    val deleteManifestSchema =
+      if (pfields.isEmpty) manifestSchema else manifestSchemaFor("")
+    val deletePartSchema = deleteManifestSchema.getField("data_file")
+      .schema().getField("partition").schema()
     val listSchema = new Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
         |{"name":"manifest_path","type":"string","field-id":500},
@@ -327,22 +332,22 @@ object IcebergExport {
           val mp = metaDir.resolve(
             s"${java.util.UUID.randomUUID()}-d0.avro")
           val w = new DataFileWriter[GenericRecord](
-            new GenericDatumWriter[GenericRecord](manifestSchema))
+            new GenericDatumWriter[GenericRecord](deleteManifestSchema))
           w.setMeta("schema", schemaNodes(schemaId).toString)
           w.setMeta("partition-spec", specFieldsJson(Nil))
-          w.setMeta("partition-spec-id", "0")
+          w.setMeta("partition-spec-id", deleteSpecId.toString)
           w.setMeta("format-version", "2")
           w.setMeta("content", "deletes")
-          w.create(manifestSchema, mp.toFile)
+          w.create(deleteManifestSchema, mp.toFile)
           try {
             def entry(path: String, content: Int, rows: Long, bytes: Long,
                 seq: Long, eqIds: Seq[Int]): Unit = {
               val df = new GenericData.Record(
-                manifestSchema.getField("data_file").schema())
+                deleteManifestSchema.getField("data_file").schema())
               df.put("content", content)
               df.put("file_path", path)
               df.put("file_format", "PARQUET")
-              df.put("partition", new GenericData.Record(partSchema))
+              df.put("partition", new GenericData.Record(deletePartSchema))
               df.put("record_count", rows)
               df.put("file_size_in_bytes", bytes)
               if (eqIds.nonEmpty) {
@@ -350,7 +355,7 @@ object IcebergExport {
                 eqIds.foreach(i => arr.add(Integer.valueOf(i)))
                 df.put("equality_ids", arr)
               }
-              val e = new GenericData.Record(manifestSchema)
+              val e = new GenericData.Record(deleteManifestSchema)
               e.put("status", 1)
               e.put("snapshot_id", sn.version)
               e.put("sequence_number", seq)
@@ -402,7 +407,7 @@ object IcebergExport {
             val d = new GenericData.Record(listSchema)
             d.put("manifest_path", mp.toString)
             d.put("manifest_length", Files.size(mp))
-            d.put("partition_spec_id", 0)
+            d.put("partition_spec_id", deleteSpecId)
             d.put("content", 1) // DELETES
             d.put("sequence_number", seqNum)
             d.put("min_sequence_number",
@@ -455,7 +460,16 @@ object IcebergExport {
     spec.put("spec-id", 0)
     spec.set[ObjectNode]("fields", mapper.readTree(specFieldsJson(
       pfields.map(pf => (pf.name, pf.transform, pf.sourceId, pf.fieldId)))))
-    root.set[ObjectNode]("partition-specs", mapper.createArrayNode().add(spec))
+    val specsArr = mapper.createArrayNode().add(spec)
+    if (pfields.nonEmpty &&
+        (cur.deletes.nonEmpty || cur.eqDeletes.nonEmpty)) {
+      val dspec = mapper.createObjectNode()
+      dspec.put("spec-id", deleteSpecId)
+      dspec.set[ObjectNode]("fields", mapper.createArrayNode())
+      specsArr.add(dspec)
+      ()
+    }
+    root.set[ObjectNode]("partition-specs", specsArr)
     root.put("last-partition-id", if (pfields.isEmpty) 999 else nextPid - 1)
     root.put("default-sort-order-id", 0)
     val order = mapper.createObjectNode()

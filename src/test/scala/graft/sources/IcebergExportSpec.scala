@@ -126,12 +126,15 @@ class IcebergExportSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       IcebergExport.export(eq, tmp("ice_eq_hist_out_"), history = true))
     assert(e2.getMessage.contains("equality-delete"))
+    // partitioned eq tombstones export too (dedicated delete spec)
     val eqPart = LogTable(spark, tmp("ice_eq_part_"), partitionBy = Seq("s"))
     eqPart.append((0L until 10L).map(i => (i, s"g${i % 2}")).toDF("id", "s"))
     eqPart.deleteEq(Seq(1L).toDF("id"))
-    val e2b = intercept[IllegalArgumentException](
-      IcebergExport.export(eqPart, tmp("ice_eq_part_out_")))
-    assert(e2b.getMessage.contains("PARTITIONED"))
+    val eqPartDest = tmp("ice_eq_part_out_")
+    IcebergExport.export(eqPart, eqPartDest)
+    assert(sortedRows(IcebergRead.read(spark, eqPartDest)
+        .select(col("id"), col("s"))) ===
+      sortedRows(eqPart.read().select(col("id"), col("s"))))
 
     val b = LogTable(spark, tmp("ice_bucket_"),
       hiddenBy = Seq(Transform.bucket(8, "id")))
@@ -396,14 +399,21 @@ class IcebergExportSpec extends SparkSpec {
     assert(imp.snapshot().deletes.nonEmpty)
     assert(imp.countMeta() === live.size.toLong)
 
-    // partitioned + dirty still refuses (Iceberg scopes deletes per
-    // partition tuple)
+    // PARTITIONED + dirty: the delete manifest binds to a dedicated
+    // unpartitioned spec — the roundtrip still holds on both legs
     val part = LogTable(spark, tmp("ice_mor_part_"), partitionBy = Seq("k"))
     part.append((0L until 20L).map(i => (i, s"g${i % 2}")).toDF("id", "k"))
     part.deleteMor(col("id") < 5L)
-    val e = intercept[IllegalArgumentException](
-      IcebergExport.export(part, tmp("ice_mor_part_out_")))
-    assert(e.getMessage.contains("PARTITIONED"))
+    val partLive = sortedRows(part.read().select(col("id"), col("k")))
+    val pdest = tmp("ice_mor_part_out_")
+    IcebergExport.export(part, pdest)
+    val pjson = new String(Files.readAllBytes(
+      Paths.get(pdest).resolve("metadata").resolve("v1.metadata.json")))
+    assert(pjson.contains("\"spec-id\":1"), "dedicated delete spec recorded")
+    assert(sortedRows(IcebergRead.read(spark, pdest)
+      .select(col("id"), col("k"))) === partLive)
+    val pimp = IcebergImport.importTable(spark, pdest, tmp("ice_mor_part_imp_"))
+    assert(sortedRows(pimp.read().select(col("id"), col("k"))) === partLive)
   }
 
   test("equality-tombstone export: zero-copy content=2 entries, sequence-exact both ways") {
