@@ -937,6 +937,11 @@ object Lakehouse {
     table.renameColumn("value", "amount")
     table.append(ev.filter(pmod(col("event_id"), lit(2)) === 1)
       .withColumnRenamed("value", "amount"))
+    // MERGE-ON-READ state crosses the seam too: tombstone every error
+    // event by key (O(keys), zero table I/O) — the export carries the
+    // tombstones as content=2 delete entries and BOTH read legs must
+    // apply them under the sequence guard
+    table.deleteEq(ev.filter(col("event_type") === "error").select(col("event_id")))
     val dest = Files.createTempDirectory("graft_ice_out_").toString
     IcebergExport.export(table, dest)
     // BOTH legs of the interop circle, one aggregate each: the
@@ -1155,15 +1160,17 @@ object Lakehouse {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // rename is metadata-only and both halves cover all events, so
-    // BOTH interop legs (spec reader + import read-back) must equal
-    // the plain aggregate, one copy per leg
+    // rename is metadata-only, both halves cover all events, and the
+    // eq tombstones remove exactly the error events — so BOTH interop
+    // legs (spec reader + import read-back) must equal the filtered
+    // aggregate, one copy per leg
     "lake_iceberg" ->
       """SELECT via, event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_amount
         |FROM events
         |CROSS JOIN (SELECT unnest(['graft_import', 'spec_reader']) AS via)
+        |WHERE event_type <> 'error'
         |GROUP BY via, event_type ORDER BY via, event_type""".stripMargin,
     "lake_txn" ->
       """SELECT event_type, count(*) AS n,
