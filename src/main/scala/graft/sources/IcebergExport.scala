@@ -814,8 +814,10 @@ object IcebergRead {
     // STRICTLY below the delete's (Iceberg's rule — identical to
     // graft's), resolved per row from a broadcast path→seq map
     val eqDeletes = m.deleteFiles.filter(_.content == 2)
-    val fileSeq: Map[String, Long] =
-      m.entries.map(e => e.path -> e.seq).toMap
+    // keys normalized like _ice_f below, so foreign file:// URIs in
+    // the manifest still hit the sequence join
+    val fileSeq: Map[String, Long] = m.entries.map(e =>
+      e.path.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/") -> e.seq).toMap
     def applyDeletes(df: DataFrame): DataFrame = {
       val needsMeta = posDeletes.nonEmpty || eqDeletes.nonEmpty
       if (!needsMeta) return df
