@@ -693,7 +693,7 @@ object IcebergRead {
   private[sources] final case class IceEntry(path: String, rows: Long,
       bytes: Long, part: Map[String, Any], seq: Long)
   private[sources] final case class IceDelete(path: String, content: Int,
-      seq: Long, equalityIds: Seq[Int])
+      seq: Long, equalityIds: Seq[Int], rows: Long)
 
   /** Parse an Iceberg v2 table snapshot from its metadata directory —
     * the shared walk behind [[read]] and
@@ -771,7 +771,8 @@ object IcebergRead {
         }
         IceDelete(df.get("file_path").toString, content,
           Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
-            .getOrElse(0L), eqIds)
+            .getOrElse(0L), eqIds,
+          df.get("record_count").asInstanceOf[Long])
       }
     }
     IceMeta(schemaNode, schema, mapping, specFields, fieldNameById,
@@ -829,20 +830,33 @@ object IcebergRead {
         out = out.join(d, Seq("_ice_f", "_ice_p"), "left_anti")
       }
       if (eqDeletes.nonEmpty) {
-        val sess = spark
-        import sess.implicits._
-        val seqDf = org.apache.spark.sql.functions.broadcast(
-          fileSeq.toSeq.toDF("_ice_f", "_ice_seq"))
-        out = out.join(seqDf, Seq("_ice_f"), "left")
+        // the per-row sequence split is only planned when some data
+        // file could OUTRANK a tombstone — the common steady state
+        // (every file older than every tombstone) stays one anti-join
+        // per delete, no seq column, no dead union branch
+        val needSeq = eqDeletes.exists(eq =>
+          fileSeq.values.exists(_ >= eq.seq))
+        if (needSeq) {
+          val sess = spark
+          import sess.implicits._
+          val seqDf = org.apache.spark.sql.functions.broadcast(
+            fileSeq.toSeq.toDF("_ice_f", "_ice_seq"))
+          out = out.join(seqDf, Seq("_ice_f"), "left")
+        }
         eqDeletes.foreach { eq =>
           val cols = eq.equalityIds.map(m.fieldNameById)
           val keys = spark.read.parquet(eq.path).select(cols.map(col): _*)
-          val older = out.filter(col("_ice_seq") < eq.seq)
-            .join(org.apache.spark.sql.functions.broadcast(keys),
+          if (fileSeq.values.forall(_ < eq.seq))
+            out = out.join(org.apache.spark.sql.functions.broadcast(keys),
               cols, "left_anti")
-          out = older.unionByName(out.filter(col("_ice_seq") >= eq.seq))
+          else {
+            val older = out.filter(col("_ice_seq") < eq.seq)
+              .join(org.apache.spark.sql.functions.broadcast(keys),
+                cols, "left_anti")
+            out = older.unionByName(out.filter(col("_ice_seq") >= eq.seq))
+          }
         }
-        out = out.drop("_ice_seq")
+        if (needSeq) out = out.drop("_ice_seq")
       }
       out.drop("_ice_f", "_ice_p")
     }
@@ -1013,7 +1027,7 @@ object IcebergImport {
         val cols = d.equalityIds.map(m.fieldNameById)
         require(cols.nonEmpty, "equality delete without equality_ids")
         EqDeleteFile(plain(d.path), Files.size(Paths.get(plain(d.path))),
-          cols, spark.read.parquet(plain(d.path)).count(), d.seq)
+          cols, d.rows, d.seq)
       }
     val dest = LogTable(spark, destRoot)
     dest.commitAdoption("import", s"iceberg-import-of-$src",
