@@ -449,10 +449,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       resolve(in.getUTF8String(0).toString).evolveSpec(pc, tf); ()
     },
     // CALL cat.system.export_iceberg('ns.t', '<dest>') — real Iceberg
-    // v2 metadata for the current clean snapshot (IcebergExport)
+    // v2 metadata for the current snapshot (IcebergExport); the
+    // _history twin exports every live snapshot (foreign time travel)
     proc("export_iceberg", "table" -> StringType, "dest" -> StringType) { in =>
       IcebergExport.export(resolve(in.getUTF8String(0).toString),
         in.getUTF8String(1).toString); ()
+    },
+    proc("export_iceberg_history", "table" -> StringType, "dest" -> StringType) { in =>
+      IcebergExport.export(resolve(in.getUTF8String(0).toString),
+        in.getUTF8String(1).toString, history = true); ()
     },
     // CALL cat.system.import_iceberg('ns.t', '<src>') — adopt an
     // Iceberg v2 table as catalog table ns.t (IcebergImport; the

@@ -824,12 +824,13 @@ object GraftSql {
             val evolved = t.evolveSpec(pc, tf)
             register(args.head, evolved)
             evolved.snapshot()
-          // CALL export_iceberg(t, '<dest-path>') — REAL Iceberg v2
-          // metadata for the current clean snapshot at dest
-          // ([[IcebergExport]]); dirty snapshots and bucket layouts
-          // refuse there
+          // CALL export_iceberg(t, '<dest-path>' [, 'history']) — REAL
+          // Iceberg v2 metadata at dest ([[IcebergExport]]); the
+          // 'history' form exports every live snapshot
+          // (foreign time travel); untranslatable states refuse there
           case "export_iceberg" =>
-            IcebergExport.export(t, args(1))
+            IcebergExport.export(t, args(1),
+              history = args.length > 2 && args(2).equalsIgnoreCase("history"))
             t.snapshot()
           // CALL import_iceberg(newName, '<src-path>') — adopt an
           // Iceberg v2 table as a graft table under the warehouse and

@@ -218,6 +218,11 @@ class IcebergExportSpec extends SparkSpec {
       "SELECT count(*) FROM ice_sql_imp").head().getLong(0) === 2L)
     intercept[IllegalArgumentException](
       GraftSql.exec(spark, s"CALL import_iceberg(ice_sql_imp, '$dest')"))
+    // history form on the embedded surface
+    val destH = tmp("ice_sql_hist_out_")
+    GraftSql.exec(spark, s"CALL export_iceberg(ice_sql_t, '$destH', 'history')")
+    assert(sortedRows(IcebergRead.read(spark, destH, versionAsOf = Some(1L))) ===
+      sortedRows(GraftSql.table("ice_sql_t").timeTravel(1L)))
 
     // catalog surface (Spark's own CALL statement)
     val wh = tmp("ice_cat_wh_")
@@ -228,6 +233,9 @@ class IcebergExportSpec extends SparkSpec {
     spark.sql("INSERT INTO gice.ns.src VALUES (10L, 'x'), (11L, 'y'), (12L, 'z')")
     val dest2 = tmp("ice_cat_out_")
     spark.sql(s"CALL gice.system.export_iceberg('ns.src', '$dest2')")
+    val dest2h = tmp("ice_cat_hist_out_")
+    spark.sql(s"CALL gice.system.export_iceberg_history('ns.src', '$dest2h')")
+    assert(Files.exists(Paths.get(dest2h).resolve("metadata").resolve("v1.metadata.json")))
     spark.sql(s"CALL gice.system.import_iceberg('ns.back', '$dest2')")
     assert(spark.sql("SELECT count(*) FROM gice.ns.back").head().getLong(0) === 3L)
     assert(spark.sql("SELECT s FROM gice.ns.back ORDER BY id").collect()
