@@ -453,6 +453,33 @@ class IcebergExportSpec extends SparkSpec {
     IcebergExport.export(imp, tmp("ice_eq_imp_reexp_"))
   }
 
+  test("metadata scale: a 100k-file snapshot exports as a PURE metadata projection (no data I/O)") {
+    val t = LogTable(spark, tmp("ice_scale_"))
+    t.declareSchema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType))))
+    // 100k SYNTHETIC manifest entries (paths that do not exist): the
+    // export must never open or stat a data file, so fake paths prove
+    // the zero-data-I/O property by construction
+    (0 until 10).foreach { c =>
+      t.commitSynthetic((0 until 10000).map(i =>
+        DataFile(s"/nonexistent/data/f-$c-$i.parquet", 100L, 4096L)))
+    }
+    assert(t.snapshot().files.size === 100000)
+    val dest = tmp("ice_scale_out_")
+    val t0 = System.nanoTime()
+    IcebergExport.export(t, dest)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // generous CI bound — measured ~1-3 s on this host; a data-file
+    // touch would blow it up by orders of magnitude (the paths 404)
+    assert(secs < 60.0, f"metadata projection took $secs%.1f s")
+    val m = IcebergRead.load(dest)
+    assert(m.entries.size === 100000)
+    assert(m.entries.map(_.rows).sum === 100000L * 100L)
+  }
+
   test("export after MoR-fold compaction equals the pre-compact live rows") {
     val t = LogTable(spark, tmp("ice_fold_"))
     t.append((0L until 50L).map(i => (i, i % 5)).toDF("id", "g"))
