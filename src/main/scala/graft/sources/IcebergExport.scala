@@ -506,10 +506,27 @@ object IcebergExport {
     root.set[ObjectNode]("snapshots", snapsArr)
     root.set[ObjectNode]("snapshot-log", logArr)
     root.set[ObjectNode]("metadata-log", mapper.createArrayNode())
-    val metaPath = metaDir.resolve("v1.metadata.json")
+    // METADATA VERSIONING (HadoopTables convention): a re-export into
+    // the same dest writes the NEXT vN.metadata.json and bumps the
+    // hint — the continuous-mirror shape (each ingest batch refreshes
+    // the Iceberg view of the table); prior metadata files stay
+    // readable and are chained in metadata-log
+    val MetaRe = "v(\\d+)\\.metadata\\.json".r
+    val prior = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case MetaRe(n) => n.toLong }.toSeq.sorted
+    val mv = prior.lastOption.getOrElse(0L) + 1
+    val logArr2 = root.withArray[ArrayNode]("metadata-log")
+    prior.foreach { n =>
+      val e = logArr2.addObject()
+      e.put("timestamp-ms", cur.timestampMs)
+      e.put("metadata-file",
+        metaDir.resolve(s"v$n.metadata.json").toString)
+    }
+    val metaPath = metaDir.resolve(s"v$mv.metadata.json")
     Files.write(metaPath, root.toString.getBytes(StandardCharsets.UTF_8))
     Files.write(metaDir.resolve("version-hint.text"),
-      "1".getBytes(StandardCharsets.UTF_8))
+      mv.toString.getBytes(StandardCharsets.UTF_8))
     metaPath
   }
 

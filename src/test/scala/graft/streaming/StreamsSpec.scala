@@ -501,4 +501,49 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ===
       batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
   }
+
+  test("streaming ingest with a continuously-current Iceberg mirror: every batch refreshes a foreign-readable view") {
+    import graft.sources.{IcebergExport, IcebergRead}
+    // three flush files → three micro-batches (maxFilesPerTrigger=1)
+    val src = Files.createTempDirectory("mirror_src_")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .limit(3000).cache()
+    (0 until 3).foreach { i =>
+      val stage = Files.createTempDirectory(s"mirror_stage_$i")
+      ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.walk(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(s"flush-$i.parquet"))
+      ()
+    }
+    val table = LogTable(spark,
+      Files.createTempDirectory("mirror_tbl_").toString)
+    val mirror = Files.createTempDirectory("mirror_ice_").toString
+    val schema = spark.read.parquet(src.resolve("flush-0.parquet").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = Streams.streamIngestWithIcebergMirror(stream, table,
+      Files.createTempDirectory("mirror_ckpt_").toString, mirror.toString)
+    assert(q.awaitTermination(120000), "mirror ingest did not finish")
+
+    // three batches → three commits → three mirror refreshes, each a
+    // NEW metadata version with a bumped hint (HadoopTables shape)
+    assert(table.currentVersion === 3L)
+    val metaDir = java.nio.file.Paths.get(mirror).resolve("metadata")
+    assert(new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text"))).trim === "3")
+    (1 to 3).foreach(v => assert(
+      Files.exists(metaDir.resolve(s"v$v.metadata.json")), s"v$v missing"))
+    // the mirror's CURRENT view equals the table
+    val back = IcebergRead.read(spark, mirror)
+    assert(back.count() === table.read().count())
+    assert(back.agg(sum(col("event_id"))).head().getLong(0) ===
+      table.read().agg(sum(col("event_id"))).head().getLong(0))
+    ev.unpersist()
+    ()
+  }
 }
