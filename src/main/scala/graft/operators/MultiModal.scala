@@ -72,11 +72,16 @@ object MultiModal {
 
   /** Fake feature extractor: FeatureDims doubles per payload, each the
     * scaled hash of one byte stripe — stands in for an embedding model
-    * with the identical plan shape (narrow map over binary). */
+    * with the identical plan shape (narrow map over binary). The
+    * stripe hash is the first 60 bits of md5 mod 1e9+7 (the same
+    * cross-engine trick as text_fingerprint), so the VALUES — not
+    * just the stripe geometry — are DuckDB-oracle-checkable; the
+    * final /1e9 division is IEEE-exact on both engines. */
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     val stride = greatest(expr(s"(length(payload) + ${FeatureDims - 1}) div $FeatureDims"), lit(1L))
     val features = transform(sequence(lit(0L), lit(FeatureDims - 1L)),
-      i => pmod(xxhash64(col("payload").substr(i * stride + 1, stride)),
+      i => pmod(conv(substring(md5(col("payload").substr(i * stride + 1, stride)),
+          1, 15), 16, 10).cast("long"),
         lit(1000000007L)).cast("double") / 1e9)
     mmTable(s, dir)
       .select(col("doc_id"), features.as("features"))
@@ -142,8 +147,8 @@ object MultiModal {
   }
 
   /** Deterministic fake "model": same math as the mmFeatures
-    * expression path (SQL substr + single-arg xxhash64 + pmod), so the
-    * two formulations are asserted byte-identical. */
+    * expression path (substr + md5-first-60-bits mod p), so the two
+    * formulations are asserted byte-identical. */
   private def fakeModelBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
     payloads.map { bytes =>
       val stride = math.max((bytes.length + FeatureDims - 1) / FeatureDims, 1)
@@ -151,10 +156,10 @@ object MultiModal {
         val from = math.min(i.toLong * stride, bytes.length.toLong).toInt
         val until = math.min(from + stride, bytes.length)
         val slice = java.util.Arrays.copyOfRange(bytes, from, until)
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(slice, org.apache.spark.sql.types.BinaryType, 42L)
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice).map("%02x".format(_)).mkString.substring(0, 15)
         val p = 1000000007L
-        (((h % p) + p) % p).toDouble / 1e9
+        (java.lang.Long.parseLong(hex, 16) % p).toDouble / 1e9
       }
     }
 
@@ -269,8 +274,26 @@ object MultiModal {
         |  CAST(max(n_bytes) * (count(*) - 1) AS BIGINT) AS reclaim_bytes
         |FROM allrows GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY modality, digest""".stripMargin,
-    // mm_features: engine-specific hash features — rows-only + spec.
-    // mm_feature_stats: stripe geometry IS DuckDB-computable.
+    // mm_features: the md5-based stripe hash makes the VALUES
+    // cross-engine — DuckDB slices the (single-byte, spec-pinned)
+    // text exactly as the operator slices the payload bytes, hashes
+    // the same way, and formats with printf (both formatters recover
+    // the exact 9-decimal form of h/1e9, far inside double precision)
+    "mm_features" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+         |g AS (
+         |  SELECT doc_id, text,
+         |    greatest((n + ${FeatureDims - 1}) // $FeatureDims, 1) AS stride
+         |  FROM b)
+         |SELECT doc_id, CAST($FeatureDims AS BIGINT) AS n_dims,
+         |  array_to_string(list_transform(range(0, $FeatureDims), i ->
+         |    printf('%.9f',
+         |      (CAST(concat('0x', substr(md5(substr(text,
+         |          CAST(i * stride + 1 AS BIGINT), CAST(stride AS BIGINT))),
+         |        1, 15)) AS BIGINT) % 1000000007) / 1e9)), ',') AS features_csv
+         |FROM g ORDER BY doc_id""".stripMargin,
+    // mm_feature_stats: stripe geometry recomputed independently.
     "mm_feature_stats" ->
       s"""WITH b AS (
          |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
