@@ -862,16 +862,30 @@ object IcebergRead {
         }
         eqDeletes.foreach { eq =>
           val cols = eq.equalityIds.map(m.fieldNameById)
-          val keys = spark.read.parquet(eq.path).select(cols.map(col): _*)
-          if (fileSeq.values.forall(_ < eq.seq))
-            out = out.join(org.apache.spark.sql.functions.broadcast(keys),
-              cols, "left_anti")
-          else {
-            val older = out.filter(col("_ice_seq") < eq.seq)
-              .join(org.apache.spark.sql.functions.broadcast(keys),
-                cols, "left_anti")
-            out = older.unionByName(out.filter(col("_ice_seq") >= eq.seq))
+          // join on COALESCED key columns: a renamed key's values live
+          // under the historical physical name in pre-rename files —
+          // joining on the current name alone would read null there
+          // and silently skip the tombstone
+          val joinCols = cols.map(c => s"_ice_eqk_$c")
+          var lhs = out
+          cols.zip(joinCols).foreach { case (c, jc) =>
+            val ns = m.namesOf(c)
+            lhs = lhs.withColumn(jc,
+              if (ns.size == 1) col(ns.head) else coalesce(ns.map(col): _*))
           }
+          val keys = spark.read.parquet(eq.path)
+            .select(cols.zip(joinCols).map { case (c, jc) => col(c).as(jc) }: _*)
+          val joined =
+            if (fileSeq.values.forall(_ < eq.seq))
+              lhs.join(org.apache.spark.sql.functions.broadcast(keys),
+                joinCols, "left_anti")
+            else {
+              val older = lhs.filter(col("_ice_seq") < eq.seq)
+                .join(org.apache.spark.sql.functions.broadcast(keys),
+                  joinCols, "left_anti")
+              older.unionByName(lhs.filter(col("_ice_seq") >= eq.seq))
+            }
+          out = joined.drop(joinCols: _*)
         }
         if (needSeq) out = out.drop("_ice_seq")
       }

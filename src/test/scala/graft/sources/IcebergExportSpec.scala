@@ -480,6 +480,30 @@ class IcebergExportSpec extends SparkSpec {
     assert(m.entries.map(_.rows).sum === 100000L * 100L)
   }
 
+  test("equality tombstones keyed on a RENAMED column still apply inside pre-rename files") {
+    val t = LogTable(spark, tmp("ice_eq_ren_"))
+    t.append((0L until 20L).map(i => (i, s"u$i")).toDF("uid", "s"))  // stores 'uid'
+    t.renameColumn("uid", "user_id")                                  // metadata-only
+    t.append((20L until 30L).map(i => (i, s"u$i")).toDF("user_id", "s"))
+    // tombstone keys from BOTH generations under the current name
+    t.deleteEq(Seq(3L, 25L).toDF("user_id"))
+    val live = sortedRows(t.read())
+    assert(t.read().count() === 28L)
+
+    val dest = tmp("ice_eq_ren_out_")
+    IcebergExport.export(t, dest)
+    // the pre-rename file stores the key under 'uid'; the reader must
+    // coalesce the historical name before the tombstone anti-join —
+    // a current-name-only join would read null there and keep uid=3
+    val back = IcebergRead.read(spark, dest)
+    assert(back.filter(col("user_id") === 3L).count() === 0L,
+      "tombstone must reach the pre-rename generation")
+    assert(sortedRows(back) === live)
+    // import leg agrees (graft's own rename-coalescing scan)
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_eq_ren_imp_"))
+    assert(sortedRows(imp.read()) === live)
+  }
+
   test("export after MoR-fold compaction equals the pre-compact live rows") {
     val t = LogTable(spark, tmp("ice_fold_"))
     t.append((0L until 50L).map(i => (i, i % 5)).toDF("id", "g"))
