@@ -911,6 +911,19 @@ object GraftSql {
           Option(m.group(3)).map(_.toLong).getOrElse(t.currentVersion))
       })
     }
+    // iceberg_scan('<path>' [, <snapshot-id>]) — read an Iceberg v2
+    // table (an export of ours, or a foreign one within the supported
+    // subset) directly in SQL: DuckDB's iceberg_scan convention, with
+    // the optional snapshot id for time travel over history exports
+    for (m <- """(?i)iceberg_scan\s*\(\s*'([^']+)'\s*(?:,\s*(\d+)\s*)?\)"""
+        .r.findAllMatchIn(stmt))
+      if (!inLiteral(m.start)) {
+        val view = "iceberg_scan__at_" +
+          java.lang.Integer.toHexString(m.matched.hashCode).replace('-', 'n')
+        IcebergRead.read(spark, m.group(1), Option(m.group(2)).map(_.toLong))
+          .createOrReplaceTempView(view)
+        repls += ((m.start, m.end, view))
+      }
     // t TIMESTAMP AS OF 1704067200000 | 'yyyy-MM-dd HH:mm:ss' (UTC)
     for (m <- """(?i)(\w+)\s+TIMESTAMP\s+AS\s+OF\s+(\d+|'[^']+')""".r.findAllMatchIn(stmt)) {
       val ts = m.group(2) match {

@@ -471,11 +471,30 @@ object IcebergExport {
     }
     root.set[ObjectNode]("partition-specs", specsArr)
     root.put("last-partition-id", if (pfields.isEmpty) 999 else nextPid - 1)
-    root.put("default-sort-order-id", 0)
-    val order = mapper.createObjectNode()
-    order.put("order-id", 0)
-    order.set[ObjectNode]("fields", mapper.createArrayNode())
-    root.set[ObjectNode]("sort-orders", mapper.createArrayNode().add(order))
+    // sort-order fidelity: graft's declared write sort order exports
+    // as Iceberg sort order 1 (identity transform, asc, nulls-first —
+    // the write-local sort graft performs); order 0 stays the
+    // spec-required unsorted order
+    val unsorted = mapper.createObjectNode()
+    unsorted.put("order-id", 0)
+    unsorted.set[ObjectNode]("fields", mapper.createArrayNode())
+    val ordersArr = mapper.createArrayNode().add(unsorted)
+    if (cur.sortCols.nonEmpty) {
+      val so = mapper.createObjectNode()
+      so.put("order-id", 1)
+      val fs = so.putArray("fields")
+      cur.sortCols.foreach { c =>
+        val f = fs.addObject()
+        f.put("transform", "identity")
+        f.put("source-id", ids.of(c))
+        f.put("direction", "asc")
+        f.put("null-order", "nulls-first")
+      }
+      ordersArr.add(so)
+      ()
+    }
+    root.put("default-sort-order-id", if (cur.sortCols.nonEmpty) 1 else 0)
+    root.set[ObjectNode]("sort-orders", ordersArr)
     val props = mapper.createObjectNode()
     props.put("schema.name-mapping.default",
       nameMapping(curSchemaNode, schema).toString)

@@ -504,6 +504,49 @@ class IcebergExportSpec extends SparkSpec {
     assert(sortedRows(imp.read()) === live)
   }
 
+  test("iceberg_scan('<path>' [, v]) reads an Iceberg table in plain SQL (DuckDB's convention)") {
+    val t = LogTable(spark, tmp("ice_fn_"))
+    t.append((0L until 25L).map(i => (i, s"s$i")).toDF("id", "s"))   // v1
+    t.append((25L until 40L).map(i => (i, s"s$i")).toDF("id", "s"))  // v2
+    val dest = tmp("ice_fn_out_")
+    IcebergExport.export(t, dest, history = true)
+    val n = GraftSql.exec(spark,
+      s"SELECT count(*) AS n FROM iceberg_scan('$dest')").head().getLong(0)
+    assert(n === 40L)
+    // snapshot-id arg time-travels the history export
+    val n1 = GraftSql.exec(spark,
+      s"SELECT count(*) AS n FROM iceberg_scan('$dest', 1)").head().getLong(0)
+    assert(n1 === 25L)
+    // composes with ordinary SQL (joins, predicates)
+    val top = GraftSql.exec(spark,
+      s"SELECT s FROM iceberg_scan('$dest') WHERE id >= 38 ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(top === Seq("s38", "s39"))
+    // a literal mentioning iceberg_scan is data, not a call
+    assert(GraftSql.exec(spark,
+      "SELECT 'use iceberg_scan(''x'')' AS note").head().getString(0)
+      .contains("iceberg_scan"))
+  }
+
+  test("declared write sort order exports as Iceberg sort-order 1") {
+    val t = LogTable(spark, tmp("ice_sort_"))
+    t.append((0L until 10L).map(i => (i, i * 2)).toDF("id", "v"))
+    t.setSortOrder(Seq("id"))
+    val dest = tmp("ice_sort_out_")
+    IcebergExport.export(t, dest)
+    val json = new String(Files.readAllBytes(
+      Paths.get(dest).resolve("metadata").resolve("v1.metadata.json")))
+    assert(json.contains("\"default-sort-order-id\":1"))
+    assert(json.contains("\"direction\":\"asc\""))
+    // unsorted tables keep the spec-required order 0
+    val t2 = LogTable(spark, tmp("ice_sort2_"))
+    t2.append(Seq((1L, 2L)).toDF("id", "v"))
+    val d2 = tmp("ice_sort2_out_")
+    IcebergExport.export(t2, d2)
+    assert(new String(Files.readAllBytes(Paths.get(d2).resolve("metadata")
+      .resolve("v1.metadata.json"))).contains("\"default-sort-order-id\":0"))
+  }
+
   test("export after MoR-fold compaction equals the pre-compact live rows") {
     val t = LogTable(spark, tmp("ice_fold_"))
     t.append((0L until 50L).map(i => (i, i % 5)).toDF("id", "g"))
