@@ -1562,8 +1562,11 @@ private[sources] object GraftCdcUtil {
           val added = snap.files.filterNot(f => prevPaths.contains(f.path))
           val removed = prev.files.filterNot(f => curPaths.contains(f.path))
           val prevDelPaths = prev.deletes.map(_.path)
-          val posSame = snap.deletes.map(_.path) == prevDelPaths
-          val eqSame = snap.eqDeletes.map(_.path) == prev.eqDeletes.map(_.path)
+          // set equality: a reordered-but-identical manifest list is the
+          // same delete context (matches marksOn and the cdc case above)
+          val posSame = snap.deletes.map(_.path).toSet == prevDelPaths.toSet
+          val eqSame =
+            snap.eqDeletes.map(_.path).toSet == prev.eqDeletes.map(_.path).toSet
           val eqGcOnly = snap.eqDeletes.map(_.path)
             .forall(p => prev.eqDeletes.exists(_.path == p)) &&
             snap.eqDeletes.size <= prev.eqDeletes.size
