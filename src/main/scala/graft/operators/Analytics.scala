@@ -107,7 +107,9 @@ object Analytics {
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
     t(s, dir, "part")
       .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
-      .withColumn("rnk", row_number().over(w))
+      // long, matching the oracle engine's BIGINT row_number (the
+      // type-strict gate compares result types, not just values)
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy(col("p_brand"), col("rnk"))
   }

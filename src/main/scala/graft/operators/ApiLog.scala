@@ -194,13 +194,14 @@ object ApiLog {
          |  SELECT 'by_type', name, '', count(*), 0 FROM api GROUP BY name
          |  UNION ALL
          |  SELECT 'time_range', '', '', count(*),
-         |    sum(CAST(httpStatusCode AS BIGINT)) FROM rng
+         |    CAST(sum(CAST(httpStatusCode AS BIGINT)) AS BIGINT) FROM rng
          |  UNION ALL
          |  SELECT 'errors', name, CAST(httpStatusCode AS VARCHAR),
          |    count(*), 0 FROM api WHERE httpStatusCode >= 400
          |  GROUP BY name, httpStatusCode
          |  UNION ALL
-         |  SELECT 'latency', name, '', count(*), sum(requestUs)
+         |  SELECT 'latency', name, '', count(*),
+         |    CAST(sum(requestUs) AS BIGINT)
          |  FROM api GROUP BY name)
          |ORDER BY q, a, b, n, v""".stripMargin,
   )

@@ -93,7 +93,9 @@ object LogAnalytics {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("cnt").desc, col("user_id"))
     counts
-      .withColumn("rnk", row_number().over(w))
+      // long, matching the oracle engine's BIGINT row_number (the
+      // type-strict gate compares result types, not just values)
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy(col("event_type"), col("rnk"))
   }

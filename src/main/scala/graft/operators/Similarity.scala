@@ -54,7 +54,9 @@ object Similarity {
     c.join(broadcast(q), col("n_id") =!= col("q_id"))
       .withColumn("key", cosKey(dot(col("q_qv"), col("n_qv")),
         col("q_nrm") * col("n_nrm")))
-      .withColumn("rnk", row_number().over(w))
+      // long, matching the oracle engine's BIGINT row_number (the
+      // type-strict gate compares result types, not just values)
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("n_id"))
       .orderBy(col("q_id"), col("rnk"))

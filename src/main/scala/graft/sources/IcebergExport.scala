@@ -251,27 +251,78 @@ object IcebergExport {
     val partSchema = manifestSchema.getField("data_file").schema()
       .getField("partition").schema()
 
+    /** Write `df` as ONE parquet file under dest/data/ with Iceberg
+      * parquet FIELD IDS stamped in the footer (column metadata key
+      * `parquet.field.id` + the field-id write conf): foreign engines
+      * project delete files by field id, and `schema.name-mapping
+      * .default` is not reliably applied to delete files — id-less
+      * footers would make a real Iceberg engine fail to read them. */
+    def writeDeleteParquet(df: DataFrame, prefix: String): Path = {
+      val dataDir = Paths.get(dest).resolve("data")
+      Files.createDirectories(dataDir)
+      val stage = Files.createTempDirectory("ice_del_stage_")
+      val sess = df.sparkSession
+      val key = "spark.sql.parquet.fieldId.write.enabled"
+      val prev = sess.conf.getOption(key)
+      sess.conf.set(key, "true")
+      try df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      finally prev match {
+        case Some(v) => sess.conf.set(key, v)
+        case None => sess.conf.unset(key)
+      }
+      val src = Files.walk(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("delete stage empty"))
+      val target = dataDir.resolve(
+        s"$prefix-${java.util.UUID.randomUUID()}.parquet")
+      Files.move(src, target)
+      LogTable.deleteRecursively(stage)
+      target
+    }
+    def withFieldId(c: Column, name: String, id: Long): Column =
+      c.as(name, new MetadataBuilder().putLong("parquet.field.id", id).build())
+
     /** The current snapshot's outstanding position-delete marks as an
       * Iceberg position-delete parquet under dest/data/ (None when
       * clean): rows (file_path, pos) sorted per the spec, paths as
-      * recorded in the data manifest entries. */
+      * recorded in the data manifest entries, footer carrying the
+      * spec's reserved field ids (file_path=2147483546,
+      * pos=2147483545). */
     val deleteParquet: Option[(Path, Long)] =
       if (cur.deletes.isEmpty) None
       else {
-        val dataDir = Paths.get(dest).resolve("data")
-        Files.createDirectories(dataDir)
-        val stage = Files.createTempDirectory("ice_del_stage_")
-        val marks = table.marksFrame(cur).orderBy(col("file_path"), col("pos"))
-        marks.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val src = Files.walk(stage).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException("delete stage empty"))
-        val target = dataDir.resolve(
-          s"delete-${java.util.UUID.randomUUID()}.parquet")
-        Files.move(src, target)
-        val n = cur.deletes.map(_.rows).sum
-        LogTable.deleteRecursively(stage)
-        Some((target, n))
+        val marks = table.marksFrame(cur)
+          .select(withFieldId(col("file_path"), "file_path", 2147483546L),
+            withFieldId(col("pos"), "pos", 2147483545L))
+          .orderBy(col("file_path"), col("pos"))
+        val target = writeDeleteParquet(marks, "delete")
+        Some((target, cur.deletes.map(_.rows).sum))
+      }
+
+    /** Equality tombstones re-encode under dest/data with the KEY
+      * columns' schema field ids stamped in the footer, values read
+      * through the historical-physical-name coalesce (a pre-rename
+      * tombstone stores keys under the old column name). The graft
+      * table keeps its own eq files untouched; the export is
+      * self-contained. (rewrittenPath, bytes, equalityIds, rows, seq) */
+    val eqExports: Seq[(String, Long, Seq[Int], Long, Long)] =
+      cur.eqDeletes.map { eq =>
+        val raw = table.spark.read.parquet(eq.path)
+        val cols = eq.cols.map { c =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalStateException(
+              s"equality-delete key column '$c' not in schema"))
+          val cands = (f.name +: LogTable.prevNames(f))
+            .filter(raw.columns.contains(_))
+          require(cands.nonEmpty,
+            s"equality-delete file ${eq.path} stores no column for key '$c'")
+          val v = if (cands.size == 1) col(cands.head)
+            else coalesce(cands.map(col): _*)
+          withFieldId(v, f.name, ids.of(c).toLong)
+        }
+        val target = writeDeleteParquet(raw.select(cols: _*), "eq-delete")
+        (target.toString, Files.size(target), eq.cols.map(c => ids.of(c)),
+          eq.rows, eq.seq)
       }
 
     /** Write one snapshot's manifest + manifest list; returns the
@@ -369,9 +420,8 @@ object IcebergExport {
             }
             // equality tombstones keep their OWN sequence numbers —
             // the strictly-below rule is what scopes them
-            cur.eqDeletes.foreach { eq =>
-              entry(eq.path, 2, eq.rows, eq.bytes, eq.seq,
-                eq.cols.map(c => ids.of(c)))
+            eqExports.foreach { case (path, bytes, eqIds, rows, seq) =>
+              entry(path, 2, rows, bytes, seq, eqIds)
             }
           } finally w.close()
           Some(mp)
@@ -444,9 +494,23 @@ object IcebergExport {
     // ---- table metadata JSON -------------------------------------------
     val lastSeq = math.max(cur.version,
       cur.files.map(_.seq).foldLeft(0L)(math.max))
+    // prior metadata versions in dest (re-export = continuous-mirror
+    // refresh): the NEXT vN chains after them, and the table-uuid
+    // carries FORWARD — a real Iceberg reader (HadoopTables) validates
+    // uuid stability across metadata refreshes, so regenerating per
+    // export would fail a foreign reader's first refresh
+    val MetaRe = "v(\\d+)\\.metadata\\.json".r
+    val prior = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case MetaRe(n) => n.toLong }.toSeq.sorted
+    val tableUuid = prior.lastOption.flatMap { n =>
+      val pm = mapper.readTree(Files.readAllBytes(
+        metaDir.resolve(s"v$n.metadata.json")))
+      Option(pm.get("table-uuid")).map(_.asText())
+    }.getOrElse(java.util.UUID.randomUUID().toString)
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
-    root.put("table-uuid", java.util.UUID.randomUUID().toString)
+    root.put("table-uuid", tableUuid)
     root.put("location", dest)
     root.put("last-sequence-number", lastSeq)
     root.put("last-updated-ms", cur.timestampMs)
@@ -529,11 +593,8 @@ object IcebergExport {
     // the same dest writes the NEXT vN.metadata.json and bumps the
     // hint — the continuous-mirror shape (each ingest batch refreshes
     // the Iceberg view of the table); prior metadata files stay
-    // readable and are chained in metadata-log
-    val MetaRe = "v(\\d+)\\.metadata\\.json".r
-    val prior = Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case MetaRe(n) => n.toLong }.toSeq.sorted
+    // readable and are chained in metadata-log (`prior` scanned above,
+    // where the carried-forward table-uuid is resolved)
     val mv = prior.lastOption.getOrElse(0L) + 1
     val logArr2 = root.withArray[ArrayNode]("metadata-log")
     prior.foreach { n =>
@@ -774,13 +835,41 @@ object IcebergRead {
       .get("fields").elements().asScala.toSeq
     val pnames = specFields.map(_.get("name").asText())
     val listPath = snapNode.get("manifest-list").asText()
-    val manifests = readAvro(listPath).map(r => (
-      r.get("manifest_path").toString, r.get("content").asInstanceOf[Int]))
-    val (deleteManifests, dataManifests) = manifests.partition(_._2 == 1)
+    // manifest-list record: path, content, the manifest's own sequence
+    // number (v2 INHERITANCE source — Iceberg Java writes null entry
+    // sequence numbers for ADDED entries), and its partition_spec_id
+    case class MF(path: String, content: Int, seq: Long, specId: Int)
+    val manifests = readAvro(listPath).map { r =>
+      MF(r.get("manifest_path").toString,
+        r.get("content").asInstanceOf[Int],
+        r.get("sequence_number").asInstanceOf[Long],
+        r.get("partition_spec_id").asInstanceOf[Int])
+    }
+    val (deleteManifests, dataManifests) = manifests.partition(_.content == 1)
     def liveEntries(mp: String): Seq[GenericRecord] =
       readAvro(mp).filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
-    val entries = dataManifests.flatMap { case (mp, _) => liveEntries(mp) }
-      .map { e =>
+    /** v2 sequence-number inheritance: a null entry sequence_number is
+      * legal ONLY for ADDED (status 1) entries and means "inherit the
+      * enclosing manifest-list record's sequence_number". A null on an
+      * EXISTING (status 0) entry is spec-invalid — refuse rather than
+      * guess (a wrong default of 0 would mis-rank the file below every
+      * equality tombstone and silently over-delete). */
+    def entrySeq(e: GenericRecord, mf: MF): Long =
+      Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse {
+        require(e.get("status").asInstanceOf[Int] == 1,
+          s"manifest entry in ${mf.path} has null sequence_number with " +
+            "EXISTING status — spec-invalid, refusing")
+        mf.seq
+      }
+    val entries = dataManifests.flatMap { mf =>
+      // the partition struct parses with the DEFAULT spec's field
+      // names; a manifest written under another spec would silently
+      // read absent fields as null (wrong data) — refuse instead
+      require(mf.specId == specId,
+        s"data manifest ${mf.path} uses partition spec ${mf.specId} " +
+          s"(table default is $specId) — spec-evolved foreign tables " +
+          "are not supported, refusing")
+      liveEntries(mf.path).map { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         require(df.get("file_format").toString == "PARQUET",
           "only PARQUET data files are supported")
@@ -789,11 +878,11 @@ object IcebergRead {
           df.get("record_count").asInstanceOf[Long],
           df.get("file_size_in_bytes").asInstanceOf[Long],
           pnames.map(p => p -> part.get(p)).toMap,
-          Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
-            .getOrElse(0L))
+          entrySeq(e, mf))
       }
-    val deleteFiles = deleteManifests.flatMap { case (mp, _) =>
-      liveEntries(mp).map { e =>
+    }
+    val deleteFiles = deleteManifests.flatMap { mf =>
+      liveEntries(mf.path).map { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         val content = df.get("content").asInstanceOf[Int]
         require(content == 1 || content == 2,
@@ -806,8 +895,7 @@ object IcebergRead {
           case _ => Nil
         }
         IceDelete(df.get("file_path").toString, content,
-          Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
-            .getOrElse(0L), eqIds,
+          entrySeq(e, mf), eqIds,
           df.get("record_count").asInstanceOf[Long])
       }
     }
@@ -843,10 +931,16 @@ object IcebergRead {
     // position deletes (merge-on-read exports): anti-join each scan
     // on (normalized file path, row index) against the delete rows
     val posPaths = m.deleteFiles.filter(_.content == 1).map(_.path)
+    // the delete rows' file_path values normalize EXACTLY like the
+    // scan-side _ice_f below — a foreign writer records file:// URIs
+    // in its position-delete parquets (Iceberg Java does) and a raw
+    // compare would never match, silently resurrecting deleted rows
     val posDeletes: Option[DataFrame] =
       if (posPaths.isEmpty) None
       else Some(spark.read.parquet(posPaths: _*)
-        .select(col("file_path").as("_ice_f"), col("pos").as("_ice_p")))
+        .select(org.apache.spark.sql.functions.regexp_replace(
+          col("file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("_ice_f"),
+          col("pos").as("_ice_p")))
     // equality deletes: keys apply to data files whose sequence is
     // STRICTLY below the delete's (Iceberg's rule — identical to
     // graft's), resolved per row from a broadcast path→seq map

@@ -35,15 +35,28 @@ for name in sorted(oracle):
     if not spark_files:
         fails.append((name, "no spark output"))
         continue
-    got = con.sql(f"SELECT * FROM read_parquet({spark_files!r})").df()
+    got_rel = con.sql(f"SELECT * FROM read_parquet({spark_files!r})")
+    got = got_rel.df()
+    gtypes = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
     try:
-        want = con.sql(sql).df()
+        want_rel = con.sql(sql)
+        want = want_rel.df()
+        wtypes = dict(zip(want_rel.columns, [str(t) for t in want_rel.types]))
     except Exception as e:
         fails.append((name, f"oracle sql error: {e}"))
         continue
     gcols, wcols = sorted(got.columns), sorted(want.columns)
     if gcols != wcols:
         fails.append((name, f"cols differ: spark={gcols} oracle={wcols}"))
+        continue
+    # TYPE-STRICT gate (r11 lesson: DuckDB promoted a sum() to HUGEINT
+    # while Spark emitted BIGINT — pandas value-compare passed but the
+    # driver's type-sensitive hash failed). Compare DuckDB logical
+    # types on both sides so that class of drift fails locally.
+    badtypes = [f"{c}: spark={gtypes[c]} oracle={wtypes[c]}"
+                for c in gcols if gtypes[c] != wtypes[c]]
+    if badtypes:
+        fails.append((name, "dtype mismatch — " + "; ".join(badtypes)))
         continue
     if len(got) != len(want):
         fails.append((name, f"rows differ: spark={len(got)} oracle={len(want)}"))
