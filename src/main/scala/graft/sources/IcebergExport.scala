@@ -70,6 +70,12 @@ import scala.jdk.CollectionConverters._
   */
 object IcebergExport {
 
+  /** Serializes the field-id-conf set/write/restore window in
+    * `writeDeleteParquet` (the conf is session-scoped, not a writer
+    * option) — concurrent exports on one session can't restore each
+    * other's stale value. */
+  private[sources] val fieldIdConfLock = new Object
+
   /** Write Iceberg v2 metadata for `table` under `dest` — the CURRENT
     * snapshot by default, or (with `history = true`) EVERY live
     * snapshot as its own Iceberg snapshot with a snapshot-log, so a
@@ -263,16 +269,27 @@ object IcebergExport {
       val stage = Files.createTempDirectory("ice_del_stage_")
       val sess = df.sparkSession
       val key = "spark.sql.parquet.fieldId.write.enabled"
-      val prev = sess.conf.getOption(key)
-      sess.conf.set(key, "true")
-      try df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      finally prev match {
-        case Some(v) => sess.conf.set(key, v)
-        case None => sess.conf.unset(key)
+      // the field-id conf is session-scoped (ParquetWriteSupport reads
+      // it from the session's SQLConf, not from writer options), so the
+      // set/write/restore window is serialized under a JVM-wide lock:
+      // two concurrent exports can no longer restore each other's stale
+      // value. An unrelated write on the same session that races the
+      // window merely sees the conf enabled, which is a no-op for
+      // schemas that carry no `parquet.field.id` column metadata.
+      IcebergExport.fieldIdConfLock.synchronized {
+        val prev = sess.conf.getOption(key)
+        sess.conf.set(key, "true")
+        try df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        finally prev match {
+          case Some(v) => sess.conf.set(key, v)
+          case None => sess.conf.unset(key)
+        }
       }
-      val src = Files.walk(stage).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException("delete stage empty"))
+      val src = scala.util.Using.resource(Files.walk(stage)) { ws =>
+        ws.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("delete stage empty"))
+      }
       val target = dataDir.resolve(
         s"$prefix-${java.util.UUID.randomUUID()}.parquet")
       Files.move(src, target)
@@ -500,13 +517,28 @@ object IcebergExport {
     // uuid stability across metadata refreshes, so regenerating per
     // export would fail a foreign reader's first refresh
     val MetaRe = "v(\\d+)\\.metadata\\.json".r
-    val prior = Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case MetaRe(n) => n.toLong }.toSeq.sorted
-    val tableUuid = prior.lastOption.flatMap { n =>
+    val prior = scala.util.Using.resource(Files.list(metaDir)) { ls =>
+      ls.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case MetaRe(n) => n.toLong }.toSeq.sorted
+    }
+    // the uuid carries forward ONLY from metadata for the SAME source
+    // table (matched on the graft table root recorded in properties):
+    // exporting a DIFFERENT table into a reused dest must refuse rather
+    // than silently chain two unrelated tables under one uuid — a
+    // foreign reader's refresh would accept the lineage as one table
+    val tableUuid = prior.lastOption.map { n =>
       val pm = mapper.readTree(Files.readAllBytes(
         metaDir.resolve(s"v$n.metadata.json")))
+      val priorRoot = Option(pm.get("properties"))
+        .flatMap(p => Option(p.get("graft.table-root"))).map(_.asText())
+      require(priorRoot.forall(_ == table.root),
+        s"dest '$dest' already holds Iceberg metadata exported from " +
+          s"graft table '${priorRoot.get}' — refusing to chain a " +
+          s"different table ('${table.root}') under its uuid/metadata-" +
+          "log; export to a fresh dest instead")
       Option(pm.get("table-uuid")).map(_.asText())
+        .getOrElse(java.util.UUID.randomUUID().toString)
     }.getOrElse(java.util.UUID.randomUUID().toString)
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -562,6 +594,9 @@ object IcebergExport {
     val props = mapper.createObjectNode()
     props.put("schema.name-mapping.default",
       nameMapping(curSchemaNode, schema).toString)
+    // provenance marker consumed by the uuid carry-forward check above:
+    // a re-export only adopts the prior uuid when this root matches
+    props.put("graft.table-root", table.root)
     root.set[ObjectNode]("properties", props)
     root.put("current-snapshot-id", cur.version)
     val snapsArr = mapper.createArrayNode()
@@ -840,9 +875,21 @@ object IcebergRead {
     // sequence numbers for ADDED entries), and its partition_spec_id
     case class MF(path: String, content: Int, seq: Long, specId: Int)
     val manifests = readAvro(listPath).map { r =>
+      // a v1-written manifest list (e.g. an old snapshot of a
+      // v1-upgraded foreign table reached via time travel) lacks
+      // content/sequence_number — refuse with a diagnostic instead of
+      // a bare NPE from the unboxing cast
+      def longField(name: String): Long =
+        Option(r.get(name)).map(_.asInstanceOf[Long]).getOrElse(
+          throw new IllegalArgumentException(
+            s"manifest list $listPath has no '$name' field — a v1-" +
+              "written manifest list is not supported (only format v2)"))
       MF(r.get("manifest_path").toString,
-        r.get("content").asInstanceOf[Int],
-        r.get("sequence_number").asInstanceOf[Long],
+        Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(
+          throw new IllegalArgumentException(
+            s"manifest list $listPath has no 'content' field — a v1-" +
+              "written manifest list is not supported (only format v2)")),
+        longField("sequence_number"),
         r.get("partition_spec_id").asInstanceOf[Int])
     }
     val (deleteManifests, dataManifests) = manifests.partition(_.content == 1)

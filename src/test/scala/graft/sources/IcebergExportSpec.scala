@@ -547,6 +547,26 @@ class IcebergExportSpec extends SparkSpec {
       .resolve("v1.metadata.json"))).contains("\"default-sort-order-id\":0"))
   }
 
+  test("re-export into a dest holding a DIFFERENT table's metadata refuses; same table carries the uuid forward") {
+    val a = LogTable(spark, tmp("ice_uuid_a_"))
+    a.append(Seq((1L, "x")).toDF("id", "s"))
+    val dest = tmp("ice_uuid_out_")
+    IcebergExport.export(a, dest)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def uuidOf(v: Int): String = mapper.readTree(Files.readAllBytes(
+      Paths.get(dest).resolve("metadata").resolve(s"v$v.metadata.json")))
+      .get("table-uuid").asText()
+    // same table re-exports: vN chains, uuid stable (mirror refresh)
+    a.append(Seq((2L, "y")).toDF("id", "s"))
+    IcebergExport.export(a, dest)
+    assert(uuidOf(1) === uuidOf(2), "uuid carries forward for the same table")
+    // a DIFFERENT table into the same dest refuses instead of chaining
+    val b = LogTable(spark, tmp("ice_uuid_b_"))
+    b.append(Seq((9L, "z")).toDF("id", "s"))
+    val e = intercept[IllegalArgumentException](IcebergExport.export(b, dest))
+    assert(e.getMessage.contains("different table"))
+  }
+
   test("export after MoR-fold compaction equals the pre-compact live rows") {
     val t = LogTable(spark, tmp("ice_fold_"))
     t.append((0L until 50L).map(i => (i, i % 5)).toDF("id", "g"))
