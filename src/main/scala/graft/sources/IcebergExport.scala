@@ -840,6 +840,15 @@ object IcebergRead {
       metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
     val meta = mapper.readTree(Files.readAllBytes(
       metaDir.resolve(s"v$hint.metadata.json")))
+    loadMeta(meta, snapshotId)
+  }
+
+  /** Parse from an already-fetched table-metadata node — the entry
+    * point for metadata served over the REST catalog protocol
+    * ([[IcebergRestCatalog]]), where the JSON arrives inline in the
+    * LoadTableResult instead of from a version-hint file walk. */
+  private[sources] def loadMeta(meta: com.fasterxml.jackson.databind.JsonNode,
+      snapshotId: Option[Long] = None): IceMeta = {
     require(meta.get("format-version").asInt() == 2,
       "only Iceberg format-version 2 is supported")
     val snapId = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
@@ -951,8 +960,13 @@ object IcebergRead {
   }
 
   def read(spark: SparkSession, dest: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
-    val m = load(dest, versionAsOf)
+      versionAsOf: Option[Long] = None): DataFrame =
+    readMeta(spark, load(dest, versionAsOf))
+
+  /** The scan half of [[read]], over an already-parsed [[IceMeta]] —
+    * shared with the REST-catalog read path, where the metadata came
+    * over HTTP rather than from the version-hint walk. */
+  private[sources] def readMeta(spark: SparkSession, m: IceMeta): DataFrame = {
     val schema = m.schema
     case class IdField(pname: String, column: String, dt: DataType)
     val identity = m.specFields

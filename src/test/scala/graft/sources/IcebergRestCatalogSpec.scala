@@ -1,0 +1,122 @@
+package graft.sources
+
+import graft.SparkSpec
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** [[IcebergRestCatalog]]: a foreign reader must be able to discover
+  * and load the exported table purely through the public REST catalog
+  * routes — config → namespaces → table list → LoadTableResult — and
+  * then read rows from the metadata the wire carried (never touching
+  * graft's manifest or the version-hint file itself). */
+class IcebergRestCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+
+  private def get(url: String): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  test("full REST walk: discover, load, and read the exported table over HTTP only") {
+    val t = LogTable(spark, tmp("ice_rest_src_"))
+    t.append((0L until 40L).map(i => (i, s"s$i")).toDF("id", "s"))
+    val dest = tmp("ice_rest_out_")
+    IcebergExport.export(t, dest)
+
+    val cat = IcebergRestCatalog.start()
+    try {
+      cat.register("logs", "api_requests", dest)
+
+      // 1. config
+      val (cc, cb) = get(s"${cat.uri}/v1/config")
+      assert(cc === 200)
+      assert(mapper.readTree(cb).has("defaults"))
+
+      // 2. namespace discovery
+      val (nc, nb) = get(s"${cat.uri}/v1/namespaces")
+      assert(nc === 200)
+      val nss = mapper.readTree(nb).get("namespaces")
+      assert(nss.size() === 1 && nss.get(0).get(0).asText() === "logs")
+
+      // 3. table discovery under the namespace
+      val (tc, tb) = get(s"${cat.uri}/v1/namespaces/logs/tables")
+      assert(tc === 200)
+      val ids = mapper.readTree(tb).get("identifiers")
+      assert(ids.size() === 1 && ids.get(0).get("name").asText() === "api_requests")
+
+      // 4. LoadTableResult: metadata arrives INLINE on the wire
+      val (lc, lb) = get(s"${cat.uri}/v1/namespaces/logs/tables/api_requests")
+      assert(lc === 200)
+      val load = mapper.readTree(lb)
+      assert(load.get("metadata-location").asText().endsWith("v1.metadata.json"))
+      val meta = load.get("metadata")
+      assert(meta.get("format-version").asInt() === 2)
+
+      // 5. read rows from the HTTP-served metadata — no version-hint
+      // walk, no graft manifest
+      val back = IcebergRead.readMeta(spark, IcebergRead.loadMeta(meta))
+      assert(back.collect().map(_.toString).sorted.toSeq ===
+        t.read().collect().map(_.toString).sorted.toSeq)
+    } finally cat.close()
+  }
+
+  test("mirror refresh is visible on the next REST load without a server restart") {
+    val t = LogTable(spark, tmp("ice_rest_mir_"))
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    val dest = tmp("ice_rest_mir_out_")
+    IcebergExport.export(t, dest)
+    val cat = IcebergRestCatalog.start()
+    try {
+      cat.register("ns", "t", dest)
+      def loadedRows(): Long = {
+        val (_, b) = get(s"${cat.uri}/v1/namespaces/ns/tables/t")
+        val meta = mapper.readTree(b).get("metadata")
+        IcebergRead.readMeta(spark, IcebergRead.loadMeta(meta)).count()
+      }
+      assert(loadedRows() === 1L)
+      t.append(Seq((2L, "b")).toDF("id", "s"))
+      IcebergExport.export(t, dest) // v2.metadata.json, hint bumped
+      assert(loadedRows() === 2L, "re-export visible on next load")
+    } finally cat.close()
+  }
+
+  test("error model: unknown table/namespace answer 404 with the spec's envelope; writes are refused") {
+    val t = LogTable(spark, tmp("ice_rest_err_"))
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    val dest = tmp("ice_rest_err_out_")
+    IcebergExport.export(t, dest)
+    val cat = IcebergRestCatalog.start()
+    try {
+      cat.register("ns", "t", dest)
+      val (c1, b1) = get(s"${cat.uri}/v1/namespaces/ns/tables/missing")
+      assert(c1 === 404)
+      assert(mapper.readTree(b1).get("error").get("type").asText() ===
+        "NoSuchTableException")
+      val (c2, _) = get(s"${cat.uri}/v1/namespaces/nope/tables")
+      assert(c2 === 404)
+      // HEAD existence probe
+      val head = http.send(HttpRequest.newBuilder(
+          URI.create(s"${cat.uri}/v1/namespaces/ns/tables/t"))
+        .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.discarding())
+      assert(head.statusCode() === 200)
+      // write routes refuse: this is a read-only interop endpoint
+      val post = http.send(HttpRequest.newBuilder(
+          URI.create(s"${cat.uri}/v1/namespaces/ns/tables"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post.statusCode() === 404)
+      assert(mapper.readTree(post.body()).get("error").get("code").asInt() === 404)
+      // registering a non-export refuses client-side
+      intercept[IllegalArgumentException](cat.register("ns", "bad", tmp("not_an_export_")))
+    } finally cat.close()
+  }
+}
