@@ -251,7 +251,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "identity" => partCols += col(t)
         case "days" | "day" => hidden += Transform.day(col(t))
         case "hours" | "hour" => hidden += Transform.hour(col(t))
-        case "bucket" => hidden += Transform.bucket(num(t).toInt, col(t))
+        // catalog-DDL `bucket` is the Iceberg-spec murmur3 bucket
+        // (SPJ-reportable, Iceberg-exportable); `xxbucket` names the
+        // legacy xxhash64 kind explicitly
+        case "bucket" | "mbucket" => hidden += Transform.mbucket(num(t).toInt, col(t))
+        case "xxbucket" => hidden += Transform.bucket(num(t).toInt, col(t))
         case "truncate" => hidden += Transform.truncate(num(t), col(t))
         case other => throw new UnsupportedOperationException(
           s"unsupported partition transform '$other' (supported: identity " +

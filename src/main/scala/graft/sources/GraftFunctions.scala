@@ -27,13 +27,21 @@ private[sources] object GraftFunctions {
   def v2Name(kind: String): String = kind match {
     case "hour" => "hours"
     case "day" => "days"
-    case other => other // bucket, truncate
+    case "mbucket" => "bucket"  // the murmur3 bucket IS v2 `bucket`
+    case "bucket" => "xxbucket" // legacy xxhash64 kind, explicit name
+    case other => other // truncate
   }
 
-  val names: Seq[String] = Seq("bucket", "hours", "days", "truncate")
+  val names: Seq[String] = Seq("bucket", "xxbucket", "hours", "days", "truncate")
 
   def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
-    case "bucket" => Some(BucketUnbound)
+    // `bucket` (and its explicit alias `mbucket`) is the Iceberg-spec
+    // murmur3 bucket — the function Spark resolves for an SPJ over
+    // mbucket layouts, so it MUST match what those layouts were
+    // written with. The legacy xxhash64 kind answers to `xxbucket`
+    // only (its layouts report no SPJ claim — see SpjLayout.of).
+    case "bucket" | "mbucket" => Some(MBucketUnbound)
+    case "xxbucket" => Some(XxBucketUnbound)
     case "hours" => Some(HoursUnbound)
     case "days" => Some(DaysUnbound)
     case "truncate" => Some(TruncateUnbound)
@@ -46,19 +54,22 @@ private[sources] object GraftFunctions {
         s"(${in.fields.map(_.dataType).mkString(", ")}) — graft transform " +
         "sources are LongType by construction")
 
-  /** bucket(n, col): `pmod(xxhash64(col), n)` — [[Transform.derive]]. */
-  private object BucketUnbound extends UnboundFunction {
-    override def name(): String = "bucket"
+  /** xxbucket(n, col): the LEGACY graft bucket,
+    * `pmod(xxhash64(col), n)` — [[Transform.derive]] for kind
+    * `bucket`. Kept loadable for completeness; xx layouts report no
+    * SPJ claim, so nothing resolves it on the join path. */
+  private object XxBucketUnbound extends UnboundFunction {
+    override def name(): String = "xxbucket"
     override def description(): String =
-      "bucket(n, col) - graft hash bucket: pmod(xxhash64(col), n)"
+      "xxbucket(n, col) - legacy graft hash bucket: pmod(xxhash64(col), n)"
     override def bind(inputType: StructType): BoundFunction = {
-      requireTypes("bucket", inputType, Seq(IntegerType, LongType))
-      BucketBound
+      requireTypes("xxbucket", inputType, Seq(IntegerType, LongType))
+      XxBucketBound
     }
   }
-  private object BucketBound extends ScalarFunction[java.lang.Long] {
-    override def name(): String = "bucket"
-    override def canonicalName(): String = "graft.bucket"
+  private object XxBucketBound extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "xxbucket"
+    override def canonicalName(): String = "graft.xxbucket"
     override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
     override def resultType(): DataType = LongType
     override def produceResult(row: InternalRow): java.lang.Long =
@@ -66,6 +77,34 @@ private[sources] object GraftFunctions {
       else {
         val n = row.getInt(0).toLong
         ((XxHash64Function.hash(row.getLong(1), LongType, 42L) % n) + n) % n
+      }
+  }
+
+  /** mbucket(n, col): the Iceberg-spec bucket —
+    * `(murmur3_x86_32(col, seed 0) & MaxInt) % n` ([[Transform.derive]]
+    * for kind `mbucket`; identical to Iceberg's SparkFunctions bucket,
+    * so an SPJ against a genuinely-Iceberg-bucketed dataset would
+    * co-locate the same keys). */
+  private object MBucketUnbound extends UnboundFunction {
+    override def name(): String = "mbucket"
+    override def description(): String =
+      "mbucket(n, col) - Iceberg-spec bucket: (murmur3_x86_32(col) & MaxInt) % n"
+    override def bind(inputType: StructType): BoundFunction = {
+      requireTypes("mbucket", inputType, Seq(IntegerType, LongType))
+      MBucketBound
+    }
+  }
+  private object MBucketBound extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "mbucket"
+    override def canonicalName(): String = "graft.mbucket"
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = LongType
+    override def produceResult(row: InternalRow): java.lang.Long =
+      if (row.isNullAt(1)) null
+      else {
+        val n = row.getInt(0)
+        ((org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(row.getLong(1), LongType, 0L).toInt & Int.MaxValue) % n).toLong
       }
   }
 
@@ -165,9 +204,20 @@ private[sources] object SpjLayout {
           })
       }
     if (identity.exists(_.isEmpty)) return None
+    // the LEGACY xxhash64 bucket kind reports NO layout: Spark's SPJ
+    // machinery special-cases only the transform NAMED `bucket`
+    // (its numBuckets literal moves into TransformExpression's
+    // numBucketsOpt; any other name keeps the literal as an argument
+    // and KeyGroupedPartitioning.satisfies rejects multi-leaf
+    // expressions), and that name now resolves to the murmur3
+    // function — an xxhash64 layout claiming it would co-locate WRONG
+    // rows. Degrade to no-claim, the rule everywhere in this file.
+    if (snap.transforms.exists(_.kind == "bucket")) return None
     val hidden: Seq[(String, DataType, VExpression)] = snap.transforms.map { t =>
       val expr: VExpression = t.kind match {
-        case "bucket" => Expressions.bucket(t.n.toInt, t.source)
+        // the Iceberg-spec murmur3 bucket rides Spark's special-cased
+        // `bucket` transform — the only shape that engages SPJ
+        case "mbucket" => Expressions.bucket(t.n.toInt, t.source)
         case "hour" => Expressions.hours(t.source)
         case "day" => Expressions.days(t.source)
         case "truncate" => Expressions.apply("truncate",

@@ -316,14 +316,19 @@ object GraftSql {
     val plain = scala.collection.mutable.ListBuffer[String]()
     val trans = scala.collection.mutable.ListBuffer[Transform]()
     val OneArg = """(?i)^(day|hour)\s*\(\s*(\w+)\s*\)$""".r
-    val TwoArg = """(?i)^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$""".r
+    val TwoArg = """(?i)^(bucket|mbucket|xxbucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$""".r
     splitTopLevel(specs, ',').map(_.trim).filter(_.nonEmpty).foreach {
       case OneArg(kind, c) =>
         trans += (if (kind.equalsIgnoreCase("day")) Transform.day(c)
           else Transform.hour(c))
       case TwoArg(kind, n, c) =>
-        trans += (if (kind.equalsIgnoreCase("bucket")) Transform.bucket(n.toInt, c)
-          else Transform.truncate(n.toLong, c))
+        // `bucket` on the SQL surfaces IS the Iceberg-spec murmur3
+        // bucket (what a user of the reference's ecosystem means by
+        // bucket DDL — SPJ-reportable and Iceberg-exportable);
+        // `xxbucket` names the legacy xxhash64 kind explicitly
+        trans += (if (kind.equalsIgnoreCase("xxbucket")) Transform.bucket(n.toInt, c)
+          else if (kind.equalsIgnoreCase("truncate")) Transform.truncate(n.toLong, c)
+          else Transform.mbucket(n.toInt, c))
       case c if c.matches("\\w+") => plain += c
       case other => throw new IllegalArgumentException(
         s"unsupported partition spec '$other' (supported: day(c), hour(c), " +

@@ -118,9 +118,11 @@ object IcebergExport {
     // manifest bound to the dedicated unpartitioned spec; only the
     // all-clean history mode refuses them (checked above).
     require(!cur.transforms.exists(_.kind == "bucket"),
-      "cannot export a bucket layout: graft buckets by xxhash64, " +
-        "Iceberg by murmur3 — a foreign engine would prune with the " +
-        "wrong hash. Migrate the layout (evolveSpec + compact) first")
+      "cannot export an xxhash64 bucket layout: Iceberg buckets by " +
+        "murmur3 — a foreign engine would prune with the wrong hash. " +
+        "Declare the layout with Transform.mbucket (the Iceberg-spec " +
+        "murmur3 bucket, which exports exactly) or migrate " +
+        "(evolveSpec + compact) first")
     require(snaps.forall(sn =>
         sn.partCols == cur.partCols && sn.transforms == cur.transforms),
       "history export needs ONE partition spec across the lineage " +
@@ -172,20 +174,27 @@ object IcebergExport {
     }
     val transformFields = cur.transforms.map { t =>
       val srcId = ids.of(t.source)
-      val (tr, conv): (String, String => Any) = t.kind match {
+      val (tr, rt, conv): (String, DataType, String => Any) = t.kind match {
         // graft stores the day/hour INDEX as the dir value; Iceberg
         // truncate[W] stores index*W — same grouping, same floor
         // arithmetic on the non-negative µs-epoch domain
-        case "day" => ("truncate[86400000000]",
+        case "day" => ("truncate[86400000000]", LongType,
           s => java.lang.Long.valueOf(s.toLong * 86400000000L))
-        case "hour" => ("truncate[3600000000]",
+        case "hour" => ("truncate[3600000000]", LongType,
           s => java.lang.Long.valueOf(s.toLong * 3600000000L))
-        case "truncate" => (s"truncate[${t.n}]", parseLong)
+        case "truncate" => (s"truncate[${t.n}]", LongType, parseLong)
+        // mbucket IS Iceberg's bucket (murmur3_x86_32 & MaxInt % n, the
+        // spec hash) — the stored index exports verbatim as the spec's
+        // int-typed bucket value, and a foreign engine prunes
+        // identically. (xxhash64 `bucket` still refuses above.)
+        case "mbucket" => (s"bucket[${t.n}]", IntegerType,
+          s => Integer.valueOf(s.toInt))
         case other => throw new IllegalArgumentException(
           s"unsupported transform '$other' for Iceberg export")
       }
-      val pf = PField(s"${t.source}_${t.kind}", tr, srcId, nextPid,
-        LongType, t.colName, conv)
+      val name = if (t.kind == "mbucket") s"${t.source}_bucket"
+        else s"${t.source}_${t.kind}"
+      val pf = PField(name, tr, srcId, nextPid, rt, t.colName, conv)
       nextPid += 1; pf
     }
     val pfields = identityFields ++ transformFields
@@ -1166,6 +1175,7 @@ object IcebergImport {
     // truncate transform (identical floor arithmetic and stored
     // values); anything else refuses
     val TruncRe = "truncate\\[(\\d+)\\]".r
+    val BucketRe = "bucket\\[(\\d+)\\]".r
     case class SpecCol(pname: String, graftKey: String,
         partCol: Option[String], transform: Option[Transform])
     val specCols = m.specFields.map { f =>
@@ -1176,9 +1186,23 @@ object IcebergImport {
         case TruncRe(w) =>
           val t = Transform(source, "truncate", w.toLong)
           SpecCol(pname, t.colName, None, Some(t))
+        case BucketRe(n) =>
+          // Iceberg's bucket is murmur3_x86_32 & MaxInt % n — exactly
+          // graft's mbucket, so the foreign layout imports EXACTLY:
+          // the manifest's stored bucket indexes equal what graft
+          // re-derives, and point-lookup pruning applies immediately.
+          // Long sources only (graft's transform domain): Iceberg
+          // hashes strings/decimals over different byte encodings that
+          // graft's long-domain derive would silently mis-prune
+          require(m.schema.fields.find(_.name == source)
+              .exists(_.dataType == LongType),
+            s"cannot import bucket[$n] over non-long source '$source' " +
+              "exactly (graft transform sources are LongType) — refusing")
+          val t = Transform(source, "mbucket", n.toLong)
+          SpecCol(pname, t.colName, None, Some(t))
         case other => throw new IllegalArgumentException(
           s"cannot import partition transform '$other' exactly " +
-            "(identity and truncate[W] are supported) — refusing")
+            "(identity, truncate[W] and bucket[N] are supported) — refusing")
       }
     }
     def plain(p: String): String =

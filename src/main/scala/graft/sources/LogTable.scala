@@ -183,7 +183,7 @@ final case class DeleteFile(path: String, bytes: Long,
 final case class Transform(source: String, kind: String, n: Long) {
   /** The synthetic directory-key column name (never a data column). */
   def colName: String = s"_p_${source}_$kind"
-  def monotonic: Boolean = kind != "bucket"
+  def monotonic: Boolean = kind != "bucket" && kind != "mbucket"
   /** Derived value as a Column over the source column — INTEGRAL
     * arithmetic only (`div`, `pmod`): float division would drift from
     * [[derive]] at µs magnitudes and silently mis-prune. Sources must
@@ -196,6 +196,19 @@ final case class Transform(source: String, kind: String, n: Long) {
       case "day" => expr(s"$source div 86400000000L")
       case "truncate" => expr(s"($source div ${n}L) * ${n}L")
       case "bucket" => expr(s"pmod(xxhash64($source), ${n}L)")
+      case "mbucket" =>
+        // Iceberg-spec bucket: (murmur3_x86_32(v, seed 0) & MaxInt) % n.
+        // Spark's codegen'd Murmur3Hash over a LongType child IS the
+        // spec hash (two little-endian int blocks, fmix len 8) — only
+        // the seed differs from SQL hash()'s fixed 42, hence the
+        // direct-expression construction.
+        import org.apache.spark.sql.functions.lit
+        val h = org.apache.spark.sql.GraftBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+            Seq(org.apache.spark.sql.GraftBridge.expression(
+              org.apache.spark.sql.functions.col(source))), 0))
+        (h.bitwiseAND(lit(Int.MaxValue)) % lit(n.toInt))
+          .cast(org.apache.spark.sql.types.LongType)
     }
   }
   /** Derived value for a literal (what the reader prunes with) — the
@@ -211,6 +224,10 @@ final case class Transform(source: String, kind: String, n: Long) {
       // Spark's xxhash64 with its default seed 42 over a LongType value
       ((org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         v, org.apache.spark.sql.types.LongType, 42L) % n) + n) % n
+    case "mbucket" =>
+      ((org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+        v, org.apache.spark.sql.types.LongType, 0L).toInt
+        & Int.MaxValue) % n.toInt).toLong
   }
 }
 
@@ -225,6 +242,13 @@ object Transform {
   /** Hash bucketing into `n` buckets (point-lookup pruning). */
   def bucket(n: Int, source: String): Transform =
     Transform(source, "bucket", n.toLong)
+  /** Iceberg-compatible hash bucketing (murmur3_x86_32, the public
+    * Iceberg spec's bucket transform): same point-lookup pruning as
+    * [[bucket]], AND the layout crosses the Iceberg seam — exports as
+    * `bucket[n]` a foreign engine prunes identically, and foreign
+    * `bucket[n]` specs import exactly. */
+  def mbucket(n: Int, source: String): Transform =
+    Transform(source, "mbucket", n.toLong)
 }
 
 /** One committed snapshot: the COMPLETE list of data files visible at

@@ -71,9 +71,17 @@ class GraftSpjSpec extends SparkSpec {
     val trunc = GraftFunctions.load("truncate").get
       .bind(StructType(Seq(StructField("w", LongType), StructField("v", LongType))))
       .asInstanceOf[ScalarFunction[java.lang.Long]]
+    val xxbucket = GraftFunctions.load("xxbucket").get
+      .bind(StructType(Seq(StructField("n", IntegerType), StructField("v", LongType))))
+      .asInstanceOf[ScalarFunction[java.lang.Long]]
     samples.foreach { v =>
+      // v2 `bucket` is the murmur3 (Iceberg-spec) bucket — what
+      // mbucket layouts are written with; the legacy xxhash64 kind
+      // answers to `xxbucket`
       assert(bucket.produceResult(new GenericInternalRow(Array[Any](8, v)))
-        === Transform.bucket(8, "x").derive(v), s"bucket($v)")
+        === Transform.mbucket(8, "x").derive(v), s"bucket($v)")
+      assert(xxbucket.produceResult(new GenericInternalRow(Array[Any](8, v)))
+        === Transform.bucket(8, "x").derive(v), s"xxbucket($v)")
       assert(hours.produceResult(new GenericInternalRow(Array[Any](v)))
         === Transform.hour("x").derive(v), s"hours($v)")
       assert(days.produceResult(new GenericInternalRow(Array[Any](v)))
@@ -125,6 +133,33 @@ class GraftSpjSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("same-mbucket-layout join (Iceberg-spec bucket) plans ZERO shuffles") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE spj.db.mfacts (id BIGINT, v BIGINT)
+        |PARTITIONED BY (mbucket(4, id))""".stripMargin)
+    spark.sql(
+      """CREATE TABLE spj.db.mdims (id BIGINT, w BIGINT)
+        |PARTITIONED BY (mbucket(4, id))""".stripMargin)
+    (0L until 200L).map(i => (i % 50, i)).toDF("id", "v")
+      .createOrReplaceTempView("spj_mf")
+    (0L until 50L).map(i => (i, i * 10)).toDF("id", "w")
+      .createOrReplaceTempView("spj_md")
+    spark.sql("INSERT INTO spj.db.mfacts SELECT * FROM spj_mf")
+    spark.sql("INSERT INTO spj.db.mdims SELECT * FROM spj_md")
+    withSpj {
+      val j = spark.sql(
+        """SELECT f.id, f.v, d.w FROM spj.db.mfacts f
+          |JOIN spj.db.mdims d ON f.id = d.id""".stripMargin)
+      val rows = j.collect()
+      assert(rows.length === 200)
+      assert(rows.forall(r => r.getLong(2) === r.getLong(0) * 10))
+      assert(shuffles(j) === 0,
+        s"expected a storage-partitioned join with zero exchanges:\n" +
+          j.queryExecution.executedPlan)
     }
   }
 

@@ -195,13 +195,27 @@ class IcebergExportSpec extends SparkSpec {
     t.append((0L until 10L).map(i => (i, i * 86400000000L)).toDF("id", "ts_us"))
     val ice = tmp("ice_impref_out_")
     IcebergExport.export(t, ice)
-    // a foreign writer's bucket layout: rewrite the spec in place
+    // a foreign writer's year layout (no µs-long source to prune on):
+    // rewrite the spec in place
     val mp = Paths.get(ice).resolve("metadata").resolve("v1.metadata.json")
     Files.writeString(mp, Files.readString(mp)
-      .replace("truncate[86400000000]", "bucket[8]"))
+      .replace("truncate[86400000000]", "year"))
     val e = intercept[IllegalArgumentException](
       IcebergImport.importTable(spark, ice, tmp("ice_impref_dest_")))
-    assert(e.getMessage.contains("bucket"))
+    assert(e.getMessage.contains("year"))
+
+    // bucket[N] over a NON-LONG source refuses: Iceberg hashes string
+    // bytes, graft's long-domain derive would silently mis-prune
+    val ts = LogTable(spark, tmp("ice_impref_s_"), partitionBy = Seq("k"))
+    ts.append((0L until 6L).map(i => (i, s"g${i % 2}")).toDF("id", "k"))
+    val ice2 = tmp("ice_impref_s_out_")
+    IcebergExport.export(ts, ice2)
+    val mp2 = Paths.get(ice2).resolve("metadata").resolve("v1.metadata.json")
+    Files.writeString(mp2, Files.readString(mp2)
+      .replace("\"transform\":\"identity\"", "\"transform\":\"bucket[4]\""))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergImport.importTable(spark, ice2, tmp("ice_impref_s_dest_")))
+    assert(e2.getMessage.contains("non-long"))
   }
 
   test("SQL routes: CALL export_iceberg / import_iceberg on both surfaces") {
@@ -565,6 +579,59 @@ class IcebergExportSpec extends SparkSpec {
     b.append(Seq((9L, "z")).toDF("id", "s"))
     val e = intercept[IllegalArgumentException](IcebergExport.export(b, dest))
     assert(e.getMessage.contains("different table"))
+  }
+
+  test("mbucket is the Iceberg-spec bucket: test vector, write/derive parity, export + foreign-prune parity, import") {
+    // the public Iceberg spec's 32-bit hash test vector: long 34
+    // hashes to 2017239379 (Appendix B) — pins seed 0 + little-endian
+    // long blocks, the exact arithmetic a foreign engine prunes with
+    val t8 = Transform.mbucket(8, "id")
+    assert(t8.derive(34L) === (2017239379 & Int.MaxValue) % 8)
+    // column (codegen'd Murmur3Hash) and derive (driver literal) agree
+    val ids = Seq(0L, 1L, 34L, -1L, Long.MaxValue, Long.MinValue, 123456789L)
+    val derived = ids.toDF("id").select(col("id"), t8.column.as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(i => assert(derived(i) === t8.derive(i), s"id=$i"))
+
+    // an mbucket table EXPORTS (the xxhash64 refusal does not apply)
+    val t = LogTable(spark, tmp("ice_mb_"), hiddenBy = Seq(Transform.mbucket(8, "id")))
+    t.append((0L until 64L).map(i => (i, s"s$i")).toDF("id", "s"))
+    val dest = tmp("ice_mb_out_")
+    IcebergExport.export(t, dest)
+    val json = new String(Files.readAllBytes(
+      Paths.get(dest).resolve("metadata").resolve("v1.metadata.json")))
+    assert(json.contains("\"transform\":\"bucket[8]\""))
+    assert(sortedRows(IcebergRead.read(spark, dest)) === sortedRows(t.read()))
+
+    // FOREIGN-PRUNE PARITY: a spec reader doing a point lookup keeps
+    // only manifest entries whose bucket value equals the spec hash of
+    // the key — those files must contain the row, and the pruned set
+    // must agree with graft's own manifest pruning
+    val m = IcebergRead.load(dest)
+    val key = 34L
+    val want = t8.derive(key)
+    val kept = m.entries.filter(_.part.get("id_bucket").exists(
+      _.asInstanceOf[Number].longValue() === want))
+    assert(kept.nonEmpty && kept.size < m.entries.size, "prune must bound the file set")
+    val hit = spark.read.parquet(kept.map(_.path): _*).filter(col("id") === key)
+    assert(hit.count() === 1L, "point lookup lands in the pruned bucket")
+    val graftKept = t.snapshot().files.filter(_.partitions.get(t8.colName)
+      .contains(want.toString)).map(_.path).toSet
+    assert(kept.map(_.path).toSet === graftKept, "foreign and graft prune agree")
+
+    // IMPORT the other way: a bucket[8] spec becomes graft mbucket,
+    // values verbatim, pruning immediate
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_mb_imp_"))
+    assert(imp.hiddenBy === Seq(Transform.mbucket(8, "id")))
+    assert(sortedRows(imp.read()) === sortedRows(t.read()))
+    assert(imp.read().filter(col("id") === key).count() === 1L)
+
+    // the legacy xxhash64 bucket still refuses, pointing at mbucket
+    val xb = LogTable(spark, tmp("ice_xb_"), hiddenBy = Seq(Transform.bucket(8, "id")))
+    xb.append((0L until 8L).map(i => (i, s"x$i")).toDF("id", "s"))
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.export(xb, tmp("ice_xb_out_")))
+    assert(e.getMessage.contains("mbucket"))
   }
 
   test("export after MoR-fold compaction equals the pre-compact live rows") {

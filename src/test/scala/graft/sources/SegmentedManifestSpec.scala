@@ -446,9 +446,23 @@ class SegmentedManifestSpec extends SparkSpec {
 
   test("SpjLayout answered from the pointer equals the file-list fallback") {
     withCap(2) {
-      val (root, _) = segmentedPartitioned()
+      // a REPORTABLE layout (mbucket — the legacy xxhash64 kind claims
+      // no SPJ layout by design), same homogeneous-segment shape as
+      // segmentedPartitioned()
+      val root = Files.createTempDirectory("graft-segmb-").resolve("t")
+      val tb = LogTable(spark, root.toString, partitionBy = Seq("k"),
+        hiddenBy = Seq(Transform.day("ts_us"), Transform.mbucket(4, "v")))
+      def dfk(k: String, day: Int, v: Long) =
+        Seq((k, day * 86400000000L, v)).toDF("k", "ts_us", "v")
+      Seq(("a", 0), ("b", 1), (null: String, 2)).foreach { case (k, day) =>
+        tb.append(dfk(k, day, 7L)); tb.append(dfk(k, day, 7L))
+      }
       val snap = LogTable(spark, root.toString).snapshot()
       assert(snap.readMeta.isDefined)
+      // the legacy xx-bucket fixture refuses to claim a layout at all
+      val (xroot, _) = segmentedPartitioned()
+      assert(SpjLayout.of(LogTable(spark, xroot.toString).snapshot()).isEmpty,
+        "xxhash64 bucket layouts must not claim SPJ co-partitioning")
       val fromMeta = SpjLayout.of(snap)
       val fromFiles = SpjLayout.of(snap.copy(readMeta = None))
       assert(fromMeta.isDefined && fromFiles.isDefined)
