@@ -36,8 +36,10 @@ import scala.jdk.CollectionConverters._
   *     graft's own). On partitioned tables the delete manifest binds
   *     to a dedicated UNPARTITIONED spec — spec-legal, since both
   *     delete forms match exactly (path+pos / key+seq) and partition
-  *     scoping is only a pruning nicety. History export still needs
-  *     an all-clean lineage (compact() folds the debt first).
+  *     scoping is only a pruning nicety. History mode carries the
+  *     debt per snapshot: each dirty snapshot's manifest list links
+  *     its own delete manifest, so foreign time travel sees exactly
+  *     the MoR state graft's own timeTravel sees.
   *   - `bucket` layouts refuse: graft buckets by xxhash64, Iceberg by
   *     murmur3_x86_32 — exporting the transform would make a foreign
   *     engine prune with the WRONG hash and silently drop files from
@@ -82,14 +84,19 @@ object IcebergExport {
     * foreign engine can TIME TRAVEL the exported table exactly as
     * graft does. Returns the path of the metadata JSON written.
     *
-    * History export stays exact-or-refuse: every live snapshot must
-    * be clean (COW lineages qualify; MoR marks refuse), the partition
-    * spec must be constant across the lineage (spec evolution means
-    * mixed layouts — export current-only or compact-migrate first),
-    * and schema evolution across history is supported for FLAT
-    * schemas (graft's stable per-field ids make flat ids stable
-    * across versions; nested member ids are only allocated for the
-    * current schema, so a nested+evolving lineage refuses). */
+    * History export carries merge-on-read state PER SNAPSHOT: each
+    * dirty snapshot gets its own delete manifest (position marks as a
+    * spec-sorted delete parquet, cached per distinct mark-set;
+    * equality tombstones re-encoded once per source file with their
+    * sequence numbers), so a CDC-busy lineage time-travels in a
+    * foreign engine without compacting first. Still exact-or-refuse:
+    * the partition spec must be constant across the lineage (spec
+    * evolution means mixed layouts — export current-only or
+    * compact-migrate first), and schema evolution across history is
+    * supported for FLAT schemas (graft's stable per-field ids make
+    * flat ids stable across versions; nested member ids are only
+    * allocated for the current schema, so a nested+evolving lineage
+    * refuses). */
   def export(table: LogTable, dest: String, history: Boolean = false): Path = {
     val versions =
       if (history) table.versions.sorted else Seq(table.currentVersion)
@@ -97,26 +104,14 @@ object IcebergExport {
     val cur = snaps.last
     require(cur.schemaJson.nonEmpty,
       "cannot export a table with no declared schema")
-    snaps.foreach { sn =>
-      require(!history || sn.deletes.isEmpty,
-        s"cannot history-export: outstanding position-delete marks at " +
-          s"v${sn.version} (merge-on-read debt) — compact() folds them first")
-      require(!history || sn.eqDeletes.isEmpty,
-        s"cannot history-export: outstanding equality-delete tombstones " +
-          s"at v${sn.version} — compact() folds them first")
-    }
-    // EQUALITY tombstones map 1:1 onto Iceberg's: both apply a delete
-    // of sequence S to data files with sequence STRICTLY below S, so
-    // graft's eq parquet files (key tuples) export by reference —
-    // zero copy — as content=2 delete entries with equality_ids,
-    // bound to a dedicated unpartitioned spec on partitioned tables.
-    require(cur.eqDeletes.isEmpty || !history,
-      "cannot history-export outstanding equality tombstones — " +
-        "compact() folds them first")
-    // MERGE-ON-READ marks export as one spec-conformant Iceberg
-    // position-delete parquet (sorted by file_path, pos) in a delete
-    // manifest bound to the dedicated unpartitioned spec; only the
-    // all-clean history mode refuses them (checked above).
+    // MERGE-ON-READ state exports PER SNAPSHOT, history mode included:
+    // each dirty snapshot gets its own delete manifest — position
+    // marks as one spec-sorted delete parquet (cached per distinct
+    // mark-set: lineage-adjacent snapshots usually share it), equality
+    // tombstones re-encoded once per source file with their sequence
+    // numbers (Iceberg's strictly-below rule is graft's own), so a
+    // CDC-busy lineage time-travels in a foreign engine without
+    // compacting first.
     require(!cur.transforms.exists(_.kind == "bucket"),
       "cannot export an xxhash64 bucket layout: Iceberg buckets by " +
         "murmur3 — a foreign engine would prune with the wrong hash. " +
@@ -308,48 +303,62 @@ object IcebergExport {
     def withFieldId(c: Column, name: String, id: Long): Column =
       c.as(name, new MetadataBuilder().putLong("parquet.field.id", id).build())
 
-    /** The current snapshot's outstanding position-delete marks as an
-      * Iceberg position-delete parquet under dest/data/ (None when
-      * clean): rows (file_path, pos) sorted per the spec, paths as
-      * recorded in the data manifest entries, footer carrying the
-      * spec's reserved field ids (file_path=2147483546,
-      * pos=2147483545). */
-    val deleteParquet: Option[(Path, Long)] =
-      if (cur.deletes.isEmpty) None
-      else {
-        val marks = table.marksFrame(cur)
+    /** One snapshot's outstanding position-delete marks as an Iceberg
+      * position-delete parquet under dest/data/ (None when clean):
+      * rows (file_path, pos) sorted per the spec, paths as recorded
+      * in the data manifest entries, footer carrying the spec's
+      * reserved field ids (file_path=2147483546, pos=2147483545).
+      * Cached per distinct outstanding mark-set: lineage-adjacent
+      * snapshots carry the same delete files until a compact folds
+      * them, so a history export writes each set once. */
+    val posDeleteCache =
+      scala.collection.mutable.Map[Seq[String], (Path, Long)]()
+    def positionDeleteParquet(sn: Snapshot): Option[(Path, Long)] =
+      if (sn.deletes.isEmpty) None
+      else Some(posDeleteCache.getOrElseUpdate(sn.deletes.map(_.path).sorted, {
+        val marks = table.marksFrame(sn)
           .select(withFieldId(col("file_path"), "file_path", 2147483546L),
             withFieldId(col("pos"), "pos", 2147483545L))
           .orderBy(col("file_path"), col("pos"))
-        val target = writeDeleteParquet(marks, "delete")
-        Some((target, cur.deletes.map(_.rows).sum))
-      }
+        (writeDeleteParquet(marks, "delete"), sn.deletes.map(_.rows).sum)
+      }))
 
     /** Equality tombstones re-encode under dest/data with the KEY
       * columns' schema field ids stamped in the footer, values read
       * through the historical-physical-name coalesce (a pre-rename
       * tombstone stores keys under the old column name). The graft
       * table keeps its own eq files untouched; the export is
-      * self-contained. (rewrittenPath, bytes, equalityIds, rows, seq) */
-    val eqExports: Seq[(String, Long, Seq[Int], Long, Long)] =
-      cur.eqDeletes.map { eq =>
+      * self-contained. Cached per source file — a tombstone visible
+      * from several history snapshots re-encodes once. Key columns
+      * resolve through the CURRENT schema's rename history (field ids
+      * are rename-stable), so a mid-history tombstone recorded under
+      * a since-renamed key still maps to the right field id.
+      * (rewrittenPath, bytes, equalityIds, rows, seq) */
+    val eqExportCache =
+      scala.collection.mutable.Map[String, (String, Long, Seq[Int], Long, Long)]()
+    def eqExport(eq: EqDeleteFile): (String, Long, Seq[Int], Long, Long) =
+      eqExportCache.getOrElseUpdate(eq.path, {
         val raw = table.spark.read.parquet(eq.path)
+        val fieldOf: String => StructField = c =>
+          schema.fields.find(f => f.name.equalsIgnoreCase(c) ||
+              LogTable.prevNames(f).exists(_.equalsIgnoreCase(c)))
+            .getOrElse(throw new IllegalStateException(
+              s"equality-delete key column '$c' not in schema " +
+                "(nor any field's rename history)"))
         val cols = eq.cols.map { c =>
-          val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-            throw new IllegalStateException(
-              s"equality-delete key column '$c' not in schema"))
+          val f = fieldOf(c)
           val cands = (f.name +: LogTable.prevNames(f))
             .filter(raw.columns.contains(_))
           require(cands.nonEmpty,
             s"equality-delete file ${eq.path} stores no column for key '$c'")
           val v = if (cands.size == 1) col(cands.head)
             else coalesce(cands.map(col): _*)
-          withFieldId(v, f.name, ids.of(c).toLong)
+          withFieldId(v, f.name, ids.of(f.name).toLong)
         }
         val target = writeDeleteParquet(raw.select(cols: _*), "eq-delete")
-        (target.toString, Files.size(target), eq.cols.map(c => ids.of(c)),
-          eq.rows, eq.seq)
-      }
+        (target.toString, Files.size(target),
+          eq.cols.map(c => ids.of(fieldOf(c).name)), eq.rows, eq.seq)
+      })
 
     /** Write one snapshot's manifest + manifest list; returns the
       * manifest-list path. Entries carried from the parent snapshot
@@ -398,13 +407,16 @@ object IcebergExport {
           w.append(e)
         } finally w.close()
       }
-      // the CURRENT snapshot's delete manifest (merge-on-read marks),
+      // THIS snapshot's delete manifest (merge-on-read marks),
       // sequence-stamped at the head so it covers every data file —
       // position deletes match by exact (path, pos), so the wide
-      // scope is harmless and spec-conformant
+      // scope is harmless and spec-conformant. Every exported
+      // snapshot carries its own outstanding state (history mode
+      // time-travels MoR debt exactly).
+      val deleteParquet = positionDeleteParquet(sn)
+      val eqExports = sn.eqDeletes.map(eqExport)
       val deleteManifest: Option[Path] =
-        if (sn.version != cur.version ||
-            (deleteParquet.isEmpty && cur.eqDeletes.isEmpty)) None
+        if (deleteParquet.isEmpty && eqExports.isEmpty) None
         else {
           val mp = metaDir.resolve(
             s"${java.util.UUID.randomUUID()}-d0.avro")
@@ -487,14 +499,14 @@ object IcebergExport {
             d.put("content", 1) // DELETES
             d.put("sequence_number", seqNum)
             d.put("min_sequence_number",
-              cur.eqDeletes.map(_.seq).foldLeft(seqNum)(math.min))
+              sn.eqDeletes.map(_.seq).foldLeft(seqNum)(math.min))
             d.put("added_snapshot_id", sn.version)
             d.put("added_files_count",
-              deleteParquet.size + cur.eqDeletes.size)
+              deleteParquet.size + sn.eqDeletes.size)
             d.put("existing_files_count", 0)
             d.put("deleted_files_count", 0)
             d.put("added_rows_count", deleteParquet.map(_._2).getOrElse(0L)
-              + cur.eqDeletes.map(_.rows).sum)
+              + sn.eqDeletes.map(_.rows).sum)
             d.put("existing_rows_count", 0L)
             d.put("deleted_rows_count", 0L)
             w.append(d)
@@ -567,7 +579,7 @@ object IcebergExport {
       pfields.map(pf => (pf.name, pf.transform, pf.sourceId, pf.fieldId)))))
     val specsArr = mapper.createArrayNode().add(spec)
     if (pfields.nonEmpty &&
-        (cur.deletes.nonEmpty || cur.eqDeletes.nonEmpty)) {
+        snaps.exists(sn => sn.deletes.nonEmpty || sn.eqDeletes.nonEmpty)) {
       val dspec = mapper.createObjectNode()
       dspec.put("spec-id", deleteSpecId)
       dspec.set[ObjectNode]("fields", mapper.createArrayNode())

@@ -99,33 +99,31 @@ class IcebergExportSpec extends SparkSpec {
     assert(back.filter(col("id") < 30L && col("label").isNull).count() === 30L)
   }
 
-  test("refusal ladder: dirty history, equality tombstones, bucket layouts, schemaless tables") {
+  test("refusal ladder: bucket layouts, schemaless tables; dirty histories now EXPORT per snapshot") {
     val mor = LogTable(spark, tmp("ice_mor_"))
     mor.append((0L until 20L).map(i => (i, s"x$i")).toDF("id", "s"))
     mor.deleteMor(col("id") < 5L)
-    // unpartitioned MoR marks now EXPORT (delete manifest — see the
-    // merge-on-read test); only the HISTORY mode refuses a dirty
-    // lineage
-    val e1 = intercept[IllegalArgumentException](
-      IcebergExport.export(mor, tmp("ice_mor_hist_out_"), history = true))
-    assert(e1.getMessage.contains("position-delete"))
-    // compact folds the debt; the marked snapshot stays in history
-    // (still refused) until expiry removes it
+    // a dirty lineage history-exports: the marked snapshot carries its
+    // own delete manifest, clean snapshots carry none
+    val morDest = tmp("ice_mor_hist_out_")
+    IcebergExport.export(mor, morDest, history = true)
+    assert(sortedRows(IcebergRead.read(spark, morDest, versionAsOf = Some(1L))) ===
+      sortedRows(mor.timeTravel(1L)))
+    assert(sortedRows(IcebergRead.read(spark, morDest, versionAsOf = Some(2L))) ===
+      sortedRows(mor.timeTravel(2L)))
     mor.compact()
-    intercept[IllegalArgumentException](
-      IcebergExport.export(mor, tmp("ice_mor_hist2_out_"), history = true))
     mor.expire(keepLast = 1)
     IcebergExport.export(mor, tmp("ice_mor_out2_"), history = true)
 
-    // unpartitioned equality tombstones now export (content=2 delete
-    // entries — see the equality-tombstone test); HISTORY export and
-    // PARTITIONED layouts still refuse
+    // an equality-tombstone lineage history-exports the same way
     val eq = LogTable(spark, tmp("ice_eq_"))
     eq.append((0L until 20L).map(i => (i, s"x$i")).toDF("id", "s"))
     eq.deleteEq(Seq(1L, 2L).toDF("id"))
-    val e2 = intercept[IllegalArgumentException](
-      IcebergExport.export(eq, tmp("ice_eq_hist_out_"), history = true))
-    assert(e2.getMessage.contains("equality-delete"))
+    val eqDest = tmp("ice_eq_hist_out_")
+    IcebergExport.export(eq, eqDest, history = true)
+    assert(sortedRows(IcebergRead.read(spark, eqDest, versionAsOf = Some(2L))) ===
+      sortedRows(eq.timeTravel(2L)))
+    assert(IcebergRead.read(spark, eqDest, versionAsOf = Some(1L)).count() === 20L)
     // partitioned eq tombstones export too (dedicated delete spec)
     val eqPart = LogTable(spark, tmp("ice_eq_part_"), partitionBy = Seq("s"))
     eqPart.append((0L until 10L).map(i => (i, s"g${i % 2}")).toDF("id", "s"))
@@ -337,16 +335,26 @@ class IcebergExportSpec extends SparkSpec {
       .map(_.get("summary").get("operation").asText()).toSeq
     assert(ops === Seq("append", "overwrite", "append", "overwrite", "replace"))
 
-    // refusal: a lineage with mid-history MoR marks cannot history-export
+    // a lineage with mid-history MoR/eq debt time-travels at EVERY
+    // version: v2 carries marks (its own delete manifest), v3 adds an
+    // equality tombstone, v4 compacts clean — each exported snapshot
+    // reads exactly like graft's timeTravel
     val dirty = LogTable(spark, tmp("ice_hist_dirty_"))
-    dirty.append((0L until 10L).map(i => (i, i)).toDF("id", "v"))
-    dirty.deleteMor(col("id") < 3L)  // v2 carries marks
-    dirty.compact()                  // v3 clean again
-    val e = intercept[IllegalArgumentException](
-      IcebergExport.export(dirty, tmp("ice_hist_dirty_out_"), history = true))
-    assert(e.getMessage.contains("v2"))
-    // …but the current snapshot alone still exports
-    IcebergExport.export(dirty, tmp("ice_hist_dirty_cur_"))
+    dirty.append((0L until 10L).map(i => (i, i)).toDF("id", "v"))       // v1
+    dirty.deleteMor(col("id") < 3L)                                      // v2 marks
+    dirty.deleteEq(Seq(7L).toDF("id"))                                   // v3 marks+eq
+    dirty.compact()                                                      // v4 clean
+    val ddest = tmp("ice_hist_dirty_out_")
+    IcebergExport.export(dirty, ddest, history = true)
+    (1L to 4L).foreach { v =>
+      assert(sortedRows(IcebergRead.read(spark, ddest, versionAsOf = Some(v))) ===
+        sortedRows(dirty.timeTravel(v)), s"dirty-lineage v$v")
+    }
+    // v2 and v3 share one mark-set: the cached delete parquet writes once
+    import scala.jdk.CollectionConverters._
+    val delFiles = Files.list(Paths.get(ddest).resolve("data")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("delete-")).toSeq
+    assert(delFiles.size === 1, s"shared mark-set must export once, got $delFiles")
   }
 
   test("foreign-shaped adoption: identity partition column stored PHYSICALLY in flat-layout files reads and prunes") {
