@@ -1240,26 +1240,25 @@ object IcebergImport {
     }
     // foreign POSITION deletes materialize as graft deletion-vector
     // blobs under the importing root (graft's native delete form —
-    // robust to the engines' differing file-path URI renderings):
-    // O(marks) driver work, the same budget class as planning; a huge
-    // backlog should be compacted on the source first
+    // robust to the engines' differing file-path URI renderings)
+    // through the SAME sharded distributed writer every graft
+    // deleteMor uses: executor tasks accumulate marks per data file
+    // and write one blob per shard, the driver sees only per-shard
+    // (path, count) summaries — never the marks themselves, so a huge
+    // foreign backlog imports without driver materialization
     val posPaths = m.deleteFiles.filter(_.content == 1).map(_.path)
+    val dest = LogTable(spark, destRoot)
     val deletes: Seq[DeleteFile] =
       if (posPaths.isEmpty) Nil
-      else {
-        val delDir = Paths.get(destRoot).resolve("deletes")
-        Files.createDirectories(delDir)
-        val marks = spark.read.parquet(posPaths: _*)
-          .select(col("file_path"), col("pos")).collect()
-          .groupBy(r => plain(r.getString(0)))
-          .view.mapValues(_.map(_.getLong(1)).sorted).toMap
-        val blob = delDir.resolve(
-          s"import-${java.util.UUID.randomUUID()}.dv")
-        DeletionVectors.write(blob,
-          marks.view.mapValues(_.toArray).toMap)
-        Seq(DeleteFile(blob.toString, Files.size(blob),
-          marks.view.mapValues(_.length.toLong).toMap))
-      }
+      else dest.writeDeleteFiles(
+        spark.read.parquet(posPaths: _*).select(
+          // pre-normalize with the SAME scheme-strip the manifest
+          // entries use above, so DV keys and adopted file paths can
+          // never disagree on a URI rendering
+          org.apache.spark.sql.functions.regexp_replace(col("file_path"),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("file_path"),
+          col("pos")),
+        candidateFiles = m.entries.size)
     // foreign EQUALITY deletes adopt ZERO-COPY: the key-tuple parquet
     // imports by reference, and Iceberg's strictly-below sequence rule
     // is exactly graft's — the seq numbers carry over verbatim
@@ -1270,7 +1269,6 @@ object IcebergImport {
         EqDeleteFile(plain(d.path), Files.size(Paths.get(plain(d.path))),
           cols, d.rows, d.seq)
       }
-    val dest = LogTable(spark, destRoot)
     dest.commitAdoption("import", s"iceberg-import-of-$src",
       schema.json, specCols.flatMap(_.partCol), specCols.flatMap(_.transform),
       files, deletes, eqDeletes)

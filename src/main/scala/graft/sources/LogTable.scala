@@ -2940,7 +2940,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * through) AND returns its per-data-file mark counts — ONE Spark
     * job total, no staged read-back pass (the r6 read-back job cost
     * every deleteMor/mergeMor a second full scan of its marks). */
-  private def writeDeleteFiles(marked: DataFrame,
+  private[sources] def writeDeleteFiles(marked: DataFrame,
       candidateFiles: Int): Seq[DeleteFile] = {
     import org.apache.spark.sql.functions.col
     val shards = math.max(1, math.min(

@@ -446,6 +446,35 @@ class IcebergExportSpec extends SparkSpec {
     assert(sortedRows(pimp.read().select(col("id"), col("k"))) === partLive)
   }
 
+  test("import materializes foreign position deletes through the SHARDED writer — no driver mark collect") {
+    // many-file source with a mark in every file: the sharded writer
+    // (one shard per ~DeleteShardSpan = 8 candidate files) must emit
+    // MULTIPLE DV blobs, each written by an executor task — the
+    // pre-sharded code collected every mark to the driver and wrote
+    // exactly ONE blob, so blob count > 1 is the structural witness
+    // that the distributed path ran.
+    val t = LogTable(spark, tmp("ice_shard_src_"))
+    (0 until 24).foreach(c =>
+      t.append(Seq((c.toLong * 10, s"f$c"), (c.toLong * 10 + 1, s"g$c")).toDF("id", "s")))
+    t.deleteMor(col("id") % 10 === 1L) // one mark per two rows → every file
+    val live = sortedRows(t.read())
+    assert(t.read().count() === 24L)
+    val nFiles = t.snapshot().files.size
+    val marks = t.snapshot().deletes.map(_.rows).sum
+    val dest = tmp("ice_shard_out_")
+    IcebergExport.export(t, dest)
+
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_shard_imp_"))
+    assert(sortedRows(imp.read()) === live)
+    assert(imp.countMeta() === 24L, "metadata count stays exact under imported marks")
+    val blobs = imp.snapshot().deletes
+    val maxShards = (nFiles + 7) / 8
+    assert(blobs.size > 1 && blobs.size <= maxShards,
+      s"expected 2..$maxShards sharded DV blobs over $nFiles files, " +
+        s"got ${blobs.size}")
+    assert(blobs.map(_.rows).sum === marks, "every foreign mark imported exactly once")
+  }
+
   test("equality-tombstone export: zero-copy content=2 entries, sequence-exact both ways") {
     val t = LogTable(spark, tmp("ice_eq_exp_"))
     t.append((0L until 20L).map(i => (i, "old")).toDF("id", "tag"))     // seq 1
