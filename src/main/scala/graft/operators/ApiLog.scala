@@ -72,6 +72,51 @@ object ApiLog {
     * predicate, landing mid-corpus (events span Jan 1-30). */
   private val RangeCutUs = 1705708800000000L
 
+  /** Per-node buffer flush with the reference's COUNT-OR-INTERVAL
+    * trigger (README.md:104-106: a node's buffer flushes when it
+    * holds `countLimit` entries, or when the flush interval elapses —
+    * the wall-clock backstop that drains a quiet node's partial
+    * buffer). Modeled deterministically over event time: each node's
+    * rows, in time order, cut into flush files — a file closes when
+    * it reaches `countLimit` rows (count trigger) or when the next
+    * event lands at or past `firstEventTime + intervalUs` (interval
+    * trigger). Returns the frame with a `_flush` column naming each
+    * row's flush file; `write.partitionBy("_flush")` then lands one
+    * parquet file per flush (rows of one node stay in one task).
+    *
+    * Scale shape: one shuffle on the node key, then a single
+    * sequential pass per node — exactly the per-node buffer the
+    * reference holds in memory; N nodes flush as N parallel tasks. */
+  def flushBuffer(df: DataFrame, nodeCol: String, timeCol: String,
+      countLimit: Int, intervalUs: Long): DataFrame = {
+    require(countLimit > 0, "countLimit must be positive")
+    require(intervalUs > 0, "intervalUs must be positive")
+    val outSchema = df.schema.add("_flush",
+      org.apache.spark.sql.types.StringType, nullable = false)
+    val nodeIdx = df.schema.fieldIndex(nodeCol)
+    val timeIdx = df.schema.fieldIndex(timeCol)
+    val (cl, iv) = (countLimit, intervalUs)
+    df.repartition(col(nodeCol))
+      .sortWithinPartitions(col(nodeCol), col(timeCol))
+      .mapPartitions { it =>
+        // rows arrive grouped by node, time-ordered within each node
+        var curNode: String = null
+        var seq = 0
+        var cnt = 0
+        var first = 0L
+        it.map { r =>
+          val node = r.getString(nodeIdx)
+          val t = r.getLong(timeIdx)
+          if (node != curNode) { curNode = node; seq = 0; cnt = 0; first = t }
+          else if (cnt >= cl || t - first >= iv) {
+            seq += 1; cnt = 0; first = t
+          }
+          cnt += 1
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s"$node-f$seq")
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** The whole lifecycle as ONE oracle-checked query:
     * 1. reshape events into the api schema;
     * 2. per-node buffer FLUSH: the frame lands as several parquet
@@ -92,14 +137,21 @@ object ApiLog {
     val buffer = tmp.resolve("buffer").toString
     val ckpt = tmp.resolve("ckpt").toString
     val root = tmp.resolve("table").toString
-    // per-node flush: 6 buffer parquet files (2 per "node" — count
-    // threshold reached 6 times across 3 nodes)
-    apiFrame(s, dir)
-      .repartition(6, pmod(col("time"), lit(6L)))
-      .write.parquet(buffer)
+    // per-node COUNT-OR-INTERVAL flush (README.md:104-106), one
+    // parquet file per flush: the count limit scales with the corpus
+    // (~2 count-flushes per node at any SF) and the 10-day interval
+    // backstop drains partial buffers — both triggers are modeled,
+    // file count stays O(1) in SF so the commit loop's micro-batch
+    // count is scale-independent
+    val frame = apiFrame(s, dir)
+    val countLimit = math.max(1L, frame.count() / 8L).toInt
+    val flushed = flushBuffer(frame, "node", "time",
+      countLimit, intervalUs = 10L * 86400000000L)
+    flushed.write.partitionBy("_flush").parquet(buffer)
     val table = LogTable(s, root, hiddenBy = Seq(Transform.day("time")))
-    val stream = s.readStream.schema(apiFrame(s, dir).schema)
+    val stream = s.readStream.schema(flushed.schema)
       .option("maxFilesPerTrigger", 2).parquet(buffer)
+      .drop("_flush")
     Streams.streamIngest(stream, table, ckpt).awaitTermination()
 
     table.read().createOrReplaceTempView("api")
