@@ -963,7 +963,106 @@ object Lakehouse {
       .orderBy(col("via"), col("event_type"))
   }
 
+  /** The REST-catalog seam as an ORACLE query (reference
+    * init-setup.py:73-86 — its Trino discovers the table via
+    * `iceberg.catalog.type = rest`): export → serve → a foreign
+    * reader's FULL HTTP walk (namespaces → table list →
+    * LoadTableResult) → rows scanned from the wire-carried metadata.
+    * A broken route, a stale LoadTableResult, or a reader that still
+    * needs the version-hint file breaks the hash. */
+  def lakeRest(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergExport, IcebergRead, IcebergRestCatalog, Transform}
+    val tmp = Files.createTempDirectory("graft_lake_rest_").toString
+    val table = LogTable(s, tmp, hiddenBy = Seq(Transform.day("ts_us")))
+    table.append(Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts_us")))
+    val dest = Files.createTempDirectory("graft_lake_rest_ice_").toString
+    IcebergExport.export(table, dest)
+    val cat = IcebergRestCatalog.start()
+    try {
+      cat.register("logs", "events", dest)
+      // discovery strictly over HTTP, never assuming the names
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val http = java.net.http.HttpClient.newHttpClient()
+      def get(url: String): com.fasterxml.jackson.databind.JsonNode = {
+        val r = http.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(url)).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() == 200, s"$url -> ${r.statusCode()}")
+        om.readTree(r.body())
+      }
+      val ns = get(s"${cat.uri}/v1/namespaces")
+        .get("namespaces").get(0).get(0).asText()
+      val tbl = get(s"${cat.uri}/v1/namespaces/$ns/tables")
+        .get("identifiers").get(0).get("name").asText()
+      IcebergRead.readRest(s, cat.uri, ns, tbl)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+        .orderBy(col("event_type"))
+    } finally cat.close() // metadata is already on the wire; data
+                          // access is direct file I/O (spec shape)
+  }
+
+  /** The Iceberg-spec murmur3 bucket layout end to end, oracle-gated:
+    * an mbucket(16, user_id) table answers point lookups through the
+    * bucket prune on BOTH sides of the seam — graft's own scan and
+    * the independent spec reader over the export (which prunes
+    * nothing but must agree row-for-row). A drifted hash on either
+    * side drops rows from a lookup and breaks the hash. */
+  def lakeMbucket(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergExport, IcebergRead, Transform}
+    val tmp = Files.createTempDirectory("graft_lake_mb_").toString
+    val table = LogTable(s, tmp, hiddenBy = Seq(Transform.mbucket(16, "user_id")))
+    table.append(Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts_us")))
+    val keys = Seq(1L, 7L, 42L)
+    val dest = Files.createTempDirectory("graft_lake_mb_ice_").toString
+    IcebergExport.export(table, dest)
+    def agg(df: DataFrame, via: String): DataFrame = df
+      .filter(col("user_id").isin(keys: _*))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .withColumn("via", lit(via))
+    agg(table.read(), "graft").unionByName(agg(IcebergRead.read(s, dest), "spec"))
+      .select(col("via"), col("user_id"), col("n"), col("total_value"))
+      .orderBy(col("via"), col("user_id"))
+  }
+
+  /** Dirty-history time travel across the Iceberg seam, oracle-gated:
+    * a lineage with MID-HISTORY merge-on-read debt (v2 marks error
+    * rows, v3 appends more data with the marks still outstanding)
+    * history-exports per snapshot, and the independent spec reader's
+    * v2 and v3 views both equal DuckDB's direct reconstruction —
+    * a delete manifest missing from either snapshot, or marks leaking
+    * onto the post-delete append, breaks the hash. */
+  def lakeHistMor(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergExport, IcebergRead}
+    val tmp = Files.createTempDirectory("graft_lake_hm_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts_us"))
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))   // v1
+    table.deleteMor(col("event_type") === "error")                  // v2 marks
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 1))   // v3
+    val dest = Files.createTempDirectory("graft_lake_hm_ice_").toString
+    IcebergExport.export(table, dest, history = true)
+    def agg(v: Long): DataFrame = IcebergRead.read(s, dest, versionAsOf = Some(v))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .withColumn("via", lit(s"v$v"))
+    agg(2L).unionByName(agg(3L))
+      .select(col("via"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("via"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_rest" -> (lakeRest _),
+    "lake_mbucket" -> (lakeMbucket _),
+    "lake_hist_mor" -> (lakeHistMor _),
     "lake_iceberg" -> (lakeIceberg _),
     "lake_spj" -> (lakeSpj _),
     "lake_evolve" -> (lakeEvolve _),
@@ -999,6 +1098,29 @@ object Lakehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_rest" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_mbucket" ->
+      """SELECT via, user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |CROSS JOIN (SELECT unnest(['graft', 'spec']) AS via)
+        |WHERE user_id IN (1, 7, 42)
+        |GROUP BY via, user_id ORDER BY via, user_id""".stripMargin,
+    "lake_hist_mor" ->
+      """SELECT 'v2' AS via, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id % 2 = 0 AND event_type <> 'error'
+        |GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v3', event_type, count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        |FROM events WHERE NOT (event_id % 2 = 0 AND event_type = 'error')
+        |GROUP BY event_type
+        |ORDER BY via, event_type""".stripMargin,
     "lake_spj" ->
       """SELECT e.event_type, count(*) AS n,
         |  CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,

@@ -984,6 +984,28 @@ object IcebergRead {
       versionAsOf: Option[Long] = None): DataFrame =
     readMeta(spark, load(dest, versionAsOf))
 
+  /** Read a table served over the Iceberg REST catalog protocol
+    * ([[IcebergRestCatalog]] or any spec-conformant read endpoint):
+    * GET the LoadTableResult and scan from the WIRE-carried metadata —
+    * no version-hint walk, no graft manifest. Data and manifest access
+    * stays direct file I/O, exactly as in a real REST-catalog
+    * deployment (the catalog serves pointers, never data), so the
+    * returned frame remains valid after the server goes away. */
+  def readRest(spark: SparkSession, catalogUri: String, namespace: String,
+      table: String, versionAsOf: Option[Long] = None): DataFrame = {
+    val url = s"$catalogUri/v1/namespaces/$namespace/tables/$table"
+    val resp = java.net.http.HttpClient.newHttpClient().send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"REST catalog answered ${resp.statusCode()} for $url: ${resp.body()}")
+    val meta = mapper.readTree(resp.body()).get("metadata")
+    require(meta != null && !meta.isNull,
+      s"LoadTableResult from $url carries no inline metadata")
+    readMeta(spark, loadMeta(meta, versionAsOf))
+  }
+
   /** The scan half of [[read]], over an already-parsed [[IceMeta]] —
     * shared with the REST-catalog read path, where the metadata came
     * over HTTP rather than from the version-hint walk. */
