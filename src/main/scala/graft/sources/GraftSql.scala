@@ -916,6 +916,20 @@ object GraftSql {
           Option(m.group(3)).map(_.toLong).getOrElse(t.currentVersion))
       })
     }
+    // iceberg_rest_scan('<uri>', '<ns>', '<table>' [, <snapshot-id>])
+    // — read a table served by an Iceberg REST catalog endpoint
+    // directly in SQL: the LoadTableResult comes over HTTP, the scan
+    // runs from the wire-carried metadata.
+    for (m <- ("""(?i)iceberg_rest_scan\s*\(\s*'([^']+)'\s*,\s*'([^']+)'""" +
+        """\s*,\s*'([^']+)'\s*(?:,\s*(\d+)\s*)?\)""").r.findAllMatchIn(stmt))
+      if (!inLiteral(m.start)) {
+        val view = "iceberg_rest_scan__at_" +
+          java.lang.Integer.toHexString(m.matched.hashCode).replace('-', 'n')
+        IcebergRead.readRest(spark, m.group(1), m.group(2), m.group(3),
+            Option(m.group(4)).map(_.toLong))
+          .createOrReplaceTempView(view)
+        repls += ((m.start, m.end, view))
+      }
     // iceberg_scan('<path>' [, <snapshot-id>]) — read an Iceberg v2
     // table (an export of ours, or a foreign one within the supported
     // subset) directly in SQL: DuckDB's iceberg_scan convention, with

@@ -1212,14 +1212,21 @@ object IcebergImport {
     val BucketRe = "bucket\\[(\\d+)\\]".r
     case class SpecCol(pname: String, graftKey: String,
         partCol: Option[String], transform: Option[Transform])
-    val specCols = m.specFields.map { f =>
-      val source = m.fieldNameById(f.get("source-id").asInt())
+    val specCols = m.specFields.flatMap { f =>
+      // resolved lazily: a void field's source-id may reference a
+      // column dropped from the current schema — legal, since void
+      // never reads it
+      def source = m.fieldNameById(f.get("source-id").asInt())
       val pname = f.get("name").asText()
       f.get("transform").asText() match {
-        case "identity" => SpecCol(pname, source, Some(source), None)
+        // void is Iceberg's always-null transform (spec-evolution
+        // tombstone for a dropped partition field): it stores nothing
+        // and prunes nothing, so skipping it IS the exact import
+        case "void" => None
+        case "identity" => Some(SpecCol(pname, source, Some(source), None))
         case TruncRe(w) =>
           val t = Transform(source, "truncate", w.toLong)
-          SpecCol(pname, t.colName, None, Some(t))
+          Some(SpecCol(pname, t.colName, None, Some(t)))
         case BucketRe(n) =>
           // Iceberg's bucket is murmur3_x86_32 & MaxInt % n — exactly
           // graft's mbucket, so the foreign layout imports EXACTLY:
@@ -1233,10 +1240,10 @@ object IcebergImport {
             s"cannot import bucket[$n] over non-long source '$source' " +
               "exactly (graft transform sources are LongType) — refusing")
           val t = Transform(source, "mbucket", n.toLong)
-          SpecCol(pname, t.colName, None, Some(t))
+          Some(SpecCol(pname, t.colName, None, Some(t)))
         case other => throw new IllegalArgumentException(
           s"cannot import partition transform '$other' exactly " +
-            "(identity, truncate[W] and bucket[N] are supported) — refusing")
+            "(identity, truncate[W], bucket[N] and void are supported) — refusing")
       }
     }
     def plain(p: String): String =

@@ -202,6 +202,20 @@ class IcebergExportSpec extends SparkSpec {
       IcebergImport.importTable(spark, ice, tmp("ice_impref_dest_")))
     assert(e.getMessage.contains("year"))
 
+    // a VOID spec field (Iceberg's dropped-partition-field tombstone)
+    // imports by being skipped exactly — it stores and prunes nothing
+    val tv = LogTable(spark, tmp("ice_impref_v_"),
+      hiddenBy = Seq(Transform.day("ts_us")))
+    tv.append((0L until 8L).map(i => (i, i * 86400000000L)).toDF("id", "ts_us"))
+    val icev = tmp("ice_impref_v_out_")
+    IcebergExport.export(tv, icev)
+    val mpv = Paths.get(icev).resolve("metadata").resolve("v1.metadata.json")
+    Files.writeString(mpv, Files.readString(mpv)
+      .replace("\"transform\":\"truncate[86400000000]\"", "\"transform\":\"void\""))
+    val impv = IcebergImport.importTable(spark, icev, tmp("ice_impref_v_dest_"))
+    assert(impv.hiddenBy.isEmpty && impv.partitionBy.isEmpty)
+    assert(impv.read().count() === 8L)
+
     // bucket[N] over a NON-LONG source refuses: Iceberg hashes string
     // bytes, graft's long-domain derive would silently mis-prune
     val ts = LogTable(spark, tmp("ice_impref_s_"), partitionBy = Seq("k"))

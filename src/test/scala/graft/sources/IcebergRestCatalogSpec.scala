@@ -88,6 +88,33 @@ class IcebergRestCatalogSpec extends SparkSpec {
     } finally cat.close()
   }
 
+  test("iceberg_rest_scan('<uri>','<ns>','<t>' [, v]) reads a REST-served table in plain SQL") {
+    val t = LogTable(spark, tmp("ice_rest_sql_"))
+    t.append((0L until 15L).map(i => (i, s"s$i")).toDF("id", "s"))  // v1
+    t.append((15L until 25L).map(i => (i, s"s$i")).toDF("id", "s")) // v2
+    val dest = tmp("ice_rest_sql_out_")
+    IcebergExport.export(t, dest, history = true)
+    val cat = IcebergRestCatalog.start()
+    try {
+      cat.register("ns", "t", dest)
+      val n = GraftSql.exec(spark,
+        s"SELECT count(*) AS n FROM iceberg_rest_scan('${cat.uri}', 'ns', 't')")
+        .head().getLong(0)
+      assert(n === 25L)
+      // snapshot-id arg time-travels the REST-served history export
+      val n1 = GraftSql.exec(spark,
+        s"SELECT count(*) AS n FROM iceberg_rest_scan('${cat.uri}', 'ns', 't', 1)")
+        .head().getLong(0)
+      assert(n1 === 15L)
+      // composes with ordinary SQL, and plain iceberg_scan still binds
+      val j = GraftSql.exec(spark,
+        s"""SELECT count(*) AS n FROM iceberg_rest_scan('${cat.uri}', 'ns', 't') a
+           |JOIN iceberg_scan('$dest') b ON a.id = b.id""".stripMargin)
+        .head().getLong(0)
+      assert(j === 25L)
+    } finally cat.close()
+  }
+
   test("error model: unknown table/namespace answer 404 with the spec's envelope; writes are refused") {
     val t = LogTable(spark, tmp("ice_rest_err_"))
     t.append(Seq((1L, "a")).toDF("id", "s"))
