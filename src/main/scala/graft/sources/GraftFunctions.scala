@@ -89,10 +89,14 @@ private[sources] object GraftFunctions {
     override def name(): String = "mbucket"
     override def description(): String =
       "mbucket(n, col) - Iceberg-spec bucket: (murmur3_x86_32(col) & MaxInt) % n"
-    override def bind(inputType: StructType): BoundFunction = {
-      requireTypes("mbucket", inputType, Seq(IntegerType, LongType))
-      MBucketBound
-    }
+    override def bind(inputType: StructType): BoundFunction =
+      inputType.fields.map(_.dataType).toSeq match {
+        case Seq(IntegerType, LongType) => MBucketBound
+        case Seq(IntegerType, StringType) => MBucketStrBound
+        case other => throw new IllegalArgumentException(
+          s"graft.mbucket expects (int, bigint) or (int, string), got " +
+            s"(${other.mkString(", ")})")
+      }
   }
   private object MBucketBound extends ScalarFunction[java.lang.Long] {
     override def name(): String = "mbucket"
@@ -103,8 +107,24 @@ private[sources] object GraftFunctions {
       if (row.isNullAt(1)) null
       else {
         val n = row.getInt(0)
-        ((org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-          .hash(row.getLong(1), LongType, 0L).toInt & Int.MaxValue) % n).toLong
+        ((graft.functions.IcebergBucketHash.hashLong(row.getLong(1))
+          & Int.MaxValue) % n).toLong
+      }
+  }
+  /** The STRING binding of the same spec bucket (Iceberg hashes the
+    * UTF-8 bytes) — a distinct canonicalName: a long-keyed and a
+    * string-keyed layout must never read as co-partitioned. */
+  private object MBucketStrBound extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "mbucket"
+    override def canonicalName(): String = "graft.mbucket.str"
+    override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+    override def resultType(): DataType = LongType
+    override def produceResult(row: InternalRow): java.lang.Long =
+      if (row.isNullAt(1)) null
+      else {
+        val n = row.getInt(0)
+        ((graft.functions.IcebergBucketHash.hashString(row.getUTF8String(1))
+          & Int.MaxValue) % n).toLong
       }
   }
 

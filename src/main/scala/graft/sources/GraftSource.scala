@@ -1073,6 +1073,20 @@ private[sources] object GraftPrune {
         }
         case None => true // key not summarized for this segment: keep
       }
+    }) &&
+    // string point lookups through mbucket — the set-lifted mirror of
+    // the per-file clause 5
+    (v match {
+      case s: String if op == 0 =>
+        ts.filter(t => t.kind == "mbucket" &&
+            t.source.equalsIgnoreCase(col)).forall { t =>
+          pv.get(t.colName) match {
+            case Some(vals) => vals.exists(x =>
+              x != NullDir && x.toLongOption.forall(_ == t.deriveStr(s)))
+            case None => true
+          }
+        }
+      case _ => true
     })
   }
 
@@ -1159,6 +1173,21 @@ private[sources] object GraftPrune {
         }
         case None => true // file written under another spec: scan it
       }
+    }) &&
+    // 5. STRING point lookups through mbucket (Iceberg's bucket over
+    // UTF-8 bytes — the doc-id/URL key shape): equality only, the
+    // hash scrambles order
+    (v match {
+      case s: String if op == 0 =>
+        ts.filter(t => t.kind == "mbucket" &&
+            t.source.equalsIgnoreCase(col)).forall { t =>
+          f.partitions.get(t.colName) match {
+            case Some(NullDir) => false
+            case Some(dv) => dv.toLongOption.forall(_ == t.deriveStr(s))
+            case None => true
+          }
+        }
+      case _ => true
     })
   }
 

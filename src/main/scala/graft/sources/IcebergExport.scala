@@ -1232,13 +1232,14 @@ object IcebergImport {
           // graft's mbucket, so the foreign layout imports EXACTLY:
           // the manifest's stored bucket indexes equal what graft
           // re-derives, and point-lookup pruning applies immediately.
-          // Long sources only (graft's transform domain): Iceberg
-          // hashes strings/decimals over different byte encodings that
-          // graft's long-domain derive would silently mis-prune
+          // long and string sources import exactly (graft's mbucket
+          // hashes both per the spec — 8 LE bytes / UTF-8 bytes);
+          // other source types (decimal/date/uuid byte encodings)
+          // refuse rather than mis-prune
           require(m.schema.fields.find(_.name == source)
-              .exists(_.dataType == LongType),
-            s"cannot import bucket[$n] over non-long source '$source' " +
-              "exactly (graft transform sources are LongType) — refusing")
+              .exists(f => f.dataType == LongType || f.dataType == StringType),
+            s"cannot import bucket[$n] over source '$source' exactly " +
+              "(long and string bucket sources are supported) — refusing")
           val t = Transform(source, "mbucket", n.toLong)
           Some(SpecCol(pname, t.colName, None, Some(t)))
         case other => throw new IllegalArgumentException(

@@ -197,18 +197,13 @@ final case class Transform(source: String, kind: String, n: Long) {
       case "truncate" => expr(s"($source div ${n}L) * ${n}L")
       case "bucket" => expr(s"pmod(xxhash64($source), ${n}L)")
       case "mbucket" =>
-        // Iceberg-spec bucket: (murmur3_x86_32(v, seed 0) & MaxInt) % n.
-        // Spark's codegen'd Murmur3Hash over a LongType child IS the
-        // spec hash (two little-endian int blocks, fmix len 8) — only
-        // the seed differs from SQL hash()'s fixed 42, hence the
-        // direct-expression construction.
-        import org.apache.spark.sql.functions.lit
-        val h = org.apache.spark.sql.GraftBridge.column(
-          org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
-            Seq(org.apache.spark.sql.GraftBridge.expression(
-              org.apache.spark.sql.functions.col(source))), 0))
-        (h.bitwiseAND(lit(Int.MaxValue)) % lit(n.toInt))
-          .cast(org.apache.spark.sql.types.LongType)
+        // Iceberg-spec bucket: (murmur3_x86_32(v, seed 0) & MaxInt)
+        // % n over the spec's single-value serialization — the
+        // codegen'd [[graft.functions.IcebergBucketHash]] expression,
+        // which accepts LONG and STRING sources (the mbucket kind's
+        // source domain; see the writer validation).
+        graft.functions.IcebergBucketHash.bucket(
+          org.apache.spark.sql.functions.col(source), n.toInt)
     }
   }
   /** Derived value for a literal (what the reader prunes with) — the
@@ -225,9 +220,19 @@ final case class Transform(source: String, kind: String, n: Long) {
       ((org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         v, org.apache.spark.sql.types.LongType, 42L) % n) + n) % n
     case "mbucket" =>
-      ((org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
-        v, org.apache.spark.sql.types.LongType, 0L).toInt
+      ((graft.functions.IcebergBucketHash.hashLong(v)
         & Int.MaxValue) % n.toInt).toLong
+  }
+  /** [[derive]] for a STRING literal — only the mbucket kind has a
+    * string domain (Iceberg's bucket over UTF-8 bytes); every other
+    * transform is long-sourced by construction. */
+  def deriveStr(v: String): Long = kind match {
+    case "mbucket" =>
+      ((graft.functions.IcebergBucketHash.hashString(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v))
+        & Int.MaxValue) % n.toInt).toLong
+    case other => throw new IllegalArgumentException(
+      s"transform '$other' has no string domain")
   }
 }
 
@@ -1758,8 +1763,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
         val f = s.fields.find(_.name.equalsIgnoreCase(t.source))
         require(f.nonEmpty,
           s"hidden-transform source column '${t.source}' is not a table column")
-        require(f.get.dataType == org.apache.spark.sql.types.LongType,
-          s"hidden transform ${t.kind}(${t.source}) needs a LongType source, " +
+        // mbucket additionally accepts STRING sources (Iceberg's
+        // bucket hashes UTF-8 bytes — the doc-id/URL key shape);
+        // every other transform is Long-domain arithmetic
+        require(f.get.dataType == org.apache.spark.sql.types.LongType ||
+            (t.kind == "mbucket" &&
+              f.get.dataType == org.apache.spark.sql.types.StringType),
+          s"hidden transform ${t.kind}(${t.source}) needs a LongType " +
+            s"source${if (t.kind == "mbucket") " (or StringType)" else ""}, " +
             s"got ${f.get.dataType}")
       }
     }
@@ -3804,9 +3815,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
     hiddenBy.foreach { t =>
       val f = df.schema.fields.find(_.name.equalsIgnoreCase(t.source))
       f.foreach(fld => require(
-        fld.dataType == org.apache.spark.sql.types.LongType,
-        s"hidden transform ${t.kind}(${t.source}) needs a LongType source, " +
-          s"got ${fld.dataType} (hash/derive arithmetic is Long-domain)"))
+        fld.dataType == org.apache.spark.sql.types.LongType ||
+          (t.kind == "mbucket" &&
+            fld.dataType == org.apache.spark.sql.types.StringType),
+        s"hidden transform ${t.kind}(${t.source}) needs a LongType " +
+          s"source${if (t.kind == "mbucket") " (or StringType)" else ""}, " +
+          s"got ${fld.dataType} (hash/derive arithmetic is Long-domain; " +
+          "mbucket also hashes UTF-8 strings per the Iceberg spec)"))
     }
     val laid = hiddenBy.filter(t =>
         df.columns.exists(_.equalsIgnoreCase(t.source)))

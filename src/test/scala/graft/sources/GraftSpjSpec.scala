@@ -163,6 +163,34 @@ class GraftSpjSpec extends SparkSpec {
     }
   }
 
+  test("STRING-keyed mbucket join (Iceberg UTF-8 bucket) plans ZERO shuffles") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE spj.db.sfacts (k STRING, v BIGINT)
+        |PARTITIONED BY (mbucket(4, k))""".stripMargin)
+    spark.sql(
+      """CREATE TABLE spj.db.sdims (k STRING, w BIGINT)
+        |PARTITIONED BY (mbucket(4, k))""".stripMargin)
+    (0L until 200L).map(i => (s"doc-${i % 50}", i)).toDF("k", "v")
+      .createOrReplaceTempView("spj_sf")
+    (0L until 50L).map(i => (s"doc-$i", i * 10)).toDF("k", "w")
+      .createOrReplaceTempView("spj_sd")
+    spark.sql("INSERT INTO spj.db.sfacts SELECT * FROM spj_sf")
+    spark.sql("INSERT INTO spj.db.sdims SELECT * FROM spj_sd")
+    withSpj {
+      val j = spark.sql(
+        """SELECT f.k, f.v, d.w FROM spj.db.sfacts f
+          |JOIN spj.db.sdims d ON f.k = d.k""".stripMargin)
+      val rows = j.collect()
+      assert(rows.length === 200)
+      assert(rows.forall(r =>
+        r.getLong(2) === r.getString(0).stripPrefix("doc-").toLong * 10))
+      assert(shuffles(j) === 0,
+        s"expected a storage-partitioned join with zero exchanges:\n" +
+          j.queryExecution.executedPlan)
+    }
+  }
+
   test("group-by on an identity partition column aggregates without exchange") {
     warehouse
     spark.sql(

@@ -216,18 +216,41 @@ class IcebergExportSpec extends SparkSpec {
     assert(impv.hiddenBy.isEmpty && impv.partitionBy.isEmpty)
     assert(impv.read().count() === 8L)
 
-    // bucket[N] over a NON-LONG source refuses: Iceberg hashes string
-    // bytes, graft's long-domain derive would silently mis-prune
+    // bucket[N] over a STRING source imports (mbucket hashes UTF-8
+    // bytes per the spec); the one remaining bucket refusal is a
+    // source type with a byte encoding graft does not reproduce —
+    // simulate by pointing the spec at the DOUBLE column
     val ts = LogTable(spark, tmp("ice_impref_s_"), partitionBy = Seq("k"))
-    ts.append((0L until 6L).map(i => (i, s"g${i % 2}")).toDF("id", "k"))
+    ts.append((0L until 6L).map(i => (i, s"g${i % 2}", i * 1.5)).toDF("id", "k", "d"))
     val ice2 = tmp("ice_impref_s_out_")
     IcebergExport.export(ts, ice2)
     val mp2 = Paths.get(ice2).resolve("metadata").resolve("v1.metadata.json")
     Files.writeString(mp2, Files.readString(mp2)
       .replace("\"transform\":\"identity\"", "\"transform\":\"bucket[4]\""))
-    val e2 = intercept[IllegalArgumentException](
-      IcebergImport.importTable(spark, ice2, tmp("ice_impref_s_dest_")))
-    assert(e2.getMessage.contains("non-long"))
+    val impS = IcebergImport.importTable(spark, ice2, tmp("ice_impref_s_dest_"))
+    assert(impS.hiddenBy === Seq(Transform.mbucket(4, "k")), "string bucket imports as mbucket")
+    assert(impS.read().count() === 6L)
+    // double-sourced bucket refuses (no exact hash domain)
+    val ice3 = tmp("ice_impref_d_out_")
+    IcebergExport.export(ts, ice3)
+    val mp3 = Paths.get(ice3).resolve("metadata").resolve("v1.metadata.json")
+    val meta3 = Files.readString(mp3)
+    // rewrite the spec field to bucket over the double column's id
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root3 = om.readTree(meta3).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val dId = {
+      import scala.jdk.CollectionConverters._
+      root3.get("schemas").get(0).get("fields").elements().asScala
+        .find(_.get("name").asText() == "d").get.get("id").asInt()
+    }
+    val sf3 = root3.get("partition-specs").get(0).get("fields").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    sf3.put("transform", "bucket[4]")
+    sf3.put("source-id", dId)
+    Files.writeString(mp3, root3.toString)
+    val e3 = intercept[IllegalArgumentException](
+      IcebergImport.importTable(spark, ice3, tmp("ice_impref_d_dest_")))
+    assert(e3.getMessage.contains("bucket[4]"))
   }
 
   test("SQL routes: CALL export_iceberg / import_iceberg on both surfaces") {
@@ -683,6 +706,52 @@ class IcebergExportSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       IcebergExport.export(xb, tmp("ice_xb_out_")))
     assert(e.getMessage.contains("mbucket"))
+  }
+
+  test("STRING mbucket: spec vector, write/derive parity, prune, export + import roundtrip") {
+    // the Iceberg spec's Appendix-B string vector: "iceberg" hashes to
+    // 1210000089 — pins seed 0 + UTF-8 bytes + STANDARD murmur3 tail
+    // (Spark's own hashUnsafeBytes variant would differ)
+    val t8 = Transform.mbucket(8, "k")
+    assert(t8.deriveStr("iceberg") === (1210000089 & Int.MaxValue) % 8)
+    // column (codegen'd IcebergBucketHash) and deriveStr agree,
+    // multi-byte UTF-8 included
+    val keys = Seq("iceberg", "", "a", "doc-123", "naïve-ключ-文書")
+    val derived = keys.toDF("k").select(col("k"), t8.column.as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach(k => assert(derived(k) === t8.deriveStr(k), s"k=$k"))
+
+    // a string-keyed mbucket table writes, prunes, and round-trips
+    val t = LogTable(spark, tmp("ice_mbs_"), hiddenBy = Seq(Transform.mbucket(8, "k")))
+    t.append((0L until 64L).map(i => (i, s"doc-$i")).toDF("id", "k"))
+    val probe = "doc-17"
+    val want = t8.deriveStr(probe)
+    val kept = t.snapshot().files.filter(_.partitions.get(t8.colName)
+      .contains(want.toString))
+    assert(kept.nonEmpty && kept.size < t.snapshot().files.size,
+      "string point lookup must bound the file set")
+    assert(spark.read.parquet(kept.map(_.path): _*)
+      .filter(col("k") === probe).count() === 1L)
+    // the DSv2 pruner's string clause agrees: an EqualTo("k", probe)
+    // filter keeps exactly the probe's bucket files, and inequality
+    // keeps everything (the hash scrambles order — equality only)
+    val pruned = t.snapshot().prunedFiles(
+      Seq(org.apache.spark.sql.sources.EqualTo("k", probe)))
+    assert(pruned.map(_.path).toSet === kept.map(_.path).toSet)
+    assert(t.snapshot().prunedFiles(Seq(
+      org.apache.spark.sql.sources.GreaterThan("k", probe))).size ===
+      t.snapshot().files.size)
+
+    // export as bucket[8] over the string source; spec reader agrees;
+    // import adopts the layout back as string mbucket
+    val dest = tmp("ice_mbs_out_")
+    IcebergExport.export(t, dest)
+    assert(new String(Files.readAllBytes(Paths.get(dest).resolve("metadata")
+      .resolve("v1.metadata.json"))).contains("\"transform\":\"bucket[8]\""))
+    assert(sortedRows(IcebergRead.read(spark, dest)) === sortedRows(t.read()))
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_mbs_imp_"))
+    assert(imp.hiddenBy === Seq(Transform.mbucket(8, "k")))
+    assert(sortedRows(imp.read()) === sortedRows(t.read()))
   }
 
   test("export after MoR-fold compaction equals the pre-compact live rows") {
