@@ -204,8 +204,50 @@ object ApiLog {
       .orderBy(col("q"), col("a"), col("b"), col("n"), col("v"))
   }
 
+  /** The reference's `time` column as a REAL TIMESTAMP (reference
+    * README.md:159,174 — the schema's first column is `time
+    * TIMESTAMP` and the catalog's range query uses a TIMESTAMP
+    * literal): a day(time)-partitioned table over the TIMESTAMP
+    * column itself (no epoch-µs reshape), read through the DSv2 scan
+    * so the TIMESTAMP-literal range predicate prunes day partitions
+    * at the manifest, folded per op name. Everything the hash
+    * compares is engine-neutral (counts, status sums, unix_micros
+    * bounds). */
+  def lifecycleTs(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_api_ts_").resolve("t").toString
+    val ev = Tables.events(s, dir)
+    val frame = ev.select(
+      // Tables.events normalizes ts → ts_us; timestamp_micros inverts
+      // it bit-exactly, giving the reference's TIMESTAMP time column
+      expr("timestamp_micros(ts_us)").as("time"),
+      concat(lit("s3:"),
+        when(col("event_type") === "click", "GetObject")
+          .when(col("event_type") === "view", "HeadObject")
+          .when(col("event_type") === "purchase", "PutObject")
+          .when(col("event_type") === "signup", "CreateBucket")
+          .otherwise("DeleteObject")).as("name"),
+      when(col("event_type") === "error",
+        when(pmod(col("event_id"), lit(2L)) === 0L, 404).otherwise(503))
+        .otherwise(200).cast("int").as("httpStatusCode"))
+    val table = LogTable(s, root, hiddenBy = Seq(Transform.day("time")))
+    table.append(frame)
+    // DSv2 read: the TIMESTAMP-literal predicate reaches the manifest
+    // pruner and opens only the matching day partitions
+    s.read.format("graft").load(root).createOrReplaceTempView("api_ts")
+    s.sql(
+      """SELECT name, count(*) AS n,
+        |  CAST(sum(CAST(httpStatusCode AS BIGINT)) AS BIGINT) AS status_sum,
+        |  CAST(min(unix_micros(time)) AS BIGINT) AS first_us,
+        |  CAST(max(unix_micros(time)) AS BIGINT) AS last_us
+        |FROM api_ts
+        |WHERE time >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND time < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY name ORDER BY name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "log_api_lifecycle" -> (lifecycle _),
+    "log_api_ts" -> (lifecycleTs _),
   )
 
   /** DuckDB rebuilds the identical api frame from events with the
@@ -213,6 +255,25 @@ object ApiLog {
     * The requestTime duration parses arithmetically:
     * m*60e6 + s*1e6 + tenth*1e5 µs. */
   val oracles: Map[String, String] = Map(
+    "log_api_ts" ->
+      """WITH api AS (
+        |  SELECT ts AS time,
+        |    's3:' || CASE event_type
+        |      WHEN 'click' THEN 'GetObject' WHEN 'view' THEN 'HeadObject'
+        |      WHEN 'purchase' THEN 'PutObject' WHEN 'signup' THEN 'CreateBucket'
+        |      ELSE 'DeleteObject' END AS name,
+        |    CASE WHEN event_type = 'error'
+        |      THEN CASE WHEN event_id % 2 = 0 THEN 404 ELSE 503 END
+        |      ELSE 200 END AS httpStatusCode
+        |  FROM events)
+        |SELECT name, count(*) AS n,
+        |  CAST(sum(CAST(httpStatusCode AS BIGINT)) AS BIGINT) AS status_sum,
+        |  CAST(min(epoch_us(time)) AS BIGINT) AS first_us,
+        |  CAST(max(epoch_us(time)) AS BIGINT) AS last_us
+        |FROM api
+        |WHERE time >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND time < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY name ORDER BY name""".stripMargin,
     "log_api_lifecycle" ->
       s"""WITH api AS (
          |  SELECT epoch_us(ts) AS time,

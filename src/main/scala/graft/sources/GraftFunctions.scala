@@ -133,7 +133,13 @@ private[sources] object GraftFunctions {
     override def name(): String = fn
     override def description(): String = desc
     override def bind(inputType: StructType): BoundFunction = {
-      requireTypes(fn, inputType, Seq(LongType))
+      // TIMESTAMP binds too: its internal rep is the µs-epoch long the
+      // writer derived from, and produceResult reads the raw long —
+      // so a days(ts)-laid table still reports SPJ co-partitioning
+      require(inputType.fields.map(_.dataType).toSeq == Seq(LongType) ||
+          inputType.fields.map(_.dataType).toSeq == Seq(TimestampType),
+        s"graft.$fn expects (bigint) or (timestamp), got " +
+          s"(${inputType.fields.map(_.dataType).mkString(", ")})")
       bound
     }
   }

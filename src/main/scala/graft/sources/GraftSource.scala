@@ -1095,6 +1095,15 @@ private[sources] object GraftPrune {
     case x: Int => Some(x.toLong)
     case x: Short => Some(x.toLong)
     case x: Byte => Some(x.toLong)
+    // TIMESTAMP literals (both the legacy java.sql and java8 API
+    // renderings a v1 Filter can carry) prune through monotonic
+    // transforms as their µs-epoch value — the exact internal rep the
+    // writer derived directory keys from, so derive() needs no
+    // timestamp-specific arithmetic
+    case x: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(x))
+    case x: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(x))
     case _ => None
   }
 

@@ -169,10 +169,23 @@ object IcebergExport {
     }
     val transformFields = cur.transforms.map { t =>
       val srcId = ids.of(t.source)
+      val srcIsTs = schema.fields.find(_.name.equalsIgnoreCase(t.source))
+        .exists(_.dataType == TimestampType)
       val (tr, rt, conv): (String, DataType, String => Any) = t.kind match {
-        // graft stores the day/hour INDEX as the dir value; Iceberg
-        // truncate[W] stores index*W — same grouping, same floor
-        // arithmetic on the non-negative µs-epoch domain
+        // a TIMESTAMP-sourced day/hour exports as Iceberg's NATIVE
+        // day/hour transform: graft's stored index IS the spec's
+        // days/hours-from-epoch int ordinal (same truncating division
+        // on the non-negative epoch domain), so a foreign engine
+        // prunes the real thing, not a truncate encoding
+        case "day" if srcIsTs => ("day", IntegerType,
+          s => Integer.valueOf(s.toInt))
+        case "hour" if srcIsTs => ("hour", IntegerType,
+          s => Integer.valueOf(s.toInt))
+        // over a µs-LONG source there is no Iceberg day/hour (those
+        // need a date/timestamp source); graft stores the day/hour
+        // INDEX as the dir value and Iceberg truncate[W] stores
+        // index*W — same grouping, same floor arithmetic on the
+        // non-negative µs-epoch domain
         case "day" => ("truncate[86400000000]", LongType,
           s => java.lang.Long.valueOf(s.toLong * 86400000000L))
         case "hour" => ("truncate[3600000000]", LongType,
@@ -1226,6 +1239,19 @@ object IcebergImport {
         case "identity" => Some(SpecCol(pname, source, Some(source), None))
         case TruncRe(w) =>
           val t = Transform(source, "truncate", w.toLong)
+          Some(SpecCol(pname, t.colName, None, Some(t)))
+        case k @ ("day" | "hour") =>
+          // Iceberg's native day/hour over a TIMESTAMP source is
+          // graft's day/hour over the same column: the stored int
+          // ordinal (days/hours from epoch) equals graft's derived
+          // index on the non-negative epoch domain, so pruning
+          // applies immediately. date-sourced day (no time component
+          // to derive from) refuses below.
+          require(m.schema.fields.find(_.name == source)
+              .exists(_.dataType == TimestampType),
+            s"cannot import '$k' over non-timestamp source '$source' " +
+              "exactly (graft derives day/hour from µs timestamps) — refusing")
+          val t = Transform(source, k, 0L)
           Some(SpecCol(pname, t.colName, None, Some(t)))
         case BucketRe(n) =>
           // Iceberg's bucket is murmur3_x86_32 & MaxInt % n — exactly

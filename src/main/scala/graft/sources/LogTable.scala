@@ -206,6 +206,26 @@ final case class Transform(source: String, kind: String, n: Long) {
           org.apache.spark.sql.functions.col(source), n.toInt)
     }
   }
+  /** [[column]] with the SOURCE TYPE known (the writer resolves it
+    * from the frame schema): monotonic transforms additionally accept
+    * a TIMESTAMP source — the reference's own log-table shape, a
+    * `day(time)`-partitioned TIMESTAMP column — derived over
+    * `unix_micros` (the type's internal µs-epoch long, so the
+    * arithmetic and the stored directory values are IDENTICAL to a
+    * µs-long source's; [[derive]] prunes both without caring). */
+  def columnFor(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType if monotonic =>
+        import org.apache.spark.sql.functions.expr
+        kind match {
+          case "hour" => expr(s"unix_micros($source) div 3600000000L")
+          case "day" => expr(s"unix_micros($source) div 86400000000L")
+          case "truncate" =>
+            expr(s"(unix_micros($source) div ${n}L) * ${n}L")
+        }
+      case _ => column
+    }
+
   /** Derived value for a literal (what the reader prunes with) — the
     * same integer arithmetic as [[column]], or pruning would be WRONG.
     * `div` truncates toward zero, as Java `/` does; truncation is
@@ -1764,13 +1784,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
         require(f.nonEmpty,
           s"hidden-transform source column '${t.source}' is not a table column")
         // mbucket additionally accepts STRING sources (Iceberg's
-        // bucket hashes UTF-8 bytes — the doc-id/URL key shape);
-        // every other transform is Long-domain arithmetic
-        require(f.get.dataType == org.apache.spark.sql.types.LongType ||
-            (t.kind == "mbucket" &&
-              f.get.dataType == org.apache.spark.sql.types.StringType),
+        // bucket hashes UTF-8 bytes — the doc-id/URL key shape), and
+        // the monotonic kinds accept TIMESTAMP sources (the
+        // reference's day(time)-partitioned log table; internal µs
+        // rep makes the arithmetic identical); everything else is
+        // Long-domain arithmetic
+        require(LogTable.transformSourceOk(t, f.get.dataType),
           s"hidden transform ${t.kind}(${t.source}) needs a LongType " +
-            s"source${if (t.kind == "mbucket") " (or StringType)" else ""}, " +
+            s"source${LogTable.transformSourceAlt(t)}, " +
             s"got ${f.get.dataType}")
       }
     }
@@ -2384,7 +2405,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
         val arrangeKeys = partitionBy.map(col) ++
           hiddenBy.filter(t =>
             routed.columns.exists(_.equalsIgnoreCase(t.source)))
-            .map(_.column) ++ Seq(col("_graft_bin"))
+            .map(t => t.columnFor(routed.schema.fields
+              .find(_.name.equalsIgnoreCase(t.source)).get.dataType)) ++
+          Seq(col("_graft_bin"))
         val slots = math.max(rewriteBins.size,
           spark.sparkContext.defaultParallelism)
         val arranged = routed.repartition(slots, arrangeKeys: _*)
@@ -3815,17 +3838,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
     hiddenBy.foreach { t =>
       val f = df.schema.fields.find(_.name.equalsIgnoreCase(t.source))
       f.foreach(fld => require(
-        fld.dataType == org.apache.spark.sql.types.LongType ||
-          (t.kind == "mbucket" &&
-            fld.dataType == org.apache.spark.sql.types.StringType),
+        LogTable.transformSourceOk(t, fld.dataType),
         s"hidden transform ${t.kind}(${t.source}) needs a LongType " +
-          s"source${if (t.kind == "mbucket") " (or StringType)" else ""}, " +
+          s"source${LogTable.transformSourceAlt(t)}, " +
           s"got ${fld.dataType} (hash/derive arithmetic is Long-domain; " +
-          "mbucket also hashes UTF-8 strings per the Iceberg spec)"))
+          "mbucket also hashes UTF-8 strings per the Iceberg spec, and " +
+          "day/hour/truncate also derive from TIMESTAMP µs)"))
     }
     val laid = hiddenBy.filter(t =>
         df.columns.exists(_.equalsIgnoreCase(t.source)))
-      .foldLeft(df)((d, t) => d.withColumn(t.colName, t.column))
+      .foldLeft(df)((d, t) => d.withColumn(t.colName, t.columnFor(
+        df.schema.fields.find(_.name.equalsIgnoreCase(t.source)).get.dataType)))
     val partCols = partitionBy ++
       hiddenBy.filter(t => laid.columns.contains(t.colName)).map(_.colName)
     // CLUSTERED INGEST (Iceberg's hash write-distribution mode), opted
@@ -4475,6 +4498,21 @@ object LogTable {
   /** A scan-rendered file reference (`_metadata.file_path` /
     * `input_file_name` URI form) as the local filesystem path the
     * manifest records. */
+  /** Accepted source types per transform kind: Long everywhere;
+    * String additionally for mbucket (UTF-8 spec bucket); Timestamp
+    * additionally for the monotonic kinds (internal µs rep — the
+    * reference's day(time) log-table shape). */
+  private[sources] def transformSourceOk(t: Transform,
+      dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.LongType ||
+      (t.kind == "mbucket" && dt == org.apache.spark.sql.types.StringType) ||
+      (t.monotonic && dt == org.apache.spark.sql.types.TimestampType)
+
+  private[sources] def transformSourceAlt(t: Transform): String =
+    if (t.kind == "mbucket") " (or StringType)"
+    else if (t.monotonic) " (or TimestampType)"
+    else ""
+
   private[sources] def localPath(uri: String): String =
     java.net.URI.create(uri).getPath
 

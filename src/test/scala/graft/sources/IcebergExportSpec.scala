@@ -754,6 +754,54 @@ class IcebergExportSpec extends SparkSpec {
     assert(sortedRows(imp.read()) === sortedRows(t.read()))
   }
 
+  test("TIMESTAMP-sourced day partitioning: layout, timestamp-literal prune, NATIVE Iceberg day export, import") {
+    import java.time.Instant
+    // a real TIMESTAMP `time` column (the reference's log-table
+    // shape), day-partitioned through the hidden transform
+    val t = LogTable(spark, tmp("ice_tsday_"),
+      hiddenBy = Seq(Transform.day("time")))
+    val rows = (0L until 40L).map { i =>
+      (i, java.sql.Timestamp.from(
+        Instant.ofEpochSecond(86400L * (i % 5) + i)))  // 5 distinct days
+    }
+    t.append(rows.toDF("id", "time"))
+    // directory values are day ordinals — identical to a µs-long
+    // source's derive
+    val dayVals = t.snapshot().files.flatMap(_.partitions.get("_p_time_day")).toSet
+    assert(dayVals === Set("0", "1", "2", "3", "4"))
+
+    // timestamp LITERALS prune through the transform on the DSv2
+    // filter path (both java.sql and java8 renderings)
+    val cut = java.sql.Timestamp.from(Instant.ofEpochSecond(3 * 86400L))
+    val keptTs = t.snapshot().prunedFiles(
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("time", cut)))
+    assert(keptTs.nonEmpty)
+    assert(keptTs.flatMap(_.partitions.get("_p_time_day")).toSet === Set("3", "4"))
+    val keptInst = t.snapshot().prunedFiles(
+      Seq(org.apache.spark.sql.sources.EqualTo("time",
+        Instant.ofEpochSecond(2 * 86400L + 12L))))
+    assert(keptInst.flatMap(_.partitions.get("_p_time_day")).toSet === Set("2"))
+
+    // exports as Iceberg's NATIVE day transform (int ordinal), not a
+    // truncate encoding; the spec reader round-trips
+    val dest = tmp("ice_tsday_out_")
+    IcebergExport.export(t, dest)
+    val json = new String(Files.readAllBytes(
+      Paths.get(dest).resolve("metadata").resolve("v1.metadata.json")))
+    assert(json.contains("\"transform\":\"day\""))
+    assert(!json.contains("truncate[86400000000]"))
+    assert(sortedRows(IcebergRead.read(spark, dest)) === sortedRows(t.read()))
+
+    // the other direction: a foreign day-over-timestamptz spec becomes
+    // graft day over the timestamp column, pruning immediately
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_tsday_imp_"))
+    assert(imp.hiddenBy === Seq(Transform.day("time")))
+    assert(sortedRows(imp.read()) === sortedRows(t.read()))
+    assert(imp.snapshot().prunedFiles(
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("time", cut)))
+      .flatMap(_.partitions.get("_p_time_day")).toSet === Set("3", "4"))
+  }
+
   test("export after MoR-fold compaction equals the pre-compact live rows") {
     val t = LogTable(spark, tmp("ice_fold_"))
     t.append((0L until 50L).map(i => (i, i % 5)).toDF("id", "g"))
