@@ -28,25 +28,30 @@ import org.apache.spark.unsafe.types.UTF8String
 case class IcebergBucketHash(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType | StringType => TypeCheckResult.TypeCheckSuccess
+    // TIMESTAMP buckets as its µs-epoch long — the spec's rule
+    // (timestamps serialize as their micros value), and exactly the
+    // type's Catalyst-internal representation
+    case LongType | StringType | org.apache.spark.sql.types.TimestampType =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"iceberg_bucket_hash requires bigint or string, got ${other.catalogString}")
+      s"iceberg_bucket_hash requires bigint, string or timestamp, " +
+        s"got ${other.catalogString}")
   }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "iceberg_bucket_hash"
 
   override protected def nullSafeEval(input: Any): Any = child.dataType match {
-    case LongType => IcebergBucketHash.hashLong(input.asInstanceOf[Long])
     case StringType =>
       IcebergBucketHash.hashString(input.asInstanceOf[UTF8String])
+    case _ => IcebergBucketHash.hashLong(input.asInstanceOf[Long])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => child.dataType match {
-      case LongType =>
-        s"${ev.value} = graft.functions.IcebergBucketHash.hashLong($c);"
       case StringType =>
         s"${ev.value} = graft.functions.IcebergBucketHash.hashString($c);"
+      case _ =>
+        s"${ev.value} = graft.functions.IcebergBucketHash.hashLong($c);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): IcebergBucketHash =

@@ -91,11 +91,13 @@ private[sources] object GraftFunctions {
       "mbucket(n, col) - Iceberg-spec bucket: (murmur3_x86_32(col) & MaxInt) % n"
     override def bind(inputType: StructType): BoundFunction =
       inputType.fields.map(_.dataType).toSeq match {
-        case Seq(IntegerType, LongType) => MBucketBound
+        // timestamps bucket as their µs-epoch long (the spec rule and
+        // the internal rep) — same bound function as long inputs
+        case Seq(IntegerType, LongType | TimestampType) => MBucketBound
         case Seq(IntegerType, StringType) => MBucketStrBound
         case other => throw new IllegalArgumentException(
-          s"graft.mbucket expects (int, bigint) or (int, string), got " +
-            s"(${other.mkString(", ")})")
+          s"graft.mbucket expects (int, bigint|timestamp) or " +
+            s"(int, string), got (${other.mkString(", ")})")
       }
   }
   private object MBucketBound extends ScalarFunction[java.lang.Long] {

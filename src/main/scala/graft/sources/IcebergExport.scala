@@ -1258,14 +1258,15 @@ object IcebergImport {
           // graft's mbucket, so the foreign layout imports EXACTLY:
           // the manifest's stored bucket indexes equal what graft
           // re-derives, and point-lookup pruning applies immediately.
-          // long and string sources import exactly (graft's mbucket
-          // hashes both per the spec — 8 LE bytes / UTF-8 bytes);
-          // other source types (decimal/date/uuid byte encodings)
-          // refuse rather than mis-prune
+          // long, string and timestamp sources import exactly (graft's
+          // mbucket hashes all three per the spec — 8 LE bytes /
+          // UTF-8 bytes / µs long); other source types (decimal/date/
+          // uuid byte encodings) refuse rather than mis-prune
           require(m.schema.fields.find(_.name == source)
-              .exists(f => f.dataType == LongType || f.dataType == StringType),
+              .exists(f => f.dataType == LongType ||
+                f.dataType == StringType || f.dataType == TimestampType),
             s"cannot import bucket[$n] over source '$source' exactly " +
-              "(long and string bucket sources are supported) — refusing")
+              "(long/string/timestamp bucket sources are supported) — refusing")
           val t = Transform(source, "mbucket", n.toLong)
           Some(SpecCol(pname, t.colName, None, Some(t)))
         case other => throw new IllegalArgumentException(

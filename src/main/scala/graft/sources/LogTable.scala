@@ -4506,7 +4506,10 @@ object LogTable {
       dt: org.apache.spark.sql.types.DataType): Boolean =
     dt == org.apache.spark.sql.types.LongType ||
       (t.kind == "mbucket" && dt == org.apache.spark.sql.types.StringType) ||
-      (t.monotonic && dt == org.apache.spark.sql.types.TimestampType)
+      // monotonic kinds derive from the µs rep; mbucket hashes it (the
+      // spec buckets timestamps as their micros value)
+      ((t.monotonic || t.kind == "mbucket") &&
+        dt == org.apache.spark.sql.types.TimestampType)
 
   private[sources] def transformSourceAlt(t: Transform): String =
     if (t.kind == "mbucket") " (or StringType)"
