@@ -1026,7 +1026,11 @@ object Lakehouse {
       .agg(count(lit(1)).as("n"),
         Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
       .withColumn("via", lit(via))
-    agg(table.read(), "graft").unionByName(agg(IcebergRead.read(s, dest), "spec"))
+    // graft leg reads through the DSv2 scan: the IN predicate reaches
+    // the manifest pruner and opens only the keys' bucket partitions
+    // (table.read() would scan the full file list)
+    agg(s.read.format("graft").load(tmp), "graft")
+      .unionByName(agg(IcebergRead.read(s, dest), "spec"))
       .select(col("via"), col("user_id"), col("n"), col("total_value"))
       .orderBy(col("via"), col("user_id"))
   }
