@@ -190,6 +190,23 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Join") === 0)
   }
 
+  test("log_api_ts: the TIMESTAMP range predicate is pushed to the graft scan") {
+    val p = plan("log_api_ts")
+    assert(p.contains("BatchScan graft"),
+      "the api_ts view must read through the DSv2 scan (manifest pruning)")
+    assert(count(p, "GreaterThanOrEqual\\(time") >= 1 &&
+      count(p, "LessThan\\(time") >= 1,
+      s"both TIMESTAMP bounds must reach the scan as pushed filters:\n$p")
+  }
+
+  test("lake_mbucket: the graft leg's IN lookup is pushed to the graft scan") {
+    val p = plan("lake_mbucket")
+    assert(p.contains("BatchScan graft"),
+      "the graft leg must read through the DSv2 scan (bucket pruning)")
+    assert(count(p, "In\\(user_id") >= 1,
+      s"the point-lookup IN must reach the scan as a pushed filter:\n$p")
+  }
+
   /** The DSv2 `format("graft")` scale contracts: a refactor that
     * silently drops the vectorized path, turns the metadata count
     * back into a table scan, or un-bounds LIMIT planning fails here,
