@@ -796,6 +796,43 @@ final class LogTable private (val spark: SparkSession, val root: String,
   def filesInRangeStr(column: String, lo: String, hi: String): Seq[DataFile] =
     prunedByRangeStr(snapshot(), column, lo, hi)
 
+  /** [[readPoint]] for STRING columns: every manifest signal a string
+    * point lookup can use — per-file string stats, recorded value
+    * sets, AND mbucket hidden transforms over the column (Iceberg's
+    * UTF-8 bucket: only the key's bucket directory opens, 1/n of the
+    * table regardless of value order — the "all rows of doc X" query
+    * on a string-keyed 100 TB corpus). Residual filter keeps the
+    * result exact. */
+  def readPointStr(column: String, value: String): DataFrame = {
+    val snap = snapshot()
+    val keep = prunedForPointStr(snap, column, value)
+    import org.apache.spark.sql.functions.col
+    val base = if (keep.isEmpty) emptyLike()
+      else readLive(snap, keep)
+    if (base.columns.isEmpty) base else base.filter(col(column) === value)
+  }
+
+  /** Files a string point lookup must open — exposed so specs can
+    * assert the bucket pruning actually happened. */
+  def filesForPointStr(column: String, value: String): Seq[DataFile] =
+    prunedForPointStr(snapshot(), column, value)
+
+  private def prunedForPointStr(snap: Snapshot, column: String,
+      value: String): Seq[DataFile] = {
+    val buckets = hiddenBy.filter(t =>
+      t.kind == "mbucket" && t.source.equalsIgnoreCase(column))
+    prunedByRangeStr(snap, column, value, value).filter { f =>
+      f.valueSets.find(_._1.equalsIgnoreCase(column))
+        .forall(_._2.contains(value)) &&
+      buckets.forall { t =>
+        f.partitions.get(t.colName) match {
+          case Some(v) => v.toLongOption.forall(_ == t.deriveStr(value))
+          case None => true
+        }
+      }
+    }
+  }
+
   private def prunedByRangeStr(snap: Snapshot, column: String,
       lo: String, hi: String): Seq[DataFile] =
     snap.files.filter(f =>

@@ -738,6 +738,11 @@ class IcebergExportSpec extends SparkSpec {
     val pruned = t.snapshot().prunedFiles(
       Seq(org.apache.spark.sql.sources.EqualTo("k", probe)))
     assert(pruned.map(_.path).toSet === kept.map(_.path).toSet)
+    // the Scala point-lookup API prunes the same way and stays exact
+    assert(t.filesForPointStr("k", probe).map(_.path).toSet
+      .subsetOf(kept.map(_.path).toSet))
+    assert(t.readPointStr("k", probe).count() === 1L)
+    assert(t.readPointStr("k", "doc-does-not-exist").count() === 0L)
     assert(t.snapshot().prunedFiles(Seq(
       org.apache.spark.sql.sources.GreaterThan("k", probe))).size ===
       t.snapshot().files.size)
