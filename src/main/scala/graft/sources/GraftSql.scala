@@ -930,6 +930,18 @@ object GraftSql {
           .createOrReplaceTempView(view)
         repls += ((m.start, m.end, view))
       }
+    // iceberg_snapshots('<path>') — the snapshot log of an Iceberg
+    // table as a table function (DuckDB's convention): one row per
+    // snapshot with id/timestamp/operation/manifest-list, the
+    // discovery step before an iceberg_scan(path, id) time travel
+    for (m <- """(?i)iceberg_snapshots\s*\(\s*'([^']+)'\s*\)"""
+        .r.findAllMatchIn(stmt))
+      if (!inLiteral(m.start)) {
+        val view = "iceberg_snapshots__at_" +
+          java.lang.Integer.toHexString(m.matched.hashCode).replace('-', 'n')
+        IcebergRead.snapshots(spark, m.group(1)).createOrReplaceTempView(view)
+        repls += ((m.start, m.end, view))
+      }
     // iceberg_scan('<path>' [, <snapshot-id>]) — read an Iceberg v2
     // table (an export of ours, or a foreign one within the supported
     // subset) directly in SQL: DuckDB's iceberg_scan convention, with

@@ -997,6 +997,43 @@ object IcebergRead {
       versionAsOf: Option[Long] = None): DataFrame =
     readMeta(spark, load(dest, versionAsOf))
 
+  /** The snapshot log of an Iceberg table as a DataFrame — one row
+    * per snapshot (snapshot_id, parent_id, timestamp_ms, operation,
+    * manifest_list, schema_id, is_current), in the metadata JSON's
+    * snapshots-array order. Backs the
+    * `iceberg_snapshots('<path>')` SQL table function (DuckDB's
+    * convention) — the discovery step before a time-traveling
+    * `iceberg_scan(path, id)`. Pure metadata: never opens a manifest
+    * or data file. */
+  def snapshots(spark: SparkSession, dest: String): DataFrame = {
+    val metaDir = Paths.get(dest).resolve("metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir.resolve(s"v$hint.metadata.json")))
+    val rows = meta.get("snapshots").elements().asScala.map { s =>
+      Row(s.get("snapshot-id").asLong(),
+        Option(s.get("parent-snapshot-id")).map(_.asLong())
+          .map(java.lang.Long.valueOf).orNull,
+        s.get("timestamp-ms").asLong(),
+        Option(s.get("summary")).flatMap(su =>
+          Option(su.get("operation"))).map(_.asText()).orNull,
+        s.get("manifest-list").asText(),
+        Option(s.get("schema-id")).map(_.asInt())
+          .map(Integer.valueOf).orNull,
+        s.get("snapshot-id").asLong() ==
+          meta.get("current-snapshot-id").asLong())
+    }.toSeq
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType, nullable = true),
+      StructField("timestamp_ms", LongType, nullable = false),
+      StructField("operation", StringType, nullable = true),
+      StructField("manifest_list", StringType, nullable = true),
+      StructField("schema_id", IntegerType, nullable = true),
+      StructField("is_current", BooleanType, nullable = false))))
+  }
+
   /** Read a table served over the Iceberg REST catalog protocol
     * ([[IcebergRestCatalog]] or any spec-conformant read endpoint):
     * GET the LoadTableResult and scan from the WIRE-carried metadata —

@@ -191,6 +191,36 @@ class GraftSpjSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP-sourced days layout: the V2 days function binds timestamp inputs and SPJ engages") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE spj.db.tfacts (time TIMESTAMP, v BIGINT)
+        |PARTITIONED BY (days(time))""".stripMargin)
+    spark.sql(
+      """CREATE TABLE spj.db.tdims (time TIMESTAMP, w BIGINT)
+        |PARTITIONED BY (days(time))""".stripMargin)
+    // 4 distinct days, join keyed on the timestamp itself
+    (0L until 80L).map(i => (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond((i % 20) * 5000L)), i))
+      .toDF("time", "v").createOrReplaceTempView("spj_tf")
+    (0L until 20L).map(i => (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(i * 5000L)), i * 10))
+      .toDF("time", "w").createOrReplaceTempView("spj_td")
+    spark.sql("INSERT INTO spj.db.tfacts SELECT * FROM spj_tf")
+    spark.sql("INSERT INTO spj.db.tdims SELECT * FROM spj_td")
+    withSpj {
+      val j = spark.sql(
+        """SELECT f.time, f.v, d.w FROM spj.db.tfacts f
+          |JOIN spj.db.tdims d ON f.time = d.time""".stripMargin)
+      val rows = j.collect()
+      assert(rows.length === 80)
+      assert(rows.forall(r => r.getLong(2) === (r.getLong(1) % 20) * 10))
+      assert(shuffles(j) === 0,
+        s"expected a storage-partitioned join with zero exchanges:\n" +
+          j.queryExecution.executedPlan)
+    }
+  }
+
   test("group-by on an identity partition column aggregates without exchange") {
     warehouse
     spark.sql(

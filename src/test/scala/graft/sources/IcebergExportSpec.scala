@@ -616,6 +616,29 @@ class IcebergExportSpec extends SparkSpec {
       .contains("iceberg_scan"))
   }
 
+  test("iceberg_snapshots('<path>') lists the snapshot log in SQL; composes with a time-traveling scan") {
+    val t = LogTable(spark, tmp("ice_snaps_"))
+    t.append((0L until 10L).map(i => (i, s"a$i")).toDF("id", "s"))   // v1
+    t.append((10L until 18L).map(i => (i, s"b$i")).toDF("id", "s"))  // v2
+    t.delete(col("id") < 3L)                                          // v3
+    val dest = tmp("ice_snaps_out_")
+    IcebergExport.export(t, dest, history = true)
+    val snaps = GraftSql.exec(spark,
+      s"SELECT snapshot_id, operation, is_current FROM iceberg_snapshots('$dest') ORDER BY snapshot_id")
+      .collect()
+    assert(snaps.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(snaps.map(_.getString(1)).toSeq === Seq("append", "append", "overwrite"))
+    assert(snaps.map(_.getBoolean(2)).toSeq === Seq(false, false, true))
+    // the discovery → time-travel composition: list, pick, scan
+    val oldest = GraftSql.exec(spark,
+      s"SELECT min(snapshot_id) AS v FROM iceberg_snapshots('$dest')")
+      .head().getLong(0)
+    val n1 = GraftSql.exec(spark,
+      s"SELECT count(*) AS n FROM iceberg_scan('$dest', $oldest)")
+      .head().getLong(0)
+    assert(n1 === 10L)
+  }
+
   test("declared write sort order exports as Iceberg sort-order 1") {
     val t = LogTable(spark, tmp("ice_sort_"))
     t.append((0L until 10L).map(i => (i, i * 2)).toDF("id", "v"))
