@@ -942,16 +942,20 @@ object GraftSql {
         IcebergRead.snapshots(spark, m.group(1)).createOrReplaceTempView(view)
         repls += ((m.start, m.end, view))
       }
-    // iceberg_scan('<path>' [, <snapshot-id>]) — read an Iceberg v2
-    // table (an export of ours, or a foreign one within the supported
-    // subset) directly in SQL: DuckDB's iceberg_scan convention, with
-    // the optional snapshot id for time travel over history exports
-    for (m <- """(?i)iceberg_scan\s*\(\s*'([^']+)'\s*(?:,\s*(\d+)\s*)?\)"""
+    // iceberg_scan('<path>' [, <snapshot-id> | '<ref>']) — read an
+    // Iceberg v2 table (an export of ours, or a foreign one within
+    // the supported subset) directly in SQL: DuckDB's iceberg_scan
+    // convention; a numeric second arg time-travels by snapshot id, a
+    // quoted one resolves through the metadata's refs map (tags)
+    for (m <- """(?i)iceberg_scan\s*\(\s*'([^']+)'\s*(?:,\s*(?:(\d+)|'([^']+)')\s*)?\)"""
         .r.findAllMatchIn(stmt))
       if (!inLiteral(m.start)) {
         val view = "iceberg_scan__at_" +
           java.lang.Integer.toHexString(m.matched.hashCode).replace('-', 'n')
-        IcebergRead.read(spark, m.group(1), Option(m.group(2)).map(_.toLong))
+        val snapId = Option(m.group(2)).map(_.toLong)
+          .orElse(Option(m.group(3)).map(r =>
+            IcebergRead.refSnapshot(m.group(1), r)))
+        IcebergRead.read(spark, m.group(1), snapId)
           .createOrReplaceTempView(view)
         repls += ((m.start, m.end, view))
       }

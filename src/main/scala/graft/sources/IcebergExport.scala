@@ -657,6 +657,28 @@ object IcebergExport {
     }
     root.set[ObjectNode]("snapshots", snapsArr)
     root.set[ObjectNode]("snapshot-log", logArr)
+    // REFS: graft's named refs (immutable tags) export as Iceberg
+    // refs of type "tag" — a foreign engine resolves
+    // `VERSION AS OF '<name>'` exactly as graft's readRef does —
+    // plus the spec's `main` branch ref at the current snapshot.
+    // Only tags whose pinned version is EXPORTED ride along (a
+    // current-only export silently drops tags on older snapshots:
+    // a ref to a snapshot the metadata doesn't carry would be
+    // spec-invalid).
+    locally {
+      val refsNode = root.putObject("refs")
+      val mainRef = refsNode.putObject("main")
+      mainRef.put("snapshot-id", cur.version)
+      mainRef.put("type", "branch")
+      table.refs.foreach { case (name, v) =>
+        if (exportedVersions.contains(v) && name != "main") {
+          val r = refsNode.putObject(name)
+          r.put("snapshot-id", v)
+          r.put("type", "tag")
+          ()
+        }
+      }
+    }
     root.set[ObjectNode]("metadata-log", mapper.createArrayNode())
     // METADATA VERSIONING (HadoopTables convention): a re-export into
     // the same dest writes the NEXT vN.metadata.json and bumps the
@@ -996,6 +1018,27 @@ object IcebergRead {
   def read(spark: SparkSession, dest: String,
       versionAsOf: Option[Long] = None): DataFrame =
     readMeta(spark, load(dest, versionAsOf))
+
+  /** Resolve a named ref (tag or branch) from the table metadata's
+    * `refs` map to its snapshot id — how a foreign engine answers
+    * `VERSION AS OF '<name>'` over the export. */
+  def refSnapshot(dest: String, name: String): Long = {
+    val metaDir = Paths.get(dest).resolve("metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir.resolve(s"v$hint.metadata.json")))
+    val refs = meta.get("refs")
+    require(refs != null && refs.get(name) != null,
+      s"no ref '$name' in the Iceberg table at $dest (refs: " +
+        (if (refs == null) "none"
+         else refs.fieldNames().asScala.mkString(", ")) + ")")
+    refs.get(name).get("snapshot-id").asLong()
+  }
+
+  /** [[read]] at a named ref — tag-addressed foreign time travel. */
+  def readRef(spark: SparkSession, dest: String, name: String): DataFrame =
+    read(spark, dest, Some(refSnapshot(dest, name)))
 
   /** The snapshot log of an Iceberg table as a DataFrame — one row
     * per snapshot (snapshot_id, parent_id, timestamp_ms, operation,

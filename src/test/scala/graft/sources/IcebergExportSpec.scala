@@ -639,6 +639,39 @@ class IcebergExportSpec extends SparkSpec {
     assert(n1 === 10L)
   }
 
+  test("named refs export as Iceberg refs: tags resolve in the reader AND as iceberg_scan('p','tag')") {
+    val t = LogTable(spark, tmp("ice_refs_"))
+    t.append((0L until 12L).map(i => (i, s"a$i")).toDF("id", "s"))  // v1
+    t.createRef("golden")                                            // tag at v1
+    t.append((12L until 20L).map(i => (i, s"b$i")).toDF("id", "s")) // v2
+    t.createRef("latest")                                            // tag at v2
+    val dest = tmp("ice_refs_out_")
+    IcebergExport.export(t, dest, history = true)
+    val meta = new String(Files.readAllBytes(
+      Paths.get(dest).resolve("metadata").resolve("v1.metadata.json")))
+    assert(meta.contains("\"refs\""))
+    assert(meta.contains("\"golden\"") && meta.contains("\"latest\""))
+    // readRef = graft's own readRef through the foreign metadata
+    assert(sortedRows(IcebergRead.readRef(spark, dest, "golden")) ===
+      sortedRows(t.readRef("golden")))
+    assert(IcebergRead.refSnapshot(dest, "main") === 2L)
+    // tag-addressed SQL time travel (DuckDB's quoted-ref form)
+    assert(GraftSql.exec(spark,
+      s"SELECT count(*) AS n FROM iceberg_scan('$dest', 'golden')")
+      .head().getLong(0) === 12L)
+    // unknown ref refuses with the known names
+    val e = intercept[IllegalArgumentException](
+      IcebergRead.refSnapshot(dest, "nope"))
+    assert(e.getMessage.contains("golden"))
+    // a CURRENT-ONLY export drops tags on unexported snapshots rather
+    // than writing a dangling spec-invalid ref
+    val dest2 = tmp("ice_refs_cur_out_")
+    IcebergExport.export(t, dest2)
+    val meta2 = new String(Files.readAllBytes(
+      Paths.get(dest2).resolve("metadata").resolve("v1.metadata.json")))
+    assert(!meta2.contains("\"golden\"") && meta2.contains("\"latest\""))
+  }
+
   test("declared write sort order exports as Iceberg sort-order 1") {
     val t = LogTable(spark, tmp("ice_sort_"))
     t.append((0L until 10L).map(i => (i, i * 2)).toDF("id", "v"))
