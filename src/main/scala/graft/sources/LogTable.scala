@@ -4532,27 +4532,26 @@ object LogTable {
       }
     }
 
-  /** A scan-rendered file reference (`_metadata.file_path` /
-    * `input_file_name` URI form) as the local filesystem path the
-    * manifest records. */
   /** Accepted source types per transform kind: Long everywhere;
     * String additionally for mbucket (UTF-8 spec bucket); Timestamp
     * additionally for the monotonic kinds (internal µs rep — the
-    * reference's day(time) log-table shape). */
+    * reference's day(time) log-table shape) AND for mbucket (the
+    * spec buckets timestamps as their micros value). */
   private[sources] def transformSourceOk(t: Transform,
       dt: org.apache.spark.sql.types.DataType): Boolean =
     dt == org.apache.spark.sql.types.LongType ||
       (t.kind == "mbucket" && dt == org.apache.spark.sql.types.StringType) ||
-      // monotonic kinds derive from the µs rep; mbucket hashes it (the
-      // spec buckets timestamps as their micros value)
       ((t.monotonic || t.kind == "mbucket") &&
         dt == org.apache.spark.sql.types.TimestampType)
 
   private[sources] def transformSourceAlt(t: Transform): String =
-    if (t.kind == "mbucket") " (or StringType)"
+    if (t.kind == "mbucket") " (or StringType/TimestampType)"
     else if (t.monotonic) " (or TimestampType)"
     else ""
 
+  /** A scan-rendered file reference (`_metadata.file_path` /
+    * `input_file_name` URI form) as the local filesystem path the
+    * manifest records. */
   private[sources] def localPath(uri: String): String =
     java.net.URI.create(uri).getPath
 
