@@ -921,12 +921,14 @@ object GraftSql {
     // directly in SQL: the LoadTableResult comes over HTTP, the scan
     // runs from the wire-carried metadata.
     for (m <- ("""(?i)iceberg_rest_scan\s*\(\s*'([^']+)'\s*,\s*'([^']+)'""" +
-        """\s*,\s*'([^']+)'\s*(?:,\s*(\d+)\s*)?\)""").r.findAllMatchIn(stmt))
+        """\s*,\s*'([^']+)'\s*(?:,\s*(?:(\d+)|'([^']+)')\s*)?\)""")
+        .r.findAllMatchIn(stmt))
       if (!inLiteral(m.start)) {
         val view = "iceberg_rest_scan__at_" +
           java.lang.Integer.toHexString(m.matched.hashCode).replace('-', 'n')
         IcebergRead.readRest(spark, m.group(1), m.group(2), m.group(3),
-            Option(m.group(4)).map(_.toLong))
+            Option(m.group(4)).map(_.toLong),
+            refAsOf = Option(m.group(5)))
           .createOrReplaceTempView(view)
         repls += ((m.start, m.end, view))
       }

@@ -1085,7 +1085,8 @@ object IcebergRead {
     * deployment (the catalog serves pointers, never data), so the
     * returned frame remains valid after the server goes away. */
   def readRest(spark: SparkSession, catalogUri: String, namespace: String,
-      table: String, versionAsOf: Option[Long] = None): DataFrame = {
+      table: String, versionAsOf: Option[Long] = None,
+      refAsOf: Option[String] = None): DataFrame = {
     val url = s"$catalogUri/v1/namespaces/$namespace/tables/$table"
     val resp = java.net.http.HttpClient.newHttpClient().send(
       java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
@@ -1096,7 +1097,17 @@ object IcebergRead {
     val meta = mapper.readTree(resp.body()).get("metadata")
     require(meta != null && !meta.isNull,
       s"LoadTableResult from $url carries no inline metadata")
-    readMeta(spark, loadMeta(meta, versionAsOf))
+    // a named ref resolves from the WIRE metadata's refs map — no
+    // second round trip, no path access
+    val snapId = versionAsOf.orElse(refAsOf.map { r =>
+      val refs = meta.get("refs")
+      require(refs != null && refs.get(r) != null,
+        s"no ref '$r' in the REST-served table $namespace.$table (refs: " +
+          (if (refs == null) "none"
+           else refs.fieldNames().asScala.mkString(", ")) + ")")
+      refs.get(r).get("snapshot-id").asLong()
+    })
+    readMeta(spark, loadMeta(meta, snapId))
   }
 
   /** The scan half of [[read]], over an already-parsed [[IceMeta]] —

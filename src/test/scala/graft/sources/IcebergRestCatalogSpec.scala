@@ -112,6 +112,15 @@ class IcebergRestCatalogSpec extends SparkSpec {
            |JOIN iceberg_scan('$dest') b ON a.id = b.id""".stripMargin)
         .head().getLong(0)
       assert(j === 25L)
+      // a named ref resolves from the wire metadata (no path access)
+      t.createRef("first", 1L)
+      // refresh with history so the v1-pinned tag's target is exported
+      // (a current-only refresh would rightly drop the dangling tag)
+      IcebergExport.export(t, dest, history = true)
+      val nr = GraftSql.exec(spark,
+        s"SELECT count(*) AS n FROM iceberg_rest_scan('${cat.uri}', 'ns', 't', 'first')")
+        .head().getLong(0)
+      assert(nr === 15L)
     } finally cat.close()
   }
 
