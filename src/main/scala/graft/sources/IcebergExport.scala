@@ -690,7 +690,14 @@ object IcebergExport {
     val logArr2 = root.withArray[ArrayNode]("metadata-log")
     prior.foreach { n =>
       val e = logArr2.addObject()
-      e.put("timestamp-ms", cur.timestampMs)
+      // each entry carries ITS OWN metadata file's last-updated-ms
+      // (the spec's meaning — when that version became current), not
+      // this refresh's timestamp
+      val pm = mapper.readTree(Files.readAllBytes(
+        metaDir.resolve(s"v$n.metadata.json")))
+      e.put("timestamp-ms",
+        Option(pm.get("last-updated-ms")).map(_.asLong())
+          .getOrElse(cur.timestampMs))
       e.put("metadata-file",
         metaDir.resolve(s"v$n.metadata.json").toString)
     }
