@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * is the two exchanges, and this deletes both.
   *
   * Each function is the EXACT arithmetic of [[Transform.column]] /
-  * [[Transform.derive]] (integral `div`/`pmod`, xxhash64 seed 42) —
-  * Spark may evaluate it (`spark.sql.sources.v2.bucketing.shuffle
-  * .enabled` hashes the un-bucketed side with it), so a drifted
-  * definition would silently co-locate WRONG rows. One definition,
-  * three consumers: writer layout, manifest pruning, join planning. */
+  * [[Transform.derive]] (integral `div`; the Iceberg-spec murmur3
+  * for `bucket`/mbucket layouts, xxhash64 seed 42 for the legacy
+  * `xxbucket` kind) — Spark may evaluate it
+  * (`spark.sql.sources.v2.bucketing.shuffle.enabled` hashes the
+  * un-bucketed side with it), so a drifted definition would silently
+  * co-locate WRONG rows. One definition, three consumers: writer
+  * layout, manifest pruning, join planning. */
 private[sources] object GraftFunctions {
 
   /** Connector-side names (Spark's `Expressions.bucket/hours/days`
@@ -51,8 +53,7 @@ private[sources] object GraftFunctions {
   private def requireTypes(fn: String, in: StructType, want: Seq[DataType]): Unit =
     require(in.fields.map(_.dataType).toSeq == want,
       s"graft.$fn expects (${want.mkString(", ")}), got " +
-        s"(${in.fields.map(_.dataType).mkString(", ")}) — graft transform " +
-        "sources are LongType by construction")
+        s"(${in.fields.map(_.dataType).mkString(", ")})")
 
   /** xxbucket(n, col): the LEGACY graft bucket,
     * `pmod(xxhash64(col), n)` — [[Transform.derive]] for kind
