@@ -649,6 +649,14 @@ object IcebergExport {
         case "compact" | "recluster" => "replace"
         case _ => "overwrite"
       })
+      // the conventional totals every Iceberg UI/inspector reads —
+      // string-valued per the spec's summary map, from manifest
+      // metadata only
+      summ.put("total-records", sn.files.map(_.rows).sum.toString)
+      summ.put("total-data-files", sn.files.size.toString)
+      summ.put("total-files-size", sn.files.map(_.bytes).sum.toString)
+      summ.put("total-delete-files",
+        (sn.deletes.size + sn.eqDeletes.size).toString)
       node.put("manifest-list", listPath.toString)
       node.put("schema-id", sid)
       val le = logArr.addObject()

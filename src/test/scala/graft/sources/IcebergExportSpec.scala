@@ -371,6 +371,11 @@ class IcebergExportSpec extends SparkSpec {
     val ops = meta.get("snapshots").elements().asScala
       .map(_.get("summary").get("operation").asText()).toSeq
     assert(ops === Seq("append", "overwrite", "append", "overwrite", "replace"))
+    // conventional totals ride each summary (what Iceberg inspectors
+    // read), exact per snapshot
+    val totals = meta.get("snapshots").elements().asScala
+      .map(_.get("summary").get("total-records").asText().toLong).toSeq
+    assert(totals === Seq(20L, 20L, 30L, 25L, 25L))
 
     // a lineage with mid-history MoR/eq debt time-travels at EVERY
     // version: v2 carries marks (its own delete manifest), v3 adds an
