@@ -26,9 +26,24 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val res = fn(spark, sfDir)
+          // Result TIMESTAMP columns dump as TIMESTAMP_NTZ: graft's
+          // write paths standardize parquet timestamps to INT64 micros
+          // with isAdjustedToUTC=true (the Iceberg seam requirement),
+          // which DuckDB types as TIMESTAMP WITH TIME ZONE while the
+          // oracle SQL computes naive TIMESTAMPs — a dtype mismatch on
+          // an identical instant. Under this UTC session the NTZ cast
+          // preserves the rendered instant exactly (and matches what
+          // the legacy INT96 dumps read as in DuckDB).
+          val dumped = res.schema.fields.foldLeft(res)((d, f) =>
+            if (f.dataType == org.apache.spark.sql.types.TimestampType)
+              d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+                .cast(org.apache.spark.sql.types.TimestampNTZType))
+            else d)
+          dumped.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           failed ::= name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

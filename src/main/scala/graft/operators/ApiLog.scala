@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.ParseDuration
-import graft.sources.{LogTable, Transform}
+import graft.sources.{LogTable, MarkerCommit, Transform}
 import graft.streaming.Streams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -153,7 +153,14 @@ object ApiLog {
       .option("maxFilesPerTrigger", 2).parquet(buffer)
       .drop("_flush")
     Streams.streamIngest(stream, table, ckpt).awaitTermination()
+    catalogFold(s, table)
+  }
 
+  /** The README query catalog (README.md:141-167) as literal SQL over
+    * the committed table, folded into one totally-ordered frame —
+    * shared by every lifecycle variant (streaming commit loop, marker
+    * commit loop): identical table contents must fold identically. */
+  private def catalogFold(s: SparkSession, table: LogTable): DataFrame = {
     table.read().createOrReplaceTempView("api")
     val blank = lit("")
     // -- Count all logs (README.md:142)
@@ -204,6 +211,51 @@ object ApiLog {
       .orderBy(col("q"), col("a"), col("b"), col("n"), col("v"))
   }
 
+  /** The lifecycle routed through the reference's ACTUAL decoupling —
+    * the MARKER-BASED, LEADER-ELECTED commit loop (reference
+    * README.md:104-118, :196-212) instead of the folded streaming
+    * loop: each per-node count-OR-interval flush STAGES its parquet
+    * into the table's pool and publishes 0-byte index markers
+    * ([[graft.sources.MarkerCommit.flush]] — the flushing node's
+    * role); then leader rounds (CAS-lease-elected, small marker
+    * batches ≈ the `ICEBERG_COMMIT_INTERVAL` cadence) list the pending
+    * markers, commit the referenced files atomically from their
+    * FOOTERS alone, and clean the markers. Same day-partitioned table,
+    * same README catalog fold, same oracle algebra — a lost or
+    * double-committed flush file breaks the hash exactly as it would
+    * in the streaming variant. */
+  def lifecycleMarkers(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_api_mark_")
+    val buffer = tmp.resolve("buffer").toString
+    val root = tmp.resolve("table").toString
+    val frame = apiFrame(s, dir)
+    val countLimit = math.max(1L, frame.count() / 8L).toInt
+    val flushed = flushBuffer(frame, "node", "time",
+      countLimit, intervalUs = 10L * 86400000000L)
+    // the buffer lands once (one job); each `_flush` directory is one
+    // node's flush — the unit the reference stages and marks
+    flushed.write.partitionBy("_flush").parquet(buffer)
+    val table = LogTable(s, root, hiddenBy = Seq(Transform.day("time")))
+    table.declareSchema(flushed.drop("_flush").schema)
+    val flushDirs = scala.util.Using.resource(
+        Files.list(java.nio.file.Paths.get(buffer))) { ls =>
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_flush=")).toSeq.sorted
+    }
+    // FLUSH phase: every node flush stages + marks, NOTHING commits
+    flushDirs.foreach { fd =>
+      MarkerCommit.flush(table,
+        s.read.schema(flushed.drop("_flush").schema).parquet(s"$buffer/$fd"))
+    }
+    require(table.read().isEmpty,
+      "staged flushes must be invisible before the leader commits")
+    // COMMIT phase: leader rounds drain the pending prefix in batches
+    MarkerCommit.runUntilDrained(s, root, maxMarkers = 4)
+    require(MarkerCommit.pending(root).isEmpty, "markers cleaned")
+    catalogFold(s, table)
+  }
+
   /** The reference's `time` column as a REAL TIMESTAMP (reference
     * README.md:159,174 — the schema's first column is `time
     * TIMESTAMP` and the catalog's range query uses a TIMESTAMP
@@ -247,6 +299,7 @@ object ApiLog {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "log_api_lifecycle" -> (lifecycle _),
+    "log_api_markers" -> (lifecycleMarkers _),
     "log_api_ts" -> (lifecycleTs _),
   )
 
@@ -274,7 +327,15 @@ object ApiLog {
         |WHERE time >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND time < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY name ORDER BY name""".stripMargin,
-    "log_api_lifecycle" ->
+    // the marker-loop variant commits the SAME rows into the SAME
+    // day-partitioned table and runs the SAME catalog fold — one
+    // oracle text gates both commit architectures (a lost or doubled
+    // flush file breaks either hash identically)
+    "log_api_markers" -> lifecycleOracle,
+    "log_api_lifecycle" -> lifecycleOracle,
+  )
+
+  private lazy val lifecycleOracle: String =
       s"""WITH api AS (
          |  SELECT epoch_us(ts) AS time,
          |    's3:' || CASE event_type
@@ -316,6 +377,5 @@ object ApiLog {
          |  SELECT 'latency', name, '', count(*),
          |    CAST(sum(requestUs) AS BIGINT)
          |  FROM api GROUP BY name)
-         |ORDER BY q, a, b, n, v""".stripMargin,
-  )
+         |ORDER BY q, a, b, n, v""".stripMargin
 }

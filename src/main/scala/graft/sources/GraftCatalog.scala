@@ -251,6 +251,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "identity" => partCols += col(t)
         case "days" | "day" => hidden += Transform.day(col(t))
         case "hours" | "hour" => hidden += Transform.hour(col(t))
+        case "years" | "year" => hidden += Transform.year(col(t))
+        case "months" | "month" => hidden += Transform.month(col(t))
         // catalog-DDL `bucket` is the Iceberg-spec murmur3 bucket
         // (SPJ-reportable, Iceberg-exportable); `xxbucket` names the
         // legacy xxhash64 kind explicitly
@@ -259,7 +261,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "truncate" => hidden += Transform.truncate(num(t), col(t))
         case other => throw new UnsupportedOperationException(
           s"unsupported partition transform '$other' (supported: identity " +
-            "columns, days, hours, bucket, truncate)")
+            "columns, days, hours, years, months, bucket, truncate)")
       }
     }
     (partCols.toSeq, hidden.toSeq)

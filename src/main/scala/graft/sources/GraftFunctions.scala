@@ -24,17 +24,12 @@ import org.apache.spark.sql.types._
   * layout, manifest pruning, join planning. */
 private[sources] object GraftFunctions {
 
-  /** Connector-side names (Spark's `Expressions.bucket/hours/days`
-    * vocabulary) for each manifest transform kind. */
-  def v2Name(kind: String): String = kind match {
-    case "hour" => "hours"
-    case "day" => "days"
-    case "mbucket" => "bucket"  // the murmur3 bucket IS v2 `bucket`
-    case "bucket" => "xxbucket" // legacy xxhash64 kind, explicit name
-    case other => other // truncate
-  }
-
-  val names: Seq[String] = Seq("bucket", "xxbucket", "hours", "days", "truncate")
+  /** Every name `load` resolves — the FunctionCatalog listing surface
+    * (`mbucket` included: it is `bucket`'s explicit alias, and a
+    * listing that omits a loadable name hides it from discovery). */
+  val names: Seq[String] =
+    Seq("bucket", "mbucket", "xxbucket", "hours", "days", "years",
+      "months", "truncate")
 
   def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
     // `bucket` (and its explicit alias `mbucket`) is the Iceberg-spec
@@ -46,6 +41,8 @@ private[sources] object GraftFunctions {
     case "xxbucket" => Some(XxBucketUnbound)
     case "hours" => Some(HoursUnbound)
     case "days" => Some(DaysUnbound)
+    case "years" => Some(YearsUnbound)
+    case "months" => Some(MonthsUnbound)
     case "truncate" => Some(TruncateUnbound)
     case _ => None
   }
@@ -162,6 +159,32 @@ private[sources] object GraftFunctions {
   private object DaysUnbound extends UnaryLongUnbound("days",
     "days(us) - graft day number of a microsecond-epoch long", DaysBound)
 
+  /** years/months: the CALENDAR ordinals ([[Transform.yearOrdinal]] /
+    * [[Transform.monthOrdinal]] — Iceberg's year/month transforms),
+    * not fixed-width divisions. */
+  private object YearsBound extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "years"
+    override def canonicalName(): String = "graft.years"
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def produceResult(row: InternalRow): java.lang.Long =
+      if (row.isNullAt(0)) null else Transform.yearOrdinal(row.getLong(0))
+  }
+  private object MonthsBound extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "months"
+    override def canonicalName(): String = "graft.months"
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def produceResult(row: InternalRow): java.lang.Long =
+      if (row.isNullAt(0)) null else Transform.monthOrdinal(row.getLong(0))
+  }
+  private object YearsUnbound extends UnaryLongUnbound("years",
+    "years(us) - calendar years since 1970 of a microsecond-epoch long",
+    YearsBound)
+  private object MonthsUnbound extends UnaryLongUnbound("months",
+    "months(us) - calendar months since 1970-01 of a microsecond-epoch long",
+    MonthsBound)
+
   /** truncate(w, col): `(col div w) * w` — [[Transform.derive]]. */
   private object TruncateUnbound extends UnboundFunction {
     override def name(): String = "truncate"
@@ -249,6 +272,8 @@ private[sources] object SpjLayout {
         case "mbucket" => Expressions.bucket(t.n.toInt, t.source)
         case "hour" => Expressions.hours(t.source)
         case "day" => Expressions.days(t.source)
+        case "year" => Expressions.years(t.source)
+        case "month" => Expressions.months(t.source)
         case "truncate" => Expressions.apply("truncate",
           Expressions.literal(t.n), Expressions.column(t.source))
       }

@@ -497,6 +497,8 @@ private[sources] final class GraftTable(root: String, schema0: StructType,
       tr.kind match {
         case "day" => Expressions.days(tr.source)
         case "hour" => Expressions.hours(tr.source)
+        case "year" => Expressions.years(tr.source)
+        case "month" => Expressions.months(tr.source)
         // mbucket IS the bucket a DSv2 consumer understands (the
         // murmur3 function the catalog serves under that name); the
         // legacy xxhash64 kind describes itself as xxbucket so the
@@ -1309,6 +1311,33 @@ private[sources] object GraftPrune {
     * [q·w, q·w + w-1] for q>0, [-(w-1), w-1] for q=0, and
     * [q·w - (w-1), q·w] for q<0. */
   private def monoBounds(t: Transform, d: Long): Option[(Long, Long)] = {
+    // calendar ordinals (year/month) have exact variable-width
+    // intervals: [first µs of the period, first µs of the next) - 1 —
+    // floor-based on the whole domain, so no sign cases
+    if (t.kind == "year" || t.kind == "month") {
+      // ordinals whose period exceeds the µs-long domain are
+      // undecidable, not an error (multiplyExact catches them)
+      try {
+        val (from, to) = t.kind match {
+          case "year" =>
+            (java.time.LocalDate.of(
+              Math.toIntExact(Math.addExact(1970L, d)), 1, 1),
+              java.time.LocalDate.of(
+                Math.toIntExact(Math.addExact(1971L, d)), 1, 1))
+          case _ =>
+            val y = Math.toIntExact(
+              Math.addExact(1970L, Math.floorDiv(d, 12L)))
+            val m = Math.floorMod(d, 12L).toInt + 1
+            val f = java.time.LocalDate.of(y, m, 1)
+            (f, f.plusMonths(1))
+        }
+        return Some((Math.multiplyExact(from.toEpochDay, 86400000000L),
+          Math.multiplyExact(to.toEpochDay, 86400000000L) - 1L))
+      } catch {
+        case _: ArithmeticException | _: java.time.DateTimeException =>
+          return None
+      }
+    }
     val w = t.kind match {
       case "hour" => 3600000000L
       case "day" => 86400000000L

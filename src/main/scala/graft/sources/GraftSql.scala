@@ -315,12 +315,16 @@ object GraftSql {
   private[sources] def parsePartitionSpecs(specs: String): (Seq[String], Seq[Transform]) = {
     val plain = scala.collection.mutable.ListBuffer[String]()
     val trans = scala.collection.mutable.ListBuffer[Transform]()
-    val OneArg = """(?i)^(day|hour)\s*\(\s*(\w+)\s*\)$""".r
+    val OneArg = """(?i)^(day|hour|year|month)\s*\(\s*(\w+)\s*\)$""".r
     val TwoArg = """(?i)^(bucket|mbucket|xxbucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$""".r
     splitTopLevel(specs, ',').map(_.trim).filter(_.nonEmpty).foreach {
       case OneArg(kind, c) =>
-        trans += (if (kind.equalsIgnoreCase("day")) Transform.day(c)
-          else Transform.hour(c))
+        trans += (kind.toLowerCase match {
+          case "day" => Transform.day(c)
+          case "hour" => Transform.hour(c)
+          case "year" => Transform.year(c)
+          case _ => Transform.month(c)
+        })
       case TwoArg(kind, n, c) =>
         // `bucket` on the SQL surfaces IS the Iceberg-spec murmur3
         // bucket (what a user of the reference's ecosystem means by
@@ -332,7 +336,8 @@ object GraftSql {
       case c if c.matches("\\w+") => plain += c
       case other => throw new IllegalArgumentException(
         s"unsupported partition spec '$other' (supported: day(c), hour(c), " +
-          "truncate(n, c), bucket(n, c), or a bare column name)")
+          "year(c), month(c), truncate(n, c), bucket(n, c), or a bare " +
+          "column name)")
     }
     (plain.toSeq, trans.toSeq)
   }

@@ -78,6 +78,17 @@ object IcebergExport {
     * other's stale value. */
   private[sources] val fieldIdConfLock = new Object
 
+  /** Row count of a parquet file from its footer — metadata only,
+    * no Spark job (the manifest entry's record_count source for the
+    * sharded delete-parquet writes). */
+  private[sources] def parquetRowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
+  }
+
   /** Write Iceberg v2 metadata for `table` under `dest` — the CURRENT
     * snapshot by default, or (with `history = true`) EVERY live
     * snapshot as its own Iceberg snapshot with a snapshot-log, so a
@@ -89,14 +100,15 @@ object IcebergExport {
     * spec-sorted delete parquet, cached per distinct mark-set;
     * equality tombstones re-encoded once per source file with their
     * sequence numbers), so a CDC-busy lineage time-travels in a
-    * foreign engine without compacting first. Still exact-or-refuse:
-    * the partition spec must be constant across the lineage (spec
-    * evolution means mixed layouts — export current-only or
-    * compact-migrate first), and schema evolution across history is
-    * supported for FLAT schemas (graft's stable per-field ids make
-    * flat ids stable across versions; nested member ids are only
-    * allocated for the current schema, so a nested+evolving lineage
-    * refuses). */
+    * foreign engine without compacting first. Still exact-or-refuse
+    * on one axis: the partition spec must be constant across the
+    * lineage (spec evolution means mixed layouts — export current-only
+    * or compact-migrate first). Schema evolution across history
+    * exports for flat AND nested schemas: top-level ids are graft's
+    * stable manifest ids, and nested member ids assign by CANONICAL
+    * PATH through a cross-version registry (historical names resolve
+    * through the per-field rename history), so the same logical field
+    * carries the same id in every exported schema version. */
   def export(table: LogTable, dest: String, history: Boolean = false): Path = {
     val versions =
       if (history) table.versions.sorted else Seq(table.currentVersion)
@@ -130,19 +142,19 @@ object IcebergExport {
       snaps.foreach(sn => if (sn.schemaJson.nonEmpty) seen += sn.schemaJson)
       seen.toSeq
     }
-    def isFlat(st: StructType): Boolean = st.fields.forall(_.dataType match {
-      case _: StructType | _: ArrayType | _: MapType => false
-      case _ => true
-    })
-    require(schemaJsons.size == 1 ||
-        schemaJsons.map(LogTable.parseSchema).forall(isFlat),
-      "history export across schema evolution supports flat schemas " +
-        "(nested member ids are only stable for the current schema) — " +
-        "export the current snapshot only")
     val parsed = schemaJsons.map(LogTable.parseSchema)
     val schemaIdOf: Map[String, Int] = schemaJsons.zipWithIndex.toMap
     val schema = LogTable.parseSchema(cur.schemaJson)
-    val ids = new FieldIds(schema)
+    // ONE id counter across every schema version of this export:
+    // top-level ids are graft's stable manifest ids, nested member ids
+    // assign by canonical path through the cross-version registry —
+    // the same logical field gets the SAME id in every exported
+    // version (Iceberg's contract for id-projecting time travel), so
+    // nested+evolving lineages export exactly
+    val idCounter = new IdCounter(parsed.flatMap(_.fields)
+      .flatMap(LogTable.fieldId).foldLeft(0L)(math.max).toInt + 1)
+    val ids = new FieldIds(schema, idCounter)
+    val nestedIds = new NestedIdRegistry(idCounter)
     val metaDir = Paths.get(dest).resolve("metadata")
     Files.createDirectories(metaDir)
 
@@ -181,6 +193,24 @@ object IcebergExport {
           s => Integer.valueOf(s.toInt))
         case "hour" if srcIsTs => ("hour", IntegerType,
           s => Integer.valueOf(s.toInt))
+        // year/month are Iceberg's other two monotonic transforms
+        // (years since 1970 / months since 1970-01): graft's stored
+        // ordinal IS the spec's int ordinal — the SAME floor-based
+        // proleptic-Gregorian arithmetic on the WHOLE domain, so no
+        // non-negative-epoch guard applies. Spec-legal only over
+        // date/timestamp sources; a µs-long-sourced layout has no
+        // legal Iceberg encoding (they're not fixed-width, so no
+        // truncate fallback exists) and refuses below.
+        case "year" if srcIsTs => ("year", IntegerType,
+          s => Integer.valueOf(s.toInt))
+        case "month" if srcIsTs => ("month", IntegerType,
+          s => Integer.valueOf(s.toInt))
+        case k @ ("year" | "month") => throw new IllegalArgumentException(
+          s"cannot export $k(${t.source}) over a µs-LONG source: " +
+            "Iceberg's year/month transforms require a date/timestamp " +
+            "source and have no fixed-width truncate encoding — " +
+            "re-declare the layout over a TIMESTAMP column (exports as " +
+            s"native $k), or migrate (evolveSpec + compact) first")
         // over a µs-LONG source there is no Iceberg day/hour (those
         // need a date/timestamp source); graft stores the day/hour
         // INDEX as the dir value and Iceberg truncate[W] stores
@@ -190,7 +220,21 @@ object IcebergExport {
           s => java.lang.Long.valueOf(s.toLong * 86400000000L))
         case "hour" => ("truncate[3600000000]", LongType,
           s => java.lang.Long.valueOf(s.toLong * 3600000000L))
-        case "truncate" => (s"truncate[${t.n}]", LongType, parseLong)
+        case "truncate" =>
+          // Iceberg's truncate[W] has NO timestamp source (the spec
+          // defines it for int/long/decimal/string only) — exporting
+          // one with a timestamptz source-id would be metadata a
+          // spec-conformant reader rejects at parse time. Refuse like
+          // the xxbucket case; graft-side truncate-over-timestamp
+          // layouts keep working, they just don't cross the seam.
+          require(!srcIsTs,
+            s"cannot export truncate[${t.n}](${t.source}) over a " +
+              "TIMESTAMP source: Iceberg's truncate transform has no " +
+              "timestamp source type — re-declare the layout over a " +
+              "µs-epoch LONG column, or use day/hour (which export as " +
+              "Iceberg's native transforms), or migrate " +
+              "(evolveSpec + compact) first")
+          (s"truncate[${t.n}]", LongType, parseLong)
         // mbucket IS Iceberg's bucket (murmur3_x86_32 & MaxInt % n, the
         // spec hash) — the stored index exports verbatim as the spec's
         // int-typed bucket value, and a foreign engine prunes
@@ -206,6 +250,36 @@ object IcebergExport {
       nextPid += 1; pf
     }
     val pfields = identityFields ++ transformFields
+
+    // TRUNC-vs-FLOOR seam guard: graft's day/hour/truncate ordinals
+    // truncate toward zero, Iceberg's floor — they agree ONLY on the
+    // non-negative source domain. A file whose stored ordinal is
+    // negative (rows strictly pre-1970) would export ordinals a
+    // foreign engine's floor-based pruning silently mis-prunes; an
+    // ordinal of exactly 0 ALSO covers (-(w-1), 0) under trunc-div, so
+    // it exports only when the file's recorded footer min PROVES its
+    // sources non-negative. Refuse-not-guess, per the seam's rule.
+    locally {
+      val monoKinds = Set("day", "hour", "truncate")
+      cur.transforms.filter(t => monoKinds(t.kind)).foreach { t =>
+        snaps.foreach(sn => sn.files.foreach { f =>
+          f.partitions.get(t.colName)
+            .filter(_ != IcebergRead.NullDir)
+            .flatMap(_.toLongOption).foreach { stored =>
+              require(stored > 0L ||
+                  (stored == 0L && f.ranges.get(t.source).exists(_._1 >= 0L)),
+                s"cannot export ${t.kind}(${t.source}) exactly: file " +
+                  s"${f.path} carries ordinal value $stored, which under " +
+                  "graft's truncate-toward-zero arithmetic can cover " +
+                  "pre-1970 (negative-epoch) rows that Iceberg's " +
+                  "floor-based transform places in a DIFFERENT partition " +
+                  "— a foreign engine would mis-prune. Exports are " +
+                  "limited to the non-negative epoch domain (ordinal 0 " +
+                  "needs a recorded footer min >= 0 to prove it)")
+            }
+        })
+      }
+    }
 
     // ---- shared Avro schemas -------------------------------------------
     val partAvroFields = pfields.zipWithIndex.map { case (pf, i) =>
@@ -259,13 +333,16 @@ object IcebergExport {
         |{"name":"deleted_rows_count","type":"long","field-id":514}
         |]}""".stripMargin)
 
-    // ONE schema-node build per distinct schema: nested field ids are
-    // allocated during the walk, so every consumer (manifest "schema"
-    // metadata, the table metadata JSON, the name mapping) must read
-    // the SAME node — a second build would re-allocate different ids.
-    // Historical flat schemas carry graft-stable ids by construction.
+    // ONE schema-node build per distinct schema, shared by every
+    // consumer (manifest "schema" metadata, the table metadata JSON,
+    // the name mapping). Nested member ids come from the CROSS-VERSION
+    // registry (canonical-path memoization over one shared counter),
+    // so the same logical nested field carries the same id in every
+    // version's node — nested+evolving histories export exactly.
     val schemaNodes: Seq[ObjectNode] = parsed.zipWithIndex.map { case (st, i) =>
-      val n = schemaNode(st, if (st == schema) ids else new FieldIds(st))
+      val n = schemaNode(st,
+        if (st == schema) ids else new FieldIds(st, idCounter),
+        schema, nestedIds)
       n.put("schema-id", i)
       n
     }
@@ -280,11 +357,20 @@ object IcebergExport {
       * project delete files by field id, and `schema.name-mapping
       * .default` is not reliably applied to delete files — id-less
       * footers would make a real Iceberg engine fail to read them. */
-    def writeDeleteParquet(df: DataFrame, prefix: String): Path = {
+    /** Write `df` as `shards` Iceberg delete parquets under dest/data/
+      * (each a spec-legal delete file — the spec permits any number of
+      * `content=deletes` entries per manifest). `arrange` pre-shapes
+      * the frame per shard (the position path repartitions by
+      * file_path and spec-sorts within each shard; the eq path is a
+      * single pre-shaped file). Returns (path, rowCount) per written
+      * file, counts from the parquet footers (metadata, no job). */
+    def writeDeleteParquets(df: DataFrame, prefix: String,
+        arrange: DataFrame => DataFrame): Seq[(Path, Long)] = {
       val dataDir = Paths.get(dest).resolve("data")
       Files.createDirectories(dataDir)
       val stage = Files.createTempDirectory("ice_del_stage_")
       val sess = df.sparkSession
+      LogTable.ensureMicrosTimestamps(sess)
       val key = "spark.sql.parquet.fieldId.write.enabled"
       // the field-id conf is session-scoped (ParquetWriteSupport reads
       // it from the session's SQLConf, not from writer options), so the
@@ -296,45 +382,68 @@ object IcebergExport {
       IcebergExport.fieldIdConfLock.synchronized {
         val prev = sess.conf.getOption(key)
         sess.conf.set(key, "true")
-        try df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        try arrange(df).write.mode("overwrite").parquet(stage.toString)
         finally prev match {
           case Some(v) => sess.conf.set(key, v)
           case None => sess.conf.unset(key)
         }
       }
-      val src = scala.util.Using.resource(Files.walk(stage)) { ws =>
+      val srcs = scala.util.Using.resource(Files.walk(stage)) { ws =>
         ws.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException("delete stage empty"))
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.toString)
       }
-      val target = dataDir.resolve(
-        s"$prefix-${java.util.UUID.randomUUID()}.parquet")
-      Files.move(src, target)
+      require(srcs.nonEmpty, "delete stage empty")
+      val out = srcs.flatMap { src =>
+        val target = dataDir.resolve(
+          s"$prefix-${java.util.UUID.randomUUID()}.parquet")
+        Files.move(src, target)
+        val rows = IcebergExport.parquetRowCount(target)
+        // an empty shard (hash skew left it rowless) is not a delete
+        // file — drop it rather than emit a 0-row manifest entry
+        if (rows == 0L) { Files.delete(target); None }
+        else Some((target, rows))
+      }
       LogTable.deleteRecursively(stage)
-      target
+      out
+    }
+    def writeDeleteParquet(df: DataFrame, prefix: String): Path = {
+      val one = writeDeleteParquets(df, prefix, _.coalesce(1))
+      require(one.size == 1, s"expected one $prefix parquet, got ${one.size}")
+      one.head._1
     }
     def withFieldId(c: Column, name: String, id: Long): Column =
       c.as(name, new MetadataBuilder().putLong("parquet.field.id", id).build())
 
-    /** One snapshot's outstanding position-delete marks as an Iceberg
-      * position-delete parquet under dest/data/ (None when clean):
-      * rows (file_path, pos) sorted per the spec, paths as recorded
-      * in the data manifest entries, footer carrying the spec's
-      * reserved field ids (file_path=2147483546, pos=2147483545).
-      * Cached per distinct outstanding mark-set: lineage-adjacent
-      * snapshots carry the same delete files until a compact folds
-      * them, so a history export writes each set once. */
+    /** One snapshot's outstanding position-delete marks as Iceberg
+      * position-delete parquets under dest/data/ (Nil when clean):
+      * rows (file_path, pos), paths as recorded in the data manifest
+      * entries, footers carrying the spec's reserved field ids
+      * (file_path=2147483546, pos=2147483545). SHARDED like graft's
+      * own delete writers (deleteMor / the import direction): one
+      * delete parquet per ~8 referenced data files (cap 256),
+      * hash-partitioned by file_path — each data file's marks land
+      * wholly in ONE delete file (one delete read per data file) and
+      * a CDC-busy table's mark backlog writes in parallel instead of
+      * funnelling through a single coalesce(1) task — spec-sorted
+      * (file_path, pos) WITHIN each shard (the spec's sort is
+      * per-file). Cached per distinct outstanding mark-set:
+      * lineage-adjacent snapshots carry the same delete files until a
+      * compact folds them, so a history export writes each set once. */
     val posDeleteCache =
-      scala.collection.mutable.Map[Seq[String], (Path, Long)]()
-    def positionDeleteParquet(sn: Snapshot): Option[(Path, Long)] =
-      if (sn.deletes.isEmpty) None
-      else Some(posDeleteCache.getOrElseUpdate(sn.deletes.map(_.path).sorted, {
+      scala.collection.mutable.Map[Seq[String], Seq[(Path, Long)]]()
+    def positionDeleteParquets(sn: Snapshot): Seq[(Path, Long)] =
+      if (sn.deletes.isEmpty) Nil
+      else posDeleteCache.getOrElseUpdate(sn.deletes.map(_.path).sorted, {
+        val refFiles = sn.deletes.flatMap(_.refPaths).toSet.size
+        val shards = math.min(math.max((refFiles + 7) / 8, 1), 256)
         val marks = table.marksFrame(sn)
           .select(withFieldId(col("file_path"), "file_path", 2147483546L),
             withFieldId(col("pos"), "pos", 2147483545L))
-          .orderBy(col("file_path"), col("pos"))
-        (writeDeleteParquet(marks, "delete"), sn.deletes.map(_.rows).sum)
-      }))
+        writeDeleteParquets(marks, "delete", df =>
+          df.repartition(shards, col("file_path"))
+            .sortWithinPartitions(col("file_path"), col("pos")))
+      })
 
     /** Equality tombstones re-encode under dest/data with the KEY
       * columns' schema field ids stamped in the footer, values read
@@ -426,10 +535,10 @@ object IcebergExport {
       // scope is harmless and spec-conformant. Every exported
       // snapshot carries its own outstanding state (history mode
       // time-travels MoR debt exactly).
-      val deleteParquet = positionDeleteParquet(sn)
+      val deleteShards = positionDeleteParquets(sn)
       val eqExports = sn.eqDeletes.map(eqExport)
       val deleteManifest: Option[Path] =
-        if (deleteParquet.isEmpty && eqExports.isEmpty) None
+        if (deleteShards.isEmpty && eqExports.isEmpty) None
         else {
           val mp = metaDir.resolve(
             s"${java.util.UUID.randomUUID()}-d0.avro")
@@ -465,7 +574,7 @@ object IcebergExport {
               e.put("data_file", df)
               w.append(e)
             }
-            deleteParquet.foreach { case (delPath, delRows) =>
+            deleteShards.foreach { case (delPath, delRows) =>
               entry(delPath.toString, 1, delRows, Files.size(delPath),
                 seqNum, Nil) // POSITION_DELETES cover every data seq
             }
@@ -515,10 +624,10 @@ object IcebergExport {
               sn.eqDeletes.map(_.seq).foldLeft(seqNum)(math.min))
             d.put("added_snapshot_id", sn.version)
             d.put("added_files_count",
-              deleteParquet.size + sn.eqDeletes.size)
+              deleteShards.size + sn.eqDeletes.size)
             d.put("existing_files_count", 0)
             d.put("deleted_files_count", 0)
-            d.put("added_rows_count", deleteParquet.map(_._2).getOrElse(0L)
+            d.put("added_rows_count", deleteShards.map(_._2).sum
               + sn.eqDeletes.map(_.rows).sum)
             d.put("existing_rows_count", 0L)
             d.put("deleted_rows_count", 0L)
@@ -655,8 +764,11 @@ object IcebergExport {
       summ.put("total-records", sn.files.map(_.rows).sum.toString)
       summ.put("total-data-files", sn.files.size.toString)
       summ.put("total-files-size", sn.files.map(_.bytes).sum.toString)
+      // count the EXPORTED delete files (position shards + eq
+      // parquets), not graft-internal DV blobs — the summary must
+      // agree with the delete manifest's own added_files_count
       summ.put("total-delete-files",
-        (sn.deletes.size + sn.eqDeletes.size).toString)
+        (positionDeleteParquets(sn).size + sn.eqDeletes.size).toString)
       node.put("manifest-list", listPath.toString)
       node.put("schema-id", sid)
       val le = logArr.addObject()
@@ -732,18 +844,53 @@ object IcebergExport {
   /** Deterministic Iceberg field-id assignment: graft's stable
     * manifest field ids where present, fresh ids (max+1, DFS order)
     * for nested/list/map members graft doesn't number. */
-  private final class FieldIds(schema: StructType) {
-    private var next: Int = schema.fields.flatMap(LogTable.fieldId)
-      .foldLeft(0L)(math.max).toInt + 1
+  /** One shared id counter per export: every schema version's FieldIds
+    * and the nested registry draw from it, so ids never collide across
+    * a history export's schema set. */
+  private final class IdCounter(start: Int) {
+    private var next: Int = start
+    def alloc(): Int = { val id = next; next += 1; id }
+    def maxId: Int = next - 1
+  }
+
+  private final class FieldIds(schema: StructType, counter: IdCounter) {
+    def this(schema: StructType) = this(schema,
+      new IdCounter(schema.fields.flatMap(LogTable.fieldId)
+        .foldLeft(0L)(math.max).toInt + 1))
     private val top: Map[String, Int] = schema.fields.map { f =>
-      f.name.toLowerCase -> LogTable.fieldId(f).map(_.toInt).getOrElse {
-        val id = next; next += 1; id
-      }
+      f.name.toLowerCase -> LogTable.fieldId(f).map(_.toInt)
+        .getOrElse(counter.alloc())
     }.toMap
     def of(name: String): Int = top.getOrElse(name.toLowerCase,
       throw new IllegalStateException(s"no field id for column '$name'"))
-    def alloc(): Int = { val id = next; next += 1; id }
-    def maxId: Int = next - 1
+    def maxId: Int = counter.maxId
+  }
+
+  /** CROSS-VERSION nested field ids — what makes a history export over
+    * a nested+evolving lineage legal: graft's manifest stamps stable
+    * ids on TOP-LEVEL fields only, so nested member ids are assigned
+    * here by CANONICAL PATH, memoized across every schema version of
+    * one export. A path starts at the top-level field's stable graft
+    * id (`#id` — rename-proof), and each nested step uses the CURRENT
+    * schema's member name when the member resolves there through the
+    * per-field rename history (`prevNames`), else its own name (a
+    * since-dropped member keeps one id across the versions that carry
+    * it). The same logical nested field therefore gets the SAME id in
+    * every exported schema version — Iceberg's requirement for
+    * time-traveling reads that project by field id. */
+  private final class NestedIdRegistry(counter: IdCounter) {
+    private val assigned = scala.collection.mutable.Map[String, Int]()
+    def idFor(canonPath: String): Int =
+      assigned.getOrElseUpdate(canonPath, counter.alloc())
+    /** Resolve a (possibly historical) member against the current
+      * schema's corresponding struct: (canonical name, current field). */
+    def resolve(cur: Option[StructType], f: StructField)
+        : (String, Option[StructField]) =
+      cur.flatMap(_.fields.find(cf => (cf.name +: LogTable.prevNames(cf))
+          .exists(_.equalsIgnoreCase(f.name)))) match {
+        case Some(cf) => (cf.name.toLowerCase, Some(cf))
+        case None => (f.name.toLowerCase, None)
+      }
   }
 
   private def icebergTypeName(dt: DataType): Option[String] = dt match {
@@ -763,31 +910,41 @@ object IcebergExport {
 
   /** A type as an Iceberg schema JSON value (string for primitives,
     * object for struct/list/map) — refusing types with no exact
-    * Iceberg equivalent (byte/short would silently widen). */
-  private def typeNode(dt: DataType, ids: FieldIds): Any = dt match {
+    * Iceberg equivalent (byte/short would silently widen). Nested ids
+    * come from the cross-version registry keyed by canonical path
+    * (`cur` threads the CURRENT schema's corresponding type so
+    * historical member names resolve through the rename history). */
+  private def typeNode(dt: DataType, path: String, cur: Option[DataType],
+      reg: NestedIdRegistry): Any = dt match {
     case st: StructType =>
+      val curSt = cur.collect { case c: StructType => c }
       val n = mapper.createObjectNode()
       n.put("type", "struct")
       val fs = n.putArray("fields")
       st.fields.foreach { f =>
-        val id = LogTable.fieldId(f).map(_.toInt).getOrElse(ids.alloc())
-        fs.add(fieldNode(f, id, ids))
+        val (canon, curF) = reg.resolve(curSt, f)
+        val cpath = s"$path.$canon"
+        val id = LogTable.fieldId(f).map(_.toInt).getOrElse(reg.idFor(cpath))
+        fs.add(fieldNode(f, id, cpath, curF.map(_.dataType), reg))
       }
       n
     case at: ArrayType =>
+      val curEl = cur.collect { case c: ArrayType => c.elementType }
       val n = mapper.createObjectNode()
       n.put("type", "list")
-      n.put("element-id", ids.alloc())
-      setType(n, "element", typeNode(at.elementType, ids))
+      n.put("element-id", reg.idFor(s"$path.element"))
+      setType(n, "element", typeNode(at.elementType, s"$path.element", curEl, reg))
       n.put("element-required", !at.containsNull)
       n
     case mt: MapType =>
+      val curM = cur.collect { case c: MapType => c }
       val n = mapper.createObjectNode()
       n.put("type", "map")
-      n.put("key-id", ids.alloc())
-      setType(n, "key", typeNode(mt.keyType, ids))
-      n.put("value-id", ids.alloc())
-      setType(n, "value", typeNode(mt.valueType, ids))
+      n.put("key-id", reg.idFor(s"$path.key"))
+      setType(n, "key", typeNode(mt.keyType, s"$path.key", curM.map(_.keyType), reg))
+      n.put("value-id", reg.idFor(s"$path.value"))
+      setType(n, "value",
+        typeNode(mt.valueType, s"$path.value", curM.map(_.valueType), reg))
       n.put("value-required", !mt.valueContainsNull)
       n
     case prim => icebergTypeName(prim).getOrElse(
@@ -800,21 +957,36 @@ object IcebergExport {
     case o: ObjectNode => n.set[ObjectNode](key, o); ()
   }
 
-  private def fieldNode(f: StructField, id: Int, ids: FieldIds): ObjectNode = {
+  private def fieldNode(f: StructField, id: Int, path: String,
+      cur: Option[DataType], reg: NestedIdRegistry): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("id", id)
     n.put("name", f.name)
     n.put("required", !f.nullable)
-    setType(n, "type", typeNode(f.dataType, ids))
+    setType(n, "type", typeNode(f.dataType, path, cur, reg))
     n
   }
 
-  private def schemaNode(schema: StructType, ids: FieldIds): ObjectNode = {
+  /** One schema version's Iceberg schema node. Top-level ids are
+    * graft's stable manifest ids; the nested-path prefix is `#<id>`
+    * (rename-proof), and the current schema's matching field — found
+    * by ID first, name history second — threads down so nested names
+    * canonicalize version-independently. */
+  private def schemaNode(st: StructType, ids: FieldIds,
+      current: StructType, reg: NestedIdRegistry): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("type", "struct")
     n.put("schema-id", 0)
     val fs = n.putArray("fields")
-    schema.fields.foreach(f => fs.add(fieldNode(f, ids.of(f.name), ids)))
+    st.fields.foreach { f =>
+      val id = ids.of(f.name)
+      val curF = current.fields.find(cf =>
+          LogTable.fieldId(f).isDefined &&
+            LogTable.fieldId(cf) == LogTable.fieldId(f))
+        .orElse(current.fields.find(cf =>
+          (cf.name +: LogTable.prevNames(cf)).exists(_.equalsIgnoreCase(f.name))))
+      fs.add(fieldNode(f, id, s"#$id", curF.map(_.dataType), reg))
+    }
     n
   }
 
@@ -886,12 +1058,32 @@ object IcebergRead {
       deleteFiles: Seq[IceDelete]) {
     def fieldId(name: String): Int = schemaNode.get("fields").elements()
       .asScala.find(_.get("name").asText() == name).get.get("id").asInt()
-    /** Candidate physical names for a field, current first. */
-    def namesOf(name: String): Seq[String] =
-      mapping.getOrElse(fieldId(name), Seq(name)) match {
-        case Nil => Seq(name)
-        case ns => ns
+    /** Candidate physical names for a top-level field, current first. */
+    def namesOf(name: String): Seq[String] = namesAt(Seq(name))
+    /** The schema-node field id at a dotted path of CURRENT names
+      * (top-level field, then struct members). */
+    private def idAt(path: Seq[String]): Option[Int] = {
+      var fields = schemaNode.get("fields")
+      var id = -1
+      path.foreach { seg =>
+        if (fields == null) return None
+        val f = fields.elements().asScala
+          .find(_.get("name").asText() == seg).getOrElse(return None)
+        id = f.get("id").asInt()
+        val t = f.get("type")
+        fields =
+          if (t != null && t.isObject && t.get("type").asText() == "struct")
+            t.get("fields")
+          else null
       }
+      if (id < 0) None else Some(id)
+    }
+    /** Candidate physical names at any nesting depth (current first) —
+      * the name mapping records nested entries recursively, so a
+      * renamed struct member's historical name resolves here. */
+    def namesAt(path: Seq[String]): Seq[String] =
+      idAt(path).flatMap(mapping.get).filter(_.nonEmpty)
+        .getOrElse(Seq(path.last))
   }
   private[sources] final case class IceEntry(path: String, rows: Long,
       bytes: Long, part: Map[String, Any], seq: Long)
@@ -939,10 +1131,21 @@ object IcebergRead {
     val mapping: Map[Int, Seq[String]] = {
       val p = meta.get("properties")
       if (p == null || p.get("schema.name-mapping.default") == null) Map.empty
-      else mapper.readTree(p.get("schema.name-mapping.default").asText())
-        .elements().asScala.map(e =>
-          e.get("field-id").asInt() ->
-            e.get("names").elements().asScala.map(_.asText()).toSeq).toMap
+      else {
+        // flatten RECURSIVELY: nested mapping entries (struct members)
+        // carry their own field-ids and names — what nested rename
+        // resolution reads
+        def walk(arr: com.fasterxml.jackson.databind.JsonNode)
+            : Seq[(Int, Seq[String])] =
+          arr.elements().asScala.flatMap { e =>
+            val self = e.get("field-id").asInt() ->
+              e.get("names").elements().asScala.map(_.asText()).toSeq
+            val kids = Option(e.get("fields")).map(walk).getOrElse(Nil)
+            self +: kids
+          }.toSeq
+        walk(mapper.readTree(
+          p.get("schema.name-mapping.default").asText())).toMap
+      }
     }
     val specId = meta.get("default-spec-id").asInt()
     val specFields = meta.get("partition-specs").elements().asScala
@@ -1143,11 +1346,65 @@ object IcebergRead {
         java.util.Collections.emptyList[Row](), schema)
 
     // columns the FILES store (identity partition cols live only in
-    // metadata); physical twin carries every mapped historical name
+    // metadata); physical twins carry every mapped historical name —
+    // at EVERY nesting depth: a struct's physical type unions its
+    // members' current AND historical names, so pre-rename files fill
+    // the old member and post-rename files the new one (the reader
+    // coalesces below). Renames under array/map elements don't exist
+    // (graft refuses them at DDL), so those pass through.
+    def physType(dt: DataType, path: Seq[String]): DataType = dt match {
+      case st: StructType => StructType(st.fields.flatMap(mf =>
+        m.namesAt(path :+ mf.name).map(n =>
+          StructField(n, physType(mf.dataType, path :+ mf.name),
+            nullable = true))))
+      case at: ArrayType => at.copy(elementType = physType(at.elementType, path))
+      case mt: MapType => mt.copy(valueType = physType(mt.valueType, path))
+      case other => other
+    }
     val dataFields = schema.fields.filterNot(f =>
       identity.exists(_.column == f.name))
     val physSchema = StructType(dataFields.flatMap(f =>
-      m.namesOf(f.name).map(n => StructField(n, f.dataType, nullable = true))))
+      m.namesOf(f.name).map(n =>
+        StructField(n, physType(f.dataType, Seq(f.name)), nullable = true))))
+    // rebuild a struct value under its CURRENT member names, coalescing
+    // each member's historical physical twins (recursively); a null
+    // struct stays null rather than becoming a struct of nulls. A
+    // history-free struct passes through untouched.
+    def needsRebuild(dt: DataType, path: Seq[String]): Boolean = dt match {
+      case st: StructType => st.fields.exists(mf =>
+        m.namesAt(path :+ mf.name).size > 1 ||
+          needsRebuild(mf.dataType, path :+ mf.name))
+      case at: ArrayType => needsRebuild(at.elementType, path)
+      case mt: MapType => needsRebuild(mt.valueType, path)
+      case _ => false
+    }
+    // the NULLABLE form of a type, deep: coalesced historical twins
+    // are nullable by construction, and a cast onto a NOT NULL member
+    // is refused outright
+    def nullableDeep(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullableDeep(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = nullableDeep(a.elementType), containsNull = true)
+      case mt: MapType => mt.copy(valueType = nullableDeep(mt.valueType),
+        valueContainsNull = true)
+      case o => o
+    }
+    def rebuildNested(c: Column, dt: DataType, path: Seq[String]): Column =
+      dt match {
+        case st: StructType if needsRebuild(st, path) =>
+          val members = st.fields.toSeq.map { mf =>
+            val ns = m.namesAt(path :+ mf.name)
+            val raw = if (ns.size == 1) c.getField(ns.head)
+              else coalesce(ns.map(c.getField): _*)
+            rebuildNested(raw, mf.dataType, path :+ mf.name).as(mf.name)
+          }
+          val target = nullableDeep(st)
+          org.apache.spark.sql.functions.when(c.isNull, lit(null).cast(target))
+            .otherwise(org.apache.spark.sql.functions.struct(members: _*)
+              .cast(target))
+        case _ => c
+      }
 
     // one scan per live partition tuple, identity values attached as
     // typed literals (null for __HIVE_DEFAULT_PARTITION__/absent)
@@ -1241,8 +1498,9 @@ object IcebergRead {
             }).cast(f.dataType).as(f.name)
           case None =>
             val ns = m.namesOf(f.name)
-            (if (ns.size == 1) col(ns.head)
-             else coalesce(ns.map(col): _*)).as(f.name)
+            val raw = if (ns.size == 1) col(ns.head)
+              else coalesce(ns.map(col): _*)
+            rebuildNested(raw, f.dataType, Seq(f.name)).as(f.name)
         }
       }
       base.select(cols: _*)
@@ -1316,12 +1574,34 @@ object IcebergImport {
   def importTable(spark: SparkSession, src: String, destRoot: String): LogTable = {
     val m = IcebergRead.load(src)
     // schema: Iceberg field ids + name-mapping history → graft field
-    // metadata (top-level; graft refuses nested renames at DDL time,
-    // and nested ids regenerate deterministically on first evolution)
+    // metadata. NESTED mapping history imports too: a renamed struct
+    // member's historical names become nested PrevNames metadata, so
+    // graft's own coalescing read path resolves pre-rename files'
+    // values exactly (silently reading null there would be wrong data)
+    def withNestedHistory(dt: org.apache.spark.sql.types.DataType,
+        path: Seq[String]): org.apache.spark.sql.types.DataType = dt match {
+      case st: StructType => StructType(st.fields.map { mf =>
+        val prevs = m.namesAt(path :+ mf.name).drop(1)
+        val g = mf.copy(dataType =
+          withNestedHistory(mf.dataType, path :+ mf.name))
+        if (prevs.isEmpty) g
+        else g.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(g.metadata)
+            .putStringArray(LogTable.PrevNamesKey, prevs.toArray).build())
+      })
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.copy(elementType = withNestedHistory(at.elementType, path))
+      case mt: org.apache.spark.sql.types.MapType =>
+        mt.copy(valueType = withNestedHistory(mt.valueType, path))
+      case other => other
+    }
     val schema = StructType(m.schema.fields.map { f =>
       val id = m.fieldId(f.name).toLong
       val prevs = m.namesOf(f.name).drop(1)
-      LogTable.withFieldMeta(f, id, prevs)
+      LogTable.withFieldMeta(
+        f.copy(dataType = withNestedHistory(f.dataType, Seq(f.name))),
+        id, prevs)
     })
 
     // spec: identity → partition columns; truncate[W] → graft
@@ -1346,17 +1626,20 @@ object IcebergImport {
         case TruncRe(w) =>
           val t = Transform(source, "truncate", w.toLong)
           Some(SpecCol(pname, t.colName, None, Some(t)))
-        case k @ ("day" | "hour") =>
+        case k @ ("day" | "hour" | "year" | "month") =>
           // Iceberg's native day/hour over a TIMESTAMP source is
           // graft's day/hour over the same column: the stored int
           // ordinal (days/hours from epoch) equals graft's derived
-          // index on the non-negative epoch domain, so pruning
-          // applies immediately. date-sourced day (no time component
-          // to derive from) refuses below.
+          // index on the non-negative epoch domain (negative foreign
+          // ordinals refuse below), so pruning applies immediately.
+          // year/month ordinals are floor-based CALENDAR arithmetic on
+          // both sides — exact on the whole domain, no guard needed.
+          // date-sourced transforms (no time component to derive from)
+          // refuse below.
           require(m.schema.fields.find(_.name == source)
               .exists(_.dataType == TimestampType),
             s"cannot import '$k' over non-timestamp source '$source' " +
-              "exactly (graft derives day/hour from µs timestamps) — refusing")
+              s"exactly (graft derives $k from µs timestamps) — refusing")
           val t = Transform(source, k, 0L)
           Some(SpecCol(pname, t.colName, None, Some(t)))
         case BucketRe(n) =>
@@ -1385,7 +1668,25 @@ object IcebergImport {
     val files = m.entries.map { e =>
       val parts = specCols.flatMap { sc =>
         e.part.get(sc.pname).flatMap(v => Option(v)) match {
-          case Some(v) => Some(sc.graftKey -> v.toString)
+          case Some(v) =>
+            // TRUNC-vs-FLOOR seam guard (the export's dual): a foreign
+            // floor-based day/hour/truncate ordinal that is NEGATIVE
+            // covers pre-1970 rows graft's truncate-toward-zero derive
+            // assigns a DIFFERENT ordinal — imported pruning would
+            // silently drop matching files. Non-negative foreign
+            // ordinals cover only non-negative sources, where the two
+            // arithmetics agree exactly.
+            sc.transform.filter(t =>
+                Set("day", "hour", "truncate")(t.kind)).foreach { t =>
+              require(v.toString.toLongOption.forall(_ >= 0L),
+                s"cannot import ${t.kind}(${t.source}) exactly: file " +
+                  s"${e.path} carries negative partition ordinal $v " +
+                  "(pre-1970 rows) — Iceberg's floor arithmetic and " +
+                  "graft's truncate-toward-zero disagree there, so " +
+                  "graft's pruning would mis-skip. Imports are limited " +
+                  "to the non-negative epoch domain")
+            }
+            Some(sc.graftKey -> v.toString)
           case None =>
             // null identity values keep the hive null-dir encoding so
             // graft's null-aware pruning semantics apply; null

@@ -34,10 +34,13 @@ import scala.jdk.CollectionConverters._
   *
   * Scope (exact-or-refuse, like the rest of the seam): read routes
   * only — this is an interop endpoint for foreign READERS of graft
-  * tables, not a writable catalog. Write/commit routes answer 404
-  * with the spec's error model rather than pretending to commit.
-  * Binds loopback-only: a verification/interop endpoint, not a
-  * hardened network service.
+  * tables, not a writable catalog. Recognized write/commit routes
+  * (stageCreate/commit/rename/drop/properties) answer 501 with the
+  * spec's ErrorModel (a clean "not supported", never a fake commit);
+  * unknown paths stay 404. List routes honor the OpenAPI's
+  * `pageToken`/`pageSize` pagination, LoadTableResult honors
+  * `snapshots=refs`. Binds loopback-only: a verification/interop
+  * endpoint, not a hardened network service.
   */
 final class IcebergRestCatalog private (
     server: HttpServer,
@@ -73,6 +76,36 @@ object IcebergRestCatalog {
     new IcebergRestCatalog(server, registry)
   }
 
+  /** Query params of the exchange (the spec's `pageToken`/`pageSize`/
+    * `snapshots` live here). */
+  private def params(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getQuery).toSeq
+      .flatMap(_.split("&")).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case Array(k) => Some(k -> "")
+          case _ => None
+        }
+      }.toMap
+
+  /** OpenAPI pagination: when the client sends `pageSize`, return up
+    * to that many items plus an opaque `next-page-token` while more
+    * remain (the token is the next start offset over the SORTED list —
+    * stable because the listing is re-sorted per request). Without
+    * `pageSize` the full list returns in one page (token-less), which
+    * is what a non-paginating client gets today. */
+  private def page[T](items: Seq[T], p: Map[String, String])
+      : (Seq[T], Option[String]) = {
+    val start = p.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
+    p.get("pageSize").flatMap(_.toIntOption) match {
+      case Some(n) if n >= 0 =>
+        val slice = items.slice(start, start + n)
+        val next = if (start + n < items.size) Some((start + n).toString) else None
+        (slice, next)
+      case _ => (items.drop(start), None)
+    }
+  }
+
   private def handle(x: HttpExchange,
       registry: java.util.concurrent.ConcurrentHashMap[(String, String), String]): Unit =
     try {
@@ -84,8 +117,10 @@ object IcebergRestCatalog {
         case ("GET", List("v1", "namespaces")) =>
           val root = mapper.createObjectNode()
           val arr = root.putArray("namespaces")
-          registry.keySet().asScala.map(_._1).toSeq.distinct.sorted
-            .foreach { ns => arr.addArray().add(ns); () }
+          val (slice, next) = page(
+            registry.keySet().asScala.map(_._1).toSeq.distinct.sorted, params(x))
+          slice.foreach { ns => arr.addArray().add(ns); () }
+          next.foreach(t => root.put("next-page-token", t))
           json(x, 200, root.toString)
 
         case ("GET", List("v1", "namespaces", ns)) =>
@@ -104,13 +139,16 @@ object IcebergRestCatalog {
           else {
             val root = mapper.createObjectNode()
             val arr = root.putArray("identifiers")
-            registry.keySet().asScala.filter(_._1 == ns).map(_._2).toSeq.sorted
-              .foreach { t =>
-                val id = arr.addObject()
-                id.putArray("namespace").add(ns)
-                id.put("name", t)
-                ()
-              }
+            val (slice, next) = page(
+              registry.keySet().asScala.filter(_._1 == ns).map(_._2).toSeq.sorted,
+              params(x))
+            slice.foreach { t =>
+              val id = arr.addObject()
+              id.putArray("namespace").add(ns)
+              id.put("name", t)
+              ()
+            }
+            next.foreach(t => root.put("next-page-token", t))
             json(x, 200, root.toString)
           }
 
@@ -128,11 +166,49 @@ object IcebergRestCatalog {
               val mp = metaDir.resolve(s"v$hint.metadata.json")
               val root = mapper.createObjectNode()
               root.put("metadata-location", mp.toString)
+              val meta = mapper.readTree(Files.readAllBytes(mp))
+                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              // the spec's `snapshots=refs` mode: trim the snapshots
+              // array to those reachable from refs (a busy-history
+              // table's LoadTableResult stays pointer-sized; the
+              // default `all` inlines the full history)
+              if (params(x).get("snapshots").contains("refs")) {
+                val wanted = Option(meta.get("refs")).toSeq
+                  .flatMap(_.properties().asScala.map(_.getValue
+                    .get("snapshot-id").asLong())).toSet ++
+                  Option(meta.get("current-snapshot-id")).map(_.asLong())
+                val kept = mapper.createArrayNode()
+                Option(meta.get("snapshots")).foreach(_.elements().asScala
+                  .filter(s => wanted.contains(s.get("snapshot-id").asLong()))
+                  .foreach(kept.add))
+                meta.set[com.fasterxml.jackson.databind.node.ObjectNode](
+                  "snapshots", kept)
+                ()
+              }
               root.set[com.fasterxml.jackson.databind.node.ObjectNode](
-                "metadata", mapper.readTree(Files.readAllBytes(mp)))
+                "metadata", meta)
               root.putObject("config")
               json(x, 200, root.toString)
           }
+
+        // recognized WRITE/COMMIT routes answer the spec's ErrorModel
+        // with 501 (this catalog is a read interop endpoint, not a
+        // writable one) — a foreign writer (Trino CTAS) gets a clean
+        // "not supported here" instead of a NoSuchRoute 404 it might
+        // retry as a transport error
+        case ("POST", List("v1", "namespaces")) |
+             ("POST", List("v1", "namespaces", _, "tables")) |
+             ("POST", List("v1", "namespaces", _, "tables", _)) |
+             ("POST", List("v1", "namespaces", _, "register")) |
+             ("POST", List("v1", "tables", "rename")) |
+             ("DELETE", List("v1", "namespaces", _)) |
+             ("DELETE", List("v1", "namespaces", _, "tables", _)) |
+             ("POST", List("v1", "namespaces", _, "properties")) =>
+          error(x, 501, "UnsupportedOperationException",
+            s"${x.getRequestMethod} ${x.getRequestURI.getPath} is not " +
+              "implemented: this catalog serves graft Iceberg exports " +
+              "READ-ONLY (write through graft's own surfaces, then " +
+              "re-export)")
 
         case (m, _) =>
           error(x, 404, "NoSuchRouteException",

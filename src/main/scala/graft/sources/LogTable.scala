@@ -194,6 +194,8 @@ final case class Transform(source: String, kind: String, n: Long) {
     kind match {
       case "hour" => expr(s"$source div 3600000000L")
       case "day" => expr(s"$source div 86400000000L")
+      case "year" => expr(Transform.yearSql(source))
+      case "month" => expr(Transform.monthSql(source))
       case "truncate" => expr(s"($source div ${n}L) * ${n}L")
       case "bucket" => expr(s"pmod(xxhash64($source), ${n}L)")
       case "mbucket" =>
@@ -220,6 +222,8 @@ final case class Transform(source: String, kind: String, n: Long) {
         kind match {
           case "hour" => expr(s"unix_micros($source) div 3600000000L")
           case "day" => expr(s"unix_micros($source) div 86400000000L")
+          case "year" => expr(Transform.yearSql(s"unix_micros($source)"))
+          case "month" => expr(Transform.monthSql(s"unix_micros($source)"))
           case "truncate" =>
             expr(s"(unix_micros($source) div ${n}L) * ${n}L")
         }
@@ -234,6 +238,14 @@ final case class Transform(source: String, kind: String, n: Long) {
   def derive(v: Long): Long = kind match {
     case "hour" => v / 3600000000L
     case "day" => v / 86400000000L
+    // year/month are CALENDAR ordinals (Iceberg's transforms: years /
+    // months since 1970-01) — floor-based epoch-day + proleptic
+    // Gregorian arithmetic, exact on the WHOLE domain including
+    // pre-1970 (unlike the trunc-div kinds, which are seam-limited to
+    // the non-negative epoch — see IcebergExport's guard). Still
+    // monotone, so range pruning holds.
+    case "year" => Transform.yearOrdinal(v)
+    case "month" => Transform.monthOrdinal(v)
     case "truncate" => v / n * n
     case "bucket" =>
       // Spark's xxhash64 with its default seed 42 over a LongType value
@@ -261,6 +273,42 @@ object Transform {
   def hour(source: String): Transform = Transform(source, "hour", 0L)
   /** Day partitioning over a µs-epoch Long column. */
   def day(source: String): Transform = Transform(source, "day", 0L)
+  /** YEAR partitioning (Iceberg's `year` transform: years since 1970,
+    * proleptic-Gregorian calendar ordinal) over a µs-epoch Long or
+    * TIMESTAMP column — the common long-retention layout. */
+  def year(source: String): Transform = Transform(source, "year", 0L)
+  /** MONTH partitioning (Iceberg's `month` transform: months since
+    * 1970-01) over a µs-epoch Long or TIMESTAMP column. */
+  def month(source: String): Transform = Transform(source, "month", 0L)
+
+  /** Floor-based epoch-day + calendar SQL for the year/month write
+    * columns — the SAME arithmetic as [[Transform.derive]], or pruning
+    * would be wrong. `date_add(date'1970-01-01', days)` is pure DATE
+    * arithmetic: no session-timezone dependence (Iceberg's transforms
+    * are UTC-defined; a `year(ts)` via Spark's timestamp `year()`
+    * would shift with spark.sql.session.timeZone). */
+  /** Years since 1970 of a µs-epoch value — [[Transform.derive]] for
+    * kind `year`, shared with the V2 `years` function (one definition:
+    * writer layout, pruning, SPJ planning). */
+  private[sources] def yearOrdinal(v: Long): Long =
+    (java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(v, 86400000000L)).getYear - 1970).toLong
+  /** Months since 1970-01 of a µs-epoch value. */
+  private[sources] def monthOrdinal(v: Long): Long = {
+    val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(v, 86400000000L))
+    (d.getYear - 1970).toLong * 12L + (d.getMonthValue - 1)
+  }
+
+  private[sources] def epochDaySql(src: String): String =
+    s"(($src div 86400000000L) + " +
+      s"(CASE WHEN ($src % 86400000000L) < 0 THEN -1 ELSE 0 END))"
+  private[sources] def yearSql(src: String): String =
+    s"cast(year(date_add(date'1970-01-01', " +
+      s"cast(${epochDaySql(src)} as int))) - 1970 as bigint)"
+  private[sources] def monthSql(src: String): String = {
+    val d = s"date_add(date'1970-01-01', cast(${epochDaySql(src)} as int))"
+    s"cast((year($d) - 1970) * 12 + month($d) - 1 as bigint)"
+  }
   /** Fixed-width value truncation (numeric range buckets). */
   def truncate(width: Long, source: String): Transform =
     Transform(source, "truncate", width)
@@ -1550,6 +1598,80 @@ final class LogTable private (val spark: SparkSession, val root: String,
         validatedChecks ++= fresh.keySet
       }
       prev.files ++ newFiles
+    }
+  }
+
+  /** Stage an append WITHOUT committing — the FLUSHER half of the
+    * reference's marker-based commit loop (reference README.md:200-205:
+    * each node independently flushes its buffer as parquet into the
+    * object store; an elected leader commits the pending files later):
+    * data files land in this table's pool at their FINAL names with
+    * the declared layout/sort/blooms/stats, but no manifest references
+    * them — invisible to every reader, reclaimable only by the
+    * age-guarded orphan sweep if never committed. Returns the manifest
+    * entries a later [[commitStagedAppend]] (or [[MarkerCommit]]'s
+    * footer-reconstructing leader) publishes atomically. */
+  private[sources] def stageFlush(df: DataFrame): Seq[DataFile] = {
+    val snapNow = snapshot()
+    val merged = mergedSchemaWith(snapNow, df.schema)
+    writeDataFiles(conformTypes(df, merged), distribute = true,
+      blooms = Some(snapNow.bloomCols), sort = Some(snapNow.sortCols),
+      props = Some(snapNow.props))
+  }
+
+  /** Reconstruct manifest entries for ALREADY-STAGED files in this
+    * table's pool from their parquet footers + hive path segments —
+    * what the marker-commit LEADER does with the 0-byte index markers'
+    * referenced files (the markers carry no stats; the reference's
+    * leader likewise derives commit metadata from the flushed objects
+    * themselves). Produces byte-identical entries to what
+    * [[stageFlush]] returned when it wrote them. */
+  private[sources] def adoptStaged(paths: Seq[String]): Seq[DataFile] =
+    paths.map { p =>
+      val abs = Paths.get(p).toAbsolutePath.normalize
+      val rel = dataDir.toAbsolutePath.normalize.relativize(abs).toString
+      val (rows, ranges, strRanges, nulls, vsets) = parquetFooterMeta(abs)
+      DataFile(abs.toString, rows, Files.size(abs),
+        partitions = LogTable.partValsOfRel(rel), ranges = ranges,
+        strRanges = strRanges, nulls = nulls, valueSets = vsets)
+    }
+
+  /** Commit already-staged data files as one atomic append — the
+    * LEADER half of the marker-based commit loop. EXACTLY-ONCE under
+    * racing/crashed committers: entries whose path the current
+    * snapshot already lists are dropped INSIDE the CAS retry loop (a
+    * committer that crashed between commit and marker cleanup leaves
+    * markers a later leader re-reads; the membership check makes the
+    * re-commit a no-op), and CHECK constraints enforce on the staged
+    * rows exactly as append does. `schemaJson` declares the batch's
+    * schema when the table has none yet (flushed files carry the
+    * writer's schema; the reference's table shape is fixed). */
+  private[sources] def commitStagedAppend(newFiles: Seq[DataFile],
+      tag: String = "", schemaJson: String = ""): Snapshot = {
+    if (tag.nonEmpty && hasTag(tag)) return snapshot()
+    if (newFiles.isEmpty) return snapshot()
+    val snapNow = snapshot()
+    val schemaNow =
+      if (snapNow.schemaJson.nonEmpty) snapNow.schemaJson else schemaJson
+    require(schemaNow.nonEmpty,
+      "commitStagedAppend on a schemaless table needs schemaJson " +
+        "(read one staged footer for it)")
+    enforceChecksOnWritten(newFiles, snapNow.checks, "the staged batch",
+      schemaNow)
+    var validatedChecks = snapNow.checks.keySet
+    commit("append", tag, nextSchema = prev =>
+        if (prev.schemaJson.nonEmpty) prev.schemaJson else schemaNow) { prev =>
+      if (tag.nonEmpty && hasTag(tag)) return snapshot()
+      val fresh = prev.checks -- validatedChecks
+      if (fresh.nonEmpty) {
+        enforceChecksOnWritten(newFiles, fresh,
+          "the staged batch (late check)", schemaNow)
+        validatedChecks ++= fresh.keySet
+      }
+      val have = prev.files.map(_.path).toSet
+      val add = newFiles.filterNot(f => have(f.path))
+      if (add.isEmpty) return snapshot()
+      prev.files ++ add
     }
   }
 
@@ -2913,6 +3035,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       .map(_.toLong).getOrElse(1000000L)
     val n = knownCount.getOrElse(keys.count())
     if (n == 0L) return Nil
+    LogTable.ensureMicrosTimestamps(keys.sparkSession)
     val shards = math.min((n + perShard - 1) / perShard, 64L).toInt
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
     val delDir = rootPath.resolve("deletes")
@@ -2964,6 +3087,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * until the manifest lands; a lost race deletes them
     * ([[commitOrCleanup]]). Nil for an empty frame. */
   private def writeCdcFiles(df: DataFrame, change: String): Seq[CdcFile] = {
+    LogTable.ensureMicrosTimestamps(df.sparkSession)
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
     val chDir = rootPath.resolve("changes")
     Files.createDirectories(chDir)
@@ -3866,6 +3990,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       blooms: Option[Seq[BloomCol]] = None,
       sort: Option[Seq[String]] = None,
       props: Option[Map[String, String]] = None): Seq[DataFile] = {
+    LogTable.ensureMicrosTimestamps(df.sparkSession)
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
     // hidden transforms: derive the layout keys from row data — every
     // write path (append, compact, recluster, COW rewrites) re-derives
@@ -3945,15 +4070,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(stage.toString)
-    // "" or k=v[/k2=v2...] → manifest partition values. Spark escapes
-    // partition dirs with its OWN escaping (%XX for specials, '+' left
-    // intact) — URLDecoder would turn a legitimate '+' into a space
-    // and poison manifest pruning.
     def partValsOf(rel: String): Map[String, String] =
-      rel.split("/").toSeq.filter(_.contains("=")).map { seg =>
-        val Array(k, v) = seg.split("=", 2)
-        k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
-      }.toMap
+      LogTable.partValsOfRel(rel)
     val sidecar = stage.resolve(DirectCommitProtocol.Sidecar)
     val placed =
       if (Files.exists(sidecar)) {
@@ -4548,6 +4666,31 @@ object LogTable {
     if (t.kind == "mbucket") " (or StringType/TimestampType)"
     else if (t.monotonic) " (or TimestampType)"
     else ""
+
+  /** "" or k=v[/k2=v2...] path segments → manifest partition values.
+    * Spark escapes partition dirs with its OWN escaping (%XX for
+    * specials, '+' left intact) — URLDecoder would turn a legitimate
+    * '+' into a space and poison manifest pruning. */
+  private[sources] def partValsOfRel(rel: String): Map[String, String] =
+    rel.split("/").toSeq.filter(_.contains("=")).map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+    }.toMap
+
+  /** Iceberg requires TIMESTAMP columns stored as INT64 micros; Spark's
+    * default `spark.sql.parquet.outputTimestampType` is the
+    * NON-STANDARD INT96 — a strict foreign reader over an export of a
+    * timestamp-carrying graft table would fail on the data files.
+    * Every graft write path upgrades the session default to
+    * TIMESTAMP_MICROS once, sticky and idempotent (a restore window
+    * would race concurrent writers on the session — and every graft
+    * writer wants the same value anyway). An explicit non-INT96 user
+    * setting (MICROS/MILLIS) is left untouched. */
+  private[sources] def ensureMicrosTimestamps(spark: SparkSession): Unit = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    if (spark.conf.get(key, "INT96") == "INT96")
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+  }
 
   /** A scan-rendered file reference (`_metadata.file_path` /
     * `input_file_name` URI form) as the local filesystem path the

@@ -1,0 +1,203 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.file.{Path, Paths}
+
+/** The reference's MARKER-BASED, LEADER-ELECTED commit loop as a
+  * first-class decoupled component (reference README.md:104-118 and
+  * :196-212 — the heart of its "How It Works"):
+  *
+  *   1. each node FLUSHES its buffer as parquet objects plus one
+  *      0-BYTE INDEX MARKER per object under a `pending/` prefix;
+  *   2. an independent LEADER — elected by a distributed lock — LISTS
+  *      the pending markers from ALL nodes on its own
+  *      `ICEBERG_COMMIT_INTERVAL` cadence, commits the referenced
+  *      files ATOMICALLY to the table in one snapshot, then
+  *   3. cleans the processed markers up.
+  *
+  * Flusher and committer are SEPARATE processes meeting only at the
+  * marker objects — no shared memory, no streaming checkpoint. The
+  * re-expression runs entirely on graft's existing seams:
+  *
+  *   - markers are objects under `<root>/_graft_log/pending/` through
+  *     [[GraftFileIO]] (flat-namespace prefix listing is exactly what
+  *     [[GraftFileIO.ObjectStoreEmu]] models; on S3 this prefix is the
+  *     reference's index-marker prefix). A marker is 0 bytes — its
+  *     NAME encodes the staged file's pool-relative path; all commit
+  *     metadata (row counts, stats, layout values) reconstructs from
+  *     the flushed parquet itself ([[LogTable.adoptStaged]]), exactly
+  *     as the reference's leader derives it from the pending objects.
+  *   - leadership is a CAS LEASE on one object ([[acquireLease]]):
+  *     create-or-fail elects exactly one leader; the content is the
+  *     lease expiry, so a CRASHED leader's lease is deleted and
+  *     re-raced after expiry (publishAtomic again picks one winner).
+  *   - the commit itself is [[LogTable.commitStagedAppend]] — the
+  *     ordinary manifest CAS, so marker commits serialize with every
+  *     other writer on the table.
+  *
+  * EXACTLY-ONCE, under every crash the protocol can hit:
+  *   - flusher dies between parquet write and marker write → an
+  *     unreferenced pool file, invisible forever, reclaimed by the
+  *     age-guarded [[LogTable.removeOrphans]] sweep (never committed:
+  *     no marker ever names it).
+  *   - committer dies between COMMIT and CLEANUP → the files are in
+  *     the table but their markers remain; the next leader re-reads
+  *     them, finds every path already in the current snapshot
+  *     (membership check inside the CAS retry loop), commits NOTHING
+  *     and deletes the markers — each file commits exactly once and
+  *     each marker is cleaned exactly once.
+  *   - two committers race → the lease admits one; a leader that dies
+  *     holding the lease blocks only until expiry.
+  *   - a marker without its file (a foreign cleanup raced the leader's
+  *     list) → skipped this round, reported in the outcome, never a
+  *     guess.
+  */
+object MarkerCommit {
+
+  /** The pending-marker prefix of a table root (the reference's index
+    * prefix). Lives beside the manifests in `_graft_log/` so a table
+    * clone/rename moves its pending state with it. */
+  def pendingDir(root: String): Path =
+    Paths.get(root).resolve("_graft_log").resolve("pending")
+
+  private val LeaseName = "_lease"
+  private val MarkerSuffix = ".marker"
+
+  /** Marker name for a pool-relative data-file path: URL-encoded so a
+    * hive-partitioned path (`k=v/uuid.parquet`) stays one flat key
+    * segment under `pending/` — object stores have no directories. */
+  private[sources] def markerName(rel: String): String =
+    URLEncoder.encode(rel, "UTF-8") + MarkerSuffix
+  private[sources] def relOfMarker(name: String): String =
+    URLDecoder.decode(name.stripSuffix(MarkerSuffix), "UTF-8")
+
+  /** FLUSHER: stage `df` into `table`'s pool (final names, declared
+    * layout — invisible until a leader commits) and publish one 0-byte
+    * marker per staged file. Returns the staged file paths. Any
+    * process holding only the table ROOT can flush; no coordination
+    * with other flushers or the committer. */
+  def flush(table: LogTable, df: DataFrame,
+      io: GraftFileIO = GraftFileIO.Local): Seq[String] = {
+    val staged = table.stageFlush(df)
+    val pd = pendingDir(table.root)
+    io.mkdirs(pd)
+    val pool = Paths.get(table.root).resolve("data").toAbsolutePath.normalize
+    staged.map { f =>
+      val rel = pool.relativize(
+        Paths.get(f.path).toAbsolutePath.normalize).toString
+      val ok = io.publishAtomic(pd.resolve(markerName(rel)), "")
+      require(ok, s"pending marker already exists for $rel — staged " +
+        "file names are UUIDs, so a duplicate marker means a path " +
+        "collision, not a retry")
+      f.path
+    }
+  }
+
+  /** Marker names currently pending (the leader's LIST step; exposed
+    * for monitoring/specs). */
+  def pending(root: String, io: GraftFileIO = GraftFileIO.Local): Seq[String] =
+    io.list(pendingDir(root)).filter(_.endsWith(MarkerSuffix)).sorted
+
+  sealed trait Outcome
+  /** Another live leader holds the lease. */
+  case object NotLeader extends Outcome
+  /** One leader round: `committed` files landed in `version` (0 new
+    * files → version is just the current one), `cleaned` markers
+    * removed (including stale markers for already-committed files),
+    * `skipped` markers whose file was missing this round. */
+  final case class Led(committed: Int, cleaned: Int, skipped: Int,
+      version: Long) extends Outcome
+
+  /** Try to become leader: create-or-fail on the lease object, whose
+    * content is the expiry wall-clock ms. An EXPIRED lease (crashed
+    * leader) is deleted and re-raced — publishAtomic picks exactly one
+    * winner among racing claimants. */
+  private def acquireLease(pd: Path, io: GraftFileIO, leaseMs: Long,
+      nowMs: () => Long): Boolean = {
+    io.mkdirs(pd)
+    val lease = pd.resolve(LeaseName)
+    if (io.publishAtomic(lease, (nowMs() + leaseMs).toString)) true
+    else {
+      val expiry =
+        try io.readString(lease).trim.toLong
+        catch { case _: Exception => return false } // vanished mid-read: lose this round
+      if (nowMs() <= expiry) false
+      else {
+        io.delete(lease)
+        io.publishAtomic(lease, (nowMs() + leaseMs).toString)
+      }
+    }
+  }
+
+  /** COMMITTER: one leader-elected commit round (the reference runs
+    * this on its `ICEBERG_COMMIT_INTERVAL` cadence; [[runUntilDrained]]
+    * is the loop). `maxMarkers` bounds one round's batch (0 = all).
+    * `crashAfterCommit` is the SPEC's fault-injection hook: return
+    * right after the atomic commit, skipping marker cleanup AND lease
+    * release — the crashed-leader shape the protocol must absorb. */
+  def runOnce(spark: org.apache.spark.sql.SparkSession, root: String,
+      io: GraftFileIO = GraftFileIO.Local,
+      leaseMs: Long = 30000L,
+      maxMarkers: Int = 0,
+      nowMs: () => Long = () => System.currentTimeMillis(),
+      crashAfterCommit: Boolean = false): Outcome = {
+    val pd = pendingDir(root)
+    if (!acquireLease(pd, io, leaseMs, nowMs)) return NotLeader
+    val table = LogTable(spark, root)
+    try {
+      val all = pending(root, io)
+      val batch = if (maxMarkers > 0) all.take(maxMarkers) else all
+      if (batch.isEmpty) return Led(0, 0, 0, table.currentVersion)
+      val pool = Paths.get(root).resolve("data").toAbsolutePath.normalize
+      val decoded = batch.map(m => m -> pool.resolve(relOfMarker(m)).toString)
+      val have = table.snapshot().files.map(_.path).toSet
+      // stale markers: a prior leader committed these files then died
+      // before cleanup — clean, never re-commit
+      val (already, fresh) = decoded.partition { case (_, p) => have(p) }
+      val (present, missing) = fresh.partition { case (_, p) =>
+        io.exists(Paths.get(p)) }
+      val committed =
+        if (present.isEmpty) 0
+        else {
+          val entries = table.adoptStaged(present.map(_._2))
+          // schema for a first commit comes from one staged footer —
+          // the reference's table shape is writer-declared
+          val schemaJson =
+            if (table.snapshot().schemaJson.nonEmpty) ""
+            else spark.read.parquet(present.head._2).schema.json
+          // commitStagedAppend's membership check inside the CAS retry
+          // re-drops anything a racing writer landed meanwhile
+          table.commitStagedAppend(entries, schemaJson = schemaJson)
+          present.size
+        }
+      if (crashAfterCommit)
+        return Led(committed, 0, missing.size, table.currentVersion)
+      (already ++ present).foreach { case (m, _) => io.delete(pd.resolve(m)) }
+      Led(committed, already.size + present.size, missing.size,
+        table.currentVersion)
+    } finally {
+      if (!crashAfterCommit) io.delete(pd.resolve(LeaseName))
+    }
+  }
+
+  /** Drive leader rounds until no markers remain — the embedded form
+    * of the reference's interval loop (each round re-elects, so
+    * several committers may interleave). */
+  def runUntilDrained(spark: org.apache.spark.sql.SparkSession, root: String,
+      io: GraftFileIO = GraftFileIO.Local, maxMarkers: Int = 0,
+      leaseMs: Long = 30000L): Unit = {
+    var spins = 0
+    while (pending(root, io).nonEmpty) {
+      runOnce(spark, root, io, leaseMs = leaseMs, maxMarkers = maxMarkers) match {
+        case NotLeader =>
+          spins += 1
+          require(spins < 10000, "marker commit loop starved: another " +
+            "leader holds the lease and is not draining")
+          Thread.sleep(10L)
+        case _: Led => spins = 0
+      }
+    }
+  }
+}

@@ -453,13 +453,17 @@ class IcebergExportSpec extends SparkSpec {
 
     val dest = tmp("ice_mor_exp_out_")
     IcebergExport.export(t, dest)
-    // the export carries a delete manifest + one sorted delete parquet
+    // the export carries a delete manifest + sharded sorted delete
+    // parquets (one per ~8 referenced data files)
     import scala.jdk.CollectionConverters._
     val names = Files.list(Paths.get(dest).resolve("metadata")).iterator()
       .asScala.map(_.getFileName.toString).toSeq
     assert(names.count(_.endsWith("-d0.avro")) === 1, "one delete manifest")
-    assert(Files.list(Paths.get(dest).resolve("data")).iterator().asScala
-      .count(_.getFileName.toString.startsWith("delete-")) === 1)
+    val refFiles = t.snapshot().deletes.flatMap(_.refPaths).toSet.size
+    val nDel = Files.list(Paths.get(dest).resolve("data")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("delete-"))
+    assert(nDel >= 1 && nDel <= (refFiles + 7) / 8,
+      s"expected 1..${(refFiles + 7) / 8} delete parquets, got $nDel")
 
     // the spec reader applies the deletes
     assert(sortedRows(IcebergRead.read(spark, dest)) === live)
@@ -877,5 +881,242 @@ class IcebergExportSpec extends SparkSpec {
     val dest = tmp("ice_fold_out_")
     IcebergExport.export(t, dest)
     assert(sortedRows(IcebergRead.read(spark, dest)) === live)
+  }
+
+  test("history export over a NESTED+EVOLVING lineage: stable nested ids, per-version schemas, time travel at every version") {
+    import org.apache.spark.sql.functions.struct
+    val t = LogTable(spark, tmp("ice_nesthist_"))
+    // v1: struct column under the ORIGINAL member names
+    t.append(Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "k", "c")
+      .select(col("id"),
+        struct(col("k").as("etype"), col("c").as("cents")).as("payload")))
+    t.renameField("payload.etype", "kind")                      // v2
+    t.widenField("payload.cents",
+      org.apache.spark.sql.types.LongType)                      // v3
+    // v4: second generation under the NEW shape
+    t.append(Seq((3L, "x", 30L), (4L, "y", 40L)).toDF("id", "k", "c")
+      .select(col("id"),
+        struct(col("k").as("kind"), col("c").as("cents")).as("payload")))
+
+    val dest = tmp("ice_nesthist_out_")
+    IcebergExport.export(t, dest, history = true)
+
+    // every version's foreign read equals graft's own time travel —
+    // v1 under its OWN schema (old member names), later versions
+    // coalescing the pre-rename files' values through the mapping
+    t.versions.foreach { v =>
+      assert(sortedRows(IcebergRead.read(spark, dest, versionAsOf = Some(v))) ===
+        sortedRows(t.timeTravel(v)), s"version $v")
+    }
+    // the CURRENT read resolves generation-1 values under the new
+    // member names (a silent null here would be wrong data)
+    val cur = IcebergRead.read(spark, dest)
+    assert(cur.select(col("payload.kind")).as[String].collect().sorted ===
+      Array("a", "b", "x", "y"))
+    assert(cur.select(col("payload.cents")).as[Long].collect().sorted ===
+      Array(10L, 20L, 30L, 40L))
+
+    // NESTED ID STABILITY across versions: the renamed member carries
+    // ONE id in every exported schema (Iceberg's id-projection
+    // contract), readable straight from the metadata JSON
+    val json = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readAllBytes(Paths.get(dest).resolve("metadata")
+        .resolve("v1.metadata.json")))
+    import scala.jdk.CollectionConverters._
+    def memberIds(schemaIdx: Int): Map[String, Int] = {
+      val payload = json.get("schemas").get(schemaIdx).get("fields")
+        .elements().asScala.find(_.get("name").asText() == "payload").get
+      payload.get("type").get("fields").elements().asScala
+        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    }
+    val nSchemas = json.get("schemas").size()
+    assert(nSchemas >= 2, "evolution must record multiple schemas")
+    val v1Ids = memberIds(0)
+    val curIds = memberIds(nSchemas - 1)
+    assert(v1Ids("etype") === curIds("kind"),
+      "the renamed nested member keeps ONE field id across versions")
+    assert(v1Ids("cents") === curIds("cents"),
+      "the widened nested member keeps its field id")
+
+    // the import direction carries the NESTED rename history: graft's
+    // own coalescing read path resolves generation-1 values exactly
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_nesthist_imp_"))
+    assert(imp.read().select(col("payload.kind")).as[String].collect().sorted ===
+      Array("a", "b", "x", "y"))
+    assert(sortedRows(imp.read().select(col("id"), col("payload"))) ===
+      sortedRows(t.read().select(col("id"), col("payload"))))
+  }
+
+  test("position-delete EXPORT shards like the import side: >1 delete parquets, wholeness, summary agreement") {
+    import scala.jdk.CollectionConverters._
+    // a mark backlog referencing MANY data files: the sharded writer
+    // (one delete parquet per ~8 referenced files) must emit MULTIPLE
+    // content=deletes entries — the old coalesce(1) funnelled the
+    // whole backlog through one task into one file.
+    val t = LogTable(spark, tmp("ice_delshard_"))
+    (0 until 40).foreach(c =>
+      t.append(Seq((c.toLong * 10, s"f$c"), (c.toLong * 10 + 1, s"g$c"))
+        .toDF("id", "s")))
+    t.deleteMor(col("id") % 10 === 1L) // a mark in every append's files
+    val live = sortedRows(t.read())
+    val refFiles = t.snapshot().deletes.flatMap(_.refPaths).toSet.size
+    val marks = t.snapshot().deletes.map(_.rows).sum
+    assert(refFiles >= 17, s"need >2 shards' worth of marked files, got $refFiles")
+
+    val dest = tmp("ice_delshard_out_")
+    IcebergExport.export(t, dest)
+
+    val delFiles = Files.list(Paths.get(dest).resolve("data")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("delete-")).toSeq
+    val maxShards = (refFiles + 7) / 8
+    // one task writes one parquet in this shape (no rolling), so >1
+    // files IS the >1-tasks witness that the coalesce(1) funnel is gone
+    assert(delFiles.size > 1 && delFiles.size <= maxShards,
+      s"expected 2..$maxShards sharded delete parquets over $refFiles " +
+        s"marked files, got ${delFiles.size}")
+
+    // WHOLENESS: each data file's marks land wholly in ONE delete
+    // parquet (one delete read per data file); spec sort within each
+    val perShard = delFiles.map { p =>
+      val df = spark.read.parquet(p.toString)
+      val paths = df.select("file_path").distinct().as[String].collect().toSet
+      val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows === rows.sortBy(identity), s"shard $p not spec-sorted")
+      paths
+    }
+    perShard.combinations(2).foreach { case Seq(a, b) =>
+      assert(a.intersect(b).isEmpty, "a data file's marks split across shards")
+    }
+    assert(perShard.map(_.size).sum === refFiles)
+
+    // every mark exported exactly once; the spec reader applies them all
+    assert(delFiles.map(p => IcebergExport.parquetRowCount(p)).sum === marks)
+    assert(sortedRows(IcebergRead.read(spark, dest)) === live)
+
+    // summary totals agree with the delete manifest's own contents
+    val json = new String(Files.readAllBytes(
+      Paths.get(dest).resolve("metadata").resolve("v1.metadata.json")))
+    assert(json.contains(s""""total-delete-files":"${delFiles.size}""""),
+      "summary counts EXPORTED delete files, not internal DV blobs")
+
+    // the import direction round-trips the sharded form too
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_delshard_imp_"))
+    assert(sortedRows(imp.read()) === live)
+  }
+
+  test("timestamp-sourced truncate refuses at export (no legal Iceberg transform/source combination)") {
+    import java.time.Instant
+    val t = LogTable(spark, tmp("ice_tstrunc_"),
+      hiddenBy = Seq(Transform.truncate(3600000000L, "time")))
+    t.append((0L until 10L).map(i => (i, java.sql.Timestamp.from(
+      Instant.ofEpochSecond(3600L * i)))).toDF("id", "time"))
+    // graft-side reads and pruning keep working
+    assert(t.read().count() === 10L)
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.export(t, tmp("ice_tstrunc_out_")))
+    assert(e.getMessage.contains("TIMESTAMP source"))
+    assert(e.getMessage.contains("truncate"))
+  }
+
+  test("pre-1970 rows refuse at the day/hour seam: trunc-vs-floor ordinals diverge on the negative domain") {
+    // negative µs-epoch values: graft's trunc-toward-zero day ordinal
+    // differs from Iceberg's floor-based one, so export must refuse
+    val t = LogTable(spark, tmp("ice_neg_"),
+      hiddenBy = Seq(Transform.day("ts_us")))
+    t.append(Seq((1L, -86400000000L * 3 + 5L), (2L, 86400000000L * 2))
+      .toDF("id", "ts_us"))
+    assert(t.read().count() === 2L) // graft-side unaffected
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.export(t, tmp("ice_neg_out_")))
+    assert(e.getMessage.contains("pre-1970") ||
+      e.getMessage.contains("negative-epoch"))
+
+    // ordinal 0 with PROVEN non-negative footer min exports fine
+    val ok = LogTable(spark, tmp("ice_zeroday_"),
+      hiddenBy = Seq(Transform.day("ts_us")))
+    ok.append(Seq((1L, 5L), (2L, 86400000000L + 7L)).toDF("id", "ts_us"))
+    val dest = tmp("ice_zeroday_out_")
+    IcebergExport.export(ok, dest)
+    assert(sortedRows(IcebergRead.read(spark, dest)
+      .select(col("id"), col("ts_us"))) ===
+      sortedRows(ok.read().select(col("id"), col("ts_us"))))
+  }
+
+  test("TIMESTAMP-sourced year/month partitioning: native export, import roundtrip, prune parity — the year refusal is retired") {
+    import java.time.{Instant, LocalDate}
+    def ts(date: String): java.sql.Timestamp =
+      java.sql.Timestamp.from(Instant.ofEpochSecond(
+        LocalDate.parse(date).toEpochDay * 86400L))
+    // MONTH layout over the reference's TIMESTAMP shape
+    val t = LogTable(spark, tmp("ice_tsmonth_"),
+      hiddenBy = Seq(Transform.month("time")))
+    t.append(Seq("2023-11-15", "2023-12-01", "2024-01-10", "2024-02-29",
+      "2024-03-01").zipWithIndex.map { case (d, i) => (i.toLong, ts(d)) }
+      .toDF("id", "time"))
+    val monthOrds = t.snapshot().files
+      .flatMap(_.partitions.get("_p_time_month")).toSet
+    assert(monthOrds === Set("646", "647", "648", "649", "650"))
+
+    // exports as Iceberg's NATIVE month transform (int ordinal)
+    val dest = tmp("ice_tsmonth_out_")
+    IcebergExport.export(t, dest)
+    val json = new String(Files.readAllBytes(
+      Paths.get(dest).resolve("metadata").resolve("v1.metadata.json")))
+    assert(json.contains("\"transform\":\"month\""))
+    assert(sortedRows(IcebergRead.read(spark, dest)) === sortedRows(t.read()))
+
+    // the import direction: foreign month-over-timestamptz becomes
+    // graft month, pruning immediately (the old refusal is retired)
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_tsmonth_imp_"))
+    assert(imp.hiddenBy === Seq(Transform.month("time")))
+    assert(sortedRows(imp.read()) === sortedRows(t.read()))
+    assert(imp.snapshot().prunedFiles(
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("time", ts("2024-02-01"))))
+      .flatMap(_.partitions.get("_p_time_month")).toSet === Set("649", "650"))
+
+    // YEAR layout: same circle
+    val ty = LogTable(spark, tmp("ice_tsyear_"),
+      hiddenBy = Seq(Transform.year("time")))
+    ty.append(Seq("2022-05-01", "2023-06-01", "2024-07-01").zipWithIndex
+      .map { case (d, i) => (i.toLong, ts(d)) }.toDF("id", "time"))
+    val ydest = tmp("ice_tsyear_out_")
+    IcebergExport.export(ty, ydest)
+    assert(new String(Files.readAllBytes(Paths.get(ydest).resolve("metadata")
+      .resolve("v1.metadata.json"))).contains("\"transform\":\"year\""))
+    assert(sortedRows(IcebergRead.read(spark, ydest)) === sortedRows(ty.read()))
+    val yimp = IcebergImport.importTable(spark, ydest, tmp("ice_tsyear_imp_"))
+    assert(yimp.hiddenBy === Seq(Transform.year("time")))
+    assert(yimp.snapshot().prunedFiles(
+      Seq(org.apache.spark.sql.sources.LessThan("time", ts("2022-12-31"))))
+      .flatMap(_.partitions.get("_p_time_year")).toSet === Set("52"))
+
+    // a µs-LONG-sourced year layout has no legal Iceberg encoding
+    val tl = LogTable(spark, tmp("ice_longyear_"),
+      hiddenBy = Seq(Transform.year("ts_us")))
+    tl.append(Seq((1L, 86400000000L * 400)).toDF("id", "ts_us"))
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.export(tl, tmp("ice_longyear_out_")))
+    assert(e.getMessage.contains("year") &&
+      e.getMessage.contains("TIMESTAMP"))
+  }
+
+  test("graft data writes store TIMESTAMP as INT64 micros (Iceberg-required), not Spark's default INT96") {
+    import java.time.Instant
+    val t = LogTable(spark, tmp("ice_micros_"))
+    t.append((0L until 5L).map(i => (i, java.sql.Timestamp.from(
+      Instant.ofEpochSecond(i)))).toDF("id", "time"))
+    val p = t.snapshot().files.head.path
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    import scala.jdk.CollectionConverters._
+    val tsType = try r.getFooter.getFileMetaData.getSchema
+      .getFields.asScala.find(_.getName == "time").get
+      .asPrimitiveType().getPrimitiveTypeName
+      finally r.close()
+    assert(tsType ===
+      org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64,
+      "timestamp column must be INT64 micros for the Iceberg seam")
   }
 }

@@ -5,6 +5,7 @@ import graft.SparkSpec
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** [[IcebergRestCatalog]]: a foreign reader must be able to discover
   * and load the exported table purely through the public REST catalog
@@ -144,15 +145,93 @@ class IcebergRestCatalogSpec extends SparkSpec {
         .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
         HttpResponse.BodyHandlers.discarding())
       assert(head.statusCode() === 200)
-      // write routes refuse: this is a read-only interop endpoint
-      val post = http.send(HttpRequest.newBuilder(
-          URI.create(s"${cat.uri}/v1/namespaces/ns/tables"))
-        .POST(java.net.http.HttpRequest.BodyPublishers.ofString("{}")).build(),
-        HttpResponse.BodyHandlers.ofString())
-      assert(post.statusCode() === 404)
-      assert(mapper.readTree(post.body()).get("error").get("code").asInt() === 404)
+      // recognized write routes answer the spec's ErrorModel with 501
+      // ("not supported here"), never NoSuchRoute — a foreign writer
+      // (CTAS, commit, rename, drop) gets a clean refusal
+      for (path <- Seq("/v1/namespaces/ns/tables", "/v1/namespaces",
+          "/v1/namespaces/ns/tables/t", "/v1/tables/rename")) {
+        val post = http.send(HttpRequest.newBuilder(
+            URI.create(s"${cat.uri}$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString("{}")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(post.statusCode() === 501, s"POST $path")
+        val err = mapper.readTree(post.body()).get("error")
+        assert(err.get("code").asInt() === 501)
+        assert(err.get("type").asText() === "UnsupportedOperationException")
+      }
+      val del = http.send(HttpRequest.newBuilder(
+          URI.create(s"${cat.uri}/v1/namespaces/ns/tables/t"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() === 501)
+      // an unrecognized path stays a plain 404 NoSuchRoute
+      val (c3, b3) = get(s"${cat.uri}/v1/not-a-route")
+      assert(c3 === 404)
+      assert(mapper.readTree(b3).get("error").get("type").asText() ===
+        "NoSuchRouteException")
       // registering a non-export refuses client-side
       intercept[IllegalArgumentException](cat.register("ns", "bad", tmp("not_an_export_")))
+    } finally cat.close()
+  }
+
+  test("pagination: pageSize/pageToken walk the table and namespace lists; snapshots=refs trims LoadTableResult") {
+    val dest1 = tmp("ice_rest_p1_"); val dest2 = tmp("ice_rest_p2_")
+    val dest3 = tmp("ice_rest_p3_")
+    val t1 = LogTable(spark, tmp("ice_rest_pt1_"))
+    t1.append(Seq((1L, "a")).toDF("id", "s"))
+    t1.append(Seq((2L, "b")).toDF("id", "s"))
+    t1.createRef("v1tag", 1L)
+    IcebergExport.export(t1, dest1, history = true)
+    val t2 = LogTable(spark, tmp("ice_rest_pt2_"))
+    t2.append(Seq((2L, "b")).toDF("id", "s"))
+    IcebergExport.export(t2, dest2)
+    val t3 = LogTable(spark, tmp("ice_rest_pt3_"))
+    t3.append(Seq((3L, "c")).toDF("id", "s"))
+    IcebergExport.export(t3, dest3)
+    val cat = IcebergRestCatalog.start()
+    try {
+      cat.register("ns", "ta", dest1)
+      cat.register("ns", "tb", dest2)
+      cat.register("ns", "tc", dest3)
+      cat.register("other", "tx", dest3)
+      // page-size-1 walk visits all three tables in order, one per page
+      var token = ""
+      val seen = scala.collection.mutable.ListBuffer[String]()
+      var more = true
+      while (more) {
+        val q = if (token.isEmpty) "?pageSize=1" else s"?pageSize=1&pageToken=$token"
+        val (c, b) = get(s"${cat.uri}/v1/namespaces/ns/tables$q")
+        assert(c === 200)
+        val node = mapper.readTree(b)
+        node.get("identifiers").elements().asScala
+          .foreach(id => seen += id.get("name").asText())
+        val next = Option(node.get("next-page-token")).map(_.asText())
+        more = next.isDefined
+        token = next.getOrElse("")
+      }
+      assert(seen.toList === List("ta", "tb", "tc"))
+      // namespaces list paginates the same way
+      val (cn, bn) = get(s"${cat.uri}/v1/namespaces?pageSize=1")
+      assert(cn === 200)
+      val nsNode = mapper.readTree(bn)
+      assert(nsNode.get("namespaces").size() === 1)
+      assert(nsNode.get("next-page-token") != null)
+      // a token-less full list has no next-page-token (non-paginating
+      // clients see the old behavior)
+      val (_, bAll) = get(s"${cat.uri}/v1/namespaces/ns/tables")
+      assert(mapper.readTree(bAll).get("next-page-token") == null)
+      assert(mapper.readTree(bAll).get("identifiers").size() === 3)
+
+      // snapshots=refs: the history export's LoadTableResult trims to
+      // ref-reachable snapshots (tag + main head), full by default
+      val (_, bFull) = get(s"${cat.uri}/v1/namespaces/ns/tables/ta")
+      assert(mapper.readTree(bFull).get("metadata").get("snapshots").size() === 2)
+      val (_, bRefs) = get(s"${cat.uri}/v1/namespaces/ns/tables/ta?snapshots=refs")
+      val trimmed = mapper.readTree(bRefs).get("metadata").get("snapshots")
+      assert(trimmed.size() === 2) // tag pins v1, main pins v2 — both kept
+      // drop the tag context: a table with no refs beyond main keeps
+      // only the current snapshot under refs mode
+      val (_, bRefs2) = get(s"${cat.uri}/v1/namespaces/ns/tables/tb?snapshots=refs")
+      assert(mapper.readTree(bRefs2).get("metadata").get("snapshots").size() === 1)
     } finally cat.close()
   }
 }

@@ -985,6 +985,76 @@ class LogTableSpec extends SparkSpec {
       .forall(_.partitions("_p_ts_us_hour") === "0") === true)
   }
 
+  test("hidden partitioning: year/month calendar ordinals — whole domain incl. pre-1970, write/derive parity, pruning") {
+    import org.apache.spark.sql.functions.col
+    val day = 86400000000L
+    def us(date: String): Long =
+      java.time.LocalDate.parse(date).toEpochDay * day
+    // derive is the Iceberg calendar ordinal, floor-based on the whole
+    // domain (negative epochs included — unlike day/hour's trunc-div)
+    val y = graft.sources.Transform.year("ts_us")
+    assert(y.derive(us("2024-06-01")) === 54L)
+    assert(y.derive(us("1970-01-01")) === 0L)
+    assert(y.derive(-1L) === -1L)            // 1969-12-31 23:59:59.999999
+    assert(y.derive(us("1969-01-01")) === -1L)
+    assert(y.derive(us("1968-12-31")) === -2L)
+    val m = graft.sources.Transform.month("ts_us")
+    assert(m.derive(us("1970-01-31")) === 0L)
+    assert(m.derive(us("1970-02-01")) === 1L)
+    assert(m.derive(-1L) === -1L)            // Dec 1969
+    assert(m.derive(us("1969-11-30")) === -2L)
+    assert(m.derive(us("2024-03-15")) === (54L * 12 + 2))
+
+    // the WRITE column (SQL expr) lands files under exactly derive's
+    // ordinals — negative epochs included
+    val dir = Files.createTempDirectory("lt_hidden_year_").toString
+    val t = LogTable(spark, dir,
+      hiddenBy = Seq(graft.sources.Transform.year("ts_us")))
+    val vals = Seq(us("1969-06-15") + 123L, -1L, 0L, us("1971-02-03"),
+      us("2024-06-01") + 5L)
+    t.append(vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "ts_us").repartition(3))
+    val ords = t.snapshot().files.flatMap(_.partitions.get("_p_ts_us_year")).toSet
+    assert(ords === vals.map(v => y.derive(v).toString).toSet)
+    assert(ords === Set("-1", "0", "1", "54"))
+
+    // range pruning through the calendar transform (monotone)
+    val kept = t.filesInRange("ts_us", us("1971-01-01"), us("2025-01-01"))
+    assert(kept.nonEmpty)
+    assert(kept.flatMap(_.partitions.get("_p_ts_us_year")).toSet === Set("1", "54"))
+    assert(t.readRange("ts_us", us("1971-01-01"), us("2025-01-01")).count() === 2L)
+    // pre-1970 window prunes exactly too
+    assert(t.filesInRange("ts_us", us("1969-01-01"), -1L)
+      .flatMap(_.partitions.get("_p_ts_us_year")).toSet === Set("-1"))
+
+    // month layout over a TIMESTAMP source: same ordinals as a µs-long
+    // source's (unix_micros derive), calendar-exact
+    val dirM = Files.createTempDirectory("lt_hidden_month_").toString
+    val tm = LogTable(spark, dirM,
+      hiddenBy = Seq(graft.sources.Transform.month("time")))
+    tm.append(Seq(us("1969-12-31"), us("1970-01-05"), us("1970-02-10"),
+      us("2024-03-15"))
+      .zipWithIndex.map { case (v, i) =>
+        (i.toLong, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v, 1000000L))))
+      }.toDF("id", "time"))
+    assert(tm.snapshot().files.flatMap(_.partitions.get("_p_time_month")).toSet ===
+      Set("-1", "0", "1", (54 * 12 + 2).toString))
+    // timestamp-literal pruning rides the DSv2 filter path
+    val keptM = tm.snapshot().prunedFiles(Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("time",
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          us("1970-02-01") / 1000000L)))))
+    assert(keptM.flatMap(_.partitions.get("_p_time_month")).toSet ===
+      Set("1", (54 * 12 + 2).toString))
+
+    // the SQL DDL grammar accepts the new kinds
+    val (pc, tr) = GraftSql.parsePartitionSpecs("year(a), month(b), day(c)")
+    assert(pc.isEmpty)
+    assert(tr === Seq(graft.sources.Transform.year("a"),
+      graft.sources.Transform.month("b"), graft.sources.Transform.day("c")))
+  }
+
   test("hidden partitioning: bucket(n, id) prunes point lookups to one bucket") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("lt_hidden_bucket_").toString

@@ -1,0 +1,172 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeUnit
+import scala.jdk.CollectionConverters._
+
+/** [[MarkerCommit]] — the reference's marker-based, leader-elected
+  * commit loop as a decoupled component (reference README.md:104-118,
+  * :196-212): flusher and committer are separate actors meeting only
+  * at 0-byte index markers under `pending/`; a CAS lease elects the
+  * leader; the referenced files commit ATOMICALLY and exactly once,
+  * and markers are cleaned exactly once — including across a
+  * committer crash between commit and cleanup, and across two
+  * INDEPENDENT JVMs racing the committer role. */
+class MarkerCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  test("flush stages invisibly; the leader commits atomically, cleans markers, and reconstructs entries from footers alone") {
+    val root = tmp("marker_basic_")
+    val t = LogTable(spark, root, hiddenBy = Seq(Transform.day("ts_us")))
+    // layout + schema recorded so later root-only handles write it
+    t.declareSchema(Seq(("s", 0L)).toDF("s", "ts_us").schema)
+
+    val day = 86400000000L
+    val staged = MarkerCommit.flush(t,
+      (0 until 10).map(i => (s"a$i", (i % 3) * day + i)).toDF("s", "ts_us"))
+    assert(staged.nonEmpty)
+    // staged files are INVISIBLE (no manifest references them) and the
+    // markers are 0-byte objects naming each file
+    assert(t.read().count() === 0L)
+    assert(MarkerCommit.pending(root).size === staged.size)
+    MarkerCommit.pending(root).foreach { m =>
+      val p = MarkerCommit.pendingDir(root).resolve(m)
+      assert(Files.size(p) === 0L, "index markers are 0-byte")
+    }
+    // leader reconstruction from footers + hive paths produces
+    // ENTRY-IDENTICAL metadata to what stageFlush recorded when it
+    // wrote the files (stats, layout values, sizes — seq unstamped
+    // on both sides until commit)
+    val entries = t.stageFlush(Seq(("x1", 5L), ("x2", day + 7L)).toDF("s", "ts_us"))
+    assert(t.adoptStaged(entries.map(_.path)).sortBy(_.path) ===
+      entries.sortBy(_.path))
+    entries.map(_.path).foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // commit round: everything lands in ONE snapshot, markers cleaned
+    val out = MarkerCommit.runOnce(spark, root)
+    out match {
+      case MarkerCommit.Led(committed, cleaned, skipped, version) =>
+        assert(committed === staged.size)
+        assert(cleaned === staged.size)
+        assert(skipped === 0)
+        assert(version === 2L) // v1 declareSchema, v2 the marker commit
+      case other => fail(s"expected Led, got $other")
+    }
+    assert(t.read().count() === 10L)
+    assert(MarkerCommit.pending(root).isEmpty)
+    val sn = LogTable(spark, root).snapshot()
+    assert(sn.operation === "append")
+    // the committed entries carry the reconstructed footer stats and
+    // day-layout values — pruning works on marker-committed files
+    assert(sn.files.forall(_.partitions.contains("_p_ts_us_day")))
+    assert(staged.toSet.subsetOf(sn.files.map(_.path).toSet))
+    val kept = t.filesInRange("ts_us", 0L, day - 1L)
+    assert(kept.nonEmpty && kept.size < sn.files.size)
+  }
+
+  test("lease: a live leader excludes others; an expired (crashed) lease is re-raced; commit-then-crash replays exactly once") {
+    val root = tmp("marker_crash_")
+    val t = LogTable(spark, root)
+    MarkerCommit.flush(t, Seq(("a", 1L), ("b", 2L)).toDF("s", "v"))
+    val nPending = MarkerCommit.pending(root).size
+
+    // a committer that commits and CRASHES before cleanup + release
+    val clock = new java.util.concurrent.atomic.AtomicLong(1000000L)
+    val crashed = MarkerCommit.runOnce(spark, root, leaseMs = 5000L,
+      nowMs = () => clock.get(), crashAfterCommit = true)
+    assert(crashed.isInstanceOf[MarkerCommit.Led])
+    assert(t.read().count() === 2L, "the crash happened AFTER the atomic commit")
+    assert(MarkerCommit.pending(root).size === nPending,
+      "markers survive the crash")
+
+    // while the dead leader's lease is live, nobody else leads
+    assert(MarkerCommit.runOnce(spark, root, leaseMs = 5000L,
+      nowMs = () => clock.get()) === MarkerCommit.NotLeader)
+
+    // after expiry the next leader wins the re-race, finds every
+    // marker's file ALREADY COMMITTED, commits nothing, cleans all
+    clock.addAndGet(6000L)
+    val v = LogTable(spark, root).currentVersion
+    MarkerCommit.runOnce(spark, root, leaseMs = 5000L,
+      nowMs = () => clock.get()) match {
+      case MarkerCommit.Led(committed, cleaned, skipped, version) =>
+        assert(committed === 0, "exactly-once: no re-commit")
+        assert(cleaned === nPending, "markers cleaned exactly once")
+        assert(skipped === 0)
+        assert(version === v, "no new snapshot for a stale batch")
+      case other => fail(s"expected Led, got $other")
+    }
+    assert(t.read().count() === 2L)
+    assert(MarkerCommit.pending(root).isEmpty)
+
+    // flusher crash BETWEEN file write and marker write = an orphan
+    // pool file: never committed, reclaimed by the age-guarded sweep
+    val orphan = t.stageFlush(Seq(("zz", 9L)).toDF("s", "v"))
+    assert(t.read().count() === 2L)
+    val reclaimed =
+      t.removeOrphans(olderThanMs = System.currentTimeMillis() + 60000L)
+    assert(orphan.map(_.path).toSet.subsetOf(reclaimed.toSet))
+  }
+
+  test("cross-process: two flusher JVMs + two racing committer JVMs (one crashing mid-protocol) — every file commits exactly once, every marker cleans exactly once") {
+    val root = tmp("marker_xproc_")
+    // schema declared up front (the reference's fixed table shape)
+    LogTable(spark, root).declareSchema(Seq(("x", 0L)).toDF("s", "v").schema)
+
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filter(a => a == "--add-opens" || a.contains("=ALL-UNNAMED"))
+    def spawn(main: String, args: String*): (Process, java.io.File) = {
+      val log = Files.createTempFile("marker_xproc_", ".log").toFile
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        main) ++ args
+      val p = new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true).redirectOutput(log).start()
+      (p, log)
+    }
+    def await(children: Seq[(Process, java.io.File)]): Unit =
+      children.foreach { case (p, log) =>
+        assert(p.waitFor(480, TimeUnit.SECONDS), s"child timed out; log: $log")
+        assert(p.exitValue() === 0,
+          s"child failed (exit ${p.exitValue()}); tail:\n" +
+            Files.readAllLines(log.toPath).asScala.takeRight(30).mkString("\n"))
+      }
+
+    // 1. two flushing nodes stage 4 flushes × 3 rows each, never committing
+    val perNode = 4
+    await(Seq(spawn("graft.sources.MarkerFlusherMain", root, "1", perNode.toString),
+      spawn("graft.sources.MarkerFlusherMain", root, "2", perNode.toString)))
+    val staged = MarkerCommit.pending(root).size
+    assert(staged >= 2, s"expected staged markers, got $staged")
+    assert(LogTable(spark, root).read().count() === 0L,
+      "nothing visible before a leader commits")
+
+    // 2. one committer commits a round and CRASHES before cleanup
+    // (short lease so the survivors re-race quickly)...
+    await(Seq(spawn("graft.sources.MarkerCommitterMain", root, "crash")))
+    assert(MarkerCommit.pending(root).size === staged,
+      "crashed leader cleaned nothing")
+    // ...then TWO committers race the drain concurrently
+    await(Seq(spawn("graft.sources.MarkerCommitterMain", root, "drain"),
+      spawn("graft.sources.MarkerCommitterMain", root, "drain")))
+
+    // every flushed row exactly once; markers all cleaned exactly once
+    val t = LogTable(spark, root)
+    val rows = t.read().select("s").as[String].collect().toSeq
+    val expected = for (n <- 1 to 2; f <- 0 until perNode; r <- 0 until 3)
+      yield s"n$n-f$f-r$r"
+    assert(rows.sorted === expected.sorted.toSeq,
+      "every flushed file committed EXACTLY once (no loss, no double)")
+    assert(MarkerCommit.pending(root).isEmpty, "marker cleanup exactly once")
+    // the lineage is pure appends over the declared schema
+    (2L to t.currentVersion).foreach(v =>
+      assert(t.snapshot(v).operation === "append"))
+  }
+}

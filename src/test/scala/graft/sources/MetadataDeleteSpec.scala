@@ -117,6 +117,38 @@ class MetadataDeleteSpec extends SparkSpec {
     assert(t.read().select("op").distinct().as[String].collect() === Array("d1"))
   }
 
+  test("year-boundary retention on a HIDDEN year partition is metadata-only (exact calendar intervals)") {
+    val day = 86400000000L
+    def us(date: String): Long =
+      java.time.LocalDate.parse(date).toEpochDay * day
+    val root = Files.createTempDirectory("md_del_year_").toString
+    val t = LogTable(spark, root, hiddenBy = Seq(Transform.year("ts_us")))
+    t.append(Seq("2021-03-01", "2021-11-30", "2022-06-15", "2023-01-01",
+      "2023-12-31").zipWithIndex.map { case (d, i) => (us(d) + i, s"r$i") }
+      .toDF("ts_us", "op"))
+    val nOnDisk = dataFilesOnDisk(root)
+
+    // the long-retention statement: drop everything before 2022 —
+    // monoBounds' calendar interval decides strictly at the boundary
+    assert(t.deleteMetadataOnly(Seq(LessThan("ts_us", us("2022-01-01")))))
+    assert(t.read().count() === 3L)
+    assert(dataFilesOnDisk(root) === nOnDisk)
+    assert(t.snapshot().summary("added-data-files") === "0")
+
+    // a cut inside a year has a boundary file: refuse to COW
+    assert(!t.deleteMetadataOnly(Seq(LessThan("ts_us", us("2022-07-01")))))
+    assert(t.read().count() === 3L)
+
+    // leap years: Feb 29 belongs to its month's exact interval — a
+    // MONTH layout decides a month-boundary cut strictly
+    val rootM = Files.createTempDirectory("md_del_month_").toString
+    val tm = LogTable(spark, rootM, hiddenBy = Seq(Transform.month("ts_us")))
+    tm.append(Seq(us("2024-02-29") + 42L, us("2024-03-01"))
+      .zipWithIndex.map { case (v, i) => (v, s"m$i") }.toDF("ts_us", "op"))
+    assert(tm.deleteMetadataOnly(Seq(LessThan("ts_us", us("2024-03-01")))))
+    assert(tm.read().count() === 1L)
+  }
+
   test("the ladder is automatic: Scala delete(), deleteMor() and GraftSql all go metadata-first") {
     // count Spark JOBS per operation — a metadata delete plans and
     // commits without a single job; any row-level path must scan
