@@ -88,6 +88,17 @@ class GraftSpjSpec extends SparkSpec {
         === Transform.day("x").derive(v), s"days($v)")
       assert(trunc.produceResult(new GenericInternalRow(Array[Any](1000L, v)))
         === Transform.truncate(1000L, "x").derive(v), s"truncate($v)")
+      // the calendar kinds too (floor-based on the whole domain)
+      val years = GraftFunctions.load("years").get
+        .bind(StructType(Seq(StructField("v", LongType))))
+        .asInstanceOf[ScalarFunction[java.lang.Long]]
+      val months = GraftFunctions.load("months").get
+        .bind(StructType(Seq(StructField("v", LongType))))
+        .asInstanceOf[ScalarFunction[java.lang.Long]]
+      assert(years.produceResult(new GenericInternalRow(Array[Any](v)))
+        === Transform.year("x").derive(v), s"years($v)")
+      assert(months.produceResult(new GenericInternalRow(Array[Any](v)))
+        === Transform.month("x").derive(v), s"months($v)")
     }
     // null propagates (a null source rides the hive null dir)
     assert(bucket.produceResult(
@@ -215,6 +226,36 @@ class GraftSpjSpec extends SparkSpec {
       val rows = j.collect()
       assert(rows.length === 80)
       assert(rows.forall(r => r.getLong(2) === (r.getLong(1) % 20) * 10))
+      assert(shuffles(j) === 0,
+        s"expected a storage-partitioned join with zero exchanges:\n" +
+          j.queryExecution.executedPlan)
+    }
+  }
+
+  test("YEARS layout (calendar transform) reports SPJ: same-years join plans ZERO shuffles") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE spj.db.yfacts (time TIMESTAMP, v BIGINT)
+        |PARTITIONED BY (years(time))""".stripMargin)
+    spark.sql(
+      """CREATE TABLE spj.db.ydims (time TIMESTAMP, w BIGINT)
+        |PARTITIONED BY (years(time))""".stripMargin)
+    // 3 distinct years, join keyed on the timestamp itself
+    (0L until 60L).map(i => (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond((i % 15) * 9000000L)), i))
+      .toDF("time", "v").createOrReplaceTempView("spj_yf")
+    (0L until 15L).map(i => (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(i * 9000000L)), i * 10))
+      .toDF("time", "w").createOrReplaceTempView("spj_yd")
+    spark.sql("INSERT INTO spj.db.yfacts SELECT * FROM spj_yf")
+    spark.sql("INSERT INTO spj.db.ydims SELECT * FROM spj_yd")
+    withSpj {
+      val j = spark.sql(
+        """SELECT f.time, f.v, d.w FROM spj.db.yfacts f
+          |JOIN spj.db.ydims d ON f.time = d.time""".stripMargin)
+      val rows = j.collect()
+      assert(rows.length === 60)
+      assert(rows.forall(r => r.getLong(2) === (r.getLong(1) % 15) * 10))
       assert(shuffles(j) === 0,
         s"expected a storage-partitioned join with zero exchanges:\n" +
           j.queryExecution.executedPlan)
