@@ -1626,15 +1626,24 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * leader likewise derives commit metadata from the flushed objects
     * themselves). Produces byte-identical entries to what
     * [[stageFlush]] returned when it wrote them. */
-  private[sources] def adoptStaged(paths: Seq[String]): Seq[DataFile] =
-    paths.map { p =>
-      val abs = Paths.get(p).toAbsolutePath.normalize
-      val rel = dataDir.toAbsolutePath.normalize.relativize(abs).toString
-      val (rows, ranges, strRanges, nulls, vsets) = parquetFooterMeta(abs)
-      DataFile(abs.toString, rows, Files.size(abs),
-        partitions = LogTable.partValsOfRel(rel), ranges = ranges,
-        strRanges = strRanges, nulls = nulls, valueSets = vsets)
-    }
+  private[sources] def adoptStaged(paths: Seq[String]): Seq[DataFile] = {
+    // footer reads in parallel, exactly like writeDataFiles' own stats
+    // pass — a large marker backlog would otherwise serialize the
+    // leader round on one thread's footer round-trips
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(paths) { p =>
+      Future {
+        val abs = Paths.get(p).toAbsolutePath.normalize
+        val rel = dataDir.toAbsolutePath.normalize.relativize(abs).toString
+        val (rows, ranges, strRanges, nulls, vsets) = parquetFooterMeta(abs)
+        DataFile(abs.toString, rows, Files.size(abs),
+          partitions = LogTable.partValsOfRel(rel), ranges = ranges,
+          strRanges = strRanges, nulls = nulls, valueSets = vsets)
+      }
+    }, Duration.Inf)
+  }
 
   /** Commit already-staged data files as one atomic append — the
     * LEADER half of the marker-based commit loop. EXACTLY-ONCE under

@@ -77,7 +77,15 @@ object MarkerCommit {
     * layout — invisible until a leader commits) and publish one 0-byte
     * marker per staged file. Returns the staged file paths. Any
     * process holding only the table ROOT can flush; no coordination
-    * with other flushers or the committer. */
+    * with other flushers or the committer.
+    *
+    * Durability line: once a file's marker is published the flush WILL
+    * commit (some leader picks it up); a crash before the marker
+    * leaves an orphan pool file for the age-guarded sweep. Like the
+    * reference's node buffer, a flush is not batch-idempotent —
+    * re-flushing the same logical rows stages them again (two appends'
+    * semantics); dedupe belongs to the caller's batch discipline, as
+    * with [[LogTable.append]]'s tag. */
   def flush(table: LogTable, df: DataFrame,
       io: GraftFileIO = GraftFileIO.Local): Seq[String] = {
     val staged = table.stageFlush(df)
@@ -111,24 +119,49 @@ object MarkerCommit {
       version: Long) extends Outcome
 
   /** Try to become leader: create-or-fail on the lease object, whose
-    * content is the expiry wall-clock ms. An EXPIRED lease (crashed
-    * leader) is deleted and re-raced — publishAtomic picks exactly one
-    * winner among racing claimants. */
+    * content is `<expiry wall-clock ms>:<owner token>`. An EXPIRED
+    * lease (crashed leader) is deleted and re-raced — publishAtomic
+    * picks exactly one winner among racing claimants. Returns the
+    * owner token on success so release can delete ONLY its own lease
+    * (a leader that overran its lease must never delete a successor's).
+    *
+    * The lease is deliberately ADVISORY: delete-then-republish over a
+    * create-or-fail-only store cannot exclude every interleaving of
+    * expiry racers (true fencing needs a conditional-replace the
+    * protocol doesn't require). Duplicate leaders waste work but never
+    * correctness — the commit itself is the manifest CAS, and the
+    * membership check inside [[LogTable.commitStagedAppend]]'s retry
+    * loop plus idempotent marker deletes make every outcome
+    * exactly-once. The reference's distributed lock plays the same
+    * role: commit atomicity comes from the Iceberg commit, not the
+    * lock. */
   private def acquireLease(pd: Path, io: GraftFileIO, leaseMs: Long,
-      nowMs: () => Long): Boolean = {
+      nowMs: () => Long): Option[String] = {
     io.mkdirs(pd)
     val lease = pd.resolve(LeaseName)
-    if (io.publishAtomic(lease, (nowMs() + leaseMs).toString)) true
+    val token = java.util.UUID.randomUUID().toString
+    def content = s"${nowMs() + leaseMs}:$token"
+    if (io.publishAtomic(lease, content)) Some(token)
     else {
       val expiry =
-        try io.readString(lease).trim.toLong
-        catch { case _: Exception => return false } // vanished mid-read: lose this round
-      if (nowMs() <= expiry) false
+        try io.readString(lease).trim.takeWhile(_ != ':').toLong
+        catch { case _: Exception => return None } // vanished mid-read: lose this round
+      if (nowMs() <= expiry) None
       else {
         io.delete(lease)
-        io.publishAtomic(lease, (nowMs() + leaseMs).toString)
+        if (io.publishAtomic(lease, content)) Some(token) else None
       }
     }
+  }
+
+  /** Release only OUR lease: a leader that ran past its expiry finds a
+    * successor's token (or nothing) and walks away. */
+  private def releaseLease(pd: Path, io: GraftFileIO, token: String): Unit = {
+    val lease = pd.resolve(LeaseName)
+    val mine =
+      try io.readString(lease).trim.endsWith(s":$token")
+      catch { case _: Exception => false }
+    if (mine) io.delete(lease)
   }
 
   /** COMMITTER: one leader-elected commit round (the reference runs
@@ -144,7 +177,10 @@ object MarkerCommit {
       nowMs: () => Long = () => System.currentTimeMillis(),
       crashAfterCommit: Boolean = false): Outcome = {
     val pd = pendingDir(root)
-    if (!acquireLease(pd, io, leaseMs, nowMs)) return NotLeader
+    val token = acquireLease(pd, io, leaseMs, nowMs) match {
+      case None => return NotLeader
+      case Some(t) => t
+    }
     val table = LogTable(spark, root)
     try {
       val all = pending(root, io)
@@ -156,8 +192,11 @@ object MarkerCommit {
       // stale markers: a prior leader committed these files then died
       // before cleanup — clean, never re-commit
       val (already, fresh) = decoded.partition { case (_, p) => have(p) }
+      // data-file existence checks on the DATA plane (Hadoop/local FS —
+      // bulk parquet never lives in the marker store; `io` carries only
+      // markers and the lease, the reference's index prefix)
       val (present, missing) = fresh.partition { case (_, p) =>
-        io.exists(Paths.get(p)) }
+        java.nio.file.Files.exists(Paths.get(p)) }
       val committed =
         if (present.isEmpty) 0
         else {
@@ -178,7 +217,7 @@ object MarkerCommit {
       Led(committed, already.size + present.size, missing.size,
         table.currentVersion)
     } finally {
-      if (!crashAfterCommit) io.delete(pd.resolve(LeaseName))
+      if (!crashAfterCommit) releaseLease(pd, io, token)
     }
   }
 

@@ -199,6 +199,31 @@ class PlanContractSpec extends SparkSpec {
       s"both TIMESTAMP bounds must reach the scan as pushed filters:\n$p")
   }
 
+  test("year-layout DSv2 scan: a TIMESTAMP range predicate opens only matching YEAR partitions") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("contract_year_").toString
+    val t = graft.sources.LogTable(spark, root,
+      hiddenBy = Seq(graft.sources.Transform.year("time")))
+    def ts(date: String): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        java.time.LocalDate.parse(date).toEpochDay * 86400L))
+    // one file per year × 3 years (coalesce keeps the layout 1:1)
+    Seq("2021-03-01", "2022-06-15", "2023-09-20").zipWithIndex.foreach {
+      case (d, i) => t.append(Seq((i.toLong, ts(d))).toDF("id", "time"))
+    }
+    val totalFiles = t.snapshot().files.size
+    assert(totalFiles === 3)
+    val df = spark.read.format("graft").load(root)
+      .filter(col("time") >= ts("2022-01-01"))
+    assert(df.count() === 2L)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.inputRDD.getNumPartitions === 2,
+      "the calendar transform must prune the 2021 file at the manifest")
+  }
+
   test("lake_mbucket: the graft leg's IN lookup is pushed to the graft scan") {
     val p = plan("lake_mbucket")
     assert(p.contains("BatchScan graft"),

@@ -112,6 +112,38 @@ class MarkerCommitSpec extends SparkSpec {
     assert(orphan.map(_.path).toSet.subsetOf(reclaimed.toSet))
   }
 
+  test("the marker plane runs on S3 SEMANTICS: markers + lease through ObjectStoreEmu (flat keys, conditional PUT), data on the FS plane") {
+    val root = tmp("marker_s3_")
+    val store = new GraftFileIO.ObjectStoreEmu(
+      Files.createTempDirectory("marker_s3_bucket_"))
+    val t = LogTable(spark, root)
+    // flush: parquet to the data plane, 0-byte markers as OBJECTS
+    // under the pending/ key prefix (no directory ever created)
+    val staged = MarkerCommit.flush(t,
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("s", "v"), io = store)
+    assert(MarkerCommit.pending(root, store).nonEmpty)
+    assert(t.read().count() === 0L)
+    // a racing second marker for the same file loses the conditional
+    // PUT (publishAtomic false), which flush() treats as a collision
+    val rel = java.nio.file.Paths.get(root).resolve("data")
+      .toAbsolutePath.normalize.relativize(
+        java.nio.file.Paths.get(staged.head).toAbsolutePath.normalize).toString
+    assert(!store.publishAtomic(MarkerCommit.pendingDir(root)
+      .resolve(MarkerCommit.markerName(rel)), ""),
+      "markers are create-or-fail objects")
+    // leader round over the object store: commit + cleanup + lease all
+    // through conditional-PUT/prefix-list/delete-object calls only
+    MarkerCommit.runOnce(spark, root, io = store) match {
+      case MarkerCommit.Led(committed, cleaned, skipped, _) =>
+        assert(committed === staged.size)
+        assert(cleaned === staged.size)
+        assert(skipped === 0)
+      case other => fail(s"expected Led, got $other")
+    }
+    assert(LogTable(spark, root).read().count() === 3L)
+    assert(MarkerCommit.pending(root, store).isEmpty)
+  }
+
   test("cross-process: two flusher JVMs + two racing committer JVMs (one crashing mid-protocol) — every file commits exactly once, every marker cleans exactly once") {
     val root = tmp("marker_xproc_")
     // schema declared up front (the reference's fixed table shape)
