@@ -243,10 +243,19 @@ object ApiLog {
       ls.iterator().asScala.map(_.getFileName.toString)
         .filter(_.startsWith("_flush=")).toSeq.sorted
     }
-    // FLUSH phase: every node flush stages + marks, NOTHING commits
-    flushDirs.foreach { fd =>
-      MarkerCommit.flush(table,
-        s.read.schema(flushed.drop("_flush").schema).parquet(s"$buffer/$fd"))
+    // FLUSH phase: every node flush stages + marks, NOTHING commits.
+    // Flushes run CONCURRENTLY — the reference's nodes are independent
+    // processes, and Spark schedules concurrent small jobs fine; the
+    // committed table is a set union, so order is irrelevant.
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.traverse(flushDirs) { fd => Future {
+        MarkerCommit.flush(table,
+          s.read.schema(flushed.drop("_flush").schema).parquet(s"$buffer/$fd"))
+      }}, Duration.Inf)
+      ()
     }
     require(table.read().isEmpty,
       "staged flushes must be invisible before the leader commits")

@@ -344,6 +344,28 @@ object IcebergExport {
         if (st == schema) ids else new FieldIds(st, idCounter),
         schema, nestedIds)
       n.put("schema-id", i)
+      // INVARIANT: field ids are unique within one schema node —
+      // duplicate ids are spec-invalid metadata a conformant reader
+      // rejects; refuse at write time with the schema named
+      locally {
+        def idsOf(node: com.fasterxml.jackson.databind.JsonNode): Seq[Int] =
+          node match {
+            case o if o.isObject =>
+              (Option(o.get("id")).filter(_.isInt).map(_.asInt()).toSeq) ++
+                Seq("fields", "type", "element", "key", "value")
+                  .flatMap(k => Option(o.get(k)).toSeq.flatMap(idsOf)) ++
+                Seq("element-id", "key-id", "value-id")
+                  .flatMap(k => Option(o.get(k)).filter(_.isInt)
+                    .map(_.asInt()).toSeq)
+            case a if a.isArray =>
+              a.elements().asScala.toSeq.flatMap(idsOf)
+            case _ => Nil
+          }
+        val all = idsOf(n)
+        require(all.distinct.size == all.size,
+          s"internal invariant violated: duplicate field ids in exported " +
+            s"schema $i (${all.diff(all.distinct).distinct.mkString(", ")})")
+      }
       n
     }
     val curSchemaNode = schemaNodes(schemaIdOf(cur.schemaJson))
@@ -882,15 +904,46 @@ object IcebergExport {
     private val assigned = scala.collection.mutable.Map[String, Int]()
     def idFor(canonPath: String): Int =
       assigned.getOrElseUpdate(canonPath, counter.alloc())
-    /** Resolve a (possibly historical) member against the current
-      * schema's corresponding struct: (canonical name, current field). */
-    def resolve(cur: Option[StructType], f: StructField)
-        : (String, Option[StructField]) =
-      cur.flatMap(_.fields.find(cf => (cf.name +: LogTable.prevNames(cf))
-          .exists(_.equalsIgnoreCase(f.name)))) match {
-        case Some(cf) => (cf.name.toLowerCase, Some(cf))
-        case None => (f.name.toLowerCase, None)
+    /** Resolve one (possibly historical) struct's members against the
+      * current schema's corresponding struct, as a WHOLE struct: exact
+      * current-name matches claim their fields first, then rename
+      * history matches among the UNCLAIMED — so one current member can
+      * never canonize TWO historical members (duplicate canonical
+      * paths would emit duplicate field ids inside one exported
+      * schema, which a spec-conformant reader rejects). A residual
+      * collision (a foreign mapping reusing a vacated name in a shape
+      * graft's own rename machinery forbids) refuses loudly.
+      * Returns (member, canonical name, current field) in order. */
+    def resolveStruct(cur: Option[StructType], st: StructType,
+        path: String): Seq[(StructField, String, Option[StructField])] = {
+      val curFields = cur.map(_.fields.toSeq).getOrElse(Nil)
+      val exact: Map[String, StructField] = st.fields.flatMap(f =>
+        curFields.find(_.name.equalsIgnoreCase(f.name))
+          .map(cf => f.name.toLowerCase -> cf)).toMap
+      val claimed = scala.collection.mutable.Set[String](
+        exact.values.map(_.name.toLowerCase).toSeq: _*)
+      val resolved = st.fields.toSeq.map { f =>
+        exact.get(f.name.toLowerCase) match {
+          case Some(cf) => (f, cf.name.toLowerCase, Some(cf))
+          case None =>
+            curFields.find(cf => !claimed(cf.name.toLowerCase) &&
+                LogTable.prevNames(cf).exists(_.equalsIgnoreCase(f.name))) match {
+              case Some(cf) =>
+                claimed += cf.name.toLowerCase
+                (f, cf.name.toLowerCase, Some(cf))
+              case None => (f, f.name.toLowerCase, None)
+            }
+        }
       }
+      val canons = resolved.map(_._2)
+      require(canons.distinct.size == canons.size,
+        s"cannot export: two members of struct '$path' resolve to the " +
+          s"same canonical nested path (${canons.diff(canons.distinct)
+            .distinct.mkString(", ")}) — the rename history is ambiguous, " +
+          "so stable cross-version field ids cannot be assigned; export " +
+          "the current snapshot only")
+      resolved
+    }
   }
 
   private def icebergTypeName(dt: DataType): Option[String] = dt match {
@@ -921,8 +974,7 @@ object IcebergExport {
       val n = mapper.createObjectNode()
       n.put("type", "struct")
       val fs = n.putArray("fields")
-      st.fields.foreach { f =>
-        val (canon, curF) = reg.resolve(curSt, f)
+      reg.resolveStruct(curSt, st, path).foreach { case (f, canon, curF) =>
         val cpath = s"$path.$canon"
         val id = LogTable.fieldId(f).map(_.toInt).getOrElse(reg.idFor(cpath))
         fs.add(fieldNode(f, id, cpath, curF.map(_.dataType), reg))

@@ -98,10 +98,14 @@ object IcebergRestCatalog {
       : (Seq[T], Option[String]) = {
     val start = p.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
     p.get("pageSize").flatMap(_.toIntOption) match {
-      case Some(n) if n >= 0 =>
+      case Some(n) if n > 0 =>
         val slice = items.slice(start, start + n)
         val next = if (start + n < items.size) Some((start + n).toString) else None
         (slice, next)
+      // pageSize=0 answers an empty page with NO token — a token equal
+      // to the current offset would loop a spec-following client
+      // forever
+      case Some(n) if n == 0 => (Nil, None)
       case _ => (items.drop(start), None)
     }
   }

@@ -1660,8 +1660,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
     if (tag.nonEmpty && hasTag(tag)) return snapshot()
     if (newFiles.isEmpty) return snapshot()
     val snapNow = snapshot()
+    // a BOOTSTRAP schema (first commit on a schemaless table) gets
+    // field ids stamped exactly like every other schema-committing
+    // path — an id-less schema version would break the Iceberg
+    // export's same-field-same-id-across-versions contract once later
+    // appends stamp ids onto version 2
     val schemaNow =
-      if (snapNow.schemaJson.nonEmpty) snapNow.schemaJson else schemaJson
+      if (snapNow.schemaJson.nonEmpty) snapNow.schemaJson
+      else if (schemaJson.isEmpty) ""
+      else LogTable.assignFieldIds(LogTable.parseSchema(schemaJson)).json
     require(schemaNow.nonEmpty,
       "commitStagedAppend on a schemaless table needs schemaJson " +
         "(read one staged footer for it)")
@@ -3706,7 +3713,16 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * commit. Returns the deleted data-file paths. */
   def removeOrphans(olderThanMs: Long = System.currentTimeMillis() - 3600000L,
       dryRun: Boolean = false): Seq[String] = {
-    val live = allLiveFiles()
+    // MARKER-PENDING files are NOT orphans: a published 0-byte index
+    // marker ([[MarkerCommit.flush]]) is the durability line — "this
+    // file WILL commit" — even though no manifest references it yet.
+    // Sweeping one while the leader is down would silently lose a
+    // durably-flushed batch; the markers themselves are cleaned by the
+    // committer, never by this sweep.
+    val pendingFiles = MarkerCommit.pending(root, io).map(m =>
+      dataDir.toAbsolutePath.normalize
+        .resolve(MarkerCommit.relOfMarker(m)).toString).toSet
+    val live = allLiveFiles() ++ pendingFiles
     // orphan candidates span the data pool AND the position-delete
     // pool — a crashed deleteMor leaves its delete file unreferenced
     // exactly as a crashed append leaves data files

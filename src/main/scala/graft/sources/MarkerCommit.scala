@@ -228,6 +228,7 @@ object MarkerCommit {
       io: GraftFileIO = GraftFileIO.Local, maxMarkers: Int = 0,
       leaseMs: Long = 30000L): Unit = {
     var spins = 0
+    var noProgress = 0
     while (pending(root, io).nonEmpty) {
       runOnce(spark, root, io, leaseMs = leaseMs, maxMarkers = maxMarkers) match {
         case NotLeader =>
@@ -235,7 +236,26 @@ object MarkerCommit {
           require(spins < 10000, "marker commit loop starved: another " +
             "leader holds the lease and is not draining")
           Thread.sleep(10L)
-        case _: Led => spins = 0
+        case Led(committed, cleaned, skipped, _) =>
+          spins = 0
+          // a led round that commits nothing, cleans nothing and only
+          // SKIPS is poison, not progress: a marker whose file is
+          // permanently gone (flush order is file-then-marker, so this
+          // means external deletion) would otherwise spin this loop
+          // forever at full CPU. Two consecutive such rounds fail
+          // LOUDLY naming the markers — never auto-clean (refusing to
+          // guess beats silently discarding what might be someone's
+          // recovery state).
+          if (committed == 0 && cleaned == 0 && skipped > 0) {
+            noProgress += 1
+            require(noProgress < 2, s"marker commit loop stuck: $skipped " +
+              "pending marker(s) reference data files that no longer " +
+              "exist (markers: " +
+              pending(root, io).take(5).mkString(", ") + " ...) — a " +
+              "flushed file was deleted outside the protocol; inspect " +
+              s"and remove the stale markers under ${pendingDir(root)}")
+            Thread.sleep(10L)
+          } else noProgress = 0
       }
     }
   }

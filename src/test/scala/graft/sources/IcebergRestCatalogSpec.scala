@@ -220,6 +220,11 @@ class IcebergRestCatalogSpec extends SparkSpec {
       val (_, bAll) = get(s"${cat.uri}/v1/namespaces/ns/tables")
       assert(mapper.readTree(bAll).get("next-page-token") == null)
       assert(mapper.readTree(bAll).get("identifiers").size() === 3)
+      // pageSize=0 answers an empty page with NO token — a token at
+      // the current offset would loop a spec-following client forever
+      val (_, bZero) = get(s"${cat.uri}/v1/namespaces/ns/tables?pageSize=0")
+      assert(mapper.readTree(bZero).get("identifiers").size() === 0)
+      assert(mapper.readTree(bZero).get("next-page-token") == null)
 
       // snapshots=refs: the history export's LoadTableResult trims to
       // ref-reachable snapshots (tag + main head), full by default

@@ -33,6 +33,13 @@ class MarkerCommitSpec extends SparkSpec {
     // staged files are INVISIBLE (no manifest references them) and the
     // markers are 0-byte objects naming each file
     assert(t.read().count() === 0L)
+    // MARKER-PENDING files are NOT orphans: a sweep while the leader
+    // is down must never reclaim a durably-flushed batch
+    val swept = t.removeOrphans(
+      olderThanMs = System.currentTimeMillis() + 60000L)
+    assert(staged.toSet.intersect(swept.toSet).isEmpty,
+      "the orphan sweep must spare marker-pending files")
+    staged.foreach(p => assert(Files.exists(Paths.get(p))))
     assert(MarkerCommit.pending(root).size === staged.size)
     MarkerCommit.pending(root).foreach { m =>
       val p = MarkerCommit.pendingDir(root).resolve(m)
@@ -66,6 +73,38 @@ class MarkerCommitSpec extends SparkSpec {
     assert(staged.toSet.subsetOf(sn.files.map(_.path).toSet))
     val kept = t.filesInRange("ts_us", 0L, day - 1L)
     assert(kept.nonEmpty && kept.size < sn.files.size)
+  }
+
+  test("bootstrap schema carries field ids; a poison marker (externally deleted file) fails the drain loudly") {
+    val root = tmp("marker_poison_")
+    val t = LogTable(spark, root)
+    // NO declareSchema: the leader's first commit bootstraps the
+    // schema from a staged footer — and must stamp graft field ids
+    // like every other schema-committing path (the Iceberg export's
+    // same-field-same-id contract depends on it)
+    MarkerCommit.flush(t, Seq(("a", 1L)).toDF("s", "v"))
+    MarkerCommit.runOnce(spark, root)
+    val schema = graft.sources.LogTable.parseSchema(
+      LogTable(spark, root).snapshot().schemaJson)
+    assert(schema.fields.forall(f => LogTable.fieldId(f).isDefined),
+      "bootstrap schema must carry stamped field ids")
+    assert(LogTable(spark, root).read().count() === 1L)
+
+    // poison: a pending marker whose file was deleted OUTSIDE the
+    // protocol — the drain must fail loudly (never auto-clean, never
+    // spin), naming the pending prefix
+    val staged = MarkerCommit.flush(t, Seq(("b", 2L)).toDF("s", "v"))
+    staged.foreach(p => Files.delete(Paths.get(p)))
+    val e = intercept[IllegalArgumentException](
+      MarkerCommit.runUntilDrained(spark, root))
+    assert(e.getMessage.contains("no longer exist"))
+    assert(MarkerCommit.pending(root).nonEmpty, "poison markers are kept for inspection")
+    // operator removes the stale markers; the loop drains clean again
+    MarkerCommit.pending(root).foreach(m =>
+      Files.deleteIfExists(MarkerCommit.pendingDir(root).resolve(m)))
+    MarkerCommit.flush(t, Seq(("c", 3L)).toDF("s", "v"))
+    MarkerCommit.runUntilDrained(spark, root)
+    assert(LogTable(spark, root).read().count() === 2L)
   }
 
   test("lease: a live leader excludes others; an expired (crashed) lease is re-raced; commit-then-crash replays exactly once") {
