@@ -221,6 +221,56 @@ object MarkerCommit {
     }
   }
 
+  /** A CONTINUOUS committer on its own cadence — the reference's
+    * `ICEBERG_COMMIT_INTERVAL` loop (README.md:104-118) as a daemon:
+    * every `intervalMs` it attempts a leader round (losing the lease
+    * to a healthier committer is normal — NotLeader just waits for the
+    * next tick). `close()` stops the loop after the in-flight round.
+    * A poison round (files missing) logs through the returned handle's
+    * `lastError` and keeps ticking — a daemon must not die silently,
+    * and the markers stay for inspection exactly as in
+    * [[runUntilDrained]]'s loud path. */
+  final class Committer private[MarkerCommit] (
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      io: GraftFileIO, intervalMs: Long, leaseMs: Long, maxMarkers: Int)
+      extends AutoCloseable {
+    @volatile private var running = true
+    @volatile private[sources] var rounds = 0L
+    @volatile private[sources] var committed = 0L
+    @volatile var lastError: Option[String] = None
+    private val thread = new Thread(() => {
+      while (running) {
+        try {
+          runOnce(spark, root, io, leaseMs = leaseMs,
+              maxMarkers = maxMarkers) match {
+            case Led(c, _, skipped, _) =>
+              rounds += 1
+              committed += c
+              lastError =
+                if (skipped > 0)
+                  Some(s"$skipped pending marker(s) reference missing files")
+                else None
+            case NotLeader => rounds += 1
+          }
+        } catch {
+          case e: Exception => lastError = Some(e.toString)
+        }
+        val deadline = System.currentTimeMillis() + intervalMs
+        while (running && System.currentTimeMillis() < deadline)
+          Thread.sleep(math.min(25L, intervalMs))
+      }
+    }, s"graft-marker-committer-$root")
+    thread.setDaemon(true)
+    thread.start()
+    override def close(): Unit = { running = false; thread.join(30000L) }
+  }
+
+  /** Start the continuous committer daemon. */
+  def startCommitter(spark: org.apache.spark.sql.SparkSession, root: String,
+      io: GraftFileIO = GraftFileIO.Local, intervalMs: Long = 1000L,
+      leaseMs: Long = 30000L, maxMarkers: Int = 0): Committer =
+    new Committer(spark, root, io, intervalMs, leaseMs, maxMarkers)
+
   /** Drive leader rounds until no markers remain — the embedded form
     * of the reference's interval loop (each round re-elects, so
     * several committers may interleave). */

@@ -151,6 +151,36 @@ class MarkerCommitSpec extends SparkSpec {
     assert(orphan.map(_.path).toSet.subsetOf(reclaimed.toSet))
   }
 
+  test("the continuous committer daemon drains flushes on its own cadence; close() stops it") {
+    val root = tmp("marker_daemon_")
+    val t = LogTable(spark, root)
+    t.declareSchema(Seq(("x", 0L)).toDF("s", "v").schema)
+    val committer = MarkerCommit.startCommitter(spark, root,
+      intervalMs = 50L, leaseMs = 2000L)
+    try {
+      // flushes arrive over time; the daemon picks them up without any
+      // explicit runOnce — the decoupling the reference's interval
+      // loop provides
+      MarkerCommit.flush(t, Seq(("a", 1L), ("b", 2L)).toDF("s", "v"))
+      val deadline = System.currentTimeMillis() + 30000L
+      while (MarkerCommit.pending(root).nonEmpty &&
+          System.currentTimeMillis() < deadline) Thread.sleep(25L)
+      assert(MarkerCommit.pending(root).isEmpty, "first flush drained")
+      MarkerCommit.flush(t, Seq(("c", 3L)).toDF("s", "v"))
+      while (MarkerCommit.pending(root).nonEmpty &&
+          System.currentTimeMillis() < deadline) Thread.sleep(25L)
+      assert(LogTable(spark, root).read().count() === 3L)
+      assert(committer.lastError.isEmpty)
+      assert(committer.committed >= 2L)
+    } finally committer.close()
+    // after close, a new flush stays pending (the daemon is gone)
+    MarkerCommit.flush(t, Seq(("d", 4L)).toDF("s", "v"))
+    Thread.sleep(200L)
+    assert(MarkerCommit.pending(root).nonEmpty)
+    MarkerCommit.runUntilDrained(spark, root)
+    assert(LogTable(spark, root).read().count() === 4L)
+  }
+
   test("the marker plane runs on S3 SEMANTICS: markers + lease through ObjectStoreEmu (flat keys, conditional PUT), data on the FS plane") {
     val root = tmp("marker_s3_")
     val store = new GraftFileIO.ObjectStoreEmu(
