@@ -1404,6 +1404,10 @@ object IcebergRead {
     // the old member and post-rename files the new one (the reader
     // coalesces below). Renames under array/map elements don't exist
     // (graft refuses them at DDL), so those pass through.
+    // DELIBERATELY paralleling (not reusing) LogTable's own nested
+    // machinery: this reader's proof value is its INDEPENDENCE — it
+    // derives everything from the exported Iceberg metadata alone, so
+    // a bug in graft's read path cannot hide by being shared here.
     def physType(dt: DataType, path: Seq[String]): DataType = dt match {
       case st: StructType => StructType(st.fields.flatMap(mf =>
         m.namesAt(path :+ mf.name).map(n =>

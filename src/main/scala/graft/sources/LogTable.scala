@@ -1647,49 +1647,61 @@ final class LogTable private (val spark: SparkSession, val root: String,
 
   /** Commit already-staged data files as one atomic append — the
     * LEADER half of the marker-based commit loop. EXACTLY-ONCE under
-    * racing/crashed committers: entries whose path the current
-    * snapshot already lists are dropped INSIDE the CAS retry loop (a
-    * committer that crashed between commit and marker cleanup leaves
-    * markers a later leader re-reads; the membership check makes the
-    * re-commit a no-op), and CHECK constraints enforce on the staged
-    * rows exactly as append does. `schemaJson` declares the batch's
-    * schema when the table has none yet (flushed files carry the
-    * writer's schema; the reference's table shape is fixed). */
+    * racing/crashed committers: entries whose path the lineage already
+    * lists are dropped INSIDE the CAS retry loop (a committer that
+    * crashed between commit and marker cleanup leaves markers a later
+    * leader re-reads; the membership check makes the re-commit a
+    * no-op), and CHECK constraints enforce on the staged rows exactly
+    * as append does. `batchSchemaJson` is the STAGED files' own schema
+    * (the leader reads it from their footers): it merges into the
+    * manifest schema with append's exact semantics — new columns
+    * evolve in (ids stamped), retypes refuse, a schemaless table
+    * bootstraps — so a flush that widened the schema is never
+    * committed with its new column silently unreadable. */
   private[sources] def commitStagedAppend(newFiles: Seq[DataFile],
-      tag: String = "", schemaJson: String = ""): Snapshot = {
+      tag: String = "", batchSchemaJson: String = ""): Snapshot = {
     if (tag.nonEmpty && hasTag(tag)) return snapshot()
     if (newFiles.isEmpty) return snapshot()
     val snapNow = snapshot()
-    // a BOOTSTRAP schema (first commit on a schemaless table) gets
-    // field ids stamped exactly like every other schema-committing
-    // path — an id-less schema version would break the Iceberg
-    // export's same-field-same-id-across-versions contract once later
-    // appends stamp ids onto version 2
-    val schemaNow =
-      if (snapNow.schemaJson.nonEmpty) snapNow.schemaJson
-      else if (schemaJson.isEmpty) ""
-      else LogTable.assignFieldIds(LogTable.parseSchema(schemaJson)).json
-    require(schemaNow.nonEmpty,
-      "commitStagedAppend on a schemaless table needs schemaJson " +
-        "(read one staged footer for it)")
+    val batch =
+      if (batchSchemaJson.nonEmpty) LogTable.parseSchema(batchSchemaJson)
+      else new org.apache.spark.sql.types.StructType()
+    val mergedNow = mergedSchemaWith(snapNow, batch)
+    require(mergedNow.nonEmpty,
+      "commitStagedAppend on a schemaless table needs the staged " +
+        "batch's schema (read it from a staged footer)")
     enforceChecksOnWritten(newFiles, snapNow.checks, "the staged batch",
-      schemaNow)
+      mergedNow.json)
     var validatedChecks = snapNow.checks.keySet
-    commit("append", tag, nextSchema = prev =>
-        if (prev.schemaJson.nonEmpty) prev.schemaJson else schemaNow) { prev =>
+    commit("append", tag,
+        nextSchema = prev => mergedSchemaWith(prev, batch).json) { prev =>
       if (tag.nonEmpty && hasTag(tag)) return snapshot()
       val fresh = prev.checks -- validatedChecks
       if (fresh.nonEmpty) {
         enforceChecksOnWritten(newFiles, fresh,
-          "the staged batch (late check)", schemaNow)
+          "the staged batch (late check)", mergedNow.json)
         validatedChecks ++= fresh.keySet
       }
-      val have = prev.files.map(_.path).toSet
+      // dedupe against EVERY retained snapshot, not just prev: a file
+      // committed by a racing leader and already compacted away again
+      // must not re-enter (see committedPathsEver)
+      val have = committedPathsEver
       val add = newFiles.filterNot(f => have(f.path))
       if (add.isEmpty) return snapshot()
       prev.files ++ add
     }
   }
+
+  /** Every data-file path any RETAINED snapshot of the main lineage
+    * references — the marker leader's "already committed" test: a
+    * stale marker's file may have been committed by a crashed leader
+    * and then compacted/COW-rewritten OUT of the current file list
+    * while still on disk; checking only the current snapshot would
+    * silently re-commit (duplicate) it. Staged names are UUIDs, so a
+    * path can never legitimately recur. O(retained metadata), through
+    * the snapshot cache. */
+  private[sources] def committedPathsEver: Set[String] =
+    versions.flatMap(v => snapshot(v).files.map(_.path)).toSet
 
   /** Replace the table's ENTIRE contents atomically (INSERT OVERWRITE /
     * SaveMode.Overwrite semantics): write the incoming rows, then one

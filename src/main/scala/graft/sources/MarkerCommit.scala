@@ -44,10 +44,16 @@ import java.nio.file.{Path, Paths}
   *     no marker ever names it).
   *   - committer dies between COMMIT and CLEANUP → the files are in
   *     the table but their markers remain; the next leader re-reads
-  *     them, finds every path already in the current snapshot
-  *     (membership check inside the CAS retry loop), commits NOTHING
-  *     and deletes the markers — each file commits exactly once and
-  *     each marker is cleaned exactly once.
+  *     them, finds every path already committed SOMEWHERE in the
+  *     retained lineage (not just the current snapshot — an
+  *     intervening compact/COW may have rewritten them out of the live
+  *     list), commits NOTHING and deletes the markers — each file
+  *     commits exactly once and each marker is cleaned exactly once.
+  *     (Corollary: drain markers before expiring the snapshots that
+  *     committed them — a marker outliving its commit's entire
+  *     retained history could replay. Leaders run on second-scale
+  *     cadences and retention on day scales, so the invariant is the
+  *     natural operating mode.)
   *   - two committers race → the lease admits one; a leader that dies
   *     holding the lease blocks only until expiry.
   *   - a marker without its file (a foreign cleanup raced the leader's
@@ -86,8 +92,13 @@ object MarkerCommit {
     * re-flushing the same logical rows stages them again (two appends'
     * semantics); dedupe belongs to the caller's batch discipline, as
     * with [[LogTable.append]]'s tag. */
-  def flush(table: LogTable, df: DataFrame,
-      io: GraftFileIO = GraftFileIO.Local): Seq[String] = {
+  def flush(table: LogTable, df: DataFrame): Seq[String] = {
+    // ONE PLANE: markers ride the table's own manifest-plane io — a
+    // separate marker store would blind the table's maintenance
+    // (removeOrphans' marker-pending exemption) to the pending state.
+    // The reference likewise keeps index markers beside the data in
+    // the same object store.
+    val io = table.io
     val staged = table.stageFlush(df)
     val pd = pendingDir(table.root)
     io.mkdirs(pd)
@@ -143,9 +154,14 @@ object MarkerCommit {
     def content = s"${nowMs() + leaseMs}:$token"
     if (io.publishAtomic(lease, content)) Some(token)
     else {
+      // unparsable content (a truncated foreign write, an empty object
+      // dropped by tooling) counts as EXPIRED — treating it as live
+      // would block leader election FOREVER; publishAtomic is atomic,
+      // so a half-written healthy lease is impossible. A lease that
+      // VANISHED mid-read just re-races (delete is a no-op).
       val expiry =
         try io.readString(lease).trim.takeWhile(_ != ':').toLong
-        catch { case _: Exception => return None } // vanished mid-read: lose this round
+        catch { case _: Exception => Long.MinValue }
       if (nowMs() <= expiry) None
       else {
         io.delete(lease)
@@ -181,34 +197,46 @@ object MarkerCommit {
       case None => return NotLeader
       case Some(t) => t
     }
-    val table = LogTable(spark, root)
     try {
+      // ONE PLANE: `io` is the table's manifest-plane store — the
+      // handle opens on it, so markers, lease and manifests share one
+      // namespace (what keeps removeOrphans' marker exemption sound)
+      val table = LogTable(spark, root, io = io)
       val all = pending(root, io)
       val batch = if (maxMarkers > 0) all.take(maxMarkers) else all
       if (batch.isEmpty) return Led(0, 0, 0, table.currentVersion)
       val pool = Paths.get(root).resolve("data").toAbsolutePath.normalize
       val decoded = batch.map(m => m -> pool.resolve(relOfMarker(m)).toString)
-      val have = table.snapshot().files.map(_.path).toSet
       // stale markers: a prior leader committed these files then died
-      // before cleanup — clean, never re-commit
+      // before cleanup — clean, never re-commit. Membership checks the
+      // WHOLE retained lineage, not just the current snapshot: a
+      // committed file may have been compacted/COW-rewritten out of
+      // the live list (while still on disk) between the crash and this
+      // round, and re-committing it would silently duplicate rows.
+      val have = table.committedPathsEver
       val (already, fresh) = decoded.partition { case (_, p) => have(p) }
       // data-file existence checks on the DATA plane (Hadoop/local FS —
-      // bulk parquet never lives in the marker store; `io` carries only
-      // markers and the lease, the reference's index prefix)
+      // bulk parquet never lives behind the manifest/marker seam)
       val (present, missing) = fresh.partition { case (_, p) =>
         java.nio.file.Files.exists(Paths.get(p)) }
       val committed =
         if (present.isEmpty) 0
         else {
           val entries = table.adoptStaged(present.map(_._2))
-          // schema for a first commit comes from one staged footer —
-          // the reference's table shape is writer-declared
-          val schemaJson =
-            if (table.snapshot().schemaJson.nonEmpty) ""
-            else spark.read.parquet(present.head._2).schema.json
+          // the BATCH schema comes from the staged footers themselves
+          // (one driver-side footer-merge read): commitStagedAppend
+          // merges it with append's exact semantics, so a flush that
+          // widened the schema evolves the manifest instead of
+          // committing silently-unreadable columns — and a schemaless
+          // table bootstraps with stamped field ids
+          // mergeSchema: the batch may span flushes with DIFFERENT
+          // shapes (one widened mid-stream); without it Spark takes an
+          // arbitrary single footer and the evolution is a coin flip
+          val batchSchema = spark.read.option("mergeSchema", "true")
+            .parquet(present.map(_._2): _*).schema.json
           // commitStagedAppend's membership check inside the CAS retry
-          // re-drops anything a racing writer landed meanwhile
-          table.commitStagedAppend(entries, schemaJson = schemaJson)
+          // re-drops anything a racing leader landed meanwhile
+          table.commitStagedAppend(entries, batchSchemaJson = batchSchema)
           present.size
         }
       if (crashAfterCommit)

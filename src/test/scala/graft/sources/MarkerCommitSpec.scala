@@ -126,8 +126,16 @@ class MarkerCommitSpec extends SparkSpec {
     assert(MarkerCommit.runOnce(spark, root, leaseMs = 5000L,
       nowMs = () => clock.get()) === MarkerCommit.NotLeader)
 
+    // an intervening COMPACT rewrites the committed files OUT of the
+    // live list while they stay on disk — the replay check must look
+    // at the whole retained lineage, or these would silently
+    // RE-COMMIT as duplicates
+    t.compact(smallBytes = Long.MaxValue)
+    assert(t.read().count() === 2L)
+
     // after expiry the next leader wins the re-race, finds every
-    // marker's file ALREADY COMMITTED, commits nothing, cleans all
+    // marker's file ALREADY COMMITTED (in the lineage, not the
+    // current snapshot), commits nothing, cleans all
     clock.addAndGet(6000L)
     val v = LogTable(spark, root).currentVersion
     MarkerCommit.runOnce(spark, root, leaseMs = 5000L,
@@ -149,6 +157,30 @@ class MarkerCommitSpec extends SparkSpec {
     val reclaimed =
       t.removeOrphans(olderThanMs = System.currentTimeMillis() + 60000L)
     assert(orphan.map(_.path).toSet.subsetOf(reclaimed.toSet))
+  }
+
+  test("a flush that WIDENS the schema evolves the manifest at commit — the new column is readable, never silently dropped") {
+    val root = tmp("marker_evo_")
+    val t = LogTable(spark, root)
+    t.declareSchema(Seq(("x", 0L)).toDF("s", "v").schema)
+    MarkerCommit.flush(t, Seq(("a", 1L)).toDF("s", "v"))
+    // second flush carries a NEW column: the staged parquet stores it,
+    // and the leader's commit must evolve the schema (append
+    // semantics) instead of keeping the old projection
+    MarkerCommit.flush(t,
+      Seq(("b", 2L, "extra")).toDF("s", "v", "note"))
+    MarkerCommit.runUntilDrained(spark, root)
+    val read = LogTable(spark, root).read()
+    assert(read.columns.toSeq === Seq("s", "v", "note"))
+    assert(read.count() === 2L)
+    assert(read.filter(col("note") === "extra").count() === 1L,
+      "the widened column's values must be readable after the commit")
+    assert(read.filter(col("s") === "a").select("note").head().isNullAt(0),
+      "pre-evolution rows null-fill")
+    // the evolved schema carries stamped field ids (export contract)
+    val schema = graft.sources.LogTable.parseSchema(
+      LogTable(spark, root).snapshot().schemaJson)
+    assert(schema.fields.forall(f => LogTable.fieldId(f).isDefined))
   }
 
   test("the continuous committer daemon drains flushes on its own cadence; close() stops it") {
@@ -181,17 +213,24 @@ class MarkerCommitSpec extends SparkSpec {
     assert(LogTable(spark, root).read().count() === 4L)
   }
 
-  test("the marker plane runs on S3 SEMANTICS: markers + lease through ObjectStoreEmu (flat keys, conditional PUT), data on the FS plane") {
+  test("the marker plane runs on S3 SEMANTICS: manifests + markers + lease through ObjectStoreEmu (flat keys, conditional PUT), data on the FS plane") {
     val root = tmp("marker_s3_")
     val store = new GraftFileIO.ObjectStoreEmu(
       Files.createTempDirectory("marker_s3_bucket_"))
-    val t = LogTable(spark, root)
+    // ONE PLANE: the table's manifest store IS the marker store (the
+    // reference keeps index markers beside the table in MinIO) —
+    // maintenance (removeOrphans' marker exemption) sees pending state
+    val t = LogTable(spark, root, io = store)
     // flush: parquet to the data plane, 0-byte markers as OBJECTS
     // under the pending/ key prefix (no directory ever created)
     val staged = MarkerCommit.flush(t,
-      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("s", "v"), io = store)
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("s", "v"))
     assert(MarkerCommit.pending(root, store).nonEmpty)
     assert(t.read().count() === 0L)
+    // the sweep sees the pending markers through the SAME store
+    val swept = t.removeOrphans(
+      olderThanMs = System.currentTimeMillis() + 60000L)
+    assert(staged.toSet.intersect(swept.toSet).isEmpty)
     // a racing second marker for the same file loses the conditional
     // PUT (publishAtomic false), which flush() treats as a collision
     val rel = java.nio.file.Paths.get(root).resolve("data")
@@ -209,7 +248,7 @@ class MarkerCommitSpec extends SparkSpec {
         assert(skipped === 0)
       case other => fail(s"expected Led, got $other")
     }
-    assert(LogTable(spark, root).read().count() === 3L)
+    assert(LogTable(spark, root, io = store).read().count() === 3L)
     assert(MarkerCommit.pending(root, store).isEmpty)
   }
 
