@@ -57,6 +57,14 @@ object MarkerCommitterMain {
       case "crash" =>
         MarkerCommit.runOnce(spark, root, leaseMs = 1500L,
           crashAfterCommit = true)
+      case "follow" =>
+        // the reference's ACTUAL deployment: a committer daemon ticking
+        // its interval WHILE nodes are still flushing — commit batches
+        // of whatever is pending, for a fixed window, then stop
+        val c = MarkerCommit.startCommitter(spark, root,
+          intervalMs = 100L, leaseMs = 2000L, maxMarkers = 3)
+        Thread.sleep(12000L)
+        c.close()
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
