@@ -1692,6 +1692,21 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** A staged file's Spark schema straight from its parquet footer —
+    * driver-side metadata only, NO Spark job (spark.read's mergeSchema
+    * inference runs a distributed merge job even for a handful of
+    * files; the marker leader reads these same footers anyway). */
+  private[sources] def footerSparkSchema(p: String)
+      : org.apache.spark.sql.types.StructType = {
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(Paths.get(p).toUri), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter()
+      .convert(r.getFooter.getFileMetaData.getSchema)
+    finally r.close()
+  }
+
   /** Every data-file path any RETAINED snapshot of the main lineage
     * references — the marker leader's "already committed" test: a
     * stale marker's file may have been committed by a crashed leader
