@@ -268,7 +268,58 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** INGEST-TIME dedup — the continuous-corpus production loop: each
+    * arriving batch dedupes (a) within itself and (b) against the
+    * ALREADY-COMMITTED corpus, and only the survivors append; the
+    * dedup state IS the table (digests ride as a column — no side
+    * index to keep consistent with the data). Batches are a
+    * deterministic integer split (doc_id % 3 = arrival order) so the
+    * oracle rebuilds every doc's fate: a text's keeper is its first
+    * (batch, doc_id) occurrence.
+    *
+    * Scale shape: the cross-batch probe BROADCASTS the batch's digest
+    * set (the small side — a batch is hours of data, the corpus is
+    * 100 TB) against a digest-only column scan of the table; the
+    * found set broadcasts back as an anti-join. Only 32-hex digests
+    * shuffle, never text. A production deployment would keep the
+    * digest column as an incrementally-maintained MV to avoid even
+    * the column scan; the table-scan form is the zero-infrastructure
+    * baseline. */
+  def ingestDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_dedup_")
+      .resolve("t").toString
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
+    val table = graft.sources.LogTable(s, root)
+    (0L until 3L).foreach { b =>
+      val batch = d.filter(pmod(col("doc_id"), lit(3L)) === b)
+      // within-batch keeper: the digest's min doc_id
+      val keep = batch.join(
+        batch.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id")),
+        Seq("digest", "doc_id"))
+      // cross-batch: digests the corpus already holds, probed with the
+      // BATCH side broadcast (small), then anti-joined back
+      val survivors =
+        if (table.currentVersion == 0L) keep
+        else {
+          val found = table.read().select(col("digest"))
+            .join(broadcast(keep.select(col("digest")).distinct()),
+              Seq("digest"), "left_semi").distinct()
+          keep.join(broadcast(found), Seq("digest"), "left_anti")
+        }
+      table.append(survivors.select(col("doc_id"), col("digest"), col("source")))
+      ()
+    }
+    table.read()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).cast("long").as("first_id"),
+        max(col("doc_id")).cast("long").as("last_id"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_ingest_dedup" -> (ingestDedup _),
     "pipeline_corpus" -> ((s, dir) => corpusFilter(s, dir)),
     "pipeline_split" -> ((s, dir) => splitAssign(s, dir)),
     "pipeline_shard" -> ((s, dir) => shardPack(s, dir)),
@@ -280,6 +331,22 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    // every doc's fate replays from the arrival order: a text's keeper
+    // is its first (batch, doc_id) occurrence — md5 hex is identical
+    // in both engines
+    "pipeline_ingest_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS digest, doc_id % 3 AS b
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY digest ORDER BY b, doc_id) AS rn
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_id,
+        |  CAST(max(doc_id) AS BIGINT) AS last_id
+        |FROM k WHERE rn = 1
+        |GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_corpus" ->
       """WITH f AS (
         |  SELECT doc_id, lang, source,
