@@ -1673,8 +1673,18 @@ final class LogTable private (val spark: SparkSession, val root: String,
     enforceChecksOnWritten(newFiles, snapNow.checks, "the staged batch",
       mergedNow.json)
     var validatedChecks = snapNow.checks.keySet
+    // the batch's pool-relative paths ride the commit's audit summary
+    // (`staged-paths`): the record the next leader's O(pending) replay
+    // probe ([[stagedCommittedAmong]]) reads — pointer-resident, so
+    // replay detection never materializes a lineage-wide file set
+    var lastAdd: Seq[DataFile] = Nil
+    val pool = dataDir.toAbsolutePath.normalize
     commit("append", tag,
-        nextSchema = prev => mergedSchemaWith(prev, batch).json) { prev =>
+        nextSchema = prev => mergedSchemaWith(prev, batch).json,
+        extraSummary = () => Map(LogTable.StagedPathsKey -> lastAdd
+          .map(f => pool.relativize(
+            Paths.get(f.path).toAbsolutePath.normalize).toString)
+          .mkString("\n"))) { prev =>
       if (tag.nonEmpty && hasTag(tag)) return snapshot()
       val fresh = prev.checks -- validatedChecks
       if (fresh.nonEmpty) {
@@ -1682,12 +1692,14 @@ final class LogTable private (val spark: SparkSession, val root: String,
           "the staged batch (late check)", mergedNow.json)
         validatedChecks ++= fresh.keySet
       }
-      // dedupe against EVERY retained snapshot, not just prev: a file
-      // committed by a racing leader and already compacted away again
-      // must not re-enter (see committedPathsEver)
-      val have = committedPathsEver
+      // dedupe against every staged append the retained lineage ever
+      // committed, not just prev's live list: a file committed by a
+      // racing leader and already compacted away again must not
+      // re-enter (see stagedCommittedAmong)
+      val have = stagedCommittedAmong(newFiles.map(_.path).toSet)
       val add = newFiles.filterNot(f => have(f.path))
       if (add.isEmpty) return snapshot()
+      lastAdd = add
       prev.files ++ add
     }
   }
@@ -1707,16 +1719,42 @@ final class LogTable private (val spark: SparkSession, val root: String,
     finally r.close()
   }
 
-  /** Every data-file path any RETAINED snapshot of the main lineage
-    * references — the marker leader's "already committed" test: a
-    * stale marker's file may have been committed by a crashed leader
-    * and then compacted/COW-rewritten OUT of the current file list
-    * while still on disk; checking only the current snapshot would
-    * silently re-commit (duplicate) it. Staged names are UUIDs, so a
-    * path can never legitimately recur. O(retained metadata), through
-    * the snapshot cache. */
-  private[sources] def committedPathsEver: Set[String] =
-    versions.flatMap(v => snapshot(v).files.map(_.path)).toSet
+  /** Which of `paths` (absolute pool paths) a staged append already
+    * committed somewhere in the RETAINED main lineage — the marker
+    * leader's "already committed" test, O(pending + retained snapshot
+    * POINTERS): every [[commitStagedAppend]] records its batch's
+    * pool-relative paths in its snapshot's audit summary
+    * ([[LogTable.StagedPathsKey]]), so replay detection scans only
+    * those pointer-resident records — never a lineage-wide file-list
+    * set (the old `committedPathsEver` flatMapped EVERY retained
+    * snapshot's full, possibly-segmented file list into a driver Set
+    * per leader round: tens of millions of path strings at 1M files ×
+    * 50 retained snapshots).
+    *
+    * COMPLETE because staged files are only ever committed by
+    * commitStagedAppend (UUID names, no other path writes them), a
+    * stale marker's file may have been committed then compacted/COW-
+    * rewritten OUT of the current file list while still on disk (the
+    * summary record survives exactly that), and [[expireManifests]]
+    * REFUSES to expire while markers are pending — so a pending
+    * marker's committing snapshot (if any) is always still retained
+    * and carries its record. */
+  private[sources] def stagedCommittedAmong(
+      paths: Set[String]): Set[String] = {
+    if (paths.isEmpty) return Set.empty
+    val pool = dataDir.toAbsolutePath.normalize
+    val byRel = paths.iterator.map(p =>
+      pool.relativize(Paths.get(p).toAbsolutePath.normalize).toString -> p)
+      .toMap
+    val found = Set.newBuilder[String]
+    versions.foreach { v =>
+      snapshot(v).summary.get(LogTable.StagedPathsKey).foreach {
+        _.split('\n').iterator.filter(_.nonEmpty)
+          .foreach(r => byRel.get(r).foreach(found += _))
+      }
+    }
+    found.result()
+  }
 
   /** Replace the table's ENTIRE contents atomically (INSERT OVERWRITE /
     * SaveMode.Overwrite semantics): write the incoming rows, then one
@@ -3940,6 +3978,21 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * only by dropped snapshots are deleted. */
   private def expireManifests(
       pick: Seq[(Long, Path)] => Seq[(Long, Path)]): Snapshot = {
+    // DRAIN-BEFORE-EXPIRE, enforced (MarkerCommit's documented
+    // invariant): a pending marker's file may already be committed by
+    // a leader that crashed before cleanup, and replay detection reads
+    // the committing snapshot's staged-paths summary
+    // ([[stagedCommittedAmong]]) — expiring under pending markers
+    // could drop that record (the next leader would re-commit
+    // duplicate rows) or delete a marker-pending committed file
+    // (poison drain). removeOrphans exempts marker-pending files the
+    // same way. Cost: one prefix LIST of an (almost always empty)
+    // directory.
+    val stale = MarkerCommit.pending(root, io)
+    require(stale.isEmpty, s"expire refused: ${stale.size} pending " +
+      s"marker(s) under ${MarkerCommit.pendingDir(root)} — drain the " +
+      "marker commit loop (MarkerCommit.runUntilDrained) or remove " +
+      "poison markers before expiring snapshots")
     val all = listManifests(logDir)
     val drop = pick(all)
     if (drop.nonEmpty) {
@@ -4217,7 +4270,12 @@ final class LogTable private (val spark: SparkSession, val root: String,
       segHints: Seq[Segment] = Nil,
       /** Per-commit CDC change files ([[CdcFile]]); recorded on THIS
         * snapshot only, never carried forward. */
-      cdcFiles: Seq[CdcFile] = Nil)(
+      cdcFiles: Seq[CdcFile] = Nil,
+      /** Extra audit-summary entries, evaluated AFTER `nextFiles` each
+        * attempt (so a closure can report what that attempt actually
+        * changed — [[commitStagedAppend]] records its batch's staged
+        * paths here for the marker leader's O(pending) replay probe). */
+      extraSummary: () => Map[String, String] = () => Map.empty)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitRetries) {
@@ -4311,7 +4369,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         "removed-data-files" -> removedF.size.toString,
         "removed-rows" -> removedF.map(_.rows).sum.toString,
         "total-data-files" -> files.size.toString,
-        "total-rows" -> files.map(_.rows).sum.toString)
+        "total-rows" -> files.map(_.rows).sum.toString) ++ extraSummary()
       val next = Snapshot(ver, prev.version, operation,
         System.currentTimeMillis(), files, tag, nextSchema(prev),
         nextChecks(prev), nextRetired(prev), dels, pc, tf, eqDels,
@@ -4502,6 +4560,11 @@ object LogTable {
     * (LSM-style) instead of accumulating one micro-segment per
     * commit; the rewrite cost is O(unfrozen tail), bounded by cap. */
   private[sources] val DefaultSegmentFiles = 512
+
+  /** Audit-summary key under which [[commitStagedAppend]] records its
+    * batch's pool-relative paths ('\n'-joined) — the pointer-resident
+    * replay record [[stagedCommittedAmong]] probes. */
+  private[sources] val StagedPathsKey = "staged-paths"
 
   /** Widest partition-value set a segment summary records per key
     * (see [[Segment.partVals]]): beyond this the key is simply not

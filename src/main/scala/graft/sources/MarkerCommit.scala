@@ -49,10 +49,16 @@ import java.nio.file.{Path, Paths}
   *     intervening compact/COW may have rewritten them out of the live
   *     list), commits NOTHING and deletes the markers — each file
   *     commits exactly once and each marker is cleaned exactly once.
-  *     (Corollary: drain markers before expiring the snapshots that
-  *     committed them — a marker outliving its commit's entire
-  *     retained history could replay. Leaders run on second-scale
-  *     cadences and retention on day scales, so the invariant is the
+  *     Replay detection is O(pending): each staged append records its
+  *     batch's paths in its snapshot's pointer summary
+  *     ([[LogTable.stagedCommittedAmong]]), so the leader probes the
+  *     few pending paths against those records instead of
+  *     materializing a lineage-wide file set. (Corollary, ENFORCED:
+  *     drain markers before expiring the snapshots that committed
+  *     them — a marker outliving its commit's retained record could
+  *     replay, so [[LogTable.expire]]/expireOlderThan refuse while
+  *     markers are pending. Leaders run on second-scale cadences and
+  *     retention on day scales, so the refusal never fires in the
   *     natural operating mode.)
   *   - two committers race → the lease admits one; a leader that dies
   *     holding the lease blocks only until expiry.
@@ -154,14 +160,28 @@ object MarkerCommit {
     def content = s"${nowMs() + leaseMs}:$token"
     if (io.publishAtomic(lease, content)) Some(token)
     else {
-      // unparsable content (a truncated foreign write, an empty object
-      // dropped by tooling) counts as EXPIRED — treating it as live
-      // would block leader election FOREVER; publishAtomic is atomic,
-      // so a half-written healthy lease is impossible. A lease that
-      // VANISHED mid-read just re-races (delete is a no-op).
+      // Three failure shapes, three verdicts:
+      //  - NOT FOUND (vanished between the failed publish and this
+      //    read — the holder released or a racer already reclaimed):
+      //    re-race; the delete below is a no-op.
+      //  - read SUCCEEDED but the content is unparsable (a truncated
+      //    foreign write, an empty object dropped by tooling): counts
+      //    as EXPIRED — treating it as live would block leader
+      //    election FOREVER; publishAtomic is atomic, so a
+      //    half-written healthy lease is impossible.
+      //  - any OTHER read error (a transient store fault against a
+      //    possibly-healthy LIVE lease): stand down this round and
+      //    retry on the next tick — deleting on a transient error
+      //    would evict a live leader and widen the duplicate-leader
+      //    window beyond the documented expiry race.
       val expiry =
         try io.readString(lease).trim.takeWhile(_ != ':').toLong
-        catch { case _: Exception => Long.MinValue }
+        catch {
+          case _: java.nio.file.NoSuchFileException |
+              _: java.io.FileNotFoundException => Long.MinValue
+          case _: NumberFormatException => Long.MinValue
+          case _: Exception => return None
+        }
       if (nowMs() <= expiry) None
       else {
         io.delete(lease)
@@ -213,7 +233,12 @@ object MarkerCommit {
       // committed file may have been compacted/COW-rewritten out of
       // the live list (while still on disk) between the crash and this
       // round, and re-committing it would silently duplicate rows.
-      val have = table.committedPathsEver
+      // O(pending): the probe reads only the staged-paths records each
+      // staged append left in its snapshot's pointer summary — a
+      // leader round on a 1M-file lineage never materializes a file
+      // list (expire refuses while markers are pending, so a pending
+      // marker's committing snapshot is always still retained).
+      val have = table.stagedCommittedAmong(decoded.map(_._2).toSet)
       val (already, fresh) = decoded.partition { case (_, p) => have(p) }
       // data-file existence checks on the DATA plane (Hadoop/local FS —
       // bulk parquet never lives behind the manifest/marker seam)

@@ -318,4 +318,100 @@ class MarkerCommitSpec extends SparkSpec {
     (2L to t.currentVersion).foreach(v =>
       assert(t.snapshot(v).operation === "append"))
   }
+
+  /** Control-plane read instrument (the SegmentedManifestSpec pattern):
+    * every readString through the seam is recorded by file name, so
+    * "the leader round loads zero segments" is a counted fact. */
+  private class CountingIO extends GraftFileIO {
+    val reads = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def segReads: Seq[String] =
+      reads.iterator().asScala.toSeq.filter(_.startsWith("seg-"))
+    private val d = GraftFileIO.Local
+    override def readString(p: java.nio.file.Path): String = {
+      reads.add(p.getFileName.toString); d.readString(p)
+    }
+    override def publishAtomic(p: java.nio.file.Path, c: String): Boolean =
+      d.publishAtomic(p, c)
+    override def exists(p: java.nio.file.Path): Boolean = d.exists(p)
+    override def list(dir: java.nio.file.Path): Seq[String] = d.list(dir)
+    override def listDirs(dir: java.nio.file.Path): Seq[String] = d.listDirs(dir)
+    override def delete(p: java.nio.file.Path): Unit = d.delete(p)
+    override def deleteTree(dir: java.nio.file.Path): Unit = d.deleteTree(dir)
+    override def mkdirs(dir: java.nio.file.Path): Unit = d.mkdirs(dir)
+  }
+
+  test("leader rounds are O(pending) at 100k files: replay probe reads pointers only, never segments; expire refuses while markers pend") {
+    val root = tmp("marker_scale_") + "/t"
+    val cio = new CountingIO
+    val t = LogTable(spark, root, io = cio)
+    t.declareSchema(Seq(("x", 0L)).toDF("s", "v").schema)
+    // a 100k-file retained lineage (5 snapshots), synthetic entries —
+    // the metadata shape of a ~100 TB table at 128 MB/file
+    // synthetic v-ranges live far above the real rows' values, so the
+    // read-back below range-prunes to the real files alone
+    def df(i: Int) = DataFile(s"$root/data/f$i.parquet", rows = 10L,
+      bytes = 1000000L, ranges = Map("v" -> (1000L + i * 10L, 1009L + i * 10L)))
+    (0 until 5).foreach(b =>
+      t.commitSynthetic((b * 20000 until (b + 1) * 20000).map(df)))
+    assert(t.snapshot().segs.nonEmpty, "the lineage must be segmented")
+
+    // FRESH-BATCH round (the hot path, warm JVM segment cache): the
+    // membership probe reads snapshot POINTERS only — zero seg-* reads
+    // anywhere in the round, even though the commit itself iterates
+    // the (cached) 100k-entry file list
+    val staged1 = MarkerCommit.flush(t,
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("s", "v"))
+    cio.reads.clear()
+    MarkerCommit.runOnce(spark, root, cio) match {
+      case MarkerCommit.Led(committed, cleaned, skipped, _) =>
+        assert(committed === staged1.size && cleaned === staged1.size &&
+          skipped === 0)
+      case other => fail(s"expected Led, got $other")
+    }
+    assert(cio.segReads.isEmpty,
+      s"a fresh-batch leader round must load no segments, read: ${cio.segReads}")
+
+    // STALE-MARKER replay round, fully COLD metadata cache: a leader
+    // commits 2 files and crashes before cleanup; while its markers
+    // pend, expire REFUSES (the invariant that keeps the pointer-
+    // resident replay record retained); after lease expiry the next
+    // leader finds both files already committed from the staged-paths
+    // summaries alone — O(pending) pointer reads, zero segments, no
+    // file-list materialization at all (no commit happens)
+    val staged2 = MarkerCommit.flush(t, Seq(("d", 4L), ("e", 5L)).toDF("s", "v"))
+    val clock = new java.util.concurrent.atomic.AtomicLong(1000000L)
+    MarkerCommit.runOnce(spark, root, cio, leaseMs = 5000L,
+      nowMs = () => clock.get(), crashAfterCommit = true)
+    assert(MarkerCommit.pending(root, cio).size === staged2.size)
+    val eExp = intercept[IllegalArgumentException](t.expire(keepLast = 1))
+    assert(eExp.getMessage.contains("pending marker"),
+      s"expire under pending markers must refuse loudly: ${eExp.getMessage}")
+    // evict every segment any retained snapshot references — the next
+    // round runs against a cold JVM cache
+    val logDir = Paths.get(root).resolve("_graft_log")
+    val tt = LogTable(spark, root, io = cio)
+    tt.versions.flatMap(v => tt.snapshot(v).segs.map(_.name)).distinct
+      .foreach(n => LogTable.segCache.evict(logDir.resolve(n).toString))
+    clock.addAndGet(6000L)
+    cio.reads.clear()
+    MarkerCommit.runOnce(spark, root, cio, leaseMs = 5000L,
+      nowMs = () => clock.get()) match {
+      case MarkerCommit.Led(committed, cleaned, skipped, _) =>
+        assert(committed === 0, "exactly-once: no re-commit at scale")
+        assert(cleaned === staged2.size && skipped === 0)
+      case other => fail(s"expected Led, got $other")
+    }
+    assert(cio.segReads.isEmpty,
+      s"a COLD stale-marker round must still load zero segments: ${cio.segReads}")
+    val names = cio.reads.iterator().asScala.toSeq
+    assert(names.forall(n => n.contains(".manifest.json") || n == "_lease"),
+      s"the round may read only snapshot pointers and the lease: $names")
+    assert(names.size <= 2 * LogTable(spark, root).versions.size + 4,
+      s"pointer reads must stay O(retained snapshots), got ${names.size}: $names")
+    // drained: expire now passes and the real rows read exactly once
+    // (range pruning keeps the 100k synthetic entries unopened)
+    assert(MarkerCommit.pending(root, cio).isEmpty)
+    t.expire(keepLast = 3)
+    assert(LogTable(spark, root).readRange("v", 1L, 5L).count() === 5L)
+  }
 }
