@@ -480,29 +480,118 @@ object IcebergExport {
       * (rewrittenPath, bytes, equalityIds, rows, seq) */
     val eqExportCache =
       scala.collection.mutable.Map[String, (String, Long, Seq[Int], Long, Long)]()
+    def eqFieldOf(c: String): StructField =
+      schema.fields.find(f => f.name.equalsIgnoreCase(c) ||
+          LogTable.prevNames(f).exists(_.equalsIgnoreCase(c)))
+        .getOrElse(throw new IllegalStateException(
+          s"equality-delete key column '$c' not in schema " +
+            "(nor any field's rename history)"))
+    /** The re-encode projection for one tombstone file, resolved from
+      * its STORED physical columns: key values coalesce through the
+      * rename history, output columns carry the current-schema field
+      * ids. Shared by the per-file and batched paths. */
+    def eqProjection(eq: EqDeleteFile, rawCols: Seq[String]): Seq[Column] =
+      eq.cols.map { c =>
+        val f = eqFieldOf(c)
+        val cands = (f.name +: LogTable.prevNames(f))
+          .filter(rawCols.contains(_))
+        require(cands.nonEmpty,
+          s"equality-delete file ${eq.path} stores no column for key '$c'")
+        val v = if (cands.size == 1) col(cands.head)
+          else coalesce(cands.map(col): _*)
+        withFieldId(v, f.name, ids.of(f.name).toLong)
+      }
     def eqExport(eq: EqDeleteFile): (String, Long, Seq[Int], Long, Long) =
       eqExportCache.getOrElseUpdate(eq.path, {
         val raw = table.spark.read.parquet(eq.path)
-        val fieldOf: String => StructField = c =>
-          schema.fields.find(f => f.name.equalsIgnoreCase(c) ||
-              LogTable.prevNames(f).exists(_.equalsIgnoreCase(c)))
-            .getOrElse(throw new IllegalStateException(
-              s"equality-delete key column '$c' not in schema " +
-                "(nor any field's rename history)"))
-        val cols = eq.cols.map { c =>
-          val f = fieldOf(c)
-          val cands = (f.name +: LogTable.prevNames(f))
-            .filter(raw.columns.contains(_))
-          require(cands.nonEmpty,
-            s"equality-delete file ${eq.path} stores no column for key '$c'")
-          val v = if (cands.size == 1) col(cands.head)
-            else coalesce(cands.map(col): _*)
-          withFieldId(v, f.name, ids.of(f.name).toLong)
-        }
-        val target = writeDeleteParquet(raw.select(cols: _*), "eq-delete")
+        val target = writeDeleteParquet(
+          raw.select(eqProjection(eq, raw.columns.toSeq): _*), "eq-delete")
         (target.toString, Files.size(target),
-          eq.cols.map(c => ids.of(fieldOf(c).name)), eq.rows, eq.seq)
+          eq.cols.map(c => ids.of(eqFieldOf(c).name)), eq.rows, eq.seq)
       })
+
+    /** BATCHED eq re-encode: ONE Spark job per GROUP of tombstone
+      * files sharing (key columns, stored physical columns) — the
+      * common shape, since a CDC upsert loop's per-commit tombstones
+      * all look alike — instead of [[eqExport]]'s read + coalesce(1)
+      * job per file. Every file's rows land in exactly one output
+      * parquet: the union tags each source with a literal index,
+      * repartitions on it (a source's rows always hash to one task)
+      * and writes `partitionBy` the tag, so the tag itself is never
+      * stored; each staged directory's single file then moves to its
+      * final eq-delete name and lands in [[eqExportCache]], from which
+      * [[eqExport]] serves every manifest entry. A many-tombstone
+      * history export re-encodes in O(groups) jobs, not O(files);
+      * physical shapes come from driver-side footer reads (no job). */
+    def eqExportBatch(eqs: Seq[EqDeleteFile]): Unit = {
+      val misses = eqs.iterator
+        .filterNot(e => eqExportCache.contains(e.path)).toSeq
+        .distinctBy(_.path)
+      if (misses.sizeIs <= 1) { misses.foreach(eqExport); return }
+      val phys: Map[String, StructType] = misses.map(e =>
+        e.path -> table.footerSparkSchema(e.path)).toMap
+      misses.groupBy(e => (e.cols, phys(e.path).fields.map(_.name).toSeq))
+          .values.foreach { group =>
+        if (group.sizeIs == 1) { eqExport(group.head); () }
+        else {
+          val sess = table.spark
+          val physSchema = phys(group.head.path)
+          val proj = eqProjection(group.head,
+            physSchema.fields.map(_.name).toSeq)
+          val eqIds = group.head.cols.map(c => ids.of(eqFieldOf(c).name))
+          val tagged = group.zipWithIndex.map { case (e, i) =>
+            // explicit schema: the footers are already read driver-side
+            // (`phys`), and a schema-less parquet read launches one
+            // INFERENCE job per file — exactly the per-file job count
+            // this batch exists to avoid
+            sess.read.schema(phys(e.path)).parquet(e.path)
+              .select(proj :+ lit(i).as("_graft_src"): _*)
+          }.reduce(_ unionByName _)
+          val dataDir = Paths.get(dest).resolve("data")
+          Files.createDirectories(dataDir)
+          val stage = Files.createTempDirectory("ice_eq_stage_")
+          LogTable.ensureMicrosTimestamps(sess)
+          val key = "spark.sql.parquet.fieldId.write.enabled"
+          IcebergExport.fieldIdConfLock.synchronized {
+            val prev = sess.conf.getOption(key)
+            sess.conf.set(key, "true")
+            try tagged.repartition(group.size, col("_graft_src"))
+              .write.mode("overwrite").partitionBy("_graft_src")
+              .parquet(stage.toString)
+            finally prev match {
+              case Some(v) => sess.conf.set(key, v)
+              case None => sess.conf.unset(key)
+            }
+          }
+          group.zipWithIndex.foreach { case (e, i) =>
+            val dir = stage.resolve(s"_graft_src=$i")
+            val parts =
+              if (!Files.isDirectory(dir)) Nil
+              else scala.util.Using.resource(Files.list(dir)) { s =>
+                s.iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+              }
+            parts match {
+              case Seq(one) =>
+                val target = dataDir.resolve(
+                  s"eq-delete-${java.util.UUID.randomUUID()}.parquet")
+                Files.move(one, target)
+                eqExportCache(e.path) = (target.toString, Files.size(target),
+                  eqIds, e.rows, e.seq)
+              case Nil =>
+                // a rowless tombstone file staged nothing — take the
+                // per-file path (which shares its exact semantics)
+                eqExport(e); ()
+              case many => throw new IllegalStateException(
+                s"eq batch export split source ${e.path} across " +
+                  s"${many.size} files — repartition keyed on the tag " +
+                  "must place one source in one task")
+            }
+          }
+          LogTable.deleteRecursively(stage)
+        }
+      }
+    }
 
     /** Write one snapshot's manifest + manifest list; returns the
       * manifest-list path. Entries carried from the parent snapshot
@@ -558,7 +647,8 @@ object IcebergExport {
       // snapshot carries its own outstanding state (history mode
       // time-travels MoR debt exactly).
       val deleteShards = positionDeleteParquets(sn)
-      val eqExports = sn.eqDeletes.map(eqExport)
+      eqExportBatch(sn.eqDeletes) // one job per group, cache-filling
+      val eqExports = sn.eqDeletes.map(eqExport) // cache hits
       val deleteManifest: Option[Path] =
         if (deleteShards.isEmpty && eqExports.isEmpty) None
         else {
@@ -661,6 +751,12 @@ object IcebergExport {
     }
 
     val exportedVersions = versions.toSet
+    // pre-warm the eq re-encode cache across the WHOLE export in one
+    // batched pass: the per-snapshot loop below runs oldest→newest, so
+    // without this a history export of an N-tombstone lineage would
+    // see one cache miss per snapshot — N single-file jobs instead of
+    // one job per shape group
+    eqExportBatch(snaps.flatMap(_.eqDeletes))
     val lists: Seq[(Snapshot, Path, Int)] = snaps.map { sn =>
       // parent context only when the parent is itself exported —
       // otherwise every file reads ADDED (a fresh-history shape)

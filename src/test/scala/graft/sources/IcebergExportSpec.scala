@@ -550,6 +550,49 @@ class IcebergExportSpec extends SparkSpec {
     IcebergExport.export(imp, tmp("ice_eq_imp_reexp_"))
   }
 
+  test("eq re-encode is BATCHED: a many-tombstone HISTORY export runs one job per shape group, not one per file") {
+    val t = LogTable(spark, tmp("ice_eq_batch_"))
+    t.append((0L until 40L).map(i => (i, "a")).toDF("id", "tag"))
+    // six tombstone commits, all keyed alike — the CDC loop's steady
+    // state; each is its own history snapshot with one more eq file
+    (0 until 6).foreach(k =>
+      t.deleteEq(Seq(k.toLong, (k + 20).toLong).toDF("id")))
+    assert(t.snapshot().eqDeletes.size === 6)
+    val live = sortedRows(t.read())
+
+    val dest = tmp("ice_eq_batch_out_")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      IcebergExport.export(t, dest, history = true)
+      Thread.sleep(2000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the old shape was one read+coalesce(1) job PER eq file (6 here,
+    // once per first-seeing snapshot); the batched pre-pass re-encodes
+    // the whole shape group in ONE union job (+ AQE's bounded planning
+    // overhead). Everything else in the export is a driver-side
+    // metadata projection.
+    assert(jobs.get() <= 2,
+      s"a 6-tombstone history export ran ${jobs.get()} jobs — the eq " +
+        "re-encode must batch per shape group")
+
+    // exactness: the spec reader applies the batched re-encodes at
+    // every version (sequence numbers carried per file)
+    assert(sortedRows(IcebergRead.read(spark, dest)) === live)
+    val versions = t.versions
+    versions.foreach { v =>
+      assert(sortedRows(IcebergRead.read(spark, dest, versionAsOf = Some(v)))
+        === sortedRows(t.timeTravel(v)),
+        s"history view at v$v must equal graft time travel")
+    }
+  }
+
   test("metadata scale: a 100k-file snapshot exports as a PURE metadata projection (no data I/O)") {
     val t = LogTable(spark, tmp("ice_scale_"))
     t.declareSchema(org.apache.spark.sql.types.StructType(Seq(
