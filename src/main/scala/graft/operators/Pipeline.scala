@@ -277,39 +277,22 @@ object Pipeline {
     * oracle rebuilds every doc's fate: a text's keeper is its first
     * (batch, doc_id) occurrence.
     *
-    * Scale shape: the cross-batch probe BROADCASTS the batch's digest
+    * Scale shape — ZERO CORPUS SCAN per batch: the committed digest
+    * set is an incrementally-maintained MATERIALIZED VIEW over the
+    * corpus table (digest → count; [[graft.sources.MaterializedView]]),
+    * refreshed O(batch) after every append under the MV's exactly-once
+    * watermark. The cross-batch probe BROADCASTS the batch's digest
     * set (the small side — a batch is hours of data, the corpus is
-    * 100 TB) against a digest-only column scan of the table; the
-    * found set broadcasts back as an anti-join. Only 32-hex digests
-    * shuffle, never text. A production deployment would keep the
-    * digest column as an incrementally-maintained MV to avoid even
-    * the column scan; the table-scan form is the zero-infrastructure
-    * baseline. */
+    * 100 TB) against the MV's digest-ONLY files and anti-joins the
+    * found set back: no corpus data file is ever opened by a probe
+    * (plan-contract-pinned in PipelineSpec), and probe I/O is
+    * O(distinct digests) of 32-hex bytes instead of O(corpus files)
+    * opens. Only digests ever shuffle, never text. */
   def ingestDedup(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_ingest_dedup_")
-      .resolve("t").toString
+    val work = java.nio.file.Files.createTempDirectory("graft_ingest_dedup_")
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
-    val table = graft.sources.LogTable(s, root)
-    (0L until 3L).foreach { b =>
-      val batch = d.filter(pmod(col("doc_id"), lit(3L)) === b)
-      // within-batch keeper: the digest's min doc_id
-      val keep = batch.join(
-        batch.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id")),
-        Seq("digest", "doc_id"))
-      // cross-batch: digests the corpus already holds, probed with the
-      // BATCH side broadcast (small), then anti-joined back
-      val survivors =
-        if (table.currentVersion == 0L) keep
-        else {
-          val found = table.read().select(col("digest"))
-            .join(broadcast(keep.select(col("digest")).distinct()),
-              Seq("digest"), "left_semi").distinct()
-          keep.join(broadcast(found), Seq("digest"), "left_anti")
-        }
-      table.append(survivors.select(col("doc_id"), col("digest"), col("source")))
-      ()
-    }
+    val (table, _) = ingestDedupLoop(s, d, work)
     table.read()
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -317,6 +300,46 @@ object Pipeline {
         max(col("doc_id")).cast("long").as("last_id"))
       .orderBy(col("source"))
   }
+
+  /** The ingest loop itself, factored so the spec can pin its I/O
+    * contract: folds `d` (doc_id, source, digest) in three
+    * deterministic batches into a fresh corpus table under `work`,
+    * maintaining the digest MV alongside. Returns (corpus, digest MV). */
+  private[graft] def ingestDedupLoop(s: SparkSession, d: DataFrame,
+      work: java.nio.file.Path)
+      : (graft.sources.LogTable, graft.sources.MaterializedView) = {
+    val table = graft.sources.LogTable(s, work.resolve("t").toString)
+    val mv = graft.sources.MaterializedView(s, table,
+      work.resolve("mv").toString, keyCols = Seq("digest"),
+      aggs = Seq(graft.sources.MvAgg.Count("n")))
+    (0L until 3L).foreach { b =>
+      val batch = d.filter(pmod(col("doc_id"), lit(3L)) === b)
+      // within-batch keeper: the digest's min doc_id
+      val keep = batch.join(
+        batch.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id")),
+        Seq("digest", "doc_id"))
+      val survivors = ingestSurvivors(table, mv, keep)
+      table.append(survivors.select(col("doc_id"), col("digest"), col("source")))
+      // O(batch) fold into the digest MV — the probe structure stays
+      // consistent with the corpus inside the MV's watermark contract
+      mv.refresh()
+      ()
+    }
+    (table, mv)
+  }
+
+  /** Cross-batch survivor frame for one within-batch-deduped `keep`:
+    * digests the corpus already holds are probed against the digest
+    * MV (never the corpus table), batch side broadcast both ways. */
+  private[graft] def ingestSurvivors(table: graft.sources.LogTable,
+      mv: graft.sources.MaterializedView, keep: DataFrame): DataFrame =
+    if (table.currentVersion == 0L) keep
+    else {
+      val found = mv.read().select(col("digest"))
+        .join(broadcast(keep.select(col("digest")).distinct()),
+          Seq("digest"), "left_semi").distinct()
+      keep.join(broadcast(found), Seq("digest"), "left_anti")
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_ingest_dedup" -> (ingestDedup _),

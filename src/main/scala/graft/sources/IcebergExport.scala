@@ -124,17 +124,18 @@ object IcebergExport {
     // numbers (Iceberg's strictly-below rule is graft's own), so a
     // CDC-busy lineage time-travels in a foreign engine without
     // compacting first.
-    require(!cur.transforms.exists(_.kind == "bucket"),
-      "cannot export an xxhash64 bucket layout: Iceberg buckets by " +
+    require(!snaps.exists(_.transforms.exists(_.kind == "bucket")),
+      "cannot export an xxhash64 bucket layout (in the current spec or " +
+        "anywhere in an exported lineage): Iceberg buckets by " +
         "murmur3 — a foreign engine would prune with the wrong hash. " +
         "Declare the layout with Transform.mbucket (the Iceberg-spec " +
         "murmur3 bucket, which exports exactly) or migrate " +
         "(evolveSpec + compact) first")
-    require(snaps.forall(sn =>
-        sn.partCols == cur.partCols && sn.transforms == cur.transforms),
-      "history export needs ONE partition spec across the lineage " +
-        "(spec evolution = mixed layouts) — export the current " +
-        "snapshot only, or compact-migrate the layout first")
+    // spec EVOLUTION exports natively: Iceberg's metadata model is
+    // multiple `partition-specs` + a per-manifest `spec-id`, so a
+    // lineage that called evolveSpec mid-history writes one data
+    // manifest per layout group per snapshot (specDefs below) instead
+    // of refusing mixed layouts.
 
     // distinct schemas in appearance order → Iceberg schema ids
     val schemaJsons: Seq[String] = {
@@ -158,13 +159,21 @@ object IcebergExport {
     val metaDir = Paths.get(dest).resolve("metadata")
     Files.createDirectories(metaDir)
 
-    // ---- partition spec (from the current snapshot; constant) ----------
+    // ---- partition specs (one per distinct layout in the lineage —
+    // Iceberg spec evolution: multiple `partition-specs`, manifests
+    // bind to theirs by spec-id) -----------------------------------------
     case class PField(name: String, transform: String, sourceId: Int,
         fieldId: Int, resultType: DataType, graftKey: String,
         toIceberg: String => Any)
     def parseLong(s: String): Any = java.lang.Long.valueOf(s.toLong)
     var nextPid = 1000
-    val identityFields = cur.partCols.map { c =>
+    // partition field ids are unique ACROSS specs and REUSED for the
+    // identical field (Iceberg v2's rule): allocate per definition
+    val pidOf = scala.collection.mutable.LinkedHashMap[(String, String, Int), Int]()
+    def allocPid(name: String, transform: String, srcId: Int): Int =
+      pidOf.getOrElseUpdate((name, transform, srcId),
+        { val p = nextPid; nextPid += 1; p })
+    def identityFieldsOf(partCols: Seq[String]) = partCols.map { c =>
       val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalStateException(s"partition column '$c' not in schema"))
       val conv: String => Any = f.dataType match {
@@ -175,11 +184,10 @@ object IcebergExport {
           s"cannot export identity partition column '$c' of type $other " +
             "(long/int/string export exactly; refuse-not-guess otherwise)")
       }
-      val pf = PField(f.name, "identity", ids.of(f.name), nextPid,
-        f.dataType, f.name, conv)
-      nextPid += 1; pf
+      PField(f.name, "identity", ids.of(f.name),
+        allocPid(f.name, "identity", ids.of(f.name)), f.dataType, f.name, conv)
     }
-    val transformFields = cur.transforms.map { t =>
+    def transformFieldsOf(transforms: Seq[Transform]) = transforms.map { t =>
       val srcId = ids.of(t.source)
       val srcIsTs = schema.fields.find(_.name.equalsIgnoreCase(t.source))
         .exists(_.dataType == TimestampType)
@@ -246,10 +254,42 @@ object IcebergExport {
       }
       val name = if (t.kind == "mbucket") s"${t.source}_bucket"
         else s"${t.source}_${t.kind}"
-      val pf = PField(name, tr, srcId, nextPid, rt, t.colName, conv)
-      nextPid += 1; pf
+      PField(name, tr, srcId, allocPid(name, tr, srcId), rt, t.colName, conv)
     }
-    val pfields = identityFields ++ transformFields
+    // distinct specs in lineage-appearance order → Iceberg spec ids
+    val specDefs: Seq[(Seq[String], Seq[Transform])] = {
+      val seen = scala.collection.mutable
+        .LinkedHashSet[(Seq[String], Seq[Transform])]()
+      snaps.foreach(sn => seen += ((sn.partCols, sn.transforms)))
+      seen.toSeq
+    }
+    val specPFields: Seq[Seq[PField]] = specDefs.map { case (pc, tf) =>
+      identityFieldsOf(pc) ++ transformFieldsOf(tf)
+    }
+    val curSpecId = specDefs.indexOf((cur.partCols, cur.transforms))
+    // a FILE's spec is named by its directory-key set (identity columns
+    // + transform key names). Two eras re-parameterizing the same
+    // (source, kind) under a different n share a key set — ambiguous,
+    // refuse (evolveSpec's guard makes this impossible while the old
+    // era's files are live, so only an expired-then-re-bucketed lineage
+    // can reach it).
+    val specKeySets: Seq[Set[String]] = specDefs.map { case (pc, tf) =>
+      (pc ++ tf.map(_.colName)).toSet }
+    require(specKeySets.distinct.size == specKeySets.size,
+      "two partition specs in the exported lineage share a directory-key " +
+        "set (a re-parameterized transform era) — per-file spec " +
+        "resolution would be ambiguous; export the current snapshot " +
+        "only, or expire the old era first")
+    def specIdxOfFile(f: DataFile): Int = {
+      val ks = f.partitions.keySet
+      val i = specKeySets.indexWhere(_ == ks)
+      require(i >= 0, s"file ${f.path} carries layout keys " +
+        s"[${ks.mkString(", ")}] matching no exported snapshot's " +
+        "partition spec (its spec era expired) — compact-migrate the " +
+        "layout before exporting history")
+      i
+    }
+    val pfields = specPFields(curSpecId)
 
     // TRUNC-vs-FLOOR seam guard: graft's day/hour/truncate ordinals
     // truncate toward zero, Iceberg's floor — they agree ONLY on the
@@ -261,7 +301,8 @@ object IcebergExport {
     // sources non-negative. Refuse-not-guess, per the seam's rule.
     locally {
       val monoKinds = Set("day", "hour", "truncate")
-      cur.transforms.filter(t => monoKinds(t.kind)).foreach { t =>
+      specDefs.flatMap(_._2).distinct
+          .filter(t => monoKinds(t.kind)).foreach { t =>
         snaps.foreach(sn => sn.files.foreach { f =>
           f.partitions.get(t.colName)
             .filter(_ != IcebergRead.NullDir)
@@ -282,15 +323,16 @@ object IcebergExport {
     }
 
     // ---- shared Avro schemas -------------------------------------------
-    val partAvroFields = pfields.zipWithIndex.map { case (pf, i) =>
+    def partAvroFieldsOf(pfs: Seq[PField]): String = pfs.map { pf =>
       val t = pf.resultType match {
         case LongType => "\"long\""
         case IntegerType => "\"int\""
         case StringType => "\"string\""
         case other => throw new IllegalArgumentException(s"unsupported partition type $other")
       }
-      s"""{"name":"${pf.name}","type":["null",$t],"default":null,"field-id":${1000 + i}}"""
+      s"""{"name":"${pf.name}","type":["null",$t],"default":null,"field-id":${pf.fieldId}}"""
     }.mkString(",")
+    val partAvroFields = partAvroFieldsOf(pfields)
     def manifestSchemaFor(partFields: String): Schema = new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
@@ -307,13 +349,16 @@ object IcebergExport {
          |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
          |]}}]}""".stripMargin)
     val manifestSchema = manifestSchemaFor(partAvroFields)
-    // delete manifests bind to a dedicated UNPARTITIONED spec (added
-    // below when the table itself is partitioned): position deletes
-    // match by exact (path, pos) and equality deletes by key + seq, so
-    // partition scoping is a pruning nicety the spec does not require
-    val deleteSpecId = if (pfields.isEmpty) 0 else 1
-    val deleteManifestSchema =
-      if (pfields.isEmpty) manifestSchema else manifestSchemaFor("")
+    val specManifestSchemas: Seq[Schema] =
+      specPFields.map(pfs => manifestSchemaFor(partAvroFieldsOf(pfs)))
+    // delete manifests bind to an UNPARTITIONED spec — an empty data
+    // spec of the lineage if one exists, else a dedicated one appended
+    // to partition-specs below: position deletes match by exact
+    // (path, pos) and equality deletes by key + seq, so partition
+    // scoping is a pruning nicety the spec does not require
+    val emptySpecIdx = specDefs.indexWhere(d => d._1.isEmpty && d._2.isEmpty)
+    val deleteSpecId = if (emptySpecIdx >= 0) emptySpecIdx else specDefs.size
+    val deleteManifestSchema = manifestSchemaFor("")
     val deletePartSchema = deleteManifestSchema.getField("data_file")
       .schema().getField("partition").schema()
     val listSchema = new Schema.Parser().parse(
@@ -602,21 +647,36 @@ object IcebergExport {
         schemaId: Int): Path = {
       val seqNum = math.max(sn.version,
         sn.files.map(_.seq).foldLeft(0L)(math.max))
-      val manifestPath = metaDir.resolve(
-        s"${java.util.UUID.randomUUID()}-m0.avro")
-      locally {
+      // one data manifest PER LAYOUT GROUP, each bound to its spec by
+      // spec-id — Iceberg's encoding of spec evolution (a snapshot
+      // after evolveSpec holds pre- and post-evolution files). A
+      // file's group is named by its directory-key set; a snapshot
+      // with no files writes one empty manifest under its OWN spec.
+      val groups: Seq[(Int, Seq[DataFile])] = {
+        val g = sn.files.groupBy(specIdxOfFile).toSeq.sortBy(_._1)
+        if (g.nonEmpty) g
+        else Seq((specDefs.indexOf((sn.partCols, sn.transforms)).max(0), Nil))
+      }
+      // (manifestPath, specIdx, added, existing, addedRows, existingRows)
+      val dataManifests = groups.map { case (si, files) =>
+        val mSchema = specManifestSchemas(si)
+        val mPartSchema = mSchema.getField("data_file").schema()
+          .getField("partition").schema()
+        val pfs = specPFields(si)
+        val manifestPath = metaDir.resolve(
+          s"${java.util.UUID.randomUUID()}-m0.avro")
         val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](manifestSchema))
+          new GenericDatumWriter[GenericRecord](mSchema))
         w.setMeta("schema", schemaNodes(schemaId).toString)
-        w.setMeta("partition-spec", specFieldsJson(pfields.map(pf =>
+        w.setMeta("partition-spec", specFieldsJson(pfs.map(pf =>
           (pf.name, pf.transform, pf.sourceId, pf.fieldId))))
-        w.setMeta("partition-spec-id", "0")
+        w.setMeta("partition-spec-id", si.toString)
         w.setMeta("format-version", "2")
         w.setMeta("content", "data")
-        w.create(manifestSchema, manifestPath.toFile)
-        try sn.files.foreach { f =>
-          val part = new GenericData.Record(partSchema)
-          pfields.foreach { pf =>
+        w.create(mSchema, manifestPath.toFile)
+        try files.foreach { f =>
+          val part = new GenericData.Record(mPartSchema)
+          pfs.foreach { pf =>
             val v = f.partitions.get(pf.graftKey) match {
               case None | Some(IcebergRead.NullDir) => null
               case Some(x) => pf.toIceberg(x)
@@ -624,14 +684,14 @@ object IcebergExport {
             part.put(pf.name, v)
           }
           val df = new GenericData.Record(
-            manifestSchema.getField("data_file").schema())
+            mSchema.getField("data_file").schema())
           df.put("content", 0)
           df.put("file_path", f.path)
           df.put("file_format", "PARQUET")
           df.put("partition", part)
           df.put("record_count", f.rows)
           df.put("file_size_in_bytes", f.bytes)
-          val e = new GenericData.Record(manifestSchema)
+          val e = new GenericData.Record(mSchema)
           e.put("status", if (parentPaths.contains(f.path)) 0 else 1)
           e.put("snapshot_id", sn.version)
           e.put("sequence_number", f.seq)
@@ -639,6 +699,9 @@ object IcebergExport {
           e.put("data_file", df)
           w.append(e)
         } finally w.close()
+        val (added, existing) = files.partition(f => !parentPaths.contains(f.path))
+        (manifestPath, si, added.size, existing.size,
+          added.map(_.rows).sum, existing.map(_.rows).sum)
       }
       // THIS snapshot's delete manifest (merge-on-read marks),
       // sequence-stamped at the head so it covers every data file —
@@ -700,7 +763,6 @@ object IcebergExport {
         }
       val listPath = metaDir.resolve(
         s"snap-${sn.version}-${java.util.UUID.randomUUID()}.avro")
-      val (added, existing) = sn.files.partition(f => !parentPaths.contains(f.path))
       locally {
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](listSchema))
@@ -709,22 +771,24 @@ object IcebergExport {
         w.setMeta("sequence-number", seqNum.toString)
         w.create(listSchema, listPath.toFile)
         try {
-          val m = new GenericData.Record(listSchema)
-          m.put("manifest_path", manifestPath.toString)
-          m.put("manifest_length", Files.size(manifestPath))
-          m.put("partition_spec_id", 0)
-          m.put("content", 0)
-          m.put("sequence_number", seqNum)
-          m.put("min_sequence_number",
-            sn.files.map(_.seq).foldLeft(seqNum)(math.min))
-          m.put("added_snapshot_id", sn.version)
-          m.put("added_files_count", added.size)
-          m.put("existing_files_count", existing.size)
-          m.put("deleted_files_count", 0)
-          m.put("added_rows_count", added.map(_.rows).sum)
-          m.put("existing_rows_count", existing.map(_.rows).sum)
-          m.put("deleted_rows_count", 0L)
-          w.append(m)
+          dataManifests.foreach { case (mp, si, nAdd, nEx, rAdd, rEx) =>
+            val m = new GenericData.Record(listSchema)
+            m.put("manifest_path", mp.toString)
+            m.put("manifest_length", Files.size(mp))
+            m.put("partition_spec_id", si)
+            m.put("content", 0)
+            m.put("sequence_number", seqNum)
+            m.put("min_sequence_number",
+              sn.files.map(_.seq).foldLeft(seqNum)(math.min))
+            m.put("added_snapshot_id", sn.version)
+            m.put("added_files_count", nAdd)
+            m.put("existing_files_count", nEx)
+            m.put("deleted_files_count", 0)
+            m.put("added_rows_count", rAdd)
+            m.put("existing_rows_count", rEx)
+            m.put("deleted_rows_count", 0L)
+            w.append(m)
+          }
           deleteManifest.foreach { mp =>
             val d = new GenericData.Record(listSchema)
             d.put("manifest_path", mp.toString)
@@ -812,14 +876,20 @@ object IcebergExport {
     val schemasArr = mapper.createArrayNode()
     schemaNodes.foreach(schemasArr.add)
     root.set[ObjectNode]("schemas", schemasArr)
-    root.put("default-spec-id", 0)
-    val spec = mapper.createObjectNode()
-    spec.put("spec-id", 0)
-    spec.set[ObjectNode]("fields", mapper.readTree(specFieldsJson(
-      pfields.map(pf => (pf.name, pf.transform, pf.sourceId, pf.fieldId)))))
-    val specsArr = mapper.createArrayNode().add(spec)
-    if (pfields.nonEmpty &&
+    root.put("default-spec-id", curSpecId)
+    val specsArr = mapper.createArrayNode()
+    specDefs.indices.foreach { i =>
+      val spec = mapper.createObjectNode()
+      spec.put("spec-id", i)
+      spec.set[ObjectNode]("fields", mapper.readTree(specFieldsJson(
+        specPFields(i).map(pf =>
+          (pf.name, pf.transform, pf.sourceId, pf.fieldId)))))
+      specsArr.add(spec)
+      ()
+    }
+    if (emptySpecIdx < 0 &&
         snaps.exists(sn => sn.deletes.nonEmpty || sn.eqDeletes.nonEmpty)) {
+      // the dedicated unpartitioned DELETE spec (no data spec is empty)
       val dspec = mapper.createObjectNode()
       dspec.put("spec-id", deleteSpecId)
       dspec.set[ObjectNode]("fields", mapper.createArrayNode())
@@ -827,7 +897,7 @@ object IcebergExport {
       ()
     }
     root.set[ObjectNode]("partition-specs", specsArr)
-    root.put("last-partition-id", if (pfields.isEmpty) 999 else nextPid - 1)
+    root.put("last-partition-id", if (nextPid == 1000) 999 else nextPid - 1)
     // sort-order fidelity: graft's declared write sort order exports
     // as Iceberg sort order 1 (identity transform, asc, nulls-first —
     // the write-local sort graft performs); order 0 stays the
@@ -1197,9 +1267,16 @@ object IcebergRead {
       schemaNode: com.fasterxml.jackson.databind.JsonNode,
       schema: StructType,
       mapping: Map[Int, Seq[String]],
+      /** The DEFAULT spec's fields (what single-spec consumers read —
+        * import refuses mixed-spec entries before trusting this). */
       specFields: Seq[com.fasterxml.jackson.databind.JsonNode],
       fieldNameById: Map[Int, String],
       entries: Seq[IceEntry],
+      /** EVERY partition spec by id (spec evolution: entries carry the
+        * spec their manifest bound to; the scan resolves each group's
+        * identity columns through its own spec). */
+      specsById: Map[Int, Seq[com.fasterxml.jackson.databind.JsonNode]],
+      defaultSpecId: Int,
       /** Delete files from delete manifests (position content=1 /
         * equality content=2) — applied by readers, materialized by
         * import. */
@@ -1234,7 +1311,9 @@ object IcebergRead {
         .getOrElse(Seq(path.last))
   }
   private[sources] final case class IceEntry(path: String, rows: Long,
-      bytes: Long, part: Map[String, Any], seq: Long)
+      bytes: Long, part: Map[String, Any], seq: Long,
+      /** The partition spec the entry's manifest bound to (spec-id). */
+      specId: Int = 0)
   private[sources] final case class IceDelete(path: String, content: Int,
       seq: Long, equalityIds: Seq[Int], rows: Long)
 
@@ -1296,10 +1375,13 @@ object IcebergRead {
       }
     }
     val specId = meta.get("default-spec-id").asInt()
-    val specFields = meta.get("partition-specs").elements().asScala
-      .find(_.get("spec-id").asInt() == specId).get
-      .get("fields").elements().asScala.toSeq
-    val pnames = specFields.map(_.get("name").asText())
+    val specsById: Map[Int, Seq[com.fasterxml.jackson.databind.JsonNode]] =
+      meta.get("partition-specs").elements().asScala.map(s =>
+        s.get("spec-id").asInt() ->
+          s.get("fields").elements().asScala.toSeq).toMap
+    val specFields = specsById.getOrElse(specId,
+      throw new IllegalArgumentException(
+        s"default-spec-id $specId not in partition-specs"))
     val listPath = snapNode.get("manifest-list").asText()
     // manifest-list record: path, content, the manifest's own sequence
     // number (v2 INHERITANCE source — Iceberg Java writes null entry
@@ -1340,13 +1422,15 @@ object IcebergRead {
         mf.seq
       }
     val entries = dataManifests.flatMap { mf =>
-      // the partition struct parses with the DEFAULT spec's field
-      // names; a manifest written under another spec would silently
-      // read absent fields as null (wrong data) — refuse instead
-      require(mf.specId == specId,
-        s"data manifest ${mf.path} uses partition spec ${mf.specId} " +
-          s"(table default is $specId) — spec-evolved foreign tables " +
-          "are not supported, refusing")
+      // the partition struct parses with the MANIFEST's OWN spec's
+      // field names (per-manifest spec-id — Iceberg's encoding of
+      // spec evolution); an unknown spec-id refuses rather than
+      // silently reading absent fields as null
+      val pnames = specsById.getOrElse(mf.specId,
+        throw new IllegalArgumentException(
+          s"data manifest ${mf.path} uses partition spec ${mf.specId}, " +
+            "which is not in the table metadata's partition-specs"))
+        .map(_.get("name").asText())
       liveEntries(mf.path).map { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         require(df.get("file_format").toString == "PARQUET",
@@ -1356,7 +1440,7 @@ object IcebergRead {
           df.get("record_count").asInstanceOf[Long],
           df.get("file_size_in_bytes").asInstanceOf[Long],
           pnames.map(p => p -> part.get(p)).toMap,
-          entrySeq(e, mf))
+          entrySeq(e, mf), specId = mf.specId)
       }
     }
     val deleteFiles = deleteManifests.flatMap { mf =>
@@ -1378,7 +1462,7 @@ object IcebergRead {
       }
     }
     IceMeta(schemaNode, schema, mapping, specFields, fieldNameById,
-      entries, deleteFiles)
+      entries, specsById, specId, deleteFiles)
   }
 
   def read(spark: SparkSession, dest: String,
@@ -1482,13 +1566,21 @@ object IcebergRead {
   private[sources] def readMeta(spark: SparkSession, m: IceMeta): DataFrame = {
     val schema = m.schema
     case class IdField(pname: String, column: String, dt: DataType)
-    val identity = m.specFields
-      .filter(_.get("transform").asText() == "identity")
-      .map { f =>
-        val colName = m.fieldNameById(f.get("source-id").asInt())
-        IdField(f.get("name").asText(), colName,
-          schema.fields.find(_.name == colName).get.dataType)
-      }
+    // identity columns resolve PER SPEC (spec evolution: each entry
+    // group scans under the spec its manifest bound to — files written
+    // before an identity column joined the spec store it physically,
+    // files after read it from partition metadata)
+    val identityCache =
+      scala.collection.mutable.Map[Int, Seq[IdField]]()
+    def identityOf(specId: Int): Seq[IdField] =
+      identityCache.getOrElseUpdate(specId,
+        m.specsById(specId)
+          .filter(_.get("transform").asText() == "identity")
+          .map { f =>
+            val colName = m.fieldNameById(f.get("source-id").asInt())
+            IdField(f.get("name").asText(), colName,
+              schema.fields.find(_.name == colName).get.dataType)
+          })
     if (m.entries.isEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)
@@ -1513,11 +1605,13 @@ object IcebergRead {
       case mt: MapType => mt.copy(valueType = physType(mt.valueType, path))
       case other => other
     }
-    val dataFields = schema.fields.filterNot(f =>
-      identity.exists(_.column == f.name))
-    val physSchema = StructType(dataFields.flatMap(f =>
-      m.namesOf(f.name).map(n =>
-        StructField(n, physType(f.dataType, Seq(f.name)), nullable = true))))
+    def physSchemaOf(identity: Seq[IdField]): StructType = {
+      val dataFields = schema.fields.filterNot(f =>
+        identity.exists(_.column == f.name))
+      StructType(dataFields.flatMap(f =>
+        m.namesOf(f.name).map(n =>
+          StructField(n, physType(f.dataType, Seq(f.name)), nullable = true))))
+    }
     // rebuild a struct value under its CURRENT member names, coalescing
     // each member's historical physical twins (recursively); a null
     // struct stays null rather than becoming a struct of nulls. A
@@ -1636,11 +1730,13 @@ object IcebergRead {
       }
       out.drop("_ice_f", "_ice_p")
     }
-    val groups = m.entries.groupBy(e =>
-      identity.map(f => f.pname -> e.part.getOrElse(f.pname, null)).toMap)
-    groups.map { case (pvals, es) =>
+    val groups = m.entries.groupBy(e => (e.specId,
+      identityOf(e.specId).map(f =>
+        f.pname -> e.part.getOrElse(f.pname, null)).toMap))
+    groups.map { case ((specId, pvals), es) =>
+      val identity = identityOf(specId)
       val base = applyDeletes(
-        spark.read.schema(physSchema).parquet(es.map(_.path): _*))
+        spark.read.schema(physSchemaOf(identity)).parquet(es.map(_.path): _*))
       val cols: Seq[Column] = schema.fields.toSeq.map { f =>
         identity.find(_.column == f.name) match {
           case Some(idf) =>
@@ -1725,6 +1821,15 @@ object IcebergImport {
 
   def importTable(spark: SparkSession, src: String, destRoot: String): LogTable = {
     val m = IcebergRead.load(src)
+    // import adopts ONE spec (the default) — a spec-evolved foreign
+    // snapshot whose manifests mix specs would need per-file layout
+    // adoption graft's manifest doesn't model; the READER handles mixed
+    // specs (IcebergRead.readMeta), import refuses-not-guesses
+    require(m.entries.forall(_.specId == m.defaultSpecId),
+      "cannot import a spec-evolved Iceberg snapshot (data manifests " +
+        "bind to different partition specs) — compact/rewrite the " +
+        "source to its current spec first, or read it via " +
+        "IcebergRead/iceberg_scan instead")
     // schema: Iceberg field ids + name-mapping history → graft field
     // metadata. NESTED mapping history imports too: a renamed struct
     // member's historical names become nested PrevNames metadata, so

@@ -168,4 +168,45 @@ class PipelineSpec extends SparkSpec {
       .count()
     assert(surviving.select(sum(col("n_docs"))).as[Long].head() === survivorCount)
   }
+
+  test("pipeline_ingest_dedup: zero-scan probe — a batch's cross-batch dedup opens MV digest files, never a corpus data file") {
+    // planted duplicates in every direction: within a batch (11/14 share
+    // batch 2, keeper = min doc_id) and across batches (digests of
+    // batch 0 recur in batches 1 and 2)
+    val d = Seq(
+      (0L, "web", "A"), (3L, "web", "B"), (6L, "lit", "C"),   // batch 0
+      (1L, "web", "A"), (4L, "lit", "D"), (7L, "web", "B"),   // batch 1: A,B dup
+      (2L, "lit", "E"), (5L, "web", "C"), (11L, "web", "F"),  // batch 2: C dup
+      (14L, "web", "F"), (8L, "lit", "G")                     //   + F twice within
+    ).toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
+    val work = java.nio.file.Files.createTempDirectory("ingest_dedup_spec_")
+    val (table, mv) = Pipeline.ingestDedupLoop(spark, d, work)
+
+    // fate oracle: a digest's keeper is its first (batch, doc_id)
+    // occurrence — batch = doc_id % 3
+    val kept = table.read().select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(0L, 2L, 3L, 4L, 6L, 8L, 11L),
+      s"keepers must be first (batch, doc_id) occurrences, got ${kept.mkString(",")}")
+    // the MV mirrors the corpus digest set exactly after every fold
+    assert(mv.read().count() === table.read().select("digest").distinct().count())
+
+    // I/O CONTRACT: the cross-batch probe for a NEW batch plans its
+    // scans over the MV's digest-only files — not one file of the
+    // corpus table's data pool (the per-batch O(corpus-column) scan
+    // the MV exists to retire)
+    val nextBatch = Seq((9L, "web", "A"), (12L, "web", "H"))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
+    val survivors = Pipeline.ingestSurvivors(table, mv, nextBatch)
+    val corpusData = work.resolve("t").resolve("data").toAbsolutePath.toString
+    val mvData = work.resolve("mv").resolve("data").toAbsolutePath.toString
+    val inputs = survivors.inputFiles.toSeq
+    assert(inputs.exists(_.contains(mvData)),
+      s"the probe must read the digest MV, inputs: $inputs")
+    assert(!inputs.exists(_.contains(corpusData)),
+      s"the probe must NOT open corpus data files, inputs: $inputs")
+    // and the probe is CORRECT: A is a known digest (dropped), H is new
+    assert(survivors.select("doc_id").as[Long].collect().sorted === Array(12L))
+  }
 }

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Iceberg v2 metadata export ([[IcebergExport]]) + the independent
   * spec-based reader ([[IcebergRead]]): the export must be
@@ -548,6 +549,52 @@ class IcebergExportSpec extends SparkSpec {
     assert(imp.snapshot().eqDeletes.isEmpty)
     assert(sortedRows(imp.read()) === live)
     IcebergExport.export(imp, tmp("ice_eq_imp_reexp_"))
+  }
+
+  test("history export ACROSS partition-spec evolution: multiple partition-specs, per-manifest spec-ids, every version foreign-time-travels") {
+    val day = 86400000000L
+    val t0 = LogTable(spark, tmp("ice_spec_evo_") + "/t")
+    // v1: UNPARTITIONED generation (event_type/ts_us stored physically)
+    t0.append(Seq((1L, "click", 10L, 5L), (2L, "view", 20L, day + 7L),
+      (3L, "click", 30L, 2 * day + 9L)).toDF("id", "event_type", "v", "ts_us"))
+    // v2: evolve to (event_type, day(ts_us)) — metadata-only
+    val t = t0.evolveSpec(partitionBy = Seq("event_type"),
+      hiddenBy = Seq(Transform.day("ts_us")))
+    // v3-v4: EVOLVED-generation ingests (event_type only in metadata)
+    t.append(Seq((4L, "click", 40L, 11L), (5L, "error", 50L, day + 3L))
+      .toDF("id", "event_type", "v", "ts_us"))
+    t.append(Seq((6L, "view", 60L, 2 * day + 1L))
+      .toDF("id", "event_type", "v", "ts_us"))
+
+    val dest = tmp("ice_spec_evo_out_")
+    IcebergExport.export(t, dest, history = true)
+
+    // metadata: BOTH specs present, default = the evolved one
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dest)
+        .resolve("metadata").resolve("v1.metadata.json")))
+    val specs = meta.get("partition-specs").elements()
+      .asScala.toSeq
+    assert(specs.size === 2, s"expected 2 partition specs, got $specs")
+    assert(specs.map(_.get("fields").size()).sorted === Seq(0, 2))
+    assert(meta.get("default-spec-id").asInt() === 1)
+
+    // every version foreign-time-travels equal to graft's own travel,
+    // including the MIXED snapshot (v3: one manifest per spec)
+    t.versions.foreach { v =>
+      assert(sortedRows(IcebergRead.read(spark, dest, versionAsOf = Some(v)))
+        === sortedRows(t.timeTravel(v)),
+        s"spec-reader view at v$v must equal graft time travel")
+    }
+    // the CURRENT view resolves both generations: pre-evolution rows
+    // read event_type physically, evolved rows from partition metadata
+    assert(sortedRows(IcebergRead.read(spark, dest)) === sortedRows(t.read()))
+
+    // the import direction refuses the mixed-spec snapshot loudly
+    // (the reader is the mixed-spec path; import adopts one spec)
+    val eImp = intercept[IllegalArgumentException](
+      IcebergImport.importTable(spark, dest, tmp("ice_spec_evo_imp_")))
+    assert(eImp.getMessage.contains("spec-evolved"))
   }
 
   test("eq re-encode is BATCHED: a many-tombstone HISTORY export runs one job per shape group, not one per file") {
