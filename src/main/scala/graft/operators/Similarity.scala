@@ -310,7 +310,8 @@ object Similarity {
       .join(broadcast(q), Seq("cid")).filter(col("n_id") =!= col("q_id"))
       .withColumn("key", cosKey(dot(col("q_qv"), col("n_qv")),
         col("q_nrm") * col("n_nrm")))
-      .withColumn("rnk", row_number().over(w))
+      // long, matching the oracle engine's BIGINT row_number
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("n_id"))
       .orderBy(col("q_id"), col("rnk"))
@@ -451,7 +452,8 @@ object Similarity {
            |  a + aggregate(sequence(0, ${sub - 1}), CAST(0 AS BIGINT),
            |    (b, i) -> b + q_qv[mm * $sub + i] * books[mm][codes[mm]][i]))""".stripMargin))
       .withColumn("key", cosKey(col("est_dot"), col("q_nrm") * col("enc_nrm")))
-      .withColumn("rnk", row_number().over(w))
+      // long, matching the oracle engine's BIGINT row_number
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= keep)
       .select(col("q_id"), col("rnk"), col("n_id"), col("q_qv"), col("q_nrm"))
   }
@@ -477,7 +479,8 @@ object Similarity {
     exact.join(broadcast(cand), Seq("n_id"))
       .withColumn("key", cosKey(dot(col("q_qv"), col("n_qv")),
         col("q_nrm") * col("n_nrm")))
-      .withColumn("rnk", row_number().over(w))
+      // long, matching the oracle engine's BIGINT row_number
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("n_id"))
       .orderBy(col("q_id"), col("rnk"))
@@ -518,7 +521,126 @@ object Similarity {
         |    row_number() OVER (PARTITION BY q_id ORDER BY skey DESC, n_id) AS rnk
         |  FROM k)
         |SELECT q_id, rnk, n_id FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // ann_ivf: every stage is integer-exact and deterministic, so the
+    // oracle REPLAYS the whole pipeline — stride sample, the 16 initial
+    // centroids, ONE Lloyd's assignment round (ranked by the same
+    // IEEE-single-division routing key), the integer re-SUM update
+    // (empty cells drop out, as trainCentroids' groupBy does), the
+    // final cell assignment, 4-probe query routing, and the exact
+    // in-cell cosine top-5. Long arithmetic everywhere Spark uses it;
+    // `//` is BIGINT division like Scala's Long `/`.
+    "ann_ivf" -> s"""$annIvfCells
+        |cand AS (
+        |  SELECT q.q_id, a.n_id FROM qprobe q JOIN acell a USING (cid)
+        |  WHERE a.n_id <> q.q_id),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |    (CASE WHEN d < 0 THEN -1.0 ELSE 1.0 END)
+        |      * (CAST(d * d AS DOUBLE) / CAST(pp AS DOUBLE)) AS skey
+        |  FROM (
+        |    SELECT c.q_id, c.n_id,
+        |      CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |        i -> q.qv[i] * d2.qv[i])) AS BIGINT) AS d,
+        |      q.nrm * d2.nrm AS pp
+        |    FROM cand c
+        |    JOIN n q ON q.vec_id = c.q_id
+        |    JOIN n d2 ON d2.vec_id = c.n_id)),
+        |r AS (
+        |  SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY skey DESC, n_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, n_id FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // ann_lsh / dedup_embed: approximate variants — rows-only + ScalaTest
     // (recall measured against ann_topk in the spec).
   )
+
+  /** Shared oracle CTE prefix: quantized vectors (`n`), the trained
+    * IVF coarse quantizer after one integer-exact Lloyd's round
+    * (`c1`), every vector's cell (`acell`), and each query's 4 probe
+    * cells (`qprobe`) — the DuckDB replay of [[trainCentroids]] with
+    * (k=16, iters=1) + [[probeIds]], reused by the IVF-routed oracles.
+    * A `def`, not a `val`: `oracles` interpolates it during object
+    * initialization, and a later-positioned val would still be null
+    * there. */
+  private def annIvfCells: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM e),
+      |-- trainCentroids' stride parameters: maxTrain = max(k*64, 1024) =
+      |-- 1024, sampleStride = max(n/1024, 1), stride = max(min(n,1024)/16, 1)
+      |prm AS (
+      |  SELECT greatest(count(*) // 1024, 1) AS sstride,
+      |    greatest(least(count(*), 1024) // 16, 1) AS kstride
+      |  FROM n),
+      |-- the 16 initial centroids: every (stride*sampleStride)-th vector
+      |-- by vec_id, cid = appearance order
+      |init AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+      |  FROM n, prm
+      |  WHERE vec_id % (kstride * sstride) = 0
+      |  ORDER BY vec_id LIMIT 16),
+      |c0 AS (
+      |  SELECT cid, cv,
+      |    CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cnrm
+      |  FROM init),
+      |train AS (SELECT vec_id, qv, nrm FROM n, prm WHERE vec_id % sstride = 0),
+      |-- ONE Lloyd's round: assign each training vector to its best
+      |-- centroid by the routing key sign(d)·d²/(|q|²|c|²) (double
+      |-- MULTIPLY of the cast dot, exactly as routeKey computes it),
+      |-- ties to the lowest cid
+      |a0d AS (
+      |  SELECT t.vec_id, t.qv, t.nrm, c.cid, c.cnrm,
+      |    CAST(list_sum(list_transform(range(1, len(t.qv) + 1),
+      |      i -> t.qv[i] * c.cv[i])) AS BIGINT) AS d
+      |  FROM train t CROSS JOIN c0 c),
+      |a0c AS (
+      |  SELECT vec_id, qv, cid FROM (
+      |    SELECT vec_id, qv, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY
+      |        (CASE WHEN d < 0 THEN -1.0 ELSE 1.0 END)
+      |          * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+      |          / (CAST(nrm AS DOUBLE) * CAST(cnrm AS DOUBLE)) DESC,
+      |        cid) AS rn
+      |    FROM a0d) WHERE rn = 1),
+      |-- the update is a pure integer re-SUM of member vectors per
+      |-- cluster — no division, no rounding; cells with no members drop
+      |-- out (trainCentroids regroups from assignments only)
+      |sums AS (
+      |  SELECT cid, pos, SUM(v) AS s FROM (
+      |    SELECT cid, unnest(qv) AS v, unnest(range(0, len(qv))) AS pos
+      |    FROM a0c)
+      |  GROUP BY cid, pos),
+      |c1l AS (SELECT cid, list(s ORDER BY pos) AS cv FROM sums GROUP BY cid),
+      |c1 AS (
+      |  SELECT cid, cv,
+      |    CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cnrm
+      |  FROM c1l),
+      |-- final routing over the trained centroids: every vector's ONE
+      |-- cell, each query's 4 probe cells (same key, same tie-break)
+      |ad AS (
+      |  SELECT v.vec_id, v.nrm, c.cid, c.cnrm,
+      |    CAST(list_sum(list_transform(range(1, len(v.qv) + 1),
+      |      i -> v.qv[i] * c.cv[i])) AS BIGINT) AS d
+      |  FROM n v CROSS JOIN c1 c),
+      |ak AS (
+      |  SELECT vec_id, cid,
+      |    (CASE WHEN d < 0 THEN -1.0 ELSE 1.0 END)
+      |      * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+      |      / (CAST(nrm AS DOUBLE) * CAST(cnrm AS DOUBLE)) AS rkey
+      |  FROM ad),
+      |acell AS (
+      |  SELECT vec_id AS n_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY rkey DESC, cid) AS rn
+      |    FROM ak) WHERE rn = 1),
+      |qprobe AS (
+      |  SELECT vec_id AS q_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY rkey DESC, cid) AS rn
+      |    FROM ak WHERE vec_id < 10) WHERE rn <= 4),""".stripMargin
 }

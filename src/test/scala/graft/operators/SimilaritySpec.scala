@@ -47,7 +47,7 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.annRefine(spark, clusteredDir, refine = 50, k = 8, probes = 2)
       .groupBy("q_id").agg(count(lit(1)).as("n"),
         min("rnk").as("lo"), max("rnk").as("hi"))
-      .as[(Long, Long, Int, Int)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     assert(rows.forall(r => r._2 == 5L && r._3 == 1 && r._4 == 5))
   }
 
