@@ -1,6 +1,7 @@
 package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import java.net.InetSocketAddress
@@ -8,23 +9,25 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
-/** Minimal READ-ONLY Iceberg REST catalog over [[IcebergExport]]ed
-  * tables — the catalog protocol the reference's second engine
-  * actually speaks (reference init-setup.py:73-86 configures Trino
-  * with `iceberg.catalog.type = rest` against the object store's
-  * `/_iceberg` endpoint; README.md:239-253 is the resulting foreign
-  * query). graft's export writes HadoopTables-style path metadata
-  * (version-hint discovery); this serves the SAME metadata over the
-  * public Iceberg REST catalog OpenAPI's read routes, so an engine
-  * that only discovers tables via REST can find and load them:
+/** Iceberg REST catalog over [[IcebergExport]]ed tables — the catalog
+  * protocol the reference's second engine actually speaks (reference
+  * init-setup.py:73-86 configures Trino with `iceberg.catalog.type =
+  * rest` against the object store's `/_iceberg` endpoint;
+  * README.md:239-253 is the resulting foreign query). graft's export
+  * writes HadoopTables-style path metadata (version-hint discovery);
+  * this serves the SAME metadata over the public Iceberg REST catalog
+  * OpenAPI, so an engine that only discovers tables via REST can find
+  * and load them:
   *
   *   GET /v1/config                                → catalog config
-  *   GET /v1/namespaces                            → namespace list
-  *   GET /v1/namespaces/{ns}                       → namespace props
-  *   GET /v1/namespaces/{ns}/tables                → table identifiers
+  *   GET/POST /v1/namespaces                       → list / create
+  *   GET/DELETE /v1/namespaces/{ns}                → props / drop
+  *   POST /v1/namespaces/{ns}/properties           → update ns props
+  *   GET/POST /v1/namespaces/{ns}/tables           → list / createTable
   *   GET/HEAD /v1/namespaces/{ns}/tables/{t}       → LoadTableResult
-  *                                                   (metadata inline +
-  *                                                   metadata-location)
+  *   POST /v1/namespaces/{ns}/tables/{t}           → commitTable
+  *   DELETE /v1/namespaces/{ns}/tables/{t}         → dropTable
+  *   POST /v1/tables/rename                        → renameTable
   *
   * The LoadTableResult re-reads dest's CURRENT vN.metadata.json per
   * request (version-hint walk), so a continuous-mirror re-export is
@@ -32,29 +35,44 @@ import scala.jdk.CollectionConverters._
   * Data/manifest access stays direct file I/O, exactly as in a real
   * REST catalog deployment — the catalog serves pointers, never data.
   *
-  * Scope (exact-or-refuse, like the rest of the seam): read routes
-  * only — this is an interop endpoint for foreign READERS of graft
-  * tables, not a writable catalog. Recognized write/commit routes
-  * (stageCreate/commit/rename/drop/properties) answer 501 with the
-  * spec's ErrorModel (a clean "not supported", never a fake commit);
-  * unknown paths stay 404. List routes honor the OpenAPI's
-  * `pageToken`/`pageSize` pagination, LoadTableResult honors
+  * WRITE path (the foreign-writer seam): `createTable` (including the
+  * spec's `stage-create` two-phase CTAS shape) and `commitTable` with
+  * the OpenAPI's requirement/update model — `assert-create` /
+  * `assert-table-uuid` / `assert-ref-snapshot-id` requirements;
+  * `add-snapshot` / `set-snapshot-ref` / `add-schema` /
+  * `set-current-schema` / `add-spec` / `set-default-spec` /
+  * `set-properties` / `remove-properties` / `remove-snapshot-ref` /
+  * `assign-uuid` / `set-location` updates. A REST writer authors data
+  * and manifest files directly in storage (as the protocol intends)
+  * and commits POINTERS here; the server validates requirements and
+  * CAS-advances the table's vN.metadata.json under a per-table lock,
+  * exactly-once per requirement epoch. Only tables CREATED over REST
+  * are writable through it: a [[register]]ed graft export stays
+  * read-only (its metadata lineage is owned by graft's exporter —
+  * a REST commit would race it), answering the spec's ErrorModel with
+  * 501 as before. Unknown routes stay 404; malformed requests 400;
+  * failed requirements 409 `CommitFailedException`. List routes honor
+  * the OpenAPI's `pageToken`/`pageSize` pagination with SEEK-style
+  * tokens (the token names the last-returned item, so a concurrent
+  * register/drop between pages cannot skip or duplicate entries the
+  * way an offset token would). LoadTableResult honors
   * `snapshots=refs`. Binds loopback-only: a verification/interop
   * endpoint, not a hardened network service.
   */
 final class IcebergRestCatalog private (
     server: HttpServer,
-    registry: java.util.concurrent.ConcurrentHashMap[(String, String), String]) {
+    state: IcebergRestCatalog.State) {
 
   def port: Int = server.getAddress.getPort
   def uri: String = s"http://127.0.0.1:$port"
 
-  /** Expose the Iceberg export at `dest` as `namespace`.`table`. */
+  /** Expose the Iceberg export at `dest` as `namespace`.`table`
+    * (read-only: graft's exporter owns the metadata lineage). */
   def register(namespace: String, table: String, dest: String): Unit = {
     require(Files.exists(Paths.get(dest).resolve("metadata")
         .resolve("version-hint.text")),
       s"'$dest' holds no Iceberg export (missing metadata/version-hint.text)")
-    registry.put((namespace, table), dest)
+    state.registry.put((namespace, table), dest)
     ()
   }
 
@@ -64,16 +82,47 @@ final class IcebergRestCatalog private (
 object IcebergRestCatalog {
   private val mapper = new ObjectMapper()
 
-  /** Start on an ephemeral loopback port. */
-  def start(): IcebergRestCatalog = {
+  private[sources] final class State {
+    /** (ns, table) → table location. Both registered graft exports and
+      * REST-created tables live here once visible. */
     val registry =
       new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+    /** Tables CREATED over REST — the only ones commitTable may
+      * advance. A registered graft export is never owned. */
+    val owned = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, String)]()
+    /** `stage-create` metadata awaiting its first commit (invisible to
+      * loads/lists until then — the spec's two-phase CTAS). */
+    val staged =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), ObjectNode]()
+    /** Explicitly-created namespaces and their properties (namespaces
+      * of registered tables are implicit members of the listing). */
+    val namespaces = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentHashMap[String, String]]()
+    /** Per-table commit locks: a commit is read-check-advance under
+      * the table's lock (single-server CAS). */
+    private val locks =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
+    def lockFor(key: (String, String)): Object =
+      locks.computeIfAbsent(key, _ => new Object)
+
+    def nsNames: Seq[String] =
+      (registry.keySet().asScala.map(_._1) ++ namespaces.keySet().asScala)
+        .toSeq.distinct.sorted
+    def nsExists(ns: String): Boolean =
+      namespaces.containsKey(ns) ||
+        registry.keySet().asScala.exists(_._1 == ns)
+  }
+
+  /** Start on an ephemeral loopback port. */
+  def start(): IcebergRestCatalog = {
+    val state = new State
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/v1",
-      (x: HttpExchange) => handle(x, registry))
+      (x: HttpExchange) => handle(x, state))
     server.setExecutor(null) // dispatch-thread serving: metadata-sized responses
     server.start()
-    new IcebergRestCatalog(server, registry)
+    new IcebergRestCatalog(server, state)
   }
 
   /** Query params of the exchange (the spec's `pageToken`/`pageSize`/
@@ -90,30 +139,39 @@ object IcebergRestCatalog {
 
   /** OpenAPI pagination: when the client sends `pageSize`, return up
     * to that many items plus an opaque `next-page-token` while more
-    * remain (the token is the next start offset over the SORTED list —
-    * stable because the listing is re-sorted per request). Without
-    * `pageSize` the full list returns in one page (token-less), which
-    * is what a non-paginating client gets today. */
-  private def page[T](items: Seq[T], p: Map[String, String])
-      : (Seq[T], Option[String]) = {
-    val start = p.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
+    * remain. The token is SEEK-style — it names the last item the
+    * client saw, and the next page is everything sorted-after it —
+    * so a register/drop between pages shifts nothing (an offset token
+    * over a re-sorted list would skip or duplicate entries under
+    * concurrent registry changes). Without `pageSize` the full list
+    * returns in one page (token-less). */
+  private def page(items: Seq[String], p: Map[String, String])
+      : (Seq[String], Option[String]) = {
+    val after = p.get("pageToken")
+    val rest = after match {
+      case Some(last) => items.dropWhile(_ <= last)
+      case None => items
+    }
     p.get("pageSize").flatMap(_.toIntOption) match {
       case Some(n) if n > 0 =>
-        val slice = items.slice(start, start + n)
-        val next = if (start + n < items.size) Some((start + n).toString) else None
+        val slice = rest.take(n)
+        val next = if (rest.size > n) slice.lastOption else None
         (slice, next)
       // pageSize=0 answers an empty page with NO token — a token equal
-      // to the current offset would loop a spec-following client
+      // to the current position would loop a spec-following client
       // forever
       case Some(n) if n == 0 => (Nil, None)
-      case _ => (items.drop(start), None)
+      case _ => (rest, None)
     }
   }
 
-  private def handle(x: HttpExchange,
-      registry: java.util.concurrent.ConcurrentHashMap[(String, String), String]): Unit =
+  private def body(x: HttpExchange): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(x.getRequestBody.readAllBytes())
+
+  private def handle(x: HttpExchange, state: State): Unit =
     try {
       val segs = x.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+      val registry = state.registry
       (x.getRequestMethod, segs) match {
         case ("GET", List("v1", "config")) =>
           json(x, 200, """{"defaults":{},"overrides":{}}""")
@@ -121,24 +179,85 @@ object IcebergRestCatalog {
         case ("GET", List("v1", "namespaces")) =>
           val root = mapper.createObjectNode()
           val arr = root.putArray("namespaces")
-          val (slice, next) = page(
-            registry.keySet().asScala.map(_._1).toSeq.distinct.sorted, params(x))
+          val (slice, next) = page(state.nsNames, params(x))
           slice.foreach { ns => arr.addArray().add(ns); () }
           next.foreach(t => root.put("next-page-token", t))
           json(x, 200, root.toString)
 
+        case ("POST", List("v1", "namespaces")) =>
+          val b = body(x)
+          val parts = Option(b.get("namespace")).toSeq
+            .flatMap(_.elements().asScala.map(_.asText()))
+          if (parts.size != 1)
+            error(x, 400, "BadRequestException",
+              "exactly one namespace level is supported")
+          else if (state.nsExists(parts.head))
+            error(x, 409, "AlreadyExistsException",
+              s"namespace '${parts.head}' already exists")
+          else {
+            val props = new java.util.concurrent
+              .ConcurrentHashMap[String, String]()
+            Option(b.get("properties")).foreach(_.properties().asScala
+              .foreach(e => props.put(e.getKey, e.getValue.asText())))
+            state.namespaces.put(parts.head, props)
+            val root = mapper.createObjectNode()
+            root.putArray("namespace").add(parts.head)
+            val pn = root.putObject("properties")
+            props.asScala.foreach { case (k, v) => pn.put(k, v); () }
+            json(x, 200, root.toString)
+          }
+
         case ("GET", List("v1", "namespaces", ns)) =>
-          if (!registry.keySet().asScala.exists(_._1 == ns))
+          if (!state.nsExists(ns))
             error(x, 404, "NoSuchNamespaceException", s"namespace '$ns' not found")
           else {
             val root = mapper.createObjectNode()
             root.putArray("namespace").add(ns)
-            root.putObject("properties")
+            val pn = root.putObject("properties")
+            Option(state.namespaces.get(ns)).foreach(_.asScala
+              .foreach { case (k, v) => pn.put(k, v); () })
+            json(x, 200, root.toString)
+          }
+
+        case ("DELETE", List("v1", "namespaces", ns)) =>
+          if (!state.nsExists(ns))
+            error(x, 404, "NoSuchNamespaceException", s"namespace '$ns' not found")
+          else if (registry.keySet().asScala.exists(_._1 == ns) ||
+              state.staged.keySet().asScala.exists(_._1 == ns))
+            error(x, 409, "NamespaceNotEmptyException",
+              s"namespace '$ns' still holds tables")
+          else {
+            state.namespaces.remove(ns)
+            x.sendResponseHeaders(204, -1); x.close()
+          }
+
+        case ("POST", List("v1", "namespaces", ns, "properties")) =>
+          if (!state.nsExists(ns))
+            error(x, 404, "NoSuchNamespaceException", s"namespace '$ns' not found")
+          else {
+            val b = body(x)
+            val props = state.namespaces.computeIfAbsent(ns,
+              _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+            val removed = mapper.createArrayNode()
+            val missing = mapper.createArrayNode()
+            Option(b.get("removals")).toSeq
+              .flatMap(_.elements().asScala.map(_.asText())).foreach { k =>
+                if (props.remove(k) != null) removed.add(k) else missing.add(k)
+                ()
+              }
+            val updated = mapper.createArrayNode()
+            Option(b.get("updates")).foreach(_.properties().asScala.foreach { e =>
+              props.put(e.getKey, e.getValue.asText()); updated.add(e.getKey); ()
+            })
+            val root = mapper.createObjectNode()
+            root.set[ObjectNode]("updated", updated)
+            root.set[ObjectNode]("removed", removed)
+            root.set[ObjectNode]("missing", missing)
             json(x, 200, root.toString)
           }
 
         case ("GET", List("v1", "namespaces", ns, "tables")) =>
-          if (!registry.keySet().asScala.exists(_._1 == ns))
+          if (!state.nsExists(ns))
             error(x, 404, "NoSuchNamespaceException", s"namespace '$ns' not found")
           else {
             val root = mapper.createObjectNode()
@@ -156,6 +275,40 @@ object IcebergRestCatalog {
             json(x, 200, root.toString)
           }
 
+        case ("POST", List("v1", "namespaces", ns, "tables")) =>
+          createTable(x, state, ns)
+
+        case ("POST", List("v1", "namespaces", ns, "tables", t)) =>
+          commitTable(x, state, ns, t)
+
+        case ("DELETE", List("v1", "namespaces", ns, t0, t))
+            if t0 == "tables" =>
+          val key = (ns, t)
+          if (registry.remove(key) == null && state.staged.remove(key) == null)
+            error(x, 404, "NoSuchTableException", s"table '$ns.$t' not found")
+          else {
+            // catalog-level drop: the table leaves the catalog; its
+            // files stay (`purgeRequested` is not honored — this
+            // endpoint never deletes data it did not write)
+            state.owned.remove(key)
+            x.sendResponseHeaders(204, -1); x.close()
+          }
+
+        case ("POST", List("v1", "tables", "rename")) =>
+          val b = body(x)
+          def ident(n: com.fasterxml.jackson.databind.JsonNode)
+              : Option[(String, String)] =
+            for {
+              node <- Option(n)
+              nsArr <- Option(node.get("namespace")) if nsArr.size() > 0
+              nm <- Option(node.get("name"))
+            } yield (nsArr.get(0).asText(), nm.asText())
+          (ident(b.get("source")), ident(b.get("destination"))) match {
+            case (Some(src), Some(dst)) => renameTable(x, state, src, dst)
+            case _ =>
+              error(x, 400, "BadRequestException",
+                "rename needs 'source' and 'destination' identifiers")
+          }
         case (m @ ("GET" | "HEAD"), List("v1", "namespaces", ns, "tables", t)) =>
           registry.get((ns, t)) match {
             case null =>
@@ -163,15 +316,7 @@ object IcebergRestCatalog {
             case _ if m == "HEAD" =>
               x.sendResponseHeaders(200, -1); x.close()
             case dest =>
-              val metaDir = Paths.get(dest).resolve("metadata")
-              val hint = new String(Files.readAllBytes(
-                metaDir.resolve("version-hint.text")),
-                StandardCharsets.UTF_8).trim
-              val mp = metaDir.resolve(s"v$hint.metadata.json")
-              val root = mapper.createObjectNode()
-              root.put("metadata-location", mp.toString)
-              val meta = mapper.readTree(Files.readAllBytes(mp))
-                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              val (mp, meta) = currentMetadata(dest)
               // the spec's `snapshots=refs` mode: trim the snapshots
               // array to those reachable from refs (a busy-history
               // table's LoadTableResult stays pointer-sized; the
@@ -185,43 +330,430 @@ object IcebergRestCatalog {
                 Option(meta.get("snapshots")).foreach(_.elements().asScala
                   .filter(s => wanted.contains(s.get("snapshot-id").asLong()))
                   .foreach(kept.add))
-                meta.set[com.fasterxml.jackson.databind.node.ObjectNode](
-                  "snapshots", kept)
+                meta.set[ObjectNode]("snapshots", kept)
                 ()
               }
-              root.set[com.fasterxml.jackson.databind.node.ObjectNode](
-                "metadata", meta)
+              val root = mapper.createObjectNode()
+              root.put("metadata-location", mp)
+              root.set[ObjectNode]("metadata", meta)
               root.putObject("config")
               json(x, 200, root.toString)
           }
 
-        // recognized WRITE/COMMIT routes answer the spec's ErrorModel
-        // with 501 (this catalog is a read interop endpoint, not a
-        // writable one) — a foreign writer (Trino CTAS) gets a clean
-        // "not supported here" instead of a NoSuchRoute 404 it might
-        // retry as a transport error
-        case ("POST", List("v1", "namespaces")) |
-             ("POST", List("v1", "namespaces", _, "tables")) |
-             ("POST", List("v1", "namespaces", _, "tables", _)) |
-             ("POST", List("v1", "namespaces", _, "register")) |
-             ("POST", List("v1", "tables", "rename")) |
-             ("DELETE", List("v1", "namespaces", _)) |
-             ("DELETE", List("v1", "namespaces", _, "tables", _)) |
-             ("POST", List("v1", "namespaces", _, "properties")) =>
-          error(x, 501, "UnsupportedOperationException",
-            s"${x.getRequestMethod} ${x.getRequestURI.getPath} is not " +
-              "implemented: this catalog serves graft Iceberg exports " +
-              "READ-ONLY (write through graft's own surfaces, then " +
-              "re-export)")
-
         case (m, _) =>
           error(x, 404, "NoSuchRouteException",
-            s"no route $m ${x.getRequestURI.getPath} (read-only catalog)")
+            s"no route $m ${x.getRequestURI.getPath}")
       }
     } catch {
       case e: Exception =>
         error(x, 500, e.getClass.getSimpleName, Option(e.getMessage).getOrElse(""))
     }
+
+  /** POST /v1/tables/rename — move the catalog entry (the table's
+    * files never move; rename is a registry-level operation). */
+  private def renameTable(x: HttpExchange, state: State,
+      src: (String, String), dst: (String, String)): Unit =
+    Option(state.registry.get(src)) match {
+      case None =>
+        error(x, 404, "NoSuchTableException",
+          s"table '${src._1}.${src._2}' not found")
+      case _ if state.registry.containsKey(dst) =>
+        error(x, 409, "AlreadyExistsException",
+          s"table '${dst._1}.${dst._2}' already exists")
+      case Some(dest) =>
+        state.registry.put(dst, dest)
+        state.registry.remove(src)
+        if (state.owned.remove(src)) { state.owned.add(dst); () }
+        x.sendResponseHeaders(204, -1); x.close()
+    }
+
+  /** Read `dest`'s current metadata (version-hint walk) →
+    * (metadata-location, parsed node). */
+  private def currentMetadata(dest: String): (String, ObjectNode) = {
+    val metaDir = Paths.get(dest).resolve("metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
+    val mp = metaDir.resolve(s"v$hint.metadata.json")
+    (mp.toString, mapper.readTree(Files.readAllBytes(mp))
+      .asInstanceOf[ObjectNode])
+  }
+
+  /** Max field id in an Iceberg schema JSON node, walking nested
+    * structs/lists/maps (→ `last-column-id`). */
+  private def maxFieldId(n: com.fasterxml.jackson.databind.JsonNode): Int = {
+    def walk(t: com.fasterxml.jackson.databind.JsonNode): Int = t match {
+      case o if o.isObject =>
+        val self = Seq("id", "element-id", "key-id", "value-id")
+          .flatMap(k => Option(o.get(k)).map(_.asInt()))
+        val kids = Seq("fields", "element", "key", "value", "type")
+          .flatMap(k => Option(o.get(k))).map {
+            case a if a.isArray => a.elements().asScala.map(walk)
+              .foldLeft(0)(math.max)
+            case other => walk(other)
+          }
+        (self ++ kids).foldLeft(0)(math.max)
+      case _ => 0
+    }
+    walk(n)
+  }
+
+  /** POST /v1/namespaces/{ns}/tables — the OpenAPI CreateTableRequest.
+    * `stage-create: true` builds the metadata but keeps the table
+    * invisible until a commit carrying `assert-create` lands (the
+    * spec's transactional CTAS handshake); otherwise v1.metadata.json
+    * commits immediately. The request's schema rides verbatim as
+    * schema 0 (Iceberg schema JSON, client-assigned field ids — the
+    * same contract the export side writes); a partition-spec with
+    * fields is accepted verbatim with server-assigned field-ids when
+    * absent. */
+  private def createTable(x: HttpExchange, state: State, ns: String): Unit = {
+    if (!state.nsExists(ns)) {
+      error(x, 404, "NoSuchNamespaceException", s"namespace '$ns' not found")
+      return
+    }
+    val b = body(x)
+    val name = Option(b.get("name")).map(_.asText()).getOrElse("")
+    val schema = Option(b.get("schema")).orNull
+    if (name.isEmpty || schema == null) {
+      error(x, 400, "BadRequestException",
+        "createTable needs 'name' and 'schema'")
+      return
+    }
+    val key = (ns, name)
+    state.lockFor(key).synchronized {
+      if (state.registry.containsKey(key) || state.staged.containsKey(key)) {
+        error(x, 409, "AlreadyExistsException", s"table '$ns.$name' already exists")
+        return
+      }
+      val location = Option(b.get("location")).map(_.asText()).getOrElse {
+        error(x, 400, "BadRequestException",
+          "createTable needs an explicit 'location' (this catalog has " +
+            "no warehouse root — it serves tables where they live)")
+        return
+      }
+      val meta = mapper.createObjectNode()
+      meta.put("format-version", 2)
+      meta.put("table-uuid", java.util.UUID.randomUUID().toString)
+      meta.put("location", location)
+      meta.put("last-sequence-number", 0L)
+      meta.put("last-updated-ms", System.currentTimeMillis())
+      meta.put("last-column-id", maxFieldId(schema))
+      meta.put("current-schema-id", 0)
+      val s0 = schema.deepCopy[ObjectNode]()
+      s0.put("schema-id", 0)
+      meta.set[ObjectNode]("schemas", mapper.createArrayNode().add(s0))
+      val spec0 = mapper.createObjectNode()
+      spec0.put("spec-id", 0)
+      var lastPid = 999
+      val sf = spec0.putArray("fields")
+      Option(b.get("partition-spec"))
+        .flatMap(s => Option(s.get("fields"))).toSeq
+        .flatMap(_.elements().asScala).foreach { f =>
+          val g = f.deepCopy[ObjectNode]()
+          val pid = Option(f.get("field-id")).map(_.asInt())
+            .getOrElse { lastPid += 1; lastPid }
+          lastPid = math.max(lastPid, pid)
+          g.put("field-id", pid)
+          sf.add(g)
+          ()
+        }
+      meta.put("default-spec-id", 0)
+      meta.set[ObjectNode]("partition-specs",
+        mapper.createArrayNode().add(spec0))
+      meta.put("last-partition-id", lastPid)
+      val unsorted = mapper.createObjectNode()
+      unsorted.put("order-id", 0)
+      unsorted.set[ObjectNode]("fields", mapper.createArrayNode())
+      meta.set[ObjectNode]("sort-orders", mapper.createArrayNode().add(unsorted))
+      meta.put("default-sort-order-id", 0)
+      val props = meta.putObject("properties")
+      Option(b.get("properties")).foreach(_.properties().asScala
+        .foreach(e => props.put(e.getKey, e.getValue.asText())))
+      meta.put("current-snapshot-id", -1L)
+      meta.putObject("refs")
+      meta.set[ObjectNode]("snapshots", mapper.createArrayNode())
+      meta.set[ObjectNode]("snapshot-log", mapper.createArrayNode())
+      meta.set[ObjectNode]("metadata-log", mapper.createArrayNode())
+
+      val root = mapper.createObjectNode()
+      if (Option(b.get("stage-create")).exists(_.asBoolean())) {
+        state.staged.put(key, meta)
+        // staged: metadata only, NO metadata-location — the table does
+        // not exist until the assert-create commit
+      } else {
+        val mp = persist(location, meta, version = 1)
+        state.registry.put(key, location)
+        state.owned.add(key)
+        root.put("metadata-location", mp)
+        ()
+      }
+      root.set[ObjectNode]("metadata", meta)
+      root.putObject("config")
+      json(x, 200, root.toString)
+    }
+  }
+
+  /** POST /v1/namespaces/{ns}/tables/{t} — the OpenAPI
+    * CommitTableRequest: check every requirement against the CURRENT
+    * metadata, apply the updates in order, then CAS-advance
+    * vN.metadata.json under the table's lock. Only REST-created
+    * tables commit here; a registered graft export answers 501 (its
+    * lineage is owned by graft's exporter — see class doc). */
+  private def commitTable(x: HttpExchange, state: State,
+      ns: String, t: String): Unit = {
+    val key = (ns, t)
+    state.lockFor(key).synchronized {
+      val stagedMeta = Option(state.staged.get(key))
+      val registered = Option(state.registry.get(key))
+      if (stagedMeta.isEmpty && registered.isEmpty) {
+        error(x, 404, "NoSuchTableException", s"table '$ns.$t' not found")
+        return
+      }
+      if (stagedMeta.isEmpty && !state.owned.contains(key)) {
+        error(x, 501, "UnsupportedOperationException",
+          s"POST ${x.getRequestURI.getPath} is not implemented for a " +
+            "registered graft export: its metadata lineage is owned by " +
+            "graft's exporter (write through graft's own surfaces, then " +
+            "re-export). Only tables created over this REST API commit here")
+        return
+      }
+      val isCreate = stagedMeta.isDefined
+      val (priorLoc, meta) = stagedMeta match {
+        case Some(m) => (None, m)
+        case None =>
+          val (mp, m) = currentMetadata(registered.get)
+          (Some(mp), m)
+      }
+      val b = body(x)
+
+      // ---- requirements (all must hold against CURRENT state) ------
+      val reqs = Option(b.get("requirements")).toSeq
+        .flatMap(_.elements().asScala)
+      for (r <- reqs) {
+        r.get("type").asText() match {
+          case "assert-create" =>
+            if (!isCreate) {
+              error(x, 409, "CommitFailedException",
+                s"requirement failed: table '$ns.$t' already exists")
+              return
+            }
+          case "assert-table-uuid" =>
+            val want = r.get("uuid").asText()
+            val have = meta.get("table-uuid").asText()
+            if (want != have) {
+              error(x, 409, "CommitFailedException",
+                s"requirement failed: table uuid is $have, not $want")
+              return
+            }
+          case "assert-ref-snapshot-id" =>
+            val ref = r.get("ref").asText()
+            val refNode = Option(meta.get("refs")).flatMap(rs =>
+              Option(rs.get(ref)))
+            val want = Option(r.get("snapshot-id")).filterNot(_.isNull)
+              .map(_.asLong())
+            (want, refNode) match {
+              case (None, None) => // ref must not exist — holds
+              case (None, Some(_)) =>
+                error(x, 409, "CommitFailedException",
+                  s"requirement failed: ref '$ref' already exists")
+                return
+              case (Some(_), None) =>
+                error(x, 409, "CommitFailedException",
+                  s"requirement failed: ref '$ref' does not exist")
+                return
+              case (Some(w), Some(n))
+                  if n.get("snapshot-id").asLong() != w =>
+                error(x, 409, "CommitFailedException",
+                  s"requirement failed: ref '$ref' is at snapshot " +
+                    s"${n.get("snapshot-id").asLong()}, not $w")
+                return
+              case _ => // matches — holds
+            }
+          case other =>
+            error(x, 400, "BadRequestException",
+              s"unsupported requirement type '$other'")
+            return
+        }
+      }
+
+      // ---- updates (applied in request order) -----------------------
+      val updates = Option(b.get("updates")).toSeq
+        .flatMap(_.elements().asScala)
+      for (u <- updates) {
+        u.get("action").asText() match {
+          case "assign-uuid" =>
+            meta.put("table-uuid", u.get("uuid").asText()); ()
+          case "upgrade-format-version" =>
+            val fv = u.get("format-version").asInt()
+            if (fv != 2) {
+              error(x, 400, "BadRequestException",
+                s"only format-version 2 is supported, not $fv")
+              return
+            }
+          case "set-location" =>
+            // the metadata files stay where the table was created;
+            // only the data location pointer moves
+            meta.put("location", u.get("location").asText()); ()
+          case "add-schema" =>
+            val s = u.get("schema").deepCopy[ObjectNode]()
+            val arr = meta.withArray[ArrayNode]("schemas")
+            if (Option(s.get("schema-id")).forall(_.asInt() < 0))
+              s.put("schema-id", arr.size())
+            arr.add(s)
+            val lc = Option(u.get("last-column-id")).map(_.asInt())
+              .getOrElse(maxFieldId(s))
+            meta.put("last-column-id",
+              math.max(meta.get("last-column-id").asInt(), lc))
+            ()
+          case "set-current-schema" =>
+            val sid0 = u.get("schema-id").asInt()
+            val arr = meta.withArray[ArrayNode]("schemas")
+            val sid = if (sid0 == -1) // -1 = the last added schema
+              arr.get(arr.size() - 1).get("schema-id").asInt() else sid0
+            if (!arr.elements().asScala.exists(_.get("schema-id").asInt() == sid)) {
+              error(x, 400, "BadRequestException", s"no schema with id $sid")
+              return
+            }
+            meta.put("current-schema-id", sid)
+            ()
+          case "add-spec" =>
+            val s = u.get("spec").deepCopy[ObjectNode]()
+            val arr = meta.withArray[ArrayNode]("partition-specs")
+            if (Option(s.get("spec-id")).forall(_.asInt() < 0))
+              s.put("spec-id", arr.size())
+            arr.add(s)
+            val maxPid = Option(s.get("fields")).toSeq
+              .flatMap(_.elements().asScala)
+              .flatMap(f => Option(f.get("field-id")).map(_.asInt()))
+              .foldLeft(meta.get("last-partition-id").asInt())(math.max)
+            meta.put("last-partition-id", maxPid)
+            ()
+          case "set-default-spec" =>
+            val sid0 = u.get("spec-id").asInt()
+            val arr = meta.withArray[ArrayNode]("partition-specs")
+            val sid = if (sid0 == -1)
+              arr.get(arr.size() - 1).get("spec-id").asInt() else sid0
+            meta.put("default-spec-id", sid)
+            ()
+          case "add-sort-order" =>
+            val s = u.get("sort-order").deepCopy[ObjectNode]()
+            val arr = meta.withArray[ArrayNode]("sort-orders")
+            if (Option(s.get("order-id")).forall(_.asInt() < 0))
+              s.put("order-id", arr.size())
+            arr.add(s)
+            ()
+          case "set-default-sort-order" =>
+            val oid0 = u.get("sort-order-id").asInt()
+            val arr = meta.withArray[ArrayNode]("sort-orders")
+            val oid = if (oid0 == -1)
+              arr.get(arr.size() - 1).get("order-id").asInt() else oid0
+            meta.put("default-sort-order-id", oid)
+            ()
+          case "set-properties" =>
+            val props = meta.withObject("/properties")
+            Option(u.get("updates")).foreach(_.properties().asScala
+              .foreach(e => props.put(e.getKey, e.getValue.asText())))
+            ()
+          case "remove-properties" =>
+            val props = meta.withObject("/properties")
+            Option(u.get("removals")).toSeq
+              .flatMap(_.elements().asScala.map(_.asText()))
+              .foreach(props.remove)
+            ()
+          case "add-snapshot" =>
+            val sn = u.get("snapshot").deepCopy[ObjectNode]()
+            if (sn.get("snapshot-id") == null ||
+                sn.get("manifest-list") == null) {
+              error(x, 400, "BadRequestException",
+                "add-snapshot needs 'snapshot-id' and 'manifest-list'")
+              return
+            }
+            meta.withArray[ArrayNode]("snapshots").add(sn)
+            val seq = Option(sn.get("sequence-number")).map(_.asLong())
+              .getOrElse(0L)
+            meta.put("last-sequence-number",
+              math.max(meta.get("last-sequence-number").asLong(), seq))
+            ()
+          case "remove-snapshots" =>
+            val drop = Option(u.get("snapshot-ids")).toSeq
+              .flatMap(_.elements().asScala.map(_.asLong())).toSet
+            val kept = mapper.createArrayNode()
+            meta.withArray[ArrayNode]("snapshots").elements().asScala
+              .filterNot(s => drop.contains(s.get("snapshot-id").asLong()))
+              .foreach(kept.add)
+            meta.set[ObjectNode]("snapshots", kept)
+            ()
+          case "set-snapshot-ref" =>
+            val refName = u.get("ref-name").asText()
+            val snapId = u.get("snapshot-id").asLong()
+            if (!meta.withArray[ArrayNode]("snapshots").elements().asScala
+                .exists(_.get("snapshot-id").asLong() == snapId)) {
+              error(x, 400, "BadRequestException",
+                s"set-snapshot-ref '$refName' names unknown snapshot $snapId")
+              return
+            }
+            val ref = meta.withObject("/refs").putObject(refName)
+            ref.put("snapshot-id", snapId)
+            ref.put("type",
+              Option(u.get("type")).map(_.asText()).getOrElse("branch"))
+            if (refName == "main") {
+              meta.put("current-snapshot-id", snapId)
+              val le = meta.withArray[ArrayNode]("snapshot-log").addObject()
+              le.put("timestamp-ms", System.currentTimeMillis())
+              le.put("snapshot-id", snapId)
+              ()
+            }
+          case "remove-snapshot-ref" =>
+            meta.withObject("/refs").remove(u.get("ref-name").asText())
+            if (u.get("ref-name").asText() == "main")
+              meta.put("current-snapshot-id", -1L)
+            ()
+          case other =>
+            error(x, 400, "BadRequestException",
+              s"unsupported update action '$other'")
+            return
+        }
+      }
+
+      // ---- advance the metadata lineage ----------------------------
+      meta.put("last-updated-ms", System.currentTimeMillis())
+      val location = meta.get("location").asText()
+      val mp =
+        if (isCreate) {
+          val p = persist(location, meta, version = 1)
+          state.staged.remove(key)
+          state.registry.put(key, location)
+          state.owned.add(key)
+          p
+        } else {
+          val metaDir = Paths.get(location).resolve("metadata")
+          val hint = new String(Files.readAllBytes(
+            metaDir.resolve("version-hint.text")),
+            StandardCharsets.UTF_8).trim.toInt
+          val le = meta.withArray[ArrayNode]("metadata-log").addObject()
+          le.put("timestamp-ms", System.currentTimeMillis())
+          le.put("metadata-file", priorLoc.get)
+          persist(location, meta, version = hint + 1)
+        }
+      val root = mapper.createObjectNode()
+      root.put("metadata-location", mp)
+      root.set[ObjectNode]("metadata", meta)
+      json(x, 200, root.toString)
+    }
+  }
+
+  /** Write vN.metadata.json + version-hint at `location` →
+    * metadata-location. */
+  private def persist(location: String, meta: ObjectNode,
+      version: Int): String = {
+    val metaDir = Paths.get(location).resolve("metadata")
+    Files.createDirectories(metaDir)
+    val mp = metaDir.resolve(s"v$version.metadata.json")
+    Files.write(mp, meta.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      version.toString.getBytes(StandardCharsets.UTF_8))
+    mp.toString
+  }
 
   private def json(x: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -4796,11 +4796,23 @@ object LogTable {
     * default `spark.sql.parquet.outputTimestampType` is the
     * NON-STANDARD INT96 — a strict foreign reader over an export of a
     * timestamp-carrying graft table would fail on the data files.
-    * Every graft write path upgrades the session default to
-    * TIMESTAMP_MICROS once, sticky and idempotent (a restore window
-    * would race concurrent writers on the session — and every graft
-    * writer wants the same value anyway). An explicit non-INT96 user
-    * setting (MICROS/MILLIS) is left untouched. */
+    * Every graft write path upgrades the session value to
+    * TIMESTAMP_MICROS once, sticky and idempotent. Deliberately so on
+    * BOTH axes:
+    *  - session-global, because Spark has no per-write
+    *    outputTimestampType option (ParquetOptions carries only
+    *    compression/mergeSchema/rebase) and a set-restore window would
+    *    race concurrent writers on the shared session — non-graft
+    *    parquet writes in the same session therefore also switch to
+    *    MICROS, a standards-compliant logical type every reader
+    *    handles (unlike INT96);
+    *  - including an EXPLICITLY-set INT96 (the conf API cannot
+    *    distinguish it from the unset default, and even a deliberate
+    *    INT96 choice would break graft's own seam contract — table
+    *    data files must read under any Iceberg-compatible engine).
+    * An explicit non-INT96 setting (MICROS/MILLIS) is left untouched:
+    * both are self-describing logical types a foreign reader converts
+    * correctly. */
   private[sources] def ensureMicrosTimestamps(spark: SparkSession): Unit = {
     val key = "spark.sql.parquet.outputTimestampType"
     if (spark.conf.get(key, "INT96") == "INT96")

@@ -145,24 +145,44 @@ class IcebergRestCatalogSpec extends SparkSpec {
         .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
         HttpResponse.BodyHandlers.discarding())
       assert(head.statusCode() === 200)
-      // recognized write routes answer the spec's ErrorModel with 501
-      // ("not supported here"), never NoSuchRoute — a foreign writer
-      // (CTAS, commit, rename, drop) gets a clean refusal
-      for (path <- Seq("/v1/namespaces/ns/tables", "/v1/namespaces",
-          "/v1/namespaces/ns/tables/t", "/v1/tables/rename")) {
+      // a COMMIT against a REGISTERED graft export answers the spec's
+      // ErrorModel with 501 ("not supported here"), never NoSuchRoute —
+      // its metadata lineage is owned by graft's exporter, and a REST
+      // commit would race it (REST-created tables commit fine: see the
+      // write-path tests)
+      locally {
         val post = http.send(HttpRequest.newBuilder(
-            URI.create(s"${cat.uri}$path"))
+            URI.create(s"${cat.uri}/v1/namespaces/ns/tables/t"))
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString("{}")).build(),
           HttpResponse.BodyHandlers.ofString())
-        assert(post.statusCode() === 501, s"POST $path")
+        assert(post.statusCode() === 501)
         val err = mapper.readTree(post.body()).get("error")
         assert(err.get("code").asInt() === 501)
         assert(err.get("type").asText() === "UnsupportedOperationException")
       }
+      // malformed write bodies answer 400 BadRequestException, not 500
+      for (path <- Seq("/v1/namespaces/ns/tables", "/v1/namespaces",
+          "/v1/tables/rename")) {
+        val post = http.send(HttpRequest.newBuilder(
+            URI.create(s"${cat.uri}$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString("{}")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(post.statusCode() === 400, s"POST $path")
+        assert(mapper.readTree(post.body()).get("error").get("type").asText()
+          === "BadRequestException", s"POST $path")
+      }
+      // drop is catalog-level: the registered table leaves the catalog,
+      // its files stay untouched on disk
       val del = http.send(HttpRequest.newBuilder(
           URI.create(s"${cat.uri}/v1/namespaces/ns/tables/t"))
         .DELETE().build(), HttpResponse.BodyHandlers.ofString())
-      assert(del.statusCode() === 501)
+      assert(del.statusCode() === 204)
+      val (cGone, _) = get(s"${cat.uri}/v1/namespaces/ns/tables/t")
+      assert(cGone === 404)
+      assert(Files.exists(java.nio.file.Paths.get(dest)
+        .resolve("metadata").resolve("version-hint.text")),
+        "drop must not purge the export's files")
+      cat.register("ns", "t", dest) // restore for the closing checks
       // an unrecognized path stays a plain 404 NoSuchRoute
       val (c3, b3) = get(s"${cat.uri}/v1/not-a-route")
       assert(c3 === 404)
@@ -170,6 +190,143 @@ class IcebergRestCatalogSpec extends SparkSpec {
         "NoSuchRouteException")
       // registering a non-export refuses client-side
       intercept[IllegalArgumentException](cat.register("ns", "bad", tmp("not_an_export_")))
+    } finally cat.close()
+  }
+
+  private def post(url: String, body: String): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("REST WRITE path: stage-create + assert-create commit build a table purely over HTTP; spec reader AND graft read it back; assert-ref-snapshot-id guards the next commit") {
+    // The "foreign writer"'s FILES: a REST client authors data +
+    // manifest + manifest-list files directly in storage (that is the
+    // protocol's design — the catalog serves pointers, never data) and
+    // commits pointers over HTTP. Graft's own exporter plays the file
+    // author here; every CATALOG step below is pure HTTP.
+    val scratch = LogTable(spark, tmp("rest_w_src_"))
+    scratch.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    val filesLoc = tmp("rest_w_files_")
+    IcebergExport.export(scratch, filesLoc)
+    def exportedMeta(v: Int) = mapper.readTree(Files.readAllBytes(
+      java.nio.file.Paths.get(filesLoc).resolve("metadata")
+        .resolve(s"v$v.metadata.json")))
+    val exp1 = exportedMeta(1)
+    val snap1 = exp1.get("snapshots").get(0)
+    val schemaJson = exp1.get("schemas").get(0)
+
+    val cat = IcebergRestCatalog.start()
+    val loc = tmp("rest_w_tbl_")
+    try {
+      // namespace must exist before createTable (404 otherwise)
+      val (cNoNs, _) = post(s"${cat.uri}/v1/namespaces/w/tables",
+        s"""{"name":"t","location":"$loc","schema":$schemaJson}""")
+      assert(cNoNs === 404)
+      val (cNs, bNs) = post(s"${cat.uri}/v1/namespaces",
+        """{"namespace":["w"],"properties":{"owner":"writer"}}""")
+      assert(cNs === 200)
+      assert(mapper.readTree(bNs).get("namespace").get(0).asText() === "w")
+      // creating it again conflicts
+      assert(post(s"${cat.uri}/v1/namespaces",
+        """{"namespace":["w"]}""")._1 === 409)
+
+      // STAGE-create: metadata comes back with NO metadata-location and
+      // the table stays invisible until the commit (two-phase CTAS)
+      val (cStage, bStage) = post(s"${cat.uri}/v1/namespaces/w/tables",
+        s"""{"name":"t","location":"$loc","schema":$schemaJson,"stage-create":true}""")
+      assert(cStage === 200)
+      val staged = mapper.readTree(bStage)
+      assert(staged.get("metadata-location") == null,
+        "a staged table has no committed metadata location yet")
+      assert(staged.get("metadata").get("format-version").asInt() === 2)
+      val (cInvisible, _) = get(s"${cat.uri}/v1/namespaces/w/tables/t")
+      assert(cInvisible === 404, "staged table must be invisible until commit")
+
+      // the CREATE commit: assert-create + add-snapshot + set main
+      val snapId1 = snap1.get("snapshot-id").asLong()
+      val (cCommit, bCommit) = post(s"${cat.uri}/v1/namespaces/w/tables/t",
+        s"""{"requirements":[{"type":"assert-create"}],
+           |"updates":[
+           |  {"action":"add-snapshot","snapshot":$snap1},
+           |  {"action":"set-snapshot-ref","ref-name":"main",
+           |   "type":"branch","snapshot-id":$snapId1}]}""".stripMargin)
+      assert(cCommit === 200, bCommit)
+      assert(mapper.readTree(bCommit).get("metadata-location").asText()
+        .endsWith("v1.metadata.json"))
+
+      // now visible; the wire metadata reads back EQUAL to the source —
+      // by the independent spec reader...
+      val (cLoad, bLoad) = get(s"${cat.uri}/v1/namespaces/w/tables/t")
+      assert(cLoad === 200)
+      val wire = mapper.readTree(bLoad).get("metadata")
+      assert(wire.get("current-snapshot-id").asLong() === snapId1)
+      val back = IcebergRead.readMeta(spark, IcebergRead.loadMeta(wire))
+      assert(back.collect().map(_.toString).sorted.toSeq ===
+        scratch.read().collect().map(_.toString).sorted.toSeq)
+      // ...by plain SQL over REST...
+      val n = GraftSql.exec(spark,
+        s"SELECT count(*) AS n FROM iceberg_rest_scan('${cat.uri}', 'w', 't')")
+        .head().getLong(0)
+      assert(n === 3L)
+      // ...and by a GRAFT-native import of the REST-committed table
+      val imp = IcebergImport.importTable(spark, loc, tmp("rest_w_imp_"))
+      assert(imp.read().collect().map(r => (r.getLong(0), r.getString(1)))
+        .sorted.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+      // SECOND commit, CAS-guarded by assert-ref-snapshot-id: the stale
+      // expectation refuses 409 and changes nothing; the correct one
+      // advances to v2
+      scratch.append(Seq((4L, "d")).toDF("id", "s"))
+      IcebergExport.export(scratch, filesLoc)
+      val snap2 = exportedMeta(2).get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() != snapId1).get
+      val snapId2 = snap2.get("snapshot-id").asLong()
+      def commit2(expect: Long) = post(s"${cat.uri}/v1/namespaces/w/tables/t",
+        s"""{"requirements":[
+           |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$expect}],
+           |"updates":[
+           |  {"action":"add-snapshot","snapshot":$snap2},
+           |  {"action":"set-snapshot-ref","ref-name":"main",
+           |   "type":"branch","snapshot-id":$snapId2}]}""".stripMargin)
+      val (cStale, bStale) = commit2(expect = 999L)
+      assert(cStale === 409)
+      assert(mapper.readTree(bStale).get("error").get("type").asText() ===
+        "CommitFailedException")
+      val (_, bStill) = get(s"${cat.uri}/v1/namespaces/w/tables/t")
+      assert(mapper.readTree(bStill).get("metadata")
+        .get("current-snapshot-id").asLong() === snapId1,
+        "a failed requirement must not advance the table")
+      val (cOk, bOk) = commit2(expect = snapId1)
+      assert(cOk === 200, bOk)
+      assert(mapper.readTree(bOk).get("metadata-location").asText()
+        .endsWith("v2.metadata.json"))
+      val n2 = GraftSql.exec(spark,
+        s"SELECT count(*) AS n FROM iceberg_rest_scan('${cat.uri}', 'w', 't')")
+        .head().getLong(0)
+      assert(n2 === 4L)
+
+      // an assert-create against the now-existing table refuses
+      val (cReCreate, bReCreate) = post(s"${cat.uri}/v1/namespaces/w/tables/t",
+        """{"requirements":[{"type":"assert-create"}],"updates":[]}""")
+      assert(cReCreate === 409)
+      assert(mapper.readTree(bReCreate).get("error").get("type").asText() ===
+        "CommitFailedException")
+
+      // rename moves the catalog entry; drop of a non-empty namespace
+      // refuses until its tables are gone
+      assert(post(s"${cat.uri}/v1/tables/rename",
+        """{"source":{"namespace":["w"],"name":"t"},
+          |"destination":{"namespace":["w"],"name":"t2"}}""".stripMargin)._1 === 204)
+      assert(get(s"${cat.uri}/v1/namespaces/w/tables/t")._1 === 404)
+      assert(get(s"${cat.uri}/v1/namespaces/w/tables/t2")._1 === 200)
+      val delNs = http.send(HttpRequest.newBuilder(
+          URI.create(s"${cat.uri}/v1/namespaces/w")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(delNs.statusCode() === 409)
+      assert(mapper.readTree(delNs.body()).get("error").get("type").asText()
+        === "NamespaceNotEmptyException")
     } finally cat.close()
   }
 
