@@ -550,9 +550,177 @@ object Similarity {
         |    row_number() OVER (PARTITION BY q_id ORDER BY skey DESC, n_id) AS rnk
         |  FROM scored)
         |SELECT q_id, rnk, n_id FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // ann_pq: the PQ codebooks are ALSO integer-exact and deterministic
+    // (L2 assignment in longs with lowest-index ties; the update's
+    // Math.round(sum/count) is floor(x+0.5), replayed verbatim), so the
+    // oracle unrolls trainBooks' 3 Lloyd rounds as CTE blocks the way
+    // text_bpe replays its merge rounds, then encodes, ADC-ranks inside
+    // the IVF-probed cells, and emits the top-5 estimate.
+    "ann_pq" -> s"""$annIvfCells
+        |$pqBookCtes
+        |r AS (
+        |  SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY ekey DESC, n_id) AS rnk
+        |  FROM adck)
+        |SELECT q_id, rnk, n_id FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // ann_refine: stage 1 is ann_pq's ADC ranking kept to the top-50
+    // pool; stage 2 re-scores ONLY the pool with the exact integer dot
+    // (ann_topk's key) and emits the exact top-5 among them.
+    "ann_refine" -> s"""$annIvfCells
+        |$pqBookCtes
+        |pool AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ekey DESC, n_id) AS rnk
+        |    FROM adck) WHERE rnk <= 50),
+        |rescored AS (
+        |  SELECT q_id, n_id,
+        |    (CASE WHEN d < 0 THEN -1.0 ELSE 1.0 END)
+        |      * (CAST(d * d AS DOUBLE) / CAST(pp AS DOUBLE)) AS skey
+        |  FROM (
+        |    SELECT p.q_id, p.n_id,
+        |      CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |        i -> q.qv[i] * d2.qv[i])) AS BIGINT) AS d,
+        |      q.nrm * d2.nrm AS pp
+        |    FROM pool p
+        |    JOIN n q ON q.vec_id = p.q_id
+        |    JOIN n d2 ON d2.vec_id = p.n_id)),
+        |r AS (
+        |  SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY skey DESC, n_id) AS rnk
+        |  FROM rescored)
+        |SELECT q_id, rnk, n_id FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // ann_lsh / dedup_embed: approximate variants — rows-only + ScalaTest
     // (recall measured against ann_topk in the spec).
   )
+
+  /** Oracle CTE block replaying [[trainBooks]] (m=8, ksub=16, 3 Lloyd
+    * rounds) + PQ encoding + the ADC candidate scoring of
+    * [[pqCandidates]], on top of [[annIvfCells]] (whose `n`/`prm`/
+    * `acell`/`qprobe` it reuses for the coarse routing). Subspace
+    * width never appears as a literal: it is `len(qv) // 8` on full
+    * vectors and `len(cv)` on codebook rows. Ends with `adck`
+    * (q_id, n_id, ekey) — the ADC cosine-estimate key. */
+  private def pqBookCtes: String =
+    """-- trainBooks' sample: same stride as the IVF sample, LIMIT 1024,
+      |-- indexed by vec_id appearance order
+      |samp AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sidx, qv
+      |  FROM n, prm WHERE vec_id % sstride = 0
+      |  ORDER BY vec_id LIMIT 1024),
+      |scnt AS (SELECT count(*) AS cnt, greatest(count(*) // 16, 1) AS st FROM samp),
+      |-- the 8 subspace slices of every sample row
+      |sub AS (
+      |  SELECT sidx, t.mm,
+      |    list_transform(range(1, len(qv) // 8 + 1),
+      |      i -> qv[t.mm * (len(qv) // 8) + i]) AS sv
+      |  FROM samp, range(0, 8) t(mm)),
+      |-- initial codebooks: codeword kk of subspace mm = sample row
+      |-- min(kk*st, cnt-1)'s slice
+      |b0 AS (
+      |  SELECT s.mm, r.kk, s.sv AS cv
+      |  FROM range(0, 16) r(kk), scnt, sub s
+      |  WHERE s.sidx = least(r.kk * scnt.st, scnt.cnt - 1)),
+      |-- Lloyd round 1: exact-long L2 assignment (ties to lowest kk),
+      |-- then per-position Math.round(sum/count) = floor(x + 0.5);
+      |-- an empty cell keeps its codeword (the LEFT JOIN coalesce)
+      |a0 AS (
+      |  SELECT mm, sidx, sv, kk FROM (
+      |    SELECT s.mm, s.sidx, s.sv, b.kk,
+      |      row_number() OVER (PARTITION BY s.mm, s.sidx ORDER BY
+      |        CAST(list_sum(list_transform(range(1, len(b.cv) + 1),
+      |          i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS BIGINT) ASC,
+      |        b.kk ASC) AS rn
+      |    FROM sub s JOIN b0 b USING (mm)) WHERE rn = 1),
+      |u1 AS (
+      |  SELECT mm, kk, pos, SUM(v) AS s, count(*) AS c FROM (
+      |    SELECT mm, kk, unnest(sv) AS v, unnest(range(0, len(sv))) AS pos
+      |    FROM a0)
+      |  GROUP BY mm, kk, pos),
+      |n1 AS (
+      |  SELECT mm, kk,
+      |    list(CAST(floor(CAST(s AS DOUBLE) / c + 0.5) AS BIGINT) ORDER BY pos) AS cv
+      |  FROM u1 GROUP BY mm, kk),
+      |b1 AS (
+      |  SELECT b.mm, b.kk, coalesce(u.cv, b.cv) AS cv
+      |  FROM b0 b LEFT JOIN n1 u ON u.mm = b.mm AND u.kk = b.kk),
+      |-- Lloyd round 2
+      |a1 AS (
+      |  SELECT mm, sidx, sv, kk FROM (
+      |    SELECT s.mm, s.sidx, s.sv, b.kk,
+      |      row_number() OVER (PARTITION BY s.mm, s.sidx ORDER BY
+      |        CAST(list_sum(list_transform(range(1, len(b.cv) + 1),
+      |          i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS BIGINT) ASC,
+      |        b.kk ASC) AS rn
+      |    FROM sub s JOIN b1 b USING (mm)) WHERE rn = 1),
+      |u2 AS (
+      |  SELECT mm, kk, pos, SUM(v) AS s, count(*) AS c FROM (
+      |    SELECT mm, kk, unnest(sv) AS v, unnest(range(0, len(sv))) AS pos
+      |    FROM a1)
+      |  GROUP BY mm, kk, pos),
+      |n2 AS (
+      |  SELECT mm, kk,
+      |    list(CAST(floor(CAST(s AS DOUBLE) / c + 0.5) AS BIGINT) ORDER BY pos) AS cv
+      |  FROM u2 GROUP BY mm, kk),
+      |b2 AS (
+      |  SELECT b.mm, b.kk, coalesce(u.cv, b.cv) AS cv
+      |  FROM b1 b LEFT JOIN n2 u ON u.mm = b.mm AND u.kk = b.kk),
+      |-- Lloyd round 3
+      |a2 AS (
+      |  SELECT mm, sidx, sv, kk FROM (
+      |    SELECT s.mm, s.sidx, s.sv, b.kk,
+      |      row_number() OVER (PARTITION BY s.mm, s.sidx ORDER BY
+      |        CAST(list_sum(list_transform(range(1, len(b.cv) + 1),
+      |          i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS BIGINT) ASC,
+      |        b.kk ASC) AS rn
+      |    FROM sub s JOIN b2 b USING (mm)) WHERE rn = 1),
+      |u3 AS (
+      |  SELECT mm, kk, pos, SUM(v) AS s, count(*) AS c FROM (
+      |    SELECT mm, kk, unnest(sv) AS v, unnest(range(0, len(sv))) AS pos
+      |    FROM a2)
+      |  GROUP BY mm, kk, pos),
+      |n3 AS (
+      |  SELECT mm, kk,
+      |    list(CAST(floor(CAST(s AS DOUBLE) / c + 0.5) AS BIGINT) ORDER BY pos) AS cv
+      |  FROM u3 GROUP BY mm, kk),
+      |b3 AS (
+      |  SELECT b.mm, b.kk, coalesce(u.cv, b.cv) AS cv
+      |  FROM b2 b LEFT JOIN n3 u ON u.mm = b.mm AND u.kk = b.kk),
+      |-- PQ-encode EVERY vector against the trained books: per subspace
+      |-- the L2-nearest codeword (ties to lowest kk), exactly pqCodes
+      |enc AS (
+      |  SELECT vec_id, mm, kk, cv FROM (
+      |    SELECT v.vec_id, b.mm, b.kk, b.cv,
+      |      row_number() OVER (PARTITION BY v.vec_id, b.mm ORDER BY
+      |        CAST(list_sum(list_transform(range(1, len(b.cv) + 1),
+      |          i -> (v.qv[b.mm * len(b.cv) + i] - b.cv[i])
+      |             * (v.qv[b.mm * len(b.cv) + i] - b.cv[i]))) AS BIGINT) ASC,
+      |        b.kk ASC) AS rn
+      |    FROM n v CROSS JOIN b3 b) WHERE rn = 1),
+      |-- the code-reconstructed self-norm (enc_nrm), computed once
+      |encn AS (
+      |  SELECT vec_id AS n_id,
+      |    CAST(SUM(CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT)) AS BIGINT) AS enc_nrm
+      |  FROM enc GROUP BY vec_id),
+      |-- asymmetric distance: the EXACT query subvectors dot the
+      |-- candidates' reconstructed codewords, inside IVF-probed cells
+      |adc AS (
+      |  SELECT q.q_id, a.n_id,
+      |    CAST(SUM(CAST(list_sum(list_transform(range(1, len(e.cv) + 1),
+      |      i -> qq.qv[e.mm * len(e.cv) + i] * e.cv[i])) AS BIGINT)) AS BIGINT) AS est_dot
+      |  FROM qprobe q
+      |  JOIN n qq ON qq.vec_id = q.q_id
+      |  JOIN acell a ON a.cid = q.cid AND a.n_id <> q.q_id
+      |  JOIN enc e ON e.vec_id = a.n_id
+      |  GROUP BY q.q_id, a.n_id),
+      |adck AS (
+      |  SELECT adc.q_id, adc.n_id,
+      |    (CASE WHEN est_dot < 0 THEN -1.0 ELSE 1.0 END)
+      |      * (CAST(est_dot * est_dot AS DOUBLE)
+      |         / CAST(qq.nrm * en.enc_nrm AS DOUBLE)) AS ekey
+      |  FROM adc
+      |  JOIN n qq ON qq.vec_id = adc.q_id
+      |  JOIN encn en ON en.n_id = adc.n_id),""".stripMargin
 
   /** Shared oracle CTE prefix: quantized vectors (`n`), the trained
     * IVF coarse quantizer after one integer-exact Lloyd's round
