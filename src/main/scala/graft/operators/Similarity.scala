@@ -141,7 +141,8 @@ object Similarity {
       .dropDuplicates("q_id", "n_id") // union of per-table collisions, ranked once
       .withColumn("key", cosKey(dot(col("q_qv"), col("n_qv")),
         col("q_nrm") * col("n_nrm")))
-      .withColumn("rnk", row_number().over(w))
+      // long, matching the oracle engine's BIGINT row_number
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("n_id"))
       .orderBy(col("q_id"), col("rnk"))
@@ -590,9 +591,109 @@ object Similarity {
         |    row_number() OVER (PARTITION BY q_id ORDER BY skey DESC, n_id) AS rnk
         |  FROM rescored)
         |SELECT q_id, rnk, n_id FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
-    // ann_lsh / dedup_embed: approximate variants — rows-only + ScalaTest
-    // (recall measured against ann_topk in the spec).
+    // ann_lsh: even the PRNG replays — the splitmix64 hyperplane signs
+    // are recomputed in SQL with 64-bit wrapping arithmetic (UBIGINT
+    // xor/logical-shift; multiply as two 32-bit limbs mod 2^64 in
+    // HUGEINT), then bucket keys, ≥1-table collision candidates, and
+    // the exact in-bucket cosine top-5, exactly as the operator.
+    "ann_lsh" -> s"""${lshCtes(seed = 42L, tables = 16, bits = 4)}
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        |  FROM bkeys q JOIN bkeys c ON c.t = q.t AND c.k = q.k
+        |    AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |    (CASE WHEN d < 0 THEN -1.0 ELSE 1.0 END)
+        |      * (CAST(d * d AS DOUBLE) / CAST(pp AS DOUBLE)) AS skey
+        |  FROM (
+        |    SELECT c.q_id, c.n_id,
+        |      CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |        i -> q.qv[i] * d2.qv[i])) AS BIGINT) AS d,
+        |      q.nrm * d2.nrm AS pp
+        |    FROM cand c
+        |    JOIN n q ON q.vec_id = c.q_id
+        |    JOIN n d2 ON d2.vec_id = c.n_id)),
+        |r AS (
+        |  SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY skey DESC, n_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, n_id FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // dedup_embed: same sign-matrix replay under its own (seed=7,
+    // 4 tables × 8 bits) parameters; candidate pairs are the union of
+    // per-table bucket collisions, ranked by the exact cosine key.
+    "dedup_embed" -> s"""${lshCtes(seed = 7L, tables = 4, bits = 8)}
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+        |  FROM bkeys a JOIN bkeys b2 ON b2.t = a.t AND b2.k = a.k
+        |    AND a.vec_id < b2.vec_id),
+        |scored AS (
+        |  SELECT vec_a, vec_b,
+        |    (CASE WHEN d < 0 THEN -1.0 ELSE 1.0 END)
+        |      * (CAST(d * d AS DOUBLE) / CAST(pp AS DOUBLE)) AS key
+        |  FROM (
+        |    SELECT p.vec_a, p.vec_b,
+        |      CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+        |        i -> a.qv[i] * b2.qv[i])) AS BIGINT) AS d,
+        |      a.nrm * b2.nrm AS pp
+        |    FROM pairs p
+        |    JOIN n a ON a.vec_id = p.vec_a
+        |    JOIN n b2 ON b2.vec_id = p.vec_b))
+        |SELECT vec_a, vec_b, key FROM scored
+        |ORDER BY key DESC, vec_a, vec_b LIMIT 50""".stripMargin,
   )
+
+  /** Oracle CTE block replaying [[withSigns]] + [[bucketKeys]]: the
+    * splitmix64 sign matrix in 64-bit WRAPPING arithmetic — xor and
+    * logical shifts on UBIGINT, the two multiplies as 32-bit limbs mod
+    * 2^64 in HUGEINT (DuckDB integer ops refuse overflow, so the wrap
+    * is spelled out) — then per-(vector, table) bucket keys folded
+    * big-endian from the sign projections. Starts the WITH clause
+    * (shares the `e`/`n` quantization prefix) and ends at `bkeys`
+    * (vec_id, t, k). */
+  private def lshCtes(seed: Long, tables: Int, bits: Int): String = {
+    val m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    def mulmod(a: String, b: String) =
+      s"((($a % 4294967296) * $b + ((($a // 4294967296) * $b) % 4294967296) * 4294967296) % $m64)"
+    def xorShift(z: String, k: Int) =
+      s"CAST(xor(CAST($z AS UBIGINT), CAST($z AS UBIGINT) >> $k) AS HUGEINT)"
+    val x0 = s"CAST(xor(xor(xor($seed, t * 1099511627776), b * 1048576), d) AS HUGEINT)"
+    val z1 = s"(($x0 + 11400714819323198485) % $m64)"
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, qv,
+       |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+       |  FROM e),
+       |dims AS (
+       |  SELECT unnest(range(0, len(qv))) AS d FROM (SELECT qv FROM n LIMIT 1)),
+       |-- splitmix64(seed ^ (t<<40) ^ (b<<20) ^ d), staged so each z is
+       |-- computed once; only the low bit decides the ±1 sign
+       |g1 AS (
+       |  SELECT t, b, d, $z1 AS z1
+       |  FROM range(0, $tables) rt(t), range(0, $bits) rb(b), dims),
+       |g2 AS (SELECT t, b, d, ${mulmod(xorShift("z1", 30), "13787848793156543929")} AS z2 FROM g1),
+       |g3 AS (SELECT t, b, d, ${mulmod(xorShift("z2", 27), "10724377983731091791")} AS z3 FROM g2),
+       |sgn AS (
+       |  SELECT t, b, d,
+       |    CASE WHEN CAST(xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS HUGEINT) % 2 = 0
+       |         THEN 1 ELSE -1 END AS s
+       |  FROM g3),
+       |slist AS (SELECT t, b, list(s ORDER BY d) AS sv FROM sgn GROUP BY t, b),
+       |-- exact ±1 projections, folded big-endian into the bucket key
+       |proj AS (
+       |  SELECT v.vec_id, sl.t, sl.b,
+       |    CAST(list_sum(list_transform(range(1, len(v.qv) + 1),
+       |      i -> v.qv[i] * sl.sv[i])) AS BIGINT) AS p
+       |  FROM n v, slist sl),
+       |bkeys AS (
+       |  SELECT vec_id, t,
+       |    CAST(SUM(CASE WHEN p > 0
+       |      THEN CAST(1 AS BIGINT) << (${bits - 1} - b) ELSE 0 END) AS BIGINT) AS k
+       |  FROM proj GROUP BY vec_id, t),""".stripMargin
+  }
 
   /** Oracle CTE block replaying [[trainBooks]] (m=8, ksub=16, 3 Lloyd
     * rounds) + PQ encoding + the ADC candidate scoring of
