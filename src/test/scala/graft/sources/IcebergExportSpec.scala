@@ -590,6 +590,27 @@ class IcebergExportSpec extends SparkSpec {
     // read event_type physically, evolved rows from partition metadata
     assert(sortedRows(IcebergRead.read(spark, dest)) === sortedRows(t.read()))
 
+    // PRUNING PARITY on the evolved snapshots: evolved-generation
+    // groups carry event_type as a per-group literal, so a filter on
+    // it statically eliminates whole groups — the filtered plan reads
+    // strictly fewer files than the full scan, and never an evolved
+    // file of another event_type
+    locally {
+      val full = IcebergRead.read(spark, dest)
+      val filtered = full.filter(col("event_type") === "error")
+      assert(sortedRows(filtered) ===
+        sortedRows(t.read().filter(col("event_type") === "error")))
+      val fullFiles = full.inputFiles.toSet
+      val filtFiles = filtered.inputFiles.toSet
+      assert(filtFiles.subsetOf(fullFiles))
+      assert(filtFiles.size < fullFiles.size,
+        s"the evolved-identity filter must prune whole layout groups " +
+          s"(${filtFiles.size} vs ${fullFiles.size})")
+      assert(!filtFiles.exists(f =>
+        f.contains("event_type=click") || f.contains("event_type=view")),
+        s"no evolved file of another event_type may survive: $filtFiles")
+    }
+
     // the import direction refuses the mixed-spec snapshot loudly
     // (the reader is the mixed-spec path; import adopts one spec)
     val eImp = intercept[IllegalArgumentException](
