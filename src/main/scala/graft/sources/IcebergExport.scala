@@ -1339,19 +1339,33 @@ object IcebergRead {
     * LoadTableResult instead of from a version-hint file walk. */
   private[sources] def loadMeta(meta: com.fasterxml.jackson.databind.JsonNode,
       snapshotId: Option[Long] = None): IceMeta = {
-    require(meta.get("format-version").asInt() == 2,
-      "only Iceberg format-version 2 is supported")
+    // format v2 is the native seam; format v1 FOREIGN tables read too
+    // (the Hive-era installed base): no sequence numbers (all 0 — v1
+    // has no row-level deletes, so ranking never matters), optional
+    // legacy single-`schema`/`partition-spec` metadata shapes, and
+    // the pre-manifest-list `manifests` snapshot array
+    val fv = meta.get("format-version").asInt()
+    require(fv == 1 || fv == 2,
+      s"only Iceberg format-version 1 or 2 is supported, got $fv")
     val snapId = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
     val snapNode = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapId)
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot $snapId in the exported table"))
-    val schemaId =
-      if (snapNode.has("schema-id")) snapNode.get("schema-id").asInt()
-      else meta.get("current-schema-id").asInt()
-    val schemaNode = meta.get("schemas").elements().asScala
-      .find(_.get("schema-id").asInt() == schemaId)
-      .getOrElse(throw new IllegalStateException("snapshot schema not found"))
+    val schemaNode = Option(meta.get("schemas")) match {
+      case Some(arr) =>
+        val schemaId =
+          if (snapNode.has("schema-id")) snapNode.get("schema-id").asInt()
+          else meta.get("current-schema-id").asInt()
+        arr.elements().asScala
+          .find(_.get("schema-id").asInt() == schemaId)
+          .getOrElse(throw new IllegalStateException("snapshot schema not found"))
+      case None =>
+        // v1's legacy single-schema shape (no `schemas` array)
+        require(fv == 1, "format v2 metadata must carry 'schemas'")
+        Option(meta.get("schema")).getOrElse(throw new IllegalStateException(
+          "v1 metadata carries neither 'schemas' nor 'schema'"))
+    }
     val schema = parseStruct(schemaNode)
     val fieldNameById: Map[Int, String] = schemaNode.get("fields").elements()
       .asScala.map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
@@ -1374,36 +1388,56 @@ object IcebergRead {
           p.get("schema.name-mapping.default").asText())).toMap
       }
     }
-    val specId = meta.get("default-spec-id").asInt()
-    val specsById: Map[Int, Seq[com.fasterxml.jackson.databind.JsonNode]] =
-      meta.get("partition-specs").elements().asScala.map(s =>
-        s.get("spec-id").asInt() ->
-          s.get("fields").elements().asScala.toSeq).toMap
+    val (specId, specsById) = Option(meta.get("partition-specs")) match {
+      case Some(arr) =>
+        (meta.get("default-spec-id").asInt(),
+          arr.elements().asScala.map(s =>
+            s.get("spec-id").asInt() ->
+              s.get("fields").elements().asScala.toSeq).toMap)
+      case None =>
+        // v1's legacy flat `partition-spec` shape (bare fields array)
+        require(fv == 1, "format v2 metadata must carry 'partition-specs'")
+        (0, Map(0 -> Option(meta.get("partition-spec")).toSeq
+          .flatMap(_.elements().asScala)))
+    }
     val specFields = specsById.getOrElse(specId,
       throw new IllegalArgumentException(
         s"default-spec-id $specId not in partition-specs"))
-    val listPath = snapNode.get("manifest-list").asText()
     // manifest-list record: path, content, the manifest's own sequence
     // number (v2 INHERITANCE source — Iceberg Java writes null entry
-    // sequence numbers for ADDED entries), and its partition_spec_id
+    // sequence numbers for ADDED entries), and its partition_spec_id.
+    // In a v1-WRITTEN list (or an old snapshot of a v1-upgraded table
+    // reached via time travel) content/sequence_number are simply
+    // absent: every manifest is data, every sequence number 0 — v1 has
+    // no delete files, so inheritance ranking can never matter there.
+    // A v2 list missing them still refuses (spec-invalid).
     case class MF(path: String, content: Int, seq: Long, specId: Int)
-    val manifests = readAvro(listPath).map { r =>
-      // a v1-written manifest list (e.g. an old snapshot of a
-      // v1-upgraded foreign table reached via time travel) lacks
-      // content/sequence_number — refuse with a diagnostic instead of
-      // a bare NPE from the unboxing cast
-      def longField(name: String): Long =
-        Option(r.get(name)).map(_.asInstanceOf[Long]).getOrElse(
-          throw new IllegalArgumentException(
-            s"manifest list $listPath has no '$name' field — a v1-" +
-              "written manifest list is not supported (only format v2)"))
-      MF(r.get("manifest_path").toString,
-        Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(
-          throw new IllegalArgumentException(
-            s"manifest list $listPath has no 'content' field — a v1-" +
-              "written manifest list is not supported (only format v2)")),
-        longField("sequence_number"),
-        r.get("partition_spec_id").asInstanceOf[Int])
+    val manifests: Seq[MF] = Option(snapNode.get("manifest-list")) match {
+      case Some(lp) =>
+        val listPath = lp.asText()
+        readAvro(listPath).map { r =>
+          // GenericRecord.get THROWS on a schema-absent field (a v1
+          // list's schema simply lacks these) — probe the schema first
+          def v1Default[T](name: String, v1: T)(get: AnyRef => T): T =
+            Option(r.getSchema.getField(name)).flatMap(_ =>
+                Option(r.get(name))).map(get).getOrElse {
+              require(fv == 1,
+                s"manifest list $listPath has no '$name' field — " +
+                  "spec-invalid for format v2 (v1 lists read without it)")
+              v1
+            }
+          MF(r.get("manifest_path").toString,
+            v1Default("content", 0)(_.asInstanceOf[Int]),
+            v1Default("sequence_number", 0L)(_.asInstanceOf[Long]),
+            r.get("partition_spec_id").asInstanceOf[Int])
+        }
+      case None =>
+        // the OLDEST v1 shape: the snapshot inlines its manifest paths
+        require(fv == 1,
+          "format v2 snapshots must reference a manifest-list file")
+        Option(snapNode.get("manifests")).toSeq
+          .flatMap(_.elements().asScala)
+          .map(p => MF(p.asText(), 0, 0L, specId))
     }
     val (deleteManifests, dataManifests) = manifests.partition(_.content == 1)
     def liveEntries(mp: String): Seq[GenericRecord] =
@@ -1415,12 +1449,17 @@ object IcebergRead {
       * guess (a wrong default of 0 would mis-rank the file below every
       * equality tombstone and silently over-delete). */
     def entrySeq(e: GenericRecord, mf: MF): Long =
-      Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse {
-        require(e.get("status").asInstanceOf[Int] == 1,
-          s"manifest entry in ${mf.path} has null sequence_number with " +
-            "EXISTING status — spec-invalid, refusing")
-        mf.seq
-      }
+      Option(e.getSchema.getField("sequence_number"))
+        .flatMap(_ => Option(e.get("sequence_number")))
+        .map(_.asInstanceOf[Long]).getOrElse {
+          // v1 entries carry no sequence numbers at all (the field is
+          // absent from their schema) — everything is sequence 0; no
+          // delete files exist in v1 to rank against
+          require(fv == 1 || e.get("status").asInstanceOf[Int] == 1,
+            s"manifest entry in ${mf.path} has null sequence_number with " +
+              "EXISTING status — spec-invalid, refusing")
+          mf.seq
+        }
     val entries = dataManifests.flatMap { mf =>
       // the partition struct parses with the MANIFEST's OWN spec's
       // field names (per-manifest spec-id — Iceberg's encoding of
@@ -1511,7 +1550,8 @@ object IcebergRead {
         s.get("timestamp-ms").asLong(),
         Option(s.get("summary")).flatMap(su =>
           Option(su.get("operation"))).map(_.asText()).orNull,
-        s.get("manifest-list").asText(),
+        // null for the oldest v1 shape (inline `manifests` array)
+        Option(s.get("manifest-list")).map(_.asText()).orNull,
         Option(s.get("schema-id")).map(_.asInt())
           .map(Integer.valueOf).orNull,
         s.get("snapshot-id").asLong() ==
@@ -1942,6 +1982,28 @@ object IcebergImport {
                   "graft's truncate-toward-zero disagree there, so " +
                   "graft's pruning would mis-skip. Imports are limited " +
                   "to the non-negative epoch domain")
+            }
+            // IDENTITY columns are not stored in the data files (the
+            // hive convention this import adopts) — graft's scan
+            // reconstructs them from the file's OWN path segments, so
+            // the path must actually carry `col=value` agreeing with
+            // the manifest, or reads would silently yield nulls.
+            // Refuse-not-guess: a foreign identity layout without
+            // derivable paths stays readable via IcebergRead/
+            // iceberg_scan (which reconstruct from the manifest).
+            if (sc.partCol.isDefined) {
+              val derived = LogTable.partValsOfRel(plain(e.path))
+                .get(sc.pname)
+              require(derived.contains(v.toString),
+                s"cannot import identity partition column " +
+                  s"'${sc.pname}' exactly: file ${e.path} carries " +
+                  s"manifest value '$v' but its path segments " +
+                  s"${if (derived.isEmpty) "carry no such key"
+                     else s"say '${derived.get}'"} — graft's scan " +
+                  "derives identity values from hive-style path " +
+                  "segments, so this layout would read nulls. Read " +
+                  "it via IcebergRead/iceberg_scan instead, or " +
+                  "rewrite the source hive-style first")
             }
             Some(sc.graftKey -> v.toString)
           case None =>

@@ -618,6 +618,172 @@ class IcebergExportSpec extends SparkSpec {
     assert(eImp.getMessage.contains("spec-evolved"))
   }
 
+  test("FOREIGN format-v1 tables read: legacy single-schema/flat-spec metadata, inline-manifests snapshot, v1 manifest list, prune, import") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+    val root = Paths.get(tmp("ice_v1_"))
+    val metaDir = root.resolve("metadata"); Files.createDirectories(metaDir)
+    val dataDir = root.resolve("data"); Files.createDirectories(dataDir)
+
+    // data files: Hive-style v1 — the identity partition column is NOT
+    // stored physically; the reader reconstructs it from the manifest
+    def writeData(name: String, ids: Seq[Long]): (String, Long) = {
+      val p = dataDir.resolve(name).toString
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(p)
+      val f = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      (f.getAbsolutePath, f.length())
+    }
+    val (fA, szA) = writeData("cat=x/a", Seq(1L, 2L))
+    val (fB, szB) = writeData("cat=y/b", Seq(3L))
+    val (fC, szC) = writeData("cat=x/c", Seq(4L, 5L))
+    // a NON-hive-path file for the import-refusal case below
+    val (fD, szD) = writeData("d", Seq(9L))
+
+    // v1 manifest avro: NO sequence-number fields anywhere, the
+    // v1-required block_size_in_bytes present, data_file has NO content
+    val mSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |  {"name":"cat","type":["null","string"],"default":null}]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"block_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin)
+    def writeManifest(name: String,
+        entries: Seq[(Int, String, String, Long, Long)]): String = {
+      val p = metaDir.resolve(name)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](mSchema))
+      w.create(mSchema, p.toFile)
+      try entries.foreach { case (status, path, cat, rows, size) =>
+        val part = new GenericData.Record(mSchema.getField("data_file")
+          .schema().getField("partition").schema())
+        part.put("cat", cat)
+        val df = new GenericData.Record(mSchema.getField("data_file").schema())
+        df.put("file_path", path); df.put("file_format", "PARQUET")
+        df.put("partition", part); df.put("record_count", rows)
+        df.put("file_size_in_bytes", size)
+        df.put("block_size_in_bytes", 67108864L)
+        val e = new GenericData.Record(mSchema)
+        e.put("status", status); e.put("snapshot_id", 1L); e.put("data_file", df)
+        w.append(e)
+      } finally w.close()
+      p.toString
+    }
+    val m1 = writeManifest("m1.avro",
+      Seq((1, fA, "x", 2L, szA), (1, fB, "y", 1L, szB)))
+    val m2 = writeManifest("m2.avro", Seq((1, fC, "x", 2L, szC)))
+
+    // v1 manifest LIST (snapshot 2): no content / sequence_number
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin)
+    val listPath = metaDir.resolve("snap-2.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.create(listSchema, listPath.toFile)
+      try Seq(m1, m2).foreach { mp =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", mp)
+        r.put("manifest_length", Files.size(Paths.get(mp)))
+        r.put("partition_spec_id", 0); r.put("added_snapshot_id", 2L)
+        w.append(r)
+        ()
+      } finally w.close()
+    }
+
+    // v1 metadata: legacy single `schema`, flat `partition-spec`,
+    // snapshot 1 in the OLDEST inline-`manifests` shape, snapshot 2
+    // through the manifest list
+    val metaJson =
+      s"""{"format-version":1,"table-uuid":"f00dcafe-0000-0000-0000-000000000001",
+         |"location":"$root","last-updated-ms":1000,"last-column-id":2,
+         |"schema":{"type":"struct","fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"cat","required":false,"type":"string"}]},
+         |"partition-spec":[{"name":"cat","transform":"identity","source-id":2,"field-id":1000}],
+         |"properties":{},
+         |"current-snapshot-id":2,
+         |"snapshots":[
+         |  {"snapshot-id":1,"timestamp-ms":1000,"summary":{"operation":"append"},
+         |   "manifests":["$m1"]},
+         |  {"snapshot-id":2,"timestamp-ms":2000,"summary":{"operation":"append"},
+         |   "manifest-list":"$listPath"}],
+         |"snapshot-log":[{"timestamp-ms":1000,"snapshot-id":1},
+         |  {"timestamp-ms":2000,"snapshot-id":2}]}""".stripMargin
+    Files.write(metaDir.resolve("v1.metadata.json"), metaJson.getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+
+    // current read: both manifests through the v1 list, identity `cat`
+    // reconstructed from partition metadata
+    val cur = IcebergRead.read(spark, root.toString)
+    assert(cur.select("id", "cat").as[(Long, String)].collect().sorted.toSeq
+      === Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "x"), (5L, "x")))
+    // time travel to the inline-`manifests` snapshot
+    val v1 = IcebergRead.read(spark, root.toString, versionAsOf = Some(1L))
+    assert(v1.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // identity-partition pruning survives the v1 path
+    val pruned = cur.filter(col("cat") === "y")
+    assert(pruned.select("id").as[Long].collect().toSeq === Seq(3L))
+    assert(pruned.inputFiles.map(f => java.net.URI.create(f).getPath).toSet
+      === Set(fB),
+      s"cat='y' must read only fB, got ${pruned.inputFiles.toSeq}")
+    // SQL surfaces
+    assert(GraftSql.exec(spark,
+      s"SELECT count(*) AS n FROM iceberg_scan('$root')").head().getLong(0) === 5L)
+    val snaps = IcebergRead.snapshots(spark, root.toString)
+      .select("snapshot_id", "manifest_list").collect()
+    assert(snaps.length === 2)
+    assert(snaps.find(_.getLong(0) == 1L).exists(_.isNullAt(1)),
+      "the inline-manifests snapshot has no manifest list")
+    // graft-native import adopts the identity layout and the rows
+    // (the fixture's files sit in hive-style dirs, as Spark/Hive-era
+    // v1 writers lay them out — graft's scan derives identity values
+    // from those path segments)
+    val imp = IcebergImport.importTable(spark, root.toString, tmp("ice_v1_imp_"))
+    assert(imp.read().select("id", "cat").as[(Long, String)].collect().sorted.toSeq
+      === Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "x"), (5L, "x")))
+
+    // a NON-hive-path identity layout REFUSES import (graft's scan
+    // could not derive 'cat' from the path — adopting it would read
+    // nulls silently) while the spec reader still reads it exactly
+    // (it reconstructs from the manifest, path-agnostic)
+    val root2 = Paths.get(tmp("ice_v1_nh_"))
+    val metaDir2 = root2.resolve("metadata"); Files.createDirectories(metaDir2)
+    val m3 = writeManifest("m3.avro", Seq((1, fD, "z", 1L, szD)))
+    val metaJson2 =
+      s"""{"format-version":1,"table-uuid":"f00dcafe-0000-0000-0000-000000000002",
+         |"location":"$root2","last-updated-ms":1000,"last-column-id":2,
+         |"schema":{"type":"struct","fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"cat","required":false,"type":"string"}]},
+         |"partition-spec":[{"name":"cat","transform":"identity","source-id":2,"field-id":1000}],
+         |"properties":{},"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"timestamp-ms":1000,
+         |  "summary":{"operation":"append"},"manifests":["$m3"]}],
+         |"snapshot-log":[{"timestamp-ms":1000,"snapshot-id":1}]}""".stripMargin
+    Files.write(metaDir2.resolve("v1.metadata.json"), metaJson2.getBytes("UTF-8"))
+    Files.write(metaDir2.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+    assert(IcebergRead.read(spark, root2.toString)
+      .select("id", "cat").as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+    val eNh = intercept[IllegalArgumentException](
+      IcebergImport.importTable(spark, root2.toString, tmp("ice_v1_nh_imp_")))
+    assert(eNh.getMessage.contains("hive-style path segments"))
+  }
+
   test("eq re-encode is BATCHED: a many-tombstone HISTORY export runs one job per shape group, not one per file") {
     val t = LogTable(spark, tmp("ice_eq_batch_"))
     t.append((0L until 40L).map(i => (i, "a")).toDF("id", "tag"))
