@@ -1406,25 +1406,29 @@ object IcebergRead {
     // manifest-list record: path, content, the manifest's own sequence
     // number (v2 INHERITANCE source — Iceberg Java writes null entry
     // sequence numbers for ADDED entries), and its partition_spec_id.
-    // In a v1-WRITTEN list (or an old snapshot of a v1-upgraded table
-    // reached via time travel) content/sequence_number are simply
-    // absent: every manifest is data, every sequence number 0 — v1 has
-    // no delete files, so inheritance ranking can never matter there.
-    // A v2 list missing them still refuses (spec-invalid).
+    // A v1-WRITTEN list — a plain v1 table, OR the retained early
+    // snapshots of a v1→v2 UPGRADED table (the upgrade keeps old
+    // manifest lists; the spec says v2 readers default their missing
+    // sequence numbers to 0) — simply LACKS content/sequence_number in
+    // its Avro schema: every manifest is data at sequence 0; v1 wrote
+    // no delete files, so inheritance ranking can never matter for
+    // them. Only a v2-SCHEMA list with a NULL value refuses
+    // (spec-invalid); schema ABSENCE is the v1-written signal.
     case class MF(path: String, content: Int, seq: Long, specId: Int)
     val manifests: Seq[MF] = Option(snapNode.get("manifest-list")) match {
       case Some(lp) =>
         val listPath = lp.asText()
         readAvro(listPath).map { r =>
-          // GenericRecord.get THROWS on a schema-absent field (a v1
-          // list's schema simply lacks these) — probe the schema first
+          // GenericRecord.get THROWS on a schema-absent field — probe
+          // the record's schema to distinguish v1-written (absent →
+          // default) from v2-corrupt (present but null → refuse)
           def v1Default[T](name: String, v1: T)(get: AnyRef => T): T =
-            Option(r.getSchema.getField(name)).flatMap(_ =>
-                Option(r.get(name))).map(get).getOrElse {
-              require(fv == 1,
-                s"manifest list $listPath has no '$name' field — " +
-                  "spec-invalid for format v2 (v1 lists read without it)")
-              v1
+            Option(r.getSchema.getField(name)) match {
+              case None => v1
+              case Some(_) => Option(r.get(name)).map(get).getOrElse(
+                throw new IllegalArgumentException(
+                  s"manifest list $listPath carries a NULL '$name' — " +
+                    "spec-invalid for a v2-written manifest list"))
             }
           MF(r.get("manifest_path").toString,
             v1Default("content", 0)(_.asInstanceOf[Int]),
@@ -1449,17 +1453,19 @@ object IcebergRead {
       * guess (a wrong default of 0 would mis-rank the file below every
       * equality tombstone and silently over-delete). */
     def entrySeq(e: GenericRecord, mf: MF): Long =
-      Option(e.getSchema.getField("sequence_number"))
-        .flatMap(_ => Option(e.get("sequence_number")))
-        .map(_.asInstanceOf[Long]).getOrElse {
-          // v1 entries carry no sequence numbers at all (the field is
-          // absent from their schema) — everything is sequence 0; no
-          // delete files exist in v1 to rank against
-          require(fv == 1 || e.get("status").asInstanceOf[Int] == 1,
-            s"manifest entry in ${mf.path} has null sequence_number with " +
-              "EXISTING status — spec-invalid, refusing")
-          mf.seq
-        }
+      Option(e.getSchema.getField("sequence_number")) match {
+        // a v1-WRITTEN manifest (plain v1 table or the early snapshots
+        // of an upgraded one) has no sequence field in its schema at
+        // all — every entry inherits the list record's (0)
+        case None => mf.seq
+        case Some(_) => Option(e.get("sequence_number"))
+          .map(_.asInstanceOf[Long]).getOrElse {
+            require(e.get("status").asInstanceOf[Int] == 1,
+              s"manifest entry in ${mf.path} has null sequence_number " +
+                "with EXISTING status — spec-invalid, refusing")
+            mf.seq
+          }
+      }
     val entries = dataManifests.flatMap { mf =>
       // the partition struct parses with the MANIFEST's OWN spec's
       // field names (per-manifest spec-id — Iceberg's encoding of

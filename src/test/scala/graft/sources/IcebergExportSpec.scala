@@ -784,6 +784,93 @@ class IcebergExportSpec extends SparkSpec {
     assert(eNh.getMessage.contains("hive-style path segments"))
   }
 
+  test("v1-to-v2 UPGRADED table: a v2 reader reads v1-WRITTEN manifest lists at sequence 0 (the upgrade keeps old lists)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+    val root = Paths.get(tmp("ice_v1up_"))
+    val metaDir = root.resolve("metadata"); Files.createDirectories(metaDir)
+    val dataDir = root.resolve("data"); Files.createDirectories(dataDir)
+    Seq(1L, 2L, 3L).toDF("id").coalesce(1).write.parquet(dataDir.resolve("a").toString)
+    val f = new java.io.File(dataDir.resolve("a").toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+
+    // v1-schema manifest + list (no sequence fields anywhere)
+    val mSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin)
+    val mp = metaDir.resolve("m1.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](mSchema))
+      w.create(mSchema, mp.toFile)
+      try {
+        val dfr = new GenericData.Record(mSchema.getField("data_file").schema())
+        dfr.put("file_path", f.getAbsolutePath)
+        dfr.put("file_format", "PARQUET")
+        dfr.put("partition", new GenericData.Record(
+          mSchema.getField("data_file").schema().getField("partition").schema()))
+        dfr.put("record_count", 3L); dfr.put("file_size_in_bytes", f.length())
+        val e = new GenericData.Record(mSchema)
+        // EXISTING status — under the old strictness a missing sequence
+        // number on EXISTING refused; a v1-written manifest must not
+        e.put("status", 0); e.put("data_file", dfr)
+        w.append(e)
+      } finally w.close()
+    }
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"}
+        |]}""".stripMargin)
+    val lp = metaDir.resolve("snap-1.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.create(listSchema, lp.toFile)
+      try {
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", mp.toString)
+        r.put("manifest_length", Files.size(mp))
+        r.put("partition_spec_id", 0)
+        w.append(r)
+      } finally w.close()
+    }
+    // the UPGRADED metadata: format-version 2 (schemas/partition-specs
+    // arrays, as the upgrade rewrites metadata) but the snapshot still
+    // references the v1-WRITTEN list above
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"f00dcafe-0000-0000-0000-000000000003",
+         |"location":"$root","last-updated-ms":1000,"last-column-id":1,
+         |"last-sequence-number":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,"properties":{},
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"timestamp-ms":1000,"sequence-number":0,
+         |  "summary":{"operation":"append"},"manifest-list":"$lp","schema-id":0}],
+         |"snapshot-log":[{"timestamp-ms":1000,"snapshot-id":1}]}""".stripMargin
+    Files.write(metaDir.resolve("v1.metadata.json"), metaJson.getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+
+    assert(IcebergRead.read(spark, root.toString)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // and the import carries the defaulted sequence 0 over
+    val imp = IcebergImport.importTable(spark, root.toString, tmp("ice_v1up_imp_"))
+    assert(imp.read().select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("eq re-encode is BATCHED: a many-tombstone HISTORY export runs one job per shape group, not one per file") {
     val t = LogTable(spark, tmp("ice_eq_batch_"))
     t.append((0L until 40L).map(i => (i, "a")).toDF("id", "tag"))
