@@ -346,6 +346,10 @@ object IcebergExport {
          |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
          |{"name":"record_count","type":"long","field-id":103},
          |{"name":"file_size_in_bytes","type":"long","field-id":104},
+         |{"name":"value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k119_v120","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]},"logicalType":"map"}],"default":null,"field-id":109},
+         |{"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110},
+         |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
+         |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
          |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
          |]}}]}""".stripMargin)
     val manifestSchema = manifestSchemaFor(partAvroFields)
@@ -691,6 +695,61 @@ object IcebergExport {
           df.put("partition", part)
           df.put("record_count", f.rows)
           df.put("file_size_in_bytes", f.bytes)
+          // COLUMN STATS — what lets a FOREIGN engine data-skip on
+          // non-partition predicates (Iceberg's min/max pruning, the
+          // 100 TB seam requirement): graft's per-file footer stats
+          // export as lower/upper_bounds in the spec's single-value
+          // binary form (long = 8-byte little-endian, string = exact
+          // UTF-8 — no truncation, so upper bounds stay exact), null
+          // counts as null_value_counts, and value_counts = rows for
+          // every stats-carrying TOP-LEVEL column (flat columns have
+          // one value per row — what lets engines run the
+          // all-null/no-null file checks). Columns without recorded
+          // stats stay absent: absence never prunes.
+          locally {
+            val dfSchema = mSchema.getField("data_file").schema()
+            def fid(name: String): Option[Int] =
+              schema.fields.find(_.name.equalsIgnoreCase(name))
+                .map(sf => ids.of(sf.name))
+            def kvArr(field: String, m: Seq[(Int, AnyRef)]): Unit =
+              if (m.nonEmpty) {
+                val arrSchema = dfSchema.getField(field).schema()
+                  .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+                val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
+                m.sortBy(_._1).foreach { case (k, v) =>
+                  val r = new GenericData.Record(arrSchema.getElementType)
+                  r.put("key", k)
+                  r.put("value", v)
+                  arr.add(r)
+                  ()
+                }
+                df.put(field, arr)
+              }
+            def le8(v: Long): java.nio.ByteBuffer = {
+              val b = java.nio.ByteBuffer.allocate(8)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              b.putLong(v).flip()
+              b
+            }
+            def utf8(s: String): java.nio.ByteBuffer =
+              java.nio.ByteBuffer.wrap(s.getBytes(StandardCharsets.UTF_8))
+            val lo = f.ranges.toSeq.flatMap { case (c, (mn, _)) =>
+                fid(c).map(_ -> (le8(mn): AnyRef)) } ++
+              f.strRanges.toSeq.flatMap { case (c, (mn, _)) =>
+                fid(c).map(_ -> (utf8(mn): AnyRef)) }
+            val hi = f.ranges.toSeq.flatMap { case (c, (_, mx)) =>
+                fid(c).map(_ -> (le8(mx): AnyRef)) } ++
+              f.strRanges.toSeq.flatMap { case (c, (_, mx)) =>
+                fid(c).map(_ -> (utf8(mx): AnyRef)) }
+            val nulls = f.nulls.toSeq.flatMap { case (c, n) =>
+              fid(c).map(_ -> (java.lang.Long.valueOf(n): AnyRef)) }
+            val statCols = (lo.map(_._1) ++ nulls.map(_._1)).distinct
+            kvArr("lower_bounds", lo)
+            kvArr("upper_bounds", hi)
+            kvArr("null_value_counts", nulls)
+            kvArr("value_counts",
+              statCols.map(_ -> (java.lang.Long.valueOf(f.rows): AnyRef)))
+          }
           val e = new GenericData.Record(mSchema)
           e.put("status", if (parentPaths.contains(f.path)) 0 else 1)
           e.put("snapshot_id", sn.version)
@@ -1313,7 +1372,14 @@ object IcebergRead {
   private[sources] final case class IceEntry(path: String, rows: Long,
       bytes: Long, part: Map[String, Any], seq: Long,
       /** The partition spec the entry's manifest bound to (spec-id). */
-      specId: Int = 0)
+      specId: Int = 0,
+      /** Column stats when the manifest carries them (field id →
+        * single-value binary / null count) — what import adopts into
+        * graft's per-file ranges so stat pruning works on foreign
+        * files immediately. Absent = unknown, never prunes. */
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty)
   private[sources] final case class IceDelete(path: String, content: Int,
       seq: Long, equalityIds: Seq[Int], rows: Long)
 
@@ -1481,11 +1547,30 @@ object IcebergRead {
         require(df.get("file_format").toString == "PARQUET",
           "only PARQUET data files are supported")
         val part = df.get("partition").asInstanceOf[GenericRecord]
+        // the spec's k-v-array-encoded maps, when the manifest's own
+        // schema carries them (absence = no stats recorded)
+        def kvMap[T](name: String)(conv: AnyRef => T): Map[Int, T] =
+          Option(df.getSchema.getField(name))
+            .flatMap(_ => Option(df.get(name))).toSeq
+            .flatMap(_.asInstanceOf[java.util.List[_]].asScala)
+            .map { r0 =>
+              val r = r0.asInstanceOf[GenericRecord]
+              r.get("key").asInstanceOf[Int] -> conv(r.get("value"))
+            }.toMap
+        def bytesOf(v: AnyRef): Array[Byte] = {
+          val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+          val out = new Array[Byte](bb.remaining())
+          bb.get(out)
+          out
+        }
         IceEntry(df.get("file_path").toString,
           df.get("record_count").asInstanceOf[Long],
           df.get("file_size_in_bytes").asInstanceOf[Long],
           pnames.map(p => p -> part.get(p)).toMap,
-          entrySeq(e, mf), specId = mf.specId)
+          entrySeq(e, mf), specId = mf.specId,
+          lowerBounds = kvMap("lower_bounds")(bytesOf),
+          upperBounds = kvMap("upper_bounds")(bytesOf),
+          nullCounts = kvMap("null_value_counts")(_.asInstanceOf[Long]))
       }
     }
     val deleteFiles = deleteManifests.flatMap { mf =>
@@ -2020,12 +2105,41 @@ object IcebergImport {
             else None
         }
       }.toMap
+      // foreign COLUMN STATS adopt too (the spec's single-value binary
+      // form: long = 8-byte little-endian, string = UTF-8): graft's
+      // stat pruner skips imported files immediately instead of
+      // waiting for a compaction to re-derive footer stats. Only
+      // exactly-decodable cases adopt — a long bound must be the full
+      // 8 bytes, and string bounds adopt as a VALID range only if the
+      // writer didn't truncate (Iceberg upper bounds may be truncated-
+      // and-incremented; an exact-equal-length pair is safe either
+      // way, and skipping adoption never mis-prunes)
+      val statRanges = scala.collection.mutable.Map[String, (Long, Long)]()
+      val statStrRanges = scala.collection.mutable.Map[String, (String, String)]()
+      for ((fidV, lo) <- e.lowerBounds; hi <- e.upperBounds.get(fidV);
+           name <- m.fieldNameById.get(fidV)) {
+        m.schema.fields.find(_.name == name).map(_.dataType) match {
+          case Some(LongType) if lo.length == 8 && hi.length == 8 =>
+            def le(b: Array[Byte]): Long =
+              java.nio.ByteBuffer.wrap(b)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong()
+            statRanges(name) = (le(lo), le(hi))
+          case Some(StringType) =>
+            statStrRanges(name) =
+              (new String(lo, StandardCharsets.UTF_8),
+                new String(hi, StandardCharsets.UTF_8))
+          case _ => // other types: skip — absence never prunes
+        }
+      }
+      val statNulls = e.nullCounts.flatMap { case (fidV, n) =>
+        m.fieldNameById.get(fidV).map(_ -> n) }
       // paths normalize to plain form so delete-blob keys, manifest
       // entries and scan-metadata paths all agree; the foreign data
       // SEQUENCE carries over — equality tombstones must keep
       // applying only to files strictly older than themselves
       DataFile(plain(e.path), e.rows, e.bytes, partitions = parts,
-        seq = e.seq)
+        ranges = statRanges.toMap, strRanges = statStrRanges.toMap,
+        seq = e.seq, nulls = statNulls)
     }
     // foreign POSITION deletes materialize as graft deletion-vector
     // blobs under the importing root (graft's native delete form —

@@ -871,6 +871,49 @@ class IcebergExportSpec extends SparkSpec {
     assert(imp.read().select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("column stats cross the seam: bounds/null-counts export in spec binary form, import adopts them, foreign files stat-prune immediately") {
+    val t = LogTable(spark, tmp("ice_stats_"))
+    t.append(Seq((1L, "apple", Some(10L)), (2L, "banana", None))
+      .toDF("id", "s", "v").coalesce(1))
+    t.append(Seq((100L, "kiwi", Some(5L)), (200L, "zebra", Some(7L)))
+      .toDF("id", "s", "v").coalesce(1))
+    val dest = tmp("ice_stats_out_")
+    IcebergExport.export(t, dest)
+
+    // the spec reader surfaces manifest-carried stats per entry:
+    // longs as 8-byte little-endian, strings as exact UTF-8
+    val m = IcebergRead.load(dest)
+    assert(m.entries.size === 2)
+    def le(b: Array[Byte]): Long = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong()
+    val idF = m.fieldNameById.find(_._2 == "id").get._1
+    val sF = m.fieldNameById.find(_._2 == "s").get._1
+    assert(m.entries.map(e => le(e.lowerBounds(idF))).sorted === Seq(1L, 100L))
+    val e1 = m.entries.find(e => le(e.lowerBounds(idF)) == 1L).get
+    assert(le(e1.upperBounds(idF)) === 2L)
+    assert(new String(e1.lowerBounds(sF), "UTF-8") === "apple")
+    assert(new String(e1.upperBounds(sF), "UTF-8") === "banana")
+    // the nullable column's null count rides as null_value_counts
+    val vF = m.fieldNameById.find(_._2 == "v").get._1
+    if (t.stats().files.exists(_.nulls.contains("v")))
+      assert(e1.nullCounts.get(vF).contains(1L))
+
+    // import adopts the stats verbatim (zero-copy files, same paths)
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_stats_imp_"))
+    val src = t.stats().files
+      .map(f => f.path -> (f.ranges.get("id"), f.strRanges.get("s"))).toMap
+    imp.stats().files.foreach { f =>
+      assert(src(f.path)._1 === f.ranges.get("id"), s"id range of ${f.path}")
+      assert(src(f.path)._2 === f.strRanges.get("s"), s"s range of ${f.path}")
+    }
+    // and stat pruning fires on the imported table IMMEDIATELY — no
+    // compaction needed to re-derive footer stats
+    assert(imp.filesInRange("id", 150L, 300L).size === 1,
+      "imported bounds must skip the 1-2 file for a 150-300 window")
+    assert(imp.read().filter(col("id") >= 100L)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(100L, 200L))
+  }
+
   test("eq re-encode is BATCHED: a many-tombstone HISTORY export runs one job per shape group, not one per file") {
     val t = LogTable(spark, tmp("ice_eq_batch_"))
     t.append((0L until 40L).map(i => (i, "a")).toDF("id", "tag"))
