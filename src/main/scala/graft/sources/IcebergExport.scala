@@ -89,6 +89,30 @@ object IcebergExport {
     try reader.getRecordCount finally reader.close()
   }
 
+  /** Footer min/max of a top-level BINARY(UTF8) column across the
+    * file's row groups (metadata only, no data I/O); None when any
+    * row group lacks stats for it. */
+  private[sources] def parquetStringBounds(p: Path,
+      column: String): Option[(String, String)] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val per = reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .map(_.getStatistics)
+          .filter(s => s != null && s.hasNonNullValue)
+          .map(s => (
+            new String(s.getMinBytes, StandardCharsets.UTF_8),
+            new String(s.getMaxBytes, StandardCharsets.UTF_8)))
+      }
+      if (per.isEmpty || per.exists(_.isEmpty)) None
+      else Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
+    } finally reader.close()
+  }
+
   /** Write Iceberg v2 metadata for `table` under `dest` — the CURRENT
     * snapshot by default, or (with `history = true`) EVERY live
     * snapshot as its own Iceberg snapshot with a snapshot-log, so a
@@ -493,17 +517,25 @@ object IcebergExport {
       * (file_path=2147483546, pos=2147483545). SHARDED like graft's
       * own delete writers (deleteMor / the import direction): one
       * delete parquet per ~8 referenced data files (cap 256),
-      * hash-partitioned by file_path — each data file's marks land
-      * wholly in ONE delete file (one delete read per data file) and
-      * a CDC-busy table's mark backlog writes in parallel instead of
+      * RANGE-partitioned by file_path — each data file's marks land
+      * wholly in ONE delete file (equal range keys share a partition,
+      * so the one-delete-read-per-data-file property holds) and a
+      * CDC-busy table's mark backlog writes in parallel instead of
       * funnelling through a single coalesce(1) task — spec-sorted
       * (file_path, pos) WITHIN each shard (the spec's sort is
-      * per-file). Cached per distinct outstanding mark-set:
-      * lineage-adjacent snapshots carry the same delete files until a
-      * compact folds them, so a history export writes each set once. */
-    val posDeleteCache =
-      scala.collection.mutable.Map[Seq[String], Seq[(Path, Long)]]()
-    def positionDeleteParquets(sn: Snapshot): Seq[(Path, Long)] =
+      * per-file). Range, not hash, so each shard covers a CONTIGUOUS,
+      * DISJOINT file_path interval — exported as file_path
+      * lower/upper bounds on the delete manifest entry, which is how
+      * a foreign engine matches delete files to data files without
+      * opening them (hash shards would all span the whole path range,
+      * making the bounds useless). Cached per distinct outstanding
+      * mark-set: lineage-adjacent snapshots carry the same delete
+      * files until a compact folds them, so a history export writes
+      * each set once. (path, rows, file_path bounds) per shard. */
+    val posDeleteCache = scala.collection.mutable
+      .Map[Seq[String], Seq[(Path, Long, Option[(String, String)])]]()
+    def positionDeleteParquets(sn: Snapshot)
+        : Seq[(Path, Long, Option[(String, String)])] =
       if (sn.deletes.isEmpty) Nil
       else posDeleteCache.getOrElseUpdate(sn.deletes.map(_.path).sorted, {
         val refFiles = sn.deletes.flatMap(_.refPaths).toSet.size
@@ -512,8 +544,11 @@ object IcebergExport {
           .select(withFieldId(col("file_path"), "file_path", 2147483546L),
             withFieldId(col("pos"), "pos", 2147483545L))
         writeDeleteParquets(marks, "delete", df =>
-          df.repartition(shards, col("file_path"))
+          df.repartitionByRange(shards, col("file_path"))
             .sortWithinPartitions(col("file_path"), col("pos")))
+          .map { case (p, rows) =>
+            (p, rows, IcebergExport.parquetStringBounds(p, "file_path"))
+          }
       })
 
     /** Equality tombstones re-encode under dest/data with the KEY
@@ -786,15 +821,36 @@ object IcebergExport {
           w.create(deleteManifestSchema, mp.toFile)
           try {
             def entry(path: String, content: Int, rows: Long, bytes: Long,
-                seq: Long, eqIds: Seq[Int]): Unit = {
-              val df = new GenericData.Record(
-                deleteManifestSchema.getField("data_file").schema())
+                seq: Long, eqIds: Seq[Int],
+                pathBounds: Option[(String, String)]): Unit = {
+              val dfSchema = deleteManifestSchema.getField("data_file").schema()
+              val df = new GenericData.Record(dfSchema)
               df.put("content", content)
               df.put("file_path", path)
               df.put("file_format", "PARQUET")
               df.put("partition", new GenericData.Record(deletePartSchema))
               df.put("record_count", rows)
               df.put("file_size_in_bytes", bytes)
+              // file_path bounds (reserved field id 2147483546): the
+              // range-sharded delete parquets cover disjoint path
+              // intervals, so a foreign engine matches delete files to
+              // data files from the manifest alone
+              pathBounds.foreach { case (mn, mx) =>
+                def kv(field: String, v: String): Unit = {
+                  val arrSchema = dfSchema.getField(field).schema()
+                    .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+                  val arr = new GenericData.Array[GenericRecord](1, arrSchema)
+                  val r = new GenericData.Record(arrSchema.getElementType)
+                  r.put("key", 2147483546)
+                  r.put("value", java.nio.ByteBuffer.wrap(
+                    v.getBytes(StandardCharsets.UTF_8)))
+                  arr.add(r)
+                  df.put(field, arr)
+                  ()
+                }
+                kv("lower_bounds", mn)
+                kv("upper_bounds", mx)
+              }
               if (eqIds.nonEmpty) {
                 val arr = new java.util.ArrayList[Integer]()
                 eqIds.foreach(i => arr.add(Integer.valueOf(i)))
@@ -808,14 +864,14 @@ object IcebergExport {
               e.put("data_file", df)
               w.append(e)
             }
-            deleteShards.foreach { case (delPath, delRows) =>
+            deleteShards.foreach { case (delPath, delRows, bounds) =>
               entry(delPath.toString, 1, delRows, Files.size(delPath),
-                seqNum, Nil) // POSITION_DELETES cover every data seq
+                seqNum, Nil, bounds) // POSITION_DELETES cover every data seq
             }
             // equality tombstones keep their OWN sequence numbers —
             // the strictly-below rule is what scopes them
             eqExports.foreach { case (path, bytes, eqIds, rows, seq) =>
-              entry(path, 2, rows, bytes, seq, eqIds)
+              entry(path, 2, rows, bytes, seq, eqIds, pathBounds = None)
             }
           } finally w.close()
           Some(mp)

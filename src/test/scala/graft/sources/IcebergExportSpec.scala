@@ -1406,6 +1406,56 @@ class IcebergExportSpec extends SparkSpec {
     assert(json.contains(s""""total-delete-files":"${delFiles.size}""""),
       "summary counts EXPORTED delete files, not internal DV blobs")
 
+    // DELETE-FILE TARGETING: each shard's manifest entry carries
+    // file_path lower/upper bounds (reserved field id 2147483546)
+    // covering a CONTIGUOUS, DISJOINT path interval (range sharding) —
+    // a foreign engine matches delete files to data files from the
+    // manifest alone. Cross-check the bounds against the shards'
+    // actual contents.
+    locally {
+      import org.apache.avro.file.DataFileReader
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      val metaDir = Paths.get(dest).resolve("metadata")
+      val delManifest = Files.list(metaDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith("-d0.avro")).toSeq match {
+          case Seq(one) => one
+          case more => fail(s"expected one delete manifest, got $more")
+        }
+      val rdr = new DataFileReader[GenericRecord](delManifest.toFile,
+        new GenericDatumReader[GenericRecord]())
+      val bounds = try {
+        val buf = scala.collection.mutable.ListBuffer[(String, String, String)]()
+        while (rdr.hasNext) {
+          val df = rdr.next().get("data_file").asInstanceOf[GenericRecord]
+          def bound(f: String): String = {
+            val kv = df.get(f).asInstanceOf[java.util.List[_]].get(0)
+              .asInstanceOf[GenericRecord]
+            assert(kv.get("key").asInstanceOf[Int] === 2147483546)
+            val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer].duplicate()
+            val out = new Array[Byte](bb.remaining()); bb.get(out)
+            new String(out, "UTF-8")
+          }
+          buf += ((df.get("file_path").toString, bound("lower_bounds"),
+            bound("upper_bounds")))
+        }
+        buf.toList
+      } finally rdr.close()
+      assert(bounds.size === delFiles.size)
+      bounds.foreach { case (shardPath, lo, hi) =>
+        val actual = spark.read.parquet(shardPath)
+          .select("file_path").as[String].collect()
+        assert(actual.min === lo && actual.max === hi,
+          s"bounds of $shardPath must equal its contents' min/max")
+      }
+      // disjoint intervals: sorted by lower bound, each upper < next lower
+      val sorted = bounds.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, hi), (_, lo2, _)) =>
+          assert(hi < lo2, s"shard intervals overlap: $hi vs $lo2")
+        case _ =>
+      }
+    }
+
     // the import direction round-trips the sharded form too
     val imp = IcebergImport.importTable(spark, dest, tmp("ice_delshard_imp_"))
     assert(sortedRows(imp.read()) === live)
