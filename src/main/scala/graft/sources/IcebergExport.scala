@@ -2231,6 +2231,12 @@ object IcebergImport {
     dest.commitAdoption("import", s"iceberg-import-of-$src",
       schema.json, specCols.flatMap(_.partCol), specCols.flatMap(_.transform),
       files, deletes, eqDeletes)
+    // foreign Puffin NDV statistics (when recorded for this snapshot)
+    // adopt into the manifest — CBO on the imported table starts
+    // informed, mirroring the column-bounds adoption above
+    val imported = LogTable(spark, destRoot)
+    val ndvs = IcebergStatistics.ndvStats(src)
+    if (ndvs.nonEmpty) { imported.recordNdvs(ndvs); () }
     LogTable(spark, destRoot)
   }
 }

@@ -2194,6 +2194,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
     commit("analyze", nextNdvs = prev => prev.ndvs ++ computed)(_.files)
   }
 
+  /** Record externally-computed NDVs (the Iceberg-import direction:
+    * a foreign table's Puffin `ndv` blob properties adopt into the
+    * manifest so Spark's CBO on the imported table starts informed —
+    * same estimate channel [[analyze]] fills, no data pass). */
+  private[sources] def recordNdvs(ndvs: Map[String, Long]): Snapshot = {
+    if (ndvs.isEmpty) return snapshot()
+    commit("analyze", nextNdvs =
+      prev => prev.ndvs ++ ndvs.map { case (k, v) => k.toLowerCase -> v })(
+      _.files)
+  }
+
   def addCheck(name: String, predicateSql: String): Snapshot = {
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid check name '$name'")
     enforceChecks(read(), Map(name -> predicateSql), "existing table data")

@@ -1,0 +1,306 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The Iceberg Puffin statistics-file format (public spec, "Puffin
+  * file format"): `Magic | blob payloads | Magic | FooterPayload JSON
+  * | payload size (int32 LE) | flags (4 bytes) | Magic`. Iceberg
+  * tables reference Puffin files from the table metadata's
+  * `statistics` array; the standard blob type
+  * `apache-datasketches-theta-v1` carries a theta sketch per column
+  * whose `ndv` property is what a foreign engine's CBO reads
+  * (Trino/Spark-Iceberg `compute_table_stats` both speak it).
+  *
+  * Writer and reader are both here so the seam is testable end to end
+  * without a foreign engine: the reader wraps the sketch bytes back
+  * through datasketches and must reproduce the recorded estimate. */
+object Puffin {
+  private val mapper = new ObjectMapper()
+  private[sources] val Magic = Array[Byte](0x50, 0x46, 0x41, 0x31) // "PFA1"
+
+  final case class Blob(tpe: String, fields: Seq[Int], snapshotId: Long,
+      sequenceNumber: Long, payload: Array[Byte],
+      properties: Map[String, String])
+
+  final case class BlobMeta(tpe: String, fields: Seq[Int], snapshotId: Long,
+      sequenceNumber: Long, offset: Long, length: Long,
+      properties: Map[String, String])
+
+  /** Write a Puffin file → (file size, footer size, blob metadata in
+    * file order) — the three things the table metadata's `statistics`
+    * entry records. */
+  def write(path: Path, blobs: Seq[Blob],
+      fileProps: Map[String, String]): (Long, Long, Seq[BlobMeta]) = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic)
+    val metas = blobs.map { b =>
+      val off = out.size().toLong
+      out.write(b.payload)
+      BlobMeta(b.tpe, b.fields, b.snapshotId, b.sequenceNumber,
+        off, b.payload.length.toLong, b.properties)
+    }
+    val footerStart = out.size()
+    out.write(Magic)
+    val payloadNode = mapper.createObjectNode()
+    val blobsArr = payloadNode.putArray("blobs")
+    metas.foreach { m =>
+      val n = blobsArr.addObject()
+      n.put("type", m.tpe)
+      val fs = n.putArray("fields")
+      m.fields.foreach { f => fs.add(f); () }
+      n.put("snapshot-id", m.snapshotId)
+      n.put("sequence-number", m.sequenceNumber)
+      n.put("offset", m.offset)
+      n.put("length", m.length)
+      val ps = n.putObject("properties")
+      m.properties.foreach { case (k, v) => ps.put(k, v); () }
+      ()
+    }
+    val fp = payloadNode.putObject("properties")
+    fileProps.foreach { case (k, v) => fp.put(k, v); () }
+    val payload = payloadNode.toString.getBytes(StandardCharsets.UTF_8)
+    out.write(payload)
+    val sz = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(payload.length).array()
+    out.write(sz)
+    out.write(Array[Byte](0, 0, 0, 0)) // flags: payload uncompressed
+    out.write(Magic)
+    val bytes = out.toByteArray
+    Files.write(path, bytes)
+    (bytes.length.toLong, (bytes.length - footerStart).toLong, metas)
+  }
+
+  /** Read a Puffin file → (blob metadata + payload bytes, file props). */
+  def read(path: Path): (Seq[(BlobMeta, Array[Byte])], Map[String, String]) = {
+    val bytes = Files.readAllBytes(path)
+    def magicAt(off: Int): Boolean =
+      bytes.slice(off, off + 4).sameElements(Magic)
+    require(bytes.length >= 20 && magicAt(0) && magicAt(bytes.length - 4),
+      s"$path is not a Puffin file (bad magic)")
+    val flags = bytes.slice(bytes.length - 8, bytes.length - 4)
+    require((flags(0) & 1) == 0,
+      "compressed Puffin footer payloads are not supported")
+    val psize = java.nio.ByteBuffer.wrap(bytes, bytes.length - 12, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+    val pStart = bytes.length - 12 - psize
+    require(magicAt(pStart - 4), s"$path footer start magic missing")
+    val payload = mapper.readTree(
+      new String(bytes, pStart, psize, StandardCharsets.UTF_8))
+    val props = Option(payload.get("properties")).toSeq
+      .flatMap(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()))
+      .toMap
+    val blobs = Option(payload.get("blobs")).toSeq
+      .flatMap(_.elements().asScala).map { n =>
+        val m = BlobMeta(n.get("type").asText(),
+          n.get("fields").elements().asScala.map(_.asInt()).toSeq,
+          n.get("snapshot-id").asLong(), n.get("sequence-number").asLong(),
+          n.get("offset").asLong(), n.get("length").asLong(),
+          Option(n.get("properties")).toSeq.flatMap(_.properties().asScala
+            .map(e => e.getKey -> e.getValue.asText())).toMap)
+        (m, bytes.slice(m.offset.toInt, (m.offset + m.length).toInt))
+      }
+    (blobs, props)
+  }
+}
+
+/** NDV statistics across the Iceberg seam — the `compute_table_stats`
+  * flow: an OPT-IN maintenance pass (one sketch aggregation over the
+  * live table, never on the write hot path, mirroring
+  * [[LogTable.analyze]]) that writes a Puffin file of
+  * `apache-datasketches-theta-v1` blobs (one per top-level atomic
+  * column) and registers it in the exported metadata's `statistics`
+  * array, so a FOREIGN engine's CBO sees per-column NDVs. Values hash
+  * into the sketch in Iceberg's single-value binary form (long /
+  * timestamp-micros = 8-byte LE, int = 4-byte LE, double/float = IEEE
+  * bits LE, string = UTF-8), so sketches union across engines that
+  * follow the spec. The import direction adopts the `ndv` blob
+  * properties into graft's own manifest NDVs — Spark's CBO on an
+  * imported table starts informed instead of blind. */
+object IcebergStatistics {
+  private val mapper = new ObjectMapper()
+
+  /** Sketch-size parameter (2^12 entries): <0.5% NDV error, ~32 KB
+    * per column at saturation — invisible next to the metadata. */
+  private val Lgk = 12
+
+  /** One pass over the table's live rows → per-column compact theta
+    * sketches (column name → sketch bytes). Partitions sketch locally
+    * and only the ~32 KB compact forms travel — the standard
+    * distributed-sketch shape, corpus-size-independent. */
+  private[sources] def thetaSketches(table: LogTable,
+      targets: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : Map[String, Array[Byte]] = {
+    import org.apache.spark.sql.types._
+    val df = table.read()
+      .select(targets.map(t => org.apache.spark.sql.functions.col(t._1)): _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kinds: Seq[Int] = targets.map(_._2 match {
+      case LongType => 0
+      case IntegerType => 1
+      case StringType => 2
+      case DoubleType => 3
+      case FloatType => 4
+      case TimestampType => 5
+      case other => throw new IllegalArgumentException(
+        s"no single-value sketch form for $other")
+    })
+    val n = targets.size
+    val partSketches: Array[Seq[Array[Byte]]] =
+      df.mapPartitions { rows =>
+        import org.apache.datasketches.theta.UpdateSketch
+        val sks = Array.fill(n)(
+          UpdateSketch.builder().setLogNominalEntries(Lgk).build())
+        def le(len: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+          val b = java.nio.ByteBuffer.allocate(len)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          fill(b)
+          b.array()
+        }
+        rows.foreach { r =>
+          var i = 0
+          while (i < n) {
+            if (!r.isNullAt(i)) {
+              val bytes = kinds(i) match {
+                case 0 => le(8)(_.putLong(r.getLong(i)))
+                case 1 => le(4)(_.putInt(r.getInt(i)))
+                case 2 => r.getString(i).getBytes(StandardCharsets.UTF_8)
+                case 3 => le(8)(_.putDouble(r.getDouble(i)))
+                case 4 => le(4)(_.putFloat(r.getFloat(i)))
+                case 5 => le(8)(_.putLong(
+                  org.apache.spark.sql.catalyst.util.DateTimeUtils
+                    .fromJavaTimestamp(r.getTimestamp(i))))
+              }
+              sks(i).update(bytes)
+              ()
+            }
+            i += 1
+          }
+        }
+        Iterator.single(sks.map(_.compact().toByteArray).toSeq)
+      }.collect()
+    targets.indices.map { i =>
+      import org.apache.datasketches.theta.SetOperation
+      import org.apache.datasketches.memory.Memory
+      val u = SetOperation.builder().setLogNominalEntries(Lgk).buildUnion()
+      partSketches.foreach(p => u.union(Memory.wrap(p(i))))
+      targets(i)._1 -> u.getResult(true, null).toByteArray
+    }.toMap
+  }
+
+  /** Compute + write Puffin statistics for the CURRENT snapshot of an
+    * already-exported table at `dest`, and advance the metadata JSON
+    * with the `statistics` entry (vN+1, hint bumped — the same
+    * versioning convention the export itself uses). Refuses when the
+    * export lags the table (stats must describe the snapshot they
+    * claim). Returns the Puffin path. */
+  def exportStatistics(table: LogTable, dest: String): Path = {
+    val metaDir = Paths.get(dest).resolve("metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim.toInt
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir.resolve(s"v$hint.metadata.json"))).asInstanceOf[ObjectNode]
+    val snapId = meta.get("current-snapshot-id").asLong()
+    require(snapId == table.currentVersion,
+      s"exported current snapshot is $snapId but the table is at " +
+        s"${table.currentVersion} — re-export before exporting statistics")
+    val snapNode = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == snapId).get
+    val seqNum = Option(snapNode.get("sequence-number"))
+      .map(_.asLong()).getOrElse(snapId)
+    // field ids from the CURRENT exported schema
+    val schemaId = meta.get("current-schema-id").asInt()
+    val schemaNode = meta.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == schemaId).get
+    val idOf: Map[String, Int] = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    import org.apache.spark.sql.types._
+    val targets = LogTable.parseSchema(table.snapshot().schemaJson).fields
+      .collect { case f if Set[DataType](LongType, IntegerType, StringType,
+          DoubleType, FloatType, TimestampType)(f.dataType) =>
+        (f.name, f.dataType)
+      }.toSeq
+    require(targets.nonEmpty, "no sketchable top-level atomic columns")
+    val sketches = thetaSketches(table, targets)
+    val blobs = targets.map { case (name, _) =>
+      val bytes = sketches(name)
+      val est = org.apache.datasketches.theta.Sketches
+        .wrapCompactSketch(org.apache.datasketches.memory.Memory.wrap(bytes))
+        .getEstimate
+      Puffin.Blob("apache-datasketches-theta-v1", Seq(idOf(name)),
+        snapId, seqNum, bytes, Map("ndv" -> Math.round(est).toString))
+    }
+    val puffinPath = metaDir.resolve(
+      s"${java.util.UUID.randomUUID()}.stats.puffin")
+    val (fileSize, footerSize, metas) = Puffin.write(puffinPath, blobs,
+      Map("created-by" -> "graft"))
+    // the table metadata's statistics entry (replaces any prior one —
+    // stats describe the current snapshot)
+    val statsArr = meta.putArray("statistics")
+    val entry = statsArr.addObject()
+    entry.put("snapshot-id", snapId)
+    entry.put("statistics-path", puffinPath.toString)
+    entry.put("file-size-in-bytes", fileSize)
+    entry.put("file-footer-size-in-bytes", footerSize)
+    val bmArr = entry.putArray("blob-metadata")
+    metas.foreach { m =>
+      val n = bmArr.addObject()
+      n.put("type", m.tpe)
+      n.put("snapshot-id", m.snapshotId)
+      n.put("sequence-number", m.sequenceNumber)
+      val fs = n.putArray("fields")
+      m.fields.foreach { f => fs.add(f); () }
+      val ps = n.putObject("properties")
+      m.properties.foreach { case (k, v) => ps.put(k, v); () }
+      ()
+    }
+    Files.write(metaDir.resolve(s"v${hint + 1}.metadata.json"),
+      meta.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      (hint + 1).toString.getBytes(StandardCharsets.UTF_8))
+    puffinPath
+  }
+
+  /** NDVs recorded in an Iceberg table's metadata `statistics` for its
+    * CURRENT snapshot (column name → ndv), without opening the Puffin
+    * file — the blob-metadata `ndv` property is the spec's fast path
+    * (what Trino's CBO reads). Empty when none recorded. */
+  def ndvStats(src: String): Map[String, Long] = {
+    val metaDir = Paths.get(src).resolve("metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), StandardCharsets.UTF_8).trim
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir.resolve(s"v$hint.metadata.json")))
+    val snapId = Option(meta.get("current-snapshot-id")).map(_.asLong())
+      .getOrElse(return Map.empty)
+    val nameOf: Map[Int, String] = Option(meta.get("schemas")).map { arr =>
+      val sid = meta.get("current-schema-id").asInt()
+      arr.elements().asScala.find(_.get("schema-id").asInt() == sid)
+        .map(_.get("fields").elements().asScala
+          .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap)
+        .getOrElse(Map.empty[Int, String])
+    }.getOrElse(Option(meta.get("schema")).map(
+      _.get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap)
+      .getOrElse(Map.empty[Int, String]))
+    Option(meta.get("statistics")).toSeq.flatMap(_.elements().asScala)
+      .filter(_.get("snapshot-id").asLong() == snapId)
+      .flatMap(e => Option(e.get("blob-metadata")).toSeq
+        .flatMap(_.elements().asScala))
+      .filter(_.get("type").asText() == "apache-datasketches-theta-v1")
+      .flatMap { b =>
+        for {
+          fid <- b.get("fields").elements().asScala.toSeq.headOption
+            .map(_.asInt())
+          name <- nameOf.get(fid)
+          ndv <- Option(b.get("properties")).flatMap(p =>
+            Option(p.get("ndv"))).map(_.asText().toLong)
+        } yield name -> ndv
+      }.toMap
+  }
+}
