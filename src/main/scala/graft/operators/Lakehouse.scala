@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Cols, Tables}
-import graft.sources.LogTable
+import graft.sources.{IcebergExport, IcebergImport, IcebergStatistics, LogTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -782,6 +782,32 @@ object Lakehouse {
       .toDF("n_total", "n_live", "id_min", "id_max")
   }
 
+  /** NDV statistics across the seam, oracle-gated end to end
+    * ([[graft.sources.IcebergStatistics]]): events project to three
+    * BOUNDED-cardinality columns (all under the theta sketch's 2^12
+    * exact-mode bound, so estimates are EXACT distinct counts), land
+    * in a table, export + exportStatistics write the Puffin file and
+    * the metadata `statistics` entry, and the IMPORT direction adopts
+    * the ndv blob properties into the imported manifest — the query
+    * returns those adopted NDVs, which must hash-match DuckDB's true
+    * COUNT(DISTINCT)s. A broken sketch pass, a mis-serialized Puffin,
+    * a wrong blob property, or a lost adoption breaks the hash. */
+  def lakeStats(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_lake_stats_").toString
+    val t = LogTable(s, tmp)
+    t.append(Tables.events(s, dir).select(
+      col("event_type").as("etype"),
+      pmod(col("user_id"), lit(997L)).as("ubucket"),
+      pmod(col("event_id"), lit(2511L)).as("ebucket")))
+    val dest = Files.createTempDirectory("graft_lake_stats_ice_").toString
+    IcebergExport.export(t, dest)
+    IcebergStatistics.exportStatistics(t, dest)
+    val imp = IcebergImport.importTable(s, dest,
+      Files.createTempDirectory("graft_lake_stats_imp_").toString)
+    import s.implicits._
+    imp.snapshot().ndvs.toSeq.toDF("col_name", "ndv").orderBy(col("col_name"))
+  }
+
   /** PARTITION-SPEC EVOLUTION roundtrip ([[graft.sources.LogTable
     * .evolveSpec]]): half the events land in an UNPARTITIONED table,
     * the spec evolves to (event_type, day(ts_us)) — a metadata-only
@@ -1074,6 +1100,7 @@ object Lakehouse {
     "lake_upsert" -> (lakeUpsert _),
     "lake_mor" -> (lakeMor _),
     "lake_count_meta" -> (lakeCountMeta _),
+    "lake_stats" -> (lakeStats _),
     "lake_merge4" -> (lakeMerge4 _),
     "lake_hidden" -> (lakeHidden _),
     "lake_dsv2" -> (lakeDsv2 _),
@@ -1163,6 +1190,12 @@ object Lakehouse {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events WHERE event_type <> 'error' AND event_id % 13 <> 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'ebucket' AS col_name, count(DISTINCT event_id % 2511) AS ndv FROM events
+        |  UNION ALL SELECT 'etype', count(DISTINCT event_type) FROM events
+        |  UNION ALL SELECT 'ubucket', count(DISTINCT user_id % 997) FROM events
+        |) ORDER BY col_name""".stripMargin,
     "lake_count_meta" ->
       """SELECT count(*) AS n_total,
         |  (SELECT count(*) FROM events WHERE event_type <> 'error') AS n_live,
