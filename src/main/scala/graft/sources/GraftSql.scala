@@ -842,6 +842,13 @@ object GraftSql {
             IcebergExport.export(t, args(1),
               history = args.length > 2 && args(2).equalsIgnoreCase("history"))
             t.snapshot()
+          // CALL export_statistics(t, '<dest-path>') — Puffin NDV
+          // statistics for the CURRENT snapshot of an already-exported
+          // table ([[IcebergStatistics]]; the compute_table_stats
+          // maintenance pass — refuses when the export lags the table)
+          case "export_statistics" =>
+            IcebergStatistics.exportStatistics(t, args(1))
+            t.snapshot()
           // CALL import_iceberg(newName, '<src-path>') — adopt an
           // Iceberg v2 table as a graft table under the warehouse and
           // register it ([[IcebergImport]]; zero-copy, files borrowed
@@ -862,8 +869,8 @@ object GraftSql {
               "expire_branch, expire_older_than, rollback, remove_orphans, " +
               "delete_mor, merge_mor, delete_eq, upsert_eq, recluster, " +
               "create_ref, create_branch, fast_forward, evolve_spec, " +
-              "clone, export_iceberg, import_iceberg, refresh_mv, " +
-              "refresh_mv_full)")
+              "clone, export_iceberg, export_statistics, import_iceberg, " +
+              "refresh_mv, refresh_mv_full)")
         }
         summarize(spark, args.head, snap)
       case _ => throw new IllegalArgumentException(
@@ -947,6 +954,18 @@ object GraftSql {
         val view = "iceberg_snapshots__at_" +
           java.lang.Integer.toHexString(m.matched.hashCode).replace('-', 'n')
         IcebergRead.snapshots(spark, m.group(1)).createOrReplaceTempView(view)
+        repls += ((m.start, m.end, view))
+      }
+    // iceberg_stats('<path>') — the current snapshot's recorded Puffin
+    // NDV statistics as (col_name, ndv) rows (empty when none)
+    for (m <- """(?i)iceberg_stats\s*\(\s*'([^']+)'\s*\)"""
+        .r.findAllMatchIn(stmt))
+      if (!inLiteral(m.start)) {
+        val view = "iceberg_stats__at_" +
+          java.lang.Integer.toHexString(m.matched.hashCode).replace('-', 'n')
+        import spark.implicits._
+        IcebergStatistics.ndvStats(m.group(1)).toSeq.sorted
+          .toDF("col_name", "ndv").createOrReplaceTempView(view)
         repls += ((m.start, m.end, view))
       }
     // iceberg_scan('<path>' [, <snapshot-id> | '<ref>']) — read an

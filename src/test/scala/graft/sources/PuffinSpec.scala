@@ -63,6 +63,25 @@ class PuffinSpec extends SparkSpec {
     assert(e.getMessage.contains("re-export"))
   }
 
+  test("SQL surface: CALL export_statistics + iceberg_stats('<path>') table function") {
+    val t = LogTable(spark, tmp("puffin_sql_"))
+    t.append((0L until 300L).map(i => (i, s"k${i % 11}")).toDF("id", "k"))
+    GraftSql.register("puf_t", t)
+    val dest = tmp("puffin_sql_out_")
+    GraftSql.exec(spark, s"CALL export_iceberg(puf_t, '$dest')")
+    GraftSql.exec(spark, s"CALL export_statistics(puf_t, '$dest')")
+    val rows = GraftSql.exec(spark,
+      s"SELECT col_name, ndv FROM iceberg_stats('$dest') ORDER BY col_name")
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("id", 300L), ("k", 11L)))
+    // composes with ordinary SQL
+    val n = GraftSql.exec(spark,
+      s"""SELECT count(*) AS n FROM iceberg_stats('$dest') s
+         |JOIN iceberg_scan('$dest') d ON d.id < s.ndv""".stripMargin)
+      .head().getLong(0)
+    assert(n > 0L)
+  }
+
   test("sketches are deterministic and union-mergeable across partition layouts") {
     val t1 = LogTable(spark, tmp("puffin_det1_"))
     t1.append((0L until 400L).map(i => (i, s"s${i % 13}", i.toDouble))
