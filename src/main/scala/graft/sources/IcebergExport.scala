@@ -389,6 +389,11 @@ object IcebergExport {
     val deleteManifestSchema = manifestSchemaFor("")
     val deletePartSchema = deleteManifestSchema.getField("data_file")
       .schema().getField("partition").schema()
+    // `partitions` (field-summary per partition field, in spec-field
+    // order): the manifest-LIST level of Iceberg's pruning hierarchy —
+    // a foreign engine skips whole manifests whose partition-value
+    // ranges miss the predicate, before opening a single manifest.
+    // Bounds are single-value serialized partition values.
     val listSchema = new Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
         |{"name":"manifest_path","type":"string","field-id":500},
@@ -403,8 +408,70 @@ object IcebergExport {
         |{"name":"deleted_files_count","type":"int","field-id":506},
         |{"name":"added_rows_count","type":"long","field-id":512},
         |{"name":"existing_rows_count","type":"long","field-id":513},
-        |{"name":"deleted_rows_count","type":"long","field-id":514}
+        |{"name":"deleted_rows_count","type":"long","field-id":514},
+        |{"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
+        |  {"name":"contains_null","type":"boolean","field-id":509},
+        |  {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+        |  {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+        |  {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+        |]},"element-id":508}],"default":null,"field-id":507}
         |]}""".stripMargin)
+
+    /** Per-partition-field summaries for one data manifest's files
+      * under spec fields `pfs` (spec-field order): contains_null +
+      * single-value-serialized lower/upper bounds (int 4-byte LE,
+      * long 8-byte LE, string exact UTF-8). A field null in EVERY
+      * file carries only contains_null (no bounds). */
+    def partitionSummaries(pfs: Seq[PField],
+        files: Seq[DataFile]): Option[GenericData.Array[GenericRecord]] = {
+      if (pfs.isEmpty || files.isEmpty) return None
+      val arrSchema = listSchema.getField("partitions").schema()
+        .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+      val arr = new GenericData.Array[GenericRecord](pfs.size, arrSchema)
+      pfs.foreach { pf =>
+        val raw = files.map(f => f.partitions.get(pf.graftKey) match {
+          case None | Some(IcebergRead.NullDir) => None
+          case Some(x) => Some(pf.toIceberg(x))
+        })
+        val r = new GenericData.Record(arrSchema.getElementType)
+        r.put("contains_null", java.lang.Boolean.valueOf(raw.exists(_.isEmpty)))
+        val vals = raw.flatten
+        if (vals.nonEmpty) {
+          def ser(v: Any): java.nio.ByteBuffer = v match {
+            case l: java.lang.Long => java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).flip()
+              .asInstanceOf[java.nio.ByteBuffer]
+            case i: java.lang.Integer => java.nio.ByteBuffer.allocate(4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).flip()
+              .asInstanceOf[java.nio.ByteBuffer]
+            case s: String =>
+              java.nio.ByteBuffer.wrap(s.getBytes(StandardCharsets.UTF_8))
+            case other => throw new IllegalStateException(
+              s"unexpected partition value type ${other.getClass}")
+          }
+          val (lo, hi) = vals.head match {
+            case _: java.lang.Long =>
+              val ls = vals.map(_.asInstanceOf[java.lang.Long].longValue())
+              (ser(java.lang.Long.valueOf(ls.min)),
+                ser(java.lang.Long.valueOf(ls.max)))
+            case _: java.lang.Integer =>
+              val is = vals.map(_.asInstanceOf[java.lang.Integer].intValue())
+              (ser(java.lang.Integer.valueOf(is.min)),
+                ser(java.lang.Integer.valueOf(is.max)))
+            case _: String =>
+              val ss = vals.map(_.asInstanceOf[String])
+              (ser(ss.min), ser(ss.max))
+            case other => throw new IllegalStateException(
+              s"unexpected partition value type ${other.getClass}")
+          }
+          r.put("lower_bound", lo)
+          r.put("upper_bound", hi)
+        }
+        arr.add(r)
+        ()
+      }
+      Some(arr)
+    }
 
     // ONE schema-node build per distinct schema, shared by every
     // consumer (manifest "schema" metadata, the table metadata JSON,
@@ -795,7 +862,8 @@ object IcebergExport {
         } finally w.close()
         val (added, existing) = files.partition(f => !parentPaths.contains(f.path))
         (manifestPath, si, added.size, existing.size,
-          added.map(_.rows).sum, existing.map(_.rows).sum)
+          added.map(_.rows).sum, existing.map(_.rows).sum,
+          partitionSummaries(pfs, files))
       }
       // THIS snapshot's delete manifest (merge-on-read marks),
       // sequence-stamped at the head so it covers every data file —
@@ -886,7 +954,7 @@ object IcebergExport {
         w.setMeta("sequence-number", seqNum.toString)
         w.create(listSchema, listPath.toFile)
         try {
-          dataManifests.foreach { case (mp, si, nAdd, nEx, rAdd, rEx) =>
+          dataManifests.foreach { case (mp, si, nAdd, nEx, rAdd, rEx, psum) =>
             val m = new GenericData.Record(listSchema)
             m.put("manifest_path", mp.toString)
             m.put("manifest_length", Files.size(mp))
@@ -902,6 +970,7 @@ object IcebergExport {
             m.put("added_rows_count", rAdd)
             m.put("existing_rows_count", rEx)
             m.put("deleted_rows_count", 0L)
+            psum.foreach(p => m.put("partitions", p))
             w.append(m)
           }
           deleteManifest.foreach { mp =>
