@@ -330,6 +330,80 @@ class IcebergRestCatalogSpec extends SparkSpec {
     } finally cat.close()
   }
 
+  test("RACING REST commits: two CAS commits with the same assert-ref-snapshot-id admit exactly one (200) and refuse the loser (409), state = winner's") {
+    // files for two competing snapshots, authored by graft's exporter
+    // against two scratch tables (the catalog only ever sees pointers)
+    // pads give each scratch table a DIFFERENT current version, so the
+    // three snapshots carry distinct snapshot-ids (the race is decided
+    // by id comparison — identical ids would let both racers pass)
+    def exportedSnap(tag: String, rows: Seq[(Long, String)], pads: Int)
+        : (com.fasterxml.jackson.databind.JsonNode, com.fasterxml.jackson.databind.JsonNode) = {
+      val t = LogTable(spark, tmp(s"rest_race_${tag}_"))
+      (0 until pads).foreach(i => t.append(Seq((100L + i, "pad")).toDF("id", "s")))
+      t.append(rows.toDF("id", "s"))
+      val loc = tmp(s"rest_race_${tag}_files_")
+      IcebergExport.export(t, loc)
+      val m = mapper.readTree(Files.readAllBytes(java.nio.file.Paths.get(loc)
+        .resolve("metadata").resolve("v1.metadata.json")))
+      (m.get("schemas").get(0), m.get("snapshots").get(0))
+    }
+    val (schemaJson, snapBase) = exportedSnap("base", Seq((1L, "a")), pads = 0)
+    val (_, snapA) = exportedSnap("a", Seq((2L, "b")), pads = 1)
+    val (_, snapB) = exportedSnap("b", Seq((3L, "c")), pads = 2)
+    assert(Seq(snapBase, snapA, snapB).map(_.get("snapshot-id").asLong())
+      .distinct.size === 3)
+
+    val cat = IcebergRestCatalog.start()
+    try {
+      assert(post(s"${cat.uri}/v1/namespaces", """{"namespace":["r"]}""")._1 === 200)
+      val loc = tmp("rest_race_tbl_")
+      assert(post(s"${cat.uri}/v1/namespaces/r/tables",
+        s"""{"name":"t","location":"$loc","schema":$schemaJson}""")._1 === 200)
+      val baseId = snapBase.get("snapshot-id").asLong()
+      assert(post(s"${cat.uri}/v1/namespaces/r/tables/t",
+        s"""{"requirements":[],"updates":[
+           |  {"action":"add-snapshot","snapshot":$snapBase},
+           |  {"action":"set-snapshot-ref","ref-name":"main",
+           |   "type":"branch","snapshot-id":$baseId}]}""".stripMargin)._1 === 200)
+
+      // both racers expect main at baseId and try to advance it
+      def commitBody(snap: com.fasterxml.jackson.databind.JsonNode): String = {
+        val id = snap.get("snapshot-id").asLong()
+        s"""{"requirements":[
+           |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$baseId}],
+           |"updates":[
+           |  {"action":"add-snapshot","snapshot":$snap},
+           |  {"action":"set-snapshot-ref","ref-name":"main",
+           |   "type":"branch","snapshot-id":$id}]}""".stripMargin
+      }
+      import java.util.concurrent.{CountDownLatch, Executors}
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      val fs = Seq(snapA, snapB).map { sn =>
+        pool.submit(new java.util.concurrent.Callable[(Int, Long)] {
+          def call(): (Int, Long) = {
+            gate.await()
+            val (c, _) = post(s"${cat.uri}/v1/namespaces/r/tables/t", commitBody(sn))
+            (c, sn.get("snapshot-id").asLong())
+          }
+        })
+      }
+      gate.countDown()
+      val results = fs.map(_.get())
+      pool.shutdown()
+      assert(results.map(_._1).sorted === Seq(200, 409),
+        s"exactly one racer must win, got $results")
+      val winner = results.find(_._1 == 200).get._2
+      val (_, body) = get(s"${cat.uri}/v1/namespaces/r/tables/t")
+      val meta = mapper.readTree(body).get("metadata")
+      assert(meta.get("current-snapshot-id").asLong() === winner,
+        "final state must be the winner's snapshot")
+      // exactly the base + winner snapshots landed (the loser's
+      // add-snapshot must not leak into a refused commit)
+      assert(meta.get("snapshots").size() === 2)
+    } finally cat.close()
+  }
+
   test("pagination: pageSize/pageToken walk the table and namespace lists; snapshots=refs trims LoadTableResult") {
     val dest1 = tmp("ice_rest_p1_"); val dest2 = tmp("ice_rest_p2_")
     val dest3 = tmp("ice_rest_p3_")
