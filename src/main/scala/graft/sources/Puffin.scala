@@ -130,8 +130,10 @@ object IcebergStatistics {
 
   /** One pass over the table's live rows → per-column compact theta
     * sketches (column name → sketch bytes). Partitions sketch locally
-    * and only the ~32 KB compact forms travel — the standard
-    * distributed-sketch shape, corpus-size-independent. */
+    * and only the ~32 KB compact forms travel, merged by a TREE
+    * reduce — at 100k partitions the driver sees one merged row, not
+    * one per partition (a flat collect would land
+    * partitions × columns × 32 KB on the driver). */
   private[sources] def thetaSketches(table: LogTable,
       targets: Seq[(String, org.apache.spark.sql.types.DataType)])
       : Map[String, Array[Byte]] = {
@@ -151,7 +153,17 @@ object IcebergStatistics {
         s"no single-value sketch form for $other")
     })
     val n = targets.size
-    val partSketches: Array[Seq[Array[Byte]]] =
+    def unionPair(a: Seq[Array[Byte]], b: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+      import org.apache.datasketches.theta.SetOperation
+      import org.apache.datasketches.memory.Memory
+      a.zip(b).map { case (x, y) =>
+        val u = SetOperation.builder().setLogNominalEntries(Lgk).buildUnion()
+        u.union(Memory.wrap(x))
+        u.union(Memory.wrap(y))
+        u.getResult(true, null).toByteArray
+      }
+    }
+    val merged: Seq[Array[Byte]] =
       df.mapPartitions { rows =>
         import org.apache.datasketches.theta.UpdateSketch
         val sks = Array.fill(n)(
@@ -183,14 +195,8 @@ object IcebergStatistics {
           }
         }
         Iterator.single(sks.map(_.compact().toByteArray).toSeq)
-      }.collect()
-    targets.indices.map { i =>
-      import org.apache.datasketches.theta.SetOperation
-      import org.apache.datasketches.memory.Memory
-      val u = SetOperation.builder().setLogNominalEntries(Lgk).buildUnion()
-      partSketches.foreach(p => u.union(Memory.wrap(p(i))))
-      targets(i)._1 -> u.getResult(true, null).toByteArray
-    }.toMap
+      }.rdd.treeReduce(unionPair, depth = 3)
+    targets.indices.map(i => targets(i)._1 -> merged(i)).toMap
   }
 
   /** Compute + write Puffin statistics for the CURRENT snapshot of an
