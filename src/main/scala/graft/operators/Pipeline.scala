@@ -341,7 +341,70 @@ object Pipeline {
       keep.join(broadcast(found), Seq("digest"), "left_anti")
     }
 
+  /** CURRICULUM ordering — anneal training data easy→hard: every doc
+    * gets the text-quality score (the exact formula `text_quality`
+    * oracle-pins), the corpus ranks by the total order (score, doc_id),
+    * and standard NTILE(8) arithmetic cuts it into curriculum tiers
+    * (first n%8 tiers take the extra row), summarized per tier. A
+    * training run then feeds tiers in order (or reweights by tier).
+    *
+    * Scale shape — NO global-sort window: rows range-partition by the
+    * rank key into B buckets, the global rank is each bucket's offset
+    * (a B-row driver collect, the log_latency_pcts census pattern)
+    * plus the within-bucket row_number, and the tier is integer
+    * arithmetic on that rank — B-way parallel end to end; the result
+    * is exact regardless of where sampling put the bucket boundaries. */
+  def curriculum(s: SparkSession, dir: String, tiers: Int = 8): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val stopHits = size(regexp_extract_all(col("text"),
+      lit("\\b(the|a|of|to|and|in|is)\\b"), lit(0))).cast("long")
+    val scored = Tables.spread(Tables(s, dir, "documents"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        nWords.as("n_words"), stopHits.as("stop_hits"))
+      .withColumn("avg_word_len",
+        (col("n_chars_m") - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
+      .withColumn("score",
+        col("stop_ratio") * 0.5 +
+          least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.3 +
+          least(lit(1.0), col("avg_word_len") / 8.0) * 0.2)
+      .select(col("doc_id"), col("score"))
+    val n = scored.count()
+    val b = math.min(32, math.max(1, (n / 64).toInt))
+    val bucketed = scored
+      .repartitionByRange(b, col("score"), col("doc_id"))
+      .withColumn("bkt", spark_partition_id())
+    // census: per-bucket counts → global rank offsets (B rows)
+    val counts = bucketed.groupBy(col("bkt")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until b).scanLeft(0L)((acc, i) =>
+      acc + counts.getOrElse(i, 0L)).toArray
+    val offCol = element_at(
+      array(offsets.take(b).map(lit): _*), col("bkt") + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("score"), col("doc_id"))
+    // exact NTILE arithmetic over the exact global rank: the first
+    // n%tiers tiers take ceil(n/tiers) rows, the rest floor(n/tiers)
+    val sz = n / tiers
+    val big = n % tiers
+    val cut = big * (sz + 1)
+    val ranked = bucketed
+      .withColumn("r", row_number().over(w).cast("long") + offCol)
+      .withColumn("tier",
+        when(col("r") <= cut,
+          floor((col("r") - 1) / (sz + 1)).cast("long") + 1)
+          .otherwise(lit(big) +
+            floor((col("r") - cut - 1) / sz).cast("long") + 1))
+    ranked.groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("tier"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curriculum" -> ((s, dir) => curriculum(s, dir)),
     "pipeline_ingest_dedup" -> (ingestDedup _),
     "pipeline_corpus" -> ((s, dir) => corpusFilter(s, dir)),
     "pipeline_split" -> ((s, dir) => splitAssign(s, dir)),
@@ -354,6 +417,36 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    // curriculum tiers: the text_quality score formula (oracle-pinned
+    // there) ranked by (score, doc_id) and cut by standard NTILE —
+    // bucketed-rank arithmetic on the Spark side must equal the
+    // engine's own window function
+    "pipeline_curriculum" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars_m,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS stop_hits
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+        |    CAST(stop_hits AS DOUBLE) / n_words AS stop_ratio, n_words
+        |  FROM f),
+        |sc AS (
+        |  SELECT doc_id,
+        |    stop_ratio * 0.5
+        |      + least(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.3
+        |      + least(1.0, avg_word_len / 8.0) * 0.2 AS score
+        |  FROM g),
+        |r AS (
+        |  SELECT doc_id, score,
+        |    ntile(8) OVER (ORDER BY score, doc_id) AS tier
+        |  FROM sc)
+        |SELECT tier, count(*) AS n_docs,
+        |  min(score) AS min_score, max(score) AS max_score,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM r GROUP BY tier ORDER BY tier""".stripMargin,
     // every doc's fate replays from the arrival order: a text's keeper
     // is its first (batch, doc_id) occurrence — md5 hex is identical
     // in both engines
