@@ -842,6 +842,12 @@ object GraftSql {
             IcebergExport.export(t, args(1),
               history = args.length > 2 && args(2).equalsIgnoreCase("history"))
             t.snapshot()
+          // CALL analyze(t [, 'c1,c2']) — compute per-column NDVs into
+          // the manifest (the compute_table_stats maintenance pass;
+          // feeds CBO join ordering via the scan's columnStats)
+          case "analyze" =>
+            if (args.length > 1) t.analyze(args(1).split(",").map(_.trim).toSeq)
+            else t.analyze()
           // CALL export_statistics(t, '<dest-path>') — Puffin NDV
           // statistics for the CURRENT snapshot of an already-exported
           // table ([[IcebergStatistics]]; the compute_table_stats
@@ -865,12 +871,13 @@ object GraftSql {
             register(args.head, imp)
             imp.snapshot()
           case other => throw new IllegalArgumentException(
-            s"unknown procedure '$other' (supported: compact, expire, " +
-              "expire_branch, expire_older_than, rollback, remove_orphans, " +
-              "delete_mor, merge_mor, delete_eq, upsert_eq, recluster, " +
-              "create_ref, create_branch, fast_forward, evolve_spec, " +
-              "clone, export_iceberg, export_statistics, import_iceberg, " +
-              "refresh_mv, refresh_mv_full)")
+            s"unknown procedure '$other' (supported: analyze, compact, " +
+              "expire, expire_branch, expire_older_than, rollback, " +
+              "remove_orphans, delete_mor, merge_mor, delete_eq, " +
+              "upsert_eq, recluster, create_ref, create_branch, " +
+              "fast_forward, evolve_spec, clone, export_iceberg, " +
+              "export_statistics, import_iceberg, refresh_mv, " +
+              "refresh_mv_full)")
         }
         summarize(spark, args.head, snap)
       case _ => throw new IllegalArgumentException(

@@ -80,6 +80,9 @@ class PuffinSpec extends SparkSpec {
          |JOIN iceberg_scan('$dest') d ON d.id < s.ndv""".stripMargin)
       .head().getLong(0)
     assert(n > 0L)
+    // CALL analyze fills the manifest NDV channel through SQL too
+    GraftSql.exec(spark, "CALL analyze(puf_t, 'k')")
+    assert(t.snapshot().ndvs === Map("k" -> 11L))
   }
 
   test("sketches are deterministic and union-mergeable across partition layouts") {
