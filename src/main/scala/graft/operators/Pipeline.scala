@@ -370,14 +370,18 @@ object Pipeline {
           least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.3 +
           least(lit(1.0), col("avg_word_len") / 8.0) * 0.2)
       .select(col("doc_id"), col("score"))
-    val n = scored.count()
-    val b = math.min(32, math.max(1, (n / 64).toInt))
+    // B chosen from metadata, not a counting pass: the census below
+    // yields n as its own column sum, so the data is read exactly
+    // twice (census + ranked aggregation), never three times
+    val b = math.max(1, math.min(32,
+      scored.rdd.getNumPartitions))
     val bucketed = scored
       .repartitionByRange(b, col("score"), col("doc_id"))
       .withColumn("bkt", spark_partition_id())
-    // census: per-bucket counts → global rank offsets (B rows)
+    // census: per-bucket counts → global rank offsets AND n (B rows)
     val counts = bucketed.groupBy(col("bkt")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
     val offsets = (0 until b).scanLeft(0L)((acc, i) =>
       acc + counts.getOrElse(i, 0L)).toArray
     val offCol = element_at(
