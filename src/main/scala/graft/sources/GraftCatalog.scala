@@ -461,6 +461,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       IcebergExport.export(resolve(in.getUTF8String(0).toString),
         in.getUTF8String(1).toString); ()
     },
+    // Puffin NDV statistics for an already-exported table (the
+    // compute_table_stats maintenance pass; see IcebergStatistics)
+    proc("export_statistics", "table" -> StringType, "dest" -> StringType) { in =>
+      IcebergStatistics.exportStatistics(
+        resolve(in.getUTF8String(0).toString),
+        in.getUTF8String(1).toString); ()
+    },
     proc("export_iceberg_history", "table" -> StringType, "dest" -> StringType) { in =>
       IcebergExport.export(resolve(in.getUTF8String(0).toString),
         in.getUTF8String(1).toString, history = true); ()

@@ -280,13 +280,29 @@ object IcebergExport {
         else s"${t.source}_${t.kind}"
       PField(name, tr, srcId, allocPid(name, tr, srcId), rt, t.colName, conv)
     }
-    // distinct specs in lineage-appearance order → Iceberg spec ids
+    // distinct specs in lineage-appearance order → Iceberg spec ids.
+    // The FULL RETAINED lineage, not just the exported snapshots: a
+    // CURRENT-ONLY export of a mid-evolution table still holds
+    // pre-evolution files (evolveSpec is metadata-only — files keep
+    // their layout), whose era spec must be in partition-specs for
+    // per-file resolution even though no exported snapshot carries it
+    // as ITS spec. An era expired out of the lineage entirely while
+    // its files live on still refuses below (exact-or-refuse).
     val specDefs: Seq[(Seq[String], Seq[Transform])] = {
       val seen = scala.collection.mutable
         .LinkedHashSet[(Seq[String], Seq[Transform])]()
+      table.versions.sorted.map(v => table.snapshot(v))
+        .foreach(sn => seen += ((sn.partCols, sn.transforms)))
       snaps.foreach(sn => seen += ((sn.partCols, sn.transforms)))
       seen.toSeq
     }
+    // the xxhash-bucket refusal again over the LINEAGE eras (the
+    // snaps-level require above misses a lineage-only era whose files
+    // survive into an exported snapshot)
+    require(!specDefs.exists(_._2.exists(_.kind == "bucket")),
+      "cannot export an xxhash64 bucket layout (a lineage era's spec): " +
+        "Iceberg buckets by murmur3 — declare Transform.mbucket or " +
+        "migrate (evolveSpec + compact) first")
     val specPFields: Seq[Seq[PField]] = specDefs.map { case (pc, tf) =>
       identityFieldsOf(pc) ++ transformFieldsOf(tf)
     }

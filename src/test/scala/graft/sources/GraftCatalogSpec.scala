@@ -360,6 +360,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(t.snapshot().operation === "analyze")
     assert(t.snapshot().ndvs.contains("id"))
 
+    // the stats seam drives through the catalog's CALL too: export,
+    // then Puffin NDVs against the exported current snapshot
+    val iceDest = java.nio.file.Files.createTempDirectory("gcat_ice_").toString
+    spark.sql(s"CALL gtest.system.export_iceberg('m.t', '$iceDest')")
+    spark.sql(s"CALL gtest.system.export_statistics('m.t', '$iceDest')")
+    assert(IcebergStatistics.ndvStats(iceDest).contains("id"))
+
     intercept[Exception] { spark.sql("CALL gtest.system.nope('m.t')") }
   }
 
