@@ -366,6 +366,12 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"CALL gtest.system.export_iceberg('m.t', '$iceDest')")
     spark.sql(s"CALL gtest.system.export_statistics('m.t', '$iceDest')")
     assert(IcebergStatistics.ndvStats(iceDest).contains("id"))
+    // this is a MID-EVOLUTION current-only export (pre-bucket files +
+    // the evolved spec): both eras must be in partition-specs and the
+    // spec reader must read the mixed layout exactly
+    assert(IcebergRead.read(spark, iceDest).select("id").as[Long]
+      .collect().sorted.toSeq ===
+      spark.sql("SELECT id FROM gtest.m.t").as[Long].collect().sorted.toSeq)
 
     intercept[Exception] { spark.sql("CALL gtest.system.nope('m.t')") }
   }
