@@ -1522,7 +1522,12 @@ object IcebergRead {
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
       nullCounts: Map[Int, Long] = Map.empty)
   private[sources] final case class IceDelete(path: String, content: Int,
-      seq: Long, equalityIds: Seq[Int], rows: Long)
+      seq: Long, equalityIds: Seq[Int], rows: Long,
+      /** file_path bounds (reserved id 2147483546) when the delete
+        * manifest recorded them: the shard covers only data files in
+        * [lo, hi], so readers skip it for groups outside the interval.
+        * None = unknown, always applies. */
+      pathBounds: Option[(String, String)] = None)
 
   /** Parse an Iceberg v2 table snapshot from its metadata directory —
     * the shared walk behind [[read]] and
@@ -1727,9 +1732,27 @@ object IcebergRead {
             l.asScala.toSeq.map(_.asInstanceOf[Number].intValue())
           case _ => Nil
         }
+        // the file_path bounds (reserved id 2147483546) a range-sharded
+        // writer records — what lets the reader skip whole shards per
+        // layout group (schema-absent or un-recorded = always applies)
+        def pathBound(field: String): Option[String] =
+          Option(df.getSchema.getField(field))
+            .flatMap(_ => Option(df.get(field))).toSeq
+            .flatMap(_.asInstanceOf[java.util.List[_]].asScala)
+            .map(_.asInstanceOf[GenericRecord])
+            .find(_.get("key").asInstanceOf[Int] == 2147483546)
+            .map { kv =>
+              val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+                .duplicate()
+              val out = new Array[Byte](bb.remaining()); bb.get(out)
+              new String(out, StandardCharsets.UTF_8)
+            }
+        val bounds = for (lo <- pathBound("lower_bounds");
+          hi <- pathBound("upper_bounds")) yield (lo, hi)
         IceDelete(df.get("file_path").toString, content,
           entrySeq(e, mf), eqIds,
-          df.get("record_count").asInstanceOf[Long])
+          df.get("record_count").asInstanceOf[Long],
+          pathBounds = bounds)
       }
     }
     IceMeta(schemaNode, schema, mapping, specFields, fieldNameById,
@@ -1928,17 +1951,34 @@ object IcebergRead {
     // typed literals (null for __HIVE_DEFAULT_PARTITION__/absent)
     // position deletes (merge-on-read exports): anti-join each scan
     // on (normalized file path, row index) against the delete rows
-    val posPaths = m.deleteFiles.filter(_.content == 1).map(_.path)
-    // the delete rows' file_path values normalize EXACTLY like the
+    val posFiles = m.deleteFiles.filter(_.content == 1)
+    def plainP(p: String): String =
+      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    // DELETE-FILE TARGETING: a shard whose recorded file_path bounds
+    // miss every path in the group never opens (the manifest-level
+    // matching a range-sharded writer enables — ours records exact
+    // bounds; a foreign writer's TRUNCATED bounds only widen the
+    // interval, so targeting stays conservative). Bounds normalize
+    // with the same scheme-strip as the compare keys: a prefix strip
+    // shared by all of a shard's values is order-preserving.
+    // The delete rows' file_path values normalize EXACTLY like the
     // scan-side _ice_f below — a foreign writer records file:// URIs
     // in its position-delete parquets (Iceberg Java does) and a raw
     // compare would never match, silently resurrecting deleted rows
-    val posDeletes: Option[DataFrame] =
-      if (posPaths.isEmpty) None
-      else Some(spark.read.parquet(posPaths: _*)
+    def posDeletesFor(groupPaths: Seq[String]): Option[DataFrame] = {
+      val gp = groupPaths.map(plainP)
+      val hit = posFiles.filter(d => d.pathBounds match {
+        case Some((lo, hi)) =>
+          val (plo, phi) = (plainP(lo), plainP(hi))
+          gp.exists(p => p >= plo && p <= phi)
+        case None => true // unknown coverage: always applies
+      })
+      if (hit.isEmpty) None
+      else Some(spark.read.parquet(hit.map(_.path): _*)
         .select(org.apache.spark.sql.functions.regexp_replace(
           col("file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("_ice_f"),
           col("pos").as("_ice_p")))
+    }
     // equality deletes: keys apply to data files whose sequence is
     // STRICTLY below the delete's (Iceberg's rule — identical to
     // graft's), resolved per row from a broadcast path→seq map
@@ -1947,14 +1987,14 @@ object IcebergRead {
     // the manifest still hit the sequence join
     val fileSeq: Map[String, Long] = m.entries.map(e =>
       e.path.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/") -> e.seq).toMap
-    def applyDeletes(df: DataFrame): DataFrame = {
-      val needsMeta = posDeletes.nonEmpty || eqDeletes.nonEmpty
+    def applyDeletes(df: DataFrame, groupPaths: Seq[String]): DataFrame = {
+      val needsMeta = posFiles.nonEmpty || eqDeletes.nonEmpty
       if (!needsMeta) return df
       var out = df.withColumn("_ice_f",
           org.apache.spark.sql.functions.regexp_replace(
             col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
         .withColumn("_ice_p", col("_metadata.row_index"))
-      posDeletes.foreach { d =>
+      posDeletesFor(groupPaths).foreach { d =>
         out = out.join(d, Seq("_ice_f", "_ice_p"), "left_anti")
       }
       if (eqDeletes.nonEmpty) {
@@ -2008,7 +2048,8 @@ object IcebergRead {
     groups.map { case ((specId, pvals), es) =>
       val identity = identityOf(specId)
       val base = applyDeletes(
-        spark.read.schema(physSchemaOf(identity)).parquet(es.map(_.path): _*))
+        spark.read.schema(physSchemaOf(identity)).parquet(es.map(_.path): _*),
+        groupPaths = es.map(_.path))
       val cols: Seq[Column] = schema.fields.toSeq.map { f =>
         identity.find(_.column == f.name) match {
           case Some(idf) =>
