@@ -404,6 +404,74 @@ class IcebergRestCatalogSpec extends SparkSpec {
     } finally cat.close()
   }
 
+  test("a FOREIGN format-v1 table serves over REST: discovery, inline v1 metadata, wire read") {
+    // minimal hand-authored v1 table (the IcebergExportSpec fixture's
+    // shape): single legacy `schema`, flat spec, one v1 manifest list
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val root = java.nio.file.Paths.get(tmp("rest_v1_"))
+    val metaDir = root.resolve("metadata"); Files.createDirectories(metaDir)
+    val dataDir = root.resolve("data"); Files.createDirectories(dataDir)
+    Seq(7L, 8L).toDF("id").coalesce(1).write.parquet(dataDir.resolve("a").toString)
+    val f = new java.io.File(dataDir.resolve("a").toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val mSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin)
+    val mp = metaDir.resolve("m1.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](mSchema))
+      w.create(mSchema, mp.toFile)
+      try {
+        val dfr = new GenericData.Record(mSchema.getField("data_file").schema())
+        dfr.put("file_path", f.getAbsolutePath); dfr.put("file_format", "PARQUET")
+        dfr.put("partition", new GenericData.Record(mSchema
+          .getField("data_file").schema().getField("partition").schema()))
+        dfr.put("record_count", 2L); dfr.put("file_size_in_bytes", f.length())
+        val e = new GenericData.Record(mSchema)
+        e.put("status", 1); e.put("data_file", dfr)
+        w.append(e)
+      } finally w.close()
+    }
+    val metaJson =
+      s"""{"format-version":1,"table-uuid":"f00dcafe-0000-0000-0000-0000000000f1",
+         |"location":"$root","last-updated-ms":1000,"last-column-id":1,
+         |"schema":{"type":"struct","fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"}]},
+         |"partition-spec":[],"properties":{},"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"timestamp-ms":1000,
+         |  "summary":{"operation":"append"},"manifests":["$mp"]}],
+         |"snapshot-log":[{"timestamp-ms":1000,"snapshot-id":1}]}""".stripMargin
+    Files.write(metaDir.resolve("v1.metadata.json"), metaJson.getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+
+    val cat = IcebergRestCatalog.start()
+    try {
+      cat.register("legacy", "t1", root.toString)
+      val (lc, lb) = get(s"${cat.uri}/v1/namespaces/legacy/tables/t1")
+      assert(lc === 200)
+      val wire = mapper.readTree(lb).get("metadata")
+      assert(wire.get("format-version").asInt() === 1)
+      // the wire-carried v1 metadata reads through loadMeta directly
+      val back = IcebergRead.readMeta(spark, IcebergRead.loadMeta(wire))
+      assert(back.select("id").as[Long].collect().sorted.toSeq === Seq(7L, 8L))
+      // and through the SQL-over-REST path
+      val n = GraftSql.exec(spark,
+        s"SELECT count(*) AS n FROM iceberg_rest_scan('${cat.uri}', 'legacy', 't1')")
+        .head().getLong(0)
+      assert(n === 2L)
+    } finally cat.close()
+  }
+
   test("pagination: pageSize/pageToken walk the table and namespace lists; snapshots=refs trims LoadTableResult") {
     val dest1 = tmp("ice_rest_p1_"); val dest2 = tmp("ice_rest_p2_")
     val dest3 = tmp("ice_rest_p3_")
