@@ -1759,6 +1759,22 @@ object IcebergRead {
       entries, specsById, specId, deleteFiles)
   }
 
+  /** Does a position-delete shard with these recorded file_path bounds
+    * possibly cover any of the (plain-normalized) group paths? Bounds
+    * normalize with the same scheme strip as the compare keys — a
+    * prefix strip shared by all of a shard's values is
+    * order-preserving, and a foreign writer's TRUNCATED bounds only
+    * widen the interval, so the test is always conservative. No
+    * bounds = unknown coverage = always applies. */
+  private[sources] def shardApplies(bounds: Option[(String, String)],
+      plainGroupPaths: Seq[String]): Boolean = bounds match {
+    case Some((lo, hi)) =>
+      val plo = lo.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+      val phi = hi.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+      plainGroupPaths.exists(p => p >= plo && p <= phi)
+    case None => true
+  }
+
   def read(spark: SparkSession, dest: String,
       versionAsOf: Option[Long] = None): DataFrame =
     readMeta(spark, load(dest, versionAsOf))
@@ -1967,12 +1983,7 @@ object IcebergRead {
     // compare would never match, silently resurrecting deleted rows
     def posDeletesFor(groupPaths: Seq[String]): Option[DataFrame] = {
       val gp = groupPaths.map(plainP)
-      val hit = posFiles.filter(d => d.pathBounds match {
-        case Some((lo, hi)) =>
-          val (plo, phi) = (plainP(lo), plainP(hi))
-          gp.exists(p => p >= plo && p <= phi)
-        case None => true // unknown coverage: always applies
-      })
+      val hit = posFiles.filter(d => shardApplies(d.pathBounds, gp))
       if (hit.isEmpty) None
       else Some(spark.read.parquet(hit.map(_.path): _*)
         .select(org.apache.spark.sql.functions.regexp_replace(

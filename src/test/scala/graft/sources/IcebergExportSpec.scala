@@ -967,6 +967,28 @@ class IcebergExportSpec extends SparkSpec {
       sortedRows(t.read().select("id", "event_type", "ts_us")))
   }
 
+  test("delete-shard targeting predicate: interval tests, URI-form bounds, truncated foreign bounds stay conservative, bound-less always applies") {
+    def applies(b: Option[(String, String)], gp: String*): Boolean =
+      IcebergRead.shardApplies(b, gp.map(
+        _.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")))
+    // plain interval containment
+    assert(applies(Some(("/t/data/a.parquet", "/t/data/m.parquet")),
+      "/t/data/g.parquet"))
+    assert(!applies(Some(("/t/data/a.parquet", "/t/data/m.parquet")),
+      "/t/data/z.parquet"))
+    // a foreign writer's file:// URI bounds normalize like the keys
+    assert(applies(Some(("file:///t/data/a.parquet", "file:///t/data/m.parquet")),
+      "file:///t/data/g.parquet"))
+    // TRUNCATED foreign bounds (lower truncated down, upper truncated
+    // and incremented) only WIDEN the interval — still a hit for paths
+    // the exact interval would cover
+    assert(applies(Some(("/t/data/a", "/t/data/n")), "/t/data/m.parquet"))
+    // no bounds recorded = unknown coverage = always applies
+    assert(applies(None, "/anything"))
+    // empty group never matches a bounded shard
+    assert(!applies(Some(("/a", "/b"))))
+  }
+
   test("eq re-encode is BATCHED: a many-tombstone HISTORY export runs one job per shape group, not one per file") {
     val t = LogTable(spark, tmp("ice_eq_batch_"))
     t.append((0L until 40L).map(i => (i, "a")).toDF("id", "tag"))
