@@ -85,6 +85,19 @@ class PuffinSpec extends SparkSpec {
     assert(t.snapshot().ndvs === Map("k" -> 11L))
   }
 
+  test("exportStatistics refuses a table with no sketchable top-level atomic columns") {
+    val t = LogTable(spark, tmp("puffin_none_"))
+    t.append(Seq((true, Array(1L, 2L)), (false, Array(3L)))
+      .toDF("flag", "xs")) // boolean + array: no single-value sketch form
+    val dest = tmp("puffin_none_out_")
+    IcebergExport.export(t, dest)
+    val e = intercept[IllegalArgumentException](
+      IcebergStatistics.exportStatistics(t, dest))
+    assert(e.getMessage.contains("no sketchable"))
+    // and ndvStats on a stats-less table is empty, not an error
+    assert(IcebergStatistics.ndvStats(dest) === Map.empty)
+  }
+
   test("sketches are deterministic and union-mergeable across partition layouts") {
     val t1 = LogTable(spark, tmp("puffin_det1_"))
     t1.append((0L until 400L).map(i => (i, s"s${i % 13}", i.toDouble))
