@@ -108,9 +108,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = tableDir(ident)
     if (!isTable(root)) {
       // METADATA tables (Iceberg's `db.table.history` convention):
-      // `cat.ns.t.history|files|partitions|deletes` resolve when the
-      // identifier's namespace tail is a table — rows come straight
-      // from manifest metadata, planned as a LocalRelation
+      // `cat.ns.t.history|files|partitions|deletes|refs|snapshots|
+      // manifests|entries` resolve when the identifier's namespace
+      // tail is a table — rows come straight from manifest metadata,
+      // planned as a LocalRelation
       if (ident.namespace.nonEmpty) {
         val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
         val proot = tableDir(parent)
@@ -148,6 +149,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             case "partitions" => Some(t.partitionsTable())
             case "deletes" => Some(t.deletesTable())
             case "refs" => Some(t.refsTable())
+            // the Iceberg-conventional trio every operator dashboard
+            // queries — LocalScan projections of the manifest
+            case "snapshots" => Some(t.snapshotsTable())
+            case "manifests" => Some(t.manifestsTable())
+            case "entries" => Some(t.entriesTable())
             case _ => None
           }
           df.foreach(d => return new GraftLocalTable(

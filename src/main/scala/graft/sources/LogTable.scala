@@ -1386,9 +1386,80 @@ final class LogTable private (val spark: SparkSession, val root: String,
     rows.sortBy(r => (r._2, r._1)).toDF("name", "type", "version")
   }
 
+  /** Iceberg-conventional `snapshots` metadata table — the columns
+    * every Iceberg dashboard/runbook queries (`committed_at_ms`,
+    * `snapshot_id`, `parent_id`, `operation`, `summary` as a real
+    * map). [[history]] keeps graft's richer operational shape; this
+    * one matches the ecosystem convention key-for-key. Manifest
+    * metadata only — plans as a LocalScan, zero executor work. */
+  def snapshotsTable(): DataFrame = {
+    val vs = versions.toSet
+    val rows = versions.map(snapshot).map(s =>
+      (s.timestampMs, s.version,
+        // the first retained snapshot's parent may be expired (or the
+        // table's genesis): Iceberg renders an absent parent as null
+        if (vs.contains(s.parent)) Some(s.parent) else None,
+        s.operation, s.summary))
+    import spark.implicits._
+    rows.toDF("committed_at_ms", "snapshot_id", "parent_id",
+      "operation", "summary")
+  }
+
+  /** Iceberg-conventional `manifests` metadata table: one row per
+    * manifest piece of a snapshot — every SEGMENT file (graft's
+    * manifest shards) plus one row for the pointer's inline entries —
+    * with path, on-disk length, entry count, and the pointer-resident
+    * partition-value summaries (`k:[v1,v2,…]`, the prune-whole-segments
+    * level). The "is my metadata itself healthy/skewed?" operational
+    * query. Driver metadata I/O only, zero executor work. */
+  def manifestsTable(version: Long = currentVersion): DataFrame = {
+    val s = snapshot(version)
+    // -1 when the metadata plane is not a plain filesystem (e.g. the
+    // object-store emulation): length is advisory, never load-bearing
+    def lenOf(p: Path): Long =
+      try Files.size(p) catch { case _: Exception => -1L }
+    val segRows = s.segs.map { sg =>
+      val p = logDir.resolve(sg.name)
+      (p.toString, lenOf(p), sg.files.size.toLong,
+        sg.partVals.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k:[${v.mkString(",")}]" }.mkString(";"))
+    }
+    val inlineCount = s.files.size.toLong - segRows.map(_._3).sum
+    val pointer = LogTable.manifestPath(logDir, version)
+    val rows = segRows ++ Seq(
+      (pointer.toString, lenOf(pointer), inlineCount, ""))
+    import spark.implicits._
+    rows.toDF("path", "length", "n_entries", "partition_summaries")
+  }
+
+  /** Iceberg-conventional `entries` metadata table: one row per data
+    * file of a snapshot with its STATUS relative to the parent —
+    * 1 = ADDED by this snapshot, 0 = EXISTING (carried over) — plus
+    * sequence number, partition tuple, and counts: the file-lineage
+    * debugging view (`which commit introduced this file?`). Manifest
+    * metadata only, zero executor work. */
+  def entriesTable(version: Long = currentVersion): DataFrame = {
+    val s = snapshot(version)
+    val parentPaths: Set[String] =
+      if (versions.contains(s.parent))
+        snapshot(s.parent).files.map(_.path).toSet
+      else Set.empty
+    val rows = s.files.map { f =>
+      (if (parentPaths.contains(f.path)) 0 else 1,
+        s.version, f.seq, f.path, f.rows, f.bytes,
+        f.partitions.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("/"))
+    }
+    import spark.implicits._
+    rows.toDF("status", "snapshot_id", "sequence_number", "file_path",
+      "record_count", "file_size_in_bytes", "partition")
+  }
+
   /** Register this table's data and metadata as SQL views:
     * `<name>` (current snapshot), `<name>_history`, `<name>_files`,
-    * `<name>_partitions`, `<name>_deletes`, `<name>_refs` — the
+    * `<name>_partitions`, `<name>_deletes`, `<name>_refs`, plus the
+    * Iceberg-conventional `<name>_snapshots` / `<name>_manifests` /
+    * `<name>_entries` — the
     * spark.sql surface an Iceberg user reaches with `table$history` /
     * `table$files` / `table$partitions` / `table$delete_files` /
     * `table$refs`. Views capture the snapshot at registration;
@@ -1400,6 +1471,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
     partitionsTable().createOrReplaceTempView(s"${name}_partitions")
     deletesTable().createOrReplaceTempView(s"${name}_deletes")
     refsTable().createOrReplaceTempView(s"${name}_refs")
+    snapshotsTable().createOrReplaceTempView(s"${name}_snapshots")
+    manifestsTable().createOrReplaceTempView(s"${name}_manifests")
+    entriesTable().createOrReplaceTempView(s"${name}_entries")
   }
 
   /** Empty DataFrame with the table's schema (from any data file, or

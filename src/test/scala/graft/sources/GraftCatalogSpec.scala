@@ -417,6 +417,60 @@ class GraftCatalogSpec extends SparkSpec {
       (3L, "insert", 3L)))
   }
 
+  test("Iceberg-conventional .snapshots / .manifests / .entries: conventional columns, manifest-consistent, LocalScan-planned (zero executor work)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.md2")
+    spark.sql("CREATE TABLE gtest.md2.t (id BIGINT, kind STRING) PARTITIONED BY (kind)")
+    spark.sql("INSERT INTO gtest.md2.t VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT INTO gtest.md2.t VALUES (3,'a')")
+    val lt = LogTable(spark, s"$warehouse/md2/t")
+
+    // snapshots: id/parent/operation/summary; the parent chain holds
+    // and the genesis snapshot's parent renders null (the convention)
+    val sn = spark.sql("""SELECT snapshot_id, parent_id, operation
+      FROM gtest.md2.t.snapshots ORDER BY snapshot_id""").collect()
+    assert(sn.map(_.getString(2)).toSeq ===
+      Seq("evolve-schema", "append", "append"))
+    assert(sn.head.isNullAt(1), "genesis snapshot's parent must be null")
+    (1 until sn.length).foreach(i =>
+      assert(sn(i).getLong(1) === sn(i - 1).getLong(0), "parent chain"))
+    // summary is a REAL map — the audit keys query directly
+    assert(spark.sql("""SELECT summary['total-rows']
+      FROM gtest.md2.t.snapshots
+      WHERE snapshot_id = 3""").head().getString(0) === "3")
+
+    // entries: status 1 = added by this snapshot, 0 = carried over;
+    // exactly the parent-set diff the manifest records
+    val parentSet = lt.snapshot(lt.currentVersion - 1)
+      .files.map(_.path).toSet
+    val ent = spark.sql("""SELECT status, file_path, record_count
+      FROM gtest.md2.t.entries""").collect()
+    assert(ent.length === lt.snapshot().files.size)
+    ent.foreach { r =>
+      val expect = if (parentSet.contains(r.getString(1))) 0 else 1
+      assert(r.getInt(0) === expect, s"status of ${r.getString(1)}")
+    }
+    assert(ent.map(_.getLong(2)).sum === 3L, "record counts sum to rows")
+
+    // manifests: every metadata piece with length + entry count; the
+    // counts cover the whole file list exactly
+    val man = spark.sql("""SELECT path, length, n_entries
+      FROM gtest.md2.t.manifests""").collect()
+    assert(man.nonEmpty)
+    assert(man.map(_.getLong(2)).sum === lt.snapshot().files.size.toLong,
+      "manifest entry counts must partition the snapshot's file list")
+    assert(man.forall(r => r.getString(0).contains("_graft_log")))
+
+    // ZERO EXECUTOR WORK: all three plan as LocalTableScan — no
+    // FileScan, no exchange; the manifest is the only input
+    Seq("snapshots", "manifests", "entries").foreach { mt =>
+      val p = spark.sql(s"SELECT * FROM gtest.md2.t.$mt")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("LocalTableScan"), s".$mt must plan local:\n$p")
+      assert(!p.contains("FileScan"), s".$mt must not scan data:\n$p")
+    }
+  }
+
   test("CALL compact_where bounds maintenance to one partition's files") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.cw")
