@@ -1657,8 +1657,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
       mergedNow.json)
     var validatedChecks = snapNow.checks.keySet
     if (newFiles.isEmpty) snapshot()
+    // the EMPTY staged-paths record says "this append committed no
+    // staged files" — it keeps stagedCommittedAmong's fast path alive
+    // (key PRESENT on every post-upgrade append; absence = pre-upgrade
+    // snapshot → legacy file-list fallback) at zero pointer bytes
     else commit("append", tag,
-        nextSchema = prev => mergedSchemaWith(prev, df.schema).json) { prev =>
+        nextSchema = prev => mergedSchemaWith(prev, df.schema).json,
+        extraSummary = () => Map(LogTable.StagedPathsKey -> "")) { prev =>
       // re-check under the commit retry loop: a concurrent duplicate
       // deliverer may have won the race after our first check
       if (tag.nonEmpty && hasTag(tag)) return snapshot()
@@ -1821,10 +1826,29 @@ final class LogTable private (val spark: SparkSession, val root: String,
       pool.relativize(Paths.get(p).toAbsolutePath.normalize).toString -> p)
       .toMap
     val found = Set.newBuilder[String]
+    // PRE-UPGRADE COMPLETENESS: a retained 'append' snapshot written
+    // by commitStagedAppend before the staged-paths record existed
+    // carries no record — its committed files would read as fresh and
+    // replay as duplicates. Appends cannot be told apart by summary
+    // alone, so ANY record-less retained append demotes this round to
+    // the legacy file-list scan (O(pending) MEMORY still — membership
+    // tests against byRel, never a lineage-wide path set). Post-
+    // upgrade tables where every append carries the record keep the
+    // O(pending + pointers) fast path.
+    var legacy = false
     versions.foreach { v =>
-      snapshot(v).summary.get(LogTable.StagedPathsKey).foreach {
-        _.split('\n').iterator.filter(_.nonEmpty)
+      val sn = snapshot(v)
+      sn.summary.get(LogTable.StagedPathsKey) match {
+        case Some(rec) => rec.split('\n').iterator.filter(_.nonEmpty)
           .foreach(r => byRel.get(r).foreach(found += _))
+        case None => if (sn.operation == "append") legacy = true
+      }
+    }
+    if (legacy) versions.foreach { v =>
+      snapshot(v).files.foreach { f =>
+        byRel.get(pool.relativize(
+          Paths.get(f.path).toAbsolutePath.normalize).toString)
+          .foreach(found += _)
       }
     }
     found.result()
@@ -4331,7 +4355,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * Never called by a production path (reading such a table would
     * fail at the parquet layer, loudly). */
   private[sources] def commitSynthetic(newFiles: Seq[DataFile]): Snapshot =
-    commit("append")(prev => prev.files ++ newFiles)
+    commit("append",
+      extraSummary = () => Map(LogTable.StagedPathsKey -> ""))(prev =>
+      prev.files ++ newFiles)
 
   /** Optimistic-concurrency commit: build the next snapshot's file list
     * from the CURRENT one, write the manifest to a temp name, and
