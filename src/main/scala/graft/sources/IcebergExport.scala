@@ -78,6 +78,29 @@ object IcebergExport {
     * other's stale value. */
   private[sources] val fieldIdConfLock = new Object
 
+  /** (min, max) of `ss` as UTF-8 byte arrays under Iceberg's UNSIGNED
+    * byte order — the order foreign engines apply to manifest-list
+    * string bounds. Java's String order (UTF-16 code units) diverges
+    * for supplementary-plane characters (an emoji is byte-GREATER but
+    * UTF-16-LESS than U+E000–U+FFFF), so bounds picked with String
+    * min/max could under-cover and let a foreign reader skip a
+    * matching manifest. Extracted for unit testing. */
+  private[sources] def utf8MinMax(ss: Seq[String]): (Array[Byte], Array[Byte]) = {
+    def byteLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    val bs = ss.map(_.getBytes(StandardCharsets.UTF_8))
+    (bs.reduce((a, b) => if (byteLt(a, b)) a else b),
+      bs.reduce((a, b) => if (byteLt(a, b)) b else a))
+  }
+
   /** Row count of a parquet file from its footer — metadata only,
     * no Spark job (the manifest entry's record_count source for the
     * sharded delete-parquet writes). */
@@ -475,8 +498,13 @@ object IcebergExport {
               (ser(java.lang.Integer.valueOf(is.min)),
                 ser(java.lang.Integer.valueOf(is.max)))
             case _: String =>
-              val ss = vals.map(_.asInstanceOf[String])
-              (ser(ss.min), ser(ss.max))
+              // foreign engines compare these bounds under Iceberg's
+              // UNSIGNED UTF-8 BYTE order, which diverges from Java's
+              // UTF-16 order for supplementary-plane characters — pick
+              // min/max in the consumer's order, not String's
+              val (mnB, mxB) = IcebergExport.utf8MinMax(
+                vals.map(_.asInstanceOf[String]))
+              (java.nio.ByteBuffer.wrap(mnB), java.nio.ByteBuffer.wrap(mxB))
             case other => throw new IllegalStateException(
               s"unexpected partition value type ${other.getClass}")
           }
@@ -849,14 +877,32 @@ object IcebergExport {
               b.putLong(v).flip()
               b
             }
+            def le4(v: Long): java.nio.ByteBuffer = {
+              val b = java.nio.ByteBuffer.allocate(4)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              b.putInt(v.toInt).flip()
+              b
+            }
+            // single-value serialization width follows the field's
+            // ICEBERG type (spec appendix D): `int`/`date` bounds are
+            // 4-byte LE, `long`/`timestamp[tz]` 8-byte LE. f.ranges
+            // holds INT32-physical columns too — writing those as 8
+            // bytes makes spec-strict foreign readers reject or
+            // misread the manifest.
+            def leBound(c: String, v: Long): java.nio.ByteBuffer =
+              schema.fields.find(_.name.equalsIgnoreCase(c))
+                .map(_.dataType) match {
+                case Some(IntegerType) | Some(DateType) => le4(v)
+                case _ => le8(v)
+              }
             def utf8(s: String): java.nio.ByteBuffer =
               java.nio.ByteBuffer.wrap(s.getBytes(StandardCharsets.UTF_8))
             val lo = f.ranges.toSeq.flatMap { case (c, (mn, _)) =>
-                fid(c).map(_ -> (le8(mn): AnyRef)) } ++
+                fid(c).map(_ -> (leBound(c, mn): AnyRef)) } ++
               f.strRanges.toSeq.flatMap { case (c, (mn, _)) =>
                 fid(c).map(_ -> (utf8(mn): AnyRef)) }
             val hi = f.ranges.toSeq.flatMap { case (c, (_, mx)) =>
-                fid(c).map(_ -> (le8(mx): AnyRef)) } ++
+                fid(c).map(_ -> (leBound(c, mx): AnyRef)) } ++
               f.strRanges.toSeq.flatMap { case (c, (_, mx)) =>
                 fid(c).map(_ -> (utf8(mx): AnyRef)) }
             val nulls = f.nulls.toSeq.flatMap { case (c, n) =>
@@ -2143,6 +2189,54 @@ object IcebergRead {
   * to prune on) all refuse loudly rather than import approximately. */
 object IcebergImport {
 
+  /** Foreign manifest column stats → graft DataFile ranges, adopting
+    * only exactly-decodable, order-compatible cases (extracted for
+    * unit testing — the guard is a pruning-correctness seam):
+    *  - `long` bounds must be the full 8-byte LE form, `int` the
+    *    4-byte LE form (the spec's single-value serialization);
+    *  - STRING bounds adopt only when both ends pass the same
+    *    asciiBounded guard parquetFooterMeta enforces (pure-ASCII,
+    *    ≤64 bytes). graft's strRanges pruners compare in Java UTF-16
+    *    order while Iceberg's bounds are UTF-8-byte-ordered and may be
+    *    truncate(16)+incremented — the orders agree ONLY on ASCII,
+    *    where truncation stays conservative (lower = prefix ≤ min,
+    *    incremented upper ≥ max in both orders; a 0x7F increment
+    *    leaves ASCII and is skipped). Anything else skips — absence
+    *    never prunes. */
+  private[sources] def adoptedStats(
+      lowerBounds: Map[Int, Array[Byte]],
+      upperBounds: Map[Int, Array[Byte]],
+      fieldNameById: Map[Int, String],
+      schema: StructType)
+      : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
+    val statRanges = scala.collection.mutable.Map[String, (Long, Long)]()
+    val statStrRanges = scala.collection.mutable.Map[String, (String, String)]()
+    def asciiBounded(s: String): Boolean =
+      s.length <= 64 && s.forall(_ < 128)
+    for ((fidV, lo) <- lowerBounds; hi <- upperBounds.get(fidV);
+         name <- fieldNameById.get(fidV)) {
+      schema.fields.find(_.name == name).map(_.dataType) match {
+        case Some(LongType) if lo.length == 8 && hi.length == 8 =>
+          def le(b: Array[Byte]): Long =
+            java.nio.ByteBuffer.wrap(b)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong()
+          statRanges(name) = (le(lo), le(hi))
+        case Some(IntegerType) if lo.length == 4 && hi.length == 4 =>
+          def le4(b: Array[Byte]): Long =
+            java.nio.ByteBuffer.wrap(b)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt().toLong
+          statRanges(name) = (le4(lo), le4(hi))
+        case Some(StringType) =>
+          val ls = new String(lo, StandardCharsets.UTF_8)
+          val hs = new String(hi, StandardCharsets.UTF_8)
+          if (asciiBounded(ls) && asciiBounded(hs))
+            statStrRanges(name) = (ls, hs)
+        case _ => // other types: skip — absence never prunes
+      }
+    }
+    (statRanges.toMap, statStrRanges.toMap)
+  }
+
   def importTable(spark: SparkSession, src: String, destRoot: String): LogTable = {
     val m = IcebergRead.load(src)
     // import adopts ONE spec (the default) — a spec-evolved foreign
@@ -2298,32 +2392,12 @@ object IcebergImport {
             else None
         }
       }.toMap
-      // foreign COLUMN STATS adopt too (the spec's single-value binary
-      // form: long = 8-byte little-endian, string = UTF-8): graft's
-      // stat pruner skips imported files immediately instead of
-      // waiting for a compaction to re-derive footer stats. Only
-      // exactly-decodable cases adopt — a long bound must be the full
-      // 8 bytes, and string bounds adopt as a VALID range only if the
-      // writer didn't truncate (Iceberg upper bounds may be truncated-
-      // and-incremented; an exact-equal-length pair is safe either
-      // way, and skipping adoption never mis-prunes)
-      val statRanges = scala.collection.mutable.Map[String, (Long, Long)]()
-      val statStrRanges = scala.collection.mutable.Map[String, (String, String)]()
-      for ((fidV, lo) <- e.lowerBounds; hi <- e.upperBounds.get(fidV);
-           name <- m.fieldNameById.get(fidV)) {
-        m.schema.fields.find(_.name == name).map(_.dataType) match {
-          case Some(LongType) if lo.length == 8 && hi.length == 8 =>
-            def le(b: Array[Byte]): Long =
-              java.nio.ByteBuffer.wrap(b)
-                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong()
-            statRanges(name) = (le(lo), le(hi))
-          case Some(StringType) =>
-            statStrRanges(name) =
-              (new String(lo, StandardCharsets.UTF_8),
-                new String(hi, StandardCharsets.UTF_8))
-          case _ => // other types: skip — absence never prunes
-        }
-      }
+      // foreign COLUMN STATS adopt too, so graft's stat pruner skips
+      // imported files immediately instead of waiting for a compaction
+      // to re-derive footer stats — see [[adoptedStats]] for the
+      // exact-decode + ASCII-order guards (absence never prunes)
+      val (statRanges, statStrRanges) = adoptedStats(
+        e.lowerBounds, e.upperBounds, m.fieldNameById, m.schema)
       val statNulls = e.nullCounts.flatMap { case (fidV, n) =>
         m.fieldNameById.get(fidV).map(_ -> n) }
       // paths normalize to plain form so delete-blob keys, manifest
@@ -2331,7 +2405,7 @@ object IcebergImport {
       // SEQUENCE carries over — equality tombstones must keep
       // applying only to files strictly older than themselves
       DataFile(plain(e.path), e.rows, e.bytes, partitions = parts,
-        ranges = statRanges.toMap, strRanges = statStrRanges.toMap,
+        ranges = statRanges, strRanges = statStrRanges,
         seq = e.seq, nulls = statNulls)
     }
     // foreign POSITION deletes materialize as graft deletion-vector
