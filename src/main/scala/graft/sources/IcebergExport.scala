@@ -1573,7 +1573,12 @@ object IcebergRead {
         * manifest recorded them: the shard covers only data files in
         * [lo, hi], so readers skip it for groups outside the interval.
         * None = unknown, always applies. */
-      pathBounds: Option[(String, String)] = None)
+      pathBounds: Option[(String, String)] = None,
+      /** Format-v3 DELETION VECTOR coordinates when `path` is a Puffin
+        * file instead of a position-delete parquet:
+        * (referenced data file, blob offset, blob size). A DV targets
+        * exactly ONE data file — the strongest targeting there is. */
+      dv: Option[(String, Long, Long)] = None)
 
   /** Parse an Iceberg v2 table snapshot from its metadata directory —
     * the shared walk behind [[read]] and
@@ -1601,10 +1606,17 @@ object IcebergRead {
     // (the Hive-era installed base): no sequence numbers (all 0 — v1
     // has no row-level deletes, so ranking never matters), optional
     // legacy single-`schema`/`partition-spec` metadata shapes, and
-    // the pre-manifest-list `manifests` snapshot array
+    // the pre-manifest-list `manifests` snapshot array.
+    // Format v3 FOREIGN tables read too: deletion vectors (Puffin
+    // `deletion-vector-v1` blobs referenced per data file) apply
+    // exactly; row-lineage metadata (`next-row-id`, snapshot
+    // `first-row-id`, entry `first_row_id`) is reader-irrelevant and
+    // tolerated-and-ignored; v3-only schema features with read-time
+    // SEMANTICS (non-null `initial-default` column defaults, new
+    // types) refuse loudly below — exact-or-refuse, never silent nulls
     val fv = meta.get("format-version").asInt()
-    require(fv == 1 || fv == 2,
-      s"only Iceberg format-version 1 or 2 is supported, got $fv")
+    require(fv == 1 || fv == 2 || fv == 3,
+      s"only Iceberg format-version 1, 2 or 3 is supported, got $fv")
     val snapId = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
     val snapNode = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapId)
@@ -1771,6 +1783,27 @@ object IcebergRead {
         val content = df.get("content").asInstanceOf[Int]
         require(content == 1 || content == 2,
           "only POSITION/EQUALITY delete files are supported")
+        // format-v3 DELETION VECTORS: a position delete whose file is
+        // a Puffin blob (content 1, format PUFFIN) referencing exactly
+        // one data file at (content_offset, content_size_in_bytes).
+        // The three coordinates are spec-REQUIRED for DVs — refuse a
+        // partial record rather than scanning the Puffin file blind.
+        if (content == 1 && df.get("file_format").toString == "PUFFIN") {
+          def reqField(name: String): AnyRef = {
+            require(df.getSchema.getField(name) != null &&
+              df.get(name) != null,
+              s"deletion-vector entry in ${mf.path} lacks '$name' — " +
+                "spec-required for Puffin DVs, refusing")
+            df.get(name)
+          }
+          val refFile = reqField("referenced_data_file").toString
+          val off = reqField("content_offset").asInstanceOf[Long]
+          val sz = reqField("content_size_in_bytes").asInstanceOf[Long]
+          IceDelete(df.get("file_path").toString, content,
+            entrySeq(e, mf), Nil,
+            df.get("record_count").asInstanceOf[Long],
+            dv = Some((refFile, off, sz)))
+        } else {
         require(df.get("file_format").toString == "PARQUET",
           "only PARQUET delete files are supported")
         val eqIds = Option(df.get("equality_ids")) match {
@@ -1799,6 +1832,7 @@ object IcebergRead {
           entrySeq(e, mf), eqIds,
           df.get("record_count").asInstanceOf[Long],
           pathBounds = bounds)
+        }
       }
     }
     IceMeta(schemaNode, schema, mapping, specFields, fieldNameById,
@@ -2013,7 +2047,14 @@ object IcebergRead {
     // typed literals (null for __HIVE_DEFAULT_PARTITION__/absent)
     // position deletes (merge-on-read exports): anti-join each scan
     // on (normalized file path, row index) against the delete rows
-    val posFiles = m.deleteFiles.filter(_.content == 1)
+    val posFiles = m.deleteFiles.filter(d => d.content == 1 && d.dv.isEmpty)
+    // format-v3 DELETION VECTORS: one Puffin blob per data file —
+    // decoded ON EXECUTORS (a DV can hold millions of positions; the
+    // driver only ships (puffin path, offset, size, target) tuples)
+    // and applied through the same (path, pos) anti-join as parquet
+    // position deletes. Targeting is exact: a DV joins a scan group
+    // only when its referenced data file is in the group.
+    val dvFiles = m.deleteFiles.filter(_.dv.isDefined)
     def plainP(p: String): String =
       p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
     // DELETE-FILE TARGETING: a shard whose recorded file_path bounds
@@ -2030,11 +2071,31 @@ object IcebergRead {
     def posDeletesFor(groupPaths: Seq[String]): Option[DataFrame] = {
       val gp = groupPaths.map(plainP)
       val hit = posFiles.filter(d => shardApplies(d.pathBounds, gp))
-      if (hit.isEmpty) None
-      else Some(spark.read.parquet(hit.map(_.path): _*)
-        .select(org.apache.spark.sql.functions.regexp_replace(
-          col("file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("_ice_f"),
-          col("pos").as("_ice_p")))
+      val parquetSide =
+        if (hit.isEmpty) None
+        else Some(spark.read.parquet(hit.map(_.path): _*)
+          .select(org.apache.spark.sql.functions.regexp_replace(
+            col("file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("_ice_f"),
+            col("pos").as("_ice_p")))
+      val gpSet = gp.toSet
+      val dvHit = dvFiles.flatMap(d => d.dv.collect {
+        case (ref, off, sz) if gpSet.contains(plainP(ref)) =>
+          (d.path, off, sz, plainP(ref))
+      })
+      val dvSide =
+        if (dvHit.isEmpty) None
+        else {
+          val sess = spark
+          import sess.implicits._
+          Some(sess.createDataset(dvHit)
+            .flatMap { case (pp, off, sz, ref) =>
+              PuffinDv.readRange(pp, off, sz).map(pos => (ref, pos)) }
+            .toDF("_ice_f", "_ice_p"))
+        }
+      (parquetSide, dvSide) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b) => a.orElse(b)
+      }
     }
     // equality deletes: keys apply to data files whose sequence is
     // STRICTLY below the delete's (Iceberg's rule — identical to
@@ -2045,7 +2106,8 @@ object IcebergRead {
     val fileSeq: Map[String, Long] = m.entries.map(e =>
       e.path.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/") -> e.seq).toMap
     def applyDeletes(df: DataFrame, groupPaths: Seq[String]): DataFrame = {
-      val needsMeta = posFiles.nonEmpty || eqDeletes.nonEmpty
+      val needsMeta =
+        posFiles.nonEmpty || dvFiles.nonEmpty || eqDeletes.nonEmpty
       if (!needsMeta) return df
       var out = df.withColumn("_ice_f",
           org.apache.spark.sql.functions.regexp_replace(
@@ -2158,9 +2220,20 @@ object IcebergRead {
     }
 
   private def parseStruct(n: com.fasterxml.jackson.databind.JsonNode): StructType =
-    StructType(n.get("fields").elements().asScala.map(f =>
+    StructType(n.get("fields").elements().asScala.map { f =>
+      // v3 column DEFAULTS have read-time semantics this reader does
+      // not implement: a file written before the column existed must
+      // yield `initial-default`, but our coalescing read yields null
+      // there — silently wrong data. Exact-or-refuse. (`write-default`
+      // only binds writers; reads tolerate it.)
+      val init = Option(f.get("initial-default")).filterNot(_.isNull)
+      require(init.isEmpty,
+        s"column '${f.get("name").asText()}' carries a non-null " +
+          "initial-default — v3 default-value reads are not " +
+          "implemented, and reading null instead would be wrong data")
       StructField(f.get("name").asText(), parseType(f.get("type")),
-        nullable = !f.get("required").asBoolean())).toSeq)
+        nullable = !f.get("required").asBoolean())
+    }.toSeq)
 }
 
 /** IMPORT an Iceberg v2 table as a graft [[LogTable]] — the other
@@ -2416,18 +2489,40 @@ object IcebergImport {
     // and write one blob per shard, the driver sees only per-shard
     // (path, count) summaries — never the marks themselves, so a huge
     // foreign backlog imports without driver materialization
-    val posPaths = m.deleteFiles.filter(_.content == 1).map(_.path)
+    val posPaths = m.deleteFiles
+      .filter(d => d.content == 1 && d.dv.isEmpty).map(_.path)
+    // format-v3 DELETION VECTORS decode to the same (file_path, pos)
+    // frame — on executors (the driver ships only blob coordinates),
+    // through the identical normalization, then the one sharded
+    // distributed writer materializes everything as graft DV blobs
+    val dvCoords = m.deleteFiles.flatMap(d =>
+      d.dv.map { case (ref, off, sz) => (d.path, off, sz, plain(ref)) })
     val dest = LogTable(spark, destRoot)
-    val deletes: Seq[DeleteFile] =
-      if (posPaths.isEmpty) Nil
-      else dest.writeDeleteFiles(
-        spark.read.parquet(posPaths: _*).select(
+    val markFrames: Seq[DataFrame] = {
+      val parquetSide =
+        if (posPaths.isEmpty) Nil
+        else Seq(spark.read.parquet(posPaths: _*).select(
           // pre-normalize with the SAME scheme-strip the manifest
           // entries use above, so DV keys and adopted file paths can
           // never disagree on a URI rendering
           org.apache.spark.sql.functions.regexp_replace(col("file_path"),
             "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("file_path"),
-          col("pos")),
+          col("pos")))
+      val dvSide =
+        if (dvCoords.isEmpty) Nil
+        else {
+          val sess = spark
+          import sess.implicits._
+          Seq(sess.createDataset(dvCoords)
+            .flatMap { case (pp, off, sz, ref) =>
+              PuffinDv.readRange(pp, off, sz).map(pos => (ref, pos)) }
+            .toDF("file_path", "pos"))
+        }
+      parquetSide ++ dvSide
+    }
+    val deletes: Seq[DeleteFile] =
+      if (markFrames.isEmpty) Nil
+      else dest.writeDeleteFiles(markFrames.reduce(_.unionByName(_)),
         candidateFiles = m.entries.size)
     // foreign EQUALITY deletes adopt ZERO-COPY: the key-tuple parquet
     // imports by reference, and Iceberg's strictly-below sequence rule

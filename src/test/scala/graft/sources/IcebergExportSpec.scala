@@ -1651,4 +1651,350 @@ class IcebergExportSpec extends SparkSpec {
       org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64,
       "timestamp column must be INT64 micros for the Iceberg seam")
   }
+
+  test("deletion-vector-v1 codec: roundtrip incl. bitmap containers, run-container decode, CRC refusal") {
+    // array + bitmap containers, multiple 32-bit buckets
+    val dense = (0L until 5000L).map(_ * 2) // >4096 per container → bitmap
+    val positions = (Array(0L, 2L, 7L, 65536L, (1L << 33) + 5) ++ dense).distinct
+    val blob = PuffinDv.serialize(positions)
+    assert(PuffinDv.deserialize(blob).toSeq === positions.sorted.toSeq)
+    // run-container form (foreign writers run-compress): hand-author
+    // cookie 12347 with one run container [10, 13]
+    val bm = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bm.putLong(1L).putInt(0) // one bucket, high=0
+    bm.putInt(12347) // SERIAL_COOKIE, (nContainers-1)=0 in high 16 bits
+    bm.put(1.toByte) // run bitset: container 0 is a run
+    bm.putShort(0.toShort).putShort(3.toShort) // key 0, card-1 = 3
+    // < 4 containers → no offset index under the run cookie
+    bm.putShort(1.toShort) // n_runs
+    bm.putShort(10.toShort).putShort(3.toShort) // [10, 10+3]
+    val bitmap = java.util.Arrays.copyOf(bm.array(), bm.position())
+    val magic = Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64)
+    val crc = new java.util.zip.CRC32()
+    crc.update(magic); crc.update(bitmap)
+    val full = java.nio.ByteBuffer.allocate(4 + 4 + bitmap.length + 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(4 + bitmap.length).put(magic).put(bitmap)
+      .putInt(crc.getValue.toInt).array()
+    assert(PuffinDv.deserialize(full).toSeq === Seq(10L, 11L, 12L, 13L))
+    // a flipped bit fails the CRC, loudly
+    val corrupt = full.clone(); corrupt(12) = (corrupt(12) ^ 1).toByte
+    val e = intercept[IllegalArgumentException](PuffinDv.deserialize(corrupt))
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("FOREIGN format-v3 tables read: deletion vectors apply via IcebergRead + iceberg_scan + import with graft-DV parity; time travel; refusal ladder") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+    val root = Paths.get(tmp("ice_v3_"))
+    val metaDir = root.resolve("metadata"); Files.createDirectories(metaDir)
+    val dataDir = root.resolve("data"); Files.createDirectories(dataDir)
+
+    def writeData(name: String, rows: Seq[(Long, String)]): (String, Long) = {
+      val p = dataDir.resolve(name).toString
+      rows.toDF("id", "s").coalesce(1).write.mode("overwrite").parquet(p)
+      val f = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      (f.getAbsolutePath, f.length())
+    }
+    val (fA, szA) = writeData("a", Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w")))
+    val (fB, szB) = writeData("b", Seq((10L, "p"), (11L, "q")))
+
+    // the DV: positions 1 and 3 of file A (ids 2 and 4), as a
+    // deletion-vector-v1 blob in a Puffin file
+    val dvPath = metaDir.resolve("deletes.puffin")
+    val (_, _, blobMetas) = Puffin.write(dvPath, Seq(Puffin.Blob(
+      "deletion-vector-v1", Nil, snapshotId = 2L, sequenceNumber = 2L,
+      payload = PuffinDv.serialize(Array(1L, 3L)),
+      properties = Map("referenced-data-file" -> fA,
+        "cardinality" -> "2"))), Map.empty)
+    val dvOff = blobMetas.head.offset
+    val dvLen = blobMetas.head.length
+
+    // v3 data manifest (v2-shaped entry schema + sequence numbers;
+    // first_row_id present = row lineage, tolerated-and-ignored)
+    val dataSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"first_row_id","type":["null","long"],"default":null}
+        |]}}]}""".stripMargin)
+    val dataManifest = metaDir.resolve("m-data.avro").toString
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](dataSchema))
+      w.create(dataSchema, new java.io.File(dataManifest))
+      try Seq((fA, 4L, szA, 0L), (fB, 2L, szB, 4L)).foreach {
+        case (p, rows, sz, firstRow) =>
+          val part = new GenericData.Record(dataSchema.getField("data_file")
+            .schema().getField("partition").schema())
+          val df = new GenericData.Record(dataSchema.getField("data_file").schema())
+          df.put("content", 0); df.put("file_path", p)
+          df.put("file_format", "PARQUET"); df.put("partition", part)
+          df.put("record_count", rows); df.put("file_size_in_bytes", sz)
+          df.put("first_row_id", firstRow) // v3 row lineage — ignored
+          val e = new GenericData.Record(dataSchema)
+          e.put("status", 1); e.put("snapshot_id", 1L)
+          e.put("sequence_number", 1L); e.put("data_file", df)
+          w.append(e)
+      } finally w.close()
+    }
+
+    // v3 DELETE manifest: one DV entry (content 1, PUFFIN) carrying
+    // the spec-required referenced_data_file/content_offset/size
+    val delSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"referenced_data_file","type":["null","string"],"default":null},
+        |{"name":"content_offset","type":["null","long"],"default":null},
+        |{"name":"content_size_in_bytes","type":["null","long"],"default":null}
+        |]}}]}""".stripMargin)
+    def writeDeleteManifest(name: String, withCoords: Boolean): String = {
+      val p = metaDir.resolve(name)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](delSchema))
+      w.create(delSchema, p.toFile)
+      try {
+        val part = new GenericData.Record(delSchema.getField("data_file")
+          .schema().getField("partition").schema())
+        val df = new GenericData.Record(delSchema.getField("data_file").schema())
+        df.put("content", 1); df.put("file_path", dvPath.toString)
+        df.put("file_format", "PUFFIN"); df.put("partition", part)
+        df.put("record_count", 2L)
+        df.put("file_size_in_bytes", Files.size(dvPath))
+        if (withCoords) {
+          df.put("referenced_data_file", fA)
+          df.put("content_offset", dvOff)
+          df.put("content_size_in_bytes", dvLen)
+        }
+        val e = new GenericData.Record(delSchema)
+        e.put("status", 1); e.put("snapshot_id", 2L)
+        e.put("sequence_number", 2L); e.put("data_file", df)
+        w.append(e)
+      } finally w.close()
+      p.toString
+    }
+    val delManifest = writeDeleteManifest("m-del.avro", withCoords = true)
+
+    // manifest lists: snapshot 1 = data only; snapshot 2 = data + DV
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin)
+    def writeList(name: String, ms: Seq[(String, Int, Long)]): String = {
+      val p = metaDir.resolve(name)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.create(listSchema, p.toFile)
+      try ms.foreach { case (mp, content, seq) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", mp)
+        r.put("manifest_length", Files.size(Paths.get(mp)))
+        r.put("partition_spec_id", 0); r.put("content", content)
+        r.put("sequence_number", seq); r.put("added_snapshot_id", seq)
+        w.append(r)
+        ()
+      } finally w.close()
+      p.toString
+    }
+    val list1 = writeList("snap-1.avro", Seq((dataManifest, 0, 1L)))
+    val list2 = writeList("snap-2.avro",
+      Seq((dataManifest, 0, 1L), (delManifest, 1, 2L)))
+
+    def metaJson(extraSchema: String = "", fv: Int = 3,
+        delList: String = list2): String =
+      s"""{"format-version":$fv,"table-uuid":"f00dcafe-0000-0000-0000-000000000003",
+         |"location":"$root","last-sequence-number":2,"last-updated-ms":2000,
+         |"last-column-id":2,"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"s","required":false,"type":"string"}$extraSchema]}],
+         |"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"properties":{},
+         |"next-row-id":6,
+         |"current-snapshot-id":2,
+         |"snapshots":[
+         |  {"snapshot-id":1,"timestamp-ms":1000,"sequence-number":1,
+         |   "first-row-id":0,"schema-id":0,
+         |   "summary":{"operation":"append"},"manifest-list":"$list1"},
+         |  {"snapshot-id":2,"timestamp-ms":2000,"sequence-number":2,
+         |   "first-row-id":6,"schema-id":0,
+         |   "summary":{"operation":"delete"},"manifest-list":"$delList"}],
+         |"snapshot-log":[{"timestamp-ms":1000,"snapshot-id":1},
+         |  {"timestamp-ms":2000,"snapshot-id":2}]}""".stripMargin
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      metaJson().getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+
+    // current read: the DV removes positions 1 and 3 of file A
+    val cur = IcebergRead.read(spark, root.toString)
+    assert(cur.select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 3L, 10L, 11L))
+    // time travel to the pre-DV snapshot: all six rows
+    val v1 = IcebergRead.read(spark, root.toString, versionAsOf = Some(1L))
+    assert(v1.select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L, 10L, 11L))
+    // SQL surface
+    assert(GraftSql.exec(spark,
+      s"SELECT count(*) AS n FROM iceberg_scan('$root')").head().getLong(0) === 4L)
+
+    // REST-served v3 (the v1-fixture treatment): the wire-carried
+    // metadata feeds the same v3 reader, DV applied
+    locally {
+      val cat = IcebergRestCatalog.start()
+      try {
+        cat.register("v3", "t", root.toString)
+        assert(IcebergRead.readRest(spark, cat.uri, "v3", "t")
+          .select("id").as[Long].collect().sorted.toSeq
+          === Seq(1L, 3L, 10L, 11L))
+      } finally cat.close()
+    }
+
+    // PARITY vs graft's own DV machinery: same rows, same deletes,
+    // through a native LogTable deleteMor
+    val gt = LogTable(spark, tmp("ice_v3_native_"))
+    gt.append(Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"),
+      (10L, "p"), (11L, "q")).toDF("id", "s"))
+    gt.deleteMor(col("id").isin(2L, 4L))
+    assert(cur.select("id", "s").as[(Long, String)].collect().sorted.toSeq
+      === gt.read().select("id", "s").as[(Long, String)].collect().sorted.toSeq)
+
+    // import: the DV decodes into graft's native delete form; reads match
+    val imp = IcebergImport.importTable(spark, root.toString, tmp("ice_v3_imp_"))
+    assert(imp.read().select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 3L, 10L, 11L))
+
+    // REFUSAL LADDER
+    // format-version 4: refuse
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      metaJson(fv = 4).getBytes("UTF-8"))
+    val e4 = intercept[IllegalArgumentException](
+      IcebergRead.read(spark, root.toString))
+    assert(e4.getMessage.contains("format-version"))
+    // a DV entry missing its spec-required coordinates: refuse
+    val delBad = writeDeleteManifest("m-del-bad.avro", withCoords = false)
+    val listBad = writeList("snap-2-bad.avro",
+      Seq((dataManifest, 0, 1L), (delBad, 1, 2L)))
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      metaJson(delList = listBad).getBytes("UTF-8"))
+    val eDv = intercept[IllegalArgumentException](
+      IcebergRead.read(spark, root.toString))
+    assert(eDv.getMessage.contains("referenced_data_file"))
+    // a non-null initial-default: refuse (reads would yield null there)
+    Files.write(metaDir.resolve("v1.metadata.json"), metaJson(extraSchema =
+      """,{"id":3,"name":"d","required":false,"type":"int","initial-default":42}""")
+      .getBytes("UTF-8"))
+    val eDef = intercept[IllegalArgumentException](
+      IcebergRead.read(spark, root.toString))
+    assert(eDef.getMessage.contains("initial-default"))
+    // a v3-only type (variant): refuse as unsupported
+    Files.write(metaDir.resolve("v1.metadata.json"), metaJson(extraSchema =
+      """,{"id":3,"name":"v","required":false,"type":"variant"}""")
+      .getBytes("UTF-8"))
+    val eVar = intercept[IllegalArgumentException](
+      IcebergRead.read(spark, root.toString))
+    assert(eVar.getMessage.contains("unsupported type"))
+    // restore the good metadata (hygiene for any later reads)
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      metaJson().getBytes("UTF-8"))
+  }
+
+  test("stat-adoption guard: int bounds decode 4-byte LE, long must be 8 bytes, non-ASCII/oversize string bounds are refused (absence never prunes)") {
+    import org.apache.spark.sql.types._
+    def le(v: Long, n: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (n == 4) b.putInt(v.toInt) else b.putLong(v)
+      b.array()
+    }
+    def u(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("l", LongType),
+      StructField("s", StringType), StructField("emoji", StringType),
+      StructField("big", StringType)))
+    val names = Map(1 -> "i", 2 -> "l", 3 -> "s", 4 -> "emoji", 5 -> "big")
+    val (ranges, strRanges) = IcebergImport.adoptedStats(
+      lowerBounds = Map(1 -> le(10, 4), 2 -> le(5, 4), 3 -> u("apple"),
+        4 -> u("a"), 5 -> u("x")),
+      upperBounds = Map(1 -> le(99, 4), 2 -> le(7, 4), 3 -> u("zebra"),
+        4 -> u("😀"), 5 -> u("y" * 70)),
+      fieldNameById = names, schema = schema)
+    // spec-conformant int single-value form (4-byte LE) adopts exactly
+    assert(ranges.get("i").contains((10L, 99L)))
+    // a long bound NOT in the full 8-byte form is refused, not guessed
+    assert(!ranges.contains("l"))
+    // pure-ASCII ≤64-byte string bounds adopt (Java order == byte order)
+    assert(strRanges.get("s").contains(("apple", "zebra")))
+    // an emoji upper bound is UTF-8-byte-ordered, which diverges from
+    // the Java-order pruners compare in — refused (would mis-prune a
+    // file whose UTF-16-max is a BMP char above the emoji)
+    assert(!strRanges.contains("emoji"))
+    // >64-byte bounds violate the strRanges invariant — refused
+    assert(!strRanges.contains("big"))
+  }
+
+  test("int-typed columns cross the stats seam in the spec's 4-byte form and prune after import") {
+    val t = LogTable(spark, tmp("ice_int_"))
+    t.append(Seq((1, "a"), (5, "b")).toDF("n", "s").coalesce(1))
+    t.append(Seq((100, "c"), (200, "d")).toDF("n", "s").coalesce(1))
+    val dest = tmp("ice_int_out_")
+    IcebergExport.export(t, dest)
+    val m = IcebergRead.load(dest)
+    val nF = m.fieldNameById.find(_._2 == "n").get._1
+    m.entries.foreach { e =>
+      assert(e.lowerBounds(nF).length === 4,
+        "an `int` field's single-value bound must serialize as 4-byte LE " +
+          "(spec-strict foreign readers reject 8-byte forms)")
+      assert(e.upperBounds(nF).length === 4)
+    }
+    def le4(b: Array[Byte]): Int = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+    assert(m.entries.map(e => le4(e.lowerBounds(nF))).sorted === Seq(1, 100))
+    // import adopts the 4-byte form and stat-prunes immediately
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_int_imp_"))
+    assert(imp.stats().files.forall(_.ranges.contains("n")))
+    assert(imp.filesInRange("n", 150L, 300L).size === 1,
+      "imported int bounds must skip the 1-5 file for a 150-300 window")
+  }
+
+  test("manifest-list string partition bounds are picked in UNSIGNED UTF-8 byte order, not Java UTF-16 order") {
+    // byte order: "😀" (F0 9F 98 80) > "￿" (EF BF BF) > "a";
+    // Java UTF-16 order: "￿" (0xFFFF) > "😀" (leads 0xD83D) > "a".
+    // A foreign engine compares the emitted bounds in BYTE order — the
+    // max must be the emoji or a manifest holding it gets skipped.
+    val (mn, mx) = IcebergExport.utf8MinMax(Seq("￿", "😀", "a"))
+    assert(new String(mn, "UTF-8") === "a")
+    assert(new String(mx, "UTF-8") === "😀",
+      "byte-order max must be the emoji (Java String max would be \\uffff)")
+    // prefix rule: shorter string that is a prefix sorts first
+    val (pmn, pmx) = IcebergExport.utf8MinMax(Seq("abc", "ab"))
+    assert(new String(pmn, "UTF-8") === "ab" &&
+      new String(pmx, "UTF-8") === "abc")
+  }
 }
