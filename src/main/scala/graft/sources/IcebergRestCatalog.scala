@@ -106,6 +106,14 @@ object IcebergRestCatalog {
     def lockFor(key: (String, String)): Object =
       locks.computeIfAbsent(key, _ => new Object)
 
+    /** Bearer tokens issued by `/v1/oauth/tokens`. When `requireAuth`
+      * is on, every other route demands one — the OpenAPI's own
+      * client-credentials handshake, so a spec-conformant foreign
+      * client's auth negotiation doesn't 404. Off by default (loopback
+      * verification endpoint, see class doc). */
+    val tokens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    @volatile var requireAuth: Boolean = false
+
     def nsNames: Seq[String] =
       (registry.keySet().asScala.map(_._1) ++ namespaces.keySet().asScala)
         .toSeq.distinct.sorted
@@ -114,9 +122,16 @@ object IcebergRestCatalog {
         registry.keySet().asScala.exists(_._1 == ns)
   }
 
-  /** Start on an ephemeral loopback port. */
-  def start(): IcebergRestCatalog = {
+  /** Start on an ephemeral loopback port. With `requireAuth = true`,
+    * every route except `POST /v1/oauth/tokens` demands a bearer token
+    * from that route's client-credentials grant (401 otherwise) — the
+    * protocol-level slice of the reference's authenticated-catalog
+    * shape (reference README.md:243-245 connects Trino with vended
+    * credentials; SigV4/credential-vending proper is deployment
+    * harness, waived in SURVEY §6). */
+  def start(requireAuth: Boolean = false): IcebergRestCatalog = {
     val state = new State
+    state.requireAuth = requireAuth
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/v1",
       (x: HttpExchange) => handle(x, state))
@@ -172,7 +187,50 @@ object IcebergRestCatalog {
     try {
       val segs = x.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
       val registry = state.registry
+      // AUTH GATE: under requireAuth every route except the token
+      // grant itself needs `Authorization: Bearer <issued token>` —
+      // a missing or unknown token answers the spec's ErrorModel 401,
+      // never a silent pass-through
+      val isTokenRoute =
+        x.getRequestMethod == "POST" && segs == List("v1", "oauth", "tokens")
+      if (state.requireAuth && !isTokenRoute) {
+        val ok = Option(x.getRequestHeaders.getFirst("Authorization"))
+          .filter(_.startsWith("Bearer "))
+          .map(_.stripPrefix("Bearer ").trim)
+          .exists(state.tokens.contains)
+        if (!ok) {
+          error(x, 401, "NotAuthorizedException",
+            "missing or invalid bearer token — obtain one via " +
+              "POST /v1/oauth/tokens (client_credentials grant)")
+          return
+        }
+      }
       (x.getRequestMethod, segs) match {
+        case ("POST", List("v1", "oauth", "tokens")) =>
+          // the OpenAPI's client-credentials grant: form-encoded body,
+          // answers OAuthTokenResponse. Any client id/secret pair is
+          // accepted (loopback verification endpoint — the HANDSHAKE
+          // is the seam under test, not a credential store)
+          val form = new String(x.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8).split("&").flatMap(_.split("=", 2) match {
+              case Array(k, v) =>
+                Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+              case _ => None
+            }).toMap
+          if (!form.get("grant_type").contains("client_credentials"))
+            json(x, 400,
+              """{"error":"unsupported_grant_type","error_description":"only client_credentials is supported"}""")
+          else {
+            val tok = java.util.UUID.randomUUID().toString
+            state.tokens.add(tok)
+            val root = mapper.createObjectNode()
+            root.put("access_token", tok)
+            root.put("token_type", "bearer")
+            root.put("expires_in", 3600)
+            form.get("scope").foreach(s => root.put("scope", s))
+            json(x, 200, root.toString)
+          }
+
         case ("GET", List("v1", "config")) =>
           json(x, 200, """{"defaults":{},"overrides":{}}""")
 
@@ -294,6 +352,9 @@ object IcebergRestCatalog {
             x.sendResponseHeaders(204, -1); x.close()
           }
 
+        case ("POST", List("v1", "transactions", "commit")) =>
+          commitTransaction(x, state)
+
         case ("POST", List("v1", "tables", "rename")) =>
           val b = body(x)
           def ident(n: com.fasterxml.jackson.databind.JsonNode)
@@ -350,22 +411,47 @@ object IcebergRestCatalog {
     }
 
   /** POST /v1/tables/rename — move the catalog entry (the table's
-    * files never move; rename is a registry-level operation). */
+    * files never move; rename is a registry-level operation).
+    *
+    * Atomicity: the move runs under BOTH tables' commit locks, taken
+    * in a global (ns, name) order so two opposite-direction renames
+    * cannot deadlock. remove-then-put under the locks means no
+    * concurrent load ever sees the table under both names, and the
+    * dst existence check cannot be raced by a concurrent create (which
+    * takes dst's lock too). Staged (stage-create) tables rename like
+    * registered ones — the spec treats them as existing-but-invisible,
+    * and their eventual first commit must land under the new name. */
   private def renameTable(x: HttpExchange, state: State,
-      src: (String, String), dst: (String, String)): Unit =
-    Option(state.registry.get(src)) match {
-      case None =>
-        error(x, 404, "NoSuchTableException",
-          s"table '${src._1}.${src._2}' not found")
-      case _ if state.registry.containsKey(dst) =>
-        error(x, 409, "AlreadyExistsException",
-          s"table '${dst._1}.${dst._2}' already exists")
-      case Some(dest) =>
-        state.registry.put(dst, dest)
-        state.registry.remove(src)
-        if (state.owned.remove(src)) { state.owned.add(dst); () }
-        x.sendResponseHeaders(204, -1); x.close()
+      src: (String, String), dst: (String, String)): Unit = {
+    val ord = implicitly[Ordering[(String, String)]]
+    val (first, second) =
+      if (ord.lteq(src, dst)) (src, dst) else (dst, src)
+    state.lockFor(first).synchronized {
+      state.lockFor(second).synchronized {
+        val registered = Option(state.registry.get(src))
+        val stagedMeta = Option(state.staged.get(src))
+        if (registered.isEmpty && stagedMeta.isEmpty)
+          error(x, 404, "NoSuchTableException",
+            s"table '${src._1}.${src._2}' not found")
+        else if (state.registry.containsKey(dst) ||
+            state.staged.containsKey(dst))
+          error(x, 409, "AlreadyExistsException",
+            s"table '${dst._1}.${dst._2}' already exists")
+        else {
+          registered.foreach { dest =>
+            state.registry.remove(src)
+            state.registry.put(dst, dest)
+          }
+          stagedMeta.foreach { m =>
+            state.staged.remove(src)
+            state.staged.put(dst, m)
+          }
+          if (state.owned.remove(src)) { state.owned.add(dst); () }
+          x.sendResponseHeaders(204, -1); x.close()
+        }
+      }
     }
+  }
 
   /** Read `dest`'s current metadata (version-hint walk) →
     * (metadata-location, parsed node). */
@@ -493,6 +579,250 @@ object IcebergRestCatalog {
     }
   }
 
+  /** One table's CommitTableRequest, VALIDATED AND APPLIED IN MEMORY
+    * only: requirements check against current state, updates build the
+    * next metadata node, and the result comes back as a [[StagedCommit]]
+    * that [[persistStaged]] later lands. Nothing is persisted or made
+    * visible here — which is exactly what lets the multi-table
+    * transaction route stage N tables and land all-or-nothing. Caller
+    * must hold the table's lock. */
+  private final case class StagedCommit(key: (String, String),
+      isCreate: Boolean, meta: ObjectNode, location: String,
+      nextVersion: Int)
+
+  private def stageCommit(state: State, ns: String, t: String,
+      b: com.fasterxml.jackson.databind.JsonNode)
+      : Either[(Int, String, String), StagedCommit] = {
+    val key = (ns, t)
+    val stagedMeta = Option(state.staged.get(key))
+    val registered = Option(state.registry.get(key))
+    if (stagedMeta.isEmpty && registered.isEmpty)
+      return Left((404, "NoSuchTableException", s"table '$ns.$t' not found"))
+    if (stagedMeta.isEmpty && !state.owned.contains(key))
+      return Left((501, "UnsupportedOperationException",
+        s"commit to '$ns.$t' is not implemented for a " +
+          "registered graft export: its metadata lineage is owned by " +
+          "graft's exporter (write through graft's own surfaces, then " +
+          "re-export). Only tables created over this REST API commit here"))
+    val isCreate = stagedMeta.isDefined
+    val (priorLoc, meta) = stagedMeta match {
+      // work on a COPY: a later requirement/update failure (or a
+      // sibling table's failure inside a transaction) must leave the
+      // staged CTAS metadata byte-identical, not half-mutated
+      case Some(m) => (None, m.deepCopy[ObjectNode]())
+      case None =>
+        val (mp, m) = currentMetadata(registered.get)
+        (Some(mp), m)
+    }
+    // ---- requirements (all must hold against CURRENT state) ------
+    val reqs = Option(b.get("requirements")).toSeq
+      .flatMap(_.elements().asScala)
+    for (r <- reqs) {
+      r.get("type").asText() match {
+        case "assert-create" =>
+          if (!isCreate) {
+            return Left((409, "CommitFailedException",
+              s"requirement failed: table '$ns.$t' already exists"))
+          }
+        case "assert-table-uuid" =>
+          val want = r.get("uuid").asText()
+          val have = meta.get("table-uuid").asText()
+          if (want != have) {
+            return Left((409, "CommitFailedException",
+              s"requirement failed: table uuid is $have, not $want"))
+          }
+        case "assert-ref-snapshot-id" =>
+          val ref = r.get("ref").asText()
+          val refNode = Option(meta.get("refs")).flatMap(rs =>
+            Option(rs.get(ref)))
+          val want = Option(r.get("snapshot-id")).filterNot(_.isNull)
+            .map(_.asLong())
+          (want, refNode) match {
+            case (None, None) => // ref must not exist — holds
+            case (None, Some(_)) =>
+              return Left((409, "CommitFailedException",
+                s"requirement failed: ref '$ref' already exists"))
+            case (Some(_), None) =>
+              return Left((409, "CommitFailedException",
+                s"requirement failed: ref '$ref' does not exist"))
+            case (Some(w), Some(n))
+                if n.get("snapshot-id").asLong() != w =>
+              return Left((409, "CommitFailedException",
+                s"requirement failed: ref '$ref' is at snapshot " +
+                  s"${n.get("snapshot-id").asLong()}, not $w"))
+            case _ => // matches — holds
+          }
+        case other =>
+          return Left((400, "BadRequestException",
+            s"unsupported requirement type '$other'"))
+      }
+    }
+
+    // ---- updates (applied in request order) -----------------------
+    val updates = Option(b.get("updates")).toSeq
+      .flatMap(_.elements().asScala)
+    for (u <- updates) {
+      u.get("action").asText() match {
+        case "assign-uuid" =>
+          meta.put("table-uuid", u.get("uuid").asText()); ()
+        case "upgrade-format-version" =>
+          val fv = u.get("format-version").asInt()
+          if (fv != 2) {
+            return Left((400, "BadRequestException",
+              s"only format-version 2 is supported, not $fv"))
+          }
+        case "set-location" =>
+          // the metadata files stay where the table was created;
+          // only the data location pointer moves
+          meta.put("location", u.get("location").asText()); ()
+        case "add-schema" =>
+          val s = u.get("schema").deepCopy[ObjectNode]()
+          val arr = meta.withArray[ArrayNode]("schemas")
+          if (Option(s.get("schema-id")).forall(_.asInt() < 0))
+            s.put("schema-id", arr.size())
+          arr.add(s)
+          val lc = Option(u.get("last-column-id")).map(_.asInt())
+            .getOrElse(maxFieldId(s))
+          meta.put("last-column-id",
+            math.max(meta.get("last-column-id").asInt(), lc))
+          ()
+        case "set-current-schema" =>
+          val sid0 = u.get("schema-id").asInt()
+          val arr = meta.withArray[ArrayNode]("schemas")
+          val sid = if (sid0 == -1) // -1 = the last added schema
+            arr.get(arr.size() - 1).get("schema-id").asInt() else sid0
+          if (!arr.elements().asScala.exists(_.get("schema-id").asInt() == sid)) {
+            return Left((400, "BadRequestException", s"no schema with id $sid"))
+          }
+          meta.put("current-schema-id", sid)
+          ()
+        case "add-spec" =>
+          val s = u.get("spec").deepCopy[ObjectNode]()
+          val arr = meta.withArray[ArrayNode]("partition-specs")
+          if (Option(s.get("spec-id")).forall(_.asInt() < 0))
+            s.put("spec-id", arr.size())
+          arr.add(s)
+          val maxPid = Option(s.get("fields")).toSeq
+            .flatMap(_.elements().asScala)
+            .flatMap(f => Option(f.get("field-id")).map(_.asInt()))
+            .foldLeft(meta.get("last-partition-id").asInt())(math.max)
+          meta.put("last-partition-id", maxPid)
+          ()
+        case "set-default-spec" =>
+          val sid0 = u.get("spec-id").asInt()
+          val arr = meta.withArray[ArrayNode]("partition-specs")
+          val sid = if (sid0 == -1)
+            arr.get(arr.size() - 1).get("spec-id").asInt() else sid0
+          meta.put("default-spec-id", sid)
+          ()
+        case "add-sort-order" =>
+          val s = u.get("sort-order").deepCopy[ObjectNode]()
+          val arr = meta.withArray[ArrayNode]("sort-orders")
+          if (Option(s.get("order-id")).forall(_.asInt() < 0))
+            s.put("order-id", arr.size())
+          arr.add(s)
+          ()
+        case "set-default-sort-order" =>
+          val oid0 = u.get("sort-order-id").asInt()
+          val arr = meta.withArray[ArrayNode]("sort-orders")
+          val oid = if (oid0 == -1)
+            arr.get(arr.size() - 1).get("order-id").asInt() else oid0
+          meta.put("default-sort-order-id", oid)
+          ()
+        case "set-properties" =>
+          val props = meta.withObject("/properties")
+          Option(u.get("updates")).foreach(_.properties().asScala
+            .foreach(e => props.put(e.getKey, e.getValue.asText())))
+          ()
+        case "remove-properties" =>
+          val props = meta.withObject("/properties")
+          Option(u.get("removals")).toSeq
+            .flatMap(_.elements().asScala.map(_.asText()))
+            .foreach(props.remove)
+          ()
+        case "add-snapshot" =>
+          val sn = u.get("snapshot").deepCopy[ObjectNode]()
+          if (sn.get("snapshot-id") == null ||
+              sn.get("manifest-list") == null) {
+            return Left((400, "BadRequestException",
+              "add-snapshot needs 'snapshot-id' and 'manifest-list'"))
+          }
+          meta.withArray[ArrayNode]("snapshots").add(sn)
+          val seq = Option(sn.get("sequence-number")).map(_.asLong())
+            .getOrElse(0L)
+          meta.put("last-sequence-number",
+            math.max(meta.get("last-sequence-number").asLong(), seq))
+          ()
+        case "remove-snapshots" =>
+          val drop = Option(u.get("snapshot-ids")).toSeq
+            .flatMap(_.elements().asScala.map(_.asLong())).toSet
+          val kept = mapper.createArrayNode()
+          meta.withArray[ArrayNode]("snapshots").elements().asScala
+            .filterNot(s => drop.contains(s.get("snapshot-id").asLong()))
+            .foreach(kept.add)
+          meta.set[ObjectNode]("snapshots", kept)
+          ()
+        case "set-snapshot-ref" =>
+          val refName = u.get("ref-name").asText()
+          val snapId = u.get("snapshot-id").asLong()
+          if (!meta.withArray[ArrayNode]("snapshots").elements().asScala
+              .exists(_.get("snapshot-id").asLong() == snapId)) {
+            return Left((400, "BadRequestException",
+              s"set-snapshot-ref '$refName' names unknown snapshot $snapId"))
+          }
+          val ref = meta.withObject("/refs").putObject(refName)
+          ref.put("snapshot-id", snapId)
+          ref.put("type",
+            Option(u.get("type")).map(_.asText()).getOrElse("branch"))
+          if (refName == "main") {
+            meta.put("current-snapshot-id", snapId)
+            val le = meta.withArray[ArrayNode]("snapshot-log").addObject()
+            le.put("timestamp-ms", System.currentTimeMillis())
+            le.put("snapshot-id", snapId)
+            ()
+          }
+        case "remove-snapshot-ref" =>
+          meta.withObject("/refs").remove(u.get("ref-name").asText())
+          if (u.get("ref-name").asText() == "main")
+            meta.put("current-snapshot-id", -1L)
+          ()
+        case other =>
+          return Left((400, "BadRequestException",
+            s"unsupported update action '$other'"))
+      }
+    }    // ---- advance the metadata lineage (IN MEMORY — persistStaged
+    // writes it) ---------------------------------------------------
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    val location = meta.get("location").asText()
+    val nextVersion =
+      if (isCreate) 1
+      else {
+        val metaDir = Paths.get(location).resolve("metadata")
+        val hint = new String(Files.readAllBytes(
+          metaDir.resolve("version-hint.text")),
+          StandardCharsets.UTF_8).trim.toInt
+        val le = meta.withArray[ArrayNode]("metadata-log").addObject()
+        le.put("timestamp-ms", System.currentTimeMillis())
+        le.put("metadata-file", priorLoc.get)
+        hint + 1
+      }
+    Right(StagedCommit(key, isCreate, meta, location, nextVersion))
+  }
+
+  /** Land a [[stageCommit]] result: write the next vN.metadata.json
+    * and (for a staged CTAS) flip the table visible. Caller must hold
+    * the table's lock. */
+  private def persistStaged(state: State, s: StagedCommit): String = {
+    val mp = persist(s.location, s.meta, version = s.nextVersion)
+    if (s.isCreate) {
+      state.staged.remove(s.key)
+      state.registry.put(s.key, s.location)
+      state.owned.add(s.key)
+      ()
+    }
+    mp
+  }
+
   /** POST /v1/namespaces/{ns}/tables/{t} — the OpenAPI
     * CommitTableRequest: check every requirement against the CURRENT
     * metadata, apply the updates in order, then CAS-advance
@@ -500,247 +830,73 @@ object IcebergRestCatalog {
     * tables commit here; a registered graft export answers 501 (its
     * lineage is owned by graft's exporter — see class doc). */
   private def commitTable(x: HttpExchange, state: State,
-      ns: String, t: String): Unit = {
-    val key = (ns, t)
-    state.lockFor(key).synchronized {
-      val stagedMeta = Option(state.staged.get(key))
-      val registered = Option(state.registry.get(key))
-      if (stagedMeta.isEmpty && registered.isEmpty) {
-        error(x, 404, "NoSuchTableException", s"table '$ns.$t' not found")
+      ns: String, t: String): Unit =
+    state.lockFor((ns, t)).synchronized {
+      stageCommit(state, ns, t, body(x)) match {
+        case Left((code, tpe, msg)) => error(x, code, tpe, msg)
+        case Right(s) =>
+          val mp = persistStaged(state, s)
+          val root = mapper.createObjectNode()
+          root.put("metadata-location", mp)
+          root.set[ObjectNode]("metadata", s.meta)
+          json(x, 200, root.toString)
+      }
+    }
+
+  /** POST /v1/transactions/commit — the OpenAPI multi-table
+    * transaction: N per-table requirement/update blocks validated and
+    * applied ATOMICALLY. All tables' locks are taken in global
+    * (ns, name) order (deadlock-free against commitTable/rename),
+    * every block is STAGED first (pure in-memory validation +
+    * metadata building — zero writes), and only when every block
+    * stages cleanly does anything persist. One stale requirement →
+    * 409 and every table is byte-identical to its pre-commit state. */
+  private def commitTransaction(x: HttpExchange, state: State): Unit = {
+    val b = body(x)
+    val changes = Option(b.get("table-changes")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    if (changes.isEmpty) {
+      error(x, 400, "BadRequestException",
+        "transaction needs a non-empty 'table-changes' array")
+      return
+    }
+    val parsed: Seq[((String, String),
+        com.fasterxml.jackson.databind.JsonNode)] = changes.map { c =>
+      val id = c.get("identifier")
+      if (id == null || id.get("namespace") == null ||
+          id.get("namespace").size() == 0 || id.get("name") == null) {
+        error(x, 400, "BadRequestException",
+          "every table-change needs an 'identifier' with namespace and name")
         return
       }
-      if (stagedMeta.isEmpty && !state.owned.contains(key)) {
-        error(x, 501, "UnsupportedOperationException",
-          s"POST ${x.getRequestURI.getPath} is not implemented for a " +
-            "registered graft export: its metadata lineage is owned by " +
-            "graft's exporter (write through graft's own surfaces, then " +
-            "re-export). Only tables created over this REST API commit here")
-        return
+      ((id.get("namespace").get(0).asText(), id.get("name").asText()), c)
+    }
+    val keys = parsed.map(_._1)
+    if (keys.distinct.size != keys.size) {
+      error(x, 400, "BadRequestException",
+        "a transaction may reference each table at most once")
+      return
+    }
+    def locked(ks: List[(String, String)])(f: => Unit): Unit = ks match {
+      case Nil => f
+      case k :: rest => state.lockFor(k).synchronized(locked(rest)(f))
+    }
+    locked(keys.sorted.toList) {
+      val staged = parsed.foldLeft[Either[(Int, String, String),
+          Vector[StagedCommit]]](Right(Vector.empty)) {
+        case (Left(e), _) => Left(e)
+        case (Right(acc), ((tns, tt), c)) =>
+          stageCommit(state, tns, tt, c).map(acc :+ _)
       }
-      val isCreate = stagedMeta.isDefined
-      val (priorLoc, meta) = stagedMeta match {
-        case Some(m) => (None, m)
-        case None =>
-          val (mp, m) = currentMetadata(registered.get)
-          (Some(mp), m)
+      staged match {
+        case Left((code, tpe, msg)) => error(x, code, tpe, msg)
+        case Right(list) =>
+          list.foreach(persistStaged(state, _))
+          x.sendResponseHeaders(204, -1); x.close()
       }
-      val b = body(x)
-
-      // ---- requirements (all must hold against CURRENT state) ------
-      val reqs = Option(b.get("requirements")).toSeq
-        .flatMap(_.elements().asScala)
-      for (r <- reqs) {
-        r.get("type").asText() match {
-          case "assert-create" =>
-            if (!isCreate) {
-              error(x, 409, "CommitFailedException",
-                s"requirement failed: table '$ns.$t' already exists")
-              return
-            }
-          case "assert-table-uuid" =>
-            val want = r.get("uuid").asText()
-            val have = meta.get("table-uuid").asText()
-            if (want != have) {
-              error(x, 409, "CommitFailedException",
-                s"requirement failed: table uuid is $have, not $want")
-              return
-            }
-          case "assert-ref-snapshot-id" =>
-            val ref = r.get("ref").asText()
-            val refNode = Option(meta.get("refs")).flatMap(rs =>
-              Option(rs.get(ref)))
-            val want = Option(r.get("snapshot-id")).filterNot(_.isNull)
-              .map(_.asLong())
-            (want, refNode) match {
-              case (None, None) => // ref must not exist — holds
-              case (None, Some(_)) =>
-                error(x, 409, "CommitFailedException",
-                  s"requirement failed: ref '$ref' already exists")
-                return
-              case (Some(_), None) =>
-                error(x, 409, "CommitFailedException",
-                  s"requirement failed: ref '$ref' does not exist")
-                return
-              case (Some(w), Some(n))
-                  if n.get("snapshot-id").asLong() != w =>
-                error(x, 409, "CommitFailedException",
-                  s"requirement failed: ref '$ref' is at snapshot " +
-                    s"${n.get("snapshot-id").asLong()}, not $w")
-                return
-              case _ => // matches — holds
-            }
-          case other =>
-            error(x, 400, "BadRequestException",
-              s"unsupported requirement type '$other'")
-            return
-        }
-      }
-
-      // ---- updates (applied in request order) -----------------------
-      val updates = Option(b.get("updates")).toSeq
-        .flatMap(_.elements().asScala)
-      for (u <- updates) {
-        u.get("action").asText() match {
-          case "assign-uuid" =>
-            meta.put("table-uuid", u.get("uuid").asText()); ()
-          case "upgrade-format-version" =>
-            val fv = u.get("format-version").asInt()
-            if (fv != 2) {
-              error(x, 400, "BadRequestException",
-                s"only format-version 2 is supported, not $fv")
-              return
-            }
-          case "set-location" =>
-            // the metadata files stay where the table was created;
-            // only the data location pointer moves
-            meta.put("location", u.get("location").asText()); ()
-          case "add-schema" =>
-            val s = u.get("schema").deepCopy[ObjectNode]()
-            val arr = meta.withArray[ArrayNode]("schemas")
-            if (Option(s.get("schema-id")).forall(_.asInt() < 0))
-              s.put("schema-id", arr.size())
-            arr.add(s)
-            val lc = Option(u.get("last-column-id")).map(_.asInt())
-              .getOrElse(maxFieldId(s))
-            meta.put("last-column-id",
-              math.max(meta.get("last-column-id").asInt(), lc))
-            ()
-          case "set-current-schema" =>
-            val sid0 = u.get("schema-id").asInt()
-            val arr = meta.withArray[ArrayNode]("schemas")
-            val sid = if (sid0 == -1) // -1 = the last added schema
-              arr.get(arr.size() - 1).get("schema-id").asInt() else sid0
-            if (!arr.elements().asScala.exists(_.get("schema-id").asInt() == sid)) {
-              error(x, 400, "BadRequestException", s"no schema with id $sid")
-              return
-            }
-            meta.put("current-schema-id", sid)
-            ()
-          case "add-spec" =>
-            val s = u.get("spec").deepCopy[ObjectNode]()
-            val arr = meta.withArray[ArrayNode]("partition-specs")
-            if (Option(s.get("spec-id")).forall(_.asInt() < 0))
-              s.put("spec-id", arr.size())
-            arr.add(s)
-            val maxPid = Option(s.get("fields")).toSeq
-              .flatMap(_.elements().asScala)
-              .flatMap(f => Option(f.get("field-id")).map(_.asInt()))
-              .foldLeft(meta.get("last-partition-id").asInt())(math.max)
-            meta.put("last-partition-id", maxPid)
-            ()
-          case "set-default-spec" =>
-            val sid0 = u.get("spec-id").asInt()
-            val arr = meta.withArray[ArrayNode]("partition-specs")
-            val sid = if (sid0 == -1)
-              arr.get(arr.size() - 1).get("spec-id").asInt() else sid0
-            meta.put("default-spec-id", sid)
-            ()
-          case "add-sort-order" =>
-            val s = u.get("sort-order").deepCopy[ObjectNode]()
-            val arr = meta.withArray[ArrayNode]("sort-orders")
-            if (Option(s.get("order-id")).forall(_.asInt() < 0))
-              s.put("order-id", arr.size())
-            arr.add(s)
-            ()
-          case "set-default-sort-order" =>
-            val oid0 = u.get("sort-order-id").asInt()
-            val arr = meta.withArray[ArrayNode]("sort-orders")
-            val oid = if (oid0 == -1)
-              arr.get(arr.size() - 1).get("order-id").asInt() else oid0
-            meta.put("default-sort-order-id", oid)
-            ()
-          case "set-properties" =>
-            val props = meta.withObject("/properties")
-            Option(u.get("updates")).foreach(_.properties().asScala
-              .foreach(e => props.put(e.getKey, e.getValue.asText())))
-            ()
-          case "remove-properties" =>
-            val props = meta.withObject("/properties")
-            Option(u.get("removals")).toSeq
-              .flatMap(_.elements().asScala.map(_.asText()))
-              .foreach(props.remove)
-            ()
-          case "add-snapshot" =>
-            val sn = u.get("snapshot").deepCopy[ObjectNode]()
-            if (sn.get("snapshot-id") == null ||
-                sn.get("manifest-list") == null) {
-              error(x, 400, "BadRequestException",
-                "add-snapshot needs 'snapshot-id' and 'manifest-list'")
-              return
-            }
-            meta.withArray[ArrayNode]("snapshots").add(sn)
-            val seq = Option(sn.get("sequence-number")).map(_.asLong())
-              .getOrElse(0L)
-            meta.put("last-sequence-number",
-              math.max(meta.get("last-sequence-number").asLong(), seq))
-            ()
-          case "remove-snapshots" =>
-            val drop = Option(u.get("snapshot-ids")).toSeq
-              .flatMap(_.elements().asScala.map(_.asLong())).toSet
-            val kept = mapper.createArrayNode()
-            meta.withArray[ArrayNode]("snapshots").elements().asScala
-              .filterNot(s => drop.contains(s.get("snapshot-id").asLong()))
-              .foreach(kept.add)
-            meta.set[ObjectNode]("snapshots", kept)
-            ()
-          case "set-snapshot-ref" =>
-            val refName = u.get("ref-name").asText()
-            val snapId = u.get("snapshot-id").asLong()
-            if (!meta.withArray[ArrayNode]("snapshots").elements().asScala
-                .exists(_.get("snapshot-id").asLong() == snapId)) {
-              error(x, 400, "BadRequestException",
-                s"set-snapshot-ref '$refName' names unknown snapshot $snapId")
-              return
-            }
-            val ref = meta.withObject("/refs").putObject(refName)
-            ref.put("snapshot-id", snapId)
-            ref.put("type",
-              Option(u.get("type")).map(_.asText()).getOrElse("branch"))
-            if (refName == "main") {
-              meta.put("current-snapshot-id", snapId)
-              val le = meta.withArray[ArrayNode]("snapshot-log").addObject()
-              le.put("timestamp-ms", System.currentTimeMillis())
-              le.put("snapshot-id", snapId)
-              ()
-            }
-          case "remove-snapshot-ref" =>
-            meta.withObject("/refs").remove(u.get("ref-name").asText())
-            if (u.get("ref-name").asText() == "main")
-              meta.put("current-snapshot-id", -1L)
-            ()
-          case other =>
-            error(x, 400, "BadRequestException",
-              s"unsupported update action '$other'")
-            return
-        }
-      }
-
-      // ---- advance the metadata lineage ----------------------------
-      meta.put("last-updated-ms", System.currentTimeMillis())
-      val location = meta.get("location").asText()
-      val mp =
-        if (isCreate) {
-          val p = persist(location, meta, version = 1)
-          state.staged.remove(key)
-          state.registry.put(key, location)
-          state.owned.add(key)
-          p
-        } else {
-          val metaDir = Paths.get(location).resolve("metadata")
-          val hint = new String(Files.readAllBytes(
-            metaDir.resolve("version-hint.text")),
-            StandardCharsets.UTF_8).trim.toInt
-          val le = meta.withArray[ArrayNode]("metadata-log").addObject()
-          le.put("timestamp-ms", System.currentTimeMillis())
-          le.put("metadata-file", priorLoc.get)
-          persist(location, meta, version = hint + 1)
-        }
-      val root = mapper.createObjectNode()
-      root.put("metadata-location", mp)
-      root.set[ObjectNode]("metadata", meta)
-      json(x, 200, root.toString)
     }
   }
+
 
   /** Write vN.metadata.json + version-hint at `location` →
     * metadata-location. */

@@ -330,6 +330,162 @@ class IcebergRestCatalogSpec extends SparkSpec {
     } finally cat.close()
   }
 
+  test("multi-table transaction: two-table commit lands both or neither; one stale requirement 409s and BOTH tables stay byte-identical") {
+    // two scratch exports play the foreign writer's file author
+    def exported(tag: String, rows: Seq[(Long, String)])
+        : (com.fasterxml.jackson.databind.JsonNode,
+           com.fasterxml.jackson.databind.JsonNode) = {
+      val t = LogTable(spark, tmp(s"rest_txn_${tag}_"))
+      t.append(rows.toDF("id", "s"))
+      val loc = tmp(s"rest_txn_${tag}_files_")
+      IcebergExport.export(t, loc)
+      val exp = mapper.readTree(Files.readAllBytes(
+        java.nio.file.Paths.get(loc).resolve("metadata")
+          .resolve("v1.metadata.json")))
+      (exp.get("snapshots").get(0), exp.get("schemas").get(0))
+    }
+    val (snapA, schemaA) = exported("a", Seq((1L, "a"), (2L, "b")))
+    val (snapB, schemaB) = exported("b", Seq((10L, "x")))
+    val cat = IcebergRestCatalog.start()
+    try {
+      assert(post(s"${cat.uri}/v1/namespaces",
+        """{"namespace":["w"]}""")._1 === 200)
+      // create both tables over REST (plain create → committed v1)
+      def create(name: String, schema: com.fasterxml.jackson.databind.JsonNode)
+          : Unit =
+        assert(post(s"${cat.uri}/v1/namespaces/w/tables",
+          s"""{"name":"$name","location":"${tmp(s"rest_txn_tbl_${name}_")}",
+             |"schema":$schema}""".stripMargin)._1 === 200)
+      create("ta", schemaA); create("tb", schemaB)
+      def metaOf(name: String): String =
+        get(s"${cat.uri}/v1/namespaces/w/tables/$name")._2
+      def change(name: String, snap: com.fasterxml.jackson.databind.JsonNode,
+          reqs: String): String =
+        s"""{"identifier":{"namespace":["w"],"name":"$name"},
+           |"requirements":[$reqs],
+           |"updates":[
+           |  {"action":"add-snapshot","snapshot":$snap},
+           |  {"action":"set-snapshot-ref","ref-name":"main",
+           |   "type":"branch","snapshot-id":${snap.get("snapshot-id").asLong()}}]}"""
+          .stripMargin
+
+      // FAILING transaction: ta's requirement asserts a ref that does
+      // not exist yet at a WRONG id — nothing may land on EITHER table
+      val (preA, preB) = (metaOf("ta"), metaOf("tb"))
+      val stale = change("ta", snapA,
+        """{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":12345}""") +
+        "," + change("tb", snapB, "")
+      val (cFail, bFail) = post(s"${cat.uri}/v1/transactions/commit",
+        s"""{"table-changes":[$stale]}""")
+      assert(cFail === 409, bFail)
+      assert(metaOf("ta") === preA, "ta must be untouched after the 409")
+      assert(metaOf("tb") === preB,
+        "tb must be untouched too — all-or-nothing, not first-N-win")
+
+      // PASSING transaction: both tables advance atomically
+      val good = change("ta", snapA, "") + "," + change("tb", snapB, "")
+      val (cOk, bOk) = post(s"${cat.uri}/v1/transactions/commit",
+        s"""{"table-changes":[$good]}""")
+      assert(cOk === 204, bOk)
+      assert(GraftSql.exec(spark,
+        s"SELECT count(*) AS n FROM iceberg_rest_scan('${cat.uri}', 'w', 'ta')")
+        .head().getLong(0) === 2L)
+      assert(GraftSql.exec(spark,
+        s"SELECT count(*) AS n FROM iceberg_rest_scan('${cat.uri}', 'w', 'tb')")
+        .head().getLong(0) === 1L)
+
+      // guard rails: duplicate table refs and empty transactions 400
+      assert(post(s"${cat.uri}/v1/transactions/commit",
+        s"""{"table-changes":[${change("ta", snapA, "")},${change("ta", snapA, "")}]}""")
+        ._1 === 400)
+      assert(post(s"${cat.uri}/v1/transactions/commit",
+        """{"table-changes":[]}""")._1 === 400)
+    } finally cat.close()
+  }
+
+  test("oauth handshake: requireAuth demands a bearer token on every route; /v1/oauth/tokens issues one; bad grant 400s") {
+    val cat = IcebergRestCatalog.start(requireAuth = true)
+    try {
+      // unauthenticated: 401 with the spec's error envelope
+      val (cNo, bNo) = get(s"${cat.uri}/v1/config")
+      assert(cNo === 401)
+      assert(mapper.readTree(bNo).get("error").get("type").asText()
+        === "NotAuthorizedException")
+      // a made-up token is refused too
+      val badReq = HttpRequest.newBuilder(
+          URI.create(s"${cat.uri}/v1/namespaces"))
+        .header("Authorization", "Bearer not-a-token").GET().build()
+      assert(http.send(badReq,
+        HttpResponse.BodyHandlers.ofString()).statusCode() === 401)
+      // the client_credentials grant issues a token
+      val (cTok, bTok) = post(s"${cat.uri}/v1/oauth/tokens",
+        "grant_type=client_credentials&client_id=i&client_secret=s&scope=catalog")
+      assert(cTok === 200, bTok)
+      val tok = mapper.readTree(bTok)
+      assert(tok.get("token_type").asText() === "bearer")
+      val bearer = tok.get("access_token").asText()
+      // and the bearer unlocks the catalog
+      val okReq = HttpRequest.newBuilder(
+          URI.create(s"${cat.uri}/v1/config"))
+        .header("Authorization", s"Bearer $bearer").GET().build()
+      assert(http.send(okReq,
+        HttpResponse.BodyHandlers.ofString()).statusCode() === 200)
+      // non-client-credentials grants refuse with the OAuth error form
+      val (cBadG, bBadG) = post(s"${cat.uri}/v1/oauth/tokens",
+        "grant_type=password&username=u&password=p")
+      assert(cBadG === 400)
+      assert(mapper.readTree(bBadG).get("error").asText()
+        === "unsupported_grant_type")
+    } finally cat.close()
+  }
+
+  test("rename of a STAGED table moves the pending CTAS (commit lands under the new name); rename onto a staged name 409s; missing source 404s") {
+    val scratch = LogTable(spark, tmp("rest_rn_src_"))
+    scratch.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val filesLoc = tmp("rest_rn_files_")
+    IcebergExport.export(scratch, filesLoc)
+    val exp1 = mapper.readTree(Files.readAllBytes(
+      java.nio.file.Paths.get(filesLoc).resolve("metadata")
+        .resolve("v1.metadata.json")))
+    val snap1 = exp1.get("snapshots").get(0)
+    val schemaJson = exp1.get("schemas").get(0)
+    val cat = IcebergRestCatalog.start()
+    try {
+      assert(post(s"${cat.uri}/v1/namespaces",
+        """{"namespace":["w"]}""")._1 === 200)
+      def stage(name: String): Int = post(s"${cat.uri}/v1/namespaces/w/tables",
+        s"""{"name":"$name","location":"${tmp(s"rest_rn_${name}_")}",
+           |"schema":$schemaJson,"stage-create":true}""".stripMargin)._1
+      def rename(src: String, dst: String): Int =
+        post(s"${cat.uri}/v1/tables/rename",
+          s"""{"source":{"namespace":["w"],"name":"$src"},
+             |"destination":{"namespace":["w"],"name":"$dst"}}""".stripMargin)._1
+      assert(stage("s1") === 200)
+      // staged tables rename like registered ones — the spec treats
+      // them as existing-but-invisible (round-15's fall-through 404)
+      assert(rename("s1", "s2") === 204)
+      // the staged NEW name occupies the slot for creates and renames
+      assert(stage("s3") === 200)
+      assert(rename("s3", "s2") === 409)
+      assert(stage("s2") === 409,
+        "a staged name must block a second stage-create")
+      // a rename with no source anywhere stays 404
+      assert(rename("nope", "other") === 404)
+      // the pending CTAS commits under the NEW name
+      val snapId = snap1.get("snapshot-id").asLong()
+      val (cCommit, bCommit) = post(s"${cat.uri}/v1/namespaces/w/tables/s2",
+        s"""{"requirements":[{"type":"assert-create"}],
+           |"updates":[
+           |  {"action":"add-snapshot","snapshot":$snap1},
+           |  {"action":"set-snapshot-ref","ref-name":"main",
+           |   "type":"branch","snapshot-id":$snapId}]}""".stripMargin)
+      assert(cCommit === 200, bCommit)
+      assert(get(s"${cat.uri}/v1/namespaces/w/tables/s2")._1 === 200)
+      assert(get(s"${cat.uri}/v1/namespaces/w/tables/s1")._1 === 404,
+        "the old staged name must be gone after rename")
+    } finally cat.close()
+  }
+
   test("RACING REST commits: two CAS commits with the same assert-ref-snapshot-id admit exactly one (200) and refuse the loser (409), state = winner's") {
     // files for two competing snapshots, authored by graft's exporter
     // against two scratch tables (the catalog only ever sees pointers)
