@@ -156,7 +156,10 @@ object IcebergExport {
     * PATH through a cross-version registry (historical names resolve
     * through the per-field rename history), so the same logical field
     * carries the same id in every exported schema version. */
-  def export(table: LogTable, dest: String, history: Boolean = false): Path = {
+  def export(table: LogTable, dest: String, history: Boolean = false,
+      formatVersion: Int = 2): Path = {
+    require(formatVersion == 2 || formatVersion == 3,
+      s"only Iceberg format-version 2 or 3 can be written, got $formatVersion")
     val versions =
       if (history) table.versions.sorted else Seq(table.currentVersion)
     val snaps = versions.map(v => table.snapshot(v))
@@ -396,6 +399,18 @@ object IcebergExport {
       s"""{"name":"${pf.name}","type":["null",$t],"default":null,"field-id":${pf.fieldId}}"""
     }.mkString(",")
     val partAvroFields = partAvroFieldsOf(pfields)
+    // format-v3 manifest entry additions: row lineage (first_row_id,
+    // spec field-id 142) on every data file, and deletion-vector
+    // coordinates (referenced_data_file 143, content_offset 144,
+    // content_size_in_bytes 145) on delete entries
+    val v3EntryFields =
+      if (formatVersion < 3) ""
+      else """,
+        |{"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},
+        |{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
+        .stripMargin
     def manifestSchemaFor(partFields: String): Schema = new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
@@ -413,7 +428,7 @@ object IcebergExport {
          |{"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110},
          |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
          |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
-         |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+         |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}$v3EntryFields
          |]}}]}""".stripMargin)
     val manifestSchema = manifestSchemaFor(partAvroFields)
     val specManifestSchemas: Seq[Schema] =
@@ -662,6 +677,47 @@ object IcebergExport {
           }
       })
 
+    /** FORMAT-V3 position deletes: one `deletion-vector-v1` Puffin
+      * blob per marked data file (v3 forbids new position-delete
+      * parquets), all of a snapshot's blobs packed into ONE Puffin
+      * file whose per-blob (offset, size) ride the manifest entries.
+      * Blobs serialize ON EXECUTORS (the mark lists never land on the
+      * driver); only the roaring-COMPRESSED payloads collect for the
+      * driver-side Puffin assembly — bounded by bitmap compression,
+      * not mark count. Cached per distinct outstanding mark-set like
+      * the v2 shard writer; the Puffin footer stamps the first caching
+      * snapshot's ids (informational — the manifest entry's own
+      * sequence is the authoritative scope).
+      * (puffinPath, per-file (dataPath, offset, size, cardinality)) */
+    val dvCache = scala.collection.mutable
+      .Map[Seq[String], (Path, Seq[(String, Long, Long, Long)])]()
+    def positionDeleteVectors(sn: Snapshot)
+        : Option[(Path, Seq[(String, Long, Long, Long)])] =
+      if (sn.deletes.isEmpty) None
+      else Some(dvCache.getOrElseUpdate(sn.deletes.map(_.path).sorted, {
+        val sess = table.spark
+        import sess.implicits._
+        val blobs: Seq[(String, Array[Byte], Long)] = table.marksFrame(sn)
+          .select(col("file_path"), col("pos")).as[(String, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (f, it) =>
+            val ps = it.map(_._2).toArray.distinct
+            (f, PuffinDv.serialize(ps), ps.length.toLong)
+          }.collect().sortBy(_._1).toSeq
+        val pp = metaDir.resolve(
+          s"${java.util.UUID.randomUUID()}-deletes.puffin")
+        val seqNum = math.max(sn.version,
+          sn.files.map(_.seq).foldLeft(0L)(math.max))
+        val (_, _, metas) = Puffin.write(pp,
+          blobs.map { case (f, payload, card) =>
+            Puffin.Blob("deletion-vector-v1", Nil, sn.version, seqNum,
+              payload, Map("referenced-data-file" -> f,
+                "cardinality" -> card.toString))
+          }, Map.empty)
+        (pp, blobs.zip(metas).map { case ((f, _, card), m) =>
+          (f, m.offset, m.length, card) })
+      }))
+
     /** Equality tombstones re-encode under dest/data with the KEY
       * columns' schema field ids stamped in the footer, values read
       * through the historical-physical-name coalesce (a pre-rename
@@ -793,10 +849,27 @@ object IcebergExport {
       * are EXISTING (status 0), this commit's own files ADDED (1).
       * The CURRENT snapshot's manifest list additionally carries the
       * delete manifest when merge-on-read marks are outstanding. */
+    // FORMAT-V3 ROW LINEAGE (spec-required for v3 writers): a data
+    // file gets a stable first_row_id when FIRST seen (in version
+    // order, offset by its row count), snapshots record their
+    // first-row-id watermark, the table records next-row-id. The
+    // export's own reader ignores these; a v3-native foreign engine
+    // reads them as written.
+    val firstRowIdOf = scala.collection.mutable.Map[String, Long]()
+    val snapFirstRowId = scala.collection.mutable.Map[Long, Long]()
+    var nextRowId = 0L
+
     def writeSnapshot(sn: Snapshot, parentPaths: Set[String],
         schemaId: Int): Path = {
       val seqNum = math.max(sn.version,
         sn.files.map(_.seq).foldLeft(0L)(math.max))
+      if (formatVersion >= 3) {
+        snapFirstRowId(sn.version) = nextRowId
+        sn.files.foreach(f => if (!firstRowIdOf.contains(f.path)) {
+          firstRowIdOf(f.path) = nextRowId
+          nextRowId += f.rows
+        })
+      }
       // one data manifest PER LAYOUT GROUP, each bound to its spec by
       // spec-id — Iceberg's encoding of spec evolution (a snapshot
       // after evolveSpec holds pre- and post-evolution files). A
@@ -821,7 +894,7 @@ object IcebergExport {
         w.setMeta("partition-spec", specFieldsJson(pfs.map(pf =>
           (pf.name, pf.transform, pf.sourceId, pf.fieldId))))
         w.setMeta("partition-spec-id", si.toString)
-        w.setMeta("format-version", "2")
+        w.setMeta("format-version", formatVersion.toString)
         w.setMeta("content", "data")
         w.create(mSchema, manifestPath.toFile)
         try files.foreach { f =>
@@ -914,6 +987,10 @@ object IcebergExport {
             kvArr("value_counts",
               statCols.map(_ -> (java.lang.Long.valueOf(f.rows): AnyRef)))
           }
+          // v3 row lineage: EXPLICIT per-file assignment (null would
+          // mean "inherit" and re-assign an existing entry wrongly)
+          if (formatVersion >= 3)
+            df.put("first_row_id", java.lang.Long.valueOf(firstRowIdOf(f.path)))
           val e = new GenericData.Record(mSchema)
           e.put("status", if (parentPaths.contains(f.path)) 0 else 1)
           e.put("snapshot_id", sn.version)
@@ -933,11 +1010,16 @@ object IcebergExport {
       // scope is harmless and spec-conformant. Every exported
       // snapshot carries its own outstanding state (history mode
       // time-travels MoR debt exactly).
-      val deleteShards = positionDeleteParquets(sn)
+      // v2: range-sharded position-delete parquets; v3: deletion
+      // vectors (one Puffin blob per marked file — v3 forbids new
+      // position-delete parquets)
+      val deleteShards =
+        if (formatVersion >= 3) Nil else positionDeleteParquets(sn)
+      val dvs = if (formatVersion >= 3) positionDeleteVectors(sn) else None
       eqExportBatch(sn.eqDeletes) // one job per group, cache-filling
       val eqExports = sn.eqDeletes.map(eqExport) // cache hits
       val deleteManifest: Option[Path] =
-        if (deleteShards.isEmpty && eqExports.isEmpty) None
+        if (deleteShards.isEmpty && dvs.isEmpty && eqExports.isEmpty) None
         else {
           val mp = metaDir.resolve(
             s"${java.util.UUID.randomUUID()}-d0.avro")
@@ -946,18 +1028,26 @@ object IcebergExport {
           w.setMeta("schema", schemaNodes(schemaId).toString)
           w.setMeta("partition-spec", specFieldsJson(Nil))
           w.setMeta("partition-spec-id", deleteSpecId.toString)
-          w.setMeta("format-version", "2")
+          w.setMeta("format-version", formatVersion.toString)
           w.setMeta("content", "deletes")
           w.create(deleteManifestSchema, mp.toFile)
           try {
             def entry(path: String, content: Int, rows: Long, bytes: Long,
                 seq: Long, eqIds: Seq[Int],
-                pathBounds: Option[(String, String)]): Unit = {
+                pathBounds: Option[(String, String)],
+                fileFormat: String = "PARQUET",
+                dvCoords: Option[(String, Long, Long)] = None): Unit = {
               val dfSchema = deleteManifestSchema.getField("data_file").schema()
               val df = new GenericData.Record(dfSchema)
               df.put("content", content)
               df.put("file_path", path)
-              df.put("file_format", "PARQUET")
+              df.put("file_format", fileFormat)
+              // v3 DV coordinates: the spec-required targeting triple
+              dvCoords.foreach { case (ref, off, len) =>
+                df.put("referenced_data_file", ref)
+                df.put("content_offset", java.lang.Long.valueOf(off))
+                df.put("content_size_in_bytes", java.lang.Long.valueOf(len))
+              }
               df.put("partition", new GenericData.Record(deletePartSchema))
               df.put("record_count", rows)
               df.put("file_size_in_bytes", bytes)
@@ -998,6 +1088,16 @@ object IcebergExport {
               entry(delPath.toString, 1, delRows, Files.size(delPath),
                 seqNum, Nil, bounds) // POSITION_DELETES cover every data seq
             }
+            // v3 deletion vectors: one entry per marked data file —
+            // record_count = cardinality, file size = the Puffin file
+            dvs.foreach { case (pp, perFile) =>
+              val ppSize = Files.size(pp)
+              perFile.foreach { case (ref, off, len, card) =>
+                entry(pp.toString, 1, card, ppSize, seqNum, Nil,
+                  pathBounds = None, fileFormat = "PUFFIN",
+                  dvCoords = Some((ref, off, len)))
+              }
+            }
             // equality tombstones keep their OWN sequence numbers —
             // the strictly-below rule is what scopes them
             eqExports.foreach { case (path, bytes, eqIds, rows, seq) =>
@@ -1011,7 +1111,7 @@ object IcebergExport {
       locally {
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](listSchema))
-        w.setMeta("format-version", "2")
+        w.setMeta("format-version", formatVersion.toString)
         w.setMeta("snapshot-id", sn.version.toString)
         w.setMeta("sequence-number", seqNum.toString)
         w.create(listSchema, listPath.toFile)
@@ -1045,11 +1145,12 @@ object IcebergExport {
             d.put("min_sequence_number",
               sn.eqDeletes.map(_.seq).foldLeft(seqNum)(math.min))
             d.put("added_snapshot_id", sn.version)
-            d.put("added_files_count",
-              deleteShards.size + sn.eqDeletes.size)
+            d.put("added_files_count", deleteShards.size +
+              dvs.map(_._2.size).getOrElse(0) + sn.eqDeletes.size)
             d.put("existing_files_count", 0)
             d.put("deleted_files_count", 0)
             d.put("added_rows_count", deleteShards.map(_._2).sum
+              + dvs.toSeq.flatMap(_._2).map(_._4).sum
               + sn.eqDeletes.map(_.rows).sum)
             d.put("existing_rows_count", 0L)
             d.put("deleted_rows_count", 0L)
@@ -1112,12 +1213,14 @@ object IcebergExport {
         .getOrElse(java.util.UUID.randomUUID().toString)
     }.getOrElse(java.util.UUID.randomUUID().toString)
     val root = mapper.createObjectNode()
-    root.put("format-version", 2)
+    root.put("format-version", formatVersion)
     root.put("table-uuid", tableUuid)
     root.put("location", dest)
     root.put("last-sequence-number", lastSeq)
     root.put("last-updated-ms", cur.timestampMs)
     root.put("last-column-id", ids.maxId)
+    // v3 row lineage: the table-level high-water mark
+    if (formatVersion >= 3) root.put("next-row-id", nextRowId)
     root.put("current-schema-id", schemaIdOf(cur.schemaJson))
     val schemasArr = mapper.createArrayNode()
     schemaNodes.foreach(schemasArr.add)
@@ -1186,6 +1289,9 @@ object IcebergExport {
       node.put("timestamp-ms", sn.timestampMs)
       node.put("sequence-number", math.max(sn.version,
         sn.files.map(_.seq).foldLeft(0L)(math.max)))
+      // v3 row lineage: this snapshot's first-row-id watermark
+      if (formatVersion >= 3)
+        node.put("first-row-id", snapFirstRowId(sn.version))
       val summ = node.putObject("summary")
       summ.put("operation", sn.operation match {
         case "append" => "append"
@@ -1202,7 +1308,10 @@ object IcebergExport {
       // parquets), not graft-internal DV blobs — the summary must
       // agree with the delete manifest's own added_files_count
       summ.put("total-delete-files",
-        (positionDeleteParquets(sn).size + sn.eqDeletes.size).toString)
+        ((if (formatVersion >= 3)
+            positionDeleteVectors(sn).map(_._2.size).getOrElse(0)
+          else positionDeleteParquets(sn).size)
+          + sn.eqDeletes.size).toString)
       node.put("manifest-list", listPath.toString)
       node.put("schema-id", sid)
       val le = logArr.addObject()

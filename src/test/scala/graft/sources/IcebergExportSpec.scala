@@ -1925,6 +1925,69 @@ class IcebergExportSpec extends SparkSpec {
       metaJson().getBytes("UTF-8"))
   }
 
+  test("format-v3 EXPORT: deletion vectors as Puffin blobs (no position parquets), row lineage, read/time-travel/import parity, v2 default unchanged") {
+    val t = LogTable(spark, tmp("ice_v3w_"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "s").coalesce(1))                 // v1: 4 rows
+    t.deleteMor(col("id").isin(2L, 4L))             // v2: MoR marks only
+    t.append(Seq((10L, "x"), (11L, "y")).toDF("id", "s").coalesce(1)) // v3
+    val dest = tmp("ice_v3w_out_")
+    IcebergExport.export(t, dest, history = true, formatVersion = 3)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    // metadata: format-version 3 + row lineage. first-row-id
+    // watermarks: v1 starts at 0 (4 rows), the MoR delete adds no
+    // files (watermark 4), v3's append starts at 4 (2 rows) → next 6
+    val meta = mapper.readTree(Files.readAllBytes(
+      java.nio.file.Paths.get(dest).resolve("metadata")
+        .resolve("v1.metadata.json")))
+    assert(meta.get("format-version").asInt() === 3)
+    assert(meta.get("next-row-id").asLong() === 6L)
+    val frows = meta.get("snapshots").elements().asScala
+      .map(s => s.get("snapshot-id").asLong() ->
+        s.get("first-row-id").asLong()).toMap
+    assert(frows === Map(1L -> 0L, 2L -> 4L, 3L -> 4L))
+
+    // the delete state is Puffin DVs — zero position-delete parquets
+    val m = IcebergRead.load(dest)
+    val posDels = m.deleteFiles.filter(_.content == 1)
+    assert(posDels.nonEmpty && posDels.forall(_.dv.isDefined),
+      "v3 export must carry deletion vectors, never position parquets")
+    posDels.foreach(d => assert(d.path.endsWith(".puffin")))
+    // the blob itself decodes to the two marked positions of file A
+    val (ref, off, sz) = posDels.head.dv.get
+    assert(PuffinDv.readRange(posDels.head.path, off, sz).length === 2)
+    assert(m.entries.map(_.path).contains(ref),
+      "the DV must reference an exported data file")
+
+    // read parity vs graft (DV applied), time travel to pre-delete
+    assert(IcebergRead.read(spark, dest)
+      .select("id").as[Long].collect().sorted.toSeq
+      === t.read().select("id").as[Long].collect().sorted.toSeq)
+    assert(IcebergRead.read(spark, dest, versionAsOf = Some(1L))
+      .select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    // import materializes the DVs back into graft's native form
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_v3w_imp_"))
+    assert(imp.read().select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 3L, 10L, 11L))
+
+    // the default export stays v2 with position-delete parquets
+    val dest2 = tmp("ice_v3w_v2_")
+    IcebergExport.export(t, dest2)
+    val meta2 = mapper.readTree(Files.readAllBytes(
+      java.nio.file.Paths.get(dest2).resolve("metadata")
+        .resolve("v1.metadata.json")))
+    assert(meta2.get("format-version").asInt() === 2)
+    assert(meta2.get("next-row-id") == null)
+    val m2 = IcebergRead.load(dest2)
+    assert(m2.deleteFiles.filter(_.content == 1).forall(_.dv.isEmpty))
+    // a bad version refuses
+    val eV = intercept[IllegalArgumentException](
+      IcebergExport.export(t, tmp("ice_v3w_bad_"), formatVersion = 4))
+    assert(eV.getMessage.contains("format-version"))
+  }
+
   test("stat-adoption guard: int bounds decode 4-byte LE, long must be 8 bytes, non-ASCII/oversize string bounds are refused (absence never prunes)") {
     import org.apache.spark.sql.types._
     def le(v: Long, n: Int): Array[Byte] = {
