@@ -31,6 +31,17 @@ object Similarity {
         x => round(x.cast("double") * 1000).cast("long")).as("qv"))
       .withColumn("nrm", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
 
+  /** [[quantized]] plus the `label` metadata column — the filtered-ANN
+    * input. Kept separate so the unfiltered kernels' scans stay
+    * two-column (column pruning would drop it anyway, but the explicit
+    * projection keeps the ReadSchema contract obvious). */
+  private def quantizedL(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables(s, dir, "embeddings")).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("qv"))
+      .withColumn("nrm", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+
   /** Exact integer dot — native fused loop (graft.functions.LongDot);
     * the HOF zip_with+aggregate reference formulation lives in
     * LongDotSpec, which asserts bit-identity. */
@@ -59,6 +70,38 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("n_id"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** FILTERED ANN — vector search under a metadata predicate (the
+    * "neighbors within a category" shape every retrieval stack needs):
+    * exact cosine top-5 among candidates sharing the query's `label`.
+    * The predicate joins BEFORE any distance work, so pruned
+    * candidates never pay a dot product. The tiny query side
+    * broadcasts here; at corpus scale the deployment shape is the
+    * same plan with the index PARTITIONED BY the filter attribute
+    * (the label equality becomes the co-partitioning key), so a
+    * label's search touches only its partition — the filter is a
+    * pruning lever, never a post-filter over an unfiltered top-k
+    * (which under-fills k when the filter is selective). Kernel and
+    * ranking identical to [[annTopk]] (integer-exact). */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val all = quantizedL(s, dir)
+    val q = all.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+      .filter(col("q_id") < 10)
+    val c = all.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("qv").as("n_qv"), col("nrm").as("n_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("key").desc, col("n_id"))
+    c.join(broadcast(q),
+        col("n_label") === col("q_label") && col("n_id") =!= col("q_id"))
+      .withColumn("key", cosKey(dot(col("q_qv"), col("n_qv")),
+        col("q_nrm") * col("n_nrm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("n_id"),
+        col("n_label").as("label"))
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -489,6 +532,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopk _),
+    "ann_filtered" -> (annFiltered _),
     "ann_lsh" -> ((s, dir) => annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => annIvf(s, dir)),
     "ann_pq" -> ((s, dir) => annPq(s, dir)),
@@ -497,6 +541,33 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // ann_topk's proven integer-exact kernel plus the label predicate
+    // in the candidate join (never a post-filter over unfiltered top-k)
+    "ann_filtered" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS n_id, d.label AS label,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * d.qv[i])) AS BIGINT) AS dot,
+        |    q.nrm * d.nrm AS pp
+        |  FROM n q JOIN n d ON d.vec_id <> q.vec_id AND d.label = q.label
+        |  WHERE q.vec_id < 10),
+        |k AS (
+        |  SELECT q_id, n_id, label,
+        |    (CASE WHEN dot < 0 THEN -1.0 ELSE 1.0 END)
+        |      * (CAST(dot * dot AS DOUBLE) / CAST(pp AS DOUBLE)) AS skey
+        |  FROM p),
+        |r AS (
+        |  SELECT q_id, n_id, label,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY skey DESC, n_id) AS rnk
+        |  FROM k)
+        |SELECT q_id, rnk, n_id, label FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id,

@@ -288,7 +288,54 @@ object TextAnalysis {
       .orderBy(col("round"))
   }
 
+  /** N-GRAM LM COVERAGE — the CCNet/Gopher-style quality-filter shape
+    * with an INTEGER-exact scoring kernel: a bigram "language model"
+    * trains on the corpus's own deterministic train split (the
+    * [[Pipeline.splitCol]] assignment — reproducible across engines),
+    * prunes to bigrams seen ≥3 times (the LM-size knob; deployed
+    * perplexity filters prune their n-gram LMs exactly so), and every
+    * document scores by how much of it the LM has seen: total bigrams,
+    * known bigrams (with multiplicity), familiarity = per-instance
+    * reference counts saturated at 10, coverage_pct by integer
+    * division. All-integer by design — a log-probability formulation
+    * would hash-drift on libm ulps between engines; coverage ranks
+    * documents the same way for filtering purposes.
+    *
+    * Scale: the LM census is one map-side-combined groupBy over the
+    * train slice; the scoring join keys on `pair`, so Catalyst
+    * broadcasts the pruned LM when small and co-partitions otherwise
+    * (AQE decides from actual sizes — the minCount prune is what
+    * bounds the LM at corpus scale); the per-doc score is one more
+    * combine. No windows, no global sorts. */
+  def lmCoverage(s: SparkSession, dir: String): DataFrame = {
+    def bigramsOf(df: DataFrame): DataFrame = df
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+        .as("pair"))
+    val docs = docsSpread(s, dir)
+    val ref = bigramsOf(docs
+        .filter(Pipeline.splitCol(col("doc_id")) === "train"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("rc"))
+      .filter(col("rc") >= 3L)
+    bigramsOf(docs)
+      .join(ref, Seq("pair"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("rc")).as("n_known"),
+        // NB: least() IGNORES nulls in both engines (least(NULL, 10)
+        // = 10), so the unknown-bigram zero must be an explicit CASE —
+        // a coalesce around least would silently credit unknowns
+        sum(when(col("rc").isNull, lit(0L))
+          .otherwise(least(col("rc"), lit(10L))))
+          .cast("long").as("familiarity"))
+      .withColumn("coverage_pct", expr("(100 * n_known) div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_coverage" -> (lmCoverage _),
     "text_langid" -> (langid _),
     "text_quality" -> (quality _),
     "text_tokens" -> (tokens _),
@@ -330,6 +377,33 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // the LM replays exactly: the train split is the md5-based hash32
+    // assignment (pipeline_split's own oracle form), the bigram census
+    // and the saturating familiarity sum are pure integers
+    "text_lm_coverage" ->
+      """WITH sp AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS pair
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |  WHERE len(ws) >= 2),
+        |ref AS (
+        |  SELECT pair, count(*) AS rc
+        |  FROM bg JOIN sp USING (doc_id)
+        |  WHERE sp.h < 3435973836
+        |  GROUP BY pair HAVING count(*) >= 3)
+        |SELECT b.doc_id,
+        |  count(*) AS n_bigrams,
+        |  count(r.rc) AS n_known,
+        |  CAST(coalesce(sum(CASE WHEN r.rc IS NULL THEN 0
+        |                         ELSE least(r.rc, 10) END), 0) AS BIGINT)
+        |    AS familiarity,
+        |  (100 * count(r.rc)) // count(*) AS coverage_pct
+        |FROM bg b LEFT JOIN ref r USING (pair)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "text_langid" ->
       """WITH c AS (
         |  SELECT doc_id, lang,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
@@ -192,5 +192,46 @@ class SimilaritySpec extends SparkSpec {
     val top = Similarity.dedupEmbed(spark, plantedDir)
       .select("vec_a", "vec_b").as[(Long, Long)].head()
     assert(top === ((0L, 1L)), s"expected planted pair (0,1) first, got $top")
+  }
+
+  test("ann_filtered: every neighbor shares the query's label, never a post-filter of the unfiltered top-k") {
+    val got = Similarity.annFiltered(spark, sfDir)
+      .select("q_id", "rnk", "n_id", "label")
+      .as[(Long, Long, Long, Int)].collect()
+    val labelOf = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    // the filter holds on every result row
+    got.foreach { case (q, _, n, l) =>
+      assert(labelOf(n) === labelOf(q) && l === labelOf(q),
+        s"neighbor $n of query $q crosses the label filter")
+    }
+    // ranks are contiguous from 1 per query
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq,
+        s"query $q ranks not contiguous")
+    }
+    // filter-BEFORE-rank: the result must equal an independent
+    // brute force over the label-restricted candidates — which a
+    // post-filtered unfiltered top-k cannot match when the filter is
+    // selective (it under-fills k)
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+      .map { case (id, l, e) =>
+        (id, l, e.map(x => math.round(x.toDouble * 1000)))
+      }
+    val queries = vecs.filter(_._1 < 10)
+    queries.foreach { case (q, ql, qv) =>
+      val expect = vecs.iterator
+        .filter { case (n, nl, _) => n != q && nl == ql }
+        .map { case (n, _, nv) =>
+          val d = qv.zip(nv).map { case (a, b) => a * b }.sum
+          val pp = qv.map(x => x * x).sum * nv.map(x => x * x).sum
+          val key = (if (d < 0) -1.0 else 1.0) * (d.toDouble * d / pp)
+          (n, key)
+        }.toSeq.sortBy { case (n, k) => (-k, n) }.take(5).map(_._1)
+      val mine = got.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
+      assert(mine === expect, s"query $q filtered top-5 mismatch")
+    }
   }
 }

@@ -80,4 +80,50 @@ class TextAnalysisSpec extends SparkSpec {
       assert(rel <= 0.05, s"$tpe estimate $a off exact $n by ${rel * 100}%%")
     }
   }
+
+  test("text_lm_coverage: scores equal an independent in-memory LM replay; unique-bigram docs score zero") {
+    val d = Files.createTempDirectory("lm_docs_").toString
+    val phrases = Seq("the cat sat", "on the mat", "the dog ran")
+    val rows = (0L until 38L).map(i =>
+      (i, phrases((i % 3).toInt) + " " + phrases(((i / 3) % 3).toInt),
+        "en", "s", 20L)) ++
+      Seq((38L, "zqx1 zqx2 zqx3", "en", "s", 14L), // globally unique bigrams
+        (39L, "yvw1 yvw2", "en", "s", 9L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.lmCoverage(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+    // INDEPENDENT replay with plain Scala collections, using the
+    // operator's OWN split expression (the PipelineSpec precedent) so
+    // a drifted hash fails here, not just at the fixed-corpus oracle
+    val splits = rows.map(_._1).toDF("doc_id")
+      .select(col("doc_id"), Pipeline.splitCol(col("doc_id")).as("sp"))
+      .as[(Long, String)].collect().toMap
+    def bigrams(t: String): Seq[String] = {
+      val w = t.split(" ")
+      if (w.length < 2) Nil else w.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val ref = rows.filter(r => splits(r._1) == "train")
+      .flatMap(r => bigrams(r._2))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 3L).toMap
+    val expect = rows.flatMap { r =>
+      val bs = bigrams(r._2)
+      if (bs.isEmpty) None
+      else {
+        val known = bs.flatMap(ref.get)
+        Some((r._1, bs.size.toLong, known.size.toLong,
+          known.map(math.min(_, 10L)).sum, 100L * known.size / bs.size))
+      }
+    }
+    assert(got === expect.sortBy(_._1))
+    // the unique-bigram docs can never be "known" (rc = 1 < minCount),
+    // whatever split they landed in
+    Seq(38L, 39L).foreach { id =>
+      val r = got.find(_._1 == id).get
+      assert(r._3 === 0L && r._4 === 0L && r._5 === 0L,
+        s"gibberish doc $id must score zero coverage, got $r")
+    }
+  }
 }
