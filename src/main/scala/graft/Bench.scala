@@ -119,10 +119,15 @@ object Bench {
     val sharedKeys = times.keySet.filter(baseline.contains)
     val phaseFields: String = {
       val c = controlQ1.map(v => s""""control_q1_s":${rnd(v, 3)},""").getOrElse("")
+      // theirs > 0 guard: a zero/garbage baseline sum would format
+      // Infinity/NaN and emit invalid JSON — the exact truncation
+      // failure the ms-precision rendering below exists to avoid
       val b = if (sharedKeys.nonEmpty) {
         val ours = sharedKeys.toSeq.map(times).sum
         val theirs = sharedKeys.toSeq.map(baseline).sum
-        s""""shared_n":${sharedKeys.size},"shared_s":${rnd(ours, 3)},"baseline_shared_s":${rnd(theirs, 3)},"vs_baseline":${rnd(ours / theirs, 3)},"""
+        if (theirs > 0.0 && !theirs.isNaN)
+          s""""shared_n":${sharedKeys.size},"shared_s":${rnd(ours, 3)},"baseline_shared_s":${rnd(theirs, 3)},"vs_baseline":${rnd(ours / theirs, 3)},"""
+        else ""
       } else ""
       c + b
     }

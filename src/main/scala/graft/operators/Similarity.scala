@@ -24,23 +24,27 @@ import scala.jdk.CollectionConverters._
 object Similarity {
 
   /** Quantized vectors + integer self-norm. */
+  /** The ONE quantization/norm kernel, over any frame carrying an
+    * `embedding` column — both scan shapes below share it, so the
+    * integer-exact scale (×1000, round, long) and the norm aggregate
+    * can never drift between the filtered and unfiltered kernels. */
+  private def withQuantized(df: DataFrame): DataFrame = df
+    .withColumn("qv", transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long")))
+    .withColumn("nrm", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+    .drop("embedding")
+
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables(s, dir, "embeddings")).select(
-      col("vec_id"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * 1000).cast("long")).as("qv"))
-      .withColumn("nrm", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+    withQuantized(Tables.spread(Tables(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding")))
 
   /** [[quantized]] plus the `label` metadata column — the filtered-ANN
-    * input. Kept separate so the unfiltered kernels' scans stay
-    * two-column (column pruning would drop it anyway, but the explicit
-    * projection keeps the ReadSchema contract obvious). */
+    * input. A separate two-column scan shape (not a drop of this one)
+    * so the unfiltered kernels keep reading corpora that carry no
+    * label column at all (the spec's synthetic embeddings don't). */
   private def quantizedL(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables(s, dir, "embeddings")).select(
-      col("vec_id"), col("label"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * 1000).cast("long")).as("qv"))
-      .withColumn("nrm", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+    withQuantized(Tables.spread(Tables(s, dir, "embeddings"))
+      .select(col("vec_id"), col("label"), col("embedding")))
 
   /** Exact integer dot — native fused loop (graft.functions.LongDot);
     * the HOF zip_with+aggregate reference formulation lives in

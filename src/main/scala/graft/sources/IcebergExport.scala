@@ -2193,14 +2193,8 @@ object IcebergRead {
       })
       val dvSide =
         if (dvHit.isEmpty) None
-        else {
-          val sess = spark
-          import sess.implicits._
-          Some(sess.createDataset(dvHit)
-            .flatMap { case (pp, off, sz, ref) =>
-              PuffinDv.readRange(pp, off, sz).map(pos => (ref, pos)) }
-            .toDF("_ice_f", "_ice_p"))
-        }
+        else Some(PuffinDv.marksFrame(spark, dvHit)
+          .toDF("_ice_f", "_ice_p"))
       (parquetSide, dvSide) match {
         case (Some(a), Some(b)) => Some(a.unionByName(b))
         case (a, b) => a.orElse(b)
@@ -2619,14 +2613,7 @@ object IcebergImport {
           col("pos")))
       val dvSide =
         if (dvCoords.isEmpty) Nil
-        else {
-          val sess = spark
-          import sess.implicits._
-          Seq(sess.createDataset(dvCoords)
-            .flatMap { case (pp, off, sz, ref) =>
-              PuffinDv.readRange(pp, off, sz).map(pos => (ref, pos)) }
-            .toDF("file_path", "pos"))
-        }
+        else Seq(PuffinDv.marksFrame(spark, dvCoords))
       parquetSide ++ dvSide
     }
     val deletes: Seq[DeleteFile] =

@@ -77,10 +77,20 @@ final class IcebergRestCatalog private (
   }
 
   def close(): Unit = server.stop(0)
+
+  /** Test seam: the live token map (token → issue millis), for
+    * backdating in the expiry spec. */
+  private[sources] def tokensForTest
+      : java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] =
+    state.tokens
 }
 
 object IcebergRestCatalog {
   private val mapper = new ObjectMapper()
+
+  /** Bearer-token lifetime — the `expires_in` the grant advertises is
+    * the lifetime the auth gate actually enforces. */
+  private val TokenTtlMs = 3600L * 1000L
 
   private[sources] final class State {
     /** (ns, table) → table location. Both registered graft exports and
@@ -106,12 +116,16 @@ object IcebergRestCatalog {
     def lockFor(key: (String, String)): Object =
       locks.computeIfAbsent(key, _ => new Object)
 
-    /** Bearer tokens issued by `/v1/oauth/tokens`. When `requireAuth`
-      * is on, every other route demands one — the OpenAPI's own
-      * client-credentials handshake, so a spec-conformant foreign
-      * client's auth negotiation doesn't 404. Off by default (loopback
-      * verification endpoint, see class doc). */
-    val tokens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    /** Bearer tokens issued by `/v1/oauth/tokens` → issue-time millis.
+      * When `requireAuth` is on, every other route demands a live one —
+      * the OpenAPI's own client-credentials handshake, so a
+      * spec-conformant foreign client's auth negotiation doesn't 404.
+      * Tokens honor the advertised `expires_in` (checked AND evicted at
+      * the auth gate — an hourly-refreshing client never grows the set
+      * unboundedly, and a leaked stale token stops authenticating).
+      * Off by default (loopback verification endpoint, see class doc). */
+    val tokens =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     @volatile var requireAuth: Boolean = false
 
     def nsNames: Seq[String] =
@@ -197,7 +211,15 @@ object IcebergRestCatalog {
         val ok = Option(x.getRequestHeaders.getFirst("Authorization"))
           .filter(_.startsWith("Bearer "))
           .map(_.stripPrefix("Bearer ").trim)
-          .exists(state.tokens.contains)
+          .exists { tok =>
+            Option(state.tokens.get(tok)) match {
+              case Some(issued)
+                  if System.currentTimeMillis() - issued < TokenTtlMs => true
+              case Some(_) => // expired: honor expires_in AND evict
+                state.tokens.remove(tok); false
+              case None => false
+            }
+          }
         if (!ok) {
           error(x, 401, "NotAuthorizedException",
             "missing or invalid bearer token — obtain one via " +
@@ -222,11 +244,12 @@ object IcebergRestCatalog {
               """{"error":"unsupported_grant_type","error_description":"only client_credentials is supported"}""")
           else {
             val tok = java.util.UUID.randomUUID().toString
-            state.tokens.add(tok)
+            state.tokens.put(tok,
+              java.lang.Long.valueOf(System.currentTimeMillis()))
             val root = mapper.createObjectNode()
             root.put("access_token", tok)
             root.put("token_type", "bearer")
-            root.put("expires_in", 3600)
+            root.put("expires_in", (TokenTtlMs / 1000L).toInt)
             form.get("scope").foreach(s => root.put("scope", s))
             json(x, 200, root.toString)
           }
@@ -342,14 +365,20 @@ object IcebergRestCatalog {
         case ("DELETE", List("v1", "namespaces", ns, t0, t))
             if t0 == "tables" =>
           val key = (ns, t)
-          if (registry.remove(key) == null && state.staged.remove(key) == null)
-            error(x, 404, "NoSuchTableException", s"table '$ns.$t' not found")
-          else {
-            // catalog-level drop: the table leaves the catalog; its
-            // files stay (`purgeRequested` is not honored — this
-            // endpoint never deletes data it did not write)
-            state.owned.remove(key)
-            x.sendResponseHeaders(204, -1); x.close()
+          // the drop participates in the per-table lock discipline:
+          // a lock-free drop racing a staged-CTAS commit would answer
+          // 204 and then have persistStaged resurrect the table
+          state.lockFor(key).synchronized {
+            if (registry.remove(key) == null &&
+                state.staged.remove(key) == null)
+              error(x, 404, "NoSuchTableException", s"table '$ns.$t' not found")
+            else {
+              // catalog-level drop: the table leaves the catalog; its
+              // files stay (`purgeRequested` is not honored — this
+              // endpoint never deletes data it did not write)
+              state.owned.remove(key)
+              x.sendResponseHeaders(204, -1); x.close()
+            }
           }
 
         case ("POST", List("v1", "transactions", "commit")) =>
@@ -361,7 +390,9 @@ object IcebergRestCatalog {
               : Option[(String, String)] =
             for {
               node <- Option(n)
-              nsArr <- Option(node.get("namespace")) if nsArr.size() > 0
+              // single-level only — truncating a multi-segment
+              // namespace would rename a DIFFERENT table than addressed
+              nsArr <- Option(node.get("namespace")) if nsArr.size() == 1
               nm <- Option(node.get("name"))
             } yield (nsArr.get(0).asText(), nm.asText())
           (ident(b.get("source")), ident(b.get("destination"))) match {
@@ -415,12 +446,15 @@ object IcebergRestCatalog {
     *
     * Atomicity: the move runs under BOTH tables' commit locks, taken
     * in a global (ns, name) order so two opposite-direction renames
-    * cannot deadlock. remove-then-put under the locks means no
-    * concurrent load ever sees the table under both names, and the
-    * dst existence check cannot be raced by a concurrent create (which
-    * takes dst's lock too). Staged (stage-create) tables rename like
-    * registered ones — the spec treats them as existing-but-invisible,
-    * and their eventual first commit must land under the new name. */
+    * cannot deadlock, and the dst existence check cannot be raced by
+    * a concurrent create/commit/drop (all take the table lock too).
+    * Load routes read the registry LOCK-FREE, so the mutation order
+    * is put-then-remove: the only transient a concurrent load can see
+    * is "briefly under both names" (benign for a read) — the reverse
+    * order would 404 an existing table mid-rename. Staged
+    * (stage-create) tables rename like registered ones — the spec
+    * treats them as existing-but-invisible, and their eventual first
+    * commit must land under the new name. */
   private def renameTable(x: HttpExchange, state: State,
       src: (String, String), dst: (String, String)): Unit = {
     val ord = implicitly[Ordering[(String, String)]]
@@ -438,13 +472,17 @@ object IcebergRestCatalog {
           error(x, 409, "AlreadyExistsException",
             s"table '${dst._1}.${dst._2}' already exists")
         else {
+          // PUT-then-REMOVE: load routes read the registry lock-free,
+          // so the transient state must be "briefly visible under both
+          // names" (benign for a read) — remove-first would give a
+          // concurrent load a spurious 404 on an existing table
           registered.foreach { dest =>
-            state.registry.remove(src)
             state.registry.put(dst, dest)
+            state.registry.remove(src)
           }
           stagedMeta.foreach { m =>
-            state.staged.remove(src)
             state.staged.put(dst, m)
+            state.staged.remove(src)
           }
           if (state.owned.remove(src)) { state.owned.add(dst); () }
           x.sendResponseHeaders(204, -1); x.close()
@@ -809,18 +847,38 @@ object IcebergRestCatalog {
     Right(StagedCommit(key, isCreate, meta, location, nextVersion))
   }
 
-  /** Land a [[stageCommit]] result: write the next vN.metadata.json
-    * and (for a staged CTAS) flip the table visible. Caller must hold
-    * the table's lock. */
-  private def persistStaged(state: State, s: StagedCommit): String = {
-    val mp = persist(s.location, s.meta, version = s.nextVersion)
+  /** Persistence phase A — write the next vN.metadata.json. INVISIBLE
+    * until phase B: loads walk version-hint, which still names vN-1,
+    * so a failure here (disk full, unwritable location) aborts with
+    * zero observable change. */
+  private def writeMetaFile(s: StagedCommit): Unit = {
+    val metaDir = Paths.get(s.location).resolve("metadata")
+    Files.createDirectories(metaDir)
+    Files.write(metaDir.resolve(s"v${s.nextVersion}.metadata.json"),
+      s.meta.toString.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Persistence phase B — flip the version hint (the visibility
+    * switch) and, for a staged CTAS, register the table. */
+  private def publishStaged(state: State, s: StagedCommit): String = {
+    val metaDir = Paths.get(s.location).resolve("metadata")
+    Files.write(metaDir.resolve("version-hint.text"),
+      s.nextVersion.toString.getBytes(StandardCharsets.UTF_8))
     if (s.isCreate) {
       state.staged.remove(s.key)
       state.registry.put(s.key, s.location)
       state.owned.add(s.key)
       ()
     }
-    mp
+    metaDir.resolve(s"v${s.nextVersion}.metadata.json").toString
+  }
+
+  /** Land a [[stageCommit]] result (single-table route). Caller must
+    * hold the table's lock. */
+  private def persistStaged(state: State, s: StagedCommit): String = {
+    writeMetaFile(s)
+    publishStaged(state, s)
   }
 
   /** POST /v1/namespaces/{ns}/tables/{t} — the OpenAPI
@@ -863,10 +921,14 @@ object IcebergRestCatalog {
     val parsed: Seq[((String, String),
         com.fasterxml.jackson.databind.JsonNode)] = changes.map { c =>
       val id = c.get("identifier")
+      // exact-or-refuse on the namespace ARITY too: this catalog is
+      // single-level, and truncating ["a","sub"] to "a" would land the
+      // commit on a DIFFERENT table than the client addressed
       if (id == null || id.get("namespace") == null ||
-          id.get("namespace").size() == 0 || id.get("name") == null) {
+          id.get("namespace").size() != 1 || id.get("name") == null) {
         error(x, 400, "BadRequestException",
-          "every table-change needs an 'identifier' with namespace and name")
+          "every table-change needs an 'identifier' with a " +
+            "single-level namespace and a name")
         return
       }
       ((id.get("namespace").get(0).asText(), id.get("name").asText()), c)
@@ -891,7 +953,13 @@ object IcebergRestCatalog {
       staged match {
         case Left((code, tpe, msg)) => error(x, code, tpe, msg)
         case Right(list) =>
-          list.foreach(persistStaged(state, _))
+          // TWO-PHASE persist: all metadata files first (the heavy,
+          // failure-prone writes — any error aborts with every table
+          // still invisible-unchanged behind its version hint), THEN
+          // the hint flips. The residual non-atomic window is N tiny
+          // same-disk hint writes, not N metadata serializations.
+          list.foreach(writeMetaFile)
+          list.foreach(publishStaged(state, _))
           x.sendResponseHeaders(204, -1); x.close()
       }
     }

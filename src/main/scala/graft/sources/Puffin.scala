@@ -460,6 +460,23 @@ private[sources] object PuffinDv {
     out.result().sorted
   }
 
+  /** Decode many DV blob coordinates `(puffinPath, offset, size,
+    * referencedDataFile)` into ONE (file_path, pos) frame — the decode
+    * runs on EXECUTORS (the driver ships only the coordinate tuples; a
+    * DV can hold millions of positions). The one implementation behind
+    * BOTH consumers — the spec reader's delete application and the
+    * import materialization — so a future fix to range handling or
+    * path normalization cannot diverge between the two directions. */
+  private[sources] def marksFrame(spark: org.apache.spark.sql.SparkSession,
+      coords: Seq[(String, Long, Long, String)])
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.createDataset(coords)
+      .flatMap { case (pp, off, sz, ref) =>
+        readRange(pp, off, sz).map(pos => (ref, pos)) }
+      .toDF("file_path", "pos")
+  }
+
   /** Read ONLY a blob's byte range from a Puffin file and decode it —
     * what a scan/import task runs per DV manifest entry
     * (`content_offset` / `content_size_in_bytes` come from the

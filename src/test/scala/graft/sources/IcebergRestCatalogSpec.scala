@@ -400,6 +400,11 @@ class IcebergRestCatalogSpec extends SparkSpec {
         ._1 === 400)
       assert(post(s"${cat.uri}/v1/transactions/commit",
         """{"table-changes":[]}""")._1 === 400)
+      // a MULTI-SEGMENT namespace refuses instead of truncating to its
+      // first segment (which would commit to a DIFFERENT table)
+      assert(post(s"${cat.uri}/v1/transactions/commit",
+        s"""{"table-changes":[{"identifier":{"namespace":["w","sub"],"name":"ta"},
+           |"requirements":[],"updates":[]}]}""".stripMargin)._1 === 400)
     } finally cat.close()
   }
 
@@ -436,6 +441,18 @@ class IcebergRestCatalogSpec extends SparkSpec {
       assert(cBadG === 400)
       assert(mapper.readTree(bBadG).get("error").asText()
         === "unsupported_grant_type")
+      // the advertised expires_in is ENFORCED: a backdated token stops
+      // authenticating and is evicted from the set (no unbounded growth
+      // from hourly-refreshing clients)
+      cat.tokensForTest.put(bearer,
+        java.lang.Long.valueOf(System.currentTimeMillis() - 3601L * 1000L))
+      val staleReq = HttpRequest.newBuilder(
+          URI.create(s"${cat.uri}/v1/config"))
+        .header("Authorization", s"Bearer $bearer").GET().build()
+      assert(http.send(staleReq,
+        HttpResponse.BodyHandlers.ofString()).statusCode() === 401)
+      assert(!cat.tokensForTest.containsKey(bearer),
+        "an expired token must be evicted at the gate")
     } finally cat.close()
   }
 
