@@ -989,6 +989,42 @@ object Lakehouse {
       .orderBy(col("via"), col("event_type"))
   }
 
+  /** The FORMAT-V3 seam as an ORACLE query: ingest the events,
+    * merge-on-read DELETE the error rows (position marks — the
+    * predicate crosses file boundaries on the unpartitioned layout, so
+    * the ladder must MARK, not drop), export with `formatVersion = 3`
+    * — the marks become `deletion-vector-v1` Puffin blobs — and
+    * aggregate BOTH v3 legs: the independent spec reader (executor-
+    * decoded DVs applied through the (path, pos) anti-join) and a
+    * graft-native IMPORT (DVs materialized back into the native delete
+    * form). A mis-framed bitmap, wrong blob coordinates, a DV applied
+    * to the wrong data file, or a lost/duplicated mark breaks the hash
+    * against DuckDB's direct filtered aggregate. */
+  def lakeV3(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergExport, IcebergImport, IcebergRead}
+    val tmp = Files.createTempDirectory("graft_lake_v3_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts_us"))
+    table.append(ev)
+    table.deleteMor(col("event_type") === lit("error"))
+    val dest = Files.createTempDirectory("graft_lake_v3_ice_").toString
+    IcebergExport.export(table, dest, formatVersion = 3)
+    def agg(df: DataFrame, via: String): DataFrame = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .withColumn("via", lit(via))
+    val spec = agg(IcebergRead.read(s, dest), "spec_reader")
+    val imported = IcebergImport.importTable(s, dest,
+      Files.createTempDirectory("graft_lake_v3_imp_").toString)
+    agg(imported.read(), "graft_import").unionByName(spec)
+      .select(col("via"), col("event_type"), col("n"), col("n_users"),
+        col("total_value"))
+      .orderBy(col("via"), col("event_type"))
+  }
+
   /** The REST-catalog seam as an ORACLE query (reference
     * init-setup.py:73-86 — its Trino discovers the table via
     * `iceberg.catalog.type = rest`): export → serve → a foreign
@@ -1094,6 +1130,7 @@ object Lakehouse {
     "lake_mbucket" -> (lakeMbucket _),
     "lake_hist_mor" -> (lakeHistMor _),
     "lake_iceberg" -> (lakeIceberg _),
+    "lake_v3" -> (lakeV3 _),
     "lake_spj" -> (lakeSpj _),
     "lake_evolve" -> (lakeEvolve _),
     "lake_mor2" -> (lakeMor2 _),
@@ -1327,6 +1364,16 @@ object Lakehouse {
       """SELECT via, event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_amount
+        |FROM events
+        |CROSS JOIN (SELECT unnest(['graft_import', 'spec_reader']) AS via)
+        |WHERE event_type <> 'error'
+        |GROUP BY via, event_type ORDER BY via, event_type""".stripMargin,
+    // the v3 circle: both legs must equal the error-filtered aggregate
+    // (the DVs' whole job is making those rows vanish on read)
+    "lake_v3" ->
+      """SELECT via, event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events
         |CROSS JOIN (SELECT unnest(['graft_import', 'spec_reader']) AS via)
         |WHERE event_type <> 'error'
