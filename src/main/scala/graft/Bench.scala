@@ -125,7 +125,7 @@ object Bench {
       val b = if (sharedKeys.nonEmpty) {
         val ours = sharedKeys.toSeq.map(times).sum
         val theirs = sharedKeys.toSeq.map(baseline).sum
-        if (theirs > 0.0 && !theirs.isNaN)
+        if (theirs > 0.0) // false for NaN too — no Infinity/NaN in the JSON
           s""""shared_n":${sharedKeys.size},"shared_s":${rnd(ours, 3)},"baseline_shared_s":${rnd(theirs, 3)},"vs_baseline":${rnd(ours / theirs, 3)},"""
         else ""
       } else ""

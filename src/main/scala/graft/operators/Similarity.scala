@@ -23,7 +23,6 @@ import scala.jdk.CollectionConverters._
   */
 object Similarity {
 
-  /** Quantized vectors + integer self-norm. */
   /** The ONE quantization/norm kernel, over any frame carrying an
     * `embedding` column — both scan shapes below share it, so the
     * integer-exact scale (×1000, round, long) and the norm aggregate

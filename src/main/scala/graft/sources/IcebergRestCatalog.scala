@@ -243,6 +243,12 @@ object IcebergRestCatalog {
             json(x, 400,
               """{"error":"unsupported_grant_type","error_description":"only client_credentials is supported"}""")
           else {
+            // sweep expired entries at GRANT time too: a proactively-
+            // refreshing client (the standard OAuth pattern) never
+            // re-presents its old token, so gate-time eviction alone
+            // would leak one entry per refresh forever
+            val cutoff = System.currentTimeMillis() - TokenTtlMs
+            state.tokens.entrySet().removeIf(e => e.getValue < cutoff)
             val tok = java.util.UUID.randomUUID().toString
             state.tokens.put(tok,
               java.lang.Long.valueOf(System.currentTimeMillis()))
@@ -399,7 +405,10 @@ object IcebergRestCatalog {
             case (Some(src), Some(dst)) => renameTable(x, state, src, dst)
             case _ =>
               error(x, 400, "BadRequestException",
-                "rename needs 'source' and 'destination' identifiers")
+                "rename needs 'source' and 'destination' identifiers, " +
+                  "each with a SINGLE-LEVEL namespace (this catalog is " +
+                  "single-level; truncating a multi-segment namespace " +
+                  "would address a different table)")
           }
         case (m @ ("GET" | "HEAD"), List("v1", "namespaces", ns, "tables", t)) =>
           registry.get((ns, t)) match {
@@ -831,7 +840,15 @@ object IcebergRestCatalog {
     }    // ---- advance the metadata lineage (IN MEMORY — persistStaged
     // writes it) ---------------------------------------------------
     meta.put("last-updated-ms", System.currentTimeMillis())
-    val location = meta.get("location").asText()
+    // the PERSIST location is the table's pre-update identity — the
+    // registry entry (or the staged CTAS's create location) — never
+    // the post-update metadata's `location` field: a `set-location`
+    // update moves only the DATA pointer, and deriving the write
+    // target from it would flip ANOTHER table's version-hint when the
+    // new location aliases an existing table's root
+    val location = registered.getOrElse(
+      stagedMeta.get.get("location").asText()) // the ORIGINAL staged node —
+      // the working copy's field may have been moved by this commit
     val nextVersion =
       if (isCreate) 1
       else {
@@ -970,13 +987,16 @@ object IcebergRestCatalog {
     * metadata-location. */
   private def persist(location: String, meta: ObjectNode,
       version: Int): String = {
-    val metaDir = Paths.get(location).resolve("metadata")
-    Files.createDirectories(metaDir)
-    val mp = metaDir.resolve(s"v$version.metadata.json")
-    Files.write(mp, meta.toString.getBytes(StandardCharsets.UTF_8))
-    Files.write(metaDir.resolve("version-hint.text"),
+    // ONE persistence recipe: the same phase-A/phase-B primitives the
+    // commit routes use, so the metadata-file + hint write shape can
+    // never drift between createTable's v1 and every later commit
+    val s = StagedCommit(("", ""), isCreate = false, meta, location, version)
+    writeMetaFile(s)
+    Files.write(Paths.get(location).resolve("metadata")
+      .resolve("version-hint.text"),
       version.toString.getBytes(StandardCharsets.UTF_8))
-    mp.toString
+    Paths.get(location).resolve("metadata")
+      .resolve(s"v$version.metadata.json").toString
   }
 
   private def json(x: HttpExchange, code: Int, body: String): Unit = {
