@@ -76,7 +76,13 @@ final class IcebergRestCatalog private (
     ()
   }
 
-  def close(): Unit = server.stop(0)
+  def close(): Unit = {
+    server.stop(0)
+    server.getExecutor match {
+      case e: java.util.concurrent.ExecutorService => e.shutdownNow(); ()
+      case _ => ()
+    }
+  }
 
   /** Test seam: the live token map (token → issue millis), for
     * backdating in the expiry spec. */
@@ -149,7 +155,14 @@ object IcebergRestCatalog {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/v1",
       (x: HttpExchange) => handle(x, state))
-    server.setExecutor(null) // dispatch-thread serving: metadata-sized responses
+    // POOLED serving: a foreign engine's planner issues metadata loads
+    // in parallel (one per table/partition being resolved) — a
+    // dispatch-thread server would serialize them all. Handlers are
+    // thread-safe by construction: concurrent maps for reads, the
+    // per-table lock discipline (commit/create/drop/rename/transaction
+    // all participate) for mutations.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      r => { val t = new Thread(r, "graft-rest"); t.setDaemon(true); t }))
     server.start()
     new IcebergRestCatalog(server, state)
   }

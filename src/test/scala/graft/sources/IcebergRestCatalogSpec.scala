@@ -503,6 +503,43 @@ class IcebergRestCatalogSpec extends SparkSpec {
     } finally cat.close()
   }
 
+  test("pooled serving: concurrent loads during a rename ping-pong never 5xx and never lose the table; final state is exactly one name") {
+    val scratch = LogTable(spark, tmp("rest_cc_src_"))
+    scratch.append(Seq((1L, "a")).toDF("id", "s"))
+    val filesLoc = tmp("rest_cc_files_")
+    IcebergExport.export(scratch, filesLoc)
+    val cat = IcebergRestCatalog.start()
+    try {
+      cat.register("w", "t0", filesLoc)
+      val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def renameBody(src: String, dst: String) =
+        s"""{"source":{"namespace":["w"],"name":"$src"},
+           |"destination":{"namespace":["w"],"name":"$dst"}}""".stripMargin
+      val renamer = new Thread(() => {
+        (0 until 40).foreach { i =>
+          val (s0, d0) = if (i % 2 == 0) ("t0", "t0x") else ("t0x", "t0")
+          val c = post(s"${cat.uri}/v1/tables/rename", renameBody(s0, d0))._1
+          if (c >= 500) bad.add(s"rename $s0->$d0: $c"); ()
+        }
+        done.set(true)
+      })
+      val loaders = (0 until 4).map(_ => new Thread(() => {
+        while (!done.get()) Seq("t0", "t0x").foreach { n =>
+          val c = get(s"${cat.uri}/v1/namespaces/w/tables/$n")._1
+          if (c != 200 && c != 404) bad.add(s"load $n: $c"); ()
+        }
+      }))
+      (renamer +: loaders).foreach(_.start())
+      (renamer +: loaders).foreach(_.join(60000))
+      assert(bad.isEmpty, s"unexpected statuses under concurrency: $bad")
+      // the table survives under EXACTLY one name (40 renames = even →
+      // back at t0), readable with its metadata intact
+      assert(get(s"${cat.uri}/v1/namespaces/w/tables/t0")._1 === 200)
+      assert(get(s"${cat.uri}/v1/namespaces/w/tables/t0x")._1 === 404)
+    } finally cat.close()
+  }
+
   test("RACING REST commits: two CAS commits with the same assert-ref-snapshot-id admit exactly one (200) and refuse the loser (409), state = winner's") {
     // files for two competing snapshots, authored by graft's exporter
     // against two scratch tables (the catalog only ever sees pointers)
