@@ -102,6 +102,32 @@ object Tables {
   * precision is kept small enough (< 38 digits) that neither engine
   * has to round a multiply.
   */
+/** Per-session scratch root for the lifecycle queries' working tables
+  * and export destinations (every `lake_*` / seam query materializes a
+  * table per invocation). One JVM-wide root, reclaimed on JVM exit —
+  * repeated bench/correctness runs in one process no longer accumulate
+  * data-sized garbage across the system temp dir, and an external
+  * harness can clear the single `graft_scratch_*` root between runs. */
+object Scratch {
+  private lazy val root: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(r)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally s.close()
+      } catch { case _: Exception => () }))
+    r
+  }
+
+  /** A fresh directory under the session scratch root. */
+  def dir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(root, prefix)
+}
+
 object Cols {
   /** Exact cast for 2-decimal money/value doubles. */
   def money(c: Column): Column = c.cast(DecimalType(12, 2))

@@ -133,7 +133,7 @@ object ApiLog {
     * Any lost/duplicated flush file, broken day layout, or drifted
     * reshape breaks the hash against DuckDB's direct computation. */
   def lifecycle(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_api_life_")
+    val tmp = graft.Scratch.dir("graft_api_life_")
     val buffer = tmp.resolve("buffer").toString
     val ckpt = tmp.resolve("ckpt").toString
     val root = tmp.resolve("table").toString
@@ -225,7 +225,7 @@ object ApiLog {
     * double-committed flush file breaks the hash exactly as it would
     * in the streaming variant. */
   def lifecycleMarkers(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_api_mark_")
+    val tmp = graft.Scratch.dir("graft_api_mark_")
     val buffer = tmp.resolve("buffer").toString
     val root = tmp.resolve("table").toString
     val frame = apiFrame(s, dir)
@@ -275,7 +275,7 @@ object ApiLog {
     * compares is engine-neutral (counts, status sums, unix_micros
     * bounds). */
   def lifecycleTs(s: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft_api_ts_").resolve("t").toString
+    val root = graft.Scratch.dir("graft_api_ts_").resolve("t").toString
     val ev = Tables.events(s, dir)
     val frame = ev.select(
       // Tables.events normalizes ts → ts_us; timestamp_micros inverts

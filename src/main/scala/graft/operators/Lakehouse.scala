@@ -21,7 +21,7 @@ import java.nio.file.Files
 object Lakehouse {
 
   def lakeRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_").toString
+    val tmp = graft.Scratch.dir("graft_lake_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir)
     // Three atomic multi-file appends (the reference's flush batches).
@@ -44,7 +44,7 @@ object Lakehouse {
     * partitioned append, COW delete, and partition-column
     * reconstruction in one hash-checked query. */
   def lakeDelete(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_del_").toString
+    val tmp = graft.Scratch.dir("graft_lake_del_").toString
     val table = LogTable(s, tmp, partitionBy = Seq("event_type"))
     val ev = Tables.events(s, dir)
     (0 until 2).foreach { i =>
@@ -63,7 +63,7 @@ object Lakehouse {
     * oracle's WHERE filter. At 100 TB this scan touches 1/5 of the
     * data with zero file-listing. */
   def lakePruned(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_prune_").toString
+    val tmp = graft.Scratch.dir("graft_lake_prune_").toString
     val table = LogTable(s, tmp, partitionBy = Seq("event_type"))
     table.append(Tables.events(s, dir))
     table.readWhere(_.get("event_type").contains("click"))
@@ -79,7 +79,7 @@ object Lakehouse {
     * Any lost survivor, double-applied update, or missed insert breaks
     * the hash. */
   def lakeMerge(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_merge_").toString
+    val tmp = graft.Scratch.dir("graft_lake_merge_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
@@ -109,7 +109,7 @@ object Lakehouse {
     * order, a double-applied update, or an inserted-though-matched row
     * breaks the hash. */
   def lakeMerge2(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_merge2_").toString
+    val tmp = graft.Scratch.dir("graft_lake_merge2_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
@@ -140,7 +140,7 @@ object Lakehouse {
     * algebra in UNION ALL set arithmetic; a clause bleeding into the
     * wrong row population breaks the hash. */
   def lakeMerge3(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_merge3_").toString
+    val tmp = graft.Scratch.dir("graft_lake_merge3_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
@@ -174,7 +174,7 @@ object Lakehouse {
     * butter query (README.md:157-160 time-range scans) made
     * I/O-proportional at 100 TB. */
   def lakeSkipped(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_skip_").toString
+    val tmp = graft.Scratch.dir("graft_lake_skip_").toString
     val table = LogTable(s, tmp)
     // time-ordered ingest (the natural log shape): 8 disjoint time slabs
     table.append(Tables.events(s, dir).repartitionByRange(8, col("ts_us")))
@@ -194,7 +194,7 @@ object Lakehouse {
     * A row updated twice, a missed file, or a type-drifted SET column
     * breaks the hash. */
   def lakeUpdate(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_upd_").toString
+    val tmp = graft.Scratch.dir("graft_lake_upd_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
@@ -220,7 +220,7 @@ object Lakehouse {
     * exact, and the aggregate hash-matches DuckDB's WHERE. The
     * dictionary-column analog of lake_skipped's time-axis pruning. */
   def lakePoint(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_point_").toString
+    val tmp = graft.Scratch.dir("graft_lake_point_").toString
     val table = LogTable(s, tmp)
     table.append(Tables.events(s, dir))
     table.recluster("event_type", 5)
@@ -237,7 +237,7 @@ object Lakehouse {
     * consumer pattern for the reference's continuous ingest (process
     * only what the last N commits added, never rescan the table). */
   def lakeIncremental(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_incr_").toString
+    val tmp = graft.Scratch.dir("graft_lake_incr_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir)
     (0 until 3).foreach { i =>
@@ -261,8 +261,8 @@ object Lakehouse {
     * double-fold, missed delta, or watermark drift breaks the hash. */
   def lakeMv(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{MaterializedView, MvAgg}
-    val tmpB = Files.createTempDirectory("graft_lake_mv_base_").toString
-    val tmpV = Files.createTempDirectory("graft_lake_mv_view_").toString
+    val tmpB = graft.Scratch.dir("graft_lake_mv_base_").toString
+    val tmpV = graft.Scratch.dir("graft_lake_mv_view_").toString
     val baseT = LogTable(s, tmpB)
     // avg rides as FUSED sum+count state over exact integer cents:
     // long partials merge exactly, and the read-time division is ONE
@@ -295,8 +295,8 @@ object Lakehouse {
     * double fold breaks the hash. */
   def lakeMvIvm(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{MaterializedView, MvAgg}
-    val tmpB = Files.createTempDirectory("graft_lake_ivm_base_").toString
-    val tmpV = Files.createTempDirectory("graft_lake_ivm_view_").toString
+    val tmpB = graft.Scratch.dir("graft_lake_ivm_base_").toString
+    val tmpV = graft.Scratch.dir("graft_lake_ivm_view_").toString
     val baseT = LogTable(s, tmpB)
     // change files on: the COW delete/update stage exact pre/post
     // images at write time, so each CDC fold is a plain file read
@@ -331,10 +331,10 @@ object Lakehouse {
     * breaks the hash. */
   def lakeClone(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val srcT = LogTable(s, Files.createTempDirectory("graft_lake_clone_src_").toString)
+    val srcT = LogTable(s, graft.Scratch.dir("graft_lake_clone_src_").toString)
     srcT.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))
     val clone = srcT.cloneTo(
-      Files.createTempDirectory("graft_lake_clone_dst_").toString + "/t")
+      graft.Scratch.dir("graft_lake_clone_dst_").toString + "/t")
     srcT.append(ev.filter(pmod(col("event_id"), lit(2)) === 1))
     clone.delete(col("event_type") === "error")
     def agg(t: LogTable, side: String) = t.read()
@@ -356,7 +356,7 @@ object Lakehouse {
     * row, double-reports a rewrite's carried rows, or mis-types a
     * change breaks the hash. */
   def lakeCdc(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_cdc_").toString
+    val tmp = graft.Scratch.dir("graft_lake_cdc_").toString
     val t = LogTable(s, tmp)
     val ev = Tables.events(s, dir)
     (0 until 3).foreach { i =>
@@ -385,7 +385,7 @@ object Lakehouse {
     * the hash. */
   def lakeSql(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.GraftSql
-    val tmp = Files.createTempDirectory("graft_lake_sql_").toString
+    val tmp = graft.Scratch.dir("graft_lake_sql_").toString
     GraftSql.setWarehouse(tmp)
     GraftSql.exec(s, "DROP TABLE IF EXISTS lake_sql_t")
     GraftSql.exec(s,
@@ -428,7 +428,7 @@ object Lakehouse {
     * snapshot breaks the hash. */
   def lakeSqlTt(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.GraftSql
-    val tmp = Files.createTempDirectory("graft_lake_tt_").toString
+    val tmp = graft.Scratch.dir("graft_lake_tt_").toString
     GraftSql.register("lake_tt_t", LogTable(s, tmp))
     Tables.events(s, dir).select(
       col("event_id"), col("event_type"), col("value"))
@@ -451,7 +451,7 @@ object Lakehouse {
     * per type, so a merge that drops the new column on replaced rows,
     * or resurrects values onto kept rows, breaks the hash. */
   def lakeMerge4(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_merge4_").toString
+    val tmp = graft.Scratch.dir("graft_lake_merge4_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
@@ -488,7 +488,7 @@ object Lakehouse {
     * the end state directly; a transaction that half-applied, double-
     * published, or leaked its staging would break the hash. */
   def lakeTxn(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_txn_").toString
+    val tmp = graft.Scratch.dir("graft_lake_txn_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
@@ -515,7 +515,7 @@ object Lakehouse {
     * row breaks the hash. */
   def lakeRetention(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{LogTable => LT, Transform}
-    val tmp = Files.createTempDirectory("graft_lake_ret_").toString
+    val tmp = graft.Scratch.dir("graft_lake_ret_").toString
     val table = LT(s, tmp, hiddenBy = Seq(Transform.day("ts_us")))
     table.append(Tables.events(s, dir))
     val cut = 1704844800000000L // 2024-01-10 00:00:00 UTC, µs (day boundary)
@@ -535,7 +535,7 @@ object Lakehouse {
     * the source: a mis-null-filled add, a mis-widened read, or a
     * resurrected dropped field breaks the hash. */
   def lakeNested(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_nested_").toString
+    val tmp = graft.Scratch.dir("graft_lake_nested_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir)
     table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0)
@@ -570,7 +570,7 @@ object Lakehouse {
     * the struct rebuild) must resolve every old file or the counts,
     * sums and ids drift from the oracle's plain union. */
   def lakeRename(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_rename_").toString
+    val tmp = graft.Scratch.dir("graft_lake_rename_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir)
     table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0)
@@ -598,7 +598,7 @@ object Lakehouse {
 
   def lakeHidden(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{LogTable => LT, Transform}
-    val tmp = Files.createTempDirectory("graft_lake_hidden_").toString
+    val tmp = graft.Scratch.dir("graft_lake_hidden_").toString
     val table = LT(s, tmp, hiddenBy = Seq(Transform.day("ts_us")))
     table.append(Tables.events(s, dir))
     val lo = 1704844800000000L            // 2024-01-10 00:00:00 UTC, µs
@@ -621,7 +621,7 @@ object Lakehouse {
     * a wrong skip (pruning arithmetic drift between writer and
     * scanner) or a lost/duplicated writer batch breaks the hash. */
   def lakeDsv2(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_dsv2_").toString
+    val tmp = graft.Scratch.dir("graft_lake_dsv2_").toString
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
       col("value"), col("ts_us"))
@@ -728,7 +728,7 @@ object Lakehouse {
         s.conf.set("spark.sql.catalog.graft_cat",
           classOf[graft.sources.GraftCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-          Files.createTempDirectory("graft_cat_wh_").toString)
+          graft.Scratch.dir("graft_cat_wh_").toString)
         done = true
       }
     }
@@ -745,7 +745,7 @@ object Lakehouse {
     * and the hash breaks. Oracle = the same predicates as a WHERE over
     * the source parquet. */
   def lakeMor(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_mor_").toString
+    val tmp = graft.Scratch.dir("graft_lake_mor_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir)
     (0 until 2).foreach { i =>
@@ -770,7 +770,7 @@ object Lakehouse {
     * (footer-exact file rows minus live delete marks) must match the
     * oracle's WHERE count bit-for-bit. */
   def lakeCountMeta(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_cnt_").toString
+    val tmp = graft.Scratch.dir("graft_lake_cnt_").toString
     val table = LogTable(s, tmp)
     table.append(Tables.events(s, dir))
     val nTotal = table.countMeta()
@@ -793,17 +793,17 @@ object Lakehouse {
     * COUNT(DISTINCT)s. A broken sketch pass, a mis-serialized Puffin,
     * a wrong blob property, or a lost adoption breaks the hash. */
   def lakeStats(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_stats_").toString
+    val tmp = graft.Scratch.dir("graft_lake_stats_").toString
     val t = LogTable(s, tmp)
     t.append(Tables.events(s, dir).select(
       col("event_type").as("etype"),
       pmod(col("user_id"), lit(997L)).as("ubucket"),
       pmod(col("event_id"), lit(2511L)).as("ebucket")))
-    val dest = Files.createTempDirectory("graft_lake_stats_ice_").toString
+    val dest = graft.Scratch.dir("graft_lake_stats_ice_").toString
     IcebergExport.export(t, dest)
     IcebergStatistics.exportStatistics(t, dest)
     val imp = IcebergImport.importTable(s, dest,
-      Files.createTempDirectory("graft_lake_stats_imp_").toString)
+      graft.Scratch.dir("graft_lake_stats_imp_").toString)
     import s.implicits._
     imp.snapshot().ndvs.toSeq.toDF("col_name", "ndv").orderBy(col("col_name"))
   }
@@ -818,7 +818,7 @@ object Lakehouse {
     * and materialize event_type from the manifest. A wrong union
     * shape, a lost column, or an unsound prune breaks the hash. */
   def lakeEvolve(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_evolve_").toString
+    val tmp = graft.Scratch.dir("graft_lake_evolve_").toString
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
       col("value"), col("ts_us"))
@@ -846,7 +846,7 @@ object Lakehouse {
     * algebra: a double-applied mark, a resurrected matched row, or a
     * lost insert breaks the hash. */
   def lakeMor2(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_mor2_").toString
+    val tmp = graft.Scratch.dir("graft_lake_mor2_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
@@ -875,7 +875,7 @@ object Lakehouse {
     * tombstone (sequence guard broken) or a surviving stale row
     * breaks the hash. */
   def lakeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_lake_upsert_").toString
+    val tmp = graft.Scratch.dir("graft_lake_upsert_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
@@ -954,7 +954,7 @@ object Lakehouse {
     * DuckDB's direct aggregate over the source parquet. */
   def lakeIceberg(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{IcebergExport, IcebergImport, IcebergRead, Transform}
-    val tmp = Files.createTempDirectory("graft_lake_ice_").toString
+    val tmp = graft.Scratch.dir("graft_lake_ice_").toString
     val table = LogTable(s, tmp, partitionBy = Seq("event_type"),
       hiddenBy = Seq(Transform.day("ts_us")))
     val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
@@ -968,7 +968,7 @@ object Lakehouse {
     // tombstones as content=2 delete entries and BOTH read legs must
     // apply them under the sequence guard
     table.deleteEq(ev.filter(col("event_type") === "error").select(col("event_id")))
-    val dest = Files.createTempDirectory("graft_ice_out_").toString
+    val dest = graft.Scratch.dir("graft_ice_out_").toString
     IcebergExport.export(table, dest)
     // BOTH legs of the interop circle, one aggregate each: the
     // independent spec-based reader over the exported metadata, and a
@@ -982,7 +982,7 @@ object Lakehouse {
       .withColumn("via", lit(via))
     val spec = agg(IcebergRead.read(s, dest), "spec_reader")
     val imported = IcebergImport.importTable(s, dest,
-      Files.createTempDirectory("graft_ice_imp_").toString)
+      graft.Scratch.dir("graft_ice_imp_").toString)
     agg(imported.read(), "graft_import").unionByName(spec)
       .select(col("via"), col("event_type"), col("n"), col("n_users"),
         col("total_amount"))
@@ -1002,13 +1002,13 @@ object Lakehouse {
     * against DuckDB's direct filtered aggregate. */
   def lakeV3(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{IcebergExport, IcebergImport, IcebergRead}
-    val tmp = Files.createTempDirectory("graft_lake_v3_").toString
+    val tmp = graft.Scratch.dir("graft_lake_v3_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
       col("event_type"), col("value"), col("ts_us"))
     table.append(ev)
     table.deleteMor(col("event_type") === lit("error"))
-    val dest = Files.createTempDirectory("graft_lake_v3_ice_").toString
+    val dest = graft.Scratch.dir("graft_lake_v3_ice_").toString
     IcebergExport.export(table, dest, formatVersion = 3)
     def agg(df: DataFrame, via: String): DataFrame = df
       .groupBy(col("event_type"))
@@ -1018,7 +1018,7 @@ object Lakehouse {
       .withColumn("via", lit(via))
     val spec = agg(IcebergRead.read(s, dest), "spec_reader")
     val imported = IcebergImport.importTable(s, dest,
-      Files.createTempDirectory("graft_lake_v3_imp_").toString)
+      graft.Scratch.dir("graft_lake_v3_imp_").toString)
     agg(imported.read(), "graft_import").unionByName(spec)
       .select(col("via"), col("event_type"), col("n"), col("n_users"),
         col("total_value"))
@@ -1034,11 +1034,11 @@ object Lakehouse {
     * needs the version-hint file breaks the hash. */
   def lakeRest(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{IcebergExport, IcebergRead, IcebergRestCatalog, Transform}
-    val tmp = Files.createTempDirectory("graft_lake_rest_").toString
+    val tmp = graft.Scratch.dir("graft_lake_rest_").toString
     val table = LogTable(s, tmp, hiddenBy = Seq(Transform.day("ts_us")))
     table.append(Tables.events(s, dir).select(col("event_id"), col("user_id"),
       col("event_type"), col("value"), col("ts_us")))
-    val dest = Files.createTempDirectory("graft_lake_rest_ice_").toString
+    val dest = graft.Scratch.dir("graft_lake_rest_ice_").toString
     IcebergExport.export(table, dest)
     val cat = IcebergRestCatalog.start()
     try {
@@ -1075,12 +1075,12 @@ object Lakehouse {
     * side drops rows from a lookup and breaks the hash. */
   def lakeMbucket(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{IcebergExport, IcebergRead, Transform}
-    val tmp = Files.createTempDirectory("graft_lake_mb_").toString
+    val tmp = graft.Scratch.dir("graft_lake_mb_").toString
     val table = LogTable(s, tmp, hiddenBy = Seq(Transform.mbucket(16, "user_id")))
     table.append(Tables.events(s, dir).select(col("event_id"), col("user_id"),
       col("event_type"), col("value"), col("ts_us")))
     val keys = Seq(1L, 7L, 42L)
-    val dest = Files.createTempDirectory("graft_lake_mb_ice_").toString
+    val dest = graft.Scratch.dir("graft_lake_mb_ice_").toString
     IcebergExport.export(table, dest)
     def agg(df: DataFrame, via: String): DataFrame = df
       .filter(col("user_id").isin(keys: _*))
@@ -1106,14 +1106,14 @@ object Lakehouse {
     * onto the post-delete append, breaks the hash. */
   def lakeHistMor(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{IcebergExport, IcebergRead}
-    val tmp = Files.createTempDirectory("graft_lake_hm_").toString
+    val tmp = graft.Scratch.dir("graft_lake_hm_").toString
     val table = LogTable(s, tmp)
     val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
       col("event_type"), col("value"), col("ts_us"))
     table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))   // v1
     table.deleteMor(col("event_type") === "error")                  // v2 marks
     table.append(ev.filter(pmod(col("event_id"), lit(2)) === 1))   // v3
-    val dest = Files.createTempDirectory("graft_lake_hm_ice_").toString
+    val dest = graft.Scratch.dir("graft_lake_hm_ice_").toString
     IcebergExport.export(table, dest, history = true)
     def agg(v: Long): DataFrame = IcebergRead.read(s, dest, versionAsOf = Some(v))
       .groupBy(col("event_type"))

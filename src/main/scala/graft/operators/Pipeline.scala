@@ -289,7 +289,7 @@ object Pipeline {
     * O(distinct digests) of 32-hex bytes instead of O(corpus files)
     * opens. Only digests ever shuffle, never text. */
   def ingestDedup(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_ingest_dedup_")
+    val work = graft.Scratch.dir("graft_ingest_dedup_")
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
     val (table, _) = ingestDedupLoop(s, d, work)

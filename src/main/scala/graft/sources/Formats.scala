@@ -41,7 +41,7 @@ object Formats {
     * with the explicit schema, summarize. */
   private def roundtrip(s: SparkSession, dir: String, fmt: String,
       opts: Map[String, String] = Map.empty): DataFrame = {
-    val tmp = Files.createTempDirectory(s"graft_$fmt" + "_").toString
+    val tmp = graft.Scratch.dir(s"graft_$fmt" + "_").toString
     shaped(s, dir).write.mode("overwrite").options(opts).format(fmt).save(tmp)
     summarize(s.read.schema(eventsSchema).options(opts).format(fmt).load(tmp))
   }

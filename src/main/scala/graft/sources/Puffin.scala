@@ -443,6 +443,13 @@ private[sources] object PuffinDv {
           (0 until nRuns).foreach { _ =>
             val start = in.getShort() & 0xffff
             val rl = in.getShort() & 0xffff
+            // a run must stay inside the container's 16-bit value
+            // space: start+len overflowing would OR into the
+            // container-key bits and yield silently WRONG positions —
+            // the one corruption bad magic/CRC/cookie checks miss
+            require(start + rl <= 0xffff,
+              s"run container overflows 16-bit value space " +
+                s"(start=$start, len-1=$rl) — refusing corrupt marks")
             (start to start + rl).foreach(v => out += (base | v.toLong))
           }
         } else if (cards(i) <= 4096) {
@@ -480,14 +487,23 @@ private[sources] object PuffinDv {
   /** Read ONLY a blob's byte range from a Puffin file and decode it —
     * what a scan/import task runs per DV manifest entry
     * (`content_offset` / `content_size_in_bytes` come from the
-    * manifest, so the file is never read whole). */
+    * manifest, so the file is never read whole). Foreign v3 tables
+    * commonly record URI-schemed puffin paths (`file:///...`, or an
+    * object-store scheme): those open through Hadoop's FileSystem
+    * seam — the same data-plane abstraction Spark's own parquet reads
+    * use — with a positioned read; plain local paths keep the direct
+    * RandomAccessFile fast path. */
   def readRange(path: String, offset: Long, size: Long): Array[Long] = {
-    val raf = new java.io.RandomAccessFile(path, "r")
-    try {
-      val buf = new Array[Byte](size.toInt)
-      raf.seek(offset)
-      raf.readFully(buf)
-      deserialize(buf)
-    } finally raf.close()
+    val buf = new Array[Byte](size.toInt)
+    if (path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val in = fs.open(p)
+      try in.readFully(offset, buf) finally in.close()
+    } else {
+      val raf = new java.io.RandomAccessFile(path, "r")
+      try { raf.seek(offset); raf.readFully(buf) } finally raf.close()
+    }
+    deserialize(buf)
   }
 }

@@ -474,9 +474,9 @@ object Streams {
     * row breaks the hash match. */
   def streamTail(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val root = Files.createTempDirectory("graft_tail_src_").toString
+    val root = graft.Scratch.dir("graft_tail_src_").toString
     val src = LogTable(s, root)
-    val sink = LogTable(s, Files.createTempDirectory("graft_tail_sink_").toString)
+    val sink = LogTable(s, graft.Scratch.dir("graft_tail_sink_").toString)
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("event_type"), col("value"))
     (0 until 3).foreach { i =>
@@ -486,7 +486,7 @@ object Streams {
     val q = s.readStream.format("graft").load(root)
       .writeStream
       .option("checkpointLocation",
-        Files.createTempDirectory("graft_tail_cp_").toString)
+        graft.Scratch.dir("graft_tail_cp_").toString)
       .foreachBatch { (b: DataFrame, id: Long) =>
         sink.append(b, tag = s"tail-$id")
         ()
@@ -516,9 +516,9 @@ object Streams {
   def streamCdc(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     import graft.sources.Transform
-    val root = Files.createTempDirectory("graft_cdcq_src_").toString
+    val root = graft.Scratch.dir("graft_cdcq_src_").toString
     val src = LogTable(s, root, hiddenBy = Seq(Transform.day("ts_us")))
-    val sink = LogTable(s, Files.createTempDirectory("graft_cdcq_sink_").toString)
+    val sink = LogTable(s, graft.Scratch.dir("graft_cdcq_sink_").toString)
     src.setProperties(Map(LogTable.CdcEnabledProp -> "true"))
     val ev = Tables.events(s, dir).select(
       col("event_id"), col("event_type"), col("value"), col("ts_us"))
@@ -537,7 +537,7 @@ object Streams {
     val q = s.readStream.format("graft").option("readChanges", "true").load(root)
       .writeStream
       .option("checkpointLocation",
-        Files.createTempDirectory("graft_cdcq_cp_").toString)
+        graft.Scratch.dir("graft_cdcq_cp_").toString)
       .foreachBatch { (b: DataFrame, id: Long) =>
         sink.append(b, tag = s"cdc-$id")
         ()

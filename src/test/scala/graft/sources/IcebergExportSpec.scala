@@ -1682,6 +1682,45 @@ class IcebergExportSpec extends SparkSpec {
     val corrupt = full.clone(); corrupt(12) = (corrupt(12) ^ 1).toByte
     val e = intercept[IllegalArgumentException](PuffinDv.deserialize(corrupt))
     assert(e.getMessage.contains("CRC"))
+    // a run whose start+len overflows the container's 16-bit value
+    // space would OR into the key bits — silently wrong positions, so
+    // the codec must refuse (exact-or-refuse covers structure, not
+    // just checksums)
+    val bad = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.putLong(1L).putInt(0)
+    bad.putInt(12347)
+    bad.put(1.toByte)
+    bad.putShort(0.toShort).putShort(3.toShort)
+    bad.putShort(1.toShort)
+    bad.putShort(0xFFFE.toShort).putShort(5.toShort) // start+len > 0xffff
+    val badBitmap = java.util.Arrays.copyOf(bad.array(), bad.position())
+    val crc2 = new java.util.zip.CRC32()
+    crc2.update(magic); crc2.update(badBitmap)
+    val badFull = java.nio.ByteBuffer.allocate(4 + 4 + badBitmap.length + 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(4 + badBitmap.length).put(magic).put(badBitmap)
+      .putInt(crc2.getValue.toInt).array()
+    val e2 = intercept[IllegalArgumentException](PuffinDv.deserialize(badFull))
+    assert(e2.getMessage.contains("overflows"))
+  }
+
+  test("DV blob ranges read through the FileSystem seam: URI-schemed puffin paths (foreign-table shape) open and decode") {
+    // foreign v3 tables commonly record file:///… puffin paths; the
+    // range read must route those through Hadoop's FileSystem instead
+    // of RandomAccessFile (which cannot open a URI)
+    val dir = Paths.get(tmp("dv_fs_"))
+    Files.createDirectories(dir)
+    val pp = dir.resolve("marks-deletes.puffin")
+    val payload = PuffinDv.serialize(Array(3L, 5L, 900000L))
+    val (_, _, metas) = Puffin.write(pp, Seq(Puffin.Blob(
+      "deletion-vector-v1", Nil, 1L, 1L, payload,
+      Map("referenced-data-file" -> "/d/f.parquet"))), Map.empty)
+    val m = metas.head
+    val plain = PuffinDv.readRange(pp.toString, m.offset, m.length)
+    val viaUri = PuffinDv.readRange(s"file://$pp", m.offset, m.length)
+    assert(plain.toSeq === Seq(3L, 5L, 900000L))
+    assert(viaUri.toSeq === plain.toSeq)
   }
 
   test("deletion-vector-v1 codec at scale: 1M positions roundtrip exactly; the blob stays bitmap-compressed, far below 8 bytes/position") {
