@@ -1025,6 +1025,43 @@ object Lakehouse {
       .orderBy(col("via"), col("event_type"))
   }
 
+  /** FORMAT-V3 ROW LINEAGE as an ORACLE query: a two-append lineage
+    * (even event keys, then odd) exports with `formatVersion = 3` and
+    * reads back through the spec reader's `_row_id` /
+    * `_last_updated_sequence_number` metadata columns, reduced to
+    * SQL-checkable invariants — the id set is exactly {0..n-1}
+    * (count, distinct count, arithmetic-series sum), every
+    * first-append row KEEPS its id after the second append
+    * (stale_ids = 0, the CDC-reconciliation property lineage exists
+    * for), and the last-updated sequence replays as 1 for even keys
+    * and 2 for odd keys. A drifted assignment, a re-assigned id, or a
+    * lost/duplicated row id breaks the hash against DuckDB's direct
+    * computation on the raw events. */
+  def lakeV3Lineage(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergExport, IcebergRead}
+    val tmp = graft.Scratch.dir("graft_lake_v3lin_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts_us"))
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))   // v1
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 1))   // v2
+    val dest = graft.Scratch.dir("graft_lake_v3lin_ice_").toString
+    IcebergExport.export(table, dest, history = true, formatVersion = 3)
+    val v1 = IcebergRead.read(s, dest, versionAsOf = Some(1L),
+        withLineage = true)
+      .select(col("event_id"), col("_row_id").as("rid1"))
+    val cur = IcebergRead.read(s, dest, withLineage = true)
+      .select(col("event_id"), col("_row_id"),
+        col("_last_updated_sequence_number"))
+    cur.join(v1, Seq("event_id"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("_row_id")).as("n_ids"),
+        sum(col("_row_id")).as("id_sum"),
+        sum(when(col("rid1").isNotNull && col("rid1") =!= col("_row_id"),
+          lit(1L)).otherwise(lit(0L))).as("stale_ids"),
+        sum(col("_last_updated_sequence_number")).as("seq_sum"))
+  }
+
   /** The REST-catalog seam as an ORACLE query (reference
     * init-setup.py:73-86 — its Trino discovers the table via
     * `iceberg.catalog.type = rest`): export → serve → a foreign
@@ -1131,6 +1168,7 @@ object Lakehouse {
     "lake_hist_mor" -> (lakeHistMor _),
     "lake_iceberg" -> (lakeIceberg _),
     "lake_v3" -> (lakeV3 _),
+    "lake_v3_lineage" -> (lakeV3Lineage _),
     "lake_spj" -> (lakeSpj _),
     "lake_evolve" -> (lakeEvolve _),
     "lake_mor2" -> (lakeMor2 _),
@@ -1378,6 +1416,14 @@ object Lakehouse {
         |CROSS JOIN (SELECT unnest(['graft_import', 'spec_reader']) AS via)
         |WHERE event_type <> 'error'
         |GROUP BY via, event_type ORDER BY via, event_type""".stripMargin,
+    "lake_v3_lineage" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_ids,
+        |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS id_sum,
+        |  CAST(0 AS BIGINT) AS stale_ids,
+        |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT)
+        |    AS seq_sum
+        |FROM events""".stripMargin,
     "lake_txn" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

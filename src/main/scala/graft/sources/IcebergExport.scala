@@ -448,8 +448,18 @@ object IcebergExport {
     // a foreign engine skips whole manifests whose partition-value
     // ranges miss the predicate, before opening a single manifest.
     // Bounds are single-value serialized partition values.
+    // v3 manifest-list addition: the manifest's first-row-id watermark
+    // (spec field-id 520) — spec-expected on v3 data manifests so
+    // readers can run first_row_id inheritance; this writer's entries
+    // are all EXPLICIT, so the field is belt-and-braces for
+    // spec-strict readers that validate the list schema
+    val listV3Fields =
+      if (formatVersion < 3) ""
+      else """,
+        |{"name":"first_row_id","type":["null","long"],"default":null,"field-id":520}"""
+        .stripMargin
     val listSchema = new Schema.Parser().parse(
-      """{"type":"record","name":"manifest_file","fields":[
+      s"""{"type":"record","name":"manifest_file","fields":[
         |{"name":"manifest_path","type":"string","field-id":500},
         |{"name":"manifest_length","type":"long","field-id":501},
         |{"name":"partition_spec_id","type":"int","field-id":502},
@@ -468,7 +478,7 @@ object IcebergExport {
         |  {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
         |  {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
         |  {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
-        |]},"element-id":508}],"default":null,"field-id":507}
+        |]},"element-id":508}],"default":null,"field-id":507}$listV3Fields
         |]}""".stripMargin)
 
     /** Per-partition-field summaries for one data manifest's files
@@ -679,44 +689,78 @@ object IcebergExport {
 
     /** FORMAT-V3 position deletes: one `deletion-vector-v1` Puffin
       * blob per marked data file (v3 forbids new position-delete
-      * parquets), all of a snapshot's blobs packed into ONE Puffin
-      * file whose per-blob (offset, size) ride the manifest entries.
-      * Blobs serialize ON EXECUTORS (the mark lists never land on the
-      * driver); only the roaring-COMPRESSED payloads collect for the
-      * driver-side Puffin assembly — bounded by bitmap compression,
-      * not mark count. Cached per distinct outstanding mark-set like
-      * the v2 shard writer; the Puffin footer stamps the first caching
-      * snapshot's ids (informational — the manifest entry's own
-      * sequence is the authoritative scope).
-      * (puffinPath, per-file (dataPath, offset, size, cardinality)) */
+      * parquets), SHARDED like the v2 parquet writer: marked data
+      * files group into ~8-file shards (cap 256), each EXECUTOR task
+      * serializes its shard's bitmaps AND writes its own
+      * `*-deletes.puffin` (the spec permits any number of Puffin
+      * files per snapshot), returning only (dataPath, puffinPath,
+      * offset, size, cardinality) coordinate tuples — the driver
+      * never sees a mark list OR a blob payload. (The prior shape
+      * collected every per-file COMPRESSED payload for one
+      * driver-side Puffin assembly: bounded by roaring compression,
+      * not mark count, but still ~10^2-10^3 MB through one thread at
+      * the 1M-marked-file design point, where the v2 path writes
+      * range-sharded delete parquets fully distributed.) Executors
+      * write into the export's metadata dir — the same shared data
+      * plane Spark's own delete-parquet writes land on. Cached per
+      * distinct outstanding mark-set like the v2 shard writer; blobs
+      * stamp the first caching snapshot's ids (informational — the
+      * manifest entry's own sequence is the authoritative scope).
+      * One (puffinPath, per-file (dataPath, offset, size,
+      * cardinality)) element per shard. */
     val dvCache = scala.collection.mutable
-      .Map[Seq[String], (Path, Seq[(String, Long, Long, Long)])]()
+      .Map[Seq[String], Seq[(Path, Seq[(String, Long, Long, Long)])]]()
     def positionDeleteVectors(sn: Snapshot)
-        : Option[(Path, Seq[(String, Long, Long, Long)])] =
-      if (sn.deletes.isEmpty) None
-      else Some(dvCache.getOrElseUpdate(sn.deletes.map(_.path).sorted, {
+        : Seq[(Path, Seq[(String, Long, Long, Long)])] =
+      if (sn.deletes.isEmpty) Nil
+      else dvCache.getOrElseUpdate(sn.deletes.map(_.path).sorted, {
         val sess = table.spark
         import sess.implicits._
-        val blobs: Seq[(String, Array[Byte], Long)] = table.marksFrame(sn)
-          .select(col("file_path"), col("pos")).as[(String, Long)]
-          .groupByKey(_._1)
-          .mapGroups { (f, it) =>
-            val ps = it.map(_._2).toArray.distinct
-            (f, PuffinDv.serialize(ps), ps.length.toLong)
-          }.collect().sortBy(_._1).toSeq
-        val pp = metaDir.resolve(
-          s"${java.util.UUID.randomUUID()}-deletes.puffin")
+        val refFiles = sn.deletes.flatMap(_.refPaths).distinct.sorted
+        val nShards = math.min(math.max((refFiles.size + 7) / 8, 1), 256)
+        // contiguous sorted-path ranges per shard (the v2 range-shard
+        // shape): a data file's marks land wholly in ONE shard task
+        val shardOf: Map[String, Int] = refFiles.zipWithIndex.map {
+          case (p, i) => p -> (i.toLong * nShards / refFiles.size).toInt
+        }.toMap
+        val metaDirStr = metaDir.toString
+        val snapVer = sn.version
         val seqNum = math.max(sn.version,
           sn.files.map(_.seq).foldLeft(0L)(math.max))
-        val (_, _, metas) = Puffin.write(pp,
-          blobs.map { case (f, payload, card) =>
-            Puffin.Blob("deletion-vector-v1", Nil, sn.version, seqNum,
-              payload, Map("referenced-data-file" -> f,
-                "cardinality" -> card.toString))
-          }, Map.empty)
-        (pp, blobs.zip(metas).map { case ((f, _, card), m) =>
-          (f, m.offset, m.length, card) })
-      }))
+        // (puffinPath, dataPath, offset, size, cardinality) per blob —
+        // O(marked files) coordinate tuples are ALL the driver holds
+        val coords: Array[(String, String, Long, Long, Long)] =
+          table.marksFrame(sn)
+            .select(col("file_path"), col("pos")).as[(String, Long)]
+            .groupByKey(r => shardOf.getOrElse(r._1, 0))
+            .flatMapGroups { (_, it) =>
+              val byFile = scala.collection.mutable.LinkedHashMap
+                .empty[String, scala.collection.mutable.ArrayBuilder.ofLong]
+              it.foreach { case (f, p) =>
+                byFile.getOrElseUpdate(f,
+                  new scala.collection.mutable.ArrayBuilder.ofLong) += p
+              }
+              val blobs = byFile.toSeq.sortBy(_._1).map { case (f, ps) =>
+                val sorted = ps.result().distinct.sorted
+                (f, PuffinDv.serialize(sorted), sorted.length.toLong)
+              }
+              val pp = Paths.get(metaDirStr).resolve(
+                s"${java.util.UUID.randomUUID()}-deletes.puffin")
+              val (_, _, metas) = Puffin.write(pp,
+                blobs.map { case (f, payload, card) =>
+                  Puffin.Blob("deletion-vector-v1", Nil, snapVer, seqNum,
+                    payload, Map("referenced-data-file" -> f,
+                      "cardinality" -> card.toString))
+                }, Map.empty)
+              blobs.zip(metas).iterator.map { case ((f, _, card), m) =>
+                (pp.toString, f, m.offset, m.length, card)
+              }
+            }.collect()
+        coords.groupBy(_._1).toSeq.sortBy(_._1).map { case (pp, rows) =>
+          (Paths.get(pp),
+            rows.sortBy(_._2).map(r => (r._2, r._3, r._4, r._5)).toSeq)
+        }
+      })
 
     /** Equality tombstones re-encode under dest/data with the KEY
       * columns' schema field ids stamped in the footer, values read
@@ -1000,9 +1044,17 @@ object IcebergExport {
           w.append(e)
         } finally w.close()
         val (added, existing) = files.partition(f => !parentPaths.contains(f.path))
+        // v3: the manifest's first-row-id watermark = the smallest id
+        // assigned to its files (entries are explicit, so this is
+        // informational for inheritance-running readers); a file-less
+        // manifest reports the snapshot's own watermark
+        val manifestFirstRowId: Long =
+          if (formatVersion < 3) 0L
+          else files.map(f => firstRowIdOf(f.path))
+            .minOption.getOrElse(snapFirstRowId(sn.version))
         (manifestPath, si, added.size, existing.size,
           added.map(_.rows).sum, existing.map(_.rows).sum,
-          partitionSummaries(pfs, files))
+          partitionSummaries(pfs, files), manifestFirstRowId)
       }
       // THIS snapshot's delete manifest (merge-on-read marks),
       // sequence-stamped at the head so it covers every data file —
@@ -1015,7 +1067,7 @@ object IcebergExport {
       // position-delete parquets)
       val deleteShards =
         if (formatVersion >= 3) Nil else positionDeleteParquets(sn)
-      val dvs = if (formatVersion >= 3) positionDeleteVectors(sn) else None
+      val dvs = if (formatVersion >= 3) positionDeleteVectors(sn) else Nil
       eqExportBatch(sn.eqDeletes) // one job per group, cache-filling
       val eqExports = sn.eqDeletes.map(eqExport) // cache hits
       val deleteManifest: Option[Path] =
@@ -1089,7 +1141,8 @@ object IcebergExport {
                 seqNum, Nil, bounds) // POSITION_DELETES cover every data seq
             }
             // v3 deletion vectors: one entry per marked data file —
-            // record_count = cardinality, file size = the Puffin file
+            // record_count = cardinality, file size = the shard's
+            // Puffin file
             dvs.foreach { case (pp, perFile) =>
               val ppSize = Files.size(pp)
               perFile.foreach { case (ref, off, len, card) =>
@@ -1116,7 +1169,8 @@ object IcebergExport {
         w.setMeta("sequence-number", seqNum.toString)
         w.create(listSchema, listPath.toFile)
         try {
-          dataManifests.foreach { case (mp, si, nAdd, nEx, rAdd, rEx, psum) =>
+          dataManifests.foreach { case (mp, si, nAdd, nEx, rAdd, rEx, psum,
+              mFirstRowId) =>
             val m = new GenericData.Record(listSchema)
             m.put("manifest_path", mp.toString)
             m.put("manifest_length", Files.size(mp))
@@ -1133,6 +1187,8 @@ object IcebergExport {
             m.put("existing_rows_count", rEx)
             m.put("deleted_rows_count", 0L)
             psum.foreach(p => m.put("partitions", p))
+            if (formatVersion >= 3)
+              m.put("first_row_id", java.lang.Long.valueOf(mFirstRowId))
             w.append(m)
           }
           deleteManifest.foreach { mp =>
@@ -1146,11 +1202,11 @@ object IcebergExport {
               sn.eqDeletes.map(_.seq).foldLeft(seqNum)(math.min))
             d.put("added_snapshot_id", sn.version)
             d.put("added_files_count", deleteShards.size +
-              dvs.map(_._2.size).getOrElse(0) + sn.eqDeletes.size)
+              dvs.map(_._2.size).sum + sn.eqDeletes.size)
             d.put("existing_files_count", 0)
             d.put("deleted_files_count", 0)
             d.put("added_rows_count", deleteShards.map(_._2).sum
-              + dvs.toSeq.flatMap(_._2).map(_._4).sum
+              + dvs.flatMap(_._2).map(_._4).sum
               + sn.eqDeletes.map(_.rows).sum)
             d.put("existing_rows_count", 0L)
             d.put("deleted_rows_count", 0L)
@@ -1309,7 +1365,7 @@ object IcebergExport {
       // agree with the delete manifest's own added_files_count
       summ.put("total-delete-files",
         ((if (formatVersion >= 3)
-            positionDeleteVectors(sn).map(_._2.size).getOrElse(0)
+            positionDeleteVectors(sn).map(_._2.size).sum
           else positionDeleteParquets(sn).size)
           + sn.eqDeletes.size).toString)
       node.put("manifest-list", listPath.toString)
@@ -1635,7 +1691,13 @@ object IcebergRead {
       /** Delete files from delete manifests (position content=1 /
         * equality content=2) — applied by readers, materialized by
         * import. */
-      deleteFiles: Seq[IceDelete]) {
+      deleteFiles: Seq[IceDelete],
+      /** Format-v3 `initial-default`s for TOP-LEVEL atomic columns
+        * (name → Spark literal): a file written BEFORE the column
+        * joined the schema reads this constant, not null. Only the
+        * supported subset lands here — anything else refused at
+        * parse. */
+      defaults: Map[String, Any] = Map.empty) {
     def fieldId(name: String): Int = schemaNode.get("fields").elements()
       .asScala.find(_.get("name").asText() == name).get.get("id").asInt()
     /** Candidate physical names for a top-level field, current first. */
@@ -1675,7 +1737,14 @@ object IcebergRead {
         * files immediately. Absent = unknown, never prunes. */
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
-      nullCounts: Map[Int, Long] = Map.empty)
+      nullCounts: Map[Int, Long] = Map.empty,
+      /** Format-v3 ROW LINEAGE: the stable `_row_id` of this file's
+        * first row — explicit from the manifest entry (field 142), or
+        * reconstructed by the spec's inheritance arithmetic when the
+        * entry is null and the manifest list carries `first_row_id`.
+        * None = the table records no lineage (v1/v2, or a v3 table
+        * predating its lineage epoch) → null metadata columns. */
+      firstRowId: Option[Long] = None)
   private[sources] final case class IceDelete(path: String, content: Int,
       seq: Long, equalityIds: Seq[Int], rows: Long,
       /** file_path bounds (reserved id 2147483546) when the delete
@@ -1745,7 +1814,7 @@ object IcebergRead {
         Option(meta.get("schema")).getOrElse(throw new IllegalStateException(
           "v1 metadata carries neither 'schemas' nor 'schema'"))
     }
-    val schema = parseStruct(schemaNode)
+    val schema = parseStruct(schemaNode, topLevel = true)
     val fieldNameById: Map[Int, String] = schemaNode.get("fields").elements()
       .asScala.map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
     val mapping: Map[Int, Seq[String]] = {
@@ -1793,7 +1862,8 @@ object IcebergRead {
     // no delete files, so inheritance ranking can never matter for
     // them. Only a v2-SCHEMA list with a NULL value refuses
     // (spec-invalid); schema ABSENCE is the v1-written signal.
-    case class MF(path: String, content: Int, seq: Long, specId: Int)
+    case class MF(path: String, content: Int, seq: Long, specId: Int,
+        firstRowId: Option[Long])
     val manifests: Seq[MF] = Option(snapNode.get("manifest-list")) match {
       case Some(lp) =>
         val listPath = lp.asText()
@@ -1812,7 +1882,13 @@ object IcebergRead {
           MF(r.get("manifest_path").toString,
             v1Default("content", 0)(_.asInstanceOf[Int]),
             v1Default("sequence_number", 0L)(_.asInstanceOf[Long]),
-            r.get("partition_spec_id").asInstanceOf[Int])
+            r.get("partition_spec_id").asInstanceOf[Int],
+            // v3 row lineage: the manifest's first-row-id watermark
+            // (field 520) — the inheritance base for null entry ids;
+            // schema-absent or null = no manifest-level lineage
+            Option(r.getSchema.getField("first_row_id"))
+              .flatMap(_ => Option(r.get("first_row_id"))
+                .map(_.asInstanceOf[Long])))
         }
       case None =>
         // the OLDEST v1 shape: the snapshot inlines its manifest paths
@@ -1820,7 +1896,7 @@ object IcebergRead {
           "format v2 snapshots must reference a manifest-list file")
         Option(snapNode.get("manifests")).toSeq
           .flatMap(_.elements().asScala)
-          .map(p => MF(p.asText(), 0, 0L, specId))
+          .map(p => MF(p.asText(), 0, 0L, specId, None))
     }
     val (deleteManifests, dataManifests) = manifests.partition(_.content == 1)
     def liveEntries(mp: String): Seq[GenericRecord] =
@@ -1855,10 +1931,37 @@ object IcebergRead {
           s"data manifest ${mf.path} uses partition spec ${mf.specId}, " +
             "which is not in the table metadata's partition-specs"))
         .map(_.get("name").asText())
+      // v3 row-lineage inheritance: a NULL entry first_row_id on an
+      // ADDED entry means "manifest first_row_id + the record counts
+      // of preceding ADDED entries with null first_row_id" (the spec's
+      // assignment arithmetic); explicit values consume no inheritance
+      // space. An EXISTING entry with a null id under a
+      // lineage-carrying manifest is spec-invalid (rewritten manifests
+      // must preserve assigned ids) — refuse rather than re-assign.
+      var inheritNext: Long = mf.firstRowId.getOrElse(0L)
       liveEntries(mf.path).map { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         require(df.get("file_format").toString == "PARQUET",
           "only PARQUET data files are supported")
+        val firstRowId: Option[Long] =
+          Option(df.getSchema.getField("first_row_id")) match {
+            case None => None
+            case Some(_) => Option(df.get("first_row_id"))
+                .map(_.asInstanceOf[Long]) match {
+              case some @ Some(_) => some
+              case None => mf.firstRowId match {
+                case Some(_) =>
+                  require(e.get("status").asInstanceOf[Int] == 1,
+                    s"manifest entry in ${mf.path} has null first_row_id " +
+                      "with EXISTING status under a lineage-carrying " +
+                      "manifest — spec-invalid, refusing")
+                  val v = inheritNext
+                  inheritNext += df.get("record_count").asInstanceOf[Long]
+                  Some(v)
+                case None => None // no lineage recorded → null metadata
+              }
+            }
+          }
         val part = df.get("partition").asInstanceOf[GenericRecord]
         // the spec's k-v-array-encoded maps, when the manifest's own
         // schema carries them (absence = no stats recorded)
@@ -1883,7 +1986,8 @@ object IcebergRead {
           entrySeq(e, mf), specId = mf.specId,
           lowerBounds = kvMap("lower_bounds")(bytesOf),
           upperBounds = kvMap("upper_bounds")(bytesOf),
-          nullCounts = kvMap("null_value_counts")(_.asInstanceOf[Long]))
+          nullCounts = kvMap("null_value_counts")(_.asInstanceOf[Long]),
+          firstRowId = firstRowId)
       }
     }
     val deleteFiles = deleteManifests.flatMap { mf =>
@@ -1945,8 +2049,36 @@ object IcebergRead {
       }
     }
     IceMeta(schemaNode, schema, mapping, specFields, fieldNameById,
-      entries, specsById, specId, deleteFiles)
+      entries, specsById, specId, deleteFiles,
+      defaults = parseDefaults(schemaNode))
   }
+
+  /** TOP-LEVEL column names in a parquet file's footer — the per-file
+    * presence check `initial-default` fill keys on (a file written
+    * before the column joined the schema LACKS it physically; a file
+    * written after may hold genuine nulls). Driver-side metadata read,
+    * no Spark job. */
+  private[sources] def footerTopLevelColumns(path: String): Set[String] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally r.close()
+  }
+
+  /** The defaulted columns `path`'s footer does NOT carry (under any
+    * historical physical name) — the columns whose values this file
+    * reads as `initial-default`. Empty when the schema has no
+    * defaults (no footer I/O then). */
+  private[sources] def absentDefaultCols(path: String, m: IceMeta)
+      : Set[String] =
+    if (m.defaults.isEmpty) Set.empty
+    else {
+      val cols = footerTopLevelColumns(path)
+      m.defaults.keySet.filterNot(c => m.namesOf(c).exists(cols.contains))
+    }
 
   /** Does a position-delete shard with these recorded file_path bounds
     * possibly cover any of the (plain-normalized) group paths? Bounds
@@ -1964,9 +2096,16 @@ object IcebergRead {
     case None => true
   }
 
+  /** `withLineage = true` (format-v3 tables) appends the spec's row
+    * lineage metadata columns: `_row_id` (the row's table-stable id —
+    * the file's first_row_id + the row's position) and
+    * `_last_updated_sequence_number` (the data sequence number of the
+    * file carrying the row). Rows from files without recorded lineage
+    * read null in both — never a guessed id. */
   def read(spark: SparkSession, dest: String,
-      versionAsOf: Option[Long] = None): DataFrame =
-    readMeta(spark, load(dest, versionAsOf))
+      versionAsOf: Option[Long] = None,
+      withLineage: Boolean = false): DataFrame =
+    readMeta(spark, load(dest, versionAsOf), withLineage)
 
   /** Resolve a named ref (tag or branch) from the table metadata's
     * `refs` map to its snapshot id — how a foreign engine answers
@@ -2036,7 +2175,8 @@ object IcebergRead {
     * returned frame remains valid after the server goes away. */
   def readRest(spark: SparkSession, catalogUri: String, namespace: String,
       table: String, versionAsOf: Option[Long] = None,
-      refAsOf: Option[String] = None): DataFrame = {
+      refAsOf: Option[String] = None,
+      withLineage: Boolean = false): DataFrame = {
     val url = s"$catalogUri/v1/namespaces/$namespace/tables/$table"
     val resp = java.net.http.HttpClient.newHttpClient().send(
       java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
@@ -2057,13 +2197,14 @@ object IcebergRead {
            else refs.fieldNames().asScala.mkString(", ")) + ")")
       refs.get(r).get("snapshot-id").asLong()
     })
-    readMeta(spark, loadMeta(meta, snapId))
+    readMeta(spark, loadMeta(meta, snapId), withLineage)
   }
 
   /** The scan half of [[read]], over an already-parsed [[IceMeta]] —
     * shared with the REST-catalog read path, where the metadata came
     * over HTTP rather than from the version-hint walk. */
-  private[sources] def readMeta(spark: SparkSession, m: IceMeta): DataFrame = {
+  private[sources] def readMeta(spark: SparkSession, m: IceMeta,
+      withLineage: Boolean = false): DataFrame = {
     val schema = m.schema
     case class IdField(pname: String, column: String, dt: DataType)
     // identity columns resolve PER SPEC (spec evolution: each entry
@@ -2081,9 +2222,14 @@ object IcebergRead {
             IdField(f.get("name").asText(), colName,
               schema.fields.find(_.name == colName).get.dataType)
           })
+    val lineageFields = Seq(
+      StructField("_row_id", LongType, nullable = true),
+      StructField("_last_updated_sequence_number", LongType, nullable = true))
     if (m.entries.isEmpty)
       return spark.createDataFrame(
-        java.util.Collections.emptyList[Row](), schema)
+        java.util.Collections.emptyList[Row](),
+        if (withLineage) StructType(schema.fields ++ lineageFields)
+        else schema)
 
     // columns the FILES store (identity partition cols live only in
     // metadata); physical twins carry every mapped historical name —
@@ -2210,7 +2356,8 @@ object IcebergRead {
       e.path.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/") -> e.seq).toMap
     def applyDeletes(df: DataFrame, groupPaths: Seq[String]): DataFrame = {
       val needsMeta =
-        posFiles.nonEmpty || dvFiles.nonEmpty || eqDeletes.nonEmpty
+        posFiles.nonEmpty || dvFiles.nonEmpty || eqDeletes.nonEmpty ||
+          withLineage
       if (!needsMeta) return df
       var out = df.withColumn("_ice_f",
           org.apache.spark.sql.functions.regexp_replace(
@@ -2262,12 +2409,48 @@ object IcebergRead {
         }
         if (needSeq) out = out.drop("_ice_seq")
       }
+      // ROW LINEAGE: file-level (first_row_id, data sequence) join
+      // keyed on the normalized file path — a row's `_row_id` is its
+      // file's first_row_id plus its position, which survives the
+      // delete anti-joins above because `_metadata.row_index` is the
+      // PHYSICAL position (deleted rows leave id gaps, as the spec
+      // requires). Files without recorded lineage read null.
+      if (withLineage) {
+        val sess = spark
+        import sess.implicits._
+        val lrows = m.entries.flatMap(e =>
+          e.firstRowId.map(fr => (plainP(e.path), fr, e.seq)))
+        out =
+          if (lrows.isEmpty)
+            out.withColumn("_row_id", lit(null).cast(LongType))
+              .withColumn("_last_updated_sequence_number",
+                lit(null).cast(LongType))
+          else out.join(
+              org.apache.spark.sql.functions.broadcast(
+                lrows.toDF("_ice_f", "_g_frid", "_g_seq")),
+              Seq("_ice_f"), "left")
+            .withColumn("_row_id", col("_g_frid") + col("_ice_p"))
+            .withColumn("_last_updated_sequence_number", col("_g_seq"))
+            .drop("_g_frid", "_g_seq")
+      }
       out.drop("_ice_f", "_ice_p")
     }
+    // v3 `initial-default` fill keys on PER-FILE footer presence: a
+    // file written before the column joined the schema lacks it and
+    // reads the default; a file written after reads its stored values
+    // (genuine nulls included). The absent-set joins the scan-group
+    // key, so each sub-group plans one constant-filled scan — one
+    // driver-side footer read per file, only when defaults exist
+    // (this harness reader's O(files) planning convention).
+    val absentCache = scala.collection.mutable.Map[String, Set[String]]()
+    def absentOf(path: String): Set[String] =
+      if (m.defaults.isEmpty) Set.empty
+      else absentCache.getOrElseUpdate(path, absentDefaultCols(path, m))
     val groups = m.entries.groupBy(e => (e.specId,
       identityOf(e.specId).map(f =>
-        f.pname -> e.part.getOrElse(f.pname, null)).toMap))
-    groups.map { case ((specId, pvals), es) =>
+        f.pname -> e.part.getOrElse(f.pname, null)).toMap,
+      absentOf(e.path)))
+    groups.map { case ((specId, pvals, absent), es) =>
       val identity = identityOf(specId)
       val base = applyDeletes(
         spark.read.schema(physSchemaOf(identity)).parquet(es.map(_.path): _*),
@@ -2279,6 +2462,8 @@ object IcebergRead {
               case null => lit(null)
               case v => lit(v.toString)
             }).cast(f.dataType).as(f.name)
+          case None if absent.contains(f.name) =>
+            lit(m.defaults(f.name)).cast(f.dataType).as(f.name)
           case None =>
             val ns = m.namesOf(f.name)
             val raw = if (ns.size == 1) col(ns.head)
@@ -2286,7 +2471,12 @@ object IcebergRead {
             rebuildNested(raw, f.dataType, Seq(f.name)).as(f.name)
         }
       }
-      base.select(cols: _*)
+      val outCols =
+        if (withLineage)
+          cols ++ lineageFields.map(lf =>
+            col(lf.name).cast(LongType).as(lf.name))
+        else cols
+      base.select(outCols: _*)
     }.reduce(_.unionByName(_))
   }
 
@@ -2322,18 +2512,52 @@ object IcebergRead {
       case other => throw new IllegalArgumentException(s"unsupported type $other")
     }
 
-  private def parseStruct(n: com.fasterxml.jackson.databind.JsonNode): StructType =
+  /** Decode one field's v3 `initial-default` into a Spark literal —
+    * supported for TOP-LEVEL atomic types whose JSON single-value form
+    * decodes unambiguously (int/long/string/double/float/boolean);
+    * None = unsupported (the caller refuses). `write-default` only
+    * binds writers; reads tolerate it. */
+  private def decodeDefault(f: com.fasterxml.jackson.databind.JsonNode)
+      : Option[Any] = {
+    val init = Option(f.get("initial-default")).filterNot(_.isNull)
+      .getOrElse(return None)
+    val t = f.get("type")
+    if (!t.isTextual) return None
+    t.asText() match {
+      case "int" if init.isIntegralNumber => Some(init.asInt())
+      case "long" if init.isIntegralNumber => Some(init.asLong())
+      case "string" if init.isTextual => Some(init.asText())
+      case "double" if init.isNumber => Some(init.asDouble())
+      case "float" if init.isNumber => Some(init.asDouble().toFloat)
+      case "boolean" if init.isBoolean => Some(init.asBoolean())
+      case _ => None
+    }
+  }
+
+  /** TOP-LEVEL `initial-default`s of a schema node (name → literal).
+    * Unsupported shapes were already refused by [[parseStruct]]. */
+  private[sources] def parseDefaults(
+      schemaNode: com.fasterxml.jackson.databind.JsonNode): Map[String, Any] =
+    schemaNode.get("fields").elements().asScala.flatMap(f =>
+      decodeDefault(f).map(f.get("name").asText() -> _)).toMap
+
+  private def parseStruct(n: com.fasterxml.jackson.databind.JsonNode,
+      topLevel: Boolean = false): StructType =
     StructType(n.get("fields").elements().asScala.map { f =>
-      // v3 column DEFAULTS have read-time semantics this reader does
-      // not implement: a file written before the column existed must
-      // yield `initial-default`, but our coalescing read yields null
-      // there — silently wrong data. Exact-or-refuse. (`write-default`
-      // only binds writers; reads tolerate it.)
+      // v3 column DEFAULTS have read-time semantics: a file written
+      // before the column existed must yield `initial-default`, not
+      // null. TOP-LEVEL atomic defaults are implemented (read-time
+      // constant fill, keyed on per-file footer presence); anything
+      // else — nested members, or a type whose JSON single-value form
+      // this reader doesn't decode (date/timestamp/decimal/uuid/
+      // binary/nested) — still refuses: reading null instead would be
+      // silently wrong data.
       val init = Option(f.get("initial-default")).filterNot(_.isNull)
-      require(init.isEmpty,
+      require(init.isEmpty || (topLevel && decodeDefault(f).isDefined),
         s"column '${f.get("name").asText()}' carries a non-null " +
-          "initial-default — v3 default-value reads are not " +
-          "implemented, and reading null instead would be wrong data")
+          "initial-default this reader cannot apply exactly " +
+          "(supported: top-level int/long/string/double/float/boolean) " +
+          "— refusing rather than reading nulls")
       StructField(f.get("name").asText(), parseType(f.get("type")),
         nullable = !f.get("required").asBoolean())
     }.toSeq)
@@ -2516,7 +2740,7 @@ object IcebergImport {
     }
     def plain(p: String): String =
       p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-    val files = m.entries.map { e =>
+    val files0 = m.entries.map { e =>
       val parts = specCols.flatMap { sc =>
         e.part.get(sc.pname).flatMap(v => Option(v)) match {
           case Some(v) =>
@@ -2584,6 +2808,72 @@ object IcebergImport {
         ranges = statRanges, strRanges = statStrRanges,
         seq = e.seq, nulls = statNulls)
     }
+    // v3 `initial-default` columns: a file written BEFORE the column
+    // joined the schema must read the default, not null — but graft's
+    // scan null-fills footer-absent columns, so such files cannot
+    // adopt zero-copy. They REWRITE under the importing root with the
+    // default materialized (the ONLY non-zero-copy import case,
+    // bounded to the files predating the ADD COLUMN — one job per
+    // affected file; a mass-migration importer would batch these with
+    // the eqExportBatch partitionBy-tag pattern). Footer-complete
+    // files adopt zero-copy as always. Refuses when a rewrite would
+    // invalidate positional state (position deletes/DVs reference
+    // (path, pos)) or an identity hive-path layout it cannot
+    // reproduce — read those via IcebergRead/iceberg_scan instead.
+    val files =
+      if (m.defaults.isEmpty) files0
+      else {
+        val dvRefs = m.deleteFiles.flatMap(_.dv.map(d => plain(d._1))).toSet
+        val hasPosParquets = m.deleteFiles.exists(d =>
+          d.content == 1 && d.dv.isEmpty)
+        val dataDir = Paths.get(destRoot).resolve("data")
+        files0.map { f =>
+          val miss = IcebergRead.absentDefaultCols(f.path, m)
+          if (miss.isEmpty) f
+          else {
+            require(!hasPosParquets && !dvRefs.contains(f.path),
+              s"cannot import defaulted column(s) ${miss.mkString(", ")} " +
+                s"exactly: file ${f.path} lacks them and must rewrite, " +
+                "but position deletes reference row positions that a " +
+                "rewrite cannot be proven to preserve — read via " +
+                "IcebergRead/iceberg_scan instead")
+            require(specCols.forall(_.partCol.isEmpty),
+              s"cannot import defaulted column(s) ${miss.mkString(", ")} " +
+                s"exactly: file ${f.path} lacks them and must rewrite, " +
+                "but the identity hive-path layout cannot be reproduced " +
+                "for rewritten files — read via IcebergRead/iceberg_scan " +
+                "instead")
+            Files.createDirectories(dataDir)
+            val raw = spark.read.parquet(f.path)
+            val rawCols = raw.columns.toSet
+            val outCols: Seq[Column] = m.schema.fields.toSeq.map { sf =>
+              if (miss.contains(sf.name))
+                lit(m.defaults(sf.name)).cast(sf.dataType).as(sf.name)
+              else {
+                val ns = m.namesOf(sf.name).filter(rawCols.contains)
+                val raw0 =
+                  if (ns.isEmpty) lit(null)
+                  else if (ns.size == 1) col(ns.head)
+                  else coalesce(ns.map(col): _*)
+                raw0.cast(sf.dataType).as(sf.name)
+              }
+            }
+            val stage = Files.createTempDirectory("ice_default_fill_")
+            LogTable.ensureMicrosTimestamps(spark)
+            raw.select(outCols: _*).coalesce(1)
+              .write.mode("overwrite").parquet(stage.toString)
+            val src = scala.util.Using.resource(Files.list(stage)) { s =>
+              s.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+            }.head
+            val target = dataDir.resolve(
+              s"default-fill-${java.util.UUID.randomUUID()}.parquet")
+            Files.move(src, target)
+            LogTable.deleteRecursively(stage)
+            f.copy(path = target.toString, bytes = Files.size(target))
+          }
+        }
+      }
     // foreign POSITION deletes materialize as graft deletion-vector
     // blobs under the importing root (graft's native delete form —
     // robust to the engines' differing file-path URI renderings)

@@ -1965,13 +1965,50 @@ class IcebergExportSpec extends SparkSpec {
     val eDv = intercept[IllegalArgumentException](
       IcebergRead.read(spark, root.toString))
     assert(eDv.getMessage.contains("referenced_data_file"))
-    // a non-null initial-default: refuse (reads would yield null there)
+    // a TOP-LEVEL atomic initial-default READS: both files predate the
+    // column, so every row fills the constant — through the spec
+    // reader (DV still applied) AND iceberg_scan
     Files.write(metaDir.resolve("v1.metadata.json"), metaJson(extraSchema =
       """,{"id":3,"name":"d","required":false,"type":"int","initial-default":42}""")
+      .getBytes("UTF-8"))
+    val defRead = IcebergRead.read(spark, root.toString)
+    assert(defRead.select("id", "d").as[(Long, Int)].collect().sorted.toSeq
+      === Seq((1L, 42), (3L, 42), (10L, 42), (11L, 42)))
+    assert(GraftSql.exec(spark,
+      s"SELECT count(*) AS n FROM iceberg_scan('$root') WHERE d = 42")
+      .head().getLong(0) === 4L)
+    // import with a DV referencing the default-absent file refuses
+    // (the rewrite cannot be proven to preserve row positions)
+    val eImpDv = intercept[IllegalArgumentException](
+      IcebergImport.importTable(spark, root.toString, tmp("ice_v3_dimp0_")))
+    assert(eImpDv.getMessage.contains("rewrite"))
+    // without positional state the defaulted table IMPORTS: the
+    // default-absent files rewrite with the constant materialized,
+    // and graft's own scan reads the same frame
+    Files.write(metaDir.resolve("v1.metadata.json"), metaJson(extraSchema =
+      """,{"id":3,"name":"d","required":false,"type":"int","initial-default":42}""",
+      delList = list1).getBytes("UTF-8"))
+    val impDef = IcebergImport.importTable(spark, root.toString,
+      tmp("ice_v3_dimp_"))
+    assert(impDef.read().select("id", "d").as[(Long, Int)]
+      .collect().sorted.toSeq
+      === Seq((1L, 42), (2L, 42), (3L, 42), (4L, 42),
+        (10L, 42), (11L, 42)))
+    // a default whose type this reader can't decode exactly: refuse
+    Files.write(metaDir.resolve("v1.metadata.json"), metaJson(extraSchema =
+      """,{"id":4,"name":"dd","required":false,"type":"decimal(10,2)","initial-default":"1.00"}""")
       .getBytes("UTF-8"))
     val eDef = intercept[IllegalArgumentException](
       IcebergRead.read(spark, root.toString))
     assert(eDef.getMessage.contains("initial-default"))
+    // a NESTED member default: refuse (fill is top-level only)
+    Files.write(metaDir.resolve("v1.metadata.json"), metaJson(extraSchema =
+      """,{"id":5,"name":"st","required":false,"type":{"type":"struct","fields":[
+        |{"id":6,"name":"m","required":false,"type":"int","initial-default":7}]}}"""
+        .stripMargin).getBytes("UTF-8"))
+    val eNest = intercept[IllegalArgumentException](
+      IcebergRead.read(spark, root.toString))
+    assert(eNest.getMessage.contains("initial-default"))
     // a v3-only type (variant): refuse as unsupported
     Files.write(metaDir.resolve("v1.metadata.json"), metaJson(extraSchema =
       """,{"id":3,"name":"v","required":false,"type":"variant"}""")
@@ -2045,6 +2082,211 @@ class IcebergExportSpec extends SparkSpec {
     val eV = intercept[IllegalArgumentException](
       IcebergExport.export(t, tmp("ice_v3w_bad_"), formatVersion = 4))
     assert(eV.getMessage.contains("format-version"))
+  }
+
+  test("format-v3 ROW LINEAGE reads: _row_id/_last_updated_sequence_number from explicit entry ids; stable across an append; DV gaps preserved") {
+    val t = LogTable(spark, tmp("ice_v3lin_"))
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "s").coalesce(1))                 // v1: row ids 0..3
+    t.deleteMor(col("id").isin(2L, 4L))             // v2: marks positions 1,3
+    t.append(Seq((10L, "x"), (11L, "y")).toDF("id", "s").coalesce(1)) // v3: 4..5
+    val dest = tmp("ice_v3lin_out_")
+    IcebergExport.export(t, dest, history = true, formatVersion = 3)
+
+    // current read: surviving rows carry the export-side assignment —
+    // deleted rows leave ID GAPS (1 and 3), never re-assigned
+    val cur = IcebergRead.read(spark, dest, withLineage = true)
+      .select(col("id"), col("_row_id"), col("_last_updated_sequence_number"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(cur === Seq((1L, 0L, 1L), (3L, 2L, 1L),
+      (10L, 4L, 3L), (11L, 5L, 3L)))
+    // pre-delete snapshot: the full id range, same assignment
+    val v1 = IcebergRead.read(spark, dest, versionAsOf = Some(1L),
+        withLineage = true)
+      .select(col("id"), col("_row_id")).as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(v1 === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+    // ID STABILITY across the append: every id visible in both reads
+    // carries the same _row_id
+    val curMap = cur.map(r => r._1 -> r._2).toMap
+    v1.foreach { case (id, rid) =>
+      curMap.get(id).foreach(c => assert(c === rid,
+        s"row id of business key $id drifted $rid -> $c across the append"))
+    }
+    // the v3 manifest LIST carries the per-manifest first-row-id
+    // watermark (spec field 520) — what inheritance-running readers
+    // validate/consume even though our entries are explicit
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readAllBytes(
+      java.nio.file.Paths.get(dest).resolve("metadata")
+        .resolve("v1.metadata.json")))
+    val curList = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == 3L).get
+      .get("manifest-list").asText()
+    val r = org.apache.avro.file.DataFileReader.openReader(
+      new java.io.File(curList),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val listRecs = try r.iterator().asScala.toList finally r.close()
+    val dataRecs = listRecs.filter(_.get("content").asInstanceOf[Int] == 0)
+    assert(dataRecs.nonEmpty)
+    dataRecs.foreach(m => assert(m.get("first_row_id") != null,
+      "v3 data manifests must carry the first-row-id watermark"))
+    assert(dataRecs.map(_.get("first_row_id").asInstanceOf[Long]).min === 0L)
+    // a v2 export reads NULL lineage (no recorded ids — never guessed)
+    val dest2 = tmp("ice_v3lin_v2_")
+    IcebergExport.export(t, dest2)
+    val v2lin = IcebergRead.read(spark, dest2, withLineage = true)
+    assert(v2lin.columns.contains("_row_id"))
+    assert(v2lin.filter(col("_row_id").isNotNull).count() === 0L)
+  }
+
+  test("format-v3 ROW LINEAGE inheritance: null entry ids derive from the manifest list's first_row_id + preceding ADDED record counts") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val root = Paths.get(tmp("ice_v3inh_"))
+    val metaDir = root.resolve("metadata"); Files.createDirectories(metaDir)
+    val dataDir = root.resolve("data"); Files.createDirectories(dataDir)
+    def writeData(name: String, rows: Seq[(Long, String)]): (String, Long) = {
+      val p = dataDir.resolve(name).toString
+      rows.toDF("id", "s").coalesce(1).write.mode("overwrite").parquet(p)
+      val f = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      (f.getAbsolutePath, f.length())
+    }
+    val (fA, szA) = writeData("a", Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w")))
+    val (fB, szB) = writeData("b", Seq((10L, "p"), (11L, "q")))
+    // entries with NULL first_row_id — the inheritance path
+    val dataSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"first_row_id","type":["null","long"],"default":null}
+        |]}}]}""".stripMargin)
+    val dataManifest = metaDir.resolve("m-data.avro").toString
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](dataSchema))
+      w.create(dataSchema, new java.io.File(dataManifest))
+      try Seq((fA, 4L, szA), (fB, 2L, szB)).foreach { case (p, rows, sz) =>
+        val part = new GenericData.Record(dataSchema.getField("data_file")
+          .schema().getField("partition").schema())
+        val df = new GenericData.Record(dataSchema.getField("data_file").schema())
+        df.put("content", 0); df.put("file_path", p)
+        df.put("file_format", "PARQUET"); df.put("partition", part)
+        df.put("record_count", rows); df.put("file_size_in_bytes", sz)
+        // first_row_id left NULL: inherit
+        val e = new GenericData.Record(dataSchema)
+        e.put("status", 1); e.put("snapshot_id", 1L)
+        e.put("sequence_number", 1L); e.put("data_file", df)
+        w.append(e)
+      } finally w.close()
+    }
+    // manifest list WITH first_row_id = 100 (the inheritance base)
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+        |{"name":"first_row_id","type":["null","long"],"default":null}
+        |]}""".stripMargin)
+    val list1 = metaDir.resolve("snap-1.avro").toString
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.create(listSchema, new java.io.File(list1))
+      try {
+        val m = new GenericData.Record(listSchema)
+        m.put("manifest_path", dataManifest)
+        m.put("manifest_length", Files.size(Paths.get(dataManifest)))
+        m.put("partition_spec_id", 0); m.put("content", 0)
+        m.put("sequence_number", 1L); m.put("added_snapshot_id", 1L)
+        m.put("first_row_id", 100L)
+        w.append(m)
+        ()
+      } finally w.close()
+    }
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      s"""{"format-version":3,"table-uuid":"f00dcafe-0000-0000-0000-00000000inh1",
+         |"location":"$root","last-sequence-number":1,"last-updated-ms":1000,
+         |"last-column-id":2,"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"s","required":false,"type":"string"}]}],
+         |"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"properties":{},
+         |"next-row-id":106,
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         |  {"snapshot-id":1,"timestamp-ms":1000,"sequence-number":1,
+         |   "first-row-id":100,"schema-id":0,
+         |   "summary":{"operation":"append"},"manifest-list":"$list1"}],
+         |"snapshot-log":[{"timestamp-ms":1000,"snapshot-id":1}]}"""
+        .stripMargin.getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+    // fA (4 rows) inherits 100, fB inherits 100+4=104 — the spec's
+    // preceding-ADDED-record-count arithmetic
+    val rows = IcebergRead.read(spark, root.toString, withLineage = true)
+      .select(col("id"), col("_row_id")).as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, 100L), (2L, 101L), (3L, 102L), (4L, 103L),
+      (10L, 104L), (11L, 105L)))
+  }
+
+  test("format-v3 EXPORT shards DV Puffin assembly onto executors: >1 *-deletes.puffin, one blob per marked file, read/import parity") {
+    // many-file table with a mark in EVERY file: the sharded DV writer
+    // (one executor-written Puffin file per ~8 marked data files) must
+    // emit MULTIPLE puffin files — the pre-sharded code collected every
+    // compressed payload to the driver and assembled exactly ONE, so
+    // puffin-file count > 1 is the structural witness the distributed
+    // path ran; the driver-held state is the coordinate tuples the
+    // manifest entries record, each of which must decode back to its
+    // file's exact marks.
+    val t = LogTable(spark, tmp("ice_v3shard_"))
+    (0 until 24).foreach(c =>
+      t.append(Seq((c.toLong * 10, s"f$c"), (c.toLong * 10 + 1, s"g$c"))
+        .toDF("id", "s").coalesce(1)))
+    t.deleteMor(col("id") % 10 === 1L) // one mark per file
+    val live = sortedRows(t.read())
+    val nFiles = t.snapshot().files.size
+    val dest = tmp("ice_v3shard_out_")
+    IcebergExport.export(t, dest, formatVersion = 3)
+
+    val m = IcebergRead.load(dest)
+    val dvEntries = m.deleteFiles.filter(_.dv.isDefined)
+    // one DV entry per marked data file, all coordinates resolvable
+    assert(dvEntries.size === nFiles)
+    val puffins = dvEntries.map(_.path).distinct
+    val maxShards = (nFiles + 7) / 8
+    assert(puffins.size > 1 && puffins.size <= maxShards,
+      s"expected 2..$maxShards sharded puffin files over $nFiles marked " +
+        s"files, got ${puffins.size}")
+    puffins.foreach(p => assert(p.endsWith("-deletes.puffin")))
+    // every blob decodes to exactly its file's one mark, addressed by
+    // the manifest coordinates alone (range reads, never whole-file)
+    dvEntries.foreach { d =>
+      val (ref, off, sz) = d.dv.get
+      val ps = PuffinDv.readRange(d.path, off, sz)
+      assert(ps.length === 1L, s"one mark per file, got ${ps.toSeq} for $ref")
+      assert(d.rows === 1L)
+    }
+    // read + import parity against the live table
+    assert(sortedRows(IcebergRead.read(spark, dest)) === live)
+    val imp = IcebergImport.importTable(spark, dest, tmp("ice_v3shard_imp_"))
+    assert(sortedRows(imp.read()) === live)
   }
 
   test("stat-adoption guard: int bounds decode 4-byte LE, long must be 8 bytes, non-ASCII/oversize string bounds are refused (absence never prunes)") {
