@@ -24,6 +24,7 @@ import scala.jdk.CollectionConverters._
   *   GET/DELETE /v1/namespaces/{ns}                → props / drop
   *   POST /v1/namespaces/{ns}/properties           → update ns props
   *   GET/POST /v1/namespaces/{ns}/tables           → list / createTable
+  *   POST /v1/namespaces/{ns}/register             → registerTable
   *   GET/HEAD /v1/namespaces/{ns}/tables/{t}       → LoadTableResult
   *   POST /v1/namespaces/{ns}/tables/{t}           → commitTable
   *   DELETE /v1/namespaces/{ns}/tables/{t}         → dropTable
@@ -378,6 +379,9 @@ object IcebergRestCatalog {
         case ("POST", List("v1", "namespaces", ns, "tables")) =>
           createTable(x, state, ns)
 
+        case ("POST", List("v1", "namespaces", ns, "register")) =>
+          registerTable(x, state, ns)
+
         case ("POST", List("v1", "namespaces", ns, "tables", t)) =>
           commitTable(x, state, ns, t)
 
@@ -541,6 +545,70 @@ object IcebergRestCatalog {
       case _ => 0
     }
     walk(n)
+  }
+
+  /** POST /v1/namespaces/{ns}/register — the OpenAPI
+    * RegisterTableRequest: bring an EXISTING Iceberg metadata location
+    * (e.g. a graft export, or a table another catalog produced) under
+    * this catalog — no data or metadata rewritten, the registry just
+    * points at it. The location must be the table's CURRENT metadata
+    * file (version-hint-resolved): registering a stale vN would
+    * silently serve a different state than the location's own readers
+    * see. Registered tables keep the read-only commit rule (501) —
+    * their metadata lineage is owned by the writer that produced
+    * them, exactly like [[IcebergRestCatalog.register]]'s in-process
+    * variant. Duplicate identifiers answer 409. */
+  private def registerTable(x: HttpExchange, state: State, ns: String): Unit = {
+    if (!state.nsExists(ns)) {
+      error(x, 404, "NoSuchNamespaceException", s"namespace '$ns' not found")
+      return
+    }
+    val b = body(x)
+    val name = Option(b.get("name")).map(_.asText()).getOrElse("")
+    val loc = Option(b.get("metadata-location")).map(_.asText()).getOrElse("")
+    if (name.isEmpty || loc.isEmpty) {
+      error(x, 400, "BadRequestException",
+        "registerTable needs 'name' and 'metadata-location'")
+      return
+    }
+    val mp = Paths.get(loc.replaceFirst("^file:/+", "/"))
+    val metaDir = mp.getParent
+    if (metaDir == null || metaDir.getFileName == null ||
+        metaDir.getFileName.toString != "metadata" ||
+        !Files.isRegularFile(mp)) {
+      error(x, 400, "BadRequestException",
+        s"'$loc' is not an existing <table>/metadata/vN.metadata.json file")
+      return
+    }
+    if (!Files.exists(metaDir.resolve("version-hint.text"))) {
+      error(x, 400, "BadRequestException",
+        s"'$loc' has no sibling version-hint.text — this catalog serves " +
+          "hint-discoverable path tables")
+      return
+    }
+    val dest = metaDir.getParent.toString
+    val (curPath, meta) = currentMetadata(dest)
+    if (Paths.get(curPath).toAbsolutePath != mp.toAbsolutePath) {
+      error(x, 400, "BadRequestException",
+        s"'$loc' is not the table's current metadata ($curPath) — " +
+          "registering a stale version would serve a different state " +
+          "than the location's own readers see")
+      return
+    }
+    val key = (ns, name)
+    state.lockFor(key).synchronized {
+      if (state.registry.containsKey(key) || state.staged.containsKey(key)) {
+        error(x, 409, "AlreadyExistsException",
+          s"table '$ns.$name' already exists")
+        return
+      }
+      state.registry.put(key, dest)
+      val root = mapper.createObjectNode()
+      root.put("metadata-location", curPath)
+      root.set[ObjectNode]("metadata", meta)
+      root.putObject("config")
+      json(x, 200, root.toString)
+    }
   }
 
   /** POST /v1/namespaces/{ns}/tables — the OpenAPI CreateTableRequest.

@@ -1328,15 +1328,50 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * surface for "is compaction due?", "how skewed are my file
     * sizes?", "what does the manifest know about column X?". */
   def filesTable(version: Long = currentVersion): DataFrame = {
-    val rows = snapshot(version).files.map { f =>
+    val s = snapshot(version)
+    val row: DataFile => (String, Long, Long, String, String) = f =>
       (f.path, f.rows, f.bytes,
         f.partitions.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/"),
         (f.ranges.toSeq.sortBy(_._1).map { case (k, (mn, mx)) => s"$k:[$mn,$mx]" } ++
           f.strRanges.toSeq.sortBy(_._1).map { case (k, (mn, mx)) => s"$k:[$mn,$mx]" })
           .mkString(";"))
-    }
     import spark.implicits._
-    rows.toDF("path", "rows", "bytes", "partition", "ranges")
+    if (distributedMetaScan(s))
+      distributedFileRows(s)(row)
+        .toDF("path", "rows", "bytes", "partition", "ranges")
+    else s.files.map(row).toDF("path", "rows", "bytes", "partition", "ranges")
+  }
+
+  /** Gate for the DISTRIBUTED `.files`/`.entries` plan: segments exist
+    * only above the inline-manifest cap (512 files by default), so a
+    * small table keeps its LocalScan (zero job, the dashboards' fast
+    * path) while a segmented one — up to the 1M-file design point —
+    * plans one executor task per segment instead of building a
+    * million-row LocalRelation on the driver. Executor-side parsing
+    * needs the plain-filesystem metadata plane; seam emulations
+    * (object-store/in-memory control planes) keep the driver path. */
+  private def distributedMetaScan(s: Snapshot): Boolean =
+    s.segs.nonEmpty && (io eq GraftFileIO.Local)
+
+  /** One task per segment JSON: read + parse ON THE EXECUTOR, emit
+    * `toRow` per entry; the inline remainder (≤ the cap by
+    * construction) rides one extra task. Driver-side state: segment
+    * PATHS only. */
+  private def distributedFileRows[T: scala.reflect.ClassTag](s: Snapshot)(
+      toRow: DataFile => T): org.apache.spark.rdd.RDD[T] = {
+    val segPaths = s.segs.map(sg => mainLogDir.resolve(sg.name).toString)
+    val inline: Seq[DataFile] = s.files match {
+      case sf: SegmentedFiles => sf.inline
+      case other => other
+    }
+    val segRdd = spark.sparkContext
+      .parallelize(segPaths, math.max(segPaths.size, 1))
+      .flatMap { p =>
+        LogTable.parseSegmentJson(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          java.nio.charset.StandardCharsets.UTF_8)).iterator.map(toRow)
+      }
+    segRdd ++ spark.sparkContext.parallelize(inline.map(toRow), 1)
   }
 
   /** Per-partition metadata rollup (Iceberg's `partitions` metadata
@@ -1440,19 +1475,48 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * metadata only, zero executor work. */
   def entriesTable(version: Long = currentVersion): DataFrame = {
     val s = snapshot(version)
-    val parentPaths: Set[String] =
-      if (versions.contains(s.parent))
-        snapshot(s.parent).files.map(_.path).toSet
-      else Set.empty
-    val rows = s.files.map { f =>
-      (if (parentPaths.contains(f.path)) 0 else 1,
-        s.version, f.seq, f.path, f.rows, f.bytes,
-        f.partitions.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"$k=$v" }.mkString("/"))
-    }
     import spark.implicits._
-    rows.toDF("status", "snapshot_id", "sequence_number", "file_path",
-      "record_count", "file_size_in_bytes", "partition")
+    if (distributedMetaScan(s)) {
+      // DISTRIBUTED: current entries one-task-per-segment, status via
+      // an anti-join-shaped left join against the PARENT's path set —
+      // the parent's segments also parse on executors (they are
+      // usually the SAME segments by structural sharing, so both
+      // sides read the shared cacheable pool), and the driver holds
+      // segment paths only, never a row per file.
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val ver = s.version
+      val toRow: DataFile => (Long, Long, String, Long, Long, String) = f =>
+        (ver, f.seq, f.path, f.rows, f.bytes,
+          f.partitions.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString("/"))
+      val cur = distributedFileRows(s)(toRow)
+        .toDF("snapshot_id", "sequence_number", "file_path",
+          "record_count", "file_size_in_bytes", "partition")
+      val parentPaths: org.apache.spark.rdd.RDD[String] =
+        if (versions.contains(s.parent))
+          distributedFileRows(snapshot(s.parent))(f => f.path)
+        else spark.sparkContext.emptyRDD[String]
+      cur.join(parentPaths.toDF("file_path").withColumn("_in_parent", lit(1)),
+          Seq("file_path"), "left")
+        .withColumn("status",
+          when(col("_in_parent").isNotNull, lit(0)).otherwise(lit(1)))
+        .select(col("status"), col("snapshot_id"), col("sequence_number"),
+          col("file_path"), col("record_count"),
+          col("file_size_in_bytes"), col("partition"))
+    } else {
+      val parentPaths: Set[String] =
+        if (versions.contains(s.parent))
+          snapshot(s.parent).files.map(_.path).toSet
+        else Set.empty
+      val rows = s.files.map { f =>
+        (if (parentPaths.contains(f.path)) 0 else 1,
+          s.version, f.seq, f.path, f.rows, f.bytes,
+          f.partitions.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString("/"))
+      }
+      rows.toDF("status", "snapshot_id", "sequence_number", "file_path",
+        "record_count", "file_size_in_bytes", "partition")
+    }
   }
 
   /** Register this table's data and metadata as SQL views:
@@ -5242,6 +5306,15 @@ object LogTable {
       }
     }
 
+
+  /** Parse one SEGMENT file's JSON into its DataFile entries —
+    * deliberately static (no table handle, no seam state) so the
+    * distributed metadata-table scan can ship segment PATHS to
+    * executor tasks and parse there: a million-file table's
+    * `.entries`/`.files` query never builds a million-row
+    * LocalRelation on the driver. */
+  private[sources] def parseSegmentJson(json: String): Seq[DataFile] =
+    parseFilesArray(mapper.readTree(json).get("files"))
 
   private def parseFilesArray(node: JsonNode): Seq[DataFile] =
     node.elements().asScala.map { f =>

@@ -69,6 +69,66 @@ class IcebergRestCatalogSpec extends SparkSpec {
     } finally cat.close()
   }
 
+  test("registerTable over HTTP: register an existing metadata location, load + read parity; duplicate 409; stale/bogus locations 400; commits stay 501") {
+    val t = LogTable(spark, tmp("ice_rest_reg_"))
+    t.append((0L until 30L).map(i => (i, s"r$i")).toDF("id", "s"))
+    val dest = tmp("ice_rest_reg_out_")
+    IcebergExport.export(t, dest)
+    val metaLoc = java.nio.file.Paths.get(dest)
+      .resolve("metadata").resolve("v1.metadata.json").toString
+
+    val cat = IcebergRestCatalog.start()
+    try {
+      // the namespace must exist first (spec: register into a namespace)
+      val (nc, _) = post(s"${cat.uri}/v1/namespaces",
+        """{"namespace":["ext"]}""")
+      assert(nc === 200)
+      // register: the whole table arrives in the catalog via ONE HTTP
+      // call naming its metadata location — nothing rewritten
+      val (rc, rb) = post(s"${cat.uri}/v1/namespaces/ext/register",
+        s"""{"name":"mirrored","metadata-location":"$metaLoc"}""")
+      assert(rc === 200, rb)
+      val reg = mapper.readTree(rb)
+      assert(reg.get("metadata-location").asText() === metaLoc)
+      assert(reg.get("metadata").get("format-version").asInt() === 2)
+      // discovery + load + wire read parity vs the path scan
+      val (tc, tb) = get(s"${cat.uri}/v1/namespaces/ext/tables")
+      assert(tc === 200)
+      assert(mapper.readTree(tb).get("identifiers").get(0)
+        .get("name").asText() === "mirrored")
+      assert(IcebergRead.readRest(spark, cat.uri, "ext", "mirrored")
+        .collect().map(_.toString).sorted.toSeq
+        === IcebergRead.read(spark, dest)
+          .collect().map(_.toString).sorted.toSeq)
+      // duplicate register: 409, first registration untouched
+      val (dc, db) = post(s"${cat.uri}/v1/namespaces/ext/register",
+        s"""{"name":"mirrored","metadata-location":"$metaLoc"}""")
+      assert(dc === 409)
+      assert(mapper.readTree(db).get("error").get("type").asText()
+        === "AlreadyExistsException")
+      // a registered table is NOT owned: REST commits answer 501
+      val (cc, cb) = post(s"${cat.uri}/v1/namespaces/ext/tables/mirrored",
+        """{"requirements":[],"updates":[]}""")
+      assert(cc === 501, cb)
+      // bogus location: 400
+      val (bc, _) = post(s"${cat.uri}/v1/namespaces/ext/register",
+        s"""{"name":"nope","metadata-location":"$dest/metadata/v9.metadata.json"}""")
+      assert(bc === 400)
+      // a STALE (non-current) location: 400, never silently re-pinned.
+      // advance the export first so v1 is no longer current
+      t.append(Seq((100L, "x")).toDF("id", "s"))
+      IcebergExport.export(t, dest)
+      val (sc2, sb2) = post(s"${cat.uri}/v1/namespaces/ext/register",
+        s"""{"name":"stale","metadata-location":"$metaLoc"}""")
+      assert(sc2 === 400, sb2)
+      assert(sb2.contains("current"))
+      // unknown namespace: 404
+      val (uc, _) = post(s"${cat.uri}/v1/namespaces/ghost/register",
+        s"""{"name":"t","metadata-location":"$metaLoc"}""")
+      assert(uc === 404)
+    } finally cat.close()
+  }
+
   test("mirror refresh is visible on the next REST load without a server restart") {
     val t = LogTable(spark, tmp("ice_rest_mir_"))
     t.append(Seq((1L, "a")).toDF("id", "s"))

@@ -563,4 +563,57 @@ class SegmentedManifestSpec extends SparkSpec {
         s"pointer=${pointerBytes}B vs pool=${poolBytes}B")
     }
   }
+
+  test("`.files`/`.entries` DISTRIBUTE above the cap: segment JSONs parse on executors, no driver LocalRelation, rows equal the metadata") {
+    withCap(1000) {
+      val (_, t) = freshTable()
+      def df(i: Int) = DataFile(s"data/f$i.parquet", rows = 100L,
+        bytes = 1000000L, partitions = Map("k" -> s"p${i / 1000}"),
+        ranges = Map("id" -> (i * 100L, i * 100L + 99L)))
+      t.commitSynthetic((0 until 10000).map(df))     // v1: fully segmented
+      t.commitSynthetic((10000 until 10100).map(df)) // v2: tail append
+      val nSegs = t.snapshot().segs.size
+      assert(nSegs >= 10, s"fixture must segment, got $nSegs segments")
+
+      val files = t.filesTable()
+      val entries = t.entriesTable()
+      // PLAN CONTRACT: above the cap these are distributed RDD scans —
+      // a LocalTableScan would mean the driver materialized a row per
+      // file (the 1M-file design point forbids that)
+      assert(!files.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"),
+        "a segmented table's .files must not plan a driver LocalRelation")
+      assert(!entries.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"),
+        "a segmented table's .entries must not plan a driver LocalRelation")
+      // one input task per segment (+1 inline)
+      assert(files.rdd.getNumPartitions >= nSegs)
+
+      // row parity with the manifest itself
+      assert(files.count() === 10100L)
+      assert(entries.count() === 10100L)
+      val expect = t.snapshot().files
+        .map(f => (f.path, f.rows, f.bytes)).toSet
+      assert(files.select("path", "rows", "bytes")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet === expect)
+      // status census: the tail append ADDED 100, carried 10000
+      val statuses = entries.groupBy("status").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(statuses === Map(0 -> 10000L, 1 -> 100L))
+      // ranges serialize identically to the LocalScan path
+      val oneRange = files.filter(files("path") === "data/f7.parquet")
+        .select("ranges").collect().head.getString(0)
+      assert(oneRange === "id:[700,799]")
+
+      // below the cap the LocalScan fast path stays (zero-job dashboards)
+      val (_, small) = freshTable()
+      small.commitSynthetic((0 until 5).map(df))
+      assert(small.filesTable().queryExecution.executedPlan.toString
+        .contains("LocalTableScan"))
+      assert(small.entriesTable().queryExecution.executedPlan.toString
+        .contains("LocalTableScan"))
+      assert(small.entriesTable().count() === 5L)
+    }
+  }
 }
