@@ -318,6 +318,50 @@ object Dedup {
       .orderBy(col("n_docs").desc, col("n_total").desc, col("win"))
       .limit(20)
 
+  /** DUPLICATED-SPAN doc filter — the doc-level DECISION the window
+    * census ([[windowCensus]]) feeds (the "Deduplicating Training Data
+    * Makes Language Models Better" pipeline drops or trims documents
+    * whose text is substantially covered by substrings repeated
+    * elsewhere in the corpus): for every doc, the fraction of its
+    * 10-word sliding windows that also occur in ≥2 DISTINCT docs
+    * corpus-wide; docs at ≥50% duplicated coverage are flagged for
+    * removal/trimming.
+    *
+    * Shape at 100 TB: windows are hashed to TWO independent 64-bit
+    * xxhash64 keys BEFORE any shuffle (the dedup_lines trick — an
+    * effectively 128-bit identity, expected false merges ~n²/2¹²⁹ ≈ 0
+    * at 10^10 windows), so window TEXT never crosses the wire; the
+    * duplicated-window census is one map-side-combined hash agg whose
+    * exchange is O(distinct windows), and the probe joins instances
+    * back on the SAME (h, h2) key, so the census-side exchange is
+    * reused and the join is hash-co-partitioned — never an all-pairs
+    * or text-keyed stage anywhere. Per-doc rollups are O(docs). */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame = {
+    val inst = Tables.spread(docs(s, dir))
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(1, size(ws) - 9)), " +
+          "i -> array_join(slice(ws, i, 10), ' '))")).as("win"))
+      .select(col("doc_id"),
+        xxhash64(col("win")).as("h"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("win")).as("h2"))
+    val tot = inst.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    // windows seen in >= 2 distinct docs (within-doc repeats are NOT
+    // duplication evidence — boilerplate is a cross-doc phenomenon)
+    val dup = inst.groupBy(col("h"), col("h2"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"), col("h2"))
+    val hits = inst.join(dup, Seq("h", "h2"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    tot.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .withColumn("dup_pct", col("n_dup").cast("double") / col("n_windows"))
+      .withColumn("flagged", col("dup_pct") >= 0.5)
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        col("dup_pct"), col("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Minimum line length (chars) to participate in line dedup: short
     * lines ("", "1.", "Introduction") repeat across unrelated docs by
     * nature and carry no boilerplate signal — dedup'ing them would
@@ -377,6 +421,7 @@ object Dedup {
     "dedup_lines" -> (dedupLines _),
     "dedup_exact" -> (exact _),
     "dedup_windows" -> (windowCensus _),
+    "dedup_spans" -> (dedupSpans _),
     "dedup_ngram" -> (ngramJaccard _),
     "dedup_minhash" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -421,6 +466,29 @@ object Dedup {
         |SELECT win, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
         |FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, n_total DESC, win LIMIT 20""".stripMargin,
+    // Window identity is by 128-bit double-hash on the Spark side and
+    // by string here — equivalent counts absent a collision (the same
+    // equivalence dedup_lines' green hash rests on). The division is
+    // the identical single IEEE op in both engines.
+    "dedup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), i, i + 9), ' ') AS win
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(1,
+        |      greatest(2, len(string_split(text, ' ')) - 8))) AS i)),
+        |c AS (
+        |  SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+        |t AS (
+        |  SELECT doc_id, count(*) AS n_windows FROM w GROUP BY 1),
+        |h AS (
+        |  SELECT doc_id, count(*) AS n_dup FROM w JOIN c USING (win) GROUP BY 1)
+        |SELECT t.doc_id, t.n_windows,
+        |  CAST(COALESCE(h.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(COALESCE(h.n_dup, 0) AS DOUBLE) / t.n_windows AS dup_pct,
+        |  CAST(COALESCE(h.n_dup, 0) AS DOUBLE) / t.n_windows >= 0.5 AS flagged
+        |FROM t LEFT JOIN h ON h.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "dedup_ngram" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

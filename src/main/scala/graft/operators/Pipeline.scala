@@ -410,6 +410,79 @@ object Pipeline {
       .orderBy(col("tier"))
   }
 
+  /** TOKEN-BUDGETED quality selection — the "fit the best N tokens of
+    * each source into the mixture" step of corpus curation (every
+    * data-mixing recipe caps a source at a token budget and wants the
+    * highest-quality docs under the cap): docs rank per source by the
+    * text-quality score (the formula oracle-pinned in `text_quality`),
+    * and a doc is kept iff the per-source running token total THROUGH
+    * it stays within the budget — a prefix cut of the quality-ordered
+    * stream, deterministic and engine-replayable (ties fall to
+    * doc_id). Output: per-source selection census (docs kept, tokens
+    * kept, the score at the cut line).
+    *
+    * Scale shape: a per-source running sum needs a total order WITHIN
+    * each source — but partitioning the window by raw `source` would
+    * put each source on ONE task (sources are few and huge at 100 TB:
+    * the skew worst-case). Instead the bucketed-census trick of
+    * `pipeline_curriculum`/`pipeline_shard`: range-partition by
+    * (source, score desc, doc_id) into B session-derived buckets, one
+    * tiny (bkt, source) token census to the driver (≤ B·|sources|
+    * rows), per-source prefix offsets broadcast back, and the running
+    * sum is a B-way-parallel window WITHIN (bkt, source) plus the
+    * bucket's offset — exact for ANY B (`buckets` is the spec hook
+    * proving B=3 ≡ B=64), data read exactly twice. */
+  def budgetSelect(s: SparkSession, dir: String, budget: Long = 50000L,
+      buckets: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val stopHits = size(regexp_extract_all(col("text"),
+      lit("\\b(the|a|of|to|and|in|is)\\b"), lit(0))).cast("long")
+    val scored = Tables.spread(Tables(s, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        nWords.as("n_words"), stopHits.as("stop_hits"))
+      .withColumn("avg_word_len",
+        (col("n_chars_m") - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
+      .withColumn("score",
+        col("stop_ratio") * 0.5 +
+          least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.3 +
+          least(lit(1.0), col("avg_word_len") / 8.0) * 0.2)
+      .select(col("doc_id"), col("source"), col("n_words"), col("score"))
+    val b = buckets.getOrElse(Tables.sliceCount(s))
+    val bucketed = scored
+      .repartitionByRange(b, col("source"), col("score").desc, col("doc_id"))
+      .withColumn("bkt", spark_partition_id())
+    // census: per-(bucket, source) token totals → per-source offsets
+    // (range partitioning keeps each source's buckets contiguous and
+    // score-ordered, so "earlier bucket" = "higher-scored prefix")
+    val sums = bucketed.groupBy(col("bkt"), col("source"))
+      .agg(sum(col("n_words")).as("toks"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val offRows = sums.keys.toSeq.map { case (bkt, src) =>
+      val off = sums.collect {
+        case ((b2, s2), t) if s2 == src && b2 < bkt => t
+      }.sum
+      (bkt, src, off)
+    }
+    import s.implicits._
+    val offDf = offRows.toDF("bkt", "source", "off")
+    val w = Window.partitionBy(col("bkt"), col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offDf), Seq("bkt", "source"))
+      .withColumn("run_toks", sum(col("n_words")).over(w) + col("off"))
+      .withColumn("keep", col("run_toks") <= budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when(col("keep"), col("n_words")).otherwise(0L))
+          .cast("long").as("kept_tokens"),
+        min(when(col("keep"), col("score"))).as("cut_score"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curriculum" -> ((s, dir) => curriculum(s, dir)),
     "pipeline_ingest_dedup" -> (ingestDedup _),
@@ -421,6 +494,7 @@ object Pipeline {
     "pipeline_pack" -> ((s, dir) => packWindows(s, dir)),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_shuffle" -> ((s, dir) => shuffleShard(s, dir)),
+    "pipeline_select" -> ((s, dir) => budgetSelect(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -428,6 +502,39 @@ object Pipeline {
     // there) ranked by (score, doc_id) and cut by standard NTILE —
     // bucketed-rank arithmetic on the Spark side must equal the
     // engine's own window function
+    // budget selection: the text_quality score formula ranked per
+    // source by (score DESC, doc_id) with a running-token prefix cut —
+    // the Spark side's bucketed offsets must equal the engine's own
+    // per-source window
+    "pipeline_select" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    length(text) AS n_chars_m,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS stop_hits
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words_l,
+        |    CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+        |    CAST(stop_hits AS DOUBLE) / n_words AS stop_ratio, n_words
+        |  FROM f),
+        |sc AS (
+        |  SELECT doc_id, source, n_words_l,
+        |    stop_ratio * 0.5
+        |      + least(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.3
+        |      + least(1.0, avg_word_len / 8.0) * 0.2 AS score
+        |  FROM g),
+        |r AS (
+        |  SELECT doc_id, source, n_words_l, score,
+        |    sum(n_words_l) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_toks
+        |  FROM sc)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN run_toks <= 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN run_toks <= 50000 THEN n_words_l ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  min(CASE WHEN run_toks <= 50000 THEN score END) AS cut_score
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_curriculum" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -108,6 +108,81 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** HYBRID lexical+vector retrieval with reciprocal-rank fusion —
+    * the retrieval shape data-curation stacks use when neither signal
+    * alone suffices (keyword-grounded contamination sweeps, RAG-style
+    * data selection): per query, an exact-cosine rank and an
+    * inverted-index lexical rank (rarity-weighted distinct-term
+    * overlap, the integer idf proxy oracle-pinned in `text_tfidf`)
+    * fuse by RRF — score = 1/(60+v_rank) + 1/(60+l_rank), the
+    * Cormack/Clarke constant — and the top-5 fused candidates return.
+    *
+    * Determinism: the vector rank is the integer-exact cosine kernel
+    * of [[annTopk]]; the lexical score is an integer sum of
+    * `(10^6·N) div df` weights; RRF adds two IEEE doubles whose
+    * operands are small integers — every engine computes the same
+    * bits, ties fall to n_id. No transcendentals (a log-idf or BM25
+    * saturation would hash-drift across libm versions while ranking
+    * identically — same trade text_tfidf makes).
+    *
+    * Shape at 100 TB: the query side (10 docs) broadcasts everywhere;
+    * candidate words stream through a broadcast semi-join on the
+    * query term set (the inverted-index probe — only candidates
+    * SHARING a term produce lexical rows), and df weights are looked
+    * up from a broadcast dict restricted to query terms (O(query
+    * vocab), never the corpus vocab). The all-candidate vector rank
+    * here is the spec-exact small-corpus form; at scale the ANN
+    * ladder (annLsh/annIvf/annPq) supplies the vector shortlist and
+    * RRF fuses top-LISTS, with absent ranks contributing nothing —
+    * the fusion stage itself is already O(shortlist). */
+  def annHybrid(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = quantized(s, dir)
+    val txt = Tables.spread(Tables(s, dir, "documents"))
+      .select(col("doc_id").as("vec_id"), col("text"))
+    // the hybrid corpus = items carrying BOTH modalities
+    val items = emb.join(txt, Seq("vec_id"))
+    val q = items.select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+      col("nrm").as("q_nrm")).filter(col("q_id") < 10)
+    val c = items.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+      col("nrm").as("n_nrm"))
+    val wv = Window.partitionBy(col("q_id")).orderBy(col("key").desc, col("n_id"))
+    val vrank = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("key", cosKey(dot(col("q_qv"), col("n_qv")),
+        col("q_nrm") * col("n_nrm")))
+      .withColumn("v_rank", row_number().over(wv).cast("long"))
+      .select(col("q_id"), col("n_id"), col("v_rank"))
+    // lexical: distinct terms per item; weights only for query terms
+    val words = items.select(col("vec_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val qw = words.filter(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "q_id")
+    val dfreq = words.groupBy(col("term"))
+      .agg(countDistinct(col("vec_id")).as("df"))
+    val nItems = items.agg(count(lit(1)).as("n"))
+    val dfq = dfreq.join(broadcast(qw.select(col("term")).distinct()), Seq("term"))
+      .crossJoin(broadcast(nItems))
+      .select(col("term"), expr("(1000000 * n) div df").as("wgt"))
+    val overlap = words.withColumnRenamed("vec_id", "n_id")
+      .join(broadcast(qw), Seq("term"))
+      .filter(col("n_id") =!= col("q_id"))
+      .join(broadcast(dfq), Seq("term"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("wgt")).as("lex_score"))
+    val wl = Window.partitionBy(col("q_id")).orderBy(col("lex_score").desc, col("n_id"))
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("n_id"))
+    vrank.join(overlap, Seq("q_id", "n_id"), "left")
+      .na.fill(0L, Seq("lex_score"))
+      .withColumn("l_rank", row_number().over(wl).cast("long"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60.0) + col("v_rank").cast("double")) +
+          lit(1.0) / (lit(60.0) + col("l_rank").cast("double")))
+      .withColumn("rnk", row_number().over(wf).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("v_rank"), col("l_rank"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   // ------------------------------------------------- random-hyperplane LSH
 
   /** splitmix64 — deterministic driver-side PRNG for hyperplane signs
@@ -536,6 +611,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopk _),
     "ann_filtered" -> (annFiltered _),
+    "ann_hybrid" -> (annHybrid _),
     "ann_lsh" -> ((s, dir) => annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => annIvf(s, dir)),
     "ann_pq" -> ((s, dir) => annPq(s, dir)),
@@ -544,6 +620,66 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // ann_topk's integer-exact cosine kernel + text_tfidf's integer
+    // idf proxy, fused by RRF (1/(60+r) on small-integer operands —
+    // bit-identical IEEE doubles in any engine)
+    "ann_hybrid" ->
+      """WITH it AS (
+        |  SELECT d.doc_id AS id, d.text,
+        |    list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |n AS (
+        |  SELECT id, text, qv,
+        |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM it),
+        |vp AS (
+        |  SELECT q.id AS q_id, d.id AS n_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * d.qv[i])) AS BIGINT) AS dot,
+        |    q.nrm * d.nrm AS pp
+        |  FROM n q JOIN n d ON d.id <> q.id
+        |  WHERE q.id < 10),
+        |vr AS (
+        |  SELECT q_id, n_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY
+        |      (CASE WHEN dot < 0 THEN -1.0 ELSE 1.0 END)
+        |        * (CAST(dot * dot AS DOUBLE) / CAST(pp AS DOUBLE)) DESC,
+        |      n_id) AS BIGINT) AS v_rank
+        |  FROM vp),
+        |w AS (
+        |  SELECT id, unnest(list_distinct(string_split(text, ' '))) AS term FROM it),
+        |dfreq AS (
+        |  SELECT term, count(DISTINCT id) AS df FROM w GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM it),
+        |lx AS (
+        |  SELECT qw.id AS q_id, cw.id AS n_id,
+        |    CAST(sum((1000000 * nn.n) // dfreq.df) AS BIGINT) AS lex_score
+        |  FROM w qw
+        |  JOIN w cw ON cw.term = qw.term AND cw.id <> qw.id
+        |  JOIN dfreq ON dfreq.term = qw.term
+        |  CROSS JOIN nn
+        |  WHERE qw.id < 10
+        |  GROUP BY 1, 2),
+        |lr AS (
+        |  SELECT vr.q_id, vr.n_id, vr.v_rank,
+        |    CAST(COALESCE(lx.lex_score, 0) AS BIGINT) AS lex_score
+        |  FROM vr LEFT JOIN lx ON lx.q_id = vr.q_id AND lx.n_id = vr.n_id),
+        |lrk AS (
+        |  SELECT q_id, n_id, v_rank,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY lex_score DESC, n_id) AS BIGINT) AS l_rank
+        |  FROM lr),
+        |f AS (
+        |  SELECT q_id, n_id, v_rank, l_rank,
+        |    1.0 / (60.0 + CAST(v_rank AS DOUBLE))
+        |      + 1.0 / (60.0 + CAST(l_rank AS DOUBLE)) AS rrf
+        |  FROM lrk),
+        |r AS (
+        |  SELECT q_id, n_id, v_rank, l_rank,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rrf DESC, n_id) AS BIGINT) AS rnk
+        |  FROM f)
+        |SELECT q_id, rnk, n_id, v_rank, l_rank
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // ann_topk's proven integer-exact kernel plus the label predicate
     // in the candidate join (never a post-filter over unfiltered top-k)
     "ann_filtered" ->

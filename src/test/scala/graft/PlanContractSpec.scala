@@ -299,6 +299,45 @@ class PlanContractSpec extends SparkSpec {
     assert(!scan.contains("lang") && !scan.contains("source"))
   }
 
+  test("dedup_spans: window text never shuffles — census and probe key on the 128-bit hash") {
+    val p = plan("dedup_spans")
+    // the instance frame projects (doc_id, h, h2) before any exchange,
+    // so no shuffle may carry the exploded window string
+    p.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+      assert(!l.contains("win#"), s"window text rides a shuffle:\n$l"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the scan reads only what the operator needs
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("doc_id") && scan.contains("text"))
+    assert(!scan.contains("lang") && !scan.contains("source"))
+  }
+
+  test("ann_hybrid: query side and df weights broadcast; all three rank windows partition by query") {
+    val p = plan("ann_hybrid")
+    // queries, query words, and the query-vocab df dict all broadcast;
+    // the candidate corpus never sorts for a join
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      "q / qw / dfq must reach the candidates as broadcasts")
+    assert(!p.contains("CartesianProduct"))
+    // v_rank, l_rank, rrf windows all partition by q_id — a query's
+    // rank list never serializes onto one task with other queries'
+    assert(count(p, "windowspecdefinition\\(q_id#") >= 3,
+      "every rank window must partition by q_id")
+  }
+
+  test("pipeline_select: running sum is a (bucket, source)-PARTITIONED window; offsets broadcast") {
+    val p = plan("pipeline_select")
+    assert(p.contains("Window"), "the prefix cut is a window pass")
+    assert(count(p, "SortMergeJoin") === 0)
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      "the B-row offset census must broadcast back")
+    // partitioned by the range bucket — never one task per source
+    assert("windowspecdefinition\\(bkt#".r.findFirstIn(p).nonEmpty,
+      "the running-sum window must partition by the range bucket")
+    assert(!p.contains("SinglePartition"))
+  }
+
   test("pipeline_shuffle: the within-shard rank is a PARTITIONED window — never a global row_number") {
     val p = plan("pipeline_shuffle")
     assert(count(p, "Join") === 0)

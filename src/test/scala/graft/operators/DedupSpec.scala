@@ -52,6 +52,27 @@ class DedupSpec extends SparkSpec {
     assert(top.tail.forall(_._3 > ham), "an unrelated pair matched the planted hamming")
   }
 
+  test("dedup_spans: planted near-dups are flagged, disjoint docs have zero duplicated windows") {
+    val rows = Dedup.dedupSpans(spark, plantedDir)
+      .select("doc_id", "n_windows", "n_dup", "dup_pct", "flagged")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(rows.length === 42)
+    val byId = rows.map(r => r._1 -> r).toMap
+    // docs 0/1 share all 10-word windows except those crossing the one
+    // changed token (~10 of 111) → ~0.9 duplicated coverage, flagged
+    for (id <- Seq(0L, 1L)) {
+      val (_, nw, nd, pct, fl) = byId(id)
+      assert(nw === 111L, s"doc $id window count")
+      assert(nd >= 90L && nd < nw, s"doc $id n_dup=$nd")
+      assert(pct > 0.5 && fl, s"doc $id must be flagged (pct=$pct)")
+    }
+    // random-vocabulary docs share no window with anyone
+    for (id <- 2L until 42L) {
+      val (_, _, nd, _, fl) = byId(id)
+      assert(nd === 0L && !fl, s"doc $id unexpectedly duplicated")
+    }
+  }
+
   test("dedup_minhash: corpus run is deterministic across invocations") {
     val r1 = Dedup.minhashLsh(spark, sfDir).collect().toSeq
     val r2 = Dedup.minhashLsh(spark, sfDir).collect().toSeq

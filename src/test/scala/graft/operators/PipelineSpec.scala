@@ -210,6 +210,29 @@ class PipelineSpec extends SparkSpec {
     assert(survivors.select("doc_id").as[Long].collect().sorted === Array(12L))
   }
 
+  test("pipeline_select: bucket count is boundary-independent (B=3 ≡ B=64), budgets hold per source") {
+    def rows(b: Int) = Pipeline.budgetSelect(spark, sfDir, buckets = Some(b))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq
+    val a = rows(3)
+    assert(a === rows(64),
+      "selection census must not depend on where range partitioning cut the buckets")
+    assert(a.nonEmpty && a.exists(_._3 > 0), "no source kept anything")
+    a.foreach { case (src, nDocs, nKept, keptToks, cut) =>
+      assert(keptToks <= 50000L, s"source $src blew its token budget")
+      assert(nKept <= nDocs)
+      assert(cut.isDefined === (nKept > 0))
+    }
+    // a tighter budget keeps a (weak) subset of tokens per source
+    val tight = Pipeline.budgetSelect(spark, sfDir, budget = 5000L,
+        buckets = Some(8))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    a.foreach { case (src, _, _, keptToks, _) =>
+      assert(tight(src) <= keptToks,
+        s"source $src kept MORE tokens under a smaller budget")
+    }
+  }
+
   test("pipeline_curriculum: bucket count is boundary-independent (B=3 ≡ B=64) and tracks session parallelism by default") {
     // the bucketed-rank plan must be EXACT for any B — run the same
     // corpus at a tiny and a wide B and demand identical tier tables

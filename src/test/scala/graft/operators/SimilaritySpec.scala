@@ -194,6 +194,50 @@ class SimilaritySpec extends SparkSpec {
     assert(top === ((0L, 1L)), s"expected planted pair (0,1) first, got $top")
   }
 
+  test("ann_hybrid: RRF fusion equals an independent driver-side replay of both rank lists") {
+    val got = Similarity.annHybrid(spark, sfDir)
+      .select("q_id", "rnk", "n_id", "v_rank", "l_rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // independent replay: exact cosine ranks + idf-weighted lexical
+    // ranks + 1/(60+r) fusion, all from raw parquet on the driver
+    val textOf = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .filter { case (id, _) => textOf.contains(id) }
+      .map { case (id, e) =>
+        (id, e.map(x => math.round(x.toDouble * 1000)))
+      }.sortBy(_._1)
+    val nrm = vecs.map { case (id, v) => id -> v.map(x => x * x).sum }.toMap
+    val terms = vecs.map { case (id, _) =>
+      id -> textOf(id).split(" ", -1).distinct.toSet
+    }.toMap
+    val df = terms.values.flatten.groupBy(identity).map { case (t, o) => t -> o.size }
+    val bigN = vecs.length.toLong
+    def wgt(t: String): Long = (1000000L * bigN) / df(t)
+    val expect = vecs.filter(_._1 < 10).flatMap { case (q, qv) =>
+      val ranked = vecs.filter(_._1 != q)
+      val vRank = ranked.map { case (n, nv) =>
+        val d = qv.zip(nv).map { case (a, b) => a * b }.sum
+        val key = (if (d < 0) -1.0 else 1.0) *
+          ((d * d).toDouble / (nrm(q) * nrm(n)).toDouble)
+        (n, key)
+      }.sortBy { case (n, k) => (-k, n) }
+        .zipWithIndex.map { case ((n, _), i) => n -> (i + 1L) }.toMap
+      val lRank = ranked.map { case (n, _) =>
+        n -> terms(q).intersect(terms(n)).toSeq.map(wgt).sum
+      }.sortBy { case (n, sc) => (-sc, n) }
+        .zipWithIndex.map { case ((n, _), i) => n -> (i + 1L) }.toMap
+      ranked.map { case (n, _) =>
+        val rrf = 1.0 / (60.0 + vRank(n)) + 1.0 / (60.0 + lRank(n))
+        (n, rrf)
+      }.sortBy { case (n, r) => (-r, n) }.take(5).zipWithIndex.map {
+        case ((n, _), i) => (q, i + 1L, n, vRank(n), lRank(n))
+      }
+    }.toSeq
+    assert(got.sortBy(r => (r._1, r._2)) === expect.sortBy(r => (r._1, r._2)))
+  }
+
   test("ann_filtered: every neighbor shares the query's label, never a post-filter of the unfiltered top-k") {
     val got = Similarity.annFiltered(spark, sfDir)
       .select("q_id", "rnk", "n_id", "label")
