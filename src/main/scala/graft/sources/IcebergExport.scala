@@ -2382,6 +2382,13 @@ object IcebergRead {
         }
         eqDeletes.foreach { eq =>
           val cols = eq.equalityIds.map(m.fieldNameById)
+          // the spec forbids equality-delete keys on variant columns;
+          // a variant equality join would coerce — refuse, never guess
+          cols.foreach(c => require(
+            !m.schema.fields.exists(f => f.name == c &&
+              f.dataType.isInstanceOf[VariantType]),
+            s"equality-delete key '$c' is a variant column — " +
+              "spec-invalid, refusing"))
           // join on COALESCED key columns: a renamed key's values live
           // under the historical physical name in pre-rename files —
           // joining on the current name alone would read null there
@@ -2502,6 +2509,13 @@ object IcebergRead {
         val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")")
           .split(",").map(_.trim.toInt)
         DecimalType(p, s)
+      // format-v3 `variant`: Iceberg's variant IS the open Parquet
+      // variant encoding (twin metadata/value binaries under a VARIANT
+      // logical annotation), which Spark 4 reads natively as its own
+      // VariantType — so foreign v3 variant columns map 1:1 and flow
+      // through scans, DV/delete anti-joins, and variant_get untouched.
+      // Shredded variants are reassembled by the parquet reader itself.
+      case "variant" => VariantType
       case other => throw new IllegalArgumentException(s"unsupported type $other")
     } else n.get("type").asText() match {
       case "struct" => parseStruct(n)
@@ -2639,6 +2653,22 @@ object IcebergImport {
 
   def importTable(spark: SparkSession, src: String, destRoot: String): LogTable = {
     val m = IcebergRead.load(src)
+    // v3 `variant` columns READ (IcebergRead / iceberg_scan / REST map
+    // them to Spark's native VariantType) but do not IMPORT: graft's
+    // own table model (footer-stat adoption, equality-delete keys, SQL
+    // DDL) does not model variant — exact-or-refuse, never a silent
+    // binary coercion
+    def hasVariant(dt: DataType): Boolean = dt match {
+      case _: VariantType => true
+      case st: StructType => st.fields.exists(f => hasVariant(f.dataType))
+      case at: ArrayType => hasVariant(at.elementType)
+      case mt: MapType => hasVariant(mt.keyType) || hasVariant(mt.valueType)
+      case _ => false
+    }
+    require(!m.schema.fields.exists(f => hasVariant(f.dataType)),
+      "cannot import an Iceberg table with a variant column into a " +
+        "graft table (graft's table model does not store variant) — " +
+        "read it via IcebergRead/iceberg_scan instead")
     // import adopts ONE spec (the default) — a spec-evolved foreign
     // snapshot whose manifests mix specs would need per-file layout
     // adoption graft's manifest doesn't model; the READER handles mixed

@@ -2009,9 +2009,10 @@ class IcebergExportSpec extends SparkSpec {
     val eNest = intercept[IllegalArgumentException](
       IcebergRead.read(spark, root.toString))
     assert(eNest.getMessage.contains("initial-default"))
-    // a v3-only type (variant): refuse as unsupported
+    // a v3-only type with no Spark equivalent (geometry): refuse
+    // (variant now READS — covered by its own fixture test)
     Files.write(metaDir.resolve("v1.metadata.json"), metaJson(extraSchema =
-      """,{"id":3,"name":"v","required":false,"type":"variant"}""")
+      """,{"id":3,"name":"v","required":false,"type":"geometry"}""")
       .getBytes("UTF-8"))
     val eVar = intercept[IllegalArgumentException](
       IcebergRead.read(spark, root.toString))
@@ -2139,6 +2140,142 @@ class IcebergExportSpec extends SparkSpec {
     val v2lin = IcebergRead.read(spark, dest2, withLineage = true)
     assert(v2lin.columns.contains("_row_id"))
     assert(v2lin.filter(col("_row_id").isNotNull).count() === 0L)
+  }
+
+  test("format-v3 VARIANT columns read as native VariantType (scan/SQL/REST); pre-add files null-fill; import refuses") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val root = Paths.get(tmp("ice_v3var_"))
+    val dataDir = root.resolve("data"); Files.createDirectories(dataDir)
+    val metaDir = root.resolve("metadata"); Files.createDirectories(metaDir)
+
+    def onePart(dir: String): (String, Long) = {
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      (f.getAbsolutePath, f.length())
+    }
+    // file A predates the variant column (id only)
+    val pA = dataDir.resolve("a").toString
+    Seq(1L, 2L).toDF("id").coalesce(1).write.mode("overwrite").parquet(pA)
+    val (fA, szA) = onePart(pA)
+    // file B carries it — Spark's native parquet variant encoding,
+    // which IS Iceberg v3's variant physical form
+    val pB = dataDir.resolve("b").toString
+    Seq(10L, 11L).toDF("id").coalesce(1)
+      .withColumn("v", expr(
+        """parse_json(concat('{"a":', id, ',"tag":"t', id, '"}'))"""))
+      .write.mode("overwrite").parquet(pB)
+    val (fB, szB) = onePart(pB)
+
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin)
+    val manifest = metaDir.resolve("m-data.avro").toString
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, new java.io.File(manifest))
+      try Seq((fA, szA), (fB, szB)).foreach { case (p, sz) =>
+        val part = new GenericData.Record(entrySchema.getField("data_file")
+          .schema().getField("partition").schema())
+        val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+        df.put("content", 0); df.put("file_path", p)
+        df.put("file_format", "PARQUET"); df.put("partition", part)
+        df.put("record_count", 2L); df.put("file_size_in_bytes", sz)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1); e.put("snapshot_id", 1L)
+        e.put("sequence_number", 1L); e.put("data_file", df)
+        w.append(e)
+      } finally w.close()
+    }
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin)
+    val list1 = metaDir.resolve("snap-1.avro").toString
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.create(listSchema, new java.io.File(list1))
+      try {
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", manifest)
+        r.put("manifest_length", Files.size(Paths.get(manifest)))
+        r.put("partition_spec_id", 0); r.put("content", 0)
+        r.put("sequence_number", 1L); r.put("added_snapshot_id", 1L)
+        w.append(r); ()
+      } finally w.close()
+    }
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      s"""{"format-version":3,"table-uuid":"f00dcafe-0000-0000-0000-00000000000a",
+         |"location":"$root","last-sequence-number":1,"last-updated-ms":1000,
+         |"last-column-id":2,"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"v","required":false,"type":"variant"}]}],
+         |"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"properties":{},
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         |  {"snapshot-id":1,"timestamp-ms":1000,"sequence-number":1,
+         |   "schema-id":0,"summary":{"operation":"append"},
+         |   "manifest-list":"$list1"}],
+         |"snapshot-log":[{"timestamp-ms":1000,"snapshot-id":1}]}"""
+        .stripMargin.getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+
+    // spec read: native VariantType, values query through variant_get,
+    // pre-add file A rows read null (never a fake empty variant)
+    val df = IcebergRead.read(spark, root.toString)
+    assert(df.schema("v").dataType ===
+      org.apache.spark.sql.types.VariantType)
+    val got = df.selectExpr("id",
+      "variant_get(v, '$.a', 'long') AS a",
+      "variant_get(v, '$.tag', 'string') AS tag")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, None, None), (2L, None, None),
+      (10L, Some(10L), Some("t10")), (11L, Some(11L), Some("t11"))))
+
+    // SQL surface: iceberg_scan serves the variant column
+    assert(GraftSql.exec(spark,
+      s"SELECT count(*) AS n FROM iceberg_scan('$root') " +
+        "WHERE variant_get(v, '$.a', 'long') IS NOT NULL")
+      .head().getLong(0) === 2L)
+
+    // REST-served read: same frame over the wire-carried metadata
+    locally {
+      val cat = IcebergRestCatalog.start()
+      try {
+        cat.register("v3v", "t", root.toString)
+        val rest = IcebergRead.readRest(spark, cat.uri, "v3v", "t")
+          .selectExpr("id", "variant_get(v, '$.a', 'long') AS a")
+          .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+        assert(rest === Seq((1L, None), (2L, None),
+          (10L, Some(10L)), (11L, Some(11L))))
+      } finally cat.close()
+    }
+
+    // import refuses: graft's table model does not store variant
+    val eImp = intercept[IllegalArgumentException](
+      IcebergImport.importTable(spark, root.toString, tmp("ice_v3var_imp_")))
+    assert(eImp.getMessage.contains("variant"))
   }
 
   test("format-v3 ROW LINEAGE inheritance: null entry ids derive from the manifest list's first_row_id + preceding ADDED record counts") {
