@@ -2200,6 +2200,44 @@ object IcebergRead {
     readMeta(spark, loadMeta(meta, snapId), withLineage)
   }
 
+  /** Read a VIEW served over the Iceberg REST catalog protocol: GET
+    * the LoadViewResult, pick the current version's SQL representation
+    * by dialect preference (exact-or-refuse — executing a dialect this
+    * engine doesn't speak would silently compute something else), and
+    * run it in the session. View SQL resolves relations against the
+    * SESSION's catalog/temp views, exactly as the view spec intends
+    * (a view stores TEXT plus the defaults to resolve it under — the
+    * serving engine provides the relations). */
+  def readRestView(spark: SparkSession, catalogUri: String,
+      namespace: String, view: String,
+      dialects: Seq[String] = Seq("spark")): DataFrame = {
+    val url = s"$catalogUri/v1/namespaces/$namespace/views/$view"
+    val resp = java.net.http.HttpClient.newHttpClient().send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"REST catalog answered ${resp.statusCode()} for $url: ${resp.body()}")
+    val meta = mapper.readTree(resp.body()).get("metadata")
+    require(meta != null && !meta.isNull,
+      s"LoadViewResult from $url carries no inline metadata")
+    val cur = meta.get("current-version-id").asInt()
+    val version = meta.get("versions").elements().asScala
+      .find(_.get("version-id").asInt() == cur)
+      .getOrElse(throw new IllegalArgumentException(
+        s"view $namespace.$view: current-version-id $cur not in versions"))
+    val reps = version.get("representations").elements().asScala
+      .filter(_.get("type").asText() == "sql")
+      .map(r => r.get("dialect").asText() -> r.get("sql").asText()).toSeq
+    val sql = dialects.collectFirst {
+      case d if reps.exists(_._1 == d) => reps.find(_._1 == d).get._2
+    }.getOrElse(throw new IllegalArgumentException(
+      s"view $namespace.$view has no SQL representation in dialects " +
+        s"${dialects.mkString(", ")} (has: ${reps.map(_._1).mkString(", ")})" +
+        " — refusing to execute a foreign dialect"))
+    spark.sql(sql)
+  }
+
   /** The scan half of [[read]], over an already-parsed [[IceMeta]] —
     * shared with the REST-catalog read path, where the metadata came
     * over HTTP rather than from the version-hint walk. */

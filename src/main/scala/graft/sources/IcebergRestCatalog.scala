@@ -29,6 +29,22 @@ import scala.jdk.CollectionConverters._
   *   POST /v1/namespaces/{ns}/tables/{t}           → commitTable
   *   DELETE /v1/namespaces/{ns}/tables/{t}         → dropTable
   *   POST /v1/tables/rename                        → renameTable
+  *   GET/POST /v1/namespaces/{ns}/views            → list / createView
+  *   GET/HEAD /v1/namespaces/{ns}/views/{v}        → LoadViewResult
+  *   POST /v1/namespaces/{ns}/views/{v}            → replaceView
+  *   DELETE /v1/namespaces/{ns}/views/{v}          → dropView
+  *   POST /v1/views/rename                         → renameView
+  *
+  * VIEWS (the Iceberg VIEW spec over the OpenAPI /views routes): the
+  * service authors format-version-1 view metadata (view-uuid, schemas,
+  * versions carrying SQL representations, version-log) and persists it
+  * with the same vN.metadata.json + version-hint recipe as tables, so
+  * any spec reader can follow the metadata-location. Tables and views
+  * share ONE identifier space (cross-kind name conflicts 409, renames
+  * check both). Replace commits run under the same per-name lock with
+  * `assert-view-uuid` (stale → 409) and the add-schema /
+  * add-view-version / set-current-view-version update model including
+  * the spec's -1 "added by this commit" sentinels.
   *
   * The LoadTableResult re-reads dest's CURRENT vN.metadata.json per
   * request (version-hint walk), so a continuous-mirror re-export is
@@ -112,6 +128,12 @@ object IcebergRestCatalog {
       * loads/lists until then — the spec's two-phase CTAS). */
     val staged =
       new java.util.concurrent.ConcurrentHashMap[(String, String), ObjectNode]()
+    /** (ns, view) → view location (Iceberg VIEW spec metadata served
+      * over the OpenAPI /views routes). Views share the (ns, name)
+      * lock space with tables, so a same-name table/view create pair
+      * serializes and the name-conflict checks cannot race. */
+    val views =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
     /** Explicitly-created namespaces and their properties (namespaces
       * of registered tables are implicit members of the listing). */
     val namespaces = new java.util.concurrent.ConcurrentHashMap[
@@ -136,11 +158,13 @@ object IcebergRestCatalog {
     @volatile var requireAuth: Boolean = false
 
     def nsNames: Seq[String] =
-      (registry.keySet().asScala.map(_._1) ++ namespaces.keySet().asScala)
+      (registry.keySet().asScala.map(_._1) ++
+        views.keySet().asScala.map(_._1) ++ namespaces.keySet().asScala)
         .toSeq.distinct.sorted
     def nsExists(ns: String): Boolean =
       namespaces.containsKey(ns) ||
-        registry.keySet().asScala.exists(_._1 == ns)
+        registry.keySet().asScala.exists(_._1 == ns) ||
+        views.keySet().asScala.exists(_._1 == ns)
   }
 
   /** Start on an ephemeral loopback port. With `requireAuth = true`,
@@ -324,9 +348,10 @@ object IcebergRestCatalog {
           if (!state.nsExists(ns))
             error(x, 404, "NoSuchNamespaceException", s"namespace '$ns' not found")
           else if (registry.keySet().asScala.exists(_._1 == ns) ||
-              state.staged.keySet().asScala.exists(_._1 == ns))
+              state.staged.keySet().asScala.exists(_._1 == ns) ||
+              state.views.keySet().asScala.exists(_._1 == ns))
             error(x, 409, "NamespaceNotEmptyException",
-              s"namespace '$ns' still holds tables")
+              s"namespace '$ns' still holds tables or views")
           else {
             state.namespaces.remove(ns)
             x.sendResponseHeaders(204, -1); x.close()
@@ -458,6 +483,73 @@ object IcebergRestCatalog {
               json(x, 200, root.toString)
           }
 
+        case ("GET", List("v1", "namespaces", ns, "views")) =>
+          if (!state.nsExists(ns))
+            error(x, 404, "NoSuchNamespaceException", s"namespace '$ns' not found")
+          else {
+            val root = mapper.createObjectNode()
+            val arr = root.putArray("identifiers")
+            val (slice, next) = page(
+              state.views.keySet().asScala.filter(_._1 == ns)
+                .map(_._2).toSeq.sorted, params(x))
+            slice.foreach { v =>
+              val id = arr.addObject()
+              id.putArray("namespace").add(ns)
+              id.put("name", v)
+              ()
+            }
+            next.foreach(t => root.put("next-page-token", t))
+            json(x, 200, root.toString)
+          }
+
+        case ("POST", List("v1", "namespaces", ns, "views")) =>
+          createView(x, state, ns)
+
+        case ("POST", List("v1", "namespaces", ns, "views", v)) =>
+          commitView(x, state, ns, v)
+
+        case (m @ ("GET" | "HEAD"), List("v1", "namespaces", ns, "views", v)) =>
+          state.views.get((ns, v)) match {
+            case null =>
+              error(x, 404, "NoSuchViewException", s"view '$ns.$v' not found")
+            case _ if m == "HEAD" =>
+              x.sendResponseHeaders(200, -1); x.close()
+            case dest =>
+              val (mp, meta) = currentMetadata(dest)
+              val root = mapper.createObjectNode()
+              root.put("metadata-location", mp)
+              root.set[ObjectNode]("metadata", meta)
+              json(x, 200, root.toString)
+          }
+
+        case ("DELETE", List("v1", "namespaces", ns, t0, v))
+            if t0 == "views" =>
+          val key = (ns, v)
+          state.lockFor(key).synchronized {
+            if (state.views.remove(key) == null)
+              error(x, 404, "NoSuchViewException", s"view '$ns.$v' not found")
+            else {
+              x.sendResponseHeaders(204, -1); x.close()
+            }
+          }
+
+        case ("POST", List("v1", "views", "rename")) =>
+          val b = body(x)
+          def ident(n: com.fasterxml.jackson.databind.JsonNode)
+              : Option[(String, String)] =
+            for {
+              node <- Option(n)
+              nsArr <- Option(node.get("namespace")) if nsArr.size() == 1
+              nm <- Option(node.get("name"))
+            } yield (nsArr.get(0).asText(), nm.asText())
+          (ident(b.get("source")), ident(b.get("destination"))) match {
+            case (Some(src), Some(dst)) => renameView(x, state, src, dst)
+            case _ =>
+              error(x, 400, "BadRequestException",
+                "rename needs 'source' and 'destination' identifiers, " +
+                  "each with a SINGLE-LEVEL namespace")
+          }
+
         case (m, _) =>
           error(x, 404, "NoSuchRouteException",
             s"no route $m ${x.getRequestURI.getPath}")
@@ -497,6 +589,9 @@ object IcebergRestCatalog {
             state.staged.containsKey(dst))
           error(x, 409, "AlreadyExistsException",
             s"table '${dst._1}.${dst._2}' already exists")
+        else if (state.views.containsKey(dst))
+          error(x, 409, "AlreadyExistsException",
+            s"a view named '${dst._1}.${dst._2}' already exists")
         else {
           // PUT-then-REMOVE: load routes read the registry lock-free,
           // so the transient state must be "briefly visible under both
@@ -511,6 +606,276 @@ object IcebergRestCatalog {
             state.staged.remove(src)
           }
           if (state.owned.remove(src)) { state.owned.add(dst); () }
+          x.sendResponseHeaders(204, -1); x.close()
+        }
+      }
+    }
+  }
+
+  /** POST /v1/namespaces/{ns}/views — the OpenAPI CreateViewRequest:
+    * the SERVICE authors the Iceberg VIEW-spec metadata (format-version
+    * 1: view-uuid, schemas, versions with SQL representations,
+    * version-log) and persists it at the request's explicit location
+    * with the same vN.metadata.json + version-hint recipe tables use.
+    * Representations must be `type: "sql"` with both `sql` and
+    * `dialect` (exact-or-refuse — a representation this server can't
+    * model must not round-trip silently emptied). A name held by a
+    * table answers 409: the spec shares one identifier space. */
+  private def createView(x: HttpExchange, state: State, ns: String): Unit = {
+    if (!state.nsExists(ns)) {
+      error(x, 404, "NoSuchNamespaceException", s"namespace '$ns' not found")
+      return
+    }
+    val b = body(x)
+    val name = Option(b.get("name")).map(_.asText()).getOrElse("")
+    val schema = Option(b.get("schema")).orNull
+    val vv = Option(b.get("view-version")).orNull
+    if (name.isEmpty || schema == null || vv == null) {
+      error(x, 400, "BadRequestException",
+        "createView needs 'name', 'schema' and 'view-version'")
+      return
+    }
+    val reps = Option(vv.get("representations")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    if (reps.isEmpty || reps.exists(r =>
+        !Option(r.get("type")).map(_.asText()).contains("sql") ||
+          Option(r.get("sql")).forall(_.asText().isEmpty) ||
+          Option(r.get("dialect")).forall(_.asText().isEmpty))) {
+      error(x, 400, "BadRequestException",
+        "view-version needs at least one representation, each " +
+          "{type: \"sql\", sql, dialect}")
+      return
+    }
+    val key = (ns, name)
+    state.lockFor(key).synchronized {
+      if (state.views.containsKey(key)) {
+        error(x, 409, "AlreadyExistsException",
+          s"view '$ns.$name' already exists")
+        return
+      }
+      if (state.registry.containsKey(key) || state.staged.containsKey(key)) {
+        error(x, 409, "AlreadyExistsException",
+          s"a table named '$ns.$name' already exists — tables and views " +
+            "share one identifier space")
+        return
+      }
+      val location = Option(b.get("location")).map(_.asText()).getOrElse {
+        error(x, 400, "BadRequestException",
+          "createView needs an explicit 'location' (this catalog has " +
+            "no warehouse root)")
+        return
+      }
+      val now = System.currentTimeMillis()
+      val meta = mapper.createObjectNode()
+      meta.put("view-uuid", java.util.UUID.randomUUID().toString)
+      meta.put("format-version", 1)
+      meta.put("location", location)
+      val s0 = schema.deepCopy[ObjectNode]()
+      s0.put("schema-id", 0)
+      meta.set[ObjectNode]("schemas", mapper.createArrayNode().add(s0))
+      val v1 = mapper.createObjectNode()
+      v1.put("version-id", 1)
+      v1.put("schema-id", 0)
+      v1.put("timestamp-ms",
+        Option(vv.get("timestamp-ms")).map(_.asLong()).getOrElse(now))
+      v1.set[ObjectNode]("summary",
+        Option(vv.get("summary")).map(_.deepCopy[ObjectNode]()).getOrElse {
+          val su = mapper.createObjectNode()
+          su.put("operation", "create"); su
+        })
+      val ra = v1.putArray("representations")
+      reps.foreach { r => ra.add(r.deepCopy[ObjectNode]()); () }
+      Option(vv.get("default-catalog"))
+        .foreach(c => v1.put("default-catalog", c.asText()))
+      v1.set[ObjectNode]("default-namespace",
+        Option(vv.get("default-namespace"))
+          .map(_.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+          .getOrElse(mapper.createArrayNode().add(ns)))
+      meta.put("current-version-id", 1)
+      meta.set[ObjectNode]("versions", mapper.createArrayNode().add(v1))
+      val log1 = mapper.createObjectNode()
+      log1.put("timestamp-ms", v1.get("timestamp-ms").asLong())
+      log1.put("version-id", 1)
+      meta.set[ObjectNode]("version-log", mapper.createArrayNode().add(log1))
+      val props = meta.putObject("properties")
+      Option(b.get("properties")).foreach(_.properties().asScala
+        .foreach(e => props.put(e.getKey, e.getValue.asText())))
+      val mp = persist(location, meta, version = 1)
+      state.views.put(key, location)
+      val root = mapper.createObjectNode()
+      root.put("metadata-location", mp)
+      root.set[ObjectNode]("metadata", meta)
+      json(x, 200, root.toString)
+    }
+  }
+
+  /** POST /v1/namespaces/{ns}/views/{v} — replace a view (the spec's
+    * commit shape: requirements assert against CURRENT state, updates
+    * build the next metadata, vN+1 persists under the view's lock).
+    * Supported: `assert-view-uuid`; `assign-uuid` (must match),
+    * `set-properties`/`remove-properties`, `set-location`,
+    * `add-schema`, `add-view-version`, `set-current-view-version`
+    * (with the spec's -1 = "the one this commit added" sentinels).
+    * Unknown requirement/update types answer 400 — a silently-dropped
+    * update would commit a DIFFERENT view than the client asked for. */
+  private def commitView(x: HttpExchange, state: State,
+      ns: String, v: String): Unit = {
+    val key = (ns, v)
+    state.lockFor(key).synchronized {
+      val dest = state.views.get(key)
+      if (dest == null) {
+        error(x, 404, "NoSuchViewException", s"view '$ns.$v' not found")
+        return
+      }
+      val b = body(x)
+      // views keep no metadata-log: the version-log IS the view's
+      // lineage record per the view spec
+      val (_, meta) = currentMetadata(dest)
+      for (r <- Option(b.get("requirements")).toSeq
+          .flatMap(_.elements().asScala)) {
+        r.get("type").asText() match {
+          case "assert-view-uuid" =>
+            val want = r.get("uuid").asText()
+            val have = meta.get("view-uuid").asText()
+            if (want != have) {
+              error(x, 409, "CommitFailedException",
+                s"requirement failed: view uuid is $have, not $want")
+              return
+            }
+          case other =>
+            error(x, 400, "BadRequestException",
+              s"unsupported view requirement '$other'")
+            return
+        }
+      }
+      var lastAddedSchema: Option[Int] = None
+      var lastAddedVersion: Option[Int] = None
+      def versionIds: Set[Int] = meta.get("versions").elements().asScala
+        .map(_.get("version-id").asInt()).toSet
+      for (u <- Option(b.get("updates")).toSeq
+          .flatMap(_.elements().asScala)) {
+        u.get("action").asText() match {
+          case "assign-uuid" =>
+            if (u.get("uuid").asText() != meta.get("view-uuid").asText()) {
+              error(x, 400, "BadRequestException",
+                "assign-uuid must match the view's existing uuid")
+              return
+            }
+          case "set-properties" =>
+            val props = meta.withObject("/properties")
+            Option(u.get("updates")).foreach(_.properties().asScala
+              .foreach(e => props.put(e.getKey, e.getValue.asText())))
+          case "remove-properties" =>
+            val props = meta.withObject("/properties")
+            Option(u.get("removals")).toSeq
+              .flatMap(_.elements().asScala)
+              .foreach(k => props.remove(k.asText()))
+          case "set-location" =>
+            meta.put("location", u.get("location").asText()); ()
+          case "add-schema" =>
+            val ids = meta.get("schemas").elements().asScala
+              .map(_.get("schema-id").asInt()).toSeq
+            val next = if (ids.isEmpty) 0 else ids.max + 1
+            val sn = u.get("schema").deepCopy[ObjectNode]()
+            sn.put("schema-id", next)
+            meta.withArray[ArrayNode]("schemas").add(sn)
+            lastAddedSchema = Some(next)
+          case "add-view-version" =>
+            val vv = u.get("view-version")
+            val reps = Option(vv.get("representations")).toSeq
+              .flatMap(_.elements().asScala).toSeq
+            if (reps.isEmpty || reps.exists(r =>
+                !Option(r.get("type")).map(_.asText()).contains("sql"))) {
+              error(x, 400, "BadRequestException",
+                "view-version needs sql representations")
+              return
+            }
+            val nid = versionIds.max + 1
+            val nv = vv.deepCopy[ObjectNode]()
+            nv.put("version-id", nid)
+            val sid = Option(vv.get("schema-id")).map(_.asInt()).getOrElse(-1)
+            val resolved =
+              if (sid == -1) lastAddedSchema.getOrElse {
+                error(x, 400, "BadRequestException",
+                  "schema-id -1 needs an add-schema earlier in this commit")
+                return
+              } else sid
+            if (!meta.get("schemas").elements().asScala
+                .exists(_.get("schema-id").asInt() == resolved)) {
+              error(x, 400, "BadRequestException",
+                s"view-version references unknown schema-id $resolved")
+              return
+            }
+            nv.put("schema-id", resolved)
+            if (!nv.has("timestamp-ms"))
+              nv.put("timestamp-ms", System.currentTimeMillis())
+            if (!nv.has("default-namespace"))
+              nv.set[ObjectNode]("default-namespace",
+                mapper.createArrayNode().add(ns))
+            meta.withArray[ArrayNode]("versions").add(nv)
+            lastAddedVersion = Some(nid)
+          case "set-current-view-version" =>
+            val want = u.get("view-version-id").asInt()
+            val resolved =
+              if (want == -1) lastAddedVersion.getOrElse {
+                error(x, 400, "BadRequestException",
+                  "view-version-id -1 needs an add-view-version earlier " +
+                    "in this commit")
+                return
+              } else want
+            if (!versionIds.contains(resolved)) {
+              error(x, 400, "BadRequestException",
+                s"unknown view-version-id $resolved")
+              return
+            }
+            meta.put("current-version-id", resolved)
+            val le = meta.withArray[ArrayNode]("version-log").addObject()
+            le.put("timestamp-ms", System.currentTimeMillis())
+            le.put("version-id", resolved)
+            ()
+          case other =>
+            error(x, 400, "BadRequestException",
+              s"unsupported view update '$other'")
+            return
+        }
+      }
+      val hint = new String(Files.readAllBytes(Paths.get(dest)
+          .resolve("metadata").resolve("version-hint.text")),
+        StandardCharsets.UTF_8).trim.toInt
+      val mp = persist(dest, meta, version = hint + 1)
+      val root = mapper.createObjectNode()
+      root.put("metadata-location", mp)
+      root.set[ObjectNode]("metadata", meta)
+      json(x, 200, root.toString)
+    }
+  }
+
+  /** POST /v1/views/rename — registry-level move, same lock ordering
+    * and put-then-remove visibility rules as table rename; the
+    * destination must be free in BOTH identifier spaces. */
+  private def renameView(x: HttpExchange, state: State,
+      src: (String, String), dst: (String, String)): Unit = {
+    val ord = implicitly[Ordering[(String, String)]]
+    val (first, second) =
+      if (ord.lteq(src, dst)) (src, dst) else (dst, src)
+    state.lockFor(first).synchronized {
+      state.lockFor(second).synchronized {
+        val dest = Option(state.views.get(src))
+        if (dest.isEmpty)
+          error(x, 404, "NoSuchViewException",
+            s"view '${src._1}.${src._2}' not found")
+        else if (state.views.containsKey(dst))
+          error(x, 409, "AlreadyExistsException",
+            s"view '${dst._1}.${dst._2}' already exists")
+        else if (state.registry.containsKey(dst) ||
+            state.staged.containsKey(dst))
+          error(x, 409, "AlreadyExistsException",
+            s"a table named '${dst._1}.${dst._2}' already exists")
+        else {
+          dest.foreach { d =>
+            state.views.put(dst, d)
+            state.views.remove(src)
+          }
           x.sendResponseHeaders(204, -1); x.close()
         }
       }
@@ -602,6 +967,12 @@ object IcebergRestCatalog {
           s"table '$ns.$name' already exists")
         return
       }
+      if (state.views.containsKey(key)) {
+        error(x, 409, "AlreadyExistsException",
+          s"a view named '$ns.$name' already exists — tables and views " +
+            "share one identifier space")
+        return
+      }
       state.registry.put(key, dest)
       val root = mapper.createObjectNode()
       root.put("metadata-location", curPath)
@@ -637,6 +1008,12 @@ object IcebergRestCatalog {
     state.lockFor(key).synchronized {
       if (state.registry.containsKey(key) || state.staged.containsKey(key)) {
         error(x, 409, "AlreadyExistsException", s"table '$ns.$name' already exists")
+        return
+      }
+      if (state.views.containsKey(key)) {
+        error(x, 409, "AlreadyExistsException",
+          s"a view named '$ns.$name' already exists — tables and views " +
+            "share one identifier space")
         return
       }
       val location = Option(b.get("location")).map(_.asText()).getOrElse {

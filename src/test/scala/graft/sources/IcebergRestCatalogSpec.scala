@@ -808,4 +808,148 @@ class IcebergRestCatalogSpec extends SparkSpec {
       assert(mapper.readTree(bRefs2).get("metadata").get("snapshots").size() === 1)
     } finally cat.close()
   }
+
+  test("VIEWS over REST: create/list/load/replace/rename/drop; spec metadata on disk; dialect-gated execution; one identifier space with tables") {
+    def delete(url: String): Int =
+      http.send(HttpRequest.newBuilder(URI.create(url)).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+    def head(url: String): Int =
+      http.send(HttpRequest.newBuilder(URI.create(url))
+        .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody())
+        .build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+
+    // the relation the view's SQL resolves against (the view spec
+    // stores TEXT + resolution defaults; the serving engine provides
+    // the relations — here a session temp view)
+    Seq(("a", 1L), ("a", 2L), ("b", 3L), ("drop", 4L))
+      .toDF("s", "x").createOrReplaceTempView("rest_view_base")
+
+    val cat = IcebergRestCatalog.start()
+    try {
+      val (nsc, _) = post(s"${cat.uri}/v1/namespaces", """{"namespace":["vw"]}""")
+      assert(nsc === 200)
+      // a real table shares the namespace → identifier-space conflicts
+      val t = LogTable(spark, tmp("rest_vw_tbl_"))
+      t.append(Seq((1L, "z")).toDF("id", "s"))
+      val texp = tmp("rest_vw_exp_")
+      IcebergExport.export(t, texp)
+      cat.register("vw", "t", texp)
+
+      val loc = tmp("rest_vw_loc_")
+      val createBody =
+        s"""{"name":"v_census","location":"$loc",
+           |"schema":{"type":"struct","fields":[
+           |  {"id":1,"name":"s","required":false,"type":"string"},
+           |  {"id":2,"name":"n","required":false,"type":"long"}]},
+           |"view-version":{"version-id":1,"schema-id":0,"timestamp-ms":12345,
+           |  "summary":{"operation":"create"},
+           |  "representations":[
+           |    {"type":"sql","dialect":"spark",
+           |     "sql":"SELECT s, count(*) AS n FROM rest_view_base GROUP BY s ORDER BY s"},
+           |    {"type":"sql","dialect":"trino",
+           |     "sql":"SELECT s, count(*) AS n FROM rest_view_base GROUP BY 1 ORDER BY 1"}],
+           |  "default-namespace":["vw"]},
+           |"properties":{"comment":"census"}}""".stripMargin
+      val (cc, cb) = post(s"${cat.uri}/v1/namespaces/vw/views", createBody)
+      assert(cc === 200, cb)
+      val created = mapper.readTree(cb)
+      val uuid = created.get("metadata").get("view-uuid").asText()
+      assert(uuid.nonEmpty)
+      assert(created.get("metadata-location").asText()
+        .endsWith("v1.metadata.json"))
+      assert(created.get("metadata").get("current-version-id").asInt() === 1)
+      // spec metadata is ON DISK at the location (any reader can
+      // follow the pointer without this server)
+      assert(Files.exists(java.nio.file.Paths.get(loc)
+        .resolve("metadata").resolve("v1.metadata.json")))
+
+      // duplicate create 409; name held by a TABLE 409 (one id space)
+      assert(post(s"${cat.uri}/v1/namespaces/vw/views", createBody)._1 === 409)
+      assert(post(s"${cat.uri}/v1/namespaces/vw/views",
+        createBody.replace("v_census", "t"))._1 === 409)
+      // and a table create under the VIEW's name 409s too
+      val (tcc, tcb) = post(s"${cat.uri}/v1/namespaces/vw/tables",
+        s"""{"name":"v_census","location":"${tmp("rest_vw_tloc_")}",
+           |"schema":{"type":"struct","fields":[
+           |  {"id":1,"name":"id","required":false,"type":"long"}]}}"""
+          .stripMargin)
+      assert(tcc === 409, tcb)
+
+      // list + HEAD
+      val (_, lb) = get(s"${cat.uri}/v1/namespaces/vw/views")
+      val ids = mapper.readTree(lb).get("identifiers")
+      assert(ids.size() === 1 && ids.get(0).get("name").asText() === "v_census")
+      assert(head(s"${cat.uri}/v1/namespaces/vw/views/v_census") === 200)
+      assert(head(s"${cat.uri}/v1/namespaces/vw/views/nope") === 404)
+
+      // execution through the dialect gate: spark representation runs,
+      // an unknown dialect refuses (never executes foreign SQL)
+      val got = IcebergRead.readRestView(spark, cat.uri, "vw", "v_census")
+        .as[(String, Long)].collect().toSeq
+      assert(got === Seq(("a", 2L), ("b", 1L), ("drop", 1L)))
+      val eDia = intercept[IllegalArgumentException](
+        IcebergRead.readRestView(spark, cat.uri, "vw", "v_census",
+          dialects = Seq("duckdb")))
+      assert(eDia.getMessage.contains("dialect"))
+
+      // REPLACE: assert-view-uuid + add-schema/add-view-version with
+      // the -1 sentinels; version-log grows; execution follows
+      val replaceBody =
+        s"""{"requirements":[{"type":"assert-view-uuid","uuid":"$uuid"}],
+           |"updates":[
+           |  {"action":"set-properties","updates":{"comment":"v2"}},
+           |  {"action":"add-schema","schema":{"type":"struct","fields":[
+           |    {"id":1,"name":"s","required":false,"type":"string"},
+           |    {"id":2,"name":"n","required":false,"type":"long"}]}},
+           |  {"action":"add-view-version","view-version":{
+           |    "version-id":0,"schema-id":-1,"timestamp-ms":23456,
+           |    "summary":{"operation":"replace"},
+           |    "representations":[{"type":"sql","dialect":"spark",
+           |      "sql":"SELECT s, count(*) AS n FROM rest_view_base WHERE s <> 'drop' GROUP BY s ORDER BY s"}],
+           |    "default-namespace":["vw"]}},
+           |  {"action":"set-current-view-version","view-version-id":-1}]}"""
+          .stripMargin
+      val (rc, rb) = post(s"${cat.uri}/v1/namespaces/vw/views/v_census",
+        replaceBody)
+      assert(rc === 200, rb)
+      val rmeta = mapper.readTree(rb)
+      assert(rmeta.get("metadata-location").asText()
+        .endsWith("v2.metadata.json"))
+      assert(rmeta.get("metadata").get("current-version-id").asInt() === 2)
+      assert(rmeta.get("metadata").get("version-log").size() === 2)
+      assert(rmeta.get("metadata").get("properties")
+        .get("comment").asText() === "v2")
+      val got2 = IcebergRead.readRestView(spark, cat.uri, "vw", "v_census")
+        .as[(String, Long)].collect().toSeq
+      assert(got2 === Seq(("a", 2L), ("b", 1L)))
+
+      // stale uuid → 409, view unchanged
+      val (sc2, sb2) = post(s"${cat.uri}/v1/namespaces/vw/views/v_census",
+        replaceBody.replace(uuid, "00000000-0000-0000-0000-000000000000"))
+      assert(sc2 === 409, sb2)
+      val (_, after) = get(s"${cat.uri}/v1/namespaces/vw/views/v_census")
+      assert(mapper.readTree(after).get("metadata-location").asText()
+        .endsWith("v2.metadata.json"))
+
+      // rename: onto a free name 204; onto the TABLE's name 409
+      assert(post(s"${cat.uri}/v1/views/rename",
+        """{"source":{"namespace":["vw"],"name":"v_census"},
+          |"destination":{"namespace":["vw"],"name":"t"}}""".stripMargin)
+        ._1 === 409)
+      assert(post(s"${cat.uri}/v1/views/rename",
+        """{"source":{"namespace":["vw"],"name":"v_census"},
+          |"destination":{"namespace":["vw"],"name":"v2"}}""".stripMargin)
+        ._1 === 204)
+      assert(head(s"${cat.uri}/v1/namespaces/vw/views/v_census") === 404)
+      assert(IcebergRead.readRestView(spark, cat.uri, "vw", "v2")
+        .as[(String, Long)].collect().toSeq === Seq(("a", 2L), ("b", 1L)))
+
+      // namespace with views refuses to drop; drop view; then 404s
+      assert(delete(s"${cat.uri}/v1/namespaces/vw") === 409)
+      assert(delete(s"${cat.uri}/v1/namespaces/vw/views/v2") === 204)
+      assert(delete(s"${cat.uri}/v1/namespaces/vw/views/v2") === 404)
+      val (_, lb2) = get(s"${cat.uri}/v1/namespaces/vw/views")
+      assert(mapper.readTree(lb2).get("identifiers").size() === 0)
+    } finally cat.close()
+  }
 }
