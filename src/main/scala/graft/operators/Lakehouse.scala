@@ -1104,6 +1104,71 @@ object Lakehouse {
                           // access is direct file I/O (spec shape)
   }
 
+  /** REST VIEWS end to end, oracle-gated: a view is CREATED over the
+    * wire (the service authors Iceberg view-spec metadata at an
+    * explicit location), REPLACED once through the commit model
+    * (assert-view-uuid + add-view-version + the -1 sentinel), and
+    * executed via the dialect-gated consumer — the result must equal
+    * DuckDB running the view's FINAL SQL semantics directly on the
+    * corpus. The lifecycle covers what a Trino-style engine does when
+    * it publishes and evolves a view against the catalog. */
+  def lakeView(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergRead, IcebergRestCatalog}
+    Tables.events(s, dir).createOrReplaceTempView("graft_lake_view_base")
+    val cat = IcebergRestCatalog.start()
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(url: String, body: String): com.fasterxml.jackson.databind.JsonNode = {
+        val r = http.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(url))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() == 200 || r.statusCode() == 204,
+          s"$url -> ${r.statusCode()}: ${r.body()}")
+        if (r.body().isEmpty) om.createObjectNode() else om.readTree(r.body())
+      }
+      post(s"${cat.uri}/v1/namespaces", """{"namespace":["analytics"]}""")
+      val loc = graft.Scratch.dir("graft_lake_view_loc_").toString
+      val v1sql = "SELECT event_type, count(*) AS n, " +
+        "count(DISTINCT user_id) AS n_users " +
+        "FROM graft_lake_view_base GROUP BY event_type ORDER BY event_type"
+      val created = post(s"${cat.uri}/v1/namespaces/analytics/views",
+        s"""{"name":"event_census","location":"$loc",
+           |"schema":{"type":"struct","fields":[
+           |  {"id":1,"name":"event_type","required":false,"type":"string"},
+           |  {"id":2,"name":"n","required":false,"type":"long"},
+           |  {"id":3,"name":"n_users","required":false,"type":"long"}]},
+           |"view-version":{"version-id":1,"schema-id":0,
+           |  "summary":{"operation":"create"},
+           |  "representations":[{"type":"sql","dialect":"spark",
+           |    "sql":"${v1sql.replace("\"", "\\\"")}"}],
+           |  "default-namespace":["analytics"]}}""".stripMargin)
+      val uuid = created.get("metadata").get("view-uuid").asText()
+      // evolve the view over the wire: v2 keeps only event types seen
+      // at least twice (the commit model's -1 sentinel resolves the
+      // version this same commit added)
+      val v2sql = "SELECT event_type, count(*) AS n, " +
+        "count(DISTINCT user_id) AS n_users " +
+        "FROM graft_lake_view_base GROUP BY event_type " +
+        "HAVING count(*) >= 2 ORDER BY event_type"
+      post(s"${cat.uri}/v1/namespaces/analytics/views/event_census",
+        s"""{"requirements":[{"type":"assert-view-uuid","uuid":"$uuid"}],
+           |"updates":[
+           |  {"action":"add-view-version","view-version":{
+           |    "version-id":0,"schema-id":0,
+           |    "summary":{"operation":"replace"},
+           |    "representations":[{"type":"sql","dialect":"spark",
+           |      "sql":"${v2sql.replace("\"", "\\\"")}"}],
+           |    "default-namespace":["analytics"]}},
+           |  {"action":"set-current-view-version","view-version-id":-1}]}"""
+          .stripMargin)
+      IcebergRead.readRestView(s, cat.uri, "analytics", "event_census")
+    } finally cat.close() // the SQL text is already resolved into the
+                          // session plan; relations are session-local
+  }
+
   /** The Iceberg-spec murmur3 bucket layout end to end, oracle-gated:
     * an mbucket(16, user_id) table answers point lookups through the
     * bucket prune on BOTH sides of the seam — graft's own scan and
@@ -1164,6 +1229,7 @@ object Lakehouse {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_rest" -> (lakeRest _),
+    "lake_view" -> (lakeView _),
     "lake_mbucket" -> (lakeMbucket _),
     "lake_hist_mor" -> (lakeHistMor _),
     "lake_iceberg" -> (lakeIceberg _),
@@ -1209,6 +1275,12 @@ object Lakehouse {
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the view's FINAL (replaced) SQL semantics, straight on the corpus
+    "lake_view" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type HAVING count(*) >= 2
+        |ORDER BY event_type""".stripMargin,
     "lake_mbucket" ->
       """SELECT via, user_id, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
