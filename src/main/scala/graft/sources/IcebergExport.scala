@@ -157,7 +157,7 @@ object IcebergExport {
     * through the per-field rename history), so the same logical field
     * carries the same id in every exported schema version. */
   def export(table: LogTable, dest: String, history: Boolean = false,
-      formatVersion: Int = 2): Path = {
+      formatVersion: Int = 2, partitionStats: Boolean = false): Path = {
     require(formatVersion == 2 || formatVersion == 3,
       s"only Iceberg format-version 2 or 3 can be written, got $formatVersion")
     val versions =
@@ -1398,6 +1398,84 @@ object IcebergExport {
         }
       }
     }
+    // PARTITION STATISTICS (the spec's partition-statistics files —
+    // the per-partition rollup a CBO-driven foreign engine reads
+    // instead of walking manifests): opt-in, one parquet for the
+    // CURRENT snapshot with the spec's exact schema and reserved
+    // field ids (partition=1, spec_id=2, data_record_count=3,
+    // data_file_count=4, total_data_file_size_in_bytes=5; partition
+    // members keep their partition-field ids). The partition struct
+    // is the spec's UNIFIED type — every field of every exported
+    // spec, sorted by field id; a file whose spec lacks a field
+    // contributes null there. Opt-in keeps the default export
+    // byte-identical to prior rounds. At scale the rollup is
+    // O(files) driver metadata — the same order as the manifest
+    // write itself.
+    if (partitionStats) {
+      require(specPFields.exists(_.nonEmpty),
+        "partition statistics need a partitioned table — an " +
+          "unpartitioned table's totals are already exported in the " +
+          "snapshot summary (total-records / total-data-files)")
+      val unified: Seq[PField] = specPFields.flatten
+        .groupBy(_.fieldId).values.map(_.head).toSeq.sortBy(_.fieldId)
+      val grouped = cur.files.groupBy { f =>
+        val si = specIdxOfFile(f)
+        (si, unified.map { pf =>
+          if (!specPFields(si).exists(_.fieldId == pf.fieldId)) null
+          else f.partitions.get(pf.graftKey) match {
+            case None | Some(IcebergRead.NullDir) => null
+            case Some(x) => pf.toIceberg(x)
+          }
+        })
+      }.toSeq
+      val statRows: Seq[Row] = grouped.map { case ((si, tuple), fs) =>
+        Row(Row(tuple: _*), si, fs.map(_.rows).sum, fs.size,
+          fs.map(_.bytes).sum)
+      }.sortBy(_.toString)
+      def fidMeta(id: Long) = new MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+      val statsSchema = StructType(Seq(
+        StructField("partition", StructType(unified.map(pf =>
+          StructField(pf.name, pf.resultType, nullable = true,
+            fidMeta(pf.fieldId.toLong)))), nullable = false, fidMeta(1L)),
+        StructField("spec_id", IntegerType, nullable = false, fidMeta(2L)),
+        StructField("data_record_count", LongType, nullable = false,
+          fidMeta(3L)),
+        StructField("data_file_count", IntegerType, nullable = false,
+          fidMeta(4L)),
+        StructField("total_data_file_size_in_bytes", LongType,
+          nullable = false, fidMeta(5L))))
+      val sess = table.spark
+      val stage = Files.createTempDirectory("ice_pstats_stage_")
+      val key = "spark.sql.parquet.fieldId.write.enabled"
+      IcebergExport.fieldIdConfLock.synchronized {
+        val prev = sess.conf.getOption(key)
+        sess.conf.set(key, "true")
+        try sess.createDataFrame(statRows.asJava, statsSchema).coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        finally prev match {
+          case Some(v) => sess.conf.set(key, v)
+          case None => sess.conf.unset(key)
+        }
+      }
+      val src = scala.util.Using.resource(Files.walk(stage)) { ws =>
+        ws.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq match {
+            case Seq(one) => one
+            case other => throw new IllegalStateException(
+              s"expected one partition-stats parquet, got ${other.size}")
+          }
+      }
+      val target = metaDir.resolve(
+        s"partition-stats-${cur.version}-${java.util.UUID.randomUUID()}.parquet")
+      Files.move(src, target)
+      LogTable.deleteRecursively(stage)
+      val ps = root.putArray("partition-statistics").addObject()
+      ps.put("snapshot-id", cur.version)
+      ps.put("statistics-path", target.toString)
+      ps.put("file-size-in-bytes", Files.size(target))
+      ()
+    }
     root.set[ObjectNode]("metadata-log", mapper.createArrayNode())
     // METADATA VERSIONING (HadoopTables convention): a re-export into
     // the same dest writes the NEXT vN.metadata.json and bumps the
@@ -2200,6 +2278,30 @@ object IcebergRead {
     readMeta(spark, loadMeta(meta, snapId), withLineage)
   }
 
+  /** The table's registered partition-statistics file for its CURRENT
+    * snapshot, read back as a frame (the spec's schema: unified
+    * `partition` struct, `spec_id`, `data_record_count`,
+    * `data_file_count`, `total_data_file_size_in_bytes`). Refuses when
+    * the metadata registers none — absence of statistics is a fact,
+    * not an empty frame (a CBO consumer must fall back to manifests,
+    * not trust a fabricated zero-row answer). */
+  def partitionStats(spark: SparkSession, src: String): DataFrame = {
+    val metaDir = Paths.get(src).resolve("metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text")),
+      StandardCharsets.UTF_8).trim
+    val meta = mapper.readTree(Files.readAllBytes(
+      metaDir.resolve(s"v$hint.metadata.json")))
+    val curSnap = meta.get("current-snapshot-id").asLong()
+    val entry = Option(meta.get("partition-statistics")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("snapshot-id").asLong() == curSnap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table at $src registers no partition-statistics file for its " +
+          s"current snapshot $curSnap — compute from manifests instead"))
+    spark.read.parquet(entry.get("statistics-path").asText())
+  }
+
   /** Read a VIEW served over the Iceberg REST catalog protocol: GET
     * the LoadViewResult, pick the current version's SQL representation
     * by dialect preference (exact-or-refuse — executing a dialect this
@@ -2226,8 +2328,12 @@ object IcebergRead {
       .find(_.get("version-id").asInt() == cur)
       .getOrElse(throw new IllegalArgumentException(
         s"view $namespace.$view: current-version-id $cur not in versions"))
+    // tolerate foreign catalogs' partial representations: only fully-
+    // formed sql entries are candidates (a missing dialect/sql can
+    // never be safely executed anyway)
     val reps = version.get("representations").elements().asScala
-      .filter(_.get("type").asText() == "sql")
+      .filter(r => Option(r.get("type")).exists(_.asText() == "sql") &&
+        r.hasNonNull("dialect") && r.hasNonNull("sql"))
       .map(r => r.get("dialect").asText() -> r.get("sql").asText()).toSeq
     val sql = dialects.collectFirst {
       case d if reps.exists(_._1 == d) => reps.find(_._1 == d).get._2

@@ -483,6 +483,15 @@ object IcebergRestCatalog {
               json(x, 200, root.toString)
           }
 
+        case ("POST", List("v1", "namespaces", ns, "tables", t, "metrics")) =>
+          // the OpenAPI reportMetrics sink: spec clients POST scan/commit
+          // reports after reads — acknowledge (204) so a conformant
+          // client never degrades to warn-and-retry; this catalog keeps
+          // no metrics store (loopback verification endpoint)
+          if (registry.get((ns, t)) == null)
+            error(x, 404, "NoSuchTableException", s"table '$ns.$t' not found")
+          else { x.sendResponseHeaders(204, -1); x.close() }
+
         case ("GET", List("v1", "namespaces", ns, "views")) =>
           if (!state.nsExists(ns))
             error(x, 404, "NoSuchNamespaceException", s"namespace '$ns' not found")
@@ -784,10 +793,15 @@ object IcebergRestCatalog {
             val vv = u.get("view-version")
             val reps = Option(vv.get("representations")).toSeq
               .flatMap(_.elements().asScala).toSeq
+            // same validation as create: a representation this server
+            // can't model must not land half-formed for later readers
             if (reps.isEmpty || reps.exists(r =>
-                !Option(r.get("type")).map(_.asText()).contains("sql"))) {
+                !Option(r.get("type")).map(_.asText()).contains("sql") ||
+                  Option(r.get("sql")).forall(_.asText().isEmpty) ||
+                  Option(r.get("dialect")).forall(_.asText().isEmpty))) {
               error(x, 400, "BadRequestException",
-                "view-version needs sql representations")
+                "view-version needs at least one representation, each " +
+                  "{type: \"sql\", sql, dialect}")
               return
             }
             val nid = versionIds.max + 1

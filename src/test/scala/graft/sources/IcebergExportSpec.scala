@@ -2142,6 +2142,79 @@ class IcebergExportSpec extends SparkSpec {
     assert(v2lin.filter(col("_row_id").isNotNull).count() === 0L)
   }
 
+  test("partition statistics export: spec schema + reserved field ids, per-snapshot registration, manifest-rollup parity; unpartitioned refuses; default export carries none") {
+    val t = LogTable(spark, tmp("ice_pstats_"), partitionBy = Seq("lang"))
+    t.append(Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("id", "lang"))
+    t.append(Seq((4L, "en"), (5L, "fr")).toDF("id", "lang"))
+    val dest = tmp("ice_pstats_out_")
+    IcebergExport.export(t, dest, partitionStats = true)
+
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = om.readTree(Files.readAllBytes(Paths.get(dest)
+      .resolve("metadata").resolve("v1.metadata.json")))
+    val ps = meta.get("partition-statistics")
+    assert(ps != null && ps.size() === 1)
+    assert(ps.get(0).get("snapshot-id").asLong() === t.currentVersion)
+    val statsPath = ps.get(0).get("statistics-path").asText()
+    assert(Files.exists(Paths.get(statsPath)))
+    assert(ps.get(0).get("file-size-in-bytes").asLong()
+      === Files.size(Paths.get(statsPath)))
+
+    // rollup parity: the stats file must equal an independent rollup
+    // of the table's own per-file metadata
+    val got = IcebergRead.partitionStats(spark, dest)
+      .selectExpr("partition.lang AS lang", "spec_id",
+        "data_record_count", "data_file_count",
+        "total_data_file_size_in_bytes")
+      .as[(String, Int, Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val expect = t.snapshot(t.currentVersion).files
+      .groupBy(_.partitions("lang")).map { case (l, fs) =>
+        (l, 0, fs.map(_.rows).sum, fs.size, fs.map(_.bytes).sum)
+      }.toSeq.sortBy(_._1)
+    assert(got === expect)
+    assert(got.find(_._1 == "en").exists(r => r._3 === 3L && r._4 === 2))
+
+    // the spec's RESERVED field ids ride the parquet footer (what a
+    // foreign reader resolves columns by), partition members keep
+    // their partition-field ids (1000+)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(statsPath),
+      spark.sessionState.newHadoopConf())
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val msg = rdr.getFooter.getFileMetaData.getSchema
+      val topIds = msg.getFields.asScala
+        .map(f => f.getName -> f.getId.intValue()).toMap
+      assert(topIds === Map("partition" -> 1, "spec_id" -> 2,
+        "data_record_count" -> 3, "data_file_count" -> 4,
+        "total_data_file_size_in_bytes" -> 5))
+      val pGroup = msg.getFields.asScala
+        .find(_.getName == "partition").get.asGroupType()
+      assert(pGroup.getFields.asScala.map(f =>
+        f.getName -> f.getId.intValue()).toMap === Map("lang" -> 1000))
+    } finally rdr.close()
+
+    // default export stays byte-stable: no partition-statistics key,
+    // and the reader REFUSES rather than fabricating an empty frame
+    val dest2 = tmp("ice_pstats_off_")
+    IcebergExport.export(t, dest2)
+    val meta2 = om.readTree(Files.readAllBytes(Paths.get(dest2)
+      .resolve("metadata").resolve("v1.metadata.json")))
+    assert(meta2.get("partition-statistics") == null)
+    val eNone = intercept[IllegalArgumentException](
+      IcebergRead.partitionStats(spark, dest2))
+    assert(eNone.getMessage.contains("partition-statistics"))
+
+    // unpartitioned: refuse at export (the snapshot summary already
+    // carries the table totals)
+    val u = LogTable(spark, tmp("ice_pstats_u_"))
+    u.append(Seq((1L, "x")).toDF("id", "s"))
+    val eU = intercept[IllegalArgumentException](
+      IcebergExport.export(u, tmp("ice_pstats_u_out_"),
+        partitionStats = true))
+    assert(eU.getMessage.contains("partition statistics"))
+  }
+
   test("format-v3 VARIANT columns read as native VariantType (scan/SQL/REST); pre-add files null-fill; import refuses") {
     import org.apache.avro.Schema
     import org.apache.avro.file.DataFileWriter

@@ -944,6 +944,13 @@ class IcebergRestCatalogSpec extends SparkSpec {
       assert(IcebergRead.readRestView(spark, cat.uri, "vw", "v2")
         .as[(String, Long)].collect().toSeq === Seq(("a", 2L), ("b", 1L)))
 
+      // reportMetrics sink: a spec client's post-scan report is
+      // acknowledged, never 404-degraded; unknown tables still 404
+      assert(post(s"${cat.uri}/v1/namespaces/vw/tables/t/metrics",
+        """{"report-type":"scan-report"}""")._1 === 204)
+      assert(post(s"${cat.uri}/v1/namespaces/vw/tables/nope/metrics",
+        "{}")._1 === 404)
+
       // namespace with views refuses to drop; drop view; then 404s
       assert(delete(s"${cat.uri}/v1/namespaces/vw") === 409)
       assert(delete(s"${cat.uri}/v1/namespaces/vw/views/v2") === 204)
