@@ -1169,6 +1169,30 @@ object Lakehouse {
                           // session plan; relations are session-local
   }
 
+  /** Partition statistics end to end, oracle-gated: a day-partitioned
+    * table exports with the spec's partition-statistics file, the
+    * stats parquet reads back through the spec reader, and the
+    * per-partition record counts must equal DuckDB grouping the raw
+    * corpus by the same day arithmetic — a drifted rollup (or a
+    * partition value decoded under the wrong transform encoding)
+    * breaks the hash. File counts and byte totals are physical-layout
+    * facts the oracle cannot see; they're spec-tested instead. */
+  def lakePstats(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergExport, IcebergRead, Transform}
+    val tmp = graft.Scratch.dir("graft_lake_ps_").toString
+    val table = LogTable(s, tmp, hiddenBy = Seq(Transform.day("ts_us")))
+    table.append(Tables.events(s, dir))
+    val dest = graft.Scratch.dir("graft_lake_ps_ice_").toString
+    IcebergExport.export(table, dest, partitionStats = true)
+    // the µs-long day layout exports as truncate[86400000000]: the
+    // stored stats value is dayIndex·86400000000 — divide back to the
+    // day ordinal the oracle can recompute from the raw timestamps
+    IcebergRead.partitionStats(s, dest)
+      .select(expr("partition.ts_us_day div 86400000000").as("day_ord"),
+        col("data_record_count").as("n_rows"))
+      .orderBy(col("day_ord"))
+  }
+
   /** The Iceberg-spec murmur3 bucket layout end to end, oracle-gated:
     * an mbucket(16, user_id) table answers point lookups through the
     * bucket prune on BOTH sides of the seam — graft's own scan and
@@ -1230,6 +1254,7 @@ object Lakehouse {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_rest" -> (lakeRest _),
     "lake_view" -> (lakeView _),
+    "lake_pstats" -> (lakePstats _),
     "lake_mbucket" -> (lakeMbucket _),
     "lake_hist_mor" -> (lakeHistMor _),
     "lake_iceberg" -> (lakeIceberg _),
@@ -1275,6 +1300,13 @@ object Lakehouse {
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // per-day record counts recomputed from the raw timestamps (the
+    // same floor-to-day arithmetic the truncate[86400000000] layout
+    // stores)
+    "lake_pstats" ->
+      """SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_ord,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the view's FINAL (replaced) SQL semantics, straight on the corpus
     "lake_view" ->
       """SELECT event_type, count(*) AS n,
