@@ -49,6 +49,10 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *     `t VERSION AS OF 3`, `t TIMESTAMP AS OF <epoch-ms |
   *     'yyyy-MM-dd HH:mm:ss' UTC>` all become snapshot-scoped temp
   *     views, so time travel composes with arbitrary SELECT syntax.
+  *     Iceberg-seam table functions rewrite the same way:
+  *     `iceberg_scan(path [, id | 'ref'])`, `iceberg_snapshots(path)`,
+  *     `iceberg_stats(path)`, `iceberg_partition_stats(path)`,
+  *     `rest_view(uri, ns, view)`.
   *
   * Everything routes to the EXISTING copy-on-write machinery — the
   * parser only extracts (table, condition, clause) and hands Catalyst
@@ -973,6 +977,30 @@ object GraftSql {
         import spark.implicits._
         IcebergStatistics.ndvStats(m.group(1)).toSeq.sorted
           .toDF("col_name", "ndv").createOrReplaceTempView(view)
+        repls += ((m.start, m.end, view))
+      }
+    // iceberg_partition_stats('<path>') — the current snapshot's
+    // registered partition-statistics file (the spec's CBO rollup);
+    // refuses when none is registered (absence is a fact)
+    for (m <- """(?i)iceberg_partition_stats\s*\(\s*'([^']+)'\s*\)"""
+        .r.findAllMatchIn(stmt))
+      if (!inLiteral(m.start)) {
+        val view = "iceberg_pstats__at_" +
+          java.lang.Integer.toHexString(m.matched.hashCode).replace('-', 'n')
+        IcebergRead.partitionStats(spark, m.group(1))
+          .createOrReplaceTempView(view)
+        repls += ((m.start, m.end, view))
+      }
+    // rest_view('<catalog-uri>', '<namespace>', '<view>') — execute a
+    // REST-catalog view's current SQL representation (dialect-gated:
+    // spark only from this surface) as a table function
+    for (m <- """(?i)rest_view\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*\)"""
+        .r.findAllMatchIn(stmt))
+      if (!inLiteral(m.start)) {
+        val view = "rest_view__at_" +
+          java.lang.Integer.toHexString(m.matched.hashCode).replace('-', 'n')
+        IcebergRead.readRestView(spark, m.group(1), m.group(2), m.group(3))
+          .createOrReplaceTempView(view)
         repls += ((m.start, m.end, view))
       }
     // iceberg_scan('<path>' [, <snapshot-id> | '<ref>']) — read an

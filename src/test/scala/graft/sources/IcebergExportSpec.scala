@@ -2194,6 +2194,13 @@ class IcebergExportSpec extends SparkSpec {
         f.getName -> f.getId.intValue()).toMap === Map("lang" -> 1000))
     } finally rdr.close()
 
+    // SQL surface: the same rollup as a table function
+    val sqlGot = GraftSql.exec(spark,
+      s"SELECT partition.lang AS lang, data_record_count " +
+        s"FROM iceberg_partition_stats('$dest') ORDER BY lang")
+      .as[(String, Long)].collect().toSeq
+    assert(sqlGot === expect.map(e => (e._1, e._3)))
+
     // default export stays byte-stable: no partition-statistics key,
     // and the reader REFUSES rather than fabricating an empty frame
     val dest2 = tmp("ice_pstats_off_")

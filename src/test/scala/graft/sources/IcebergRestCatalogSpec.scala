@@ -944,6 +944,12 @@ class IcebergRestCatalogSpec extends SparkSpec {
       assert(IcebergRead.readRestView(spark, cat.uri, "vw", "v2")
         .as[(String, Long)].collect().toSeq === Seq(("a", 2L), ("b", 1L)))
 
+      // SQL surface: the view as a table function, same dialect gate
+      val sqlGot = GraftSql.exec(spark,
+        s"SELECT * FROM rest_view('${cat.uri}', 'vw', 'v2') WHERE n >= 1")
+        .as[(String, Long)].collect().toSeq
+      assert(sqlGot === Seq(("a", 2L), ("b", 1L)))
+
       // reportMetrics sink: a spec client's post-scan report is
       // acknowledged, never 404-degraded; unknown tables still 404
       assert(post(s"${cat.uri}/v1/namespaces/vw/tables/t/metrics",
