@@ -345,14 +345,23 @@ object Dedup {
       .select(col("doc_id"),
         xxhash64(col("win")).as("h"),
         xxhash64(lit(0x9E3779B97F4A7C15L), col("win")).as("h2"))
-    val tot = inst.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    // fold instances to one row per (window, doc) FIRST: every
+    // downstream consumer derives from this census, so the exploded
+    // corpus is scanned once and its (h, h2, doc_id) exchange is
+    // shared (ReuseExchange — the three subplans are identical),
+    // instead of three independent explode passes over the text
+    val perDocWin = inst.groupBy(col("h"), col("h2"), col("doc_id"))
+      .agg(count(lit(1)).as("m"))
+    val tot = perDocWin.groupBy(col("doc_id"))
+      .agg(sum(col("m")).cast("long").as("n_windows"))
     // windows seen in >= 2 distinct docs (within-doc repeats are NOT
-    // duplication evidence — boilerplate is a cross-doc phenomenon)
-    val dup = inst.groupBy(col("h"), col("h2"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+    // duplication evidence — boilerplate is a cross-doc phenomenon);
+    // rows per (h, h2) group ARE distinct docs here
+    val dup = perDocWin.groupBy(col("h"), col("h2"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("h"), col("h2"))
-    val hits = inst.join(dup, Seq("h", "h2"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    val hits = perDocWin.join(dup, Seq("h", "h2"))
+      .groupBy(col("doc_id")).agg(sum(col("m")).cast("long").as("n_dup"))
     tot.join(hits, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_dup"))
       .withColumn("dup_pct", col("n_dup").cast("double") / col("n_windows"))

@@ -460,11 +460,13 @@ object Pipeline {
     val sums = bucketed.groupBy(col("bkt"), col("source"))
       .agg(sum(col("n_words")).as("toks"))
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    val offRows = sums.keys.toSeq.map { case (bkt, src) =>
-      val off = sums.collect {
-        case ((b2, s2), t) if s2 == src && b2 < bkt => t
-      }.sum
-      (bkt, src, off)
+    // per-source prefix sums over bucket order — O(B·S log B) driver
+    // work (B session-derived, S = live sources; both bounded)
+    val offRows = sums.keys.toSeq.groupBy(_._2).toSeq.flatMap {
+      case (src, ks) =>
+        val ordered = ks.map(_._1).sorted
+        val offs = ordered.map(b => sums((b, src))).scanLeft(0L)(_ + _)
+        ordered.zip(offs).map { case (b, off) => (b, src, off) }
     }
     import s.implicits._
     val offDf = offRows.toDF("bkt", "source", "off")
