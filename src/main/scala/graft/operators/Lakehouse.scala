@@ -1110,7 +1110,7 @@ object Lakehouse {
     * (assert-view-uuid + add-view-version + the -1 sentinel), and
     * executed via the dialect-gated consumer — the result must equal
     * DuckDB running the view's FINAL SQL semantics directly on the
-    * corpus. The lifecycle covers what a Trino-style engine does when
+    * corpus. The lifecycle covers what a foreign SQL engine does when
     * it publishes and evolves a view against the catalog. */
   def lakeView(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{IcebergRead, IcebergRestCatalog}

@@ -846,7 +846,7 @@ class IcebergRestCatalogSpec extends SparkSpec {
            |  "representations":[
            |    {"type":"sql","dialect":"spark",
            |     "sql":"SELECT s, count(*) AS n FROM rest_view_base GROUP BY s ORDER BY s"},
-           |    {"type":"sql","dialect":"trino",
+           |    {"type":"sql","dialect":"ansi",
            |     "sql":"SELECT s, count(*) AS n FROM rest_view_base GROUP BY 1 ORDER BY 1"}],
            |  "default-namespace":["vw"]},
            |"properties":{"comment":"census"}}""".stripMargin
