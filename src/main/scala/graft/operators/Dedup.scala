@@ -426,8 +426,50 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The line-dedup REWRITE pass — the step that actually PRODUCES the
+    * cleaned training corpus (dedup_lines reports the per-doc stats;
+    * this emits the text a tokenizer would consume): every ≥30-char
+    * line survives only at its first global occurrence, shorter lines
+    * always survive, and each doc's surviving lines reassemble in
+    * original order. Docs whose every line was boilerplate come back
+    * as empty strings (they still exist — dropping them is a separate
+    * quality gate's decision).
+    *
+    * Shape at 100 TB: this is a corpus REWRITE, so line text must
+    * cross the wire once — O(corpus) shuffle bytes is the floor for
+    * any pass that outputs text. The first-occurrence mark is the
+    * dedup_lines window keyed by the same 128-bit double-xxhash64
+    * identity (text rides as data, never as the key), short lines
+    * bypass the window entirely, and reassembly is one O(docs)
+    * aggregation — no joins back against the corpus. */
+  def cleanLines(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = Tables.spread(docs(s, dir))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("gord", col("doc_id") * lit(1000000L) + col("pos") + lit(1L))
+    val cand = lines.filter(length(col("line")) >= MinDedupLineLen)
+      .withColumn("h", xxhash64(col("line")))
+      .withColumn("h2", xxhash64(lit(0x9E3779B97F4A7C15L), col("line")))
+      .withColumn("keep", col("gord") === min(col("gord"))
+        .over(Window.partitionBy(col("h"), col("h2"))))
+      .drop("h", "h2")
+    val short = lines.filter(length(col("line")) < MinDedupLineLen)
+      .withColumn("keep", lit(true))
+    cand.unionByName(short)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("keep"), struct(col("gord"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_lines" -> (dedupLines _),
+    "dedup_clean" -> (cleanLines _),
     "dedup_exact" -> (exact _),
     "dedup_windows" -> (windowCensus _),
     "dedup_spans" -> (dedupSpans _),
@@ -461,6 +503,29 @@ object Dedup {
         |SELECT doc_id, count(*) AS n_lines,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN keep THEN length(line) ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the rewrite pass: same keep rule as dedup_lines, then the kept
+    // lines reassemble in gord order (string_agg skips the CASE's
+    // NULLs exactly as collect_list skips Spark's; all-dropped docs
+    // coalesce to '' on both sides)
+    "dedup_clean" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ord
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, line, doc_id * 1000000 + ord AS gord,
+        |    CASE WHEN length(line) >= 30 THEN
+        |      doc_id * 1000000 + ord =
+        |        min(doc_id * 1000000 + ord) OVER (PARTITION BY line)
+        |    ELSE TRUE END AS keep
+        |  FROM l)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+        |    ORDER BY gord), '') AS clean_text,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // range(1, n) is EXCLUSIVE of n ↔ Spark sequence(1, n-1) inclusive;
     // list_slice clamps at the list end exactly as Spark's slice.

@@ -73,6 +73,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_clean: rewrite keeps first occurrences, reassembles in order, empties all-boilerplate docs") {
+    val d = Files.createTempDirectory("clean_docs_").toString
+    val bp = "this boilerplate sentence is well over thirty characters long"
+    val bp2 = "another boilerplate sentence also well over thirty characters"
+    val uA = "unique alpha line that is longer than thirty characters"
+    val uB = "unique beta line that is also longer than thirty chars!"
+    val rows = Seq(
+      (0L, s"$bp\n$uA\nok"),  // all first occurrences; 'ok' short → kept
+      (1L, s"$bp\n$uB\nok"),  // bp already seen → dropped
+      (2L, s"$bp2\n$bp2"),    // within-doc repeat: first kept, second dropped
+      (3L, bp))               // all-boilerplate → empty string, doc SURVIVES
+      .map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = Dedup.cleanLines(spark, d)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, s"$bp\n$uA\nok", 3L, 3L),
+      (1L, s"$uB\nok", 3L, 2L),
+      (2L, bp2, 2L, 1L),
+      (3L, "", 1L, 0L)))
+  }
+
   test("dedup_minhash: corpus run is deterministic across invocations") {
     val r1 = Dedup.minhashLsh(spark, sfDir).collect().toSeq
     val r2 = Dedup.minhashLsh(spark, sfDir).collect().toSeq
