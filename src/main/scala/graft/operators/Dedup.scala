@@ -330,12 +330,13 @@ object Dedup {
     * Shape at 100 TB: windows are hashed to TWO independent 64-bit
     * xxhash64 keys BEFORE any shuffle (the dedup_lines trick — an
     * effectively 128-bit identity, expected false merges ~n²/2¹²⁹ ≈ 0
-    * at 10^10 windows), so window TEXT never crosses the wire; the
-    * duplicated-window census is one map-side-combined hash agg whose
-    * exchange is O(distinct windows), and the probe joins instances
-    * back on the SAME (h, h2) key, so the census-side exchange is
-    * reused and the join is hash-co-partitioned — never an all-pairs
-    * or text-keyed stage anywhere. Per-doc rollups are O(docs). */
+    * at 10^10 windows), so window TEXT never crosses the wire, and
+    * the corpus is scanned+exploded exactly ONCE: instances fold
+    * map-side to (window, doc, multiplicity) census rows — the only
+    * corpus-sized exchange — the ≥2-distinct-docs test is a COUNT
+    * window over the window key (no second census, no join back),
+    * and the per-doc rollup is O(docs). Never an all-pairs or
+    * text-keyed stage anywhere. */
   def dedupSpans(s: SparkSession, dir: String): DataFrame = {
     val inst = Tables.spread(docs(s, dir))
       .withColumn("ws", split(col("text"), " "))
@@ -345,25 +346,25 @@ object Dedup {
       .select(col("doc_id"),
         xxhash64(col("win")).as("h"),
         xxhash64(lit(0x9E3779B97F4A7C15L), col("win")).as("h2"))
-    // fold instances to one row per (window, doc) FIRST: every
-    // downstream consumer derives from this census, so the exploded
-    // corpus is scanned once and its (h, h2, doc_id) exchange is
-    // shared (ReuseExchange — the three subplans are identical),
-    // instead of three independent explode passes over the text
+    // SINGLE-PASS shape — the corpus is scanned and exploded exactly
+    // once: (1) fold instances to one row per (window, doc) with its
+    // multiplicity m (map-side-combined hash agg — the only
+    // corpus-sized exchange); (2) the distinct-doc count per window is
+    // a COUNT window over (h, h2) — rows per group ARE distinct docs
+    // here, so no second census and no join back; (3) one O(docs)
+    // rollup. Within-doc repeats are NOT duplication evidence
+    // (boilerplate is a cross-doc phenomenon) but they count toward
+    // the doc's window total with multiplicity.
     val perDocWin = inst.groupBy(col("h"), col("h2"), col("doc_id"))
       .agg(count(lit(1)).as("m"))
-    val tot = perDocWin.groupBy(col("doc_id"))
-      .agg(sum(col("m")).cast("long").as("n_windows"))
-    // windows seen in >= 2 distinct docs (within-doc repeats are NOT
-    // duplication evidence — boilerplate is a cross-doc phenomenon);
-    // rows per (h, h2) group ARE distinct docs here
-    val dup = perDocWin.groupBy(col("h"), col("h2"))
-      .agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"), col("h2"))
-    val hits = perDocWin.join(dup, Seq("h", "h2"))
-      .groupBy(col("doc_id")).agg(sum(col("m")).cast("long").as("n_dup"))
-    tot.join(hits, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_dup"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"), col("h2"))
+    perDocWin
+      .withColumn("nd", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).cast("long").as("n_windows"),
+        sum(when(col("nd") >= 2, col("m")).otherwise(0L))
+          .cast("long").as("n_dup"))
       .withColumn("dup_pct", col("n_dup").cast("double") / col("n_windows"))
       .withColumn("flagged", col("dup_pct") >= 0.5)
       .select(col("doc_id"), col("n_windows"), col("n_dup"),

@@ -299,14 +299,20 @@ class PlanContractSpec extends SparkSpec {
     assert(!scan.contains("lang") && !scan.contains("source"))
   }
 
-  test("dedup_spans: window text never shuffles — census and probe key on the 128-bit hash") {
+  test("dedup_spans: ONE corpus scan, window text never shuffles, no join back") {
     val p = plan("dedup_spans")
+    // single-pass contract: the corpus is scanned and exploded exactly
+    // once (a census+probe formulation re-derives the explode per
+    // consumer — three corpus scans at 100 TB)
+    assert(count(p, "FileScan parquet") === 1, "corpus must scan once")
+    assert(count(p, "Generate explode") === 1, "explode must run once")
+    assert(count(p, "Join") === 0, "no join back against the corpus")
     // the instance frame projects (doc_id, h, h2) before any exchange,
     // so no shuffle may carry the exploded window string
     p.linesIterator.filter(_.contains("Exchange")).foreach(l =>
       assert(!l.contains("win#"), s"window text rides a shuffle:\n$l"))
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SinglePartition"),
+      "the distinct-doc window must partition by the window hash")
     // the scan reads only what the operator needs
     val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
     assert(scan.contains("doc_id") && scan.contains("text"))
