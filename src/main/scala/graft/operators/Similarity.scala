@@ -136,12 +136,33 @@ object Similarity {
     * RRF fuses top-LISTS, with absent ranks contributing nothing —
     * the fusion stage itself is already O(shortlist). */
   def annHybrid(s: SparkSession, dir: String): DataFrame = {
+    val (fused, items) = annHybridPlan(s, dir)
+    // materialize the ≤5·|queries|-row answer NOW so the persisted
+    // index frame releases before returning (the q_ntile lifecycle)
+    val rows = fused.collect().toIndexedSeq
+    items.unpersist(blocking = false)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), fused.schema)
+  }
+
+  /** The lazy (fused-plan, persisted-index) pair behind [[annHybrid]] —
+    * separated so the plan-contract spec can assert the shape without
+    * materializing; callers own the index handle's unpersist. */
+  private[graft] def annHybridPlan(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val emb = quantized(s, dir)
     val txt = Tables.spread(Tables(s, dir, "documents"))
       .select(col("doc_id").as("vec_id"), col("text"))
-    // the hybrid corpus = items carrying BOTH modalities
+    // the hybrid corpus = items carrying BOTH modalities. PERSISTED:
+    // seven consumers derive from this frame (queries, candidates,
+    // words, the df census, …) and per-consumer pruning defeats
+    // exchange reuse — uncached, the two-table join re-scans per
+    // consumer (plan-probed: 14 FileScans). This is the "hybrid index
+    // materialization" every retrieval stack performs; released below
+    // via the q_ntile collect-then-unpersist lifecycle (the result is
+    // ≤ 5·|queries| rows).
     val items = emb.join(txt, Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = items.select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
       col("nrm").as("q_nrm")).filter(col("q_id") < 10)
     val c = items.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
@@ -171,7 +192,7 @@ object Similarity {
       .agg(sum(col("wgt")).as("lex_score"))
     val wl = Window.partitionBy(col("q_id")).orderBy(col("lex_score").desc, col("n_id"))
     val wf = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("n_id"))
-    vrank.join(overlap, Seq("q_id", "n_id"), "left")
+    val fused = vrank.join(overlap, Seq("q_id", "n_id"), "left")
       .na.fill(0L, Seq("lex_score"))
       .withColumn("l_rank", row_number().over(wl).cast("long"))
       .withColumn("rrf",
@@ -181,6 +202,7 @@ object Similarity {
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("n_id"), col("v_rank"), col("l_rank"))
       .orderBy(col("q_id"), col("rnk"))
+    (fused, items)
   }
 
   // ------------------------------------------------- random-hyperplane LSH
