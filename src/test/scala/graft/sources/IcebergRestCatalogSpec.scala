@@ -600,6 +600,82 @@ class IcebergRestCatalogSpec extends SparkSpec {
     } finally cat.close()
   }
 
+  test("views under concurrency: loads during a rename ping-pong never 5xx; racing replaces admit exactly one per uuid epoch") {
+    val cat = IcebergRestCatalog.start()
+    try {
+      post(s"${cat.uri}/v1/namespaces", """{"namespace":["cv"]}""")
+      val loc = tmp("rest_cv_loc_")
+      val (cc, cb) = post(s"${cat.uri}/v1/namespaces/cv/views",
+        s"""{"name":"v0","location":"$loc",
+           |"schema":{"type":"struct","fields":[
+           |  {"id":1,"name":"x","required":false,"type":"long"}]},
+           |"view-version":{"version-id":1,"schema-id":0,
+           |  "summary":{"operation":"create"},
+           |  "representations":[{"type":"sql","dialect":"spark",
+           |    "sql":"SELECT 1 AS x"}],
+           |  "default-namespace":["cv"]}}""".stripMargin)
+      assert(cc === 200, cb)
+      val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def renameBody(src: String, dst: String) =
+        s"""{"source":{"namespace":["cv"],"name":"$src"},
+           |"destination":{"namespace":["cv"],"name":"$dst"}}""".stripMargin
+      val renamer = new Thread(() => {
+        (0 until 40).foreach { i =>
+          val (s0, d0) = if (i % 2 == 0) ("v0", "v0x") else ("v0x", "v0")
+          val c = post(s"${cat.uri}/v1/views/rename", renameBody(s0, d0))._1
+          if (c >= 500) bad.add(s"rename $s0->$d0: $c"); ()
+        }
+        done.set(true)
+      })
+      val loaders = (0 until 4).map(_ => new Thread(() => {
+        while (!done.get()) Seq("v0", "v0x").foreach { n =>
+          val c = get(s"${cat.uri}/v1/namespaces/cv/views/$n")._1
+          if (c != 200 && c != 404) bad.add(s"load $n: $c"); ()
+        }
+      }))
+      (renamer +: loaders).foreach(_.start())
+      (renamer +: loaders).foreach(_.join(60000))
+      assert(bad.isEmpty, s"unexpected statuses under concurrency: $bad")
+      assert(get(s"${cat.uri}/v1/namespaces/cv/views/v0")._1 === 200)
+      assert(get(s"${cat.uri}/v1/namespaces/cv/views/v0x")._1 === 404)
+
+      // racing replaces: N threads commit against the SAME uuid with
+      // an optimistic read-modify-write loop capped at one retry each;
+      // the per-name lock serializes them, so every accepted commit
+      // advances the version log by exactly one and none is lost
+      val (_, lb) = get(s"${cat.uri}/v1/namespaces/cv/views/v0")
+      val uuid = mapper.readTree(lb).get("metadata")
+        .get("view-uuid").asText()
+      val accepted = new java.util.concurrent.atomic.AtomicInteger(0)
+      def replaceOnce(tag: Int): Int =
+        post(s"${cat.uri}/v1/namespaces/cv/views/v0",
+          s"""{"requirements":[{"type":"assert-view-uuid","uuid":"$uuid"}],
+             |"updates":[
+             |  {"action":"add-view-version","view-version":{
+             |    "version-id":0,"schema-id":0,
+             |    "summary":{"operation":"replace","writer":"t$tag"},
+             |    "representations":[{"type":"sql","dialect":"spark",
+             |      "sql":"SELECT $tag AS x"}],
+             |    "default-namespace":["cv"]}},
+             |  {"action":"set-current-view-version","view-version-id":-1}]}"""
+            .stripMargin)._1
+      val writers = (0 until 6).map(i => new Thread(() => {
+        if (replaceOnce(i) == 200) { accepted.incrementAndGet(); () }
+        else bad.add(s"replace $i refused")
+      }))
+      writers.foreach(_.start()); writers.foreach(_.join(60000))
+      assert(bad.isEmpty, s"racing replaces misbehaved: $bad")
+      assert(accepted.get() === 6)
+      val (_, fb) = get(s"${cat.uri}/v1/namespaces/cv/views/v0")
+      val fm = mapper.readTree(fb).get("metadata")
+      // every commit landed exactly once: create + 6 replaces
+      assert(fm.get("versions").size() === 7)
+      assert(fm.get("version-log").size() === 7)
+      assert(fm.get("current-version-id").asInt() === 7)
+    } finally cat.close()
+  }
+
   test("RACING REST commits: two CAS commits with the same assert-ref-snapshot-id admit exactly one (200) and refuse the loser (409), state = winner's") {
     // files for two competing snapshots, authored by graft's exporter
     // against two scratch tables (the catalog only ever sees pointers)
