@@ -2658,7 +2658,9 @@ object IcebergRead {
       // logical annotation), which Spark 4 reads natively as its own
       // VariantType — so foreign v3 variant columns map 1:1 and flow
       // through scans, DV/delete anti-joins, and variant_get untouched.
-      // Shredded variants are reassembled by the parquet reader itself.
+      // Physical-layout variations (e.g. shredding) are the parquet
+      // reader's concern: exactly the layouts Spark's reader supports
+      // read, anything else fails loudly at scan time — never silently.
       case "variant" => VariantType
       case other => throw new IllegalArgumentException(s"unsupported type $other")
     } else n.get("type").asText() match {

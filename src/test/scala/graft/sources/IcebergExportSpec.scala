@@ -2220,6 +2220,27 @@ class IcebergExportSpec extends SparkSpec {
       IcebergExport.export(u, tmp("ice_pstats_u_out_"),
         partitionStats = true))
     assert(eU.getMessage.contains("partition statistics"))
+
+    // SPEC EVOLUTION: files under two layouts roll up into the spec's
+    // UNIFIED partition struct — a field outside a file's spec reads
+    // null, and each row carries the spec_id its files bound to
+    val e0 = LogTable(spark, tmp("ice_pstats_ev_"),
+      partitionBy = Seq("lang"))
+    e0.append(Seq((1L, "en", "web"), (2L, "de", "web"))
+      .toDF("id", "lang", "src"))
+    val ev = e0.evolveSpec(partitionBy = Seq("src"))
+    ev.append(Seq((3L, "en", "book")).toDF("id", "lang", "src"))
+    val dev = tmp("ice_pstats_ev_out_")
+    IcebergExport.export(ev, dev, partitionStats = true)
+    val st = IcebergRead.partitionStats(spark, dev)
+      .selectExpr("partition.lang AS lang", "partition.src AS src",
+        "spec_id", "data_record_count")
+      .as[(Option[String], Option[String], Int, Long)]
+      .collect().sortBy(r => (r._3, r._1, r._2)).toSeq
+    assert(st === Seq(
+      (Some("de"), None, 0, 1L),
+      (Some("en"), None, 0, 1L),
+      (None, Some("book"), 1, 1L)))
   }
 
   test("format-v3 VARIANT columns read as native VariantType (scan/SQL/REST); pre-add files null-fill; import refuses") {
