@@ -194,6 +194,12 @@ object IcebergExport {
       seen.toSeq
     }
     val parsed = schemaJsons.map(LogTable.parseSchema)
+    // variant columns are format-version 3+ in the Iceberg spec — a
+    // v2 metadata file carrying one would be spec-invalid
+    require(formatVersion >= 3 || !parsed.exists(st =>
+        st.fields.exists(f => containsVariant(f.dataType))),
+      "this table carries a variant column — variant is an Iceberg " +
+        "format-version 3 type; export(formatVersion = 3)")
     val schemaIdOf: Map[String, Int] = schemaJsons.zipWithIndex.toMap
     val schema = LogTable.parseSchema(cur.schemaJson)
     // ONE id counter across every schema version of this export:
@@ -1613,7 +1619,21 @@ object IcebergExport {
     case TimestampType => Some("timestamptz")
     case TimestampNTZType => Some("timestamp")
     case d: DecimalType => Some(s"decimal(${d.precision}, ${d.scale})")
+    // v3's variant — export() refuses it under formatVersion 2 BEFORE
+    // schema building reaches here (variant is spec-illegal below v3)
+    case _: VariantType => Some("variant")
     case _ => None
+  }
+
+  /** Does a type tree contain a variant anywhere? (v3-gating exports,
+    * shared with import's adoption path.) */
+  private[sources] def containsVariant(dt: DataType): Boolean = dt match {
+    case _: VariantType => true
+    case st: StructType => st.fields.exists(f => containsVariant(f.dataType))
+    case at: ArrayType => containsVariant(at.elementType)
+    case mt: MapType =>
+      containsVariant(mt.keyType) || containsVariant(mt.valueType)
+    case _ => false
   }
 
   /** A type as an Iceberg schema JSON value (string for primitives,
@@ -2799,22 +2819,12 @@ object IcebergImport {
 
   def importTable(spark: SparkSession, src: String, destRoot: String): LogTable = {
     val m = IcebergRead.load(src)
-    // v3 `variant` columns READ (IcebergRead / iceberg_scan / REST map
-    // them to Spark's native VariantType) but do not IMPORT: graft's
-    // own table model (footer-stat adoption, equality-delete keys, SQL
-    // DDL) does not model variant — exact-or-refuse, never a silent
-    // binary coercion
-    def hasVariant(dt: DataType): Boolean = dt match {
-      case _: VariantType => true
-      case st: StructType => st.fields.exists(f => hasVariant(f.dataType))
-      case at: ArrayType => hasVariant(at.elementType)
-      case mt: MapType => hasVariant(mt.keyType) || hasVariant(mt.valueType)
-      case _ => false
-    }
-    require(!m.schema.fields.exists(f => hasVariant(f.dataType)),
-      "cannot import an Iceberg table with a variant column into a " +
-        "graft table (graft's table model does not store variant) — " +
-        "read it via IcebergRead/iceberg_scan instead")
+    // v3 `variant` columns IMPORT as first-class graft columns:
+    // graft's schema round-trips Spark's VariantType, its writers
+    // annotate the parquet VARIANT logical type, and every stats/
+    // pruning path is type-guarded (variant simply never prunes) —
+    // so adoption is exact. Equality deletes keyed ON a variant
+    // column still refuse at read (spec-invalid).
     // import adopts ONE spec (the default) — a spec-evolved foreign
     // snapshot whose manifests mix specs would need per-file layout
     // adoption graft's manifest doesn't model; the READER handles mixed

@@ -2243,7 +2243,7 @@ class IcebergExportSpec extends SparkSpec {
       (None, Some("book"), 1, 1L)))
   }
 
-  test("format-v3 VARIANT columns read as native VariantType (scan/SQL/REST); pre-add files null-fill; import refuses") {
+  test("format-v3 VARIANT columns read as native VariantType (scan/SQL/REST); pre-add files null-fill; import adopts") {
     import org.apache.avro.Schema
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -2373,10 +2373,44 @@ class IcebergExportSpec extends SparkSpec {
       } finally cat.close()
     }
 
-    // import refuses: graft's table model does not store variant
-    val eImp = intercept[IllegalArgumentException](
-      IcebergImport.importTable(spark, root.toString, tmp("ice_v3var_imp_")))
-    assert(eImp.getMessage.contains("variant"))
+    // import ADOPTS variant as a first-class graft column: same rows
+    // through graft's own reader, pre-add files still null
+    val imp = IcebergImport.importTable(spark, root.toString,
+      tmp("ice_v3var_imp_"))
+    val impGot = imp.read().selectExpr("id",
+      "variant_get(v, '$.a', 'long') AS a")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(impGot === Seq((1L, None), (2L, None),
+      (10L, Some(10L)), (11L, Some(11L))))
+  }
+
+  test("variant as a first-class graft column: append/read/COW-delete/compact; v3 export round-trip; v2 export refuses") {
+    val t = LogTable(spark, tmp("ice_var_native_"))
+    t.append(Seq((1L, """{"a":1,"tag":"x"}"""), (2L, """{"a":2,"tag":"y"}"""),
+      (3L, """{"a":3,"tag":"z"}"""))
+      .toDF("id", "j")
+      .select(col("id"), expr("parse_json(j)").as("v")))
+    def vals(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, String)] =
+      df.selectExpr("id", "variant_get(v, '$.a', 'long') AS a",
+        "variant_get(v, '$.tag', 'string') AS tag")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(vals(t.read()) === Seq((1L, 1L, "x"), (2L, 2L, "y"), (3L, 3L, "z")))
+    // COW delete rewrites files carrying variant rows
+    t.delete(col("id") === 2L)
+    assert(vals(t.read()) === Seq((1L, 1L, "x"), (3L, 3L, "z")))
+    t.compact()
+    assert(vals(t.read()) === Seq((1L, 1L, "x"), (3L, 3L, "z")))
+    // v2 export refuses: variant is spec-illegal below format v3
+    val e2 = intercept[IllegalArgumentException](
+      IcebergExport.export(t, tmp("ice_var_v2_")))
+    assert(e2.getMessage.contains("format-version 3"))
+    // v3 export → spec reader parity → import back to graft
+    val dest = tmp("ice_var_v3_")
+    IcebergExport.export(t, dest, formatVersion = 3)
+    val spec = IcebergRead.read(spark, dest)
+    assert(vals(spec) === Seq((1L, 1L, "x"), (3L, 3L, "z")))
+    val back = IcebergImport.importTable(spark, dest, tmp("ice_var_back_"))
+    assert(vals(back.read()) === Seq((1L, 1L, "x"), (3L, 3L, "z")))
   }
 
   test("format-v3 ROW LINEAGE inheritance: null entry ids derive from the manifest list's first_row_id + preceding ADDED record counts") {
