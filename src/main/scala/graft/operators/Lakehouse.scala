@@ -1169,6 +1169,34 @@ object Lakehouse {
                           // session plan; relations are session-local
   }
 
+  /** VARIANT end to end, oracle-gated: a graft table stores a variant
+    * column built from the corpus (parse_json of a struct projection),
+    * a COW delete predicates THROUGH the variant (`variant_get` in the
+    * condition — the rewrite engine must evaluate semi-structured
+    * paths), the table exports as format-v3 and the spec reader
+    * aggregates via variant_get — all of which must hash-equal DuckDB
+    * computing the same census from the raw columns the variant was
+    * built from. A drifted JSON encode/decode, a mis-rewritten COW
+    * file, or a broken v3 variant round-trip each breaks the hash. */
+  def lakeVariant(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergExport, IcebergRead}
+    val tmp = graft.Scratch.dir("graft_lake_var_").toString
+    val table = LogTable(s, tmp)
+    table.append(Tables.spread(Tables(s, dir, "documents"))
+      .select(col("doc_id"),
+        expr("parse_json(to_json(struct(lang, source, n_chars)))").as("v")))
+    table.delete(expr("variant_get(v, '$.lang', 'string') = 'de'"))
+    val dest = graft.Scratch.dir("graft_lake_var_ice_").toString
+    IcebergExport.export(table, dest, formatVersion = 3)
+    IcebergRead.read(s, dest)
+      .select(expr("variant_get(v, '$.lang', 'string')").as("lang"),
+        expr("variant_get(v, '$.n_chars', 'long')").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).cast("long").as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Partition statistics end to end, oracle-gated: a day-partitioned
     * table exports with the spec's partition-statistics file, the
     * stats parquet reads back through the spec reader, and the
@@ -1255,6 +1283,7 @@ object Lakehouse {
     "lake_rest" -> (lakeRest _),
     "lake_view" -> (lakeView _),
     "lake_pstats" -> (lakePstats _),
+    "lake_variant" -> (lakeVariant _),
     "lake_mbucket" -> (lakeMbucket _),
     "lake_hist_mor" -> (lakeHistMor _),
     "lake_iceberg" -> (lakeIceberg _),
@@ -1300,6 +1329,13 @@ object Lakehouse {
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the variant census recomputed from the raw columns the variant
+    // was built from; the COW delete replays as the WHERE
+    "lake_variant" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang <> 'de'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // per-day record counts recomputed from the raw timestamps (the
     // same floor-to-day arithmetic the truncate[86400000000] layout
     // stores)
