@@ -406,9 +406,11 @@ object Dedup {
     val lines = Tables.spread(docs(s, dir))
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
-      // global occurrence order: docs hold < 10^6 lines, so
-      // doc_id·10^6 + (1-based pos) is collision-free and total
-      .withColumn("gord", col("doc_id") * lit(1000000L) + col("pos") + lit(1L))
+      // global occurrence order as a COMPOSITE (doc_id, pos) struct —
+      // lexicographic struct ordering is total and collision-free at
+      // ANY line count (a doc_id·10^6+pos packing would silently
+      // corrupt the first-occurrence rule past 10^6 lines/doc)
+      .withColumn("gord", struct(col("doc_id"), col("pos")))
       .select(col("doc_id"), col("gord"), length(col("line")).as("len"),
         xxhash64(col("line")).as("h"),
         xxhash64(lit(0x9E3779B97F4A7C15L), col("line")).as("h2"))
@@ -448,7 +450,9 @@ object Dedup {
     val lines = Tables.spread(docs(s, dir))
       .select(col("doc_id"),
         posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
-      .withColumn("gord", col("doc_id") * lit(1000000L) + col("pos") + lit(1L))
+      // composite occurrence order, same rationale as dedupLines: no
+      // packed-long collision regime at any lines-per-doc
+      .withColumn("gord", struct(col("doc_id"), col("pos")))
     val cand = lines.filter(length(col("line")) >= MinDedupLineLen)
       .withColumn("h", xxhash64(col("line")))
       .withColumn("h2", xxhash64(lit(0x9E3779B97F4A7C15L), col("line")))
@@ -486,8 +490,9 @@ object Dedup {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     // Parallel unnests zip in DuckDB, giving (line, 1-based ord)
-    // pairs; the min-gord window mirrors Spark's first-occurrence
-    // mark over ≥30-char lines exactly.
+    // pairs; row_number over (doc_id, ord) mirrors Spark's composite
+    // struct(doc_id, pos) first-occurrence mark over ≥30-char lines
+    // exactly — (doc_id, ord) is unique, so rn=1 ≡ min-struct.
     "dedup_lines" ->
       """WITH l AS (
         |  SELECT doc_id,
@@ -497,8 +502,7 @@ object Dedup {
         |m AS (
         |  SELECT doc_id, line,
         |    CASE WHEN length(line) >= 30 THEN
-        |      doc_id * 1000000 + ord =
-        |        min(doc_id * 1000000 + ord) OVER (PARTITION BY line)
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) = 1
         |    ELSE TRUE END AS keep
         |  FROM l)
         |SELECT doc_id, count(*) AS n_lines,
@@ -506,9 +510,10 @@ object Dedup {
         |  CAST(sum(CASE WHEN keep THEN length(line) ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the rewrite pass: same keep rule as dedup_lines, then the kept
-    // lines reassemble in gord order (string_agg skips the CASE's
-    // NULLs exactly as collect_list skips Spark's; all-dropped docs
-    // coalesce to '' on both sides)
+    // lines reassemble in occurrence order (string_agg skips the
+    // CASE's NULLs exactly as collect_list skips Spark's; all-dropped
+    // docs coalesce to '' on both sides; within a doc the composite
+    // order reduces to ord)
     "dedup_clean" ->
       """WITH l AS (
         |  SELECT doc_id,
@@ -516,15 +521,14 @@ object Dedup {
         |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ord
         |  FROM documents),
         |m AS (
-        |  SELECT doc_id, line, doc_id * 1000000 + ord AS gord,
+        |  SELECT doc_id, line, ord,
         |    CASE WHEN length(line) >= 30 THEN
-        |      doc_id * 1000000 + ord =
-        |        min(doc_id * 1000000 + ord) OVER (PARTITION BY line)
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) = 1
         |    ELSE TRUE END AS keep
         |  FROM l)
         |SELECT doc_id,
         |  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
-        |    ORDER BY gord), '') AS clean_text,
+        |    ORDER BY ord), '') AS clean_text,
         |  count(*) AS n_lines,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,

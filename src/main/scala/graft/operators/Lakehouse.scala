@@ -1082,10 +1082,9 @@ object Lakehouse {
       cat.register("logs", "events", dest)
       // discovery strictly over HTTP, never assuming the names
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val http = java.net.http.HttpClient.newHttpClient()
+      val http = graft.sources.Http.client
       def get(url: String): com.fasterxml.jackson.databind.JsonNode = {
-        val r = http.send(java.net.http.HttpRequest.newBuilder(
-            java.net.URI.create(url)).GET().build(),
+        val r = http.send(graft.sources.Http.request(url).GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofString())
         require(r.statusCode() == 200, s"$url -> ${r.statusCode()}")
         om.readTree(r.body())
@@ -1118,10 +1117,9 @@ object Lakehouse {
     val cat = IcebergRestCatalog.start()
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val http = java.net.http.HttpClient.newHttpClient()
+      val http = graft.sources.Http.client
       def post(url: String, body: String): com.fasterxml.jackson.databind.JsonNode = {
-        val r = http.send(java.net.http.HttpRequest.newBuilder(
-            java.net.URI.create(url))
+        val r = http.send(graft.sources.Http.request(url)
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
           .build(),
           java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -1330,11 +1328,16 @@ object Lakehouse {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the variant census recomputed from the raw columns the variant
-    // was built from; the COW delete replays as the WHERE
+    // was built from; the COW delete replays as the WHERE. NULL
+    // contract pinned on BOTH sides: Spark's `variant_get(...) = 'de'`
+    // is null-safe-false (NULL-lang rows SURVIVE the delete), so the
+    // oracle keeps the NULL group via IS DISTINCT FROM rather than the
+    // NULL-dropping `<>` — a NULL-lang corpus row lands in both
+    // results instead of silently diverging the hash.
     "lake_variant" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents WHERE lang <> 'de'
+        |FROM documents WHERE lang IS DISTINCT FROM 'de'
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // per-day record counts recomputed from the raw timestamps (the
     // same floor-to-day arithmetic the truncate[86400000000] layout

@@ -450,6 +450,15 @@ object Pipeline {
           least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.3 +
           least(lit(1.0), col("avg_word_len") / 8.0) * 0.2)
       .select(col("doc_id"), col("source"), col("n_words"), col("score"))
+      // a NULL source would silently vanish from the census (NULL join
+      // keys never match the broadcast offset frame, and the oracle's
+      // GROUP BY would keep the NULL group) — fail loudly inline in
+      // the scoring scan instead of dropping rows
+      .withColumn("source",
+        when(assert_true(col("source").isNotNull,
+            lit("budgetSelect: NULL source — the bucket census and the " +
+              "offset join key on source; repair the corpus upstream"))
+          .isNull, col("source")))
     val b = buckets.getOrElse(Tables.sliceCount(s))
     val bucketed = scored
       .repartitionByRange(b, col("source"), col("score").desc, col("doc_id"))

@@ -930,7 +930,7 @@ object GraftSql {
     // table_changes(t, from [, to]) — the CDC changelog as a table
     // function (Delta's table_changes / Iceberg's changelog view):
     // rows + _change_type + _commit_version over (from, to]
-    for (m <- """(?i)table_changes\s*\(\s*(\w+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)"""
+    for (m <- """(?i)(?<![A-Za-z0-9_])table_changes\s*\(\s*(\w+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)"""
         .r.findAllMatchIn(stmt)) {
       val name = m.group(1)
       bind(m.start, m.end, m.matched, name, {
@@ -943,7 +943,7 @@ object GraftSql {
     // — read a table served by an Iceberg REST catalog endpoint
     // directly in SQL: the LoadTableResult comes over HTTP, the scan
     // runs from the wire-carried metadata.
-    for (m <- ("""(?i)iceberg_rest_scan\s*\(\s*'([^']+)'\s*,\s*'([^']+)'""" +
+    for (m <- ("""(?i)(?<![A-Za-z0-9_])iceberg_rest_scan\s*\(\s*'([^']+)'\s*,\s*'([^']+)'""" +
         """\s*,\s*'([^']+)'\s*(?:,\s*(?:(\d+)|'([^']+)')\s*)?\)""")
         .r.findAllMatchIn(stmt))
       if (!inLiteral(m.start)) {
@@ -959,7 +959,7 @@ object GraftSql {
     // table as a table function (DuckDB's convention): one row per
     // snapshot with id/timestamp/operation/manifest-list, the
     // discovery step before an iceberg_scan(path, id) time travel
-    for (m <- """(?i)iceberg_snapshots\s*\(\s*'([^']+)'\s*\)"""
+    for (m <- """(?i)(?<![A-Za-z0-9_])iceberg_snapshots\s*\(\s*'([^']+)'\s*\)"""
         .r.findAllMatchIn(stmt))
       if (!inLiteral(m.start)) {
         val view = "iceberg_snapshots__at_" +
@@ -969,7 +969,7 @@ object GraftSql {
       }
     // iceberg_stats('<path>') — the current snapshot's recorded Puffin
     // NDV statistics as (col_name, ndv) rows (empty when none)
-    for (m <- """(?i)iceberg_stats\s*\(\s*'([^']+)'\s*\)"""
+    for (m <- """(?i)(?<![A-Za-z0-9_])iceberg_stats\s*\(\s*'([^']+)'\s*\)"""
         .r.findAllMatchIn(stmt))
       if (!inLiteral(m.start)) {
         val view = "iceberg_stats__at_" +
@@ -982,7 +982,7 @@ object GraftSql {
     // iceberg_partition_stats('<path>') — the current snapshot's
     // registered partition-statistics file (the spec's CBO rollup);
     // refuses when none is registered (absence is a fact)
-    for (m <- """(?i)iceberg_partition_stats\s*\(\s*'([^']+)'\s*\)"""
+    for (m <- """(?i)(?<![A-Za-z0-9_])iceberg_partition_stats\s*\(\s*'([^']+)'\s*\)"""
         .r.findAllMatchIn(stmt))
       if (!inLiteral(m.start)) {
         val view = "iceberg_pstats__at_" +
@@ -994,7 +994,7 @@ object GraftSql {
     // rest_view('<catalog-uri>', '<namespace>', '<view>') — execute a
     // REST-catalog view's current SQL representation (dialect-gated:
     // spark only from this surface) as a table function
-    for (m <- """(?i)rest_view\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*\)"""
+    for (m <- """(?i)(?<![A-Za-z0-9_])rest_view\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'\s*\)"""
         .r.findAllMatchIn(stmt))
       if (!inLiteral(m.start)) {
         val view = "rest_view__at_" +
@@ -1008,7 +1008,7 @@ object GraftSql {
     // the supported subset) directly in SQL: DuckDB's iceberg_scan
     // convention; a numeric second arg time-travels by snapshot id, a
     // quoted one resolves through the metadata's refs map (tags)
-    for (m <- """(?i)iceberg_scan\s*\(\s*'([^']+)'\s*(?:,\s*(?:(\d+)|'([^']+)')\s*)?\)"""
+    for (m <- """(?i)(?<![A-Za-z0-9_])iceberg_scan\s*\(\s*'([^']+)'\s*(?:,\s*(?:(\d+)|'([^']+)')\s*)?\)"""
         .r.findAllMatchIn(stmt))
       if (!inLiteral(m.start)) {
         val view = "iceberg_scan__at_" +

@@ -2276,9 +2276,8 @@ object IcebergRead {
       refAsOf: Option[String] = None,
       withLineage: Boolean = false): DataFrame = {
     val url = s"$catalogUri/v1/namespaces/$namespace/tables/$table"
-    val resp = java.net.http.HttpClient.newHttpClient().send(
-      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-        .GET().build(),
+    val resp = Http.client.send(
+      Http.request(url).GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200,
       s"REST catalog answered ${resp.statusCode()} for $url: ${resp.body()}")
@@ -2334,9 +2333,8 @@ object IcebergRead {
       namespace: String, view: String,
       dialects: Seq[String] = Seq("spark")): DataFrame = {
     val url = s"$catalogUri/v1/namespaces/$namespace/views/$view"
-    val resp = java.net.http.HttpClient.newHttpClient().send(
-      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-        .GET().build(),
+    val resp = Http.client.send(
+      Http.request(url).GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200,
       s"REST catalog answered ${resp.statusCode()} for $url: ${resp.body()}")

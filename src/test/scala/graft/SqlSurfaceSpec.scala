@@ -539,4 +539,30 @@ class SqlSurfaceSpec extends SparkSpec {
     // the build-time extensions class wires the same set without error
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("table-function rewrites respect identifier boundaries") {
+    import graft.sources.GraftSql
+    // a user routine whose name merely ENDS in a rewrite suffix
+    // (forest_view ⊃ rest_view, my_iceberg_scan ⊃ iceberg_scan) must
+    // NOT be rewritten — the buggy form would hijack the arguments as
+    // a catalog URI and fire an HTTP GET at parse time. The correct
+    // behavior is Spark's own unresolved-routine error.
+    for (stmt <- Seq(
+        "SELECT * FROM forest_view('a', 'b', 'c')",
+        "SELECT * FROM my_iceberg_scan('/nope')",
+        "SELECT * FROM xiceberg_snapshots('/nope')")) {
+      val e = intercept[Exception] { GraftSql.exec(spark, stmt) }
+      val msg = e.toString
+      assert(msg.contains("UNRESOLV") || msg.contains("TABLE_OR_VIEW") ||
+        msg.contains("Could not resolve") || msg.contains("not found"),
+        s"expected Spark resolution error for untouched statement, got: $msg")
+    }
+    // the real function spelled at the start of the statement still
+    // rewrites (the lookbehind must not require a preceding char)
+    val e2 = intercept[Exception] {
+      GraftSql.exec(spark, "SELECT * FROM iceberg_snapshots('/graft_no_such_table')")
+    }
+    assert(!e2.toString.contains("UNRESOLVED_ROUTINE"),
+      s"iceberg_snapshots should still rewrite, got: ${e2.toString.take(200)}")
+  }
 }
