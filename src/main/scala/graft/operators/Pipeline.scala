@@ -240,6 +240,37 @@ object Pipeline {
       .orderBy(col("bucket"), col("win"))
   }
 
+  /** [[packWindows]] denominated in REAL tokenizer output: per-doc
+    * token counts come from the trained BPE encoder
+    * ([[TextAnalysis.bpeEncode]]'s n_tokens) instead of the whitespace
+    * proxy — the packing a production run would actually ship to the
+    * trainer, since context windows hold TOKENS, not words. Same
+    * B-way-parallel skeleton (bucket by doc_id, partitioned running
+    * sum, integer slab math); the encoder adds one vocab-dict join
+    * pass over the corpus before the pack. Docs with no encodable
+    * word (empty after whitespace split) carry zero tokens and are
+    * absent on both sides by the same inner-join rule. */
+  def packWindowsBpe(s: SparkSession, dir: String,
+      buckets: Int = 8, windowTokens: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = TextAnalysis.bpeEncode(s, dir)
+      .select(col("doc_id"), col("n_tokens").as("tok"),
+        pmod(col("doc_id"), lit(buckets)).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("start", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("win", expr(s"start div ${windowTokens}L"))
+      .withColumn("spill",
+        (expr(s"(start + tok - 1) div ${windowTokens}L") =!= col("win")).cast("long"))
+      .groupBy(col("bucket"), col("win"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        sum(col("spill")).cast("long").as("n_spill"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("bucket"), col("win"))
+  }
+
   /** DECONTAMINATION — the benchmark-hygiene gate every training run
     * needs: drop from the training corpus every document sharing ANY
     * 5-gram with the held-out eval set, then report what survives per
@@ -503,6 +534,7 @@ object Pipeline {
     "pipeline_mix" -> ((s, dir) => mixtureSample(s, dir)),
     "pipeline_temper" -> ((s, dir) => temperatureSample(s, dir)),
     "pipeline_pack" -> ((s, dir) => packWindows(s, dir)),
+    "pipeline_pack_bpe" -> ((s, dir) => packWindowsBpe(s, dir)),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_shuffle" -> ((s, dir) => shuffleShard(s, dir)),
     "pipeline_select" -> ((s, dir) => budgetSelect(s, dir)),
@@ -657,6 +689,28 @@ object Pipeline {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spill,
         |  min(doc_id) AS first_doc
         |FROM o GROUP BY 1, 2 ORDER BY bucket, win""".stripMargin,
+    // the BPE-token pack: the full tokenizer-training CTE chain
+    // (TextAnalysis.bpeEncodeCte) supplies per-word token counts, the
+    // per-doc fold replaces the whitespace tok, the pack math is
+    // pipeline_pack's verbatim
+    "pipeline_pack_bpe" ->
+      (TextAnalysis.bpeEncodeCte(5) + """,
+        |t AS (
+        |  SELECT doc_id, doc_id % 8 AS bucket,
+        |    CAST(sum(n_toks) AS BIGINT) AS tok
+        |  FROM d JOIN wt USING (word) GROUP BY doc_id),
+        |o AS (
+        |  SELECT doc_id, bucket, tok,
+        |    CAST(coalesce(sum(tok) OVER (
+        |      PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM t)
+        |SELECT bucket, start // 2048 AS win, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN (start + tok - 1) // 2048 <> start // 2048
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spill,
+        |  min(doc_id) AS first_doc
+        |FROM o GROUP BY 1, 2 ORDER BY bucket, win""".stripMargin),
     // gram generation mirrors the contamination oracle exactly; a doc
     // survives iff NONE of its distinct 5-grams appears in the eval set
     "pipeline_decontaminate" ->

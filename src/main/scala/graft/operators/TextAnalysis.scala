@@ -238,45 +238,108 @@ object TextAnalysis {
     * sentinel-free by construction (spec-asserted). Deterministic,
     * engine-exact → the DuckDB oracle unrolls the same rounds as
     * CTE stages. Output: one row per learned merge. */
-  def bpe(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
-    val S = "\u0001" // symbol start sentinel (corpus-free, spec-asserted)
-    val E = "\u0002" // symbol end sentinel
+  def bpe(s: SparkSession, dir: String, rounds: Int = 5): DataFrame =
+    mergesDf(s, bpeTrain(s, dir, rounds)._1)
+
+  private[graft] val BpeS = "\u0001" // symbol start sentinel (corpus-free, spec-asserted)
+  private[graft] val BpeE = "\u0002" // symbol end sentinel
+
+  /** The sentinel-wrapped symbol list of an encoding column `e`. */
+  private[graft] def bpeSyms(e: Column): Column =
+    split(e.substr(lit(2), length(e) - 2), BpeE + BpeS)
+
+  /** The shared trainer behind [[bpe]] and [[bpeEncode]]: returns the
+    * learned merge list AND the final vocab frame `(word, wc, e)` —
+    * each distinct corpus word with its fully-merged sentinel-wrapped
+    * segmentation. The returned frame is CACHED (O(vocabulary) rows);
+    * callers own the read side, the cache ages out with the session. */
+  private[graft] def bpeTrain(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val (sS, eE) = (BpeS, BpeE)
     // vocab census: the ONLY corpus-scale pass
     var vocab = docsSpread(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
       .withColumn("e", concat_ws("",
-        transform(split(col("word"), ""), c => concat(lit(S), c, lit(E)))))
-      .select(col("wc"), col("e"))
+        transform(split(col("word"), ""), c => concat(lit(sS), c, lit(eE)))))
+      .select(col("word"), col("wc"), col("e"))
       .cache()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
     (1 to rounds).foreach { round =>
-      // adjacent-pair census over the vocab, weighted by word count
-      val syms = split(col("e").substr(lit(2), length(col("e")) - 2), E + S)
-      val best = vocab
-        .select(col("wc"), syms.as("syms"))
-        .filter(size(col("syms")) >= 2)
-        .select(col("wc"), explode(expr(
-          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("wc")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty) return mergesDf(s, merges.result())
-      val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      merges += ((round, l, r, cnt))
-      // merge the winning pair inside every vocab word: ONE built-in
-      // replace call — plain string replace is left-to-right
-      // NON-OVERLAPPING in Spark, DuckDB and Java alike
-      val prev = vocab
-      vocab = vocab.withColumn("e",
-        replace(col("e"), lit(S + l + E + S + r + E), lit(S + l + r + E)))
-        .cache()
-      vocab.count() // materialize before unpersisting the parent
-      prev.unpersist()
+      if (!exhausted) {
+        // adjacent-pair census over the vocab, weighted by word count
+        val best = vocab
+          .select(col("wc"), bpeSyms(col("e")).as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((round, l, r, cnt))
+          // merge the winning pair inside every vocab word: ONE built-in
+          // replace call — plain string replace is left-to-right
+          // NON-OVERLAPPING in Spark, DuckDB and Java alike
+          val prev = vocab
+          vocab = vocab.withColumn("e",
+            replace(col("e"), lit(sS + l + eE + sS + r + eE), lit(sS + l + r + eE)))
+            .cache()
+          vocab.count() // materialize before unpersisting the parent
+          prev.unpersist()
+        }
+      }
     }
-    mergesDf(s, merges.result())
+    (merges.result(), vocab)
+  }
+
+  /** BPE TOKENIZER APPLICATION — encode every document with the merges
+    * [[bpe]] learns: the step that turns "token budget" from a
+    * whitespace proxy into REAL tokenizer output. The standard
+    * word-dict trick keeps the corpus out of the merge machinery
+    * entirely: training already leaves each DISTINCT word's final
+    * segmentation in the vocab frame, so encoding is
+    *
+    *   1. token-id table: the final symbol vocabulary ranked by
+    *      (length, lexicographic) — deterministic, engine-replayable,
+    *      and O(alphabet + rounds) rows (BPE's vocab is bounded by
+    *      construction: every id is a base symbol or one merge), so
+    *      the single-partition row_number window is a non-issue;
+    *   2. per-word stats on the O(vocabulary) dict: token count and
+    *      token-id sum per word;
+    *   3. ONE corpus-scale pass: explode words, join the dict (AQE
+    *      broadcasts it when small, co-partitions otherwise), fold
+    *      per doc.
+    *
+    * Output per doc: whitespace word count, REAL BPE token count, and
+    * the token-id sum — the id sum makes the oracle hash pin the exact
+    * id assignment and the exact per-word segmentation, not just
+    * totals. */
+  def bpeEncode(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = bpeTrain(s, dir, rounds)._2
+    val wordSyms = vocab.select(col("word"), bpeSyms(col("e")).as("syms"))
+    val ids = wordSyms.select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("tid", row_number()
+        .over(Window.orderBy(length(col("sym")), col("sym"))).cast("long"))
+    val wt = wordSyms.select(col("word"), explode(col("syms")).as("sym"))
+      .join(broadcast(ids), "sym")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("tid")).as("id_sum_w"))
+    docsSpread(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(wt, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).cast("long").as("n_tokens"),
+        sum(col("id_sum_w")).cast("long").as("id_sum"))
+      .orderBy(col("doc_id"))
   }
 
   private def mergesDf(s: SparkSession,
@@ -342,6 +405,7 @@ object TextAnalysis {
     "doc_stats" -> (docStats _),
     "text_fingerprint" -> (fingerprint _),
     "text_bpe" -> ((s, d) => bpe(s, d)),
+    "text_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "text_vocab" -> (vocab _),
     "text_repetition" -> (repetition _),
     "text_tfidf" -> (tfidf _),
@@ -349,18 +413,20 @@ object TextAnalysis {
   )
 
 
-  /** The BPE oracle: DuckDB unrolls the same `rounds` merge rounds as
-    * CTE stages over the identical sentinel-wrapped representation —
-    * same census, same (cnt DESC, l, r) argmax, same non-overlapping
-    * replace. Engine-exact because every step is integer counting and
-    * plain string replacement. */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** The shared BPE oracle CTE chain: DuckDB unrolls the same `rounds`
+    * merge rounds as CTE stages over the identical sentinel-wrapped
+    * representation — same census, same (cnt DESC, l, r) argmax, same
+    * non-overlapping replace. Engine-exact because every step is
+    * integer counting and plain string replacement. `word` rides along
+    * so the encode tail can map corpus words to their final
+    * segmentation. Ends after `v<rounds>` (no trailing SELECT). */
+  private[graft] def bpeOracleCte(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w AS (
       |  SELECT word, count(*) AS wc FROM (
       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
       |  WHERE length(word) >= 1 GROUP BY word),
-      |v0 AS (SELECT wc, chr(1) || array_to_string(string_split(word, ''), chr(2) || chr(1)) || chr(2) AS e FROM w)""".stripMargin
+      |v0 AS (SELECT word, wc, chr(1) || array_to_string(string_split(word, ''), chr(2) || chr(1)) || chr(2) AS e FROM w)""".stripMargin
     for (k <- 1 to rounds) {
       sb ++= s""",
         |p$k AS (SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
@@ -368,13 +434,38 @@ object TextAnalysis {
         |  LATERAL (SELECT unnest(range(1, len(syms))) AS i)
         |  GROUP BY 1, 2),
         |b$k AS (SELECT $k AS round, l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-        |v$k AS (SELECT wc, replace(e, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2), chr(1) || b.l || b.r || chr(2)) AS e FROM v${k - 1}, b$k b)""".stripMargin
+        |v$k AS (SELECT word, wc, replace(e, chr(1) || b.l || chr(2) || chr(1) || b.r || chr(2), chr(1) || b.l || b.r || chr(2)) AS e FROM v${k - 1}, b$k b)""".stripMargin
     }
-    sb ++= "\nSELECT round, l, r, l || r AS merged, cnt FROM (" +
-      (1 to rounds).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ") +
-      ") ORDER BY round"
     sb.toString
   }
+
+  private def bpeOracleSql(rounds: Int): String =
+    bpeOracleCte(rounds) +
+      "\nSELECT round, l, r, l || r AS merged, cnt FROM (" +
+      (1 to rounds).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ") +
+      ") ORDER BY round"
+
+  /** [[bpeOracleCte]] plus the encode stages: `ids` (the (length, sym)
+    * token-id ranking), `wt` (per-word token count and id sum) and `d`
+    * (corpus word explode) — everything [[bpeEncode]]'s oracle and any
+    * real-token downstream consumer (pipeline_pack_bpe) need. Ends
+    * after `d` (no trailing SELECT). */
+  private[graft] def bpeEncodeCte(rounds: Int): String =
+    bpeOracleCte(rounds) + s""",
+      |sy AS (SELECT word, string_split(substr(e, 2, length(e) - 2), chr(2) || chr(1)) AS syms FROM v$rounds),
+      |ids AS (SELECT sym, CAST(row_number() OVER (ORDER BY length(sym), sym) AS BIGINT) AS tid
+      |  FROM (SELECT DISTINCT unnest(syms) AS sym FROM sy) u),
+      |wt AS (SELECT word, CAST(count(*) AS BIGINT) AS n_toks, CAST(sum(tid) AS BIGINT) AS id_sum_w
+      |  FROM (SELECT word, unnest(syms) AS sym FROM sy) x JOIN ids USING (sym) GROUP BY word),
+      |d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""".stripMargin
+
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    bpeEncodeCte(rounds) + """
+      |SELECT doc_id, count(*) AS n_words,
+      |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(sum(id_sum_w) AS BIGINT) AS id_sum
+      |FROM d JOIN wt USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the LM replays exactly: the train split is the md5-based hash32
@@ -449,6 +540,7 @@ object TextAnalysis {
         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "text_bpe" -> bpeOracleSql(5),
+    "text_bpe_encode" -> bpeEncodeOracleSql(5),
     // Same md5-based Karp-Rabin arithmetic as fingerprint():
     // hw = first 15 md5 hex digits (60 bits) mod p, folded left as
     // h·31 + hw mod p. list_reduce has no init accumulator — it seeds

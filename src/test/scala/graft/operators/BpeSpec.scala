@@ -70,6 +70,47 @@ class BpeSpec extends SparkSpec {
     assert((got(1)._2, got(1)._3) === ("aa", "aa"))
   }
 
+  /** Reference encoder: apply refBpe's merges to a word left-to-right
+    * round by round, then count tokens / sum ids under the same
+    * (length, lexicographic) id ranking bpeEncode pins. */
+  test("bpeEncode equals an independent reference encode (counts, ids, totals)") {
+    val words = Seq("lower", "lower", "lowest", "newer", "newer", "newer",
+      "wider", "low", "new", "newest", "lowest", "newer")
+    val rounds = 4
+    // reference: segment each distinct word by replaying the merges
+    val merges = refBpe(words, rounds)
+    def seg(w: String): List[String] = {
+      var syms = w.map(_.toString).toList
+      merges.foreach { case (_, l, r, _) =>
+        def m(xs: List[String]): List[String] = xs match {
+          case a :: b :: rest if a == l && b == r => (a + b) :: m(rest)
+          case a :: rest => a :: m(rest)
+          case Nil => Nil
+        }
+        syms = m(syms)
+      }
+      syms
+    }
+    val vocabSyms = words.distinct.flatMap(seg).distinct
+      .sortBy(sym => (sym.length, sym))
+    val tid = vocabSyms.zipWithIndex.map { case (s2, i) => s2 -> (i + 1L) }.toMap
+    // two docs so the per-doc fold is exercised, not just one row
+    val d = java.nio.file.Files.createTempDirectory("bpe_enc_").toString
+    val (d1, d2) = (words.take(7), words.drop(7))
+    Seq((0L, d1.mkString(" "), "en", "s", 1L), (1L, d2.mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.bpeEncode(spark, d, rounds)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = Seq(d1, d2).zipWithIndex.map { case (ws, i) =>
+      val toks = ws.flatMap(seg)
+      (i.toLong, ws.size.toLong, toks.size.toLong, toks.map(tid).sum)
+    }
+    assert(got === want)
+    // the id ranking covers every final symbol exactly once, ids 1..n
+    assert(tid.values.toSeq.sorted === (1L to vocabSyms.size.toLong))
+  }
+
   test("the corpus is sentinel-free (the wrapped-symbol encoding's precondition)") {
     val dirty = graft.Tables(spark, sfDir, "documents")
       .filter(col("text").contains("") || col("text").contains(""))
