@@ -212,45 +212,68 @@ object Analytics {
     *
     * NOT a window: `ntile().over(orderBy(...))` with no partition key
     * moves the whole fact table into ONE partition for the sort. This
-    * uses the scalable total-order pattern instead — a distributed
-    * range-partitioned sort, then global indices from per-partition
-    * offsets (zipWithIndex), then the ntile bucket formula applied to
-    * the index. Money is carried as exact integer cents; only the
-    * final sum is converted (one correctly-rounded step, matching the
-    * oracle's decimal→double cast). */
-  def qNtile(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    * is the bucketed-rank census (the pipeline_curriculum /
+    * pipeline_select / log_latency_pcts shape): range-partition by the
+    * total order into B session-derived buckets, a B-row count census
+    * gives each bucket's global offset, the global index is that
+    * offset plus the within-bucket row_number, and the SQL ntile
+    * formula is integer arithmetic on the index — B-way parallel,
+    * exact for ANY B (`buckets` is the spec hook proving B=3 ≡ B=64).
+    *
+    * The bucketed frame is PINNED (persist) before the census:
+    * RangePartitioner seeds its boundary sampling with the RDD id, so
+    * two independent actions over an unpersisted repartitionByRange
+    * draw DIFFERENT bucket boundaries once partitions exceed the
+    * sampler's per-partition budget — the census offsets would then
+    * disagree with the final pass's bucket contents (phantom
+    * quartiles). Persisting shares one lineage: both passes read the
+    * same shuffle output, and even evicted blocks recompute from the
+    * same shuffle files. The ≤k-row aggregate is collected eagerly so
+    * the pin releases before returning (a LocalRelation result — no
+    * RDD hop anywhere).
+    *
+    * Money is carried as exact integer cents; only the final sum is
+    * converted (one correctly-rounded step, matching the oracle's
+    * decimal→double cast). */
+  def qNtile(s: SparkSession, dir: String,
+      buckets: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = t(s, dir, "orders")
       .select((Cols.money(col("o_totalprice")) * 100).cast("long").as("cents"),
         col("o_orderkey").as("key"))
-    // persist: count, zipWithIndex's internal size job, and the final
-    // aggregation would otherwise each recompute the full sort
-    val sorted = base.orderBy(col("cents"), col("key")).select(col("cents")).as[Long]
-      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = 4L
-    val n = sorted.count()
+    val b = buckets.getOrElse(graft.Tables.sliceCount(s))
+    val bucketed = base
+      .repartitionByRange(b, col("cents"), col("key"))
+      .withColumn("bkt", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // census: per-bucket counts → global rank offsets AND n (B rows)
+    val counts = bucketed.groupBy(col("bkt")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val offsets = (0 until b).scanLeft(0L)((acc, i) =>
+      acc + counts.getOrElse(i, 0L)).toArray
+    val offCol = element_at(array(offsets.take(b).map(lit): _*), col("bkt") + 1)
+    val w = Window.partitionBy(col("bkt")).orderBy(col("cents"), col("key"))
     val ceilSz = (n + k - 1) / k
-    val floorSz = n / k
+    val floorSz = math.max(n / k, 1L) // 1-floor only reachable when n < k,
+                                      // where every row takes the ceil branch
     val nBig = n % k // first n%k buckets take ceil(n/k) rows (SQL ntile)
-    val agg = sorted.zipWithIndex()
-      .map { case (cents, idx) =>
-        val q = if (idx < nBig * ceilSz) idx / ceilSz
-                else nBig + (idx - nBig * ceilSz) / floorSz
-        (q + 1, cents)
-      }
-      .toDF("quartile", "cents")
+    val agg = bucketed
+      .withColumn("idx", row_number().over(w).cast("long") + offCol - 1L)
+      .withColumn("quartile",
+        when(col("idx") < lit(nBig * ceilSz), expr(s"idx div ${ceilSz}L"))
+          .otherwise(lit(nBig) +
+            expr(s"(idx - ${nBig * ceilSz}L) div ${floorSz}L")) + lit(1L))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"),
         (sum(col("cents")).cast(org.apache.spark.sql.types.DecimalType(20, 0)) / 100)
           .cast("double").as("total_price"))
       .orderBy(col("quartile"))
-    // Materialize the k-row aggregate NOW so the persisted sort RDD can
-    // be released before returning — a lazily-returned plan would pin
-    // the MEMORY_AND_DISK RDD for the session's lifetime (one leak per
-    // q_ntile call in a long-lived server).
     val rows = agg.collect().toIndexedSeq
-    sorted.unpersist(blocking = false)
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
+    bucketed.unpersist(blocking = false)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, agg.schema)
   }
 
   /** Sorted string aggregation per group (LISTAGG): deterministic via
@@ -349,7 +372,7 @@ object Analytics {
     "q_above_avg" -> (qAboveAvg _),
     "q_string_agg" -> (qStringAgg _),
     "q_outer" -> (qOuter _),
-    "q_ntile" -> (qNtile _),
+    "q_ntile" -> ((s, dir) => qNtile(s, dir)),
     "q_cube" -> (qCube _),
     "q_setops" -> (qSetops _),
     "q_exists" -> (qExists _),

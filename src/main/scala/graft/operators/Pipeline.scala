@@ -405,13 +405,21 @@ object Pipeline {
     // B is pure parallelism policy (the plan is exact for any B):
     // session-derived via Tables.sliceCount so it scales with the
     // cluster — 64 on local[32], ~2000 on a 1000-core cluster — and
-    // the data is read exactly twice (census + ranked aggregation).
+    // the data is read once into the pinned bucket
+    // assignment; census + ranked aggregation read the cache.
     // `buckets` is a spec hook proving boundary-independence (B=3
     // and B=64 must hash identically).
     val b = buckets.getOrElse(Tables.sliceCount(s))
+    // PINNED before the census: RangePartitioner seeds boundary
+    // sampling with the RDD id, so unpersisted census + final passes
+    // would draw different bucket boundaries at any SF where
+    // partitions exceed the sampler's budget (the log_latency_pcts
+    // doctrine) — the offsets would then disagree with the final
+    // pass's bucket contents. Released after the eager tier collect.
     val bucketed = scored
       .repartitionByRange(b, col("score"), col("doc_id"))
       .withColumn("bkt", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // census: per-bucket counts → global rank offsets AND n (B rows)
     val counts = bucketed.groupBy(col("bkt")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -434,11 +442,17 @@ object Pipeline {
           floor((col("r") - 1) / (sz + 1)).cast("long") + 1)
           .otherwise(lit(big) +
             floor((col("r") - cut - 1) / sz).cast("long") + 1))
-    ranked.groupBy(col("tier"))
+    val agg = ranked.groupBy(col("tier"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("score")).as("min_score"), max(col("score")).as("max_score"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy(col("tier"))
+    // materialize the ≤tiers-row result NOW so the pinned bucket
+    // assignment can release before returning (the q_ntile lifecycle)
+    val rows = agg.collect().toIndexedSeq
+    bucketed.unpersist(blocking = false)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, agg.schema)
   }
 
   /** TOKEN-BUDGETED quality selection — the "fit the best N tokens of
@@ -462,9 +476,25 @@ object Pipeline {
     * rows), per-source prefix offsets broadcast back, and the running
     * sum is a B-way-parallel window WITHIN (bkt, source) plus the
     * bucket's offset — exact for ANY B (`buckets` is the spec hook
-    * proving B=3 ≡ B=64), data read exactly twice. */
+    * proving B=3 ≡ B=64); the corpus is read once into the pinned
+    * assignment, census + final read the cache. */
   def budgetSelect(s: SparkSession, dir: String, budget: Long = 50000L,
       buckets: Option[Int] = None): DataFrame = {
+    val (bucketed, agg) = budgetSelectPlanned(s, dir, budget, buckets)
+    // materialize the <=|sources|-row census NOW, release the pin
+    val rows = agg.collect().toIndexedSeq
+    bucketed.unpersist(blocking = false)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, agg.schema)
+  }
+
+  /** The distributed plan behind [[budgetSelect]], exposed un-collected
+    * so PlanContractSpec can assert its shape (the public operator
+    * returns a driver-materialized census frame). Returns (pinned
+    * bucket assignment to unpersist, result plan). */
+  private[graft] def budgetSelectPlanned(s: SparkSession, dir: String,
+      budget: Long = 50000L,
+      buckets: Option[Int] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val nWords = size(split(col("text"), " ")).cast("long")
     val stopHits = size(regexp_extract_all(col("text"),
@@ -491,9 +521,14 @@ object Pipeline {
               "offset join key on source; repair the corpus upstream"))
           .isNull, col("source")))
     val b = buckets.getOrElse(Tables.sliceCount(s))
+    // PINNED before the census — same rationale as curriculum/q_ntile:
+    // unpersisted repartitionByRange re-samples boundaries per action
+    // (RangePartitioner seeds with the RDD id), so the offset census
+    // and the final pass must read ONE materialized assignment.
     val bucketed = scored
       .repartitionByRange(b, col("source"), col("score").desc, col("doc_id"))
       .withColumn("bkt", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // census: per-(bucket, source) token totals → per-source offsets
     // (range partitioning keeps each source's buckets contiguous and
     // score-ordered, so "earlier bucket" = "higher-scored prefix")
@@ -513,7 +548,7 @@ object Pipeline {
     val w = Window.partitionBy(col("bkt"), col("source"))
       .orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed.join(broadcast(offDf), Seq("bkt", "source"))
+    val agg = bucketed.join(broadcast(offDf), Seq("bkt", "source"))
       .withColumn("run_toks", sum(col("n_words")).over(w) + col("off"))
       .withColumn("keep", col("run_toks") <= budget)
       .groupBy(col("source"))
@@ -523,6 +558,7 @@ object Pipeline {
           .cast("long").as("kept_tokens"),
         min(when(col("keep"), col("score"))).as("cut_score"))
       .orderBy(col("source"))
+    (bucketed, agg)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -347,7 +347,11 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("pipeline_select: running sum is a (bucket, source)-PARTITIONED window; offsets broadcast") {
-    val p = plan("pipeline_select")
+    // the public operator returns a driver-materialized census (the
+    // pinned-assignment lifecycle) — probe the planned form
+    val (pinned, res) = operators.Pipeline.budgetSelectPlanned(spark, sfDir)
+    val p = try res.queryExecution.executedPlan.toString
+      finally { pinned.unpersist(blocking = false); () }
     assert(p.contains("Window"), "the prefix cut is a window pass")
     assert(count(p, "SortMergeJoin") === 0)
     assert(count(p, "BroadcastHashJoin") >= 1,

@@ -22,4 +22,19 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(viaOp.nonEmpty && viaOp === viaWindow)
   }
+
+  test("q_ntile: bucket count is boundary-independent (B=3 ≡ B=64), no RDD hop in the plan") {
+    def rows(b: Int) = Analytics.qNtile(spark, sfDir, buckets = Some(b))
+      .as[(Long, Long, Double)].collect().toSeq
+    val a = rows(3)
+    assert(a === rows(64),
+      "quartile table must not depend on where range partitioning cut the buckets")
+    assert(a.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    // the bucketed-census rewrite keeps the whole thing in DataFrame
+    // ops: no ExistingRDD / scan-from-RDD node may appear
+    val plan = Analytics.qNtile(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      "q_ntile must not round-trip through the RDD API")
+  }
 }
