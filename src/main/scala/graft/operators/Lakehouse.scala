@@ -187,6 +187,41 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** Bloom-filter point-lookup roundtrip, oracle-gated: a table whose
+    * files are NOT clustered on the probe column (user_id values
+    * scatter across every file, so min/max pruning is useless for
+    * equality) declares a parquet bloom filter on it mid-lifecycle —
+    * half the corpus lands pre-property, half post, and compact
+    * retrofits the filter into rewritten files (BloomSpec
+    * footer-asserts the bytes; this query gates the READ). Point
+    * probes for a key set then flow through Spark's pushed In filter,
+    * which consults the file-native bloom to skip row groups, and the
+    * aggregate must hash-equal DuckDB's plain WHERE over the source
+    * parquet — a false-negative-prone filter (the one thing a bloom
+    * must never do) would drop rows and break the hash. At 100 TB this
+    * is the needle-in-haystack tier of the pruning ladder: partition →
+    * min/max → dictionary → bloom → residual row filter. */
+  def lakeBloom(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("graft_lake_bloom_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    table.addBloom("user_id", expectedDistinct = 10000L)
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    table.compact() // retrofits the filter into every rewritten file
+    val keys = Seq(3L, 11L, 59L, 101L)
+    table.read()
+      .filter(col("user_id").isin(keys: _*))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_type")).as("n_types"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"),
+        min(col("event_id")).as("first_event"))
+      .orderBy(col("user_id"))
+  }
+
   /** COW UPDATE roundtrip (Iceberg/Delta `UPDATE ... SET ... WHERE`):
     * ingest events, surcharge every error row's value and re-tag its
     * type, and aggregate the read-back — must equal the
@@ -1318,6 +1353,7 @@ object Lakehouse {
     "lake_merge2" -> (lakeMerge2 _),
     "lake_merge3" -> (lakeMerge3 _),
     "lake_point" -> (lakePoint _),
+    "lake_bloom" -> (lakeBloom _),
     "lake_update" -> (lakeUpdate _),
   )
 
@@ -1651,6 +1687,16 @@ object Lakehouse {
       """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    // the bloom-probed point lookups, replayed as a plain WHERE — a
+    // filter false-negative (a skipped row group that held a key)
+    // would shrink a group and break the hash
+    "lake_bloom" ->
+      """SELECT user_id, count(*) AS n,
+        |  count(DISTINCT event_type) AS n_types,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  min(event_id) AS first_event
+        |FROM events WHERE user_id IN (3, 11, 59, 101)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "lake_merge3" ->
       """WITH merged AS (
         |  SELECT event_type, value FROM events
