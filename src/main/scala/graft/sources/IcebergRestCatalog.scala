@@ -1186,10 +1186,20 @@ object IcebergRestCatalog {
           meta.put("table-uuid", u.get("uuid").asText()); ()
         case "upgrade-format-version" =>
           val fv = u.get("format-version").asInt()
-          if (fv != 2) {
+          if (fv != 2 && fv != 3) {
             return Left((400, "BadRequestException",
-              s"only format-version 2 is supported, not $fv"))
+              s"only format-versions 2 and 3 are supported, not $fv"))
           }
+          if (fv < meta.get("format-version").asInt()) {
+            return Left((400, "BadRequestException",
+              s"cannot downgrade format-version to $fv"))
+          }
+          meta.put("format-version", fv)
+          // v3 requires the row-lineage high-water mark; a fresh
+          // upgrade starts assigning from 0
+          if (fv >= 3 && meta.get("next-row-id") == null)
+            meta.put("next-row-id", 0L)
+          ()
         case "set-location" =>
           // the metadata files stay where the table was created;
           // only the data location pointer moves
@@ -1265,6 +1275,36 @@ object IcebergRestCatalog {
               sn.get("manifest-list") == null) {
             return Left((400, "BadRequestException",
               "add-snapshot needs 'snapshot-id' and 'manifest-list'"))
+          }
+          // v3 ROW-LINEAGE VALIDATION: graft's reader serves `_row_id`
+          // straight from these fields, so a nonconforming foreign
+          // commit would corrupt ids the reader then presents as
+          // authoritative. A v3 snapshot must carry its first-row-id
+          // watermark, and it must not regress below the table's
+          // next-row-id (a regression re-assigns row ids that earlier
+          // snapshots already handed out). The table's next-row-id
+          // then advances past the rows this snapshot can assign
+          // (summary added-records; absent means no new data rows).
+          if (meta.get("format-version").asInt() >= 3) {
+            val first = Option(sn.get("first-row-id")).map(_.asLong())
+            if (first.isEmpty) {
+              return Left((409, "CommitFailedException",
+                "v3 add-snapshot without 'first-row-id' — row lineage " +
+                  "requires every v3 snapshot to carry its id watermark"))
+            }
+            val next = Option(meta.get("next-row-id")).map(_.asLong())
+              .getOrElse(0L)
+            if (first.get < next) {
+              return Left((409, "CommitFailedException",
+                s"v3 add-snapshot regresses row lineage: first-row-id " +
+                  s"${first.get} < table next-row-id $next (those ids " +
+                  "are already assigned)"))
+            }
+            val added = Option(sn.get("summary"))
+              .flatMap(s0 => Option(s0.get("added-records")))
+              .map(_.asLong()).getOrElse(0L)
+            meta.put("next-row-id", first.get + added)
+            ()
           }
           meta.withArray[ArrayNode]("snapshots").add(sn)
           val seq = Option(sn.get("sequence-number")).map(_.asLong())

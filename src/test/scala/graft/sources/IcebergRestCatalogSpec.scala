@@ -1041,4 +1041,72 @@ class IcebergRestCatalogSpec extends SparkSpec {
       assert(mapper.readTree(lb2).get("identifiers").size() === 0)
     } finally cat.close()
   }
+
+  test("v3 row lineage is VALIDATED on REST commits: missing/regressing first-row-id 409s, conforming commits advance next-row-id") {
+    val cat = IcebergRestCatalog.start()
+    try {
+      assert(post(s"${cat.uri}/v1/namespaces",
+        """{"namespace":["l3"]}""")._1 === 200)
+      val schema = """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":true,"type":"long"}]}""".stripMargin
+      val (cc, _) = post(s"${cat.uri}/v1/namespaces/l3/tables",
+        s"""{"name":"t","location":"${tmp("rest_v3_tbl_")}","schema":$schema}""")
+      assert(cc === 200)
+      // upgrade to v3 — metadata gains the row-lineage high-water mark
+      val (cUp, _) = post(s"${cat.uri}/v1/namespaces/l3/tables/t",
+        """{"requirements":[],"updates":[
+          |{"action":"upgrade-format-version","format-version":3}]}""".stripMargin)
+      assert(cUp === 200)
+      def wireMeta() = {
+        val (c, b) = get(s"${cat.uri}/v1/namespaces/l3/tables/t")
+        assert(c === 200); mapper.readTree(b).get("metadata")
+      }
+      val m0 = wireMeta()
+      assert(m0.get("format-version").asInt() === 3)
+      assert(m0.get("next-row-id").asLong() === 0L)
+      // downgrade refused
+      assert(post(s"${cat.uri}/v1/namespaces/l3/tables/t",
+        """{"requirements":[],"updates":[
+          |{"action":"upgrade-format-version","format-version":2}]}""".stripMargin)
+        ._1 === 400)
+
+      def addSnap(id: Long, firstRowId: Option[Long], added: Long) = {
+        val fr = firstRowId.map(v => s""""first-row-id":$v,""").getOrElse("")
+        post(s"${cat.uri}/v1/namespaces/l3/tables/t",
+          s"""{"requirements":[],"updates":[
+             |{"action":"add-snapshot","snapshot":{
+             |  "snapshot-id":$id,$fr
+             |  "sequence-number":$id,"timestamp-ms":1700000000000,
+             |  "summary":{"operation":"append","added-records":"$added"},
+             |  "manifest-list":"/nonexistent/ml-$id.avro","schema-id":0}},
+             |{"action":"set-snapshot-ref","ref-name":"main",
+             | "type":"branch","snapshot-id":$id}]}""".stripMargin)
+      }
+      // 1. a v3 snapshot WITHOUT first-row-id: 409, nothing committed
+      val (cNoFr, bNoFr) = addSnap(101L, None, 3L)
+      assert(cNoFr === 409)
+      assert(mapper.readTree(bNoFr).get("error").get("type").asText() ===
+        "CommitFailedException")
+      assert(wireMeta().get("snapshots").size() === 0,
+        "a refused lineage commit must not land")
+      // 2. conforming commit: first-row-id = next-row-id (0), 3 rows
+      assert(addSnap(101L, Some(0L), 3L)._1 === 200)
+      val m1 = wireMeta()
+      assert(m1.get("next-row-id").asLong() === 3L,
+        "next-row-id must advance past the assigned rows")
+      assert(m1.get("current-snapshot-id").asLong() === 101L)
+      // 3. REGRESSING commit: first-row-id 1 < next-row-id 3 → 409,
+      //    state unchanged
+      val (cReg, bReg) = addSnap(102L, Some(1L), 2L)
+      assert(cReg === 409)
+      assert(mapper.readTree(bReg).get("error").get("message").asText()
+        .contains("regresses"))
+      assert(wireMeta().get("next-row-id").asLong() === 3L)
+      assert(wireMeta().get("snapshots").size() === 1)
+      // 4. a writer may skip ids forward (spec allows gaps): 5 ≥ 3 is
+      //    conforming; next-row-id = 5 + 2
+      assert(addSnap(103L, Some(5L), 2L)._1 === 200)
+      assert(wireMeta().get("next-row-id").asLong() === 7L)
+    } finally cat.close()
+  }
 }
