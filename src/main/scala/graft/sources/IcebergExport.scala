@@ -2676,9 +2676,14 @@ object IcebergRead {
       // logical annotation), which Spark 4 reads natively as its own
       // VariantType — so foreign v3 variant columns map 1:1 and flow
       // through scans, DV/delete anti-joins, and variant_get untouched.
-      // Physical-layout variations (e.g. shredding) are the parquet
-      // reader's concern: exactly the layouts Spark's reader supports
-      // read, anything else fails loudly at scan time — never silently.
+      // Physical-layout variations are the parquet reader's concern,
+      // and the SHREDDED layout (per-field typed_value subcolumns, the
+      // parquet variant-shredding spec) is PROVEN covered: Spark's
+      // reader rebuilds exact values from a physically shredded
+      // fixture through this seam, SQL, REST and import alike
+      // (IcebergExportSpec "v3 SHREDDED variant"). Anything beyond
+      // what the reader supports fails loudly at scan time — never
+      // silently.
       case "variant" => VariantType
       case other => throw new IllegalArgumentException(s"unsupported type $other")
     } else n.get("type").asText() match {
