@@ -174,22 +174,7 @@ object Similarity {
       .withColumn("v_rank", row_number().over(wv).cast("long"))
       .select(col("q_id"), col("n_id"), col("v_rank"))
     // lexical: distinct terms per item; weights only for query terms
-    val words = items.select(col("vec_id"),
-      explode(array_distinct(split(col("text"), " "))).as("term"))
-    val qw = words.filter(col("vec_id") < 10)
-      .withColumnRenamed("vec_id", "q_id")
-    val dfreq = words.groupBy(col("term"))
-      .agg(countDistinct(col("vec_id")).as("df"))
-    val nItems = items.agg(count(lit(1)).as("n"))
-    val dfq = dfreq.join(broadcast(qw.select(col("term")).distinct()), Seq("term"))
-      .crossJoin(broadcast(nItems))
-      .select(col("term"), expr("(1000000 * n) div df").as("wgt"))
-    val overlap = words.withColumnRenamed("vec_id", "n_id")
-      .join(broadcast(qw), Seq("term"))
-      .filter(col("n_id") =!= col("q_id"))
-      .join(broadcast(dfq), Seq("term"))
-      .groupBy(col("q_id"), col("n_id"))
-      .agg(sum(col("wgt")).as("lex_score"))
+    val overlap = lexOverlap(items)
     val wl = Window.partitionBy(col("q_id")).orderBy(col("lex_score").desc, col("n_id"))
     val wf = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("n_id"))
     val fused = vrank.join(overlap, Seq("q_id", "n_id"), "left")
@@ -203,6 +188,85 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), col("v_rank"), col("l_rank"))
       .orderBy(col("q_id"), col("rnk"))
     (fused, items)
+  }
+
+  /** The lexical arm shared by [[annHybridPlan]] and
+    * [[annHybridLadder]]: rarity-weighted distinct-term overlap of
+    * every candidate against the query docs — (q_id, n_id, lex_score)
+    * rows for candidates sharing ≥1 term. Query terms and the
+    * query-vocab df dict broadcast; candidate words stream through the
+    * broadcast semi-join (the inverted-index probe). */
+  private def lexOverlap(items: DataFrame): DataFrame = {
+    val words = items.select(col("vec_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val qw = words.filter(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "q_id")
+    val dfreq = words.groupBy(col("term"))
+      .agg(countDistinct(col("vec_id")).as("df"))
+    val nItems = items.agg(count(lit(1)).as("n"))
+    val dfq = dfreq.join(broadcast(qw.select(col("term")).distinct()), Seq("term"))
+      .crossJoin(broadcast(nItems))
+      .select(col("term"), expr("(1000000 * n) div df").as("wgt"))
+    words.withColumnRenamed("vec_id", "n_id")
+      .join(broadcast(qw), Seq("term"))
+      .filter(col("n_id") =!= col("q_id"))
+      .join(broadcast(dfq), Seq("term"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("wgt")).as("lex_score"))
+  }
+
+  /** [[annHybrid]] at the LADDER's production shape: the vector arm is
+    * the retrieve-then-refine shortlist (ADC candidates from the PQ
+    * codes, exact integer re-rank of the top-`refine` pool —
+    * [[annRefine]]'s machinery) instead of the all-candidate exact
+    * rank, and the lexical arm keeps its own top list; RRF fuses the
+    * two SHORT LISTS with absent ranks contributing nothing — the
+    * fusion every production hybrid stack runs, O(shortlist) per
+    * query end to end. At 100 TB the vector arm reads m-byte codes
+    * for routing and full vectors only for the refine pool; the
+    * lexical arm is the same broadcast inverted-index probe.
+    * SimilaritySpec pins fused top-5 parity ≥ 0.9 vs the exact
+    * [[annHybrid]] on the spec corpus (the honest approximation gap:
+    * a candidate outside both short lists can never surface). */
+  def annHybridLadder(s: SparkSession, dir: String, refine: Int = 50,
+      lexKeep: Int = 50, k: Int = 16, probes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // vector arm: ADC shortlist, exact re-rank (annRefine stage 2)
+    val cand = pqCandidates(s, dir, keep = refine, k = k, probes = probes)
+      .select(col("q_id"), col("n_id"), col("q_qv"), col("q_nrm"))
+    val exact = quantized(s, dir).select(col("vec_id").as("n_id"),
+      col("qv").as("n_qv"), col("nrm").as("n_nrm"))
+    val wv = Window.partitionBy(col("q_id")).orderBy(col("key").desc, col("n_id"))
+    val vrank = exact.join(broadcast(cand), Seq("n_id"))
+      .withColumn("key", cosKey(dot(col("q_qv"), col("n_qv")),
+        col("q_nrm") * col("n_nrm")))
+      .withColumn("v_rank", row_number().over(wv).cast("long"))
+      .select(col("q_id"), col("n_id"), col("v_rank"))
+    // lexical arm: same probe, its own top list
+    val emb = quantized(s, dir)
+    val txt = Tables.spread(Tables(s, dir, "documents"))
+      .select(col("doc_id").as("vec_id"), col("text"))
+    val items = emb.join(txt, Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wl = Window.partitionBy(col("q_id")).orderBy(col("lex_score").desc, col("n_id"))
+    val lrank = lexOverlap(items)
+      .withColumn("l_rank", row_number().over(wl).cast("long"))
+      .filter(col("l_rank") <= lexKeep)
+      .select(col("q_id"), col("n_id"), col("l_rank"))
+    // RRF over the UNION of the short lists; an absent arm adds 0
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("n_id"))
+    val fused = vrank.join(lrank, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("v_rank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("l_rank").cast("double")), lit(0.0)))
+      .withColumn("rnk", row_number().over(wf).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("n_id"))
+      .orderBy(col("q_id"), col("rnk"))
+    val rows = fused.collect().toIndexedSeq
+    items.unpersist(blocking = false)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, fused.schema)
   }
 
   // ------------------------------------------------- random-hyperplane LSH
@@ -638,6 +702,7 @@ object Similarity {
     "ann_ivf" -> ((s, dir) => annIvf(s, dir)),
     "ann_pq" -> ((s, dir) => annPq(s, dir)),
     "ann_refine" -> ((s, dir) => annRefine(s, dir)),
+    "ann_hybrid_ladder" -> ((s, dir) => annHybridLadder(s, dir)),
     "dedup_embed" -> ((s, dir) => dedupEmbed(s, dir)),
   )
 

@@ -27,6 +27,50 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall below the calibrated 0.8 bound")
   }
 
+  test("ann_hybrid_ladder: fused top-5 parity >= 0.9 vs the exact-rank hybrid on the clustered corpus") {
+    // the clustered fixture is where BOTH arms carry signal (cluster
+    // mates share geometry AND topic words) — the regime hybrid
+    // retrieval exists for. On near-uniform data the fused order is
+    // decided by tail-rank noise both forms treat differently, which
+    // measures the corpus, not the operator.
+    val exact = Similarity.annHybrid(spark, hybridClusteredDir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ladder = Similarity
+      .annHybridLadder(spark, hybridClusteredDir, k = 8, probes = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val parity = (exact & ladder).size.toDouble / exact.size
+    info(f"ann_hybrid_ladder parity@5 = $parity%.3f (${(exact & ladder).size}/${exact.size})")
+    // the shortlist form can only miss a fused winner that sat outside
+    // BOTH short lists — rare when either signal ranks it; 0.9 leaves
+    // margin for corpus regeneration while a fusion bug (wrong join,
+    // dropped arm, rank off-by-one) collapses parity far below
+    assert(parity >= 0.9, s"parity $parity below the 0.9 bound")
+  }
+
+  /** [[clusteredDir]] plus correlated TEXT: docs in a cluster share
+    * its topic vocabulary (plus per-doc noise words), so the lexical
+    * and vector arms agree the way real hybrid corpora do. */
+  private lazy val hybridClusteredDir: String = {
+    val d = Files.createTempDirectory("hybrid_clustered_").toString
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat * 3f))
+    val rows = (0L until 96L).map { id =>
+      val c = centers((id % 8).toInt)
+      id -> c.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+    }
+    rows.toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    val topics = (0 until 8).map(t =>
+      (0 until 6).map(w => s"topic${t}word$w").mkString(" "))
+    val docs = (0L until 96L).map { id =>
+      val noise = (0 until 3).map(j => s"noise${id}x$j").mkString(" ")
+      val text = topics((id % 8).toInt) + " " + noise
+      (id, text, "en", "s", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
   test("ann_refine: exact re-rank recovers recall the raw PQ estimate loses") {
     val exact = Similarity.annTopk(spark, clusteredDir)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
