@@ -55,6 +55,34 @@ object Bench {
       }
     }
 
+    // I/O-BOUND CONTROL: a fixed 3-commit append + compact + read-back
+    // lifecycle on a tiny scratch table. The CPU control (q1) cannot
+    // separate disk-phase drift from regression — r17's two same-tree
+    // runs diverged ~1.5× on the lake_* lifecycle rows while q1 moved
+    // 0.92× — so the commit-machinery cost of THIS host at THIS moment
+    // is stamped into the JSON as `control_io_s` (best of 2, after an
+    // untimed warm-up lifecycle absorbs first-use class loading).
+    // Compare lake_* ratios against this control; CPU-bound query
+    // ratios against control_q1_s.
+    def ioLifecycle(): Unit = {
+      import spark.implicits._
+      val d = graft.Scratch.dir("graft_bench_ioctl_").toString
+      val t = graft.sources.LogTable(spark, d)
+      (0 until 3).foreach { i =>
+        t.append((0 until 2000).map(j => ((i * 2000 + j).toLong, s"v$j"))
+          .toDF("id", "v").coalesce(2))
+      }
+      t.compact()
+      assert(t.read().count() == 6000L)
+      ()
+    }
+    ioLifecycle() // warm-up, untimed
+    val controlIo = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      ioLifecycle()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     // Best-of-2 per query, INTERLEAVED: the whole suite runs twice and
@@ -118,7 +146,8 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
     val sharedKeys = times.keySet.filter(baseline.contains)
     val phaseFields: String = {
-      val c = controlQ1.map(v => s""""control_q1_s":${rnd(v, 3)},""").getOrElse("")
+      val c = controlQ1.map(v => s""""control_q1_s":${rnd(v, 3)},""").getOrElse("") +
+        s""""control_io_s":${rnd(controlIo, 3)},"""
       // theirs > 0 guard: a zero/garbage baseline sum would format
       // Infinity/NaN and emit invalid JSON — the exact truncation
       // failure the ms-precision rendering below exists to avoid
