@@ -271,6 +271,48 @@ object Pipeline {
       .orderBy(col("bucket"), col("win"))
   }
 
+  /** END-TO-END TOKENIZE — the full preprocessing chain a training run
+    * actually ships, composed from the library's own oracle-green
+    * stages: the line-dedup REWRITE produces the cleaned corpus
+    * ([[Dedup.cleanLines]] — boilerplate lines survive only at their
+    * first global occurrence), a BPE tokenizer TRAINS on that CLEANED
+    * text (training on text the model never sees would skew the
+    * merges), every cleaned doc ENCODES with it, and the real token
+    * counts PACK into 2048-token context windows ([[packWindows]]'s
+    * skeleton). Newlines collapse to spaces before tokenization (the
+    * whitespace tokenizer's contract; reassembled docs carry them).
+    *
+    * Scale: cleanLines' one text shuffle (the rewrite floor) + the
+    * O(vocab) training rounds + one dict join + the B-way pack — every
+    * stage individually proven; this query oracle-checks their
+    * COMPOSITION (the DuckDB form chains the same CTEs). Docs whose
+    * every line was boilerplate clean to '' and drop out of packing on
+    * both sides (no encodable word). */
+  def tokenizePipeline(s: SparkSession, dir: String, buckets: Int = 8,
+      windowTokens: Long = 2048L, rounds: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cleaned = Dedup.cleanLines(s, dir)
+      .select(col("doc_id"),
+        replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
+    val vocab = TextAnalysis.bpeTrainDf(cleaned, rounds)._2
+    val docs = TextAnalysis.bpeEncodeWith(vocab, cleaned)
+      .select(col("doc_id"), col("n_tokens").as("tok"),
+        pmod(col("doc_id"), lit(buckets)).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("start", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("win", expr(s"start div ${windowTokens}L"))
+      .withColumn("spill",
+        (expr(s"(start + tok - 1) div ${windowTokens}L") =!= col("win")).cast("long"))
+      .groupBy(col("bucket"), col("win"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        sum(col("spill")).cast("long").as("n_spill"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("bucket"), col("win"))
+  }
+
   /** DECONTAMINATION — the benchmark-hygiene gate every training run
     * needs: drop from the training corpus every document sharing ANY
     * 5-gram with the held-out eval set, then report what survives per
@@ -571,6 +613,7 @@ object Pipeline {
     "pipeline_temper" -> ((s, dir) => temperatureSample(s, dir)),
     "pipeline_pack" -> ((s, dir) => packWindows(s, dir)),
     "pipeline_pack_bpe" -> ((s, dir) => packWindowsBpe(s, dir)),
+    "pipeline_tokenize" -> ((s, dir) => tokenizePipeline(s, dir)),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_shuffle" -> ((s, dir) => shuffleShard(s, dir)),
     "pipeline_select" -> ((s, dir) => budgetSelect(s, dir)),
@@ -731,6 +774,44 @@ object Pipeline {
     // pipeline_pack's verbatim
     "pipeline_pack_bpe" ->
       (TextAnalysis.bpeEncodeCte(5) + """,
+        |t AS (
+        |  SELECT doc_id, doc_id % 8 AS bucket,
+        |    CAST(sum(n_toks) AS BIGINT) AS tok
+        |  FROM d JOIN wt USING (word) GROUP BY doc_id),
+        |o AS (
+        |  SELECT doc_id, bucket, tok,
+        |    CAST(coalesce(sum(tok) OVER (
+        |      PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM t)
+        |SELECT bucket, start // 2048 AS win, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN (start + tok - 1) // 2048 <> start // 2048
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spill,
+        |  min(doc_id) AS first_doc
+        |FROM o GROUP BY 1, 2 ORDER BY bucket, win""".stripMargin),
+    // the end-to-end chain: dedup_clean's rewrite CTEs produce the
+    // cleaned relation, the tokenizer-training/encode CTEs run OVER it
+    // (rel = "cleaned"), the pack tail is pipeline_pack's verbatim
+    "pipeline_tokenize" ->
+      ("""WITH l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ord
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, line, ord,
+        |    CASE WHEN length(line) >= 30 THEN
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) = 1
+        |    ELSE TRUE END AS keep
+        |  FROM l),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    replace(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+        |      ORDER BY ord), ''), chr(10), ' ') AS text
+        |  FROM m GROUP BY doc_id),
+        |""".stripMargin +
+        TextAnalysis.bpeEncodeCte(5, "cleaned").stripPrefix("WITH ") + """,
         |t AS (
         |  SELECT doc_id, doc_id % 8 AS bucket,
         |    CAST(sum(n_toks) AS BIGINT) AS tok

@@ -248,16 +248,29 @@ object TextAnalysis {
   private[graft] def bpeSyms(e: Column): Column =
     split(e.substr(lit(2), length(e) - 2), BpeE + BpeS)
 
-  /** The shared trainer behind [[bpe]] and [[bpeEncode]]: returns the
-    * learned merge list AND the final vocab frame `(word, wc, e)` —
-    * each distinct corpus word with its fully-merged sentinel-wrapped
+  private val bpeTrainCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), (Seq[(Int, String, String, Long)], DataFrame)]()
+
+  /** The shared trainer behind [[bpe]], [[bpeEncode]] and
+    * pipeline_pack_bpe: returns the learned merge list AND the final
+    * vocab frame. CACHED per (corpus dir, rounds) — the documented
+    * train-once-probe-many shape ANN's IVF/PQ indexes already use: a
+    * tokenizer trains once, every downstream consumer encodes with it. */
+  private[graft] def bpeTrain(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeTrainCache.computeIfAbsent((dir, rounds),
+      _ => bpeTrainDf(docsSpread(s, dir), rounds))
+
+  /** Train on an ARBITRARY document frame (any (…, text) schema):
+    * returns the merge list and the final vocab frame `(word, wc, e)`
+    * — each distinct word with its fully-merged sentinel-wrapped
     * segmentation. The returned frame is CACHED (O(vocabulary) rows);
     * callers own the read side, the cache ages out with the session. */
-  private[graft] def bpeTrain(s: SparkSession, dir: String, rounds: Int)
+  private[graft] def bpeTrainDf(docs: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     val (sS, eE) = (BpeS, BpeE)
     // vocab census: the ONLY corpus-scale pass
-    var vocab = docsSpread(s, dir)
+    var vocab = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
@@ -320,9 +333,15 @@ object TextAnalysis {
     * the token-id sum — the id sum makes the oracle hash pin the exact
     * id assignment and the exact per-word segmentation, not just
     * totals. */
-  def bpeEncode(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+  def bpeEncode(s: SparkSession, dir: String, rounds: Int = 5): DataFrame =
+    bpeEncodeWith(bpeTrain(s, dir, rounds)._2, docsSpread(s, dir))
+
+  /** Encode an arbitrary document frame with an arbitrary trained
+    * vocab — the composable core behind [[bpeEncode]] and the
+    * end-to-end pipeline_tokenize (which trains on the CLEANED
+    * corpus, not the raw one). */
+  private[graft] def bpeEncodeWith(vocab: DataFrame, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vocab = bpeTrain(s, dir, rounds)._2
     val wordSyms = vocab.select(col("word"), bpeSyms(col("e")).as("syms"))
     val ids = wordSyms.select(explode(col("syms")).as("sym")).distinct()
       .withColumn("tid", row_number()
@@ -331,7 +350,7 @@ object TextAnalysis {
       .join(broadcast(ids), "sym")
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n_toks"), sum(col("tid")).as("id_sum_w"))
-    docsSpread(s, dir)
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .join(wt, "word")
@@ -420,11 +439,12 @@ object TextAnalysis {
     * integer counting and plain string replacement. `word` rides along
     * so the encode tail can map corpus words to their final
     * segmentation. Ends after `v<rounds>` (no trailing SELECT). */
-  private[graft] def bpeOracleCte(rounds: Int): String = {
+  private[graft] def bpeOracleCte(rounds: Int,
+      rel: String = "documents"): String = {
     val sb = new StringBuilder
-    sb ++= """WITH w AS (
+    sb ++= s"""WITH w AS (
       |  SELECT word, count(*) AS wc FROM (
-      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM $rel) t
       |  WHERE length(word) >= 1 GROUP BY word),
       |v0 AS (SELECT word, wc, chr(1) || array_to_string(string_split(word, ''), chr(2) || chr(1)) || chr(2) AS e FROM w)""".stripMargin
     for (k <- 1 to rounds) {
@@ -450,14 +470,15 @@ object TextAnalysis {
     * (corpus word explode) — everything [[bpeEncode]]'s oracle and any
     * real-token downstream consumer (pipeline_pack_bpe) need. Ends
     * after `d` (no trailing SELECT). */
-  private[graft] def bpeEncodeCte(rounds: Int): String =
-    bpeOracleCte(rounds) + s""",
+  private[graft] def bpeEncodeCte(rounds: Int,
+      rel: String = "documents"): String =
+    bpeOracleCte(rounds, rel) + s""",
       |sy AS (SELECT word, string_split(substr(e, 2, length(e) - 2), chr(2) || chr(1)) AS syms FROM v$rounds),
       |ids AS (SELECT sym, CAST(row_number() OVER (ORDER BY length(sym), sym) AS BIGINT) AS tid
       |  FROM (SELECT DISTINCT unnest(syms) AS sym FROM sy) u),
       |wt AS (SELECT word, CAST(count(*) AS BIGINT) AS n_toks, CAST(sum(tid) AS BIGINT) AS id_sum_w
       |  FROM (SELECT word, unnest(syms) AS sym FROM sy) x JOIN ids USING (sym) GROUP BY word),
-      |d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)""".stripMargin
+      |d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM $rel)""".stripMargin
 
   private def bpeEncodeOracleSql(rounds: Int): String =
     bpeEncodeCte(rounds) + """
