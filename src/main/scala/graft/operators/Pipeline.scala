@@ -521,8 +521,8 @@ object Pipeline {
     * proving B=3 ≡ B=64); the corpus is read once into the pinned
     * assignment, census + final read the cache. */
   def budgetSelect(s: SparkSession, dir: String, budget: Long = 50000L,
-      buckets: Option[Int] = None): DataFrame = {
-    val (bucketed, agg) = budgetSelectPlanned(s, dir, budget, buckets)
+      buckets: Option[Int] = None, realTokens: Boolean = false): DataFrame = {
+    val (bucketed, agg) = budgetSelectPlanned(s, dir, budget, buckets, realTokens)
     // materialize the <=|sources|-row census NOW, release the pin
     val rows = agg.collect().toIndexedSeq
     bucketed.unpersist(blocking = false)
@@ -535,8 +535,8 @@ object Pipeline {
     * returns a driver-materialized census frame). Returns (pinned
     * bucket assignment to unpersist, result plan). */
   private[graft] def budgetSelectPlanned(s: SparkSession, dir: String,
-      budget: Long = 50000L,
-      buckets: Option[Int] = None): (DataFrame, DataFrame) = {
+      budget: Long = 50000L, buckets: Option[Int] = None,
+      realTokens: Boolean = false): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val nWords = size(split(col("text"), " ")).cast("long")
     val stopHits = size(regexp_extract_all(col("text"),
@@ -562,6 +562,17 @@ object Pipeline {
             lit("budgetSelect: NULL source — the bucket census and the " +
               "offset join key on source; repair the corpus upstream"))
           .isNull, col("source")))
+      // realTokens: the budget denominates in the TRAINED tokenizer's
+      // output (text_bpe_encode's n_tokens) instead of the whitespace
+      // proxy — what a production mixing recipe actually caps. Docs
+      // with no encodable word carry no tokens and drop from the
+      // census on both sides (the encoder's inner-join rule).
+      .transform(df =>
+        if (!realTokens) df
+        else df.drop("n_words").join(
+          TextAnalysis.bpeEncode(s, dir)
+            .select(col("doc_id"), col("n_tokens").as("n_words")),
+          Seq("doc_id")))
     val b = buckets.getOrElse(Tables.sliceCount(s))
     // PINNED before the census — same rationale as curriculum/q_ntile:
     // unpersisted repartitionByRange re-samples boundaries per action
@@ -614,6 +625,7 @@ object Pipeline {
     "pipeline_pack" -> ((s, dir) => packWindows(s, dir)),
     "pipeline_pack_bpe" -> ((s, dir) => packWindowsBpe(s, dir)),
     "pipeline_tokenize" -> ((s, dir) => tokenizePipeline(s, dir)),
+    "pipeline_select_bpe" -> ((s, dir) => budgetSelect(s, dir, realTokens = true)),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_shuffle" -> ((s, dir) => shuffleShard(s, dir)),
     "pipeline_select" -> ((s, dir) => budgetSelect(s, dir)),
@@ -790,6 +802,42 @@ object Pipeline {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spill,
         |  min(doc_id) AS first_doc
         |FROM o GROUP BY 1, 2 ORDER BY bucket, win""".stripMargin),
+    // the BPE-token budget select: tokenizer CTEs give per-doc real
+    // token counts (dt), scoring stays the whitespace-feature quality
+    // formula, the per-source prefix cut runs over dt.tok
+    "pipeline_select_bpe" ->
+      (TextAnalysis.bpeEncodeCte(5) + """,
+        |dt AS (
+        |  SELECT doc_id, CAST(sum(n_toks) AS BIGINT) AS tok
+        |  FROM d JOIN wt USING (word) GROUP BY doc_id),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    length(text) AS n_chars_m,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS stop_hits
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+        |    CAST(stop_hits AS DOUBLE) / n_words AS stop_ratio, n_words
+        |  FROM f),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |    stop_ratio * 0.5
+        |      + least(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.3
+        |      + least(1.0, avg_word_len / 8.0) * 0.2 AS score
+        |  FROM g),
+        |r AS (
+        |  SELECT sc.doc_id, sc.source, dt.tok, sc.score,
+        |    sum(dt.tok) OVER (PARTITION BY sc.source
+        |      ORDER BY sc.score DESC, sc.doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_toks
+        |  FROM sc JOIN dt USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN run_toks <= 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN run_toks <= 50000 THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  min(CASE WHEN run_toks <= 50000 THEN score END) AS cut_score
+        |FROM r GROUP BY source ORDER BY source""".stripMargin),
     // the end-to-end chain: dedup_clean's rewrite CTEs produce the
     // cleaned relation, the tokenizer-training/encode CTEs run OVER it
     // (rel = "cleaned"), the pack tail is pipeline_pack's verbatim

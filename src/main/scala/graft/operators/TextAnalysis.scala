@@ -361,6 +361,21 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The learned TOKEN-ID TABLE — the artifact a tokenizer ships: the
+    * final symbol vocabulary under the same deterministic
+    * (length, lexicographic) id ranking [[bpeEncode]] pins, one row
+    * per token. O(alphabet + rounds) rows by construction. */
+  def bpeVocab(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bpeTrain(s, dir, rounds)._2
+      .select(explode(bpeSyms(col("e"))).as("token")).distinct()
+      .withColumn("tid", row_number()
+        .over(Window.orderBy(length(col("token")), col("token"))).cast("long"))
+      .select(col("tid"), col("token"),
+        length(col("token")).cast("long").as("token_len"))
+      .orderBy(col("tid"))
+  }
+
   private def mergesDf(s: SparkSession,
       ms: Seq[(Int, String, String, Long)]): DataFrame = {
     import s.implicits._
@@ -425,6 +440,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _),
     "text_bpe" -> ((s, d) => bpe(s, d)),
     "text_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
+    "text_bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
     "text_vocab" -> (vocab _),
     "text_repetition" -> (repetition _),
     "text_tfidf" -> (tfidf _),
@@ -562,6 +578,10 @@ object TextAnalysis {
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "text_bpe" -> bpeOracleSql(5),
     "text_bpe_encode" -> bpeEncodeOracleSql(5),
+    // the id table straight from the encode chain's `ids` CTE
+    "text_bpe_vocab" -> (bpeEncodeCte(5) + """
+      |SELECT tid, sym AS token, CAST(length(sym) AS BIGINT) AS token_len
+      |FROM ids ORDER BY tid""".stripMargin),
     // Same md5-based Karp-Rabin arithmetic as fingerprint():
     // hw = first 15 md5 hex digits (60 bits) mod p, folded left as
     // h·31 + hw mod p. list_reduce has no init accumulator — it seeds
