@@ -1230,6 +1230,39 @@ object Lakehouse {
       .orderBy(col("lang"))
   }
 
+  /** VARIANT SHREDDING end to end, oracle-gated: the same census as
+    * lake_variant, but the table WRITES its variant physically
+    * SHREDDED (`write.variant.shredding` — the parquet
+    * variant-shredding layout, per-field typed_value subcolumns;
+    * Iceberg v3's blessed physical form): ingest lands shredded, the
+    * COW delete predicates THROUGH variant_get over shredded files
+    * and its rewrite re-shreds, compact rewrites shredded, the v3
+    * export serves shredded files to the independent spec reader.
+    * Footer physicality is spec-asserted (IcebergExportSpec); this
+    * query gates the VALUES — a shredding writer that loses residual
+    * fields, or a reader that mis-rebuilds typed_value, breaks the
+    * hash. */
+  def lakeVariantShred(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergExport, IcebergRead}
+    val tmp = graft.Scratch.dir("graft_lake_vshred_").toString
+    val table = LogTable(s, tmp)
+    table.setProperties(Map(LogTable.VariantShredProp -> "true"))
+    table.append(Tables.spread(Tables(s, dir, "documents"))
+      .select(col("doc_id"),
+        expr("parse_json(to_json(struct(lang, source, n_chars)))").as("v")))
+    table.delete(expr("variant_get(v, '$.lang', 'string') = 'de'"))
+    table.compact()
+    val dest = graft.Scratch.dir("graft_lake_vshred_ice_").toString
+    IcebergExport.export(table, dest, formatVersion = 3)
+    IcebergRead.read(s, dest)
+      .select(expr("variant_get(v, '$.lang', 'string')").as("lang"),
+        expr("variant_get(v, '$.n_chars', 'long')").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).cast("long").as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Partition statistics end to end, oracle-gated: a day-partitioned
     * table exports with the spec's partition-statistics file, the
     * stats parquet reads back through the spec reader, and the
@@ -1317,6 +1350,7 @@ object Lakehouse {
     "lake_view" -> (lakeView _),
     "lake_pstats" -> (lakePstats _),
     "lake_variant" -> (lakeVariant _),
+    "lake_variant_shred" -> (lakeVariantShred _),
     "lake_mbucket" -> (lakeMbucket _),
     "lake_hist_mor" -> (lakeHistMor _),
     "lake_iceberg" -> (lakeIceberg _),
@@ -1371,6 +1405,13 @@ object Lakehouse {
     // NULL-dropping `<>` — a NULL-lang corpus row lands in both
     // results instead of silently diverging the hash.
     "lake_variant" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang IS DISTINCT FROM 'de'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // identical census through the SHREDDED write path — the physical
+    // layout must be invisible to the values
+    "lake_variant_shred" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang IS DISTINCT FROM 'de'

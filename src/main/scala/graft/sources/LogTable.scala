@@ -2290,6 +2290,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
     kvs.get(LogTable.CdcEnabledProp).foreach(v =>
       require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
         s"${LogTable.CdcEnabledProp} must be true or false, got '$v'"))
+    kvs.get(LogTable.VariantShredProp).foreach(v =>
+      require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"${LogTable.VariantShredProp} must be true or false, got '$v'"))
     commit("set-props", nextProps = prev => prev.props ++ kvs)(_.files)
   }
 
@@ -4346,8 +4349,33 @@ final class LogTable private (val spark: SparkSession, val root: String,
         w = w.option(s"parquet.bloom.filter.enabled#${b.col}", "true")
           .option(s"parquet.bloom.filter.expected.ndv#${b.col}", b.ndv.toString)
     }
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-      .parquet(stage.toString)
+    // honored table property: pin VARIANT physical layout (see
+    // VariantShredProp — Spark's writer shreds by default; the
+    // property forces shredded or twin-binary regardless of the
+    // engine default). The shredding writer is driven by session
+    // confs, so they wrap THIS write and restore after — the write
+    // runs on the table's own session under the per-table commit
+    // lock.
+    val shredProp = props.getOrElse(snapshot().props)
+      .get(LogTable.VariantShredProp)
+      .filter(_ => arranged.schema.exists(f =>
+        IcebergExport.containsVariant(f.dataType)))
+    val doWrite = () =>
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(stage.toString)
+    shredProp match {
+      case None => doWrite()
+      case Some(v) =>
+        val conf = df.sparkSession.conf
+        val mode = v.toLowerCase(java.util.Locale.ROOT)
+        val keys = Seq("spark.sql.variant.writeShredding.enabled",
+          "spark.sql.variant.inferShreddingSchema")
+        val prev = keys.map(k => k -> conf.getOption(k))
+        keys.foreach(conf.set(_, mode))
+        try doWrite()
+        finally prev.foreach { case (k, pv) =>
+          pv.fold(conf.unset(k))(conf.set(k, _)) }
+    }
     def partValsOf(rel: String): Map[String, String] =
       LogTable.partValsOfRel(rel)
     val sidecar = stage.resolve(DirectCommitProtocol.Sidecar)
@@ -4721,6 +4749,16 @@ object LogTable {
   /** Honored table property: COW delete/update/merge stage per-commit
     * CDC change files (Delta's `delta.enableChangeDataFeed`). */
   val CdcEnabledProp = "write.cdc.enabled"
+  /** Honored table property: pin the physical layout of VARIANT
+    * writes. Spark's writer SHREDS by default (the parquet
+    * variant-shredding layout — per-field typed_value subcolumns next
+    * to the residual binary, schema inferred per write; Iceberg v3's
+    * blessed form). `true` pins shredding against engine-default
+    * drift; `false` forces the twin-binary layout for downstream
+    * readers that predate shredding. Absent = the engine default.
+    * Existing files keep their layout until rewritten (compact/COW
+    * retrofit, like blooms); readers handle both layouts and any mix. */
+  val VariantShredProp = "write.variant.shredding"
   /** Position-delete sharding: one delete file per up to this many
     * referenced data files (capped at 256 shards). Keeps a large
     * marking pass parallel on the write side without exploding tiny

@@ -250,4 +250,39 @@ class PipelineSpec extends SparkSpec {
     val df = Pipeline.curriculum(spark, sfDir)
     assert(df.count() === 8L) // 8 tiers regardless of B
   }
+
+  test("bucketed censuses stay EXACT past the range-sampler's budget (60k rows — the unpinned-boundary regime)") {
+    // RangePartitioner samples ~60 rows per input partition and seeds
+    // with the RDD id: above that size, an UNPINNED repartitionByRange
+    // draws different boundaries for the census action and the final
+    // action (round 18 observed a phantom 5th quartile in q_ntile's
+    // unpinned rewrite). The small-SF specs never enter this regime —
+    // this corpus does, so a future unpinning regresses HERE, not at
+    // 100 TB. Exactness checks: B-independence AND conservation
+    // (drifted offsets double-count or drop rows, breaking the total).
+    val d = java.nio.file.Files.createTempDirectory("census_scale_").toString
+    val n = 60000L
+    spark.range(n).selectExpr(
+        "id AS doc_id",
+        // varied text → varied quality scores → real bucket spread
+        "concat('w', CAST(id % 997 AS STRING), ' the of ', repeat('x ', CAST(id % 37 AS INT))) AS text",
+        "'en' AS lang",
+        "concat('src', CAST(id % 4 AS STRING)) AS source",
+        "CAST(length(concat('w', CAST(id % 997 AS STRING))) AS BIGINT) AS n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    // curriculum: tier tables identical across B, tiers conserve rows
+    def tiers(b: Int) = Pipeline.curriculum(spark, d, buckets = Some(b))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toSeq
+    val t4 = tiers(4)
+    assert(t4 === tiers(64), "curriculum census drifted across B")
+    assert(t4.map(_._2).sum === n, "curriculum tiers must conserve the corpus")
+    // budgetSelect: census identical across B, docs conserved per source
+    def sel(b: Int) = Pipeline.budgetSelect(spark, d, buckets = Some(b))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val s4 = sel(4)
+    assert(s4 === sel(64), "budgetSelect census drifted across B")
+    assert(s4.map(_._2).sum === n, "budgetSelect must conserve the corpus")
+  }
 }

@@ -2780,4 +2780,57 @@ class IcebergExportSpec extends SparkSpec {
       tmp("ice_v3_shred_imp_"))
     assert(census(imp.read()) === expect)
   }
+
+  test("write.variant.shredding pins the VARIANT physical layout; default shreds; mixed layouts, COW rewrites and v3 export stay exact") {
+    def isShredded(path: String): Boolean = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          new org.apache.hadoop.conf.Configuration()))
+      try r.getFooter.getFileMetaData.getSchema.toString.contains("typed_value")
+      finally r.close()
+    }
+    def rows(ids: Seq[Long]) = spark.range(1).selectExpr(
+        s"explode(array(${ids.mkString(",")})) AS id",
+        "0 AS z").selectExpr("id",
+      """parse_json(format_string('{"a": %d, "b": "x%d"}', id, id)) AS v""")
+      .coalesce(1)
+    val t = LogTable(spark, tmp("lt_vshred_"))
+    // validation: only true/false
+    intercept[IllegalArgumentException](
+      t.setProperties(Map(LogTable.VariantShredProp -> "maybe")))
+    // 1. ENGINE DEFAULT, pinned: Spark 4's writer shreds variant —
+    //    the layout the library's variant lifecycle has been storing
+    //    all along (lake_variant's green hash covers shredded files)
+    t.append(rows(0L until 6L))
+    assert(t.snapshot().files.forall(f => isShredded(f.path)),
+      "the engine default must shred (if this moved, re-pin the docs)")
+    def census(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, String)] =
+      df.selectExpr("id", "variant_get(v, '$.a', 'long') AS a",
+        "variant_get(v, '$.b', 'string') AS b")
+        .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(census(t.read()) === (0L until 6L).map(i => (i, i, s"x$i")))
+    // 2. property=false forces the TWIN-BINARY layout (readers that
+    //    predate shredding); old files keep theirs — a mixed table
+    t.setProperties(Map(LogTable.VariantShredProp -> "false"))
+    t.append(rows(Seq(10L, 11L)))
+    val byLayout = t.snapshot().files.map(f => isShredded(f.path)).toSet
+    assert(byLayout === Set(true, false), "expected a mixed-layout table")
+    assert(census(t.read()) ===
+      ((0L until 6L) ++ Seq(10L, 11L)).map(i => (i, i, s"x$i")))
+    // the wrap restores the session confs it touched
+    assert(spark.conf.get("spark.sql.variant.writeShredding.enabled") !== "false")
+    // 3. property=true pins shredding; a COW delete THROUGH the
+    //    variant rewrites shredded and stays exact
+    t.setProperties(Map(LogTable.VariantShredProp -> "true"))
+    t.delete(org.apache.spark.sql.functions.expr(
+      "variant_get(v, '$.a', 'long') = 2"))
+    assert(census(t.read()) ===
+      (Seq(0L, 1L, 3L, 4L, 5L) ++ Seq(10L, 11L)).map(i => (i, i, s"x$i")))
+    // 4. v3 export serves the mixed files; the independent spec
+    //    reader rebuilds identical values
+    val dest = tmp("lt_vshred_ice_")
+    IcebergExport.export(t, dest, formatVersion = 3)
+    assert(census(IcebergRead.read(spark, dest)) === census(t.read()))
+  }
 }
