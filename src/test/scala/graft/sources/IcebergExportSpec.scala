@@ -2833,4 +2833,34 @@ class IcebergExportSpec extends SparkSpec {
     IcebergExport.export(t, dest, formatVersion = 3)
     assert(census(IcebergRead.read(spark, dest)) === census(t.read()))
   }
+
+  test("shredded-stat pruning: variant_get pushes into the scan as typed_value subcolumn reads + pushed filters") {
+    // Spark's pushVariantIntoScan (default on) rewrites variant_get
+    // over a shredded file into struct subcolumn accesses: the scan's
+    // ReadSchema narrows to the requested typed_value fields (never
+    // the full binary) and the equality lands in PushedFilters, where
+    // parquet row-group stats on the shredded subcolumn prune I/O —
+    // the "shredded-stat pruning" tier, inherited and here PINNED
+    // through graft's OWN read paths.
+    val t = LogTable(spark, tmp("lt_vpush_"))
+    t.append(spark.range(100).selectExpr("id",
+      """parse_json(format_string('{"a": %d, "b": "x%d"}', id, id)) AS v""")
+      .coalesce(2))
+    def probe(df: org.apache.spark.sql.DataFrame): Unit = {
+      val q = df.filter(org.apache.spark.sql.functions.expr(
+          "variant_get(v, '$.a', 'long') = 7"))
+        .selectExpr("id", "variant_get(v, '$.b', 'string') AS b")
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters: [IsNotNull(v), EqualTo(v."),
+        s"variant_get equality must reach PushedFilters:\n${p.take(1200)}")
+      assert("ReadSchema:[^\n]*v:struct<".r.findFirstIn(p).nonEmpty,
+        s"ReadSchema must narrow to typed_value subcolumns:\n${p.take(1200)}")
+      assert(q.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((7L, "x7")))
+    }
+    probe(t.read()) // graft-native scan
+    val dest = tmp("lt_vpush_ice_")
+    IcebergExport.export(t, dest, formatVersion = 3)
+    probe(IcebergRead.read(spark, dest)) // independent spec reader
+  }
 }
