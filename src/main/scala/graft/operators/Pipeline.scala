@@ -282,12 +282,17 @@ object Pipeline {
     * skeleton). Newlines collapse to spaces before tokenization (the
     * whitespace tokenizer's contract; reassembled docs carry them).
     *
-    * Scale: cleanLines' one text shuffle (the rewrite floor) + the
-    * O(vocab) training rounds + one dict join + the B-way pack — every
-    * stage individually proven; this query oracle-checks their
-    * COMPOSITION (the DuckDB form chains the same CTEs). Docs whose
-    * every line was boilerplate clean to '' and drop out of packing on
-    * both sides (no encodable word). */
+    * Scale: the O(vocab) training rounds + one dict join + the B-way
+    * pack — every stage individually proven; this query oracle-checks
+    * their COMPOSITION (the DuckDB form chains the same CTEs). The
+    * cleaned corpus is deliberately NOT cached here, so the cleanLines
+    * rewrite executes twice (vocab census + encode pass) — the
+    * stateless-plan trade; a production run materializes the cleaned
+    * corpus as a table between the stages (LogTable ingest, the
+    * pipeline_ingest_dedup shape) and both passes read it back, which
+    * is the same two reads without holding corpus-scale cache. Docs
+    * whose every line was boilerplate clean to '' and drop out of
+    * packing on both sides (no encodable word). */
   def tokenizePipeline(s: SparkSession, dir: String, buckets: Int = 8,
       windowTokens: Long = 2048L, rounds: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
