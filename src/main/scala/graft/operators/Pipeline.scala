@@ -271,6 +271,39 @@ object Pipeline {
       .orderBy(col("bucket"), col("win"))
   }
 
+  /** REPETITION PLANNING — the data-constrained-scaling step (how many
+    * EPOCHS of each source a token budget buys): when a run wants more
+    * tokens from a source than the source holds, it repeats the source
+    * for multiple epochs — but repeated data stops helping after a few
+    * passes, so the plan caps epochs (the data-constrained-scaling
+    * result; 4 here) and reports the shortfall instead of pretending.
+    * Each source's AVAILABLE tokens come from the corpus census; the
+    * run's global budget splits equally across live sources (integer
+    * div — the remainder is deliberately unallocated); epochs =
+    * ceil(share / available) capped, effective = min(share,
+    * epochs·available), shortfall = share − effective. All-integer →
+    * engine-exact. One map-side-combined census, O(sources) rows after
+    * — scales to any corpus. */
+  def epochPlan(s: SparkSession, dir: String, budget: Long = 200000L,
+      maxEpochs: Long = 4L): DataFrame = {
+    val avail = Tables(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("tok")).cast("long").as("available_tokens"))
+    val nSrc = avail.agg(count(lit(1)).as("n_src"))
+    avail.crossJoin(broadcast(nSrc))
+      .withColumn("share", expr(s"${budget}L div n_src"))
+      .withColumn("epochs",
+        least(lit(maxEpochs),
+          expr("(share + available_tokens - 1) div available_tokens")))
+      .withColumn("effective_tokens",
+        least(col("share"), col("epochs") * col("available_tokens")))
+      .withColumn("shortfall", col("share") - col("effective_tokens"))
+      .select(col("source"), col("available_tokens"), col("epochs"),
+        col("effective_tokens"), col("shortfall"))
+      .orderBy(col("source"))
+  }
+
   /** END-TO-END TOKENIZE — the full preprocessing chain a training run
     * actually ships, composed from the library's own oracle-green
     * stages: the line-dedup REWRITE produces the cleaned corpus
@@ -631,6 +664,7 @@ object Pipeline {
     "pipeline_pack_bpe" -> ((s, dir) => packWindowsBpe(s, dir)),
     "pipeline_tokenize" -> ((s, dir) => tokenizePipeline(s, dir)),
     "pipeline_select_bpe" -> ((s, dir) => budgetSelect(s, dir, realTokens = true)),
+    "pipeline_epochs" -> ((s, dir) => epochPlan(s, dir)),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_shuffle" -> ((s, dir) => shuffleShard(s, dir)),
     "pipeline_select" -> ((s, dir) => budgetSelect(s, dir)),
@@ -807,6 +841,21 @@ object Pipeline {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spill,
         |  min(doc_id) AS first_doc
         |FROM o GROUP BY 1, 2 ORDER BY bucket, win""".stripMargin),
+    // integer epoch arithmetic over the per-source token census
+    "pipeline_epochs" ->
+      """WITH a AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+        |  FROM documents GROUP BY source),
+        |n AS (SELECT count(*) AS n_src FROM a),
+        |p AS (
+        |  SELECT source, available_tokens, 200000 // n_src AS share,
+        |    least(4, (200000 // n_src + available_tokens - 1) // available_tokens) AS epochs
+        |  FROM a, n)
+        |SELECT source, available_tokens, epochs,
+        |  least(share, epochs * available_tokens) AS effective_tokens,
+        |  share - least(share, epochs * available_tokens) AS shortfall
+        |FROM p ORDER BY source""".stripMargin,
     // the BPE-token budget select: tokenizer CTEs give per-doc real
     // token counts (dt), scoring stays the whitespace-feature quality
     // formula, the per-source prefix cut runs over dt.tok

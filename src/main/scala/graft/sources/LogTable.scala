@@ -4352,10 +4352,12 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // honored table property: pin VARIANT physical layout (see
     // VariantShredProp — Spark's writer shreds by default; the
     // property forces shredded or twin-binary regardless of the
-    // engine default). The shredding writer is driven by session
-    // confs, so they wrap THIS write and restore after — the write
-    // runs on the table's own session under the per-table commit
-    // lock.
+    // engine default). The shredding writer is driven by SESSION
+    // confs, so they wrap THIS write and restore after. A concurrent
+    // write on another table of the same session may observe the
+    // pinned values for the duration — benign: both layouts (and any
+    // mix) read exactly; the pin guarantees THIS table's files, not
+    // session isolation.
     val shredProp = props.getOrElse(snapshot().props)
       .get(LogTable.VariantShredProp)
       .filter(_ => arranged.schema.exists(f =>
