@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** The end-to-end corpus-curation pipeline a training-data run
   * actually executes, composed FROM the library's own operators
@@ -327,11 +328,35 @@ object Pipeline {
     * whose every line was boilerplate clean to '' and drop out of
     * packing on both sides (no encodable word). */
   def tokenizePipeline(s: SparkSession, dir: String, buckets: Int = 8,
+      windowTokens: Long = 2048L, rounds: Int = 5): DataFrame =
+    tokenizeFrom(
+      Dedup.cleanLines(s, dir).select(col("doc_id"),
+        replace(col("clean_text"), lit("\n"), lit(" ")).as("text")),
+      buckets, windowTokens, rounds)
+
+  /** [[tokenizePipeline]] with the cleaned corpus MATERIALIZED into a
+    * LogTable between the stages — the production shape the stateless
+    * form's docstring names: the rewrite runs ONCE and commits (an
+    * auditable, time-travelable artifact of the curation run), then
+    * tokenizer training and encoding both read the table back. Same
+    * answer by construction, so it shares pipeline_tokenize's oracle —
+    * which makes the hash gate prove the LAKE ROUNDTRIP preserves the
+    * rewrite byte-for-byte (a lossy text write/read would diverge the
+    * token counts). */
+  def tokenizePipelineTbl(s: SparkSession, dir: String, buckets: Int = 8,
       windowTokens: Long = 2048L, rounds: Int = 5): DataFrame = {
+    import graft.sources.LogTable
+    val table = LogTable(s, graft.Scratch.dir("graft_pipe_clean_").toString)
+    table.append(Dedup.cleanLines(s, dir).select(col("doc_id"),
+      replace(col("clean_text"), lit("\n"), lit(" ")).as("text")))
+    tokenizeFrom(table.read(), buckets, windowTokens, rounds)
+  }
+
+  /** The train→encode→pack tail over an already-cleaned (doc_id, text)
+    * frame — shared by the stateless and the materialized forms. */
+  private def tokenizeFrom(cleaned: DataFrame, buckets: Int,
+      windowTokens: Long, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cleaned = Dedup.cleanLines(s, dir)
-      .select(col("doc_id"),
-        replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
     val vocab = TextAnalysis.bpeTrainDf(cleaned, rounds)._2
     val docs = TextAnalysis.bpeEncodeWith(vocab, cleaned)
       .select(col("doc_id"), col("n_tokens").as("tok"),
@@ -663,6 +688,7 @@ object Pipeline {
     "pipeline_pack" -> ((s, dir) => packWindows(s, dir)),
     "pipeline_pack_bpe" -> ((s, dir) => packWindowsBpe(s, dir)),
     "pipeline_tokenize" -> ((s, dir) => tokenizePipeline(s, dir)),
+    "pipeline_tokenize_tbl" -> ((s, dir) => tokenizePipelineTbl(s, dir)),
     "pipeline_select_bpe" -> ((s, dir) => budgetSelect(s, dir, realTokens = true)),
     "pipeline_epochs" -> ((s, dir) => epochPlan(s, dir)),
     "pipeline_decontaminate" -> (decontaminate _),
@@ -986,5 +1012,10 @@ object Pipeline {
         |SELECT doc_id, h % 8 AS shard,
         |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
         |FROM h ORDER BY doc_id""".stripMargin,
-  )
+  ).pipe(m =>
+    // the MATERIALIZED tokenize computes the identical answer through
+    // a LogTable roundtrip of the cleaned corpus — binding the SAME
+    // oracle makes the hash gate prove the lake write/read preserves
+    // the rewrite byte-for-byte
+    m.updated("pipeline_tokenize_tbl", m("pipeline_tokenize")))
 }
