@@ -864,6 +864,66 @@ object Similarity {
     // ann_refine: stage 1 is ann_pq's ADC ranking kept to the top-50
     // pool; stage 2 re-scores ONLY the pool with the exact integer dot
     // (ann_topk's key) and emits the exact top-5 among them.
+    // the ladder-shaped hybrid, REPLAYED end to end: IVF routing + PQ
+    // codebooks + ADC pool (ann_refine's stage 1), exact re-rank of
+    // the pool as the vector arm's v_rank, the lexical top list, and
+    // the short-list RRF fusion (absent arms contribute 0.0 exactly
+    // as the Spark coalesce does)
+    "ann_hybrid_ladder" -> s"""$annIvfCells
+        |$pqBookCtes
+        |pool AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ekey DESC, n_id) AS rnk
+        |    FROM adck) WHERE rnk <= 50),
+        |vr AS (
+        |  SELECT q_id, n_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY skey DESC, n_id) AS BIGINT) AS v_rank
+        |  FROM (
+        |    SELECT q_id, n_id,
+        |      (CASE WHEN d < 0 THEN -1.0 ELSE 1.0 END)
+        |        * (CAST(d * d AS DOUBLE) / CAST(pp AS DOUBLE)) AS skey
+        |    FROM (
+        |      SELECT p.q_id, p.n_id,
+        |        CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |          i -> q.qv[i] * d2.qv[i])) AS BIGINT) AS d,
+        |        q.nrm * d2.nrm AS pp
+        |      FROM pool p
+        |      JOIN n q ON q.vec_id = p.q_id
+        |      JOIN n d2 ON d2.vec_id = p.n_id))),
+        |it2 AS (
+        |  SELECT d.doc_id AS id, d.text
+        |  FROM documents d JOIN embeddings e2 ON e2.vec_id = d.doc_id),
+        |w2 AS (
+        |  SELECT id, unnest(list_distinct(string_split(text, ' '))) AS term FROM it2),
+        |dfreq2 AS (SELECT term, count(DISTINCT id) AS df FROM w2 GROUP BY 1),
+        |nn2 AS (SELECT count(*) AS n FROM it2),
+        |lx2 AS (
+        |  SELECT qw.id AS q_id, cw.id AS n_id,
+        |    CAST(sum((1000000 * nn2.n) // dfreq2.df) AS BIGINT) AS lex_score
+        |  FROM w2 qw
+        |  JOIN w2 cw ON cw.term = qw.term AND cw.id <> qw.id
+        |  JOIN dfreq2 ON dfreq2.term = qw.term
+        |  CROSS JOIN nn2
+        |  WHERE qw.id < 10
+        |  GROUP BY 1, 2),
+        |lr50 AS (
+        |  SELECT q_id, n_id, l_rank FROM (
+        |    SELECT q_id, n_id,
+        |      CAST(row_number() OVER (PARTITION BY q_id
+        |        ORDER BY lex_score DESC, n_id) AS BIGINT) AS l_rank
+        |    FROM lx2) WHERE l_rank <= 50),
+        |fu AS (
+        |  SELECT COALESCE(v.q_id, l.q_id) AS q_id,
+        |    COALESCE(v.n_id, l.n_id) AS n_id,
+        |    COALESCE(1.0 / (60.0 + CAST(v.v_rank AS DOUBLE)), 0.0)
+        |      + COALESCE(1.0 / (60.0 + CAST(l.l_rank AS DOUBLE)), 0.0) AS rrf
+        |  FROM vr v FULL JOIN lr50 l ON l.q_id = v.q_id AND l.n_id = v.n_id),
+        |rf AS (
+        |  SELECT q_id, n_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS BIGINT) AS rnk
+        |  FROM fu)
+        |SELECT q_id, rnk, n_id FROM rf WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "ann_refine" -> s"""$annIvfCells
         |$pqBookCtes
         |pool AS (
