@@ -246,28 +246,23 @@ object Analytics {
         col("o_orderkey").as("key"))
     val k = 4L
     val b = buckets.getOrElse(graft.Tables.sliceCount(s))
-    // literal boundaries, frozen at plan-build time
-    val probs = (1 until b).map(_.toDouble / b).toArray
-    val bnds =
-      if (b <= 1) Array.empty[Double]
-      else base.stat.approxQuantile("cents", probs, 0.001).distinct.sorted
-    val bktCol = bnds.foldLeft(lit(0))((acc, x) =>
-      acc + when(col("cents") > lit(x.toLong), 1).otherwise(0))
-    val nB = bnds.length + 1
-    val bucketed = base.withColumn("bkt", bktCol)
-    // census: per-bucket counts → global rank offsets AND n (≤B rows)
+    val bucketed = base
+      .repartitionByRange(b, col("cents"), col("key"))
+      .withColumn("bkt", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // census: per-bucket counts → global rank offsets AND n (B rows)
     val counts = bucketed.groupBy(col("bkt")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val n = counts.values.sum
-    val offsets = (0 until nB).scanLeft(0L)((acc, i) =>
+    val offsets = (0 until b).scanLeft(0L)((acc, i) =>
       acc + counts.getOrElse(i, 0L)).toArray
-    val offCol = element_at(array(offsets.take(nB).map(lit): _*), col("bkt") + 1)
+    val offCol = element_at(array(offsets.take(b).map(lit): _*), col("bkt") + 1)
     val w = Window.partitionBy(col("bkt")).orderBy(col("cents"), col("key"))
     val ceilSz = (n + k - 1) / k
     val floorSz = math.max(n / k, 1L) // 1-floor only reachable when n < k,
                                       // where every row takes the ceil branch
     val nBig = n % k // first n%k buckets take ceil(n/k) rows (SQL ntile)
-    bucketed
+    val agg = bucketed
       .withColumn("idx", row_number().over(w).cast("long") + offCol - 1L)
       .withColumn("quartile",
         when(col("idx") < lit(nBig * ceilSz), expr(s"idx div ${ceilSz}L"))
@@ -278,6 +273,10 @@ object Analytics {
         (sum(col("cents")).cast(org.apache.spark.sql.types.DecimalType(20, 0)) / 100)
           .cast("double").as("total_price"))
       .orderBy(col("quartile"))
+    val rows = agg.collect().toIndexedSeq
+    bucketed.unpersist(blocking = false)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, agg.schema)
   }
 
   /** Sorted string aggregation per group (LISTAGG): deterministic via
