@@ -187,6 +187,59 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** WRITE-AUDIT-PUBLISH end to end, oracle-gated: the staging shape
+    * Iceberg branches exist for — half the corpus is live on main, the
+    * second half STAGES on an `audit` branch (isolated: main serves
+    * readers unchanged), the audit gate COW-deletes every row it vetoes
+    * ON THE BRANCH VIEW — error events, staged AND pre-existing (the
+    * audit's business rule: publish a corpus purged of errors) — and
+    * fastForward atomically publishes the branch head to main. The
+    * read-back census must hash-equal DuckDB computing the corpus
+    * minus the vetoed rows — a leaked unaudited row, a vetoed row
+    * surviving publish, or a non-atomic flip breaks the hash. */
+  def lakeWap(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("graft_lake_wap_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    val br = table.createBranch("audit")
+    br.append(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    br.delete(col("event_type") === "error") // the audit's veto
+    table.fastForward("audit")
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ROLLBACK end to end, oracle-gated: batch 1 lands, batch 2 turns
+    * out bad and the table rolls back (a NEW commit adopting the prior
+    * file list — history intact, readers flip atomically), batch 3
+    * lands on the rolled-back state. The census must equal DuckDB over
+    * batches 1+3 only — a rollback that leaks batch-2 files, or drops
+    * batch-1 ones, breaks the hash. */
+  def lakeRollback(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("graft_lake_rb_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    table.append(ev.filter(pmod(col("event_id"), lit(3)) === 0))
+    table.append(ev.filter(pmod(col("event_id"), lit(3)) === 1)) // bad batch
+    table.rollback(1L)
+    table.append(ev.filter(pmod(col("event_id"), lit(3)) === 2))
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"),
+        min(col("event_id")).as("first_event"))
+      .orderBy(col("event_type"))
+  }
+
   /** Bloom-filter point-lookup roundtrip, oracle-gated: a table whose
     * files are NOT clustered on the probe column (user_id values
     * scatter across every file, so min/max pruning is useless for
@@ -1388,6 +1441,8 @@ object Lakehouse {
     "lake_merge3" -> (lakeMerge3 _),
     "lake_point" -> (lakePoint _),
     "lake_bloom" -> (lakeBloom _),
+    "lake_wap" -> (lakeWap _),
+    "lake_rollback" -> (lakeRollback _),
     "lake_update" -> (lakeUpdate _),
   )
 
@@ -1728,6 +1783,22 @@ object Lakehouse {
       """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    // the WAP lifecycle replayed: the published table = the corpus
+    // minus every vetoed row (the branch COW delete sees the whole
+    // branch view — staged and pre-existing alike)
+    "lake_wap" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // rollback replayed: batches 1 and 3 only
+    "lake_rollback" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  min(event_id) AS first_event
+        |FROM events WHERE event_id % 3 <> 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the bloom-probed point lookups, replayed as a plain WHERE — a
     // filter false-negative (a skipped row group that held a key)
     // would shrink a group and break the hash
