@@ -189,6 +189,57 @@ object MultiModal {
   def mmDedup(s: SparkSession, dir: String): DataFrame =
     dedupClustersOf(mmTable(s, dir))
 
+  /** NEAR-duplicate detection over multimodal payloads — the
+    * perceptual-dedup shape (a re-encode/re-crawl that changed a few
+    * bytes still shares most of its content): the per-stripe signature
+    * ints of [[mmFeatures]] form an 8-stripe fingerprint, candidates
+    * block on 2-stripe LSH bands (4 bands; near-dups agree on ≥1 whole
+    * band — never an all-pairs compare), and a candidate pair is a
+    * near-dup when ≥ `minMatch` of its 8 stripes agree exactly.
+    * GATE NON-VACUITY: the corpus has no near-dups by construction, so
+    * a deterministically MUTATED slice is planted (every doc_id%7==0
+    * payload ≥64 B re-keyed under +1e6 with its last 4 bytes replaced
+    * — the stride keeps all but the final stripe(s) intact, ≥6/8
+    * stripes agree). Integer-exact md5 stripe arithmetic → the oracle
+    * replays everything including the plant.
+    *
+    * Scale: signatures are 8 longs/payload computed in ONE narrow
+    * pass; only (band-key, sigs) rows shuffle — payload bytes never do
+    * — and the band join meets only same-band-key candidates. */
+  def mmDedupNear(s: SparkSession, dir: String, minMatch: Int = 6): DataFrame = {
+    val base = mmTable(s, dir).select(col("doc_id"), col("payload"))
+    val planted = base
+      .filter(pmod(col("doc_id"), lit(7)) === 0 && length(col("payload")) >= 64)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(expr("substring(payload, 1, length(payload) - 4)"),
+          encode(lit("XXXX"), "UTF-8")).as("payload"))
+    val mm = base.unionByName(planted)
+    val stride = greatest(
+      expr(s"(length(payload) + ${FeatureDims - 1}) div $FeatureDims"), lit(1L))
+    val sigsCol = transform(sequence(lit(0L), lit(FeatureDims - 1L)), i =>
+      pmod(conv(substring(md5(col("payload").substr(i * stride + 1, stride)),
+          1, 15), 16, 10).cast("long"), lit(1000000007L)))
+    val sig = mm.select(col("doc_id"), sigsCol.as("sigs"))
+    val bands = sig.select(col("doc_id"), col("sigs"),
+      explode(expr(s"transform(sequence(0, ${FeatureDims / 2 - 1}), b -> " +
+        "struct(b AS band, sigs[b * 2] AS k1, sigs[b * 2 + 1] AS k2))")).as("bd"))
+      .select(col("doc_id"), col("sigs"),
+        col("bd.band").as("band"), col("bd.k1").as("k1"), col("bd.k2").as("k2"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sigs").as("sa"), col("b.sigs").as("sb"))
+      .distinct()
+    cand
+      .withColumn("n_match", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v)")
+        .cast("long"))
+      .filter(col("n_match") >= minMatch)
+      .select(col("id_a"), col("id_b"), col("n_match"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** The driver-gate variant of [[mmDedup]] (the `mm_dedup` queries
     * entry). GATE NON-VACUITY: the synthetic corpus has no duplicate
     * payloads by construction, so dedup over it alone returns zero
@@ -222,6 +273,7 @@ object MultiModal {
     "mm_feature_stats" -> (mmFeatureStats _),
     "mm_framesample" -> ((s, dir) => frameSample(s, dir)),
     "mm_dedup" -> (mmDedupGate _),
+    "mm_dedup_near" -> ((s, dir) => mmDedupNear(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -279,6 +331,42 @@ object MultiModal {
     // text exactly as the operator slices the payload bytes, hashes
     // the same way, and formats with printf (both formatters recover
     // the exact 9-decimal form of h/1e9, far inside double precision)
+    // the near-dup pipeline replayed end to end, plant included: the
+    // mutated slice, the stripe signatures, the 2-stripe band
+    // blocking, and the >=6-of-8 exact-stripe verification
+    "mm_dedup_near" ->
+      s"""WITH b0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 4) || 'XXXX'
+         |  FROM documents
+         |  WHERE doc_id % 7 = 0 AND octet_length(encode(text)) >= 64),
+         |g AS (
+         |  SELECT doc_id, text,
+         |    greatest((octet_length(encode(text)) + ${FeatureDims - 1}) // $FeatureDims, 1) AS stride
+         |  FROM b0),
+         |sg AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, $FeatureDims), i ->
+         |      CAST(concat('0x', substr(md5(substr(text,
+         |          CAST(i * stride + 1 AS BIGINT), CAST(stride AS BIGINT))),
+         |        1, 15)) AS BIGINT) % 1000000007) AS sigs
+         |  FROM g),
+         |bd AS (
+         |  SELECT doc_id, sigs, b AS band, sigs[b * 2 + 1] AS k1, sigs[b * 2 + 2] AS k2
+         |  FROM sg, LATERAL (SELECT unnest(range(0, ${FeatureDims / 2})) AS b)),
+         |cd AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |    a.sigs AS sa, c.sigs AS sb
+         |  FROM bd a JOIN bd c ON c.band = a.band AND c.k1 = a.k1
+         |    AND c.k2 = a.k2 AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(list_sum(list_transform(range(1, ${FeatureDims + 1}),
+         |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+         |FROM cd
+         |WHERE list_sum(list_transform(range(1, ${FeatureDims + 1}),
+         |  i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) >= 6
+         |ORDER BY id_a, id_b""".stripMargin,
     "mm_features" ->
       s"""WITH b AS (
          |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
