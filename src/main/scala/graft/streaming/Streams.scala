@@ -555,16 +555,64 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  /** STREAMING DEDUP end-to-end, oracle-gated: the ingest-time dedup
+    * stage over a live tail — the source table lands the corpus in two
+    * commits with a REPLAYED slice (every event_id % 10 == 0 row is
+    * delivered again in the second commit — the crawler-redelivery
+    * shape), the stream tails it through [[streamDedup]]
+    * (dropDuplicatesWithinWatermark keyed on event_id; the test horizon
+    * covers the whole corpus so every redelivery drops — production
+    * sets the horizon to its real redelivery window, which is what
+    * BOUNDS the state), and the sink's census must hash-equal DuckDB
+    * over the corpus WITHOUT the replay: a surviving duplicate
+    * inflates a count, a lost original breaks a group. */
+  def streamDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("graft_sdd_src_").toString
+    val src = LogTable(s, root)
+    val sink = LogTable(s, graft.Scratch.dir("graft_sdd_sink_").toString)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("event_type"), col("value"), col("ts_us"))
+    src.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    src.append(ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .unionByName(ev.filter(pmod(col("event_id"), lit(10)) === 0)))
+    val stream = s.readStream.format("graft").load(root)
+      .withColumn("event_time", expr("timestamp_micros(ts_us)"))
+    val q = streamDedup(stream, Seq("event_id"), watermark = "3650 days")
+      .writeStream
+      .option("checkpointLocation",
+        graft.Scratch.dir("graft_sdd_cp_").toString)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink.append(b.drop("event_time"), tag = s"sdd-$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sink.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_ids"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------- driver wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling" -> (eventsTumbling _),
     "events_sliding" -> (eventsSliding _),
     "stream_tail" -> (streamTail _),
+    "stream_dedup" -> (streamDedupQ _),
     "stream_cdc" -> (streamCdc _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the replayed slice must vanish: the sink equals the plain corpus
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT event_id) AS n_ids,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Spark's window() aligns to the epoch; mirror with integer-µs floor.
     "events_tumbling" ->
       """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS w_start,
