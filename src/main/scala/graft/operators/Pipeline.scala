@@ -272,6 +272,67 @@ object Pipeline {
       .orderBy(col("bucket"), col("win"))
   }
 
+  /** DATASET CARD — the per-source datasheet a curated corpus ships
+    * with (datasheets-for-datasets / dataset-card practice), composed
+    * from the library's own oracle-green signals in ONE census row per
+    * source: doc and whitespace-token counts, exact-duplicate count
+    * (docs that are not their text group's keeper — dedup_exact's
+    * min-doc_id rule), contamination count (non-eval docs sharing ≥1
+    * 5-gram with the eval slice — contamination's machinery),
+    * train/val/test split counts (pipeline_split's hash), and the
+    * quality-gate pass count (text_quality's formula at corpusFilter's
+    * 0.22 threshold). Every flag is a per-doc narrow map or one
+    * bounded join; the card is one groupBy — the audit query a 100 TB
+    * curation run prints before shipping. */
+  def datasetCard(s: SparkSession, dir: String,
+      minScore: Double = 0.22): DataFrame = {
+    val docs = Tables.spread(Tables(s, dir, "documents"))
+    // exact-dup flag: keeper = min doc_id of the text group
+    val keeper = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val stopHits = size(regexp_extract_all(col("text"),
+      lit("\\b(the|a|of|to|and|in|is)\\b"), lit(0))).cast("long")
+    val flagged = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        nWords.as("n_words"), stopHits.as("stop_hits"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= min(col("doc_id")).over(keeper)).cast("long"))
+      .withColumn("split", splitCol(col("doc_id")))
+      .withColumn("score",
+        (col("stop_hits").cast("double") / col("n_words")) * 0.5 +
+          least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.3 +
+          least(lit(1.0), ((col("n_chars_m") - (col("n_words") - 1))
+            .cast("double") / col("n_words")) / 8.0) * 0.2)
+      .drop("text")
+    // contamination flag: non-eval docs sharing >= 1 eval 5-gram
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.WordShingles
+        .wordShingles(split(col("text"), " "), 5)).as("gh"))
+    val evalGrams = grams.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("gh")).distinct()
+    val contaminated = grams.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .join(broadcast(evalGrams), Seq("gh"))
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contam", lit(1L))
+    flagged.join(contaminated, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("is_contam"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("ws_tokens"),
+        sum(col("is_dup")).cast("long").as("n_dups"),
+        sum(col("is_contam")).cast("long").as("n_contaminated"),
+        sum(when(col("split") === "train", 1L).otherwise(0L))
+          .cast("long").as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L))
+          .cast("long").as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L))
+          .cast("long").as("n_test"),
+        sum(when(col("score") >= minScore, 1L).otherwise(0L))
+          .cast("long").as("n_quality"))
+      .orderBy(col("source"))
+  }
+
   /** REPETITION PLANNING — the data-constrained-scaling step (how many
     * EPOCHS of each source a token budget buys): when a run wants more
     * tokens from a source than the source holds, it repeats the source
@@ -691,6 +752,7 @@ object Pipeline {
     "pipeline_tokenize_tbl" -> ((s, dir) => tokenizePipelineTbl(s, dir)),
     "pipeline_select_bpe" -> ((s, dir) => budgetSelect(s, dir, realTokens = true)),
     "pipeline_epochs" -> ((s, dir) => epochPlan(s, dir)),
+    "pipeline_card" -> ((s, dir) => datasetCard(s, dir)),
     "pipeline_decontaminate" -> (decontaminate _),
     "pipeline_shuffle" -> ((s, dir) => shuffleShard(s, dir)),
     "pipeline_select" -> ((s, dir) => budgetSelect(s, dir)),
@@ -867,6 +929,48 @@ object Pipeline {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spill,
         |  min(doc_id) AS first_doc
         |FROM o GROUP BY 1, 2 ORDER BY bucket, win""".stripMargin),
+    // the dataset card: every flag recomputed from first principles —
+    // min-doc_id keeper rule, 5-gram eval contamination, the md5 split
+    // hash, the quality formula at the 0.22 gate
+    "pipeline_card" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, text,
+        |    length(text) AS n_chars_m,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS stop_hits,
+        |    CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY text)
+        |      THEN 1 ELSE 0 END AS is_dup,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source, n_words, is_dup,
+        |    CASE WHEN h < 3435973836 THEN 'train'
+        |         WHEN h < 3865470566 THEN 'val' ELSE 'test' END AS split,
+        |    (CAST(stop_hits AS DOUBLE) / n_words) * 0.5
+        |      + least(1.0, CAST(n_words AS DOUBLE) / 200.0) * 0.3
+        |      + least(1.0, (CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words) / 8.0) * 0.2
+        |      AS score
+        |  FROM f),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 3),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS grams
+        |  FROM w WHERE len(ws) >= 5),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |ev AS (SELECT DISTINCT gram FROM e WHERE doc_id % 10 = 0),
+        |bad AS (
+        |  SELECT DISTINCT e.doc_id FROM e JOIN ev USING (gram)
+        |  WHERE e.doc_id % 10 <> 0)
+        |SELECT sc.source, count(*) AS n_docs,
+        |  CAST(sum(sc.n_words) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(sc.is_dup) AS BIGINT) AS n_dups,
+        |  CAST(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(sum(CASE WHEN sc.split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN sc.split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |  CAST(sum(CASE WHEN sc.split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN sc.score >= 0.22 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+        |FROM sc LEFT JOIN bad ON bad.doc_id = sc.doc_id
+        |GROUP BY sc.source ORDER BY sc.source""".stripMargin,
     // integer epoch arithmetic over the per-source token census
     "pipeline_epochs" ->
       """WITH a AS (
