@@ -389,11 +389,28 @@ object Pipeline {
     * whose every line was boilerplate clean to '' and drop out of
     * packing on both sides (no encodable word). */
   def tokenizePipeline(s: SparkSession, dir: String, buckets: Int = 8,
-      windowTokens: Long = 2048L, rounds: Int = 5): DataFrame =
-    tokenizeFrom(
-      Dedup.cleanLines(s, dir).select(col("doc_id"),
-        replace(col("clean_text"), lit("\n"), lit(" ")).as("text")),
-      buckets, windowTokens, rounds)
+      windowTokens: Long = 2048L, rounds: Int = 5): DataFrame = {
+    val cleaned = cleanedDocs(s, dir)
+    tokenizeFrom(cleanedVocab(s, dir, rounds), cleaned,
+      buckets, windowTokens)
+  }
+
+  private def cleanedDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.cleanLines(s, dir).select(col("doc_id"),
+      replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
+
+  private val cleanedVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+
+  /** The tokenizer trained on the CLEANED corpus, cached per
+    * (corpus dir, rounds) — the train-once shape shared by the
+    * stateless and materialized tokenize forms (the cleaned corpus is
+    * a deterministic function of the raw one, so one training serves
+    * both). */
+  private def cleanedVocab(s: SparkSession, dir: String,
+      rounds: Int): DataFrame =
+    cleanedVocabCache.computeIfAbsent((dir, rounds),
+      _ => TextAnalysis.bpeTrainDf(cleanedDocs(s, dir), rounds)._2)
 
   /** [[tokenizePipeline]] with the cleaned corpus MATERIALIZED into a
     * LogTable between the stages — the production shape the stateless
@@ -408,17 +425,20 @@ object Pipeline {
       windowTokens: Long = 2048L, rounds: Int = 5): DataFrame = {
     import graft.sources.LogTable
     val table = LogTable(s, graft.Scratch.dir("graft_pipe_clean_").toString)
-    table.append(Dedup.cleanLines(s, dir).select(col("doc_id"),
-      replace(col("clean_text"), lit("\n"), lit(" ")).as("text")))
-    tokenizeFrom(table.read(), buckets, windowTokens, rounds)
+    table.append(cleanedDocs(s, dir))
+    // training shares the cached cleaned-corpus vocab (identical
+    // content either way); the ENCODE pass reads the TABLE — which is
+    // what makes the shared oracle prove the lake roundtrip preserves
+    // the rewrite
+    tokenizeFrom(cleanedVocab(s, dir, rounds), table.read(),
+      buckets, windowTokens)
   }
 
   /** The train→encode→pack tail over an already-cleaned (doc_id, text)
     * frame — shared by the stateless and the materialized forms. */
-  private def tokenizeFrom(cleaned: DataFrame, buckets: Int,
-      windowTokens: Long, rounds: Int): DataFrame = {
+  private def tokenizeFrom(vocab: DataFrame, cleaned: DataFrame,
+      buckets: Int, windowTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vocab = TextAnalysis.bpeTrainDf(cleaned, rounds)._2
     val docs = TextAnalysis.bpeEncodeWith(vocab, cleaned)
       .select(col("doc_id"), col("n_tokens").as("tok"),
         pmod(col("doc_id"), lit(buckets)).as("bucket"))
