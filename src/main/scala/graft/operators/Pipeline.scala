@@ -289,22 +289,12 @@ object Pipeline {
     val docs = Tables.spread(Tables(s, dir, "documents"))
     // exact-dup flag: keeper = min doc_id of the text group
     val keeper = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
-    val nWords = size(split(col("text"), " ")).cast("long")
-    val stopHits = size(regexp_extract_all(col("text"),
-      lit("\\b(the|a|of|to|and|in|is)\\b"), lit(0))).cast("long")
-    val flagged = docs
-      .select(col("doc_id"), col("source"), col("text"),
-        length(col("text")).cast("long").as("n_chars_m"),
-        nWords.as("n_words"), stopHits.as("stop_hits"))
+    val flagged = TextAnalysis.qualityFrame(docs)
       .withColumn("is_dup",
         (col("doc_id") =!= min(col("doc_id")).over(keeper)).cast("long"))
       .withColumn("split", splitCol(col("doc_id")))
-      .withColumn("score",
-        (col("stop_hits").cast("double") / col("n_words")) * 0.5 +
-          least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.3 +
-          least(lit(1.0), ((col("n_chars_m") - (col("n_words") - 1))
-            .cast("double") / col("n_words")) / 8.0) * 0.2)
-      .drop("text")
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("is_dup"), col("split"), col("score"))
     // contamination flag: non-eval docs sharing >= 1 eval 5-gram
     val grams = docs.select(col("doc_id"),
       explode(graft.functions.WordShingles
@@ -573,20 +563,8 @@ object Pipeline {
     * is exact regardless of where sampling put the bucket boundaries. */
   def curriculum(s: SparkSession, dir: String, tiers: Int = 8,
       buckets: Option[Int] = None): DataFrame = {
-    val nWords = size(split(col("text"), " ")).cast("long")
-    val stopHits = size(regexp_extract_all(col("text"),
-      lit("\\b(the|a|of|to|and|in|is)\\b"), lit(0))).cast("long")
-    val scored = Tables.spread(Tables(s, dir, "documents"))
-      .select(col("doc_id"),
-        length(col("text")).cast("long").as("n_chars_m"),
-        nWords.as("n_words"), stopHits.as("stop_hits"))
-      .withColumn("avg_word_len",
-        (col("n_chars_m") - (col("n_words") - 1)).cast("double") / col("n_words"))
-      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
-      .withColumn("score",
-        col("stop_ratio") * 0.5 +
-          least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.3 +
-          least(lit(1.0), col("avg_word_len") / 8.0) * 0.2)
+    val scored = TextAnalysis
+      .qualityFrame(Tables.spread(Tables(s, dir, "documents")))
       .select(col("doc_id"), col("score"))
     // B is pure parallelism policy (the plan is exact for any B):
     // session-derived via Tables.sliceCount so it scales with the
@@ -682,20 +660,8 @@ object Pipeline {
       budget: Long = 50000L, buckets: Option[Int] = None,
       realTokens: Boolean = false): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val nWords = size(split(col("text"), " ")).cast("long")
-    val stopHits = size(regexp_extract_all(col("text"),
-      lit("\\b(the|a|of|to|and|in|is)\\b"), lit(0))).cast("long")
-    val scored = Tables.spread(Tables(s, dir, "documents"))
-      .select(col("doc_id"), col("source"),
-        length(col("text")).cast("long").as("n_chars_m"),
-        nWords.as("n_words"), stopHits.as("stop_hits"))
-      .withColumn("avg_word_len",
-        (col("n_chars_m") - (col("n_words") - 1)).cast("double") / col("n_words"))
-      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
-      .withColumn("score",
-        col("stop_ratio") * 0.5 +
-          least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.3 +
-          least(lit(1.0), col("avg_word_len") / 8.0) * 0.2)
+    val scored = TextAnalysis
+      .qualityFrame(Tables.spread(Tables(s, dir, "documents")))
       .select(col("doc_id"), col("source"), col("n_words"), col("score"))
       // a NULL source would silently vanish from the census (NULL join
       // keys never match the broadcast offset frame, and the oracle's

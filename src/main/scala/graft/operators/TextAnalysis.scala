@@ -46,28 +46,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Quality score from length / word-length / stopword signals.
-    * Only +,-,*,/ and comparisons — IEEE-deterministic across engines
-    * (no transcendentals, whose last-ulp behavior is libm-specific). */
-  def quality(s: SparkSession, dir: String): DataFrame = {
-    val nWords = size(split(col("text"), " ")).cast("long")
-    val stopHits = countMatches("\\b(the|a|of|to|and|in|is)\\b")
-    docsSpread(s, dir)
-      .select(col("doc_id"),
-        length(col("text")).cast("long").as("n_chars_m"),
-        nWords.as("n_words"),
-        stopHits.as("stop_hits"))
-      .withColumn("avg_word_len",
-        (col("n_chars_m") - (col("n_words") - 1)).cast("double") / col("n_words"))
-      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
-      .withColumn("score",
-        col("stop_ratio") * 0.5 +
-          least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.3 +
-          least(lit(1.0), col("avg_word_len") / 8.0) * 0.2)
+  /** The quality-feature frame: n_chars_m / n_words / stop_hits /
+    * avg_word_len / stop_ratio / score appended to `docs` — the ONE
+    * definition of the oracle-pinned formula, shared by
+    * [[quality]], Pipeline.curriculum, Pipeline.budgetSelect and
+    * Pipeline.datasetCard so the copies can never drift apart. Only
+    * +,-,*,/ and comparisons — IEEE-deterministic across engines (no
+    * transcendentals, whose last-ulp behavior is libm-specific). */
+  private[graft] def qualityFrame(docs: DataFrame): DataFrame = docs
+    .withColumn("n_chars_m", length(col("text")).cast("long"))
+    .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+    .withColumn("stop_hits", size(regexp_extract_all(col("text"),
+      lit("\\b(the|a|of|to|and|in|is)\\b"), lit(0))).cast("long"))
+    .withColumn("avg_word_len",
+      (col("n_chars_m") - (col("n_words") - 1)).cast("double") / col("n_words"))
+    .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
+    .withColumn("score",
+      col("stop_ratio") * 0.5 +
+        least(lit(1.0), col("n_words").cast("double") / 200.0) * 0.3 +
+        least(lit(1.0), col("avg_word_len") / 8.0) * 0.2)
+
+  /** Quality score from length / word-length / stopword signals (the
+    * [[qualityFrame]] formula, per doc). */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    qualityFrame(docsSpread(s, dir))
       .select(col("doc_id"), col("n_words"), col("avg_word_len"),
         col("stop_ratio"), col("score"))
       .orderBy(col("doc_id"))
-  }
 
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (alpha runs, digit runs, other non-space singletons). */
