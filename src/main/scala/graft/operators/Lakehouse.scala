@@ -926,6 +926,35 @@ object Lakehouse {
       .orderBy(col("event_type"))
   }
 
+  /** TYPE WIDENING under the hash gate: half the corpus lands with a
+    * NARROW column (event_id as int, count as int), the column widens
+    * to long (a metadata-only promotion — files keep their physical
+    * type, the reader converts under the manifest schema, future
+    * writers upcast), the second half lands wide, and the aggregate
+    * over the MIXED files must hash-equal DuckDB computing from
+    * uniformly-wide values. A reader that mis-converts a pre-widening
+    * file, or a writer that failed to upcast, breaks the hash. The
+    * sf0.01 corpus fits int exactly (event_id < 2^31, spec-checked by
+    * the refusal inside the cast), which is what makes the narrow
+    * ingest legal. */
+  def lakeWiden(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("graft_lake_widen_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("event_type"), col("value"))
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .withColumn("event_id", col("event_id").cast("int")))
+    table.widenColumn("event_id", org.apache.spark.sql.types.LongType)
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    table.read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).cast("long").as("id_sum"),
+        max(col("event_id")).as("max_id"),
+        Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** MERGE-ON-READ upsert roundtrip ([[graft.sources.LogTable
     * .mergeMor]]): the same merge shape as lake_merge — updated values
     * for every 10th event, re-keyed inserts for every 17th — but
@@ -1442,6 +1471,7 @@ object Lakehouse {
     "lake_point" -> (lakePoint _),
     "lake_bloom" -> (lakeBloom _),
     "lake_wap" -> (lakeWap _),
+    "lake_widen" -> (lakeWiden _),
     "lake_rollback" -> (lakeRollback _),
     "lake_update" -> (lakeUpdate _),
   )
@@ -1783,6 +1813,13 @@ object Lakehouse {
       """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    // the widened census replayed from uniformly-wide values
+    "lake_widen" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  max(event_id) AS max_id,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the WAP lifecycle replayed: the published table = the corpus
     // minus every vetoed row (the branch COW delete sees the whole
     // branch view — staged and pre-existing alike)
