@@ -54,6 +54,18 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // TOKENIZER WARM-UP: the BPE trainers (raw corpus AND cleaned
+    // corpus) train once per (corpus, rounds) and hand every consumer
+    // a disk-backed vocab artifact — the ann_* shape exactly, so the
+    // timed tokenize-chain samples must measure warm encodes, not
+    // whichever consumer sorts first paying the one-time training
+    // (the r18 driver run's phantom 39× on pipeline_pack_bpe was the
+    // cold train landing on a degraded host).
+    try {
+      graft.operators.TextAnalysis.bpeTrain(spark, sfDir, 5)
+      graft.operators.Pipeline.warmTokenizer(spark, sfDir)
+      ()
+    } catch { case _: Throwable => () }
 
     // I/O-BOUND CONTROL: a fixed 3-commit append + compact + read-back
     // lifecycle on a tiny scratch table. The CPU control (q1) cannot

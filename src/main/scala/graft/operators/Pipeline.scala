@@ -385,6 +385,54 @@ object Pipeline {
       buckets, windowTokens)
   }
 
+  /** [[tokenizePipeline]] one inch further — the packed token-id
+    * SEQUENCES themselves, the artifact a training run actually
+    * consumes: every context window carries its ordered id stream
+    * (comma-joined, so the oracle hash pins every id at every
+    * position), assembled from the cleaned corpus by the same
+    * clean → train → encode → pack chain. Whole docs assign to the
+    * window their running-sum start falls in (pipeline_pack's
+    * skeleton; a spilling doc's ids stay with its window — the pack
+    * census counts the spills).
+    *
+    * Scale: per-word ordered id lists live on the O(vocab) dict; the
+    * corpus crosses the wire once as (doc_id, ids)
+    * ([[TextAnalysis.bpeEncodeIds]] — the O(corpus) floor for any
+    * pass whose output is the token stream); windows are
+    * windowTokens-bounded, so each per-(bucket, win) reassembly holds
+    * ~2048 longs, never a corpus-scale collect. */
+  def tokenizeIds(s: SparkSession, dir: String, buckets: Int = 8,
+      windowTokens: Long = 2048L, rounds: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = TextAnalysis
+      .bpeEncodeIds(cleanedVocab(s, dir, rounds), cleanedDocs(s, dir))
+      .select(col("doc_id"), col("ids"),
+        size(col("ids")).cast("long").as("tok"),
+        pmod(col("doc_id"), lit(buckets)).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("start", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("win", expr(s"start div ${windowTokens}L"))
+      .groupBy(col("bucket"), col("win"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        expr("concat_ws(',', transform(flatten(transform(" +
+          "array_sort(collect_list(struct(doc_id, ids))), x -> x.ids)), " +
+          "t -> cast(t AS string)))").as("ids"))
+      .orderBy(col("bucket"), col("win"))
+  }
+
+  /** Bench warm-up hook: trains the cleaned-corpus tokenizer once so
+    * timed tokenize-chain samples measure warm encodes, not the
+    * one-time training (the ann_* index warm-up's twin). */
+  private[graft] def warmTokenizer(s: SparkSession, dir: String,
+      rounds: Int = 5): Unit = {
+    cleanedVocab(s, dir, rounds)
+    ()
+  }
+
   private def cleanedDocs(s: SparkSession, dir: String): DataFrame =
     Dedup.cleanLines(s, dir).select(col("doc_id"),
       replace(col("clean_text"), lit("\n"), lit(" ")).as("text"))
@@ -736,6 +784,7 @@ object Pipeline {
     "pipeline_pack_bpe" -> ((s, dir) => packWindowsBpe(s, dir)),
     "pipeline_tokenize" -> ((s, dir) => tokenizePipeline(s, dir)),
     "pipeline_tokenize_tbl" -> ((s, dir) => tokenizePipelineTbl(s, dir)),
+    "pipeline_tokenize_ids" -> ((s, dir) => tokenizeIds(s, dir)),
     "pipeline_select_bpe" -> ((s, dir) => budgetSelect(s, dir, realTokens = true)),
     "pipeline_epochs" -> ((s, dir) => epochPlan(s, dir)),
     "pipeline_card" -> ((s, dir) => datasetCard(s, dir)),
@@ -743,6 +792,28 @@ object Pipeline {
     "pipeline_shuffle" -> ((s, dir) => shuffleShard(s, dir)),
     "pipeline_select" -> ((s, dir) => budgetSelect(s, dir)),
   )
+
+  /** The dedup_clean rewrite as a DuckDB CTE prefix ending in a
+    * `cleaned(doc_id, text)` relation — shared by every oracle that
+    * chains the tokenizer over the CLEANED corpus. */
+  private val CleanedCte: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, chr(10))) AS line,
+      |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ord
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, line, ord,
+      |    CASE WHEN length(line) >= 30 THEN
+      |      row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) = 1
+      |    ELSE TRUE END AS keep
+      |  FROM l),
+      |cleaned AS (
+      |  SELECT doc_id,
+      |    replace(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+      |      ORDER BY ord), ''), chr(10), ' ') AS text
+      |  FROM m GROUP BY doc_id),
+      |""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // curriculum tiers: the text_quality score formula (oracle-pinned
@@ -1012,23 +1083,7 @@ object Pipeline {
     // cleaned relation, the tokenizer-training/encode CTEs run OVER it
     // (rel = "cleaned"), the pack tail is pipeline_pack's verbatim
     "pipeline_tokenize" ->
-      ("""WITH l AS (
-        |  SELECT doc_id,
-        |    unnest(string_split(text, chr(10))) AS line,
-        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ord
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, line, ord,
-        |    CASE WHEN length(line) >= 30 THEN
-        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) = 1
-        |    ELSE TRUE END AS keep
-        |  FROM l),
-        |cleaned AS (
-        |  SELECT doc_id,
-        |    replace(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
-        |      ORDER BY ord), ''), chr(10), ' ') AS text
-        |  FROM m GROUP BY doc_id),
-        |""".stripMargin +
+      (CleanedCte +
         TextAnalysis.bpeEncodeCte(5, "cleaned").stripPrefix("WITH ") + """,
         |t AS (
         |  SELECT doc_id, doc_id % 8 AS bucket,
@@ -1045,6 +1100,26 @@ object Pipeline {
         |  CAST(sum(CASE WHEN (start + tok - 1) // 2048 <> start // 2048
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spill,
         |  min(doc_id) AS first_doc
+        |FROM o GROUP BY 1, 2 ORDER BY bucket, win""".stripMargin),
+    // the packed-sequence artifact: the clean-rewrite CTEs + the full
+    // tokenizer chain + the SEQUENCE stages (per-word ordered id
+    // lists, per-doc flattened streams), packed by pipeline_pack's
+    // verbatim skeleton; the comma-joined id stream per window makes
+    // the hash gate pin every id at every position
+    "pipeline_tokenize_ids" ->
+      (CleanedCte +
+        TextAnalysis.bpeIdsCte(5, "cleaned").stripPrefix("WITH ") + """,
+        |t AS (SELECT doc_id, doc_id % 8 AS bucket,
+        |    CAST(len(dids) AS BIGINT) AS tok, dids FROM dd),
+        |o AS (SELECT doc_id, bucket, tok, dids,
+        |    CAST(coalesce(sum(tok) OVER (
+        |      PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM t)
+        |SELECT bucket, start // 2048 AS win, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc,
+        |  array_to_string(flatten(list(dids ORDER BY doc_id)), ',') AS ids
         |FROM o GROUP BY 1, 2 ORDER BY bucket, win""".stripMargin),
     // gram generation mirrors the contamination oracle exactly; a doc
     // survives iff NONE of its distinct 5-grams appears in the eval set

@@ -313,7 +313,20 @@ object TextAnalysis {
         }
       }
     }
-    (merges.result(), vocab)
+    // EVICTION-PROOF the "train once" contract: the final vocab
+    // frame's cached lineage chains through every merge round back to
+    // the corpus census, so block-manager eviction under memory
+    // pressure would silently re-run the ENTIRE training per consumer
+    // action — correct, but the documented train-once shape degrades
+    // to train-per-query exactly when the host can least afford it.
+    // Writing the O(vocab) frame to session scratch and handing
+    // consumers the file-backed read truncates the lineage for good:
+    // a lost block re-reads O(vocab) parquet bytes, never re-trains.
+    val spark = docs.sparkSession
+    val artifact = graft.Scratch.dir("graft_bpe_vocab_").toString
+    vocab.write.mode("overwrite").parquet(artifact)
+    vocab.unpersist()
+    (merges.result(), spark.read.parquet(artifact))
   }
 
   /** BPE TOKENIZER APPLICATION — encode every document with the merges
@@ -364,6 +377,59 @@ object TextAnalysis {
         sum(col("n_toks")).cast("long").as("n_tokens"),
         sum(col("id_sum_w")).cast("long").as("id_sum"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The per-document token-id SEQUENCE — [[bpeEncodeWith]]'s
+    * aggregate form emits counts and id sums; this form materializes
+    * the ORDERED ids themselves, the artifact a training run actually
+    * consumes. Same word-dict trick: the O(vocab) dict maps every
+    * distinct word to its ordered id list ONCE (posexplode over the
+    * word's final segmentation + the same (length, lex) id table),
+    * then ONE corpus pass joins words to the dict and reassembles per
+    * doc in word order. The corpus crosses the wire once as
+    * (doc_id, ids) — the O(corpus) floor for any pass whose OUTPUT is
+    * the token stream (the same floor dedup_clean documents for text
+    * rewrites). Docs with no encodable word are absent (the
+    * inner-join rule every BPE consumer shares). */
+  private[graft] def bpeEncodeIds(vocab: DataFrame, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wordSyms = vocab.select(col("word"), bpeSyms(col("e")).as("syms"))
+    val ids = wordSyms.select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("tid", row_number()
+        .over(Window.orderBy(length(col("sym")), col("sym"))).cast("long"))
+    val wid = wordSyms
+      .select(col("word"), posexplode(col("syms")).as(Seq("i", "sym")))
+      .join(broadcast(ids), "sym")
+      .groupBy(col("word"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, tid))), x -> x.tid)")
+        .as("wids"))
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("j", "word")))
+      .filter(length(col("word")) >= 1)
+      .join(wid, "word")
+      .groupBy(col("doc_id"))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(j, wids))), x -> x.wids))")
+        .as("ids"))
+  }
+
+  /** Decode token ids back to text — the inverse proving the sequence
+    * artifact is lossless token-for-token: tid → token string via the
+    * same (length, lex) table, concatenated in sequence order. Spaces
+    * are word-boundary metadata the id stream deliberately does not
+    * carry (the whitespace pre-tokenizer's contract — production
+    * tokenizers mark word starts in the symbol alphabet instead), so
+    * the decode target is the document text with spaces stripped.
+    * Spec-verified round-trip over the full corpus (BpeSpec). */
+  private[graft] def bpeDecode(vocab: DataFrame, encoded: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = vocab.select(explode(bpeSyms(col("e"))).as("sym")).distinct()
+      .withColumn("tid", row_number()
+        .over(Window.orderBy(length(col("sym")), col("sym"))).cast("long"))
+    encoded.select(col("doc_id"), posexplode(col("ids")).as(Seq("p", "tid")))
+      .join(broadcast(ids), "tid")
+      .groupBy(col("doc_id"))
+      .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(p, sym))), x -> x.sym))")
+        .as("detok"))
   }
 
   /** The learned TOKEN-ID TABLE — the artifact a tokenizer ships: the
@@ -500,6 +566,26 @@ object TextAnalysis {
       |wt AS (SELECT word, CAST(count(*) AS BIGINT) AS n_toks, CAST(sum(tid) AS BIGINT) AS id_sum_w
       |  FROM (SELECT word, unnest(syms) AS sym FROM sy) x JOIN ids USING (sym) GROUP BY word),
       |d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM $rel)""".stripMargin
+
+  /** [[bpeEncodeCte]] plus the SEQUENCE stages: `wid` (per-word
+    * ORDERED token-id list via the same lateral-position trick the
+    * merge census uses) and `dd` (per-doc flattened id sequence in
+    * word order) — what pipeline_tokenize_ids' oracle packs. Ends
+    * after `dd` (no trailing SELECT). */
+  private[graft] def bpeIdsCte(rounds: Int,
+      rel: String = "documents"): String =
+    bpeEncodeCte(rounds, rel) + s""",
+      |wi AS (SELECT word, i, tid FROM (
+      |    SELECT word, i, syms[i] AS sym
+      |    FROM sy, LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS i)) q
+      |  JOIN ids USING (sym)),
+      |wid AS (SELECT word, list(tid ORDER BY i) AS wids FROM wi GROUP BY word),
+      |dw AS (SELECT doc_id, j, ws[j] AS word
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $rel) c,
+      |  LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j)
+      |  WHERE length(ws[j]) >= 1),
+      |dd AS (SELECT doc_id, flatten(list(wids ORDER BY j)) AS dids
+      |  FROM dw JOIN wid USING (word) GROUP BY doc_id)""".stripMargin
 
   private def bpeEncodeOracleSql(rounds: Int): String =
     bpeEncodeCte(rounds) + """

@@ -111,6 +111,64 @@ class BpeSpec extends SparkSpec {
     assert(tid.values.toSeq.sorted === (1L to vocabSyms.size.toLong))
   }
 
+  test("bpeEncodeIds round-trips: decode(vocab, ids) reproduces every doc token-for-token") {
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val (_, vocab) = TextAnalysis.bpeTrain(spark, sfDir, 5)
+    val enc = TextAnalysis.bpeEncodeIds(vocab, docs)
+    // the sequence agrees with the aggregate encode on count AND id sum
+    val agg = TextAnalysis.bpeEncode(spark, sfDir, 5)
+    val xchk = enc
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_seq"),
+        expr("aggregate(ids, 0L, (a, x) -> a + x)").as("seq_sum"))
+      .join(agg, "doc_id")
+      .filter(col("n_seq") =!= col("n_tokens") || col("seq_sum") =!= col("id_sum"))
+      .count()
+    assert(xchk === 0L)
+    assert(enc.count() === agg.count())
+    // decode target: the doc text with spaces stripped (word boundaries
+    // are pre-tokenizer metadata the id stream deliberately omits)
+    val bad = TextAnalysis.bpeDecode(vocab, enc)
+      .join(docs.select(col("doc_id"),
+        replace(col("text"), lit(" "), lit("")).as("want")), "doc_id")
+      .filter(col("detok") =!= col("want"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("trained vocab is a DISK artifact: post-eviction consumers never re-train") {
+    val words = Seq("lower", "lower", "lowest", "newer", "newer", "wider")
+    val d = plant(words)
+    val (_, vocab) =
+      TextAnalysis.bpeTrainDf(spark.read.parquet(s"$d/documents.parquet"), 3)
+    // the returned frame is backed by the scratch parquet artifact —
+    // no lineage back to the corpus survives to be recomputed
+    assert(vocab.inputFiles.nonEmpty)
+    assert(vocab.inputFiles.forall(_.contains("graft_bpe_vocab_")),
+      s"vocab frame reads ${vocab.inputFiles.mkString(",")} — not the disk artifact")
+    val before = vocab.count()
+    // simulate total block-manager eviction: drop every cached frame/RDD
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // a post-eviction consumer is a bounded artifact read — training
+    // (>= 2 jobs per merge round plus the corpus census) would blow
+    // the job budget immediately
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(vocab.count() === before)
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() <= 2,
+        s"post-eviction vocab read ran ${jobs.get()} jobs — re-training?")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("the corpus is sentinel-free (the wrapped-symbol encoding's precondition)") {
     val dirty = graft.Tables(spark, sfDir, "documents")
       .filter(col("text").contains("") || col("text").contains(""))

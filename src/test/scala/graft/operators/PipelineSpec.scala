@@ -285,4 +285,20 @@ class PipelineSpec extends SparkSpec {
     assert(s4 === sel(64), "budgetSelect census drifted across B")
     assert(s4.map(_._2).sum === n, "budgetSelect must conserve the corpus")
   }
+
+  test("pipeline_tokenize_ids: id streams are exactly the window token census") {
+    val got = Pipeline.tokenizeIds(spark, sfDir)
+    // every window's comma-joined stream carries exactly n_tokens ids
+    val bad = got
+      .filter(size(split(col("ids"), ",")) =!= col("n_tokens")).count()
+    assert(bad === 0L)
+    // the window skeleton is pipeline_tokenize's verbatim (same chain,
+    // same docs, same running sums) — censuses must agree window-for-window
+    val cols = Seq("bucket", "win", "n_docs", "n_tokens", "first_doc")
+    val packs = Pipeline.tokenizePipeline(spark, sfDir)
+      .select(cols.map(col): _*)
+    val wins = got.select(cols.map(col): _*)
+    assert(wins.exceptAll(packs).count() === 0L)
+    assert(packs.exceptAll(wins).count() === 0L)
+  }
 }
