@@ -905,9 +905,16 @@ object IcebergExport {
     // first-row-id watermark, the table records next-row-id. The
     // export's own reader ignores these; a v3-native foreign engine
     // reads them as written.
+    // ADOPTED LINEAGE resumes, never restarts: an imported table's
+    // files carry their foreign first_row_id (DataFile.firstRowId)
+    // and the adopted next-row-id watermark lives in table props —
+    // the export re-serves the foreign ids verbatim and assigns fresh
+    // ids only from beyond the watermark, so `_row_id` continuity
+    // survives the migration exactly.
     val firstRowIdOf = scala.collection.mutable.Map[String, Long]()
     val snapFirstRowId = scala.collection.mutable.Map[Long, Long]()
-    var nextRowId = 0L
+    var nextRowId = table.properties
+      .get(LogTable.NextRowIdProp).map(_.toLong).getOrElse(0L)
 
     def writeSnapshot(sn: Snapshot, parentPaths: Set[String],
         schemaId: Int): Path = {
@@ -916,8 +923,18 @@ object IcebergExport {
       if (formatVersion >= 3) {
         snapFirstRowId(sn.version) = nextRowId
         sn.files.foreach(f => if (!firstRowIdOf.contains(f.path)) {
-          firstRowIdOf(f.path) = nextRowId
-          nextRowId += f.rows
+          f.firstRowId match {
+            case Some(adopted) =>
+              // imported file: the foreign assignment IS the id —
+              // entries write it explicitly (field 142), overriding
+              // inheritance, so re-serving is spec-exact; the
+              // watermark only ever moves forward
+              firstRowIdOf(f.path) = adopted
+              nextRowId = math.max(nextRowId, adopted + f.rows)
+            case None =>
+              firstRowIdOf(f.path) = nextRowId
+              nextRowId += f.rows
+          }
         })
       }
       // one data manifest PER LAYOUT GROUP, each bound to its spec by
@@ -1795,7 +1812,12 @@ object IcebergRead {
         * joined the schema reads this constant, not null. Only the
         * supported subset lands here — anything else refused at
         * parse. */
-      defaults: Map[String, Any] = Map.empty) {
+      defaults: Map[String, Any] = Map.empty,
+      /** The table metadata's v3 `next-row-id` watermark (None on
+        * v1/v2 or a v3 table predating its lineage epoch) — what
+        * import adopts so post-import row-id assignment resumes
+        * beyond every foreign-assigned range. */
+      nextRowId: Option[Long] = None) {
     def fieldId(name: String): Int = schemaNode.get("fields").elements()
       .asScala.find(_.get("name").asText() == name).get.get("id").asInt()
     /** Candidate physical names for a top-level field, current first. */
@@ -1886,8 +1908,9 @@ object IcebergRead {
     // Format v3 FOREIGN tables read too: deletion vectors (Puffin
     // `deletion-vector-v1` blobs referenced per data file) apply
     // exactly; row-lineage metadata (`next-row-id`, snapshot
-    // `first-row-id`, entry `first_row_id`) is reader-irrelevant and
-    // tolerated-and-ignored; v3-only schema features with read-time
+    // `first-row-id`, entry `first_row_id`) parses so read(withLineage)
+    // can serve `_row_id` and importTable can ADOPT the assignment;
+    // v3-only schema features with read-time
     // SEMANTICS (non-null `initial-default` column defaults, new
     // types) refuse loudly below — exact-or-refuse, never silent nulls
     val fv = meta.get("format-version").asInt()
@@ -2148,7 +2171,8 @@ object IcebergRead {
     }
     IceMeta(schemaNode, schema, mapping, specFields, fieldNameById,
       entries, specsById, specId, deleteFiles,
-      defaults = parseDefaults(schemaNode))
+      defaults = parseDefaults(schemaNode),
+      nextRowId = Option(meta.get("next-row-id")).map(_.asLong()))
   }
 
   /** TOP-LEVEL column names in a parquet file's footer — the per-file
@@ -2929,6 +2953,24 @@ object IcebergImport {
     }
     def plain(p: String): String =
       p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    // v3 ROW LINEAGE ADOPTS: the foreign table's stable per-file
+    // first_row_id assignments carry into graft metadata (and its
+    // next-row-id watermark into table props below), so the `_row_id`
+    // continuity the source served survives the migration exactly —
+    // graft's v3 export re-serves the adopted ids verbatim and
+    // assigns fresh ids only beyond the watermark. Exact-or-refuse:
+    // a snapshot where only SOME entries carry lineage has no exact
+    // adoption (ids are assigned at commit time, so a partial
+    // assignment means metadata caught mid-upgrade) — refuse rather
+    // than invent ids for the unassigned files.
+    val nLineage = m.entries.count(_.firstRowId.isDefined)
+    require(nLineage == 0 || nLineage == m.entries.size,
+      s"cannot import row lineage exactly: $nLineage of " +
+        s"${m.entries.size} data files carry first_row_id — a " +
+        "partially-assigned lineage epoch has no exact adoption; " +
+        "complete the source's lineage assignment (rewrite/upgrade) " +
+        "first, or read it via IcebergRead/iceberg_scan instead")
+    val adoptLineage = nLineage > 0
     val files0 = m.entries.map { e =>
       val parts = specCols.flatMap { sc =>
         e.part.get(sc.pname).flatMap(v => Option(v)) match {
@@ -2995,7 +3037,7 @@ object IcebergImport {
       // applying only to files strictly older than themselves
       DataFile(plain(e.path), e.rows, e.bytes, partitions = parts,
         ranges = statRanges, strRanges = statStrRanges,
-        seq = e.seq, nulls = statNulls)
+        seq = e.seq, nulls = statNulls, firstRowId = e.firstRowId)
     }
     // v3 `initial-default` columns: a file written BEFORE the column
     // joined the schema must read the default, not null — but graft's
@@ -3112,6 +3154,17 @@ object IcebergImport {
     dest.commitAdoption("import", s"iceberg-import-of-$src",
       schema.json, specCols.flatMap(_.partCol), specCols.flatMap(_.transform),
       files, deletes, eqDeletes)
+    if (adoptLineage) {
+      // the watermark: the source metadata's next-row-id when
+      // recorded; otherwise (entries carry lineage but the root lacks
+      // the counter — a non-conformant writer) the exact supremum of
+      // the adopted ranges, which fresh assignment may resume from
+      val adoptedNext = m.nextRowId.getOrElse(
+        files.map(f => f.firstRowId.get + f.rows).foldLeft(0L)(math.max))
+      dest.setProperties(
+        Map(LogTable.NextRowIdProp -> adoptedNext.toString))
+      ()
+    }
     // foreign Puffin NDV statistics (when recorded for this snapshot)
     // adopt into the manifest — CBO on the imported table starts
     // informed, mirroring the column-bounds adoption above

@@ -49,7 +49,15 @@ final case class DataFile(path: String, rows: Long, bytes: Long,
       * file is already open). Equality-only: dictionaries exclude
       * nulls, and `c = v` is null-false, so set-miss ⇒ no row
       * matches. */
-    valueSets: Map[String, Seq[String]] = Map.empty)
+    valueSets: Map[String, Seq[String]] = Map.empty,
+    /** ADOPTED v3 ROW LINEAGE (absent on graft-native files): the
+      * foreign table's stable `first_row_id` assignment for this
+      * file, carried through [[IcebergImport.importTable]] so a
+      * CDC-reconciliation consumer migrating a v3 table in keeps the
+      * exact `_row_id` continuity the source served — graft's v3
+      * export re-serves these ids verbatim instead of re-deriving
+      * from its own version order. */
+    firstRowId: Option[Long] = None)
 
 /** One immutable MANIFEST SEGMENT of a snapshot's file list (the
   * two-level manifest shape — Iceberg's manifest-list + manifest-file
@@ -2293,6 +2301,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
     kvs.get(LogTable.VariantShredProp).foreach(v =>
       require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
         s"${LogTable.VariantShredProp} must be true or false, got '$v'"))
+    kvs.get(LogTable.NextRowIdProp).foreach(v =>
+      require(v.toLongOption.exists(_ >= 0L),
+        s"${LogTable.NextRowIdProp} must be a non-negative integer, got '$v'"))
     commit("set-props", nextProps = prev => prev.props ++ kvs)(_.files)
   }
 
@@ -4761,6 +4772,11 @@ object LogTable {
     * Existing files keep their layout until rewritten (compact/COW
     * retrofit, like blooms); readers handle both layouts and any mix. */
   val VariantShredProp = "write.variant.shredding"
+  /** ADOPTED v3 row-lineage watermark ([[IcebergImport.importTable]]):
+    * the imported table's `next-row-id` — graft's v3 export resumes
+    * assigning fresh row ids FROM here, so post-import appends can
+    * never collide with the adopted per-file `first_row_id` ranges. */
+  val NextRowIdProp = "graft.next-row-id"
   /** Position-delete sharding: one delete file per up to this many
     * referenced data files (capped at 256 shards). Keeps a large
     * marking pass parallel on the write side without exploding tiny
@@ -5318,6 +5334,7 @@ object LogTable {
       val fn = arr.addObject()
       fn.put("path", f.path); fn.put("rows", f.rows); fn.put("bytes", f.bytes)
       if (f.seq != 0L) fn.put("seq", f.seq)
+      f.firstRowId.foreach(id => fn.put("firstRowId", id))
       if (f.nulls.nonEmpty) {
         val nn = fn.putObject("nulls")
         f.nulls.toSeq.sortBy(_._1).foreach { case (k, v) => nn.put(k, v) }
@@ -5378,7 +5395,8 @@ object LogTable {
           e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty),
         Option(f.get("valueSets")).map(_.fields().asScala.map(e =>
           e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq)
-          .toMap).getOrElse(Map.empty))
+          .toMap).getOrElse(Map.empty),
+        Option(f.get("firstRowId")).map(_.asLong()))
     }.toSeq
 
 

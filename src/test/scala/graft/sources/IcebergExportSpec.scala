@@ -1774,7 +1774,7 @@ class IcebergExportSpec extends SparkSpec {
     val dvLen = blobMetas.head.length
 
     // v3 data manifest (v2-shaped entry schema + sequence numbers;
-    // first_row_id present = row lineage, tolerated-and-ignored)
+    // first_row_id present = row lineage, adopted on import)
     val dataSchema = new Schema.Parser().parse(
       """{"type":"record","name":"manifest_entry","fields":[
         |{"name":"status","type":"int"},
@@ -1802,7 +1802,7 @@ class IcebergExportSpec extends SparkSpec {
           df.put("content", 0); df.put("file_path", p)
           df.put("file_format", "PARQUET"); df.put("partition", part)
           df.put("record_count", rows); df.put("file_size_in_bytes", sz)
-          df.put("first_row_id", firstRow) // v3 row lineage — ignored
+          df.put("first_row_id", firstRow) // v3 row lineage — adopted
           val e = new GenericData.Record(dataSchema)
           e.put("status", 1); e.put("snapshot_id", 1L)
           e.put("sequence_number", 1L); e.put("data_file", df)
@@ -2862,5 +2862,145 @@ class IcebergExportSpec extends SparkSpec {
     val dest = tmp("lt_vpush_ice_")
     IcebergExport.export(t, dest, formatVersion = 3)
     probe(IcebergRead.read(spark, dest)) // independent spec reader
+  }
+
+  test("import ADOPTS v3 row lineage: _row_id continuity survives the migration exactly; partial lineage refuses") {
+    // source: a graft table with two lineage epochs, exported v3
+    val t = LogTable(spark, tmp("ice_lin_src_"))
+    t.append((0L until 30L).map(i => (i, i * 2)).toDF("id", "v"))
+    t.append((30L until 50L).map(i => (i, i * 2)).toDF("id", "v"))
+    val ice = tmp("ice_lin_out_")
+    IcebergExport.export(t, ice, history = true, formatVersion = 3)
+    val before = IcebergRead.read(spark, ice, withLineage = true)
+      .select(col("id"), col("_row_id")).as[(Long, Long)].collect().toMap
+    assert(before.size === 50)
+    assert(before.values.toSeq.distinct.size === 50, "ids must be unique")
+
+    // import: per-file first_row_id adopts into graft metadata, the
+    // next-row-id watermark into table props
+    val imp = IcebergImport.importTable(spark, ice, tmp("ice_lin_dest_"))
+    assert(imp.snapshot().files.nonEmpty)
+    assert(imp.snapshot().files.forall(_.firstRowId.isDefined),
+      "adopted files must carry the foreign first_row_id")
+    assert(imp.properties(LogTable.NextRowIdProp).toLong === 50L)
+
+    // re-export the IMPORTED table: every row's _row_id is the
+    // foreign assignment, verbatim
+    val ice2 = tmp("ice_lin_out2_")
+    IcebergExport.export(imp, ice2, formatVersion = 3)
+    val after = IcebergRead.read(spark, ice2, withLineage = true)
+      .select(col("id"), col("_row_id")).as[(Long, Long)].collect().toMap
+    assert(after === before, "_row_id continuity lost across import")
+
+    // post-import appends take FRESH ids from beyond the adopted
+    // watermark — never colliding with an adopted range
+    imp.append(Seq((100L, 1L), (101L, 2L)).toDF("id", "v"))
+    val ice3 = tmp("ice_lin_out3_")
+    IcebergExport.export(imp, ice3, formatVersion = 3)
+    val grown = IcebergRead.read(spark, ice3, withLineage = true)
+      .select(col("id"), col("_row_id")).as[(Long, Long)].collect().toMap
+    assert(grown.filter(_._1 < 100L) === before)
+    assert(Seq(100L, 101L).flatMap(grown.get).forall(_ >= 50L),
+      "fresh rows must be assigned beyond the adopted watermark")
+    assert(grown.values.toSeq.distinct.size === grown.size)
+
+    // REFUSAL: a v3 snapshot where only SOME entries carry lineage
+    // has no exact adoption — a hand-built foreign table, one entry
+    // with first_row_id, one null
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val root = Paths.get(tmp("ice_lin_mixed_"))
+    val metaDir = root.resolve("metadata"); Files.createDirectories(metaDir)
+    val dataDir = root.resolve("data"); Files.createDirectories(dataDir)
+    def writeData(name: String, rows: Seq[(Long, String)]): (String, Long) = {
+      val p = dataDir.resolve(name).toString
+      rows.toDF("id", "s").coalesce(1).write.mode("overwrite").parquet(p)
+      val f = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      (f.getAbsolutePath, f.length())
+    }
+    val (fA, szA) = writeData("a", Seq((1L, "x"), (2L, "y")))
+    val (fB, szB) = writeData("b", Seq((10L, "p")))
+    val dataSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"first_row_id","type":["null","long"],"default":null}
+        |]}}]}""".stripMargin)
+    val dataManifest = metaDir.resolve("m-data.avro").toString
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](dataSchema))
+      w.create(dataSchema, new java.io.File(dataManifest))
+      try Seq((fA, 2L, szA, Some(0L)), (fB, 1L, szB, None)).foreach {
+        case (p, rows, sz, firstRow) =>
+          val part = new GenericData.Record(dataSchema.getField("data_file")
+            .schema().getField("partition").schema())
+          val df = new GenericData.Record(dataSchema.getField("data_file").schema())
+          df.put("content", 0); df.put("file_path", p)
+          df.put("file_format", "PARQUET"); df.put("partition", part)
+          df.put("record_count", rows); df.put("file_size_in_bytes", sz)
+          firstRow.foreach(fr => df.put("first_row_id", fr))
+          val e = new GenericData.Record(dataSchema)
+          e.put("status", 1); e.put("snapshot_id", 1L)
+          e.put("sequence_number", 1L); e.put("data_file", df)
+          w.append(e)
+      } finally w.close()
+    }
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin)
+    val list1 = metaDir.resolve("snap-1.avro").toString
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.create(listSchema, new java.io.File(list1))
+      try {
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", dataManifest)
+        r.put("manifest_length", Files.size(Paths.get(dataManifest)))
+        r.put("partition_spec_id", 0); r.put("content", 0)
+        r.put("sequence_number", 1L); r.put("added_snapshot_id", 1L)
+        w.append(r)
+        ()
+      } finally w.close()
+    }
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      s"""{"format-version":3,"table-uuid":"f00dcafe-0000-0000-0000-00000000001a",
+         |"location":"$root","last-sequence-number":1,"last-updated-ms":1000,
+         |"last-column-id":2,"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"id","required":false,"type":"long"},
+         |  {"id":2,"name":"s","required":false,"type":"string"}]}],
+         |"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"properties":{},
+         |"next-row-id":2,
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         |  {"snapshot-id":1,"timestamp-ms":1000,"sequence-number":1,
+         |   "first-row-id":0,"schema-id":0,
+         |   "summary":{"operation":"append"},"manifest-list":"$list1"}],
+         |"snapshot-log":[{"timestamp-ms":1000,"snapshot-id":1}]}""".stripMargin
+        .getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+    val eMix = intercept[IllegalArgumentException](
+      IcebergImport.importTable(spark, root.toString, tmp("ice_lin_mixed_dest_")))
+    assert(eMix.getMessage.contains("row lineage"))
   }
 }
