@@ -596,6 +596,131 @@ object Pipeline {
       keep.join(broadcast(found), Seq("digest"), "left_anti")
     }
 
+  /** INGEST-TIME NEAR DEDUP — [[ingestDedup]]'s continuous-crawl loop
+    * extended from the exact-digest MV to LSH BANDS: alongside the
+    * digest MV the loop maintains a BAND INDEX (band key → stripe
+    * signature, incrementally appended like the MV), every new batch
+    * probes it by band-key join with the batch side broadcast,
+    * candidates verify by exact stripe count (mm_dedup_near's ≥6-of-8
+    * rule), and near-dups QUARANTINE instead of appending. Every
+    * document's fate lands in an auditable fate log —
+    * 'kept' | 'exact_dup' | 'near_dup' — the artifact a curation run
+    * audits.
+    *
+    * The banded probe is EXACT by pigeonhole, not approximate: ≥6 of
+    * 8 matching stripes leaves ≤2 mismatches, which can break at most
+    * 2 of the 4 two-stripe bands — at least one band survives intact,
+    * so every ≥6/8 pair IS a band candidate. The band join is purely
+    * the scale device (only (band key, sig) rows shuffle — never
+    * all-pairs, never text), while the oracle replays the plain
+    * ∃-state-doc-with-≥6-matching-stripes rule.
+    *
+    * Near checks apply to docs of ≥64 chars (8 stripes of ≥8 chars);
+    * shorter docs share empty tail stripes and would all collide, so
+    * they dedup exactly only. A planted mutated slice (doc_id%7 docs
+    * with the last 4 chars rewritten, landing in a DIFFERENT batch by
+    * construction: +1000000 ≡ +1 mod 3) keeps the near gate
+    * non-vacuous. */
+  def ingestDedupNear(s: SparkSession, dir: String): DataFrame = {
+    val work = graft.Scratch.dir("graft_ingest_near_")
+    val docs = Tables.spread(Tables(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val planted = docs
+      .filter(pmod(col("doc_id"), lit(7)) === 0 && length(col("text")) >= 64)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("source"),
+        concat(expr("substring(text, 1, length(text) - 4)"), lit("XXXX"))
+          .as("text"))
+    val all = docs.unionByName(planted)
+    val stride = greatest(expr("(length(text) + 7) div 8"), lit(1L))
+    val sigsCol = transform(sequence(lit(0L), lit(7L)), i =>
+      pmod(conv(substring(md5(col("text").substr(i * stride + lit(1L), stride)),
+        1, 15), 16, 10).cast("long"), lit(1000000007L)))
+    val d = all.select(col("doc_id"), col("source"),
+      md5(col("text")).as("digest"), sigsCol.as("sigs"),
+      length(col("text")).cast("long").as("len"))
+    ingestDedupNearLoop(s, d, work)._1.orderBy(col("doc_id"))
+  }
+
+  /** The near-dedup ingest loop, factored so the spec can pin its I/O
+    * contract: folds `d` (doc_id, source, digest, sigs, len) in three
+    * deterministic batches, maintaining the digest MV and the band
+    * index alongside the corpus table. Returns (per-doc fate frame,
+    * corpus table, band index). Probes read ONLY the MV and the band
+    * index — never a corpus data file. */
+  private[graft] def ingestDedupNearLoop(s: SparkSession, d: DataFrame,
+      work: java.nio.file.Path)
+      : (DataFrame, graft.sources.LogTable, graft.sources.LogTable) = {
+    import org.apache.spark.storage.StorageLevel
+    val table = graft.sources.LogTable(s, work.resolve("t").toString)
+    val bands = graft.sources.LogTable(s, work.resolve("bands").toString)
+    val fateLog = graft.sources.LogTable(s, work.resolve("fates").toString)
+    val mv = graft.sources.MaterializedView(s, table,
+      work.resolve("mv").toString, keyCols = Seq("digest"),
+      aggs = Seq(graft.sources.MvAgg.Count("n")))
+    def bandRows(df: DataFrame): DataFrame = df
+      .filter(col("len") >= 64L)
+      .select(col("doc_id"), col("sigs"), explode(expr(
+        "transform(sequence(0, 3), b -> " +
+          "struct(b AS band, sigs[b * 2] AS k1, sigs[b * 2 + 1] AS k2))"))
+        .as("bd"))
+      .select(col("bd.band").as("band"), col("bd.k1").as("k1"),
+        col("bd.k2").as("k2"), col("doc_id"), col("sigs"))
+    val shape = Seq("doc_id", "source", "digest", "sigs", "len").map(col)
+    (0L until 3L).foreach { b =>
+      val batch = d.filter(pmod(col("doc_id"), lit(3L)) === b)
+      val keepers = batch.groupBy(col("digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val keep = batch.join(keepers, Seq("digest", "doc_id"))
+      // cross-batch EXACT probe: the digest MV, never the corpus
+      val foundExact =
+        if (table.currentVersion == 0L) None
+        else Some(mv.read().select(col("digest"))
+          .join(broadcast(keep.select(col("digest")).distinct()),
+            Seq("digest"), "left_semi").distinct())
+      val afterExact = foundExact.fold(keep)(f =>
+        keep.join(broadcast(f), Seq("digest"), "left_anti"))
+      // cross-batch NEAR probe: band-key join against the band index
+      // (the batch side broadcast), then exact ≥6/8 verification —
+      // only candidate pairs ever compute the stripe comparison
+      val nearIds =
+        if (bands.currentVersion == 0L) None
+        else Some(bands.read()
+          .join(broadcast(bandRows(afterExact)
+              .select(col("band"), col("k1"), col("k2"),
+                col("doc_id").as("new_id"), col("sigs").as("new_sigs"))),
+            Seq("band", "k1", "k2"))
+          .filter(expr("aggregate(zip_with(sigs, new_sigs, " +
+            "(x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v) >= 6"))
+          .select(col("new_id").as("doc_id")).distinct())
+      // PIN the batch's fates BEFORE any state mutation: three appends
+      // consume this frame, and an unpinned lineage would re-probe
+      // after the MV/band/table commits moved the state under it
+      val fate = (batch.join(keepers, Seq("digest", "doc_id"), "left_anti")
+          .select(shape :+ lit("exact_dup").as("fate"): _*)
+        .unionByName(foundExact.fold(keep.limit(0))(f =>
+            keep.join(broadcast(f), Seq("digest")))
+          .select(shape :+ lit("exact_dup").as("fate"): _*))
+        .unionByName(nearIds.fold(afterExact.limit(0))(n =>
+            afterExact.join(n, Seq("doc_id"), "left_semi"))
+          .select(shape :+ lit("near_dup").as("fate"): _*))
+        .unionByName(nearIds.fold(afterExact)(n =>
+            afterExact.join(n, Seq("doc_id"), "left_anti"))
+          .select(shape :+ lit("kept").as("fate"): _*)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      fate.count() // materialize against the pre-mutation state
+      val survivors = fate.filter(col("fate") === "kept")
+      table.append(survivors
+        .select(col("doc_id"), col("digest"), col("source")))
+      bands.append(bandRows(survivors))
+      mv.refresh()
+      fateLog.append(fate.select(col("doc_id"), col("source"), col("fate")))
+      fate.unpersist()
+      ()
+    }
+    (fateLog.read().select(col("doc_id"), col("source"), col("fate")),
+      table, bands)
+  }
+
   /** CURRICULUM ordering — anneal training data easy→hard: every doc
     * gets the text-quality score (the exact formula `text_quality`
     * oracle-pins), the corpus ranks by the total order (score, doc_id),
@@ -785,6 +910,7 @@ object Pipeline {
     "pipeline_tokenize" -> ((s, dir) => tokenizePipeline(s, dir)),
     "pipeline_tokenize_tbl" -> ((s, dir) => tokenizePipelineTbl(s, dir)),
     "pipeline_tokenize_ids" -> ((s, dir) => tokenizeIds(s, dir)),
+    "pipeline_ingest_near" -> (ingestDedupNear _),
     "pipeline_select_bpe" -> ((s, dir) => budgetSelect(s, dir, realTokens = true)),
     "pipeline_epochs" -> ((s, dir) => epochPlan(s, dir)),
     "pipeline_card" -> ((s, dir) => datasetCard(s, dir)),
@@ -1121,6 +1247,60 @@ object Pipeline {
         |  min(doc_id) AS first_doc,
         |  array_to_string(flatten(list(dids ORDER BY doc_id)), ',') AS ids
         |FROM o GROUP BY 1, 2 ORDER BY bucket, win""".stripMargin),
+    // the near-dedup ingest replay: three sequential batches unrolled
+    // as CTE stages (the BPE pattern), each probing the state built by
+    // its predecessors — within-batch keeper rule, cross-batch digest
+    // probe, then the ∃-state-doc-with-≥6-matching-stripes rule (the
+    // banded Spark plan is exact for it by pigeonhole: ≤2 mismatches
+    // can break at most 2 of the 4 two-stripe bands)
+    "pipeline_ingest_near" ->
+      """WITH pl AS (
+        |  SELECT doc_id + 1000000 AS doc_id, source,
+        |    substring(text, 1, length(text) - 4) || 'XXXX' AS text
+        |  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 64),
+        |alld AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id, source, text FROM pl),
+        |sg AS (
+        |  SELECT doc_id, source, md5(text) AS digest,
+        |    doc_id % 3 AS b, CAST(length(text) AS BIGINT) AS len,
+        |    list_transform(range(0, 8), i ->
+        |      ('0x' || substr(md5(substring(text,
+        |          CAST(i * greatest((length(text) + 7) // 8, 1) + 1 AS BIGINT),
+        |          greatest((length(text) + 7) // 8, 1))), 1, 15))::BIGINT
+        |        % 1000000007) AS sigs
+        |  FROM alld),
+        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY b, digest) AS keeper FROM sg),
+        |surv0 AS (SELECT * FROM k WHERE b = 0 AND doc_id = keeper),
+        |w1 AS (SELECT * FROM k WHERE b = 1 AND doc_id = keeper),
+        |e1 AS (SELECT * FROM w1 WHERE digest IN (SELECT digest FROM surv0)),
+        |r1 AS (SELECT * FROM w1 WHERE digest NOT IN (SELECT digest FROM surv0)),
+        |n1 AS (SELECT DISTINCT r.doc_id, r.source FROM r1 r JOIN surv0 o
+        |  ON r.len >= 64 AND o.len >= 64
+        |  AND list_sum(list_transform(range(1, 9),
+        |    i -> CASE WHEN r.sigs[i] = o.sigs[i] THEN 1 ELSE 0 END)) >= 6),
+        |surv1 AS (SELECT * FROM r1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM n1)),
+        |st1 AS (SELECT * FROM surv0 UNION ALL SELECT * FROM surv1),
+        |w2 AS (SELECT * FROM k WHERE b = 2 AND doc_id = keeper),
+        |e2 AS (SELECT * FROM w2 WHERE digest IN (SELECT digest FROM st1)),
+        |r2 AS (SELECT * FROM w2 WHERE digest NOT IN (SELECT digest FROM st1)),
+        |n2 AS (SELECT DISTINCT r.doc_id, r.source FROM r2 r JOIN st1 o
+        |  ON r.len >= 64 AND o.len >= 64
+        |  AND list_sum(list_transform(range(1, 9),
+        |    i -> CASE WHEN r.sigs[i] = o.sigs[i] THEN 1 ELSE 0 END)) >= 6),
+        |surv2 AS (SELECT * FROM r2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM n2))
+        |SELECT doc_id, source, fate FROM (
+        |  SELECT doc_id, source, 'exact_dup' AS fate FROM k WHERE doc_id <> keeper
+        |  UNION ALL SELECT doc_id, source, 'exact_dup' FROM e1
+        |  UNION ALL SELECT doc_id, source, 'exact_dup' FROM e2
+        |  UNION ALL SELECT doc_id, source, 'near_dup' FROM n1
+        |  UNION ALL SELECT doc_id, source, 'near_dup' FROM n2
+        |  UNION ALL SELECT doc_id, source, 'kept' FROM surv0
+        |  UNION ALL SELECT doc_id, source, 'kept' FROM surv1
+        |  UNION ALL SELECT doc_id, source, 'kept' FROM surv2)
+        |ORDER BY doc_id""".stripMargin,
     // gram generation mirrors the contamination oracle exactly; a doc
     // survives iff NONE of its distinct 5-grams appears in the eval set
     "pipeline_decontaminate" ->

@@ -210,6 +210,74 @@ class PipelineSpec extends SparkSpec {
     assert(survivors.select("doc_id").as[Long].collect().sorted === Array(12L))
   }
 
+  test("pipeline_ingest_near: banded probe quarantines near-dups, I/O contract reads MV+band index only") {
+    // a corpus with every fate represented: exact dups within and
+    // across batches, one planted near-dup pair (same 64-char body,
+    // last 4 chars differ -> 7/8 stripes match), and one honest pair
+    // of DIFFERENT long docs that must NOT collide
+    val body = "abcdefgh" * 8 // 64 chars
+    val mut = body.substring(0, 60) + "XXXX"
+    val other = "zyxwvuts" * 8
+    val rows = Seq(
+      (0L, "web", body),   // batch 0: near-dup seed
+      (3L, "web", "A"),    // batch 0
+      (1L, "web", mut),    // batch 1: NEAR dup of 0 (7/8 stripes)
+      (4L, "lit", "A"),    // batch 1: exact dup of 3 (cross-batch)
+      (7L, "web", other),  // batch 1: different long doc — kept
+      (2L, "lit", "B"),    // batch 2
+      (5L, "web", "B"),    // batch 2: exact dup within batch (keeper 2)
+      (8L, "lit", body)    // batch 2: EXACT dup of 0 (digest wins over near)
+    ).toDF("doc_id", "source", "text")
+    val stride = greatest(expr("(length(text) + 7) div 8"), lit(1L))
+    val sigsCol = transform(sequence(lit(0L), lit(7L)), i =>
+      pmod(conv(substring(md5(col("text").substr(i * stride + lit(1L), stride)),
+        1, 15), 16, 10).cast("long"), lit(1000000007L)))
+    val d = rows.select(col("doc_id"), col("source"),
+      md5(col("text")).as("digest"), sigsCol.as("sigs"),
+      length(col("text")).cast("long").as("len"))
+    val work = java.nio.file.Files.createTempDirectory("ingest_near_spec_")
+    val (fates, table, bandsT) = Pipeline.ingestDedupNearLoop(spark, d, work)
+    val got = fates.collect().map(r =>
+      r.getLong(0) -> r.getString(2)).toMap
+    assert(got === Map(
+      0L -> "kept", 3L -> "kept",
+      1L -> "near_dup", 4L -> "exact_dup", 7L -> "kept",
+      2L -> "kept", 5L -> "exact_dup", 8L -> "exact_dup"))
+    // the quarantined near-dup never reached the corpus or the index
+    assert(table.read().select("doc_id").as[Long].collect().sorted
+      === Array(0L, 2L, 3L, 7L))
+    assert(!bandsT.read().select("doc_id").as[Long].collect().contains(1L))
+    // I/O CONTRACT: a NEW batch's near probe plans its scans over the
+    // band index's files — never a corpus data file
+    val next = Seq((9L, "web", body.substring(0, 56) + "YYYYXXXX"))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"),
+        md5(col("text")).as("digest"), sigsCol.as("sigs"),
+        length(col("text")).cast("long").as("len"))
+    val probe = bandsT.read().join(
+        broadcast(next.filter(col("len") >= 64L)
+          .select(col("doc_id").as("new_id"), col("sigs").as("new_sigs"))
+          .select(col("new_id"), col("new_sigs"),
+            explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
+              "new_sigs[b * 2] AS k1, new_sigs[b * 2 + 1] AS k2))")).as("bd"))
+          .select(col("bd.band").as("band"), col("bd.k1").as("k1"),
+            col("bd.k2").as("k2"), col("new_id"), col("new_sigs"))),
+        Seq("band", "k1", "k2"))
+      .filter(expr("aggregate(zip_with(sigs, new_sigs, " +
+        "(x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v) >= 6"))
+    val corpusData = work.resolve("t").resolve("data").toAbsolutePath.toString
+    val bandData = work.resolve("bands").resolve("data").toAbsolutePath.toString
+    val inputs = probe.inputFiles.toSeq
+    assert(inputs.exists(_.contains(bandData)),
+      s"the near probe must read the band index, inputs: $inputs")
+    assert(!inputs.exists(_.contains(corpusData)),
+      s"the near probe must NOT open corpus data files, inputs: $inputs")
+    // and it verifies: doc 9 differs from doc 0 only in the trailing
+    // stripe (7/8 match) — a near-dup at the >=6 bar
+    assert(probe.select("new_id").distinct().as[Long].collect().toSeq
+      === Seq(9L))
+  }
+
   test("pipeline_select: bucket count is boundary-independent (B=3 ≡ B=64), budgets hold per source") {
     def rows(b: Int) = Pipeline.budgetSelect(spark, sfDir, buckets = Some(b))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
