@@ -187,6 +187,40 @@ object TextAnalysis {
           .withColumn(textCol, regexp_replace(col(textCol), pat, s"<$label>"))
     }
 
+  /** The driver-gated form of [[redact]]: the corpus carries no PII by
+    * construction, so a deterministic planted slice (the mm_dedup_near
+    * trick, pure integer reshapes of doc_id) makes the oracle
+    * non-vacuous — every doc_id%3==0 doc gains one PII shape chosen by
+    * doc_id%4 (email / SSN / phone / IPv4, each digit derived from
+    * doc_id), then the full sequential [[PiiPatterns]] fold runs and
+    * the masked TEXT itself rides the hash gate alongside the
+    * redaction count. Still a pure narrow map — two codegen'd regexp
+    * built-ins per pattern, no shuffle; at 100 TB this runs at scan
+    * speed. */
+  def redactQuery(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def ds(c: Column): Column = c.cast("string")
+    val pii = when(pmod(id, lit(4)) === 0,
+        concat(lit(" contact u"), ds(id), lit("@mail.example.com")))
+      .when(pmod(id, lit(4)) === 1,
+        concat(lit(" ssn "), ds(pmod(id, lit(900)) + 100), lit("-"),
+          ds(pmod(id, lit(90)) + 10), lit("-"),
+          ds(pmod(id, lit(9000)) + 1000)))
+      .when(pmod(id, lit(4)) === 2,
+        concat(lit(" call "), ds(pmod(id, lit(900)) + 100), lit("-"),
+          ds(pmod(id, lit(800)) + 123), lit("-"),
+          ds(pmod(id, lit(9000)) + 1000)))
+      .otherwise(
+        concat(lit(" from "), ds(pmod(id, lit(256))), lit("."),
+          ds(pmod(id * 7, lit(256))), lit(".10."), ds(pmod(id, lit(100)))))
+    val planted = docsSpread(s, dir).select(col("doc_id"),
+      when(pmod(id, lit(3)) === 0, concat(col("text"), pii))
+        .otherwise(col("text")).as("text"))
+    redact(planted)
+      .select(col("doc_id"), col("n_redacted"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document top keyword by TF-IDF — the keyword-extraction /
     * quality-weighting pass of a curation pipeline. The score is an
     * INTEGER-DOMAIN surrogate, tf × ⌊1e6·N/df⌋ (per-doc length
@@ -514,6 +548,7 @@ object TextAnalysis {
     "text_bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
     "text_vocab" -> (vocab _),
     "text_repetition" -> (repetition _),
+    "text_redact" -> (redactQuery _),
     "text_tfidf" -> (tfidf _),
     "text_bigrams" -> (bigrams _),
   )
@@ -623,6 +658,46 @@ object TextAnalysis {
         |  (100 * count(r.rc)) // count(*) AS coverage_pct
         |FROM bg b LEFT JOIN ref r USING (pair)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    // the same planted slice, the same four patterns folded in the
+    // same order (a later pattern never re-matches an earlier mask);
+    // DuckDB needs the explicit 'g' flag to match Spark's
+    // replace-all semantics, and the masked TEXT itself is hashed
+    "text_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text ||
+        |      CASE doc_id % 4
+        |        WHEN 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |        WHEN 1 THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+        |          || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
+        |          || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |        WHEN 2 THEN ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+        |          || CAST(doc_id % 800 + 123 AS VARCHAR) || '-'
+        |          || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |        ELSE ' from ' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |          || CAST((doc_id * 7) % 256 AS VARCHAR) || '.10.'
+        |          || CAST(doc_id % 100 AS VARCHAR)
+        |      END
+        |    ELSE text END AS text
+        |  FROM documents),
+        |r1 AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+        |  FROM p),
+        |r2 AS (SELECT doc_id, c1,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS c2,
+        |  regexp_replace(text, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS text
+        |  FROM r1),
+        |r3 AS (SELECT doc_id, c1, c2,
+        |  len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS c3,
+        |  regexp_replace(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text
+        |  FROM r2),
+        |r4 AS (SELECT doc_id, c1, c2, c3,
+        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c4,
+        |  regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+        |  FROM r3)
+        |SELECT doc_id, CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_redacted, text
+        |FROM r4 ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH c AS (
         |  SELECT doc_id, lang,
