@@ -623,18 +623,23 @@ object Pipeline {
     * non-vacuous. */
   def ingestDedupNear(s: SparkSession, dir: String): DataFrame = {
     val work = graft.Scratch.dir("graft_ingest_near_")
-    val docs = Tables.spread(Tables(s, dir, "documents"))
-      .select(col("doc_id"), col("source"), col("text"))
-    val planted = docs
-      .filter(pmod(col("doc_id"), lit(7)) === 0 && length(col("text")) >= 64)
-      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("source"),
-        concat(expr("substring(text, 1, length(text) - 4)"), lit("XXXX"))
-          .as("text"))
-    val all = docs.unionByName(planted)
+    // the planted mutants GENERATE from the same scan via explode —
+    // one corpus pass, no Union node (a union here trips Spark's
+    // Union-constraint rewrite — NoSuchElementException in
+    // rewriteConstraints — once the loop's probe joins stack up)
+    val all = Tables.spread(Tables(s, dir, "documents"))
+      .select(col("source"), explode(expr(
+        "CASE WHEN doc_id % 7 = 0 AND length(text) >= 64 THEN array(" +
+          "struct(doc_id, text), " +
+          "struct(doc_id + 1000000L AS doc_id, " +
+          "concat(substring(text, 1, length(text) - 4), 'XXXX') AS text)) " +
+          "ELSE array(struct(doc_id, text)) END")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("source"),
+        col("r.text").as("text"))
     val stride = greatest(expr("(length(text) + 7) div 8"), lit(1L))
     val sigsCol = transform(sequence(lit(0L), lit(7L)), i =>
-      pmod(conv(substring(md5(col("text").substr(i * stride + lit(1L), stride)),
-        1, 15), 16, 10).cast("long"), lit(1000000007L)))
+      pmod(conv(substring(md5(col("text").substr(i * stride + lit(1L),
+        stride)), 1, 15), 16, 10).cast("long"), lit(1000000007L)))
     val d = all.select(col("doc_id"), col("source"),
       md5(col("text")).as("digest"), sigsCol.as("sigs"),
       length(col("text")).cast("long").as("len"))
@@ -666,11 +671,26 @@ object Pipeline {
       .select(col("bd.band").as("band"), col("bd.k1").as("k1"),
         col("bd.k2").as("k2"), col("doc_id"), col("sigs"))
     val shape = Seq("doc_id", "source", "digest", "sigs", "len").map(col)
+    // ONE corpus pass total: the narrow signature frame (never text)
+    // pins for the whole loop, so the per-batch probe subtrees — each
+    // broadcast build is its own job — read the cache instead of
+    // re-deriving 8 stripe digests per doc per subtree. At production
+    // scale batches arrive already materialized; this is the harness's
+    // equivalent.
+    val dp = d.persist(StorageLevel.MEMORY_AND_DISK)
+    dp.count()
     (0L until 3L).foreach { b =>
-      val batch = d.filter(pmod(col("doc_id"), lit(3L)) === b)
-      val keepers = batch.groupBy(col("digest"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val keep = batch.join(keepers, Seq("digest", "doc_id"))
+      // ONE pass decides every fate: the within-batch keeper id joins
+      // on as min(doc_id) per digest (narrow rows — text never rides),
+      // the two cross-batch probes come back as flag frames
+      // left-joined on, and a single when-chain names the fate (exact
+      // precedence over near) — no 4-way union re-scanning the batch
+      // per branch
+      val batch0 = dp.filter(pmod(col("doc_id"), lit(3L)) === b)
+      val batch = batch0.join(
+        batch0.groupBy(col("digest")).agg(min(col("doc_id")).as("min_id")),
+        Seq("digest"))
+      val keep = batch.filter(col("doc_id") === col("min_id"))
       // cross-batch EXACT probe: the digest MV, never the corpus
       val foundExact =
         if (table.currentVersion == 0L) None
@@ -695,28 +715,38 @@ object Pipeline {
       // PIN the batch's fates BEFORE any state mutation: three appends
       // consume this frame, and an unpinned lineage would re-probe
       // after the MV/band/table commits moved the state under it
-      val fate = (batch.join(keepers, Seq("digest", "doc_id"), "left_anti")
-          .select(shape :+ lit("exact_dup").as("fate"): _*)
-        .unionByName(foundExact.fold(keep.limit(0))(f =>
-            keep.join(broadcast(f), Seq("digest")))
-          .select(shape :+ lit("exact_dup").as("fate"): _*))
-        .unionByName(nearIds.fold(afterExact.limit(0))(n =>
-            afterExact.join(n, Seq("doc_id"), "left_semi"))
-          .select(shape :+ lit("near_dup").as("fate"): _*))
-        .unionByName(nearIds.fold(afterExact)(n =>
-            afterExact.join(n, Seq("doc_id"), "left_anti"))
-          .select(shape :+ lit("kept").as("fate"): _*)))
+      val withX = foundExact
+        .fold(batch.withColumn("x", lit(null).cast("int")))(f =>
+          batch.join(broadcast(f.withColumn("x", lit(1))),
+            Seq("digest"), "left"))
+      val flagged = nearIds
+        .fold(withX.withColumn("nr", lit(null).cast("int")))(n =>
+          withX.join(broadcast(n.withColumn("nr", lit(1))),
+            Seq("doc_id"), "left"))
+      val fate = flagged
+        .withColumn("fate",
+          when(col("doc_id") =!= col("min_id"), lit("exact_dup"))
+            .when(col("x") === 1, lit("exact_dup"))
+            .when(col("nr") === 1, lit("near_dup"))
+            .otherwise(lit("kept")))
+        .select(shape :+ col("fate"): _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
       fate.count() // materialize against the pre-mutation state
+      // appends COALESCE on the cached read (upstream probe
+      // parallelism untouched): an un-coalesced append writes one
+      // tiny parquet file per shuffle partition per table per batch —
+      // the footer-stats pass alone then dominates the loop
       val survivors = fate.filter(col("fate") === "kept")
       table.append(survivors
-        .select(col("doc_id"), col("digest"), col("source")))
-      bands.append(bandRows(survivors))
+        .select(col("doc_id"), col("digest"), col("source")).coalesce(4))
+      bands.append(bandRows(survivors).coalesce(4))
       mv.refresh()
-      fateLog.append(fate.select(col("doc_id"), col("source"), col("fate")))
+      fateLog.append(fate.select(col("doc_id"), col("source"), col("fate"))
+        .coalesce(4))
       fate.unpersist()
       ()
     }
+    dp.unpersist()
     (fateLog.read().select(col("doc_id"), col("source"), col("fate")),
       table, bands)
   }
