@@ -623,6 +623,14 @@ object Pipeline {
     * non-vacuous. */
   def ingestDedupNear(s: SparkSession, dir: String): DataFrame = {
     val work = graft.Scratch.dir("graft_ingest_near_")
+    ingestDedupNearLoop(s, nearSigFrame(s, dir), work)._1
+      .orderBy(col("doc_id"))
+  }
+
+  /** The planted corpus's narrow signature frame
+    * (doc_id, source, digest, sigs, len) — shared by the batch ingest
+    * and the streaming form (stream_dedup_near). */
+  private[graft] def nearSigFrame(s: SparkSession, dir: String): DataFrame = {
     // the planted mutants GENERATE from the same scan via explode —
     // one corpus pass, no Union node (a union here trips Spark's
     // Union-constraint rewrite — NoSuchElementException in
@@ -640,10 +648,9 @@ object Pipeline {
     val sigsCol = transform(sequence(lit(0L), lit(7L)), i =>
       pmod(conv(substring(md5(col("text").substr(i * stride + lit(1L),
         stride)), 1, 15), 16, 10).cast("long"), lit(1000000007L)))
-    val d = all.select(col("doc_id"), col("source"),
+    all.select(col("doc_id"), col("source"),
       md5(col("text")).as("digest"), sigsCol.as("sigs"),
       length(col("text")).cast("long").as("len"))
-    ingestDedupNearLoop(s, d, work)._1.orderBy(col("doc_id"))
   }
 
   /** The near-dedup ingest loop, factored so the spec can pin its I/O
@@ -652,25 +659,38 @@ object Pipeline {
     * index alongside the corpus table. Returns (per-doc fate frame,
     * corpus table, band index). Probes read ONLY the MV and the band
     * index — never a corpus data file. */
+  /** The per-corpus dedup state the near-ingest maintains: corpus
+    * table, band index, fate log, digest MV — shared by the batch
+    * loop and the streaming sink (stream_dedup_near). */
+  private[graft] final case class NearDedupState(
+      table: graft.sources.LogTable, bands: graft.sources.LogTable,
+      fateLog: graft.sources.LogTable, mv: graft.sources.MaterializedView)
+
+  private[graft] def nearDedupState(s: SparkSession,
+      work: java.nio.file.Path): NearDedupState = {
+    val table = graft.sources.LogTable(s, work.resolve("t").toString)
+    NearDedupState(table,
+      graft.sources.LogTable(s, work.resolve("bands").toString),
+      graft.sources.LogTable(s, work.resolve("fates").toString),
+      graft.sources.MaterializedView(s, table,
+        work.resolve("mv").toString, keyCols = Seq("digest"),
+        aggs = Seq(graft.sources.MvAgg.Count("n"))))
+  }
+
+  private def nearBandRows(df: DataFrame): DataFrame = df
+    .filter(col("len") >= 64L)
+    .select(col("doc_id"), col("sigs"), explode(expr(
+      "transform(sequence(0, 3), b -> " +
+        "struct(b AS band, sigs[b * 2] AS k1, sigs[b * 2 + 1] AS k2))"))
+      .as("bd"))
+    .select(col("bd.band").as("band"), col("bd.k1").as("k1"),
+      col("bd.k2").as("k2"), col("doc_id"), col("sigs"))
+
   private[graft] def ingestDedupNearLoop(s: SparkSession, d: DataFrame,
       work: java.nio.file.Path)
       : (DataFrame, graft.sources.LogTable, graft.sources.LogTable) = {
     import org.apache.spark.storage.StorageLevel
-    val table = graft.sources.LogTable(s, work.resolve("t").toString)
-    val bands = graft.sources.LogTable(s, work.resolve("bands").toString)
-    val fateLog = graft.sources.LogTable(s, work.resolve("fates").toString)
-    val mv = graft.sources.MaterializedView(s, table,
-      work.resolve("mv").toString, keyCols = Seq("digest"),
-      aggs = Seq(graft.sources.MvAgg.Count("n")))
-    def bandRows(df: DataFrame): DataFrame = df
-      .filter(col("len") >= 64L)
-      .select(col("doc_id"), col("sigs"), explode(expr(
-        "transform(sequence(0, 3), b -> " +
-          "struct(b AS band, sigs[b * 2] AS k1, sigs[b * 2 + 1] AS k2))"))
-        .as("bd"))
-      .select(col("bd.band").as("band"), col("bd.k1").as("k1"),
-        col("bd.k2").as("k2"), col("doc_id"), col("sigs"))
-    val shape = Seq("doc_id", "source", "digest", "sigs", "len").map(col)
+    val st = nearDedupState(s, work)
     // ONE corpus pass total: the narrow signature frame (never text)
     // pins for the whole loop, so the per-batch probe subtrees — each
     // broadcast build is its own job — read the cache instead of
@@ -680,13 +700,29 @@ object Pipeline {
     val dp = d.persist(StorageLevel.MEMORY_AND_DISK)
     dp.count()
     (0L until 3L).foreach { b =>
+      ingestNearStep(st, dp.filter(pmod(col("doc_id"), lit(3L)) === b))
+    }
+    dp.unpersist()
+    (st.fateLog.read().select(col("doc_id"), col("source"), col("fate")),
+      st.table, st.bands)
+  }
+
+  /** ONE arrival batch of the near-dedup ingest — the step both the
+    * batch loop and the streaming foreachBatch sink run. `batch0` is
+    * the batch's (doc_id, source, digest, sigs, len) frame. */
+  private[graft] def ingestNearStep(st: NearDedupState,
+      batch0: DataFrame): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val (table, bands, fateLog, mv) = (st.table, st.bands, st.fateLog, st.mv)
+    def bandRows(df: DataFrame): DataFrame = nearBandRows(df)
+    val shape = Seq("doc_id", "source", "digest", "sigs", "len").map(col)
+    locally {
       // ONE pass decides every fate: the within-batch keeper id joins
       // on as min(doc_id) per digest (narrow rows — text never rides),
       // the two cross-batch probes come back as flag frames
       // left-joined on, and a single when-chain names the fate (exact
       // precedence over near) — no 4-way union re-scanning the batch
       // per branch
-      val batch0 = dp.filter(pmod(col("doc_id"), lit(3L)) === b)
       val batch = batch0.join(
         batch0.groupBy(col("digest")).agg(min(col("doc_id")).as("min_id")),
         Seq("digest"))
@@ -746,9 +782,6 @@ object Pipeline {
       fate.unpersist()
       ()
     }
-    dp.unpersist()
-    (fateLog.read().select(col("doc_id"), col("source"), col("fate")),
-      table, bands)
   }
 
   /** CURRICULUM ordering — anneal training data easy→hard: every doc

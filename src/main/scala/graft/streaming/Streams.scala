@@ -598,15 +598,65 @@ object Streams {
 
   // ------------------------------------------------------- driver wiring
 
+  /** STREAMING NEAR-DEDUP INGEST — the continuous-crawl production
+    * loop as an actual stream: the planted corpus lands in a source
+    * table in three commits (the arrival batches), a graft stream
+    * replays them with `maxVersionsPerTrigger = 1` (one micro-batch
+    * per commit — deterministic batch boundaries), and the
+    * foreachBatch sink runs EXACTLY [[graft.operators.Pipeline]]'s
+    * near-ingest step per micro-batch: band-index probe, ≥6/8 stripe
+    * verification, quarantine, fate log, digest-MV fold. Bound to
+    * pipeline_ingest_near's SAME oracle, so the hash gate proves the
+    * micro-batch-driven state evolution is byte-identical to the
+    * batch loop's — the streaming form is the production shape (a
+    * crawler feeding commits; the dedup state lives in tables, not in
+    * Spark streaming state, so it survives restarts and is shared by
+    * any number of writers). */
+  def streamDedupNearQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pipeline
+    val srcRoot = graft.Scratch.dir("graft_sdn_src_").toString
+    val src = LogTable(s, srcRoot)
+    val d = Pipeline.nearSigFrame(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count()
+    (0L until 3L).foreach { b =>
+      src.append(d.filter(pmod(col("doc_id"), lit(3L)) === b).coalesce(4))
+    }
+    val st = Pipeline.nearDedupState(s,
+      graft.Scratch.dir("graft_sdn_state_"))
+    val q = s.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1")
+      .load(srcRoot)
+      .writeStream
+      .option("checkpointLocation",
+        graft.Scratch.dir("graft_sdn_cp_").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        Pipeline.ingestNearStep(st, b)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    d.unpersist()
+    st.fateLog.read().select(col("doc_id"), col("source"), col("fate"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling" -> (eventsTumbling _),
     "events_sliding" -> (eventsSliding _),
     "stream_tail" -> (streamTail _),
     "stream_dedup" -> (streamDedupQ _),
+    "stream_dedup_near" -> (streamDedupNearQ _),
     "stream_cdc" -> (streamCdc _),
   )
 
   val oracles: Map[String, String] = Map(
+    // byte-identical to the batch loop by construction: one
+    // micro-batch per source commit = the same three arrival batches,
+    // the same state evolution — the shared oracle proves it
+    "stream_dedup_near" ->
+      graft.operators.Pipeline.oracles("pipeline_ingest_near"),
     // the replayed slice must vanish: the sink equals the plain corpus
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n,

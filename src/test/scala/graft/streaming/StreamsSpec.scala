@@ -546,4 +546,20 @@ class StreamsSpec extends SparkSpec {
     ev.unpersist()
     ()
   }
+
+  test("stream_dedup_near: micro-batch state evolution is byte-identical to the batch loop") {
+    // the stream replays the same three arrival batches (one
+    // micro-batch per source commit via maxVersionsPerTrigger=1), so
+    // every doc's fate must match the batch loop's exactly
+    val batch = graft.operators.Pipeline.ingestDedupNear(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val stream = Streams.streamDedupNearQ(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+    assert(stream.exists(_._3 == "near_dup"),
+      "the planted mutants must be quarantined on the stream path too")
+  }
 }
