@@ -76,6 +76,27 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** INDEX QUALITY GATE — recall@5 of the IVF index against the exact
+    * scan, the evaluation query every ANN deployment runs before
+    * shipping an index (and re-runs when tuning k/probes): per query,
+    * how many of the exact cosine top-5 the 4-probe IVF top-5
+    * recovered. Pure composition of two proven ops — [[annIvf]]
+    * (warm cached index, the production probe path) and [[annTopk]]
+    * (the brute-force truth) — intersected per query: O(queries × k)
+    * on top of the searches themselves. All-integer output
+    * (hits, integer-div percent), so the oracle replays both ladders
+    * via the shared CTE machinery and hash-pins every hit. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact5 = annTopk(s, dir).select(col("q_id"), col("n_id"))
+    val ivf5 = annIvf(s, dir).select(col("q_id"), col("n_id"))
+      .withColumn("hit", lit(1))
+    exact5.join(ivf5, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .withColumn("recall_pct", expr("(100 * n_hits) div 5"))
+      .orderBy(col("q_id"))
+  }
+
   /** FILTERED ANN — vector search under a metadata predicate (the
     * "neighbors within a category" shape every retrieval stack needs):
     * exact cosine top-5 among candidates sharing the query's `label`.
@@ -700,6 +721,7 @@ object Similarity {
     "ann_hybrid" -> (annHybrid _),
     "ann_lsh" -> ((s, dir) => annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => annIvf(s, dir)),
+    "ann_recall" -> (annRecall _),
     "ann_pq" -> ((s, dir) => annPq(s, dir)),
     "ann_refine" -> ((s, dir) => annRefine(s, dir)),
     "ann_hybrid_ladder" -> ((s, dir) => annHybridLadder(s, dir)),
@@ -848,6 +870,50 @@ object Similarity {
         |    row_number() OVER (PARTITION BY q_id ORDER BY skey DESC, n_id) AS rnk
         |  FROM scored)
         |SELECT q_id, rnk, n_id FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // ann_recall: both ladders replay — the IVF tail is ann_ivf's
+    // verbatim, the exact tail is ann_topk's built over the shared `n`
+    // frame — and the per-query intersection counts hits; integer
+    // percent, so the hash pins every recovered neighbor
+    "ann_recall" -> s"""$annIvfCells
+        |cand AS (
+        |  SELECT q.q_id, a.n_id FROM qprobe q JOIN acell a USING (cid)
+        |  WHERE a.n_id <> q.q_id),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |    (CASE WHEN d < 0 THEN -1.0 ELSE 1.0 END)
+        |      * (CAST(d * d AS DOUBLE) / CAST(pp AS DOUBLE)) AS skey
+        |  FROM (
+        |    SELECT c.q_id, c.n_id,
+        |      CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |        i -> q.qv[i] * d2.qv[i])) AS BIGINT) AS d,
+        |      q.nrm * d2.nrm AS pp
+        |    FROM cand c
+        |    JOIN n q ON q.vec_id = c.q_id
+        |    JOIN n d2 ON d2.vec_id = c.n_id)),
+        |riv AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY skey DESC, n_id) AS rnk
+        |    FROM scored) WHERE rnk <= 5),
+        |px AS (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * d.qv[i])) AS BIGINT) AS dot,
+        |    q.nrm * d.nrm AS pp
+        |  FROM n q JOIN n d ON d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |rex AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY
+        |        (CASE WHEN dot < 0 THEN -1.0 ELSE 1.0 END)
+        |          * (CAST(dot * dot AS DOUBLE) / CAST(pp AS DOUBLE)) DESC,
+        |        n_id) AS rnk
+        |    FROM px) WHERE rnk <= 5)
+        |SELECT e1.q_id, CAST(count(e2.n_id) AS BIGINT) AS n_hits,
+        |  (100 * count(e2.n_id)) // 5 AS recall_pct
+        |FROM rex e1 LEFT JOIN riv e2
+        |  ON e1.q_id = e2.q_id AND e1.n_id = e2.n_id
+        |GROUP BY e1.q_id ORDER BY e1.q_id""".stripMargin,
     // ann_pq: the PQ codebooks are ALSO integer-exact and deterministic
     // (L2 assignment in longs with lowest-index ties; the update's
     // Math.round(sum/count) is floor(x+0.5), replayed verbatim), so the
