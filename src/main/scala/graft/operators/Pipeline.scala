@@ -272,6 +272,40 @@ object Pipeline {
       .orderBy(col("bucket"), col("win"))
   }
 
+  /** PACKED-WINDOW DOCUMENT SPANS — the attention-mask metadata a
+    * packer ships next to the id streams: context windows hold tokens
+    * from MULTIPLE documents, and the trainer masks cross-document
+    * attention from exactly this artifact (block-diagonal masks /
+    * position-id resets), so every window carries its ordered
+    * `local_offset:token_count` span list. Same B-way pack skeleton
+    * as [[packWindowsBpe]] (real BPE token counts, bucketed running
+    * sums); a spilling doc's span records its full length from its
+    * window-local start — the mask generator clips at the window
+    * edge. The comma-joined span string rides the hash gate, so the
+    * oracle pins every boundary at every position. */
+  def packSpans(s: SparkSession, dir: String,
+      buckets: Int = 8, windowTokens: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = TextAnalysis.bpeEncode(s, dir)
+      .select(col("doc_id"), col("n_tokens").as("tok"),
+        pmod(col("doc_id"), lit(buckets)).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("start", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("win", expr(s"start div ${windowTokens}L"))
+      .withColumn("off", col("start") - col("win") * lit(windowTokens))
+      .groupBy(col("bucket"), col("win"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        expr("concat_ws(',', transform(array_sort(" +
+          "collect_list(struct(doc_id, off, tok))), " +
+          "x -> concat(cast(x.off AS string), ':', cast(x.tok AS string))))")
+          .as("spans"))
+      .orderBy(col("bucket"), col("win"))
+  }
+
   /** DATASET CARD — the per-source datasheet a curated corpus ships
     * with (datasheets-for-datasets / dataset-card practice), composed
     * from the library's own oracle-green signals in ONE census row per
@@ -974,6 +1008,7 @@ object Pipeline {
     "pipeline_tokenize_tbl" -> ((s, dir) => tokenizePipelineTbl(s, dir)),
     "pipeline_tokenize_ids" -> ((s, dir) => tokenizeIds(s, dir)),
     "pipeline_ingest_near" -> (ingestDedupNear _),
+    "pipeline_pack_spans" -> ((s, dir) => packSpans(s, dir)),
     "pipeline_select_bpe" -> ((s, dir) => budgetSelect(s, dir, realTokens = true)),
     "pipeline_epochs" -> ((s, dir) => epochPlan(s, dir)),
     "pipeline_card" -> ((s, dir) => datasetCard(s, dir)),
@@ -1289,6 +1324,27 @@ object Pipeline {
         |  CAST(sum(CASE WHEN (start + tok - 1) // 2048 <> start // 2048
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spill,
         |  min(doc_id) AS first_doc
+        |FROM o GROUP BY 1, 2 ORDER BY bucket, win""".stripMargin),
+    // the span artifact: pipeline_pack_bpe's exact CTEs with the
+    // window-local offset carried through; string_agg in doc order
+    // pins every document boundary in every window
+    "pipeline_pack_spans" ->
+      (TextAnalysis.bpeEncodeCte(5) + """,
+        |t AS (
+        |  SELECT doc_id, doc_id % 8 AS bucket,
+        |    CAST(sum(n_toks) AS BIGINT) AS tok
+        |  FROM d JOIN wt USING (word) GROUP BY doc_id),
+        |o AS (
+        |  SELECT doc_id, bucket, tok,
+        |    CAST(coalesce(sum(tok) OVER (
+        |      PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM t)
+        |SELECT bucket, start // 2048 AS win, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc,
+        |  string_agg(CAST(start - (start // 2048) * 2048 AS VARCHAR)
+        |    || ':' || CAST(tok AS VARCHAR), ',' ORDER BY doc_id) AS spans
         |FROM o GROUP BY 1, 2 ORDER BY bucket, win""".stripMargin),
     // the packed-sequence artifact: the clean-rewrite CTEs + the full
     // tokenizer chain + the SEQUENCE stages (per-word ordered id

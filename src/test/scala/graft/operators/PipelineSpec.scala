@@ -369,4 +369,26 @@ class PipelineSpec extends SparkSpec {
     assert(wins.exceptAll(packs).count() === 0L)
     assert(packs.exceptAll(wins).count() === 0L)
   }
+
+  test("pipeline_pack_spans: span lists reassemble each window's census exactly") {
+    val got = Pipeline.packSpans(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nDocs, nTokens) = (r.getLong(2), r.getLong(3))
+      val spans = r.getString(5).split(",").toSeq
+      assert(spans.size.toLong === nDocs)
+      val parsed = spans.map { sp =>
+        val Array(off, tok) = sp.split(":").map(_.toLong); (off, tok)
+      }
+      assert(parsed.map(_._2).sum === nTokens)
+      // offsets are in-window, strictly increasing, and consecutive:
+      // each doc starts where the previous ended (mod the window edge)
+      parsed.foreach { case (off, _) => assert(off >= 0 && off < 2048) }
+      parsed.sliding(2).foreach {
+        case Seq((o1, t1), (o2, _)) => assert(o1 + t1 === o2,
+          s"doc boundary gap in window ${r.getLong(1)}: $o1+$t1 != $o2")
+        case _ =>
+      }
+    }
+  }
 }
