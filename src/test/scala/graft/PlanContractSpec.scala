@@ -436,4 +436,29 @@ class PlanContractSpec extends SparkSpec {
     assert(at(3) === at(64),
       "percentile values must not depend on where the census was sliced")
   }
+
+  test("pipeline_tokenize_ids: trained vocab reads from the DISK ARTIFACT; one corpus scan") {
+    // warm the tokenizer so the (corpus, rounds) cache holds the
+    // file-backed artifact frame — the production steady state every
+    // timed consumer sees
+    operators.Pipeline.warmTokenizer(spark, sfDir)
+    val df = operators.Pipeline.tokenizeIds(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the 100 TB contract: the encode pass is the only corpus-scale
+    // read — training never re-runs (the vocab subtree scans the
+    // scratch parquet artifact, lineage truncated at disk). The clean
+    // rewrite contributes exactly its documented TWO scan legs
+    // (cleanLines' cand/short union — one logical pass split so the
+    // short-line leg skips the dedup window entirely); a third scan
+    // would mean the trainer leaked back into the plan.
+    val corpusScans = p.linesIterator
+      .filter(_.contains("FileScan parquet"))
+      .count(_.contains("documents.parquet"))
+    assert(corpusScans == 2,
+      s"tokenize_ids must scan the corpus exactly twice (cleanLines' " +
+        s"two union legs), saw $corpusScans:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("FileScan parquet") && l.contains("graft_bpe_vocab_")),
+      s"the vocab subtree must read the disk artifact:\n$p")
+  }
 }
