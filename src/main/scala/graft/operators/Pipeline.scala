@@ -272,6 +272,40 @@ object Pipeline {
       .orderBy(col("bucket"), col("win"))
   }
 
+  /** TRAINING-ORDER INTERLEAVE — the deterministic multi-source data
+    * order a trainer actually consumes: each source's documents spread
+    * evenly through the epoch by the standard low-discrepancy position
+    * key (doc i of n_s at (2i+1)/(2·n_s) — stratified, so a
+    * 4×-larger source appears 4× as often, never in bursts), total
+    * order (key, source, doc_id). The first 100 positions ship as the
+    * artifact (the head of the schedule pins the whole construction —
+    * every source's cadence is visible there).
+    *
+    * Scale: per-source ranks are one partitioned window over narrow
+    * rows; the head-of-schedule cut is a TopK (Spark's
+    * TakeOrderedAndProject — never a global sort materialization);
+    * the key arithmetic is exact-integer inputs under one IEEE double
+    * divide, deterministic across engines (the ann routing-key
+    * doctrine). */
+  def interleave(s: SparkSession, dir: String, head: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id")))
+        .cast("long") - 1L)
+      .withColumn("n_s", count(lit(1)).over(
+        Window.partitionBy(col("source"))).cast("long"))
+      .withColumn("key",
+        (col("i") * 2L + 1L).cast("double") / (col("n_s") * 2L).cast("double"))
+    val top = ranked.orderBy(col("key"), col("source"), col("doc_id"))
+      .limit(head)
+    top.withColumn("pos", row_number().over(
+        Window.orderBy(col("key"), col("source"), col("doc_id"))).cast("long"))
+      .select(col("pos"), col("source"), col("doc_id"))
+      .orderBy(col("pos"))
+  }
+
   /** PACKED-WINDOW DOCUMENT SPANS — the attention-mask metadata a
     * packer ships next to the id streams: context windows hold tokens
     * from MULTIPLE documents, and the trainer masks cross-document
@@ -1009,6 +1043,7 @@ object Pipeline {
     "pipeline_tokenize_ids" -> ((s, dir) => tokenizeIds(s, dir)),
     "pipeline_ingest_near" -> (ingestDedupNear _),
     "pipeline_pack_spans" -> ((s, dir) => packSpans(s, dir)),
+    "pipeline_interleave" -> ((s, dir) => interleave(s, dir)),
     "pipeline_select_bpe" -> ((s, dir) => budgetSelect(s, dir, realTokens = true)),
     "pipeline_epochs" -> ((s, dir) => epochPlan(s, dir)),
     "pipeline_card" -> ((s, dir) => datasetCard(s, dir)),
@@ -1325,6 +1360,23 @@ object Pipeline {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spill,
         |  min(doc_id) AS first_doc
         |FROM o GROUP BY 1, 2 ORDER BY bucket, win""".stripMargin),
+    // the interleave replays exactly: per-source 0-based ranks by
+    // doc_id, the (2i+1)/(2n) low-discrepancy key (exact-integer
+    // inputs under one IEEE double divide), total order
+    // (key, source, doc_id), first 100 positions
+    "pipeline_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    CAST(i * 2 + 1 AS DOUBLE) / CAST(n_s * 2 AS DOUBLE) AS key
+        |  FROM r)
+        |SELECT CAST(row_number() OVER (ORDER BY key, source, doc_id) AS BIGINT) AS pos,
+        |  source, doc_id
+        |FROM k ORDER BY key, source, doc_id LIMIT 100""".stripMargin,
     // the span artifact: pipeline_pack_bpe's exact CTEs with the
     // window-local offset carried through; string_agg in doc order
     // pins every document boundary in every window

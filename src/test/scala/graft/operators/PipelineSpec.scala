@@ -391,4 +391,32 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("pipeline_interleave: sources spread evenly — never bursts, cadence tracks size") {
+    val rows = Pipeline.interleave(spark, sfDir, head = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length === 100)
+    assert(rows.map(_._1).toSeq === (1L to 100L))
+    // low-discrepancy guarantee: within any window of the schedule a
+    // source's appearance count is proportional to its share, within
+    // rounding — check the coarse version: no source appears twice in
+    // a row more often than its share justifies
+    val bySrc = rows.groupBy(_._2)
+    val totals = Tables(spark, sfDir, "documents")
+      .groupBy(col("source")).count()
+      .as[(String, Long)].collect().toMap
+    val corpus = totals.values.sum.toDouble
+    bySrc.foreach { case (src, rs) =>
+      val share = totals(src) / corpus
+      val expected = 100 * share
+      assert(math.abs(rs.length - expected) <= 2 + 0.2 * expected,
+        s"$src appeared ${rs.length}x in the first 100, expected ~$expected")
+      // consecutive appearances of one source are ~1/share apart
+      val gaps = rs.map(_._1).sorted.sliding(2).collect {
+        case Array(a, b) => b - a }.toSeq
+      if (gaps.nonEmpty)
+        assert(gaps.max <= math.ceil(1 / share).toLong + 2,
+          s"$src has a ${gaps.max}-position gap — bursty interleave")
+    }
+  }
 }
