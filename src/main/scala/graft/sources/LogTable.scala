@@ -952,7 +952,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
         // row-preserving commits: rewrites carry only already-delivered
         // rows; schema/spec evolution and checks are metadata-only
         case "compact" | "recluster" | "set-check" | "set-bloom" |
-             "set-sort" | "set-props" | "evolve-schema" | "evolve-spec" => Nil
+             "set-sort" | "set-props" | "drop-lineage" |
+             "evolve-schema" | "evolve-spec" => Nil
         case other => throw new LogTable.MaintenanceBoundaryException(
           s"cannot read v$v as appends: operation '$other' changes rows; " +
             "consume the changelog up to the maintenance boundary first")
@@ -1021,8 +1022,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
           if (added.isEmpty) empty
           else stamp(conform(readLive(cur, added)), "insert", v)
         case "compact" | "recluster" | "analyze" | "set-check" |
-             "set-bloom" | "set-sort" | "set-props" | "evolve-schema" |
-             "evolve-spec" =>
+             "set-bloom" | "set-sort" | "set-props" | "drop-lineage" |
+             "evolve-schema" | "evolve-spec" =>
           empty
         case _ =>
           val parPaths = par.files.map(_.path).toSet
@@ -2797,6 +2798,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       b.size >= 2 || b.exists(f => refd.contains(f.path)))
     if (rewriteBins.isEmpty) return snap
     val small2: Seq[DataFile] = rewriteBins.flatten
+    requireNoAdoptedLineage(small2, "compact")
     // ONE job for MANY bins: a per-bin write loop is O(bins)
     // SEQUENTIAL Spark jobs — on a 100 TB table a small-file sweep
     // serializes thousands of single-task rounds through the driver.
@@ -2916,6 +2918,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       .collect().map(r => LogTable.localPath(r.getString(0))).toSet
     if (hit.isEmpty) return snap
     val affected = snap.files.filter(f => hit.contains(f.path))
+    requireNoAdoptedLineage(affected, "COW delete")
     // SQL DELETE semantics: remove ONLY condition=TRUE rows. A bare
     // filter(!condition) would also drop rows where the predicate is
     // NULL (three-valued logic), silently destroying them. The source
@@ -3513,6 +3516,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       .collect().map(r => LogTable.localPath(r.getString(0))).toSet
     if (hit.isEmpty) return snap
     val affected = snap.files.filter(f => hit.contains(f.path))
+    requireNoAdoptedLineage(affected, "COW update")
     // delete-aware: rewriting an affected file folds its outstanding
     // position deletes in instead of resurrecting the marked rows
     val src = readLive(snap, affected)
@@ -3684,6 +3688,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
           .collect().map(r => LogTable.localPath(r.getString(0))).toSet
     }
     val affected = snap.files.filter(f => hit.contains(f.path))
+    requireNoAdoptedLineage(affected, "COW merge")
     // The documented "keys unique in updates" contract is ENFORCED, not
     // trusted: a duplicate source key would fan the left join out and
     // silently duplicate target rows (Iceberg raises for the same
@@ -3868,6 +3873,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       if (snap.files.isEmpty) snap
       else {
         import org.apache.spark.sql.functions.col
+        requireNoAdoptedLineage(snap.files, "recluster")
         val rewritten = writeDataFiles(
           readLive(snap, snap.files)
             .repartitionByRange(nFiles, col(column))
@@ -3938,6 +3944,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
           LogTable.normBits(col(c), b.getLong(2 * i), b.getLong(2 * i + 1),
             bits)
         })
+        requireNoAdoptedLineage(snap.files, "recluster")
         val rewritten = writeDataFiles(
           df.withColumn("_z", z)
             .repartitionByRange(nFiles, col("_z"))
@@ -4108,6 +4115,39 @@ final class LogTable private (val spark: SparkSession, val root: String,
       nextDeletes = _ => deletes,
       nextEqDeletes = _ => eqDeletes)(_ => files)
   }
+
+  /** ADOPTED-LINEAGE REWRITE GUARD: compact/recluster/COW
+    * delete/update/merge REFUSE when an input file carries adopted v3
+    * row lineage ([[DataFile.firstRowId]]) — the spec requires
+    * rewrites to carry row ids forward, and graft's writer does not
+    * yet materialize them, so surviving rows would silently re-id on
+    * the next v3 export (exactly the corruption importTable's
+    * adoption exists to prevent). Every DML and maintenance need has
+    * a MOR surface that never rewrites lineage files
+    * (deleteMor/mergeMor/upsertEq); [[dropLineage]] is the explicit,
+    * audited escape hatch. */
+  private def requireNoAdoptedLineage(inputs: Seq[DataFile],
+      op: String): Unit = {
+    val n = inputs.count(_.firstRowId.isDefined)
+    require(n == 0,
+      s"$op would rewrite $n data file(s) carrying adopted v3 row " +
+        "lineage; surviving rows would be re-assigned _row_id on the " +
+        "next v3 export. Use the MOR surfaces (deleteMor/mergeMor/" +
+        "upsertEq) — they never rewrite lineage files — or call " +
+        "dropLineage() first to explicitly discard the adopted " +
+        "continuity (an audited commit)")
+  }
+
+  /** Explicitly DISCARD adopted v3 row lineage — per-file
+    * first_row_id and the next-row-id watermark — as an audited
+    * `drop-lineage` commit (the escape hatch the rewrite guard points
+    * at). Afterwards v3 exports assign fresh ids from graft's own
+    * version order, exactly as for a native table. Row-preserving:
+    * data files are untouched, only manifest metadata changes. */
+  def dropLineage(): Snapshot =
+    commit("drop-lineage",
+      nextProps = prev => prev.props - LogTable.NextRowIdProp)(
+      _.files.map(_.copy(firstRowId = None)))
 
   /** Roll the table back to a prior snapshot's file list as a NEW
     * commit — history stays intact, readers atomically flip. */

@@ -3002,5 +3002,34 @@ class IcebergExportSpec extends SparkSpec {
     val eMix = intercept[IllegalArgumentException](
       IcebergImport.importTable(spark, root.toString, tmp("ice_lin_mixed_dest_")))
     assert(eMix.getMessage.contains("row lineage"))
+
+    // REWRITE GUARD: a compact would re-id surviving rows on the next
+    // export — refuse with guidance; the MOR surfaces stay available
+    // and PRESERVE ids (DVs mark positions, physical rows never move)
+    val eCompact = intercept[IllegalArgumentException](
+      imp.compact(smallBytes = Long.MaxValue))
+    assert(eCompact.getMessage.contains("row lineage")
+      && eCompact.getMessage.contains("dropLineage"))
+    imp.deleteMor(col("id") < 5L)
+    val ice4 = tmp("ice_lin_out4_")
+    IcebergExport.export(imp, ice4, formatVersion = 3)
+    val afterMor = IcebergRead.read(spark, ice4, withLineage = true)
+      .select(col("id"), col("_row_id")).as[(Long, Long)].collect().toMap
+    assert(afterMor.keySet === grown.keySet.filter(k => k >= 5L))
+    assert(afterMor.forall { case (id, rid) => grown(id) == rid },
+      "MOR delete must not move surviving rows' _row_id")
+
+    // ESCAPE HATCH: dropLineage() discards the continuity as an
+    // audited commit; maintenance then proceeds and the next export
+    // assigns fresh, self-consistent ids
+    imp.dropLineage()
+    assert(!imp.properties.contains(LogTable.NextRowIdProp))
+    assert(imp.snapshot().files.forall(_.firstRowId.isEmpty))
+    imp.compact(smallBytes = Long.MaxValue)
+    val ice5 = tmp("ice_lin_out5_")
+    IcebergExport.export(imp, ice5, formatVersion = 3)
+    val fresh = IcebergRead.read(spark, ice5, withLineage = true)
+      .select(col("_row_id")).as[Long].collect()
+    assert(fresh.length === fresh.distinct.length)
   }
 }
