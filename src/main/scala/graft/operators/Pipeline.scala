@@ -779,11 +779,33 @@ object Pipeline {
     * batch loop and the streaming foreachBatch sink run. `batch0` is
     * the batch's (doc_id, source, digest, sigs, len) frame. */
   private[graft] def ingestNearStep(st: NearDedupState,
-      batch0: DataFrame): Unit = {
+      batch0: DataFrame, tag: String = ""): Unit = {
     import org.apache.spark.storage.StorageLevel
     val (table, bands, fateLog, mv) = (st.table, st.bands, st.fateLog, st.mv)
     def bandRows(df: DataFrame): DataFrame = nearBandRows(df)
     val shape = Seq("doc_id", "source", "digest", "sigs", "len").map(col)
+    // EXACTLY-ONCE under streaming replay: the FATE LOG commits first
+    // and is the authoritative record of this batch's probe verdicts.
+    // A replayed batch whose fates are already recorded must NOT
+    // re-probe (the state tables may have advanced past the crash
+    // point — a re-probe could see this batch's own band rows); it
+    // reads its verdicts back and only replays the idempotent state
+    // appends (per-tag skip) and the watermark-idempotent MV fold.
+    if (tag.nonEmpty && fateLog.hasTag(tag)) {
+      val recorded = fateLog.read()
+        .join(batch0.select(col("doc_id"), col("digest"), col("sigs"),
+          col("len")), Seq("doc_id"))
+      val survivors = recorded.filter(col("fate") === "kept")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      survivors.count()
+      table.append(survivors
+        .select(col("doc_id"), col("digest"), col("source")).coalesce(4),
+        tag = tag)
+      bands.append(nearBandRows(survivors).coalesce(4), tag = tag)
+      mv.refresh()
+      survivors.unpersist()
+      return
+    }
     locally {
       // ONE pass decides every fate: the within-batch keeper id joins
       // on as min(doc_id) per digest (narrow rows — text never rides),
@@ -813,6 +835,7 @@ object Pipeline {
               .select(col("band"), col("k1"), col("k2"),
                 col("doc_id").as("new_id"), col("sigs").as("new_sigs"))),
             Seq("band", "k1", "k2"))
+          .filter(col("doc_id") =!= col("new_id"))
           .filter(expr("aggregate(zip_with(sigs, new_sigs, " +
             "(x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v) >= 6"))
           .select(col("new_id").as("doc_id")).distinct())
@@ -841,12 +864,13 @@ object Pipeline {
       // tiny parquet file per shuffle partition per table per batch —
       // the footer-stats pass alone then dominates the loop
       val survivors = fate.filter(col("fate") === "kept")
-      table.append(survivors
-        .select(col("doc_id"), col("digest"), col("source")).coalesce(4))
-      bands.append(bandRows(survivors).coalesce(4))
-      mv.refresh()
       fateLog.append(fate.select(col("doc_id"), col("source"), col("fate"))
-        .coalesce(4))
+        .coalesce(4), tag = tag)
+      table.append(survivors
+        .select(col("doc_id"), col("digest"), col("source")).coalesce(4),
+        tag = tag)
+      bands.append(bandRows(survivors).coalesce(4), tag = tag)
+      mv.refresh()
       fate.unpersist()
       ()
     }

@@ -630,8 +630,8 @@ object Streams {
       .writeStream
       .option("checkpointLocation",
         graft.Scratch.dir("graft_sdn_cp_").toString)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        Pipeline.ingestNearStep(st, b)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Pipeline.ingestNearStep(st, b, tag = s"sdn-$id")
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -419,4 +419,37 @@ class PipelineSpec extends SparkSpec {
           s"$src has a ${gaps.max}-position gap — bursty interleave")
     }
   }
+
+  test("ingestNearStep: a replayed tagged batch is exactly-once — fates and state unchanged") {
+    val body = "abcdefgh" * 8
+    val rows = Seq((0L, "web", body), (3L, "web", "A"),
+      (6L, "lit", body.substring(0, 60) + "XXXX"))
+      .toDF("doc_id", "source", "text")
+    val stride = greatest(expr("(length(text) + 7) div 8"), lit(1L))
+    val sigsCol = transform(sequence(lit(0L), lit(7L)), i =>
+      pmod(conv(substring(md5(col("text").substr(i * stride + lit(1L), stride)),
+        1, 15), 16, 10).cast("long"), lit(1000000007L)))
+    val d = rows.select(col("doc_id"), col("source"),
+      md5(col("text")).as("digest"), sigsCol.as("sigs"),
+      length(col("text")).cast("long").as("len"))
+    val st = Pipeline.nearDedupState(spark,
+      java.nio.file.Files.createTempDirectory("ingest_near_replay_"))
+    // batch 0 seeds the state; batch 1 carries the near-dup (the
+    // probe is cross-batch by design)
+    Pipeline.ingestNearStep(st, d.filter(col("doc_id") < 6L), tag = "sdn-0")
+    Pipeline.ingestNearStep(st, d.filter(col("doc_id") === 6L), tag = "sdn-1")
+    def snap() = (st.table.read().count(), st.bands.read().count(),
+      st.fateLog.read().collect().map(r =>
+        (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq,
+      st.table.currentVersion, st.bands.currentVersion,
+      st.fateLog.currentVersion)
+    val before = snap()
+    assert(before._3 === Seq((0L, "kept"), (3L, "kept"), (6L, "near_dup")))
+    // full replay of BOTH batches (checkpoint loss): every commit
+    // skips by tag; crucially the replayed batch-1 probe never re-runs
+    // against the advanced state — verdicts come from the fate log
+    Pipeline.ingestNearStep(st, d.filter(col("doc_id") < 6L), tag = "sdn-0")
+    Pipeline.ingestNearStep(st, d.filter(col("doc_id") === 6L), tag = "sdn-1")
+    assert(snap() === before, "replay mutated state or fates")
+  }
 }
