@@ -294,6 +294,66 @@ object Dedup {
       .limit(50)
   }
 
+  /** NEAR-DUP CONTAMINATION — the fuzzy half of benchmark hygiene:
+    * [[contamination]] catches verbatim 5-gram overlap, but an eval
+    * document lightly EDITED into the training corpus (the common
+    * web-scrape leak) shares almost no exact grams while being the
+    * same text. The stripe-signature machinery closes that: 8 md5
+    * stripes per doc, train docs probe the eval side by two-stripe
+    * band keys, candidates verify at mm_dedup_near's ≥6-of-8 bar
+    * (exact by pigeonhole — ≤2 mismatching stripes break at most 2 of
+    * the 4 bands, so the banded plan equals the plain ∃-rule the
+    * oracle replays). The eval side is tiny and FIXED regardless of
+    * corpus scale, so its band rows BROADCAST — the 100 TB train side
+    * streams through with zero shuffle, the exact-contamination scale
+    * doctrine. Near checks need ≥64 chars (shorter docs share empty
+    * tail stripes); a planted eval-twin slice (train doc_id%9 docs
+    * re-landed as eval ids ≡0 mod 10 with the last 4 chars rewritten)
+    * keeps the gate non-vacuous on a corpus with no natural
+    * cross-split near-pairs. */
+  def contaminationNear(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.spread(docs(s, dir))
+      .select(col("source"), explode(expr(
+        "CASE WHEN doc_id % 9 = 0 AND doc_id % 10 <> 0 " +
+          "AND length(text) >= 64 THEN array(" +
+          "struct(doc_id, text), " +
+          "struct(2000000L + doc_id * 10L AS doc_id, " +
+          "concat(substring(text, 1, length(text) - 4), 'XXXX') AS text)) " +
+          "ELSE array(struct(doc_id, text)) END")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("source"),
+        col("r.text").as("text"))
+    val stride = greatest(expr("(length(text) + 7) div 8"), lit(1L))
+    val sigsCol = transform(sequence(lit(0L), lit(7L)), i =>
+      pmod(conv(substring(md5(col("text").substr(i * stride + lit(1L),
+        stride)), 1, 15), 16, 10).cast("long"), lit(1000000007L)))
+    val sg = all.select(col("doc_id"), col("source"), sigsCol.as("sigs"),
+      length(col("text")).cast("long").as("len"))
+    def bandRows(df: DataFrame): DataFrame = df
+      .filter(col("len") >= 64L)
+      .select(col("doc_id"), col("sigs"), explode(expr(
+        "transform(sequence(0, 3), b -> " +
+          "struct(b AS band, sigs[b * 2] AS k1, sigs[b * 2 + 1] AS k2))"))
+        .as("bd"))
+      .select(col("bd.band").as("band"), col("bd.k1").as("k1"),
+        col("bd.k2").as("k2"), col("doc_id"), col("sigs"))
+    val train = sg.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val evalBands = bandRows(sg.filter(pmod(col("doc_id"), lit(10)) === 0))
+      .select(col("band"), col("k1"), col("k2"), col("sigs").as("ev_sigs"))
+    val flagged = bandRows(train)
+      .join(broadcast(evalBands), Seq("band", "k1", "k2"))
+      .filter(expr("aggregate(zip_with(sigs, ev_sigs, " +
+        "(x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v) >= 6"))
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1))
+    train.join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("hit") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_flagged"),
+        min(when(col("hit") === 1, col("doc_id"))).as("first_flagged"))
+      .orderBy(col("source"))
+  }
+
   /** Substring-dedup census (the window pass of "Deduplicating
     * Training Data Makes Language Models Better"-style pipelines):
     * every 10-word sliding window of every doc, counted across the
@@ -483,6 +543,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_clusters" -> (dedupClusters _),
     "contamination" -> (contamination _),
+    "contamination_near" -> (contaminationNear _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -635,6 +696,38 @@ object Dedup {
         |SELECT u AS doc_id, min(v) AS cluster_id,
         |  CAST(CASE WHEN u = min(v) THEN 1 ELSE 0 END AS INT) AS keep
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // the fuzzy-contamination replay: planted eval twins, 8-stripe
+    // signatures, the plain exists-eval-doc-with->=6-matching-stripes
+    // rule (the banded Spark plan equals it by pigeonhole)
+    "contamination_near" ->
+      """WITH pl AS (
+        |  SELECT 2000000 + doc_id * 10 AS doc_id, source,
+        |    substring(text, 1, length(text) - 4) || 'XXXX' AS text
+        |  FROM documents
+        |  WHERE doc_id % 9 = 0 AND doc_id % 10 <> 0 AND length(text) >= 64),
+        |alld AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id, source, text FROM pl),
+        |sg AS (
+        |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len,
+        |    list_transform(range(0, 8), i ->
+        |      ('0x' || substr(md5(substring(text,
+        |          CAST(i * greatest((length(text) + 7) // 8, 1) + 1 AS BIGINT),
+        |          greatest((length(text) + 7) // 8, 1))), 1, 15))::BIGINT
+        |        % 1000000007) AS sigs
+        |  FROM alld),
+        |tr AS (SELECT * FROM sg WHERE doc_id % 10 <> 0),
+        |ev AS (SELECT * FROM sg WHERE doc_id % 10 = 0),
+        |fl AS (SELECT DISTINCT t.doc_id FROM tr t JOIN ev e
+        |  ON t.len >= 64 AND e.len >= 64
+        |  AND list_sum(list_transform(range(1, 9),
+        |    i -> CASE WHEN t.sigs[i] = e.sigs[i] THEN 1 ELSE 0 END)) >= 6)
+        |SELECT tr.source, count(*) AS n_train,
+        |  CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  min(fl.doc_id) AS first_flagged
+        |FROM tr LEFT JOIN fl ON fl.doc_id = tr.doc_id
+        |GROUP BY tr.source ORDER BY tr.source""".stripMargin,
     // Gram identity is by 8-byte hash on the Spark side and by string
     // on the DuckDB side — equivalent counts absent a 64-bit collision
     // (the same equivalence dedup_ngram's green hash already rests on).
