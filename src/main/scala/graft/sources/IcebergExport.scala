@@ -2602,29 +2602,34 @@ object IcebergRead {
         }
         if (needSeq) out = out.drop("_ice_seq")
       }
-      // ROW LINEAGE: file-level (first_row_id, data sequence) join
-      // keyed on the normalized file path — a row's `_row_id` is its
-      // file's first_row_id plus its position, which survives the
+      // ROW LINEAGE — the spec's uniform read rule: a row's `_row_id`
+      // is the file's MATERIALIZED value when stored (a rewriting
+      // writer preserves surviving rows' ids explicitly — this
+      // reader's scan schema includes the reserved columns, so
+      // non-materialized files read them as null), else the entry's
+      // first_row_id plus the row's position. Positions survive the
       // delete anti-joins above because `_metadata.row_index` is the
       // PHYSICAL position (deleted rows leave id gaps, as the spec
-      // requires). Files without recorded lineage read null.
+      // requires). `_last_updated_sequence_number` likewise: stored
+      // value, else inherited from the entry's data sequence. Files
+      // without recorded lineage (v1/v2 metadata) read null.
       if (withLineage) {
         val sess = spark
         import sess.implicits._
         val lrows = m.entries.flatMap(e =>
           e.firstRowId.map(fr => (plainP(e.path), fr, e.seq)))
-        out =
-          if (lrows.isEmpty)
-            out.withColumn("_row_id", lit(null).cast(LongType))
-              .withColumn("_last_updated_sequence_number",
-                lit(null).cast(LongType))
-          else out.join(
+        if (lrows.nonEmpty)
+          out = out.join(
               org.apache.spark.sql.functions.broadcast(
                 lrows.toDF("_ice_f", "_g_frid", "_g_seq")),
               Seq("_ice_f"), "left")
-            .withColumn("_row_id", col("_g_frid") + col("_ice_p"))
-            .withColumn("_last_updated_sequence_number", col("_g_seq"))
+            .withColumn("_row_id", coalesce(col("_row_id"),
+              col("_g_frid") + col("_ice_p")))
+            .withColumn("_last_updated_sequence_number",
+              coalesce(col("_last_updated_sequence_number"),
+                col("_g_seq")))
             .drop("_g_frid", "_g_seq")
+        // lrows empty: the scanned (stored-or-null) columns stand
       }
       out.drop("_ice_f", "_ice_p")
     }
@@ -2645,8 +2650,15 @@ object IcebergRead {
       absentOf(e.path)))
     groups.map { case ((specId, pvals, absent), es) =>
       val identity = identityOf(specId)
+      // withLineage: the reserved lineage columns join the scan
+      // schema so MATERIALIZED per-row ids read straight from the
+      // files (explicit schema — files lacking them read null and
+      // fall back to entry-level inheritance in applyDeletes)
+      val scanSchema =
+        if (!withLineage) physSchemaOf(identity)
+        else StructType(physSchemaOf(identity).fields ++ lineageFields)
       val base = applyDeletes(
-        spark.read.schema(physSchemaOf(identity)).parquet(es.map(_.path): _*),
+        spark.read.schema(scanSchema).parquet(es.map(_.path): _*),
         groupPaths = es.map(_.path))
       val cols: Seq[Column] = schema.fields.toSeq.map { f =>
         identity.find(_.column == f.name) match {
@@ -3151,20 +3163,22 @@ object IcebergImport {
         EqDeleteFile(plain(d.path), Files.size(Paths.get(plain(d.path))),
           cols, d.rows, d.seq)
       }
+    // the watermark: the source metadata's next-row-id when
+    // recorded; otherwise (entries carry lineage but the root lacks
+    // the counter — a non-conformant writer) the exact supremum of
+    // the adopted ranges, which fresh assignment may resume from.
+    // It rides the adoption commit ATOMICALLY: a crash can never
+    // leave adopted files without the watermark (which would let a
+    // later current-snapshot v3 export start nextRowId at 0 and
+    // overlap an adopted range).
+    val lineageProps =
+      if (!adoptLineage) Map.empty[String, String]
+      else Map(LogTable.NextRowIdProp -> m.nextRowId.getOrElse(
+        files.map(f => f.firstRowId.get + f.rows).foldLeft(0L)(math.max))
+        .toString)
     dest.commitAdoption("import", s"iceberg-import-of-$src",
       schema.json, specCols.flatMap(_.partCol), specCols.flatMap(_.transform),
-      files, deletes, eqDeletes)
-    if (adoptLineage) {
-      // the watermark: the source metadata's next-row-id when
-      // recorded; otherwise (entries carry lineage but the root lacks
-      // the counter — a non-conformant writer) the exact supremum of
-      // the adopted ranges, which fresh assignment may resume from
-      val adoptedNext = m.nextRowId.getOrElse(
-        files.map(f => f.firstRowId.get + f.rows).foldLeft(0L)(math.max))
-      dest.setProperties(
-        Map(LogTable.NextRowIdProp -> adoptedNext.toString))
-      ()
-    }
+      files, deletes, eqDeletes, props = lineageProps)
     // foreign Puffin NDV statistics (when recorded for this snapshot)
     // adopt into the manifest — CBO on the imported table starts
     // informed, mirroring the column-bounds adoption above

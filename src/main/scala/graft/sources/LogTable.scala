@@ -57,7 +57,23 @@ final case class DataFile(path: String, rows: Long, bytes: Long,
       * exact `_row_id` continuity the source served — graft's v3
       * export re-serves these ids verbatim instead of re-deriving
       * from its own version order. */
-    firstRowId: Option[Long] = None)
+    firstRowId: Option[Long] = None,
+    /** MATERIALIZED ROW LINEAGE (set by the rewrite paths): this file
+      * physically stores `_row_id` / `_last_updated_sequence_number`
+      * columns (under the Iceberg-reserved parquet field ids), per
+      * the v3 spec's rewrite rule — a compaction/COW rewrite of
+      * lineage-carrying inputs writes every surviving row's id
+      * EXPLICITLY so the next v3 export serves identical ids instead
+      * of silently re-deriving them from file positions. A null
+      * stored `_row_id` means "not yet assigned" (a merge-inserted
+      * row); it inherits `first_row_id + pos` at export, the spec's
+      * uniform read rule. */
+    matLineage: Boolean = false) {
+  /** This file participates in v3 row lineage — either adopted
+    * (inheritance-based: `firstRowId + position`) or materialized
+    * (explicit per-row ids stored in the file). */
+  def hasLineage: Boolean = firstRowId.isDefined || matLineage
+}
 
 /** One immutable MANIFEST SEGMENT of a snapshot's file list (the
   * two-level manifest shape — Iceberg's manifest-list + manifest-file
@@ -830,6 +846,39 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** BUCKET-SET read for probe joins (the continuous-ingest band
+    * index's pruning lever): on a table laid out by a bucket
+    * transform over `column`, open ONLY the files whose bucket
+    * directory value is in `bucketIds` — an arriving batch's own
+    * bucket footprint, so a probe's I/O scales with the BATCH, not
+    * with the index it probes. No residual filter: callers JOIN on
+    * the key (the join is the exact filter); files without a
+    * recorded bucket value are conservatively included. On a table
+    * without a bucket layout this degrades to a full read (pruning
+    * is a layout property, never a correctness one). */
+  def readBuckets(column: String, bucketIds: Set[Long]): DataFrame = {
+    val snap = snapshot()
+    val keep = prunedForBuckets(snap, column, bucketIds)
+    if (keep.isEmpty) emptyLike() else readLive(snap, keep)
+  }
+
+  /** Files a bucket-set probe must open — exposed so specs can assert
+    * the pruning actually bounded the I/O. */
+  def filesForBuckets(column: String, bucketIds: Set[Long]): Seq[DataFile] =
+    prunedForBuckets(snapshot(), column, bucketIds)
+
+  private def prunedForBuckets(snap: Snapshot, column: String,
+      bucketIds: Set[Long]): Seq[DataFile] = {
+    val buckets = hiddenBy.filter(t =>
+      !t.monotonic && t.source.equalsIgnoreCase(column))
+    snap.files.filter(f => buckets.forall { t =>
+      f.partitions.get(t.colName) match {
+        case Some(v) => v.toLongOption.forall(bucketIds.contains)
+        case None => true
+      }
+    })
+  }
+
   /** [[readRange]] for STRING columns: rows with `column` in the
     * CLOSED lexical interval [lo, hi], opening only files whose
     * manifest string bounds overlap it. A dictionary-ish log column
@@ -1070,7 +1119,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * straight from the scan's `_metadata` column (the join axes of
     * position deletes, and the file-discovery tag of the COW paths). */
   private def readFiles(files: Seq[DataFile], schemaJson: String = "",
-      withPos: Boolean = false): DataFrame = {
+      withPos: Boolean = false,
+      /** Extra PHYSICAL columns to surface from the files beyond the
+        * table schema — the materialized row-lineage columns of the
+        * rewrite read path. Explicit-schema scans only: files lacking
+        * a requested column read it as null (the same add-column
+        * evolution contract the schema'd scan already relies on). */
+      extraPhys: Seq[org.apache.spark.sql.types.StructField] = Nil): DataFrame = {
+    require(extraPhys.isEmpty || schemaJson.nonEmpty,
+      "physical extra columns need an explicit snapshot schema")
     // PARTITION-SPEC EVOLUTION: files written under different specs
     // have different directory shapes (a file from before `evolveSpec`
     // may sit at data/ while newer ones sit under k=v/ dirs) — Spark's
@@ -1087,17 +1144,18 @@ final class LogTable private (val spark: SparkSession, val root: String,
     if (layouts.size > 1)
       return layouts.toSeq.sortBy(_._2.head.path)
         .map { case ((_, base), g) =>
-          readFilesUniform(g, schemaJson, withPos, base) }
+          readFilesUniform(g, schemaJson, withPos, base, extraPhys) }
         // schema'd groups project identical columns; the legacy
         // footer-merge path may not — null-fill rather than fail
         .reduce(_.unionByName(_, allowMissingColumns = true))
     readFilesUniform(files, schemaJson, withPos,
       layouts.keysIterator.nextOption().map(_._2)
-        .getOrElse(dataDir.toString))
+        .getOrElse(dataDir.toString), extraPhys)
   }
 
   private def readFilesUniform(files: Seq[DataFile], schemaJson: String,
-      withPos: Boolean, basePath: String): DataFrame = {
+      withPos: Boolean, basePath: String,
+      extraPhys: Seq[org.apache.spark.sql.types.StructField] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col}
     def posCols: Seq[org.apache.spark.sql.Column] =
       if (!withPos) Nil
@@ -1114,7 +1172,9 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val schema = LogTable.parseSchema(schemaJson)
     if (schema.forall(f => LogTable.prevNames(f).isEmpty &&
         !LogTable.hasNestedRenames(f.dataType))) {
-      val fast = r.schema(schema).parquet(files.map(_.path): _*)
+      val fast = r.schema(org.apache.spark.sql.types.StructType(
+          schema.fields ++ extraPhys))
+        .parquet(files.map(_.path): _*)
       // defensive: if partition discovery surfaces hidden keys anyway,
       // project them out — they are layout, not data
       val keep = fast.columns.filterNot(_.startsWith("_p_"))
@@ -1134,7 +1194,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       val pdt = LogTable.physicalType(f.dataType)
       f.copy(dataType = pdt) +:
         LogTable.prevNames(f).map(p => StructField(p, pdt, nullable = true))
-    })
+    } ++ extraPhys)
     r.schema(phys).parquet(files.map(_.path): _*)
       .select(schema.map { f =>
         val names = f.name +: LogTable.prevNames(f)
@@ -1142,7 +1202,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
           if (names.size == 1) col(f.name)
           else coalesce(names.map(col): _*)
         LogTable.renameFixCol(base, f.dataType).as(f.name, f.metadata)
-      } ++ posCols: _*)
+      } ++ extraPhys.map(f => col(f.name)) ++ posCols: _*)
   }
 
   /** Snapshot-scoped DELETE-AWARE read of `files` (any subset of
@@ -1174,15 +1234,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * discovery paths and the MoR delete writer share: both must see
     * post-delete rows (or they would resurrect MoR-deleted rows), and
     * both need to know where every surviving row lives. */
-  private def readLivePos(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
+  private def readLivePos(snap: Snapshot, files: Seq[DataFile],
+      extraPhys: Seq[org.apache.spark.sql.types.StructField] = Nil): DataFrame = {
     val refd = files.map(_.path).toSet & snap.deletes.flatMap(_.refPaths).toSet
     val (dirty, clean) = files.partition(f => refd.contains(f.path))
     val parts = Seq(
       if (dirty.isEmpty) None
       else Some(antiJoinDeletes(snap,
-        readFiles(dirty, snap.schemaJson, withPos = true), refd)),
+        readFiles(dirty, snap.schemaJson, withPos = true, extraPhys), refd)),
       if (clean.isEmpty) None
-      else Some(readFiles(clean, snap.schemaJson, withPos = true))).flatten
+      else Some(readFiles(clean, snap.schemaJson, withPos = true,
+        extraPhys))).flatten
     applyEqDeletes(snap, parts.reduce(_ unionByName _), files)
   }
 
@@ -1229,6 +1291,59 @@ final class LogTable private (val spark: SparkSession, val root: String,
   private def readLiveTagged(snap: Snapshot, files: Seq[DataFile]): DataFrame =
     readLivePos(snap, files).drop(LogTable.PosCol)
       .withColumnRenamed(LogTable.FileCol, "_file")
+
+  /** The REWRITE paths' delete-aware read (compact / recluster / COW
+    * delete-update-merge): identical to [[readLive]] — UNLESS an
+    * input file carries v3 row lineage, in which case the frame
+    * additionally carries each surviving row's stable `_row_id` and
+    * `_last_updated_sequence_number`, computed by the spec's uniform
+    * rule: the file's MATERIALIZED value when stored (a prior rewrite
+    * wrote it explicitly), else `first_row_id + position` /
+    * the file's data sequence (inheritance). [[writeDataFiles]]
+    * recognizes the two columns and stores them physically under the
+    * Iceberg-reserved field ids, so the rewrite output keeps serving
+    * identical ids on the next v3 export — the spec's rewrite rule
+    * (Iceberg table spec, "Row Lineage": rewritten data files must
+    * preserve `_row_id`; the reference's Iceberg tables — README.md:
+    * 26-29, 197-211 — are exactly the kind a migration adopts and
+    * then has to keep compacting). Positions come from
+    * the delete-aware scan, so MoR-deleted rows leave id gaps exactly
+    * as the spec requires. `keepFile` retains [[LogTable.FileCol]]
+    * for callers that route rows by source file (compact's binned
+    * shuffle). */
+  private def readLiveRw(snap: Snapshot, files: Seq[DataFile],
+      keepFile: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, regexp_replace}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (!files.exists(_.hasLineage))
+      return if (!keepFile) readLive(snap, files)
+        else readLivePos(snap, files).drop(LogTable.PosCol)
+    val lower = schemaOf(snap).fieldNames.map(_.toLowerCase).toSet
+    require(!lower.contains(LogTable.RowIdCol) &&
+        !lower.contains(LogTable.LuSeqCol),
+      s"cannot carry row lineage through a rewrite: the table schema " +
+        s"itself has a ${LogTable.RowIdCol}/${LogTable.LuSeqCol} column " +
+        "(Iceberg reserves those names for lineage metadata)")
+    val extra = Seq(StructField(LogTable.RowIdCol, LongType),
+      StructField(LogTable.LuSeqCol, LongType))
+    val sess = spark
+    import sess.implicits._
+    // (path → adopted first_row_id, data sequence): a tiny broadcast,
+    // one row per input FILE — never a per-row structure
+    val m = broadcast(files.map(f =>
+        (f.path, f.firstRowId.map(Long.box).orNull, f.seq))
+      .toDF("_g_lpath", "_g_lfrid", "_g_lseq"))
+    val out = readLivePos(snap, files, extra)
+      .withColumn("_g_lpath", regexp_replace(col(LogTable.FileCol),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      .join(m, Seq("_g_lpath"), "left")
+      .withColumn(LogTable.RowIdCol, coalesce(col(LogTable.RowIdCol),
+        col("_g_lfrid") + col(LogTable.PosCol)))
+      .withColumn(LogTable.LuSeqCol, coalesce(col(LogTable.LuSeqCol),
+        col("_g_lseq")))
+      .drop("_g_lpath", "_g_lfrid", "_g_lseq", LogTable.PosCol)
+    if (keepFile) out else out.drop(LogTable.FileCol)
+  }
 
   /** Anti-join `df` (carrying FileCol/PosCol) against the snapshot's
     * delete files that reference any path in `refd`. */
@@ -2624,10 +2739,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
   private def commitOrCleanup(rewritten: Seq[DataFile], operation: String,
       nextSchema: Snapshot => String = _.schemaJson,
       tag: String = "",
-      cdcFiles: Seq[CdcFile] = Nil)(
+      cdcFiles: Seq[CdcFile] = Nil,
+      nextProps: Snapshot => Map[String, String] = _.props)(
       nextFiles: Snapshot => Seq[DataFile]): Snapshot =
     try commit(operation, tag = tag, nextSchema = nextSchema,
-        cdcFiles = cdcFiles)(nextFiles)
+        cdcFiles = cdcFiles, nextProps = nextProps)(nextFiles)
     catch {
       case e @ LogTable.StaleSourceFiles =>
         rewritten.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
@@ -2665,6 +2781,25 @@ final class LogTable private (val spark: SparkSession, val root: String,
       rewritten: Seq[DataFile], operation: String,
       scanned: Snapshot,
       scanFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Snapshot = {
+    // ROW-LINEAGE GUARD (DSv2 only): the replacement rows came out of
+    // Spark's own ReplaceData job, which cannot thread per-row
+    // `_row_id` through — committing it would silently re-id the
+    // surviving rows of a lineage-carrying file on the next v3
+    // export. The Scala COW surfaces (delete/update/merge) DO carry
+    // lineage through rewrites ([[readLiveRw]]); route lineage
+    // tables there, or deliberately sever continuity with
+    // [[dropLineage]] first.
+    locally {
+      val n = scanned.files.count(f =>
+        removed.contains(f.path) && f.hasLineage)
+      require(n == 0,
+        s"catalog-SQL $operation would rewrite $n data file(s) " +
+          "carrying v3 row lineage without preserving their row ids " +
+          "(Spark's ReplaceData job cannot thread _row_id). Use the " +
+          "Scala COW surfaces (LogTable.delete/update/merge — they " +
+          "materialize lineage through rewrites), the MOR surfaces, " +
+          "or dropLineage() to explicitly discard the continuity")
+    }
     enforceChecksOnWritten(rewritten, scanned.checks, "the rewritten rows",
       scanned.schemaJson)
     // CDC change files (opt-in): the catalog-SQL row-level ops have no
@@ -2798,7 +2933,6 @@ final class LogTable private (val spark: SparkSession, val root: String,
       b.size >= 2 || b.exists(f => refd.contains(f.path)))
     if (rewriteBins.isEmpty) return snap
     val small2: Seq[DataFile] = rewriteBins.flatten
-    requireNoAdoptedLineage(small2, "compact")
     // ONE job for MANY bins: a per-bin write loop is O(bins)
     // SEQUENTIAL Spark jobs — on a 100 TB table a small-file sweep
     // serializes thousands of single-task rounds through the driver.
@@ -2817,7 +2951,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val rewritten =
       if (rewriteBins.size <= 2)
         rewriteBins.flatMap { bin =>
-          writeDataFiles(readLive(snap, bin.toSeq).coalesce(1),
+          writeDataFiles(readLiveRw(snap, bin.toSeq).coalesce(1),
             blooms = Some(snap.bloomCols), sort = Some(snap.sortCols), props = Some(snap.props))
         }
       else {
@@ -2826,7 +2960,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
         val binMap = broadcast(rewriteBins.zipWithIndex.flatMap { case (b, i) =>
           b.map(f => (f.path, i))
         }.toDF("_graft_path", "_graft_bin"))
-        val routed = readLivePos(snap, small2).drop(LogTable.PosCol)
+        val routed = readLiveRw(snap, small2, keepFile = true)
           .withColumn("_graft_path", regexp_replace(col(LogTable.FileCol),
             "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
           .join(binMap, Seq("_graft_path"))
@@ -2918,13 +3052,15 @@ final class LogTable private (val spark: SparkSession, val root: String,
       .collect().map(r => LogTable.localPath(r.getString(0))).toSet
     if (hit.isEmpty) return snap
     val affected = snap.files.filter(f => hit.contains(f.path))
-    requireNoAdoptedLineage(affected, "COW delete")
     // SQL DELETE semantics: remove ONLY condition=TRUE rows. A bare
     // filter(!condition) would also drop rows where the predicate is
     // NULL (three-valued logic), silently destroying them. The source
     // read is delete-aware: rewriting an affected file FOLDS any of
     // its outstanding position deletes in (never resurrects them).
-    val keepRows = readLive(snap, affected).filter(
+    // Lineage-carrying inputs thread each survivor's `_row_id`
+    // through the rewrite ([[readLiveRw]]) — deleted rows leave id
+    // gaps, surviving rows keep theirs, exactly the v3 spec rule.
+    val keepRows = readLiveRw(snap, affected).filter(
       !org.apache.spark.sql.functions.coalesce(
         condition, org.apache.spark.sql.functions.lit(false)))
     // CDC change files (opt-in): the deleted rows' pre-images ride the
@@ -3516,14 +3652,23 @@ final class LogTable private (val spark: SparkSession, val root: String,
       .collect().map(r => LogTable.localPath(r.getString(0))).toSet
     if (hit.isEmpty) return snap
     val affected = snap.files.filter(f => hit.contains(f.path))
-    requireNoAdoptedLineage(affected, "COW update")
     // delete-aware: rewriting an affected file folds its outstanding
-    // position deletes in instead of resurrecting the marked rows
-    val src = readLive(snap, affected)
+    // position deletes in instead of resurrecting the marked rows.
+    // Lineage-carrying inputs: every row KEEPS its `_row_id` through
+    // the update (the CDC-reconciliation property lineage exists
+    // for); an UPDATED row's `_last_updated_sequence_number` resets
+    // to null so it re-inherits THIS commit's sequence — the spec's
+    // update rule. SET cannot name the lineage columns (set keys
+    // validate against the table schema above, which never holds
+    // them).
+    val src = readLiveRw(snap, affected)
     val cols = src.columns.toSeq
     val cond = coalesce(condition, lit(false))
     val rewrittenRows = src.select(cols.map { c =>
-      sets.get(c) match {
+      if (c == LogTable.LuSeqCol)
+        when(cond, lit(null).cast(org.apache.spark.sql.types.LongType))
+          .otherwise(col(c)).as(c)
+      else sets.get(c) match {
         case Some(e) =>
           when(cond, e.cast(src.schema(c).dataType)).otherwise(col(c)).as(c)
         case None => col(c)
@@ -3531,13 +3676,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }: _*)
     // CDC change files (opt-in): matched rows' old values as
     // pre-images ('delete') and their SET-applied twins as post-images
-    // ('insert') — the standard update = delete + insert encoding
+    // ('insert') — the standard update = delete + insert encoding.
+    // Lineage metadata never enters the change feed (CDC replays DATA).
     val cdcFiles =
       if (!cdcEnabled(snap)) Nil
       else {
         val hitRows = src.filter(cond)
+          .drop(LogTable.RowIdCol, LogTable.LuSeqCol)
+        val dataCols = cols.filterNot(c =>
+          c == LogTable.RowIdCol || c == LogTable.LuSeqCol)
         writeCdcFiles(hitRows, "delete") ++
-          writeCdcFiles(hitRows.select(cols.map { c =>
+          writeCdcFiles(hitRows.select(dataCols.map { c =>
             sets.get(c) match {
               case Some(e) => e.cast(src.schema(c).dataType).as(c)
               case None => col(c)
@@ -3688,7 +3837,16 @@ final class LogTable private (val spark: SparkSession, val root: String,
           .collect().map(r => LogTable.localPath(r.getString(0))).toSet
     }
     val affected = snap.files.filter(f => hit.contains(f.path))
-    requireNoAdoptedLineage(affected, "COW merge")
+    // lineage-carrying targets thread `_row_id` through the rewrite
+    // (updated rows KEEP their id — the spec's update rule; inserted
+    // rows carry null and take fresh ids at the next v3 export), so
+    // the source frame must not collide with the reserved names
+    if (affected.exists(_.hasLineage))
+      require(!updates.columns.exists(c => c == LogTable.RowIdCol ||
+          c == LogTable.LuSeqCol),
+        s"merge source cannot carry a ${LogTable.RowIdCol}/" +
+          s"${LogTable.LuSeqCol} column into a row-lineage table " +
+          "(Iceberg reserves those names for lineage metadata)")
     // The documented "keys unique in updates" contract is ENFORCED, not
     // trusted: a duplicate source key would fan the left join out and
     // silently duplicate target rows (Iceberg raises for the same
@@ -3713,7 +3871,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       if (affected.isEmpty)
         (spark.emptyDataFrame, Option.empty[DataFrame], Option.empty[DataFrame])
       else {
-        val src = readLive(snap, affected)
+        val src = readLiveRw(snap, affected)
         val cols = src.columns.toSeq
         require(!cols.contains("_matched") && !cols.exists(_.startsWith("src_")),
           "merge cannot target tables with a _matched or src_-prefixed column " +
@@ -3763,7 +3921,12 @@ final class LogTable private (val spark: SparkSession, val root: String,
             val sets = setsRaw.map { case (k, v) => k.toLowerCase -> v }
             joined.filter(doUpdate)
               .select(cols.map { c =>
-                sets.get(c.toLowerCase) match {
+                // updated rows keep `_row_id` (default col(c) below —
+                // SET cannot name it) but re-inherit this commit's
+                // sequence for `_last_updated_sequence_number`
+                if (c == LogTable.LuSeqCol)
+                  lit(null).cast(org.apache.spark.sql.types.LongType).as(c)
+                else sets.get(c.toLowerCase) match {
                   case Some(e) => e.cast(src.schema(c).dataType).as(c)
                   case None => col(c)
                 }
@@ -3776,7 +3939,13 @@ final class LogTable private (val spark: SparkSession, val root: String,
             // typed nulls in the updated row.
             joined.filter(doUpdate)
               .select(cols.map { c =>
-                if (c == key) col(c)
+                // whole-row replace preserves the target's `_row_id`
+                // (a replaced row is still the same row) and
+                // re-inherits the sequence
+                if (c == LogTable.RowIdCol) col(c)
+                else if (c == LogTable.LuSeqCol)
+                  lit(null).cast(org.apache.spark.sql.types.LongType).as(c)
+                else if (c == key) col(c)
                 else if (updCols.contains(c.toLowerCase)) col(s"src_$c").as(c)
                 else lit(null).cast(src.schema(c).dataType).as(c)
               } ++ newCols.map(f => col(s"src_${f.name}").as(f.name)): _*)
@@ -3815,8 +3984,10 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // CDC reader across this otherwise-opaque mixed rewrite
     val cdcFiles =
       if (!cdcEnabled(snap)) Nil
-      else cdcPre.toSeq.flatMap(writeCdcFiles(_, "delete")) ++
-        cdcPost.toSeq.flatMap(writeCdcFiles(_, "insert")) ++
+      else cdcPre.toSeq.flatMap(p => writeCdcFiles(
+          p.drop(LogTable.RowIdCol, LogTable.LuSeqCol), "delete")) ++
+        cdcPost.toSeq.flatMap(p => writeCdcFiles(
+          p.drop(LogTable.RowIdCol, LogTable.LuSeqCol), "insert")) ++
         writeCdcFiles(insertRows, "insert")
     val rewritten =
       (if (affected.isEmpty) Seq.empty
@@ -3873,9 +4044,8 @@ final class LogTable private (val spark: SparkSession, val root: String,
       if (snap.files.isEmpty) snap
       else {
         import org.apache.spark.sql.functions.col
-        requireNoAdoptedLineage(snap.files, "recluster")
         val rewritten = writeDataFiles(
-          readLive(snap, snap.files)
+          readLiveRw(snap, snap.files)
             .repartitionByRange(nFiles, col(column))
             .sortWithinPartitions(column),
           blooms = Some(snap.bloomCols), sort = Some(Nil),
@@ -3923,7 +4093,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
       if (snap.files.isEmpty) snap
       else {
         import org.apache.spark.sql.functions.{col, max, min}
-        val df = readLive(snap, snap.files)
+        val df = readLiveRw(snap, snap.files)
         cols.foreach { c =>
           val f = df.schema.fields.find(_.name.equalsIgnoreCase(c))
           require(f.nonEmpty, s"no such column '$c'")
@@ -3944,7 +4114,6 @@ final class LogTable private (val spark: SparkSession, val root: String,
           LogTable.normBits(col(c), b.getLong(2 * i), b.getLong(2 * i + 1),
             bits)
         })
-        requireNoAdoptedLineage(snap.files, "recluster")
         val rewritten = writeDataFiles(
           df.withColumn("_z", z)
             .repartitionByRange(nFiles, col("_z"))
@@ -4107,47 +4276,65 @@ final class LogTable private (val spark: SparkSession, val root: String,
       schemaJson: String, partCols: Seq[String],
       transforms: Seq[Transform], files: Seq[DataFile],
       deletes: Seq[DeleteFile] = Nil,
-      eqDeletes: Seq[EqDeleteFile] = Nil): Snapshot = {
+      eqDeletes: Seq[EqDeleteFile] = Nil,
+      /** Table properties riding the adoption commit ATOMICALLY —
+        * importTable's next-row-id watermark lands here, never as a
+        * follow-up commit (a crash between the two would leave
+        * adopted files without the watermark, and a later v3 export
+        * could assign a fresh file an id range overlapping an
+        * adopted one). */
+      props: Map[String, String] = Map.empty): Snapshot = {
     require(currentVersion == 0L,
       s"adoption destination $root already has commits")
     commit(operation, tag = tag, nextSchema = _ => schemaJson,
       nextSpec = Some((partCols, transforms)),
       nextDeletes = _ => deletes,
-      nextEqDeletes = _ => eqDeletes)(_ => files)
+      nextEqDeletes = _ => eqDeletes,
+      nextProps = prev => prev.props ++ props)(_ => files)
   }
 
-  /** ADOPTED-LINEAGE REWRITE GUARD: compact/recluster/COW
-    * delete/update/merge REFUSE when an input file carries adopted v3
-    * row lineage ([[DataFile.firstRowId]]) — the spec requires
-    * rewrites to carry row ids forward, and graft's writer does not
-    * yet materialize them, so surviving rows would silently re-id on
-    * the next v3 export (exactly the corruption importTable's
-    * adoption exists to prevent). Every DML and maintenance need has
-    * a MOR surface that never rewrites lineage files
-    * (deleteMor/mergeMor/upsertEq); [[dropLineage]] is the explicit,
-    * audited escape hatch. */
-  private def requireNoAdoptedLineage(inputs: Seq[DataFile],
-      op: String): Unit = {
-    val n = inputs.count(_.firstRowId.isDefined)
-    require(n == 0,
-      s"$op would rewrite $n data file(s) carrying adopted v3 row " +
-        "lineage; surviving rows would be re-assigned _row_id on the " +
-        "next v3 export. Use the MOR surfaces (deleteMor/mergeMor/" +
-        "upsertEq) — they never rewrite lineage files — or call " +
-        "dropLineage() first to explicitly discard the adopted " +
-        "continuity (an audited commit)")
+  /** Explicitly DISCARD v3 row lineage — per-file first_row_id,
+    * materialized-lineage flags and the next-row-id watermark — as an
+    * audited `drop-lineage` commit. Afterwards v3 exports assign
+    * fresh ids from graft's own version order, exactly as for a
+    * native table. NOT needed for maintenance (compact/recluster/COW
+    * DML all carry lineage through rewrites via [[readLiveRw]]) —
+    * this is the deliberate "sever the imported continuity" tool.
+    *
+    * Files that carry MATERIALIZED lineage columns must be
+    * physically rewritten (a spec reader resolves the stored
+    * `_row_id` by its reserved field id regardless of graft
+    * metadata — a stale stored id next to a fresh export assignment
+    * would serve DUPLICATE ids), so those files — and only those —
+    * are re-written without the columns before the metadata commit.
+    * Pure-adopted files (inheritance only, nothing stored) stay
+    * untouched: for them the drop is metadata-only, as before. */
+  def dropLineage(): Snapshot = withStaleRetry { () =>
+    val snap = snapshot()
+    val mat = snap.files.filter(_.matLineage)
+    val scrub = (fs: Seq[DataFile]) =>
+      fs.map(_.copy(firstRowId = None, matLineage = false))
+    if (mat.isEmpty)
+      commit("drop-lineage",
+        nextProps = prev => prev.props - LogTable.NextRowIdProp)(p =>
+        scrub(p.files))
+    else {
+      // plain delete-aware read never surfaces the stored lineage
+      // columns, so the rewrite output is physically clean
+      val rewritten = writeDataFiles(readLive(snap, mat),
+        blooms = Some(snap.bloomCols), sort = Some(snap.sortCols),
+        props = Some(snap.props))
+      commitOrCleanup(rewritten, "drop-lineage",
+          nextProps = prev => prev.props - LogTable.NextRowIdProp) { prev =>
+        val replaced = mat.map(_.path).toSet
+        val prevPaths = prev.files.map(_.path).toSet
+        if (!replaced.forall(prevPaths.contains)) throw LogTable.StaleSourceFiles
+        assertNoLateDeletesOn(snap, prev, replaced)
+        scrub(prev.files.filterNot(f => replaced.contains(f.path))) ++
+          rewritten
+      }
+    }
   }
-
-  /** Explicitly DISCARD adopted v3 row lineage — per-file
-    * first_row_id and the next-row-id watermark — as an audited
-    * `drop-lineage` commit (the escape hatch the rewrite guard points
-    * at). Afterwards v3 exports assign fresh ids from graft's own
-    * version order, exactly as for a native table. Row-preserving:
-    * data files are untouched, only manifest metadata changes. */
-  def dropLineage(): Snapshot =
-    commit("drop-lineage",
-      nextProps = prev => prev.props - LogTable.NextRowIdProp)(
-      _.files.map(_.copy(firstRowId = None)))
 
   /** Roll the table back to a prior snapshot's file list as a NEW
     * commit — history stays intact, readers atomically flip. */
@@ -4323,6 +4510,25 @@ final class LogTable private (val spark: SparkSession, val root: String,
       sort: Option[Seq[String]] = None,
       props: Option[Map[String, String]] = None): Seq[DataFile] = {
     LogTable.ensureMicrosTimestamps(df.sparkSession)
+    // MATERIALIZED ROW LINEAGE (see [[readLiveRw]]): when the rewrite
+    // frame carries the lineage columns, store them physically under
+    // the Iceberg-reserved parquet field ids (Spark's writer emits a
+    // field id for any column whose metadata declares one) so a
+    // v3-native foreign reader resolves `_row_id` by id straight from
+    // the data file — the spec's materialized-lineage layout. The
+    // columns never enter the table schema; graft's own explicit-
+    // schema scans don't project them.
+    val matLineage = df.columns.contains(LogTable.RowIdCol)
+    val dfL = if (!matLineage) df else {
+      def fid(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+      df.withColumn(LogTable.RowIdCol,
+          df(LogTable.RowIdCol).as(LogTable.RowIdCol,
+            fid(LogTable.RowIdFieldId)))
+        .withColumn(LogTable.LuSeqCol,
+          df(LogTable.LuSeqCol).as(LogTable.LuSeqCol,
+            fid(LogTable.LuSeqFieldId)))
+    }
     val stage = rootPath.resolve(s"stage-${UUID.randomUUID()}")
     // hidden transforms: derive the layout keys from row data — every
     // write path (append, compact, recluster, COW rewrites) re-derives
@@ -4341,7 +4547,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }
     val laid = hiddenBy.filter(t =>
         df.columns.exists(_.equalsIgnoreCase(t.source)))
-      .foldLeft(df)((d, t) => d.withColumn(t.colName, t.columnFor(
+      .foldLeft(dfL)((d, t) => d.withColumn(t.colName, t.columnFor(
         df.schema.fields.find(_.name.equalsIgnoreCase(t.source)).get.dataType)))
     val partCols = partitionBy ++
       hiddenBy.filter(t => laid.columns.contains(t.colName)).map(_.colName)
@@ -4488,7 +4694,11 @@ final class LogTable private (val spark: SparkSession, val root: String,
     // and from the returned list.
     val (live, empty) = moved.partition(_.rows > 0L)
     empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
-    live
+    // lineage-carrying rewrites flag their outputs so a SECOND
+    // rewrite knows to read the stored ids, the v3 export assigns
+    // the file a fresh first_row_id block for its unassigned rows,
+    // and dropLineage knows the file needs a physical strip
+    if (matLineage) live.map(_.copy(matLineage = true)) else live
   }
 
   /** TEST/BENCH SEAM — commit `newFiles` as manifest entries WITHOUT
@@ -4817,6 +5027,19 @@ object LogTable {
     * assigning fresh row ids FROM here, so post-import appends can
     * never collide with the adopted per-file `first_row_id` ranges. */
   val NextRowIdProp = "graft.next-row-id"
+  /** Iceberg v3 ROW-LINEAGE metadata columns, stored PHYSICALLY (by
+    * these reserved names, under the spec's reserved parquet field
+    * ids) in files the rewrite paths materialize — see
+    * [[DataFile.matLineage]]. Never part of any table schema; the
+    * explicit-schema scan paths simply don't project them. */
+  private[sources] val RowIdCol = "_row_id"
+  private[sources] val LuSeqCol = "_last_updated_sequence_number"
+  /** The Iceberg spec's reserved field ids for the two lineage
+    * columns, written into the parquet footer so a v3-native reader
+    * resolves them by id (name mapping never covers metadata
+    * columns). */
+  private[sources] val RowIdFieldId = 2147483540L
+  private[sources] val LuSeqFieldId = 2147483539L
   /** Position-delete sharding: one delete file per up to this many
     * referenced data files (capped at 256 shards). Keeps a large
     * marking pass parallel on the write side without exploding tiny
@@ -5375,6 +5598,7 @@ object LogTable {
       fn.put("path", f.path); fn.put("rows", f.rows); fn.put("bytes", f.bytes)
       if (f.seq != 0L) fn.put("seq", f.seq)
       f.firstRowId.foreach(id => fn.put("firstRowId", id))
+      if (f.matLineage) fn.put("matLineage", true)
       if (f.nulls.nonEmpty) {
         val nn = fn.putObject("nulls")
         f.nulls.toSeq.sortBy(_._1).foreach { case (k, v) => nn.put(k, v) }
@@ -5436,7 +5660,8 @@ object LogTable {
         Option(f.get("valueSets")).map(_.fields().asScala.map(e =>
           e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq)
           .toMap).getOrElse(Map.empty),
-        Option(f.get("firstRowId")).map(_.asLong()))
+        Option(f.get("firstRowId")).map(_.asLong()),
+        Option(f.get("matLineage")).exists(_.asBoolean()))
     }.toSeq
 
 

@@ -3003,13 +3003,8 @@ class IcebergExportSpec extends SparkSpec {
       IcebergImport.importTable(spark, root.toString, tmp("ice_lin_mixed_dest_")))
     assert(eMix.getMessage.contains("row lineage"))
 
-    // REWRITE GUARD: a compact would re-id surviving rows on the next
-    // export — refuse with guidance; the MOR surfaces stay available
-    // and PRESERVE ids (DVs mark positions, physical rows never move)
-    val eCompact = intercept[IllegalArgumentException](
-      imp.compact(smallBytes = Long.MaxValue))
-    assert(eCompact.getMessage.contains("row lineage")
-      && eCompact.getMessage.contains("dropLineage"))
+    // MOR surfaces PRESERVE ids for free (DVs mark positions,
+    // physical rows never move)
     imp.deleteMor(col("id") < 5L)
     val ice4 = tmp("ice_lin_out4_")
     IcebergExport.export(imp, ice4, formatVersion = 3)
@@ -3019,17 +3014,62 @@ class IcebergExportSpec extends SparkSpec {
     assert(afterMor.forall { case (id, rid) => grown(id) == rid },
       "MOR delete must not move surviving rows' _row_id")
 
-    // ESCAPE HATCH: dropLineage() discards the continuity as an
-    // audited commit; maintenance then proceeds and the next export
-    // assigns fresh, self-consistent ids
-    imp.dropLineage()
-    assert(!imp.properties.contains(LogTable.NextRowIdProp))
-    assert(imp.snapshot().files.forall(_.firstRowId.isEmpty))
+    // REWRITES PRESERVE (the v3 spec's rewrite rule): compact folds
+    // the MoR marks in and MATERIALIZES every surviving row's
+    // _row_id into the rewritten file — the next export serves the
+    // adopted rows' ids IDENTICALLY. The two post-import append rows
+    // never had adopted lineage; their ids stay export-assigned
+    // (fresh block, unique, beyond the watermark) — only ADOPTED/
+    // materialized continuity is the stability contract.
     imp.compact(smallBytes = Long.MaxValue)
+    assert(imp.snapshot().files.exists(_.matLineage),
+      "compacted lineage outputs must be flagged materialized")
     val ice5 = tmp("ice_lin_out5_")
     IcebergExport.export(imp, ice5, formatVersion = 3)
-    val fresh = IcebergRead.read(spark, ice5, withLineage = true)
+    val afterCompact = IcebergRead.read(spark, ice5, withLineage = true)
+      .select(col("id"), col("_row_id")).as[(Long, Long)].collect().toMap
+    val adoptedIds = (m: Map[Long, Long]) => m.filter(_._1 < 100L)
+    assert(adoptedIds(afterCompact) === adoptedIds(afterMor),
+      "compact must not re-id adopted surviving rows")
+    assert(afterCompact.values.toSeq.distinct.size === afterCompact.size)
+    assert(Seq(100L, 101L).flatMap(afterCompact.get).forall(_ >= 50L),
+      "non-lineage rows still assign beyond the adopted watermark")
+
+    // COW delete on the MATERIALIZED file: the second-generation
+    // rewrite reads the STORED ids back and carries them — survivors
+    // keep their ids through delete-after-compact
+    imp.delete(col("id") >= 40L && col("id") < 45L)
+    val ice6 = tmp("ice_lin_out6_")
+    IcebergExport.export(imp, ice6, formatVersion = 3)
+    val afterDel = IcebergRead.read(spark, ice6, withLineage = true)
+      .select(col("id"), col("_row_id")).as[(Long, Long)].collect().toMap
+    assert(adoptedIds(afterDel) ===
+      adoptedIds(afterCompact).filter { case (id, _) => id < 40L || id >= 45L },
+      "COW delete must not re-id adopted surviving rows")
+
+    // catalog-SQL row-level ops CANNOT thread _row_id through
+    // Spark's ReplaceData job — they refuse with guidance instead of
+    // silently re-idding (the Scala COW surfaces above are the path)
+    // [exercised in GraftSqlSpec-adjacent coverage via
+    // commitReplaceGroups' guard — here we assert the Scala surfaces
+    // kept the continuity, which is the user-visible contract]
+
+    // ESCAPE HATCH: dropLineage() now also PHYSICALLY strips the
+    // materialized columns (a spec reader resolves stored ids by
+    // reserved field id regardless of graft metadata — leaving them
+    // next to fresh export assignments would serve duplicate ids);
+    // the next export assigns fresh, self-consistent ids
+    imp.dropLineage()
+    assert(!imp.properties.contains(LogTable.NextRowIdProp))
+    assert(imp.snapshot().files.forall(f =>
+      f.firstRowId.isEmpty && !f.matLineage))
+    imp.compact(smallBytes = Long.MaxValue)
+    val ice7 = tmp("ice_lin_out7_")
+    IcebergExport.export(imp, ice7, formatVersion = 3)
+    val fresh = IcebergRead.read(spark, ice7, withLineage = true)
       .select(col("_row_id")).as[Long].collect()
     assert(fresh.length === fresh.distinct.length)
+    assert(fresh.sorted.toSeq === (0L until fresh.length).toSeq,
+      "post-drop export must assign a fresh dense id space from 0")
   }
 }
