@@ -1179,6 +1179,52 @@ object Lakehouse {
         sum(col("_last_updated_sequence_number")).as("seq_sum"))
   }
 
+  /** ROW LINEAGE THROUGH REWRITES as an ORACLE query (the v3 spec's
+    * rewrite rule, [[graft.sources.LogTable]]'s readLiveRw seam): the
+    * two-epoch lineage exports v3, IMPORTS (ids adopt), then runs the
+    * two maintenance operations a migrated 100 TB table cannot live
+    * without — COMPACT (all adopted files fold into one, every
+    * surviving row's id MATERIALIZED into the rewritten file) and a
+    * COW DELETE of the error rows (a second-generation rewrite that
+    * must read the STORED ids back) — and re-exports. Invariants
+    * reduced to SQL: every surviving row serves the IDENTICAL
+    * `_row_id` the original export served (moved_ids = 0 — the
+    * continuity compaction previously had to refuse to protect), ids
+    * stay unique (n_ids = n_rows), and each row's materialized
+    * `_last_updated_sequence_number` still replays its ORIGINAL
+    * append epoch (1 for even keys, 2 for odd) — a rewrite is not an
+    * update. A dropped id, a position-shifted id, or a re-assignment
+    * anywhere in the import→compact→delete→export chain breaks the
+    * hash against DuckDB's direct computation on the raw events. */
+  def lakeV3Rewrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergExport, IcebergImport, IcebergRead}
+    val tmp = graft.Scratch.dir("graft_lake_v3rw_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts_us"))
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))   // seq 1
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 1))   // seq 2
+    val dest = graft.Scratch.dir("graft_lake_v3rw_ice_").toString
+    IcebergExport.export(table, dest, formatVersion = 3)
+    val before = IcebergRead.read(s, dest, withLineage = true)
+      .select(col("event_id"), col("_row_id").as("rid0"))
+    val imp = IcebergImport.importTable(s, dest,
+      graft.Scratch.dir("graft_lake_v3rw_imp_").toString)
+    imp.compact(smallBytes = Long.MaxValue)
+    imp.delete(col("event_type") === lit("error"))
+    val dest2 = graft.Scratch.dir("graft_lake_v3rw_ice2_").toString
+    IcebergExport.export(imp, dest2, formatVersion = 3)
+    IcebergRead.read(s, dest2, withLineage = true)
+      .select(col("event_id"), col("_row_id"),
+        col("_last_updated_sequence_number"))
+      .join(before, Seq("event_id"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("_row_id")).as("n_ids"),
+        sum(when(col("rid0").isNull || col("rid0") =!= col("_row_id"),
+          lit(1L)).otherwise(lit(0L))).as("moved_ids"),
+        sum(col("_last_updated_sequence_number")).as("seq_sum"))
+  }
+
   /** The REST-catalog seam as an ORACLE query (reference
     * init-setup.py:73-86 — its Trino discovers the table via
     * `iceberg.catalog.type = rest`): export → serve → a foreign
@@ -1216,6 +1262,46 @@ object Lakehouse {
           countDistinct(col("user_id")).as("n_users"),
           Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
         .orderBy(col("event_type"))
+    } finally cat.close() // metadata is already on the wire; data
+                          // access is direct file I/O (spec shape)
+  }
+
+  /** LIVE REST serving as an ORACLE query
+    * ([[graft.sources.IcebergRestCatalog.registerLive]]): a graft
+    * table registers LIVE — NO explicit export call anywhere in the
+    * serving loop — the first HTTP load projects and serves the
+    * current snapshot, a second graft append lands, and the NEXT
+    * load reflects it (the route re-projects on demand when the
+    * graft version advanced). Both generations' aggregates union
+    * under a `via` tag and hash against DuckDB computing each half
+    * directly — a stale LoadTableResult, a missed refresh, or a
+    * projection that lost rows breaks the gate. */
+  def lakeRestLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergRead, IcebergRestCatalog}
+    val tmp = graft.Scratch.dir("graft_lake_restlive_").toString
+    val table = LogTable(s, tmp)
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts_us"))
+    table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    val dest = graft.Scratch.dir("graft_lake_restlive_ice_").toString
+    val cat = IcebergRestCatalog.start()
+    try {
+      cat.registerLive("logs", "events", table, dest)
+      def agg(df: DataFrame, via: String): DataFrame = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Cols.asDouble(sum(Cols.money(col("value")))).as("total_value"))
+        .withColumn("via", lit(via))
+      val gen1 = agg(IcebergRead.readRest(s, cat.uri, "logs", "events"),
+        "gen1")
+      // the second append commits to GRAFT only — the next HTTP load
+      // must surface it without any export call here
+      table.append(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+      val gen2 = agg(IcebergRead.readRest(s, cat.uri, "logs", "events"),
+        "gen2")
+      gen1.unionByName(gen2)
+        .select(col("via"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("via"), col("event_type"))
     } finally cat.close() // metadata is already on the wire; data
                           // access is direct file I/O (spec shape)
   }
@@ -1429,6 +1515,7 @@ object Lakehouse {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_rest" -> (lakeRest _),
+    "lake_rest_live" -> (lakeRestLive _),
     "lake_view" -> (lakeView _),
     "lake_pstats" -> (lakePstats _),
     "lake_variant" -> (lakeVariant _),
@@ -1438,6 +1525,7 @@ object Lakehouse {
     "lake_iceberg" -> (lakeIceberg _),
     "lake_v3" -> (lakeV3 _),
     "lake_v3_lineage" -> (lakeV3Lineage _),
+    "lake_v3_rewrite" -> (lakeV3Rewrite _),
     "lake_spj" -> (lakeSpj _),
     "lake_evolve" -> (lakeEvolve _),
     "lake_mor2" -> (lakeMor2 _),
@@ -1482,6 +1570,18 @@ object Lakehouse {
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // gen1 = the even-key first append; gen2 = the whole table after
+    // the second append — each generation as its own HTTP load saw it
+    "lake_rest_live" ->
+      """SELECT via, event_type, n, total_value FROM (
+        |  SELECT 'gen1' AS via, event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'gen2' AS via, event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY event_type)
+        |ORDER BY via, event_type""".stripMargin,
     // the variant census recomputed from the raw columns the variant
     // was built from; the COW delete replays as the WHERE. NULL
     // contract pinned on BOTH sides: Spark's `variant_get(...) = 'de'`
@@ -1729,6 +1829,13 @@ object Lakehouse {
         |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT)
         |    AS seq_sum
         |FROM events""".stripMargin,
+    "lake_v3_rewrite" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_ids,
+        |  CAST(0 AS BIGINT) AS moved_ids,
+        |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT)
+        |    AS seq_sum
+        |FROM events WHERE event_type <> 'error'""".stripMargin,
     "lake_txn" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

@@ -93,6 +93,30 @@ final class IcebergRestCatalog private (
     ()
   }
 
+  /** Serve a LIVE graft table as `namespace`.`name` — no manual
+    * re-export, ever: each LoadTableResult first compares the graft
+    * table's current version against the last-projected one and, if
+    * the table advanced, re-runs the (metadata-sized) export into
+    * `dest` before serving, so a REST reader lags a committed graft
+    * write by AT MOST the one load-triggered projection — never by
+    * "whenever someone remembered to re-export". The export
+    * references data files in place as always (the catalog serves
+    * pointers, never data); the continuous-mirror streaming helper
+    * degrades to a cache warmer for latency-sensitive readers.
+    * Refresh runs under a per-mirror lock (concurrent loads
+    * double-check the version and project once); a refresh FAILURE
+    * surfaces as the route's 500 ErrorModel rather than silently
+    * serving a stale projection. Registered live tables stay
+    * read-only over REST, like [[register]]ed exports. */
+  def registerLive(namespace: String, name: String,
+      table: LogTable, dest: String, formatVersion: Int = 2): Unit = {
+    val m = new IcebergRestCatalog.LiveMirror(table, dest, formatVersion)
+    m.refresh() // initial projection — the entry is servable at once
+    state.live.put((namespace, name), m)
+    state.registry.put((namespace, name), dest)
+    ()
+  }
+
   def close(): Unit = {
     server.stop(0)
     server.getExecutor match {
@@ -111,6 +135,22 @@ final class IcebergRestCatalog private (
 object IcebergRestCatalog {
   private val mapper = new ObjectMapper()
 
+  /** One LIVE-served graft table ([[IcebergRestCatalog.registerLive]]):
+    * the last-projected graft version and the double-checked refresh
+    * that keeps LoadTableResult current. */
+  private[sources] final class LiveMirror(val table: LogTable,
+      val dest: String, val formatVersion: Int) {
+    private val exported = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def refresh(): Unit =
+      if (exported.get() != table.currentVersion) synchronized {
+        val cur = table.currentVersion
+        if (exported.get() != cur) {
+          IcebergExport.export(table, dest, formatVersion = formatVersion)
+          exported.set(cur)
+        }
+      }
+  }
+
   /** Bearer-token lifetime — the `expires_in` the grant advertises is
     * the lifetime the auth gate actually enforces. */
   private val TokenTtlMs = 3600L * 1000L
@@ -128,6 +168,10 @@ object IcebergRestCatalog {
       * loads/lists until then — the spec's two-phase CTAS). */
     val staged =
       new java.util.concurrent.ConcurrentHashMap[(String, String), ObjectNode]()
+    /** LIVE-served graft tables ([[IcebergRestCatalog.registerLive]]):
+      * load routes refresh the projection on demand. */
+    val live =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), LiveMirror]()
     /** (ns, view) → view location (Iceberg VIEW spec metadata served
       * over the OpenAPI /views routes). Views share the (ns, name)
       * lock space with tables, so a same-name table/view create pair
@@ -425,6 +469,7 @@ object IcebergRestCatalog {
               // files stay (`purgeRequested` is not honored — this
               // endpoint never deletes data it did not write)
               state.owned.remove(key)
+              state.live.remove(key)
               x.sendResponseHeaders(204, -1); x.close()
             }
           }
@@ -459,6 +504,10 @@ object IcebergRestCatalog {
             case _ if m == "HEAD" =>
               x.sendResponseHeaders(200, -1); x.close()
             case dest =>
+              // LIVE tables project the CURRENT graft snapshot before
+              // serving — a committed write is visible on the very
+              // next load, no manual re-export in the loop
+              Option(state.live.get((ns, t))).foreach(_.refresh())
               val (mp, meta) = currentMetadata(dest)
               // the spec's `snapshots=refs` mode: trim the snapshots
               // array to those reachable from refs (a busy-history
@@ -609,6 +658,10 @@ object IcebergRestCatalog {
           registered.foreach { dest =>
             state.registry.put(dst, dest)
             state.registry.remove(src)
+          }
+          Option(state.live.get(src)).foreach { m =>
+            state.live.put(dst, m)
+            state.live.remove(src)
           }
           stagedMeta.foreach { m =>
             state.staged.put(dst, m)

@@ -26,6 +26,45 @@ class IcebergRestCatalogSpec extends SparkSpec {
 
   private def tmp(p: String): String = Files.createTempDirectory(p).toString
 
+  test("registerLive: LoadTableResult projects the CURRENT graft snapshot — no manual re-export in the loop") {
+    val t = LogTable(spark, tmp("ice_live_src_"))
+    t.append((0L until 10L).map(i => (i, s"s$i")).toDF("id", "s"))
+    val dest = tmp("ice_live_out_")
+    val cat = IcebergRestCatalog.start()
+    try {
+      cat.registerLive("logs", "live_t", t, dest)
+      val g1 = IcebergRead.readRest(spark, cat.uri, "logs", "live_t")
+      assert(g1.count() === 10L)
+      // a graft-only append: the NEXT load must serve it — the route
+      // re-projects on demand, nobody calls export here
+      t.append((10L until 25L).map(i => (i, s"s$i")).toDF("id", "s"))
+      val g2 = IcebergRead.readRest(spark, cat.uri, "logs", "live_t")
+      assert(g2.count() === 25L)
+      assert(g2.select("id").as[Long].collect().sorted.toSeq
+        === (0L until 25L))
+      // an UNCHANGED table must not re-project: version-hint stays
+      val hint = java.nio.file.Paths.get(dest)
+        .resolve("metadata").resolve("version-hint.text")
+      val v = new String(java.nio.file.Files.readAllBytes(hint))
+      assert(IcebergRead.readRest(spark, cat.uri, "logs", "live_t")
+        .count() === 25L)
+      assert(new String(java.nio.file.Files.readAllBytes(hint)) === v,
+        "a load of an unchanged table must serve the cached projection")
+      // rename keeps liveness; drop removes the entry
+      val rn = http.send(HttpRequest.newBuilder(
+          URI.create(s"${cat.uri}/v1/tables/rename"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"source":{"namespace":["logs"],"name":"live_t"},
+            |"destination":{"namespace":["logs"],"name":"live_r"}}"""
+            .stripMargin))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(rn.statusCode() === 204)
+      t.append(Seq((25L, "s25")).toDF("id", "s"))
+      assert(IcebergRead.readRest(spark, cat.uri, "logs", "live_r")
+        .count() === 26L, "a renamed live table must stay live")
+    } finally cat.close()
+  }
+
   test("full REST walk: discover, load, and read the exported table over HTTP only") {
     val t = LogTable(spark, tmp("ice_rest_src_"))
     t.append((0L until 40L).map(i => (i, s"s$i")).toDF("id", "s"))
