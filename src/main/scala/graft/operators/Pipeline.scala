@@ -277,33 +277,144 @@ object Pipeline {
     * evenly through the epoch by the standard low-discrepancy position
     * key (doc i of n_s at (2i+1)/(2·n_s) — stratified, so a
     * 4×-larger source appears 4× as often, never in bursts), total
-    * order (key, source, doc_id). The first 100 positions ship as the
-    * artifact (the head of the schedule pins the whole construction —
-    * every source's cadence is visible there).
+    * order (key, source, doc_id). The first `head` positions ship as
+    * the gated artifact (the head of the schedule pins the whole
+    * construction — every source's cadence is visible there);
+    * [[interleaveSchedule]] materializes the WHOLE order as sharded
+    * blocks, the form a trainer consumes.
     *
-    * Scale: per-source ranks are one partitioned window over narrow
-    * rows; the head-of-schedule cut is a TopK (Spark's
-    * TakeOrderedAndProject — never a global sort materialization);
+    * Scale shape — NO per-source window: `row_number() OVER
+    * (PARTITION BY source)` would serialize each source's ENTIRE row
+    * set through one task (a handful of huge sources is the 100 TB
+    * reality — the skew worst-case SURVEY §5 forbids and
+    * pipeline_select/curriculum avoid). Instead the bucketed-rank
+    * census: range-partition by (source, doc_id) into B
+    * session-derived buckets (pinned — RangePartitioner re-samples
+    * per action), collect the ≤B·|sources|-row count census,
+    * broadcast per-source offsets + totals back, and the per-source
+    * rank is the within-(bkt, source) row_number plus the bucket
+    * offset — B-way parallel end to end, exact for ANY B (`buckets`
+    * is the spec hook proving B=3 ≡ B=64). The head cut stays a TopK
+    * (TakeOrderedAndProject — never a global sort materialization);
     * the key arithmetic is exact-integer inputs under one IEEE double
     * divide, deterministic across engines (the ann routing-key
     * doctrine). */
-  def interleave(s: SparkSession, dir: String, head: Int = 100): DataFrame = {
+  def interleave(s: SparkSession, dir: String, head: Int = 100,
+      buckets: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"))
-      .withColumn("i", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("doc_id")))
-        .cast("long") - 1L)
-      .withColumn("n_s", count(lit(1)).over(
-        Window.partitionBy(col("source"))).cast("long"))
-      .withColumn("key",
-        (col("i") * 2L + 1L).cast("double") / (col("n_s") * 2L).cast("double"))
+    val (pinned, ranked) = interleaveRanked(s, dir, buckets)
     val top = ranked.orderBy(col("key"), col("source"), col("doc_id"))
       .limit(head)
-    top.withColumn("pos", row_number().over(
+      .withColumn("pos", row_number().over(
         Window.orderBy(col("key"), col("source"), col("doc_id"))).cast("long"))
       .select(col("pos"), col("source"), col("doc_id"))
       .orderBy(col("pos"))
+    // materialize the ≤head-row artifact NOW so the pinned bucket
+    // assignment can release before returning (the curriculum
+    // lifecycle); the post-cut window ranks ≤head rows — bounded
+    val rows = top.collect().toIndexedSeq
+    pinned.unpersist(blocking = false)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, top.schema)
+  }
+
+  /** The interleave key frame (doc_id, source, key) with per-source
+    * ranks from the bucketed census — exposed un-collected so
+    * PlanContractSpec can pin the no-per-source-window shape.
+    * Returns (pinned bucket assignment to unpersist, keyed frame). */
+  private[graft] def interleaveRanked(s: SparkSession, dir: String,
+      buckets: Option[Int] = None): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val b = buckets.getOrElse(Tables.sliceCount(s))
+    val bucketed = docs
+      .repartitionByRange(b, col("source"), col("doc_id"))
+      .withColumn("bkt", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // census: per-(bucket, source) doc counts → per-source rank
+    // offsets and totals (≤ B·|sources| rows to the driver)
+    val counts = bucketed.groupBy(col("bkt"), col("source")).count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nS = counts.groupBy(_._1._2).map { case (src, m) =>
+      src -> m.values.sum }
+    val offRows = counts.keys.toSeq.groupBy(_._2).toSeq.flatMap {
+      case (src, ks) =>
+        val ordered = ks.map(_._1).sorted
+        val offs = ordered.map(bk => counts((bk, src))).scanLeft(0L)(_ + _)
+        ordered.zip(offs).map { case (bk, off) => (bk, src, off, nS(src)) }
+    }
+    import s.implicits._
+    val offDf = offRows.toDF("bkt", "source", "off", "n_s")
+    val w = Window.partitionBy(col("bkt"), col("source"))
+      .orderBy(col("doc_id"))
+    val ranked = bucketed.join(broadcast(offDf), Seq("bkt", "source"))
+      .withColumn("i", row_number().over(w).cast("long") - 1L + col("off"))
+      .withColumn("key",
+        (col("i") * 2L + 1L).cast("double") / (col("n_s") * 2L).cast("double"))
+      .select(col("doc_id"), col("source"), col("key"))
+    (bucketed, ranked)
+  }
+
+  /** FULL interleave SCHEDULE as sharded blocks — the consumable
+    * artifact ([[interleave]]'s head-N is the gate; a training run
+    * consumes the WHOLE order): every document gets its exact global
+    * position in the interleave order, and positions cut into
+    * `shards` near-equal CONTIGUOUS blocks (the first n%shards
+    * shards take the extra row — curriculum's exact NTILE
+    * arithmetic), so shard k is the k-th slice of the training
+    * order. Output: the per-shard conservation census (doc count,
+    * position range, id checksum, source spread) — the hash gate
+    * pins every block boundary and the whole order's content.
+    *
+    * Scale shape: TWO bucketed censuses, zero global windows — the
+    * per-source rank census of [[interleaveRanked]], then the same
+    * trick again on the ORDER key ((key, source, doc_id)
+    * range-partition → B-row count census → offsets broadcast →
+    * within-bucket row_number + offset = exact global position). */
+  def interleaveSchedule(s: SparkSession, dir: String, shards: Int = 8,
+      buckets: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (pinned, ranked) = interleaveRanked(s, dir, buckets)
+    val b = buckets.getOrElse(Tables.sliceCount(s))
+    val bucketed2 = ranked
+      .repartitionByRange(b, col("key"), col("source"), col("doc_id"))
+      .withColumn("bkt2", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = bucketed2.groupBy(col("bkt2")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val offsets = (0 until b).scanLeft(0L)((acc, i) =>
+      acc + counts.getOrElse(i, 0L)).toArray
+    val offCol = element_at(
+      array(offsets.take(b).map(lit): _*), col("bkt2") + 1)
+    val w = Window.partitionBy(col("bkt2"))
+      .orderBy(col("key"), col("source"), col("doc_id"))
+    // near-equal contiguous shards (exact NTILE arithmetic); when
+    // n < shards the first branch covers every position, so the
+    // guarded else-divisor is unreachable — both engines agree
+    val sz0 = n / shards
+    val sz = math.max(sz0, 1L)
+    val big = n % shards
+    val cut = big * (sz0 + 1)
+    val agg = bucketed2
+      .withColumn("pos", row_number().over(w).cast("long") + offCol)
+      .withColumn("shard",
+        when(col("pos") <= cut,
+          floor((col("pos") - 1) / (sz0 + 1)).cast("long"))
+          .otherwise(lit(big) +
+            floor((col("pos") - cut - 1) / sz).cast("long")))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"),
+        sum(col("doc_id")).as("id_sum"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("shard"))
+    val rows = agg.collect().toIndexedSeq
+    bucketed2.unpersist(blocking = false)
+    pinned.unpersist(blocking = false)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, agg.schema)
   }
 
   /** PACKED-WINDOW DOCUMENT SPANS — the attention-mask metadata a
@@ -337,6 +448,62 @@ object Pipeline {
           "collect_list(struct(doc_id, off, tok))), " +
           "x -> concat(cast(x.off AS string), ':', cast(x.tok AS string))))")
           .as("spans"))
+      .orderBy(col("bucket"), col("win"))
+  }
+
+  /** BEST-FIT-DECREASING context packing (`pipeline_pack_bfd`) — the
+    * boundary-spill killer production packers ship next to greedy
+    * concat-and-spill ([[packWindows]]): within each FIXED-SIZE
+    * packing unit (contiguous `doc_id div bucketDocs` blocks — so
+    * per-unit state and work stay BOUNDED regardless of corpus
+    * scale, and units parallelize perfectly), docs sort by (token
+    * count DESC, doc_id) and each places into the open window with
+    * the LEAST remaining capacity that still fits (ties → the
+    * earliest-opened window); a doc longer than the window opens its
+    * own oversize window (negative slack flags it). The whole fold
+    * is a deterministic integer recurrence — best-fit selection is
+    * `min((W - fill)·100000 + index)` over the fitting windows, the
+    * same arithmetic the DuckDB oracle replays via a recursive CTE,
+    * so every window's (count, fill, first doc) hashes exactly.
+    *
+    * Scale shape: one narrow scan (doc_id + token count — text never
+    * rides), ONE shuffle (groupBy unit), then a per-unit Catalyst
+    * `aggregate` higher-order fold over ≤`bucketDocs` collected
+    * structs — no UDF, no driver loop, no window function at all. */
+  def packBfd(s: SparkSession, dir: String, bucketDocs: Long = 256L,
+      windowTokens: Long = 2048L): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        expr(s"doc_id div ${bucketDocs}L").as("bucket"))
+    // sort key: struct(-tok, doc_id) ascending = (tok DESC, doc_id)
+    val lists = docs
+      .groupBy(col("bucket"))
+      .agg(expr("sort_array(collect_list(struct(-tok AS ntk, doc_id)))")
+        .as("ds"))
+    val W = windowTokens
+    val fold =
+      s"""aggregate(
+         |  ds,
+         |  CAST(array() AS ARRAY<STRUCT<fill: BIGINT, n: BIGINT, first: BIGINT>>),
+         |  (st, d) -> CASE
+         |    WHEN size(filter(st, w -> w.fill - d.ntk <= ${W}L)) = 0
+         |      THEN concat(st, array(struct(-d.ntk AS fill,
+         |        CAST(1 AS BIGINT) AS n, d.doc_id AS first)))
+         |    ELSE transform(st, (w, i) -> IF(i = CAST(
+         |        array_min(transform(filter(transform(st,
+         |            (w2, i2) -> struct(w2.fill AS fill, i2 AS i)),
+         |          c -> c.fill - d.ntk <= ${W}L),
+         |          c -> (${W}L - c.fill) * 100000L + c.i)) % 100000L AS INT),
+         |      struct(w.fill - d.ntk AS fill, w.n + 1L AS n,
+         |        w.first AS first), w))
+         |  END)""".stripMargin
+    lists
+      .select(col("bucket"), posexplode(expr(fold)).as(Seq("win", "w")))
+      .select(col("bucket"), col("win").cast("long").as("win"),
+        col("w.n").as("n_docs"), col("w.fill").as("fill_tokens"),
+        col("w.first").as("first_doc"),
+        (lit(W) - col("w.fill")).as("slack"))
       .orderBy(col("bucket"), col("win"))
   }
 
@@ -667,13 +834,18 @@ object Pipeline {
   /** INGEST-TIME NEAR DEDUP — [[ingestDedup]]'s continuous-crawl loop
     * extended from the exact-digest MV to LSH BANDS: alongside the
     * digest MV the loop maintains a BAND INDEX (band key → stripe
-    * signature, incrementally appended like the MV), every new batch
-    * probes it by band-key join with the batch side broadcast,
-    * candidates verify by exact stripe count (mm_dedup_near's ≥6-of-8
-    * rule), and near-dups QUARANTINE instead of appending. Every
-    * document's fate lands in an auditable fate log —
-    * 'kept' | 'exact_dup' | 'near_dup' — the artifact a curation run
-    * audits.
+    * signature, incrementally appended like the MV, laid out by
+    * `mbucket(k1)` so a batch's probe opens ONLY its own bucket
+    * footprint — [[nearProbe]]), every new batch probes it by
+    * band-key join with the batch side broadcast, candidates verify
+    * by exact stripe count (mm_dedup_near's ≥6-of-8 rule), and
+    * near-dups QUARANTINE instead of appending. Near pairs arriving
+    * in the SAME batch are caught too — the within-batch
+    * smaller-id-sibling rule in [[nearFates]] (the r19 intra-batch
+    * blind spot, closed). Every document's fate lands in an
+    * auditable fate log — 'kept' | 'exact_dup' | 'near_dup' — the
+    * artifact a curation run audits, and [[requeueStep]] is the
+    * reviewed-release path back out of quarantine.
     *
     * The banded probe is EXACT by pigeonhole, not approximate: ≥6 of
     * 8 matching stripes leaves ≤2 mismatches, which can break at most
@@ -693,6 +865,39 @@ object Pipeline {
     val work = graft.Scratch.dir("graft_ingest_near_")
     ingestDedupNearLoop(s, nearSigFrame(s, dir), work)._1
       .orderBy(col("doc_id"))
+  }
+
+  /** QUARANTINE LIFECYCLE as an ORACLE query (`pipeline_requeue`) —
+    * the full audit loop a curation run needs on top of
+    * [[ingestDedupNear]]: the three-batch near-dedup ingest, then a
+    * CURATION DELETE of every planted-pair member still in state
+    * (the `doc_id % 7 = 0` originals and the `+1000000` mutants —
+    * a takedown of both sides of every near pair), then
+    * [[requeueStep]]: every doc whose latest fate is 'near_dup'
+    * re-probes against the post-delete state and — its twin now
+    * gone — re-enters as 'requeued'. Output: the per-(source, fate)
+    * census of the COMPLETE audit trail (loop verdicts + requeue
+    * verdicts — a near_dup row AND its later requeued row both
+    * count, the point of an append-only audit log). The DuckDB
+    * oracle replays the whole lifecycle: loop, deletion, re-probe
+    * with the same exact-keeper / state-near / within-batch rules. */
+  def requeueNear(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val work = graft.Scratch.dir("graft_requeue_")
+    val st = nearDedupState(s, work)
+    val dp = nearSigFrame(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    dp.count()
+    (0L until 3L).foreach { b =>
+      ingestNearStep(st, dp.filter(pmod(col("doc_id"), lit(3L)) === b))
+    }
+    dp.unpersist()
+    nearDelete(st,
+      pmod(col("doc_id"), lit(7L)) === 0L || col("doc_id") >= 1000000L)
+    requeueStep(st)
+    st.fateLog.read()
+      .groupBy(col("source"), col("fate"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("fate"))
   }
 
   /** The planted corpus's narrow signature frame
@@ -734,11 +939,22 @@ object Pipeline {
       table: graft.sources.LogTable, bands: graft.sources.LogTable,
       fateLog: graft.sources.LogTable, mv: graft.sources.MaterializedView)
 
+  /** Band-index bucket fan-out: the bands LogTable lays out by
+    * `mbucket(k1)` into this many directories, so an arriving
+    * batch's probe opens ONLY the buckets its own band keys hash
+    * into ([[graft.sources.LogTable.readBuckets]]) instead of
+    * streaming the whole index — the per-batch probe I/O bound a
+    * steady-state 100 TB crawl needs. At cluster scale this is a
+    * table property (hundreds of buckets); 8 keeps the harness's
+    * file counts sane while proving the prune. */
+  private[graft] val NearBandBuckets = 8
+
   private[graft] def nearDedupState(s: SparkSession,
       work: java.nio.file.Path): NearDedupState = {
     val table = graft.sources.LogTable(s, work.resolve("t").toString)
     NearDedupState(table,
-      graft.sources.LogTable(s, work.resolve("bands").toString),
+      graft.sources.LogTable(s, work.resolve("bands").toString,
+        hiddenBy = Seq(graft.sources.Transform.mbucket(NearBandBuckets, "k1"))),
       graft.sources.LogTable(s, work.resolve("fates").toString),
       graft.sources.MaterializedView(s, table,
         work.resolve("mv").toString, keyCols = Seq("digest"),
@@ -775,6 +991,108 @@ object Pipeline {
       st.table, st.bands)
   }
 
+  /** The bucket-pruned BAND-INDEX probe: the batch's band rows
+    * (renamed new_id/new_sigs, broadcast) band-key-join ONLY the
+    * index files whose `mbucket(k1)` directory is in the batch's own
+    * bucket footprint — a bounded ≤[[NearBandBuckets]]-row collect of
+    * the batch's derived bucket ids routes the read through
+    * [[graft.sources.LogTable.readBuckets]], so per-batch probe I/O
+    * scales with the BATCH's key spread, never with the steady-state
+    * index size (the first thing a 100 TB continuous crawl asks
+    * for). Candidates verify by the exact ≥6/8 stripe count. */
+  private[graft] def nearProbe(st: NearDedupState,
+      probeBands: DataFrame): DataFrame = {
+    val bt = graft.sources.Transform.mbucket(NearBandBuckets, "k1")
+    val ids = probeBands
+      .select(bt.columnFor(org.apache.spark.sql.types.LongType).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    st.bands.readBuckets("k1", ids)
+      .join(broadcast(probeBands
+          .select(col("band"), col("k1"), col("k2"),
+            col("doc_id").as("new_id"), col("sigs").as("new_sigs"))),
+        Seq("band", "k1", "k2"))
+      .filter(col("doc_id") =!= col("new_id"))
+      .filter(expr("aggregate(zip_with(sigs, new_sigs, " +
+        "(x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v) >= 6"))
+  }
+
+  /** ONE pass decides every fate for an arriving batch (shared by the
+    * ingest loop, the streaming sink, and the quarantine requeue):
+    * the within-batch keeper id joins on as min(doc_id) per digest
+    * (narrow rows — text never rides), the cross-state probes come
+    * back as flag frames left-joined on — exact via the digest MV,
+    * near via the bucket-pruned band probe — plus the WITHIN-BATCH
+    * near rule: a doc is a near-dup of a SMALLER-id batch sibling
+    * with ≥6/8 matching stripes (non-recursive — the sibling's own
+    * fate does not matter — so the rule is a plain band self-join
+    * the oracle replays verbatim; two near-duplicates arriving in
+    * the SAME batch quarantine the younger instead of both slipping
+    * in). A single when-chain names the fate, exact precedence over
+    * near. Returns the batch + fate ∈ kept|exact_dup|near_dup,
+    * UNPINNED — callers persist before mutating state. */
+  private def nearFates(st: NearDedupState, batch0: DataFrame): DataFrame = {
+    val (table, bands, mv) = (st.table, st.bands, st.mv)
+    val shape = Seq("doc_id", "source", "digest", "sigs", "len").map(col)
+    val batch = batch0.join(
+      batch0.groupBy(col("digest")).agg(min(col("doc_id")).as("min_id")),
+      Seq("digest"))
+    val keep = batch.filter(col("doc_id") === col("min_id"))
+    // cross-batch EXACT probe: the digest MV, never the corpus
+    val foundExact =
+      if (table.currentVersion == 0L) None
+      else Some(mv.read().select(col("digest"))
+        .join(broadcast(keep.select(col("digest")).distinct()),
+          Seq("digest"), "left_semi").distinct())
+    val afterExact = foundExact.fold(keep)(f =>
+      keep.join(broadcast(f), Seq("digest"), "left_anti"))
+    val probeBands = nearBandRows(afterExact)
+    val nearIds =
+      if (bands.currentVersion == 0L) None
+      else Some(nearProbe(st, probeBands)
+        .select(col("new_id").as("doc_id")).distinct())
+    // within-batch near: band self-join, smaller-id sibling ≥6/8
+    val selfNear = probeBands
+      .join(broadcast(probeBands.select(col("band"), col("k1"), col("k2"),
+          col("doc_id").as("o_id"), col("sigs").as("o_sigs"))),
+        Seq("band", "k1", "k2"))
+      .filter(col("o_id") < col("doc_id"))
+      .filter(expr("aggregate(zip_with(o_sigs, sigs, " +
+        "(x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v) >= 6"))
+      .select(col("doc_id")).distinct()
+    val withX = foundExact
+      .fold(batch.withColumn("x", lit(null).cast("int")))(f =>
+        batch.join(broadcast(f.withColumn("x", lit(1))),
+          Seq("digest"), "left"))
+    val withNr = nearIds
+      .fold(withX.withColumn("nr", lit(null).cast("int")))(n =>
+        withX.join(broadcast(n.withColumn("nr", lit(1))),
+          Seq("doc_id"), "left"))
+    withNr
+      .join(broadcast(selfNear.withColumn("snr", lit(1))),
+        Seq("doc_id"), "left")
+      .withColumn("fate",
+        when(col("doc_id") =!= col("min_id"), lit("exact_dup"))
+          .when(col("x") === 1, lit("exact_dup"))
+          .when(col("nr") === 1, lit("near_dup"))
+          .when(col("snr") === 1, lit("near_dup"))
+          .otherwise(lit("kept")))
+      .select(shape :+ col("fate"): _*)
+  }
+
+  /** The fate-log row shape: near-dup rows carry their signature
+    * payload (digest, sigs, len) so the QUARANTINE lives inside the
+    * audit log itself — [[requeueStep]] re-probes straight from it,
+    * no separate quarantine table, no extra per-batch commit. Kept /
+    * exact rows stay narrow (nulls). `withPayload` widens the
+    * carried set (requeue rows keep payload on every row so replay
+    * can rebuild survivors). */
+  private def fateLogRows(fate: DataFrame,
+      payloadFates: Seq[String]): DataFrame =
+    fate.select(col("doc_id"), col("source"), col("fate"),
+      when(col("fate").isin(payloadFates: _*), col("digest")).as("digest"),
+      when(col("fate").isin(payloadFates: _*), col("sigs")).as("sigs"),
+      when(col("fate").isin(payloadFates: _*), col("len")).as("len"))
+
   /** ONE arrival batch of the near-dedup ingest — the step both the
     * batch loop and the streaming foreachBatch sink run. `batch0` is
     * the batch's (doc_id, source, digest, sigs, len) frame. */
@@ -782,8 +1100,6 @@ object Pipeline {
       batch0: DataFrame, tag: String = ""): Unit = {
     import org.apache.spark.storage.StorageLevel
     val (table, bands, fateLog, mv) = (st.table, st.bands, st.fateLog, st.mv)
-    def bandRows(df: DataFrame): DataFrame = nearBandRows(df)
-    val shape = Seq("doc_id", "source", "digest", "sigs", "len").map(col)
     // EXACTLY-ONCE under streaming replay: the FATE LOG commits first
     // and is the authoritative record of this batch's probe verdicts.
     // A replayed batch whose fates are already recorded must NOT
@@ -792,9 +1108,9 @@ object Pipeline {
     // reads its verdicts back and only replays the idempotent state
     // appends (per-tag skip) and the watermark-idempotent MV fold.
     if (tag.nonEmpty && fateLog.hasTag(tag)) {
-      val recorded = fateLog.read()
-        .join(batch0.select(col("doc_id"), col("digest"), col("sigs"),
-          col("len")), Seq("doc_id"))
+      val recorded = fateLog.read().select(col("doc_id"), col("fate"))
+        .join(batch0.select(col("doc_id"), col("source"), col("digest"),
+          col("sigs"), col("len")), Seq("doc_id"))
       val survivors = recorded.filter(col("fate") === "kept")
         .persist(StorageLevel.MEMORY_AND_DISK)
       survivors.count()
@@ -806,74 +1122,97 @@ object Pipeline {
       survivors.unpersist()
       return
     }
-    locally {
-      // ONE pass decides every fate: the within-batch keeper id joins
-      // on as min(doc_id) per digest (narrow rows — text never rides),
-      // the two cross-batch probes come back as flag frames
-      // left-joined on, and a single when-chain names the fate (exact
-      // precedence over near) — no 4-way union re-scanning the batch
-      // per branch
-      val batch = batch0.join(
-        batch0.groupBy(col("digest")).agg(min(col("doc_id")).as("min_id")),
-        Seq("digest"))
-      val keep = batch.filter(col("doc_id") === col("min_id"))
-      // cross-batch EXACT probe: the digest MV, never the corpus
-      val foundExact =
-        if (table.currentVersion == 0L) None
-        else Some(mv.read().select(col("digest"))
-          .join(broadcast(keep.select(col("digest")).distinct()),
-            Seq("digest"), "left_semi").distinct())
-      val afterExact = foundExact.fold(keep)(f =>
-        keep.join(broadcast(f), Seq("digest"), "left_anti"))
-      // cross-batch NEAR probe: band-key join against the band index
-      // (the batch side broadcast), then exact ≥6/8 verification —
-      // only candidate pairs ever compute the stripe comparison
-      val nearIds =
-        if (bands.currentVersion == 0L) None
-        else Some(bands.read()
-          .join(broadcast(bandRows(afterExact)
-              .select(col("band"), col("k1"), col("k2"),
-                col("doc_id").as("new_id"), col("sigs").as("new_sigs"))),
-            Seq("band", "k1", "k2"))
-          .filter(col("doc_id") =!= col("new_id"))
-          .filter(expr("aggregate(zip_with(sigs, new_sigs, " +
-            "(x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v) >= 6"))
-          .select(col("new_id").as("doc_id")).distinct())
-      // PIN the batch's fates BEFORE any state mutation: three appends
-      // consume this frame, and an unpinned lineage would re-probe
-      // after the MV/band/table commits moved the state under it
-      val withX = foundExact
-        .fold(batch.withColumn("x", lit(null).cast("int")))(f =>
-          batch.join(broadcast(f.withColumn("x", lit(1))),
-            Seq("digest"), "left"))
-      val flagged = nearIds
-        .fold(withX.withColumn("nr", lit(null).cast("int")))(n =>
-          withX.join(broadcast(n.withColumn("nr", lit(1))),
-            Seq("doc_id"), "left"))
-      val fate = flagged
-        .withColumn("fate",
-          when(col("doc_id") =!= col("min_id"), lit("exact_dup"))
-            .when(col("x") === 1, lit("exact_dup"))
-            .when(col("nr") === 1, lit("near_dup"))
-            .otherwise(lit("kept")))
-        .select(shape :+ col("fate"): _*)
+    // PIN the batch's fates BEFORE any state mutation: three appends
+    // consume this frame, and an unpinned lineage would re-probe
+    // after the MV/band/table commits moved the state under it
+    val fate = nearFates(st, batch0).persist(StorageLevel.MEMORY_AND_DISK)
+    fate.count() // materialize against the pre-mutation state
+    // appends COALESCE on the cached read (upstream probe
+    // parallelism untouched): an un-coalesced append writes one
+    // tiny parquet file per shuffle partition per table per batch —
+    // the footer-stats pass alone then dominates the loop
+    val survivors = fate.filter(col("fate") === "kept")
+    fateLog.append(fateLogRows(fate, Seq("near_dup")).coalesce(4), tag = tag)
+    table.append(survivors
+      .select(col("doc_id"), col("digest"), col("source")).coalesce(4),
+      tag = tag)
+    bands.append(nearBandRows(survivors).coalesce(4), tag = tag)
+    mv.refresh()
+    fate.unpersist()
+    ()
+  }
+
+  /** Remove documents from the near-dedup state — corpus table, band
+    * index, digest MV — the curation delete a quarantine review (or
+    * a takedown) runs before [[requeueStep]] frees the docs the
+    * deleted ones were holding hostage. COW deletes on both
+    * LogTables; the MV follows through its retraction-or-full path. */
+  private[graft] def nearDelete(st: NearDedupState,
+      cond: org.apache.spark.sql.Column): Unit = {
+    st.table.delete(cond)
+    st.bands.delete(cond)
+    st.mv.refreshOrFull()
+    ()
+  }
+
+  /** QUARANTINE REQUEUE — the reviewed-release path the fate log's
+    * 'near_dup' verdicts need to be more than a dead letter: every
+    * doc whose LATEST fate is still 'near_dup' re-probes against
+    * CURRENT state with the full arriving-batch semantics
+    * ([[nearFates]]: exact keeper, MV probe, bucket-pruned band
+    * probe, within-batch smaller-id rule) and the survivors are
+    * admitted — a false-positive near-dup, or one whose twin was
+    * since [[nearDelete]]d, re-enters instead of being dropped
+    * forever. The audit trail APPENDS ('requeued' | 'requeue_exact'
+    * | 'requeue_near' — payload kept on every row so replay can
+    * rebuild survivors); exactly-once under replay via the same
+    * fate-log tag contract as the ingest step. */
+  private[graft] def requeueStep(st: NearDedupState,
+      tag: String = ""): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val (table, bands, fateLog, mv) = (st.table, st.bands, st.fateLog, st.mv)
+    val requeueFates = Seq("requeued", "requeue_exact", "requeue_near")
+    if (tag.nonEmpty && fateLog.hasTag(tag)) {
+      val survivors = fateLog.read().filter(col("fate") === "requeued")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      fate.count() // materialize against the pre-mutation state
-      // appends COALESCE on the cached read (upstream probe
-      // parallelism untouched): an un-coalesced append writes one
-      // tiny parquet file per shuffle partition per table per batch —
-      // the footer-stats pass alone then dominates the loop
-      val survivors = fate.filter(col("fate") === "kept")
-      fateLog.append(fate.select(col("doc_id"), col("source"), col("fate"))
-        .coalesce(4), tag = tag)
+      survivors.count()
       table.append(survivors
         .select(col("doc_id"), col("digest"), col("source")).coalesce(4),
         tag = tag)
-      bands.append(bandRows(survivors).coalesce(4), tag = tag)
+      bands.append(nearBandRows(survivors).coalesce(4), tag = tag)
       mv.refresh()
-      fate.unpersist()
-      ()
+      survivors.unpersist()
+      return
     }
+    val fl = fateLog.read()
+    // RESOLVED = admitted ('requeued') or exact-dup at re-probe
+    // ('requeue_exact' — exact dups drop forever, like the loop's).
+    // 'requeue_near' does NOT resolve: the doc stays quarantined and
+    // every later generation re-examines it (its twin may be deleted
+    // between generations — the whole point of the lifecycle).
+    val resolved = fl
+      .filter(col("fate").isin("requeued", "requeue_exact"))
+      .select(col("doc_id"))
+    val q = fl.filter(col("fate") === "near_dup")
+      .join(resolved, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("digest"), col("sigs"),
+        col("len"))
+    val fate = nearFates(st, q)
+      .withColumn("fate",
+        when(col("fate") === "kept", lit("requeued"))
+          .when(col("fate") === "exact_dup", lit("requeue_exact"))
+          .otherwise(lit("requeue_near")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    fate.count() // materialize against the pre-mutation state
+    val survivors = fate.filter(col("fate") === "requeued")
+    fateLog.append(fateLogRows(fate, requeueFates).coalesce(4), tag = tag)
+    table.append(survivors
+      .select(col("doc_id"), col("digest"), col("source")).coalesce(4),
+      tag = tag)
+    bands.append(nearBandRows(survivors).coalesce(4), tag = tag)
+    mv.refresh()
+    fate.unpersist()
+    ()
   }
 
   /** CURRICULUM ordering — anneal training data easy→hard: every doc
@@ -1066,8 +1405,11 @@ object Pipeline {
     "pipeline_tokenize_tbl" -> ((s, dir) => tokenizePipelineTbl(s, dir)),
     "pipeline_tokenize_ids" -> ((s, dir) => tokenizeIds(s, dir)),
     "pipeline_ingest_near" -> (ingestDedupNear _),
+    "pipeline_requeue" -> (requeueNear _),
+    "pipeline_pack_bfd" -> ((s, dir) => packBfd(s, dir)),
     "pipeline_pack_spans" -> ((s, dir) => packSpans(s, dir)),
     "pipeline_interleave" -> ((s, dir) => interleave(s, dir)),
+    "pipeline_interleave_full" -> ((s, dir) => interleaveSchedule(s, dir)),
     "pipeline_select_bpe" -> ((s, dir) => budgetSelect(s, dir, realTokens = true)),
     "pipeline_epochs" -> ((s, dir) => epochPlan(s, dir)),
     "pipeline_card" -> ((s, dir) => datasetCard(s, dir)),
@@ -1098,7 +1440,160 @@ object Pipeline {
       |  FROM m GROUP BY doc_id),
       |""".stripMargin
 
+  /** Shared CTE prefix of the near-ingest oracle (planted corpus →
+    * signatures → the three-batch state evolution with exact-keeper,
+    * state-near and within-batch-near rules, ending at surv0/1/2) —
+    * `pipeline_ingest_near` appends the loop-fate select,
+    * `pipeline_requeue` appends the curation-delete + re-probe
+    * extension on top. */
+  private val nearLoopCte: String =
+      """WITH pl AS (
+        |  SELECT doc_id + 1000000 AS doc_id, source,
+        |    substring(text, 1, length(text) - 4) || 'XXXX' AS text
+        |  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 64),
+        |alld AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id, source, text FROM pl),
+        |sg AS (
+        |  SELECT doc_id, source, md5(text) AS digest,
+        |    doc_id % 3 AS b, CAST(length(text) AS BIGINT) AS len,
+        |    list_transform(range(0, 8), i ->
+        |      ('0x' || substr(md5(substring(text,
+        |          CAST(i * greatest((length(text) + 7) // 8, 1) + 1 AS BIGINT),
+        |          greatest((length(text) + 7) // 8, 1))), 1, 15))::BIGINT
+        |        % 1000000007) AS sigs
+        |  FROM alld),
+        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY b, digest) AS keeper FROM sg),
+        |w0 AS (SELECT * FROM k WHERE b = 0 AND doc_id = keeper),
+        |nw0 AS (SELECT DISTINCT a.doc_id, a.source FROM w0 a JOIN w0 o
+        |  ON o.doc_id < a.doc_id AND a.len >= 64 AND o.len >= 64
+        |  AND list_sum(list_transform(range(1, 9),
+        |    i -> CASE WHEN a.sigs[i] = o.sigs[i] THEN 1 ELSE 0 END)) >= 6),
+        |surv0 AS (SELECT * FROM w0
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM nw0)),
+        |w1 AS (SELECT * FROM k WHERE b = 1 AND doc_id = keeper),
+        |e1 AS (SELECT * FROM w1 WHERE digest IN (SELECT digest FROM surv0)),
+        |r1 AS (SELECT * FROM w1 WHERE digest NOT IN (SELECT digest FROM surv0)),
+        |n1 AS (SELECT DISTINCT a.doc_id, a.source FROM r1 a JOIN surv0 o
+        |  ON a.len >= 64 AND o.len >= 64
+        |  AND list_sum(list_transform(range(1, 9),
+        |      i -> CASE WHEN a.sigs[i] = o.sigs[i] THEN 1 ELSE 0 END)) >= 6
+        |  UNION
+        |  SELECT a.doc_id, a.source FROM r1 a JOIN r1 o
+        |  ON o.doc_id < a.doc_id AND a.len >= 64 AND o.len >= 64
+        |  AND list_sum(list_transform(range(1, 9),
+        |      i -> CASE WHEN a.sigs[i] = o.sigs[i] THEN 1 ELSE 0 END)) >= 6),
+        |surv1 AS (SELECT * FROM r1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM n1)),
+        |st1 AS (SELECT * FROM surv0 UNION ALL SELECT * FROM surv1),
+        |w2 AS (SELECT * FROM k WHERE b = 2 AND doc_id = keeper),
+        |e2 AS (SELECT * FROM w2 WHERE digest IN (SELECT digest FROM st1)),
+        |r2 AS (SELECT * FROM w2 WHERE digest NOT IN (SELECT digest FROM st1)),
+        |n2 AS (SELECT DISTINCT a.doc_id, a.source FROM r2 a JOIN st1 o
+        |  ON a.len >= 64 AND o.len >= 64
+        |  AND list_sum(list_transform(range(1, 9),
+        |      i -> CASE WHEN a.sigs[i] = o.sigs[i] THEN 1 ELSE 0 END)) >= 6
+        |  UNION
+        |  SELECT a.doc_id, a.source FROM r2 a JOIN r2 o
+        |  ON o.doc_id < a.doc_id AND a.len >= 64 AND o.len >= 64
+        |  AND list_sum(list_transform(range(1, 9),
+        |      i -> CASE WHEN a.sigs[i] = o.sigs[i] THEN 1 ELSE 0 END)) >= 6),
+        |surv2 AS (SELECT * FROM r2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM n2))""".stripMargin
+
+  /** The loop's per-doc fate rows (the UNION body shared by the
+    * ingest oracle's select and the requeue oracle's audit census). */
+  private val nearLoopFates: String =
+      """  SELECT doc_id, source, 'exact_dup' AS fate FROM k WHERE doc_id <> keeper
+        |  UNION ALL SELECT doc_id, source, 'exact_dup' FROM e1
+        |  UNION ALL SELECT doc_id, source, 'exact_dup' FROM e2
+        |  UNION ALL SELECT doc_id, source, 'near_dup' FROM nw0
+        |  UNION ALL SELECT doc_id, source, 'near_dup' FROM n1
+        |  UNION ALL SELECT doc_id, source, 'near_dup' FROM n2
+        |  UNION ALL SELECT doc_id, source, 'kept' FROM surv0
+        |  UNION ALL SELECT doc_id, source, 'kept' FROM surv1
+        |  UNION ALL SELECT doc_id, source, 'kept' FROM surv2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the BFD fold replayed step-for-step: same (tok DESC, doc_id)
+    // order, same min((W-fill)*100000+i) best-fit selection, via a
+    // recursive CTE advancing every packing unit one doc per step
+    "pipeline_pack_bfd" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    doc_id // 256 AS bucket FROM documents),
+        |o AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket
+        |    ORDER BY tok DESC, doc_id) AS BIGINT) AS r FROM t),
+        |nb AS (SELECT bucket, max(r) AS mx FROM o GROUP BY bucket),
+        |f AS (
+        |  SELECT bucket, CAST(0 AS BIGINT) AS r,
+        |    CAST([] AS STRUCT(fill BIGINT, n BIGINT, first BIGINT)[]) AS st
+        |  FROM (SELECT DISTINCT bucket FROM o)
+        |  UNION ALL
+        |  -- `best` hoists to a derived-table scalar: DuckDB binds a
+        |  -- lambda WITHIN another lambda's body to the outer lambda's
+        |  -- parameters, so the best-fit min must be computed outside
+        |  -- the update lambda (the chained calls below are fine —
+        |  -- no lambda body contains another lambda)
+        |  SELECT bucket, r,
+        |    CASE WHEN best IS NULL
+        |      THEN list_append(st0, {'fill': tok,
+        |        'n': CAST(1 AS BIGINT), 'first': did})
+        |      ELSE list_transform(st0, (w, i) -> CASE WHEN i = best % 100000
+        |        THEN {'fill': w.fill + tok, 'n': w.n + 1,
+        |          'first': w.first} ELSE w END)
+        |    END AS st
+        |  FROM (
+        |    SELECT f.bucket AS bucket, o.r AS r, f.st AS st0,
+        |      o.tok AS tok, o.doc_id AS did,
+        |      list_min(list_transform(list_filter(list_transform(f.st,
+        |          (w2, i2) -> {'fill': w2.fill, 'i': i2}),
+        |        c -> c.fill + o.tok <= 2048),
+        |        c -> (2048 - c.fill) * 100000 + c.i)) AS best
+        |    FROM f JOIN o ON o.bucket = f.bucket AND o.r = f.r + 1) s),
+        |fin AS (SELECT f.bucket, f.st FROM f
+        |  JOIN nb ON nb.bucket = f.bucket AND f.r = nb.mx)
+        |SELECT bucket, CAST(e.win AS BIGINT) AS win,
+        |  CAST(e.n AS BIGINT) AS n_docs,
+        |  CAST(e.fill AS BIGINT) AS fill_tokens,
+        |  CAST(e.first AS BIGINT) AS first_doc,
+        |  CAST(2048 - e.fill AS BIGINT) AS slack
+        |FROM (SELECT bucket, unnest(list_transform(st, (w, i) ->
+        |    {'win': i - 1, 'n': w.n, 'fill': w.fill, 'first': w.first})) AS e
+        |  FROM fin)
+        |ORDER BY bucket, win""".stripMargin,
+    "pipeline_requeue" ->
+      (nearLoopCte + """,
+        |allsurv AS (SELECT * FROM surv0
+        |  UNION ALL SELECT * FROM surv1 UNION ALL SELECT * FROM surv2),
+        |corpus2 AS (SELECT * FROM allsurv
+        |  WHERE NOT (doc_id % 7 = 0 OR doc_id >= 1000000)),
+        |q AS (SELECT k.* FROM k JOIN (
+        |    SELECT doc_id FROM nw0 UNION SELECT doc_id FROM n1
+        |    UNION SELECT doc_id FROM n2) nn USING (doc_id)),
+        |qk AS (SELECT q.*, min(doc_id) OVER (PARTITION BY digest) AS rkeeper
+        |  FROM q),
+        |rqe AS (SELECT * FROM qk WHERE doc_id <> rkeeper
+        |  OR digest IN (SELECT digest FROM corpus2)),
+        |rqr AS (SELECT * FROM qk
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM rqe)),
+        |rqn AS (SELECT DISTINCT a.doc_id, a.source FROM rqr a JOIN corpus2 o
+        |  ON a.len >= 64 AND o.len >= 64
+        |  AND list_sum(list_transform(range(1, 9),
+        |      i -> CASE WHEN a.sigs[i] = o.sigs[i] THEN 1 ELSE 0 END)) >= 6
+        |  UNION
+        |  SELECT a.doc_id, a.source FROM rqr a JOIN rqr o
+        |  ON o.doc_id < a.doc_id AND a.len >= 64 AND o.len >= 64
+        |  AND list_sum(list_transform(range(1, 9),
+        |      i -> CASE WHEN a.sigs[i] = o.sigs[i] THEN 1 ELSE 0 END)) >= 6),
+        |rqk AS (SELECT * FROM rqr
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM rqn))
+        |SELECT source, fate, CAST(count(*) AS BIGINT) AS n FROM (
+        |""".stripMargin + nearLoopFates + """
+        |  UNION ALL SELECT doc_id, source, 'requeue_exact' FROM rqe
+        |  UNION ALL SELECT doc_id, source, 'requeue_near' FROM rqn
+        |  UNION ALL SELECT doc_id, source, 'requeued' FROM rqk)
+        |GROUP BY source, fate ORDER BY source, fate""".stripMargin),
     // curriculum tiers: the text_quality score formula (oracle-pinned
     // there) ranked by (score, doc_id) and cut by standard NTILE —
     // bucketed-rank arithmetic on the Spark side must equal the
@@ -1401,6 +1896,35 @@ object Pipeline {
         |SELECT CAST(row_number() OVER (ORDER BY key, source, doc_id) AS BIGINT) AS pos,
         |  source, doc_id
         |FROM k ORDER BY key, source, doc_id LIMIT 100""".stripMargin,
+    // the FULL schedule: global interleave position + near-equal
+    // contiguous shard blocks (exact NTILE arithmetic), reduced to
+    // the per-shard conservation census
+    "pipeline_interleave_full" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    CAST(i * 2 + 1 AS DOUBLE) / CAST(n_s * 2 AS DOUBLE) AS key
+        |  FROM r),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (ORDER BY key, source, doc_id) AS BIGINT) AS pos,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM k),
+        |sh AS (
+        |  SELECT *, CASE WHEN pos <= (n % 8) * (n // 8 + 1)
+        |    THEN (pos - 1) // (n // 8 + 1)
+        |    ELSE (n % 8) + (pos - 1 - (n % 8) * (n // 8 + 1))
+        |      // greatest(n // 8, 1) END AS shard
+        |  FROM p)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(pos) AS first_pos, max(pos) AS last_pos,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     // the span artifact: pipeline_pack_bpe's exact CTEs with the
     // window-local offset carried through; string_agg in doc order
     // pins every document boundary in every window
@@ -1449,53 +1973,10 @@ object Pipeline {
     // banded Spark plan is exact for it by pigeonhole: ≤2 mismatches
     // can break at most 2 of the 4 two-stripe bands)
     "pipeline_ingest_near" ->
-      """WITH pl AS (
-        |  SELECT doc_id + 1000000 AS doc_id, source,
-        |    substring(text, 1, length(text) - 4) || 'XXXX' AS text
-        |  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 64),
-        |alld AS (
-        |  SELECT doc_id, source, text FROM documents
-        |  UNION ALL SELECT doc_id, source, text FROM pl),
-        |sg AS (
-        |  SELECT doc_id, source, md5(text) AS digest,
-        |    doc_id % 3 AS b, CAST(length(text) AS BIGINT) AS len,
-        |    list_transform(range(0, 8), i ->
-        |      ('0x' || substr(md5(substring(text,
-        |          CAST(i * greatest((length(text) + 7) // 8, 1) + 1 AS BIGINT),
-        |          greatest((length(text) + 7) // 8, 1))), 1, 15))::BIGINT
-        |        % 1000000007) AS sigs
-        |  FROM alld),
-        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY b, digest) AS keeper FROM sg),
-        |surv0 AS (SELECT * FROM k WHERE b = 0 AND doc_id = keeper),
-        |w1 AS (SELECT * FROM k WHERE b = 1 AND doc_id = keeper),
-        |e1 AS (SELECT * FROM w1 WHERE digest IN (SELECT digest FROM surv0)),
-        |r1 AS (SELECT * FROM w1 WHERE digest NOT IN (SELECT digest FROM surv0)),
-        |n1 AS (SELECT DISTINCT r.doc_id, r.source FROM r1 r JOIN surv0 o
-        |  ON r.len >= 64 AND o.len >= 64
-        |  AND list_sum(list_transform(range(1, 9),
-        |    i -> CASE WHEN r.sigs[i] = o.sigs[i] THEN 1 ELSE 0 END)) >= 6),
-        |surv1 AS (SELECT * FROM r1
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM n1)),
-        |st1 AS (SELECT * FROM surv0 UNION ALL SELECT * FROM surv1),
-        |w2 AS (SELECT * FROM k WHERE b = 2 AND doc_id = keeper),
-        |e2 AS (SELECT * FROM w2 WHERE digest IN (SELECT digest FROM st1)),
-        |r2 AS (SELECT * FROM w2 WHERE digest NOT IN (SELECT digest FROM st1)),
-        |n2 AS (SELECT DISTINCT r.doc_id, r.source FROM r2 r JOIN st1 o
-        |  ON r.len >= 64 AND o.len >= 64
-        |  AND list_sum(list_transform(range(1, 9),
-        |    i -> CASE WHEN r.sigs[i] = o.sigs[i] THEN 1 ELSE 0 END)) >= 6),
-        |surv2 AS (SELECT * FROM r2
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM n2))
+      (nearLoopCte + """
         |SELECT doc_id, source, fate FROM (
-        |  SELECT doc_id, source, 'exact_dup' AS fate FROM k WHERE doc_id <> keeper
-        |  UNION ALL SELECT doc_id, source, 'exact_dup' FROM e1
-        |  UNION ALL SELECT doc_id, source, 'exact_dup' FROM e2
-        |  UNION ALL SELECT doc_id, source, 'near_dup' FROM n1
-        |  UNION ALL SELECT doc_id, source, 'near_dup' FROM n2
-        |  UNION ALL SELECT doc_id, source, 'kept' FROM surv0
-        |  UNION ALL SELECT doc_id, source, 'kept' FROM surv1
-        |  UNION ALL SELECT doc_id, source, 'kept' FROM surv2)
-        |ORDER BY doc_id""".stripMargin,
+        |""".stripMargin + nearLoopFates + """
+        |) ORDER BY doc_id""".stripMargin),
     // gram generation mirrors the contamination oracle exactly; a doc
     // survives iff NONE of its distinct 5-grams appears in the eval set
     "pipeline_decontaminate" ->

@@ -362,6 +362,25 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"))
   }
 
+  test("pipeline_interleave: per-source rank is a (bkt, source)-PARTITIONED window; head cut is a TopK") {
+    import org.apache.spark.sql.functions.col
+    // the public operator returns a driver-materialized head artifact
+    // (pinned-assignment lifecycle) — probe the planned form
+    val (pinned, ranked) = operators.Pipeline.interleaveRanked(spark, sfDir)
+    val top = ranked.orderBy(col("key"), col("source"), col("doc_id"))
+      .limit(100)
+    val p = try top.queryExecution.executedPlan.toString
+      finally { pinned.unpersist(blocking = false); () }
+    assert("windowspecdefinition\\(bkt#".r.findFirstIn(p).nonEmpty,
+      "the per-source rank must partition by the range bucket — " +
+        "never one task per source")
+    assert(!p.contains("SinglePartition"))
+    assert(p.contains("TakeOrderedAndProject"), "the head cut must be a TopK")
+    assert(count(p, "SortMergeJoin") === 0)
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      "the census offsets must broadcast back")
+  }
+
   test("pipeline_shuffle: the within-shard rank is a PARTITIONED window — never a global row_number") {
     val p = plan("pipeline_shuffle")
     assert(count(p, "Join") === 0)

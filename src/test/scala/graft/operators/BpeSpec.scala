@@ -162,10 +162,19 @@ class BpeSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       assert(vocab.count() === before)
+      // the assertion targets TRAINING-SCALE work, not an exact job
+      // count: a parquet read may legitimately schedule footer/AQE
+      // side jobs, but training is >= 2 jobs per merge round (3
+      // rounds here) plus the corpus census — a floor of ~7. Stay
+      // well under it, and pin the structural fact directly: the
+      // frame still reads ONLY the disk artifact.
       val deadline = System.nanoTime() + 5000000000L
       while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
-      assert(jobs.get() <= 2,
-        s"post-eviction vocab read ran ${jobs.get()} jobs — re-training?")
+      assert(jobs.get() < 5,
+        s"post-eviction vocab read ran ${jobs.get()} jobs — " +
+          "at training scale (>= 7 for 3 merge rounds)?")
+      assert(vocab.inputFiles.forall(_.contains("graft_bpe_vocab_")),
+        "post-eviction vocab frame must still read the disk artifact")
     } finally spark.sparkContext.removeSparkListener(l)
   }
 

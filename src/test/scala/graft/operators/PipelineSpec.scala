@@ -15,6 +15,61 @@ import org.apache.spark.sql.functions._
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pipeline_interleave: bucketed rank is boundary-independent (B=3 ≡ B=64); full schedule conserves") {
+    val a = Pipeline.interleave(spark, sfDir, buckets = Some(3))
+      .collect().map(_.toString).toSeq
+    val b = Pipeline.interleave(spark, sfDir, buckets = Some(64))
+      .collect().map(_.toString).toSeq
+    assert(a === b,
+      "the head artifact must not depend on where range partitioning cut the buckets")
+    val s3 = Pipeline.interleaveSchedule(spark, sfDir, buckets = Some(3))
+      .collect()
+    val s64 = Pipeline.interleaveSchedule(spark, sfDir, buckets = Some(64))
+      .collect()
+    assert(s3.map(_.toString).toSeq === s64.map(_.toString).toSeq,
+      "the full schedule must be boundary-independent")
+    // CONSERVATION: the shard blocks partition the whole corpus into
+    // contiguous near-equal position ranges, nothing lost or doubled
+    val total = Tables(spark, sfDir, "documents").count()
+    val rows = s3.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (0L until rows.length.toLong),
+      "shard ids must be dense from 0")
+    assert(rows.map(_._2).sum === total, "schedule must cover every doc once")
+    assert(rows.head._3 === 1L)
+    assert(rows.last._4 === total)
+    rows.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(y._3 === x._4 + 1, "shard blocks must be contiguous")
+      case _ => ()
+    }
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1L,
+      "shards must be near-equal")
+  }
+
+  test("pipeline_pack_bfd: conservation, capacity, and determinism of the best-fit fold") {
+    val res = Pipeline.packBfd(spark, sfDir).collect()
+    val docsTbl = Tables(spark, sfDir, "documents")
+    val total = docsTbl.count()
+    assert(res.map(_.getLong(2)).sum === total,
+      "every document must pack exactly once")
+    val toks = docsTbl
+      .select(size(split(col("text"), " ")).cast("long").as("t"))
+      .agg(sum(col("t"))).as[Long].head()
+    assert(res.map(_.getLong(3)).sum === toks,
+      "token mass must be conserved across windows")
+    // capacity: only a SINGLETON window may exceed W (an oversize doc
+    // gets its own window, flagged by negative slack)
+    res.foreach { r =>
+      if (r.getLong(2) > 1L)
+        assert(r.getLong(3) <= 2048L,
+          s"multi-doc window over capacity: $r")
+    }
+    assert(res.map(_.toString).toSeq ===
+      Pipeline.packBfd(spark, sfDir).collect().map(_.toString).toSeq,
+      "the fold must be deterministic")
+  }
+
   test("pipeline_split: a document's split never moves when other docs come or go") {
     val all = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), Pipeline.splitCol(col("doc_id")).as("split"))
@@ -248,23 +303,22 @@ class PipelineSpec extends SparkSpec {
       === Array(0L, 2L, 3L, 7L))
     assert(!bandsT.read().select("doc_id").as[Long].collect().contains(1L))
     // I/O CONTRACT: a NEW batch's near probe plans its scans over the
-    // band index's files — never a corpus data file
+    // band index's files — never a corpus data file — and ONLY the
+    // index files in the batch's own mbucket(k1) footprint open
+    // (the per-batch probe bound a steady-state crawl needs)
     val next = Seq((9L, "web", body.substring(0, 56) + "YYYYXXXX"))
       .toDF("doc_id", "source", "text")
       .select(col("doc_id"), col("source"),
         md5(col("text")).as("digest"), sigsCol.as("sigs"),
         length(col("text")).cast("long").as("len"))
-    val probe = bandsT.read().join(
-        broadcast(next.filter(col("len") >= 64L)
-          .select(col("doc_id").as("new_id"), col("sigs").as("new_sigs"))
-          .select(col("new_id"), col("new_sigs"),
-            explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
-              "new_sigs[b * 2] AS k1, new_sigs[b * 2 + 1] AS k2))")).as("bd"))
-          .select(col("bd.band").as("band"), col("bd.k1").as("k1"),
-            col("bd.k2").as("k2"), col("new_id"), col("new_sigs"))),
-        Seq("band", "k1", "k2"))
-      .filter(expr("aggregate(zip_with(sigs, new_sigs, " +
-        "(x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v) >= 6"))
+    val nextBands = next.filter(col("len") >= 64L)
+      .select(col("doc_id"), col("sigs"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
+          "sigs[b * 2] AS k1, sigs[b * 2 + 1] AS k2))")).as("bd"))
+      .select(col("bd.band").as("band"), col("bd.k1").as("k1"),
+        col("bd.k2").as("k2"), col("doc_id"), col("sigs"))
+    val st = Pipeline.nearDedupState(spark, work)
+    val probe = Pipeline.nearProbe(st, nextBands)
     val corpusData = work.resolve("t").resolve("data").toAbsolutePath.toString
     val bandData = work.resolve("bands").resolve("data").toAbsolutePath.toString
     val inputs = probe.inputFiles.toSeq
@@ -272,10 +326,104 @@ class PipelineSpec extends SparkSpec {
       s"the near probe must read the band index, inputs: $inputs")
     assert(!inputs.exists(_.contains(corpusData)),
       s"the near probe must NOT open corpus data files, inputs: $inputs")
+    // BUCKET PRUNING: the probe's file opens are bounded by the
+    // batch's own bucket footprint, not the index size
+    val bt = graft.sources.Transform.mbucket(Pipeline.NearBandBuckets, "k1")
+    val probeIds = nextBands
+      .select(bt.columnFor(org.apache.spark.sql.types.LongType).as("bk"))
+      .distinct().as[Long].collect().toSet
+    val prunedPaths = bandsT.filesForBuckets("k1", probeIds)
+      .map(f => new java.io.File(f.path).getCanonicalPath).toSet
+    assert(inputs.forall(u =>
+        prunedPaths.contains(new java.io.File(
+          java.net.URI.create(u).getPath).getCanonicalPath)),
+      s"probe opened a file outside the batch's bucket footprint: $inputs")
+    val allBuckets = bandsT.snapshot().files
+      .flatMap(_.partitions.values).distinct
+    if (allBuckets.exists(v => !probeIds.contains(v.toLong)))
+      assert(inputs.size < bandsT.snapshot().files.size,
+        "index files outside the probe's buckets must not open")
     // and it verifies: doc 9 differs from doc 0 only in the trailing
     // stripe (7/8 match) — a near-dup at the >=6 bar
     assert(probe.select("new_id").distinct().as[Long].collect().toSeq
       === Seq(9L))
+  }
+
+  test("pipeline_ingest_near: a near pair arriving in the SAME batch quarantines the younger (within-batch rule)") {
+    val body = "abcdefgh" * 8
+    val mut = body.substring(0, 60) + "XXXX"
+    // 0 and 3 are both in batch doc_id%3==0 — the r19 blind spot
+    val rows = Seq((0L, "web", body), (3L, "web", mut))
+      .toDF("doc_id", "source", "text")
+    val stride = greatest(expr("(length(text) + 7) div 8"), lit(1L))
+    val sigsCol = transform(sequence(lit(0L), lit(7L)), i =>
+      pmod(conv(substring(md5(col("text").substr(i * stride + lit(1L), stride)),
+        1, 15), 16, 10).cast("long"), lit(1000000007L)))
+    val d = rows.select(col("doc_id"), col("source"),
+      md5(col("text")).as("digest"), sigsCol.as("sigs"),
+      length(col("text")).cast("long").as("len"))
+    val work = java.nio.file.Files.createTempDirectory("ingest_near_wb_")
+    val (fates, table, _) = Pipeline.ingestDedupNearLoop(spark, d, work)
+    assert(fates.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      === Map(0L -> "kept", 3L -> "near_dup"))
+    assert(table.read().select("doc_id").as[Long].collect().toSeq === Seq(0L))
+  }
+
+  test("pipeline_requeue: a quarantined doc whose twin is deleted re-enters; the audit trail is complete; replay is exactly-once") {
+    val body = "abcdefgh" * 8
+    val mutA = body.substring(0, 60) + "XXXX" // near-dup of body
+    val other = "zyxwvuts" * 8
+    val mutB = other.substring(0, 60) + "QQQQ" // near-dup of other
+    val rows = Seq(
+      (0L, "web", body),   // batch 0: kept
+      (6L, "lit", other),  // batch 0: kept
+      (1L, "web", mutA),   // batch 1: near-dup of 0 → quarantined
+      (7L, "lit", mutB)    // batch 1: near-dup of 6 → quarantined
+    ).toDF("doc_id", "source", "text")
+    val stride = greatest(expr("(length(text) + 7) div 8"), lit(1L))
+    val sigsCol = transform(sequence(lit(0L), lit(7L)), i =>
+      pmod(conv(substring(md5(col("text").substr(i * stride + lit(1L), stride)),
+        1, 15), 16, 10).cast("long"), lit(1000000007L)))
+    val d = rows.select(col("doc_id"), col("source"),
+      md5(col("text")).as("digest"), sigsCol.as("sigs"),
+      length(col("text")).cast("long").as("len"))
+    val work = java.nio.file.Files.createTempDirectory("requeue_spec_")
+    Pipeline.ingestDedupNearLoop(spark, d, work)
+    val st = Pipeline.nearDedupState(spark, work)
+    // takedown of doc 0 ONLY — doc 1's twin vanishes, doc 7's stays
+    Pipeline.nearDelete(st, col("doc_id") === 0L)
+    Pipeline.requeueStep(st, tag = "rq-1")
+    val byFate = st.fateLog.read().select("doc_id", "fate")
+      .as[(Long, String)].collect().groupBy(_._2)
+      .map { case (k, v) => k -> v.map(_._1).toSeq.sorted }
+    assert(byFate("requeued") === Seq(1L),
+      "the freed doc must re-enter as 'requeued'")
+    assert(byFate("requeue_near") === Seq(7L),
+      "a doc whose twin survives must stay quarantined")
+    assert(byFate("near_dup").sorted === Seq(1L, 7L),
+      "the original verdicts stay in the audit trail")
+    assert(st.table.read().select("doc_id").as[Long].collect().sorted
+      === Array(1L, 6L), "corpus = survivor of the takedown + the freed doc")
+    // EXACTLY-ONCE: replaying the same tag must not re-probe or
+    // duplicate state (doc 7 would otherwise flip: its twin 6 is
+    // still present, but a naive re-run could double-append doc 1)
+    val v = (st.table.currentVersion, st.fateLog.currentVersion)
+    Pipeline.requeueStep(st, tag = "rq-1")
+    assert(st.table.read().select("doc_id").as[Long].collect().sorted
+      === Array(1L, 6L))
+    assert(st.fateLog.currentVersion === v._2,
+      "a replayed requeue must not append new fate rows")
+    // a SECOND requeue generation (new tag) re-probes only docs whose
+    // latest fate is still 'near_dup' — doc 1 is resolved, doc 7
+    // still blocked
+    Pipeline.requeueStep(st, tag = "rq-2")
+    val n7 = st.fateLog.read().filter(col("doc_id") === 7L)
+      .select("fate").as[String].collect().count(_ == "requeue_near")
+    assert(n7 === 2, "the second generation must re-probe doc 7 only")
+    val n1 = st.fateLog.read().filter(col("doc_id") === 1L)
+      .select("fate").as[String].collect()
+      .count(_.startsWith("requeue"))
+    assert(n1 === 1, "a resolved doc must not re-probe")
   }
 
   test("pipeline_select: bucket count is boundary-independent (B=3 ≡ B=64), budgets hold per source") {
