@@ -108,7 +108,14 @@ object Bench {
     // process and cache it, so their recorded min is probe-time with a
     // warm index — the documented production shape (train once, probe
     // many); the cold build cost is the pass-1 sample.
+    // local-iteration subset (SPARK_GRAFT_BENCH_ONLY=q1,q2): time just
+    // the named queries — the driver never sets it, so driver runs
+    // always measure the full suite
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     for (_ <- 1 to 2; (name, fn) <- ordered if !errors.contains(name)) {
       try {
         val t0 = System.nanoTime()

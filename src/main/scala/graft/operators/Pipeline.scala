@@ -1028,14 +1028,24 @@ object Pipeline {
     * the oracle replays verbatim; two near-duplicates arriving in
     * the SAME batch quarantine the younger instead of both slipping
     * in). A single when-chain names the fate, exact precedence over
-    * near. Returns the batch + fate ∈ kept|exact_dup|near_dup,
-    * UNPINNED — callers persist before mutating state. */
-  private def nearFates(st: NearDedupState, batch0: DataFrame): DataFrame = {
+    * near. Returns the batch + fate ∈ kept|exact_dup|near_dup
+    * (UNPINNED — callers persist before mutating state) and a
+    * release thunk for the probe-band pin, to call AFTER the fates
+    * materialize. */
+  private def nearFates(st: NearDedupState,
+      batch0: DataFrame): (DataFrame, () => Unit) = {
     val (table, bands, mv) = (st.table, st.bands, st.mv)
     val shape = Seq("doc_id", "source", "digest", "sigs", "len").map(col)
+    // PINNED: the keeper-joined batch feeds the exact-probe build,
+    // the flag chain AND (via probeBands) both near probes — each a
+    // separate broadcast-build job that would otherwise re-run the
+    // keeper shuffle (streaming micro-batches arrive unpersisted, so
+    // this pin matters doubly there); caches fill lazily under the
+    // caller's pre-mutation materialization
     val batch = batch0.join(
-      batch0.groupBy(col("digest")).agg(min(col("doc_id")).as("min_id")),
-      Seq("digest"))
+        batch0.groupBy(col("digest")).agg(min(col("doc_id")).as("min_id")),
+        Seq("digest"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keep = batch.filter(col("doc_id") === col("min_id"))
     // cross-batch EXACT probe: the digest MV, never the corpus
     val foundExact =
@@ -1045,7 +1055,14 @@ object Pipeline {
           Seq("digest"), "left_semi").distinct())
     val afterExact = foundExact.fold(keep)(f =>
       keep.join(broadcast(f), Seq("digest"), "left_anti"))
+    // PINNED: three consumers (the bucket-footprint collect, the
+    // index probe's broadcast build, both sides of the within-batch
+    // self join) — unpinned, each broadcast job would re-derive the
+    // whole exact-probe subtree (the multi-consumer re-scan pitfall).
+    // The bucket-footprint collect is the first action and fills the
+    // cache — no separate count needed.
     val probeBands = nearBandRows(afterExact)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearIds =
       if (bands.currentVersion == 0L) None
       else Some(nearProbe(st, probeBands)
@@ -1067,7 +1084,7 @@ object Pipeline {
       .fold(withX.withColumn("nr", lit(null).cast("int")))(n =>
         withX.join(broadcast(n.withColumn("nr", lit(1))),
           Seq("doc_id"), "left"))
-    withNr
+    val fates = withNr
       .join(broadcast(selfNear.withColumn("snr", lit(1))),
         Seq("doc_id"), "left")
       .withColumn("fate",
@@ -1077,6 +1094,11 @@ object Pipeline {
           .when(col("snr") === 1, lit("near_dup"))
           .otherwise(lit("kept")))
       .select(shape :+ col("fate"): _*)
+    (fates, () => {
+      probeBands.unpersist(blocking = false)
+      batch.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** The fate-log row shape: near-dup rows carry their signature
@@ -1125,8 +1147,10 @@ object Pipeline {
     // PIN the batch's fates BEFORE any state mutation: three appends
     // consume this frame, and an unpinned lineage would re-probe
     // after the MV/band/table commits moved the state under it
-    val fate = nearFates(st, batch0).persist(StorageLevel.MEMORY_AND_DISK)
+    val (fates0, release) = nearFates(st, batch0)
+    val fate = fates0.persist(StorageLevel.MEMORY_AND_DISK)
     fate.count() // materialize against the pre-mutation state
+    release()
     // appends COALESCE on the cached read (upstream probe
     // parallelism untouched): an un-coalesced append writes one
     // tiny parquet file per shuffle partition per table per batch —
@@ -1149,8 +1173,13 @@ object Pipeline {
     * LogTables; the MV follows through its retraction-or-full path. */
   private[graft] def nearDelete(st: NearDedupState,
       cond: org.apache.spark.sql.Column): Unit = {
-    st.table.delete(cond)
-    st.bands.delete(cond)
+    // MERGE-ON-READ marks, not COW rewrites: a takedown touches a
+    // slice of (usually) every file — a COW path would rewrite the
+    // whole corpus and band index for one curation op, while marks
+    // are O(matched rows) and every probe read is delete-aware
+    // anyway. Compaction folds the debt later on its own schedule.
+    st.table.deleteMor(cond)
+    st.bands.deleteMor(cond)
     st.mv.refreshOrFull()
     ()
   }
@@ -1197,13 +1226,15 @@ object Pipeline {
       .join(resolved, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("digest"), col("sigs"),
         col("len"))
-    val fate = nearFates(st, q)
+    val (fates0, release) = nearFates(st, q)
+    val fate = fates0
       .withColumn("fate",
         when(col("fate") === "kept", lit("requeued"))
           .when(col("fate") === "exact_dup", lit("requeue_exact"))
           .otherwise(lit("requeue_near")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     fate.count() // materialize against the pre-mutation state
+    release()
     val survivors = fate.filter(col("fate") === "requeued")
     fateLog.append(fateLogRows(fate, requeueFates).coalesce(4), tag = tag)
     table.append(survivors
