@@ -2089,6 +2089,17 @@ final class LogTable private (val spark: SparkSession, val root: String,
     * like any other. */
   private def mergedSchemaWith(snap: Snapshot,
       add: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    // Iceberg RESERVES the row-lineage column names, and graft's
+    // rewrite paths use them as the physical materialization channel
+    // ([[readLiveRw]]/[[writeDataFiles]]) — a user DATA column under
+    // either name would be indistinguishable from materialized
+    // lineage (and a v3 reader would serve it as row ids). Writers
+    // reject colliding user columns loudly, like the _del_ plumbing.
+    Seq(LogTable.RowIdCol, LogTable.LuSeqCol).foreach(r =>
+      require(!add.fieldNames.exists(_.equalsIgnoreCase(r)),
+        s"column name '$r' is reserved for Iceberg v3 row-lineage " +
+          "metadata (spec-reserved; graft stores materialized lineage " +
+          "under it) — rename the column"))
     val base = schemaOf(snap)
     val blocked = snap.retired.map(_.toLowerCase).toSet ++
       (LogTable.liveNames(base) -- base.map(_.name.toLowerCase))
