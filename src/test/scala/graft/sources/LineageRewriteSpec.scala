@@ -125,6 +125,21 @@ class LineageRewriteSpec extends SparkSpec {
       "re-imported stored ids must carry through the next rewrite")
   }
 
+  test("the lineage column names are RESERVED at the write boundary") {
+    // a user DATA column named _row_id would be indistinguishable
+    // from materialized lineage (a v3 reader would serve it as row
+    // ids) — writers reject it loudly, like the _del_ plumbing
+    val t = LogTable(spark, tmp("lin_reserved_"))
+    val e = intercept[IllegalArgumentException](
+      t.append(Seq((1L, 2L)).toDF("id", "_row_id")))
+    assert(e.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException](
+      t.append(Seq((1L, 2L)).toDF("id", "_LAST_updated_sequence_number")))
+    assert(e2.getMessage.contains("reserved"))
+    t.append(Seq((1L, 2L)).toDF("id", "v")) // sane names still write
+    assert(t.read().count() === 1L)
+  }
+
   test("DSv2 row-level ops refuse on lineage files (ReplaceData cannot thread _row_id)") {
     val (t, _, _) = adopted(10L)
     val snap = t.snapshot()
