@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+/** Optimization-round measurement harness (guide §1: measure first).
+  * Times LABELED PHASES of the expensive lifecycle queries and counts
+  * the Spark jobs each phase schedules, so optimization targets the
+  * measured cost, not a guess. Never run by the driver; results land
+  * on stdout only. Usage:
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Prof near"
+  */
+object Prof {
+  @volatile private var jobs = 0
+
+  private def phase[T](name: String)(body: => T): T = {
+    val j0 = jobs
+    val t0 = System.nanoTime()
+    val r = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[prof] $name%-28s ${sec}%7.3f s  jobs=${jobs - j0}")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
+    })
+    // warm-up, as Bench does
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.all.foreach(t => Tables(spark, sfDir, t).count())
+
+    val what = args.headOption.getOrElse("near")
+    (1 to 2).foreach { round =>
+      println(s"== pass $round ==")
+      what match {
+        case "near" => profNear(spark, sfDir)
+        case "apilog" => profApiLog(spark, sfDir)
+        case "lake" => profLake(spark, sfDir)
+        case q =>
+          phase(q) {
+            SparkEntry.queries(q)(spark, sfDir)
+              .queryExecution.toRdd.count()
+          }
+          ()
+      }
+    }
+    spark.stop()
+  }
+
+  private def profNear(s: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pipeline
+    val work = graft.Scratch.dir("graft_prof_requeue_")
+    val st = Pipeline.nearDedupState(s, work)
+    val dp = phase("nearSigFrame+persist") {
+      val d = Pipeline.nearSigFrame(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    }
+    (0L until 3L).foreach { b =>
+      // the step body, phase by phase (mirrors ingestNearStep exactly)
+      val batch0 = dp.filter(pmod(col("doc_id"), lit(3L)) === b)
+      val (fates0, release) = Pipeline.nearFates(st, batch0)
+      val fate = fates0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      phase(s"b$b fates+count") { fate.count() }
+      release()
+      val survivors = fate.filter(col("fate") === "kept")
+      phase(s"b$b fateLog.append") {
+        st.fateLog.append(
+          Pipeline.fateLogRows(fate, Seq("near_dup")).coalesce(4))
+      }
+      phase(s"b$b table.append") {
+        st.table.append(survivors
+          .select(col("doc_id"), col("digest"), col("source")).coalesce(4))
+      }
+      phase(s"b$b bands.append") {
+        st.bands.append(Pipeline.nearBandRows(survivors).coalesce(4))
+      }
+      phase(s"b$b mv.refresh") { st.mv.refresh() }
+      fate.unpersist()
+    }
+    dp.unpersist()
+    val cond = pmod(col("doc_id"), lit(7L)) === 0L || col("doc_id") >= 1000000L
+    phase("  del table.deleteMor") { st.table.deleteMor(cond) }
+    phase("  del bands.deleteMor") { st.bands.deleteMor(cond) }
+    phase("  del mv.refreshOrFull") { st.mv.refreshOrFull() }
+    // requeueStep interior, phase by phase (mirrors the body)
+    locally {
+      import org.apache.spark.storage.StorageLevel
+      val fl = st.fateLog.read()
+      val resolved = fl
+        .filter(col("fate").isin("requeued", "requeue_exact"))
+        .select(col("doc_id"))
+      val q = fl.filter(col("fate") === "near_dup")
+        .join(resolved, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("digest"), col("sigs"),
+          col("len"))
+      val (fates0, release) = Pipeline.nearFates(st, q)
+      val fate = fates0
+        .withColumn("fate",
+          when(col("fate") === "kept", lit("requeued"))
+            .when(col("fate") === "exact_dup", lit("requeue_exact"))
+            .otherwise(lit("requeue_near")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      phase("  rq fates+count") { fate.count() }
+      release()
+      val survivors = fate.filter(col("fate") === "requeued")
+      phase("  rq fateLog.append") {
+        st.fateLog.append(Pipeline.fateLogRows(fate,
+          Seq("requeued", "requeue_exact", "requeue_near")).coalesce(4))
+      }
+      phase("  rq table.append") {
+        st.table.append(survivors
+          .select(col("doc_id"), col("digest"), col("source")).coalesce(4))
+      }
+      phase("  rq bands.append") {
+        st.bands.append(Pipeline.nearBandRows(survivors).coalesce(4))
+      }
+      phase("  rq mv.refresh") { st.mv.refresh() }
+      fate.unpersist()
+    }
+    phase("final census") {
+      st.fateLog.read()
+        .groupBy(col("source"), col("fate"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("fate"))
+        .queryExecution.toRdd.count()
+    }
+    ()
+  }
+
+  private def profApiLog(s: SparkSession, dir: String): Unit = {
+    phase("log_api_lifecycle") {
+      SparkEntry.queries("log_api_lifecycle")(s, dir)
+        .queryExecution.toRdd.count()
+    }
+    phase("log_api_markers") {
+      SparkEntry.queries("log_api_markers")(s, dir)
+        .queryExecution.toRdd.count()
+    }
+    ()
+  }
+
+  private def profLake(s: SparkSession, dir: String): Unit = {
+    Seq("lake_iceberg", "lake_mv_ivm", "lake_dsv2", "lake_catalog",
+      "stream_cdc", "lake_cdc").foreach { q =>
+      phase(q) {
+        SparkEntry.queries(q)(s, dir).queryExecution.toRdd.count()
+      }
+    }
+    ()
+  }
+}

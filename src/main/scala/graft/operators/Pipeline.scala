@@ -961,7 +961,7 @@ object Pipeline {
         aggs = Seq(graft.sources.MvAgg.Count("n"))))
   }
 
-  private def nearBandRows(df: DataFrame): DataFrame = df
+  private[graft] def nearBandRows(df: DataFrame): DataFrame = df
     .filter(col("len") >= 64L)
     .select(col("doc_id"), col("sigs"), explode(expr(
       "transform(sequence(0, 3), b -> " +
@@ -1032,27 +1032,35 @@ object Pipeline {
     * (UNPINNED — callers persist before mutating state) and a
     * release thunk for the probe-band pin, to call AFTER the fates
     * materialize. */
-  private def nearFates(st: NearDedupState,
+  private[graft] def nearFates(st: NearDedupState,
       batch0: DataFrame): (DataFrame, () => Unit) = {
     val (table, bands, mv) = (st.table, st.bands, st.mv)
     val shape = Seq("doc_id", "source", "digest", "sigs", "len").map(col)
-    // PINNED: the keeper-joined batch feeds the exact-probe build,
+    // PINNED: the keeper-ranked batch feeds the exact-probe build,
     // the flag chain AND (via probeBands) both near probes — each a
     // separate broadcast-build job that would otherwise re-run the
     // keeper shuffle (streaming micro-batches arrive unpersisted, so
     // this pin matters doubly there); caches fill lazily under the
-    // caller's pre-mutation materialization
-    val batch = batch0.join(
-        batch0.groupBy(col("digest")).agg(min(col("doc_id")).as("min_id")),
-        Seq("digest"))
+    // caller's pre-mutation materialization. The keeper id is a
+    // window min over ONE digest exchange — the old groupBy+join
+    // shape paid the same shuffle PLUS a broadcast build of the
+    // aggregate per batch (guide §2.4: operations keyed alike share
+    // one exchange).
+    val batch = batch0.withColumn("min_id",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("digest"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keep = batch.filter(col("doc_id") === col("min_id"))
-    // cross-batch EXACT probe: the digest MV, never the corpus
+    // cross-batch EXACT probe: the digest MV, never the corpus.
+    // PINNED: two consumers (the band-frame anti-join and the exact
+    // flag join) would otherwise each re-run the MV semi-join inside
+    // their own broadcast build.
     val foundExact =
       if (table.currentVersion == 0L) None
       else Some(mv.read().select(col("digest"))
         .join(broadcast(keep.select(col("digest")).distinct()),
-          Seq("digest"), "left_semi").distinct())
+          Seq("digest"), "left_semi").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val afterExact = foundExact.fold(keep)(f =>
       keep.join(broadcast(f), Seq("digest"), "left_anti"))
     // PINNED: three consumers (the bucket-footprint collect, the
@@ -1067,13 +1075,17 @@ object Pipeline {
       if (bands.currentVersion == 0L) None
       else Some(nearProbe(st, probeBands)
         .select(col("new_id").as("doc_id")).distinct())
-    // within-batch near: band self-join, smaller-id sibling ≥6/8
+    // within-batch near: band self-join, smaller-id sibling ≥6/8.
+    // The broadcast side is the IDENTICAL projection nearProbe
+    // broadcasts (band, k1, k2, new_id, new_sigs), so the physical
+    // broadcast builds ONCE and is REUSED across both probes
+    // (ReuseExchange dedupes on the canonical plan).
     val selfNear = probeBands
       .join(broadcast(probeBands.select(col("band"), col("k1"), col("k2"),
-          col("doc_id").as("o_id"), col("sigs").as("o_sigs"))),
+          col("doc_id").as("new_id"), col("sigs").as("new_sigs"))),
         Seq("band", "k1", "k2"))
-      .filter(col("o_id") < col("doc_id"))
-      .filter(expr("aggregate(zip_with(o_sigs, sigs, " +
+      .filter(col("new_id") < col("doc_id"))
+      .filter(expr("aggregate(zip_with(new_sigs, sigs, " +
         "(x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v) >= 6"))
       .select(col("doc_id")).distinct()
     val withX = foundExact
@@ -1096,6 +1108,7 @@ object Pipeline {
       .select(shape :+ col("fate"): _*)
     (fates, () => {
       probeBands.unpersist(blocking = false)
+      foundExact.foreach(_.unpersist(blocking = false))
       batch.unpersist(blocking = false)
       ()
     })
@@ -1108,7 +1121,7 @@ object Pipeline {
     * exact rows stay narrow (nulls). `withPayload` widens the
     * carried set (requeue rows keep payload on every row so replay
     * can rebuild survivors). */
-  private def fateLogRows(fate: DataFrame,
+  private[graft] def fateLogRows(fate: DataFrame,
       payloadFates: Seq[String]): DataFrame =
     fate.select(col("doc_id"), col("source"), col("fate"),
       when(col("fate").isin(payloadFates: _*), col("digest")).as("digest"),
@@ -1136,11 +1149,17 @@ object Pipeline {
       val survivors = recorded.filter(col("fate") === "kept")
         .persist(StorageLevel.MEMORY_AND_DISK)
       survivors.count()
-      table.append(survivors
-        .select(col("doc_id"), col("digest"), col("source")).coalesce(4),
-        tag = tag)
-      bands.append(nearBandRows(survivors).coalesce(4), tag = tag)
-      mv.refresh()
+      // independent tables commit CONCURRENTLY off the pinned frame
+      // (guide §2.6 — the replays are per-tag idempotent either way)
+      parallelStateCommit(
+        () => {
+          table.append(survivors
+            .select(col("doc_id"), col("digest"), col("source")).coalesce(4),
+            tag = tag)
+          mv.refresh() // folds the table append — stays on its chain
+          ()
+        },
+        () => { bands.append(nearBandRows(survivors).coalesce(4), tag = tag); () })
       survivors.unpersist()
       return
     }
@@ -1156,13 +1175,35 @@ object Pipeline {
     // tiny parquet file per shuffle partition per table per batch —
     // the footer-stats pass alone then dominates the loop
     val survivors = fate.filter(col("fate") === "kept")
+    // the FATE LOG still commits FIRST — it is the authoritative
+    // replay record (see the exactly-once note above); only the
+    // INDEPENDENT state tables behind it commit concurrently
+    // (guide §2.6: overlap independent jobs — the corpus-table chain
+    // carries the MV fold, the band index rides its own thread; all
+    // consume the pinned fate frame, already materialized above)
     fateLog.append(fateLogRows(fate, Seq("near_dup")).coalesce(4), tag = tag)
-    table.append(survivors
-      .select(col("doc_id"), col("digest"), col("source")).coalesce(4),
-      tag = tag)
-    bands.append(nearBandRows(survivors).coalesce(4), tag = tag)
-    mv.refresh()
+    parallelStateCommit(
+      () => {
+        table.append(survivors
+          .select(col("doc_id"), col("digest"), col("source")).coalesce(4),
+          tag = tag)
+        mv.refresh()
+        ()
+      },
+      () => { bands.append(nearBandRows(survivors).coalesce(4), tag = tag); () })
     fate.unpersist()
+    ()
+  }
+
+  /** Run independent state commits concurrently and propagate the
+    * first failure — the guide §2.6 thread-pool shape for a lifecycle
+    * loop whose per-table commits have no mutual ordering. */
+  private def parallelStateCommit(branches: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(branches.map(b => Future(b()))), Duration.Inf)
     ()
   }
 
@@ -1178,9 +1219,15 @@ object Pipeline {
     // whole corpus and band index for one curation op, while marks
     // are O(matched rows) and every probe read is delete-aware
     // anyway. Compaction folds the debt later on its own schedule.
-    st.table.deleteMor(cond)
-    st.bands.deleteMor(cond)
-    st.mv.refreshOrFull()
+    // The two tables are independent — their mark passes run
+    // concurrently (guide §2.6); the MV fold follows its base.
+    parallelStateCommit(
+      () => {
+        st.table.deleteMor(cond)
+        st.mv.refreshOrFull()
+        ()
+      },
+      () => { st.bands.deleteMor(cond); () })
     ()
   }
 
@@ -1205,11 +1252,15 @@ object Pipeline {
       val survivors = fateLog.read().filter(col("fate") === "requeued")
         .persist(StorageLevel.MEMORY_AND_DISK)
       survivors.count()
-      table.append(survivors
-        .select(col("doc_id"), col("digest"), col("source")).coalesce(4),
-        tag = tag)
-      bands.append(nearBandRows(survivors).coalesce(4), tag = tag)
-      mv.refresh()
+      parallelStateCommit(
+        () => {
+          table.append(survivors
+            .select(col("doc_id"), col("digest"), col("source")).coalesce(4),
+            tag = tag)
+          mv.refresh()
+          ()
+        },
+        () => { bands.append(nearBandRows(survivors).coalesce(4), tag = tag); () })
       survivors.unpersist()
       return
     }
@@ -1236,12 +1287,18 @@ object Pipeline {
     fate.count() // materialize against the pre-mutation state
     release()
     val survivors = fate.filter(col("fate") === "requeued")
+    // fate log first (the replay record), then the independent state
+    // tables concurrently — same shape as the ingest step
     fateLog.append(fateLogRows(fate, requeueFates).coalesce(4), tag = tag)
-    table.append(survivors
-      .select(col("doc_id"), col("digest"), col("source")).coalesce(4),
-      tag = tag)
-    bands.append(nearBandRows(survivors).coalesce(4), tag = tag)
-    mv.refresh()
+    parallelStateCommit(
+      () => {
+        table.append(survivors
+          .select(col("doc_id"), col("digest"), col("source")).coalesce(4),
+          tag = tag)
+        mv.refresh()
+        ()
+      },
+      () => { bands.append(nearBandRows(survivors).coalesce(4), tag = tag); () })
     fate.unpersist()
     ()
   }

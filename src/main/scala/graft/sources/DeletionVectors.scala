@@ -146,6 +146,20 @@ private[sources] object DeletionVectors {
     // delete and the row SURVIVES
     df.filter(not(coalesce(deleted, lit(false))))
   }
+
+  /** Complement of [[filterDeleted]]: KEEP exactly the DV-marked rows.
+    * The CDC fast path's "what did this commit delete" read — same
+    * codegen'd binary search, same normalization, inverted verdict
+    * (null keys match no delete and are dropped). */
+  def keepDeleted(df: DataFrame,
+      vectors: java.util.HashMap[String, Array[Long]]): DataFrame = {
+    val norm = regexp_replace(col(LogTable.FileCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    val deleted = GraftBridge.column(DvDeleted(vectors,
+      GraftBridge.expression(norm),
+      GraftBridge.expression(col(LogTable.PosCol))))
+    df.filter(coalesce(deleted, lit(false)))
+  }
 }
 
 /** `(path, pos) ∈ vectors` — one plan-resident binary search per row,

@@ -260,12 +260,24 @@ final class MaterializedView private (
     val set = aggs.map(a => a.name -> a.merge(col(a.name), col(s"src_${a.name}"))).toMap
     val insertAll = (keyCols ++ aggs.map(_.name) :+ KeyCol)
       .map(n => n -> col(n)).toMap
-    table.merge(delta, KeyCol,
-      matchedDeleteWhen =
-        Some(col(cnt.name) + col(s"src_${cnt.name}") === lit(0L)),
-      matchedSet = Some(set),
-      insertValues = Some(insertAll),
-      tag = s"$TagPrefix$to")
+    // PINNED across the merge: the delta (a CDC diff — the most
+    // expensive subtree a refresh owns) feeds merge's discovery
+    // semi-join, dup-key guard, insert anti-join and rewrite legs —
+    // each its own action; unpinned, every one re-runs the whole
+    // changelog read (the multi-consumer re-compute pitfall; measured
+    // 22 jobs → 9 on the near-dedup delete refresh at sf0.1)
+    val pinned = delta.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      table.merge(pinned, KeyCol,
+        matchedDeleteWhen =
+          Some(col(cnt.name) + col(s"src_${cnt.name}") === lit(0L)),
+        matchedSet = Some(set),
+        insertValues = Some(insertAll),
+        tag = s"$TagPrefix$to",
+        sourceKeysUnique = true) // groupBy(keys) output — unique by construction
+      ()
+    } finally { pinned.unpersist(blocking = false); () }
     to
   }
 
@@ -302,11 +314,20 @@ final class MaterializedView private (
     val set =
       if (full) aggs.map(a => a.name -> col(s"src_${a.name}")).toMap
       else aggs.map(a => a.name -> a.merge(col(a.name), col(s"src_${a.name}"))).toMap
-    table.merge(delta, KeyCol,
-      matchedSet = Some(set),
-      insertValues = Some(insertAll),
-      notMatchedBySourceDelete = if (full) Some(lit(true)) else None,
-      tag = s"$TagPrefix$toVersion")
+    // PINNED across the merge (cf. refreshCdc): the partial-aggregate
+    // delta feeds several independent merge actions — one shuffle over
+    // the delta instead of one per consumer
+    val pinned = delta.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      table.merge(pinned, KeyCol,
+        matchedSet = Some(set),
+        insertValues = Some(insertAll),
+        notMatchedBySourceDelete = if (full) Some(lit(true)) else None,
+        tag = s"$TagPrefix$toVersion",
+        sourceKeysUnique = true) // groupBy(keys) output — unique by construction
+      ()
+    } finally { pinned.unpersist(blocking = false); () }
     ()
   }
 }
