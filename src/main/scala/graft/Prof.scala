@@ -142,13 +142,92 @@ object Prof {
   }
 
   private def profApiLog(s: SparkSession, dir: String): Unit = {
-    phase("log_api_lifecycle") {
-      SparkEntry.queries("log_api_lifecycle")(s, dir)
-        .queryExecution.toRdd.count()
+    import org.apache.spark.sql.functions._
+    import graft.operators.ApiLog
+    import graft.sources.{LogTable, MarkerCommit, Transform}
+    // lifecycle body, phase by phase
+    locally {
+      val tmp = graft.Scratch.dir("graft_prof_api_life_")
+      val buffer = tmp.resolve("buffer").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val root = tmp.resolve("table").toString
+      val frame = ApiLog.apiFrame(s, dir)
+      val countLimit = phase("life frame.count") {
+        math.max(1L, frame.count() / 8L).toInt
+      }
+      val flushed = ApiLog.flushBuffer(frame, "node", "time",
+        countLimit, intervalUs = 10L * 86400000000L)
+      phase("life buffer write") {
+        flushed.write.partitionBy("_flush").parquet(buffer)
+      }
+      val table = LogTable(s, root, hiddenBy = Seq(Transform.day("time")))
+      phase("life stream commit loop") {
+        val stream = s.readStream.schema(flushed.schema)
+          .option("maxFilesPerTrigger", 2).parquet(buffer)
+          .drop("_flush")
+        graft.streaming.Streams.streamIngest(stream, table, ckpt)
+          .awaitTermination()
+      }
+      phase("life catalogFold") {
+        ApiLog.catalogFold(s, table).queryExecution.toRdd.count()
+      }
+      ()
     }
-    phase("log_api_markers") {
-      SparkEntry.queries("log_api_markers")(s, dir)
-        .queryExecution.toRdd.count()
+    // markers body, phase by phase
+    locally {
+      import java.nio.file.Files
+      val tmp = graft.Scratch.dir("graft_prof_api_mark_")
+      val buffer = tmp.resolve("buffer").toString
+      val root = tmp.resolve("table").toString
+      val frame = ApiLog.apiFrame(s, dir)
+      val countLimit = math.max(1L, frame.count() / 8L).toInt
+      val flushed = ApiLog.flushBuffer(frame, "node", "time",
+        countLimit, intervalUs = 10L * 86400000000L)
+      phase("mark buffer write") {
+        flushed.write.partitionBy("_flush").parquet(buffer)
+      }
+      val table = LogTable(s, root, hiddenBy = Seq(Transform.day("time")))
+      table.declareSchema(flushed.drop("_flush").schema)
+      val flushDirs = scala.util.Using.resource(
+          Files.list(tmp.resolve("buffer"))) { ls =>
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_flush=")).toSeq.sorted
+      }
+      phase(s"mark flush+stage x${flushDirs.size}") {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(Future.traverse(flushDirs) { fd => Future {
+          MarkerCommit.flush(table,
+            s.read.schema(flushed.drop("_flush").schema)
+              .parquet(s"$buffer/$fd"))
+        }}, Duration.Inf)
+        ()
+      }
+      phase("mark leader round 1") {
+        MarkerCommit.runOnce(s, root, maxMarkers = 4)
+      }
+      phase("mark leader round 2") {
+        MarkerCommit.runOnce(s, root, maxMarkers = 4)
+      }
+      phase("mark leader rounds rest") {
+        var i = 0
+        while (MarkerCommit.pending(root).nonEmpty) {
+          i += 1
+          val r = phase(s"  drain round $i") {
+            MarkerCommit.runOnce(s, root, maxMarkers = 4)
+          }
+          println(s"[prof]   drain round $i -> $r")
+        }
+      }
+      phase("mark leader round noop") {
+        MarkerCommit.runOnce(s, root, maxMarkers = 4)
+      }
+      phase("mark catalogFold") {
+        ApiLog.catalogFold(s, table).queryExecution.toRdd.count()
+      }
+      ()
     }
     ()
   }

@@ -160,7 +160,7 @@ object ApiLog {
     * the committed table, folded into one totally-ordered frame —
     * shared by every lifecycle variant (streaming commit loop, marker
     * commit loop): identical table contents must fold identically. */
-  private def catalogFold(s: SparkSession, table: LogTable): DataFrame = {
+  private[graft] def catalogFold(s: SparkSession, table: LogTable): DataFrame = {
     table.read().createOrReplaceTempView("api")
     val blank = lit("")
     // -- Count all logs (README.md:142)
