@@ -40,11 +40,30 @@ object Prof {
     Tables.all.foreach(t => Tables(spark, sfDir, t).count())
 
     val what = args.headOption.getOrElse("near")
+    // plan evidence: `explain:<q1,q2>` writes plans/r21/<q>_<suffix>.txt
+    // (`.explain("formatted")` text; suffix from GRAFT_PLAN_SUFFIX,
+    // default "before") for the brief's before/after plan dumps
+    if (what.startsWith("explain:")) {
+      val suffix = sys.env.getOrElse("GRAFT_PLAN_SUFFIX", "before")
+      val dir = java.nio.file.Paths.get("plans/r21")
+      java.nio.file.Files.createDirectories(dir)
+      what.stripPrefix("explain:").split(",").map(_.trim).filter(_.nonEmpty)
+        .foreach { n =>
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.writeString(dir.resolve(s"${n}_$suffix.txt"), txt)
+          println(s"[prof] wrote plans/r21/${n}_$suffix.txt")
+        }
+      spark.stop()
+      return
+    }
     (1 to 2).foreach { round =>
       println(s"== pass $round ==")
       what match {
         case "near" => profNear(spark, sfDir)
         case "apilog" => profApiLog(spark, sfDir)
+        case "ice" => profIce(spark, sfDir)
         case "lake" => profLake(spark, sfDir)
         case q =>
           phase(q) {
@@ -229,6 +248,40 @@ object Prof {
       }
       ()
     }
+    ()
+  }
+
+  /** lake_iceberg body, phase by phase (mirrors Lakehouse.lakeIceberg). */
+  private def profIce(s: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{IcebergExport, IcebergImport, IcebergRead, LogTable, Transform}
+    val tmp = graft.Scratch.dir("graft_prof_ice_").toString
+    val table = LogTable(s, tmp, partitionBy = Seq("event_type"),
+      hiddenBy = Seq(Transform.day("ts_us")))
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts_us"))
+    phase("ice append even") {
+      table.append(ev.filter(pmod(col("event_id"), lit(2)) === 0)) }
+    phase("ice renameColumn") { table.renameColumn("value", "amount") }
+    phase("ice append odd") {
+      table.append(ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .withColumnRenamed("value", "amount")) }
+    phase("ice deleteEq") {
+      table.deleteEq(ev.filter(col("event_type") === "error")
+        .select(col("event_id"))) }
+    val dest = graft.Scratch.dir("graft_prof_ice_out_").toString
+    phase("ice export") { IcebergExport.export(table, dest) }
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        graft.Cols.asDouble(sum(graft.Cols.money(col("amount")))).as("t"))
+    phase("ice spec read agg") {
+      agg(IcebergRead.read(s, dest)).queryExecution.toRdd.count() }
+    val imp = phase("ice import") {
+      IcebergImport.importTable(s, dest,
+        graft.Scratch.dir("graft_prof_ice_imp_").toString) }
+    phase("ice import read agg") {
+      agg(imp.read()).queryExecution.toRdd.count() }
     ()
   }
 

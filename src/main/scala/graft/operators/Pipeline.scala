@@ -1195,15 +1195,30 @@ object Pipeline {
     ()
   }
 
+  /** Dedicated bounded pool for [[parallelStateCommit]] — blocking
+    * Spark actions must not ride the global fork-join pool (its
+    * parallelism is CPU-count-shared with every other user, and a
+    * blocked-forever branch there starves unrelated work). Daemon
+    * threads, so a hung commit never blocks JVM exit. */
+  private lazy val stateCommitPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "graft-state-commit")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Run independent state commits concurrently and propagate the
     * first failure — the guide §2.6 thread-pool shape for a lifecycle
-    * loop whose per-table commits have no mutual ordering. */
+    * loop whose per-table commits have no mutual ordering. The await
+    * is FINITE: a branch hung past 30 minutes fails the step loudly
+    * instead of hanging the lifecycle query forever. */
   private def parallelStateCommit(branches: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext = stateCommitPool
     Await.result(
-      Future.sequence(branches.map(b => Future(b()))), Duration.Inf)
+      Future.sequence(branches.map(b => Future(b()))), 30.minutes)
     ()
   }
 

@@ -1960,6 +1960,39 @@ final class LogTable private (val spark: SparkSession, val root: String,
     }, Duration.Inf)
   }
 
+  /** [[adoptStaged]] that ALSO returns the batch's merged Spark schema
+    * (as json) from the SAME footer reads — the marker leader needs
+    * both per round, and the old adoptStaged + footerSparkSchema pair
+    * opened every staged footer twice (guide §6: the leader round is
+    * pure metadata I/O; halving its footer reads halves it). */
+  private[sources] def adoptStagedWithSchema(paths: Seq[String])
+      : (Seq[DataFile], String) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val both = Await.result(Future.traverse(paths) { p =>
+      Future {
+        val abs = Paths.get(p).toAbsolutePath.normalize
+        val rel = dataDir.toAbsolutePath.normalize.relativize(abs).toString
+        val in = HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(abs.toUri), new Configuration())
+        val r = ParquetFileReader.open(in)
+        val (meta, schema) =
+          try (footerMetaOf(r),
+            new org.apache.spark.sql.execution.datasources.parquet
+              .ParquetToSparkSchemaConverter()
+              .convert(r.getFooter.getFileMetaData.getSchema))
+          finally r.close()
+        val (rows, ranges, strRanges, nulls, vsets) = meta
+        (DataFile(abs.toString, rows, Files.size(abs),
+          partitions = LogTable.partValsOfRel(rel), ranges = ranges,
+          strRanges = strRanges, nulls = nulls, valueSets = vsets), schema)
+      }
+    }, Duration.Inf)
+    val (files, schemas) = both.unzip
+    (files, schemas.reduce((a, b) => LogTable.mergeStructs(a, b)).json)
+  }
+
   /** Commit already-staged data files as one atomic append — the
     * LEADER half of the marker-based commit loop. EXACTLY-ONCE under
     * racing/crashed committers: entries whose path the lineage already
@@ -4944,7 +4977,16 @@ final class LogTable private (val spark: SparkSession, val root: String,
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
     val reader = ParquetFileReader.open(in)
-    try {
+    try footerMetaOf(reader) finally reader.close()
+  }
+
+  /** The stats body of [[parquetFooterMeta]] over an ALREADY-OPEN
+    * reader — lets callers that also need the footer's schema (the
+    * marker leader) read the footer ONCE instead of once per fact. */
+  private def footerMetaOf(reader: ParquetFileReader):
+      (Long, Map[String, (Long, Long)], Map[String, (String, String)],
+        Map[String, Long], Map[String, Seq[String]]) = {
+    {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT32, INT64}
       val perBlock: Seq[Map[String, (Long, Long)]] = blocks.map { b =>
@@ -5061,7 +5103,7 @@ final class LogTable private (val spark: SparkSession, val root: String,
           .map { case (k, v) => k -> v.sorted }.toMap
       (reader.getRecordCount, fold(perBlock), fold(perBlockStr), nulls,
         valueSets)
-    } finally reader.close()
+    }
   }
 }
 

@@ -247,7 +247,6 @@ object MarkerCommit {
       val committed =
         if (present.isEmpty) 0
         else {
-          val entries = table.adoptStaged(present.map(_._2))
           // the BATCH schema comes from the staged footers themselves,
           // merged DRIVER-SIDE across the batch (the batch may span
           // flushes with different shapes — one widened mid-stream):
@@ -256,9 +255,12 @@ object MarkerCommit {
           // manifest instead of committing silently-unreadable
           // columns, and a schemaless table bootstraps with stamped
           // field ids. No Spark job: spark.read's mergeSchema launches
-          // a distributed merge even for a 4-file batch, ~9× per drain
-          val batchSchema = present.map(p => table.footerSparkSchema(p._2))
-            .reduce((a, b) => LogTable.mergeStructs(a, b)).json
+          // a distributed merge even for a 4-file batch, ~9× per drain.
+          // Stats and schema come from ONE footer open per staged file
+          // (the old adoptStaged + footerSparkSchema pair read every
+          // footer twice per round).
+          val (entries, batchSchema) =
+            table.adoptStagedWithSchema(present.map(_._2))
           // commitStagedAppend's membership check inside the CAS retry
           // re-drops anything a racing leader landed meanwhile
           table.commitStagedAppend(entries, batchSchemaJson = batchSchema)
