@@ -64,6 +64,7 @@ object Prof {
         case "near" => profNear(spark, sfDir)
         case "apilog" => profApiLog(spark, sfDir)
         case "ice" => profIce(spark, sfDir)
+        case "ingest" => profIngest(spark, sfDir)
         case "lake" => profLake(spark, sfDir)
         case q =>
           phase(q) {
@@ -247,6 +248,45 @@ object Prof {
         ApiLog.catalogFold(s, table).queryExecution.toRdd.count()
       }
       ()
+    }
+    ()
+  }
+
+  /** pipeline_ingest_dedup body, phase by phase (mirrors ingestDedupLoop). */
+  private def profIngest(s: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pipeline
+    val work = graft.Scratch.dir("graft_prof_ingest_")
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("digest"))
+    val table = graft.sources.LogTable(s, work.resolve("t").toString)
+    val mv = graft.sources.MaterializedView(s, table,
+      work.resolve("mv").toString, keyCols = Seq("digest"),
+      aggs = Seq(graft.sources.MvAgg.Count("n")))
+    val dp = phase("ingest pin d") {
+      val p = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count(); p
+    }
+    (0L until 3L).foreach { b =>
+      val batch = dp.filter(pmod(col("doc_id"), lit(3L)) === b)
+      val survivors0 = Pipeline.ingestSurvivors(table, mv, batch)
+      val survivors = survivors0.withColumn("min_id",
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("digest"))))
+        .filter(col("doc_id") === col("min_id"))
+      phase(s"b$b append") {
+        table.append(survivors
+          .select(col("doc_id"), col("digest"), col("source")).coalesce(4))
+      }
+      phase(s"b$b mv.refresh") { mv.refresh() }
+    }
+    dp.unpersist()
+    phase("final census") {
+      table.read().groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).cast("long").as("first_id"),
+          max(col("doc_id")).cast("long").as("last_id"))
+        .orderBy(col("source")).queryExecution.toRdd.count()
     }
     ()
   }

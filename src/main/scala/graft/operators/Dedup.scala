@@ -77,22 +77,38 @@ object Dedup {
     val e = Tables.spread(docs(s, dir))
       .select(col("doc_id"), explode(graft.functions.WordShingles
         .wordShingles(split(col("text"), " "), 5)).as("gh"))
-    val dfc = e.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
-    // Inner join drops over-frequent grams; same gh key as the pair join
-    // below, so this adds no extra shuffle of the big side.
-    val kept = e.join(dfc.filter(col("gdf") <= MaxGramDf), Seq("gh"))
-    // Per-doc kept-gram counts aggregate to ONE row per doc — joined
-    // onto the (far smaller) aggregated pair list at the end instead of
-    // being window-carried through the pair explosion. No broadcast
-    // hint: at billions of docs the count table exceeds broadcast
-    // limits, so the join strategy is left to Spark/AQE (which still
-    // broadcasts it at small scale).
-    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val cand = kept.filter(col("gdf") >= 2) // df=1 grams can never pair
-    val a = cand.select(col("doc_id").as("doc_a"), col("gh"))
-    val b = cand.select(col("doc_id").as("doc_b"), col("gh"))
-    a.join(b, Seq("gh")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    // ONE gram-census exchange, materialized ONCE: the per-gram doc
+    // list and the document frequency fall out of the SAME groupBy
+    // (gdf = list size — WordShingles emits DISTINCT grams per doc),
+    // and localCheckpoint pins the census for its several consumers.
+    // The old lazy shape (e ⋈ dfc = `kept`, then kept consumed by the
+    // pair self-join's two sides AND the two per-doc count joins)
+    // re-derived everything per consumer: 8 corpus scans + 8 shingle
+    // explodes in dedup_ngram's physical plan
+    // (plans/r21/dedup_ngram_before.txt), 1 scan + 1 explode after.
+    // The df cap bounds every list at MaxGramDf, so the census rows
+    // and the in-bucket pair fan-out stay bounded at any corpus size.
+    val census = e.groupBy(col("gh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= MaxGramDf)
+      .select(col("ids"))
+      .localCheckpoint()
+    // Per-doc kept-gram counts — one explode+agg over the census. No
+    // broadcast hint: at billions of docs the count table exceeds
+    // broadcast limits, so the join strategy is left to Spark/AQE
+    // (which still broadcasts it at small scale).
+    val n = census.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    // Same-gram pairs explode from the sorted doc list (i < j, so
+    // doc_a < doc_b by construction) — the old a⋈b self-join keyed by
+    // gh shuffled the instance table twice to build the same pairs.
+    val pairs = census.filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(" +
+          "slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .join(n.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), Seq("doc_a"))
       .join(n.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), Seq("doc_b"))
@@ -133,8 +149,19 @@ object Dedup {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v")
       .localCheckpoint()
+    // labels carry a CHANGED flag: (1) convergence reads the flag off
+    // the just-checkpointed frame instead of re-joining new labels
+    // against old (one join + one wide comparison per round gone);
+    // (2) only CHANGED labels propagate next round — the standard
+    // delta iteration (guide §2: shrink the iterated input): a label
+    // offered in round r was absorbed by every neighbor in round r,
+    // so an UNCHANGED node has nothing new to offer round r+1. Round
+    // 1 marks everything changed, so every label is offered at least
+    // once; convergence (zero changes) is therefore identical to the
+    // full-recompute fixpoint.
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id"))
+      .withColumn("chg", lit(true))
       .localCheckpoint()
     var converged = false
     var rounds = 0
@@ -148,14 +175,15 @@ object Dedup {
       if (rounds > maxRounds) throw new IllegalStateException(
         s"dedupClusters did not converge in $maxRounds rounds — component diameter exceeds the cap")
       val nbrMin = edges
-        .join(labels.select(col("id").as("v"), col("lbl").as("v_lbl")), Seq("v"))
+        .join(labels.filter(col("chg"))
+          .select(col("id").as("v"), col("lbl").as("v_lbl")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("v_lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = labels.select(col("id"), col("lbl")).join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .filter(col("lbl") =!= col("old")).isEmpty
+      converged = next.filter(col("chg")).isEmpty
       labels = next
     }
     labels
@@ -200,13 +228,36 @@ object Dedup {
             .map(j => element_at(col("sig"), j + 1)): _*).as("bkey"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-    val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
-    l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+    // Same-bucket pairs explode from a per-bucket sorted doc list
+    // (i < j ⇒ doc_a < doc_b) — ONE band exchange and ONE signature
+    // pass. The old l⋈r self-join recomputed the full MinHash
+    // signature pipeline on each join side (2 corpus scans + 2 sig
+    // passes, plans/r21/dedup_minhash_before.txt) and shuffled the
+    // band rows twice. Bucket lists stay small by LSH design (a band
+    // collision IS the rarity being hunted); the pair fan-out per
+    // bucket is the same candidate set the join produced.
+    // The pair join stays a JOIN (broadcast/hash-distributed, so a hot
+    // band bucket's k² candidate probes spread across every task of
+    // the probe side — a groupBy+in-bucket-pair-explode funnels the
+    // same k² into ONE task and measured 4-7× slower on this corpus's
+    // hottest bucket) — but both sides now read the banded frame
+    // PINNED ONCE (columnar cache, filled by one count, released after
+    // the top-100 materializes): the old lazy self-join recomputed the
+    // full MinHash signature pass per join side (2 corpus scans + 2
+    // sig passes, plans/r21/dedup_minhash_before.txt).
+    val banded = bands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count()
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    val top = l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
       .orderBy(col("n_bands").desc, col("doc_a"), col("doc_b"))
       .limit(100)
+      .localCheckpoint()
+    banded.unpersist(blocking = false)
+    top
   }
 
   /** Bit-count accumulator for one 64-bit SimHash half: per distinct
@@ -251,17 +302,33 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("fp0"), col("fp1"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val l = banded.select(col("doc_id").as("doc_a"), col("fp0").as("a0"),
+    // Same-bucket pairs from a per-bucket sorted (doc_id, fp0, fp1)
+    // list — ONE band exchange, ONE fingerprint pass (the old l⋈r
+    // self-join recomputed both SimHash64 halves per join side and
+    // shuffled the banded rows twice; see
+    // plans/r21/dedup_simhash_before.txt).
+    // join kept (hot buckets spread across tasks — see minhashLsh),
+    // both sides reading the banded fingerprints PINNED ONCE (filled
+    // cache, released after the top-100 materializes) instead of
+    // recomputing both SimHash64 halves per join side
+    // (plans/r21/dedup_simhash_before.txt)
+    val bandedP = banded
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandedP.count()
+    val l = bandedP.select(col("doc_id").as("doc_a"), col("fp0").as("a0"),
       col("fp1").as("a1"), col("band"), col("bkey"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("fp0").as("b0"),
+    val r = bandedP.select(col("doc_id").as("doc_b"), col("fp0").as("b0"),
       col("fp1").as("b1"), col("band"), col("bkey"))
-    l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+    val top = l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (bit_count(col("a0").bitwiseXOR(col("b0"))) +
           bit_count(col("a1").bitwiseXOR(col("b1")))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b") // hamming is pair-determined
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(100)
+      .localCheckpoint()
+    bandedP.unpersist(blocking = false)
+    top
   }
 
   /** Benchmark-contamination check — the pre-training gate that asks

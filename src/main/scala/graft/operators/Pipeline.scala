@@ -802,19 +802,37 @@ object Pipeline {
     val mv = graft.sources.MaterializedView(s, table,
       work.resolve("mv").toString, keyCols = Seq("digest"),
       aggs = Seq(graft.sources.MvAgg.Count("n")))
+    // ONE corpus pass total (the near loop's r20 treatment): the
+    // (doc_id, source, digest) frame pins for the whole loop, so each
+    // batch's probe-broadcast subtree and append read the cache
+    // instead of re-hashing the corpus per consumer per batch.
+    val dp = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dp.count()
     (0L until 3L).foreach { b =>
-      val batch = d.filter(pmod(col("doc_id"), lit(3L)) === b)
-      // within-batch keeper: the digest's min doc_id
-      val keep = batch.join(
-        batch.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id")),
-        Seq("digest", "doc_id"))
-      val survivors = ingestSurvivors(table, mv, keep)
-      table.append(survivors.select(col("doc_id"), col("digest"), col("source")))
+      val batch = dp.filter(pmod(col("doc_id"), lit(3L)) === b)
+      // cross-batch exact probe builds from the BATCH's digest set —
+      // identical to the keeper's (keeper selection never drops a
+      // digest), so the broadcast-build job skips the keeper window
+      val survivors0 = ingestSurvivors(table, mv, batch)
+      // within-batch keeper: the digest's min doc_id, as a window min
+      // over ONE digest exchange — the old groupBy+join paid the same
+      // shuffle PLUS a broadcast build of the aggregate per batch
+      // (guide §2.4: operations keyed alike share one exchange)
+      val survivors = survivors0.withColumn("min_id",
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("digest"))))
+        .filter(col("doc_id") === col("min_id"))
+      // coalesce on the cached read: an un-coalesced append writes one
+      // tiny parquet per shuffle partition per batch and the footer
+      // pass dominates the loop
+      table.append(survivors
+        .select(col("doc_id"), col("digest"), col("source")).coalesce(4))
       // O(batch) fold into the digest MV — the probe structure stays
       // consistent with the corpus inside the MV's watermark contract
       mv.refresh()
       ()
     }
+    dp.unpersist()
     (table, mv)
   }
 

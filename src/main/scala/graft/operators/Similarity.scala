@@ -389,11 +389,19 @@ object Similarity {
     val all = withSigns(quantized(s, dir), seed, tables, bits, dim)
       .withColumn("bk", explode(bucketKeys(col("qv"), col("signs"), tables, bits)))
       .drop("signs")
-    val a = all.select(col("vec_id").as("vec_a"), col("qv").as("a_qv"),
+    // join kept (hot buckets spread across tasks — see
+    // Dedup.minhashLsh), both sides reading the bucketed quantized
+    // vectors PINNED ONCE (filled cache, released after the top-50
+    // materializes) instead of recomputing the whole signed-projection
+    // pipeline per join side (plans/r21/dedup_embed_before.txt)
+    val allP = all
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    allP.count()
+    val a = allP.select(col("vec_id").as("vec_a"), col("qv").as("a_qv"),
       col("nrm").as("a_nrm"), col("bk"))
-    val b = all.select(col("vec_id").as("vec_b"), col("qv").as("b_qv"),
+    val b = allP.select(col("vec_id").as("vec_b"), col("qv").as("b_qv"),
       col("nrm").as("b_nrm"), col("bk"))
-    a.join(b, Seq("bk")).filter(col("vec_a") < col("vec_b"))
+    val top = a.join(b, Seq("bk")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("a_qv"), col("b_qv"),
         col("a_nrm"), col("b_nrm"))
       .dropDuplicates("vec_a", "vec_b")
@@ -402,6 +410,9 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("key"))
       .orderBy(col("key").desc, col("vec_a"), col("vec_b"))
       .limit(50)
+      .localCheckpoint()
+    allP.unpersist(blocking = false)
+    top
   }
 
   // ------------------------------------------------------------- IVF index
