@@ -2536,6 +2536,18 @@ object IcebergRead {
     // STRICTLY below the delete's (Iceberg's rule — identical to
     // graft's), resolved per row from a broadcast path→seq map
     val eqDeletes = m.deleteFiles.filter(_.content == 2)
+    // the key frame of one eq-delete file, projected to its join
+    // columns, MATERIALIZED ONCE (guide §5): the anti-join below runs
+    // once per scan group — an identity-partitioned table plans one
+    // group per live partition tuple, and the unmaterialized frame
+    // re-read the tombstone parquet inside every group's
+    // broadcast-build job (5 reads of the same file on lake_iceberg)
+    val eqKeysCache = scala.collection.mutable.Map[String, DataFrame]()
+    def eqKeysOf(path: String, cols: Seq[String],
+        joinCols: Seq[String]): DataFrame =
+      eqKeysCache.getOrElseUpdate(path, spark.read.parquet(path)
+        .select(cols.zip(joinCols).map { case (c, jc) => col(c).as(jc) }: _*)
+        .localCheckpoint())
     // keys normalized like _ice_f below, so foreign file:// URIs in
     // the manifest still hit the sequence join
     val fileSeq: Map[String, Long] = m.entries.map(e =>
@@ -2586,8 +2598,7 @@ object IcebergRead {
             lhs = lhs.withColumn(jc,
               if (ns.size == 1) col(ns.head) else coalesce(ns.map(col): _*))
           }
-          val keys = spark.read.parquet(eq.path)
-            .select(cols.zip(joinCols).map { case (c, jc) => col(c).as(jc) }: _*)
+          val keys = eqKeysOf(eq.path, cols, joinCols)
           val joined =
             if (fileSeq.values.forall(_ < eq.seq))
               lhs.join(org.apache.spark.sql.functions.broadcast(keys),
