@@ -250,15 +250,27 @@ object Dedup {
     banded.count()
     val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
-    val top = l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+    val top0 = l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
       .orderBy(col("n_bands").desc, col("doc_a"), col("doc_b"))
       .limit(100)
-      .localCheckpoint()
+    planDump("dedup_minhash_join_after", top0)
+    val top = top0.localCheckpoint()
     banded.unpersist(blocking = false)
     top
   }
+
+  /** Plan-evidence hook (never set by the driver): dump an INTERNAL
+    * frame's formatted plan — the checkpointed returns hide the
+    * join-over-pinned-cache shape the r21 optimizations claim. */
+  private def planDump(name: String, df: DataFrame): Unit =
+    sys.env.get("GRAFT_PLAN_DIR").foreach { d =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(d).resolve(s"$name.txt"),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
 
   /** Bit-count accumulator for one 64-bit SimHash half: per distinct
     * word, hash with `seed`; for each of 64 bits accumulate ±1.
@@ -319,14 +331,15 @@ object Dedup {
       col("fp1").as("a1"), col("band"), col("bkey"))
     val r = bandedP.select(col("doc_id").as("doc_b"), col("fp0").as("b0"),
       col("fp1").as("b1"), col("band"), col("bkey"))
-    val top = l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+    val top0 = l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (bit_count(col("a0").bitwiseXOR(col("b0"))) +
           bit_count(col("a1").bitwiseXOR(col("b1")))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b") // hamming is pair-determined
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(100)
-      .localCheckpoint()
+    planDump("dedup_simhash_join_after", top0)
+    val top = top0.localCheckpoint()
     bandedP.unpersist(blocking = false)
     top
   }

@@ -1092,7 +1092,7 @@ object Pipeline {
     val nearIds =
       if (bands.currentVersion == 0L) None
       else Some(nearProbe(st, probeBands)
-        .select(col("new_id").as("doc_id")).distinct())
+        .select(col("new_id").as("doc_id")))
     // within-batch near: band self-join, smaller-id sibling ≥6/8.
     // The broadcast side is the IDENTICAL projection nearProbe
     // broadcasts (band, k1, k2, new_id, new_sigs), so the physical
@@ -1105,23 +1105,25 @@ object Pipeline {
       .filter(col("new_id") < col("doc_id"))
       .filter(expr("aggregate(zip_with(new_sigs, sigs, " +
         "(x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v) >= 6"))
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id"))
+    // ONE near flag: the state probe's hits and the within-batch hits
+    // union into a single distinct id set, so the fate chain attaches
+    // ONE broadcast join instead of two (both verdicts read
+    // 'near_dup'; the union is semantics-neutral) — one fewer
+    // distinct + broadcast build + join per batch (guide §2.4)
+    val nearAny = nearIds.fold(selfNear)(n => n.unionByName(selfNear))
+      .distinct()
     val withX = foundExact
       .fold(batch.withColumn("x", lit(null).cast("int")))(f =>
         batch.join(broadcast(f.withColumn("x", lit(1))),
           Seq("digest"), "left"))
-    val withNr = nearIds
-      .fold(withX.withColumn("nr", lit(null).cast("int")))(n =>
-        withX.join(broadcast(n.withColumn("nr", lit(1))),
-          Seq("doc_id"), "left"))
-    val fates = withNr
-      .join(broadcast(selfNear.withColumn("snr", lit(1))),
+    val fates = withX
+      .join(broadcast(nearAny.withColumn("nr", lit(1))),
         Seq("doc_id"), "left")
       .withColumn("fate",
         when(col("doc_id") =!= col("min_id"), lit("exact_dup"))
           .when(col("x") === 1, lit("exact_dup"))
           .when(col("nr") === 1, lit("near_dup"))
-          .when(col("snr") === 1, lit("near_dup"))
           .otherwise(lit("kept")))
       .select(shape :+ col("fate"): _*)
     (fates, () => {

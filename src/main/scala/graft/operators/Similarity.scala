@@ -401,7 +401,7 @@ object Similarity {
       col("nrm").as("a_nrm"), col("bk"))
     val b = allP.select(col("vec_id").as("vec_b"), col("qv").as("b_qv"),
       col("nrm").as("b_nrm"), col("bk"))
-    val top = a.join(b, Seq("bk")).filter(col("vec_a") < col("vec_b"))
+    val top0 = a.join(b, Seq("bk")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("a_qv"), col("b_qv"),
         col("a_nrm"), col("b_nrm"))
       .dropDuplicates("vec_a", "vec_b")
@@ -410,7 +410,15 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("key"))
       .orderBy(col("key").desc, col("vec_a"), col("vec_b"))
       .limit(50)
-      .localCheckpoint()
+    // plan-evidence hook (never set by the driver) — the checkpointed
+    // return hides the join-over-pinned-cache shape
+    sys.env.get("GRAFT_PLAN_DIR").foreach { d =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(d).resolve("dedup_embed_join_after.txt"),
+        top0.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    val top = top0.localCheckpoint()
     allP.unpersist(blocking = false)
     top
   }
